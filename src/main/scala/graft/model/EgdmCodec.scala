@@ -1,0 +1,83 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** EGDM-NDJSON codec: one JSON object per line, shaped per the
+  * reference's entity model (/root/reference/layer_test.go:437-443):
+  * `{id, deleted, props: {uri: scalar}, refs: {uri: string|[string]}}`.
+  * Ref values are coerced string → [string]; any other ref type is an
+  * error, matching /root/reference/neo4j.go:199-208.
+  */
+object EgdmCodec {
+
+  def parseLine(line: String): Entity = {
+    val root = JsonMethods.parse(line)
+    val id = root \ "id" match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException(s"entity missing id: $line")
+    }
+    val deleted = root \ "deleted" match {
+      case JBool(b) => b
+      case _        => false
+    }
+    val props = root \ "props" match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> (v match {
+          case JString(s)  => PV(s = Some(s))
+          case JInt(i)     => PV(l = Some(i.toLong))
+          case JLong(i)    => PV(l = Some(i))
+          case JDouble(d)  => PV(d = Some(d))
+          case JDecimal(d) => PV(d = Some(d.toDouble))
+          case JBool(b)    => PV(b = Some(b))
+          case JNull       => PV()
+          case other => throw new IllegalArgumentException(
+            s"unsupported property value for $k: $other")
+        })
+      }.toMap
+      case _ => Map.empty[String, PV]
+    }
+    val refs = root \ "refs" match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> (v match {
+          case JString(s) => Seq(s) // string → [string] (neo4j.go:201-203)
+          case JArray(items) => items.map {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(
+              s"invalid reference target in $k: $other") // neo4j.go:206-207
+          }
+          case other => throw new IllegalArgumentException(
+            s"invalid reference value for $k: $other")
+        })
+      }.toMap
+      case _ => Map.empty[String, Seq[String]]
+    }
+    Entity(id, deleted, props, refs)
+  }
+
+  def toJsonLine(e: Entity): String = {
+    import org.json4s.JsonDSL._
+    val props = JObject(e.props.toList.map { case (k, pv) =>
+      k -> (pv match {
+        case PV(Some(s), _, _, _) => JString(s)
+        case PV(_, Some(l), _, _) => JLong(l)
+        case PV(_, _, Some(d), _) => JDouble(d)
+        case PV(_, _, _, Some(b)) => JBool(b)
+        case _                    => JNull
+      })
+    })
+    val refs = JObject(e.refs.toList.map { case (k, ts) =>
+      k -> JArray(ts.toList.map(JString(_)))
+    })
+    JsonMethods.compact(JsonMethods.render(
+      ("id" -> e.id) ~ ("deleted" -> e.deleted) ~
+        ("props" -> props) ~ ("refs" -> refs)))
+  }
+
+  /** Distributed NDJSON read → typed entity stream. */
+  def read(spark: SparkSession, path: String): Dataset[Entity] = {
+    import spark.implicits._
+    spark.read.textFile(path).filter(_.trim.nonEmpty).map(parseLine)
+  }
+}

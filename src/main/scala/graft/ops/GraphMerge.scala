@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UriFunctions.stripPrefix
+import graft.model.Entity
+import graft.store.GraphStore
+
+/** The batch merge job: entity batch → property-graph mutation, in the
+  * reference's contract order (/root/reference/neo4j.go:244-284):
+  * deletes → node upserts → stub creation → edge upserts, all made
+  * visible atomically by the snapshot commit.
+  *
+  * The batch side is always small relative to the graph (the
+  * reference's `batch_size`, /root/reference/layer.go:229), so every
+  * batch-vs-graph anti-join broadcasts the batch — at 100 TB the graph
+  * side never shuffles for an incremental merge; only the full-sync
+  * slice cascade is a real (AQE-planned) join.
+  */
+object GraphMerge {
+
+  /** Apply one entity batch.
+    *
+    * @param truncateFirst full-sync start gate: delete the whole
+    *   label+source slice before loading (/root/reference/layer.go:196-209,
+    *   neo4j.go:125-127). Label-less stubs survive — they carry neither
+    *   label nor source (/root/reference/layer_test.go:164-231).
+    * @return committed store version
+    */
+  def applyBatch(
+      store: GraphStore,
+      source: String,
+      label: String,
+      batch: Dataset[Entity],
+      truncateFirst: Boolean = false,
+      syncId: String = ""): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // Two URIs may strip to the same local name; the reference's Go map
+    // write makes the later key win (/root/reference/neo4j.go:195-197).
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+    val ver = store.currentVersion + 1
+
+    // Arrival order within the batch (the reference gets last-wins
+    // implicitly from sequential UNWIND execution; we pin it with an
+    // explicit sequence — SURVEY §7.4.3).
+    val b = batch.toDF.coalesce(1)
+      .withColumn("seq", monotonically_increasing_id()).cache()
+
+    // A5 tombstone partition (/root/reference/neo4j.go:186-189)
+    val deletedGids = b.filter($"deleted").select($"id".as("gid")).distinct()
+    val lastWins = Window.partitionBy($"id").orderBy($"seq".desc)
+    val live = b.filter(!$"deleted")
+      .withColumn("rn", row_number().over(lastWins))
+      .filter($"rn" === 1)
+
+    // A6/A7 entity → node projection with prefix-stripped prop keys
+    // (/root/reference/neo4j.go:192-197)
+    val newNodes = live.select(
+      $"id".as("gid"),
+      lit(label).as("label"),
+      lit(source).as("source"),
+      transform_keys($"props", (k, _) => stripPrefix(k)).as("props"),
+      lit(ver).as("recorded"))
+
+    // A8/A9 edge extraction: one row per (refProperty, target)
+    // (/root/reference/neo4j.go:210-227); B8 in-batch dedup via MERGE.
+    val newEdges = live
+      .select($"id".as("src"), explode($"refs").as(Seq("refUri", "targets")))
+      .select($"src", stripPrefix($"refUri").as("relType"),
+        explode($"targets").as("dst"))
+      .select($"src", $"dst", $"relType",
+        lit(source).as("source"), lit(ver).as("recorded"))
+      .dropDuplicates("src", "dst", "relType")
+
+    var nodes = store.nodes
+    var edges = store.edges
+
+    // B9 slice truncate: nodes with BOTH this label and source go, with
+    // incident-edge cascade; stubs (null label/source) survive.
+    if (truncateFirst) {
+      // null-safe predicate: stubs carry null label/source and must
+      // SURVIVE the truncate (/root/reference/layer_test.go:164-231) —
+      // a plain === would three-value them out.
+      val inSlice = $"label" <=> label && $"source" <=> source
+      val doomed = nodes.filter(inSlice).select($"gid")
+      nodes = nodes.filter(!inSlice)
+      edges = cascade(edges, doomed)
+    }
+
+    // B2 tombstone cascade delete (DETACH DELETE — both directions)
+    nodes = nodes.join(broadcast(deletedGids), Seq("gid"), "left_anti")
+    edges = cascade(edges, broadcast(deletedGids))
+
+    // B3/B5/B6 node upsert: merge-by-gid, batch side wins wholesale —
+    // label stamped (promotes stubs), props fully replaced
+    // (/root/reference/neo4j.go:103-108; replacement proven by
+    // layer_test.go:164-231).
+    val batchGids = live.select($"id".as("gid"))
+    nodes = nodes.join(broadcast(batchGids), Seq("gid"), "left_anti")
+      .unionByName(newNodes)
+
+    // B4 outgoing-edge replacement: every upserted node drops ALL its
+    // existing outgoing edges (incoming survive) before new refs land
+    // (/root/reference/neo4j.go:104-106).
+    edges = edges
+      .join(broadcast(batchGids.withColumnRenamed("gid", "src")),
+        Seq("src"), "left_anti")
+      .unionByName(newEdges)
+
+    // B7 stub creation: every referenced target exists as at least a
+    // bare gid-only node (/root/reference/neo4j.go:111-114, 260-271).
+    // Probe the big node table with the small broadcast target set
+    // (left_semi builds the broadcast right side), then anti-join two
+    // small sets — the 100 TB node table is never the build side.
+    val targets = newEdges.select($"dst".as("gid")).distinct()
+    val existingTargets = nodes.select("gid")
+      .join(broadcast(targets), Seq("gid"), "left_semi")
+    val stubs = targets
+      .join(existingTargets, Seq("gid"), "left_anti")
+      .select($"gid", lit(null).cast("string").as("label"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
+        lit(ver).as("recorded"))
+    nodes = nodes.unionByName(stubs)
+
+    val committed = store.commit(nodes, edges, syncId)
+    b.unpersist()
+    committed
+  }
+
+  /** DETACH-DELETE edge cascade: drop edges touching any doomed gid on
+    * either endpoint (/root/reference/neo4j.go:95-99).
+    */
+  private def cascade(edges: DataFrame, doomedGids: DataFrame): DataFrame = {
+    val d1 = doomedGids.withColumnRenamed("gid", "src")
+    val d2 = doomedGids.withColumnRenamed("gid", "dst")
+    edges.join(d1, Seq("src"), "left_anti").join(d2, Seq("dst"), "left_anti")
+  }
+}

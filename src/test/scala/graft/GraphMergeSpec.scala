@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Entity, PV}
+import graft.ops.{GraphDataset, GraphMerge, GraphRead}
+import graft.store.GraphStore
+
+/** Ports the reference's two integration scenarios exactly
+  * (/root/reference/layer_test.go): full-sync replacement semantics
+  * incl. stub survival (layer_test.go:76-231) and incremental write +
+  * cross-dataset stub promotion (layer_test.go:297-427). Oracle =
+  * DataFrame queries replicating layer_test.go:117.
+  */
+class GraphMergeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def freshStore(): GraphStore =
+    new GraphStore(Files.createTempDirectory("graft-store").toString, spark,
+      numBuckets = 2)
+
+  /** makeEntity (/root/reference/layer_test.go:437-443) */
+  private def brian: Entity =
+    Entity("http://data.sample.org/things/1")
+      .withProp("http://data.sample.org/name", "brian")
+      .withProp("http://data.sample.org/age", 23)
+      .withRef("http://data.sample.org/worksfor",
+        "http://data.sample.org/things/mimiro")
+
+  private def propsOf(row: Row): Map[String, Any] =
+    row.getMap[String, Row](row.fieldIndex("props")).map { case (k, pv) =>
+      k -> Seq(pv.get(0), pv.get(1), pv.get(2), pv.get(3))
+        .find(_ != null).orNull
+    }.toMap
+
+  test("full sync writes node, edge, stub; oracle query matches (layer_test.go:76-157)") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.fullSync(Seq(brian), syncId = "sync-1")
+
+    val rows = GraphRead.collectRelationships(store, "Person", "people").collect()
+    assert(rows.length == 1)
+    val n = rows.head
+    assert(n.getAs[String]("gid") == "http://data.sample.org/things/1")
+    assert(propsOf(n) == Map("name" -> "brian", "age" -> 23L))
+    val rels = n.getSeq[Row](n.fieldIndex("relationships"))
+    assert(rels.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("worksfor", "http://data.sample.org/things/mimiro")))
+
+    // stub target node exists, bare (no label/source/props)
+    val stub = store.nodes
+      .filter($"gid" === "http://data.sample.org/things/mimiro").collect()
+    assert(stub.length == 1)
+    assert(stub.head.getAs[String]("label") == null)
+    assert(stub.head.getAs[String]("source") == null)
+  }
+
+  test("resync replaces props, drops edges, keeps stub (layer_test.go:164-231)") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.fullSync(Seq(brian))
+
+    // second full sync: renamed, no refs (layer_test.go:165-166)
+    val renamed = Entity("http://data.sample.org/things/1")
+      .withProp("http://data.sample.org/name", "John Doe")
+    ds.fullSync(Seq(renamed))
+
+    val rows = GraphRead.collectRelationships(store, "Person", "people").collect()
+    assert(rows.length == 1)
+    val n = rows.head
+    // full property replacement — age gone, not merged (layer_test.go:210-219)
+    assert(propsOf(n) == Map("name" -> "John Doe"))
+    // zero-match OPTIONAL MATCH yields [{null, null}] (layer_test.go:222-231)
+    val rels = n.getSeq[Row](n.fieldIndex("relationships"))
+    assert(rels.map(r => (r.getString(0), r.getString(1))) ==
+      Seq((null, null)))
+    // the mimiro stub survives the truncate (no label/source)
+    assert(store.nodes
+      .filter($"gid" === "http://data.sample.org/things/mimiro")
+      .count() == 1)
+    // outgoing edge dropped
+    assert(store.edges.count() == 0)
+  }
+
+  test("incremental write + cross-dataset stub promotion (layer_test.go:297-427)") {
+    val store = freshStore()
+    val people = new GraphDataset(store, spark, "people", "Person")
+    people.incremental(Seq(brian))
+
+    // companies dataset writes the entity the stub stood for
+    // (layer_test.go:366-388): MERGE onto the stub gid promotes it.
+    val mimiro = Entity("http://data.sample.org/things/mimiro")
+      .withProp("http://data.sample.org/name", "Mimiro")
+    val companies = new GraphDataset(store, spark, "companies", "Company")
+    companies.incremental(Seq(mimiro))
+
+    val promoted = store.nodes
+      .filter($"gid" === "http://data.sample.org/things/mimiro").collect()
+    assert(promoted.length == 1) // still one node — merged, not duplicated
+    assert(promoted.head.getAs[String]("label") == "Company")
+    assert(promoted.head.getAs[String]("source") == "companies")
+    // person's edge to it still present
+    assert(store.edges.filter($"relType" === "worksfor").count() == 1)
+  }
+
+  test("tombstone delete cascades incident edges both directions (neo4j.go:95-99)") {
+    val store = freshStore()
+    val people = new GraphDataset(store, spark, "people", "Person")
+    val e1 = Entity("urn:a").withRef("urn:rel#knows", "urn:b")
+    val e2 = Entity("urn:b").withRef("urn:rel#knows", "urn:a")
+    people.incremental(Seq(e1, e2))
+    assert(store.edges.count() == 2)
+
+    people.incremental(Seq(Entity("urn:b", deleted = true)))
+    assert(store.nodes.filter($"gid" === "urn:b").count() == 0)
+    assert(store.edges.count() == 0) // both a→b and b→a gone
+    assert(store.nodes.filter($"gid" === "urn:a").count() == 1)
+  }
+
+  test("last entity wins within a batch; syncId replay is idempotent") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    val v1 = Entity("urn:x").withProp("urn:p#v", 1)
+    val v2 = Entity("urn:x").withProp("urn:p#v", 2)
+    val ver = ds.incremental(Seq(v1, v2), syncId = "s1")
+    val got = store.nodes.filter($"gid" === "urn:x").collect().head
+    assert(propsOf(got) == Map("v" -> 2L))
+    // replaying the same syncId commits nothing new
+    val ver2 = ds.incremental(Seq(v1, v2), syncId = "s1")
+    assert(ver2 == ver)
+  }
+
+  test("edge upsert is idempotent across batches (MERGE semantics, neo4j.go:116-123)") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    val e = Entity("urn:a").withRef("urn:r#knows", "urn:b")
+    ds.incremental(Seq(e))
+    ds.incremental(Seq(e))
+    assert(store.edges.count() == 1)
+  }
+
+  test("changes feed: since/limit/latestOnly (layer.go:257-260 contract)") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.incremental(Seq(Entity("urn:a").withProp("urn:p#v", 1)))
+    val afterFirst = store.currentVersion
+    ds.incremental(Seq(Entity("urn:a").withProp("urn:p#v", 2),
+      Entity("urn:b").withProp("urn:p#v", 3)))
+
+    val all = GraphRead.changes(store).collect()
+    assert(all.length == 2) // urn:a rewritten at v2, urn:b at v2
+    val latest = GraphRead.changes(store, latestOnly = true).collect()
+    assert(latest.map(_.getAs[String]("gid")).toSet == Set("urn:a", "urn:b"))
+    val sinceV1 = GraphRead.changes(store, since = afterFirst).collect()
+    assert(sinceV1.map(_.getAs[String]("gid")).toSet == Set("urn:a", "urn:b"))
+  }
+
+  test("entities pagination: keyset on gid (layer.go:262-265 contract)") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.incremental((1 to 5).map(i => Entity(s"urn:n$i")))
+    val page1 = GraphRead.entities(store, "Person", "people", limit = 2)
+      .collect().map(_.getAs[String]("gid"))
+    assert(page1.toSeq == Seq("urn:n1", "urn:n2"))
+    val page2 = GraphRead.entities(store, "Person", "people",
+      from = page1.last, limit = 2).collect().map(_.getAs[String]("gid"))
+    assert(page2.toSeq == Seq("urn:n3", "urn:n4"))
+  }
+}
