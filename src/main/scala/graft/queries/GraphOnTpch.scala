@@ -1,0 +1,384 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.UriFunctions.stripPrefix
+import graft.model.{Entity, PV}
+import graft.ops.GraphMerge
+import graft.store.GraphStore
+
+/** SURVEY §2's graph operators (A5-A11 write-path dataflow, B2-B9
+  * mutation semantics, C1-C5 read constructs, D2/D3 contracts)
+  * exercised on a property-graph mapping of the TPC-H corpus, so every
+  * operator has a relational DuckDB oracle (FIXTURES.md §4):
+  *
+  *   nodes:  customer ('c:'+custkey, :Customer), nation ('n:'+key,
+  *           :Nation), supplier ('s:'+key, :Supplier), region stubs
+  *   edges:  order -ordered_by-> customer, customer -located_in->
+  *           nation, supplier -based_in-> nation
+  *
+  * The merge-semantics queries (g_merge_*) run the REAL
+  * GraphMerge.applyBatch end-to-end into a temp store; the
+  * operator-shaped queries build the same plans inline.
+  */
+object GraphOnTpch {
+  import Relational.t
+
+  private def customerNodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select(
+      concat(lit("c:"), $"c_custkey").as("gid"),
+      lit("Customer").as("label"), lit("tpch").as("source"),
+      $"c_name".as("name"), $"c_acctbal".as("acctbal"),
+      $"c_nationkey".as("nationkey"), $"c_custkey".as("custkey"),
+      $"c_mktsegment".as("segment"))
+  }
+
+  private def orderedByEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").select(
+      concat(lit("o:"), $"o_orderkey").as("src"),
+      concat(lit("c:"), $"o_custkey").as("dst"),
+      lit("ordered_by").as("rel_type"))
+  }
+
+  /** Shared full-merge run: nation entities (props + region refs)
+    * through the real applyBatch into a fresh temp store.
+    */
+  private def mergedNationStore(s: SparkSession, dir: String): GraphStore = {
+    import s.implicits._
+    val entities = t(s, dir, "nation").collect().toSeq.map { r =>
+      Entity(s"n:${r.getAs[Int]("n_nationkey")}")
+        .withProp("http://g/prop#name", r.getAs[String]("n_name"))
+        .withRef("http://g/rel#in_region", s"r:${r.getAs[Int]("n_regionkey")}")
+    }
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-q").toString, s, numBuckets = 2)
+    GraphMerge.applyBatch(store, "nations", "Nation", entities.toDS(),
+      truncateFirst = true)
+    store
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1/C2: MATCH (n:Customer) WHERE n.acctbal > 5000
+    "g_match_where" -> ((s, dir) => {
+      import s.implicits._
+      customerNodes(s, dir)
+        .filter($"label" === "Customer" && $"acctbal" > 5000)
+        .select($"gid", $"name", $"acctbal")
+        .orderBy($"gid")
+    }),
+
+    // C3 single-hop expand: (c:Customer)-[:located_in]->(n:Nation)
+    "g_expand" -> ((s, dir) => {
+      import s.implicits._
+      val c = customerNodes(s, dir)
+      val n = t(s, dir, "nation").select(
+        concat(lit("n:"), $"n_nationkey").as("ngid"),
+        $"n_name".as("nation"), $"n_nationkey")
+      c.join(broadcast(n), c("nationkey") === n("n_nationkey"))
+        .select($"gid", $"nation").orderBy($"gid")
+    }),
+
+    // C3 OPTIONAL MATCH: customers left-expanded to incoming orders
+    "g_optional_expand" -> ((s, dir) => {
+      import s.implicits._
+      val c = customerNodes(s, dir)
+      val o = t(s, dir, "orders").select(
+        concat(lit("o:"), $"o_orderkey").as("order_gid"),
+        $"o_custkey", $"o_totalprice".as("total"))
+      c.join(o, c("custkey") === o("o_custkey"), "left_outer")
+        .select($"gid", $"order_gid", $"total")
+        .orderBy($"gid", $"order_gid".asc_nulls_first)
+    }),
+
+    // C4 COLLECT: relationships aggregated per node; zero-match nodes
+    // keep one row (empty list → '').
+    "g_collect_rels" -> ((s, dir) => {
+      import s.implicits._
+      val c = customerNodes(s, dir)
+      val o = t(s, dir, "orders").select(
+        concat(lit("o:"), $"o_orderkey").as("order_gid"), $"o_custkey")
+      c.join(o, c("custkey") === o("o_custkey"), "left_outer")
+        .groupBy($"gid")
+        .agg(
+          concat_ws(",", sort_array(collect_list($"order_gid"))).as("rels"),
+          count($"order_gid").as("n_rels"))
+        .orderBy($"gid")
+    }),
+
+    // B2 tombstone cascade delete: DETACH DELETE customers with
+    // acctbal < 1000; surviving ordered_by edges remain.
+    "g_cascade_delete" -> ((s, dir) => {
+      import s.implicits._
+      val deleted = customerNodes(s, dir)
+        .filter($"acctbal" < 1000).select($"gid")
+      val e = orderedByEdges(s, dir)
+      e.join(broadcast(deleted.withColumnRenamed("gid", "src")),
+          Seq("src"), "left_anti")
+        .join(broadcast(deleted.withColumnRenamed("gid", "dst")),
+          Seq("dst"), "left_anti")
+        .select($"src", $"dst").orderBy($"src", $"dst")
+    }),
+
+    // B3/B5/B6 node upsert: batch (nation<10, source 'crm', upper-cased
+    // name + new seg prop) fully replaces matched nodes.
+    "g_node_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = customerNodes(s, dir)
+        .select($"gid", $"source", $"name", lit(null).cast("string").as("seg"))
+      val batch = customerNodes(s, dir).filter($"nationkey" < 10)
+        .select($"gid", lit("crm").as("source"), upper($"name").as("name"),
+          $"segment".as("seg"))
+      nodes.join(broadcast(batch.select("gid")), Seq("gid"), "left_anti")
+        .unionByName(batch)
+        .orderBy($"gid")
+    }),
+
+    // B4 outgoing-edge replacement: even-custkey batch re-points
+    // located_in from nation to region; odd customers keep old edges.
+    "g_edge_replace" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val oldEdges = c.select(
+        concat(lit("c:"), $"c_custkey").as("src"),
+        lit("located_in").as("rel_type"),
+        concat(lit("n:"), $"c_nationkey").as("dst"),
+        $"c_custkey".as("custkey"))
+      val batchGids = c.filter($"c_custkey" % 2 === 0)
+        .select(concat(lit("c:"), $"c_custkey").as("src"))
+      val newEdges = c.filter($"c_custkey" % 2 === 0)
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .select(concat(lit("c:"), $"c_custkey").as("src"),
+          lit("located_in").as("rel_type"),
+          concat(lit("r:"), $"n_regionkey").as("dst"))
+      oldEdges.join(broadcast(batchGids), Seq("src"), "left_anti")
+        .select($"src", $"rel_type", $"dst")
+        .unionByName(newEdges)
+        .orderBy($"src", $"dst")
+    }),
+
+    // B7 stub creation: only even customers exist as nodes; every odd
+    // customer referenced by an order materializes as a stub gid.
+    "g_stub_creation" -> ((s, dir) => {
+      import s.implicits._
+      val nodes = customerNodes(s, dir)
+        .filter($"custkey" % 2 === 0).select($"gid")
+      val targets = orderedByEdges(s, dir).select($"dst".as("gid")).distinct()
+      val existing = nodes.join(broadcast(targets), Seq("gid"), "left_semi")
+      targets.join(existing, Seq("gid"), "left_anti").orderBy($"gid")
+    }),
+
+    // B8/A10: edge upsert MERGE-dedups duplicate (src,dst,rel) rows.
+    "g_edge_upsert_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = orderedByEdges(s, dir)
+      e.unionByName(e) // duplicated feed
+        .dropDuplicates("src", "dst", "rel_type")
+        .select($"src", $"dst").orderBy($"src", $"dst")
+    }),
+
+    // B9 slice truncate: (Customer, tpch) slice deleted null-safely;
+    // suppliers and label-less stubs survive.
+    "g_slice_truncate" -> ((s, dir) => {
+      import s.implicits._
+      val custs = customerNodes(s, dir).select($"gid", $"label", $"source")
+      val sups = t(s, dir, "supplier").select(
+        concat(lit("s:"), $"s_suppkey").as("gid"),
+        lit("Supplier").as("label"), lit("tpch").as("source"))
+      val stubs = t(s, dir, "nation").select(
+        concat(lit("n:"), $"n_nationkey").as("gid"),
+        lit(null).cast("string").as("label"),
+        lit(null).cast("string").as("source"))
+      val all = custs.unionByName(sups).unionByName(stubs)
+      all.filter(!($"label" <=> "Customer" && $"source" <=> "tpch"))
+        .select($"gid", $"label").orderBy($"gid")
+    }),
+
+    // D2 change feed with latestOnly: two write generations, window
+    // row_number picks the newest per gid.
+    "g_changes_latest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v1 = customerNodes(s, dir)
+        .select($"gid", lit(1L).as("recorded"))
+      val v2 = customerNodes(s, dir).filter($"nationkey" < 5)
+        .select($"gid", lit(2L).as("recorded"))
+      val w = Window.partitionBy($"gid").orderBy($"recorded".desc)
+      v1.unionByName(v2)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+        .orderBy($"gid")
+    }),
+
+    // D3 keyset pagination on gid.
+    "g_entities_page" -> ((s, dir) => {
+      import s.implicits._
+      customerNodes(s, dir)
+        .filter($"gid" > "c:2")
+        .select($"gid", $"name")
+        .orderBy($"gid").limit(100)
+    }),
+
+    // A7 stripPrefix over mixed #/slash/plain URIs.
+    "g_strip_prefix" -> ((s, dir) => {
+      import s.implicits._
+      val uris = t(s, dir, "customer").select(
+        $"c_custkey".as("custkey"),
+        when($"c_custkey" % 3 === 0, concat(lit("http://tpch.org/cust#"), $"c_name"))
+          .when($"c_custkey" % 3 === 1, concat(lit("http://tpch.org/cust/"), $"c_name"))
+          .otherwise(regexp_replace($"c_name", "#", "_")).as("uri"))
+      uris.select($"custkey", $"uri", stripPrefix($"uri").as("local"))
+        .orderBy($"custkey")
+    }),
+
+    // A9 edge extraction: refs map → nested explode → edge rows.
+    "g_edge_extract" -> ((s, dir) => {
+      import s.implicits._
+      val withRefs = t(s, dir, "customer").select(
+        concat(lit("c:"), $"c_custkey").as("id"),
+        map(
+          lit("http://g/rel#located_in"),
+          array(concat(lit("n:"), $"c_nationkey")),
+          lit("http://g/rel#in_segment"),
+          array(concat(lit("seg:"), $"c_mktsegment"))).as("refs"))
+      withRefs
+        .select($"id".as("src"), explode($"refs").as(Seq("ref_uri", "targets")))
+        .select($"src", stripPrefix($"ref_uri").as("rel_type"),
+          explode($"targets").as("dst"))
+        .orderBy($"src", $"rel_type", $"dst")
+    }),
+
+    // degree: per-node incoming-edge count including zero.
+    "g_degree" -> ((s, dir) => {
+      import s.implicits._
+      val c = customerNodes(s, dir)
+      val e = orderedByEdges(s, dir)
+      c.join(e, c("gid") === e("dst"), "left_outer")
+        .groupBy(c("gid")).agg(count(e("src")).as("degree"))
+        .orderBy($"gid")
+    }),
+
+    // two-hop: (s:Supplier)-[:based_in]->(n)<-[:located_in]-(c)
+    "g_two_hop" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier").select(
+        concat(lit("s:"), $"s_suppkey").as("gid"), $"s_nationkey")
+      val c = t(s, dir, "customer").select($"c_nationkey")
+      sup.join(c, $"s_nationkey" === $"c_nationkey")
+        .groupBy($"gid").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"gid")
+    }),
+
+    // Real merge path end-to-end: nation entities through applyBatch;
+    // nodes out (stub regions included, label-less).
+    "g_merge_nodes" -> ((s, dir) => {
+      import s.implicits._
+      val store = mergedNationStore(s, dir)
+      store.nodes.select($"gid", $"label",
+        $"props".getItem("name").getField("s").as("name"))
+        .orderBy($"gid")
+    }),
+
+    // Same run, edge side: prefix-stripped rel_type, region targets.
+    "g_merge_edges" -> ((s, dir) => {
+      import s.implicits._
+      val store = mergedNationStore(s, dir)
+      store.edges.select($"src", $"relType".as("rel_type"), $"dst")
+        .orderBy($"src")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "g_match_where" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name, c_acctbal AS acctbal
+         FROM customer WHERE c_acctbal > 5000 ORDER BY gid""",
+    "g_expand" ->
+      """SELECT 'c:'||c_custkey AS gid, n_name AS nation
+         FROM customer JOIN nation ON c_nationkey = n_nationkey ORDER BY gid""",
+    "g_optional_expand" ->
+      """SELECT 'c:'||c_custkey AS gid, 'o:'||o_orderkey AS order_gid,
+         o_totalprice AS total
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         ORDER BY gid, order_gid NULLS FIRST""",
+    "g_collect_rels" ->
+      """SELECT 'c:'||c_custkey AS gid,
+         coalesce(string_agg('o:'||o_orderkey, ',' ORDER BY 'o:'||o_orderkey), '') AS rels,
+         COUNT(o_orderkey) AS n_rels
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY gid""",
+    "g_cascade_delete" ->
+      """SELECT 'o:'||o_orderkey AS src, 'c:'||c_custkey AS dst
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal >= 1000 ORDER BY src, dst""",
+    "g_node_upsert" ->
+      """SELECT 'c:'||c_custkey AS gid,
+         CASE WHEN c_nationkey < 10 THEN 'crm' ELSE 'tpch' END AS source,
+         CASE WHEN c_nationkey < 10 THEN upper(c_name) ELSE c_name END AS name,
+         CASE WHEN c_nationkey < 10 THEN c_mktsegment END AS seg
+         FROM customer ORDER BY gid""",
+    "g_edge_replace" ->
+      """SELECT 'c:'||c_custkey AS src, 'located_in' AS rel_type,
+         CASE WHEN c_custkey % 2 = 0 THEN 'r:'||n_regionkey
+              ELSE 'n:'||c_nationkey END AS dst
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY src, dst""",
+    "g_stub_creation" ->
+      """SELECT DISTINCT 'c:'||o_custkey AS gid FROM orders
+         WHERE o_custkey % 2 = 1 ORDER BY gid""",
+    "g_edge_upsert_dedup" ->
+      """SELECT DISTINCT 'o:'||o_orderkey AS src, 'c:'||o_custkey AS dst
+         FROM orders ORDER BY src, dst""",
+    "g_slice_truncate" ->
+      """SELECT gid, label FROM (
+           SELECT 's:'||s_suppkey AS gid, 'Supplier' AS label FROM supplier
+           UNION ALL
+           SELECT 'n:'||n_nationkey AS gid, NULL AS label FROM nation)
+         ORDER BY gid""",
+    "g_changes_latest" ->
+      """SELECT 'c:'||c_custkey AS gid,
+         CAST(CASE WHEN c_nationkey < 5 THEN 2 ELSE 1 END AS BIGINT) AS recorded
+         FROM customer ORDER BY gid""",
+    "g_entities_page" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name FROM customer
+         WHERE 'c:'||c_custkey > 'c:2' ORDER BY gid LIMIT 100""",
+    "g_strip_prefix" ->
+      """SELECT c_custkey AS custkey, uri,
+         CASE WHEN contains(uri, '#') THEN regexp_extract(uri, '([^#]*)$', 1)
+              WHEN contains(uri, '/') THEN regexp_extract(uri, '([^/]*)$', 1)
+              ELSE uri END AS local
+         FROM (SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN 'http://tpch.org/cust#'||c_name
+                WHEN c_custkey % 3 = 1 THEN 'http://tpch.org/cust/'||c_name
+                ELSE replace(c_name, '#', '_') END AS uri
+           FROM customer) ORDER BY custkey""",
+    "g_edge_extract" ->
+      """SELECT src, rel_type, dst FROM (
+           SELECT 'c:'||c_custkey AS src, 'located_in' AS rel_type,
+             'n:'||c_nationkey AS dst FROM customer
+           UNION ALL
+           SELECT 'c:'||c_custkey, 'in_segment', 'seg:'||c_mktsegment
+           FROM customer)
+         ORDER BY src, rel_type, dst""",
+    "g_degree" ->
+      """SELECT 'c:'||c_custkey AS gid, COUNT(o_orderkey) AS degree
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY gid""",
+    "g_two_hop" ->
+      """SELECT 's:'||s_suppkey AS gid, COUNT(*) AS n_customers
+         FROM supplier JOIN customer ON s_nationkey = c_nationkey
+         GROUP BY 1 ORDER BY gid""",
+    "g_merge_nodes" ->
+      """SELECT gid, label, name FROM (
+           SELECT 'n:'||n_nationkey AS gid, 'Nation' AS label, n_name AS name
+           FROM nation
+           UNION ALL
+           SELECT DISTINCT 'r:'||n_regionkey, NULL, NULL FROM nation)
+         ORDER BY gid""",
+    "g_merge_edges" ->
+      """SELECT 'n:'||n_nationkey AS src, 'in_region' AS rel_type,
+         'r:'||n_regionkey AS dst FROM nation ORDER BY src""")
+}

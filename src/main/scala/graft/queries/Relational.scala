@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish corpus
+  * (TESTDATA.md): aggregation, multi-way joins, semi/anti joins,
+  * windows, rollup, top-k, correlated exists. These are the engine's
+  * general-purpose read surface — the constructs an openCypher
+  * front-end lowers to (SURVEY §2.E) — and the bench headliners.
+  *
+  * Determinism contract with the DuckDB oracle: money aggregates are
+  * summed as exact integer cents (`round(x*100)::BIGINT` — both
+  * engines round half away from zero for positive doubles), divisions
+  * happen once at the end in double, every output is fully ordered
+  * with a unique tie-break, and rollup/outer-join null sort keys pin
+  * NULLS FIRST on both sides.
+  */
+object Relational {
+
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact integer cents of a 2-decimal money double */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pricing summary: full-scan agg with map-side combine.
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1999-12-31").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").cast("double").as("sum_qty"),
+          (sum(cents($"l_extendedprice")) / 100.0).as("sum_base_price"),
+          (sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))) / 100.0)
+            .as("sum_disc_price"),
+          (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Q3-style: 3-way join + agg + top-k. Customer dim broadcasts.
+    "q3_top_revenue_orders" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg((sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))) / 100.0)
+          .as("revenue"))
+        .select($"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"revenue")
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // Q5-style: 6-way snowflake join; dims broadcast, facts shuffle once.
+    "q5_nation_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey" &&
+          $"s_nationkey" === $"c_nationkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg((sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))) / 100.0)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    // Q6-style: tight scan-filter-agg; predicate pushdown showcase.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.08 &&
+          $"l_quantity" < 24)
+        .agg((sum(cents($"l_extendedprice" * $"l_discount")) / 100.0)
+          .as("revenue"))
+    }),
+
+    // Q4-style: correlated EXISTS via left-semi join.
+    "q4_priority_count" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val late = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_shipdate")
+      o.join(late, $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // top-k with count: part popularity.
+    "q_topk_parts" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("double").as("qty"))
+        .orderBy($"n".desc, $"l_partkey")
+        .limit(20)
+    }),
+
+    // window functions: per-supplier sequence + running sum.
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      t(s, dir, "lineitem")
+        .filter($"l_suppkey" <= 3)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          row_number().over(w).as("rn"),
+          sum($"l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_qty"))
+        .filter($"rn" <= 50)
+        .orderBy($"l_suppkey", $"rn")
+    }),
+
+    // distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // left-semi: customers having orders over a threshold.
+    "q_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+      t(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // left-anti: customers with no high-value order.
+    "q_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 300000)
+      t(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // set op: distinct union of customer/supplier nation memberships.
+    "q_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select($"c_nationkey".cast("int").as("nationkey"),
+          lit("customer").as("kind"))
+      val sup = t(s, dir, "supplier")
+        .select($"s_nationkey".cast("int").as("nationkey"),
+          lit("supplier").as("kind"))
+      c.union(sup).distinct().orderBy($"nationkey", $"kind")
+    }),
+
+    // rollup with subtotal rows; null grouping keys sort NULLS FIRST.
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // conditional aggregation (pivot-style).
+    "q_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).as("n_f"),
+          sum(when($"o_orderstatus" === "O", 1).otherwise(0)).as("n_o"),
+          sum(when($"o_orderstatus" === "P", 1).otherwise(0)).as("n_p"),
+          (sum(cents($"o_totalprice")) / 100.0).as("total"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // scalar-subquery pattern: customers above their nation's average
+    // balance (join against pre-aggregated averages; avg recomputed as
+    // exact cents sum / count for cross-engine determinism).
+    "q_above_nation_avg" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val avgs = c.groupBy($"c_nationkey".as("nk"))
+        .agg((sum(cents($"c_acctbal")) / 100.0 / count(lit(1))).as("nation_avg"))
+      c.join(broadcast(avgs), $"c_nationkey" === $"nk")
+        .filter($"c_acctbal" > $"nation_avg")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+         SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+         SUM(l_quantity)/COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_revenue_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+         SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))/100.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.08 AND l_quantity < 24""",
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_topk_parts" ->
+      """SELECT l_partkey, COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 20""",
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn, running_qty FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             row_number() OVER w AS rn,
+             CAST(SUM(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS DOUBLE) AS running_qty
+           FROM lineitem WHERE l_suppkey <= 3
+           WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber))
+         WHERE rn <= 50 ORDER BY l_suppkey, rn""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+         COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q_union_distinct" ->
+      """SELECT * FROM (
+           SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+           UNION
+           SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind FROM supplier)
+         ORDER BY nationkey, kind""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_above_nation_avg" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         JOIN (SELECT c_nationkey AS nk,
+                 SUM(CAST(round(c_acctbal*100) AS BIGINT))/100.0/COUNT(*) AS nation_avg
+               FROM customer GROUP BY c_nationkey) ON c_nationkey = nk
+         WHERE c_acctbal > nation_avg ORDER BY c_custkey""")
+}

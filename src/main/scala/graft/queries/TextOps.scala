@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-pipeline text operators over the `documents` table
+  * (north-star extensions, SURVEY §7.1 M6): token counting, quality
+  * scoring, language-ID, fingerprinting, and the dedup family (exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Every hash is md5 (bit-identical in Spark and DuckDB), every ratio
+  * is a single integer/integer division in double — so each operator
+  * has an exact DuckDB oracle despite being "approximate" algorithms:
+  * the approximation is deterministic.
+  *
+  * Scale notes: shingle self-joins carry a document-frequency cap
+  * (`DF_CAP`) — stop-shingles that appear in more docs than the cap
+  * are dropped from candidate generation on both sides. At test SFs
+  * the cap is a no-op; at 100 TB it is what keeps the shuffle bounded
+  * (standard stop-shingle removal). MinHash/SimHash banding bounds
+  * pair generation the same way LSH does in production.
+  */
+object TextOps {
+  import Relational.t
+
+  private val DF_CAP = 1000
+
+  /** whitespace words of a trimmed text */
+  private def wordsCol: Column = split(trim(col("text")), "\\s+")
+
+  /** word 3-gram shingles (docs with <3 words have none) */
+  private def shinglesCol(words: Column): Column =
+    when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2),
+        i => array_join(slice(words, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, s) distinct shingle table */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", explode(shinglesCol(wordsCol)).as("s"))
+      .distinct()
+  }
+
+  /** drop stop-shingles above the document-frequency cap */
+  private def cappedShingles(sh: DataFrame): DataFrame = {
+    val df = sh.groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= DF_CAP).select("s")
+    sh.join(df, Seq("s"), "left_semi")
+  }
+
+  private val shingleSqlCte =
+    s"""words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+          FROM documents),
+        sh0 AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+              i -> array_to_string(list_slice(w, i, i+2), ' '))) AS s
+          FROM words WHERE len(w) >= 3),
+        keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DF_CAP),
+        sh AS (SELECT doc_id, s FROM sh0 JOIN keep USING (s)),
+        cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace tokens + alpha-token subset.
+    "t_token_count" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .select($"doc_id",
+          size($"w").as("n_tokens"),
+          size(filter($"w", w => w.rlike("^[a-z]+$"))).as("n_alpha"),
+          size(array_distinct($"w")).as("n_distinct"))
+        .orderBy($"doc_id")
+    }),
+
+    // quality scoring: length/diversity ratios.
+    "t_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", length($"text").as("n_chars"), wordsCol.as("w"))
+        .select($"doc_id", $"n_chars",
+          size($"w").as("n_words"),
+          (aggregate($"w", lit(0L), (acc, w) => acc + length(w)) * 1.0 /
+            size($"w")).as("avg_word_len"),
+          (size(array_distinct($"w")) * 1.0 / size($"w")).as("distinct_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // language-ID: stopword-hit argmax heuristic, 'und' when no hits.
+    "t_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lex = Seq(
+        ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "in"),
+        ("de", "der"), ("de", "die"), ("de", "und"), ("de", "ist"), ("de", "nicht"),
+        ("fr", "le"), ("fr", "et"), ("fr", "les"), ("fr", "des"), ("fr", "une"),
+        ("es", "el"), ("es", "los"), ("es", "las"), ("es", "una"), ("es", "y"))
+        .toDF("lex_lang", "lex_word")
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(wordsCol).as("w"))
+      val scores = toks.join(broadcast(lex), $"w" === $"lex_word")
+        .groupBy($"doc_id", $"lex_lang")
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"hits".desc, $"lex_lang")
+      val best = scores.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lex_lang".as("pred_lang"), $"hits")
+      t(s, dir, "documents").select($"doc_id")
+        .join(best, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"pred_lang", lit("und")).as("pred_lang"),
+          coalesce($"hits", lit(0L)).as("hits"))
+        .orderBy($"doc_id")
+    }),
+
+    // document fingerprint: md5 of whitespace-normalized lowercase text.
+    "t_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // exact dedup: group by fingerprint, keep min doc_id.
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .select($"keeper", $"n_copies")
+        .orderBy($"keeper")
+    }),
+
+    // n-gram Jaccard near-dup pairs (exact, DF-capped candidate join).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val sh = cappedShingles(shingleTable(s, dir)).cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select($"doc_id".as("da"), $"s")
+      val b = sh.select($"doc_id".as("db"), $"s")
+      val inter = a.join(b, Seq("s")).filter($"da" < $"db")
+        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+        .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+        .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
+        .filter($"jaccard" >= 0.7)
+        .select($"da", $"db", $"jaccard")
+        .orderBy($"da", $"db")
+    }),
+
+    // MinHash(12) + LSH(6 bands × 2 rows) candidates, exact-Jaccard
+    // verified. Deterministic end-to-end: md5 min-hashing both sides.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val sh = cappedShingles(shingleTable(s, dir)).cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val mh = sh
+        .select($"doc_id", $"s", explode(sequence(lit(0), lit(11))).as("i"))
+        .groupBy($"doc_id", $"i")
+        .agg(min(md5(concat($"i".cast("string"), lit("|"), $"s"))).as("h"))
+      val sig = mh.groupBy($"doc_id")
+        .agg(transform(array_sort(collect_list(struct($"i", $"h"))),
+          x => x.getField("h")).as("hs"))
+      val bands = sig
+        .select($"doc_id", explode(sequence(lit(0), lit(5))).as("b"), $"hs")
+        .select($"doc_id", $"b",
+          md5(concat(element_at($"hs", $"b" * 2 + 1),
+            element_at($"hs", $"b" * 2 + 2))).as("bkey"))
+      val cand = bands.select($"doc_id".as("da"), $"b", $"bkey")
+        .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
+          Seq("b", "bkey"))
+        .filter($"da" < $"db")
+        .select($"da", $"db").distinct()
+      val x = sh.select($"doc_id".as("da"), $"s")
+      val y = sh.select($"doc_id".as("db"), $"s")
+      val inter = cand.join(x, Seq("da")).join(y, Seq("db", "s"))
+        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+        .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+        .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
+        .filter($"jaccard" >= 0.7)
+        .select($"da", $"db", $"jaccard")
+        .orderBy($"da", $"db")
+    }),
+
+    // SimHash(16-bit over md5 nibbles) per doc.
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      simhashPerDoc(s, dir).orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup pairs: 8-bit half banding + Hamming ≤ 3 verify.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sims = simhashPerDoc(s, dir)
+        .withColumn("lo", $"simhash" % 256)
+        .withColumn("hi", ($"simhash" / 256).cast("long"))
+      val a = sims.select($"doc_id".as("da"), $"simhash".as("sa"),
+        $"lo".as("lo_a"), $"hi".as("hi_a"))
+      val b = sims.select($"doc_id".as("db"), $"simhash".as("sb"),
+        $"lo".as("lo_b"), $"hi".as("hi_b"))
+      val cand = a.join(b, ($"lo_a" === $"lo_b" || $"hi_a" === $"hi_b") &&
+        $"da" < $"db")
+      cand
+        .withColumn("hamming",
+          expr("bit_count(sa ^ sb)").cast("long"))
+        .filter($"hamming" <= 3)
+        .select($"da", $"db", $"hamming")
+        .orderBy($"da", $"db")
+    }))
+
+  /** 16-bit SimHash over distinct tokens: bit j of md5's first 4 hex
+    * nibbles votes ±1; simhash bit j set iff the vote sum is positive.
+    */
+  private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(wordsCol)).as("w"))
+      .withColumn("hex", md5($"w"))
+    val bits = toks
+      .select($"doc_id", $"hex", explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substr(hex, CAST(floor(j/4) AS INT)+1, 1)) - 1"))
+      .withColumn("bit",
+        expr("CAST(floor(nib / power(2, 3 - j % 4)) AS BIGINT) % 2"))
+    bits.groupBy($"doc_id", $"j")
+      .agg(sum($"bit" * 2 - 1).as("v"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"v" > 0,
+        expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id, len(w) AS n_tokens,
+         len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+         len(list_distinct(w)) AS n_distinct
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+               FROM documents) ORDER BY doc_id""",
+    "t_quality" ->
+      """SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS avg_word_len,
+         len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio
+         FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w
+               FROM documents) ORDER BY doc_id""",
+    "t_lang_id" ->
+      """WITH lex(lex_lang, lex_word) AS (VALUES
+           ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+           ('de','der'),('de','die'),('de','und'),('de','ist'),('de','nicht'),
+           ('fr','le'),('fr','et'),('fr','les'),('fr','des'),('fr','une'),
+           ('es','el'),('es','los'),('es','las'),('es','una'),('es','y')),
+         toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) w
+                  FROM documents),
+         scores AS (SELECT doc_id, lex_lang, count(*) hits FROM toks
+                    JOIN lex ON w = lex_word GROUP BY 1, 2),
+         best AS (SELECT doc_id, lex_lang, hits, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY hits DESC, lex_lang) rn
+                  FROM scores)
+         SELECT d.doc_id, coalesce(b.lex_lang, 'und') AS pred_lang,
+           coalesce(b.hits, 0) AS hits
+         FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           ON d.doc_id = b.doc_id
+         ORDER BY d.doc_id""",
+    "t_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+         FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp
+               FROM documents)
+         GROUP BY fp ORDER BY keeper""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSqlCte,
+          inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT da, db, i*1.0/(ca.n + cb.n - i) AS jaccard
+          FROM inter JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE i*1.0/(ca.n + cb.n - i) >= 0.7 ORDER BY da, db""",
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleSqlCte,
+          mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) h
+            FROM sh CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, array_agg(h ORDER BY i) hs FROM mh GROUP BY 1),
+          bands AS (SELECT doc_id, b, md5(hs[2*b+1] || hs[2*b+2]) bkey
+            FROM sig CROSS JOIN range(6) t(b)),
+          cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x
+            JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+          inter AS (SELECT da, db, count(*) i FROM cand
+            JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db AND b.s = a.s
+            GROUP BY 1, 2)
+          SELECT da, db, i*1.0/(ca.n + cb.n - i) AS jaccard
+          FROM inter JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE i*1.0/(ca.n + cb.n - i) >= 0.7 ORDER BY da, db""",
+    "dedup_simhash" -> s"$simhashSql ORDER BY doc_id",
+    "dedup_simhash_pairs" ->
+      s"""WITH sims AS ($simhashSql),
+          h AS (SELECT doc_id, simhash, simhash % 256 lo,
+            simhash // 256 hi FROM sims)
+          SELECT a.doc_id da, b.doc_id db,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM h a JOIN h b ON (a.lo = b.lo OR a.hi = b.hi)
+            AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY da, db""")
+
+  private lazy val simhashSql =
+    """SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+       FROM (
+         SELECT doc_id, j, SUM(bit*2 - 1) v FROM (
+           SELECT doc_id, j,
+             CAST(floor((strpos('0123456789abcdef',
+               substr(md5(w), (j//4)+1, 1)) - 1)
+               / power(2, 3 - j % 4)) AS BIGINT) % 2 AS bit
+           FROM (SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) w
+                 FROM documents)
+           CROSS JOIN range(16) t(j))
+         GROUP BY doc_id, j)
+       GROUP BY doc_id"""
+}
