@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table, written as batch
+  * DataFrame plans that are reusable verbatim under Structured
+  * Streaming (`graft.streaming.EventStreams` runs the same windowed
+  * aggregations with `readStream` + watermark; StreamingSpec proves
+  * batch/stream parity). The batch forms carry the DuckDB oracles.
+  *
+  * Money/value sums use exact integer cents; window starts are
+  * epoch-aligned on both engines (Spark `window()` ↔ DuckDB
+  * `time_bucket`).
+  */
+object EventOps {
+  import Relational.t
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert exactly (integer
+    * `div 1000` — no double rounding on 1e18-scale values).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 5-minute windows: count + exact value sum.
+    "e_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "5 minutes").getField("start").as("wstart"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round($"value" * 100, 0).cast("long")) / 100.0).as("total"))
+        .select(date_format($"wstart", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          $"event_type", $"n", $"total")
+        .orderBy($"wstart", $"event_type")
+    }),
+
+    // sliding 10-minute windows, 5-minute hop.
+    "e_sliding" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "10 minutes", "5 minutes")
+          .getField("start").as("wstart"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format($"wstart", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          $"n")
+        .orderBy($"wstart")
+    }),
+
+    // sessionization: 30-minute-gap sessions per user
+    // (gaps-and-islands; the streaming twin is
+    // session_window/flatMapGroupsWithState).
+    "e_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val flagged = ev(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum($"new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
+            .as("duration_sec"))
+        .select($"user_id", $"session_seq", $"session_start", $"n_events",
+          $"duration_sec")
+        .orderBy($"user_id", $"session_seq")
+    }),
+
+    // per-type stats with exact sums and time bounds.
+    "e_type_stats" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          (sum(round($"value" * 100, 0).cast("long")) / 100.0).as("total"))
+        .orderBy($"event_type")
+    }),
+
+    // top-k users by total value.
+    "e_user_topk" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          (sum(round($"value" * 100, 0).cast("long")) / 100.0).as("total"))
+        .orderBy($"total".desc, $"user_id")
+        .limit(25)
+    }),
+
+    // JSON property extraction + aggregation (semi-structured path).
+    "e_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          (sum($"k") * 1.0 / count($"k")).as("avg_k"))
+        .orderBy($"event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "e_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+           '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "e_sliding" ->
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, COUNT(*) AS n
+         FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+             time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+             AS wstart FROM events)
+         GROUP BY 1 ORDER BY wstart""",
+    "e_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR CAST(floor(epoch(ts)) AS BIGINT) -
+                  CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged)
+         SELECT user_id, session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT) -
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+         FROM sessions GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+    "e_type_stats" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+         SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "e_user_topk" ->
+      """SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
+         FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 25""",
+    "e_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+         SUM(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0 /
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""")
+}

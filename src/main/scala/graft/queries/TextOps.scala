@@ -189,34 +189,38 @@ object TextOps {
         .orderBy($"da", $"db")
     }),
 
-    // SimHash(16-bit over md5 nibbles) per doc.
+    // SimHash(32-bit over md5 nibbles) per doc.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       simhashPerDoc(s, dir).orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairs: 8-bit half banding + Hamming ≤ 3 verify.
+    // SimHash near-dup pairs: 4×8-bit byte banding (a pair within
+    // Hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bytes — pigeonhole,
+    // so banding has perfect recall) + exact Hamming verify.
     "dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val sims = simhashPerDoc(s, dir)
-        .withColumn("lo", $"simhash" % 256)
-        .withColumn("hi", ($"simhash" / 256).cast("long"))
-      val a = sims.select($"doc_id".as("da"), $"simhash".as("sa"),
-        $"lo".as("lo_a"), $"hi".as("hi_a"))
-      val b = sims.select($"doc_id".as("db"), $"simhash".as("sb"),
-        $"lo".as("lo_b"), $"hi".as("hi_b"))
-      val cand = a.join(b, ($"lo_a" === $"lo_b" || $"hi_a" === $"hi_b") &&
-        $"da" < $"db")
+      val bands = sims
+        .select($"doc_id", $"simhash",
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("byte", expr("shiftright(simhash, 8*k) % 256"))
+      val cand = bands.select($"doc_id".as("da"), $"simhash".as("sa"),
+          $"k", $"byte")
+        .join(bands.select($"doc_id".as("db"), $"simhash".as("sb"),
+          $"k", $"byte"), Seq("k", "byte"))
+        .filter($"da" < $"db")
+        .select($"da", $"db", $"sa", $"sb").distinct()
       cand
-        .withColumn("hamming",
-          expr("bit_count(sa ^ sb)").cast("long"))
+        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
         .filter($"hamming" <= 3)
         .select($"da", $"db", $"hamming")
         .orderBy($"da", $"db")
     }))
 
-  /** 16-bit SimHash over distinct tokens: bit j of md5's first 4 hex
-    * nibbles votes ±1; simhash bit j set iff the vote sum is positive.
+  /** 32-bit SimHash over distinct tokens: bit j comes from md5's first
+    * 8 hex nibbles; each token votes ±1 per bit; simhash bit j set iff
+    * the vote sum is positive.
     */
   private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -224,7 +228,7 @@ object TextOps {
       .select($"doc_id", explode(array_distinct(wordsCol)).as("w"))
       .withColumn("hex", md5($"w"))
     val bits = toks
-      .select($"doc_id", $"hex", explode(sequence(lit(0), lit(15))).as("j"))
+      .select($"doc_id", $"hex", explode(sequence(lit(0), lit(31))).as("j"))
       .withColumn("nib",
         expr("instr('0123456789abcdef', substr(hex, CAST(floor(j/4) AS INT)+1, 1)) - 1"))
       .withColumn("bit",
@@ -306,13 +310,14 @@ object TextOps {
     "dedup_simhash" -> s"$simhashSql ORDER BY doc_id",
     "dedup_simhash_pairs" ->
       s"""WITH sims AS ($simhashSql),
-          h AS (SELECT doc_id, simhash, simhash % 256 lo,
-            simhash // 256 hi FROM sims)
-          SELECT a.doc_id da, b.doc_id db,
-            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM h a JOIN h b ON (a.lo = b.lo OR a.hi = b.hi)
-            AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          bands AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) % 256 byte
+            FROM sims CROSS JOIN range(4) t(k)),
+          cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db,
+              a.simhash sa, b.simhash sb
+            FROM bands a JOIN bands b ON a.k = b.k AND a.byte = b.byte
+              AND a.doc_id < b.doc_id)
+          SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
           ORDER BY da, db""")
 
   private lazy val simhashSql =
@@ -327,7 +332,7 @@ object TextOps {
            FROM (SELECT DISTINCT doc_id,
                    unnest(string_split_regex(trim(text), '\s+')) w
                  FROM documents)
-           CROSS JOIN range(16) t(j))
+           CROSS JOIN range(32) t(j))
          GROUP BY doc_id, j)
        GROUP BY doc_id"""
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star M6):
+  * brute-force cosine top-k as the exactness baseline, and an
+  * LSH-bucketed (sign-signature) variant as the 100 TB path — the
+  * bucket join replaces the all-pairs product with a per-bucket one,
+  * exactly how a distributed ANN sweep shards.
+  *
+  * Determinism: dot products are sequential index-ordered double
+  * folds on both engines (verified bit-identical against DuckDB's
+  * list_dot_product); ranks tie-break on neighbor id; reported
+  * similarity is rounded to 9 dp.
+  */
+object VectorOps {
+  import Relational.t
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings").select($"vec_id", asDouble($"embedding").as("v"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-vector stats: dim + L2 norm (ordered fold, exact parity).
+    "v_norm" -> ((s, dir) => {
+      import s.implicits._
+      emb(s, dir)
+        .select($"vec_id", size($"v").as("dim"),
+          round(sqrt(dot($"v", $"v")), 9).as("norm"))
+        .orderBy($"vec_id")
+    }),
+
+    // brute-force cosine top-5 for query vectors vec_id < 20.
+    "v_knn_brute" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"))
+      val scored = q.join(c, $"qid" =!= $"nid")
+        .withColumn("sim",
+          dot($"qv", $"nv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"nv", $"nv"))))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // LSH-bucketed ANN: sign-signature buckets over the first 8 dims;
+    // top-3 within bucket only (the distributed scale path).
+    "v_knn_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("bucket",
+        aggregate(sequence(lit(0), lit(7)), lit(0L),
+          (acc, i) => acc + when(element_at($"v", i + 1) > 0,
+            pow(lit(2.0), i).cast("long")).otherwise(lit(0L))))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket")
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"bucket")
+      val scored = q.join(c, Seq("bucket")).filter($"qid" =!= $"nid")
+        .withColumn("sim",
+          dot($"qv", $"nv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"nv", $"nv"))))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // embedding near-dup detection: cosine ≥ 0.999 pairs among a
+    // label-partitioned candidate space (labels shard the join).
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      val a = e.select($"vec_id".as("da"), $"label", $"v".as("va"))
+      val b = e.select($"vec_id".as("db"), $"label", $"v".as("vb"))
+      a.join(b, Seq("label")).filter($"da" < $"db")
+        .withColumn("sim",
+          dot($"va", $"vb") / (sqrt(dot($"va", $"va")) * sqrt(dot($"vb", $"vb"))))
+        .filter($"sim" >= 0.999)
+        .select($"da", $"db", round($"sim", 9).as("sim"))
+        .orderBy($"da", $"db")
+    }),
+
+    // per-cluster stats: exact micro-norm sums (integer arithmetic).
+    "v_cluster_stats" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"label", asDouble($"embedding").as("v"))
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+      e.groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(min($"norm"), 9).as("min_norm"),
+          round(max($"norm"), 9).as("max_norm"),
+          (sum(round($"norm" * 1e6, 0).cast("long")) / 1e6).as("sum_norm"))
+        .orderBy($"label")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "v_norm" ->
+      """SELECT vec_id, len(v) AS dim,
+         round(sqrt(list_dot_product(v, v)), 9) AS norm
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+         ORDER BY vec_id""",
+    "v_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         scored AS (SELECT q.vec_id qid, c.vec_id nid,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) sim
+           FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+         ranked AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "v_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             (SELECT coalesce(sum(CASE WHEN v[i+1] > 0
+                 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END), 0)
+              FROM range(8) t(i)) bucket FROM e),
+         scored AS (SELECT q.vec_id qid, c.vec_id nid,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) sim
+           FROM b q JOIN b c ON q.bucket = c.bucket
+             AND q.vec_id < 50 AND q.vec_id != c.vec_id),
+         ranked AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+           FROM embeddings)
+         SELECT a.vec_id da, b.vec_id db,
+           round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+         ORDER BY da, db""",
+    "v_cluster_stats" ->
+      """SELECT label, COUNT(*) AS n,
+         round(min(norm), 9) AS min_norm, round(max(norm), 9) AS max_norm,
+         SUM(CAST(round(norm * 1e6) AS BIGINT)) / 1e6 AS sum_norm
+         FROM (SELECT label, sqrt(list_dot_product(
+             CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) norm
+           FROM embeddings)
+         GROUP BY label ORDER BY label""")
+}
