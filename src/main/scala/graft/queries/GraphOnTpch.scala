@@ -46,9 +46,16 @@ object GraphOnTpch {
   }
 
   /** Shared full-merge run: nation entities (props + region refs)
-    * through the real applyBatch into a fresh temp store.
+    * through the real applyBatch into a fresh temp store. Memoized per
+    * (session, dir) so g_merge_nodes/g_merge_edges share one run.
     */
-  private def mergedNationStore(s: SparkSession, dir: String): GraphStore = {
+  private val mergedStores =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphStore]
+
+  private def mergedNationStore(s: SparkSession, dir: String): GraphStore =
+    mergedStores.getOrElseUpdate((s, dir), buildMergedNationStore(s, dir))
+
+  private def buildMergedNationStore(s: SparkSession, dir: String): GraphStore = {
     import s.implicits._
     val entities = t(s, dir, "nation").collect().toSeq.map { r =>
       Entity(s"n:${r.getAs[Int]("n_nationkey")}")

@@ -35,11 +35,19 @@ object TextOps {
         i => array_join(slice(words, i, lit(3)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, s) distinct shingle table */
+  /** (doc_id, s) distinct shingle table. `words` is materialized as a
+    * real column BEFORE the shingle transform — inlining the split()
+    * expression into the lambda would re-run the regex once per
+    * shingle index (no CSE inside HOF lambdas). The repartition
+    * spreads the explode across cores (the source is one file →
+    * one scan task).
+    */
   private def shingleTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .select($"doc_id", explode(shinglesCol(wordsCol)).as("s"))
+      .select($"doc_id", wordsCol.as("w"))
+      .repartition($"doc_id")
+      .select($"doc_id", explode(shinglesCol($"w")).as("s"))
       .distinct()
   }
 
@@ -155,22 +163,31 @@ object TextOps {
 
     // MinHash(12) + LSH(6 bands × 2 rows) candidates, exact-Jaccard
     // verified. Deterministic end-to-end: md5 min-hashing both sides.
+    // Signatures are per-row array folds (array_min over the doc's
+    // shingle array) — no 12-way explode/shuffle; only band keys and
+    // the candidate intersection shuffle.
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val sh = cappedShingles(shingleTable(s, dir)).cache()
-      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val mh = sh
-        .select($"doc_id", $"s", explode(sequence(lit(0), lit(11))).as("i"))
-        .groupBy($"doc_id", $"i")
-        .agg(min(md5(concat($"i".cast("string"), lit("|"), $"s"))).as("h"))
-      val sig = mh.groupBy($"doc_id")
-        .agg(transform(array_sort(collect_list(struct($"i", $"h"))),
-          x => x.getField("h")).as("hs"))
+      val shArr = sh.groupBy($"doc_id")
+        .agg(collect_list($"s").as("ss"), count(lit(1)).as("n"))
+      val cnt = shArr.select($"doc_id", $"n")
+      // cache: the 12-hash signature fold must run once per doc, not
+      // once per band-key reference (no CSE across element_at calls).
+      val sig = shArr.withColumn("hs",
+        transform(sequence(lit(0), lit(11)), i =>
+          array_min(transform($"ss",
+            x => md5(concat(i.cast("string"), lit("|"), x))))))
+        .select($"doc_id", $"hs").cache()
+      // 4 bands × 3 rows: candidate probability ≈ J³ per band — tuned
+      // so the ~0.7 threshold keeps recall while random-pair collisions
+      // (high baseline vocabulary overlap) stay rare.
       val bands = sig
-        .select($"doc_id", explode(sequence(lit(0), lit(5))).as("b"), $"hs")
+        .select($"doc_id", explode(sequence(lit(0), lit(3))).as("b"), $"hs")
         .select($"doc_id", $"b",
-          md5(concat(element_at($"hs", $"b" * 2 + 1),
-            element_at($"hs", $"b" * 2 + 2))).as("bkey"))
+          md5(concat(element_at($"hs", $"b" * 3 + 1),
+            element_at($"hs", $"b" * 3 + 2),
+            element_at($"hs", $"b" * 3 + 3))).as("bkey"))
       val cand = bands.select($"doc_id".as("da"), $"b", $"bkey")
         .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
           Seq("b", "bkey"))
@@ -200,7 +217,7 @@ object TextOps {
     // so banding has perfect recall) + exact Hamming verify.
     "dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sims = simhashPerDoc(s, dir)
+      val sims = simhashPerDoc(s, dir).cache()
       val bands = sims
         .select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("k"))
@@ -295,8 +312,9 @@ object TextOps {
           mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) h
             FROM sh CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
           sig AS (SELECT doc_id, array_agg(h ORDER BY i) hs FROM mh GROUP BY 1),
-          bands AS (SELECT doc_id, b, md5(hs[2*b+1] || hs[2*b+2]) bkey
-            FROM sig CROSS JOIN range(6) t(b)),
+          bands AS (SELECT doc_id, b,
+              md5(hs[3*b+1] || hs[3*b+2] || hs[3*b+3]) bkey
+            FROM sig CROSS JOIN range(4) t(b)),
           cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x
             JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
               AND x.doc_id < y.doc_id),

@@ -39,15 +39,16 @@ object VectorOps {
     }),
 
     // brute-force cosine top-5 for query vectors vec_id < 20.
+    // Norms are precomputed per vector (not per pair): the cross join
+    // only evaluates the one dot product it must.
     "v_knn_brute" -> ((s, dir) => {
       import s.implicits._
-      val e = emb(s, dir)
+      val e = emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache()
       val q = e.filter($"vec_id" < 20)
-        .select($"vec_id".as("qid"), $"v".as("qv"))
-      val c = e.select($"vec_id".as("nid"), $"v".as("nv"))
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"))
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"))
       val scored = q.join(c, $"qid" =!= $"nid")
-        .withColumn("sim",
-          dot($"qv", $"nv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"nv", $"nv"))))
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
       scored.withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
@@ -60,16 +61,19 @@ object VectorOps {
     // top-3 within bucket only (the distributed scale path).
     "v_knn_lsh" -> ((s, dir) => {
       import s.implicits._
-      val e = emb(s, dir).withColumn("bucket",
-        aggregate(sequence(lit(0), lit(7)), lit(0L),
-          (acc, i) => acc + when(element_at($"v", i + 1) > 0,
-            pow(lit(2.0), i).cast("long")).otherwise(lit(0L))))
+      val e = emb(s, dir)
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .withColumn("bucket",
+          aggregate(sequence(lit(0), lit(7)), lit(0L),
+            (acc, i) => acc + when(element_at($"v", i + 1) > 0,
+              pow(lit(2.0), i).cast("long")).otherwise(lit(0L))))
+        .cache()
       val q = e.filter($"vec_id" < 50)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket")
-      val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"bucket")
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"), $"bucket")
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
+        $"bucket")
       val scored = q.join(c, Seq("bucket")).filter($"qid" =!= $"nid")
-        .withColumn("sim",
-          dot($"qv", $"nv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"nv", $"nv"))))
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
       val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
       scored.withColumn("rank", row_number().over(w))
         .filter($"rank" <= 3)
@@ -84,11 +88,13 @@ object VectorOps {
       import s.implicits._
       val e = t(s, dir, "embeddings")
         .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-      val a = e.select($"vec_id".as("da"), $"label", $"v".as("va"))
-      val b = e.select($"vec_id".as("db"), $"label", $"v".as("vb"))
+      val en = e.withColumn("norm", sqrt(dot($"v", $"v"))).cache()
+      val a = en.select($"vec_id".as("da"), $"label", $"v".as("va"),
+        $"norm".as("na"))
+      val b = en.select($"vec_id".as("db"), $"label", $"v".as("vb"),
+        $"norm".as("nb"))
       a.join(b, Seq("label")).filter($"da" < $"db")
-        .withColumn("sim",
-          dot($"va", $"vb") / (sqrt(dot($"va", $"va")) * sqrt(dot($"vb", $"vb"))))
+        .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
         .filter($"sim" >= 0.999)
         .select($"da", $"db", round($"sim", 9).as("sim"))
         .orderBy($"da", $"db")
