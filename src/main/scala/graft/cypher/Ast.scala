@@ -1,0 +1,77 @@
+package graft.cypher
+
+/** AST for the openCypher subset the reference evidences
+  * (/root/reference/layer_test.go:117 and the D1 `Query()` contract,
+  * /root/reference/neo4j.go:289-291): MATCH / OPTIONAL MATCH
+  * single-hop patterns, WHERE comparisons, RETURN projections with
+  * aliases, COLLECT + the standard aggregates, ORDER BY / SKIP /
+  * LIMIT. Not full openCypher 9 (SURVEY §7.4.5) — the grammar is
+  * bounded by what the reference's read surface implies.
+  */
+object Ast {
+
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr
+  case class VarRef(name: String) extends Expr
+  case class PropRef(variable: String, prop: String) extends Expr
+  case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  case class And(l: Expr, r: Expr) extends Expr
+  case class Or(l: Expr, r: Expr) extends Expr
+  case class Not(e: Expr) extends Expr
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
+  case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean)
+      extends Expr
+  case class MapLit(entries: Seq[(String, Expr)]) extends Expr
+  case object Star extends Expr // count(*)
+
+  case class NodePattern(
+      variable: Option[String],
+      label: Option[String],
+      props: Seq[(String, Lit)])
+
+  /** direction: +1 for ()-[]->(), -1 for ()<-[]-() */
+  case class RelPattern(
+      variable: Option[String],
+      relType: Option[String],
+      direction: Int)
+
+  case class PathPattern(head: NodePattern, hops: Seq[(RelPattern, NodePattern)])
+
+  case class MatchClause(
+      pattern: PathPattern,
+      optional: Boolean,
+      where: Option[Expr])
+
+  case class ReturnItem(expr: Expr, alias: Option[String]) {
+    def name: String = alias.getOrElse(Render.expr(expr))
+  }
+
+  case class Query(
+      matches: Seq[MatchClause],
+      distinct: Boolean,
+      items: Seq[ReturnItem],
+      orderBy: Seq[(Expr, Boolean)],
+      skip: Option[Long],
+      limit: Option[Long])
+
+  /** default output names for un-aliased return items */
+  object Render {
+    def expr(e: Expr): String = e match {
+      case Lit(v: String) => s"'$v'"
+      case Lit(v) => String.valueOf(v)
+      case VarRef(n) => n
+      case PropRef(v, p) => s"$v.$p"
+      case Cmp(op, l, r) => s"${expr(l)} $op ${expr(r)}"
+      case And(l, r) => s"${expr(l)} AND ${expr(r)}"
+      case Or(l, r) => s"${expr(l)} OR ${expr(r)}"
+      case Not(x) => s"NOT ${expr(x)}"
+      case IsNull(x, neg) =>
+        s"${expr(x)} IS ${if (neg) "NOT " else ""}NULL"
+      case FuncCall(n, args, d) =>
+        s"$n(${if (d) "DISTINCT " else ""}${args.map(expr).mkString(", ")})"
+      case MapLit(es) =>
+        es.map { case (k, v) => s"$k: ${expr(v)}" }.mkString("{", ", ", "}")
+      case Star => "*"
+    }
+  }
+}

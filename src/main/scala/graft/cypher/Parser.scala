@@ -1,0 +1,291 @@
+package graft.cypher
+
+import scala.util.matching.Regex
+
+/** Hand-rolled tokenizer + recursive-descent parser for the subset
+  * grammar in [[Ast]]. Keywords are case-insensitive; identifiers may
+  * be bare or backquoted; strings use single or double quotes.
+  */
+object Parser {
+
+  case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ---- lexer ----
+  sealed trait Tok
+  case class Kw(s: String) extends Tok // uppercased keyword/identifier
+  case class Ident(s: String) extends Tok
+  case class StrLit(s: String) extends Tok
+  case class NumLit(v: Any) extends Tok
+  case class Sym(s: String) extends Tok
+
+  private val keywords = Set("MATCH", "OPTIONAL", "WHERE", "RETURN",
+    "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
+    "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
+    "SUM", "AVG", "MIN", "MAX")
+
+  private val tokenRe: Regex =
+    """\s*(?:(<=|>=|<>|<-|->|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*))""".r
+
+  def tokenize(q: String): List[Tok] = {
+    var pos = 0
+    val out = List.newBuilder[Tok]
+    while (pos < q.length) {
+      tokenRe.findPrefixMatchOf(q.substring(pos)) match {
+        case Some(m) if m.end > 0 =>
+          pos += m.end
+          if (m.group(1) != null) out += Sym(m.group(1))
+          else if (m.group(2) != null) out += Ident(m.group(2))
+          else if (m.group(3) != null)
+            out += StrLit(m.group(3).replace("\\'", "'").replace("\\\\", "\\"))
+          else if (m.group(4) != null)
+            out += StrLit(m.group(4).replace("\\\"", "\"").replace("\\\\", "\\"))
+          else if (m.group(5) != null) out += NumLit(m.group(5).toDouble)
+          else if (m.group(6) != null) out += NumLit(m.group(6).toLong)
+          else {
+            val w = m.group(7)
+            if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)
+            else out += Ident(w)
+          }
+        case _ =>
+          if (q.substring(pos).trim.isEmpty) pos = q.length
+          else throw ParseException(
+            s"unexpected input at: ${q.substring(pos).take(30)}")
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser state ----
+  private class P(var toks: List[Tok]) {
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = {
+      val t = toks.headOption.getOrElse(
+        throw ParseException("unexpected end of query"))
+      toks = toks.tail
+      t
+    }
+    def expectSym(s: String): Unit = next() match {
+      case Sym(`s`) => ()
+      case other => throw ParseException(s"expected '$s', got $other")
+    }
+    def expectKw(s: String): Unit = next() match {
+      case Kw(`s`) => ()
+      case other => throw ParseException(s"expected $s, got $other")
+    }
+    def tryKw(s: String): Boolean = peek match {
+      case Some(Kw(`s`)) => next(); true
+      case _ => false
+    }
+    def trySym(s: String): Boolean = peek match {
+      case Some(Sym(`s`)) => next(); true
+      case _ => false
+    }
+    def identOrKw(): String = next() match {
+      case Ident(s) => s
+      case Kw(s) => s.toLowerCase // allow keyword-named props
+      case other => throw ParseException(s"expected identifier, got $other")
+    }
+  }
+
+  def parse(query: String): Ast.Query = {
+    val p = new P(tokenize(query))
+    val matches = Seq.newBuilder[Ast.MatchClause]
+    var first = true
+    while (p.peek.contains(Kw("MATCH")) || p.peek.contains(Kw("OPTIONAL"))) {
+      val optional = p.tryKw("OPTIONAL")
+      p.expectKw("MATCH")
+      if (first && optional)
+        throw ParseException("query must start with MATCH")
+      first = false
+      val pat = parsePattern(p)
+      val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+      matches += Ast.MatchClause(pat, optional, where)
+    }
+    if (first) throw ParseException("query must start with MATCH")
+    p.expectKw("RETURN")
+    val distinct = p.tryKw("DISTINCT")
+    val items = Seq.newBuilder[Ast.ReturnItem]
+    items += parseReturnItem(p)
+    while (p.trySym(",")) items += parseReturnItem(p)
+    val orderBy = Seq.newBuilder[(Ast.Expr, Boolean)]
+    if (p.tryKw("ORDER")) {
+      p.expectKw("BY")
+      def one(): Unit = {
+        val e = parseExpr(p)
+        val asc = if (p.tryKw("DESC")) false else { p.tryKw("ASC"); true }
+        orderBy += ((e, asc))
+      }
+      one()
+      while (p.trySym(",")) one()
+    }
+    val skip = if (p.tryKw("SKIP")) Some(parseLong(p)) else None
+    val limit = if (p.tryKw("LIMIT")) Some(parseLong(p)) else None
+    if (p.peek.nonEmpty)
+      throw ParseException(s"trailing input: ${p.toks.take(5)}")
+    Ast.Query(matches.result(), distinct, items.result(), orderBy.result(),
+      skip, limit)
+  }
+
+  private def parseLong(p: P): Long = p.next() match {
+    case NumLit(v: Long) => v
+    case other => throw ParseException(s"expected integer, got $other")
+  }
+
+  private def parseReturnItem(p: P): Ast.ReturnItem = {
+    val e = parseExpr(p)
+    val alias = if (p.tryKw("AS")) Some(p.identOrKw()) else None
+    Ast.ReturnItem(e, alias)
+  }
+
+  // pattern := node ( rel node )*
+  private def parsePattern(p: P): Ast.PathPattern = {
+    val head = parseNode(p)
+    val hops = Seq.newBuilder[(Ast.RelPattern, Ast.NodePattern)]
+    var continue = true
+    while (continue) {
+      p.peek match {
+        case Some(Sym("-")) | Some(Sym("<-")) =>
+          val rel = parseRel(p)
+          val node = parseNode(p)
+          hops += ((rel, node))
+        case _ => continue = false
+      }
+    }
+    Ast.PathPattern(head, hops.result())
+  }
+
+  // node := '(' var? (':' Label)? ('{' k: lit, ... '}')? ')'
+  private def parseNode(p: P): Ast.NodePattern = {
+    p.expectSym("(")
+    var variable: Option[String] = None
+    p.peek match {
+      case Some(Ident(v)) => p.next(); variable = Some(v)
+      case _ => ()
+    }
+    val label = if (p.trySym(":")) Some(p.identOrKw()) else None
+    val props = Seq.newBuilder[(String, Ast.Lit)]
+    if (p.trySym("{")) {
+      def one(): Unit = {
+        val k = p.identOrKw()
+        p.expectSym(":")
+        parseAtom(p) match {
+          case l: Ast.Lit => props += ((k, l))
+          case other => throw ParseException(
+            s"node property must be a literal, got $other")
+        }
+      }
+      one()
+      while (p.trySym(",")) one()
+      p.expectSym("}")
+    }
+    p.expectSym(")")
+    Ast.NodePattern(variable, label, props.result())
+  }
+
+  // rel := '-[' var? (':' TYPE)? ']->' | '<-[' ... ']-'
+  private def parseRel(p: P): Ast.RelPattern = {
+    val incoming = p.peek.contains(Sym("<-"))
+    if (incoming) p.next() else p.expectSym("-")
+    var variable: Option[String] = None
+    var relType: Option[String] = None
+    if (p.trySym("[")) {
+      p.peek match {
+        case Some(Ident(v)) => p.next(); variable = Some(v)
+        case _ => ()
+      }
+      if (p.trySym(":")) relType = Some(p.identOrKw())
+      p.expectSym("]")
+    }
+    if (incoming) p.expectSym("-")
+    else {
+      if (!p.trySym("->")) {
+        // allow undirected '-' (treated as outgoing is wrong; reject)
+        throw ParseException("only directed relationships supported: -[]-> or <-[]-")
+      }
+    }
+    Ast.RelPattern(variable, relType, if (incoming) -1 else 1)
+  }
+
+  // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----
+  private def parseExpr(p: P): Ast.Expr = parseOr(p)
+
+  private def parseOr(p: P): Ast.Expr = {
+    var l = parseAnd(p)
+    while (p.tryKw("OR")) l = Ast.Or(l, parseAnd(p))
+    l
+  }
+
+  private def parseAnd(p: P): Ast.Expr = {
+    var l = parseNot(p)
+    while (p.tryKw("AND")) l = Ast.And(l, parseNot(p))
+    l
+  }
+
+  private def parseNot(p: P): Ast.Expr =
+    if (p.tryKw("NOT")) Ast.Not(parseNot(p)) else parseCmp(p)
+
+  private def parseCmp(p: P): Ast.Expr = {
+    val l = parseAtom(p)
+    p.peek match {
+      case Some(Sym(op)) if Set("=", "<>", "<", ">", "<=", ">=").contains(op) =>
+        p.next()
+        Ast.Cmp(op, l, parseAtom(p))
+      case Some(Kw("IS")) =>
+        p.next()
+        val negated = p.tryKw("NOT")
+        p.expectKw("NULL")
+        Ast.IsNull(l, negated)
+      case _ => l
+    }
+  }
+
+  private def parseAtom(p: P): Ast.Expr = p.next() match {
+    case StrLit(s) => Ast.Lit(s)
+    case NumLit(v) => Ast.Lit(v)
+    case Kw("TRUE") => Ast.Lit(true)
+    case Kw("FALSE") => Ast.Lit(false)
+    case Kw("NULL") => Ast.Lit(null)
+    case Sym("(") =>
+      val e = parseExpr(p)
+      p.expectSym(")")
+      e
+    case Sym("{") =>
+      val entries = Seq.newBuilder[(String, Ast.Expr)]
+      def one(): Unit = {
+        val k = p.identOrKw()
+        p.expectSym(":")
+        entries += ((k, parseExpr(p)))
+      }
+      one()
+      while (p.trySym(",")) one()
+      p.expectSym("}")
+      Ast.MapLit(entries.result())
+    case Kw(fn) if Set("COLLECT", "COUNT", "SUM", "AVG", "MIN", "MAX")
+        .contains(fn) =>
+      p.expectSym("(")
+      val distinct = p.tryKw("DISTINCT")
+      val args: Seq[Ast.Expr] =
+        if (p.trySym("*")) Seq(Ast.Star)
+        else {
+          val as = Seq.newBuilder[Ast.Expr]
+          as += parseExpr(p)
+          while (p.trySym(",")) as += parseExpr(p)
+          as.result()
+        }
+      p.expectSym(")")
+      Ast.FuncCall(fn.toLowerCase, args, distinct)
+    case Ident(fn) if p.peek.contains(Sym("(")) =>
+      p.next() // '('
+      val as = Seq.newBuilder[Ast.Expr]
+      if (!p.trySym(")")) {
+        as += parseExpr(p)
+        while (p.trySym(",")) as += parseExpr(p)
+        p.expectSym(")")
+      }
+      Ast.FuncCall(fn.toLowerCase, as.result(), distinct = false)
+    case Ident(v) =>
+      if (p.trySym(".")) Ast.PropRef(v, p.identOrKw())
+      else Ast.VarRef(v)
+    case other => throw ParseException(s"unexpected token: $other")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cypher.CypherEngine
+
+/** End-to-end proof of the D1 Query() surface: openCypher TEXT runs
+  * through Parser → Planner → the real snapshot store (built by
+  * applyBatch from nation entities — see GraphOnTpch), and the result
+  * hash-matches a relational DuckDB oracle over the source tables.
+  */
+object CypherQ {
+
+  private def run(s: SparkSession, dir: String, cypher: String): DataFrame =
+    CypherEngine.query(GraphOnTpch.nationStore(s, dir), cypher)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1/C2 via Cypher text: label scan + WHERE + projection + ORDER.
+    "cypher_match_where" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (n:Nation) WHERE n.gid >= 'n:10'
+           RETURN n.gid AS gid, n.name AS name ORDER BY gid""")),
+
+    // C3 via Cypher text: typed hop to the region stubs.
+    "cypher_expand" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (n:Nation)-[r:in_region]->(m)
+           RETURN n.gid AS gid, type(r) AS rel, m.gid AS region
+           ORDER BY gid""")),
+
+    // C4 via Cypher text: implicit grouping + count aggregate over an
+    // incoming expand from the stub side.
+    "cypher_group_count" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (m)<-[:in_region]-(n:Nation)
+           RETURN m.gid AS region, count(*) AS n ORDER BY region""")),
+
+    // aggregates + DISTINCT via Cypher text.
+    "cypher_agg" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (n:Nation)-[r]->(m)
+           RETURN count(*) AS n_edges, count(DISTINCT m.gid) AS n_regions""")))
+
+  val oracles: Map[String, String] = Map(
+    "cypher_match_where" ->
+      """SELECT 'n:'||n_nationkey AS gid, n_name AS name FROM nation
+         WHERE 'n:'||n_nationkey >= 'n:10' ORDER BY gid""",
+    "cypher_expand" ->
+      """SELECT 'n:'||n_nationkey AS gid, 'in_region' AS rel,
+         'r:'||n_regionkey AS region FROM nation ORDER BY gid""",
+    "cypher_group_count" ->
+      """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
+         FROM nation GROUP BY 1 ORDER BY region""",
+    "cypher_agg" ->
+      """SELECT COUNT(*) AS n_edges,
+         COUNT(DISTINCT n_regionkey) AS n_regions FROM nation""")
+}

@@ -55,6 +55,12 @@ object GraphOnTpch {
   private def mergedNationStore(s: SparkSession, dir: String): GraphStore =
     mergedStores.getOrElseUpdate((s, dir), buildMergedNationStore(s, dir))
 
+  /** shared with CypherQ: the Cypher registry queries run over the
+    * same applyBatch-built store.
+    */
+  private[queries] def nationStore(s: SparkSession, dir: String): GraphStore =
+    mergedNationStore(s, dir)
+
   private def buildMergedNationStore(s: SparkSession, dir: String): GraphStore = {
     import s.implicits._
     val entities = t(s, dir, "nation").collect().toSeq.map { r =>

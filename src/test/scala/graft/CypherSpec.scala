@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.CypherEngine
+import graft.model.Entity
+import graft.ops.GraphDataset
+import graft.store.GraphStore
+
+/** The D1 Query() surface: the reference's oracle query text runs
+  * verbatim (/root/reference/layer_test.go:117), plus the aggregate /
+  * ordering / pagination constructs the contract implies.
+  */
+class CypherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val store: GraphStore = {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-cypher").toString, spark, 2)
+    val people = new GraphDataset(st, spark, "people", "Person")
+    people.fullSync(Seq(
+      Entity("urn:p1").withProp("urn:x#name", "brian")
+        .withProp("urn:x#age", 23)
+        .withRef("urn:x#worksfor", "urn:c1"),
+      Entity("urn:p2").withProp("urn:x#name", "jane")
+        .withProp("urn:x#age", 31)
+        .withRef("urn:x#worksfor", "urn:c1")
+        .withRef("urn:x#knows", "urn:p1"),
+      Entity("urn:p3").withProp("urn:x#name", "ola")
+        .withProp("urn:x#age", 40)))
+    val companies = new GraphDataset(st, spark, "companies", "Company")
+    companies.incremental(Seq(
+      Entity("urn:c1").withProp("urn:x#name", "Mimiro")))
+    st
+  }
+
+  test("the reference oracle query runs verbatim (layer_test.go:117)") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         OPTIONAL MATCH (n)-[r]->(m)
+         RETURN n, COLLECT({rel: r, targetGid: m.gid}) AS relationships
+         ORDER BY n""").collect()
+    assert(rows.length == 3)
+    val byGid = rows.map(r =>
+      r.getStruct(0).getAs[String]("gid") -> r.getSeq[Row](1)).toMap
+    // p1 → one worksfor edge
+    assert(byGid("urn:p1").map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("worksfor", "urn:c1")))
+    // p2 → two edges, collected
+    assert(byGid("urn:p2").map(x => (x.getString(0), x.getString(1))).toSet ==
+      Set(("worksfor", "urn:c1"), ("knows", "urn:p1")))
+    // p3 → zero matches → [{null, null}] (layer_test.go:222-231)
+    assert(byGid("urn:p3").map(x => (x.getString(0), x.getString(1))) ==
+      Seq((null, null)))
+  }
+
+  test("node property filters and projections") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.age > 25 AND n.source = 'people'
+         RETURN n.gid AS gid, n.name AS name, toInteger(n.age) AS age
+         ORDER BY age DESC""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("urn:p3", "ola", 40L), ("urn:p2", "jane", 31L)))
+  }
+
+  test("inline property map pattern: MATCH (n {name: 'brian'})") {
+    val rows = CypherEngine.query(store,
+      "MATCH (n:Person {name: 'brian'}) RETURN n.gid AS gid").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1"))
+  }
+
+  test("hop with rel type and incoming direction") {
+    val out = CypherEngine.query(store,
+      """MATCH (c:Company)<-[:worksfor]-(p:Person)
+         RETURN c.name AS company, count(*) AS n""").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Mimiro", 2L)))
+  }
+
+  test("two-hop chain") {
+    val rows = CypherEngine.query(store,
+      """MATCH (a:Person)-[:knows]->(b:Person)-[:worksfor]->(c)
+         RETURN a.name AS a, b.name AS b, c.gid AS c""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("jane", "brian", "urn:c1")))
+  }
+
+  test("aggregates: count/sum/avg/min/max + DISTINCT") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN count(*) AS n, sum(n.age) AS total, avg(n.age) AS mean,
+           min(n.name) AS first_name, max(n.name) AS last_name""").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 94.0)
+    assert(math.abs(r.getDouble(2) - 94.0 / 3) < 1e-9)
+    assert(r.getString(3) == "brian")
+    assert(r.getString(4) == "ola")
+
+    val d = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->(m) RETURN count(DISTINCT m.gid) AS targets""")
+      .collect().head
+    assert(d.getLong(0) == 2L) // c1 and p1
+  }
+
+  test("ORDER BY / SKIP / LIMIT pagination") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN n.gid AS gid
+         ORDER BY gid SKIP 1 LIMIT 1""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p2"))
+  }
+
+  test("RETURN DISTINCT and rel variables") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->(m)
+         RETURN DISTINCT type(r) AS rel ORDER BY rel""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("knows", "worksfor"))
+  }
+
+  test("IS NULL / IS NOT NULL over stub nodes") {
+    val stubsAndLabeled = CypherEngine.query(store,
+      """MATCH (n) WHERE n.label IS NULL RETURN n.gid AS gid""").collect()
+    // every referenced-but-unwritten target would be a stub; here all
+    // targets got written, so none remain
+    assert(stubsAndLabeled.isEmpty)
+    val labeled = CypherEngine.query(store,
+      """MATCH (n) WHERE n.label IS NOT NULL RETURN count(*) AS n""")
+      .collect().head
+    assert(labeled.getLong(0) == 4L)
+  }
+
+  test("parse errors are reported, not swallowed") {
+    intercept[graft.cypher.Parser.ParseException] {
+      CypherEngine.query(store, "RETURN 1")
+    }
+    intercept[graft.cypher.Parser.ParseException] {
+      CypherEngine.query(store, "MATCH (n) RETURN n EXTRA")
+    }
+  }
+}
