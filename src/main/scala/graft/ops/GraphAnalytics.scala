@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.store.GraphStore
+
+/** GraphX bridge (north-star `spark_approach`: "GraphX for analytics
+  * queries"): the property graph's string gids are dictionary-encoded
+  * to VertexIds, analytics run on `Graph[VD, ED]`, and results join
+  * back through the dictionary.
+  *
+  * At 100 TB the dictionary is the node table itself (gid → dense id
+  * via zipWithIndex once per snapshot version), so the expensive
+  * hash-join from strings to longs happens exactly once, not per
+  * iteration — Pregel then moves only longs.
+  */
+object GraphAnalytics {
+
+  /** (vertex dictionary: gid, vid; graphx graph) from a store snapshot. */
+  def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame)
+      : (DataFrame, Graph[String, String]) = {
+    import spark.implicits._
+    val dict = nodes.select($"gid").rdd.map(_.getString(0))
+      .zipWithIndex().toDF("gid", "vid").cache()
+    val vertices = dict.as[(String, Long)].rdd.map { case (g, v) => (v, g) }
+    val es = edges.select($"src", $"dst", $"relType")
+      .join(dict.withColumnRenamed("gid", "src")
+        .withColumnRenamed("vid", "src_vid"), Seq("src"))
+      .join(dict.withColumnRenamed("gid", "dst")
+        .withColumnRenamed("vid", "dst_vid"), Seq("dst"))
+      .select($"src_vid", $"dst_vid", $"relType")
+      .as[(Long, Long, String)].rdd
+      .map { case (s, d, t) => Edge(s, d, t) }
+    val g = Graph(vertices, es, defaultVertexAttr = null.asInstanceOf[String],
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    (dict, g)
+  }
+
+  def fromStore(spark: SparkSession, store: GraphStore)
+      : (DataFrame, Graph[String, String]) =
+    build(spark, store.nodes, store.edges)
+
+  /** Connected components (undirected), labeled by the MIN gid of each
+    * component — deterministic, so DuckDB-oracle-able.
+    */
+  def connectedComponents(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (dict, g) = build(spark, nodes, edges)
+    val cc = g.connectedComponents().vertices.toDF("vid", "cid")
+    // component representative = min gid among members (GraphX labels
+    // components by min VertexId, which is dictionary-order-dependent)
+    val byGid = cc.join(dict, Seq("vid"))
+      .select($"gid", $"cid")
+    val canon = byGid.groupBy($"cid").agg(min($"gid").as("component"))
+    byGid.join(canon, Seq("cid")).select($"gid", $"component")
+  }
+
+  /** PageRank over the directed graph; deterministic given fixed
+    * iteration count up to float summation order (rows-only check).
+    */
+  def pageRank(spark: SparkSession, store: GraphStore,
+      iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (dict, g) = fromStore(spark, store)
+    g.staticPageRank(iters).vertices.toDF("vid", "rank")
+      .join(dict, Seq("vid"))
+      .select($"gid", $"rank")
+  }
+
+  /** out/in degree via GraphX degree operators. */
+  def degrees(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (dict, g) = build(spark, nodes, edges)
+    val out = g.outDegrees.toDF("vid", "out_degree")
+    val in = g.inDegrees.toDF("vid", "in_degree")
+    dict
+      .join(out, Seq("vid"), "left_outer")
+      .join(in, Seq("vid"), "left_outer")
+      .select($"gid",
+        coalesce($"out_degree", lit(0)).as("out_degree"),
+        coalesce($"in_degree", lit(0)).as("in_degree"))
+  }
+
+  /** Multi-hop reachability via Pregel: all vertices within `maxHops`
+    * (directed) of the source set — the variable-length-path analog
+    * (SURVEY §4: iterative driver loop, not a SparkStrategy).
+    */
+  def reachableWithin(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, sourceGids: Set[String], maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val (dict, g) = build(spark, nodes, edges)
+    val srcVids = dict.filter($"gid".isin(sourceGids.toSeq: _*))
+      .select($"vid").as[Long].collect().toSet
+    val init = g.mapVertices { (vid, _) =>
+      if (srcVids.contains(vid)) 0 else Int.MaxValue
+    }
+    val res = init.pregel(Int.MaxValue, maxIterations = maxHops)(
+      (_, dist, msg) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr != Int.MaxValue &&
+            triplet.srcAttr + 1 < triplet.dstAttr &&
+            triplet.srcAttr + 1 <= maxHops)
+          Iterator((triplet.dstId, triplet.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue).toDF("vid", "hops")
+      .join(dict, Seq("vid"))
+      .select($"gid", $"hops")
+  }
+}
