@@ -1,0 +1,175 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.io.Source
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.cypher.CypherEngine
+import graft.model.{EgdmCodec, LayerConfig}
+import graft.ops.{GraphDataset, GraphRead}
+import graft.store.GraphStore
+
+/** UDA-shaped REST shell (M5) over the graph engine — the service
+  * surface the reference exposes through mimiro-io/common-datalayer
+  * (/root/reference/layer.go:123-265), self-contained on the JDK HTTP
+  * server:
+  *
+  *  - GET  /datasets                       → dataset listing (A15)
+  *  - POST /datasets/{ds}/entities         → incremental sync (A4);
+  *    full sync (A3) via universal-data-api-full-sync-* headers
+  *  - GET  /datasets/{ds}/entities         → paginated scan (D3)
+  *  - GET  /datasets/{ds}/changes          → change feed (D2)
+  *  - POST /query    {"query": cypher}     → openCypher read (D1)
+  *
+  * Body format: EGDM entities as a JSON array or NDJSON lines
+  * (FIXTURES.md §1). Results stream as JSON.
+  */
+class GraftService(spark: SparkSession, config: LayerConfig,
+    storeRoot: String) {
+
+  private val store = new GraphStore(storeRoot, spark)
+  private val datasets: Map[String, GraphDataset] =
+    config.datasets.map(d =>
+      d.name -> new GraphDataset(store, spark, d.name, d.label, d.batchSize))
+      .toMap
+
+  private var server: HttpServer = _
+
+  def port: Int = server.getAddress.getPort
+
+  def start(requestedPort: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
+    server.createContext("/datasets", handle(handleDatasets))
+    server.createContext("/query", handle(handleQuery))
+    server.setExecutor(null)
+    server.start()
+    port
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(f: HttpExchange => (Int, String))(ex: HttpExchange): Unit =
+    try {
+      val (code, body) = try f(ex) catch {
+        case e: graft.cypher.Parser.ParseException => (400, err(e.getMessage))
+        case e: IllegalArgumentException => (400, err(e.getMessage))
+        case e: NoSuchElementException => (404, err(e.getMessage))
+        case NonFatal(e) => (500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+
+  private def err(msg: String): String =
+    JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(msg))))
+
+  private def query1(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&")).map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == key => v }
+
+  private def handleDatasets(ex: HttpExchange): (Int, String) = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/datasets")
+      .stripPrefix("/").split("/").filter(_.nonEmpty)
+    (ex.getRequestMethod, path.toList) match {
+      case ("GET", Nil) =>
+        val items = config.datasets.map(d => JObject(
+          "name" -> JString(d.name), "label" -> JString(d.label),
+          "batch_size" -> JInt(d.batchSize)))
+        (200, JsonMethods.compact(JsonMethods.render(JArray(items.toList))))
+
+      case ("POST", ds :: "entities" :: Nil) =>
+        val dataset = datasets.getOrElse(ds,
+          throw new NoSuchElementException(s"dataset not found: $ds"))
+        val body = Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+        val entities = parseEntities(body)
+        val hdrs = ex.getRequestHeaders
+        val fullSyncStart =
+          hdrs.getFirst("universal-data-api-full-sync-start") == "true"
+        val syncId =
+          Option(hdrs.getFirst("universal-data-api-full-sync-id")).getOrElse("")
+        val version =
+          if (fullSyncStart) dataset.fullSync(entities, syncId)
+          else dataset.incremental(entities, syncId)
+        (200, s"""{"written":${entities.size},"version":$version}""")
+
+      case ("GET", ds :: "entities" :: Nil) =>
+        val d = config.dataset(ds).fold(
+          m => throw new NoSuchElementException(m), identity)
+        val from = query1(ex, "from").getOrElse("")
+        val limit = query1(ex, "limit").map(_.toInt).getOrElse(100)
+        (200, rowsJson(GraphRead.entities(store, d.label, d.name, from, limit)))
+
+      case ("GET", _ :: "changes" :: Nil) =>
+        val since = query1(ex, "since").map(_.toLong).getOrElse(0L)
+        val limit = query1(ex, "limit").map(_.toInt).getOrElse(100)
+        val latestOnly = query1(ex, "latestOnly").contains("true")
+        (200, rowsJson(GraphRead.changes(store, since, limit, latestOnly)))
+
+      case (m, p) =>
+        throw new IllegalArgumentException(s"unsupported: $m /${p.mkString("/")}")
+    }
+  }
+
+  private def handleQuery(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST")
+      throw new IllegalArgumentException("POST a {\"query\": ...} body")
+    val body = Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+    val cypher = JsonMethods.parse(body) \ "query" match {
+      case JString(q) => q
+      case _ => throw new IllegalArgumentException("missing query field")
+    }
+    (200, rowsJson(CypherEngine.query(store, cypher)))
+  }
+
+  private def parseEntities(body: String): Seq[graft.model.Entity] = {
+    val trimmed = body.trim
+    if (trimmed.startsWith("[")) {
+      JsonMethods.parse(trimmed) match {
+        case JArray(items) =>
+          items.map(i => EgdmCodec.parseLine(JsonMethods.compact(
+            JsonMethods.render(i))))
+        case _ => throw new IllegalArgumentException("expected entity array")
+      }
+    } else {
+      trimmed.split("\n").filter(_.trim.nonEmpty).toSeq
+        .map(EgdmCodec.parseLine)
+    }
+  }
+
+  /** serialize a (bounded) result as a JSON array of row objects */
+  private def rowsJson(df: DataFrame, max: Int = 10000): String = {
+    val schema = df.schema
+    def toJValue(v: Any): JValue = v match {
+      case null => JNull
+      case s: String => JString(s)
+      case i: Int => JInt(i)
+      case l: Long => JInt(l)
+      case d: Double => JDouble(d)
+      case b: Boolean => JBool(b)
+      case r: Row => JObject(r.schema.fieldNames.toList.zipWithIndex.map {
+        case (n, i) => n -> toJValue(r.get(i))
+      })
+      case m: Map[_, _] => JObject(m.toList.map { case (k, x) =>
+        String.valueOf(k) -> toJValue(x)
+      })
+      case s: Seq[_] => JArray(s.toList.map(toJValue))
+      case other => JString(String.valueOf(other))
+    }
+    val rows = df.limit(max).collect().map { r =>
+      JObject(schema.fieldNames.toList.zipWithIndex.map { case (n, i) =>
+        n -> toJValue(r.get(i))
+      })
+    }
+    JsonMethods.compact(JsonMethods.render(JArray(rows.toList)))
+  }
+}

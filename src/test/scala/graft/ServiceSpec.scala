@@ -1,0 +1,114 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.LayerConfig
+import graft.service.GraftService
+
+/** Drives the REST shell over real HTTP: write (incremental + full
+  * sync headers), paginated reads, change feed, Cypher query endpoint,
+  * and the reference's error contracts (unknown dataset, bad body).
+  */
+class ServiceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private val configJson =
+    """{
+      "layer_config": {"port": "0", "service_name": "graft_test"},
+      "system_config": {"system_type": "spark", "endpoint": "local",
+                        "username": "u", "password": "p"},
+      "dataset_definitions": [
+        {"name": "people", "source_config": {"label": "Person", "batch_size": 1000}},
+        {"name": "companies", "source_config": {"label": "Company", "batch_size": 1000}}
+      ]
+    }"""
+
+  private lazy val service: GraftService = {
+    val cfg = LayerConfig.fromJson(configJson)
+      .fold(m => fail(s"config: $m"), identity)
+    val svc = new GraftService(spark, cfg,
+      Files.createTempDirectory("graft-svc").toString)
+    svc.start()
+    svc
+  }
+
+  private lazy val http = HttpClient.newHttpClient()
+  private def base = s"http://localhost:${service.port}"
+
+  private def get(path: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String,
+      headers: Map[String, String] = Map.empty): (Int, String) = {
+    var b = HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("dataset listing (layer.go:133-143)") {
+    val (code, body) = get("/datasets")
+    assert(code == 200)
+    assert(body.contains("\"people\"") && body.contains("\"Person\""))
+  }
+
+  test("incremental write + paginated read + changes + cypher query") {
+    val ndjson =
+      """{"id":"urn:w1","props":{"urn:x#name":"alpha"},"refs":{"urn:x#worksfor":"urn:co1"}}
+        |{"id":"urn:w2","props":{"urn:x#name":"beta"}}""".stripMargin
+    val (wc, wb) = post("/datasets/people/entities", ndjson)
+    assert(wc == 200, wb)
+    assert(wb.contains("\"written\":2"))
+
+    val (rc, rb) = get("/datasets/people/entities?limit=10")
+    assert(rc == 200)
+    assert(rb.contains("urn:w1") && rb.contains("urn:w2"))
+
+    val (pc, pb) = get("/datasets/people/entities?from=urn:w1&limit=10")
+    assert(pc == 200)
+    assert(!pb.contains("\"urn:w1\"") && pb.contains("urn:w2"))
+
+    val (cc, cb) = get("/datasets/people/changes?since=0&latestOnly=true")
+    assert(cc == 200)
+    assert(cb.contains("urn:w1"))
+
+    val (qc, qb) = post("/query",
+      """{"query": "MATCH (n:Person)-[r]->(m) RETURN n.gid AS gid, type(r) AS rel, m.gid AS target"}""")
+    assert(qc == 200, qb)
+    assert(qb.contains("\"gid\":\"urn:w1\"") &&
+      qb.contains("\"rel\":\"worksfor\"") && qb.contains("urn:co1"))
+  }
+
+  test("full-sync headers truncate the slice (layer.go:196-209)") {
+    post("/datasets/companies/entities",
+      """{"id":"urn:co-old","props":{"urn:x#name":"Old"}}""")
+    val (c2, _) = post("/datasets/companies/entities",
+      """{"id":"urn:co-new","props":{"urn:x#name":"New"}}""",
+      Map("universal-data-api-full-sync-start" -> "true",
+        "universal-data-api-full-sync-id" -> "fs-1"))
+    assert(c2 == 200)
+    val (_, listed) = get("/datasets/companies/entities?limit=100")
+    assert(listed.contains("urn:co-new") && !listed.contains("urn:co-old"))
+  }
+
+  test("error contracts: unknown dataset 404, bad inputs 400") {
+    val (c1, b1) = post("/datasets/nope/entities", """{"id":"urn:x"}""")
+    assert(c1 == 404 && b1.contains("dataset not found"))
+    val (c2, _) = post("/query", """{"nope": 1}""")
+    assert(c2 == 400)
+    val (c3, b3) = post("/query", """{"query": "GARBAGE QUERY"}""")
+    assert(c3 == 400, b3)
+    val (c4, _) = post("/datasets/people/entities", """{"noid": true}""")
+    assert(c4 == 400)
+  }
+}
