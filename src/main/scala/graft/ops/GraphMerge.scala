@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.UriFunctions.stripPrefix
+import graft.functions.{StripPrefix => NativeStrip}
 import graft.model.Entity
 import graft.store.GraphStore
 
@@ -63,14 +63,14 @@ object GraphMerge {
       $"id".as("gid"),
       lit(label).as("label"),
       lit(source).as("source"),
-      transform_keys($"props", (k, _) => stripPrefix(k)).as("props"),
+      transform_keys($"props", (k, _) => NativeStrip(k)).as("props"),
       lit(ver).as("recorded"))
 
     // A8/A9 edge extraction: one row per (refProperty, target)
     // (/root/reference/neo4j.go:210-227); B8 in-batch dedup via MERGE.
     val newEdges = live
       .select($"id".as("src"), explode($"refs").as(Seq("refUri", "targets")))
-      .select($"src", stripPrefix($"refUri").as("relType"),
+      .select($"src", NativeStrip($"refUri").as("relType"),
         explode($"targets").as("dst"))
       .select($"src", $"dst", $"relType",
         lit(source).as("source"), lit(ver).as("recorded"))

@@ -38,14 +38,29 @@ class PropertySpec extends AnyFunSuite {
     assert(UriFunctions.stripPrefixScala("x/") == "")
   }
 
-  test("stripPrefix: Column expression agrees with the Scala twin (generated URIs)") {
-    val uris = Gen.listOfN(200, uriGen).sample.get.distinct
+  test("stripPrefix: composed Column, native Expression, and Scala twin all agree") {
+    val uris = (Gen.listOfN(200, uriGen).sample.get ++
+      Seq("a#b/c", "x#", "y/", "", "héllo/wörld#ünïcode", "日本#語")).distinct
     val df = uris.toDF("uri")
-      .withColumn("local", UriFunctions.stripPrefix(org.apache.spark.sql.functions.col("uri")))
-    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .withColumn("composed",
+        UriFunctions.stripPrefix(org.apache.spark.sql.functions.col("uri")))
+      .withColumn("native",
+        graft.functions.StripPrefix(org.apache.spark.sql.functions.col("uri")))
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     uris.foreach { u =>
-      assert(got(u) == UriFunctions.stripPrefixScala(u), s"uri=$u")
+      val expected = UriFunctions.stripPrefixScala(u)
+      assert(got(u)._1 == expected, s"composed: uri=$u")
+      assert(got(u)._2 == expected, s"native: uri=$u")
     }
+  }
+
+  test("strip_prefix registers as a SQL function (SparkSessionExtensions path)") {
+    graft.functions.StripPrefix.register(spark)
+    val r = spark.sql(
+      "SELECT strip_prefix('http://a/b#c') AS x, strip_prefix('p/q') AS y")
+      .collect().head
+    assert(r.getString(0) == "c" && r.getString(1) == "q")
   }
 
   private val pvGen: Gen[PV] = Gen.oneOf(
