@@ -103,6 +103,25 @@ object EventOps {
         .limit(25)
     }),
 
+    // as-of join: each purchase matched to the user's most recent
+    // prior-or-simultaneous click (graft.ops.AsOfJoin union+window
+    // composition — single shuffle per side).
+    "e_asof_click" -> ((s, dir) => {
+      import s.implicits._
+      val events = ev(s, dir)
+      val purchases = events.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = events.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      graft.ops.AsOfJoin.asofJoin(purchases, clicks,
+        keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightValueCols = Seq("click_id"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
+          $"asof_click_id")
+        .orderBy($"event_id")
+    }),
+
     // JSON property extraction + aggregation (semi-structured path).
     "e_json_extract" -> ((s, dir) => {
       import s.implicits._
@@ -157,6 +176,25 @@ object EventOps {
       """SELECT user_id, COUNT(*) AS n,
          SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
          FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 25""",
+    "e_asof_click" ->
+      """WITH u AS (
+           SELECT user_id, ts, 1 AS side, event_id,
+             CAST(NULL AS BIGINT) AS r_click
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 0, NULL, event_id
+           FROM events WHERE event_type = 'click'),
+         c AS (
+           SELECT user_id, ts, side, event_id,
+             last_value(r_click IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, r_click NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_click_id
+           FROM u)
+         SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           asof_click_id
+         FROM c WHERE side = 1 ORDER BY event_id""",
     "e_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
          SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,

@@ -198,6 +198,62 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // cube: all grouping-set combinations.
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    }),
+
+    // date functions: year/month extraction + truncation grouping.
+    "q_date_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round($"o_totalprice" * 100, 0).cast("long")) / 100.0)
+            .as("total"))
+        .orderBy($"y", $"m")
+    }),
+
+    // string functions: upper/substring/length/concat/replace.
+    "q_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          upper($"p_name").as("uname"),
+          substring($"p_name", 1, 4).as("prefix"),
+          length($"p_name").as("len"),
+          concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+          regexp_replace($"p_name", " ", "_").as("snake"))
+        .orderBy($"p_partkey")
+    }),
+
+    // HAVING: post-aggregation filter.
+    "q_having" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    }),
+
+    // IN-list + BETWEEN + null-handling scalar ops.
+    "q_in_between" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH") &&
+          $"o_totalprice".between(100000, 200000))
+        .select($"o_orderkey", $"o_orderpriority",
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN"))
+            .as("status"))
+        .orderBy($"o_orderkey")
+    }),
+
     // scalar-subquery pattern: customers above their nation's average
     // balance (join against pre-aggregated averages; avg recomputed as
     // exact cents sum / count for cross-engine determinism).
@@ -297,6 +353,32 @@ object Relational {
          SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
          SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_date_extract" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m, COUNT(*) AS n,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+         FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+         substring(p_name, 1, 4) AS prefix,
+         CAST(length(p_name) AS INT) AS len,
+         p_brand || '/' || p_type AS brand_type,
+         replace(p_name, ' ', '_') AS snake
+         FROM part ORDER BY p_partkey""",
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+         GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
+    "q_in_between" ->
+      """SELECT o_orderkey, o_orderpriority,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           AND o_totalprice BETWEEN 100000 AND 200000
+         ORDER BY o_orderkey""",
     "q_above_nation_avg" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          JOIN (SELECT c_nationkey AS nk,
