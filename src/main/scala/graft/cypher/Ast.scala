@@ -24,30 +24,49 @@ object Ast {
   case class MapLit(entries: Seq[(String, Expr)]) extends Expr
   case object Star extends Expr // count(*)
 
+  case class ListLit(items: Seq[Expr]) extends Expr
+
   case class NodePattern(
       variable: Option[String],
       label: Option[String],
       props: Seq[(String, Lit)])
 
-  /** direction: +1 for ()-[]->(), -1 for ()<-[]-() */
+  /** direction: +1 for ()-[]->(), -1 for ()<-[]-();
+    * varLength: Some((min, max)) for `-[:T*min..max]->`
+    */
   case class RelPattern(
       variable: Option[String],
       relType: Option[String],
-      direction: Int)
+      direction: Int,
+      varLength: Option[(Int, Int)] = None)
 
   case class PathPattern(head: NodePattern, hops: Seq[(RelPattern, NodePattern)])
 
+  sealed trait Clause
   case class MatchClause(
       pattern: PathPattern,
       optional: Boolean,
-      where: Option[Expr])
+      where: Option[Expr]) extends Clause
+
+  /** WITH pipeline stage: projection (+ implicit grouping when
+    * aggregates appear), post-WHERE (HAVING), order/skip/limit.
+    */
+  case class WithClause(
+      distinct: Boolean,
+      items: Seq[ReturnItem],
+      where: Option[Expr],
+      orderBy: Seq[(Expr, Boolean)],
+      skip: Option[Long],
+      limit: Option[Long]) extends Clause
+
+  case class UnwindClause(expr: Expr, alias: String) extends Clause
 
   case class ReturnItem(expr: Expr, alias: Option[String]) {
     def name: String = alias.getOrElse(Render.expr(expr))
   }
 
   case class Query(
-      matches: Seq[MatchClause],
+      clauses: Seq[Clause],
       distinct: Boolean,
       items: Seq[ReturnItem],
       orderBy: Seq[(Expr, Boolean)],
@@ -71,6 +90,7 @@ object Ast {
         s"$n(${if (d) "DISTINCT " else ""}${args.map(expr).mkString(", ")})"
       case MapLit(es) =>
         es.map { case (k, v) => s"$k: ${expr(v)}" }.mkString("{", ", ", "}")
+      case ListLit(es) => es.map(expr).mkString("[", ", ", "]")
       case Star => "*"
     }
   }

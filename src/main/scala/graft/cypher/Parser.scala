@@ -21,10 +21,10 @@ object Parser {
   private val keywords = Set("MATCH", "OPTIONAL", "WHERE", "RETURN",
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
-    "SUM", "AVG", "MIN", "MAX")
+    "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -89,24 +89,58 @@ object Parser {
 
   def parse(query: String): Ast.Query = {
     val p = new P(tokenize(query))
-    val matches = Seq.newBuilder[Ast.MatchClause]
-    var first = true
-    while (p.peek.contains(Kw("MATCH")) || p.peek.contains(Kw("OPTIONAL"))) {
-      val optional = p.tryKw("OPTIONAL")
-      p.expectKw("MATCH")
-      if (first && optional)
-        throw ParseException("query must start with MATCH")
-      first = false
-      val pat = parsePattern(p)
-      val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
-      matches += Ast.MatchClause(pat, optional, where)
+    val clauses = Seq.newBuilder[Ast.Clause]
+    var sawAny = false
+    var done = false
+    while (!done) {
+      p.peek match {
+        case Some(Kw("MATCH")) | Some(Kw("OPTIONAL")) =>
+          val optional = p.tryKw("OPTIONAL")
+          p.expectKw("MATCH")
+          if (!sawAny && optional)
+            throw ParseException("query must start with MATCH/UNWIND")
+          sawAny = true
+          val pat = parsePattern(p)
+          val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+          clauses += Ast.MatchClause(pat, optional, where)
+        case Some(Kw("WITH")) =>
+          p.next()
+          if (!sawAny)
+            throw ParseException("query must start with MATCH/UNWIND")
+          val distinct = p.tryKw("DISTINCT")
+          val items = parseItems(p)
+          val (orderBy, skip, limit) = parseTail(p)
+          val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+          clauses += Ast.WithClause(distinct, items, where, orderBy, skip,
+            limit)
+        case Some(Kw("UNWIND")) =>
+          p.next()
+          sawAny = true
+          val e = parseExpr(p)
+          p.expectKw("AS")
+          clauses += Ast.UnwindClause(e, p.identOrKw())
+        case _ => done = true
+      }
     }
-    if (first) throw ParseException("query must start with MATCH")
+    if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
     p.expectKw("RETURN")
     val distinct = p.tryKw("DISTINCT")
+    val items = parseItems(p)
+    val (orderBy, skip, limit) = parseTail(p)
+    if (p.peek.nonEmpty)
+      throw ParseException(s"trailing input: ${p.toks.take(5)}")
+    Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
+  }
+
+  private def parseItems(p: P): Seq[Ast.ReturnItem] = {
     val items = Seq.newBuilder[Ast.ReturnItem]
     items += parseReturnItem(p)
     while (p.trySym(",")) items += parseReturnItem(p)
+    items.result()
+  }
+
+  private def parseTail(p: P)
+      : (Seq[(Ast.Expr, Boolean)], Option[Long], Option[Long]) = {
     val orderBy = Seq.newBuilder[(Ast.Expr, Boolean)]
     if (p.tryKw("ORDER")) {
       p.expectKw("BY")
@@ -120,10 +154,7 @@ object Parser {
     }
     val skip = if (p.tryKw("SKIP")) Some(parseLong(p)) else None
     val limit = if (p.tryKw("LIMIT")) Some(parseLong(p)) else None
-    if (p.peek.nonEmpty)
-      throw ParseException(s"trailing input: ${p.toks.take(5)}")
-    Ast.Query(matches.result(), distinct, items.result(), orderBy.result(),
-      skip, limit)
+    (orderBy.result(), skip, limit)
   }
 
   private def parseLong(p: P): Long = p.next() match {
@@ -182,18 +213,32 @@ object Parser {
     Ast.NodePattern(variable, label, props.result())
   }
 
-  // rel := '-[' var? (':' TYPE)? ']->' | '<-[' ... ']-'
+  // rel := '-[' var? (':' TYPE)? ('*' min? ('..' max)?)? ']->' | '<-[' ... ']-'
   private def parseRel(p: P): Ast.RelPattern = {
     val incoming = p.peek.contains(Sym("<-"))
     if (incoming) p.next() else p.expectSym("-")
     var variable: Option[String] = None
     var relType: Option[String] = None
+    var varLength: Option[(Int, Int)] = None
     if (p.trySym("[")) {
       p.peek match {
         case Some(Ident(v)) => p.next(); variable = Some(v)
         case _ => ()
       }
       if (p.trySym(":")) relType = Some(p.identOrKw())
+      if (p.trySym("*")) {
+        val min = p.peek match {
+          case Some(NumLit(v: Long)) => p.next(); v.toInt
+          case _ => 1
+        }
+        val max = if (p.trySym("..")) p.peek match {
+          case Some(NumLit(v: Long)) => p.next(); v.toInt
+          case other => throw ParseException(s"expected max hops, got $other")
+        } else min
+        if (min < 1 || max < min || max > 10)
+          throw ParseException(s"unsupported hop range *$min..$max")
+        varLength = Some((min, max))
+      }
       p.expectSym("]")
     }
     if (incoming) p.expectSym("-")
@@ -203,7 +248,7 @@ object Parser {
         throw ParseException("only directed relationships supported: -[]-> or <-[]-")
       }
     }
-    Ast.RelPattern(variable, relType, if (incoming) -1 else 1)
+    Ast.RelPattern(variable, relType, if (incoming) -1 else 1, varLength)
   }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----
@@ -249,6 +294,14 @@ object Parser {
       val e = parseExpr(p)
       p.expectSym(")")
       e
+    case Sym("[") =>
+      val items = Seq.newBuilder[Ast.Expr]
+      if (!p.trySym("]")) {
+        items += parseExpr(p)
+        while (p.trySym(",")) items += parseExpr(p)
+        p.expectSym("]")
+      }
+      Ast.ListLit(items.result())
     case Sym("{") =>
       val entries = Seq.newBuilder[(String, Ast.Expr)]
       def one(): Unit = {

@@ -2,25 +2,32 @@ package graft.cypher
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 
 import graft.store.GraphStore
 
 /** Lowers [[Ast.Query]] onto DataFrame plans over a [[GraphStore]]:
   * node patterns become filtered scans of the node table, hops become
   * equi-joins through the edge table (left-outer for OPTIONAL MATCH —
-  * C3), RETURN becomes projection/aggregation (COLLECT → collect_list,
-  * with Cypher's null-entry semantics — C4), ORDER/SKIP/LIMIT become
-  * sort + offset + limit.
+  * C3), variable-length hops become bounded iterative joins (the
+  * driver-side loop of SURVEY §4, not a SparkStrategy), WITH becomes a
+  * pipeline stage (projection + implicit grouping + HAVING), UNWIND
+  * becomes explode, RETURN becomes projection/aggregation (COLLECT →
+  * collect_list with Cypher's null-entry semantics — C4).
   *
   * Catalyst owns physical planning: label/property predicates push to
   * the parquet scan, the batch-sized pattern side broadcasts, AQE
   * handles skewed expansion.
   *
   * Documented simplifications (evidenced subset only):
-  *  - a bare relationship variable renders as its type string;
+  *  - a bare relationship variable renders as its type string; a
+  *    relationship variable on a var-length hop is not bindable;
+  *  - var-length paths do not enforce relationship-uniqueness (rows
+  *    are walk-paths, exact for acyclic data);
   *  - property values surface as canonical strings unless wrapped in
   *    toString/toInteger/toFloat/toBoolean;
-  *  - WHERE on an OPTIONAL MATCH applies after the join.
+  *  - WHERE on an OPTIONAL MATCH applies after the join;
+  *  - DISTINCT dedups on non-map columns (node identity = gid).
   */
 class Planner(store: GraphStore) {
   import Ast._
@@ -30,107 +37,27 @@ class Planner(store: GraphStore) {
   private sealed trait VarKind
   private case object NodeVar extends VarKind
   private case object RelVar extends VarKind
+  private case class ValueVar(colName: String) extends VarKind
 
+  private var env = Map.empty[String, VarKind]
+  private var df: DataFrame = _
   private var anon = 0
   private def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
 
+  private def spark = store.nodes.sparkSession
+
   def plan(q: Query): DataFrame = {
-    var env = Map.empty[String, VarKind]
-    var df: DataFrame = null
-
-    def nodeDf(v: String, n: NodePattern): DataFrame = {
-      var d = store.nodes.select(
-        col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
-        col("source").as(s"${v}__source"), col("props").as(s"${v}__props"))
-      n.label.foreach(l => d = d.filter(col(s"${v}__label") === l))
-      n.props.foreach { case (k, Lit(value)) =>
-        d = d.filter(propCmp(s"${v}__props", k, value))
-      }
-      d
+    q.clauses.foreach {
+      case m: MatchClause => applyMatch(m)
+      case w: WithClause => applyWith(w)
+      case u: UnwindClause => applyUnwind(u)
     }
-
-    def propCmp(propsCol: String, key: String, value: Any): Column = {
-      val pv = col(propsCol).getItem(key)
-      value match {
-        case s: String => pv.getField("s") === s
-        case l: Long => coalesce(pv.getField("l").cast("double"),
-          pv.getField("d")) === l.toDouble
-        case d: Double => coalesce(pv.getField("l").cast("double"),
-          pv.getField("d")) === d
-        case b: Boolean => pv.getField("b") === b
-        case null => pv.isNull
-        case other => throw PlanError(s"unsupported literal: $other")
-      }
-    }
-
-    // bind pattern clauses
-    q.matches.foreach { m =>
-      val joinType = if (m.optional) "left_outer" else "inner"
-      val headVar = m.pattern.head.variable.getOrElse(fresh("n"))
-      if (!env.contains(headVar)) {
-        val d = nodeDf(headVar, m.pattern.head)
-        env += headVar -> NodeVar
-        df = if (df == null) d else df.crossJoin(d)
-      } else if (m.pattern.head.label.nonEmpty ||
-          m.pattern.head.props.nonEmpty) {
-        m.pattern.head.label.foreach(l =>
-          df = df.filter(col(s"${headVar}__label") === l))
-        m.pattern.head.props.foreach { case (k, Lit(v)) =>
-          df = df.filter(propCmp(s"${headVar}__props", k, v))
-        }
-      }
-      var boundVar = headVar
-      m.pattern.hops.foreach { case (rel, node) =>
-        val rv = rel.variable.getOrElse(fresh("r"))
-        if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
-        env += rv -> RelVar
-        var e = store.edges.select(
-          col("src").as(s"${rv}__src"), col("dst").as(s"${rv}__dst"),
-          col("relType").as(s"${rv}__relType"),
-          col("source").as(s"${rv}__source"))
-        rel.relType.foreach(t => e = e.filter(col(s"${rv}__relType") === t))
-        val (fromCol, toCol) =
-          if (rel.direction > 0) (s"${rv}__src", s"${rv}__dst")
-          else (s"${rv}__dst", s"${rv}__src")
-        df = df.join(e, col(s"${boundVar}__gid") === col(fromCol), joinType)
-        val nv = node.variable.getOrElse(fresh("n"))
-        if (env.contains(nv)) {
-          // closing a cycle onto an already-bound node variable
-          df = df.filter(col(toCol).isNull ||
-            col(toCol) === col(s"${nv}__gid"))
-        } else {
-          env += nv -> NodeVar
-          val d = nodeDf(nv, node)
-          df = df.join(d, col(toCol) === col(s"${nv}__gid"), joinType)
-        }
-        boundVar = nv
-      }
-      m.where.foreach(w => df = df.filter(toPredicate(w, env)))
-    }
-
-    // RETURN
-    val hasAgg = q.items.exists(i => containsAgg(i.expr))
-    var out: DataFrame =
-      if (!hasAgg) {
-        df.select(q.items.map(i => itemCol(i, env)): _*)
-      } else {
-        val keyItems = q.items.filter(i => !containsAgg(i.expr))
-        val aggItems = q.items.filter(i => containsAgg(i.expr))
-        // node-variable keys group by gid (unique) + scalar cols;
-        // the props map rides through first()
-        val groupCols = keyItems.flatMap(i => groupingCols(i.expr, env))
-        val aggCols = aggItems.map(i => aggCol(i.expr, env).as(i.name)) ++
-          keyItems.flatMap(i => reassembleAfterGroup(i, env))
-        val grouped =
-          if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-          else df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        grouped.select(q.items.map(i => col(quote(i.name))): _*)
-      }
-    if (q.distinct) out = out.distinct()
-
+    if (df == null) throw PlanError("nothing bound before RETURN")
+    var out = projectReturn(q.items)
+    if (q.distinct) out = distinctSafe(out)
     if (q.orderBy.nonEmpty) {
       val sorts = q.orderBy.map { case (e, asc) =>
-        val c = resolveOrderCol(e, q.items, env)
+        val c = resolveOrderCol(e, q.items)
         if (asc) c.asc else c.desc
       }
       out = out.orderBy(sorts: _*)
@@ -140,16 +67,258 @@ class Planner(store: GraphStore) {
     out
   }
 
+  // ---- clause application ----
+
+  private def nodeDf(v: String, n: NodePattern): DataFrame = {
+    var d = store.nodes.select(
+      col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
+      col("source").as(s"${v}__source"), col("props").as(s"${v}__props"))
+    n.label.foreach(l => d = d.filter(col(s"${v}__label") === l))
+    n.props.foreach { case (k, Lit(value)) =>
+      d = d.filter(propCmp(s"${v}__props", k, value))
+    }
+    d
+  }
+
+  private def propCmp(propsCol: String, key: String, value: Any): Column = {
+    val pv = col(propsCol).getItem(key)
+    value match {
+      case s: String => pv.getField("s") === s
+      case l: Long => coalesce(pv.getField("l").cast("double"),
+        pv.getField("d")) === l.toDouble
+      case d: Double => coalesce(pv.getField("l").cast("double"),
+        pv.getField("d")) === d
+      case b: Boolean => pv.getField("b") === b
+      case null => pv.isNull
+      case other => throw PlanError(s"unsupported literal: $other")
+    }
+  }
+
+  private def applyMatch(m: MatchClause): Unit = {
+    val joinType = if (m.optional) "left_outer" else "inner"
+    val headVar = m.pattern.head.variable.getOrElse(fresh("n"))
+    if (!env.contains(headVar)) {
+      val d = nodeDf(headVar, m.pattern.head)
+      env += headVar -> NodeVar
+      df = if (df == null) d else df.crossJoin(d)
+    } else {
+      m.pattern.head.label.foreach(l =>
+        df = df.filter(col(s"${headVar}__label") === l))
+      m.pattern.head.props.foreach { case (k, Lit(v)) =>
+        df = df.filter(propCmp(s"${headVar}__props", k, v))
+      }
+    }
+    var boundVar = headVar
+    m.pattern.hops.foreach { case (rel, node) =>
+      boundVar = rel.varLength match {
+        case Some((minH, maxH)) =>
+          applyVarLengthHop(boundVar, rel, node, minH, maxH, joinType)
+        case None => applySingleHop(boundVar, rel, node, joinType)
+      }
+    }
+    m.where.foreach(w => df = df.filter(toPredicate(w)))
+  }
+
+  private def applySingleHop(boundVar: String, rel: RelPattern,
+      node: NodePattern, joinType: String): String = {
+    val rv = rel.variable.getOrElse(fresh("r"))
+    if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
+    env += rv -> RelVar
+    var e = store.edges.select(
+      col("src").as(s"${rv}__src"), col("dst").as(s"${rv}__dst"),
+      col("relType").as(s"${rv}__relType"),
+      col("source").as(s"${rv}__source"))
+    rel.relType.foreach(t => e = e.filter(col(s"${rv}__relType") === t))
+    val (fromCol, toCol) =
+      if (rel.direction > 0) (s"${rv}__src", s"${rv}__dst")
+      else (s"${rv}__dst", s"${rv}__src")
+    df = df.join(e, col(s"${boundVar}__gid") === col(fromCol), joinType)
+    val nv = node.variable.getOrElse(fresh("n"))
+    if (env.contains(nv)) {
+      df = df.filter(col(toCol).isNull || col(toCol) === col(s"${nv}__gid"))
+      nv
+    } else {
+      env += nv -> NodeVar
+      val d = nodeDf(nv, node)
+      df = df.join(d, col(toCol) === col(s"${nv}__gid"), joinType)
+      nv
+    }
+  }
+
+  /** bounded var-length expand: iterative frontier joins over distinct
+    * start gids, then joined back — the expansion never re-joins the
+    * (potentially wide) bound row set.
+    */
+  private def applyVarLengthHop(boundVar: String, rel: RelPattern,
+      node: NodePattern, minH: Int, maxH: Int, joinType: String): String = {
+    if (rel.variable.nonEmpty)
+      throw PlanError("relationship variable on a var-length hop is not supported")
+    var e = store.edges.select(col("src"), col("dst"), col("relType"))
+    rel.relType.foreach(t => e = e.filter(col("relType") === t))
+    val (fromCol, toCol) =
+      if (rel.direction > 0) ("src", "dst") else ("dst", "src")
+    val step = e.select(col(fromCol).as("__from"), col(toCol).as("__to"))
+
+    val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
+    var frontier = start
+      .join(step, col("__start") === col("__from"))
+      .select(col("__start"), col("__to").as("__end"), lit(1).as("__hops"))
+    var reach = if (minH <= 1) frontier else null
+    for (h <- 2 to maxH) {
+      // fresh column names per iteration — joining the same step
+      // relation repeatedly trips the ambiguous-self-join detector
+      val stepH = step.select(col("__from").as(s"__from$h"),
+        col("__to").as(s"__to$h"))
+      frontier = frontier
+        .join(stepH, col("__end") === col(s"__from$h"))
+        .select(col("__start"), col(s"__to$h").as("__end"),
+          lit(h).as("__hops"))
+      if (h >= minH) reach = if (reach == null) frontier
+        else reach.unionByName(frontier)
+    }
+    if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
+
+    df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), joinType)
+    val nv = node.variable.getOrElse(fresh("n"))
+    if (env.contains(nv)) {
+      df = df.filter(col("__end").isNull || col("__end") === col(s"${nv}__gid"))
+    } else {
+      env += nv -> NodeVar
+      val d = nodeDf(nv, node)
+      df = df.join(d, col("__end") === col(s"${nv}__gid"), joinType)
+    }
+    df = df.drop("__start", "__end", "__hops")
+    nv
+  }
+
+  private def applyUnwind(u: UnwindClause): Unit = {
+    if (df == null) df = spark.range(1).toDF("__seed")
+    val c = valueCol(u.expr)
+    val colName = s"${u.alias}__value"
+    df = df.select(df.columns.map(col) :+ explode(c).as(colName): _*)
+      .drop("__seed")
+    env += u.alias -> ValueVar(colName)
+  }
+
+  private def applyWith(w: WithClause): Unit = {
+    if (df == null) throw PlanError("WITH before any binding")
+    val hasAgg = w.items.exists(i => containsAgg(i.expr))
+    val newEnv = scala.collection.mutable.Map.empty[String, VarKind]
+
+    if (!hasAgg) {
+      val cols = Seq.newBuilder[Column]
+      w.items.foreach { i =>
+        i.expr match {
+          case VarRef(n) if env.get(n).contains(NodeVar) =>
+            val out = i.alias.getOrElse(n)
+            cols ++= Seq(col(s"${n}__gid").as(s"${out}__gid"),
+              col(s"${n}__label").as(s"${out}__label"),
+              col(s"${n}__source").as(s"${out}__source"),
+              col(s"${n}__props").as(s"${out}__props"))
+            newEnv += out -> NodeVar
+          case VarRef(r) if env.get(r).contains(RelVar) =>
+            val out = i.alias.getOrElse(r)
+            cols ++= Seq(col(s"${r}__relType").as(s"${out}__relType"),
+              col(s"${r}__source").as(s"${out}__source"))
+            newEnv += out -> RelVar
+          case other =>
+            val out = i.name
+            cols += valueCol(other).as(s"${out}__value")
+            newEnv += out -> ValueVar(s"${out}__value")
+        }
+      }
+      df = df.select(cols.result(): _*)
+    } else {
+      val keyItems = w.items.filter(i => !containsAgg(i.expr))
+      val aggItems = w.items.filter(i => containsAgg(i.expr))
+      val groupCols = Seq.newBuilder[Column]
+      val postAggs = Seq.newBuilder[Column]
+      keyItems.foreach { i =>
+        i.expr match {
+          case VarRef(n) if env.get(n).contains(NodeVar) =>
+            val out = i.alias.getOrElse(n)
+            groupCols ++= Seq(col(s"${n}__gid").as(s"${out}__gid"),
+              col(s"${n}__label").as(s"${out}__label"),
+              col(s"${n}__source").as(s"${out}__source"))
+            postAggs += first(col(s"${n}__props")).as(s"${out}__props")
+            newEnv += out -> NodeVar
+          case other =>
+            val out = i.name
+            groupCols += valueCol(other).as(s"${out}__value")
+            newEnv += out -> ValueVar(s"${out}__value")
+        }
+      }
+      aggItems.foreach { i =>
+        val out = i.name
+        postAggs += aggCol(i.expr).as(s"${out}__value")
+        newEnv += out -> ValueVar(s"${out}__value")
+      }
+      val aggs = postAggs.result()
+      val keys = groupCols.result()
+      df = if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    env = newEnv.toMap
+    if (w.distinct) df = distinctSafe(df)
+    w.where.foreach(p => df = df.filter(toPredicate(p)))
+    if (w.orderBy.nonEmpty) {
+      val sorts = w.orderBy.map { case (e, asc) =>
+        val c = valueCol(e)
+        if (asc) c.asc else c.desc
+      }
+      df = df.orderBy(sorts: _*)
+    }
+    w.skip.foreach(n => df = df.offset(n.toInt))
+    w.limit.foreach(n => df = df.limit(n.toInt))
+  }
+
+  /** distinct over non-map columns (maps are not set-op comparable;
+    * node identity is its gid).
+    */
+  private def distinctSafe(d: DataFrame): DataFrame = {
+    val safe = d.schema.fields
+      .filter(f => !containsMap(f.dataType)).map(_.name)
+    if (safe.isEmpty || safe.length == d.columns.length) {
+      if (safe.isEmpty) d else d.distinct()
+    } else d.dropDuplicates(safe.head, safe.tail: _*)
+  }
+
+  private def containsMap(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case _: MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+
+  // ---- RETURN ----
+
+  private def projectReturn(items: Seq[ReturnItem]): DataFrame = {
+    val hasAgg = items.exists(i => containsAgg(i.expr))
+    if (!hasAgg) df.select(items.map(i => valueCol(i.expr).as(i.name)): _*)
+    else {
+      val keyItems = items.filter(i => !containsAgg(i.expr))
+      val aggItems = items.filter(i => containsAgg(i.expr))
+      val groupCols = keyItems.flatMap(i => groupingCols(i.expr))
+      val aggCols = aggItems.map(i => aggCol(i.expr).as(i.name)) ++
+        keyItems.flatMap(i => reassembleAfterGroup(i))
+      val grouped =
+        if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      grouped.select(items.map(i => col(quote(i.name))): _*)
+    }
+  }
+
   private def quote(name: String): String = s"`$name`"
 
-  private def resolveOrderCol(e: Ast.Expr, items: Seq[Ast.ReturnItem],
-      env: Map[String, VarKind]): Column = {
+  private def resolveOrderCol(e: Ast.Expr, items: Seq[Ast.ReturnItem]): Column = {
     val item = items.find(i => i.expr == e || i.alias.contains(Ast.Render.expr(e)))
       .orElse(e match {
         case Ast.VarRef(n) => items.find(_.name == n)
         case _ => None
       })
-    val c = item.map(i => col(quote(i.name))).getOrElse(valueCol(e, env))
+    val c = item.map(i => col(quote(i.name))).getOrElse(valueCol(e))
     e match {
       // a node value is a struct holding a map — not orderable; Cypher
       // node ordering is by identity, so sort on gid
@@ -159,121 +328,114 @@ class Planner(store: GraphStore) {
   }
 
   private def containsAgg(e: Ast.Expr): Boolean = e match {
-    case Ast.FuncCall(n, args, _) =>
+    case FuncCall(n, args, _) =>
       Set("collect", "count", "sum", "avg", "min", "max").contains(n) ||
         args.exists(containsAgg)
-    case Ast.MapLit(es) => es.exists(x => containsAgg(x._2))
-    case Ast.Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
-    case Ast.And(l, r) => containsAgg(l) || containsAgg(r)
-    case Ast.Or(l, r) => containsAgg(l) || containsAgg(r)
-    case Ast.Not(x) => containsAgg(x)
+    case MapLit(es) => es.exists(x => containsAgg(x._2))
+    case ListLit(es) => es.exists(containsAgg)
+    case Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
+    case And(l, r) => containsAgg(l) || containsAgg(r)
+    case Or(l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
     case _ => false
   }
 
-  /** grouping columns for a key item */
-  private def groupingCols(e: Ast.Expr, env: Map[String, VarKind]): Seq[Column] =
-    e match {
-      case Ast.VarRef(n) if env.get(n).contains(NodeVar) =>
-        Seq(col(s"${n}__gid"), col(s"${n}__label"), col(s"${n}__source"))
-      case other => Seq(valueCol(other, env).as(Ast.Render.expr(other)))
-    }
+  private def groupingCols(e: Ast.Expr): Seq[Column] = e match {
+    case VarRef(n) if env.get(n).contains(NodeVar) =>
+      Seq(col(s"${n}__gid"), col(s"${n}__label"), col(s"${n}__source"))
+    case other => Seq(valueCol(other).as(Ast.Render.expr(other)))
+  }
 
-  /** rebuild a key item's output column after groupBy */
-  private def reassembleAfterGroup(i: Ast.ReturnItem,
-      env: Map[String, VarKind]): Seq[Column] = i.expr match {
-    case Ast.VarRef(n) if env.get(n).contains(NodeVar) =>
+  private def reassembleAfterGroup(i: ReturnItem): Seq[Column] = i.expr match {
+    case VarRef(n) if env.get(n).contains(NodeVar) =>
       Seq(struct(
         col(s"${n}__gid").as("gid"), col(s"${n}__label").as("label"),
         col(s"${n}__source").as("source"),
         first(col(s"${n}__props")).as("props")).as(i.name))
-    case other =>
-      Seq(first(valueCol(other, env)).as(i.name))
+    case other => Seq(first(valueCol(other)).as(i.name))
   }
 
-  private def itemCol(i: Ast.ReturnItem, env: Map[String, VarKind]): Column =
-    valueCol(i.expr, env).as(i.name)
-
-  private def aggCol(e: Ast.Expr, env: Map[String, VarKind]): Column = e match {
-    case Ast.FuncCall("count", Seq(Ast.Star), _) => count(lit(1))
-    case Ast.FuncCall("count", Seq(a), true) => countDistinct(valueCol(a, env))
-    case Ast.FuncCall("count", Seq(a), false) => count(valueCol(a, env))
-    case Ast.FuncCall("collect", Seq(a), distinct) =>
-      val c = valueCol(a, env)
+  private def aggCol(e: Ast.Expr): Column = e match {
+    case FuncCall("count", Seq(Star), _) => count(lit(1))
+    case FuncCall("count", Seq(a), true) => countDistinct(valueCol(a))
+    case FuncCall("count", Seq(a), false) => count(valueCol(a))
+    case FuncCall("collect", Seq(a), distinct) =>
+      val c = valueCol(a)
       if (distinct) sort_array(collect_set(c)) else sort_array(collect_list(c))
-    case Ast.FuncCall("sum", Seq(a), _) => sum(numCol(a, env))
-    case Ast.FuncCall("avg", Seq(a), _) => avg(numCol(a, env))
-    case Ast.FuncCall("min", Seq(a), _) => min(valueCol(a, env))
-    case Ast.FuncCall("max", Seq(a), _) => max(valueCol(a, env))
+    case FuncCall("sum", Seq(a), _) => sum(numCol(a))
+    case FuncCall("avg", Seq(a), _) => avg(numCol(a))
+    case FuncCall("min", Seq(a), _) => min(valueCol(a))
+    case FuncCall("max", Seq(a), _) => max(valueCol(a))
     case other => throw PlanError(s"unsupported aggregate: $other")
   }
 
-  /** numeric view of an expression (PV: long else double slot) */
-  private def numCol(e: Ast.Expr, env: Map[String, VarKind]): Column = e match {
-    case Ast.PropRef(v, p) if env.get(v).contains(NodeVar) =>
+  private def numCol(e: Ast.Expr): Column = e match {
+    case PropRef(v, p) if env.get(v).contains(NodeVar) =>
       val pv = col(s"${v}__props").getItem(p)
       coalesce(pv.getField("l").cast("double"), pv.getField("d"))
-    case other => valueCol(other, env).cast("double")
+    case other => valueCol(other).cast("double")
   }
 
-  /** value of an expression in projection context */
-  private def valueCol(e: Ast.Expr, env: Map[String, VarKind]): Column =
-    e match {
-      case Ast.Lit(null) => lit(null)
-      case Ast.Lit(v) => lit(v)
-      case Ast.Star => throw PlanError("* outside count()")
-      case Ast.VarRef(n) => env.get(n) match {
-        case Some(NodeVar) => struct(
-          col(s"${n}__gid").as("gid"), col(s"${n}__label").as("label"),
-          col(s"${n}__source").as("source"), col(s"${n}__props").as("props"))
-        case Some(RelVar) => col(s"${n}__relType")
-        case None => throw PlanError(s"unbound variable: $n")
-      }
-      case Ast.PropRef(v, p) => env.get(v) match {
-        case Some(NodeVar) => p match {
-          case "gid" => col(s"${v}__gid")
-          case "label" => col(s"${v}__label")
-          case "source" => col(s"${v}__source")
-          case _ =>
-            val pv = col(s"${v}__props").getItem(p)
-            coalesce(pv.getField("s"),
-              pv.getField("l").cast("string"),
-              pv.getField("d").cast("string"),
-              pv.getField("b").cast("string"))
-        }
-        case Some(RelVar) => p match {
-          case "type" | "relType" => col(s"${v}__relType")
-          case "source" => col(s"${v}__source")
-          case other => throw PlanError(s"unknown rel property: $other")
-        }
-        case None => throw PlanError(s"unbound variable: $v")
-      }
-      case Ast.MapLit(entries) =>
-        struct(entries.map { case (k, ex) => valueCol(ex, env).as(k) }: _*)
-      case Ast.FuncCall("tostring", Seq(a), _) => typedProp(a, env, "s")
-        .getOrElse(valueCol(a, env).cast("string"))
-      case Ast.FuncCall("tointeger", Seq(a), _) => typedProp(a, env, "l")
-        .getOrElse(valueCol(a, env).cast("long"))
-      case Ast.FuncCall("tofloat", Seq(a), _) => typedProp(a, env, "d")
-        .getOrElse(valueCol(a, env).cast("double"))
-      case Ast.FuncCall("toboolean", Seq(a), _) => typedProp(a, env, "b")
-        .getOrElse(valueCol(a, env).cast("boolean"))
-      case Ast.FuncCall("id", Seq(Ast.VarRef(n)), _) => col(s"${n}__gid")
-      case Ast.FuncCall("type", Seq(Ast.VarRef(n)), _)
-          if env.get(n).contains(RelVar) => col(s"${n}__relType")
-      case Ast.FuncCall("labels", Seq(Ast.VarRef(n)), _) =>
-        array(col(s"${n}__label"))
-      case c: Ast.Cmp => toPredicate(c, env)
-      case a: Ast.And => toPredicate(a, env)
-      case o: Ast.Or => toPredicate(o, env)
-      case n: Ast.Not => toPredicate(n, env)
-      case i: Ast.IsNull => toPredicate(i, env)
-      case other => throw PlanError(s"unsupported expression: $other")
-    }
+  // ---- expressions ----
 
-  /** typed slot extraction when the arg is a node property */
-  private def typedProp(e: Ast.Expr, env: Map[String, VarKind],
-      slot: String): Option[Column] = e match {
-    case Ast.PropRef(v, p) if env.get(v).contains(NodeVar) &&
+  private def valueCol(e: Ast.Expr): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case Star => throw PlanError("* outside count()")
+    case VarRef(n) => env.get(n) match {
+      case Some(NodeVar) => struct(
+        col(s"${n}__gid").as("gid"), col(s"${n}__label").as("label"),
+        col(s"${n}__source").as("source"), col(s"${n}__props").as("props"))
+      case Some(RelVar) => col(s"${n}__relType")
+      case Some(ValueVar(c)) => col(c)
+      case None => throw PlanError(s"unbound variable: $n")
+    }
+    case PropRef(v, p) => env.get(v) match {
+      case Some(NodeVar) => p match {
+        case "gid" => col(s"${v}__gid")
+        case "label" => col(s"${v}__label")
+        case "source" => col(s"${v}__source")
+        case _ =>
+          val pv = col(s"${v}__props").getItem(p)
+          coalesce(pv.getField("s"),
+            pv.getField("l").cast("string"),
+            pv.getField("d").cast("string"),
+            pv.getField("b").cast("string"))
+      }
+      case Some(RelVar) => p match {
+        case "type" | "relType" => col(s"${v}__relType")
+        case "source" => col(s"${v}__source")
+        case other => throw PlanError(s"unknown rel property: $other")
+      }
+      case Some(ValueVar(c)) => col(c).getField(p)
+      case None => throw PlanError(s"unbound variable: $v")
+    }
+    case MapLit(entries) =>
+      struct(entries.map { case (k, ex) => valueCol(ex).as(k) }: _*)
+    case ListLit(items) => array(items.map(valueCol): _*)
+    case FuncCall("tostring", Seq(a), _) => typedProp(a, "s")
+      .getOrElse(valueCol(a).cast("string"))
+    case FuncCall("tointeger", Seq(a), _) => typedProp(a, "l")
+      .getOrElse(valueCol(a).cast("long"))
+    case FuncCall("tofloat", Seq(a), _) => typedProp(a, "d")
+      .getOrElse(valueCol(a).cast("double"))
+    case FuncCall("toboolean", Seq(a), _) => typedProp(a, "b")
+      .getOrElse(valueCol(a).cast("boolean"))
+    case FuncCall("id", Seq(VarRef(n)), _) => col(s"${n}__gid")
+    case FuncCall("type", Seq(VarRef(n)), _)
+        if env.get(n).contains(RelVar) => col(s"${n}__relType")
+    case FuncCall("labels", Seq(VarRef(n)), _) => array(col(s"${n}__label"))
+    case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
+    case c: Cmp => toPredicate(c)
+    case a: And => toPredicate(a)
+    case o: Or => toPredicate(o)
+    case n: Not => toPredicate(n)
+    case i: IsNull => toPredicate(i)
+    case other => throw PlanError(s"unsupported expression: $other")
+  }
+
+  private def typedProp(e: Ast.Expr, slot: String): Option[Column] = e match {
+    case PropRef(v, p) if env.get(v).contains(NodeVar) &&
         !Set("gid", "label", "source").contains(p) =>
       val pv = col(s"${v}__props").getItem(p)
       slot match {
@@ -290,46 +452,43 @@ class Planner(store: GraphStore) {
     case _ => None
   }
 
-  private def toPredicate(e: Ast.Expr, env: Map[String, VarKind]): Column =
-    e match {
-      case Ast.And(l, r) => toPredicate(l, env) && toPredicate(r, env)
-      case Ast.Or(l, r) => toPredicate(l, env) || toPredicate(r, env)
-      case Ast.Not(x) => !toPredicate(x, env)
-      case Ast.IsNull(x, negated) =>
-        val c = valueCol(x, env)
-        if (negated) c.isNotNull else c.isNull
-      case Ast.Cmp(op, l, r) =>
-        val (lc, rc) = cmpSides(l, r, env)
-        op match {
-          case "=" => lc === rc
-          case "<>" => lc =!= rc
-          case "<" => lc < rc
-          case ">" => lc > rc
-          case "<=" => lc <= rc
-          case ">=" => lc >= rc
-        }
-      case other => valueCol(other, env).cast("boolean")
-    }
-
-  /** type-aware comparison: a node-property side takes the slot
-    * implied by the literal side.
-    */
-  private def cmpSides(l: Ast.Expr, r: Ast.Expr,
-      env: Map[String, VarKind]): (Column, Column) = (l, r) match {
-    case (p: Ast.PropRef, Ast.Lit(v)) =>
-      (typedSide(p, v, env), lit(v))
-    case (Ast.Lit(v), p: Ast.PropRef) =>
-      (lit(v), typedSide(p, v, env))
-    case _ => (valueCol(l, env), valueCol(r, env))
+  private def toPredicate(e: Ast.Expr): Column = e match {
+    case And(l, r) => toPredicate(l) && toPredicate(r)
+    case Or(l, r) => toPredicate(l) || toPredicate(r)
+    case Not(x) => !toPredicate(x)
+    case IsNull(x, negated) =>
+      val c = x match {
+        // IS NULL on a node variable tests bind success (OPTIONAL MATCH)
+        case VarRef(n) if env.get(n).contains(NodeVar) => col(s"${n}__gid")
+        case _ => valueCol(x)
+      }
+      if (negated) c.isNotNull else c.isNull
+    case Cmp(op, l, r) =>
+      val (lc, rc) = cmpSides(l, r)
+      op match {
+        case "=" => lc === rc
+        case "<>" => lc =!= rc
+        case "<" => lc < rc
+        case ">" => lc > rc
+        case "<=" => lc <= rc
+        case ">=" => lc >= rc
+      }
+    case other => valueCol(other).cast("boolean")
   }
 
-  private def typedSide(p: Ast.PropRef, litVal: Any,
-      env: Map[String, VarKind]): Column = litVal match {
-    case _: String => typedProp(p, env, "s").getOrElse(valueCol(p, env))
+  private def cmpSides(l: Ast.Expr, r: Ast.Expr): (Column, Column) =
+    (l, r) match {
+      case (p: PropRef, Lit(v)) => (typedSide(p, v), lit(v))
+      case (Lit(v), p: PropRef) => (lit(v), typedSide(p, v))
+      case _ => (valueCol(l), valueCol(r))
+    }
+
+  private def typedSide(p: Ast.PropRef, litVal: Any): Column = litVal match {
+    case _: String => typedProp(p, "s").getOrElse(valueCol(p))
     case _: Long | _: Double =>
-      typedProp(p, env, "d").getOrElse(valueCol(p, env).cast("double"))
-    case _: Boolean => typedProp(p, env, "b").getOrElse(valueCol(p, env))
-    case _ => valueCol(p, env)
+      typedProp(p, "d").getOrElse(valueCol(p).cast("double"))
+    case _: Boolean => typedProp(p, "b").getOrElse(valueCol(p))
+    case _ => valueCol(p)
   }
 }
 

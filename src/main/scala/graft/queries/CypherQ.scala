@@ -40,7 +40,28 @@ object CypherQ {
     "cypher_agg" -> ((s, dir) =>
       run(s, dir,
         """MATCH (n:Nation)-[r]->(m)
-           RETURN count(*) AS n_edges, count(DISTINCT m.gid) AS n_regions""")))
+           RETURN count(*) AS n_edges, count(DISTINCT m.gid) AS n_regions""")),
+
+    // WITH pipeline (aggregate → HAVING filter) via Cypher text.
+    "cypher_with_having" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (m)<-[:in_region]-(n:Nation)
+           WITH m, count(*) AS n_nations WHERE n_nations >= 5
+           RETURN m.gid AS region, n_nations ORDER BY region""")),
+
+    // bounded variable-length expand via Cypher text (hop 2 is empty
+    // in this star topology — exercises the iterative-join machinery).
+    "cypher_var_length" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (n:Nation)-[*1..2]->(m)
+           RETURN n.gid AS gid, m.gid AS target ORDER BY gid, target""")),
+
+    // UNWIND via Cypher text.
+    "cypher_unwind" -> ((s, dir) =>
+      run(s, dir,
+        """UNWIND [0, 1, 2] AS k
+           MATCH (n:Nation) WHERE n.gid = 'n:1'
+           RETURN n.gid AS gid, k ORDER BY k""")))
 
   val oracles: Map[String, String] = Map(
     "cypher_match_where" ->
@@ -54,5 +75,14 @@ object CypherQ {
          FROM nation GROUP BY 1 ORDER BY region""",
     "cypher_agg" ->
       """SELECT COUNT(*) AS n_edges,
-         COUNT(DISTINCT n_regionkey) AS n_regions FROM nation""")
+         COUNT(DISTINCT n_regionkey) AS n_regions FROM nation""",
+    "cypher_with_having" ->
+      """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n_nations
+         FROM nation GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY region""",
+    "cypher_var_length" ->
+      """SELECT 'n:'||n_nationkey AS gid, 'r:'||n_regionkey AS target
+         FROM nation ORDER BY gid, target""",
+    "cypher_unwind" ->
+      """SELECT 'n:1' AS gid, CAST(k AS BIGINT) AS k
+         FROM (SELECT unnest([0, 1, 2]) AS k) ORDER BY k""")
 }

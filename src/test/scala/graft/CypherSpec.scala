@@ -133,6 +133,60 @@ class CypherSpec extends AnyFunSuite {
     assert(labeled.getLong(0) == 4L)
   }
 
+  test("WITH pipeline: aggregate then filter (HAVING) then continue") {
+    val rows = CypherEngine.query(store,
+      """MATCH (c)<-[:worksfor]-(p:Person)
+         WITH c, count(*) AS staff WHERE staff >= 2
+         RETURN c.gid AS gid, staff""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:c1", 2L)))
+  }
+
+  test("WITH re-matching: carry a node var into a second MATCH") {
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person {name: 'jane'})
+         WITH p
+         MATCH (p)-[:knows]->(q)
+         RETURN p.name AS who, q.gid AS knows""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("jane", "urn:p1")))
+  }
+
+  test("UNWIND a literal list") {
+    val rows = CypherEngine.query(store,
+      """UNWIND [1, 2, 3] AS x
+         MATCH (n:Person {name: 'brian'})
+         RETURN n.name AS name, x ORDER BY x""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("brian", 1L), ("brian", 2L), ("brian", 3L)))
+  }
+
+  test("UNWIND a collected list back to rows") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->(m)
+         WITH collect(DISTINCT m.gid) AS targets
+         UNWIND targets AS t
+         RETURN t ORDER BY t""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:c1", "urn:p1"))
+  }
+
+  test("variable-length path *1..2") {
+    // jane -knows-> brian -worksfor-> c1; jane -worksfor-> c1
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person {name: 'jane'})-[*1..2]->(m)
+         RETURN m.gid AS gid ORDER BY gid""").collect()
+    // hop1: brian (knows), c1 (worksfor); hop2: c1 (via brian)
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("urn:c1", "urn:c1", "urn:p1"))
+  }
+
+  test("variable-length path with rel type and exact hops") {
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person {name: 'jane'})-[:knows*1..1]->(m)
+         RETURN m.gid AS gid""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1"))
+  }
+
   test("parse errors are reported, not swallowed") {
     intercept[graft.cypher.Parser.ParseException] {
       CypherEngine.query(store, "RETURN 1")
