@@ -100,9 +100,14 @@ object Parser {
           if (!sawAny && optional)
             throw ParseException("query must start with MATCH/UNWIND")
           sawAny = true
-          val pat = parsePattern(p)
+          // comma-separated patterns share one MATCH (and its WHERE)
+          val pats = Seq.newBuilder[Ast.PathPattern]
+          pats += parsePattern(p)
+          while (p.trySym(",")) pats += parsePattern(p)
           val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
-          clauses += Ast.MatchClause(pat, optional, where)
+          val all = pats.result()
+          all.init.foreach(pp => clauses += Ast.MatchClause(pp, optional, None))
+          clauses += Ast.MatchClause(all.last, optional, where)
         case Some(Kw("WITH")) =>
           p.next()
           if (!sawAny)

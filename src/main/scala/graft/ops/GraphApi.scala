@@ -85,6 +85,26 @@ object GraphRead {
     base.orderBy("recorded", "gid").limit(limit)
   }
 
+  /** D3 in EGDM shape: entities with their reference maps
+    * reconstructed from outgoing edges — what a UDA client expects
+    * back (the inverse of the A6/A9 projections).
+    */
+  def entitiesEgdm(store: GraphStore, label: String, source: String,
+      from: String = "", limit: Int = 1000): DataFrame = {
+    val page = entities(store, label, source, from, limit)
+    val e = store.edges.select(col("src"), col("dst"), col("relType"))
+    val refs = page.select(col("gid")).join(e, page("gid") === e("src"))
+      .groupBy(col("gid"), col("relType"))
+      .agg(sort_array(collect_list(col("dst"))).as("targets"))
+      .groupBy(col("gid"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("relType"), col("targets"))))).as("refs"))
+    page.join(refs, Seq("gid"), "left_outer")
+      .select(col("gid").as("id"), lit(false).as("deleted"),
+        col("props"), col("refs"), col("recorded"))
+      .orderBy("id")
+  }
+
   /** C1-C5: the reference's test-oracle query
     * (/root/reference/layer_test.go:117) —
     * {{{

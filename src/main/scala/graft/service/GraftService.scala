@@ -107,7 +107,11 @@ class GraftService(spark: SparkSession, config: LayerConfig,
           m => throw new NoSuchElementException(m), identity)
         val from = query1(ex, "from").getOrElse("")
         val limit = query1(ex, "limit").map(_.toInt).getOrElse(100)
-        (200, rowsJson(GraphRead.entities(store, d.label, d.name, from, limit)))
+        val df =
+          if (query1(ex, "format").contains("egdm"))
+            GraphRead.entitiesEgdm(store, d.label, d.name, from, limit)
+          else GraphRead.entities(store, d.label, d.name, from, limit)
+        (200, rowsJson(df))
 
       case ("GET", _ :: "changes" :: Nil) =>
         val since = query1(ex, "since").map(_.toLong).getOrElse(0L)
@@ -156,13 +160,19 @@ class GraftService(spark: SparkSession, config: LayerConfig,
       case l: Long => JInt(l)
       case d: Double => JDouble(d)
       case b: Boolean => JBool(b)
+      // a PV tagged value renders as its scalar (EGDM shape)
+      case r: Row if r.schema != null &&
+          r.schema.fieldNames.sameElements(Array("s", "l", "d", "b")) =>
+        (0 until 4).map(r.get).find(_ != null).map(toJValue).getOrElse(JNull)
       case r: Row => JObject(r.schema.fieldNames.toList.zipWithIndex.map {
         case (n, i) => n -> toJValue(r.get(i))
       })
-      case m: Map[_, _] => JObject(m.toList.map { case (k, x) =>
+      // collection.{Map,Seq}: Spark hands back mutable wrappers that
+      // are not Predef (immutable) types in Scala 2.13
+      case m: scala.collection.Map[_, _] => JObject(m.toList.map { case (k, x) =>
         String.valueOf(k) -> toJValue(x)
       })
-      case s: Seq[_] => JArray(s.toList.map(toJValue))
+      case s: scala.collection.Seq[_] => JArray(s.toList.map(toJValue))
       case other => JString(String.valueOf(other))
     }
     val rows = df.limit(max).collect().map { r =>

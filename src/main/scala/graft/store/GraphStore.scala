@@ -61,6 +61,32 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     else spark.read.schema(schema).parquet(versionDir(v).resolve(name).toString)
   }
 
+  /** Drop snapshot directories older than `keep` versions behind the
+    * current pointer. Readers pin the version they loaded, so retention
+    * must cover the longest-running reader; the pointer flip itself
+    * never blocks on GC. Returns the versions removed.
+    */
+  def vacuum(keep: Int = 2): Seq[Long] = synchronized {
+    val (cur, _) = current
+    val cutoff = cur - keep
+    if (cutoff <= 0) return Seq.empty
+    val removed = Seq.newBuilder[Long]
+    val dirs = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
+    dirs.filter(f => f.isDirectory && f.getName.matches("v\\d{8}")).foreach {
+      f =>
+        val v = f.getName.drop(1).toLong
+        if (v <= cutoff) {
+          def delete(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(delete)
+            x.delete()
+          }
+          delete(f)
+          removed += v
+        }
+    }
+    removed.result().sorted
+  }
+
   /** Write both tables as version n+1 and atomically flip the pointer.
     * Returns the committed version, or the current one if `syncId`
     * replays the last commit.

@@ -187,6 +187,15 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1"))
   }
 
+  test("multi-pattern MATCH with shared WHERE") {
+    val rows = CypherEngine.query(store,
+      """MATCH (a:Person), (b:Person)
+         WHERE a.gid < b.gid AND a.age > 25 AND b.age > 25
+         RETURN a.name AS a, b.name AS b""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("jane", "ola")))
+  }
+
   test("parse errors are reported, not swallowed") {
     intercept[graft.cypher.Parser.ParseException] {
       CypherEngine.query(store, "RETURN 1")

@@ -160,6 +160,19 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(sinceV1.map(_.getAs[String]("gid")).toSet == Set("urn:a", "urn:b"))
   }
 
+  test("vacuum drops old snapshots, keeps the readable window") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    (1 to 4).foreach(i => ds.incremental(Seq(Entity(s"urn:v$i"))))
+    assert(store.currentVersion == 4)
+    val removed = store.vacuum(keep = 2)
+    assert(removed == Seq(1L, 2L))
+    // current version still fully readable
+    assert(store.nodes.count() == 4)
+    // idempotent
+    assert(store.vacuum(keep = 2).isEmpty)
+  }
+
   test("entities pagination: keyset on gid (layer.go:262-265 contract)") {
     val store = freshStore()
     val ds = new GraphDataset(store, spark, "people", "Person")

@@ -101,6 +101,16 @@ class ServiceSpec extends AnyFunSuite {
     assert(listed.contains("urn:co-new") && !listed.contains("urn:co-old"))
   }
 
+  test("EGDM-shaped entity read: refs rebuilt from edges, scalar props") {
+    post("/datasets/people/entities",
+      """{"id":"urn:e1","props":{"urn:x#name":"gamma","urn:x#age":7},"refs":{"urn:x#worksfor":["urn:co1","urn:co2"]}}""")
+    val (code, body) = get("/datasets/people/entities?format=egdm&limit=100")
+    assert(code == 200)
+    // PV structs collapse to scalars; refs map rebuilt from edge rows
+    assert(body.contains("\"name\":\"gamma\"") && body.contains("\"age\":7"))
+    assert(body.contains("\"worksfor\":[\"urn:co1\",\"urn:co2\"]"))
+  }
+
   test("error contracts: unknown dataset 404, bad inputs 400") {
     val (c1, b1) = post("/datasets/nope/entities", """{"id":"urn:x"}""")
     assert(c1 == 404 && b1.contains("dataset not found"))
