@@ -25,6 +25,7 @@ object Ast {
   case object Star extends Expr // count(*)
 
   case class ListLit(items: Seq[Expr]) extends Expr
+  case class Param(name: String) extends Expr
 
   case class NodePattern(
       variable: Option[String],
@@ -91,6 +92,7 @@ object Ast {
       case MapLit(es) =>
         es.map { case (k, v) => s"$k: ${expr(v)}" }.mkString("{", ", ", "}")
       case ListLit(es) => es.map(expr).mkString("[", ", ", "]")
+      case Param(n) => s"$$$n"
       case Star => "*"
     }
   }

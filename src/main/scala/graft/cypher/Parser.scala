@@ -17,6 +17,7 @@ object Parser {
   case class StrLit(s: String) extends Tok
   case class NumLit(v: Any) extends Tok
   case class Sym(s: String) extends Tok
+  case class ParamTok(name: String) extends Tok
 
   private val keywords = Set("MATCH", "OPTIONAL", "WHERE", "RETURN",
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
@@ -24,7 +25,7 @@ object Parser {
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -41,8 +42,9 @@ object Parser {
             out += StrLit(m.group(4).replace("\\\"", "\"").replace("\\\\", "\\"))
           else if (m.group(5) != null) out += NumLit(m.group(5).toDouble)
           else if (m.group(6) != null) out += NumLit(m.group(6).toLong)
+          else if (m.group(7) != null) out += ParamTok(m.group(7))
           else {
-            val w = m.group(7)
+            val w = m.group(8)
             if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)
             else out += Ident(w)
           }
@@ -292,6 +294,7 @@ object Parser {
   private def parseAtom(p: P): Ast.Expr = p.next() match {
     case StrLit(s) => Ast.Lit(s)
     case NumLit(v) => Ast.Lit(v)
+    case ParamTok(n) => Ast.Param(n)
     case Kw("TRUE") => Ast.Lit(true)
     case Kw("FALSE") => Ast.Lit(false)
     case Kw("NULL") => Ast.Lit(null)

@@ -29,7 +29,7 @@ import graft.store.GraphStore
   *  - WHERE on an OPTIONAL MATCH applies after the join;
   *  - DISTINCT dedups on non-map columns (node identity = gid).
   */
-class Planner(store: GraphStore) {
+class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   import Ast._
 
   case class PlanError(msg: String) extends RuntimeException(msg)
@@ -413,6 +413,11 @@ class Planner(store: GraphStore) {
     case MapLit(entries) =>
       struct(entries.map { case (k, ex) => valueCol(ex).as(k) }: _*)
     case ListLit(items) => array(items.map(valueCol): _*)
+    case Param(n) => params.get(n) match {
+      case None => throw PlanError(s"missing parameter: $n")
+      case Some(seq: Seq[_]) => array(seq.map(v => lit(v)): _*)
+      case Some(v) => lit(v)
+    }
     case FuncCall("tostring", Seq(a), _) => typedProp(a, "s")
       .getOrElse(valueCol(a).cast("string"))
     case FuncCall("tointeger", Seq(a), _) => typedProp(a, "l")
@@ -480,8 +485,19 @@ class Planner(store: GraphStore) {
     (l, r) match {
       case (p: PropRef, Lit(v)) => (typedSide(p, v), lit(v))
       case (Lit(v), p: PropRef) => (lit(v), typedSide(p, v))
+      case (p: PropRef, Param(n)) if scalarParam(n).isDefined =>
+        val v = scalarParam(n).get
+        (typedSide(p, v), lit(v))
+      case (Param(n), p: PropRef) if scalarParam(n).isDefined =>
+        val v = scalarParam(n).get
+        (lit(v), typedSide(p, v))
       case _ => (valueCol(l), valueCol(r))
     }
+
+  private def scalarParam(n: String): Option[Any] = params.get(n) match {
+    case Some(_: Seq[_]) | None => None
+    case Some(v) => Some(v)
+  }
 
   private def typedSide(p: Ast.PropRef, litVal: Any): Column = litVal match {
     case _: String => typedProp(p, "s").getOrElse(valueCol(p))
@@ -494,6 +510,7 @@ class Planner(store: GraphStore) {
 
 /** Facade: the D1 `Query(query string)` contract, made real. */
 object CypherEngine {
-  def query(store: GraphStore, cypher: String): DataFrame =
-    new Planner(store).plan(Parser.parse(cypher))
+  def query(store: GraphStore, cypher: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    new Planner(store, params).plan(Parser.parse(cypher))
 }

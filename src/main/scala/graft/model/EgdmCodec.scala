@@ -80,4 +80,35 @@ object EgdmCodec {
     import spark.implicits._
     spark.read.textFile(path).filter(_.trim.nonEmpty).map(parseLine)
   }
+
+  /** Distributed NDJSON write — the EGDM export sink. */
+  def write(entities: Dataset[Entity], path: String): Unit = {
+    import entities.sparkSession.implicits._
+    entities.map(toJsonLine).write.mode("overwrite").text(path)
+  }
+
+  /** Flat-table (CSV/JDBC/parquet row) → entity mapper: `idCol`
+    * becomes the gid (prefixed), every other column becomes a property
+    * under `propNs`, and `refCols` map FK columns to reference URIs
+    * with a target-gid prefix. The relational on-ramp for graph
+    * ingest.
+    */
+  def fromFlat(df: org.apache.spark.sql.DataFrame, idCol: String,
+      idPrefix: String, propNs: String,
+      refCols: Map[String, (String, String)] = Map.empty): Dataset[Entity] = {
+    import df.sparkSession.implicits._
+    val cols = df.columns
+    df.map { row =>
+      val id = idPrefix + String.valueOf(row.get(row.fieldIndex(idCol)))
+      val props = cols.filterNot(c => c == idCol || refCols.contains(c))
+        .flatMap { c =>
+          Option(row.get(row.fieldIndex(c))).map(v => (propNs + c) -> PV.of(v))
+        }.toMap
+      val refs = refCols.flatMap { case (c, (refUri, targetPrefix)) =>
+        Option(row.get(row.fieldIndex(c)))
+          .map(v => refUri -> Seq(targetPrefix + String.valueOf(v)))
+      }
+      Entity(id, deleted = false, props, refs)
+    }
+  }
 }

@@ -128,11 +128,29 @@ class GraftService(spark: SparkSession, config: LayerConfig,
     if (ex.getRequestMethod != "POST")
       throw new IllegalArgumentException("POST a {\"query\": ...} body")
     val body = Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
-    val cypher = JsonMethods.parse(body) \ "query" match {
+    val parsed = JsonMethods.parse(body)
+    val cypher = parsed \ "query" match {
       case JString(q) => q
       case _ => throw new IllegalArgumentException("missing query field")
     }
-    (200, rowsJson(CypherEngine.query(store, cypher)))
+    def scalar(v: JValue): Any = v match {
+      case JString(s) => s
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JBool(b) => b
+      case other =>
+        throw new IllegalArgumentException(s"unsupported param value: $other")
+    }
+    val params: Map[String, Any] = parsed \ "params" match {
+      case JObject(fields) => fields.map {
+        case (k, JArray(items)) => k -> items.map(scalar)
+        case (k, v) => k -> scalar(v)
+      }.toMap
+      case _ => Map.empty
+    }
+    (200, rowsJson(CypherEngine.query(store, cypher, params)))
   }
 
   private def parseEntities(body: String): Seq[graft.model.Entity] = {

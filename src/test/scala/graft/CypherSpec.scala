@@ -187,6 +187,21 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1"))
   }
 
+  test("query parameters: scalar and list ($param)") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.name = $who
+         RETURN n.gid AS gid""", Map("who" -> "brian")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1"))
+
+    val unwound = CypherEngine.query(store,
+      """UNWIND $ks AS k
+         MATCH (n:Person {name: 'ola'})
+         RETURN n.name AS name, k ORDER BY k""",
+      Map("ks" -> Seq(10L, 20L))).collect()
+    assert(unwound.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ola", 10L), ("ola", 20L)))
+  }
+
   test("multi-pattern MATCH with shared WHERE") {
     val rows = CypherEngine.query(store,
       """MATCH (a:Person), (b:Person)

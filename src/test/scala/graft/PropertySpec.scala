@@ -100,6 +100,29 @@ class PropertySpec extends AnyFunSuite {
     (ns, es)
   }
 
+  test("flat-table source + NDJSON sink round-trip through a store") {
+    import org.apache.spark.sql.functions._
+    val nation = spark.read
+      .parquet("/root/testdata/sf0.001/nation.parquet")
+    val entities = graft.model.EgdmCodec.fromFlat(
+      nation, idCol = "n_nationkey", idPrefix = "n:",
+      propNs = "urn:tpch#",
+      refCols = Map("n_regionkey" -> ("urn:tpch#in_region", "r:")))
+    assert(entities.count() == 25)
+    val store = freshStore()
+    new GraphDataset(store, spark, "nations", "Nation")
+      .fullSync(entities.collect().toSeq)
+    assert(store.nodes.filter($"label" === "Nation").count() == 25)
+    assert(store.edges.filter($"relType" === "in_region").count() == 25)
+    // export: read the slice back as EGDM NDJSON and re-parse
+    val out = Files.createTempDirectory("graft-egdm-out").toString + "/x"
+    graft.model.EgdmCodec.write(entities, out)
+    val back = graft.model.EgdmCodec.read(spark, out)
+    assert(back.count() == 25)
+    assert(back.collect().map(_.id).sorted.sameElements(
+      entities.collect().map(_.id).sorted))
+  }
+
   test("merge idempotence: replaying a batch leaves the graph unchanged") {
     val entities = Gen.listOfN(12, entityGen).sample.get
       .distinctBy(_.id)
