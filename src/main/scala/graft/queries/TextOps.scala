@@ -238,23 +238,30 @@ object TextOps {
   /** 32-bit SimHash over distinct tokens: bit j comes from md5's first
     * 8 hex nibbles; each token votes ±1 per bit; simhash bit j set iff
     * the vote sum is positive.
+    *
+    * Computed as a per-row array fold (token hexes materialized once,
+    * then a zip_with accumulation of 32 bit-votes) — no explode, no
+    * shuffle; the doc row never leaves its partition. Same arithmetic
+    * as the exploded form, so the DuckDB oracle is unchanged.
     */
   private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents")
-      .select($"doc_id", explode(array_distinct(wordsCol)).as("w"))
-      .withColumn("hex", md5($"w"))
-    val bits = toks
-      .select($"doc_id", $"hex", explode(sequence(lit(0), lit(31))).as("j"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substr(hex, CAST(floor(j/4) AS INT)+1, 1)) - 1"))
-      .withColumn("bit",
-        expr("CAST(floor(nib / power(2, 3 - j % 4)) AS BIGINT) % 2"))
-    bits.groupBy($"doc_id", $"j")
-      .agg(sum($"bit" * 2 - 1).as("v"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"v" > 0,
-        expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("simhash"))
+    t(s, dir, "documents")
+      .select($"doc_id", array_distinct(wordsCol).as("w"))
+      .repartition($"doc_id")
+      .withColumn("hs", transform($"w", w => md5(w)))
+      .withColumn("votes", expr(
+        """aggregate(hs, array_repeat(0L, 32), (acc, hex) ->
+             zip_with(acc,
+               transform(sequence(0, 31), j ->
+                 CAST(floor((instr('0123456789abcdef',
+                     substr(hex, CAST(floor(j/4) AS INT)+1, 1)) - 1)
+                   / power(2, 3 - j % 4)) AS BIGINT) % 2 * 2 - 1),
+               (a, b) -> a + b))"""))
+      .select($"doc_id", expr(
+        """aggregate(zip_with(votes, sequence(0, 31), (v, j) ->
+             IF(v > 0, CAST(power(2, j) AS BIGINT), 0L)),
+           0L, (acc, x) -> acc + x)""").as("simhash"))
   }
 
   val oracles: Map[String, String] = Map(

@@ -58,7 +58,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   private def table(name: String, schema: StructType): DataFrame = {
     val v = currentVersion
     if (v == 0L) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(versionDir(v).resolve(name).toString)
+    else spark.read.schema(schema)
+      .parquet(versionDir(v).resolve(name).toString)
+      // partition discovery appends the partition column; restore the
+      // canonical column order
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** Drop snapshot directories older than `keep` versions behind the
@@ -97,14 +101,19 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       if (syncId.nonEmpty && syncId == lastSync) return v
       val next = v + 1
       val dir = versionDir(next)
+      // label/relType become directory partitions (pruned label scans —
+      // the reference's per-label index, A13/A11 physical analog);
+      // within a partition, files are gid/src-hash-distributed + sorted
       newNodes
         .repartition(numBuckets, newNodes("gid"))
         .sortWithinPartitions("gid")
-        .write.mode("overwrite").parquet(dir.resolve("nodes").toString)
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(dir.resolve("nodes").toString)
       newEdges
-        .repartition(numBuckets, newEdges("relType"), newEdges("src"))
-        .sortWithinPartitions("relType", "src")
-        .write.mode("overwrite").parquet(dir.resolve("edges").toString)
+        .repartition(numBuckets, newEdges("src"))
+        .sortWithinPartitions("src")
+        .write.mode("overwrite").partitionBy("relType")
+        .parquet(dir.resolve("edges").toString)
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp, s"$next\n$syncId".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
