@@ -295,6 +295,12 @@ object Parser {
     case StrLit(s) => Ast.Lit(s)
     case NumLit(v) => Ast.Lit(v)
     case ParamTok(n) => Ast.Param(n)
+    case Sym("-") => // unary minus ('-' lexes as a symbol first)
+      parseAtom(p) match {
+        case Ast.Lit(l: Long) => Ast.Lit(-l)
+        case Ast.Lit(d: Double) => Ast.Lit(-d)
+        case other => throw ParseException(s"cannot negate $other")
+      }
     case Kw("TRUE") => Ast.Lit(true)
     case Kw("FALSE") => Ast.Lit(false)
     case Kw("NULL") => Ast.Lit(null)

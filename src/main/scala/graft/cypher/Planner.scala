@@ -94,8 +94,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
   }
 
-  private def applyMatch(m: MatchClause): Unit = {
-    val joinType = if (m.optional) "left_outer" else "inner"
+  private def applyMatch(m: MatchClause): Unit =
+    if (m.optional && df != null) applyOptionalMatch(m)
+    else applyInnerMatch(m)
+
+  private def applyInnerMatch(m: MatchClause): Unit = {
     val headVar = m.pattern.head.variable.getOrElse(fresh("n"))
     if (!env.contains(headVar)) {
       val d = nodeDf(headVar, m.pattern.head)
@@ -112,15 +115,53 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     m.pattern.hops.foreach { case (rel, node) =>
       boundVar = rel.varLength match {
         case Some((minH, maxH)) =>
-          applyVarLengthHop(boundVar, rel, node, minH, maxH, joinType)
-        case None => applySingleHop(boundVar, rel, node, joinType)
+          applyVarLengthHop(boundVar, rel, node, minH, maxH)
+        case None => applySingleHop(boundVar, rel, node)
       }
     }
     m.where.foreach(w => df = df.filter(toPredicate(w)))
   }
 
+  /** OPTIONAL MATCH as a whole-pattern left join: the pattern (and its
+    * WHERE) is planned standalone with inner joins, then left-joined
+    * onto the bound rows via the variables it shares with them — so a
+    * partially-matching multi-hop pattern binds ALL-null (Cypher
+    * semantics), not a prefix, and an unshared pattern contributes one
+    * null row rather than a cross product.
+    */
+  private def applyOptionalMatch(m: MatchClause): Unit = {
+    val outerDf = df
+    val outerEnv = env
+    df = null
+    env = Map.empty
+    applyInnerMatch(m)
+    val subDf = df
+    val subEnv = env
+    subEnv.foreach { case (v, k) =>
+      if (outerEnv.contains(v) && k == RelVar)
+        throw PlanError(s"rel var $v already bound")
+    }
+    val sharedNodes = subEnv.collect {
+      case (v, NodeVar) if outerEnv.get(v).contains(NodeVar) => v
+    }.toSeq.sorted
+    val renamed = subDf.columns.foldLeft(subDf)(
+      (d, c) => d.withColumnRenamed(c, s"__sub__$c"))
+    val cond =
+      if (sharedNodes.isEmpty) lit(true)
+      else sharedNodes.map(v =>
+        col(s"${v}__gid") === col(s"__sub__${v}__gid")).reduce(_ && _)
+    var joined = outerDf.join(renamed, cond, "left_outer")
+    subDf.columns.foreach { c =>
+      val owner = subEnv.keys.find(v => c.startsWith(v + "__"))
+      if (owner.exists(outerEnv.contains)) joined = joined.drop(s"__sub__$c")
+      else joined = joined.withColumnRenamed(s"__sub__$c", c)
+    }
+    df = joined
+    env = outerEnv ++ (subEnv -- outerEnv.keys)
+  }
+
   private def applySingleHop(boundVar: String, rel: RelPattern,
-      node: NodePattern, joinType: String): String = {
+      node: NodePattern): String = {
     val rv = rel.variable.getOrElse(fresh("r"))
     if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
     env += rv -> RelVar
@@ -132,16 +173,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val (fromCol, toCol) =
       if (rel.direction > 0) (s"${rv}__src", s"${rv}__dst")
       else (s"${rv}__dst", s"${rv}__src")
-    df = df.join(e, col(s"${boundVar}__gid") === col(fromCol), joinType)
+    df = df.join(e, col(s"${boundVar}__gid") === col(fromCol), "inner")
     val nv = node.variable.getOrElse(fresh("n"))
     if (env.contains(nv)) {
-      df = df.filter(col(toCol).isNull || col(toCol) === col(s"${nv}__gid"))
+      df = df.filter(col(toCol) === col(s"${nv}__gid"))
+      rebindFilters(nv, node)
       nv
     } else {
       env += nv -> NodeVar
       val d = nodeDf(nv, node)
-      df = df.join(d, col(toCol) === col(s"${nv}__gid"), joinType)
+      df = df.join(d, col(toCol) === col(s"${nv}__gid"), "inner")
       nv
+    }
+  }
+
+  /** label/property constraints on an already-bound variable apply as
+    * filters (they are part of the pattern, not decoration).
+    */
+  private def rebindFilters(nv: String, node: NodePattern): Unit = {
+    node.label.foreach(l => df = df.filter(col(s"${nv}__label") === l))
+    node.props.foreach { case (k, Lit(v)) =>
+      df = df.filter(propCmp(s"${nv}__props", k, v))
     }
   }
 
@@ -150,7 +202,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * (potentially wide) bound row set.
     */
   private def applyVarLengthHop(boundVar: String, rel: RelPattern,
-      node: NodePattern, minH: Int, maxH: Int, joinType: String): String = {
+      node: NodePattern, minH: Int, maxH: Int): String = {
     if (rel.variable.nonEmpty)
       throw PlanError("relationship variable on a var-length hop is not supported")
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
@@ -178,14 +230,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
     if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
 
-    df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), joinType)
+    df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), "inner")
     val nv = node.variable.getOrElse(fresh("n"))
     if (env.contains(nv)) {
-      df = df.filter(col("__end").isNull || col("__end") === col(s"${nv}__gid"))
+      df = df.filter(col("__end") === col(s"${nv}__gid"))
+      rebindFilters(nv, node)
     } else {
       env += nv -> NodeVar
       val d = nodeDf(nv, node)
-      df = df.join(d, col("__end") === col(s"${nv}__gid"), joinType)
+      df = df.join(d, col("__end") === col(s"${nv}__gid"), "inner")
     }
     df = df.drop("__start", "__end", "__hops")
     nv
@@ -272,15 +325,32 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     w.limit.foreach(n => df = df.limit(n.toInt))
   }
 
-  /** distinct over non-map columns (maps are not set-op comparable;
-    * node identity is its gid).
+  /** distinct with map-bearing columns deduped by identity: a map is
+    * not set-op comparable, but a node struct carries its gid — so
+    * map-bearing struct columns dedup on their gid field and plain
+    * scalar columns on themselves.
     */
   private def distinctSafe(d: DataFrame): DataFrame = {
-    val safe = d.schema.fields
-      .filter(f => !containsMap(f.dataType)).map(_.name)
-    if (safe.isEmpty || safe.length == d.columns.length) {
-      if (safe.isEmpty) d else d.distinct()
-    } else d.dropDuplicates(safe.head, safe.tail: _*)
+    val mapFields = d.schema.fields.filter(f => containsMap(f.dataType))
+    if (mapFields.isEmpty) return d.distinct()
+    val keyExprs = Seq.newBuilder[(String, Column)]
+    d.schema.fields.foreach { f =>
+      if (!containsMap(f.dataType)) ()
+      else f.dataType match {
+        case s: org.apache.spark.sql.types.StructType
+            if s.fieldNames.contains("gid") =>
+          keyExprs += ((s"__dd_${f.name}", col(quote(f.name)).getField("gid")))
+        case _ => () // bare map column: no usable identity, skip
+      }
+    }
+    val keys = keyExprs.result()
+    val safe = d.schema.fields.filter(f => !containsMap(f.dataType))
+      .map(f => quote(f.name))
+    val allKeys = safe ++ keys.map(k => quote(k._1))
+    if (allKeys.isEmpty) return d
+    val withKeys = keys.foldLeft(d)((x, k) => x.withColumn(k._1, k._2))
+    withKeys.dropDuplicates(allKeys.map(_.stripPrefix("`").stripSuffix("`")))
+      .drop(keys.map(_._1): _*)
   }
 
   private def containsMap(t: org.apache.spark.sql.types.DataType): Boolean =
@@ -300,9 +370,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     else {
       val keyItems = items.filter(i => !containsAgg(i.expr))
       val aggItems = items.filter(i => containsAgg(i.expr))
-      val groupCols = keyItems.flatMap(i => groupingCols(i.expr))
+      // scalar keys keep their OUTPUT name on the groupBy column, so
+      // the final select is unambiguous; only node-variable keys need
+      // post-agg reassembly (their props ride through first()).
+      val groupCols = keyItems.flatMap { i =>
+        i.expr match {
+          case VarRef(n) if env.get(n).contains(NodeVar) =>
+            Seq(col(s"${n}__gid"), col(s"${n}__label"), col(s"${n}__source"))
+          case other => Seq(valueCol(other).as(i.name))
+        }
+      }
       val aggCols = aggItems.map(i => aggCol(i.expr).as(i.name)) ++
-        keyItems.flatMap(i => reassembleAfterGroup(i))
+        keyItems.flatMap { i =>
+          i.expr match {
+            case VarRef(n) if env.get(n).contains(NodeVar) =>
+              Seq(struct(
+                col(s"${n}__gid").as("gid"), col(s"${n}__label").as("label"),
+                col(s"${n}__source").as("source"),
+                first(col(s"${n}__props")).as("props")).as(i.name))
+            case _ => Seq.empty
+          }
+        }
       val grouped =
         if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -319,9 +407,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => None
       })
     val c = item.map(i => col(quote(i.name))).getOrElse(valueCol(e))
-    e match {
-      // a node value is a struct holding a map — not orderable; Cypher
-      // node ordering is by identity, so sort on gid
+    // a node value is a struct holding a map — not orderable; Cypher
+    // node ordering is by identity, so sort on gid. Only applies when
+    // the RESOLVED expression is actually a node variable (an alias
+    // that shadows a node var name resolves to its own scalar).
+    val resolved = item.map(_.expr).getOrElse(e)
+    resolved match {
       case Ast.VarRef(n) if env.get(n).contains(NodeVar) => c.getField("gid")
       case _ => c
     }
@@ -340,28 +431,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case _ => false
   }
 
-  private def groupingCols(e: Ast.Expr): Seq[Column] = e match {
-    case VarRef(n) if env.get(n).contains(NodeVar) =>
-      Seq(col(s"${n}__gid"), col(s"${n}__label"), col(s"${n}__source"))
-    case other => Seq(valueCol(other).as(Ast.Render.expr(other)))
-  }
-
-  private def reassembleAfterGroup(i: ReturnItem): Seq[Column] = i.expr match {
-    case VarRef(n) if env.get(n).contains(NodeVar) =>
-      Seq(struct(
-        col(s"${n}__gid").as("gid"), col(s"${n}__label").as("label"),
-        col(s"${n}__source").as("source"),
-        first(col(s"${n}__props")).as("props")).as(i.name))
-    case other => Seq(first(valueCol(other)).as(i.name))
-  }
-
   private def aggCol(e: Ast.Expr): Column = e match {
     case FuncCall("count", Seq(Star), _) => count(lit(1))
     case FuncCall("count", Seq(a), true) => countDistinct(valueCol(a))
     case FuncCall("count", Seq(a), false) => count(valueCol(a))
     case FuncCall("collect", Seq(a), distinct) =>
       val c = valueCol(a)
-      if (distinct) sort_array(collect_set(c)) else sort_array(collect_list(c))
+      // a collected node value holds a map → not sort_array-orderable;
+      // leave those in arrival order
+      val orderable = a match {
+        case VarRef(n) if env.get(n).contains(NodeVar) => false
+        case _ => true
+      }
+      (distinct, orderable) match {
+        case (true, true) => sort_array(collect_set(c))
+        case (true, false) => collect_set(c)
+        case (false, true) => sort_array(collect_list(c))
+        case (false, false) => collect_list(c)
+      }
     case FuncCall("sum", Seq(a), _) => sum(numCol(a))
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
     case FuncCall("min", Seq(a), _) => min(valueCol(a))
@@ -439,6 +526,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case other => throw PlanError(s"unsupported expression: $other")
   }
 
+  /** the numeric (long-or-double) view of a node property, None for
+    * anything that is not a PV property reference
+    */
+  private def numericSlot(e: Ast.Expr): Option[Column] = e match {
+    case PropRef(v, p) if env.get(v).contains(NodeVar) &&
+        !Set("gid", "label", "source").contains(p) =>
+      val pv = col(s"${v}__props").getItem(p)
+      Some(coalesce(pv.getField("l").cast("double"), pv.getField("d")))
+    case _ => None
+  }
+
   private def typedProp(e: Ast.Expr, slot: String): Option[Column] = e match {
     case PropRef(v, p) if env.get(v).contains(NodeVar) &&
         !Set("gid", "label", "source").contains(p) =>
@@ -469,14 +567,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       if (negated) c.isNotNull else c.isNull
     case Cmp(op, l, r) =>
-      val (lc, rc) = cmpSides(l, r)
-      op match {
+      def apply(lc: Column, rc: Column): Column = op match {
         case "=" => lc === rc
         case "<>" => lc =!= rc
         case "<" => lc < rc
         case ">" => lc > rc
         case "<=" => lc <= rc
         case ">=" => lc >= rc
+      }
+      (numericSlot(l), numericSlot(r)) match {
+        // property-to-property: numbers compare numerically when both
+        // sides hold numeric slots, else canonical strings — a plain
+        // string comparison would order "9" > "40". Numeric slots only
+        // (no string-cast fallback — ANSI mode would throw on text).
+        case (Some(ln), Some(rn)) =>
+          when(ln.isNotNull && rn.isNotNull, apply(ln, rn))
+            .otherwise(apply(valueCol(l), valueCol(r)))
+        case _ =>
+          val (lc, rc) = cmpSides(l, r)
+          apply(lc, rc)
       }
     case other => valueCol(other).cast("boolean")
   }

@@ -70,11 +70,21 @@ object GraphRead {
   }
 
   /** D2 change feed with continuation token + latest-only dedup.
-    * `recorded` is the commit version stamped by the merge job.
+    * `recorded` is the commit version stamped by the merge job. The
+    * continuation token is the COMPOUND keyset (recorded, gid) of the
+    * last row seen — `since` alone would skip the unreturned remainder
+    * of a version when `limit` cuts inside one commit.
     */
-  def changes(store: GraphStore, since: Long = 0L, limit: Int = 1000,
-      latestOnly: Boolean = false): DataFrame = {
-    val n = store.nodes.filter(col("recorded") > since)
+  def changes(store: GraphStore, since: Long = 0L, afterGid: String = "",
+      limit: Int = 1000, latestOnly: Boolean = false,
+      labelSource: Option[(String, String)] = None): DataFrame = {
+    var n = store.nodes.filter(
+      col("recorded") > since ||
+        (col("recorded") === since && lit(afterGid) =!= "" &&
+          col("gid") > afterGid))
+    labelSource.foreach { case (l, s) =>
+      n = n.filter(col("label") === l && col("source") === s)
+    }
     val base =
       if (!latestOnly) n
       else {

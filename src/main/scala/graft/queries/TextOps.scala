@@ -161,7 +161,7 @@ object TextOps {
         .orderBy($"da", $"db")
     }),
 
-    // MinHash(12) + LSH(6 bands × 2 rows) candidates, exact-Jaccard
+    // MinHash(12) + LSH(4 bands × 3 rows) candidates, exact-Jaccard
     // verified. Deterministic end-to-end: md5 min-hashing both sides.
     // Signatures are per-row array folds (array_min over the doc's
     // shingle array) — no 12-way explode/shuffle; only band keys and

@@ -113,11 +113,15 @@ class GraftService(spark: SparkSession, config: LayerConfig,
           else GraphRead.entities(store, d.label, d.name, from, limit)
         (200, rowsJson(df))
 
-      case ("GET", _ :: "changes" :: Nil) =>
+      case ("GET", ds :: "changes" :: Nil) =>
+        val d = config.dataset(ds).fold(
+          m => throw new NoSuchElementException(m), identity)
         val since = query1(ex, "since").map(_.toLong).getOrElse(0L)
+        val afterGid = query1(ex, "afterGid").getOrElse("")
         val limit = query1(ex, "limit").map(_.toInt).getOrElse(100)
         val latestOnly = query1(ex, "latestOnly").contains("true")
-        (200, rowsJson(GraphRead.changes(store, since, limit, latestOnly)))
+        (200, rowsJson(GraphRead.changes(store, since, afterGid, limit,
+          latestOnly, Some((d.label, d.name)))))
 
       case (m, p) =>
         throw new IllegalArgumentException(s"unsupported: $m /${p.mkString("/")}")

@@ -211,6 +211,94 @@ class CypherSpec extends AnyFunSuite {
       Seq(("jane", "ola")))
   }
 
+  test("OPTIONAL MATCH with a new head var binds null, not a cross product") {
+    // ola has no incoming 'knows' edges: exactly one row, q = null
+    val rows = CypherEngine.query(store,
+      """MATCH (m:Person {name: 'ola'})
+         OPTIONAL MATCH (q:Person)-[:knows]->(m)
+         RETURN m.name AS name, q.gid AS q""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "ola" && rows.head.isNullAt(1))
+    // brian IS known by jane: q binds
+    val hit = CypherEngine.query(store,
+      """MATCH (m:Person {name: 'brian'})
+         OPTIONAL MATCH (q:Person)-[:knows]->(m)
+         RETURN q.gid AS q""").collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("urn:p2"))
+  }
+
+  test("multi-hop OPTIONAL MATCH is all-or-nothing (whole-pattern null)") {
+    // jane -knows-> brian -knows-> ??? : hop1 matches, hop2 doesn't →
+    // the whole pattern must be null, not a bound prefix
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person {name: 'jane'})
+         OPTIONAL MATCH (p)-[:knows]->(x)-[:knows]->(y)
+         RETURN x.gid AS x, y.gid AS y""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1))
+  }
+
+  test("property-to-property comparison is numeric for numbers") {
+    // ages: brian 23, jane 31, ola 40 — lexicographic "23" < "31" <
+    // "40" coincides, so use a 9 to force divergence
+    val st2 = {
+      val s = new GraphStore(
+        Files.createTempDirectory("graft-cy2").toString, spark, 2)
+      new GraphDataset(s, spark, "people", "Person").fullSync(Seq(
+        Entity("urn:a").withProp("urn:x#age", 9),
+        Entity("urn:b").withProp("urn:x#age", 40)))
+      s
+    }
+    val rows = CypherEngine.query(st2,
+      """MATCH (a:Person), (b:Person) WHERE a.age > b.age
+         RETURN a.gid AS a, b.gid AS b""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:b", "urn:a"))) // 40 > 9, though "40" < "9"
+  }
+
+  test("label/prop constraints on an already-bound tail node apply") {
+    val rows = CypherEngine.query(store,
+      """MATCH (b:Person) MATCH (a)-[:knows]->(b:Company)
+         RETURN a.gid AS a, b.gid AS b""").collect()
+    assert(rows.isEmpty) // b cannot be both Person and Company
+  }
+
+  test("RETURN DISTINCT on a node variable dedups by identity") {
+    // p2 has two outgoing edges → without dedup it appears twice
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->(m) RETURN DISTINCT n ORDER BY n""").collect()
+    assert(rows.map(_.getStruct(0).getAs[String]("gid")).toSeq ==
+      Seq("urn:p1", "urn:p2"))
+  }
+
+  test("unaliased scalar key + aggregate does not collide") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->(m) RETURN n.name, count(*)
+         ORDER BY n.name""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("brian", 1L), ("jane", 2L)))
+  }
+
+  test("collect(node) works (no ordering over map-bearing structs)") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN collect(n) AS ns""").collect()
+    assert(rows.head.getSeq[Row](0).map(_.getAs[String]("gid")).toSet ==
+      Set("urn:p1", "urn:p2", "urn:p3"))
+  }
+
+  test("ORDER BY an alias that shadows a node variable name") {
+    val rows = CypherEngine.query(store,
+      """MATCH (q:Person) RETURN q.gid AS q ORDER BY q DESC LIMIT 1""")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p3"))
+  }
+
+  test("negative numeric literals parse") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.age > -1 RETURN count(*) AS n""").collect()
+    assert(rows.head.getLong(0) == 3L)
+  }
+
   test("parse errors are reported, not swallowed") {
     intercept[graft.cypher.Parser.ParseException] {
       CypherEngine.query(store, "RETURN 1")

@@ -160,6 +160,33 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(sinceV1.map(_.getAs[String]("gid")).toSet == Set("urn:a", "urn:b"))
   }
 
+  test("changes feed compound keyset: no rows lost when limit cuts a version") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    // one commit writes 5 entities, all with the same recorded version
+    ds.incremental((1 to 5).map(i => Entity(f"urn:k$i")))
+    val page1 = GraphRead.changes(store, limit = 2).collect()
+    assert(page1.length == 2)
+    val (lastV, lastG) = (page1.last.getAs[Long]("recorded"),
+      page1.last.getAs[String]("gid"))
+    val page2 = GraphRead.changes(store, since = lastV, afterGid = lastG,
+      limit = 10).collect()
+    // the remaining 3 of the same version are NOT skipped
+    assert(page2.map(_.getAs[String]("gid")).toSeq ==
+      Seq("urn:k3", "urn:k4", "urn:k5"))
+  }
+
+  test("changes feed filters by dataset label+source") {
+    val store = freshStore()
+    new GraphDataset(store, spark, "people", "Person")
+      .incremental(Seq(Entity("urn:pp1")))
+    new GraphDataset(store, spark, "companies", "Company")
+      .incremental(Seq(Entity("urn:cc1")))
+    val onlyPeople = GraphRead.changes(store,
+      labelSource = Some(("Person", "people"))).collect()
+    assert(onlyPeople.map(_.getAs[String]("gid")).toSeq == Seq("urn:pp1"))
+  }
+
   test("vacuum drops old snapshots, keeps the readable window") {
     val store = freshStore()
     val ds = new GraphDataset(store, spark, "people", "Person")

@@ -114,6 +114,11 @@ class ServiceSpec extends AnyFunSuite {
   test("error contracts: unknown dataset 404, bad inputs 400") {
     val (c1, b1) = post("/datasets/nope/entities", """{"id":"urn:x"}""")
     assert(c1 == 404 && b1.contains("dataset not found"))
+    val (cc, _) = get("/datasets/nope/changes")
+    assert(cc == 404)
+    // per-dataset scoping: people's feed never shows Company rows
+    val (_, peopleChanges) = get("/datasets/people/changes?limit=1000")
+    assert(!peopleChanges.contains("urn:co-new"))
     val (c2, _) = post("/query", """{"nope": 1}""")
     assert(c2 == 400)
     val (c3, b3) = post("/query", """{"query": "GARBAGE QUERY"}""")
