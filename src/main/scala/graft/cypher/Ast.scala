@@ -44,8 +44,12 @@ object Ast {
   case class PathPattern(head: NodePattern, hops: Seq[(RelPattern, NodePattern)])
 
   sealed trait Clause
+  /** one MATCH with all its comma-separated patterns and its WHERE —
+    * kept together so OPTIONAL MATCH can treat the whole clause as a
+    * single all-or-nothing unit
+    */
   case class MatchClause(
-      pattern: PathPattern,
+      patterns: Seq[PathPattern],
       optional: Boolean,
       where: Option[Expr]) extends Clause
 

@@ -107,9 +107,7 @@ object Parser {
           pats += parsePattern(p)
           while (p.trySym(",")) pats += parsePattern(p)
           val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
-          val all = pats.result()
-          all.init.foreach(pp => clauses += Ast.MatchClause(pp, optional, None))
-          clauses += Ast.MatchClause(all.last, optional, where)
+          clauses += Ast.MatchClause(pats.result(), optional, where)
         case Some(Kw("WITH")) =>
           p.next()
           if (!sawAny)

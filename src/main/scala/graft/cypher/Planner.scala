@@ -25,9 +25,13 @@ import graft.store.GraphStore
   *  - var-length paths do not enforce relationship-uniqueness (rows
   *    are walk-paths, exact for acyclic data);
   *  - property values surface as canonical strings unless wrapped in
-  *    toString/toInteger/toFloat/toBoolean;
-  *  - WHERE on an OPTIONAL MATCH applies after the join;
-  *  - DISTINCT dedups on non-map columns (node identity = gid).
+  *    toString/toInteger/toFloat/toBoolean (comparisons are
+  *    numeric-adaptive when both sides hold numeric slots);
+  *  - OPTIONAL MATCH plans its whole clause standalone and left-joins
+  *    it (WHERE rides in the join condition, so it may correlate with
+  *    outer variables);
+  *  - DISTINCT dedups scalar columns directly and map-bearing node
+  *    structs by their gid identity.
   */
 class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   import Ast._
@@ -99,65 +103,74 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     else applyInnerMatch(m)
 
   private def applyInnerMatch(m: MatchClause): Unit = {
-    val headVar = m.pattern.head.variable.getOrElse(fresh("n"))
-    if (!env.contains(headVar)) {
-      val d = nodeDf(headVar, m.pattern.head)
-      env += headVar -> NodeVar
-      df = if (df == null) d else df.crossJoin(d)
-    } else {
-      m.pattern.head.label.foreach(l =>
-        df = df.filter(col(s"${headVar}__label") === l))
-      m.pattern.head.props.foreach { case (k, Lit(v)) =>
-        df = df.filter(propCmp(s"${headVar}__props", k, v))
+    m.patterns.foreach { pattern =>
+      val headVar = pattern.head.variable.getOrElse(fresh("n"))
+      if (!env.contains(headVar)) {
+        val d = nodeDf(headVar, pattern.head)
+        env += headVar -> NodeVar
+        df = if (df == null) d else df.crossJoin(d)
+      } else {
+        pattern.head.label.foreach(l =>
+          df = df.filter(col(s"${headVar}__label") === l))
+        pattern.head.props.foreach { case (k, Lit(v)) =>
+          df = df.filter(propCmp(s"${headVar}__props", k, v))
+        }
       }
-    }
-    var boundVar = headVar
-    m.pattern.hops.foreach { case (rel, node) =>
-      boundVar = rel.varLength match {
-        case Some((minH, maxH)) =>
-          applyVarLengthHop(boundVar, rel, node, minH, maxH)
-        case None => applySingleHop(boundVar, rel, node)
+      var boundVar = headVar
+      pattern.hops.foreach { case (rel, node) =>
+        boundVar = rel.varLength match {
+          case Some((minH, maxH)) =>
+            applyVarLengthHop(boundVar, rel, node, minH, maxH)
+          case None => applySingleHop(boundVar, rel, node)
+        }
       }
     }
     m.where.foreach(w => df = df.filter(toPredicate(w)))
   }
 
-  /** OPTIONAL MATCH as a whole-pattern left join: the pattern (and its
-    * WHERE) is planned standalone with inner joins, then left-joined
-    * onto the bound rows via the variables it shares with them — so a
-    * partially-matching multi-hop pattern binds ALL-null (Cypher
-    * semantics), not a prefix, and an unshared pattern contributes one
-    * null row rather than a cross product.
+  /** OPTIONAL MATCH as a whole-clause left join: all comma-separated
+    * patterns are planned standalone with inner joins, then left-joined
+    * onto the bound rows — shared-variable equalities AND the clause's
+    * WHERE form the join condition, so (a) a partially-matching
+    * pattern binds ALL-null (Cypher semantics), not a prefix, and (b)
+    * the WHERE may reference outer-bound variables (correlated).
     */
   private def applyOptionalMatch(m: MatchClause): Unit = {
     val outerDf = df
     val outerEnv = env
     df = null
     env = Map.empty
-    applyInnerMatch(m)
+    applyInnerMatch(m.copy(where = None)) // WHERE joins below
     val subDf = df
     val subEnv = env
+    // a reused name must be a node var on both sides (Cypher rejects
+    // rebinding a value/rel variable as a pattern node)
     subEnv.foreach { case (v, k) =>
-      if (outerEnv.contains(v) && k == RelVar)
-        throw PlanError(s"rel var $v already bound")
+      outerEnv.get(v).foreach { outerKind =>
+        if (outerKind != NodeVar || k != NodeVar)
+          throw PlanError(
+            s"variable $v rebound with a different kind in OPTIONAL MATCH")
+      }
     }
-    val sharedNodes = subEnv.collect {
-      case (v, NodeVar) if outerEnv.get(v).contains(NodeVar) => v
-    }.toSeq.sorted
-    val renamed = subDf.columns.foldLeft(subDf)(
+    val shared = subEnv.keys.filter(outerEnv.contains).toSeq.sorted
+    // only the SHARED vars' columns collide; rename exactly those on
+    // the sub side (new vars keep canonical names, so the WHERE and
+    // later clauses resolve them directly)
+    val sharedCols = shared.flatMap(v =>
+      Seq("gid", "label", "source", "props").map(f => s"${v}__$f"))
+      .filter(subDf.columns.contains)
+    val renamedSub = sharedCols.foldLeft(subDf)(
       (d, c) => d.withColumnRenamed(c, s"__sub__$c"))
-    val cond =
-      if (sharedNodes.isEmpty) lit(true)
-      else sharedNodes.map(v =>
-        col(s"${v}__gid") === col(s"__sub__${v}__gid")).reduce(_ && _)
-    var joined = outerDf.join(renamed, cond, "left_outer")
-    subDf.columns.foreach { c =>
-      val owner = subEnv.keys.find(v => c.startsWith(v + "__"))
-      if (owner.exists(outerEnv.contains)) joined = joined.drop(s"__sub__$c")
-      else joined = joined.withColumnRenamed(s"__sub__$c", c)
-    }
-    df = joined
     env = outerEnv ++ (subEnv -- outerEnv.keys)
+    val baseCond =
+      if (shared.isEmpty) lit(true)
+      else shared.map(v =>
+        col(s"${v}__gid") === col(s"__sub__${v}__gid")).reduce(_ && _)
+    // shared-var references inside the WHERE resolve to the OUTER
+    // columns — equal to the sub side on every matched row
+    val cond = m.where.map(w => baseCond && toPredicate(w)).getOrElse(baseCond)
+    df = outerDf.join(renamedSub, cond, "left_outer")
+    sharedCols.foreach(c => df = df.drop(s"__sub__$c"))
   }
 
   private def applySingleHop(boundVar: String, rel: RelPattern,
@@ -331,26 +344,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * scalar columns on themselves.
     */
   private def distinctSafe(d: DataFrame): DataFrame = {
-    val mapFields = d.schema.fields.filter(f => containsMap(f.dataType))
-    if (mapFields.isEmpty) return d.distinct()
-    val keyExprs = Seq.newBuilder[(String, Column)]
-    d.schema.fields.foreach { f =>
-      if (!containsMap(f.dataType)) ()
-      else f.dataType match {
+    if (!d.schema.fields.exists(f => containsMap(f.dataType)))
+      return d.distinct()
+    val idKeys = d.schema.fields.collect {
+      case f if containsMap(f.dataType) => f.dataType match {
         case s: org.apache.spark.sql.types.StructType
             if s.fieldNames.contains("gid") =>
-          keyExprs += ((s"__dd_${f.name}", col(quote(f.name)).getField("gid")))
-        case _ => () // bare map column: no usable identity, skip
+          Some(s"__dd_${f.name}" -> col(quote(f.name)).getField("gid"))
+        case _ => None // bare map column: no usable identity
       }
-    }
-    val keys = keyExprs.result()
-    val safe = d.schema.fields.filter(f => !containsMap(f.dataType))
-      .map(f => quote(f.name))
-    val allKeys = safe ++ keys.map(k => quote(k._1))
+    }.flatten.toSeq
+    val scalarKeys = d.schema.fields
+      .filter(f => !containsMap(f.dataType)).map(_.name).toSeq
+    val allKeys = scalarKeys ++ idKeys.map(_._1)
     if (allKeys.isEmpty) return d
-    val withKeys = keys.foldLeft(d)((x, k) => x.withColumn(k._1, k._2))
-    withKeys.dropDuplicates(allKeys.map(_.stripPrefix("`").stripSuffix("`")))
-      .drop(keys.map(_._1): _*)
+    idKeys.foldLeft(d)((x, k) => x.withColumn(k._1, k._2))
+      .dropDuplicates(allKeys)
+      .drop(idKeys.map(_._1): _*)
   }
 
   private def containsMap(t: org.apache.spark.sql.types.DataType): Boolean =
@@ -437,12 +447,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("count", Seq(a), false) => count(valueCol(a))
     case FuncCall("collect", Seq(a), distinct) =>
       val c = valueCol(a)
-      // a collected node value holds a map → not sort_array-orderable;
-      // leave those in arrival order
-      val orderable = a match {
-        case VarRef(n) if env.get(n).contains(NodeVar) => false
-        case _ => true
-      }
+      // map-bearing values (node structs, maps, nested lists of them)
+      // are not sort_array-orderable — decide from the actual Spark
+      // type, not the AST shape; unorderable collects keep arrival
+      // order
+      val orderable = !containsMap(df.select(c).schema.head.dataType)
       (distinct, orderable) match {
         case (true, true) => sort_array(collect_set(c))
         case (true, false) => collect_set(c)

@@ -299,6 +299,41 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) == 3L)
   }
 
+  test("OPTIONAL MATCH WHERE may reference outer-bound variables (correlated)") {
+    // keep the edge only when the outer node's own name matches
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person)
+         OPTIONAL MATCH (p)-[:worksfor]->(c) WHERE p.name = 'brian'
+         RETURN p.name AS name, c.gid AS c ORDER BY name""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("brian", "urn:c1"), ("jane", null), ("ola", null)))
+  }
+
+  test("comma-separated OPTIONAL MATCH is one all-or-nothing clause") {
+    // jane knows brian, but nobody 'likes' anyone: both x and z null
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person {name: 'jane'})
+         OPTIONAL MATCH (p)-[:knows]->(x), (p)-[:likes]->(z)
+         RETURN x.gid AS x, z.gid AS z""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1))
+  }
+
+  test("rebinding a value var as a pattern node is rejected") {
+    intercept[RuntimeException] {
+      CypherEngine.query(store,
+        """MATCH (n:Person) WITH n.name AS x
+           OPTIONAL MATCH (x) RETURN x""").collect()
+    }
+  }
+
+  test("collect of map-bearing composites does not crash") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN collect({name: n.name, node: n}) AS xs""").collect()
+    assert(rows.head.getSeq[Row](0).length == 3)
+  }
+
   test("parse errors are reported, not swallowed") {
     intercept[graft.cypher.Parser.ParseException] {
       CypherEngine.query(store, "RETURN 1")
