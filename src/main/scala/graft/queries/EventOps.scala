@@ -156,8 +156,10 @@ object EventOps {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
            FROM flagged)
          SELECT user_id, session_seq,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -197,7 +199,8 @@ object EventOps {
          FROM c WHERE side = 1 ORDER BY event_id""",
     "e_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-         SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
          SUM(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0 /
            COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k
          FROM events GROUP BY event_type ORDER BY event_type""")

@@ -163,22 +163,21 @@ object TextOps {
 
     // MinHash(12) + LSH(4 bands × 3 rows) candidates, exact-Jaccard
     // verified. Deterministic end-to-end: md5 min-hashing both sides.
-    // Signatures are per-row array folds (array_min over the doc's
-    // shingle array) — no 12-way explode/shuffle; only band keys and
-    // the candidate intersection shuffle.
+    // Signatures are computed on the EXPLODED shingle table as 12
+    // codegen'd min() aggregate columns in one hash aggregate (the
+    // oracle's own shape) — no interpreted HOF md5 lambdas; map-side
+    // partial mins shrink the shuffle to 12 hashes per doc.
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val sh = cappedShingles(shingleTable(s, dir)).cache()
-      val shArr = sh.groupBy($"doc_id")
-        .agg(collect_list($"s").as("ss"), count(lit(1)).as("n"))
-      val cnt = shArr.select($"doc_id", $"n")
-      // cache: the 12-hash signature fold must run once per doc, not
-      // once per band-key reference (no CSE across element_at calls).
-      val sig = shArr.withColumn("hs",
-        transform(sequence(lit(0), lit(11)), i =>
-          array_min(transform($"ss",
-            x => md5(concat(i.cast("string"), lit("|"), x))))))
-        .select($"doc_id", $"hs").cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val hashed = sh.select(($"doc_id" +: (0 until 12).map(i =>
+        md5(concat(lit(s"$i|"), $"s")).as(s"h$i"))): _*)
+      val mins = (0 until 12).map(i => min(col(s"h$i")).as(s"h$i"))
+      val sig = hashed.groupBy($"doc_id")
+        .agg(mins.head, mins.tail: _*)
+        .select($"doc_id",
+          array((0 until 12).map(i => col(s"h$i")): _*).as("hs"))
       // 4 bands × 3 rows: candidate probability ≈ J³ per band — tuned
       // so the ~0.7 threshold keeps recall while random-pair collisions
       // (high baseline vocabulary overlap) stay rare.
@@ -239,29 +238,32 @@ object TextOps {
     * 8 hex nibbles; each token votes ±1 per bit; simhash bit j set iff
     * the vote sum is positive.
     *
-    * Computed as a per-row array fold (token hexes materialized once,
-    * then a zip_with accumulation of 32 bit-votes) — no explode, no
-    * shuffle; the doc row never leaves its partition. Same arithmetic
-    * as the exploded form, so the DuckDB oracle is unchanged.
+    * Physical shape: each token's leading 8 md5 hex chars are decoded
+    * ONCE via `conv(..., 16, 10)` into a 32-bit value `v`; the oracle's
+    * nibble arithmetic reduces to `bit_j = (v >> (31-j)) & 1` (j indexes
+    * the md5 prefix MSB-first). The per-doc vote tally is then a single
+    * whole-stage-codegen hash aggregate with 32 bit-count sums — no
+    * interpreted HOF lambdas. `votes_j > 0` ⟺ `2*ones_j > n_tokens`.
+    * Shuffle per doc is 33 longs (map-side partial agg), so the shape
+    * holds at any scale. Same arithmetic as round 1's fold, so the
+    * DuckDB oracle is unchanged.
     */
   private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
+    val toks = t(s, dir, "documents")
       .select($"doc_id", array_distinct(wordsCol).as("w"))
       .repartition($"doc_id")
-      .withColumn("hs", transform($"w", w => md5(w)))
-      .withColumn("votes", expr(
-        """aggregate(hs, array_repeat(0L, 32), (acc, hex) ->
-             zip_with(acc,
-               transform(sequence(0, 31), j ->
-                 CAST(floor((instr('0123456789abcdef',
-                     substr(hex, CAST(floor(j/4) AS INT)+1, 1)) - 1)
-                   / power(2, 3 - j % 4)) AS BIGINT) % 2 * 2 - 1),
-               (a, b) -> a + b))"""))
-      .select($"doc_id", expr(
-        """aggregate(zip_with(votes, sequence(0, 31), (v, j) ->
-             IF(v > 0, CAST(power(2, j) AS BIGINT), 0L)),
-           0L, (acc, x) -> acc + x)""").as("simhash"))
+      .select($"doc_id", explode($"w").as("tok"))
+      .select($"doc_id",
+        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("v"))
+    val ones = (0 until 32).map(j =>
+      sum(shiftright($"v", 31 - j).bitwiseAND(1)).as(s"o$j"))
+    val simhash = (0 until 32).map(j =>
+      when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy($"doc_id")
+      .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
+      .select($"doc_id", simhash.as("simhash"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -347,7 +349,8 @@ object TextOps {
 
   private lazy val simhashSql =
     """SELECT doc_id,
-       SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS simhash
        FROM (
          SELECT doc_id, j, SUM(bit*2 - 1) v FROM (
            SELECT doc_id, j,

@@ -19,19 +19,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
+    # Dtype-STRICT normalization: the driver hashes pandas values as-is,
+    # so int64 1000 vs float64 1000.0 is a hash MISMATCH there. Tag each
+    # value with its type class so Python's 1000 == 1000.0 can't mask
+    # the skew (DuckDB HUGEINT -> float64 was exactly that, round 1).
     def norm(v):
         if v is None:
-            return None
+            return ("null",)
+        if hasattr(v, "item"):  # numpy scalar -> python
+            v = v.item()
         if isinstance(v, float):
             if math.isnan(v):
-                return None
-            return round(v, 9)
-        if hasattr(v, "item"):  # numpy scalar
-            v = v.item()
-            return norm(v)
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
-        return v
+                return ("null",)
+            return ("f", round(v, 9))
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, int):
+            return ("i", v)
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return ("a", tuple(norm(x) for x in v))
+        return ("s", str(v))
 
     rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False)]
     return rows
