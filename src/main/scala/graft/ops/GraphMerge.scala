@@ -40,14 +40,38 @@ object GraphMerge {
     import spark.implicits._
     // Two URIs may strip to the same local name; the reference's Go map
     // write makes the later key win (/root/reference/neo4j.go:195-197).
+    // Scoped: everything downstream materializes inside store.commit's
+    // write action before the finally restores the session's policy.
+    val prevPolicy = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try applyBatchInner(store, source, label, batch, truncateFirst, syncId)
+    finally prevPolicy match {
+      case Some(p) => spark.conf.set("spark.sql.mapKeyDedupPolicy", p)
+      case None    => spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+    }
+  }
+
+  private def applyBatchInner(
+      store: GraphStore,
+      source: String,
+      label: String,
+      batch: Dataset[Entity],
+      truncateFirst: Boolean,
+      syncId: String): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
 
     val ver = store.currentVersion + 1
 
     // Arrival order within the batch (the reference gets last-wins
     // implicitly from sequential UNWIND execution; we pin it with an
-    // explicit sequence — SURVEY §7.4.3).
-    val b = batch.toDF.coalesce(1)
+    // explicit sequence). monotonically_increasing_id is
+    // (partitionId << 33) | rowOffset, so it follows batch order as
+    // long as the dataset's partitions hold contiguous slices in
+    // partition-index order — true for every ingest path (Seq.toDS,
+    // NDJSON line reads, Kafka offsets) because none shuffles before
+    // the merge. No coalesce(1): the stamp is per-partition parallel.
+    val b = batch.toDF
       .withColumn("seq", monotonically_increasing_id()).cache()
 
     // A5 tombstone partition (/root/reference/neo4j.go:186-189)
@@ -78,15 +102,19 @@ object GraphMerge {
 
     var nodes = store.nodes
     var edges = store.edges
+    val nodes0 = nodes
+    val edges0 = edges
 
     // B9 slice truncate: nodes with BOTH this label and source go, with
     // incident-edge cascade; stubs (null label/source) survive.
+    var doomedSlice: Option[DataFrame] = None
     if (truncateFirst) {
       // null-safe predicate: stubs carry null label/source and must
       // SURVIVE the truncate (/root/reference/layer_test.go:164-231) —
       // a plain === would three-value them out.
       val inSlice = $"label" <=> label && $"source" <=> source
       val doomed = nodes.filter(inSlice).select($"gid")
+      doomedSlice = Some(doomed)
       nodes = nodes.filter(!inSlice)
       edges = cascade(edges, doomed)
     }
@@ -127,7 +155,49 @@ object GraphMerge {
         lit(ver).as("recorded"))
     nodes = nodes.unionByName(stubs)
 
-    val committed = store.commit(nodes, edges, syncId)
+    // Touched-file detection (the Delta/Iceberg MERGE shape): find which
+    // label / relType partitions actually change, so the store rewrites
+    // only those and re-links the rest. Probe sets are batch-derived and
+    // broadcast-small; each probe is one column-pruned scan of the
+    // previous snapshot, pruned further by parquet min/max stats on the
+    // gid/src sort keys.
+    val affectedGids = batchGids.unionByName(deletedGids)
+    val hitLabels = nodes0.select($"gid", $"label")
+      .join(broadcast(affectedGids), Seq("gid"), "left_semi")
+      .select($"label").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    // relTypes added by this batch (batch-derived, small)
+    val newRelTypes = newEdges.select($"relType").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    val hasRefs = newRelTypes.nonEmpty
+    val dirtyLabels: Set[Option[String]] =
+      hitLabels + Some(label) ++
+        // stub rows land in the null-label partition; conservatively
+        // dirty whenever the batch carries refs (a stub MAY be created)
+        (if (hasRefs) Set(Option.empty[String]) else Set.empty)
+
+    // Edge partitions change where (a) an upserted node's outgoing
+    // edges are replaced (B4), (b) a deleted/truncated node's incident
+    // edges cascade (B2/B9), or (c) the batch adds edges.
+    val srcProbe0 = affectedGids.withColumnRenamed("gid", "src")
+    val dstProbe0 = deletedGids.withColumnRenamed("gid", "dst")
+    // the truncate cascade's doomed slice can be large — no broadcast
+    // hint there; AQE picks the join strategy
+    val (srcProbe, dstProbe) = doomedSlice match {
+      case None => (broadcast(srcProbe0), broadcast(dstProbe0))
+      case Some(d) => (
+        srcProbe0.unionByName(d.withColumnRenamed("gid", "src")),
+        dstProbe0.unionByName(d.withColumnRenamed("gid", "dst")))
+    }
+    val hitRelTypes = edges0.select($"src", $"relType")
+      .join(srcProbe, Seq("src"), "left_semi").select($"relType")
+      .unionByName(edges0.select($"dst", $"relType")
+        .join(dstProbe, Seq("dst"), "left_semi").select($"relType"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSet
+    val dirtyRelTypes = hitRelTypes ++ newRelTypes
+
+    val committed = store.commit(nodes, edges, syncId,
+      Some(dirtyLabels), Some(dirtyRelTypes))
     b.unpersist()
     committed
   }

@@ -3,42 +3,62 @@ package graft.store
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
-/** Versioned-snapshot property-graph store: the Spark analog of the
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Manifest-snapshot property-graph store: the Spark analog of the
   * reference's single Bolt transaction per batch
-  * (/root/reference/neo4j.go:238-284). Nodes and edges for version n+1
-  * are written to a fresh directory, then a pointer file is atomically
-  * flipped — readers pin whatever version the pointer named when they
-  * loaded it, so a batch's deletes/upserts/stubs/edges become visible
-  * together or not at all.
+  * (/root/reference/neo4j.go:238-284). A snapshot is a JSON manifest
+  * naming, per label (nodes) / per relType (edges), the exact parquet
+  * files that make up that partition. A commit appends new files for
+  * ONLY the partitions the batch touched into a shared data pool and
+  * re-links the untouched partitions' files from the previous manifest,
+  * then atomically flips a pointer file — readers pin whatever manifest
+  * the pointer named when they loaded it, so a batch's
+  * deletes/upserts/stubs/edges become visible together or not at all.
   *
   * Layout:
   * {{{
-  *   <root>/v00000042/nodes/   parquet
-  *   <root>/v00000042/edges/   parquet
-  *   <root>/_current           "42\n<syncId>"   (atomically replaced)
+  *   <root>/data/nodes/seg=7/label=Person/part-*.parquet   shared pool
+  *   <root>/data/edges/seg=7/relType=knows/part-*.parquet
+  *   <root>/m00000007.json    {"nodes":{"label=Person":[files]},...}
+  *   <root>/_current          "7\n<syncId>"   (atomically replaced)
   * }}}
+  *
+  * Files are immutable once written; `seg=<version>` namespaces each
+  * commit's output so file names never collide and a commit's write set
+  * is enumerable without listing diffs. Partition values (`label=…`,
+  * `relType=…`) stay real directory partitions, so label-filtered scans
+  * prune at the directory level (A13/A11 physical analog).
   *
   * Idempotent replay: a commit carrying the `syncId` already recorded in
   * `_current` is skipped (the reference's SyncId idempotence key,
   * /root/reference/layer_test.go:83).
   *
-  * Scale notes (100 TB): node files are written hash-distributed on
-  * `gid` (`repartition(numBuckets, $"gid")` + per-file sort) so merge
-  * joins against a batch co-locate; edges are laid out by `relType`,
-  * mirroring the reference's per-relType statement grouping
-  * (/root/reference/neo4j.go:274-279). On a real cluster the same
-  * schemas would be `bucketBy(gid)` metastore tables; the snapshot
-  * protocol is storage-format-agnostic.
+  * Scale notes (100 TB): an incremental batch rewrites only the
+  * label/relType partitions containing gids it upserts, deletes, or
+  * re-points (the caller passes those as `dirty*` — the same
+  * touched-file detection a Delta/Iceberg MERGE performs); everything
+  * else is a manifest re-link, i.e. O(touched data), not O(graph).
+  * Within a rewritten partition, files are gid/src-hash-distributed
+  * (`repartition(numBuckets, key)`) + sorted, so merge joins co-locate
+  * and parquet min/max stats prune gid probes. On a real cluster the
+  * pool would live on object storage and the pointer flip would be a
+  * conditional-put; the protocol is unchanged.
   */
 class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   import GraphStore._
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_current")
-  private def versionDir(v: Long): Path = rootPath.resolve(f"v$v%08d")
+  private def manifestPath(v: Long): Path = rootPath.resolve(f"m$v%08d.json")
+  private def dataDir(table: String): Path =
+    rootPath.resolve("data").resolve(table)
 
   Files.createDirectories(rootPath)
 
@@ -55,65 +75,57 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def nodes: DataFrame = table("nodes", nodeSchema)
   def edges: DataFrame = table("edges", edgeSchema)
 
-  private def table(name: String, schema: StructType): DataFrame = {
+  /** Current manifest's partition→files map for `table` ("nodes" or
+    * "edges"); file paths are relative to the store root. Exposed for
+    * compaction tooling and the incremental-commit spec.
+    */
+  def manifestFiles(table: String): Map[String, Seq[String]] = {
     val v = currentVersion
-    if (v == 0L) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema)
-      .parquet(versionDir(v).resolve(name).toString)
-      // partition discovery appends the partition column; restore the
-      // canonical column order
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    if (v == 0L) Map.empty else readManifest(v)(table)
   }
 
-  /** Drop snapshot directories older than `keep` versions behind the
-    * current pointer. Readers pin the version they loaded, so retention
-    * must cover the longest-running reader; the pointer flip itself
-    * never blocks on GC. Returns the versions removed.
-    */
-  def vacuum(keep: Int = 2): Seq[Long] = synchronized {
-    val (cur, _) = current
-    val cutoff = cur - keep
-    if (cutoff <= 0) return Seq.empty
-    val removed = Seq.newBuilder[Long]
-    val dirs = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
-    dirs.filter(f => f.isDirectory && f.getName.matches("v\\d{8}")).foreach {
-      f =>
-        val v = f.getName.drop(1).toLong
-        if (v <= cutoff) {
-          def delete(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(delete)
-            x.delete()
-          }
-          delete(f)
-          removed += v
-        }
-    }
-    removed.result().sorted
+  private def table(name: String, schema: StructType): DataFrame = {
+    val files = manifestFiles(name).values.flatten.toSeq.sorted
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read
+        .option("basePath", dataDir(name).toString)
+        .schema(schema) // partition cols in the schema (label/relType)
+        // resolve from the path; `seg` is appended by discovery
+        .parquet(files.map(f => rootPath.resolve(f).toString): _*)
+        .select(schema.fieldNames.map(col): _*) // canonical order, drop seg
   }
 
-  /** Write both tables as version n+1 and atomically flip the pointer.
-    * Returns the committed version, or the current one if `syncId`
-    * replays the last commit.
+  /** Commit version n+1 and atomically flip the pointer.
+    *
+    * @param dirtyLabels   node partitions the batch touched (None label =
+    *   the stub partition). `None` = rewrite all node partitions (full
+    *   rebuild, e.g. compaction). Rows of `newNodes` OUTSIDE the dirty
+    *   set must be byte-identical to the previous snapshot's — they are
+    *   not written, their files are re-linked.
+    * @param dirtyRelTypes same for edge partitions.
+    * @return the committed version, or the current one if `syncId`
+    *   replays the last commit.
     */
-  def commit(newNodes: DataFrame, newEdges: DataFrame, syncId: String = ""): Long =
+  def commit(
+      newNodes: DataFrame,
+      newEdges: DataFrame,
+      syncId: String = "",
+      dirtyLabels: Option[Set[Option[String]]] = None,
+      dirtyRelTypes: Option[Set[Option[String]]] = None): Long =
     synchronized {
       val (v, lastSync) = current
       if (syncId.nonEmpty && syncId == lastSync) return v
       val next = v + 1
-      val dir = versionDir(next)
-      // label/relType become directory partitions (pruned label scans —
-      // the reference's per-label index, A13/A11 physical analog);
-      // within a partition, files are gid/src-hash-distributed + sorted
-      newNodes
-        .repartition(numBuckets, newNodes("gid"))
-        .sortWithinPartitions("gid")
-        .write.mode("overwrite").partitionBy("label")
-        .parquet(dir.resolve("nodes").toString)
-      newEdges
-        .repartition(numBuckets, newEdges("src"))
-        .sortWithinPartitions("src")
-        .write.mode("overwrite").partitionBy("relType")
-        .parquet(dir.resolve("edges").toString)
+      val prev: Manifest =
+        if (v == 0L) Map("nodes" -> Map.empty, "edges" -> Map.empty)
+        else readManifest(v)
+      val nodesMan = writePartitions(
+        newNodes, "nodes", "label", "gid", next, dirtyLabels, prev("nodes"))
+      val edgesMan = writePartitions(
+        newEdges, "edges", "relType", "src", next, dirtyRelTypes, prev("edges"))
+      writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp, s"$next\n$syncId".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -121,9 +133,155 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         StandardCopyOption.REPLACE_EXISTING)
       next
     }
+
+  /** Write `df` restricted to the dirty partitions into
+    * `data/<table>/seg=<next>/…` and return the new manifest section:
+    * previous entries minus dirty keys, plus the files just written.
+    */
+  private def writePartitions(
+      df: DataFrame,
+      table: String,
+      partCol: String,
+      clusterCol: String,
+      next: Long,
+      dirty: Option[Set[Option[String]]],
+      prev: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val toWrite = dirty match {
+      case None => df
+      case Some(set) =>
+        val vals = set.flatten.toSeq
+        val c0 = if (vals.isEmpty) lit(false) else col(partCol).isin(vals: _*)
+        val cond: Column = if (set.contains(None)) c0 || col(partCol).isNull else c0
+        df.filter(cond)
+    }
+    toWrite
+      .repartition(numBuckets, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .withColumn("seg", lit(next))
+      .write.mode("append").partitionBy("seg", partCol)
+      .parquet(dataDir(table).toString)
+    val segDir = dataDir(table).resolve(s"seg=$next")
+    val written: Map[String, Seq[String]] =
+      if (!Files.exists(segDir)) Map.empty
+      else Files.list(segDir).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .map { partDir =>
+          val key = partDir.getFileName.toString
+          val files = Files.list(partDir).iterator().asScala
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .map(f => rootPath.relativize(f).toString)
+            .toSeq.sorted
+          key -> files
+        }
+        .filter(_._2.nonEmpty)
+        .toMap
+    val dropped: Set[String] = dirty match {
+      case None      => prev.keySet
+      case Some(set) => set.map(v => s"$partCol=${partDirName(v)}")
+    }
+    (prev -- dropped) ++ written
+  }
+
+  /** Drop manifests older than `keep` versions behind the current
+    * pointer, then delete pool files no retained manifest references.
+    * Readers pin the manifest they loaded, so retention must cover the
+    * longest-running reader; the pointer flip itself never blocks on
+    * GC. Returns the versions whose manifests were removed.
+    */
+  def vacuum(keep: Int = 2): Seq[Long] = synchronized {
+    val (cur, _) = current
+    val cutoff = cur - keep
+    if (cutoff <= 0) return Seq.empty
+    val all = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("m\\d{8}\\.json"))
+      .map(f => f.getName.drop(1).takeWhile(_.isDigit).toLong)
+    val (doomed, retained) = all.partition(_ <= cutoff)
+    if (doomed.isEmpty) return Seq.empty
+    val referenced: Set[String] = retained.flatMap { v =>
+      val m = readManifest(v)
+      m.values.flatMap(_.values.flatten)
+    }.toSet
+    doomed.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    // sweep unreferenced pool files, then prune empty directories
+    val pool = rootPath.resolve("data")
+    if (Files.exists(pool)) {
+      Files.walk(pool).iterator().asScala.toSeq.reverseIterator.foreach { p =>
+        if (Files.isRegularFile(p)) {
+          val rel = rootPath.relativize(p).toString
+          val keep = referenced.contains(rel) ||
+            !p.getFileName.toString.endsWith(".parquet")
+          if (!keep) Files.delete(p)
+        } else if (Files.isDirectory(p) && p != pool &&
+          !Files.list(p).iterator().hasNext) {
+          Files.delete(p)
+        }
+      }
+    }
+    doomed.toSeq.sorted
+  }
+
+  /** Rewrite every partition into a single fresh segment and commit it
+    * as a new version — collapses a long incremental-commit chain's
+    * small files (run after `vacuum` to reclaim the old segments).
+    */
+  def compact(): Long = commit(nodes, edges)
+
+  private def writeManifest(v: Long, m: Manifest): Unit = {
+    val json = JObject(m.toList.sortBy(_._1).map { case (t, parts) =>
+      t -> JObject(parts.toList.sortBy(_._1).map { case (k, fs) =>
+        k -> JArray(fs.toList.sorted.map(JString(_)))
+      })
+    })
+    Files.write(manifestPath(v),
+      JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def readManifest(v: Long): Manifest = {
+    val raw = new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
+    JsonMethods.parse(raw) match {
+      case JObject(tables) => tables.map {
+        case (t, JObject(parts)) => t -> parts.map {
+          case (k, JArray(fs)) =>
+            k -> fs.collect { case JString(s) => s }
+          case (k, _) => k -> Nil
+        }.toMap
+        case (t, _) => t -> Map.empty[String, Seq[String]]
+      }.toMap
+      case _ => Map("nodes" -> Map.empty, "edges" -> Map.empty)
+    }
+  }
 }
 
 object GraphStore {
+  /** manifest: table → (partition dir name → file paths relative to root) */
+  type Manifest = Map[String, Map[String, Seq[String]]]
+
+  /** Hive's null-partition sentinel, as written by Spark's partitionBy. */
+  val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Directory-name form of a partition value — mirrors Hive/Spark path
+    * escaping (ExternalCatalogUtils.escapePathName) so manifest keys
+    * computed from a dirty-set value match what partitionBy wrote.
+    */
+  def partDirName(v: Option[String]): String = v match {
+    case None => DefaultPartitionName
+    case Some(s) =>
+      val sb = new StringBuilder
+      s.foreach { c =>
+        if (needsEscaping(c)) sb.append('%').append(f"${c.toInt}%02X")
+        else sb.append(c)
+      }
+      sb.toString
+  }
+
+  private def needsEscaping(c: Char): Boolean =
+    c < 0x20 || c == 0x7F || c == '"' || c == '#' || c == '%' ||
+      c == '\'' || c == '*' || c == '/' || c == ':' || c == '=' ||
+      c == '?' || c == '\\' || c == '{' || c == '[' ||
+      c == ']' || c == '^'
+
   /** Node row: columns per /root/reference/neo4j.go:192-197 (gid, source,
     * stripped props) + neo4j.go:107 (label); `recorded` is the commit
     * version, powering the change feed (/root/reference/layer.go:257).

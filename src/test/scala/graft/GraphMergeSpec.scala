@@ -187,6 +187,41 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(onlyPeople.map(_.getAs[String]("gid")).toSeq == Seq("urn:pp1"))
   }
 
+  test("incremental commit re-links untouched partitions' files unchanged") {
+    val store = freshStore()
+    // seed two label partitions with refs (so edge partitions exist too)
+    new GraphDataset(store, spark, "people", "Person")
+      .incremental(Seq(Entity("urn:p1").withRef("urn:r#knows", "urn:p2")))
+    new GraphDataset(store, spark, "companies", "Company")
+      .incremental(Seq(Entity("urn:c1").withProp("urn:p#name", "acme")))
+
+    val personFiles = store.manifestFiles("nodes")("label=Person")
+    val knowsFiles = store.manifestFiles("edges")("relType=knows")
+    assert(personFiles.nonEmpty && knowsFiles.nonEmpty)
+    val mtimes = personFiles.map(f => f ->
+      Files.getLastModifiedTime(java.nio.file.Paths.get(store.root, f))).toMap
+
+    // a 1-entity Company batch with no refs must not rewrite Person
+    // nodes or knows edges — same files re-linked in the new manifest
+    new GraphDataset(store, spark, "companies", "Company")
+      .incremental(Seq(Entity("urn:c2").withProp("urn:p#name", "globex")))
+
+    assert(store.manifestFiles("nodes")("label=Person") == personFiles)
+    assert(store.manifestFiles("edges")("relType=knows") == knowsFiles)
+    personFiles.foreach { f =>
+      assert(Files.getLastModifiedTime(
+        java.nio.file.Paths.get(store.root, f)) == mtimes(f))
+    }
+    // and the touched partition did change
+    assert(store.nodes.filter($"label" === "Company").count() == 2)
+    // cross-partition correctness: a Company batch deleting a Person gid
+    // dirties the Person partition via touched-file detection
+    new GraphDataset(store, spark, "companies", "Company")
+      .incremental(Seq(Entity("urn:p1", deleted = true)))
+    assert(store.nodes.filter($"gid" === "urn:p1").count() == 0)
+    assert(store.edges.filter($"relType" === "knows").count() == 0)
+  }
+
   test("vacuum drops old snapshots, keeps the readable window") {
     val store = freshStore()
     val ds = new GraphDataset(store, spark, "people", "Person")
