@@ -70,13 +70,22 @@ object Ast {
     def name: String = alias.getOrElse(Render.expr(expr))
   }
 
+  /** terminal `[DETACH] DELETE var, …` — the write form the reference's
+    * own cleanup queries use (/root/reference/layer_test.go:275-281 and
+    * the generated templates neo4j.go:95-127). `detach` cascades
+    * incident edges; plain DELETE on a still-connected node is a
+    * runtime error (Neo4j semantics).
+    */
+  case class DeleteEnd(detach: Boolean, targets: Seq[String])
+
   case class Query(
       clauses: Seq[Clause],
       distinct: Boolean,
       items: Seq[ReturnItem],
       orderBy: Seq[(Expr, Boolean)],
       skip: Option[Long],
-      limit: Option[Long])
+      limit: Option[Long],
+      delete: Option[DeleteEnd] = None)
 
   /** default output names for un-aliased return items */
   object Render {

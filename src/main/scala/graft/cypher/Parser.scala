@@ -22,7 +22,7 @@ object Parser {
   private val keywords = Set("MATCH", "OPTIONAL", "WHERE", "RETURN",
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
-    "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND")
+    "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH")
 
   private val tokenRe: Regex =
     """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
@@ -128,13 +128,33 @@ object Parser {
       }
     }
     if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
-    p.expectKw("RETURN")
-    val distinct = p.tryKw("DISTINCT")
-    val items = parseItems(p)
-    val (orderBy, skip, limit) = parseTail(p)
-    if (p.peek.nonEmpty)
-      throw ParseException(s"trailing input: ${p.toks.take(5)}")
-    Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
+    p.peek match {
+      case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
+        // terminal write form: [DETACH] DELETE var, …
+        // (/root/reference/layer_test.go:275-281, neo4j.go:95-127)
+        val detach = p.tryKw("DETACH")
+        p.expectKw("DELETE")
+        val targets = Seq.newBuilder[String]
+        def one(): Unit = p.next() match {
+          case Ident(v) => targets += v
+          case other =>
+            throw ParseException(s"expected variable to delete, got $other")
+        }
+        one()
+        while (p.trySym(",")) one()
+        if (p.peek.nonEmpty)
+          throw ParseException(s"trailing input after DELETE: ${p.toks.take(5)}")
+        Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None,
+          delete = Some(Ast.DeleteEnd(detach, targets.result())))
+      case _ =>
+        p.expectKw("RETURN")
+        val distinct = p.tryKw("DISTINCT")
+        val items = parseItems(p)
+        val (orderBy, skip, limit) = parseTail(p)
+        if (p.peek.nonEmpty)
+          throw ParseException(s"trailing input: ${p.toks.take(5)}")
+        Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
+    }
   }
 
   private def parseItems(p: P): Seq[Ast.ReturnItem] = {

@@ -56,6 +56,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case w: WithClause => applyWith(w)
       case u: UnwindClause => applyUnwind(u)
     }
+    q.delete.foreach(d => return executeDelete(d))
     if (df == null) throw PlanError("nothing bound before RETURN")
     var out = projectReturn(q.items)
     if (q.distinct) out = distinctSafe(out)
@@ -69,6 +70,39 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     q.skip.foreach(n => out = out.offset(n.toInt))
     q.limit.foreach(n => out = out.limit(n.toInt))
     out
+  }
+
+  /** terminal `[DETACH] DELETE v, …`: resolve each target to its
+    * matched node-gid / edge-key set and hand the storage mutation to
+    * [[graft.ops.GraphMerge.deleteMatched]]; returns a one-row stats
+    * frame (the Neo4j "nodes deleted / relationships deleted" summary).
+    */
+  private def executeDelete(d: DeleteEnd): DataFrame = {
+    if (df == null) throw PlanError("DELETE requires a preceding MATCH")
+    val nodeSets = Seq.newBuilder[DataFrame]
+    val edgeSets = Seq.newBuilder[DataFrame]
+    d.targets.foreach { v =>
+      env.get(v) match {
+        case Some(NodeVar) =>
+          nodeSets += df.select(col(s"${v}__gid").as("gid"))
+            .filter(col("gid").isNotNull) // OPTIONAL MATCH null binds
+        case Some(RelVar) =>
+          edgeSets += df.select(
+            col(s"${v}__src").as("src"), col(s"${v}__dst").as("dst"),
+            col(s"${v}__relType").as("relType"))
+            .filter(col("src").isNotNull)
+        case Some(ValueVar(_)) =>
+          throw PlanError(s"cannot DELETE value variable: $v")
+        case None => throw PlanError(s"unbound variable: $v")
+      }
+    }
+    val doomedNodes = nodeSets.result().reduceOption(_ unionByName _)
+    val doomedEdges = edgeSets.result().reduceOption(_ unionByName _)
+    val stats = graft.ops.GraphMerge.deleteMatched(
+      store, doomedNodes, doomedEdges, d.detach)
+    spark.createDataFrame(Seq(
+      (stats.nodesDeleted, stats.edgesDeleted)))
+      .toDF("nodes_deleted", "relationships_deleted")
   }
 
   // ---- clause application ----

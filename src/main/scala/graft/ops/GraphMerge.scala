@@ -210,4 +210,99 @@ object GraphMerge {
     val d2 = doomedGids.withColumnRenamed("gid", "dst")
     edges.join(d1, Seq("src"), "left_anti").join(d2, Seq("dst"), "left_anti")
   }
+
+  /** result of a Cypher [DETACH] DELETE statement */
+  case class DeleteStats(nodesDeleted: Long, edgesDeleted: Long, version: Long)
+
+  /** Execute a matched-set delete — the storage half of Cypher's
+    * `[DETACH] DELETE` (/root/reference/neo4j.go:95-99,106,126 emit
+    * exactly these statements; layer_test.go:275-281 runs the node
+    * form verbatim).
+    *
+    * @param doomedNodeGids matched node gids (one `gid` column); may
+    *   repeat across rows — deduped here.
+    * @param doomedEdges matched edges (`src`,`dst`,`relType`).
+    * @param detach cascade incident edges; when false, a doomed node
+    *   with an incident edge NOT also deleted by this statement is a
+    *   runtime error (Neo4j semantics — edges are never deleted
+    *   implicitly by plain DELETE).
+    *
+    * The doomed sets are match results and can be O(graph) (e.g. the
+    * reference's whole-label cleanup), so no broadcast hints — AQE
+    * picks the join strategy. Anti-joins keep the big tables on the
+    * probe side.
+    */
+  def deleteMatched(
+      store: GraphStore,
+      doomedNodeGids: Option[DataFrame],
+      doomedEdges: Option[DataFrame],
+      detach: Boolean): DeleteStats = {
+    val spark = store.nodes.sparkSession
+    import spark.implicits._
+    val nodes0 = store.nodes
+    val edges0 = store.edges
+
+    val gids = doomedNodeGids.map(_.select("gid").distinct().cache())
+    val explicitEdges =
+      doomedEdges.map(_.select("src", "dst", "relType").distinct().cache())
+
+    // full doomed edge set: explicit rel-var targets + (DETACH only)
+    // every edge incident to a doomed node
+    val cascadeEdges: Option[DataFrame] =
+      if (detach) gids.map { g =>
+        edges0.select($"src", $"dst", $"relType")
+          .join(g.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
+          .unionByName(edges0.select($"src", $"dst", $"relType")
+            .join(g.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
+          .distinct()
+      } else None
+    val doomedEdgeSet: Option[DataFrame] = (cascadeEdges, explicitEdges) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct().cache())
+      case (a, b) => a.orElse(b)
+    }
+
+    // plain DELETE on a still-connected node is an error
+    if (!detach) gids.foreach { g =>
+      val incident = edges0.select($"src", $"dst", $"relType")
+        .join(g.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
+        .unionByName(edges0.select($"src", $"dst", $"relType")
+          .join(g.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
+      val remaining = explicitEdges.fold(incident)(de =>
+        incident.join(de, Seq("src", "dst", "relType"), "left_anti"))
+      if (!remaining.isEmpty)
+        throw new IllegalStateException(
+          "cannot delete a node that still has relationships; use DETACH DELETE")
+    }
+
+    val nodesDeleted = gids.map(_.count()).getOrElse(0L)
+    val edgesDeleted = doomedEdgeSet.map(_.count()).getOrElse(0L)
+    if (nodesDeleted == 0 && edgesDeleted == 0) {
+      val v = store.currentVersion // nothing matched: no new version
+      gids.foreach(_.unpersist()); explicitEdges.foreach(_.unpersist())
+      return DeleteStats(0, 0, v)
+    }
+
+    val newNodes = gids.fold(nodes0)(g =>
+      nodes0.join(g, Seq("gid"), "left_anti"))
+    val newEdges = doomedEdgeSet.fold(edges0)(de =>
+      edges0.join(de, Seq("src", "dst", "relType"), "left_anti"))
+
+    // dirty partitions: labels of doomed nodes, relTypes of doomed edges
+    val dirtyLabels: Set[Option[String]] = gids.map { g =>
+      nodes0.select($"gid", $"label").join(g, Seq("gid"), "left_semi")
+        .select($"label").distinct().collect()
+        .map(r => Option(r.getString(0))).toSet
+    }.getOrElse(Set.empty)
+    val dirtyRelTypes: Set[Option[String]] = doomedEdgeSet.map {
+      _.select($"relType").distinct().collect()
+        .map(r => Option(r.getString(0))).toSet
+    }.getOrElse(Set.empty)
+
+    val v = store.commit(newNodes, newEdges, "",
+      Some(dirtyLabels), Some(dirtyRelTypes))
+    gids.foreach(_.unpersist())
+    explicitEdges.foreach(_.unpersist())
+    doomedEdgeSet.foreach(_.unpersist())
+    DeleteStats(nodesDeleted, edgesDeleted, v)
+  }
 }

@@ -61,7 +61,20 @@ object CypherQ {
       run(s, dir,
         """UNWIND [0, 1, 2] AS k
            MATCH (n:Nation) WHERE n.gid = 'n:1'
-           RETURN n.gid AS gid, k ORDER BY k""")))
+           RETURN n.gid AS gid, k ORDER BY k""")),
+
+    // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
+    // form, /root/reference/layer_test.go:275-281) into a PRIVATE
+    // store, then a read whose per-region counts prove both the node
+    // delete and the incident-edge cascade.
+    "cypher_delete" -> ((s, dir) => {
+      val store = GraphOnTpch.freshNationStore(s, dir)
+      CypherEngine.query(store,
+        "MATCH (n:Nation) WHERE n.gid >= 'n:10' DETACH DELETE n").collect()
+      CypherEngine.query(store,
+        """MATCH (m)<-[:in_region]-(n:Nation)
+           RETURN m.gid AS region, count(*) AS n ORDER BY region""")
+    }))
 
   val oracles: Map[String, String] = Map(
     "cypher_match_where" ->
@@ -84,5 +97,9 @@ object CypherQ {
          FROM nation ORDER BY gid, target""",
     "cypher_unwind" ->
       """SELECT 'n:1' AS gid, CAST(k AS BIGINT) AS k
-         FROM (SELECT unnest([0, 1, 2]) AS k) ORDER BY k""")
+         FROM (SELECT unnest([0, 1, 2]) AS k) ORDER BY k""",
+    "cypher_delete" ->
+      """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
+         FROM nation WHERE 'n:'||n_nationkey < 'n:10'
+         GROUP BY 1 ORDER BY region""")
 }

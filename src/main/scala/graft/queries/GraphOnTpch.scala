@@ -61,6 +61,13 @@ object GraphOnTpch {
   private[queries] def nationStore(s: SparkSession, dir: String): GraphStore =
     mergedNationStore(s, dir)
 
+  /** a private store per call — for queries that MUTATE it
+    * (cypher_delete); the memoized store must stay pristine for the
+    * read-only registry entries.
+    */
+  private[queries] def freshNationStore(s: SparkSession, dir: String): GraphStore =
+    buildMergedNationStore(s, dir)
+
   private def buildMergedNationStore(s: SparkSession, dir: String): GraphStore = {
     import s.implicits._
     val entities = t(s, dir, "nation").collect().toSeq.map { r =>

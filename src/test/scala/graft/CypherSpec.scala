@@ -342,4 +342,78 @@ class CypherSpec extends AnyFunSuite {
       CypherEngine.query(store, "MATCH (n) RETURN n EXTRA")
     }
   }
+
+  // ---- C6: [DETACH] DELETE (reference cleanup form) ----
+
+  /** fresh mutable store with the same people/companies content as the
+    * shared read-only one
+    */
+  private def mutableStore(): GraphStore = {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-cypher-del").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:p1").withProp("urn:x#name", "brian")
+        .withRef("urn:x#worksfor", "urn:c1"),
+      Entity("urn:p2").withProp("urn:x#name", "jane")
+        .withRef("urn:x#worksfor", "urn:c1")
+        .withRef("urn:x#knows", "urn:p1"),
+      Entity("urn:p3").withProp("urn:x#name", "ola")))
+    new GraphDataset(st, spark, "companies", "Company").incremental(Seq(
+      Entity("urn:c1").withProp("urn:x#name", "Mimiro")))
+    st
+  }
+
+  test("the reference's verbatim cleanup queries run end-to-end " +
+      "(layer_test.go:275-281)") {
+    val st = mutableStore()
+    val r1 = CypherEngine.query(st,
+      "MATCH (n:Person) WHERE n.source = 'people' DETACH DELETE n").collect()
+    assert(r1.head.getAs[Long]("nodes_deleted") == 3)
+    assert(r1.head.getAs[Long]("relationships_deleted") == 3)
+    // all Person nodes and their incident edges are gone; Company stays
+    assert(st.nodes.filter($"label" === "Person").isEmpty)
+    assert(st.edges.isEmpty)
+    assert(st.nodes.filter($"label" === "Company").count() == 1)
+    val r2 = CypherEngine.query(st,
+      "MATCH (n:Company) WHERE n.source = 'companies' DETACH DELETE n").collect()
+    assert(r2.head.getAs[Long]("nodes_deleted") == 1)
+    assert(st.nodes.isEmpty)
+  }
+
+  test("plain DELETE on a still-connected node is an error") {
+    val st = mutableStore()
+    intercept[IllegalStateException] {
+      CypherEngine.query(st,
+        "MATCH (n:Person {name: 'jane'}) DELETE n").collect()
+    }
+    // store unchanged — no partial commit
+    assert(st.nodes.filter($"label" === "Person").count() == 3)
+  }
+
+  test("DELETE of a relationship variable removes only those edges") {
+    val st = mutableStore()
+    val r = CypherEngine.query(st,
+      "MATCH (a:Person)-[r:knows]->(b) DELETE r").collect()
+    assert(r.head.getAs[Long]("relationships_deleted") == 1)
+    assert(st.edges.filter($"relType" === "knows").isEmpty)
+    assert(st.edges.filter($"relType" === "worksfor").count() == 2)
+    assert(st.nodes.filter($"label" === "Person").count() == 3)
+  }
+
+  test("plain DELETE succeeds on an unconnected node") {
+    val st = mutableStore()
+    val r = CypherEngine.query(st,
+      "MATCH (a:Person {name: 'ola'}) DELETE a").collect()
+    assert(r.head.getAs[Long]("nodes_deleted") == 1)
+    assert(st.nodes.filter($"gid" === "urn:p3").isEmpty)
+  }
+
+  test("DELETE with zero matches commits nothing") {
+    val st = mutableStore()
+    val v0 = st.currentVersion
+    val r = CypherEngine.query(st,
+      "MATCH (n:Person {name: 'nobody'}) DETACH DELETE n").collect()
+    assert(r.head.getAs[Long]("nodes_deleted") == 0)
+    assert(st.currentVersion == v0)
+  }
 }
