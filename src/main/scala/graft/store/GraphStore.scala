@@ -149,28 +149,40 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val toWrite = dirty match {
       case None => df
       case Some(set) =>
-        val vals = set.flatten.toSeq
+        // "" and null partition values share the Hive default partition
+        // directory (partDirName), so either one dirty means both are
+        // rewritten — a split would drop the other's files from the
+        // manifest without rewriting its rows.
+        val vals = set.flatten.filter(_.nonEmpty).toSeq
         val c0 = if (vals.isEmpty) lit(false) else col(partCol).isin(vals: _*)
-        val cond: Column = if (set.contains(None)) c0 || col(partCol).isNull else c0
+        val wantDefault = set.contains(None) || set.contains(Some(""))
+        val cond: Column =
+          if (wantDefault) c0 || col(partCol).isNull || col(partCol) === ""
+          else c0
         df.filter(cond)
     }
+    // Retry safety: a commit that failed after writing some files (but
+    // before the pointer flip) leaves garbage in seg=<next> — `next` is
+    // unreferenced by any manifest, so anything already there is dead
+    // and must not be folded into the retried commit's listing.
+    val segDir = dataDir(table).resolve(s"seg=$next")
+    if (Files.exists(segDir)) deleteRecursively(segDir)
     toWrite
       .repartition(numBuckets, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .withColumn("seg", lit(next))
       .write.mode("append").partitionBy("seg", partCol)
       .parquet(dataDir(table).toString)
-    val segDir = dataDir(table).resolve(s"seg=$next")
     val written: Map[String, Seq[String]] =
       if (!Files.exists(segDir)) Map.empty
-      else Files.list(segDir).iterator().asScala
+      else listDir(segDir)
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
         .map { partDir =>
           val key = partDir.getFileName.toString
-          val files = Files.list(partDir).iterator().asScala
+          val files = listDir(partDir)
             .filter(f => f.getFileName.toString.endsWith(".parquet"))
             .map(f => rootPath.relativize(f).toString)
-            .toSeq.sorted
+            .sorted
           key -> files
         }
         .filter(_._2.nonEmpty)
@@ -205,20 +217,33 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     // sweep unreferenced pool files, then prune empty directories
     val pool = rootPath.resolve("data")
     if (Files.exists(pool)) {
-      Files.walk(pool).iterator().asScala.toSeq.reverseIterator.foreach { p =>
+      walkDir(pool).reverseIterator.foreach { p =>
         if (Files.isRegularFile(p)) {
           val rel = rootPath.relativize(p).toString
           val keep = referenced.contains(rel) ||
             !p.getFileName.toString.endsWith(".parquet")
           if (!keep) Files.delete(p)
-        } else if (Files.isDirectory(p) && p != pool &&
-          !Files.list(p).iterator().hasNext) {
+        } else if (Files.isDirectory(p) && p != pool && listDir(p).isEmpty) {
           Files.delete(p)
         }
       }
     }
     doomed.toSeq.sorted
   }
+
+  /** Files.list with the stream closed (it holds a directory fd). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def walkDir(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    walkDir(p).reverseIterator.foreach(Files.delete)
 
   /** Rewrite every partition into a single fresh segment and commit it
     * as a new version — collapses a long incremental-commit chain's
@@ -239,6 +264,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   }
 
   private def readManifest(v: Long): Manifest = {
+    if (!Files.exists(manifestPath(v)) &&
+        Files.exists(rootPath.resolve(f"v$v%08d")))
+      throw new IllegalStateException(
+        s"store at $root uses the legacy v-directory layout (version $v); " +
+          "rebuild it with the current format (no automatic migration)")
     val raw = new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8)
     JsonMethods.parse(raw) match {
       case JObject(tables) => tables.map {
@@ -266,7 +296,11 @@ object GraphStore {
     * computed from a dirty-set value match what partitionBy wrote.
     */
   def partDirName(v: Option[String]): String = v match {
-    case None => DefaultPartitionName
+    // Spark's partitionBy writes null AND empty-string values as the
+    // Hive default partition (getPartitionValueString treats both as
+    // absent) — Some("") must map with None or the manifest key would
+    // never match what was written.
+    case None | Some("") => DefaultPartitionName
     case Some(s) =>
       val sb = new StringBuilder
       s.foreach { c =>

@@ -222,6 +222,27 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(store.edges.filter($"relType" === "knows").count() == 0)
   }
 
+  test("retried commit ignores a failed attempt's stale seg files") {
+    val store = freshStore()
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.incremental(Seq(Entity("urn:p1"), Entity("urn:p2")))
+    val v = store.currentVersion
+    // simulate a commit that wrote files but died before the pointer
+    // flip: plant a REAL parquet file (a copy of the current Person
+    // partition) inside the next version's segment directory
+    val personFile = store.manifestFiles("nodes")("label=Person").head
+    val garbageDir = java.nio.file.Paths.get(
+      store.root, "data", "nodes", s"seg=${v + 1}", "label=Person")
+    Files.createDirectories(garbageDir)
+    Files.copy(java.nio.file.Paths.get(store.root, personFile),
+      garbageDir.resolve("part-stale.snappy.parquet"))
+    // the retried commit must not fold the stale file into its manifest
+    ds.incremental(Seq(Entity("urn:p3")))
+    assert(store.currentVersion == v + 1)
+    assert(store.nodes.filter($"label" === "Person").count() == 3)
+    assert(store.nodes.select("gid").distinct().count() == 3)
+  }
+
   test("vacuum drops old snapshots, keeps the readable window") {
     val store = freshStore()
     val ds = new GraphDataset(store, spark, "people", "Person")
