@@ -155,30 +155,47 @@ object GraphMerge {
         lit(ver).as("recorded"))
     nodes = nodes.unionByName(stubs)
 
-    // Touched-file detection (the Delta/Iceberg MERGE shape): find which
-    // label / relType partitions actually change, so the store rewrites
-    // only those and re-links the rest. Probe sets are batch-derived and
-    // broadcast-small; each probe is one column-pruned scan of the
-    // previous snapshot, pruned further by parquet min/max stats on the
-    // gid/src sort keys.
-    val affectedGids = batchGids.unionByName(deletedGids)
-    val hitLabels = nodes0.select($"gid", $"label")
-      .join(broadcast(affectedGids), Seq("gid"), "left_semi")
-      .select($"label").distinct().collect()
-      .map(r => Option(r.getString(0))).toSet
-    // relTypes added by this batch (batch-derived, small)
-    val newRelTypes = newEdges.select($"relType").distinct().collect()
-      .map(r => Option(r.getString(0))).toSet
-    val hasRefs = newRelTypes.nonEmpty
-    val dirtyLabels: Set[Option[String]] =
-      hitLabels + Some(label) ++
-        // stub rows land in the null-label partition; conservatively
-        // dirty whenever the batch carries refs (a stub MAY be created)
-        (if (hasRefs) Set(Option.empty[String]) else Set.empty)
+    // Touched-file detection (the Delta/Iceberg MERGE shape), at
+    // (partition, gid-hash-bucket) granularity: find which buckets
+    // actually change, so the store rewrites only those and re-links
+    // the rest. Probe sets are batch-derived and broadcast-small; each
+    // probe first prunes to the buckets the probe gids hash into
+    // (directory-level pruning via the bucket partition column), then
+    // parquet min/max stats on the gid/src sort keys prune inside.
+    val affectedGids = batchGids.unionByName(deletedGids).cache()
+    val affBuckets: Seq[Int] = affectedGids
+      .select(store.bucketOf($"gid").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // (label, bucket) pairs of EXISTING rows the batch touches —
+    // covers stub promotion (null label) and cross-label deletes
+    val hitLabelBuckets: Set[(Option[String], Option[Int])] =
+      store.nodesWithBucket.select($"gid", $"label", $"bucket")
+        .filter(if (affBuckets.isEmpty) lit(false)
+          else $"bucket".isin(affBuckets: _*))
+        .join(broadcast(affectedGids), Seq("gid"), "left_semi")
+        .select($"label", $"bucket").distinct().collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
+    // buckets the batch's own label writes into; a truncate rewrites
+    // the whole label (every bucket may lose rows)
+    val ownLabelKeys: Set[(Option[String], Option[Int])] =
+      if (truncateFirst) Set(Some(label) -> None)
+      else affBuckets.map(b =>
+        (Some(label): Option[String], Some(b): Option[Int])).toSet
+    // new stubs land in the null-label partition at bucket(gid) —
+    // probe the actual stub set (bounded by the batch's ref targets)
+    val stubKeys: Set[(Option[String], Option[Int])] =
+      stubs.select(store.bucketOf($"gid").as("b")).distinct().collect()
+        .map(r => (Option.empty[String], Some(r.getInt(0)): Option[Int]))
+        .toSet
+    val dirtyNodes = hitLabelBuckets ++ ownLabelKeys ++ stubKeys
 
     // Edge partitions change where (a) an upserted node's outgoing
     // edges are replaced (B4), (b) a deleted/truncated node's incident
-    // edges cascade (B2/B9), or (c) the batch adds edges.
+    // edges cascade (B2/B9), or (c) the batch adds edges. Edges are
+    // bucketed by src hash, so src probes prune to the probe gids'
+    // buckets; dst probes (cascade of incoming edges) must scan every
+    // bucket of the table — the price of not keeping a reverse index.
     val srcProbe0 = affectedGids.withColumnRenamed("gid", "src")
     val dstProbe0 = deletedGids.withColumnRenamed("gid", "dst")
     // the truncate cascade's doomed slice can be large — no broadcast
@@ -189,15 +206,33 @@ object GraphMerge {
         srcProbe0.unionByName(d.withColumnRenamed("gid", "src")),
         dstProbe0.unionByName(d.withColumnRenamed("gid", "dst")))
     }
-    val hitRelTypes = edges0.select($"src", $"relType")
-      .join(srcProbe, Seq("src"), "left_semi").select($"relType")
-      .unionByName(edges0.select($"dst", $"relType")
-        .join(dstProbe, Seq("dst"), "left_semi").select($"relType"))
-      .distinct().collect().map(r => Option(r.getString(0))).toSet
-    val dirtyRelTypes = hitRelTypes ++ newRelTypes
+    val srcBuckets: Seq[Int] = srcProbe
+      .select(store.bucketOf($"src").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val eb = store.edgesWithBucket
+    val hitRelTypeBuckets: Set[(Option[String], Option[Int])] =
+      eb.select($"src", $"relType", $"bucket")
+        .filter(if (srcBuckets.isEmpty) lit(false)
+          else $"bucket".isin(srcBuckets: _*))
+        .join(srcProbe, Seq("src"), "left_semi")
+        .select($"relType", $"bucket")
+        .unionByName(eb.select($"dst", $"relType", $"bucket")
+          .join(dstProbe, Seq("dst"), "left_semi")
+          .select($"relType", $"bucket"))
+        .distinct().collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
+    // (relType, bucket) keys added by this batch (batch-derived, small)
+    val newEdgeKeys: Set[(Option[String], Option[Int])] =
+      newEdges.select($"relType", store.bucketOf($"src").as("b"))
+        .distinct().collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
+    val dirtyEdges = hitRelTypeBuckets ++ newEdgeKeys
 
     val committed = store.commit(nodes, edges, syncId,
-      Some(dirtyLabels), Some(dirtyRelTypes))
+      Some(dirtyNodes), Some(dirtyEdges))
+    affectedGids.unpersist()
     b.unpersist()
     committed
   }
@@ -287,19 +322,28 @@ object GraphMerge {
     val newEdges = doomedEdgeSet.fold(edges0)(de =>
       edges0.join(de, Seq("src", "dst", "relType"), "left_anti"))
 
-    // dirty partitions: labels of doomed nodes, relTypes of doomed edges
-    val dirtyLabels: Set[Option[String]] = gids.map { g =>
-      nodes0.select($"gid", $"label").join(g, Seq("gid"), "left_semi")
-        .select($"label").distinct().collect()
-        .map(r => Option(r.getString(0))).toSet
+    // dirty (partition, bucket) keys: labels×buckets of doomed nodes,
+    // relTypes×buckets of doomed edges; the node probe prunes to the
+    // doomed gids' hash buckets at the directory level
+    val dirtyNodeKeys: Set[(Option[String], Option[Int])] = gids.map { g =>
+      val bs = g.select(store.bucketOf($"gid").as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      store.nodesWithBucket.select($"gid", $"label", $"bucket")
+        .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
+        .join(g, Seq("gid"), "left_semi")
+        .select($"label", $"bucket").distinct().collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
     }.getOrElse(Set.empty)
-    val dirtyRelTypes: Set[Option[String]] = doomedEdgeSet.map {
-      _.select($"relType").distinct().collect()
-        .map(r => Option(r.getString(0))).toSet
+    val dirtyEdgeKeys: Set[(Option[String], Option[Int])] = doomedEdgeSet.map {
+      _.select($"relType", store.bucketOf($"src").as("b"))
+        .distinct().collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
     }.getOrElse(Set.empty)
 
     val v = store.commit(newNodes, newEdges, "",
-      Some(dirtyLabels), Some(dirtyRelTypes))
+      Some(dirtyNodeKeys), Some(dirtyEdgeKeys))
     gids.foreach(_.unpersist())
     explicitEdges.foreach(_.unpersist())
     doomedEdgeSet.foreach(_.unpersist())

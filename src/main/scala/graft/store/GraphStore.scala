@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -24,34 +24,40 @@ import org.json4s.jackson.JsonMethods
   *
   * Layout:
   * {{{
-  *   <root>/data/nodes/seg=7/label=Person/part-*.parquet   shared pool
-  *   <root>/data/edges/seg=7/relType=knows/part-*.parquet
-  *   <root>/m00000007.json    {"nodes":{"label=Person":[files]},...}
-  *   <root>/_current          "7\n<syncId>"   (atomically replaced)
+  *   <root>/data/nodes/seg=7/label=Person/bucket=3/part-*.parquet
+  *   <root>/data/edges/seg=7/relType=knows/bucket=0/part-*.parquet
+  *   <root>/m00000007.json  {"nodes":{"label=Person/bucket=3":[files]},…}
+  *   <root>/_current        "7\n<syncId>"   (atomically replaced)
   * }}}
   *
   * Files are immutable once written; `seg=<version>` namespaces each
   * commit's output so file names never collide and a commit's write set
   * is enumerable without listing diffs. Partition values (`label=…`,
   * `relType=…`) stay real directory partitions, so label-filtered scans
-  * prune at the directory level (A13/A11 physical analog).
+  * prune at the directory level (A13/A11 physical analog); `bucket=…`
+  * subdivides each partition by cluster-key hash, so manifest dirtiness
+  * is per-BUCKET — an incremental batch rewrites only the hash buckets
+  * its gids land in and re-links sibling buckets untouched.
   *
   * Idempotent replay: a commit carrying the `syncId` already recorded in
   * `_current` is skipped (the reference's SyncId idempotence key,
   * /root/reference/layer_test.go:83).
   *
   * Scale notes (100 TB): an incremental batch rewrites only the
-  * label/relType partitions containing gids it upserts, deletes, or
-  * re-points (the caller passes those as `dirty*` — the same
-  * touched-file detection a Delta/Iceberg MERGE performs); everything
-  * else is a manifest re-link, i.e. O(touched data), not O(graph).
+  * (label, bucket) / (relType, bucket) partitions containing gids it
+  * upserts, deletes, or re-points (the caller passes those as
+  * `dirty*` — the same touched-file detection a Delta/Iceberg MERGE
+  * performs); everything else is a manifest re-link. A 1,000-entity
+  * batch into a billion-node label therefore rewrites ≤ batch-distinct
+  * buckets (each ~1/numBuckets of the label), not the label — raise
+  * `numBuckets` with data volume to keep bucket size ~constant.
   * Within a rewritten partition, files are gid/src-hash-distributed
   * (`repartition(numBuckets, key)`) + sorted, so merge joins co-locate
   * and parquet min/max stats prune gid probes. On a real cluster the
   * pool would live on object storage and the pointer flip would be a
   * conditional-put; the protocol is unchanged.
   */
-class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
+class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8) {
   import GraphStore._
 
   private def rootPath: Path = Paths.get(root)
@@ -75,6 +81,20 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def nodes: DataFrame = table("nodes", nodeSchema)
   def edges: DataFrame = table("edges", edgeSchema)
 
+  /** the gid-hash bucket of a cluster-key column — MUST match the
+    * bucket partition the writer computes, so probes can prune to the
+    * touched buckets' directories instead of scanning the table.
+    */
+  def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
+
+  /** node/edge tables with the `bucket` partition column retained —
+    * for dirty-bucket probes that prune at the directory level.
+    */
+  private[graft] def nodesWithBucket: DataFrame =
+    table("nodes", nodeSchema, keepBucket = true)
+  private[graft] def edgesWithBucket: DataFrame =
+    table("edges", edgeSchema, keepBucket = true)
+
   /** Current manifest's partition→files map for `table` ("nodes" or
     * "edges"); file paths are relative to the store root. Exposed for
     * compaction tooling and the incremental-commit spec.
@@ -84,27 +104,37 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     if (v == 0L) Map.empty else readManifest(v)(table)
   }
 
-  private def table(name: String, schema: StructType): DataFrame = {
+  private def table(name: String, schema: StructType,
+      keepBucket: Boolean = false): DataFrame = {
     val files = manifestFiles(name).values.flatten.toSeq.sorted
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
+    val outCols =
+      if (keepBucket) schema.fieldNames.toSeq :+ "bucket"
+      else schema.fieldNames.toSeq
+    if (files.isEmpty) {
+      val s = if (keepBucket)
+        StructType(schema.fields :+ StructField("bucket", IntegerType))
+      else schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    } else
       spark.read
         .option("basePath", dataDir(name).toString)
         .schema(schema) // partition cols in the schema (label/relType)
-        // resolve from the path; `seg` is appended by discovery
+        // `seg` and `bucket` are appended by partition discovery
         .parquet(files.map(f => rootPath.resolve(f).toString): _*)
-        .select(schema.fieldNames.map(col): _*) // canonical order, drop seg
+        .select(outCols.map(col): _*) // canonical order, drop seg
   }
 
   /** Commit version n+1 and atomically flip the pointer.
     *
-    * @param dirtyLabels   node partitions the batch touched (None label =
-    *   the stub partition). `None` = rewrite all node partitions (full
-    *   rebuild, e.g. compaction). Rows of `newNodes` OUTSIDE the dirty
-    *   set must be byte-identical to the previous snapshot's — they are
-    *   not written, their files are re-linked.
-    * @param dirtyRelTypes same for edge partitions.
+    * @param dirtyNodes node (partition, bucket) keys the batch touched:
+    *   `(Some(label), Some(b))` = one gid-hash bucket of one label;
+    *   `(Some(label), None)` = the whole label (e.g. full-sync
+    *   truncate); label `None` = the stub partition. Outer `None` =
+    *   rewrite everything (full rebuild, e.g. compaction). Rows of
+    *   `newNodes` OUTSIDE the dirty set must be byte-identical to the
+    *   previous snapshot's — they are not written, their files are
+    *   re-linked.
+    * @param dirtyEdges same for edge partitions (bucketed by src hash).
     * @return the committed version, or the current one if `syncId`
     *   replays the last commit.
     */
@@ -112,8 +142,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       newNodes: DataFrame,
       newEdges: DataFrame,
       syncId: String = "",
-      dirtyLabels: Option[Set[Option[String]]] = None,
-      dirtyRelTypes: Option[Set[Option[String]]] = None): Long =
+      dirtyNodes: Option[Set[DirtyKey]] = None,
+      dirtyEdges: Option[Set[DirtyKey]] = None): Long =
     synchronized {
       val (v, lastSync) = current
       if (syncId.nonEmpty && syncId == lastSync) return v
@@ -121,10 +151,17 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       val prev: Manifest =
         if (v == 0L) Map("nodes" -> Map.empty, "edges" -> Map.empty)
         else readManifest(v)
+      // A pre-bucketing manifest (keys without /bucket=) cannot take a
+      // bucket-scoped rewrite — its per-partition files are not
+      // bucket-addressable. compact() (dirty=None) migrates it.
+      val unbucketed = prev.values.exists(_.keys.exists(!_.contains("/bucket=")))
+      if (unbucketed && (dirtyNodes.isDefined || dirtyEdges.isDefined))
+        throw new IllegalStateException(
+          s"store at $root has a pre-bucketing manifest; run compact() first")
       val nodesMan = writePartitions(
-        newNodes, "nodes", "label", "gid", next, dirtyLabels, prev("nodes"))
+        newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes"))
       val edgesMan = writePartitions(
-        newEdges, "edges", "relType", "src", next, dirtyRelTypes, prev("edges"))
+        newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges"))
       writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp, s"$next\n$syncId".getBytes(StandardCharsets.UTF_8),
@@ -134,9 +171,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       next
     }
 
-  /** Write `df` restricted to the dirty partitions into
-    * `data/<table>/seg=<next>/…` and return the new manifest section:
-    * previous entries minus dirty keys, plus the files just written.
+  /** Write `df` restricted to the dirty (partition, bucket) keys into
+    * `data/<table>/seg=<next>/<partCol>=…/bucket=…/` and return the new
+    * manifest section: previous entries minus dropped keys, plus the
+    * files just written. The bucket column is `hash(clusterCol) %
+    * numBuckets` — the same hash the repartition uses, so each
+    * (partition, bucket) directory receives exactly one task's file
+    * and an incremental batch rewrites only the buckets its gids hash
+    * into.
     */
   private def writePartitions(
       df: DataFrame,
@@ -144,22 +186,25 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       partCol: String,
       clusterCol: String,
       next: Long,
-      dirty: Option[Set[Option[String]]],
+      dirty: Option[Set[DirtyKey]],
       prev: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val withBucket = df.withColumn("bucket", bucketOf(col(clusterCol)))
     val toWrite = dirty match {
-      case None => df
+      case None => withBucket
       case Some(set) =>
-        // "" and null partition values share the Hive default partition
-        // directory (partDirName), so either one dirty means both are
-        // rewritten — a split would drop the other's files from the
-        // manifest without rewriting its rows.
-        val vals = set.flatten.filter(_.nonEmpty).toSeq
-        val c0 = if (vals.isEmpty) lit(false) else col(partCol).isin(vals: _*)
-        val wantDefault = set.contains(None) || set.contains(Some(""))
-        val cond: Column =
-          if (wantDefault) c0 || col(partCol).isNull || col(partCol) === ""
-          else c0
-        df.filter(cond)
+        val conds: Seq[Column] = set.toSeq.map { case (pv, b) =>
+          // "" and null partition values share the Hive default
+          // partition directory (partDirName), so either one dirty
+          // means both are rewritten — a split would drop the other's
+          // files from the manifest without rewriting its rows.
+          val pc: Column = pv match {
+            case None | Some("") => col(partCol).isNull || col(partCol) === ""
+            case Some(v) => col(partCol) === v
+          }
+          b.fold(pc)(i => pc && col("bucket") === i)
+        }
+        if (conds.isEmpty) withBucket.filter(lit(false))
+        else withBucket.filter(conds.reduce(_ || _))
     }
     // Retry safety: a commit that failed after writing some files (but
     // before the pointer flip) leaves garbage in seg=<next> — `next` is
@@ -171,25 +216,29 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .repartition(numBuckets, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .withColumn("seg", lit(next))
-      .write.mode("append").partitionBy("seg", partCol)
+      .write.mode("append").partitionBy("seg", partCol, "bucket")
       .parquet(dataDir(table).toString)
     val written: Map[String, Seq[String]] =
       if (!Files.exists(segDir)) Map.empty
-      else listDir(segDir)
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-        .map { partDir =>
-          val key = partDir.getFileName.toString
-          val files = listDir(partDir)
-            .filter(f => f.getFileName.toString.endsWith(".parquet"))
-            .map(f => rootPath.relativize(f).toString)
-            .sorted
-          key -> files
+      else walkDir(segDir)
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .groupBy(f => segDir.relativize(f.getParent).toString)
+        .map { case (key, fs) =>
+          key -> fs.map(f => rootPath.relativize(f).toString).sorted
         }
-        .filter(_._2.nonEmpty)
-        .toMap
     val dropped: Set[String] = dirty match {
-      case None      => prev.keySet
-      case Some(set) => set.map(v => s"$partCol=${partDirName(v)}")
+      case None => prev.keySet
+      case Some(set) =>
+        prev.keySet.filter { k =>
+          set.exists { case (pv, b) =>
+            val pd = s"$partCol=${partDirName(pv)}"
+            b match {
+              case None => k == pd || k.startsWith(pd + "/")
+              case Some(i) => k == s"$pd/bucket=$i"
+            }
+          }
+        }
     }
     (prev -- dropped) ++ written
   }
@@ -287,6 +336,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
 object GraphStore {
   /** manifest: table → (partition dir name → file paths relative to root) */
   type Manifest = Map[String, Map[String, Seq[String]]]
+
+  /** dirty-commit key: (partition value, gid-hash bucket). Bucket
+    * `None` = every bucket of that partition.
+    */
+  type DirtyKey = (Option[String], Option[Int])
 
   /** Hive's null-partition sentinel, as written by Spark's partitionBy. */
   val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"

@@ -195,10 +195,12 @@ class GraphMergeSpec extends AnyFunSuite {
     new GraphDataset(store, spark, "companies", "Company")
       .incremental(Seq(Entity("urn:c1").withProp("urn:p#name", "acme")))
 
-    val personFiles = store.manifestFiles("nodes")("label=Person")
-    val knowsFiles = store.manifestFiles("edges")("relType=knows")
+    def files(table: String, prefix: String): Map[String, Seq[String]] =
+      store.manifestFiles(table).filter(_._1.startsWith(prefix))
+    val personFiles = files("nodes", "label=Person/")
+    val knowsFiles = files("edges", "relType=knows/")
     assert(personFiles.nonEmpty && knowsFiles.nonEmpty)
-    val mtimes = personFiles.map(f => f ->
+    val mtimes = personFiles.values.flatten.map(f => f ->
       Files.getLastModifiedTime(java.nio.file.Paths.get(store.root, f))).toMap
 
     // a 1-entity Company batch with no refs must not rewrite Person
@@ -206,9 +208,9 @@ class GraphMergeSpec extends AnyFunSuite {
     new GraphDataset(store, spark, "companies", "Company")
       .incremental(Seq(Entity("urn:c2").withProp("urn:p#name", "globex")))
 
-    assert(store.manifestFiles("nodes")("label=Person") == personFiles)
-    assert(store.manifestFiles("edges")("relType=knows") == knowsFiles)
-    personFiles.foreach { f =>
+    assert(files("nodes", "label=Person/") == personFiles)
+    assert(files("edges", "relType=knows/") == knowsFiles)
+    personFiles.values.flatten.foreach { f =>
       assert(Files.getLastModifiedTime(
         java.nio.file.Paths.get(store.root, f)) == mtimes(f))
     }
@@ -222,6 +224,36 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(store.edges.filter($"relType" === "knows").count() == 0)
   }
 
+  test("1-entity batch rewrites only its gid's bucket; siblings re-link") {
+    val store = freshStore() // numBuckets = 2
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.incremental((1 to 8).map(i => Entity(s"urn:p$i")))
+    val before = store.manifestFiles("nodes")
+      .filter(_._1.startsWith("label=Person/"))
+    assert(before.size == 2, s"expected both buckets populated: $before")
+    val mtimes = before.values.flatten.map(f => f ->
+      Files.getLastModifiedTime(java.nio.file.Paths.get(store.root, f))).toMap
+
+    ds.incremental(Seq(Entity("urn:p1").withProp("urn:x#version", 2)))
+
+    val after = store.manifestFiles("nodes")
+      .filter(_._1.startsWith("label=Person/"))
+    val changed = (after.keySet ++ before.keySet)
+      .filter(k => after.get(k) != before.get(k))
+    assert(changed.size == 1, s"exactly one bucket rewritten: $changed")
+    // the untouched bucket's manifest entry re-links the same immutable
+    // files, bytes untouched
+    (after.keySet -- changed).foreach { k =>
+      assert(after(k) == before(k))
+      after(k).foreach(f => assert(Files.getLastModifiedTime(
+        java.nio.file.Paths.get(store.root, f)) == mtimes(f)))
+    }
+    // and the data is correct: all 8 rows, p1 updated
+    assert(store.nodes.filter($"label" === "Person").count() == 8)
+    val p1 = store.nodes.filter($"gid" === "urn:p1").collect().head
+    assert(propsOf(p1) == Map("version" -> 2L))
+  }
+
   test("retried commit ignores a failed attempt's stale seg files") {
     val store = freshStore()
     val ds = new GraphDataset(store, spark, "people", "Person")
@@ -230,7 +262,8 @@ class GraphMergeSpec extends AnyFunSuite {
     // simulate a commit that wrote files but died before the pointer
     // flip: plant a REAL parquet file (a copy of the current Person
     // partition) inside the next version's segment directory
-    val personFile = store.manifestFiles("nodes")("label=Person").head
+    val personFile = store.manifestFiles("nodes")
+      .filter(_._1.startsWith("label=Person/")).values.flatten.head
     val garbageDir = java.nio.file.Paths.get(
       store.root, "data", "nodes", s"seg=${v + 1}", "label=Person")
     Files.createDirectories(garbageDir)
