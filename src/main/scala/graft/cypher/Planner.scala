@@ -22,8 +22,9 @@ import graft.store.GraphStore
   * Documented simplifications (evidenced subset only):
   *  - a bare relationship variable renders as its type string; a
   *    relationship variable on a var-length hop is not bindable;
-  *  - var-length paths do not enforce relationship-uniqueness (rows
-  *    are walk-paths, exact for acyclic data);
+  *  - var-length hops enforce relationship-uniqueness WITHIN the hop
+  *    (one row per edge-unique path, Neo4j-correct on cyclic data);
+  *    uniqueness does not span other relationships of the same MATCH;
   *  - property values surface as canonical strings unless wrapped in
   *    toString/toInteger/toFloat/toBoolean (comparisons are
   *    numeric-adaptive when both sides hold numeric slots);
@@ -247,6 +248,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   /** bounded var-length expand: iterative frontier joins over distinct
     * start gids, then joined back — the expansion never re-joins the
     * (potentially wide) bound row set.
+    *
+    * Cypher path semantics: one row per RELATIONSHIP-UNIQUE path (a
+    * path may not traverse the same relationship twice). Each frontier
+    * row carries its visited-edge keys (≤ maxH ≤ 10 entries, a cheap
+    * codegen'd array_contains per candidate hop), which both yields
+    * Neo4j-correct row counts on cyclic data and bounds the expansion —
+    * a walk enumeration would loop forever around a cycle.
     */
   private def applyVarLengthHop(boundVar: String, rel: RelPattern,
       node: NodePattern, minH: Int, maxH: Int): String = {
@@ -256,26 +264,34 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     rel.relType.foreach(t => e = e.filter(col("relType") === t))
     val (fromCol, toCol) =
       if (rel.direction > 0) ("src", "dst") else ("dst", "src")
-    val step = e.select(col(fromCol).as("__from"), col(toCol).as("__to"))
+    // edge identity = the stored (src,dst,relType), independent of
+    // traversal direction — the store dedups edges on exactly this key
+    val step = e.select(col(fromCol).as("__from"), col(toCol).as("__to"),
+      concat_ws("\u0001", col("src"), col("dst"), col("relType"))
+        .as("__ekey"))
 
     val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
     var frontier = start
       .join(step, col("__start") === col("__from"))
-      .select(col("__start"), col("__to").as("__end"), lit(1).as("__hops"))
+      .select(col("__start"), col("__to").as("__end"), lit(1).as("__hops"),
+        array(col("__ekey")).as("__path"))
     var reach = if (minH <= 1) frontier else null
     for (h <- 2 to maxH) {
       // fresh column names per iteration — joining the same step
       // relation repeatedly trips the ambiguous-self-join detector
       val stepH = step.select(col("__from").as(s"__from$h"),
-        col("__to").as(s"__to$h"))
+        col("__to").as(s"__to$h"), col("__ekey").as(s"__ekey$h"))
       frontier = frontier
         .join(stepH, col("__end") === col(s"__from$h"))
+        .filter(!array_contains(col("__path"), col(s"__ekey$h")))
         .select(col("__start"), col(s"__to$h").as("__end"),
-          lit(h).as("__hops"))
+          lit(h).as("__hops"),
+          array_append(col("__path"), col(s"__ekey$h")).as("__path"))
       if (h >= minH) reach = if (reach == null) frontier
         else reach.unionByName(frontier)
     }
     if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
+    reach = reach.drop("__path")
 
     df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), "inner")
     val nv = node.variable.getOrElse(fresh("n"))
@@ -360,16 +376,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
     env = newEnv.toMap
     if (w.distinct) df = distinctSafe(df)
-    w.where.foreach(p => df = df.filter(toPredicate(p)))
     if (w.orderBy.nonEmpty) {
       val sorts = w.orderBy.map { case (e, asc) =>
-        val c = valueCol(e)
+        // a node variable is a map-bearing struct — not orderable;
+        // Cypher orders nodes by identity, so sort on gid
+        val c = e match {
+          case VarRef(n) if env.get(n).contains(NodeVar) =>
+            col(s"${n}__gid")
+          case _ => valueCol(e)
+        }
         if (asc) c.asc else c.desc
       }
       df = df.orderBy(sorts: _*)
     }
     w.skip.foreach(n => df = df.offset(n.toInt))
     w.limit.foreach(n => df = df.limit(n.toInt))
+    // openCypher applies a post-WITH WHERE AFTER ORDER BY/SKIP/LIMIT —
+    // it filters the windowed rows, it does not re-window the filtered
+    w.where.foreach(p => df = df.filter(toPredicate(p)))
   }
 
   /** distinct with map-bearing columns deduped by identity: a map is

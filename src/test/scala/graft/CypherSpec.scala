@@ -408,6 +408,60 @@ class CypherSpec extends AnyFunSuite {
     assert(st.nodes.filter($"gid" === "urn:p3").isEmpty)
   }
 
+  test("var-length paths are relationship-unique on cyclic data") {
+    // a knows b, b knows a — a 2-cycle. Walk enumeration would yield
+    // 6 rows for *1..3 (and diverge as maxH grows); Cypher paths may
+    // not reuse a relationship: exactly 4.
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-cycle").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withRef("urn:x#knows", "urn:a")))
+    val rows = CypherEngine.query(st,
+      """MATCH (n:Person)-[*1..3]->(m)
+         RETURN n.gid AS g, m.gid AS t ORDER BY g, t""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:a", "urn:a"), ("urn:a", "urn:b"),
+        ("urn:b", "urn:a"), ("urn:b", "urn:b")))
+  }
+
+  test("var-length diamond fan-out keeps one row per distinct path") {
+    // a → b1 → c and a → b2 → c: two edge-disjoint 2-hop paths → 2 rows
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-diamond").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withRef("urn:x#knows", "urn:b1")
+        .withRef("urn:x#likes", "urn:b2"),
+      Entity("urn:b1").withRef("urn:x#knows", "urn:c"),
+      Entity("urn:b2").withRef("urn:x#knows", "urn:c")))
+    val rows = CypherEngine.query(st,
+      """MATCH (n:Person)-[*2..2]->(m) WHERE n.gid = 'urn:a'
+         RETURN n.gid AS g, m.gid AS t""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:a", "urn:c"), ("urn:a", "urn:c")))
+  }
+
+  test("post-WITH WHERE applies AFTER ORDER BY/SKIP/LIMIT (openCypher)") {
+    // ages 23, 31, 40 → ORDER BY age LIMIT 2 keeps {23, 31}; the WHERE
+    // then filters the windowed rows → only 31. Filter-before-limit
+    // would instead return {31, 40}.
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WITH n.name AS name, toInteger(n.age) AS age
+           ORDER BY age LIMIT 2 WHERE age > 25
+         RETURN name, age""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("jane", 31L)))
+  }
+
+  test("WITH n ORDER BY n sorts node variables by identity") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WITH n ORDER BY n DESC LIMIT 2
+         RETURN n.gid AS gid""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p3", "urn:p2"))
+  }
+
   test("DELETE with zero matches commits nothing") {
     val st = mutableStore()
     val v0 = st.currentVersion
