@@ -72,6 +72,38 @@ object GraphAnalytics {
       .select($"gid", $"rank")
   }
 
+  /** Deterministic fixed-iteration PageRank in micro-scaled integer
+    * arithmetic: rank₀ = 1,000,000 (micro-1.0); each iteration a
+    * vertex with out-degree d > 0 sends floor(rank·85 / (100·d)) along
+    * every out-edge, and every vertex's next rank is 150,000 + Σ
+    * incoming contributions. Long sums are order-independent, so the
+    * result is bit-identical across partitionings and shuffle orders —
+    * which makes it DuckDB-oracle-able, unlike float PageRank whose
+    * summation order is nondeterministic. At scale, checkpoint every
+    * few iterations to truncate the lineage chain.
+    */
+  def pageRankMicro(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val (dict, g0) = build(spark, nodes, edges)
+    val g = g0.outerJoinVertices(g0.outDegrees)((_, _, d) => d.getOrElse(0))
+      .cache()
+    var ranks = g.vertices.mapValues((_: Int) => 1000000L)
+    for (_ <- 1 to iters) {
+      val withRank = g.outerJoinVertices(ranks)((_, outd, r) =>
+        (outd, r.getOrElse(1000000L)))
+      val contribs = withRank.aggregateMessages[Long](
+        ctx => if (ctx.srcAttr._1 > 0)
+          ctx.sendToDst(ctx.srcAttr._2 * 85L / (100L * ctx.srcAttr._1)),
+        _ + _)
+      ranks = g.vertices.leftJoin(contribs)((_, _, c) =>
+        150000L + c.getOrElse(0L))
+    }
+    ranks.toDF("vid", "rank_micro")
+      .join(dict, Seq("vid"))
+      .select($"gid", $"rank_micro")
+  }
+
   /** out/in degree via GraphX degree operators. */
   def degrees(spark: SparkSession, nodes: DataFrame,
       edges: DataFrame): DataFrame = {

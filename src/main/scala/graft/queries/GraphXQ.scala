@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.ops.GraphAnalytics
 
 /** GraphX analytics over the TPC-H property graph (customer →nation→
-  * region star, suppliers attached): connected components and degrees
-  * carry exact DuckDB oracles (deterministic integer algorithms);
-  * PageRank is registered rows-only (float iteration order).
+  * region star, suppliers attached): connected components, degrees and
+  * integer PageRank all carry exact DuckDB oracles — every algorithm
+  * here is deterministic integer arithmetic, including PageRank
+  * (micro-scaled Long ranks; see GraphAnalytics.pageRankMicro).
   */
 object GraphXQ {
   import Relational.t
@@ -62,16 +63,14 @@ object GraphXQ {
         .orderBy($"gid")
     }),
 
-    // static PageRank (rows-only: float iteration order has no exact
-    // cross-engine oracle; driver checks rows>0).
+    // deterministic integer PageRank (5 iterations, micro-scaled) —
+    // Long sums are order-independent, so this carries an exact DuckDB
+    // oracle, unlike float staticPageRank.
     "gx_pagerank" -> ((s, dir) => {
       import s.implicits._
       val (nodes, edges) = graphTables(s, dir)
-      val (dict, g) = GraphAnalytics.build(s, nodes, edges)
-      g.staticPageRank(5).vertices.toDF("vid", "rank")
-        .join(dict, Seq("vid"))
-        .select($"gid", round($"rank", 6).as("rank"))
-        .orderBy($"rank".desc, $"gid").limit(50)
+      GraphAnalytics.pageRankMicro(s, nodes, edges, iters = 5)
+        .orderBy($"rank_micro".desc, $"gid").limit(50)
     }),
 
     // Pregel BFS: everything within 2 directed hops of two customers.
@@ -84,12 +83,42 @@ object GraphXQ {
         .orderBy($"gid")
     }))
 
+  /** one unrolled integer-PageRank iteration (DuckDB `//` floor-divides
+    * BIGINTs exactly like Spark's Long division on positive values)
+    */
+  private def prIter(prev: String, cur: String): String =
+    s"""$cur AS (SELECT n.gid,
+          CAST(150000 + coalesce(s.c, 0) AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, SUM(r.rank * 85 // (100 * o.d)) AS c
+          FROM $prev r JOIN outdeg o ON o.src = r.gid
+            JOIN edges e ON e.src = r.gid
+          GROUP BY e.dst) s ON s.dst = n.gid)"""
+
+  private val pagerankOracle: String =
+    s"""WITH nodes AS (
+          SELECT 'c:'||c_custkey AS gid FROM customer
+          UNION ALL SELECT 'n:'||n_nationkey FROM nation
+          UNION ALL SELECT 's:'||s_suppkey FROM supplier
+          UNION ALL SELECT 'r:'||r_regionkey FROM region),
+        edges AS (
+          SELECT 'c:'||c_custkey AS src, 'n:'||c_nationkey AS dst FROM customer
+          UNION ALL SELECT 's:'||s_suppkey, 'n:'||s_nationkey FROM supplier
+          UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+        outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        r0 AS (SELECT gid, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        ${prIter("r0", "r1")}, ${prIter("r1", "r2")}, ${prIter("r2", "r3")},
+        ${prIter("r3", "r4")}, ${prIter("r4", "r5")}
+        SELECT gid, rank AS rank_micro FROM r5
+        ORDER BY rank_micro DESC, gid LIMIT 50"""
+
   private val regionComponentCte =
     """rc AS (SELECT n_regionkey rk, min('c:'||c_custkey) comp
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "gx_pagerank" -> pagerankOracle,
     "gx_connected_components" ->
       s"""WITH $regionComponentCte
           SELECT gid, comp AS component FROM (

