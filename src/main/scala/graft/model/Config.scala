@@ -16,7 +16,28 @@ final case class SystemConfig(
 final case class DatasetDefinition(name: String, label: String, batchSize: Int)
 
 final case class LayerSettings(
-    port: String, serviceName: String, configRefreshInterval: String)
+    port: String, serviceName: String, configRefreshInterval: String) {
+
+  /** `config_refresh_interval` as milliseconds — Go-style duration
+    * subset (`500ms`, `60s`, `5m`, `1h`; the reference feeds the value
+    * to time.ParseDuration, /root/reference/layer.go:72). None when
+    * unparseable or non-positive: the caller then disables refresh.
+    */
+  def refreshMillis: Option[Long] = {
+    val re = "^([0-9]+)(ms|s|m|h)$".r
+    configRefreshInterval.trim match {
+      case re(n, u) =>
+        val scale = u match {
+          case "ms" => 1L
+          case "s" => 1000L
+          case "m" => 60000L
+          case "h" => 3600000L
+        }
+        Some(n.toLong * scale).filter(_ > 0)
+      case _ => None
+    }
+  }
+}
 
 final case class LayerConfig(
     layer: LayerSettings,

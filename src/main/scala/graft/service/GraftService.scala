@@ -1,8 +1,13 @@
 package graft.service
 
 import java.net.InetSocketAddress
+import java.net.URLDecoder
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 
+import scala.collection.concurrent.TrieMap
 import scala.io.Source
 import scala.util.control.NonFatal
 
@@ -23,26 +28,57 @@ import graft.store.GraphStore
   *
   *  - GET  /datasets                       → dataset listing (A15)
   *  - POST /datasets/{ds}/entities         → incremental sync (A4);
-  *    full sync (A3) via universal-data-api-full-sync-* headers
+  *    full sync (A3) via universal-data-api-full-sync-* headers, with
+  *    multi-request session framing (start/id/end, layer_test.go:83)
   *  - GET  /datasets/{ds}/entities         → paginated scan (D3)
   *  - GET  /datasets/{ds}/changes          → change feed (D2)
-  *  - POST /query    {"query": cypher}     → openCypher read (D1)
+  *  - POST /query    {"query": cypher}     → openCypher read/write (D1)
   *
   * Body format: EGDM entities as a JSON array or NDJSON lines
   * (FIXTURES.md §1). Results stream as JSON.
+  *
+  * When `configFile` is given, the config is re-read every
+  * `config_refresh_interval` (the reference's UpdateConfiguration loop,
+  * /root/reference/layer.go:72): new/changed dataset definitions
+  * appear without a restart; a file that fails to parse keeps the
+  * previous config.
   */
-class GraftService(spark: SparkSession, config: LayerConfig,
-    storeRoot: String) {
+class GraftService(spark: SparkSession, initialConfig: LayerConfig,
+    storeRoot: String, configFile: Option[Path] = None,
+    queryRowCap: Int = 10000) {
 
   private val store = new GraphStore(storeRoot, spark)
-  private val datasets: Map[String, GraphDataset] =
-    config.datasets.map(d =>
+  @volatile private var config: LayerConfig = initialConfig
+  @volatile private var datasets: Map[String, GraphDataset] =
+    buildDatasets(initialConfig)
+
+  private def buildDatasets(c: LayerConfig): Map[String, GraphDataset] =
+    c.datasets.map(d =>
       d.name -> new GraphDataset(store, spark, d.name, d.label, d.batchSize))
       .toMap
 
+  /** open full-sync sessions: dataset → (syncId, continuation counter
+    * for per-request idempotence keys)
+    */
+  private val openSyncs = TrieMap.empty[String, (String, AtomicInteger)]
+
   private var server: HttpServer = _
+  private var scheduler: ScheduledExecutorService = _
 
   def port: Int = server.getAddress.getPort
+
+  /** re-read `configFile` immediately; parse failures keep the old
+    * config (the refresh loop must never take the service down)
+    */
+  def refreshNow(): Unit = configFile.foreach { p =>
+    try {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      LayerConfig.fromJson(json).foreach { c =>
+        config = c
+        datasets = buildDatasets(c)
+      }
+    } catch { case NonFatal(_) => () }
+  }
 
   def start(requestedPort: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
@@ -50,10 +86,20 @@ class GraftService(spark: SparkSession, config: LayerConfig,
     server.createContext("/query", handle(handleQuery))
     server.setExecutor(null)
     server.start()
+    for (file <- configFile; ms <- config.layer.refreshMillis) {
+      scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "graft-config-refresh"); t.setDaemon(true); t
+      }
+      scheduler.scheduleAtFixedRate(() => refreshNow(), ms, ms,
+        TimeUnit.MILLISECONDS)
+    }
     port
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (scheduler != null) scheduler.shutdownNow()
+    if (server != null) server.stop(0)
+  }
 
   private def handle(f: HttpExchange => (Int, String))(ex: HttpExchange): Unit =
     try {
@@ -73,9 +119,13 @@ class GraftService(spark: SparkSession, config: LayerConfig,
     JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(msg))))
 
   private def query1(ex: HttpExchange, key: String): Option[String] =
-    Option(ex.getRequestURI.getQuery).toSeq
+    Option(ex.getRequestURI.getRawQuery).toSeq
       .flatMap(_.split("&")).map(_.split("=", 2))
-      .collectFirst { case Array(k, v) if k == key => v }
+      .collectFirst { case Array(k, v) if k == key =>
+        // percent-encoded values (URI gids in from/afterGid) must
+        // decode before keyset comparison
+        URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }
 
   private def handleDatasets(ex: HttpExchange): (Int, String) = {
     val path = ex.getRequestURI.getPath.stripPrefix("/datasets")
@@ -95,12 +145,35 @@ class GraftService(spark: SparkSession, config: LayerConfig,
         val hdrs = ex.getRequestHeaders
         val fullSyncStart =
           hdrs.getFirst("universal-data-api-full-sync-start") == "true"
+        val fullSyncEnd =
+          hdrs.getFirst("universal-data-api-full-sync-end") == "true"
         val syncId =
           Option(hdrs.getFirst("universal-data-api-full-sync-id")).getOrElse("")
-        val version =
-          if (fullSyncStart) dataset.fullSync(entities, syncId)
-          else dataset.incremental(entities, syncId)
-        (200, s"""{"written":${entities.size},"version":$version}""")
+        // Full-sync session framing (BatchInfo{SyncId, IsStartBatch,
+        // IsLastBatch}, /root/reference/layer_test.go:83,167): the
+        // start request truncates and opens the session; same-id
+        // requests append; the end request closes it. A different sync
+        // interleaved into an open session is a conflict.
+        val open = openSyncs.get(ds).map(_._1)
+        if ((syncId.nonEmpty || fullSyncStart) && open.exists(_ != syncId))
+          (409, err(s"full-sync '${open.get}' in progress for $ds"))
+        else {
+          val version =
+            if (fullSyncStart) {
+              if (syncId.nonEmpty && !fullSyncEnd)
+                openSyncs.put(ds, (syncId, new AtomicInteger(0)))
+              dataset.fullSync(entities, syncId)
+            } else openSyncs.get(ds) match {
+              case Some((sid, ctr)) if sid == syncId =>
+                // continuation batch: append under a per-request
+                // idempotence key distinct from the start batch's
+                dataset.incremental(entities,
+                  s"$syncId/c${ctr.incrementAndGet()}")
+              case _ => dataset.incremental(entities, syncId)
+            }
+          if (fullSyncEnd) openSyncs.remove(ds)
+          (200, s"""{"written":${entities.size},"version":$version}""")
+        }
 
       case ("GET", ds :: "entities" :: Nil) =>
         val d = config.dataset(ds).fold(
@@ -154,7 +227,16 @@ class GraftService(spark: SparkSession, config: LayerConfig,
       }.toMap
       case _ => Map.empty
     }
-    (200, rowsJson(CypherEngine.query(store, cypher, params)))
+    val df = CypherEngine.query(store, cypher, params)
+    // fetch cap+1 so the response can SAY it was cut, instead of
+    // silently passing off a prefix as the whole result
+    val rows = df.limit(queryRowCap + 1).collect()
+    val truncated = rows.length > queryRowCap
+    val shown = if (truncated) rows.take(queryRowCap) else rows
+    val resp = JObject(
+      "rows" -> rowsToJArray(shown, df.schema),
+      "truncated" -> JBool(truncated))
+    (200, JsonMethods.compact(JsonMethods.render(resp)))
   }
 
   private def parseEntities(body: String): Seq[graft.model.Entity] = {
@@ -173,8 +255,12 @@ class GraftService(spark: SparkSession, config: LayerConfig,
   }
 
   /** serialize a (bounded) result as a JSON array of row objects */
-  private def rowsJson(df: DataFrame, max: Int = 10000): String = {
-    val schema = df.schema
+  private def rowsJson(df: DataFrame, max: Int = 10000): String =
+    JsonMethods.compact(JsonMethods.render(
+      rowsToJArray(df.limit(max).collect(), df.schema)))
+
+  private def rowsToJArray(rows: Array[Row],
+      schema: org.apache.spark.sql.types.StructType): JArray = {
     def toJValue(v: Any): JValue = v match {
       case null => JNull
       case s: String => JString(s)
@@ -197,11 +283,11 @@ class GraftService(spark: SparkSession, config: LayerConfig,
       case s: scala.collection.Seq[_] => JArray(s.toList.map(toJValue))
       case other => JString(String.valueOf(other))
     }
-    val rows = df.limit(max).collect().map { r =>
+    val out = rows.map { r =>
       JObject(schema.fieldNames.toList.zipWithIndex.map { case (n, i) =>
         n -> toJValue(r.get(i))
       })
     }
-    JsonMethods.compact(JsonMethods.render(JArray(rows.toList)))
+    JArray(out.toList)
   }
 }

@@ -44,7 +44,10 @@ object ServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val svc = new GraftService(spark, config, storeDir)
+    // passing the config path enables the reference's refresh loop
+    // (layer.go:72): dataset definitions hot-reload on the interval
+    val svc = new GraftService(spark, config, storeDir,
+      configFile = args.headOption.map(Paths.get(_)))
     val bound = svc.start(port)
     println(s"GRAFT_SERVING port=$bound store=$storeDir")
     Thread.currentThread().join() // serve until killed

@@ -95,7 +95,8 @@ class ServiceSpec extends AnyFunSuite {
     val (c2, _) = post("/datasets/companies/entities",
       """{"id":"urn:co-new","props":{"urn:x#name":"New"}}""",
       Map("universal-data-api-full-sync-start" -> "true",
-        "universal-data-api-full-sync-id" -> "fs-1"))
+        "universal-data-api-full-sync-id" -> "fs-1",
+        "universal-data-api-full-sync-end" -> "true"))
     assert(c2 == 200)
     val (_, listed) = get("/datasets/companies/entities?limit=100")
     assert(listed.contains("urn:co-new") && !listed.contains("urn:co-old"))
@@ -109,6 +110,111 @@ class ServiceSpec extends AnyFunSuite {
     // PV structs collapse to scalars; refs map rebuilt from edge rows
     assert(body.contains("\"name\":\"gamma\"") && body.contains("\"age\":7"))
     assert(body.contains("\"worksfor\":[\"urn:co1\",\"urn:co2\"]"))
+  }
+
+  test("full-sync session framing: start/continue/end, conflicts rejected") {
+    // start opens session fs-A and truncates
+    val (c1, _) = post("/datasets/companies/entities",
+      """{"id":"urn:fs1","props":{"urn:x#name":"one"}}""",
+      Map("universal-data-api-full-sync-start" -> "true",
+        "universal-data-api-full-sync-id" -> "fs-A"))
+    assert(c1 == 200)
+    // a DIFFERENT sync interleaved into the open session is a conflict
+    val (c2, b2) = post("/datasets/companies/entities",
+      """{"id":"urn:evil","props":{}}""",
+      Map("universal-data-api-full-sync-start" -> "true",
+        "universal-data-api-full-sync-id" -> "fs-B"))
+    assert(c2 == 409, b2)
+    // continuation batch with the open id appends (no truncate)
+    val (c3, _) = post("/datasets/companies/entities",
+      """{"id":"urn:fs2","props":{"urn:x#name":"two"}}""",
+      Map("universal-data-api-full-sync-id" -> "fs-A"))
+    assert(c3 == 200)
+    // end closes the session
+    val (c4, _) = post("/datasets/companies/entities",
+      """{"id":"urn:fs3","props":{"urn:x#name":"three"}}""",
+      Map("universal-data-api-full-sync-id" -> "fs-A",
+        "universal-data-api-full-sync-end" -> "true"))
+    assert(c4 == 200)
+    val (_, listed) = get("/datasets/companies/entities?limit=100")
+    assert(listed.contains("urn:fs1") && listed.contains("urn:fs2") &&
+      listed.contains("urn:fs3") && !listed.contains("urn:evil"))
+    // session closed: a NEW full sync now succeeds and truncates
+    val (c5, _) = post("/datasets/companies/entities",
+      """{"id":"urn:fs4","props":{"urn:x#name":"four"}}""",
+      Map("universal-data-api-full-sync-start" -> "true",
+        "universal-data-api-full-sync-id" -> "fs-B",
+        "universal-data-api-full-sync-end" -> "true"))
+    assert(c5 == 200)
+    val (_, after) = get("/datasets/companies/entities?limit=100")
+    assert(after.contains("urn:fs4") && !after.contains("urn:fs1"))
+  }
+
+  test("percent-encoded keyset params decode before comparison") {
+    post("/datasets/people/entities",
+      """{"id":"urn:z1","props":{"urn:x#name":"zed"}}
+        |{"id":"urn:z2","props":{"urn:x#name":"zee"}}""".stripMargin)
+    // urn%3Az1 must decode to urn:z1 — an undecoded comparison would
+    // return urn:z1 again (since "urn%3Az1" < "urn:z1" in byte order)
+    val (pc, pb) = get("/datasets/people/entities?from=urn%3Az1&limit=100")
+    assert(pc == 200)
+    assert(!pb.contains("\"urn:z1\"") && pb.contains("urn:z2"))
+  }
+
+  test("config hot-reload: a new dataset appears without restart") {
+    val file = Files.createTempFile("graft-cfg", ".json")
+    Files.write(file, configJson.getBytes("UTF-8"))
+    val cfg = LayerConfig.fromJson(configJson)
+      .fold(m => fail(s"config: $m"), identity)
+    val svc = new GraftService(spark, cfg,
+      Files.createTempDirectory("graft-svc-reload").toString,
+      configFile = Some(file))
+    val p = svc.start()
+    try {
+      def postTo(path: String, body: String): Int = {
+        val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$p$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        r.statusCode()
+      }
+      assert(postTo("/datasets/projects/entities", """{"id":"urn:pr1"}""") == 404)
+      // add a dataset to the config file, refresh, retry — no restart
+      Files.write(file, configJson.replace(
+        """{"name": "people",""",
+        """{"name": "projects", "source_config": {"label": "Project", "batch_size": 10}},
+           {"name": "people",""").getBytes("UTF-8"))
+      svc.refreshNow()
+      assert(postTo("/datasets/projects/entities", """{"id":"urn:pr1"}""") == 200)
+    } finally svc.stop()
+  }
+
+  test("over-cap /query responses carry truncated=true") {
+    val cfg = LayerConfig.fromJson(configJson)
+      .fold(m => fail(s"config: $m"), identity)
+    val svc = new GraftService(spark, cfg,
+      Files.createTempDirectory("graft-svc-cap").toString,
+      queryRowCap = 2)
+    val p = svc.start()
+    try {
+      def req(path: String, body: String): String = {
+        val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$p$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        r.body()
+      }
+      req("/datasets/people/entities",
+        """{"id":"urn:t1"}
+          |{"id":"urn:t2"}
+          |{"id":"urn:t3"}""".stripMargin)
+      val over = req("/query",
+        """{"query": "MATCH (n:Person) RETURN n.gid AS gid"}""")
+      assert(over.contains("\"truncated\":true"), over)
+      val under = req("/query",
+        """{"query": "MATCH (n:Person) RETURN n.gid AS gid LIMIT 1"}""")
+      assert(under.contains("\"truncated\":false"), under)
+    } finally svc.stop()
   }
 
   test("error contracts: unknown dataset 404, bad inputs 400") {
