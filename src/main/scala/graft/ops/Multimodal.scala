@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * partitioning, and batch shape a real image/audio decoder would use
   * with `mapInPandas`-style vectorized UDFs.
   *
-  * The decode step itself is STUBBED (no media libraries in this
-  * environment): [[FakeDecoder]] derives deterministic pseudo-features
-  * from the payload bytes. Swapping in a real decoder touches ONE
-  * function; the Spark-side plumbing (typed rows, partition batching,
-  * feature schema) is real and oracle-tested via `m_media_features`.
+  * The decode step REALLY parses media container headers —
+  * PNG / JPEG / GIF / BMP / WAV are sniffed by magic bytes and their
+  * dimensions / channels / frame counts read from the actual header
+  * structures ([[HeaderDecoder]]). Deep payload decode (pixels,
+  * samples) needs codec libraries this environment doesn't ship;
+  * unrecognized payloads (e.g. the text fixtures) get deterministic
+  * pseudo-features derived from byte stats, which is what the
+  * `m_media_features` oracle checks.
   */
 object Multimodal {
 
@@ -25,29 +28,151 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, channels: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic pseudo-features from byte stats.
-    * Replace with a real image/audio/video decode; the signature is
-    * the contract: one batch of rows in, one batch of features out.
+  /** Real container-header decode: sniffs the payload's magic bytes
+    * and reads dimensions / channels / frames from the format's actual
+    * header layout. Anything unrecognized (or truncated mid-header)
+    * falls back to deterministic pseudo-features so the pipeline never
+    * throws on a corrupt payload — it tags the row instead.
     */
-  object FakeDecoder {
+  object HeaderDecoder {
+
     def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-      rows.map { r =>
-        val n = r.payload.length.toLong
-        MediaFeatures(r.media_id, r.kind, n,
-          width = (16 + n % 64).toInt,
-          height = (16 + (n * 7) % 64).toInt,
-          channels = (1 + r.media_id % 3).toInt,
-          n_frames = (1 + n / 1000).toInt)
+      rows.map(decode)
+
+    def decode(r: MediaRow): MediaFeatures = {
+      val p = r.payload
+      try {
+        if (isPng(p)) png(r)
+        else if (isJpeg(p)) jpeg(r)
+        else if (isGif(p)) gif(r)
+        else if (isBmp(p)) bmp(r)
+        else if (isWav(p)) wav(r)
+        else pseudo(r)
+      } catch {
+        // truncated/corrupt header: deterministic fallback, no throw
+        case _: IndexOutOfBoundsException | _: ArithmeticException =>
+          pseudo(r)
       }
+    }
+
+    // ---- byte readers ----
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
+    private def be16(p: Array[Byte], i: Int): Int =
+      (u8(p, i) << 8) | u8(p, i + 1)
+    private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+    private def le16(p: Array[Byte], i: Int): Int =
+      u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Long =
+      (u8(p, i) | (u8(p, i + 1) << 8) | (u8(p, i + 2) << 16) |
+        (u8(p, i + 3).toLong << 24)) & 0xffffffffL
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length && s.indices.forall(k => p(i + k) == s(k).toByte)
+
+    // ---- PNG: 8-byte signature, then the IHDR chunk (always first):
+    // width/height as big-endian u32 at 16/20, bit depth at 24,
+    // color type at 25 (channels: 0→1, 2→3, 3→1, 4→2, 6→4) ----
+    private def isPng(p: Array[Byte]) =
+      p.length > 26 && u8(p, 0) == 0x89 && ascii(p, 1, "PNG")
+    private def png(r: MediaRow): MediaFeatures = {
+      val p = r.payload
+      val channels = u8(p, 25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 1
+      }
+      MediaFeatures(r.media_id, "png", p.length.toLong,
+        be32(p, 16), be32(p, 20), channels, 1)
+    }
+
+    // ---- JPEG: FF D8, then marker segments; the SOFn marker (C0–CF
+    // minus C4/C8/CC) carries height/width as big-endian u16 at
+    // payload+3/+5 and the component count at +7 ----
+    private def isJpeg(p: Array[Byte]) =
+      p.length > 3 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8
+    private def jpeg(r: MediaRow): MediaFeatures = {
+      val p = r.payload
+      var i = 2
+      while (i + 9 < p.length) {
+        if (u8(p, i) != 0xff) return pseudo(r) // marker desync
+        val m = u8(p, i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return MediaFeatures(r.media_id, "jpeg", p.length.toLong,
+            be16(p, i + 7), be16(p, i + 5), u8(p, i + 9), 1)
+        if (m == 0xd9 || m == 0xda) return pseudo(r) // EOI/SOS before SOF
+        i += 2 + be16(p, i + 2)
+      }
+      pseudo(r)
+    }
+
+    // ---- GIF: "GIF87a"/"GIF89a", logical screen w/h as le16 at 6/8;
+    // frames = number of image descriptors (0x2C introducers at block
+    // boundaries is involved — headers only, so count the trailer-free
+    // introducer bytes conservatively as 1) ----
+    private def isGif(p: Array[Byte]) = p.length > 10 && ascii(p, 0, "GIF8")
+    private def gif(r: MediaRow): MediaFeatures =
+      MediaFeatures(r.media_id, "gif", r.payload.length.toLong,
+        le16(r.payload, 6), le16(r.payload, 8), 3, 1)
+
+    // ---- BMP: "BM", BITMAPINFOHEADER: width/height as le32 at 18/22,
+    // bit count at 28 → channels = bits/8 (common 8/24/32) ----
+    private def isBmp(p: Array[Byte]) = p.length > 30 && ascii(p, 0, "BM")
+    private def bmp(r: MediaRow): MediaFeatures = {
+      val p = r.payload
+      MediaFeatures(r.media_id, "bmp", p.length.toLong,
+        le32(p, 18).toInt, math.abs(le32(p, 22).toInt),
+        math.max(1, le16(p, 28) / 8), 1)
+    }
+
+    // ---- WAV: RIFF/WAVE chunk walk; "fmt " carries channel count
+    // (le16 at +2) and bits/sample (le16 at +14), "data" carries the
+    // sample byte count → n_frames = data / (channels · bits/8);
+    // width = sample rate (the time-axis resolution), height = 0 ----
+    private def isWav(p: Array[Byte]) =
+      p.length > 44 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE")
+    private def wav(r: MediaRow): MediaFeatures = {
+      val p = r.payload
+      var channels = 1
+      var bits = 8
+      var rate = 0
+      var dataBytes = 0L
+      var i = 12
+      while (i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        if (ascii(p, i, "fmt ")) {
+          channels = math.max(1, le16(p, i + 10))
+          rate = le32(p, i + 12).toInt
+          bits = math.max(8, le16(p, i + 22))
+        } else if (ascii(p, i, "data")) {
+          dataBytes = size
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      val frames = (dataBytes / (channels.toLong * (bits / 8))).toInt
+      MediaFeatures(r.media_id, "wav", p.length.toLong,
+        rate, 0, channels, frames)
+    }
+
+    /** deterministic pseudo-features from byte stats — the documented
+      * fallback for payloads no header parser recognizes (and the
+      * oracle arithmetic for the text fixtures)
+      */
+    private[ops] def pseudo(r: MediaRow): MediaFeatures = {
+      val n = r.payload.length.toLong
+      MediaFeatures(r.media_id, r.kind, n,
+        width = (16 + n % 64).toInt,
+        height = (16 + (n * 7) % 64).toInt,
+        channels = (1 + r.media_id % 3).toInt,
+        n_frames = (1 + n / 1000).toInt)
+    }
   }
 
-  /** Partition-batched decode: the distributed driver of the stub.
-    * `mapPartitions` keeps the decoder amortized per batch (decoder
-    * init happens once per partition, as with Pandas UDF batches).
+  /** Partition-batched decode: `mapPartitions` keeps the decoder
+    * amortized per batch (decoder init happens once per partition, as
+    * with Pandas UDF batches).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(FakeDecoder.decodeBatch _)
+    media.mapPartitions(HeaderDecoder.decodeBatch _)
   }
 
   /** Documents→media bridge used by tests and the oracle query: text

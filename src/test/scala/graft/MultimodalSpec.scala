@@ -1,0 +1,107 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{MediaFeatures, MediaRow}
+
+/** The header decoder on REAL container bytes: hand-assembled but
+  * spec-conformant PNG / JPEG / GIF / BMP / WAV headers go through the
+  * distributed mapPartitions decode path and come back with the
+  * dimensions the headers declare; junk falls back to pseudo-features.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = ByteBuffer.allocate(25).order(ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(13) // IHDR length
+    ihdr.put("IHDR".getBytes("ASCII"))
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression etc.
+    out.write(ihdr.array())
+    out.write(bytes(0, 0, 0, 0)) // fake CRC
+    out.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int, comps: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(bytes(0xff, 0xd8)) // SOI
+    out.write(bytes(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46)) // APP0, len 4
+    // SOF0: len = 8 + 3*comps, precision, height, width, comps
+    val sofLen = 8 + 3 * comps
+    out.write(bytes(0xff, 0xc0, sofLen >> 8, sofLen & 0xff, 8,
+      h >> 8, h & 0xff, w >> 8, w & 0xff, comps))
+    (1 to comps).foreach(c => out.write(bytes(c, 0x11, 0)))
+    out.write(bytes(0xff, 0xd9)) // EOI
+    out.toByteArray
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ASCII"))
+    out.write(bytes(w & 0xff, w >> 8, h & 0xff, h >> 8, 0, 0, 0))
+    out.toByteArray
+  }
+
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      dataBytes: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("ASCII"))
+    b.put("fmt ".getBytes("ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(channels.toShort).putInt(rate)
+    b.putInt(rate * channels * bits / 8)
+    b.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes("ASCII")).putInt(dataBytes)
+    b.array()
+  }
+
+  private def decodeAll(rows: Seq[MediaRow]): Map[Long, MediaFeatures] = {
+    import spark.implicits._
+    Multimodal.extractFeatures(rows.toDS())
+      .collect().map(f => f.media_id -> f).toMap
+  }
+
+  test("real container headers decode through the mapPartitions path") {
+    val fs = decodeAll(Seq(
+      MediaRow(1, "image", pngBytes(320, 200, colorType = 6)),
+      MediaRow(2, "image", jpegBytes(100, 240, comps = 3)),
+      MediaRow(3, "image", gifBytes(77, 55)),
+      MediaRow(4, "audio", wavBytes(channels = 2, rate = 44100,
+        bits = 16, dataBytes = 400))))
+    assert(fs(1).kind == "png" && fs(1).width == 320 && fs(1).height == 200
+      && fs(1).channels == 4 && fs(1).n_frames == 1)
+    assert(fs(2).kind == "jpeg" && fs(2).width == 100 && fs(2).height == 240
+      && fs(2).channels == 3)
+    assert(fs(3).kind == "gif" && fs(3).width == 77 && fs(3).height == 55)
+    // 400 data bytes / (2 ch · 2 bytes) = 100 sample frames @ 44.1 kHz
+    assert(fs(4).kind == "wav" && fs(4).channels == 2 && fs(4).width == 44100
+      && fs(4).n_frames == 100)
+  }
+
+  test("unrecognized and truncated payloads fall back deterministically") {
+    val text = "just some text".getBytes("UTF-8")
+    val truncatedPng = pngBytes(320, 200, 6).take(12) // magic, no IHDR
+    val fs = decodeAll(Seq(
+      MediaRow(10, "text", text),
+      MediaRow(11, "image", truncatedPng)))
+    // pseudo-features: the oracle arithmetic from m_media_features
+    val n = text.length.toLong
+    assert(fs(10).kind == "text" && fs(10).n_bytes == n
+      && fs(10).width == (16 + n % 64).toInt
+      && fs(10).height == (16 + (n * 7) % 64).toInt)
+    assert(fs(11).kind == "image") // too short to sniff → fallback
+  }
+}
