@@ -70,13 +70,29 @@ object Ast {
     def name: String = alias.getOrElse(Render.expr(expr))
   }
 
-  /** terminal `[DETACH] DELETE var, …` — the write form the reference's
-    * own cleanup queries use (/root/reference/layer_test.go:275-281 and
-    * the generated templates neo4j.go:95-127). `detach` cascades
-    * incident edges; plain DELETE on a still-connected node is a
-    * runtime error (Neo4j semantics).
+  /** Terminal write clauses — the statement forms the reference's
+    * generated templates and cleanup queries use
+    * (/root/reference/neo4j.go:95-127, layer_test.go:275-281).
     */
-  case class DeleteEnd(detach: Boolean, targets: Seq[String])
+  sealed trait WriteEnd
+
+  /** `[DETACH] DELETE var, …`: `detach` cascades incident edges; plain
+    * DELETE on a still-connected node is a runtime error (Neo4j
+    * semantics).
+    */
+  case class DeleteEnd(detach: Boolean, targets: Seq[String]) extends WriteEnd
+
+  /** `SET v.prop = literal, …` (the template's `SET r.source = …`
+    * shape, neo4j.go:122); a NULL value removes the property.
+    */
+  case class SetEnd(items: Seq[(String, String, Expr)]) extends WriteEnd
+
+  /** `CREATE pattern, …` / `MERGE (node)`: new nodes carry their gid
+    * as a literal property (the engine's node key); `merge` =
+    * match-or-create instead of error-on-existing (neo4j.go:103,111).
+    */
+  case class CreateEnd(patterns: Seq[PathPattern], merge: Boolean)
+      extends WriteEnd
 
   case class Query(
       clauses: Seq[Clause],
@@ -85,7 +101,7 @@ object Ast {
       orderBy: Seq[(Expr, Boolean)],
       skip: Option[Long],
       limit: Option[Long],
-      delete: Option[DeleteEnd] = None)
+      write: Option[WriteEnd] = None)
 
   /** default output names for un-aliased return items */
   object Render {

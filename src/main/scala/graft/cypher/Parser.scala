@@ -22,7 +22,8 @@ object Parser {
   private val keywords = Set("MATCH", "OPTIONAL", "WHERE", "RETURN",
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
-    "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH")
+    "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
+    "SET", "CREATE", "MERGE")
 
   private val tokenRe: Regex =
     """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
@@ -127,7 +128,12 @@ object Parser {
         case _ => done = true
       }
     }
-    if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
+    def writeQuery(w: Ast.WriteEnd, what: String): Ast.Query = {
+      if (p.peek.nonEmpty)
+        throw ParseException(s"trailing input after $what: ${p.toks.take(5)}")
+      Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None,
+        write = Some(w))
+    }
     p.peek match {
       case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
         // terminal write form: [DETACH] DELETE var, …
@@ -142,11 +148,42 @@ object Parser {
         }
         one()
         while (p.trySym(",")) one()
-        if (p.peek.nonEmpty)
-          throw ParseException(s"trailing input after DELETE: ${p.toks.take(5)}")
-        Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None,
-          delete = Some(Ast.DeleteEnd(detach, targets.result())))
+        writeQuery(Ast.DeleteEnd(detach, targets.result()), "DELETE")
+      case Some(Kw("SET")) =>
+        // SET v.prop = literal, … (the template's SET r.source shape,
+        // neo4j.go:122); values are literals or parameters
+        p.next()
+        val items = Seq.newBuilder[(String, String, Ast.Expr)]
+        def one(): Unit = {
+          val v = p.next() match {
+            case Ident(s) => s
+            case other => throw ParseException(s"expected variable, got $other")
+          }
+          p.expectSym(".")
+          val prop = p.identOrKw()
+          p.expectSym("=")
+          parseAtom(p) match {
+            case value @ (_: Ast.Lit | _: Ast.Param) =>
+              items += ((v, prop, value))
+            case other =>
+              throw ParseException(s"SET value must be a literal, got $other")
+          }
+        }
+        one()
+        while (p.trySym(",")) one()
+        writeQuery(Ast.SetEnd(items.result()), "SET")
+      case Some(Kw("CREATE")) | Some(Kw("MERGE")) => // standalone allowed
+        val merge = p.peek.contains(Kw("MERGE"))
+        p.next()
+        val pats = Seq.newBuilder[Ast.PathPattern]
+        pats += parsePattern(p)
+        while (p.trySym(",")) pats += parsePattern(p)
+        val result = pats.result()
+        if (merge && (result.length != 1 || result.head.hops.nonEmpty))
+          throw ParseException("MERGE supports a single node pattern")
+        writeQuery(Ast.CreateEnd(result, merge), if (merge) "MERGE" else "CREATE")
       case _ =>
+        if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
         p.expectKw("RETURN")
         val distinct = p.tryKw("DISTINCT")
         val items = parseItems(p)

@@ -32,7 +32,12 @@ import graft.store.GraphStore
   *    it (WHERE rides in the join condition, so it may correlate with
   *    outer variables);
   *  - DISTINCT dedups scalar columns directly and map-bearing node
-  *    structs by their gid identity.
+  *    structs by their gid identity;
+  *  - write clauses are terminal (no RETURN after them) and return a
+  *    one-row stats frame; CREATE/MERGE nodes carry their gid as a
+  *    literal property (the graph's node key), and edge CREATE dedups
+  *    on (src, dst, relType) — the store's edge identity (A10), i.e.
+  *    the reference template's MERGE semantics (neo4j.go:116-123).
   */
 class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   import Ast._
@@ -57,7 +62,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case w: WithClause => applyWith(w)
       case u: UnwindClause => applyUnwind(u)
     }
-    q.delete.foreach(d => return executeDelete(d))
+    q.write.foreach {
+      case d: DeleteEnd => return executeDelete(d)
+      case s: SetEnd => return executeSet(s)
+      case c: CreateEnd => return executeCreate(c)
+    }
     if (df == null) throw PlanError("nothing bound before RETURN")
     var out = projectReturn(q.items)
     if (q.distinct) out = distinctSafe(out)
@@ -105,6 +114,143 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       (stats.nodesDeleted, stats.edgesDeleted)))
       .toDF("nodes_deleted", "relationships_deleted")
   }
+
+  /** a SET/CREATE value must be resolvable at plan time */
+  private def constVal(e: Expr): Any = e match {
+    case Lit(v) => v
+    case Param(n) => params.get(n) match {
+      case Some(_: Seq[_]) | None =>
+        throw PlanError(s"missing or non-scalar parameter: $n")
+      case Some(v) => v
+    }
+    case other => throw PlanError(s"expected a literal value, got $other")
+  }
+
+  /** PV-struct literal column (the node prop map's value type) */
+  private def pvLit(v: Any): Column = {
+    def slot(s: Any, l: Any, d: Any, b: Any) = struct(
+      lit(s).cast("string").as("s"), lit(l).cast("bigint").as("l"),
+      lit(d).cast("double").as("d"), lit(b).cast("boolean").as("b"))
+    v match {
+      case s: String => slot(s, null, null, null)
+      case l: Long => slot(null, l, null, null)
+      case i: Int => slot(null, i.toLong, null, null)
+      case d: Double => slot(null, null, d, null)
+      case b: Boolean => slot(null, null, null, b)
+      case other => throw PlanError(s"unsupported SET value: $other")
+    }
+  }
+
+  /** terminal `SET v.prop = literal, …`: patch the matched nodes'
+    * property maps ([[graft.ops.GraphMerge.writeBatch]]); a NULL value
+    * removes the key (Cypher semantics).
+    */
+  private def executeSet(s: SetEnd): DataFrame = {
+    if (df == null) throw PlanError("SET requires a preceding MATCH")
+    val patchDfs = s.items.groupBy(_._1).toSeq.map { case (v, its) =>
+      if (!env.get(v).contains(NodeVar))
+        throw PlanError(s"SET target must be a node variable: $v")
+      val resolved = its.map { case (_, prop, e) => prop -> constVal(e) }
+      val sets = resolved.filter(_._2 != null)
+      val removes = resolved.filter(_._2 == null).map(_._1)
+      val patchCol =
+        if (sets.isEmpty)
+          lit(null).cast(graft.store.GraphStore.nodeSchema("props").dataType)
+        else map(sets.flatMap { case (k, value) =>
+          Seq(lit(k), pvLit(value)) }: _*)
+      df.select(col(s"${v}__gid").as("gid")).distinct()
+        .withColumn("patch", patchCol)
+        .withColumn("removes",
+          array(removes.map(lit(_)): _*).cast("array<string>"))
+    }
+    // a gid targeted through two variables keeps one patch (last wins)
+    val patches = patchDfs.reduce(_ unionByName _).dropDuplicates("gid")
+    val stats = graft.ops.GraphMerge.writeBatch(
+      store, None, None, Some(patches), failOnNodeConflict = false)
+    writeSummary(stats)
+  }
+
+  /** terminal `CREATE pattern, …` / `MERGE (n)`: insert nodes (gid
+    * required as a literal property — it is the graph's node key) and
+    * MERGE edges between bound or newly created endpoints.
+    */
+  private def executeCreate(c: CreateEnd): DataFrame = {
+    val nodeRows = Seq.newBuilder[(String, Option[String],
+      Map[String, graft.model.PV])]
+    val edgeParts = Seq.newBuilder[DataFrame]
+    // gids of nodes created earlier in THIS statement, by variable
+    var localNew = Map.empty[String, String]
+
+    def endpoint(n: NodePattern): Column =
+      n.variable match {
+        case Some(v) if env.get(v).contains(NodeVar) =>
+          if (n.label.nonEmpty || n.props.nonEmpty)
+            throw PlanError(
+              s"bound variable $v cannot carry labels/properties in CREATE")
+          col(s"${v}__gid")
+        case Some(v) if localNew.contains(v) => lit(localNew(v))
+        case _ => lit(createNode(n))
+      }
+
+    def createNode(n: NodePattern): String = {
+      val gid = n.props.collectFirst { case ("gid", Lit(s: String)) => s }
+        .getOrElse(throw PlanError(
+          "CREATE/MERGE node needs a literal gid property (the node key)"))
+      val props = n.props.collect {
+        case (k, Lit(value)) if k != "gid" && value != null =>
+          k -> graft.model.PV.of(value)
+      }.toMap
+      nodeRows += ((gid, n.label, props))
+      n.variable.foreach(v => localNew += v -> gid)
+      gid
+    }
+
+    c.patterns.foreach { pat =>
+      // head: bound var → nothing to create; else create
+      pat.head.variable match {
+        case Some(v) if env.get(v).contains(NodeVar) => ()
+        case _ => createNode(pat.head)
+      }
+      var prev = pat.head
+      pat.hops.foreach { case (rel, node) =>
+        val relType = rel.relType.getOrElse(
+          throw PlanError("CREATE relationship needs an explicit type"))
+        if (rel.varLength.nonEmpty)
+          throw PlanError("cannot CREATE a variable-length relationship")
+        node.variable match {
+          case Some(v) if env.get(v).contains(NodeVar) => ()
+          case Some(v) if localNew.contains(v) => ()
+          case _ => createNode(node)
+        }
+        val (fromN, toN) = if (rel.direction > 0) (prev, node) else (node, prev)
+        val (srcCol, dstCol) = (endpoint(fromN), endpoint(toN))
+        val base = if (df == null) spark.range(1).toDF("__seed") else df
+        edgeParts += base.select(
+          srcCol.as("src"), dstCol.as("dst"), lit(relType).as("relType"),
+          lit(null).cast("string").as("source")).distinct()
+        prev = node
+      }
+    }
+
+    val rows = nodeRows.result()
+    val createDf = if (rows.isEmpty) None else Some {
+      val sp = spark
+      import sp.implicits._
+      rows.toDF("gid", "label", "props")
+        .select(col("gid"), col("label"),
+          lit(null).cast("string").as("source"), col("props"))
+    }
+    val edges = edgeParts.result().reduceOption(_ unionByName _)
+    val stats = graft.ops.GraphMerge.writeBatch(
+      store, createDf, edges, None, failOnNodeConflict = !c.merge)
+    writeSummary(stats)
+  }
+
+  private def writeSummary(
+      stats: graft.ops.GraphMerge.WriteStats): DataFrame =
+    spark.createDataFrame(Seq(
+      (stats.nodesCreated, stats.edgesCreated, stats.propertiesSet)))
+      .toDF("nodes_created", "relationships_created", "properties_set")
 
   // ---- clause application ----
 

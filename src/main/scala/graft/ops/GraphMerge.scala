@@ -246,6 +246,155 @@ object GraphMerge {
     edges.join(d1, Seq("src"), "left_anti").join(d2, Seq("dst"), "left_anti")
   }
 
+  /** result of a Cypher CREATE / MERGE / SET statement */
+  case class WriteStats(
+      nodesCreated: Long, edgesCreated: Long, propertiesSet: Long,
+      version: Long)
+
+  /** Execute the storage half of Cypher's CREATE / MERGE / SET — the
+    * statement forms the reference's templates emit
+    * (/root/reference/neo4j.go:103-127: `MERGE (n …)`, `SET n = item`,
+    * `SET r.source`, edge `MERGE`).
+    *
+    * @param createNodes rows to insert: gid, label, source, props.
+    * @param createEdges edges to insert: src, dst, relType, source —
+    *   MERGE semantics: pairs already present are left alone
+    *   (neo4j.go:116-123); missing endpoints materialize as stubs
+    *   (neo4j.go:111-114).
+    * @param propPatches per-gid property patches: gid, `patch`
+    *   (Map[String,PV] to upsert), `removes` (Array[String] keys to
+    *   drop — Cypher's `SET n.k = NULL`).
+    * @param failOnNodeConflict CREATE errors when a gid already
+    *   exists (gid is the graph's unique node key); MERGE skips it.
+    */
+  def writeBatch(
+      store: GraphStore,
+      createNodes: Option[DataFrame],
+      createEdges: Option[DataFrame],
+      propPatches: Option[DataFrame],
+      failOnNodeConflict: Boolean): WriteStats = {
+    val spark = store.nodes.sparkSession
+    import spark.implicits._
+    val ver = store.currentVersion + 1
+    val nodes0 = store.nodes
+    val edges0 = store.edges
+
+    val creates = createNodes.map(_.dropDuplicates("gid").cache())
+    val patches = propPatches.map(_.dropDuplicates("gid").cache())
+    val newEdges = createEdges
+      .map(_.dropDuplicates("src", "dst", "relType").cache())
+
+    // CREATE conflict / MERGE skip: probe the big table with the small
+    // create set (semi keeps the broadcast build side small)
+    val toInsert = creates.map { c =>
+      val existing = nodes0.select($"gid")
+        .join(broadcast(c.select($"gid")), Seq("gid"), "left_semi")
+      if (failOnNodeConflict && !existing.isEmpty) {
+        val sample = existing.limit(3).collect().map(_.getString(0))
+        throw new IllegalStateException(
+          s"CREATE: node(s) already exist: ${sample.mkString(", ")}")
+      }
+      c.join(existing, Seq("gid"), "left_anti")
+        .withColumn("recorded", lit(ver)).cache()
+    }
+
+    var nodes = toInsert.fold(nodes0)(t => nodes0.unionByName(t))
+
+    // SET patches: rewrite exactly the matched rows' props maps —
+    // patch keys win over old values, `removes` keys drop
+    var propertiesSet = 0L
+    patches.foreach { p =>
+      val emptyPv = map_from_arrays(
+        lit(Array.empty[String]),
+        array().cast(
+          "array<struct<s:string,l:bigint,d:double,b:boolean>>"))
+      val emptyStr = lit(Array.empty[String])
+      propertiesSet = p.agg(sum(
+        size(coalesce($"patch", emptyPv)) +
+          size(coalesce($"removes", emptyStr)))).as[Long].head()
+      val patchN = coalesce($"patch", emptyPv)
+      val removesN = coalesce($"removes", emptyStr)
+      val patched = nodes.join(broadcast(p), Seq("gid"), "inner")
+        .withColumn("props", map_concat(
+          map_filter(coalesce($"props", emptyPv), (k, _) =>
+            !array_contains(removesN, k) &&
+              !array_contains(map_keys(patchN), k)),
+          patchN))
+        .withColumn("recorded", lit(ver))
+        .drop("patch", "removes")
+      nodes = nodes.join(broadcast(p.select($"gid")), Seq("gid"), "left_anti")
+        .unionByName(patched)
+    }
+
+    // edge MERGE + stub creation for missing endpoints
+    var edges = edges0
+    var edgesCreated = 0L
+    var stubCount = 0L
+    val toAdd = newEdges.map { e =>
+      val existing = edges0.select($"src", $"dst", $"relType")
+        .join(broadcast(e.select($"src", $"dst", $"relType")),
+          Seq("src", "dst", "relType"), "left_semi")
+      e.join(existing, Seq("src", "dst", "relType"), "left_anti")
+        .withColumn("recorded", lit(ver)).cache()
+    }
+    val stubs = toAdd.map { a =>
+      edgesCreated = a.count()
+      edges = edges.unionByName(a)
+      val ends = a.select($"src".as("gid"))
+        .unionByName(a.select($"dst".as("gid"))).distinct()
+      val existingEnds = nodes.select($"gid")
+        .join(broadcast(ends), Seq("gid"), "left_semi")
+      val s = ends.join(existingEnds, Seq("gid"), "left_anti")
+        .select($"gid", lit(null).cast("string").as("label"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
+          lit(ver).as("recorded")).cache()
+      stubCount = s.count()
+      nodes = nodes.unionByName(s)
+      s
+    }
+    val nodesCreated = toInsert.map(_.count()).getOrElse(0L) + stubCount
+
+    if (nodesCreated == 0 && edgesCreated == 0 && propertiesSet == 0) {
+      val v = store.currentVersion
+      Seq(creates, patches, newEdges, toInsert, toAdd, stubs)
+        .foreach(_.foreach(_.unpersist()))
+      return WriteStats(0, 0, 0, v)
+    }
+
+    // dirty keys: created nodes by (label, bucket) directly; patched
+    // nodes via a bucket-pruned probe of the existing table; stubs in
+    // the null-label partition; edges by (relType, bucket(src))
+    def keysOf(df: DataFrame): Set[(Option[String], Option[Int])] =
+      df.select($"label", store.bucketOf($"gid").as("b")).distinct()
+        .collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
+    val patchKeys: Set[(Option[String], Option[Int])] = patches.map { p =>
+      val bs = p.select(store.bucketOf($"gid").as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      store.nodesWithBucket.select($"gid", $"label", $"bucket")
+        .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
+        .join(broadcast(p.select($"gid")), Seq("gid"), "left_semi")
+        .select($"label", $"bucket").distinct().collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
+    }.getOrElse(Set.empty)
+    val dirtyNodes = toInsert.map(keysOf).getOrElse(Set.empty) ++
+      patchKeys ++ stubs.map(keysOf).getOrElse(Set.empty)
+    val dirtyEdges: Set[(Option[String], Option[Int])] = toAdd.map {
+      _.select($"relType", store.bucketOf($"src").as("b")).distinct()
+        .collect()
+        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+        .toSet
+    }.getOrElse(Set.empty)
+
+    val v = store.commit(nodes, edges, "", Some(dirtyNodes), Some(dirtyEdges))
+    Seq(creates, patches, newEdges, toInsert, toAdd, stubs)
+      .foreach(_.foreach(_.unpersist()))
+    WriteStats(nodesCreated, edgesCreated, propertiesSet, v)
+  }
+
   /** result of a Cypher [DETACH] DELETE statement */
   case class DeleteStats(nodesDeleted: Long, edgesDeleted: Long, version: Long)
 

@@ -63,6 +63,26 @@ object CypherQ {
            MATCH (n:Nation) WHERE n.gid = 'n:1'
            RETURN n.gid AS gid, k ORDER BY k""")),
 
+    // Cypher write surface (the reference templates' MERGE/SET forms,
+    // /root/reference/neo4j.go:103-127) into a PRIVATE store: CREATE a
+    // node, CREATE an edge between bound endpoints, SET a property —
+    // then a read whose counts and min-names prove all three landed.
+    "cypher_set_create" -> ((s, dir) => {
+      val store = GraphOnTpch.freshNationStore(s, dir)
+      CypherEngine.query(store,
+        "CREATE (x:Nation {gid: 'n:99', name: 'ATLANTIS'})").collect()
+      CypherEngine.query(store,
+        """MATCH (a:Nation), (b) WHERE a.gid = 'n:99' AND b.gid = 'r:0'
+           CREATE (a)-[:in_region]->(b)""").collect()
+      CypherEngine.query(store,
+        "MATCH (n:Nation) WHERE n.gid = 'n:1' SET n.name = 'RENAMED'")
+        .collect()
+      CypherEngine.query(store,
+        """MATCH (m)<-[:in_region]-(n:Nation)
+           RETURN m.gid AS region, count(*) AS cnt,
+                  min(n.name) AS first_name ORDER BY region""")
+    }),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -101,5 +121,14 @@ object CypherQ {
     "cypher_delete" ->
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
-         GROUP BY 1 ORDER BY region""")
+         GROUP BY 1 ORDER BY region""",
+    "cypher_set_create" ->
+      """WITH nn AS (
+           SELECT n_regionkey,
+             CASE WHEN n_nationkey = 1 THEN 'RENAMED' ELSE n_name END AS name
+           FROM nation
+           UNION ALL SELECT 0, 'ATLANTIS')
+         SELECT 'r:'||n_regionkey AS region, COUNT(*) AS cnt,
+           MIN(name) AS first_name
+         FROM nn GROUP BY 1 ORDER BY region""")
 }

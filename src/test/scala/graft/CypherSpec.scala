@@ -462,6 +462,72 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("urn:p3", "urn:p2"))
   }
 
+  test("CREATE writes nodes, edges and stubs through Cypher text") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-create").toString, spark, 2)
+    val r = CypherEngine.query(st,
+      """CREATE (a:Person {gid: 'urn:n1', name: 'ann', age: 30})
+               -[:knows]->(b:Person {gid: 'urn:n2', name: 'ben'})""").collect()
+    assert(r.head.getAs[Long]("nodes_created") == 2)
+    assert(r.head.getAs[Long]("relationships_created") == 1)
+    val ann = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:n1'
+         RETURN n.name AS name, toInteger(n.age) AS age""").collect()
+    assert(ann.head.getString(0) == "ann" && ann.head.getLong(1) == 30L)
+    val hop = CypherEngine.query(st,
+      "MATCH (a)-[r:knows]->(b) RETURN a.gid AS s, b.gid AS t").collect()
+    assert(hop.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("urn:n1", "urn:n2")))
+    // CREATE of an existing gid is a conflict (gid is the node key)
+    intercept[IllegalStateException] {
+      CypherEngine.query(st,
+        "CREATE (x:Person {gid: 'urn:n1'})").collect()
+    }
+  }
+
+  test("MERGE matches-or-creates; edge CREATE between bound variables") {
+    val st = mutableStore()
+    // existing node: no-op
+    val r1 = CypherEngine.query(st,
+      "MERGE (n:Person {gid: 'urn:p1'})").collect()
+    assert(r1.head.getAs[Long]("nodes_created") == 0)
+    // new node: created
+    val r2 = CypherEngine.query(st,
+      "MERGE (n:City {gid: 'urn:city1', name: 'oslo'})").collect()
+    assert(r2.head.getAs[Long]("nodes_created") == 1)
+    // edge between MATCH-bound endpoints; edge identity dedups repeats
+    val r3 = CypherEngine.query(st,
+      """MATCH (a:Person), (b:City) WHERE a.name = 'ola' AND b.name = 'oslo'
+         CREATE (a)-[:lives_in]->(b)""").collect()
+    assert(r3.head.getAs[Long]("relationships_created") == 1)
+    val r4 = CypherEngine.query(st,
+      """MATCH (a:Person), (b:City) WHERE a.name = 'ola' AND b.name = 'oslo'
+         CREATE (a)-[:lives_in]->(b)""").collect()
+    assert(r4.head.getAs[Long]("relationships_created") == 0)
+  }
+
+  test("SET patches properties; NULL removes the key") {
+    val st = mutableStore()
+    val r = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.name = 'brian'
+         SET n.age = 24, n.nickname = 'bri'""").collect()
+    assert(r.head.getAs[Long]("properties_set") == 2)
+    val after = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN toInteger(n.age) AS age, n.nickname AS nick, n.name AS name""")
+      .collect()
+    assert(after.head.getLong(0) == 24L)
+    assert(after.head.getString(1) == "bri")
+    assert(after.head.getString(2) == "brian") // untouched key survives
+    CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         SET n.nickname = NULL""").collect()
+    val removed = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN n.nickname AS nick, n.name AS name""").collect()
+    assert(removed.head.isNullAt(0) && removed.head.getString(1) == "brian")
+  }
+
   test("DELETE with zero matches commits nothing") {
     val st = mutableStore()
     val v0 = st.currentVersion
