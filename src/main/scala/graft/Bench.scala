@@ -34,6 +34,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/events.parquet").cache().count()
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(_(spark, sfDir).count())
+      // the read-only cypher_*/g_* registry entries share one memoized
+      // applyBatch-built store — build that fixture here so the first
+      // such query measures its read, not the shared setup (queries
+      // that build PRIVATE stores, cypher_delete/cypher_set_create,
+      // still pay their own build: that's the measured write path)
+      SparkEntry.queries.get("cypher_match_where")
+        .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

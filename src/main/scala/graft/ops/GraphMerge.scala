@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,44 @@ object GraphMerge {
         lit(source).as("source"), lit(ver).as("recorded"))
       .dropDuplicates("src", "dst", "relType")
 
+    val batchGids0 = live.select($"id".as("gid"))
+
+    // Initial-load fast path: with no previous snapshot there is
+    // nothing to probe, cascade, or anti-join against — deletes are
+    // no-ops, every batch node is an insert, and every ref target not
+    // in the batch is a stub. The general path below would spend
+    // ~40 Spark jobs probing empty tables; a bulk initial load (the
+    // most common large-batch case) skips straight to two collects on
+    // batch-derived data + the commit.
+    if (store.currentVersion == 0L) {
+      val targets0 = newEdges.select($"dst".as("gid")).distinct()
+      val stubs0 = targets0.join(broadcast(batchGids0), Seq("gid"), "left_anti")
+        .select($"gid", lit(null).cast("string").as("label"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
+          lit(ver).as("recorded"))
+      val allNodes = newNodes.unionByName(stubs0)
+      // every (label, bucket) this commit writes must be dirty — there
+      // are no previous files to re-link; both tables' keys come back
+      // in ONE collect (tagged union)
+      val keys = allNodes
+        .select(lit("n").as("t"), $"label".as("p"),
+          store.bucketOf($"gid").as("b"))
+        .unionByName(newEdges.select(lit("e").as("t"),
+          $"relType".as("p"), store.bucketOf($"src").as("b")))
+        .distinct().collect()
+      def side(tag: String): Set[(Option[String], Option[Int])] =
+        keys.filter(_.getString(0) == tag)
+          .map(r => (Option(r.getString(1)), Some(r.getInt(2)): Option[Int]))
+          .toSet
+      val dirtyNodes = side("n")
+      val dirtyEdges = side("e")
+      val committed = store.commit(allNodes, newEdges, syncId,
+        Some(dirtyNodes), Some(dirtyEdges))
+      b.unpersist()
+      return committed
+    }
+
     var nodes = store.nodes
     var edges = store.edges
     val nodes0 = nodes
@@ -127,7 +165,7 @@ object GraphMerge {
     // label stamped (promotes stubs), props fully replaced
     // (/root/reference/neo4j.go:103-108; replacement proven by
     // layer_test.go:164-231).
-    val batchGids = live.select($"id".as("gid"))
+    val batchGids = batchGids0
     nodes = nodes.join(broadcast(batchGids), Seq("gid"), "left_anti")
       .unionByName(newNodes)
 
@@ -326,10 +364,23 @@ object GraphMerge {
         .unionByName(patched)
     }
 
+    // One action per small set: groupBy (partition, bucket) + count
+    // yields the dirty manifest keys AND the row count in one collect —
+    // halves the job count vs a separate count() + key collect.
+    def keyCounts(df: DataFrame, partCol: String, keyCol: Column)
+        : (Set[(Option[String], Option[Int])], Long) = {
+      val rows = df.groupBy(col(partCol), keyCol.as("b")).count().collect()
+      (rows.map(r =>
+          (Option(r.getString(0)), Some(r.getInt(1)): Option[Int])).toSet,
+        rows.map(_.getLong(2)).sum)
+    }
+
     // edge MERGE + stub creation for missing endpoints
     var edges = edges0
     var edgesCreated = 0L
     var stubCount = 0L
+    var edgeKeys = Set.empty[(Option[String], Option[Int])]
+    var stubKeys = Set.empty[(Option[String], Option[Int])]
     val toAdd = newEdges.map { e =>
       val existing = edges0.select($"src", $"dst", $"relType")
         .join(broadcast(e.select($"src", $"dst", $"relType")),
@@ -338,7 +389,8 @@ object GraphMerge {
         .withColumn("recorded", lit(ver)).cache()
     }
     val stubs = toAdd.map { a =>
-      edgesCreated = a.count()
+      val (ek, en) = keyCounts(a, "relType", store.bucketOf($"src"))
+      edgeKeys = ek; edgesCreated = en
       edges = edges.unionByName(a)
       val ends = a.select($"src".as("gid"))
         .unionByName(a.select($"dst".as("gid"))).distinct()
@@ -349,11 +401,16 @@ object GraphMerge {
           lit(null).cast("string").as("source"),
           lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
           lit(ver).as("recorded")).cache()
-      stubCount = s.count()
+      val (sk, sn) = keyCounts(s, "label", store.bucketOf($"gid"))
+      stubKeys = sk; stubCount = sn
       nodes = nodes.unionByName(s)
       s
     }
-    val nodesCreated = toInsert.map(_.count()).getOrElse(0L) + stubCount
+    var insertKeys = Set.empty[(Option[String], Option[Int])]
+    val nodesCreated = toInsert.map { t =>
+      val (ik, in) = keyCounts(t, "label", store.bucketOf($"gid"))
+      insertKeys = ik; in
+    }.getOrElse(0L) + stubCount
 
     if (nodesCreated == 0 && edgesCreated == 0 && propertiesSet == 0) {
       val v = store.currentVersion
@@ -362,14 +419,9 @@ object GraphMerge {
       return WriteStats(0, 0, 0, v)
     }
 
-    // dirty keys: created nodes by (label, bucket) directly; patched
-    // nodes via a bucket-pruned probe of the existing table; stubs in
-    // the null-label partition; edges by (relType, bucket(src))
-    def keysOf(df: DataFrame): Set[(Option[String], Option[Int])] =
-      df.select($"label", store.bucketOf($"gid").as("b")).distinct()
-        .collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
+    // dirty keys: created nodes/stubs/edges were collected above with
+    // their counts; patched nodes need a bucket-pruned probe of the
+    // existing table (the patch targets live in unknown labels)
     val patchKeys: Set[(Option[String], Option[Int])] = patches.map { p =>
       val bs = p.select(store.bucketOf($"gid").as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -380,14 +432,8 @@ object GraphMerge {
         .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
         .toSet
     }.getOrElse(Set.empty)
-    val dirtyNodes = toInsert.map(keysOf).getOrElse(Set.empty) ++
-      patchKeys ++ stubs.map(keysOf).getOrElse(Set.empty)
-    val dirtyEdges: Set[(Option[String], Option[Int])] = toAdd.map {
-      _.select($"relType", store.bucketOf($"src").as("b")).distinct()
-        .collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
-    }.getOrElse(Set.empty)
+    val dirtyNodes = insertKeys ++ patchKeys ++ stubKeys
+    val dirtyEdges = edgeKeys
 
     val v = store.commit(nodes, edges, "", Some(dirtyNodes), Some(dirtyEdges))
     Seq(creates, patches, newEdges, toInsert, toAdd, stubs)
@@ -458,8 +504,19 @@ object GraphMerge {
           "cannot delete a node that still has relationships; use DETACH DELETE")
     }
 
-    val nodesDeleted = gids.map(_.count()).getOrElse(0L)
-    val edgesDeleted = doomedEdgeSet.map(_.count()).getOrElse(0L)
+    // one action per doomed set: per-bucket counts give the row count
+    // (for the stats) and the touched buckets (for dirty-key pruning)
+    // in a single collect
+    val nodeBucketCounts: Map[Int, Long] = gids.map {
+      _.groupBy(store.bucketOf($"gid").as("b")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }.getOrElse(Map.empty)
+    val edgeKeyCounts: Seq[(Option[String], Int, Long)] = doomedEdgeSet.map {
+      _.groupBy($"relType", store.bucketOf($"src").as("b")).count().collect()
+        .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2))).toSeq
+    }.getOrElse(Seq.empty)
+    val nodesDeleted = nodeBucketCounts.values.sum
+    val edgesDeleted = edgeKeyCounts.map(_._3).sum
     if (nodesDeleted == 0 && edgesDeleted == 0) {
       val v = store.currentVersion // nothing matched: no new version
       gids.foreach(_.unpersist()); explicitEdges.foreach(_.unpersist())
@@ -475,8 +532,7 @@ object GraphMerge {
     // relTypes×buckets of doomed edges; the node probe prunes to the
     // doomed gids' hash buckets at the directory level
     val dirtyNodeKeys: Set[(Option[String], Option[Int])] = gids.map { g =>
-      val bs = g.select(store.bucketOf($"gid").as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      val bs = nodeBucketCounts.keys.toSeq
       store.nodesWithBucket.select($"gid", $"label", $"bucket")
         .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
         .join(g, Seq("gid"), "left_semi")
@@ -484,12 +540,8 @@ object GraphMerge {
         .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
         .toSet
     }.getOrElse(Set.empty)
-    val dirtyEdgeKeys: Set[(Option[String], Option[Int])] = doomedEdgeSet.map {
-      _.select($"relType", store.bucketOf($"src").as("b"))
-        .distinct().collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
-    }.getOrElse(Set.empty)
+    val dirtyEdgeKeys: Set[(Option[String], Option[Int])] =
+      edgeKeyCounts.map { case (rt, b, _) => (rt, Some(b): Option[Int]) }.toSet
 
     val v = store.commit(newNodes, newEdges, "",
       Some(dirtyNodeKeys), Some(dirtyEdgeKeys))

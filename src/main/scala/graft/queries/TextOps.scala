@@ -167,12 +167,20 @@ object TextOps {
     // codegen'd min() aggregate columns in one hash aggregate (the
     // oracle's own shape) — no interpreted HOF md5 lambdas; map-side
     // partial mins shrink the shuffle to 12 hashes per doc.
+    // Carter-Wegman double hashing cuts the per-shingle hashing cost
+    // 12×: ONE md5, split into two 32-bit halves (a, b), gives the
+    // whole family as h_i = a + i·b — the standard minhash trick
+    // (Kirsch & Mitzenmacher), with the same closed form in the
+    // DuckDB oracle for bit-parity.
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       val sh = cappedShingles(shingleTable(s, dir)).cache()
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val hashed = sh.select(($"doc_id" +: (0 until 12).map(i =>
-        md5(concat(lit(s"$i|"), $"s")).as(s"h$i"))): _*)
+      val h = md5($"s")
+      val ha = conv(substring(h, 1, 8), 16, 10).cast("long")
+      val hb = conv(substring(h, 9, 8), 16, 10).cast("long")
+      val hashed = sh.select(($"doc_id" +:
+        (0 until 12).map(i => (ha + lit(i.toLong) * hb).as(s"h$i"))): _*)
       val mins = (0 until 12).map(i => min(col(s"h$i")).as(s"h$i"))
       val sig = hashed.groupBy($"doc_id")
         .agg(mins.head, mins.tail: _*)
@@ -184,9 +192,10 @@ object TextOps {
       val bands = sig
         .select($"doc_id", explode(sequence(lit(0), lit(3))).as("b"), $"hs")
         .select($"doc_id", $"b",
-          md5(concat(element_at($"hs", $"b" * 3 + 1),
-            element_at($"hs", $"b" * 3 + 2),
-            element_at($"hs", $"b" * 3 + 3))).as("bkey"))
+          md5(concat_ws("|",
+            element_at($"hs", $"b" * 3 + 1).cast("string"),
+            element_at($"hs", $"b" * 3 + 2).cast("string"),
+            element_at($"hs", $"b" * 3 + 3).cast("string"))).as("bkey"))
       val cand = bands.select($"doc_id".as("da"), $"b", $"bkey")
         .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
           Seq("b", "bkey"))
@@ -318,11 +327,15 @@ object TextOps {
           WHERE i*1.0/(ca.n + cb.n - i) >= 0.7 ORDER BY da, db""",
     "dedup_minhash_lsh" ->
       s"""WITH $shingleSqlCte,
-          mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) h
-            FROM sh CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
+          ab AS (SELECT doc_id,
+              ('0x' || substr(md5(s), 1, 8))::BIGINT a,
+              ('0x' || substr(md5(s), 9, 8))::BIGINT b FROM sh),
+          mh AS (SELECT doc_id, i, min(a + i*b) h
+            FROM ab CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
           sig AS (SELECT doc_id, array_agg(h ORDER BY i) hs FROM mh GROUP BY 1),
           bands AS (SELECT doc_id, b,
-              md5(hs[3*b+1] || hs[3*b+2] || hs[3*b+3]) bkey
+              md5(hs[3*b+1]::VARCHAR || '|' || hs[3*b+2]::VARCHAR ||
+                  '|' || hs[3*b+3]::VARCHAR) bkey
             FROM sig CROSS JOIN range(4) t(b)),
           cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x
             JOIN bands y ON x.b = y.b AND x.bkey = y.bkey

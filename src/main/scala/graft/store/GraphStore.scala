@@ -158,10 +158,18 @@ class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8)
       if (unbucketed && (dirtyNodes.isDefined || dirtyEdges.isDefined))
         throw new IllegalStateException(
           s"store at $root has a pre-bucketing manifest; run compact() first")
-      val nodesMan = writePartitions(
-        newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes"))
-      val edgesMan = writePartitions(
-        newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges"))
+      // the two table writes touch disjoint directories and share no
+      // lineage — run them as concurrent Spark jobs (halves the
+      // commit's write wall-clock; the scheduler interleaves stages)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val nodesManF = Future(writePartitions(
+        newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes")))
+      val edgesManF = Future(writePartitions(
+        newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges")))
+      val nodesMan = Await.result(nodesManF, Duration.Inf)
+      val edgesMan = Await.result(edgesManF, Duration.Inf)
       writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp, s"$next\n$syncId".getBytes(StandardCharsets.UTF_8),
@@ -188,6 +196,9 @@ class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8)
       next: Long,
       dirty: Option[Set[DirtyKey]],
       prev: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    // a batch that touched nothing in this table (e.g. a node-only
+    // patch) re-links the previous manifest without running a write job
+    if (dirty.exists(_.isEmpty)) return prev
     val withBucket = df.withColumn("bucket", bucketOf(col(clusterCol)))
     val toWrite = dirty match {
       case None => withBucket
