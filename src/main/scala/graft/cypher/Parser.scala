@@ -23,7 +23,7 @@ object Parser {
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
-    "SET", "CREATE", "MERGE")
+    "SET", "CREATE", "MERGE", "REMOVE")
 
   private val tokenRe: Regex =
     """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
@@ -172,6 +172,22 @@ object Parser {
         one()
         while (p.trySym(",")) one()
         writeQuery(Ast.SetEnd(items.result()), "SET")
+      case Some(Kw("REMOVE")) =>
+        // REMOVE v.prop, … — sugar for SET v.prop = null (property
+        // drop; the planner routes null-valued patches to `removes`)
+        p.next()
+        val items = Seq.newBuilder[(String, String, Ast.Expr)]
+        def one(): Unit = {
+          val v = p.next() match {
+            case Ident(s) => s
+            case other => throw ParseException(s"expected variable, got $other")
+          }
+          p.expectSym(".")
+          items += ((v, p.identOrKw(), Ast.Lit(null)))
+        }
+        one()
+        while (p.trySym(",")) one()
+        writeQuery(Ast.SetEnd(items.result()), "REMOVE")
       case Some(Kw("CREATE")) | Some(Kw("MERGE")) => // standalone allowed
         val merge = p.peek.contains(Kw("MERGE"))
         p.next()
@@ -179,8 +195,13 @@ object Parser {
         pats += parsePattern(p)
         while (p.trySym(",")) pats += parsePattern(p)
         val result = pats.result()
-        if (merge && (result.length != 1 || result.head.hops.nonEmpty))
-          throw ParseException("MERGE supports a single node pattern")
+        // MERGE takes ONE pattern: a node, or a single relationship
+        // between bound/inline endpoints (the reference's edge
+        // template, /root/reference/neo4j.go:116-123). Longer chains
+        // would need partial-match semantics we don't model.
+        if (merge && (result.length != 1 || result.head.hops.length > 1))
+          throw ParseException(
+            "MERGE supports a single node or single-relationship pattern")
         writeQuery(Ast.CreateEnd(result, merge), if (merge) "MERGE" else "CREATE")
       case _ =>
         if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")

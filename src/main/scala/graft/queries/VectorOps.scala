@@ -90,6 +90,42 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF ANN: a coarse quantizer assigns every vector to its nearest
+    // of K centroids (the inverted lists); a query probes only its
+    // NPROBE nearest cells. This is the standard billion-vector layout
+    // (IVF-Flat): at 100 TB the cell id is the partition key — the
+    // candidate join fans each query to nprobe cells instead of the
+    // whole corpus, and the 16-row centroid table broadcasts.
+    // Determinism: the quantizer is the K lowest-id vectors (a k-means
+    // trained offline would replace it; the probing dataflow — the
+    // part that must scale — is identical), ties break on centroid id.
+    "v_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val K = 16; val NPROBE = 2
+      val e = emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache()
+      val cents = e.orderBy($"vec_id").limit(K)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cn"))
+      val scoredAll = e.crossJoin(broadcast(cents))
+        .withColumn("csim", dot($"v", $"cv") / ($"norm" * $"cn"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+      val assigned = scoredAll.withColumn("r", row_number().over(wAssign))
+        .cache()
+      val cells = assigned.filter($"r" === 1)
+        .select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
+          $"cid".as("cell"))
+      val probes = assigned.filter($"vec_id" < 30 && $"r" <= NPROBE)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
+          $"cid".as("cell"))
+      val scored = probes.join(cells, Seq("cell")).filter($"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // embedding near-dup detection: cosine ≥ 0.999 pairs among
     // (label, sign-signature-bucket) candidates. The bucket key shards
     // each label's candidate space ~256 ways, so the pair join is
@@ -154,6 +190,27 @@ object VectorOps {
              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) sim
            FROM b q JOIN b c ON q.bucket = c.bucket
              AND q.vec_id < 50 AND q.vec_id != c.vec_id),
+         ranked AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
+    "v_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         cents AS (SELECT vec_id cid, v cv, norm cn FROM n
+           ORDER BY vec_id LIMIT 16),
+         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                 c.cid) r
+           FROM n a CROSS JOIN cents c),
+         cells AS (SELECT vec_id nid, v nv, norm nn, cid cell
+           FROM assigned WHERE r = 1),
+         probes AS (SELECT vec_id qid, v qv, norm qn, cid cell
+           FROM assigned WHERE vec_id < 30 AND r <= 2),
+         scored AS (SELECT p.qid, c.nid,
+             list_dot_product(p.qv, c.nv) / (p.qn * c.nn) sim
+           FROM probes p JOIN cells c ON p.cell = c.cell AND p.qid != c.nid),
          ranked AS (SELECT qid, nid, sim, row_number() OVER
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked

@@ -506,6 +506,52 @@ class CypherSpec extends AnyFunSuite {
     assert(r4.head.getAs[Long]("relationships_created") == 0)
   }
 
+  test("MERGE creates a relationship pattern; existing pairs are no-ops") {
+    val st = mutableStore()
+    // the reference's edge-template shape (neo4j.go:116-123): MERGE a
+    // single relationship between inline-gid endpoints — one endpoint
+    // exists (matched), the other is created
+    val r1 = CypherEngine.query(st,
+      """MERGE (a:Person {gid: 'urn:p1'})-[:visited]->
+               (b:City {gid: 'urn:rome', name: 'roma'})""").collect()
+    assert(r1.head.getAs[Long]("nodes_created") == 1)
+    assert(r1.head.getAs[Long]("relationships_created") == 1)
+    // replay: everything already present → full no-op
+    val r2 = CypherEngine.query(st,
+      """MERGE (a:Person {gid: 'urn:p1'})-[:visited]->
+               (b:City {gid: 'urn:rome', name: 'roma'})""").collect()
+    assert(r2.head.getAs[Long]("nodes_created") == 0)
+    assert(r2.head.getAs[Long]("relationships_created") == 0)
+    // MERGE between MATCH-bound endpoints
+    val r3 = CypherEngine.query(st,
+      """MATCH (a:Person), (b) WHERE a.gid = 'urn:p2' AND b.gid = 'urn:rome'
+         MERGE (a)-[:visited]->(b)""").collect()
+    assert(r3.head.getAs[Long]("relationships_created") == 1)
+    val hop = CypherEngine.query(st,
+      """MATCH (a)-[:visited]->(b) RETURN a.gid AS s, b.gid AS t
+         ORDER BY s""").collect()
+    assert(hop.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("urn:p1", "urn:rome"), ("urn:p2", "urn:rome")))
+    // chains of more than one hop stay rejected
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """MERGE (a {gid: 'x'})-[:r1]->(b {gid: 'y'})-[:r2]->
+                 (c {gid: 'z'})""").collect()
+    }
+  }
+
+  test("REMOVE drops properties (sugar for SET = NULL)") {
+    val st = mutableStore()
+    val r = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         REMOVE n.age, n.name""").collect()
+    assert(r.head.getAs[Long]("properties_set") == 2)
+    val after = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN n.age AS age, n.name AS name""").collect()
+    assert(after.head.isNullAt(0) && after.head.isNullAt(1))
+  }
+
   test("SET patches properties; NULL removes the key") {
     val st = mutableStore()
     val r = CypherEngine.query(st,
