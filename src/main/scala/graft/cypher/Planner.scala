@@ -676,6 +676,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case other => valueCol(other).cast("double")
   }
 
+  /** the string view of an expression (PV string slot when available) */
+  private def strCol(e: Ast.Expr): Column =
+    typedProp(e, "s").getOrElse(valueCol(e).cast("string"))
+
   // ---- expressions ----
 
   private def valueCol(e: Ast.Expr): Column = e match {
@@ -731,6 +735,38 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if env.get(n).contains(RelVar) => col(s"${n}__relType")
     case FuncCall("labels", Seq(VarRef(n)), _) => array(col(s"${n}__label"))
     case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
+    // openCypher scalar library (string / numeric / list / null)
+    case FuncCall("coalesce", args, _) if args.nonEmpty =>
+      coalesce(args.map(valueCol): _*)
+    case FuncCall("exists", Seq(a), _) => valueCol(a).isNotNull
+    case FuncCall("toupper", Seq(a), _) => upper(strCol(a))
+    case FuncCall("tolower", Seq(a), _) => lower(strCol(a))
+    case FuncCall("trim", Seq(a), _) => trim(strCol(a))
+    case FuncCall("ltrim", Seq(a), _) => ltrim(strCol(a))
+    case FuncCall("rtrim", Seq(a), _) => rtrim(strCol(a))
+    case FuncCall("reverse", Seq(a), _) => reverse(strCol(a))
+    case FuncCall("replace", Seq(a, f, t), _) =>
+      replace(strCol(a), strCol(f), strCol(t))
+    case FuncCall("split", Seq(a, Lit(d: String)), _) =>
+      split(strCol(a), java.util.regex.Pattern.quote(d))
+    case FuncCall("left", Seq(a, n), _) =>
+      substring(strCol(a), lit(1), valueCol(n).cast("int"))
+    case FuncCall("right", Seq(a, n), _) =>
+      strCol(a).substr(-valueCol(n).cast("int"), valueCol(n).cast("int"))
+    // openCypher substring(s, start[, len]) is 0-based; Spark is 1-based
+    case FuncCall("substring", Seq(a, st), _) =>
+      // length cap: big but overflow-safe (pos + len must fit in Int)
+      strCol(a).substr(valueCol(st).cast("int") + 1, lit(1 << 30))
+    case FuncCall("substring", Seq(a, st, len), _) =>
+      strCol(a).substr(valueCol(st).cast("int") + 1, valueCol(len).cast("int"))
+    case FuncCall("abs", Seq(a), _) => abs(numCol(a))
+    case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
+    case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
+    case FuncCall("ceil", Seq(a), _) => ceil(numCol(a)).cast("double")
+    case FuncCall("floor", Seq(a), _) => floor(numCol(a)).cast("double")
+    case FuncCall("sqrt", Seq(a), _) => sqrt(numCol(a))
+    case FuncCall("head", Seq(a), _) => element_at(valueCol(a), 1)
+    case FuncCall("last", Seq(a), _) => element_at(valueCol(a), -1)
     case c: Cmp => toPredicate(c)
     case a: And => toPredicate(a)
     case o: Or => toPredicate(o)

@@ -200,9 +200,17 @@ object TextOps {
         .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
           Seq("b", "bkey"))
         .filter($"da" < $"db")
-        .select($"da", $"db").distinct()
-      val x = sh.select($"doc_id".as("da"), $"s")
-      val y = sh.select($"doc_id".as("db"), $"s")
+        .select($"da", $"db").distinct().cache()
+      // exact-verify only the candidate docs' shingles: the LSH pair
+      // set is tiny relative to the corpus, so semi-filtering both
+      // sides keeps the verify join from shuffling the full shingle
+      // table (at 100 TB that shuffle would dwarf everything else)
+      val x = sh.join(broadcast(cand.select($"da".as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("da"), $"s")
+      val y = sh.join(broadcast(cand.select($"db".as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("db"), $"s")
       val inter = cand.join(x, Seq("da")).join(y, Seq("db", "s"))
         .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
       inter

@@ -506,6 +506,55 @@ class CypherSpec extends AnyFunSuite {
     assert(r4.head.getAs[Long]("relationships_created") == 0)
   }
 
+  test("scalar function library: string / numeric / list / null") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN toUpper(n.name) AS up, toLower('ABC') AS lo,
+                trim('  x  ') AS tr, replace(n.name, 'br', 'BR') AS rep,
+                substring(n.name, 1) AS sub0, substring(n.name, 1, 3) AS sub1,
+                left(n.name, 2) AS l2, right(n.name, 2) AS r2,
+                reverse('abc') AS rev, split('a,b,c', ',') AS parts,
+                coalesce(n.nothere, n.name) AS co,
+                abs(-2.5) AS ab, sign(-3) AS sg, round(2.4) AS rd,
+                ceil(2.1) AS ce, floor(2.9) AS fl, sqrt(4.0) AS sq,
+                head(split('a,b', ',')) AS hd, last(split('a,b', ',')) AS la""")
+      .collect()
+    val r = rows.head
+    assert(r.getAs[String]("up") == "BRIAN")
+    assert(r.getAs[String]("lo") == "abc")
+    assert(r.getAs[String]("tr") == "x")
+    assert(r.getAs[String]("rep") == "BRian")
+    assert(r.getAs[String]("sub0") == "rian")
+    assert(r.getAs[String]("sub1") == "ria")
+    assert(r.getAs[String]("l2") == "br")
+    assert(r.getAs[String]("r2") == "an")
+    assert(r.getAs[String]("rev") == "cba")
+    assert(r.getSeq[String](r.fieldIndex("parts")).toList ==
+      List("a", "b", "c"))
+    assert(r.getAs[String]("co") == "brian")
+    assert(r.getAs[Double]("ab") == 2.5)
+    assert(r.getAs[Long]("sg") == -1L)
+    assert(r.getAs[Double]("rd") == 2.0)
+    assert(r.getAs[Double]("ce") == 3.0)
+    assert(r.getAs[Double]("fl") == 2.0)
+    assert(r.getAs[Double]("sq") == 2.0)
+    assert(r.getAs[String]("hd") == "a")
+    assert(r.getAs[String]("la") == "b")
+  }
+
+  test("exists() tests property presence in WHERE") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE exists(n.age)
+         RETURN n.gid AS gid ORDER BY gid""").collect()
+    assert(rows.nonEmpty)
+    val all = CypherEngine.query(store,
+      "MATCH (n:Person) RETURN n.gid AS gid").collect()
+    val without = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE NOT exists(n.age)
+         RETURN n.gid AS gid""").collect()
+    assert(rows.length + without.length == all.length)
+  }
+
   test("MERGE creates a relationship pattern; existing pairs are no-ops") {
     val st = mutableStore()
     // the reference's edge-template shape (neo4j.go:116-123): MERGE a
