@@ -86,6 +86,44 @@ object EventStreams {
       }
   }
 
+  case class DocEvent(doc_id: Long, text: String)
+  case class DedupKeeper(doc_id: Long, fp: String)
+
+  /** Streaming exact-dedup: the first document per content
+    * fingerprint passes through; later copies — in the same
+    * micro-batch or any later one — are dropped. The fingerprint is
+    * the SAME normalization the batch `dedup_exact`/`t_fingerprint`
+    * queries use, so the streamed keeper set equals the batch keeper
+    * set when arrival follows doc_id order.
+    *
+    * This is the ingest-side shape of an LLM-corpus pipeline: dedup
+    * happens as data lands instead of in a nightly batch. State is
+    * one boolean per fingerprint, keyed (hash-partitioned) by the
+    * fingerprint itself — at 100 TB the state store shards across
+    * executors exactly like the batch groupBy would, and a RocksDB
+    * state store keeps it off-heap.
+    */
+  def dedupStream(docs: Dataset[DocEvent]): Dataset[DedupKeeper] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .select(col("doc_id"), col("fp")).as[DedupKeeper]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, DedupKeeper](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[DedupKeeper],
+         state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            // first arrival wins; doc_id order within the micro-batch
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** Streaming EGDM-NDJSON → graph store: every micro-batch runs the
     * batch merge job (exactly-once per batch via the store's syncId
     * replay guard keyed on batchId).

@@ -83,6 +83,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.currentVersion == 2)
   }
 
+  test("streaming exact-dedup keeps first arrival per fingerprint " +
+      "across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    // batch oracle shape: keeper = min(doc_id) per fingerprint
+    val expected = graft.queries.TextOps.defs("dedup_exact")(spark, dir)
+      .select($"keeper").collect().map(_.getLong(0)).sorted.toSeq
+
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // two micro-batches in doc_id order: first arrival == min doc_id,
+    // so the streamed keeper set must equal the batch keeper set —
+    // duplicates spanning the batch boundary exercise the state store
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.dedupStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_stream_out")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
