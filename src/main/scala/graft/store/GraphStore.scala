@@ -57,16 +57,41 @@ import org.json4s.jackson.JsonMethods
   * pool would live on object storage and the pointer flip would be a
   * conditional-put; the protocol is unchanged.
   */
-class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8) {
+class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   import GraphStore._
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_current")
+  private def metaPath: Path = rootPath.resolve("_meta.json")
   private def manifestPath(v: Long): Path = rootPath.resolve(f"m$v%08d.json")
   private def dataDir(table: String): Path =
     rootPath.resolve("data").resolve(table)
 
   Files.createDirectories(rootPath)
+
+  /** The bucket count the data ON DISK was hashed with. An existing
+    * store's persisted count always wins over the constructor argument:
+    * probing `hash(gid) % numBuckets` with any other modulus would
+    * silently prune the wrong directories. New stores persist the
+    * requested count at first commit.
+    */
+  private var bucketCount0: Int = {
+    if (Files.exists(metaPath)) {
+      val raw = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
+      JsonMethods.parse(raw) \ "numBuckets" match {
+        case JInt(n) => n.toInt
+        case _ => numBuckets
+      }
+    } else numBuckets
+  }
+
+  /** the count the on-disk data is hashed with (see init above) */
+  def bucketCount: Int = bucketCount0
+
+  private def writeMeta(): Unit =
+    Files.write(metaPath,
+      s"""{"numBuckets":$bucketCount}""".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
 
   /** (version, syncId) named by the pointer file; version 0 = empty store. */
   def current: (Long, String) =
@@ -85,7 +110,7 @@ class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8)
     * bucket partition the writer computes, so probes can prune to the
     * touched buckets' directories instead of scanning the table.
     */
-  def bucketOf(c: Column): Column = pmod(hash(c), lit(numBuckets))
+  def bucketOf(c: Column): Column = pmod(hash(c), lit(bucketCount))
 
   /** node/edge tables with the `bucket` partition column retained —
     * for dirty-bucket probes that prune at the directory level.
@@ -170,6 +195,7 @@ class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8)
         newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges")))
       val nodesMan = Await.result(nodesManF, Duration.Inf)
       val edgesMan = Await.result(edgesManF, Duration.Inf)
+      if (!Files.exists(metaPath)) writeMeta() // pin the bucket count
       writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp, s"$next\n$syncId".getBytes(StandardCharsets.UTF_8),
@@ -224,7 +250,7 @@ class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8)
     val segDir = dataDir(table).resolve(s"seg=$next")
     if (Files.exists(segDir)) deleteRecursively(segDir)
     toWrite
-      .repartition(numBuckets, col(clusterCol))
+      .repartition(bucketCount, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .withColumn("seg", lit(next))
       .write.mode("append").partitionBy("seg", partCol, "bucket")
@@ -310,6 +336,22 @@ class GraphStore(val root: String, spark: SparkSession, val numBuckets: Int = 8)
     * small files (run after `vacuum` to reclaim the old segments).
     */
   def compact(): Long = commit(nodes, edges)
+
+  /** Re-distribute the store over `n` gid-hash buckets and commit the
+    * rewrite as a new version. Bucket count is the write-amplification
+    * dial: an incremental commit rewrites ~1/numBuckets of each touched
+    * partition, so a store that has grown 100× wants proportionally
+    * more buckets to keep the per-commit rewrite ~constant. The new
+    * count is persisted (`_meta.json`) and adopted by every later
+    * open — probes always hash with the on-disk count.
+    */
+  def rebucket(n: Int): Long = synchronized {
+    require(n > 0, s"numBuckets must be positive: $n")
+    val (ns, es) = (nodes, edges) // resolve file lists under the OLD count
+    bucketCount0 = n
+    writeMeta()
+    commit(ns, es) // full rewrite: every key is re-hashed
+  }
 
   private def writeManifest(v: Long, m: Manifest): Unit = {
     val json = JObject(m.toList.sortBy(_._1).map { case (t, parts) =>

@@ -254,6 +254,42 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(propsOf(p1) == Map("version" -> 2L))
   }
 
+  test("persisted bucket count wins over the constructor arg; rebucket") {
+    val store = freshStore() // numBuckets = 2
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.incremental((1 to 8).map(i => Entity(s"urn:p$i")))
+    val dataBefore = store.nodes.orderBy($"gid").collect().toSeq
+
+    // re-open with a DIFFERENT constructor count: the on-disk count
+    // must win, or every hash(gid) % numBuckets probe would prune the
+    // wrong directories
+    val reopened = new GraphStore(store.root, spark, numBuckets = 8)
+    assert(reopened.bucketCount == 2)
+    // probe correctness through the adopted count: a 1-entity
+    // incremental rewrite still touches exactly one bucket
+    val before = reopened.manifestFiles("nodes")
+      .filter(_._1.startsWith("label=Person/"))
+    new GraphDataset(reopened, spark, "people", "Person")
+      .incremental(Seq(Entity("urn:p1").withProp("urn:x#v", 2)))
+    val after = reopened.manifestFiles("nodes")
+      .filter(_._1.startsWith("label=Person/"))
+    assert((after.keySet ++ before.keySet)
+      .count(k => after.get(k) != before.get(k)) == 1)
+
+    // rebucket: same rows, new layout, count persisted for later opens
+    val v = reopened.rebucket(4)
+    assert(v == reopened.currentVersion && reopened.bucketCount == 4)
+    val keys = reopened.manifestFiles("nodes").keySet
+    assert(keys.forall(k => (0 until 4).exists(b => k.endsWith(s"/bucket=$b"))),
+      s"unexpected keys: $keys")
+    assert(keys.size > 2, s"8 gids over 4 buckets should spread: $keys")
+    val dataAfter = reopened.nodes.orderBy($"gid").collect().toSeq
+    assert(dataAfter.map(_.getString(0)) == dataBefore.map(_.getString(0)))
+    val p1 = dataAfter.find(_.getString(0) == "urn:p1").get
+    assert(propsOf(p1) == Map("v" -> 2L)) // the pre-rebucket update holds
+    assert(new GraphStore(store.root, spark, numBuckets = 16).bucketCount == 4)
+  }
+
   test("retried commit ignores a failed attempt's stale seg files") {
     val store = freshStore()
     val ds = new GraphDataset(store, spark, "people", "Person")
