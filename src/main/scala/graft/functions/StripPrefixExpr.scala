@@ -84,6 +84,8 @@ object StripPrefix {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(StripPrefix.registration)
+    e.injectFunction(DotProduct.registration)
+  }
 }

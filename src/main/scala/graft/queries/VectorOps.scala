@@ -20,8 +20,11 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** codegen'd native expression — same index-ordered fold as the HOF
+    * form it replaced (see [[graft.functions.DotProduct]])
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -55,6 +55,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dot_product: native Expression is bit-identical to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    val vecs = Gen.listOfN(100,
+      Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))).sample.get
+    val pairs = vecs.zip(vecs.reverse)
+    val df = pairs.toDF("a", "b")
+      .withColumn("hof", aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+      .withColumn("native", graft.functions.DotProduct(col("a"), col("b")))
+    df.collect().foreach { r =>
+      // bit-identical, not approximately equal: same fold order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // mismatched lengths truncate to the shorter side
+    val m = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+      .select(graft.functions.DotProduct(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(m == 14.0)
+  }
+
+  test("dot_product registers as a SQL function and stays in codegen") {
+    graft.functions.DotProduct.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    // the plan containing the native expression still whole-stage-codegens
+    // (a local Seq would constant-fold to LocalTableScan — use range)
+    import org.apache.spark.sql.functions.{array, col}
+    val plan = spark.range(10)
+      .select(array(col("id").cast("double")).as("a"),
+        array((col("id") + 1).cast("double")).as("b"))
+      .select(graft.functions.DotProduct(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    // the "*(1)" stage marker = the Project runs inside WholeStageCodegen
+    assert(plan.contains("*(1) Project [dot_product"), plan)
+  }
+
   test("strip_prefix registers as a SQL function (SparkSessionExtensions path)") {
     graft.functions.StripPrefix.register(spark)
     val r = spark.sql(
