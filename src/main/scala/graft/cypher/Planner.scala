@@ -744,7 +744,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("trim", Seq(a), _) => trim(strCol(a))
     case FuncCall("ltrim", Seq(a), _) => ltrim(strCol(a))
     case FuncCall("rtrim", Seq(a), _) => rtrim(strCol(a))
-    case FuncCall("reverse", Seq(a), _) => reverse(strCol(a))
+    // Spark's reverse handles string AND array natively — valueCol
+    // keeps lists as lists (strCol would stringify them)
+    case FuncCall("reverse", Seq(a), _) => reverse(valueCol(a))
     case FuncCall("replace", Seq(a, f, t), _) =>
       replace(strCol(a), strCol(f), strCol(t))
     case FuncCall("split", Seq(a, Lit(d: String)), _) =>
@@ -765,8 +767,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("ceil", Seq(a), _) => ceil(numCol(a)).cast("double")
     case FuncCall("floor", Seq(a), _) => floor(numCol(a)).cast("double")
     case FuncCall("sqrt", Seq(a), _) => sqrt(numCol(a))
-    case FuncCall("head", Seq(a), _) => element_at(valueCol(a), 1)
-    case FuncCall("last", Seq(a), _) => element_at(valueCol(a), -1)
+    // openCypher head([])/last([]) are null; bare element_at would
+    // throw under ANSI mode on an empty list
+    case FuncCall("head", Seq(a), _) =>
+      val c = valueCol(a); when(size(c) > 0, element_at(c, 1))
+    case FuncCall("last", Seq(a), _) =>
+      val c = valueCol(a); when(size(c) > 0, element_at(c, -1))
     case c: Cmp => toPredicate(c)
     case a: And => toPredicate(a)
     case o: Or => toPredicate(o)

@@ -75,14 +75,20 @@ object DotProduct {
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  private val builder: FunctionRegistry.FunctionBuilder = {
+    case Seq(a, b) => DotProduct(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"dot_product requires exactly 2 arguments, got ${exprs.length}")
+  }
+
   val registration: (FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder) = (
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+    builder)
 
   /** register `dot_product` for SQL use on an existing session */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", builder, "built-in")
 }

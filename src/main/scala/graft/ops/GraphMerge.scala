@@ -347,9 +347,10 @@ object GraphMerge {
         array().cast(
           "array<struct<s:string,l:bigint,d:double,b:boolean>>"))
       val emptyStr = lit(Array.empty[String])
-      propertiesSet = p.agg(sum(
+      // coalesce: sum over a zero-match patch set is null, not 0
+      propertiesSet = p.agg(coalesce(sum(
         size(coalesce($"patch", emptyPv)) +
-          size(coalesce($"removes", emptyStr)))).as[Long].head()
+          size(coalesce($"removes", emptyStr))), lit(0L))).as[Long].head()
       val patchN = coalesce($"patch", emptyPv)
       val removesN = coalesce($"removes", emptyStr)
       val patched = nodes.join(broadcast(p), Seq("gid"), "inner")

@@ -62,44 +62,36 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
 
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_current")
-  private def metaPath: Path = rootPath.resolve("_meta.json")
   private def manifestPath(v: Long): Path = rootPath.resolve(f"m$v%08d.json")
   private def dataDir(table: String): Path =
     rootPath.resolve("data").resolve(table)
 
   Files.createDirectories(rootPath)
 
-  /** The bucket count the data ON DISK was hashed with. An existing
-    * store's persisted count always wins over the constructor argument:
-    * probing `hash(gid) % numBuckets` with any other modulus would
-    * silently prune the wrong directories. New stores persist the
-    * requested count at first commit.
+  /** The bucket count the data ON DISK was hashed with — third line of
+    * the `_current` pointer, so the count and the version it applies to
+    * flip ATOMICALLY together (a rebucket that dies mid-commit leaves
+    * both untouched). An existing store's recorded count always wins
+    * over the constructor argument: probing `hash(gid) % numBuckets`
+    * with any other modulus would silently prune the wrong directories.
     */
-  private var bucketCount0: Int = {
-    if (Files.exists(metaPath)) {
-      val raw = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
-      JsonMethods.parse(raw) \ "numBuckets" match {
-        case JInt(n) => n.toInt
-        case _ => numBuckets
-      }
-    } else numBuckets
-  }
+  private var bucketCount0: Int =
+    pointerLines.flatMap(_.lift(2)).map(_.trim.toInt).getOrElse(numBuckets)
 
   /** the count the on-disk data is hashed with (see init above) */
   def bucketCount: Int = bucketCount0
 
-  private def writeMeta(): Unit =
-    Files.write(metaPath,
-      s"""{"numBuckets":$bucketCount}""".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  private def pointerLines: Option[Seq[String]] =
+    if (!Files.exists(pointer)) None
+    else Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq)
 
   /** (version, syncId) named by the pointer file; version 0 = empty store. */
-  def current: (Long, String) =
-    if (!Files.exists(pointer)) (0L, "")
-    else {
-      val lines = new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).split("\n", 2)
-      (lines(0).trim.toLong, if (lines.length > 1) lines(1).trim else "")
-    }
+  def current: (Long, String) = pointerLines match {
+    case None => (0L, "")
+    case Some(lines) =>
+      (lines(0).trim.toLong, lines.lift(1).map(_.trim).getOrElse(""))
+  }
 
   def currentVersion: Long = current._1
 
@@ -193,12 +185,17 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes")))
       val edgesManF = Future(writePartitions(
         newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges")))
-      val nodesMan = Await.result(nodesManF, Duration.Inf)
-      val edgesMan = Await.result(edgesManF, Duration.Inf)
-      if (!Files.exists(metaPath)) writeMeta() // pin the bucket count
+      // await BOTH before propagating a failure: an orphaned sibling
+      // job still writing into seg=<next> would race a retried
+      // commit's cleanup of that directory
+      val nodesManT = scala.util.Try(Await.result(nodesManF, Duration.Inf))
+      val edgesManT = scala.util.Try(Await.result(edgesManF, Duration.Inf))
+      val nodesMan = nodesManT.get
+      val edgesMan = edgesManT.get
       writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
-      Files.write(tmp, s"$next\n$syncId".getBytes(StandardCharsets.UTF_8),
+      Files.write(tmp,
+        s"$next\n$syncId\n$bucketCount".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -342,15 +339,17 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * dial: an incremental commit rewrites ~1/numBuckets of each touched
     * partition, so a store that has grown 100× wants proportionally
     * more buckets to keep the per-commit rewrite ~constant. The new
-    * count is persisted (`_meta.json`) and adopted by every later
-    * open — probes always hash with the on-disk count.
+    * count rides the atomic `_current` flip (it and the version it
+    * applies to change together or not at all) and is adopted by every
+    * later open — probes always hash with the on-disk count.
     */
   def rebucket(n: Int): Long = synchronized {
     require(n > 0, s"numBuckets must be positive: $n")
     val (ns, es) = (nodes, edges) // resolve file lists under the OLD count
+    val old = bucketCount0
     bucketCount0 = n
-    writeMeta()
-    commit(ns, es) // full rewrite: every key is re-hashed
+    try commit(ns, es) // full rewrite; pointer records n atomically
+    catch { case e: Throwable => bucketCount0 = old; throw e }
   }
 
   private def writeManifest(v: Long, m: Manifest): Unit = {

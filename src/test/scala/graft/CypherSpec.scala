@@ -589,6 +589,29 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("SET/REMOVE with zero matches reports 0 properties, commits nothing") {
+    val st = mutableStore()
+    val v0 = st.currentVersion
+    val r = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:absent'
+         SET n.name = 'x'""").collect()
+    assert(r.head.getAs[Long]("properties_set") == 0)
+    assert(st.currentVersion == v0)
+    val r2 = CypherEngine.query(st,
+      "MATCH (n:Person) WHERE n.gid = 'urn:absent' REMOVE n.name").collect()
+    assert(r2.head.getAs[Long]("properties_set") == 0)
+    assert(st.currentVersion == v0)
+  }
+
+  test("head/last of an empty list are null (not an ANSI error)") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.name = 'nobody'
+         WITH collect(n.gid) AS xs
+         RETURN head(xs) AS h, last(xs) AS l, size(xs) AS n""").collect()
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1))
+    assert(rows.head.getLong(2) == 0L)
+  }
+
   test("REMOVE drops properties (sugar for SET = NULL)") {
     val st = mutableStore()
     val r = CypherEngine.query(st,
