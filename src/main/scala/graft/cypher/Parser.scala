@@ -12,7 +12,12 @@ object Parser {
 
   // ---- lexer ----
   sealed trait Tok
-  case class Kw(s: String) extends Tok // uppercased keyword/identifier
+  /** uppercased keyword token; `raw` keeps the source spelling so a
+    * keyword-named label/property/relType (`:Order`, `n.count`) is not
+    * case-mangled. The curried param stays out of equality/unapply, so
+    * `Kw("MATCH")` patterns keep working.
+    */
+  case class Kw(s: String)(val raw: String) extends Tok
   case class Ident(s: String) extends Tok
   case class StrLit(s: String) extends Tok
   case class NumLit(v: Any) extends Tok
@@ -46,7 +51,7 @@ object Parser {
           else if (m.group(7) != null) out += ParamTok(m.group(7))
           else {
             val w = m.group(8)
-            if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)
+            if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)(w)
             else out += Ident(w)
           }
         case _ =>
@@ -85,7 +90,9 @@ object Parser {
     }
     def identOrKw(): String = next() match {
       case Ident(s) => s
-      case Kw(s) => s.toLowerCase // allow keyword-named props
+      // keyword-named labels/props/relTypes keep their SOURCE spelling
+      // (`:Order` must filter label 'Order', not 'order'/'ORDER')
+      case k: Kw => k.raw
       case other => throw ParseException(s"expected identifier, got $other")
     }
   }
@@ -189,7 +196,7 @@ object Parser {
         while (p.trySym(",")) one()
         writeQuery(Ast.SetEnd(items.result()), "REMOVE")
       case Some(Kw("CREATE")) | Some(Kw("MERGE")) => // standalone allowed
-        val merge = p.peek.contains(Kw("MERGE"))
+        val merge = p.peek.exists { case Kw("MERGE") => true; case _ => false }
         p.next()
         val pats = Seq.newBuilder[Ast.PathPattern]
         pats += parsePattern(p)

@@ -506,6 +506,25 @@ class CypherSpec extends AnyFunSuite {
     assert(r4.head.getAs[Long]("relationships_created") == 0)
   }
 
+  test("keyword-named labels/props/relTypes keep their source spelling") {
+    // `Order`, `Set`, `count` collide with keywords — the lexer must
+    // not case-mangle them when they appear as names (caught by the
+    // customer/order scale smoke: (o:Order) silently matched nothing)
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-kw").toString, spark, 2)
+    CypherEngine.query(st,
+      """CREATE (a:Order {gid: 'ord:1', count: 3})
+               -[:Set]->(b:Order {gid: 'ord:2'})""").collect()
+    val rows = CypherEngine.query(st,
+      """MATCH (a:Order)-[r:Set]->(b)
+         RETURN a.gid AS gid, toInteger(a.count) AS n, type(r) AS t""")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "ord:1")
+    assert(rows.head.getLong(1) == 3L)
+    assert(rows.head.getString(2) == "Set")
+  }
+
   test("scalar function library: string / numeric / list / null") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.gid = 'urn:p1'
