@@ -89,6 +89,30 @@ class ServiceSpec extends AnyFunSuite {
       qb.contains("\"rel\":\"worksfor\"") && qb.contains("urn:co1"))
   }
 
+  test("write clauses over POST /query: CREATE, SET, DETACH DELETE") {
+    val (c1, b1) = post("/query",
+      """{"query": "CREATE (x:Person {gid: 'urn:http1', name: 'via-http'})"}""")
+    assert(c1 == 200, b1)
+    assert(b1.contains("\"nodes_created\":1"))
+    val (c2, b2) = post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid = 'urn:http1' SET n.name = 'renamed'"}""")
+    assert(c2 == 200, b2)
+    assert(b2.contains("\"properties_set\":1"))
+    val (c3, b3) = post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid = 'urn:http1' RETURN n.name AS name"}""")
+    assert(c3 == 200, b3)
+    assert(b3.contains("\"name\":\"renamed\""))
+    // the reference's own cleanup form (layer_test.go:275-281)
+    val (c4, b4) = post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid = 'urn:http1' DETACH DELETE n"}""")
+    assert(c4 == 200, b4)
+    assert(b4.contains("\"nodes_deleted\":1"))
+    val (c5, b5) = post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid = 'urn:http1' RETURN n.gid AS gid"}""")
+    assert(c5 == 200, b5)
+    assert(!b5.contains("urn:http1"))
+  }
+
   test("full-sync headers truncate the slice (layer.go:196-209)") {
     post("/datasets/companies/entities",
       """{"id":"urn:co-old","props":{"urn:x#name":"Old"}}""")
