@@ -91,6 +91,52 @@ class MultimodalSpec extends AnyFunSuite {
       && fs(4).n_frames == 100)
   }
 
+  test("JDK-codec content decode: real pixels and PCM samples") {
+    import spark.implicits._
+    // a solid-color 8x4 RGB image written by the JDK's own PNG encoder:
+    // every red sample is 200/255, green 100/255, blue 50/255
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, new java.awt.Color(200, 100, 50).getRGB)
+    val pngOut = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val bmpOut = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpOut)
+
+    // a full-scale square wave: every 16-bit sample is ±16384 → RMS 0.5
+    val n = 1000
+    val wav = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put(wavBytes(channels = 1, rate = 8000, bits = 16, dataBytes = 0)
+      .take(40))
+    wav.putInt(2 * n) // rewrite the data-chunk size
+    for (i <- 0 until n)
+      wav.putShort(if (i % 2 == 0) 16384.toShort else (-16384).toShort)
+
+    val rows = Seq(
+      MediaRow(1, "image", pngOut.toByteArray),
+      MediaRow(2, "image", bmpOut.toByteArray),
+      MediaRow(3, "audio", wav.array()),
+      MediaRow(4, "text", "plain text".getBytes("UTF-8")))
+    val got = Multimodal.decodeContent(rows.toDS())
+      .collect().map(c => c.media_id -> c).toMap
+
+    val expMean = (200.0 + 100.0 + 50.0) / 3 / 255.0
+    for (id <- Seq(1L, 2L)) {
+      val c = got(id)
+      assert(c.kind == "image" && c.width == 8 && c.height == 4
+        && c.channels == 3 && c.n_samples == 8L * 4 * 3)
+      assert(math.abs(c.mean_level - expMean) < 1e-9, s"$id: ${c.mean_level}")
+    }
+    val w = got(3L)
+    assert(w.kind == "wav" && w.width == 8000 && w.channels == 1
+      && w.n_samples == n)
+    assert(math.abs(w.rms - 0.5) < 1e-3, s"rms=${w.rms}")
+    assert(math.abs(w.mean_level) < 1e-3) // symmetric square wave
+    val t = got(4L)
+    assert(t.kind == "text" && t.n_samples == 0 && t.rms == 0.0)
+  }
+
   test("unrecognized and truncated payloads fall back deterministically") {
     val text = "just some text".getBytes("UTF-8")
     val truncatedPng = pngBytes(320, 200, 6).take(12) // magic, no IHDR
