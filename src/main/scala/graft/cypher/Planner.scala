@@ -634,7 +634,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def containsAgg(e: Ast.Expr): Boolean = e match {
     case FuncCall(n, args, _) =>
-      Set("collect", "count", "sum", "avg", "min", "max").contains(n) ||
+      Set("collect", "count", "sum", "avg", "min", "max",
+        "stdev", "stdevp", "percentilecont").contains(n) ||
         args.exists(containsAgg)
     case MapLit(es) => es.exists(x => containsAgg(x._2))
     case ListLit(es) => es.exists(containsAgg)
@@ -666,6 +667,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
     case FuncCall("min", Seq(a), _) => min(valueCol(a))
     case FuncCall("max", Seq(a), _) => max(valueCol(a))
+    // openCypher statistics aggregates: stDev/stDevP (sample /
+    // population), percentileCont (exact linear interpolation —
+    // Spark's sort-based percentile, not the approx sketch)
+    case FuncCall("stdev", Seq(a), _) => stddev_samp(numCol(a))
+    case FuncCall("stdevp", Seq(a), _) => stddev_pop(numCol(a))
+    case FuncCall("percentilecont", Seq(a, q), _) =>
+      percentile(numCol(a), valueCol(q).cast("double"))
     case other => throw PlanError(s"unsupported aggregate: $other")
   }
 

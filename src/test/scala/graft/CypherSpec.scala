@@ -561,6 +561,18 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getAs[String]("la") == "b")
   }
 
+  test("statistics aggregates: stDev, stDevP, percentileCont") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN stDev(n.age) AS sd, stDevP(n.age) AS sdp,
+                percentileCont(n.age, 0.5) AS p50""").collect()
+    // ages 23, 31, 40: sample sd ≈ 8.5049, population ≈ 6.9442, median 31
+    val r = rows.head
+    assert(math.abs(r.getDouble(0) - 8.504901) < 1e-4)
+    assert(math.abs(r.getDouble(1) - 6.944222) < 1e-4)
+    assert(r.getDouble(2) == 31.0)
+  }
+
   test("exists() tests property presence in WHERE") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person) WHERE exists(n.age)
