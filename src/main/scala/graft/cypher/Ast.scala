@@ -41,7 +41,12 @@ object Ast {
       direction: Int,
       varLength: Option[(Int, Int)] = None)
 
-  case class PathPattern(head: NodePattern, hops: Seq[(RelPattern, NodePattern)])
+  /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
+    * `shortest` marks `shortestPath(…)` — one minimal-length row per
+    * (start, end) pair.
+    */
+  case class PathPattern(head: NodePattern, hops: Seq[(RelPattern, NodePattern)],
+      pathVar: Option[String] = None, shortest: Boolean = false)
 
   sealed trait Clause
   /** one MATCH with all its comma-separated patterns and its WHERE —

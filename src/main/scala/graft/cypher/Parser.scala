@@ -260,6 +260,17 @@ object Parser {
 
   // pattern := node ( rel node )*
   private def parsePattern(p: P): Ast.PathPattern = {
+    // optional `p = ` path binding and `shortestPath( … )` wrapper
+    val pathVar = (p.toks.headOption, p.toks.drop(1).headOption) match {
+      case (Some(Ident(v)), Some(Sym("="))) =>
+        p.next(); p.next(); Some(v)
+      case _ => None
+    }
+    val shortest = p.toks.headOption match {
+      case Some(Ident(f)) if f.equalsIgnoreCase("shortestPath") =>
+        p.next(); p.expectSym("("); true
+      case _ => false
+    }
     val head = parseNode(p)
     val hops = Seq.newBuilder[(Ast.RelPattern, Ast.NodePattern)]
     var continue = true
@@ -272,7 +283,8 @@ object Parser {
         case _ => continue = false
       }
     }
-    Ast.PathPattern(head, hops.result())
+    if (shortest) p.expectSym(")")
+    Ast.PathPattern(head, hops.result(), pathVar, shortest)
   }
 
   // node := '(' var? (':' Label)? ('{' k: lit, ... '}')? ')'

@@ -48,6 +48,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private case object NodeVar extends VarKind
   private case object RelVar extends VarKind
   private case class ValueVar(colName: String) extends VarKind
+  /** `p = …` path binding: hop count = fixedHops + the var-length
+    * hops column (when the pattern has a var-length relationship)
+    */
+  private case class PathVar(fixedHops: Int, hopsCol: Option[String])
+      extends VarKind
 
   private var env = Map.empty[String, VarKind]
   private var df: DataFrame = _
@@ -101,8 +106,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             col(s"${v}__src").as("src"), col(s"${v}__dst").as("dst"),
             col(s"${v}__relType").as("relType"))
             .filter(col("src").isNotNull)
-        case Some(ValueVar(_)) =>
-          throw PlanError(s"cannot DELETE value variable: $v")
+        case Some(_) =>
+          throw PlanError(s"cannot DELETE a value/path variable: $v")
         case None => throw PlanError(s"unbound variable: $v")
       }
     }
@@ -297,13 +302,29 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           df = df.filter(propCmp(s"${headVar}__props", k, v))
         }
       }
+      if (pattern.shortest &&
+          (pattern.hops.length != 1 || pattern.hops.head._1.varLength.isEmpty))
+        throw PlanError(
+          "shortestPath needs a single variable-length relationship pattern")
+      val varHops = pattern.hops.count(_._1.varLength.nonEmpty)
+      if (pattern.pathVar.nonEmpty && varHops > 1)
+        throw PlanError(
+          "a path variable supports at most one variable-length hop")
+      val hopsColName = pattern.pathVar.filter(_ => varHops == 1)
+        .map(pv => s"${pv}__hops")
       var boundVar = headVar
       pattern.hops.foreach { case (rel, node) =>
         boundVar = rel.varLength match {
           case Some((minH, maxH)) =>
-            applyVarLengthHop(boundVar, rel, node, minH, maxH)
+            applyVarLengthHop(boundVar, rel, node, minH, maxH,
+              hopsColName, pattern.shortest)
           case None => applySingleHop(boundVar, rel, node)
         }
+      }
+      pattern.pathVar.foreach { pv =>
+        if (env.contains(pv)) throw PlanError(s"variable $pv already bound")
+        env += pv -> PathVar(
+          pattern.hops.length - varHops, hopsColName)
       }
     }
     m.where.foreach(w => df = df.filter(toPredicate(w)))
@@ -403,7 +424,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * a walk enumeration would loop forever around a cycle.
     */
   private def applyVarLengthHop(boundVar: String, rel: RelPattern,
-      node: NodePattern, minH: Int, maxH: Int): String = {
+      node: NodePattern, minH: Int, maxH: Int,
+      keepHopsAs: Option[String] = None,
+      shortest: Boolean = false): String = {
     if (rel.variable.nonEmpty)
       throw PlanError("relationship variable on a var-length hop is not supported")
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
@@ -438,6 +461,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
     if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
     reach = reach.drop("__path")
+    // shortestPath: keep one minimal-length row per (start, end) pair
+    // — an aggregate, not a window, so map-side partial mins apply
+    if (shortest)
+      reach = reach.groupBy(col("__start"), col("__end"))
+        .agg(min(col("__hops")).as("__hops"))
 
     df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), "inner")
     val nv = node.variable.getOrElse(fresh("n"))
@@ -449,6 +477,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val d = nodeDf(nv, node)
       df = df.join(d, col("__end") === col(s"${nv}__gid"), "inner")
     }
+    keepHopsAs.foreach(c => df = df.withColumnRenamed("__hops", c))
     df = df.drop("__start", "__end", "__hops")
     nv
   }
@@ -700,6 +729,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         col(s"${n}__source").as("source"), col(s"${n}__props").as("props"))
       case Some(RelVar) => col(s"${n}__relType")
       case Some(ValueVar(c)) => col(c)
+      case Some(PathVar(_, _)) =>
+        throw PlanError(s"path variable $n only supports length($n)")
       case None => throw PlanError(s"unbound variable: $n")
     }
     case PropRef(v, p) => env.get(v) match {
@@ -743,6 +774,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if env.get(n).contains(RelVar) => col(s"${n}__relType")
     case FuncCall("labels", Seq(VarRef(n)), _) => array(col(s"${n}__label"))
     case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
+    case FuncCall("length", Seq(VarRef(n), _ @ _*), _)
+        if env.get(n).exists(_.isInstanceOf[PathVar]) =>
+      val PathVar(fixed, hopsCol) = env(n): @unchecked
+      (hopsCol.map(c => col(c) + lit(fixed)).getOrElse(lit(fixed)))
+        .cast("long")
+    case FuncCall("length", Seq(a), _) => size(valueCol(a)).cast("long")
     // openCypher scalar library (string / numeric / list / null)
     case FuncCall("coalesce", args, _) if args.nonEmpty =>
       coalesce(args.map(valueCol): _*)

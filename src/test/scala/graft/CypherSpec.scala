@@ -441,6 +441,44 @@ class CypherSpec extends AnyFunSuite {
       Seq(("urn:a", "urn:c"), ("urn:a", "urn:c")))
   }
 
+  test("shortestPath + path variable + length(p)") {
+    // a→b→c→d chain PLUS a direct a→d shortcut: plain *1..3 finds both
+    // the 3-hop and the 1-hop a⇝d; shortestPath keeps only the 1-hop
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sp").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withRefs("urn:x#knows", Seq("urn:b", "urn:d")),
+      Entity("urn:b").withRef("urn:x#knows", "urn:c"),
+      Entity("urn:c").withRef("urn:x#knows", "urn:d"),
+      Entity("urn:d")))
+    val all = CypherEngine.query(st,
+      """MATCH p = (a:Person)-[*1..3]->(b)
+         WHERE a.gid = 'urn:a' AND b.gid = 'urn:d'
+         RETURN length(p) AS len ORDER BY len""").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val sp = CypherEngine.query(st,
+      """MATCH p = shortestPath((a:Person)-[*1..3]->(b))
+         WHERE a.gid = 'urn:a' AND b.gid = 'urn:d'
+         RETURN length(p) AS len""").collect()
+    assert(sp.map(_.getLong(0)).toSeq == Seq(1L))
+    // every pair's shortest distance in one query
+    val dists = CypherEngine.query(st,
+      """MATCH p = shortestPath((a:Person)-[*1..3]->(b))
+         RETURN a.gid AS s, b.gid AS t, length(p) AS d ORDER BY s, t""")
+      .collect()
+    assert(dists.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(
+        ("urn:a", "urn:b", 1L), ("urn:a", "urn:c", 2L),
+        ("urn:a", "urn:d", 1L), ("urn:b", "urn:c", 1L),
+        ("urn:b", "urn:d", 2L), ("urn:c", "urn:d", 1L)))
+    // a path var over a fixed-length pattern has a constant length
+    val fixed = CypherEngine.query(st,
+      """MATCH p = (a:Person)-[:knows]->(b)-[:knows]->(c)
+         WHERE a.gid = 'urn:a' AND c.gid = 'urn:c'
+         RETURN length(p) AS len""").collect()
+    assert(fixed.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("post-WITH WHERE applies AFTER ORDER BY/SKIP/LIMIT (openCypher)") {
     // ages 23, 31, 40 → ORDER BY age LIMIT 2 keeps {23, 31}; the WHERE
     // then filters the windowed rows → only 31. Filter-before-limit
