@@ -63,6 +63,16 @@ object CypherQ {
            MATCH (n:Nation) WHERE n.gid = 'n:1'
            RETURN n.gid AS gid, k ORDER BY k""")),
 
+    // shortestPath + path variable + length(p) via Cypher text: in the
+    // nation→region star every shortest distance is exactly 1 — the
+    // oracle pins that the minimal-length reduction keeps one row per
+    // pair and lengths bind correctly.
+    "cypher_shortest" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH p = shortestPath((n:Nation)-[*1..2]->(m))
+           RETURN n.gid AS gid, m.gid AS target, length(p) AS d
+           ORDER BY gid, target""")),
+
     // Cypher write surface (the reference templates' MERGE/SET forms,
     // /root/reference/neo4j.go:103-127) into a PRIVATE store: CREATE a
     // node, CREATE an edge between bound endpoints, SET a property —
@@ -118,6 +128,9 @@ object CypherQ {
     "cypher_unwind" ->
       """SELECT 'n:1' AS gid, CAST(k AS BIGINT) AS k
          FROM (SELECT unnest([0, 1, 2]) AS k) ORDER BY k""",
+    "cypher_shortest" ->
+      """SELECT 'n:'||n_nationkey AS gid, 'r:'||n_regionkey AS target,
+         CAST(1 AS BIGINT) AS d FROM nation ORDER BY gid, target""",
     "cypher_delete" ->
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
