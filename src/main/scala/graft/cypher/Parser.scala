@@ -202,6 +202,10 @@ object Parser {
         pats += parsePattern(p)
         while (p.trySym(",")) pats += parsePattern(p)
         val result = pats.result()
+        // openCypher rejects path bindings / shortestPath in writes
+        if (result.exists(r => r.pathVar.nonEmpty || r.shortest))
+          throw ParseException(
+            "path variables and shortestPath are MATCH-only")
         // MERGE takes ONE pattern: a node, or a single relationship
         // between bound/inline endpoints (the reference's edge
         // template, /root/reference/neo4j.go:116-123). Longer chains

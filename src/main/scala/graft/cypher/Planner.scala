@@ -699,8 +699,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // openCypher statistics aggregates: stDev/stDevP (sample /
     // population), percentileCont (exact linear interpolation —
     // Spark's sort-based percentile, not the approx sketch)
-    case FuncCall("stdev", Seq(a), _) => stddev_samp(numCol(a))
-    case FuncCall("stdevp", Seq(a), _) => stddev_pop(numCol(a))
+    // Neo4j returns 0.0 (not null) for stDev over 0 or 1 values
+    case FuncCall("stdev", Seq(a), _) =>
+      coalesce(stddev_samp(numCol(a)), lit(0.0))
+    case FuncCall("stdevp", Seq(a), _) =>
+      coalesce(stddev_pop(numCol(a)), lit(0.0))
     case FuncCall("percentilecont", Seq(a, q), _) =>
       percentile(numCol(a), valueCol(q).cast("double"))
     case other => throw PlanError(s"unsupported aggregate: $other")

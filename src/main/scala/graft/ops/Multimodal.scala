@@ -184,8 +184,12 @@ object Multimodal {
     */
   object ContentDecoder {
 
-    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaContent] =
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaContent] = {
+      // payloads are already in memory — keep ImageIO from spooling
+      // each one through an executor temp file (default useCache=true)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map(decode)
+    }
 
     def decode(r: MediaRow): MediaContent =
       try {
@@ -195,9 +199,26 @@ object Multimodal {
       } catch { case _: Exception => fallback(r) }
 
     private def image(r: MediaRow): MediaContent = {
-      val img = javax.imageio.ImageIO.read(
+      val decoded = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
-      if (img == null) return fallback(r)
+      if (decoded == null) return fallback(r)
+      // normalize through the color model: indexed-color rasters (GIF,
+      // palette PNG/BMP) hold palette INDICES and 16-bit images hold
+      // 0..65535 samples — raw-sample/255 statistics would misread a
+      // white GIF frame as black. Redraw anything that is not already
+      // 8-bit component RGB.
+      val img =
+        if (decoded.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR ||
+            decoded.getType == java.awt.image.BufferedImage.TYPE_INT_RGB ||
+            decoded.getType == java.awt.image.BufferedImage.TYPE_INT_BGR)
+          decoded
+        else {
+          val rgb = new java.awt.image.BufferedImage(decoded.getWidth,
+            decoded.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = rgb.createGraphics()
+          try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+          rgb
+        }
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
       val bands = raster.getNumBands

@@ -3,11 +3,10 @@ package graft.tools
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.cypher.CypherEngine
-import graft.model.{Entity, PV}
-import graft.ops.{GraphDataset, GraphMerge}
+import graft.model.Entity
+import graft.ops.GraphDataset
 import graft.store.GraphStore
 
 /** Store-scale smoke drive: the registry's graph stores are built from

@@ -611,6 +611,20 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 31.0)
   }
 
+  test("stDev over a single row is 0.0 (Neo4j), not null") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN stDev(n.age) AS sd, stDevP(n.age) AS sdp""").collect().head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("shortestPath / path bindings are MATCH-only") {
+    intercept[Exception] {
+      CypherEngine.query(store,
+        "CREATE p = shortestPath((a:X {gid: 'x:1'}))").collect()
+    }
+  }
+
   test("exists() tests property presence in WHERE") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person) WHERE exists(n.age)

@@ -113,11 +113,17 @@ class MultimodalSpec extends AnyFunSuite {
     for (i <- 0 until n)
       wav.putShort(if (i % 2 == 0) 16384.toShort else (-16384).toShort)
 
+    // indexed-color GIF: raster holds palette INDICES — the decoder
+    // must normalize through the color model, not raw samples
+    val gifOut = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gifOut)
+
     val rows = Seq(
       MediaRow(1, "image", pngOut.toByteArray),
       MediaRow(2, "image", bmpOut.toByteArray),
       MediaRow(3, "audio", wav.array()),
-      MediaRow(4, "text", "plain text".getBytes("UTF-8")))
+      MediaRow(4, "text", "plain text".getBytes("UTF-8")),
+      MediaRow(5, "image", gifOut.toByteArray))
     val got = Multimodal.decodeContent(rows.toDS())
       .collect().map(c => c.media_id -> c).toMap
 
@@ -135,6 +141,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(w.mean_level) < 1e-3) // symmetric square wave
     val t = got(4L)
     assert(t.kind == "text" && t.n_samples == 0 && t.rms == 0.0)
+    // GIF quantizes the palette — allow coarse tolerance, but a
+    // palette-index misread would report ~0 (black), not ~expMean
+    val g = got(5L)
+    assert(g.kind == "image" && g.width == 8 && g.height == 4)
+    assert(math.abs(g.mean_level - expMean) < 0.05, s"gif: ${g.mean_level}")
   }
 
   test("unrecognized and truncated payloads fall back deterministically") {
