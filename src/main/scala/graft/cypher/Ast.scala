@@ -43,10 +43,12 @@ object Ast {
 
   /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
     * `shortest` marks `shortestPath(…)` — one minimal-length row per
-    * (start, end) pair.
+    * (start, end) pair; `allShortest` marks `allShortestPaths(…)` —
+    * every minimal-length path row per pair.
     */
   case class PathPattern(head: NodePattern, hops: Seq[(RelPattern, NodePattern)],
-      pathVar: Option[String] = None, shortest: Boolean = false)
+      pathVar: Option[String] = None, shortest: Boolean = false,
+      allShortest: Boolean = false)
 
   sealed trait Clause
   /** one MATCH with all its comma-separated patterns and its WHERE —

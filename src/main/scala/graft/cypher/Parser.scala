@@ -203,7 +203,8 @@ object Parser {
         while (p.trySym(",")) pats += parsePattern(p)
         val result = pats.result()
         // openCypher rejects path bindings / shortestPath in writes
-        if (result.exists(r => r.pathVar.nonEmpty || r.shortest))
+        if (result.exists(r =>
+            r.pathVar.nonEmpty || r.shortest || r.allShortest))
           throw ParseException(
             "path variables and shortestPath are MATCH-only")
         // MERGE takes ONE pattern: a node, or a single relationship
@@ -270,10 +271,12 @@ object Parser {
         p.next(); p.next(); Some(v)
       case _ => None
     }
-    val shortest = p.toks.headOption match {
+    val (shortest, allShortest) = p.toks.headOption match {
       case Some(Ident(f)) if f.equalsIgnoreCase("shortestPath") =>
-        p.next(); p.expectSym("("); true
-      case _ => false
+        p.next(); p.expectSym("("); (true, false)
+      case Some(Ident(f)) if f.equalsIgnoreCase("allShortestPaths") =>
+        p.next(); p.expectSym("("); (false, true)
+      case _ => (false, false)
     }
     val head = parseNode(p)
     val hops = Seq.newBuilder[(Ast.RelPattern, Ast.NodePattern)]
@@ -287,8 +290,8 @@ object Parser {
         case _ => continue = false
       }
     }
-    if (shortest) p.expectSym(")")
-    Ast.PathPattern(head, hops.result(), pathVar, shortest)
+    if (shortest || allShortest) p.expectSym(")")
+    Ast.PathPattern(head, hops.result(), pathVar, shortest, allShortest)
   }
 
   // node := '(' var? (':' Label)? ('{' k: lit, ... '}')? ')'

@@ -302,7 +302,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           df = df.filter(propCmp(s"${headVar}__props", k, v))
         }
       }
-      if (pattern.shortest &&
+      if ((pattern.shortest || pattern.allShortest) &&
           (pattern.hops.length != 1 || pattern.hops.head._1.varLength.isEmpty))
         throw PlanError(
           "shortestPath needs a single variable-length relationship pattern")
@@ -317,7 +317,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         boundVar = rel.varLength match {
           case Some((minH, maxH)) =>
             applyVarLengthHop(boundVar, rel, node, minH, maxH,
-              hopsColName, pattern.shortest)
+              hopsColName, pattern.shortest, pattern.allShortest)
           case None => applySingleHop(boundVar, rel, node)
         }
       }
@@ -426,7 +426,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def applyVarLengthHop(boundVar: String, rel: RelPattern,
       node: NodePattern, minH: Int, maxH: Int,
       keepHopsAs: Option[String] = None,
-      shortest: Boolean = false): String = {
+      shortest: Boolean = false,
+      allShortest: Boolean = false): String = {
     if (rel.variable.nonEmpty)
       throw PlanError("relationship variable on a var-length hop is not supported")
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
@@ -466,6 +467,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     if (shortest)
       reach = reach.groupBy(col("__start"), col("__end"))
         .agg(min(col("__hops")).as("__hops"))
+    // allShortestPaths: keep EVERY minimal-length path row per pair
+    // (path multiplicity preserved — one reach row per distinct path)
+    else if (allShortest) {
+      val mins = reach.groupBy(col("__start"), col("__end"))
+        .agg(min(col("__hops")).as("__minh"))
+      reach = reach.join(mins, Seq("__start", "__end"))
+        .filter(col("__hops") === col("__minh")).drop("__minh")
+    }
 
     df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), "inner")
     val nv = node.variable.getOrElse(fresh("n"))

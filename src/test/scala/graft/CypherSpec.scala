@@ -479,6 +479,26 @@ class CypherSpec extends AnyFunSuite {
     assert(fixed.map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("allShortestPaths keeps every minimal-length path per pair") {
+    // x→p→z and x→q→z (two 2-hop paths) plus x→p→q→z (one 3-hop):
+    // shortestPath keeps ONE row for (x,z); allShortestPaths keeps both
+    // 2-hop paths and drops the 3-hop
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-asp").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:x").withRefs("urn:r#knows", Seq("urn:p", "urn:q")),
+      Entity("urn:p").withRefs("urn:r#knows", Seq("urn:z", "urn:q")),
+      Entity("urn:q").withRef("urn:r#knows", "urn:z"),
+      Entity("urn:z")))
+    def count(fn: String): Long = CypherEngine.query(st,
+      s"""MATCH p = $fn((a:Person)-[*1..3]->(b))
+          WHERE a.gid = 'urn:x' AND b.gid = 'urn:z'
+          RETURN length(p) AS len""").collect()
+      .map(_.getLong(0)).ensuring(_.forall(_ == 2L)).length
+    assert(count("shortestPath") == 1)
+    assert(count("allShortestPaths") == 2)
+  }
+
   test("post-WITH WHERE applies AFTER ORDER BY/SKIP/LIMIT (openCypher)") {
     // ages 23, 31, 40 → ORDER BY age LIMIT 2 keeps {23, 31}; the WHERE
     // then filters the windowed rows → only 31. Filter-before-limit
