@@ -136,18 +136,24 @@ object Multimodal {
       var bits = 8
       var rate = 0
       var dataBytes = 0L
-      var i = 12
-      while (i + 8 <= p.length) {
-        val size = le32(p, i + 4)
-        if (ascii(p, i, "fmt ")) {
-          channels = math.max(1, le16(p, i + 10))
-          rate = le32(p, i + 12).toInt
-          bits = math.max(8, le16(p, i + 22))
-        } else if (ascii(p, i, "data")) {
+      var i = 12L
+      var ok = true
+      while (ok && i + 8 <= p.length) {
+        val at = i.toInt
+        val size = le32(p, at + 4)
+        if (ascii(p, at, "fmt ")) {
+          channels = math.max(1, le16(p, at + 10))
+          rate = le32(p, at + 12).toInt
+          bits = math.max(8, le16(p, at + 22))
+        } else if (ascii(p, at, "data")) {
           dataBytes = size
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // word-aligned advance, computed in Long: a corrupt unsigned
+        // size >= 2^31 must not wrap negative and cycle the walk
+        val next = i + 8L + size + (size & 1L)
+        if (next <= i || next > Int.MaxValue) ok = false else i = next
       }
+      if (!ok && dataBytes == 0L && rate == 0) return pseudo(r)
       val frames = (dataBytes / (channels.toLong * (bits / 8))).toInt
       MediaFeatures(r.media_id, "wav", p.length.toLong,
         rate, 0, channels, frames)

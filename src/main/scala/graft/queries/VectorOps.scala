@@ -42,6 +42,52 @@ object VectorOps {
       (acc, i) => acc + when(element_at(v, i + 1) > 0,
         pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
 
+  /** near-zero threshold for multi-probe: a signature dim this close
+    * to zero may flip sign between two near-identical vectors
+    */
+  private val ProbeEps = 0.05
+
+  /** Bucketed + multi-probed near-dup pairs over `(vec_id, label, v)`
+    * rows — the dedup_embedding kernel, exposed for the recall spec
+    * (VectorSpec asserts it equals exact all-pairs on a fixture whose
+    * near-zero dims straddle zero).
+    */
+  def dedupEmbedding(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val en = e.withColumn("norm", sqrt(dot($"v", $"v")))
+      .withColumn("bucket", signBucket($"v"))
+      .withColumn("nz", slice(filter(sequence(lit(0), lit(7)),
+        i => abs(element_at($"v", i + 1)) < ProbeEps), 1, 3))
+      .cache()
+    // probe set: bucket XOR every subset of the near-zero sign bits
+    val probeList = when(size($"nz") === 0, array($"bucket"))
+      .otherwise(transform(
+        sequence(lit(0), pow(lit(2.0), size($"nz")).cast("int") - 1),
+        m => $"bucket".bitwiseXOR(
+          aggregate(sequence(lit(0), size($"nz") - 1), lit(0L), (acc, j) =>
+            acc + when(m.bitwiseAND(pow(lit(2.0), j).cast("int")) =!= 0,
+              pow(lit(2.0), element_at($"nz", j + 1)).cast("long"))
+              .otherwise(lit(0L))))))
+    val pr = en.select($"vec_id".as("pa"), $"label",
+      explode(probeList).as("probe"))
+    val prim = en.select($"vec_id".as("pb"), $"label".as("lb"), $"bucket")
+    // candidate ids only — the verify join re-fetches vectors by id,
+    // so multi-bucket collisions dedup BEFORE any dot product runs
+    val cand = pr
+      .join(prim, $"label" === $"lb" && $"probe" === $"bucket")
+      .filter($"pa" =!= $"pb")
+      .select(least($"pa", $"pb").as("da"), greatest($"pa", $"pb").as("db"))
+      .distinct()
+    val va = en.select($"vec_id".as("da"), $"v".as("va"), $"norm".as("na"))
+    val vb = en.select($"vec_id".as("db"), $"v".as("vb"), $"norm".as("nb"))
+    cand.join(va, "da").join(vb, "db")
+      .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"sim" >= 0.999)
+      .select($"da", $"db", round($"sim", 9).as("sim"))
+      .orderBy($"da", $"db")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-vector stats: dim + L2 norm (ordered fold, exact parity).
     "v_norm" -> ((s, dir) => {
@@ -134,22 +180,16 @@ object VectorOps {
     // each label's candidate space ~256 ways, so the pair join is
     // per-bucket instead of a label-wide product — the same scale path
     // v_knn_lsh uses (at 100 TB the quadratic all-pairs join is the
-    // one thing this query must never do).
+    // one thing this query must never do). MULTI-PROBE closes the
+    // recall hole of pure sign bucketing: a near-dup pair whose
+    // near-zero dims straddle zero lands in different primary buckets,
+    // so each vector also probes every sign-flip combination of its
+    // (≤3 lowest-index) near-zero dims — ≤8 probe buckets per vector,
+    // a constant fan-out, not a product.
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-        .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-      val en = e.withColumn("norm", sqrt(dot($"v", $"v")))
-        .withColumn("bucket", signBucket($"v")).cache()
-      val a = en.select($"vec_id".as("da"), $"label", $"bucket",
-        $"v".as("va"), $"norm".as("na"))
-      val b = en.select($"vec_id".as("db"), $"label", $"bucket",
-        $"v".as("vb"), $"norm".as("nb"))
-      a.join(b, Seq("label", "bucket")).filter($"da" < $"db")
-        .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
-        .filter($"sim" >= 0.999)
-        .select($"da", $"db", round($"sim", 9).as("sim"))
-        .orderBy($"da", $"db")
+      dedupEmbedding(t(s, dir, "embeddings")
+        .select($"vec_id", $"label", asDouble($"embedding").as("v")))
     }),
 
     // per-cluster stats: exact micro-norm sums (integer arithmetic).
@@ -224,12 +264,27 @@ object VectorOps {
          b AS (SELECT vec_id, label, v,
              (SELECT coalesce(sum(CASE WHEN v[i+1] > 0
                  THEN CAST(power(2, i) AS BIGINT) ELSE 0 END), 0)
-              FROM range(8) t(i)) bucket FROM e)
-         SELECT x.vec_id da, y.vec_id db,
+              FROM range(8) t(i)) bucket,
+             list_slice(list_filter(range(8), i -> abs(v[i+1]) < 0.05),
+               1, 3) nz
+           FROM e),
+         p AS (SELECT vec_id, label,
+             unnest(list_transform(
+               range(CAST(power(2, len(nz)) AS BIGINT)), m ->
+                 xor(bucket, coalesce(list_sum(list_transform(
+                   range(len(nz)), j ->
+                     CASE WHEN (m // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                       THEN CAST(power(2, nz[j+1]) AS BIGINT)
+                       ELSE 0 END)), 0)))) probe
+           FROM b),
+         cand AS (SELECT DISTINCT
+             least(p.vec_id, q.vec_id) da, greatest(p.vec_id, q.vec_id) db
+           FROM p JOIN b q ON p.label = q.label AND p.probe = q.bucket
+             AND p.vec_id != q.vec_id)
+         SELECT c.da, c.db,
            round(list_dot_product(x.v, y.v) /
              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 9) AS sim
-         FROM b x JOIN b y ON x.label = y.label AND x.bucket = y.bucket
-           AND x.vec_id < y.vec_id
+         FROM cand c JOIN e x ON x.vec_id = c.da JOIN e y ON y.vec_id = c.db
          WHERE list_dot_product(x.v, y.v) /
              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.999
          ORDER BY da, db""",

@@ -5,7 +5,6 @@ import java.net.URLDecoder
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
-import java.util.concurrent.atomic.AtomicInteger
 
 import scala.collection.concurrent.TrieMap
 import scala.io.Source
@@ -57,10 +56,8 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
       d.name -> new GraphDataset(store, spark, d.name, d.label, d.batchSize))
       .toMap
 
-  /** open full-sync sessions: dataset → (syncId, continuation counter
-    * for per-request idempotence keys)
-    */
-  private val openSyncs = TrieMap.empty[String, (String, AtomicInteger)]
+  /** open full-sync sessions: dataset → syncId */
+  private val openSyncs = TrieMap.empty[String, String]
 
   private var server: HttpServer = _
   private var scheduler: ScheduledExecutorService = _
@@ -115,6 +112,11 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
       ex.getResponseBody.write(bytes)
     } finally ex.close()
 
+  private def bodyHash(body: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   private def err(msg: String): String =
     JsonMethods.compact(JsonMethods.render(JObject("error" -> JString(msg))))
 
@@ -153,22 +155,29 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
         // IsLastBatch}, /root/reference/layer_test.go:83,167): the
         // start request truncates and opens the session; same-id
         // requests append; the end request closes it. A different sync
-        // interleaved into an open session is a conflict.
-        val open = openSyncs.get(ds).map(_._1)
+        // interleaved into an open session is a conflict. Replay
+        // idempotence: a RETRIED start of the already-open session is a
+        // no-op (it must not re-truncate and discard continuation
+        // batches already applied), and continuation keys derive from
+        // the request body, so an immediate retry of a continuation
+        // hits the store's last-syncId guard instead of re-applying.
+        val open = openSyncs.get(ds)
         if ((syncId.nonEmpty || fullSyncStart) && open.exists(_ != syncId))
           (409, err(s"full-sync '${open.get}' in progress for $ds"))
         else {
           val version =
             if (fullSyncStart) {
-              if (syncId.nonEmpty && !fullSyncEnd)
-                openSyncs.put(ds, (syncId, new AtomicInteger(0)))
-              dataset.fullSync(entities, syncId)
+              if (syncId.nonEmpty && open.contains(syncId))
+                store.currentVersion // replayed start of the open session
+              else {
+                if (syncId.nonEmpty && !fullSyncEnd) openSyncs.put(ds, syncId)
+                dataset.fullSync(entities, syncId)
+              }
             } else openSyncs.get(ds) match {
-              case Some((sid, ctr)) if sid == syncId =>
-                // continuation batch: append under a per-request
-                // idempotence key distinct from the start batch's
-                dataset.incremental(entities,
-                  s"$syncId/c${ctr.incrementAndGet()}")
+              case Some(sid) if sid == syncId =>
+                // continuation batch: per-request idempotence key from
+                // client-supplied content, distinct from the start's
+                dataset.incremental(entities, s"$syncId/h${bodyHash(body)}")
               case _ => dataset.incremental(entities, syncId)
             }
           if (fullSyncEnd) openSyncs.remove(ds)

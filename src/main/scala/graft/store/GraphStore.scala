@@ -75,7 +75,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * over the constructor argument: probing `hash(gid) % numBuckets`
     * with any other modulus would silently prune the wrong directories.
     */
-  private var bucketCount0: Int =
+  // @volatile: rebucket() mutates this inside the store monitor, but
+  // readers (bucketOf, merge-probe planning) read it lock-free — the
+  // barrier makes a completed rebucket's count visible to them. A
+  // query PLANNED concurrently with an in-flight rebucket still reads
+  // one consistent (manifest, count) pair: the count only changes at
+  // the atomic pointer flip, and each operation snapshots it once.
+  @volatile private var bucketCount0: Int =
     pointerLines.flatMap(_.lift(2)).map(_.trim.toInt).getOrElse(numBuckets)
 
   /** the count the on-disk data is hashed with (see init above) */
@@ -161,6 +167,21 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       syncId: String = "",
       dirtyNodes: Option[Set[DirtyKey]] = None,
       dirtyEdges: Option[Set[DirtyKey]] = None): Long =
+    commitWith(newNodes, newEdges, syncId, dirtyNodes, dirtyEdges,
+      bucketCount0)
+
+  /** commit with an explicit target bucket count — the visible count
+    * (`bucketCount0`) changes ONLY after the pointer flip, so probes
+    * planned while a rebucket's rewrite is still running keep hashing
+    * with the count the on-disk layout actually has.
+    */
+  private def commitWith(
+      newNodes: DataFrame,
+      newEdges: DataFrame,
+      syncId: String,
+      dirtyNodes: Option[Set[DirtyKey]],
+      dirtyEdges: Option[Set[DirtyKey]],
+      bc: Int): Long =
     synchronized {
       val (v, lastSync) = current
       if (syncId.nonEmpty && syncId == lastSync) return v
@@ -182,9 +203,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val nodesManF = Future(writePartitions(
-        newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes")))
+        newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes"), bc))
       val edgesManF = Future(writePartitions(
-        newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges")))
+        newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges"), bc))
       // await BOTH before propagating a failure: an orphaned sibling
       // job still writing into seg=<next> would race a retried
       // commit's cleanup of that directory
@@ -195,10 +216,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp,
-        s"$next\n$syncId\n$bucketCount".getBytes(StandardCharsets.UTF_8),
+        s"$next\n$syncId\n$bc".getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      bucketCount0 = bc // visible only once the pointer names it
       next
     }
 
@@ -218,11 +240,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       clusterCol: String,
       next: Long,
       dirty: Option[Set[DirtyKey]],
-      prev: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+      prev: Map[String, Seq[String]],
+      bc: Int): Map[String, Seq[String]] = {
     // a batch that touched nothing in this table (e.g. a node-only
     // patch) re-links the previous manifest without running a write job
     if (dirty.exists(_.isEmpty)) return prev
-    val withBucket = df.withColumn("bucket", bucketOf(col(clusterCol)))
+    val withBucket =
+      df.withColumn("bucket", pmod(hash(col(clusterCol)), lit(bc)))
     val toWrite = dirty match {
       case None => withBucket
       case Some(set) =>
@@ -247,7 +271,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val segDir = dataDir(table).resolve(s"seg=$next")
     if (Files.exists(segDir)) deleteRecursively(segDir)
     toWrite
-      .repartition(bucketCount, col(clusterCol))
+      .repartition(bc, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .withColumn("seg", lit(next))
       .write.mode("append").partitionBy("seg", partCol, "bucket")
@@ -346,10 +370,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def rebucket(n: Int): Long = synchronized {
     require(n > 0, s"numBuckets must be positive: $n")
     val (ns, es) = (nodes, edges) // resolve file lists under the OLD count
-    val old = bucketCount0
-    bucketCount0 = n
-    try commit(ns, es) // full rewrite; pointer records n atomically
-    catch { case e: Throwable => bucketCount0 = old; throw e }
+    // full rewrite under the NEW count; the visible bucketCount flips
+    // with the pointer, so a failed rebucket leaves count AND layout
+    // untouched and concurrent probes never hash with a count the disk
+    // doesn't have
+    commitWith(ns, es, "", None, None, n)
   }
 
   private def writeManifest(v: Long, m: Manifest): Unit = {

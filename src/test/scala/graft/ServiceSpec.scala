@@ -174,6 +174,41 @@ class ServiceSpec extends AnyFunSuite {
     assert(after.contains("urn:fs4") && !after.contains("urn:fs1"))
   }
 
+  test("full-sync replay idempotence: retried start/continuation do not re-apply") {
+    // open session fs-R with one entity
+    val (c1, _) = post("/datasets/companies/entities",
+      """{"id":"urn:r1","props":{"urn:x#name":"one"}}""",
+      Map("universal-data-api-full-sync-start" -> "true",
+        "universal-data-api-full-sync-id" -> "fs-R"))
+    assert(c1 == 200)
+    // continuation batch appends r2
+    val contBody = """{"id":"urn:r2","props":{"urn:x#name":"two"}}"""
+    val (c2, _) = post("/datasets/companies/entities", contBody,
+      Map("universal-data-api-full-sync-id" -> "fs-R"))
+    assert(c2 == 200)
+    // RETRIED start of the open session (client never saw the ack):
+    // must be a no-op — NOT a re-truncate discarding r2
+    val (c3, _) = post("/datasets/companies/entities",
+      """{"id":"urn:r1","props":{"urn:x#name":"one"}}""",
+      Map("universal-data-api-full-sync-start" -> "true",
+        "universal-data-api-full-sync-id" -> "fs-R"))
+    assert(c3 == 200)
+    // retried continuation (identical body) hits the store's
+    // last-syncId guard: same content key, no new version
+    val (_, v1) = post("/datasets/companies/entities", contBody,
+      Map("universal-data-api-full-sync-id" -> "fs-R"))
+    val (_, v2) = post("/datasets/companies/entities", contBody,
+      Map("universal-data-api-full-sync-id" -> "fs-R"))
+    assert(v1 == v2, s"retried continuation re-applied: $v1 vs $v2")
+    val (c4, _) = post("/datasets/companies/entities", "",
+      Map("universal-data-api-full-sync-id" -> "fs-R",
+        "universal-data-api-full-sync-end" -> "true"))
+    assert(c4 == 200)
+    val (_, listed) = get("/datasets/companies/entities?limit=100")
+    assert(listed.contains("urn:r1") && listed.contains("urn:r2"),
+      s"replayed start discarded applied batches: $listed")
+  }
+
   test("percent-encoded keyset params decode before comparison") {
     post("/datasets/people/entities",
       """{"id":"urn:z1","props":{"urn:x#name":"zed"}}
