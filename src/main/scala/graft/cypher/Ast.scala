@@ -27,10 +27,14 @@ object Ast {
   case class ListLit(items: Seq[Expr]) extends Expr
   case class Param(name: String) extends Expr
 
+  /** property values may be literals OR expressions (parameters,
+    * `item.k` property references) — the reference's own templates
+    * write `MERGE (n {gid: item.gid})` (/root/reference/neo4j.go:103).
+    */
   case class NodePattern(
       variable: Option[String],
       label: Option[String],
-      props: Seq[(String, Lit)])
+      props: Seq[(String, Expr)])
 
   /** direction: +1 for ()-[]->(), -1 for ()<-[]-();
     * varLength: Some((min, max)) for `-[:T*min..max]->`
@@ -77,29 +81,47 @@ object Ast {
     def name: String = alias.getOrElse(Render.expr(expr))
   }
 
-  /** Terminal write clauses — the statement forms the reference's
-    * generated templates and cleanup queries use
-    * (/root/reference/neo4j.go:95-127, layer_test.go:275-281).
+  /** Write clauses — the statement forms the reference's generated
+    * templates and cleanup queries use (/root/reference/neo4j.go:95-127,
+    * layer_test.go:275-281). Writes may interleave with reading clauses
+    * (the UpdateNode template is `MERGE … WITH … OPTIONAL MATCH …
+    * DELETE r … SET …`); all effects of one statement commit atomically
+    * at the end (the reference's single Bolt transaction).
     */
-  sealed trait WriteEnd
+  sealed trait WriteClauseT extends Clause
 
   /** `[DETACH] DELETE var, …`: `detach` cascades incident edges; plain
     * DELETE on a still-connected node is a runtime error (Neo4j
     * semantics).
     */
-  case class DeleteEnd(detach: Boolean, targets: Seq[String]) extends WriteEnd
+  case class DeleteClause(detach: Boolean, targets: Seq[String])
+      extends WriteClauseT
 
-  /** `SET v.prop = literal, …` (the template's `SET r.source = …`
+  /** one SET/REMOVE item */
+  sealed trait SetItem
+  /** `SET v.prop = expr` (the template's `SET r.source = item.source`
     * shape, neo4j.go:122); a NULL value removes the property.
     */
-  case class SetEnd(items: Seq[(String, String, Expr)]) extends WriteEnd
-
-  /** `CREATE pattern, …` / `MERGE (node)`: new nodes carry their gid
-    * as a literal property (the engine's node key); `merge` =
-    * match-or-create instead of error-on-existing (neo4j.go:103,111).
+  case class SetProp(variable: String, prop: String, value: Expr)
+      extends SetItem
+  /** `SET v = expr`: full property replacement — the template's
+    * `SET n = item` (neo4j.go:108). The map's `gid` key must equal the
+    * node key; its `source` key maps to the source column; the rest
+    * becomes the (fully replaced) props map.
     */
-  case class CreateEnd(patterns: Seq[PathPattern], merge: Boolean)
-      extends WriteEnd
+  case class SetAll(variable: String, value: Expr) extends SetItem
+  /** `SET v:Label` — the template's `SET n:%s` (neo4j.go:107). */
+  case class SetLabelItem(variable: String, label: String) extends SetItem
+
+  case class SetClause(items: Seq[SetItem]) extends WriteClauseT
+
+  /** `CREATE pattern, …` / `MERGE pattern`: new nodes carry their gid
+    * as a property (the engine's node key — literal or expression);
+    * `merge` = match-or-create instead of error-on-existing
+    * (neo4j.go:103,111).
+    */
+  case class CreateClause(patterns: Seq[PathPattern], merge: Boolean)
+      extends WriteClauseT
 
   case class Query(
       clauses: Seq[Clause],
@@ -107,8 +129,7 @@ object Ast {
       items: Seq[ReturnItem],
       orderBy: Seq[(Expr, Boolean)],
       skip: Option[Long],
-      limit: Option[Long],
-      write: Option[WriteEnd] = None)
+      limit: Option[Long])
 
   /** default output names for un-aliased return items */
   object Render {

@@ -101,6 +101,7 @@ object Parser {
     val p = new P(tokenize(query))
     val clauses = Seq.newBuilder[Ast.Clause]
     var sawAny = false
+    var sawWrite = false
     var done = false
     while (!done) {
       p.peek match {
@@ -132,99 +133,122 @@ object Parser {
           val e = parseExpr(p)
           p.expectKw("AS")
           clauses += Ast.UnwindClause(e, p.identOrKw())
+        case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
+          // [DETACH] DELETE var, … (/root/reference/layer_test.go:275-281,
+          // neo4j.go:95-127); may be followed by further clauses (the
+          // UpdateNode template continues with SET after DELETE r)
+          val detach = p.tryKw("DETACH")
+          p.expectKw("DELETE")
+          sawWrite = true
+          val targets = Seq.newBuilder[String]
+          def one(): Unit = p.next() match {
+            case Ident(v) => targets += v
+            case other =>
+              throw ParseException(s"expected variable to delete, got $other")
+          }
+          one()
+          while (p.trySym(",")) one()
+          clauses += Ast.DeleteClause(detach, targets.result())
+        case Some(Kw("SET")) =>
+          p.next()
+          sawWrite = true
+          clauses += Ast.SetClause(parseSetItems(p))
+        case Some(Kw("REMOVE")) =>
+          // REMOVE v.prop, … — sugar for SET v.prop = null (property
+          // drop; the planner routes null-valued patches to `removes`)
+          p.next()
+          sawWrite = true
+          val items = Seq.newBuilder[Ast.SetItem]
+          def one(): Unit = {
+            val v = p.next() match {
+              case Ident(s) => s
+              case other => throw ParseException(s"expected variable, got $other")
+            }
+            p.expectSym(".")
+            items += Ast.SetProp(v, p.identOrKw(), Ast.Lit(null))
+          }
+          one()
+          while (p.trySym(",")) one()
+          clauses += Ast.SetClause(items.result())
+        case Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
+          val merge = p.peek.exists { case Kw("MERGE") => true; case _ => false }
+          p.next()
+          sawAny = true
+          sawWrite = true
+          val pats = Seq.newBuilder[Ast.PathPattern]
+          pats += parsePattern(p)
+          while (p.trySym(",")) pats += parsePattern(p)
+          val result = pats.result()
+          // openCypher rejects path bindings / shortestPath in writes
+          if (result.exists(r =>
+              r.pathVar.nonEmpty || r.shortest || r.allShortest))
+            throw ParseException(
+              "path variables and shortestPath are MATCH-only")
+          // MERGE takes ONE pattern: a node, or a single relationship
+          // between bound/inline endpoints (the reference's edge
+          // template, /root/reference/neo4j.go:116-123). Longer chains
+          // would need partial-match semantics we don't model.
+          if (merge && (result.length != 1 || result.head.hops.length > 1))
+            throw ParseException(
+              "MERGE supports a single node or single-relationship pattern")
+          clauses += Ast.CreateClause(result, merge)
         case _ => done = true
       }
     }
-    def writeQuery(w: Ast.WriteEnd, what: String): Ast.Query = {
-      if (p.peek.nonEmpty)
-        throw ParseException(s"trailing input after $what: ${p.toks.take(5)}")
-      Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None,
-        write = Some(w))
-    }
     p.peek match {
-      case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
-        // terminal write form: [DETACH] DELETE var, …
-        // (/root/reference/layer_test.go:275-281, neo4j.go:95-127)
-        val detach = p.tryKw("DETACH")
-        p.expectKw("DELETE")
-        val targets = Seq.newBuilder[String]
-        def one(): Unit = p.next() match {
-          case Ident(v) => targets += v
-          case other =>
-            throw ParseException(s"expected variable to delete, got $other")
-        }
-        one()
-        while (p.trySym(",")) one()
-        writeQuery(Ast.DeleteEnd(detach, targets.result()), "DELETE")
-      case Some(Kw("SET")) =>
-        // SET v.prop = literal, … (the template's SET r.source shape,
-        // neo4j.go:122); values are literals or parameters
-        p.next()
-        val items = Seq.newBuilder[(String, String, Ast.Expr)]
-        def one(): Unit = {
-          val v = p.next() match {
-            case Ident(s) => s
-            case other => throw ParseException(s"expected variable, got $other")
-          }
-          p.expectSym(".")
-          val prop = p.identOrKw()
-          p.expectSym("=")
-          parseAtom(p) match {
-            case value @ (_: Ast.Lit | _: Ast.Param) =>
-              items += ((v, prop, value))
-            case other =>
-              throw ParseException(s"SET value must be a literal, got $other")
-          }
-        }
-        one()
-        while (p.trySym(",")) one()
-        writeQuery(Ast.SetEnd(items.result()), "SET")
-      case Some(Kw("REMOVE")) =>
-        // REMOVE v.prop, … — sugar for SET v.prop = null (property
-        // drop; the planner routes null-valued patches to `removes`)
-        p.next()
-        val items = Seq.newBuilder[(String, String, Ast.Expr)]
-        def one(): Unit = {
-          val v = p.next() match {
-            case Ident(s) => s
-            case other => throw ParseException(s"expected variable, got $other")
-          }
-          p.expectSym(".")
-          items += ((v, p.identOrKw(), Ast.Lit(null)))
-        }
-        one()
-        while (p.trySym(",")) one()
-        writeQuery(Ast.SetEnd(items.result()), "REMOVE")
-      case Some(Kw("CREATE")) | Some(Kw("MERGE")) => // standalone allowed
-        val merge = p.peek.exists { case Kw("MERGE") => true; case _ => false }
-        p.next()
-        val pats = Seq.newBuilder[Ast.PathPattern]
-        pats += parsePattern(p)
-        while (p.trySym(",")) pats += parsePattern(p)
-        val result = pats.result()
-        // openCypher rejects path bindings / shortestPath in writes
-        if (result.exists(r =>
-            r.pathVar.nonEmpty || r.shortest || r.allShortest))
-          throw ParseException(
-            "path variables and shortestPath are MATCH-only")
-        // MERGE takes ONE pattern: a node, or a single relationship
-        // between bound/inline endpoints (the reference's edge
-        // template, /root/reference/neo4j.go:116-123). Longer chains
-        // would need partial-match semantics we don't model.
-        if (merge && (result.length != 1 || result.head.hops.length > 1))
-          throw ParseException(
-            "MERGE supports a single node or single-relationship pattern")
-        writeQuery(Ast.CreateEnd(result, merge), if (merge) "MERGE" else "CREATE")
-      case _ =>
+      case Some(Kw("RETURN")) =>
+        if (sawWrite)
+          throw ParseException("RETURN after write clauses is not supported")
         if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
-        p.expectKw("RETURN")
+        p.next()
         val distinct = p.tryKw("DISTINCT")
         val items = parseItems(p)
         val (orderBy, skip, limit) = parseTail(p)
         if (p.peek.nonEmpty)
           throw ParseException(s"trailing input: ${p.toks.take(5)}")
         Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
+      case None if sawWrite =>
+        Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None)
+      case None if !sawAny =>
+        throw ParseException("query must start with MATCH/UNWIND")
+      case None =>
+        throw ParseException("expected RETURN or a write clause")
+      case Some(other) =>
+        throw ParseException(s"trailing input: $other")
     }
+  }
+
+  /** SET items: `v.prop = expr` | `v = expr` (full-map replacement,
+    * the template's `SET n = item`, neo4j.go:108) | `v:Label` (the
+    * template's `SET n:%s`, neo4j.go:107). Values are atoms: literals,
+    * parameters, property references (`item.source`), function calls.
+    */
+  private def parseSetItems(p: P): Seq[Ast.SetItem] = {
+    val items = Seq.newBuilder[Ast.SetItem]
+    def one(): Unit = {
+      val v = p.next() match {
+        case Ident(s) => s
+        case other => throw ParseException(s"expected variable, got $other")
+      }
+      p.peek match {
+        case Some(Sym(".")) =>
+          p.next()
+          val prop = p.identOrKw()
+          p.expectSym("=")
+          items += Ast.SetProp(v, prop, parseAtom(p))
+        case Some(Sym(":")) =>
+          p.next()
+          items += Ast.SetLabelItem(v, p.identOrKw())
+        case Some(Sym("=")) =>
+          p.next()
+          items += Ast.SetAll(v, parseAtom(p))
+        case other =>
+          throw ParseException(s"expected '.', ':' or '=' in SET, got $other")
+      }
+    }
+    one()
+    while (p.trySym(",")) one()
+    items.result()
   }
 
   private def parseItems(p: P): Seq[Ast.ReturnItem] = {
@@ -294,7 +318,7 @@ object Parser {
     Ast.PathPattern(head, hops.result(), pathVar, shortest, allShortest)
   }
 
-  // node := '(' var? (':' Label)? ('{' k: lit, ... '}')? ')'
+  // node := '(' var? (':' Label)? ('{' k: expr, ... '}')? ')'
   private def parseNode(p: P): Ast.NodePattern = {
     p.expectSym("(")
     var variable: Option[String] = None
@@ -303,15 +327,18 @@ object Parser {
       case _ => ()
     }
     val label = if (p.trySym(":")) Some(p.identOrKw()) else None
-    val props = Seq.newBuilder[(String, Ast.Lit)]
+    val props = Seq.newBuilder[(String, Ast.Expr)]
     if (p.trySym("{")) {
       def one(): Unit = {
         val k = p.identOrKw()
         p.expectSym(":")
+        // literals, parameters, and property references — the
+        // reference's template form `{gid: item.gid}` (neo4j.go:103)
         parseAtom(p) match {
-          case l: Ast.Lit => props += ((k, l))
+          case v @ (_: Ast.Lit | _: Ast.Param | _: Ast.PropRef) =>
+            props += ((k, v))
           case other => throw ParseException(
-            s"node property must be a literal, got $other")
+            s"node property must be a literal, parameter or property ref, got $other")
         }
       }
       one()

@@ -59,6 +59,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var anon = 0
   private def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
 
+  /** write effects accumulated across the statement's clauses —
+    * committed ONCE at the end (the reference's single Bolt txn,
+    * neo4j.go:238-284)
+    */
+  private val effects = Seq.newBuilder[graft.ops.GraphMerge.WriteEffect]
+  private var sawDelete = false
+  private var sawWrite = false
+
   private def spark = store.nodes.sparkSession
 
   def plan(q: Query): DataFrame = {
@@ -66,12 +74,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case m: MatchClause => applyMatch(m)
       case w: WithClause => applyWith(w)
       case u: UnwindClause => applyUnwind(u)
+      case c: CreateClause => applyCreate(c)
+      case d: DeleteClause => applyDelete(d)
+      case s: SetClause => applySet(s)
     }
-    q.write.foreach {
-      case d: DeleteEnd => return executeDelete(d)
-      case s: SetEnd => return executeSet(s)
-      case c: CreateEnd => return executeCreate(c)
-    }
+    val effs = effects.result()
+    if (effs.nonEmpty) return executeWrite(effs)
     if (df == null) throw PlanError("nothing bound before RETURN")
     var out = projectReturn(q.items)
     if (q.distinct) out = distinctSafe(out)
@@ -87,13 +95,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     out
   }
 
-  /** terminal `[DETACH] DELETE v, …`: resolve each target to its
-    * matched node-gid / edge-key set and hand the storage mutation to
-    * [[graft.ops.GraphMerge.deleteMatched]]; returns a one-row stats
-    * frame (the Neo4j "nodes deleted / relationships deleted" summary).
+  /** `[DETACH] DELETE v, …` (clause): snapshot each target's matched
+    * node-gid / edge-key set as delete effects. Edge effects first, so
+    * the executor's plain-DELETE connected check treats explicitly
+    * deleted relationships as already gone.
     */
-  private def executeDelete(d: DeleteEnd): DataFrame = {
+  private def applyDelete(d: DeleteClause): Unit = {
     if (df == null) throw PlanError("DELETE requires a preceding MATCH")
+    sawDelete = true
     val nodeSets = Seq.newBuilder[DataFrame]
     val edgeSets = Seq.newBuilder[DataFrame]
     d.targets.foreach { v =>
@@ -111,24 +120,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case None => throw PlanError(s"unbound variable: $v")
       }
     }
-    val doomedNodes = nodeSets.result().reduceOption(_ unionByName _)
-    val doomedEdges = edgeSets.result().reduceOption(_ unionByName _)
-    val stats = graft.ops.GraphMerge.deleteMatched(
-      store, doomedNodes, doomedEdges, d.detach)
-    spark.createDataFrame(Seq(
-      (stats.nodesDeleted, stats.edgesDeleted)))
-      .toDF("nodes_deleted", "relationships_deleted")
-  }
-
-  /** a SET/CREATE value must be resolvable at plan time */
-  private def constVal(e: Expr): Any = e match {
-    case Lit(v) => v
-    case Param(n) => params.get(n) match {
-      case Some(_: Seq[_]) | None =>
-        throw PlanError(s"missing or non-scalar parameter: $n")
-      case Some(v) => v
-    }
-    case other => throw PlanError(s"expected a literal value, got $other")
+    edgeSets.result().reduceOption(_ unionByName _)
+      .foreach(e => effects += graft.ops.GraphMerge.WriteEffect.DeleteEdges(e))
+    nodeSets.result().reduceOption(_ unionByName _)
+      .foreach(g =>
+        effects += graft.ops.GraphMerge.WriteEffect.DeleteNodes(g, d.detach))
   }
 
   /** PV-struct literal column (the node prop map's value type) */
@@ -142,120 +138,296 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case i: Int => slot(null, i.toLong, null, null)
       case d: Double => slot(null, null, d, null)
       case b: Boolean => slot(null, null, null, b)
-      case other => throw PlanError(s"unsupported SET value: $other")
+      case null => slot(null, null, null, null) // all-null = remove key
+      case other => throw PlanError(s"unsupported value: $other")
     }
   }
 
-  /** terminal `SET v.prop = literal, …`: patch the matched nodes'
-    * property maps ([[graft.ops.GraphMerge.writeBatch]]); a NULL value
-    * removes the key (Cypher semantics).
-    */
-  private def executeSet(s: SetEnd): DataFrame = {
-    if (df == null) throw PlanError("SET requires a preceding MATCH")
-    val patchDfs = s.items.groupBy(_._1).toSeq.map { case (v, its) =>
-      if (!env.get(v).contains(NodeVar))
-        throw PlanError(s"SET target must be a node variable: $v")
-      val resolved = its.map { case (_, prop, e) => prop -> constVal(e) }
-      val sets = resolved.filter(_._2 != null)
-      val removes = resolved.filter(_._2 == null).map(_._1)
-      val patchCol =
-        if (sets.isEmpty)
-          lit(null).cast(graft.store.GraphStore.nodeSchema("props").dataType)
-        else map(sets.flatMap { case (k, value) =>
-          Seq(lit(k), pvLit(value)) }: _*)
-      df.select(col(s"${v}__gid").as("gid")).distinct()
-        .withColumn("patch", patchCol)
-        .withColumn("removes",
-          array(removes.map(lit(_)): _*).cast("array<string>"))
+  private def propsType =
+    graft.store.GraphStore.nodeSchema("props").dataType
+
+  /** the Spark type of an expression column under the current frame */
+  private def colType(c: Column): org.apache.spark.sql.types.DataType =
+    df.select(c).schema.head.dataType
+
+  private def isPvMapType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case MapType(org.apache.spark.sql.types.StringType,
+        s: org.apache.spark.sql.types.StructType, _) =>
+        s.fieldNames.sameElements(Array("s", "l", "d", "b"))
+      case _ => false
     }
-    // a gid targeted through two variables keeps one patch (last wins)
-    val patches = patchDfs.reduce(_ unionByName _).dropDuplicates("gid")
-    val stats = graft.ops.GraphMerge.writeBatch(
-      store, None, None, Some(patches), failOnNodeConflict = false)
-    writeSummary(stats)
+
+  /** canonical string view of a PV struct column */
+  private def pvStrOf(pv: Column): Column =
+    coalesce(pv.getField("s"), pv.getField("l").cast("string"),
+      pv.getField("d").cast("string"), pv.getField("b").cast("string"))
+
+  /** wrap a plain scalar column into a PV struct by its static type */
+  private def wrapPv(c: Column): Column = {
+    import org.apache.spark.sql.types._
+    def slot(s: Column, l: Column, d: Column, b: Column) = struct(
+      s.cast("string").as("s"), l.cast("bigint").as("l"),
+      d.cast("double").as("d"), b.cast("boolean").as("b"))
+    val nul = lit(null)
+    colType(c) match {
+      case StringType => slot(c, nul, nul, nul)
+      case LongType | IntegerType | ShortType | ByteType =>
+        slot(nul, c, nul, nul)
+      case DoubleType | FloatType => slot(nul, nul, c, nul)
+      case BooleanType => slot(nul, nul, nul, c)
+      case NullType => slot(nul, nul, nul, nul)
+      case t if t.toString == propsType.asInstanceOf[MapType]
+        .valueType.toString => c // already a PV struct
+      case t => throw PlanError(s"unsupported value type: $t")
+    }
   }
 
-  /** terminal `CREATE pattern, …` / `MERGE (n)`: insert nodes (gid
-    * required as a literal property — it is the graph's node key) and
-    * MERGE edges between bound or newly created endpoints.
+  /** PV-struct column of an expression — per-row (the template's
+    * `item.gid` / `item.source` forms resolve through the binding
+    * table, neo4j.go:103,122)
     */
-  private def executeCreate(c: CreateEnd): DataFrame = {
-    val nodeRows = Seq.newBuilder[(String, Option[String],
-      Map[String, graft.model.PV])]
-    val edgeParts = Seq.newBuilder[DataFrame]
-    // gids of nodes created earlier in THIS statement, by variable
-    var localNew = Map.empty[String, String]
+  private def pvCol(e: Expr): Column = e match {
+    case Lit(v) => pvLit(v)
+    case Param(n) => scalarParam(n) match {
+      case Some(v) => pvLit(v)
+      case None => throw PlanError(s"missing or non-scalar parameter: $n")
+    }
+    case PropRef(v, p) => env.get(v) match {
+      case Some(NodeVar) if !Set("gid", "label", "source").contains(p) =>
+        col(s"${v}__props").getItem(p)
+      case Some(ValueVar(cn)) if isPvMapType(colType(col(cn))) =>
+        col(cn).getItem(p)
+      case Some(_) => wrapPv(valueCol(e))
+      case None => throw PlanError(s"unbound variable: $v")
+    }
+    case other => wrapPv(valueCol(other))
+  }
 
-    def endpoint(n: NodePattern): Column =
-      n.variable match {
-        case Some(v) if env.get(v).contains(NodeVar) =>
-          if (n.label.nonEmpty || n.props.nonEmpty)
+  /** literal map<string,pv> column from a Scala map parameter value */
+  private def pvMapLit(m: Map[_, _]): Column = {
+    if (m.isEmpty)
+      return map_from_arrays(array().cast("array<string>"),
+        array().cast("array<struct<s:string,l:bigint,d:double,b:boolean>>"))
+    map(m.toSeq.flatMap { case (k, v) =>
+      Seq(lit(String.valueOf(k)), pvLit(v)) }: _*)
+  }
+
+  /** a map-valued expression (SET n = item / SET n = $props) */
+  private def pvMapCol(e: Expr): Column = e match {
+    case Param(n) => params.get(n) match {
+      case Some(m: Map[_, _]) => pvMapLit(m)
+      case _ => throw PlanError(s"parameter $n is not a map")
+    }
+    case MapLit(entries) =>
+      map(entries.flatMap { case (k, x) => Seq(lit(k), pvCol(x)) }: _*)
+    case VarRef(v) => env.get(v) match {
+      case Some(ValueVar(cn)) if isPvMapType(colType(col(cn))) => col(cn)
+      case _ => throw PlanError(s"SET $v = … requires a map value")
+    }
+    case other => throw PlanError(s"SET … = … requires a map value, got $other")
+  }
+
+  /** `SET` clause: group items per target into node/edge patch effects.
+    * Node targets: property patches (`SET n.k = expr`), full-map
+    * replacement (`SET n = item`, neo4j.go:108), label stamps
+    * (`SET n:%s`, neo4j.go:107). Relationship targets: the edge
+    * table's `source` / `type` columns (`SET r.source = item.source`,
+    * neo4j.go:122-123).
+    */
+  private def applySet(s: SetClause): Unit = {
+    if (df == null) throw PlanError("SET requires a preceding MATCH/MERGE")
+    sawWrite = true
+    import graft.ops.GraphMerge.WriteEffect._
+    // node/rel property patches accumulate per variable (one effect each)
+    val propSets = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(String, Expr)]]
+    val relSets = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(String, Expr)]]
+    s.items.foreach {
+      case SetLabelItem(v, label) =>
+        if (!env.get(v).contains(NodeVar))
+          throw PlanError(s"SET :Label target must be a node variable: $v")
+        effects += SetLabels(df.select(col(s"${v}__gid").as("gid"))
+          .filter(col("gid").isNotNull), label)
+        // later clauses of this statement read the stamped label
+        df = df.withColumn(s"${v}__label", lit(label))
+      case SetAll(v, e) =>
+        if (!env.get(v).contains(NodeVar))
+          throw PlanError(s"SET $v = … target must be a node variable")
+        val m = pvMapCol(e)
+        // model mapping (SURVEY §1.3): the map's `gid` key is the node
+        // key (it matched the MERGE), `source` maps to the source
+        // column, everything else becomes the fully replaced props map
+        effects += ReplaceProps(df
+          .filter(col(s"${v}__gid").isNotNull)
+          .select(col(s"${v}__gid").as("gid"),
+            pvStrOf(element_at(m, "source")).as("source"),
+            map_filter(m, (k, _) => k =!= "gid" && k =!= "source")
+              .as("props")))
+      case SetProp(v, prop, e) => env.get(v) match {
+        case Some(NodeVar) =>
+          if (Set("gid", "label", "source").contains(prop))
             throw PlanError(
-              s"bound variable $v cannot carry labels/properties in CREATE")
-          col(s"${v}__gid")
-        case Some(v) if localNew.contains(v) => lit(localNew(v))
-        case _ => lit(createNode(n))
+              s"$prop is a model column; use SET $v:Label or SET $v = map")
+          propSets(v) = propSets.getOrElse(v, Vector.empty) :+ (prop -> e)
+        case Some(RelVar) =>
+          val target = prop match {
+            case "source" => "new_source"
+            case "type" | "relType" => "new_relType"
+            case other => throw PlanError(
+              s"relationship property must be source or type, got $other")
+          }
+          relSets(v) = relSets.getOrElse(v, Vector.empty) :+ (target -> e)
+        case Some(_) =>
+          throw PlanError(s"SET target must be a node or relationship: $v")
+        case None => throw PlanError(s"unbound variable: $v")
       }
-
-    def createNode(n: NodePattern): String = {
-      val gid = n.props.collectFirst { case ("gid", Lit(s: String)) => s }
-        .getOrElse(throw PlanError(
-          "CREATE/MERGE node needs a literal gid property (the node key)"))
-      val props = n.props.collect {
-        case (k, Lit(value)) if k != "gid" && value != null =>
-          k -> graft.model.PV.of(value)
-      }.toMap
-      nodeRows += ((gid, n.label, props))
-      n.variable.foreach(v => localNew += v -> gid)
-      gid
     }
-
-    c.patterns.foreach { pat =>
-      // head: bound var → nothing to create; else create
-      pat.head.variable match {
-        case Some(v) if env.get(v).contains(NodeVar) => ()
-        case _ => createNode(pat.head)
+    propSets.foreach { case (v, its) =>
+      // static NULLs go to `removes`; expression values that are null
+      // AT RUNTIME are removed by the executor's all-null-slot rule
+      val removes = its.collect { case (k, Lit(null)) => k }
+      val sets = its.filter { case (_, Lit(null)) => false; case _ => true }
+      val patchCol =
+        if (sets.isEmpty) lit(null).cast(propsType)
+        else map(sets.flatMap { case (k, x) => Seq(lit(k), pvCol(x)) }: _*)
+      effects += PatchProps(df
+        .filter(col(s"${v}__gid").isNotNull)
+        .select(col(s"${v}__gid").as("gid"), patchCol.as("patch"),
+          array(removes.map(lit(_)): _*).cast("array<string>").as("removes")))
+    }
+    relSets.foreach { case (v, its) =>
+      // value expressions evaluate against the FULL binding table (they
+      // reference item/node columns), in the same projection as the key
+      val valueCols = its.map { case (target, e) =>
+        (e match {
+          case Lit(null) => lit(null).cast("string")
+          case x => pvStrOf(pvCol(x))
+        }).as(target)
       }
-      var prev = pat.head
+      effects += PatchEdges(df.filter(col(s"${v}__src").isNotNull)
+        .select(Seq(col(s"${v}__src").as("src"),
+          col(s"${v}__dst").as("dst"),
+          col(s"${v}__relType").as("relType")) ++ valueCols: _*))
+    }
+  }
+
+  /** `CREATE pattern, …` / `MERGE pattern` (clause): node rows build
+    * from the binding table — gids may be literals OR expressions
+    * (`MERGE (n {gid: item.gid})`, neo4j.go:103) — and bind their
+    * variable for the statement's later clauses. MERGE binds the
+    * POST-merge node (existing rows keep label/source/props) via a
+    * left join on the store.
+    */
+  private def applyCreate(c: CreateClause): Unit = {
+    sawWrite = true
+    import graft.ops.GraphMerge.WriteEffect._
+    c.patterns.foreach { pat =>
+      var prevVar = bindCreateNode(pat.head, c.merge)
       pat.hops.foreach { case (rel, node) =>
         val relType = rel.relType.getOrElse(
           throw PlanError("CREATE relationship needs an explicit type"))
         if (rel.varLength.nonEmpty)
           throw PlanError("cannot CREATE a variable-length relationship")
-        node.variable match {
-          case Some(v) if env.get(v).contains(NodeVar) => ()
-          case Some(v) if localNew.contains(v) => ()
-          case _ => createNode(node)
+        val nodeVar = bindCreateNode(node, c.merge)
+        val (fromV, toV) =
+          if (rel.direction > 0) (prevVar, nodeVar) else (nodeVar, prevVar)
+        effects += MergeEdges(df.select(
+          col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
+          lit(relType).as("relType"),
+          lit(null).cast("string").as("source")))
+        // bind the rel var for later SET r.… clauses (neo4j.go:121-123)
+        rel.variable.foreach { r =>
+          if (env.contains(r)) throw PlanError(s"variable $r already bound")
+          env += r -> RelVar
+          df = df.withColumn(s"${r}__src", col(s"${fromV}__gid"))
+            .withColumn(s"${r}__dst", col(s"${toV}__gid"))
+            .withColumn(s"${r}__relType", lit(relType))
+            .withColumn(s"${r}__source", lit(null).cast("string"))
         }
-        val (fromN, toN) = if (rel.direction > 0) (prev, node) else (node, prev)
-        val (srcCol, dstCol) = (endpoint(fromN), endpoint(toN))
-        val base = if (df == null) spark.range(1).toDF("__seed") else df
-        edgeParts += base.select(
-          srcCol.as("src"), dstCol.as("dst"), lit(relType).as("relType"),
-          lit(null).cast("string").as("source")).distinct()
-        prev = node
+        prevVar = nodeVar
       }
     }
-
-    val rows = nodeRows.result()
-    val createDf = if (rows.isEmpty) None else Some {
-      val sp = spark
-      import sp.implicits._
-      rows.toDF("gid", "label", "props")
-        .select(col("gid"), col("label"),
-          lit(null).cast("string").as("source"), col("props"))
-    }
-    val edges = edgeParts.result().reduceOption(_ unionByName _)
-    val stats = graft.ops.GraphMerge.writeBatch(
-      store, createDf, edges, None, failOnNodeConflict = !c.merge)
-    writeSummary(stats)
   }
 
-  private def writeSummary(
-      stats: graft.ops.GraphMerge.WriteStats): DataFrame =
-    spark.createDataFrame(Seq(
-      (stats.nodesCreated, stats.edgesCreated, stats.propertiesSet)))
-      .toDF("nodes_created", "relationships_created", "properties_set")
+  /** resolve a CREATE/MERGE pattern node: bound var → reuse; else emit
+    * a MergeNodes effect and bind the variable to per-row columns
+    */
+  private def bindCreateNode(n: NodePattern, merge: Boolean): String = {
+    import graft.ops.GraphMerge.WriteEffect._
+    n.variable match {
+      case Some(v) if env.get(v).contains(NodeVar) =>
+        if (n.label.nonEmpty || n.props.nonEmpty)
+          throw PlanError(
+            s"bound variable $v cannot carry labels/properties in CREATE")
+        v
+      case maybeV =>
+        val v = maybeV.getOrElse(fresh("c"))
+        if (env.contains(v)) throw PlanError(s"variable $v already bound")
+        if (df == null) df = spark.range(1).toDF("__seed")
+        val gidExpr = n.props.collectFirst { case ("gid", e) => e }
+          .getOrElse(throw PlanError(
+            "CREATE/MERGE node needs a gid property (the node key)"))
+        val gidCol = gidExpr match {
+          case Lit(s: String) => lit(s)
+          case e => pvStrOf(pvCol(e))
+        }
+        val propPairs = n.props.collect {
+          case (k, e) if k != "gid" => k -> pvCol(e)
+        }
+        val propsCol =
+          if (propPairs.isEmpty) lit(null).cast(propsType)
+          else map(propPairs.flatMap { case (k, c) => Seq(lit(k), c) }: _*)
+        effects += MergeNodes(df.select(
+          gidCol.as("gid"), lit(n.label.orNull).as("label"),
+          lit(null).cast("string").as("source"), propsCol.as("props")),
+          failOnConflict = !merge)
+        if (merge) {
+          // bind the POST-merge node: existing rows keep their
+          // label/source/props; new rows carry the pattern's values
+          val nn = store.nodes.select(col("gid").as(s"${v}__gid"),
+            col("label").as(s"${v}__label"),
+            col("source").as(s"${v}__source"),
+            col("props").as(s"${v}__props"))
+          df = df.withColumn("__ck", gidCol)
+            .join(nn, col("__ck") === col(s"${v}__gid"), "left_outer")
+            .withColumn(s"${v}__gid", coalesce(col(s"${v}__gid"), col("__ck")))
+            .withColumn(s"${v}__label",
+              coalesce(col(s"${v}__label"), lit(n.label.orNull)))
+            .withColumn(s"${v}__props",
+              coalesce(col(s"${v}__props"), propsCol))
+            .drop("__ck")
+        } else {
+          df = df.withColumn(s"${v}__gid", gidCol)
+            .withColumn(s"${v}__label", lit(n.label.orNull))
+            .withColumn(s"${v}__source", lit(null).cast("string"))
+            .withColumn(s"${v}__props", propsCol)
+        }
+        env += v -> NodeVar
+        v
+    }
+  }
+
+  /** run the accumulated effects as ONE committed statement and shape
+    * the summary row like Neo4j's counters
+    */
+  private def executeWrite(
+      effs: Seq[graft.ops.GraphMerge.WriteEffect]): DataFrame = {
+    val st = graft.ops.GraphMerge.applyWrite(store, effs)
+    if (sawWrite && sawDelete)
+      spark.createDataFrame(Seq((st.nodesCreated, st.edgesCreated,
+        st.propertiesSet, st.nodesDeleted, st.edgesDeleted)))
+        .toDF("nodes_created", "relationships_created", "properties_set",
+          "nodes_deleted", "relationships_deleted")
+    else if (sawDelete)
+      spark.createDataFrame(Seq((st.nodesDeleted, st.edgesDeleted)))
+        .toDF("nodes_deleted", "relationships_deleted")
+    else
+      spark.createDataFrame(Seq(
+        (st.nodesCreated, st.edgesCreated, st.propertiesSet)))
+        .toDF("nodes_created", "relationships_created", "properties_set")
+  }
 
   // ---- clause application ----
 
@@ -264,11 +436,40 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
       col("source").as(s"${v}__source"), col("props").as(s"${v}__props"))
     n.label.foreach(l => d = d.filter(col(s"${v}__label") === l))
-    n.props.foreach { case (k, Lit(value)) =>
-      d = d.filter(propCmp(s"${v}__props", k, value))
+    n.props.foreach {
+      case (k, Lit(value)) => d = d.filter(litPropFilter(v, k, value))
+      case _ => () // expression props filter AFTER the join
     }
     d
   }
+
+  /** inline literal property predicate. gid/source/label are model
+    * COLUMNS, not props-map keys — the reference's own truncate
+    * template matches `{source: "%s"}` inline (neo4j.go:126).
+    */
+  private def litPropFilter(v: String, k: String, value: Any): Column =
+    k match {
+      case "gid" => col(s"${v}__gid") === lit(value)
+      case "source" => col(s"${v}__source") === lit(value)
+      case "label" => col(s"${v}__label") === lit(value)
+      case _ => propCmp(s"${v}__props", k, value)
+    }
+
+  /** expression-valued inline props (`{gid: item.gid}`, neo4j.go:103)
+    * become equality predicates applied after the node's join — they
+    * may reference other bound variables, so they cannot push into the
+    * standalone node scan (Catalyst rewrites the equality on the join
+    * into an equi-join condition).
+    */
+  private def exprPropFilters(v: String, n: NodePattern): Seq[Column] =
+    n.props.collect { case (k, e) if !e.isInstanceOf[Lit] =>
+      k match {
+        case "gid" => col(s"${v}__gid") === pvStrOf(pvCol(e))
+        case "source" => col(s"${v}__source") === pvStrOf(pvCol(e))
+        case "label" => col(s"${v}__label") === pvStrOf(pvCol(e))
+        case _ => col(s"${v}__props").getItem(k) === pvCol(e)
+      }
+    }
 
   private def propCmp(propsCol: String, key: String, value: Any): Column = {
     val pv = col(propsCol).getItem(key)
@@ -295,12 +496,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val d = nodeDf(headVar, pattern.head)
         env += headVar -> NodeVar
         df = if (df == null) d else df.crossJoin(d)
+        exprPropFilters(headVar, pattern.head).foreach(f => df = df.filter(f))
       } else {
-        pattern.head.label.foreach(l =>
-          df = df.filter(col(s"${headVar}__label") === l))
-        pattern.head.props.foreach { case (k, Lit(v)) =>
-          df = df.filter(propCmp(s"${headVar}__props", k, v))
-        }
+        rebindFilters(headVar, pattern.head)
       }
       if ((pattern.shortest || pattern.allShortest) &&
           (pattern.hops.length != 1 || pattern.hops.head._1.varLength.isEmpty))
@@ -398,6 +596,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       env += nv -> NodeVar
       val d = nodeDf(nv, node)
       df = df.join(d, col(toCol) === col(s"${nv}__gid"), "inner")
+      exprPropFilters(nv, node).foreach(f => df = df.filter(f))
       nv
     }
   }
@@ -407,9 +606,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     */
   private def rebindFilters(nv: String, node: NodePattern): Unit = {
     node.label.foreach(l => df = df.filter(col(s"${nv}__label") === l))
-    node.props.foreach { case (k, Lit(v)) =>
-      df = df.filter(propCmp(s"${nv}__props", k, v))
+    node.props.foreach {
+      case (k, Lit(v)) => df = df.filter(litPropFilter(nv, k, v))
+      case _ => ()
     }
+    exprPropFilters(nv, node).foreach(f => df = df.filter(f))
   }
 
   /** bounded var-length expand: iterative frontier joins over distinct
@@ -485,6 +686,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       env += nv -> NodeVar
       val d = nodeDf(nv, node)
       df = df.join(d, col("__end") === col(s"${nv}__gid"), "inner")
+      exprPropFilters(nv, node).foreach(f => df = df.filter(f))
     }
     keepHopsAs.foreach(c => df = df.withColumnRenamed("__hops", c))
     df = df.drop("__start", "__end", "__hops")
@@ -762,7 +964,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "source" => col(s"${v}__source")
         case other => throw PlanError(s"unknown rel property: $other")
       }
-      case Some(ValueVar(c)) => col(c).getField(p)
+      case Some(ValueVar(c)) =>
+        // a map-typed item (`UNWIND $items AS item` with map values,
+        // neo4j.go:96) surfaces its entries as canonical strings, like
+        // node props; struct-typed values keep field access
+        if (isPvMapType(colType(col(c)))) pvStrOf(col(c).getItem(p))
+        else col(c).getField(p)
+      case Some(PathVar(_, _)) =>
+        throw PlanError(s"path variable $v has no properties")
       case None => throw PlanError(s"unbound variable: $v")
     }
     case MapLit(entries) =>
@@ -770,7 +979,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case ListLit(items) => array(items.map(valueCol): _*)
     case Param(n) => params.get(n) match {
       case None => throw PlanError(s"missing parameter: $n")
+      // list-of-maps — the reference's `$items` batches (neo4j.go:96)
+      case Some(seq: Seq[_])
+          if seq.nonEmpty && seq.forall(_.isInstanceOf[Map[_, _]]) =>
+        array(seq.map { case m: Map[_, _] => pvMapLit(m) }: _*)
       case Some(seq: Seq[_]) => array(seq.map(v => lit(v)): _*)
+      case Some(m: Map[_, _]) => pvMapLit(m)
       case Some(v) => lit(v)
     }
     case FuncCall("tostring", Seq(a), _) => typedProp(a, "s")
@@ -838,34 +1052,38 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case other => throw PlanError(s"unsupported expression: $other")
   }
 
-  /** the numeric (long-or-double) view of a node property, None for
-    * anything that is not a PV property reference
+  /** the PV struct behind a property reference — node props map, or a
+    * map-typed UNWIND item (the template's `item.gid`, neo4j.go:103)
     */
-  private def numericSlot(e: Ast.Expr): Option[Column] = e match {
-    case PropRef(v, p) if env.get(v).contains(NodeVar) &&
-        !Set("gid", "label", "source").contains(p) =>
-      val pv = col(s"${v}__props").getItem(p)
-      Some(coalesce(pv.getField("l").cast("double"), pv.getField("d")))
+  private def pvOf(e: Ast.Expr): Option[Column] = e match {
+    case PropRef(v, p) => env.get(v) match {
+      case Some(NodeVar) if !Set("gid", "label", "source").contains(p) =>
+        Some(col(s"${v}__props").getItem(p))
+      case Some(ValueVar(cn)) if isPvMapType(colType(col(cn))) =>
+        Some(col(cn).getItem(p))
+      case _ => None
+    }
     case _ => None
   }
 
-  private def typedProp(e: Ast.Expr, slot: String): Option[Column] = e match {
-    case PropRef(v, p) if env.get(v).contains(NodeVar) &&
-        !Set("gid", "label", "source").contains(p) =>
-      val pv = col(s"${v}__props").getItem(p)
+  /** the numeric (long-or-double) view of a PV property reference */
+  private def numericSlot(e: Ast.Expr): Option[Column] = pvOf(e).map(pv =>
+    coalesce(pv.getField("l").cast("double"), pv.getField("d")))
+
+  private def typedProp(e: Ast.Expr, slot: String): Option[Column] =
+    pvOf(e).map { pv =>
       slot match {
-        case "s" => Some(coalesce(pv.getField("s"),
+        case "s" => coalesce(pv.getField("s"),
           pv.getField("l").cast("string"), pv.getField("d").cast("string"),
-          pv.getField("b").cast("string")))
-        case "l" => Some(coalesce(pv.getField("l"),
-          pv.getField("d").cast("long"), pv.getField("s").cast("long")))
-        case "d" => Some(coalesce(pv.getField("d"),
-          pv.getField("l").cast("double"), pv.getField("s").cast("double")))
-        case "b" => Some(coalesce(pv.getField("b"),
-          pv.getField("s").cast("boolean")))
+          pv.getField("b").cast("string"))
+        case "l" => coalesce(pv.getField("l"),
+          pv.getField("d").cast("long"), pv.getField("s").cast("long"))
+        case "d" => coalesce(pv.getField("d"),
+          pv.getField("l").cast("double"), pv.getField("s").cast("double"))
+        case "b" => coalesce(pv.getField("b"),
+          pv.getField("s").cast("boolean"))
       }
-    case _ => None
-  }
+    }
 
   private def toPredicate(e: Ast.Expr): Column = e match {
     case And(l, r) => toPredicate(l) && toPredicate(r)
@@ -916,7 +1134,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
 
   private def scalarParam(n: String): Option[Any] = params.get(n) match {
-    case Some(_: Seq[_]) | None => None
+    case Some(_: Seq[_]) | Some(_: Map[_, _]) | None => None
     case Some(v) => Some(v)
   }
 

@@ -289,6 +289,57 @@ object GraphMerge {
       nodesCreated: Long, edgesCreated: Long, propertiesSet: Long,
       version: Long)
 
+  /** One step of a Cypher write statement. A statement is an ORDERED
+    * list of effects applied to the working node/edge frames and
+    * committed ONCE — the Spark analog of the reference's single Bolt
+    * transaction per statement (/root/reference/neo4j.go:238-284).
+    * Effect DataFrames are snapshots the planner takes at each
+    * clause's position in the binding table, so `MERGE … DELETE r …
+    * SET n = item` composes the way the UpdateNode template expects
+    * (/root/reference/neo4j.go:102-109).
+    */
+  sealed trait WriteEffect
+  object WriteEffect {
+    /** `gid, label, source, props`: insert-if-absent (MERGE);
+      * `failOnConflict` (CREATE) errors when a gid already exists.
+      */
+    case class MergeNodes(rows: DataFrame, failOnConflict: Boolean)
+        extends WriteEffect
+    /** one `gid` column; `detach` cascades incident edges, plain
+      * DELETE on a still-connected node is a runtime error.
+      */
+    case class DeleteNodes(gids: DataFrame, detach: Boolean)
+        extends WriteEffect
+    /** `src, dst, relType` keys to delete */
+    case class DeleteEdges(keys: DataFrame) extends WriteEffect
+    /** `src, dst, relType, source`: insert-if-absent; missing
+      * endpoints materialize as stubs (neo4j.go:111-114).
+      */
+    case class MergeEdges(rows: DataFrame) extends WriteEffect
+    /** `gid, patch (map<string,pv>), removes (array<string>)`:
+      * per-key property upsert; null-valued patch entries (static OR
+      * runtime) remove the key — Cypher `SET n.k = NULL`.
+      */
+    case class PatchProps(patches: DataFrame) extends WriteEffect
+    /** `gid, source, props`: FULL replacement of source + props for
+      * matched gids — the template's `SET n = item` (neo4j.go:108).
+      * Label is untouched (it has its own `SET n:%s`).
+      */
+    case class ReplaceProps(rows: DataFrame) extends WriteEffect
+    /** stamp `label` on the matched gids — `SET n:%s` (neo4j.go:107) */
+    case class SetLabels(gids: DataFrame, label: String) extends WriteEffect
+    /** `src, dst, relType` + optional `new_source` / `new_relType`
+      * columns — `SET r.source = item.source` / `SET r.type = …`
+      * (neo4j.go:122-123) on the edge table's columns.
+      */
+    case class PatchEdges(patches: DataFrame) extends WriteEffect
+  }
+
+  /** combined counters of one composite write statement */
+  case class CompositeStats(
+      nodesCreated: Long, edgesCreated: Long, propertiesSet: Long,
+      nodesDeleted: Long, edgesDeleted: Long, version: Long)
+
   /** Execute the storage half of Cypher's CREATE / MERGE / SET — the
     * statement forms the reference's templates emit
     * (/root/reference/neo4j.go:103-127: `MERGE (n …)`, `SET n = item`,
@@ -311,135 +362,245 @@ object GraphMerge {
       createEdges: Option[DataFrame],
       propPatches: Option[DataFrame],
       failOnNodeConflict: Boolean): WriteStats = {
+    import WriteEffect._
+    val effects = Seq.newBuilder[WriteEffect]
+    createNodes.foreach(c => effects += MergeNodes(c, failOnNodeConflict))
+    propPatches.foreach(p => effects += PatchProps(p))
+    createEdges.foreach(e => effects += MergeEdges(e))
+    val st = applyWrite(store, effects.result())
+    WriteStats(st.nodesCreated, st.edgesCreated, st.propertiesSet, st.version)
+  }
+
+  private type DirtyKeys = Set[(Option[String], Option[Int])]
+
+  /** Execute one write statement's ordered effects against working
+    * node/edge frames, then commit ONCE with bucket-level dirty keys.
+    * Dirty tracking invariant: every effect that touches EXISTING rows
+    * probes the pre-state store (directory-pruned to the touched gids'
+    * hash buckets) for their (label, bucket) locations, and adds the
+    * locations it writes new rows into; rows created earlier in the
+    * SAME statement already have their locations in the dirty set from
+    * their creating effect, so later patches to them add nothing new.
+    */
+  def applyWrite(store: GraphStore, effects: Seq[WriteEffect])
+      : CompositeStats = {
+    import WriteEffect._
     val spark = store.nodes.sparkSession
     import spark.implicits._
     val ver = store.currentVersion + 1
-    val nodes0 = store.nodes
-    val edges0 = store.edges
+    var nodes = store.nodes
+    var edges = store.edges
+    var dirtyNodes: DirtyKeys = Set.empty
+    var dirtyEdges: DirtyKeys = Set.empty
+    var nodesCreated, edgesCreated, propertiesSet = 0L
+    var nodesDeleted, edgesDeleted, labelsSet = 0L
+    val cached = Seq.newBuilder[DataFrame]
+    def cache(d: DataFrame): DataFrame = { val c = d.cache(); cached += c; c }
 
-    val creates = createNodes.map(_.dropDuplicates("gid").cache())
-    val patches = propPatches.map(_.dropDuplicates("gid").cache())
-    val newEdges = createEdges
-      .map(_.dropDuplicates("src", "dst", "relType").cache())
-
-    // CREATE conflict / MERGE skip: probe the big table with the small
-    // create set (semi keeps the broadcast build side small)
-    val toInsert = creates.map { c =>
-      val existing = nodes0.select($"gid")
-        .join(broadcast(c.select($"gid")), Seq("gid"), "left_semi")
-      if (failOnNodeConflict && !existing.isEmpty) {
-        val sample = existing.limit(3).collect().map(_.getString(0))
-        throw new IllegalStateException(
-          s"CREATE: node(s) already exist: ${sample.mkString(", ")}")
-      }
-      c.join(existing, Seq("gid"), "left_anti")
-        .withColumn("recorded", lit(ver)).cache()
-    }
-
-    var nodes = toInsert.fold(nodes0)(t => nodes0.unionByName(t))
-
-    // SET patches: rewrite exactly the matched rows' props maps —
-    // patch keys win over old values, `removes` keys drop
-    var propertiesSet = 0L
-    patches.foreach { p =>
-      val emptyPv = map_from_arrays(
-        lit(Array.empty[String]),
-        array().cast(
-          "array<struct<s:string,l:bigint,d:double,b:boolean>>"))
-      val emptyStr = lit(Array.empty[String])
-      // coalesce: sum over a zero-match patch set is null, not 0
-      propertiesSet = p.agg(coalesce(sum(
-        size(coalesce($"patch", emptyPv)) +
-          size(coalesce($"removes", emptyStr))), lit(0L))).as[Long].head()
-      val patchN = coalesce($"patch", emptyPv)
-      val removesN = coalesce($"removes", emptyStr)
-      val patched = nodes.join(broadcast(p), Seq("gid"), "inner")
-        .withColumn("props", map_concat(
-          map_filter(coalesce($"props", emptyPv), (k, _) =>
-            !array_contains(removesN, k) &&
-              !array_contains(map_keys(patchN), k)),
-          patchN))
-        .withColumn("recorded", lit(ver))
-        .drop("patch", "removes")
-      nodes = nodes.join(broadcast(p.select($"gid")), Seq("gid"), "left_anti")
-        .unionByName(patched)
-    }
+    val emptyPv = map_from_arrays(
+      lit(Array.empty[String]),
+      array().cast("array<struct<s:string,l:bigint,d:double,b:boolean>>"))
+    val emptyStr = lit(Array.empty[String])
+    val nullProps = lit(null).cast(GraphStore.nodeSchema("props").dataType)
 
     // One action per small set: groupBy (partition, bucket) + count
-    // yields the dirty manifest keys AND the row count in one collect —
-    // halves the job count vs a separate count() + key collect.
-    def keyCounts(df: DataFrame, partCol: String, keyCol: Column)
-        : (Set[(Option[String], Option[Int])], Long) = {
-      val rows = df.groupBy(col(partCol), keyCol.as("b")).count().collect()
+    // yields the dirty manifest keys AND the row count in one collect.
+    def keyCounts(d: DataFrame, partCol: String, keyCol: Column)
+        : (DirtyKeys, Long) = {
+      val rows = d.groupBy(col(partCol), keyCol.as("b")).count().collect()
       (rows.map(r =>
           (Option(r.getString(0)), Some(r.getInt(1)): Option[Int])).toSet,
         rows.map(_.getLong(2)).sum)
     }
 
-    // edge MERGE + stub creation for missing endpoints
-    var edges = edges0
-    var edgesCreated = 0L
-    var stubCount = 0L
-    var edgeKeys = Set.empty[(Option[String], Option[Int])]
-    var stubKeys = Set.empty[(Option[String], Option[Int])]
-    val toAdd = newEdges.map { e =>
-      val existing = edges0.select($"src", $"dst", $"relType")
-        .join(broadcast(e.select($"src", $"dst", $"relType")),
-          Seq("src", "dst", "relType"), "left_semi")
-      e.join(existing, Seq("src", "dst", "relType"), "left_anti")
-        .withColumn("recorded", lit(ver)).cache()
-    }
-    val stubs = toAdd.map { a =>
-      val (ek, en) = keyCounts(a, "relType", store.bucketOf($"src"))
-      edgeKeys = ek; edgesCreated = en
-      edges = edges.unionByName(a)
-      val ends = a.select($"src".as("gid"))
-        .unionByName(a.select($"dst".as("gid"))).distinct()
-      val existingEnds = nodes.select($"gid")
-        .join(broadcast(ends), Seq("gid"), "left_semi")
-      val s = ends.join(existingEnds, Seq("gid"), "left_anti")
-        .select($"gid", lit(null).cast("string").as("label"),
-          lit(null).cast("string").as("source"),
-          lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
-          lit(ver).as("recorded")).cache()
-      val (sk, sn) = keyCounts(s, "label", store.bucketOf($"gid"))
-      stubKeys = sk; stubCount = sn
-      nodes = nodes.unionByName(s)
-      s
-    }
-    var insertKeys = Set.empty[(Option[String], Option[Int])]
-    val nodesCreated = toInsert.map { t =>
-      val (ik, in) = keyCounts(t, "label", store.bucketOf($"gid"))
-      insertKeys = ik; in
-    }.getOrElse(0L) + stubCount
-
-    if (nodesCreated == 0 && edgesCreated == 0 && propertiesSet == 0) {
-      val v = store.currentVersion
-      Seq(creates, patches, newEdges, toInsert, toAdd, stubs)
-        .foreach(_.foreach(_.unpersist()))
-      return WriteStats(0, 0, 0, v)
-    }
-
-    // dirty keys: created nodes/stubs/edges were collected above with
-    // their counts; patched nodes need a bucket-pruned probe of the
-    // existing table (the patch targets live in unknown labels)
-    val patchKeys: Set[(Option[String], Option[Int])] = patches.map { p =>
-      val bs = p.select(store.bucketOf($"gid").as("b")).distinct()
+    /** (label, bucket) keys + count of PRE-STATE store rows matching
+      * `gids`, directory-pruned to the gids' hash buckets. `hint`
+      * broadcasts batch-shaped probes; match-derived sets can be
+      * O(graph), so delete effects leave the strategy to AQE.
+      */
+    def storeNodeKeyCounts(gids: DataFrame, hint: Boolean)
+        : (DirtyKeys, Long) = {
+      val bs = gids.select(store.bucketOf($"gid").as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      store.nodesWithBucket.select($"gid", $"label", $"bucket")
+      val probe = if (hint) broadcast(gids) else gids
+      val rows = store.nodesWithBucket.select($"gid", $"label", $"bucket")
         .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
-        .join(broadcast(p.select($"gid")), Seq("gid"), "left_semi")
-        .select($"label", $"bucket").distinct().collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
-    }.getOrElse(Set.empty)
-    val dirtyNodes = insertKeys ++ patchKeys ++ stubKeys
-    val dirtyEdges = edgeKeys
+        .join(probe, Seq("gid"), "left_semi")
+        .groupBy($"label", $"bucket").count().collect()
+      (rows.map(r =>
+          (Option(r.getString(0)), Some(r.getInt(1)): Option[Int])).toSet,
+        rows.map(_.getLong(2)).sum)
+    }
 
-    val v = store.commit(nodes, edges, "", Some(dirtyNodes), Some(dirtyEdges))
-    Seq(creates, patches, newEdges, toInsert, toAdd, stubs)
-      .foreach(_.foreach(_.unpersist()))
-    WriteStats(nodesCreated, edgesCreated, propertiesSet, v)
+    effects.foreach {
+      case MergeNodes(rows0, fail) =>
+        val rows = cache(rows0.filter($"gid".isNotNull).dropDuplicates("gid"))
+        val existing = nodes.select($"gid")
+          .join(broadcast(rows.select($"gid")), Seq("gid"), "left_semi")
+        if (fail && !existing.isEmpty) {
+          val sample = existing.limit(3).collect().map(_.getString(0))
+          throw new IllegalStateException(
+            s"CREATE: node(s) already exist: ${sample.mkString(", ")}")
+        }
+        val ins = cache(rows.join(existing, Seq("gid"), "left_anti")
+          .withColumn("recorded", lit(ver)))
+        val (k, n) = keyCounts(ins, "label", store.bucketOf($"gid"))
+        dirtyNodes ++= k; nodesCreated += n
+        nodes = nodes.unionByName(ins)
+
+      case DeleteNodes(gids0, detach) =>
+        val gids = cache(gids0.select("gid").distinct())
+        if (!detach) {
+          // plain DELETE on a still-connected node is an error; the
+          // working edge frame already excludes edges deleted earlier
+          // in this statement (Neo4j's "remaining relationships" rule)
+          val incident = edges
+            .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
+            .unionByName(edges
+              .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
+          if (!incident.isEmpty)
+            throw new IllegalStateException(
+              "cannot delete a node that still has relationships; use DETACH DELETE")
+        } else {
+          val cas = edges.select($"src", $"dst", $"relType")
+            .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
+            .unionByName(edges.select($"src", $"dst", $"relType")
+              .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
+            .distinct()
+          val (ek, en) = keyCounts(cas, "relType", store.bucketOf($"src"))
+          dirtyEdges ++= ek; edgesDeleted += en
+          edges = cascade(edges, gids)
+        }
+        val (nk, nn) = storeNodeKeyCounts(gids, hint = false)
+        dirtyNodes ++= nk; nodesDeleted += nn
+        nodes = nodes.join(gids, Seq("gid"), "left_anti")
+
+      case DeleteEdges(keys0) =>
+        val keys = cache(keys0.select("src", "dst", "relType").distinct())
+        val (ek, en) = keyCounts(keys, "relType", store.bucketOf($"src"))
+        dirtyEdges ++= ek; edgesDeleted += en
+        edges = edges.join(keys, Seq("src", "dst", "relType"), "left_anti")
+
+      case MergeEdges(rows0) =>
+        val e = cache(rows0.filter($"src".isNotNull && $"dst".isNotNull)
+          .dropDuplicates("src", "dst", "relType"))
+        val existing = edges.select($"src", $"dst", $"relType")
+          .join(broadcast(e.select($"src", $"dst", $"relType")),
+            Seq("src", "dst", "relType"), "left_semi")
+        val add = cache(e.join(existing, Seq("src", "dst", "relType"), "left_anti")
+          .withColumn("recorded", lit(ver)))
+        val (ek, en) = keyCounts(add, "relType", store.bucketOf($"src"))
+        dirtyEdges ++= ek; edgesCreated += en
+        edges = edges.unionByName(add)
+        // stub creation for endpoints absent from the working node set
+        val ends = add.select($"src".as("gid"))
+          .unionByName(add.select($"dst".as("gid"))).distinct()
+        val existingEnds = nodes.select($"gid")
+          .join(broadcast(ends), Seq("gid"), "left_semi")
+        val stubs = cache(ends.join(existingEnds, Seq("gid"), "left_anti")
+          .select($"gid", lit(null).cast("string").as("label"),
+            lit(null).cast("string").as("source"), nullProps.as("props"),
+            lit(ver).as("recorded")))
+        val (sk, sn) = keyCounts(stubs, "label", store.bucketOf($"gid"))
+        dirtyNodes ++= sk; nodesCreated += sn
+        nodes = nodes.unionByName(stubs)
+
+      case PatchProps(p0) =>
+        val p = cache(p0.filter($"gid".isNotNull).dropDuplicates("gid"))
+        val patchN0 = coalesce($"patch", emptyPv)
+        // a patch value whose PV slots are ALL null (static `= NULL`
+        // resolved by the planner into `removes`, or a runtime-null
+        // expression like a missing `item.k`) removes the key
+        def isNullPv(v: Column): Column =
+          v.getField("s").isNull && v.getField("l").isNull &&
+            v.getField("d").isNull && v.getField("b").isNull
+        val patchN = map_filter(patchN0, (_, v) => !isNullPv(v))
+        val removesN = concat(coalesce($"removes", emptyStr),
+          map_keys(map_filter(patchN0, (_, v) => isNullPv(v))))
+        // coalesce: sum over a zero-match patch set is null, not 0
+        propertiesSet += p.agg(coalesce(sum(
+          size(patchN) + size(removesN)), lit(0L))).as[Long].head()
+        val patched = nodes.join(broadcast(p), Seq("gid"), "inner")
+          .withColumn("props", map_concat(
+            map_filter(coalesce($"props", emptyPv), (k, _) =>
+              !array_contains(removesN, k) &&
+                !array_contains(map_keys(patchN), k)),
+            patchN))
+          .withColumn("recorded", lit(ver))
+          .drop("patch", "removes")
+        nodes = nodes.join(broadcast(p.select($"gid")), Seq("gid"), "left_anti")
+          .unionByName(patched)
+        val (pk, _) = storeNodeKeyCounts(p.select($"gid"), hint = true)
+        dirtyNodes ++= pk
+
+      case ReplaceProps(rows0) =>
+        val p = cache(rows0.filter($"gid".isNotNull).dropDuplicates("gid"))
+        propertiesSet += p.agg(coalesce(sum(
+          size(coalesce($"props", emptyPv)) +
+            when($"source".isNotNull, 1).otherwise(0)), lit(0L)))
+          .as[Long].head()
+        val pr = p.select($"gid", $"source".as("__ns"), $"props".as("__np"))
+        val patched = nodes.join(broadcast(pr), Seq("gid"), "inner")
+          .withColumn("source", $"__ns")
+          .withColumn("props", $"__np")
+          .withColumn("recorded", lit(ver))
+          .drop("__ns", "__np")
+        nodes = nodes.join(broadcast(pr.select($"gid")), Seq("gid"), "left_anti")
+          .unionByName(patched)
+        val (pk, _) = storeNodeKeyCounts(p.select($"gid"), hint = true)
+        dirtyNodes ++= pk
+
+      case SetLabels(gids0, label) =>
+        val gids = cache(gids0.select("gid").distinct())
+        val (ok, cnt) = storeNodeKeyCounts(gids, hint = true)
+        dirtyNodes ++= ok // old locations (label may change partition)
+        dirtyNodes ++= gids.select(store.bucketOf($"gid").as("b")).distinct()
+          .collect().map(r =>
+            (Some(label): Option[String], Some(r.getInt(0)): Option[Int]))
+          .toSet // new locations
+        labelsSet += cnt
+        val relabeled = nodes.join(broadcast(gids), Seq("gid"), "left_semi")
+          .withColumn("label", lit(label))
+          .withColumn("recorded", lit(ver))
+        nodes = nodes.join(broadcast(gids), Seq("gid"), "left_anti")
+          .unionByName(relabeled)
+
+      case PatchEdges(p0) =>
+        val hasSource = p0.columns.contains("new_source")
+        val hasType = p0.columns.contains("new_relType")
+        val p = cache(p0.filter($"src".isNotNull)
+          .dropDuplicates("src", "dst", "relType"))
+        val (ok, cnt) = keyCounts(p, "relType", store.bucketOf($"src"))
+        dirtyEdges ++= ok
+        if (hasType) // a relType change moves the row's partition
+          dirtyEdges ++= p.filter($"new_relType".isNotNull)
+            .groupBy($"new_relType", store.bucketOf($"src").as("b")).count()
+            .collect().map(r =>
+              (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+            .toSet
+        propertiesSet +=
+          cnt * ((if (hasSource) 1 else 0) + (if (hasType) 1 else 0))
+        var patched = edges
+          .join(broadcast(p), Seq("src", "dst", "relType"), "inner")
+        if (hasSource) patched = patched.withColumn("source", $"new_source")
+        if (hasType) patched = patched
+          .withColumn("relType", coalesce($"new_relType", $"relType"))
+        patched = patched.withColumn("recorded", lit(ver))
+          .drop("new_source", "new_relType")
+        edges = edges
+          .join(broadcast(p.select($"src", $"dst", $"relType")),
+            Seq("src", "dst", "relType"), "left_anti")
+          .unionByName(patched)
+    }
+
+    val anyChange = nodesCreated + edgesCreated + propertiesSet +
+      nodesDeleted + edgesDeleted + labelsSet > 0
+    val v =
+      if (!anyChange) store.currentVersion
+      else store.commit(nodes, edges, "", Some(dirtyNodes), Some(dirtyEdges))
+    cached.result().foreach(_.unpersist())
+    CompositeStats(nodesCreated, edgesCreated, propertiesSet,
+      nodesDeleted, edgesDeleted, v)
   }
 
   /** result of a Cypher [DETACH] DELETE statement */
@@ -468,87 +629,13 @@ object GraphMerge {
       doomedNodeGids: Option[DataFrame],
       doomedEdges: Option[DataFrame],
       detach: Boolean): DeleteStats = {
-    val spark = store.nodes.sparkSession
-    import spark.implicits._
-    val nodes0 = store.nodes
-    val edges0 = store.edges
-
-    val gids = doomedNodeGids.map(_.select("gid").distinct().cache())
-    val explicitEdges =
-      doomedEdges.map(_.select("src", "dst", "relType").distinct().cache())
-
-    // full doomed edge set: explicit rel-var targets + (DETACH only)
-    // every edge incident to a doomed node
-    val cascadeEdges: Option[DataFrame] =
-      if (detach) gids.map { g =>
-        edges0.select($"src", $"dst", $"relType")
-          .join(g.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
-          .unionByName(edges0.select($"src", $"dst", $"relType")
-            .join(g.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
-          .distinct()
-      } else None
-    val doomedEdgeSet: Option[DataFrame] = (cascadeEdges, explicitEdges) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct().cache())
-      case (a, b) => a.orElse(b)
-    }
-
-    // plain DELETE on a still-connected node is an error
-    if (!detach) gids.foreach { g =>
-      val incident = edges0.select($"src", $"dst", $"relType")
-        .join(g.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
-        .unionByName(edges0.select($"src", $"dst", $"relType")
-          .join(g.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
-      val remaining = explicitEdges.fold(incident)(de =>
-        incident.join(de, Seq("src", "dst", "relType"), "left_anti"))
-      if (!remaining.isEmpty)
-        throw new IllegalStateException(
-          "cannot delete a node that still has relationships; use DETACH DELETE")
-    }
-
-    // one action per doomed set: per-bucket counts give the row count
-    // (for the stats) and the touched buckets (for dirty-key pruning)
-    // in a single collect
-    val nodeBucketCounts: Map[Int, Long] = gids.map {
-      _.groupBy(store.bucketOf($"gid").as("b")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    }.getOrElse(Map.empty)
-    val edgeKeyCounts: Seq[(Option[String], Int, Long)] = doomedEdgeSet.map {
-      _.groupBy($"relType", store.bucketOf($"src").as("b")).count().collect()
-        .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2))).toSeq
-    }.getOrElse(Seq.empty)
-    val nodesDeleted = nodeBucketCounts.values.sum
-    val edgesDeleted = edgeKeyCounts.map(_._3).sum
-    if (nodesDeleted == 0 && edgesDeleted == 0) {
-      val v = store.currentVersion // nothing matched: no new version
-      gids.foreach(_.unpersist()); explicitEdges.foreach(_.unpersist())
-      return DeleteStats(0, 0, v)
-    }
-
-    val newNodes = gids.fold(nodes0)(g =>
-      nodes0.join(g, Seq("gid"), "left_anti"))
-    val newEdges = doomedEdgeSet.fold(edges0)(de =>
-      edges0.join(de, Seq("src", "dst", "relType"), "left_anti"))
-
-    // dirty (partition, bucket) keys: labels×buckets of doomed nodes,
-    // relTypes×buckets of doomed edges; the node probe prunes to the
-    // doomed gids' hash buckets at the directory level
-    val dirtyNodeKeys: Set[(Option[String], Option[Int])] = gids.map { g =>
-      val bs = nodeBucketCounts.keys.toSeq
-      store.nodesWithBucket.select($"gid", $"label", $"bucket")
-        .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
-        .join(g, Seq("gid"), "left_semi")
-        .select($"label", $"bucket").distinct().collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
-    }.getOrElse(Set.empty)
-    val dirtyEdgeKeys: Set[(Option[String], Option[Int])] =
-      edgeKeyCounts.map { case (rt, b, _) => (rt, Some(b): Option[Int]) }.toSet
-
-    val v = store.commit(newNodes, newEdges, "",
-      Some(dirtyNodeKeys), Some(dirtyEdgeKeys))
-    gids.foreach(_.unpersist())
-    explicitEdges.foreach(_.unpersist())
-    doomedEdgeSet.foreach(_.unpersist())
-    DeleteStats(nodesDeleted, edgesDeleted, v)
+    import WriteEffect._
+    // explicit edge deletes FIRST, so the plain-DELETE connected check
+    // treats them as already gone (Neo4j's "remaining" rule)
+    val effects = Seq.newBuilder[WriteEffect]
+    doomedEdges.foreach(e => effects += DeleteEdges(e))
+    doomedNodeGids.foreach(g => effects += DeleteNodes(g, detach))
+    val st = applyWrite(store, effects.result())
+    DeleteStats(st.nodesDeleted, st.edgesDeleted, st.version)
   }
 }

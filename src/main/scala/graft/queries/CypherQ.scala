@@ -93,6 +93,64 @@ object CypherQ {
                   min(n.name) AS first_name ORDER BY region""")
     }),
 
+    // The reference's parameterized write templates VERBATIM
+    // (/root/reference/neo4j.go:95-127): nation rows become $items
+    // map arrays driven through UpdateNode / TargetNode / UpdateEdge /
+    // DeleteNode template texts into an EMPTY store — UNWIND map
+    // params, MERGE with expression gids, WITH, OPTIONAL MATCH,
+    // DELETE r, SET n:Label, SET n = item, expression-prop MATCH
+    // joins, edge MERGE, SET r.source/r.type — then a read over the
+    // resulting graph, oracled against the source table.
+    "cypher_ref_templates" -> ((s, dir) => {
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-tpl").toString,
+        s, numBuckets = 2)
+      val rows = Relational.t(s, dir, "nation").collect()
+      val items: Seq[Map[String, Any]] = rows.toSeq.map(r => Map(
+        "gid" -> s"n:${r.getAs[Int]("n_nationkey")}",
+        "source" -> "nations",
+        "name" -> r.getAs[String]("n_name")))
+      val edgeItems: Seq[Map[String, Any]] = rows.toSeq.map(r => Map(
+        "from" -> s"n:${r.getAs[Int]("n_nationkey")}",
+        "to" -> s"r:${r.getAs[Int]("n_regionkey")}",
+        "source" -> "nations", "type" -> "in_region"))
+      val targetItems = edgeItems.map(m => Map("gid" -> m("to"))).distinct
+      def run(q: String, ps: Map[String, Any]) =
+        CypherEngine.query(store, q, ps).collect()
+      run("""
+UNWIND $items AS item
+MERGE (n {gid: item.gid})
+WITH n, item
+OPTIONAL MATCH (n)-[r]->()
+DELETE r
+SET n:Nation
+SET n = item
+""", Map("items" -> items))
+      run("""
+UNWIND $items AS item
+MERGE (n {gid: item.gid })
+""", Map("items" -> targetItems))
+      run("""
+UNWIND $items AS item
+MATCH (n1 {gid: item.from})
+MATCH (n2 {gid: item.to})
+MERGE (n1)-[r:in_region]->(n2)
+SET r.source = item.source
+SET r.type = item.type
+""", Map("items" -> edgeItems))
+      run("""
+UNWIND $items AS item
+MATCH (n {gid: item.gid})
+DETACH DELETE n
+""", Map("items" -> items.filter(
+        _("gid").asInstanceOf[String] >= "n:20")))
+      CypherEngine.query(store,
+        """MATCH (n:Nation)-[r:in_region]->(m)
+           RETURN n.gid AS gid, n.name AS name, n.source AS src,
+                  m.gid AS region
+           ORDER BY gid""")
+    }),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -135,6 +193,11 @@ object CypherQ {
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_ref_templates" ->
+      """SELECT 'n:'||n_nationkey AS gid, n_name AS name,
+         'nations' AS src, 'r:'||n_regionkey AS region
+         FROM nation WHERE 'n:'||n_nationkey < 'n:20'
+         ORDER BY gid""",
     "cypher_set_create" ->
       """WITH nn AS (
            SELECT n_regionkey,

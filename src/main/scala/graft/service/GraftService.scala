@@ -226,6 +226,9 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
       case JDouble(d) => d
       case JDecimal(d) => d.toDouble
       case JBool(b) => b
+      // map values — the reference's `$items` batches are arrays of
+      // maps (/root/reference/neo4j.go:96,186-232)
+      case JObject(fields) => fields.map { case (k, x) => k -> scalar(x) }.toMap
       case other =>
         throw new IllegalArgumentException(s"unsupported param value: $other")
     }

@@ -757,4 +757,140 @@ class CypherSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("nodes_deleted") == 0)
     assert(st.currentVersion == v0)
   }
+
+  // ---- the reference's parameterized write templates, VERBATIM ----
+  // (/root/reference/neo4j.go:95-127) driven with $items arrays built
+  // exactly as WriteBatch builds them (neo4j.go:186-232), asserted to
+  // produce the SAME store state as the native applyBatch path.
+
+  private val deleteNodeTpl =
+    """
+UNWIND $items AS item
+MATCH (n {gid: item.gid})
+DETACH DELETE n
+"""
+  private def updateNodeTpl(label: String) =
+    s"""
+UNWIND $$items AS item
+MERGE (n {gid: item.gid})
+WITH n, item
+OPTIONAL MATCH (n)-[r]->()
+DELETE r
+SET n:$label
+SET n = item
+"""
+  private val targetNodeTpl =
+    """
+UNWIND $items AS item
+MERGE (n {gid: item.gid })
+"""
+  private def updateEdgeTpl(relType: String) =
+    s"""
+UNWIND $$items AS item
+MATCH (n1 {gid: item.from})
+MATCH (n2 {gid: item.to})
+MERGE (n1)-[r:$relType]->(n2)
+SET r.source = item.source
+SET r.type = item.type
+"""
+  private def deleteAllTpl(label: String, source: String) =
+    s"""
+MATCH (n:$label {source: "$source"}) DETACH DELETE n
+"""
+
+  /** drive one entity batch through the verbatim templates, in the
+    * reference's statement order (neo4j.go:244-284); statements with
+    * empty item lists are skipped exactly as the Go client skips them
+    */
+  private def templateBatch(st: GraphStore, source: String, label: String,
+      batch: Seq[Entity], fullSync: Boolean = false): Unit = {
+    def strip(u: String) =
+      graft.functions.UriFunctions.stripPrefixScala(u)
+    if (fullSync)
+      CypherEngine.query(st, deleteAllTpl(label, source)).collect()
+    val (dead, live) = batch.partition(_.deleted)
+    val deleteItems = dead.map(e => Map[String, Any]("gid" -> e.id))
+    val nodeItems = live.map { e =>
+      Map[String, Any]("gid" -> e.id, "source" -> source) ++
+        e.props.map { case (k, v) => strip(k) -> v.value }
+    }
+    val edgeItems: Map[String, Seq[Map[String, Any]]] = live
+      .flatMap(e => e.refs.toSeq.flatMap { case (refUri, targets) =>
+        targets.map(t => strip(refUri) ->
+          Map[String, Any]("from" -> e.id, "to" -> t,
+            "source" -> source, "type" -> strip(refUri)))
+      }).groupBy(_._1).map { case (rt, xs) => rt -> xs.map(_._2) }
+    val targetItems = edgeItems.values.flatten
+      .map(m => Map[String, Any]("gid" -> m("to"))).toSeq.distinct
+    if (deleteItems.nonEmpty)
+      CypherEngine.query(st, deleteNodeTpl,
+        Map("items" -> deleteItems)).collect()
+    if (nodeItems.nonEmpty)
+      CypherEngine.query(st, updateNodeTpl(label),
+        Map("items" -> nodeItems)).collect()
+    if (targetItems.nonEmpty)
+      CypherEngine.query(st, targetNodeTpl,
+        Map("items" -> targetItems)).collect()
+    edgeItems.toSeq.sortBy(_._1).foreach { case (rt, items) =>
+      CypherEngine.query(st, updateEdgeTpl(rt),
+        Map("items" -> items)).collect()
+    }
+  }
+
+  private def nodeState(st: GraphStore): Set[(String, String, String, String)] =
+    st.nodes.collect().map { r =>
+      val props =
+        if (r.isNullAt(3)) ""
+        else r.getMap[String, Row](3).toSeq
+          .map { case (k, pv) => s"$k=$pv" }.sorted.mkString(",")
+      (r.getString(0), r.getString(1), r.getString(2), props)
+    }.toSet
+
+  private def edgeState(st: GraphStore): Set[(String, String, String, String)] =
+    st.edges.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  test("the reference's write templates (neo4j.go:95-127) run verbatim " +
+      "and match the native applyBatch state") {
+    val native = new GraphStore(
+      Files.createTempDirectory("graft-tpl-native").toString, spark, 2)
+    val viaText = new GraphStore(
+      Files.createTempDirectory("graft-tpl-text").toString, spark, 2)
+    val batch1 = Seq(
+      Entity("urn:p1").withProp("urn:x#name", "brian")
+        .withProp("urn:x#age", 23)
+        .withRef("urn:x#worksfor", "urn:c1"),
+      Entity("urn:p2").withProp("urn:x#name", "jane")
+        .withRef("urn:x#knows", "urn:p1")
+        .withRef("urn:x#worksfor", "urn:c1"))
+    new GraphDataset(native, spark, "people", "Person").fullSync(batch1)
+    templateBatch(viaText, "people", "Person", batch1, fullSync = true)
+    assert(nodeState(viaText) == nodeState(native), "batch 1 nodes")
+    assert(edgeState(viaText) == edgeState(native), "batch 1 edges")
+
+    // batch 2: p1 fully replaced (props erased, refs dropped — B4/B6),
+    // p2 tombstoned (B2 cascade), p3 new with a ref
+    val batch2 = Seq(
+      Entity("urn:p1").withProp("urn:x#name", "BRIAN"),
+      Entity("urn:p2", deleted = true),
+      Entity("urn:p3").withProp("urn:x#name", "ola")
+        .withRef("urn:x#worksfor", "urn:c1"))
+    new GraphDataset(native, spark, "people", "Person").incremental(batch2)
+    templateBatch(viaText, "people", "Person", batch2)
+    assert(nodeState(viaText) == nodeState(native), "batch 2 nodes")
+    assert(edgeState(viaText) == edgeState(native), "batch 2 edges")
+
+    // batch 3: cross-dataset stub promotion (layer_test.go:366-388) —
+    // the c1 stub created by the people refs is promoted by a
+    // companies write through the same templates
+    val batch3 = Seq(Entity("urn:c1").withProp("urn:x#name", "Mimiro"))
+    new GraphDataset(native, spark, "companies", "Company")
+      .incremental(batch3)
+    templateBatch(viaText, "companies", "Company", batch3)
+    assert(nodeState(viaText) == nodeState(native), "batch 3 nodes")
+    assert(edgeState(viaText) == edgeState(native), "batch 3 edges")
+    // and the promoted node is no stub on either side
+    val c1 = viaText.nodes.filter($"gid" === "urn:c1").collect().head
+    assert(c1.getString(1) == "Company" && c1.getString(2) == "companies")
+  }
 }

@@ -113,6 +113,39 @@ class ServiceSpec extends AnyFunSuite {
     assert(!b5.contains("urn:http1"))
   }
 
+  test("the reference's UpdateNode template POSTs verbatim with a map-array $items (neo4j.go:102-109)") {
+    val tpl = "UNWIND $items AS item " +
+      "MERGE (n {gid: item.gid}) " +
+      "WITH n, item " +
+      "OPTIONAL MATCH (n)-[r]->() " +
+      "DELETE r " +
+      "SET n:Person " +
+      "SET n = item"
+    val (c1, b1) = post("/query",
+      s"""{"query": "$tpl",
+          "params": {"items": [
+            {"gid": "urn:tpl1", "source": "people", "name": "alice", "age": 33},
+            {"gid": "urn:tpl2", "source": "people", "name": "bob"}]}}""")
+    assert(c1 == 200, b1)
+    assert(b1.contains("\"nodes_created\":2"), b1)
+    val (c2, b2) = post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid >= 'urn:tpl' AND n.gid <= 'urn:tpl~' RETURN n.gid AS gid, n.name AS name, toInteger(n.age) AS age, n.source AS src ORDER BY gid"}""")
+    assert(c2 == 200, b2)
+    assert(b2.contains("\"name\":\"alice\"") && b2.contains("\"age\":33") &&
+      b2.contains("\"name\":\"bob\"") && b2.contains("\"src\":\"people\""), b2)
+    // re-run replaces props wholesale (SET n = item, B6): age vanishes
+    val (c3, b3) = post("/query",
+      s"""{"query": "$tpl",
+          "params": {"items": [
+            {"gid": "urn:tpl1", "source": "people", "name": "ALICE"}]}}""")
+    assert(c3 == 200, b3)
+    val (_, b4) = post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid = 'urn:tpl1' RETURN n.name AS name, n.age AS age"}""")
+    assert(b4.contains("\"name\":\"ALICE\"") && b4.contains("\"age\":null"), b4)
+    post("/query",
+      """{"query": "MATCH (n:Person) WHERE n.gid >= 'urn:tpl' AND n.gid <= 'urn:tpl~' DETACH DELETE n"}""")
+  }
+
   test("full-sync headers truncate the slice (layer.go:196-209)") {
     post("/datasets/companies/entities",
       """{"id":"urn:co-old","props":{"urn:x#name":"Old"}}""")
