@@ -48,11 +48,59 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private case object NodeVar extends VarKind
   private case object RelVar extends VarKind
   private case class ValueVar(colName: String) extends VarKind
-  /** `p = …` path binding: hop count = fixedHops + the var-length
-    * hops column (when the pattern has a var-length relationship)
+  /** one segment of a materialized path: a fixed node, a fixed
+    * relationship, or a var-length stretch (its edge-key array column
+    * + traversal direction). The var-length segment's entered nodes
+    * INCLUDE its final node, so no NodeSeg follows it.
     */
-  private case class PathVar(fixedHops: Int, hopsCol: Option[String])
-      extends VarKind
+  private sealed trait PathSeg
+  private case class NodeSeg(gidCol: String) extends PathSeg
+  private case class RelSeg(relTypeCol: String) extends PathSeg
+  private case class VarSeg(pathCol: String, forward: Boolean) extends PathSeg
+  /** `p = …` path binding: hop count = fixedHops + the var-length
+    * hops column (when the pattern has a var-length relationship);
+    * `segs` is non-empty only when the statement calls nodes(p) /
+    * relationships(p) (materialization is demanded — it forces the
+    * enumerating expansion instead of the BFS fast path)
+    */
+  private case class PathVar(fixedHops: Int, hopsCol: Option[String],
+      segs: Seq[PathSeg] = Nil) extends VarKind
+
+  /** path variables the statement materializes via nodes(p) /
+    * relationships(p) — pre-scanned so the expansion knows to carry
+    * its edge-key arrays
+    */
+  private var matPathVars: Set[String] = Set.empty
+
+  private def collectPathFnVars(q: Query): Set[String] = {
+    val out = Set.newBuilder[String]
+    def scan(e: Expr): Unit = e match {
+      case FuncCall(n, args, _) =>
+        if (n == "nodes" || n == "relationships")
+          args.foreach { case VarRef(v) => out += v; case a => scan(a) }
+        else args.foreach(scan)
+      case Cmp(_, l, r) => scan(l); scan(r)
+      case And(l, r) => scan(l); scan(r)
+      case Or(l, r) => scan(l); scan(r)
+      case Not(x) => scan(x)
+      case IsNull(x, _) => scan(x)
+      case MapLit(es) => es.foreach(x => scan(x._2))
+      case ListLit(es) => es.foreach(scan)
+      case _ => ()
+    }
+    q.items.foreach(i => scan(i.expr))
+    q.orderBy.foreach(x => scan(x._1))
+    q.clauses.foreach {
+      case WithClause(_, items, where, ob, _, _) =>
+        items.foreach(i => scan(i.expr))
+        where.foreach(scan)
+        ob.foreach(x => scan(x._1))
+      case MatchClause(_, _, where) => where.foreach(scan)
+      case UnwindClause(e, _) => scan(e)
+      case _ => ()
+    }
+    out.result()
+  }
 
   private var env = Map.empty[String, VarKind]
   private var df: DataFrame = _
@@ -70,6 +118,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def spark = store.nodes.sparkSession
 
   def plan(q: Query): DataFrame = {
+    matPathVars = collectPathFnVars(q)
     q.clauses.foreach {
       case m: MatchClause => applyMatch(m)
       case w: WithClause => applyWith(w)
@@ -510,19 +559,33 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           "a path variable supports at most one variable-length hop")
       val hopsColName = pattern.pathVar.filter(_ => varHops == 1)
         .map(pv => s"${pv}__hops")
+      // nodes(p)/relationships(p) demand the edge-key arrays; without
+      // them the shortest variants take the array-free BFS fast path
+      val materialize = pattern.pathVar.exists(matPathVars.contains)
+      val pathColName = pattern.pathVar
+        .filter(_ => varHops == 1 && materialize).map(pv => s"${pv}__path")
+      val segs = Seq.newBuilder[PathSeg]
+      segs += NodeSeg(s"${headVar}__gid")
       var boundVar = headVar
       pattern.hops.foreach { case (rel, node) =>
         boundVar = rel.varLength match {
           case Some((minH, maxH)) =>
-            applyVarLengthHop(boundVar, rel, node, minH, maxH,
-              hopsColName, pattern.shortest, pattern.allShortest)
-          case None => applySingleHop(boundVar, rel, node)
+            val nv = applyVarLengthHop(boundVar, rel, node, minH, maxH,
+              hopsColName, pattern.shortest, pattern.allShortest,
+              materialize, pathColName)
+            pathColName.foreach(pc => segs += VarSeg(pc, rel.direction > 0))
+            nv
+          case None =>
+            val (nv, rv) = applySingleHop(boundVar, rel, node)
+            segs += RelSeg(s"${rv}__relType")
+            segs += NodeSeg(s"${nv}__gid")
+            nv
         }
       }
       pattern.pathVar.foreach { pv =>
         if (env.contains(pv)) throw PlanError(s"variable $pv already bound")
-        env += pv -> PathVar(
-          pattern.hops.length - varHops, hopsColName)
+        env += pv -> PathVar(pattern.hops.length - varHops, hopsColName,
+          if (materialize) segs.result() else Nil)
       }
     }
     m.where.foreach(w => df = df.filter(toPredicate(w)))
@@ -574,7 +637,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   }
 
   private def applySingleHop(boundVar: String, rel: RelPattern,
-      node: NodePattern): String = {
+      node: NodePattern): (String, String) = {
     val rv = rel.variable.getOrElse(fresh("r"))
     if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
     env += rv -> RelVar
@@ -591,14 +654,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     if (env.contains(nv)) {
       df = df.filter(col(toCol) === col(s"${nv}__gid"))
       rebindFilters(nv, node)
-      nv
     } else {
       env += nv -> NodeVar
       val d = nodeDf(nv, node)
       df = df.join(d, col(toCol) === col(s"${nv}__gid"), "inner")
       exprPropFilters(nv, node).foreach(f => df = df.filter(f))
-      nv
     }
+    (nv, rv)
   }
 
   /** label/property constraints on an already-bound variable apply as
@@ -628,7 +690,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       node: NodePattern, minH: Int, maxH: Int,
       keepHopsAs: Option[String] = None,
       shortest: Boolean = false,
-      allShortest: Boolean = false): String = {
+      allShortest: Boolean = false,
+      materialize: Boolean = false,
+      keepPathAs: Option[String] = None): String = {
     if (rel.variable.nonEmpty)
       throw PlanError("relationship variable on a var-length hop is not supported")
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
@@ -642,39 +706,106 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .as("__ekey"))
 
     val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
-    var frontier = start
-      .join(step, col("__start") === col("__from"))
-      .select(col("__start"), col("__to").as("__end"), lit(1).as("__hops"),
-        array(col("__ekey")).as("__path"))
-    var reach = if (minH <= 1) frontier else null
-    for (h <- 2 to maxH) {
-      // fresh column names per iteration — joining the same step
-      // relation repeatedly trips the ambiguous-self-join detector
-      val stepH = step.select(col("__from").as(s"__from$h"),
-        col("__to").as(s"__to$h"), col("__ekey").as(s"__ekey$h"))
-      frontier = frontier
-        .join(stepH, col("__end") === col(s"__from$h"))
-        .filter(!array_contains(col("__path"), col(s"__ekey$h")))
-        .select(col("__start"), col(s"__to$h").as("__end"),
-          lit(h).as("__hops"),
-          array_append(col("__path"), col(s"__ekey$h")).as("__path"))
-      if (h >= minH) reach = if (reach == null) frontier
-        else reach.unionByName(frontier)
-    }
-    if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
-    reach = reach.drop("__path")
-    // shortestPath: keep one minimal-length row per (start, end) pair
-    // — an aggregate, not a window, so map-side partial mins apply
-    if (shortest)
-      reach = reach.groupBy(col("__start"), col("__end"))
-        .agg(min(col("__hops")).as("__hops"))
-    // allShortestPaths: keep EVERY minimal-length path row per pair
-    // (path multiplicity preserved — one reach row per distinct path)
-    else if (allShortest) {
-      val mins = reach.groupBy(col("__start"), col("__end"))
-        .agg(min(col("__hops")).as("__minh"))
-      reach = reach.join(mins, Seq("__start", "__end"))
-        .filter(col("__hops") === col("__minh")).drop("__minh")
+    var reach: DataFrame = null
+    if ((shortest || allShortest) && minH <= 1 && !materialize) {
+      // EARLY-TERMINATING BFS — the shortest variants never need the
+      // path enumeration: a minimal-length walk cannot revisit a
+      // vertex (removing the cycle would shorten it), so BFS levels
+      // ARE shortest-path distances and the per-level walk count IS
+      // the minimal-path multiplicity. Each level dedups to one row
+      // per (start, end) pair and settled pairs LEAVE the frontier —
+      // polynomial growth, no __path arrays, no combinatorial blow-up
+      // on dense cyclic graphs. (A path materialized through
+      // nodes(p)/relationships(p), or a non-standard minH > 1 bound,
+      // falls back to the enumerating expansion below.)
+      // each level is localCheckpoint'ed: the anti-join against ALL
+      // settled pairs would otherwise give the lazy plan exponential
+      // lineage (settled_h references every earlier frontier twice),
+      // and the materialized level lets the loop STOP on an empty
+      // frontier instead of always unrolling to maxH
+      var frontier = start.join(step, col("__start") === col("__from"))
+        .groupBy(col("__start"), col("__to").as("__end"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__hops", lit(1))
+        .localCheckpoint()
+      var levels = Seq(frontier)
+      var h = 2
+      var exhausted = frontier.isEmpty
+      while (h <= maxH && !exhausted) {
+        // fresh column names per iteration — joining the same step
+        // relation repeatedly trips the ambiguous-self-join detector
+        val stepH = step.select(col("__from").as(s"__from$h"),
+          col("__to").as(s"__to$h"))
+        val settled = levels.map(_.select(col("__start"), col("__end")))
+          .reduce(_ unionByName _)
+        frontier = frontier
+          .join(stepH, col("__end") === col(s"__from$h"))
+          .groupBy(col("__start"), col(s"__to$h").as("__end"))
+          .agg(sum(col("__cnt")).as("__cnt"))
+          .join(settled, Seq("__start", "__end"), "left_anti")
+          .withColumn("__hops", lit(h))
+          .localCheckpoint()
+        exhausted = frontier.isEmpty
+        if (!exhausted) levels :+= frontier
+        h += 1
+      }
+      val settledAll = levels.reduce(_ unionByName _)
+      reach =
+        if (allShortest) // one row per minimal path (multiplicity)
+          settledAll.withColumn("__dup",
+            explode(sequence(lit(1L), col("__cnt"))))
+            .drop("__dup", "__cnt")
+        else settledAll.drop("__cnt")
+    } else {
+      // general var-length expansion: one row per RELATIONSHIP-UNIQUE
+      // path, each frontier row carrying its visited-edge keys —
+      // Cypher path semantics, and the only way to materialize the
+      // path itself
+      var frontier = start
+        .join(step, col("__start") === col("__from"))
+        .select(col("__start"), col("__to").as("__end"), lit(1).as("__hops"),
+          array(col("__ekey")).as("__path"))
+      reach = if (minH <= 1) frontier else null
+      for (h <- 2 to maxH) {
+        // fresh column names per iteration — joining the same step
+        // relation repeatedly trips the ambiguous-self-join detector
+        val stepH = step.select(col("__from").as(s"__from$h"),
+          col("__to").as(s"__to$h"), col("__ekey").as(s"__ekey$h"))
+        frontier = frontier
+          .join(stepH, col("__end") === col(s"__from$h"))
+          .filter(!array_contains(col("__path"), col(s"__ekey$h")))
+          .select(col("__start"), col(s"__to$h").as("__end"),
+            lit(h).as("__hops"),
+            array_append(col("__path"), col(s"__ekey$h")).as("__path"))
+        if (h >= minH) reach = if (reach == null) frontier
+          else reach.unionByName(frontier)
+      }
+      if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
+      if (!materialize) reach = reach.drop("__path")
+      if (shortest) {
+        if (!materialize)
+          // keep one minimal-length row per (start, end) pair — an
+          // aggregate, not a window, so map-side partial mins apply
+          reach = reach.groupBy(col("__start"), col("__end"))
+            .agg(min(col("__hops")).as("__hops"))
+        else {
+          // ONE minimal row per pair WITH its path — deterministic
+          // tie-break on the edge-key array
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__start"), col("__end"))
+            .orderBy(col("__hops").asc, col("__path").asc)
+          reach = reach.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+      }
+      // allShortestPaths: keep EVERY minimal-length path row per pair
+      // (path multiplicity preserved — one reach row per distinct path)
+      else if (allShortest) {
+        val mins = reach.groupBy(col("__start"), col("__end"))
+          .agg(min(col("__hops")).as("__minh"))
+        reach = reach.join(mins, Seq("__start", "__end"))
+          .filter(col("__hops") === col("__minh")).drop("__minh")
+      }
     }
 
     df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), "inner")
@@ -689,7 +820,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       exprPropFilters(nv, node).foreach(f => df = df.filter(f))
     }
     keepHopsAs.foreach(c => df = df.withColumnRenamed("__hops", c))
-    df = df.drop("__start", "__end", "__hops")
+    keepPathAs.foreach(c => df = df.withColumnRenamed("__path", c))
+    df = df.drop("__start", "__end", "__hops", "__path")
     nv
   }
 
@@ -943,8 +1075,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         col(s"${n}__source").as("source"), col(s"${n}__props").as("props"))
       case Some(RelVar) => col(s"${n}__relType")
       case Some(ValueVar(c)) => col(c)
-      case Some(PathVar(_, _)) =>
-        throw PlanError(s"path variable $n only supports length($n)")
+      case Some(PathVar(_, _, _)) =>
+        throw PlanError(
+          s"path variable $n supports length/nodes/relationships($n)")
       case None => throw PlanError(s"unbound variable: $n")
     }
     case PropRef(v, p) => env.get(v) match {
@@ -970,7 +1103,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // node props; struct-typed values keep field access
         if (isPvMapType(colType(col(c)))) pvStrOf(col(c).getItem(p))
         else col(c).getField(p)
-      case Some(PathVar(_, _)) =>
+      case Some(PathVar(_, _, _)) =>
         throw PlanError(s"path variable $v has no properties")
       case None => throw PlanError(s"unbound variable: $v")
     }
@@ -1002,10 +1135,35 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
     case FuncCall("length", Seq(VarRef(n), _ @ _*), _)
         if env.get(n).exists(_.isInstanceOf[PathVar]) =>
-      val PathVar(fixed, hopsCol) = env(n): @unchecked
+      val PathVar(fixed, hopsCol, _) = env(n): @unchecked
       (hopsCol.map(c => col(c) + lit(fixed)).getOrElse(lit(fixed)))
         .cast("long")
     case FuncCall("length", Seq(a), _) => size(valueCol(a)).cast("long")
+    // nodes(p) / relationships(p): the path's traversal rendered as
+    // lists — node identities (gids) and relationship types, matching
+    // the engine's list renderings of nodes/rels. Fixed segments read
+    // their bound columns; a var-length segment derives entered nodes
+    // and types from its edge-key array.
+    case FuncCall(fn @ ("nodes" | "relationships"), Seq(VarRef(n)), _)
+        if env.get(n).exists(_.isInstanceOf[PathVar]) =>
+      val PathVar(_, _, segs) = env(n): @unchecked
+      if (segs.isEmpty) // bound, but prescan missed it (unreachable)
+        throw PlanError(s"path $n was not materialized")
+      def enteredGid(k: Column, forward: Boolean): Column =
+        element_at(split(k, "\u0001"), if (forward) 2 else 1)
+      val parts: Seq[Column] = segs.flatMap {
+        case NodeSeg(c) if fn == "nodes" => Some(array(col(c)))
+        case RelSeg(c) if fn == "relationships" => Some(array(col(c)))
+        case VarSeg(pc, fwd) =>
+          if (fn == "nodes")
+            Some(transform(col(pc), k => enteredGid(k, fwd)))
+          else
+            Some(transform(col(pc),
+              k => element_at(split(k, "\u0001"), 3)))
+        case _ => None
+      }
+      if (parts.isEmpty) array().cast("array<string>")
+      else concat(parts: _*)
     // openCypher scalar library (string / numeric / list / null)
     case FuncCall("coalesce", args, _) if args.nonEmpty =>
       coalesce(args.map(valueCol): _*)

@@ -499,6 +499,87 @@ class CypherSpec extends AnyFunSuite {
     assert(count("allShortestPaths") == 2)
   }
 
+  test("shortestPath runs an early-terminating BFS: dense cyclic graph, no path arrays") {
+    // complete digraph on 6 nodes (30 edges). Enumerating
+    // relationship-unique paths up to 10 hops here is combinatorial;
+    // the BFS settles every pair at depth 1 and each level dedups to
+    // one row per (start, end) — this test finishing at all proves the
+    // fast path, and the plan must carry no path arrays.
+    // complete digraph MINUS the k0→k1 edge, so one pair sits at
+    // distance 2 with four distinct minimal routes
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-bfs").toString, spark, 2)
+    val ids = (0 until 6).map(i => s"urn:k$i")
+    new GraphDataset(st, spark, "people", "Person").fullSync(
+      ids.map(i => Entity(i).withRefs("urn:x#knows",
+        ids.filterNot(j => j == i || (i == "urn:k0" && j == "urn:k1")))))
+    val q = CypherEngine.query(st,
+      """MATCH p = shortestPath((a:Person)-[*1..10]->(b))
+         RETURN a.gid AS s, b.gid AS t, length(p) AS d""")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("array_append"),
+      "shortestPath without path materialization must not build path arrays")
+    val rows = q.collect()
+    // 29 direct pairs at distance 1, k0⇝k1 at distance 2, and the six
+    // self-pairs via any neighbor at distance 2 (var-length patterns
+    // admit cyclic start==end paths, same as the enumeration)
+    assert(rows.length == 36)
+    val d01 = rows.collectFirst {
+      case r if r.getString(0) == "urn:k0" && r.getString(1) == "urn:k1" =>
+        r.getLong(2)
+    }
+    assert(d01.contains(2L))
+    assert(rows.count(_.getLong(2) == 1L) == 29)
+    assert(rows.count(r => r.getString(0) == r.getString(1)) == 6)
+    // allShortestPaths multiplicity through the BFS walk counting:
+    // k0⇝k1 — the 4 two-hop routes through the other nodes
+    val multi = CypherEngine.query(st,
+      """MATCH p = allShortestPaths((a:Person)-[*1..10]->(b))
+         WHERE a.gid = 'urn:k0' AND b.gid = 'urn:k1'
+         RETURN length(p) AS d""").collect()
+    assert(multi.length == 4 && multi.forall(_.getLong(0) == 2L))
+  }
+
+  test("nodes(p) / relationships(p) materialize the path as lists") {
+    // a→b→c→d chain plus a direct a→d shortcut (the shortestPath
+    // fixture shape)
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-pathfn").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withRefs("urn:x#knows", Seq("urn:b", "urn:d")),
+      Entity("urn:b").withRef("urn:x#knows", "urn:c"),
+      Entity("urn:c").withRef("urn:x#knows", "urn:d"),
+      Entity("urn:d")))
+    // fixed-length pattern: lists read the bound columns
+    val fixed = CypherEngine.query(st,
+      """MATCH p = (a:Person)-[:knows]->(b)-[:knows]->(c)
+         WHERE a.gid = 'urn:a' AND c.gid = 'urn:c'
+         RETURN nodes(p) AS ns, relationships(p) AS rs""").collect()
+    assert(fixed.head.getSeq[String](0) == Seq("urn:a", "urn:b", "urn:c"))
+    assert(fixed.head.getSeq[String](1) == Seq("knows", "knows"))
+    // var-length: entered nodes and types derive from the edge keys
+    val vl = CypherEngine.query(st,
+      """MATCH p = (a:Person)-[*3..3]->(b)
+         WHERE a.gid = 'urn:a' AND b.gid = 'urn:d'
+         RETURN nodes(p) AS ns, relationships(p) AS rs""").collect()
+    assert(vl.head.getSeq[String](0) ==
+      Seq("urn:a", "urn:b", "urn:c", "urn:d"))
+    assert(vl.head.getSeq[String](1) == Seq("knows", "knows", "knows"))
+    // shortestPath WITH materialization keeps ONE minimal path's lists
+    val sp = CypherEngine.query(st,
+      """MATCH p = shortestPath((a:Person)-[*1..3]->(b))
+         WHERE a.gid = 'urn:a' AND b.gid = 'urn:d'
+         RETURN nodes(p) AS ns, length(p) AS d""").collect()
+    assert(sp.length == 1 && sp.head.getLong(1) == 1L)
+    assert(sp.head.getSeq[String](0) == Seq("urn:a", "urn:d"))
+    // incoming var-length: entered nodes read the src side of the key
+    val inc = CypherEngine.query(st,
+      """MATCH p = (b:Person)<-[*2..2]-(a)
+         WHERE b.gid = 'urn:d' AND a.gid = 'urn:b'
+         RETURN nodes(p) AS ns""").collect()
+    assert(inc.head.getSeq[String](0) == Seq("urn:d", "urn:c", "urn:b"))
+  }
+
   test("post-WITH WHERE applies AFTER ORDER BY/SKIP/LIMIT (openCypher)") {
     // ages 23, 31, 40 → ORDER BY age LIMIT 2 keeps {23, 31}; the WHERE
     // then filters the windowed rows → only 31. Filter-before-limit
