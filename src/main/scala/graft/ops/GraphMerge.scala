@@ -232,8 +232,9 @@ object GraphMerge {
     // edges are replaced (B4), (b) a deleted/truncated node's incident
     // edges cascade (B2/B9), or (c) the batch adds edges. Edges are
     // bucketed by src hash, so src probes prune to the probe gids'
-    // buckets; dst probes (cascade of incoming edges) must scan every
-    // bucket of the table — the price of not keeping a reverse index.
+    // buckets; dst probes (cascade of incoming edges) prune the same
+    // way through the REVERSE-EDGE INDEX (relType/bucket=H(dst)
+    // directories) instead of scanning every src bucket.
     val srcProbe0 = affectedGids.withColumnRenamed("gid", "src")
     val dstProbe0 = deletedGids.withColumnRenamed("gid", "dst")
     // the truncate cascade's doomed slice can be large — no broadcast
@@ -248,15 +249,28 @@ object GraphMerge {
       .select(store.bucketOf($"src").as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val eb = store.edgesWithBucket
+    val dstSide: DataFrame =
+      if (store.redgesReady) {
+        val dstBuckets: Seq[Int] = dstProbe
+          .select(store.bucketOf($"dst").as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        store.redgesWithBucket
+          .filter(if (dstBuckets.isEmpty) lit(false)
+            else $"bucket".isin(dstBuckets: _*))
+          .join(dstProbe, Seq("dst"), "left_semi")
+          // the incoming edges' MAIN-table partitions
+          .select($"relType", store.bucketOf($"src").as("bucket"))
+      } else // pre-index store: one full scan until a commit rebuilds it
+        eb.select($"dst", $"relType", $"bucket")
+          .join(dstProbe, Seq("dst"), "left_semi")
+          .select($"relType", $"bucket")
     val hitRelTypeBuckets: Set[(Option[String], Option[Int])] =
       eb.select($"src", $"relType", $"bucket")
         .filter(if (srcBuckets.isEmpty) lit(false)
           else $"bucket".isin(srcBuckets: _*))
         .join(srcProbe, Seq("src"), "left_semi")
         .select($"relType", $"bucket")
-        .unionByName(eb.select($"dst", $"relType", $"bucket")
-          .join(dstProbe, Seq("dst"), "left_semi")
-          .select($"relType", $"bucket"))
+        .unionByName(dstSide)
         .distinct().collect()
         .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
         .toSet
@@ -394,6 +408,10 @@ object GraphMerge {
     var dirtyEdges: DirtyKeys = Set.empty
     var nodesCreated, edgesCreated, propertiesSet = 0L
     var nodesDeleted, edgesDeleted, labelsSet = 0L
+    // while no effect has mutated the working edge frame it equals the
+    // store tables, so incident-edge probes may use the bucket-pruned
+    // store scans (incl. the reverse-edge index for the dst side)
+    var edgesMutated = false
     val cached = Seq.newBuilder[DataFrame]
     def cache(d: DataFrame): DataFrame = { val c = d.cache(); cached += c; c }
 
@@ -450,26 +468,40 @@ object GraphMerge {
 
       case DeleteNodes(gids0, detach) =>
         val gids = cache(gids0.select("gid").distinct())
-        if (!detach) {
-          // plain DELETE on a still-connected node is an error; the
-          // working edge frame already excludes edges deleted earlier
-          // in this statement (Neo4j's "remaining relationships" rule)
-          val incident = edges
-            .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
-            .unionByName(edges
-              .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
-          if (!incident.isEmpty)
-            throw new IllegalStateException(
-              "cannot delete a node that still has relationships; use DETACH DELETE")
-        } else {
-          val cas = edges.select($"src", $"dst", $"relType")
+        // incident edges of the doomed set. Common case (no earlier
+        // effect mutated edges): bucket-pruned store probes — outgoing
+        // via the main table's src-hash directories, incoming via the
+        // reverse-edge index's dst-hash directories. Otherwise the
+        // working-frame scan (statement-local adds must be seen).
+        val touching: DataFrame =
+          if (!edgesMutated && store.redgesReady) {
+            val bs = gids.select(store.bucketOf($"gid").as("b")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            def bf = if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*)
+            store.edgesWithBucket.filter(bf)
+              .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
+              .select($"src", $"dst", $"relType")
+              .unionByName(store.redgesWithBucket.filter(bf)
+                .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi")
+                .select($"src", $"dst", $"relType"))
+              .distinct()
+          } else edges.select($"src", $"dst", $"relType")
             .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
             .unionByName(edges.select($"src", $"dst", $"relType")
               .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
             .distinct()
-          val (ek, en) = keyCounts(cas, "relType", store.bucketOf($"src"))
+        if (!detach) {
+          // plain DELETE on a still-connected node is an error; the
+          // working edge frame already excludes edges deleted earlier
+          // in this statement (Neo4j's "remaining relationships" rule)
+          if (!touching.isEmpty)
+            throw new IllegalStateException(
+              "cannot delete a node that still has relationships; use DETACH DELETE")
+        } else {
+          val (ek, en) = keyCounts(touching, "relType", store.bucketOf($"src"))
           dirtyEdges ++= ek; edgesDeleted += en
           edges = cascade(edges, gids)
+          edgesMutated = true
         }
         val (nk, nn) = storeNodeKeyCounts(gids, hint = false)
         dirtyNodes ++= nk; nodesDeleted += nn
@@ -480,6 +512,7 @@ object GraphMerge {
         val (ek, en) = keyCounts(keys, "relType", store.bucketOf($"src"))
         dirtyEdges ++= ek; edgesDeleted += en
         edges = edges.join(keys, Seq("src", "dst", "relType"), "left_anti")
+        edgesMutated = true
 
       case MergeEdges(rows0) =>
         val e = cache(rows0.filter($"src".isNotNull && $"dst".isNotNull)
@@ -504,6 +537,7 @@ object GraphMerge {
         val (sk, sn) = keyCounts(stubs, "label", store.bucketOf($"gid"))
         dirtyNodes ++= sk; nodesCreated += sn
         nodes = nodes.unionByName(stubs)
+        edgesMutated = true
 
       case PatchProps(p0) =>
         val p = cache(p0.filter($"gid".isNotNull).dropDuplicates("gid"))
@@ -591,6 +625,7 @@ object GraphMerge {
           .join(broadcast(p.select($"src", $"dst", $"relType")),
             Seq("src", "dst", "relType"), "left_anti")
           .unionByName(patched)
+        edgesMutated = true
     }
 
     val anyChange = nodesCreated + edgesCreated + propertiesSet +

@@ -93,6 +93,24 @@ object CypherQ {
                   min(n.name) AS first_name ORDER BY region""")
     }),
 
+    // Multi-hop Cypher text over the sf-scale CUSTOMER graph (a real
+    // applyBatch-built store, 10⁴-10⁵ nodes at sf0.1) — the hop
+    // machinery gated on data whose second hop is non-empty, unlike
+    // the 25-node nation star. Fixed 2-hop chain with a property
+    // predicate…
+    "cypher_customer_graph" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation)-[:in_region]->(r)
+           WHERE c.acctbal > 5000
+           RETURN r.gid AS region, count(*) AS n_cust ORDER BY region""")),
+
+    // …and the bounded var-length variant: *1..2 reaches nations at
+    // hop 1 and region stubs at hop 2 for every customer.
+    "cypher_customer_varlen" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[*1..2]->(m)
+           RETURN m.gid AS target, count(*) AS n ORDER BY target""")),
+
     // The reference's parameterized write templates VERBATIM
     // (/root/reference/neo4j.go:95-127): nation rows become $items
     // map arrays driven through UpdateNode / TargetNode / UpdateEdge /
@@ -198,6 +216,19 @@ DETACH DELETE n
          'nations' AS src, 'r:'||n_regionkey AS region
          FROM nation WHERE 'n:'||n_nationkey < 'n:20'
          ORDER BY gid""",
+    "cypher_customer_graph" ->
+      """SELECT 'r:'||n.n_regionkey AS region, COUNT(*) AS n_cust
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_acctbal > 5000
+         GROUP BY 1 ORDER BY region""",
+    "cypher_customer_varlen" ->
+      """WITH hops AS (
+           SELECT 'n:'||c_nationkey AS target FROM customer
+           UNION ALL
+           SELECT 'r:'||n.n_regionkey
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         SELECT target, COUNT(*) AS n FROM hops
+         GROUP BY 1 ORDER BY target""",
     "cypher_set_create" ->
       """WITH nn AS (
            SELECT n_regionkey,

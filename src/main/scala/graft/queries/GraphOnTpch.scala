@@ -68,6 +68,48 @@ object GraphOnTpch {
   private[queries] def freshNationStore(s: SparkSession, dir: String): GraphStore =
     buildMergedNationStore(s, dir)
 
+  /** Non-toy Cypher fixture: the CUSTOMER graph at the scale factor's
+    * real row count (10⁴-10⁵ nodes at sf0.1) through the real
+    * applyBatch — customers (with props) -located_in-> nations
+    * -in_region-> region stubs. Entities build DISTRIBUTED from the
+    * parquet rows (no driver-side collect of the customer table). The
+    * cypher_customer_* registry entries run multi-hop text queries
+    * over it, so the hop machinery is gated on data whose hop 2 is
+    * NON-empty (the 25-node star's hop 2 is empty by construction).
+    */
+  private val customerStores =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphStore]
+
+  private[queries] def customerGraphStore(s: SparkSession,
+      dir: String): GraphStore =
+    customerStores.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new GraphStore(
+        Files.createTempDirectory("graft-custgraph").toString, s,
+        numBuckets = 8)
+      val cust = t(s, dir, "customer")
+        .select($"c_custkey".cast("long"), $"c_name",
+          $"c_nationkey".cast("long"), $"c_acctbal".cast("double"))
+        .as[(Long, String, Long, Double)]
+        .map { case (k, name, nk, bal) =>
+          Entity(s"c:$k",
+            props = Map(
+              "http://g/prop#name" -> PV.of(name),
+              "http://g/prop#acctbal" -> PV.of(bal)),
+            refs = Map("http://g/rel#located_in" -> Seq(s"n:$nk")))
+        }
+      GraphMerge.applyBatch(store, "customers", "Customer", cust,
+        truncateFirst = true)
+      val nations = t(s, dir, "nation").collect().toSeq.map { r =>
+        Entity(s"n:${r.getAs[Int]("n_nationkey")}")
+          .withProp("http://g/prop#name", r.getAs[String]("n_name"))
+          .withRef("http://g/rel#in_region",
+            s"r:${r.getAs[Int]("n_regionkey")}")
+      }
+      GraphMerge.applyBatch(store, "nations", "Nation", nations.toDS())
+      store
+    })
+
   private def buildMergedNationStore(s: SparkSession, dir: String): GraphStore = {
     import s.implicits._
     val entities = t(s, dir, "nation").collect().toSeq.map { r =>

@@ -104,6 +104,31 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def nodes: DataFrame = table("nodes", nodeSchema)
   def edges: DataFrame = table("edges", edgeSchema)
 
+  /** The reverse-edge companion index: the edge table re-clustered by
+    * DST hash — `relType=…/bucket=H(dst)` directories over slim
+    * (dst, src, relType) rows. Incoming-edge probes (tombstone /
+    * truncate cascades) prune to the probed dsts' buckets exactly like
+    * outgoing probes prune the main table, instead of scanning every
+    * src bucket. Maintained automatically by [[commit]] from the main
+    * table's bounded rewrite delta — the secondary-index half of the
+    * reference's both-direction adjacency (Neo4j stores both
+    * directions natively).
+    */
+  def redges: DataFrame = table("redges", redgeSchema)
+
+  /** a pre-redges manifest (or empty store) has no index to probe —
+    * callers fall back to the full dst-side scan until the next commit
+    * rebuilds it
+    */
+  def redgesReady: Boolean = {
+    val v = currentVersion
+    v == 0L || {
+      val m = readManifest(v)
+      m.get("redges").exists(_.nonEmpty) ||
+        m.get("edges").forall(_.isEmpty)
+    }
+  }
+
   /** the gid-hash bucket of a cluster-key column — MUST match the
     * bucket partition the writer computes, so probes can prune to the
     * touched buckets' directories instead of scanning the table.
@@ -117,6 +142,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     table("nodes", nodeSchema, keepBucket = true)
   private[graft] def edgesWithBucket: DataFrame =
     table("edges", edgeSchema, keepBucket = true)
+  private[graft] def redgesWithBucket: DataFrame =
+    table("redges", redgeSchema, keepBucket = true)
 
   /** Current manifest's partition→files map for `table` ("nodes" or
     * "edges"); file paths are relative to the store root. Exposed for
@@ -124,7 +151,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     */
   def manifestFiles(table: String): Map[String, Seq[String]] = {
     val v = currentVersion
-    if (v == 0L) Map.empty else readManifest(v)(table)
+    if (v == 0L) Map.empty
+    else readManifest(v).getOrElse(table, Map.empty)
   }
 
   private def table(name: String, schema: StructType,
@@ -196,24 +224,32 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       if (unbucketed && (dirtyNodes.isDefined || dirtyEdges.isDefined))
         throw new IllegalStateException(
           s"store at $root has a pre-bucketing manifest; run compact() first")
-      // the two table writes touch disjoint directories and share no
-      // lineage — run them as concurrent Spark jobs (halves the
-      // commit's write wall-clock; the scheduler interleaves stages)
+      // the table writes touch disjoint directories and share no
+      // lineage — run them as concurrent Spark jobs (the scheduler
+      // interleaves stages)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      val (redgesView, redgesDirty) =
+        redgesDelta(newEdges, dirtyEdges, prev, bc)
       val nodesManF = Future(writePartitions(
         newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes"), bc))
       val edgesManF = Future(writePartitions(
         newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges"), bc))
-      // await BOTH before propagating a failure: an orphaned sibling
+      val redgesManF = Future(writePartitions(
+        redgesView, "redges", "relType", "dst", next, redgesDirty,
+        prev.getOrElse("redges", Map.empty), bc))
+      // await ALL before propagating a failure: an orphaned sibling
       // job still writing into seg=<next> would race a retried
       // commit's cleanup of that directory
       val nodesManT = scala.util.Try(Await.result(nodesManF, Duration.Inf))
       val edgesManT = scala.util.Try(Await.result(edgesManF, Duration.Inf))
+      val redgesManT = scala.util.Try(Await.result(redgesManF, Duration.Inf))
       val nodesMan = nodesManT.get
       val edgesMan = edgesManT.get
-      writeManifest(next, Map("nodes" -> nodesMan, "edges" -> edgesMan))
+      val redgesMan = redgesManT.get
+      writeManifest(next, Map(
+        "nodes" -> nodesMan, "edges" -> edgesMan, "redges" -> redgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       Files.write(tmp,
         s"$next\n$syncId\n$bc".getBytes(StandardCharsets.UTF_8),
@@ -224,14 +260,109 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       next
     }
 
+  /** Derive the reverse-index view and its dirty keys from the main
+    * edge table's rewrite. The delta is BOUNDED by the commit's own
+    * rewrite set: old and new content of the dirty (relType,
+    * src-bucket) partitions are compared on the edge key, and only the
+    * (relType, H(dst)) index partitions holding added/removed keys
+    * rewrite — maintaining the index never scans the full edge table.
+    * A manifest without a redges section (pre-index store) triggers a
+    * one-time full rebuild on its next commit.
+    */
+  private def redgesDelta(
+      newEdges: DataFrame,
+      dirtyEdges: Option[Set[DirtyKey]],
+      prev: Manifest,
+      bc: Int): (DataFrame, Option[Set[DirtyKey]]) = {
+    def project(e: DataFrame): DataFrame =
+      e.select(col("dst"), col("src"), col("relType"))
+    val prevRedges = prev.getOrElse("redges", Map.empty)
+    val prevEdges = prev.getOrElse("edges", Map.empty)
+    val mustRebuild = prevRedges.isEmpty && prevEdges.nonEmpty
+    if (mustRebuild || dirtyEdges.isEmpty) // None = full rewrite
+      return (project(newEdges), None)
+    val keys = dirtyEdges.get
+    if (keys.isEmpty)
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], redgeSchema), Some(Set.empty))
+    // old vs new content of the rewritten main partitions (bounded)
+    val changedOld = project(readFiles("edges",
+      prevEdges.view.filterKeys(keyMatches("relType", keys)).values
+        .flatten.toSeq, edgeSchema))
+    val changedNew = project(dirtyFilter(
+      newEdges.withColumn("bucket", pmod(hash(col("src")), lit(bc))),
+      "relType", keys))
+    val added = changedNew
+      .join(changedOld, Seq("dst", "src", "relType"), "left_anti")
+    val removed = changedOld
+      .join(changedNew, Seq("dst", "src", "relType"), "left_anti")
+    val dk: Set[DirtyKey] = added.unionByName(removed)
+      .select(col("relType"), pmod(hash(col("dst")), lit(bc)).as("b"))
+      .distinct().collect()
+      .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+      .toSet
+    if (dk.isEmpty)
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], redgeSchema), Some(Set.empty))
+    // new index view, directory-pruned to the dirty index partitions
+    // via the retained partition columns before the exact key filter
+    val dirtyBs = dk.flatMap(_._2).toSeq
+    val dirtyRts = dk.flatMap(_._1).toSeq
+    val oldPruned = redgesWithBucket
+      .filter(col("bucket").isin(dirtyBs: _*) &&
+        col("relType").isin(dirtyRts: _*))
+      .drop("bucket")
+    val view = oldPruned
+      .join(removed, Seq("dst", "src", "relType"), "left_anti")
+      .unionByName(added)
+    (view, Some(dk))
+  }
+
+  /** does manifest key `k` fall inside the dirty set? */
+  private def keyMatches(partCol: String, set: Set[DirtyKey])(
+      k: String): Boolean =
+    set.exists { case (pv, b) =>
+      val pd = s"$partCol=${partDirName(pv)}"
+      b match {
+        case None => k == pd || k.startsWith(pd + "/")
+        case Some(i) => k == s"$pd/bucket=$i"
+      }
+    }
+
+  /** the dirty-key row filter writePartitions applies (factored so the
+    * redges delta can compute the same "changed new content" set)
+    */
+  private def dirtyFilter(withBucket: DataFrame, partCol: String,
+      set: Set[DirtyKey]): DataFrame = {
+    val conds: Seq[Column] = set.toSeq.map { case (pv, b) =>
+      val pc: Column = pv match {
+        case None | Some("") => col(partCol).isNull || col(partCol) === ""
+        case Some(v) => col(partCol) === v
+      }
+      b.fold(pc)(i => pc && col("bucket") === i)
+    }
+    if (conds.isEmpty) withBucket.filter(lit(false))
+    else withBucket.filter(conds.reduce(_ || _))
+  }
+
+  private def readFiles(table: String, files: Seq[String],
+      schema: StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read
+      .option("basePath", dataDir(table).toString)
+      .schema(schema)
+      .parquet(files.map(f => rootPath.resolve(f).toString): _*)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+
   /** Write `df` restricted to the dirty (partition, bucket) keys into
     * `data/<table>/seg=<next>/<partCol>=…/bucket=…/` and return the new
     * manifest section: previous entries minus dropped keys, plus the
     * files just written. The bucket column is `hash(clusterCol) %
     * numBuckets` — the same hash the repartition uses, so each
     * (partition, bucket) directory receives exactly one task's file
-    * and an incremental batch rewrites only the buckets its gids hash
-    * into.
+    * and an incremental batch rewrites only the buckets its gids land
+    * in.
     */
   private def writePartitions(
       df: DataFrame,
@@ -247,22 +378,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     if (dirty.exists(_.isEmpty)) return prev
     val withBucket =
       df.withColumn("bucket", pmod(hash(col(clusterCol)), lit(bc)))
+    // "" and null partition values share the Hive default partition
+    // directory (partDirName), so either one dirty means both are
+    // rewritten — a split would drop the other's files from the
+    // manifest without rewriting its rows.
     val toWrite = dirty match {
       case None => withBucket
-      case Some(set) =>
-        val conds: Seq[Column] = set.toSeq.map { case (pv, b) =>
-          // "" and null partition values share the Hive default
-          // partition directory (partDirName), so either one dirty
-          // means both are rewritten — a split would drop the other's
-          // files from the manifest without rewriting its rows.
-          val pc: Column = pv match {
-            case None | Some("") => col(partCol).isNull || col(partCol) === ""
-            case Some(v) => col(partCol) === v
-          }
-          b.fold(pc)(i => pc && col("bucket") === i)
-        }
-        if (conds.isEmpty) withBucket.filter(lit(false))
-        else withBucket.filter(conds.reduce(_ || _))
+      case Some(set) => dirtyFilter(withBucket, partCol, set)
     }
     // Retry safety: a commit that failed after writing some files (but
     // before the pointer flip) leaves garbage in seg=<next> — `next` is
@@ -287,16 +409,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         }
     val dropped: Set[String] = dirty match {
       case None => prev.keySet
-      case Some(set) =>
-        prev.keySet.filter { k =>
-          set.exists { case (pv, b) =>
-            val pd = s"$partCol=${partDirName(pv)}"
-            b match {
-              case None => k == pd || k.startsWith(pd + "/")
-              case Some(i) => k == s"$pd/bucket=$i"
-            }
-          }
-        }
+      case Some(set) => prev.keySet.filter(keyMatches(partCol, set))
     }
     (prev -- dropped) ++ written
   }
@@ -469,4 +582,12 @@ object GraphStore {
     StructField("relType", StringType, nullable = false),
     StructField("source", StringType),
     StructField("recorded", LongType)))
+
+  /** Reverse-edge index row: the edge key re-clustered by dst hash —
+    * incoming-edge probes prune on `bucket=H(dst)` directories.
+    */
+  val redgeSchema: StructType = StructType(Seq(
+    StructField("dst", StringType, nullable = false),
+    StructField("src", StringType, nullable = false),
+    StructField("relType", StringType, nullable = false)))
 }

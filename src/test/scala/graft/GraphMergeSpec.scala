@@ -336,4 +336,79 @@ class GraphMergeSpec extends AnyFunSuite {
       from = page1.last, limit = 2).collect().map(_.getAs[String]("gid"))
     assert(page2.toSeq == Seq("urn:n3", "urn:n4"))
   }
+
+  // ---- reverse-edge index (the incoming-probe prune path) ----
+
+  private def edgeKeys(st: GraphStore): Set[(String, String, String)] =
+    st.edges.select("src", "dst", "relType").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  private def redgeKeys(st: GraphStore): Set[(String, String, String)] =
+    st.redges.select("src", "dst", "relType").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("reverse-edge index stays consistent across every write path") {
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-redges").toString, spark,
+      numBuckets = 4)
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    // initial load: a hub with many incoming edges + spread-out dsts
+    ds.fullSync((1 to 12).map(i =>
+      Entity(s"urn:e$i").withRef("urn:x#knows", "urn:hub")
+        .withRef("urn:x#likes", s"urn:t${i % 5}")))
+    assert(store.redgesReady)
+    assert(redgeKeys(store) == edgeKeys(store), "after initial load")
+    // incremental upsert replaces one node's outgoing edges (B4)
+    ds.incremental(Seq(
+      Entity("urn:e1").withRef("urn:x#knows", "urn:t0")))
+    assert(redgeKeys(store) == edgeKeys(store), "after edge replacement")
+    // tombstone: incoming edges of the hub cascade via the index probe
+    ds.incremental(Seq(Entity("urn:hub", deleted = true)))
+    assert(store.edges.filter($"dst" === "urn:hub").isEmpty)
+    assert(redgeKeys(store) == edgeKeys(store), "after tombstone cascade")
+    // Cypher-path delete (applyWrite DeleteNodes, pruned probe)
+    GraphMerge.deleteMatched(store,
+      Some(Seq("urn:t0").toDF("gid")), None, detach = true)
+    assert(redgeKeys(store) == edgeKeys(store), "after deleteMatched")
+    // maintenance paths rebuild the index wholesale
+    store.compact()
+    assert(redgeKeys(store) == edgeKeys(store), "after compact")
+    store.rebucket(2)
+    assert(redgeKeys(store) == edgeKeys(store), "after rebucket")
+  }
+
+  test("incoming-edge probes read only the probed dst bucket's files") {
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-redges-prune").toString, spark,
+      numBuckets = 4)
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    ds.fullSync((1 to 16).map(i =>
+      Entity(s"urn:e$i").withRef("urn:x#knows", s"urn:t${i % 8}")))
+    // the index spreads dsts over several bucket directories
+    val rman = store.manifestFiles("redges")
+    assert(rman.keys.map(_.split("/bucket=").last).toSet.size > 1,
+      s"index not spread over buckets: ${rman.keys}")
+    val totalFiles = rman.values.flatten.size
+    // a single-dst probe (what a 1-entity tombstone runs) prunes at the
+    // directory level: the scan reads only that bucket's files
+    val doomed = "urn:t3"
+    val b = store.redges.sparkSession.range(1)
+      .select(store.bucketOf(org.apache.spark.sql.functions.lit(doomed)))
+      .head().getInt(0)
+    val probe = store.redgesWithBucket.filter($"bucket" === b)
+    probe.collect()
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val bucketFiles = rman.filter(_._1.endsWith(s"bucket=$b"))
+      .values.flatten.size
+    assert(filesRead == bucketFiles && filesRead < totalFiles,
+      s"probe read $filesRead files; bucket has $bucketFiles of $totalFiles")
+    // and the pruned tombstone commit stays correct end to end
+    ds.incremental(Seq(Entity(doomed, deleted = true)))
+    assert(store.edges.filter($"dst" === doomed).isEmpty)
+    assert(redgeKeys(store) == edgeKeys(store))
+  }
 }
