@@ -189,11 +189,15 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
           m => throw new NoSuchElementException(m), identity)
         val from = query1(ex, "from").getOrElse("")
         val limit = query1(ex, "limit").map(_.toInt).getOrElse(100)
+        // over-cap pages SAY they were cut (same contract as /query):
+        // fetch cap+1 so a limit above the cap yields truncated=true
+        // and the client continues with the keyset token
+        val eff = math.min(limit, queryRowCap)
         val df =
           if (query1(ex, "format").contains("egdm"))
-            GraphRead.entitiesEgdm(store, d.label, d.name, from, limit)
-          else GraphRead.entities(store, d.label, d.name, from, limit)
-        (200, rowsJson(df))
+            GraphRead.entitiesEgdm(store, d.label, d.name, from, eff + 1)
+          else GraphRead.entities(store, d.label, d.name, from, eff + 1)
+        (200, pagedJson(df, eff, limit))
 
       case ("GET", ds :: "changes" :: Nil) =>
         val d = config.dataset(ds).fold(
@@ -202,8 +206,9 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
         val afterGid = query1(ex, "afterGid").getOrElse("")
         val limit = query1(ex, "limit").map(_.toInt).getOrElse(100)
         val latestOnly = query1(ex, "latestOnly").contains("true")
-        (200, rowsJson(GraphRead.changes(store, since, afterGid, limit,
-          latestOnly, Some((d.label, d.name)))))
+        val eff = math.min(limit, queryRowCap)
+        (200, pagedJson(GraphRead.changes(store, since, afterGid, eff + 1,
+          latestOnly, Some((d.label, d.name))), eff, limit))
 
       case (m, p) =>
         throw new IllegalArgumentException(s"unsupported: $m /${p.mkString("/")}")
@@ -266,10 +271,19 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
     }
   }
 
-  /** serialize a (bounded) result as a JSON array of row objects */
-  private def rowsJson(df: DataFrame, max: Int = 10000): String =
-    JsonMethods.compact(JsonMethods.render(
-      rowsToJArray(df.limit(max).collect(), df.schema)))
+  /** paginated-endpoint envelope: rows + an explicit truncation flag.
+    * Truncated means the page was cut BELOW the client's requested
+    * limit (the server cap bit) — a full page at the requested limit
+    * is not truncation, even when more rows exist for the next keyset
+    * page.
+    */
+  private def pagedJson(df: DataFrame, shown: Int, requested: Int): String = {
+    val rows = df.limit(shown + 1).collect()
+    val truncated = shown < requested && rows.length > shown
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "rows" -> rowsToJArray(rows.take(shown), df.schema),
+      "truncated" -> JBool(truncated))))
+  }
 
   private def rowsToJArray(rows: Array[Row],
       schema: org.apache.spark.sql.types.StructType): JArray = {

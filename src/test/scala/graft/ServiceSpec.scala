@@ -309,6 +309,41 @@ class ServiceSpec extends AnyFunSuite {
     } finally svc.stop()
   }
 
+  test("/entities and /changes carry truncated=true on over-cap pages") {
+    // a second service with a tiny row cap, so the over-cap case is
+    // cheap to construct
+    val cfg = LayerConfig.fromJson(configJson)
+      .fold(m => fail(s"config: $m"), identity)
+    val small = new GraftService(spark, cfg,
+      Files.createTempDirectory("graft-svc-cap").toString,
+      queryRowCap = 3)
+    small.start()
+    try {
+      val base2 = s"http://localhost:${small.port}"
+      def get2(path: String): String =
+        http.send(HttpRequest.newBuilder(URI.create(base2 + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      val body = (1 to 5).map(i =>
+        s"""{"id":"urn:cap$i","props":{"urn:x#name":"v$i"}}""").mkString("\n")
+      val r = http.send(HttpRequest.newBuilder(URI.create(base2 + "/datasets/people/entities"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      // limit above the cap: page cut at the cap and SAYS so
+      val over = get2("/datasets/people/entities?limit=50")
+      assert(over.contains("\"truncated\":true"), over)
+      assert(over.contains("urn:cap3") && !over.contains("urn:cap4"), over)
+      // limit under the cap: full page, not truncated
+      val under = get2("/datasets/people/entities?limit=2")
+      assert(under.contains("\"truncated\":false"), under)
+      // changes feed gets the same envelope
+      val ch = get2("/datasets/people/changes?limit=50")
+      assert(ch.contains("\"truncated\":true"), ch)
+      val chUnder = get2("/datasets/people/changes?limit=3&since=0")
+      assert(chUnder.contains("\"truncated\":"), chUnder)
+    } finally small.stop()
+  }
+
   test("error contracts: unknown dataset 404, bad inputs 400") {
     val (c1, b1) = post("/datasets/nope/entities", """{"id":"urn:x"}""")
     assert(c1 == 404 && b1.contains("dataset not found"))
