@@ -145,24 +145,47 @@ object VectorOps {
     // (IVF-Flat): at 100 TB the cell id is the partition key — the
     // candidate join fans each query to nprobe cells instead of the
     // whole corpus, and the 16-row centroid table broadcasts.
-    // Determinism: the quantizer is the K lowest-id vectors (a k-means
-    // trained offline would replace it; the probing dataflow — the
-    // part that must scale — is identical), ties break on centroid id.
+    // The quantizer is TRAINED: fixed-iteration Lloyd k-means seeded
+    // with the K lowest-id vectors, with centroid means computed in
+    // integer-micro arithmetic (order-independent long sums, floored
+    // division — the pageRankMicro determinism recipe), so the exact
+    // same centroids fall out of the unrolled DuckDB oracle.
+    // Assignment is distributed; only the K×dim centroid table rides
+    // the driver between iterations (the standard k-means shape).
     "v_knn_ivf" -> ((s, dir) => {
       import s.implicits._
-      val K = 16; val NPROBE = 2
+      val K = 16; val NPROBE = 2; val ITERS = 2
       val e = emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache()
-      val cents = e.orderBy($"vec_id").limit(K)
-        .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cn"))
-      val scoredAll = e.crossJoin(broadcast(cents))
-        .withColumn("csim", dot($"v", $"cv") / ($"norm" * $"cn"))
+      var cents: Seq[(Long, Seq[Double])] = e.orderBy($"vec_id").limit(K)
+        .select($"vec_id".cast("long"), $"v")
+        .as[(Long, Seq[Double])].collect().toSeq
+      def centDf = cents.toDF("cid", "cv")
+        .withColumn("cn", sqrt(dot($"cv", $"cv")))
       val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
-      val assigned = scoredAll.withColumn("r", row_number().over(wAssign))
-        .cache()
-      val cells = assigned.filter($"r" === 1)
+      def assigned = e.crossJoin(broadcast(centDf))
+        .withColumn("csim", dot($"v", $"cv") / ($"norm" * $"cn"))
+        .withColumn("r", row_number().over(wAssign))
+      for (_ <- 1 to ITERS) {
+        val sums = assigned.filter($"r" === 1)
+          .select($"cid", posexplode($"v").as(Seq("pos", "val")))
+          .groupBy($"cid", $"pos")
+          .agg(sum(round($"val" * 1e6, 0).cast("long")).as("sm"),
+            count(lit(1)).as("cnt"))
+          .select($"cid", $"pos", (floor($"sm" / $"cnt") / 1e6).as("m"))
+          .collect()
+        val byCid = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        // an emptied cluster keeps its previous centroid
+        cents = cents.map { case (cid, old) =>
+          (cid, byCid.getOrElse(cid, old))
+        }
+      }
+      val trained = assigned.cache()
+      val cells = trained.filter($"r" === 1)
         .select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
           $"cid".as("cell"))
-      val probes = assigned.filter($"vec_id" < 30 && $"r" <= NPROBE)
+      val probes = trained.filter($"vec_id" < 30 && $"r" <= NPROBE)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
           $"cid".as("cell"))
       val scored = probes.join(cells, Seq("cell")).filter($"qid" =!= $"nid")
@@ -240,13 +263,46 @@ object VectorOps {
     "v_knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
-         cents AS (SELECT vec_id cid, v cv, norm cn FROM n
+         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
            ORDER BY vec_id LIMIT 16),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
          assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
              row_number() OVER (PARTITION BY a.vec_id
                ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
                  c.cid) r
-           FROM n a CROSS JOIN cents c),
+           FROM n a CROSS JOIN c2n c),
          cells AS (SELECT vec_id nid, v nv, norm nn, cid cell
            FROM assigned WHERE r = 1),
          probes AS (SELECT vec_id qid, v qv, norm qn, cid cell
