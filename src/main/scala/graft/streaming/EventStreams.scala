@@ -44,15 +44,22 @@ object EventStreams {
       duration_sec: Long)
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
-    * 30-minute-gap sessions of EventOps.e_sessions, emitted when a
-    * processing-time timeout closes the session.
+    * 30-minute-gap sessions of EventOps.e_sessions. A session closes
+    * either inline (a newer event past the gap) or on an EVENT-TIME
+    * timeout: the open session emits when the WATERMARK passes its
+    * last event + gap. Processing-time timeouts would close sessions
+    * on wall-clock — wrong under replay/backfill, where hours of
+    * event time stream through in seconds.
     */
   def sessionize(events: Dataset[SessionEvent],
-      gapSec: Long = 1800): Dataset[SessionOut] = {
+      gapSec: Long = 1800,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent],
          state: GroupState[List[SessionState]]) =>
           if (state.hasTimedOut) {
@@ -80,7 +87,14 @@ object EventStreams {
               }
             }
             state.update(sessions)
-            state.setTimeoutDuration(s"${gapSec} seconds")
+            // fire when the watermark passes the open session's gap;
+            // the timestamp must sit strictly above the current
+            // watermark or Spark rejects it
+            sessions.headOption.foreach { s =>
+              val fireAt = (s.last + gapSec) * 1000
+              state.setTimeoutTimestamp(
+                math.max(fireAt, state.getCurrentWatermarkMs() + 1))
+            }
             closed.result().iterator
           }
       }
@@ -123,6 +137,16 @@ object EventStreams {
           }
       }
   }
+
+  /** Off-heap RocksDB state store for the stateful operators — at
+    * 100 TB the dedup fingerprint set and open-session state outgrow
+    * executor heaps; RocksDB spills them to local disk with the same
+    * key sharding. Session-level conf: queries started after this call
+    * use it (Spark ships rocksdbjni in its distribution).
+    */
+  def useRocksDBStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Streaming EGDM-NDJSON → graph store: every micro-batch runs the
     * batch merge job (exactly-once per batch via the store's syncId

@@ -114,6 +114,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed sessionize closes sessions on EVENT-time, not wall-clock") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val input = ms.toDS().map { case (u, sec) =>
+      EventStreams.SessionEvent(u, new java.sql.Timestamp(sec * 1000)) }
+    // tight watermark delay so the test advances event time explicitly
+    val q = EventStreams.sessionize(input, gapSec = 1800,
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      val t0 = 1700000000L
+      // user 1: two events 10 min apart (one session); user 2: one event
+      ms.addData((1L, t0), (1L, t0 + 600), (2L, t0 + 100))
+      q.processAllAvailable()
+      // user 1: an event PAST the gap closes session 1 inline
+      ms.addData((1L, t0 + 600 + 1801))
+      q.processAllAvailable()
+      // user 1's first session closed inline; user 2's closes whenever
+      // the WATERMARK (event time carried by user 1's stream — never
+      // wall-clock) passes its gap
+      val mid = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(mid.contains((1L, t0, 2L)), s"inline close: $mid")
+      ms.addData((1L, t0 + 100000))
+      q.processAllAvailable()
+      // one more batch so timed-out groups fire against the advanced
+      // watermark
+      ms.addData((1L, t0 + 100001))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_out")
+      .select($"user_id", $"session_start", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t0 = 1700000000L
+    assert(got.contains((1L, t0, 2L)), s"user 1 session 1: $got")
+    assert(got.contains((2L, t0 + 100, 1L)),
+      s"user 2's session must close via event-time timeout: $got")
+  }
+
+  test("streaming exact-dedup runs on the RocksDB state store") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    EventStreams.useRocksDBStateStore(spark)
+    try {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val input = ms.toDS()
+        .map { case (id, t) => EventStreams.DocEvent(id, t) }
+      val q = EventStreams.dedupStream(input)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_rocksdb_out").start()
+      try {
+        ms.addData((1L, "alpha"), (2L, "beta"), (3L, "Alpha  "))
+        q.processAllAvailable()
+        ms.addData((4L, "beta"), (5L, "gamma"))
+        q.processAllAvailable()
+        // the provider actually in effect for the running query
+        assert(q.lastProgress.stateOperators.nonEmpty)
+      } finally q.stop()
+      val got = spark.table("dedup_rocksdb_out")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 5L)) // 3 dups 1 (normalized), 4 dups 2
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
