@@ -33,11 +33,21 @@ import graft.store.GraphStore
   *    outer variables);
   *  - DISTINCT dedups scalar columns directly and map-bearing node
   *    structs by their gid identity;
-  *  - write clauses are terminal (no RETURN after them) and return a
-  *    one-row stats frame; CREATE/MERGE nodes carry their gid as a
-  *    literal property (the graph's node key), and edge CREATE dedups
-  *    on (src, dst, relType) — the store's edge identity (A10), i.e.
-  *    the reference template's MERGE semantics (neo4j.go:116-123).
+  *  - write clauses interleave with reading clauses (the reference's
+  *    UpdateNode template is MERGE … WITH … OPTIONAL MATCH … DELETE …
+  *    SET, neo4j.go:102-109); each clause snapshots the binding table
+  *    into an ordered effect, and ALL effects commit once at the end
+  *    (GraphMerge.applyWrite — the single-Bolt-txn analog). A
+  *    statement has either writes or a RETURN, not both, and write
+  *    statements return a one-row counters frame;
+  *  - reads inside a write statement see the STORE plus the statement's
+  *    bindings (a MERGE binds its post-merge node via a left join);
+  *    a MATCH does not observe nodes created earlier in the same
+  *    statement — none of the evidenced templates needs that;
+  *  - CREATE/MERGE nodes carry their gid as a property (literal OR
+  *    per-row expression — the node key), and edge CREATE dedups on
+  *    (src, dst, relType) — the store's edge identity (A10), i.e. the
+  *    reference template's MERGE semantics (neo4j.go:116-123).
   */
 class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   import Ast._

@@ -480,6 +480,58 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * applies to change together or not at all) and is adopted by every
     * later open — probes always hash with the on-disk count.
     */
+  /** outcome of one [[maintain]] pass */
+  case class Maintenance(
+      rebucketedTo: Option[Int], compacted: Boolean,
+      vacuumed: Seq[Long], segments: Int, maxBucketBytes: Long)
+
+  /** Self-turning maintenance dial (SURVEY §8 scale notes): measures
+    * the CURRENT layout from the manifest and applies, in order:
+    *
+    *  1. bucket-size watermark — if the largest (partition, bucket)
+    *     exceeds `targetBucketBytes`, double the bucket count until it
+    *     would fit (capped at `maxBuckets`) and [[rebucket]]. This is
+    *     the write-amplification dial turning itself: per-commit COW
+    *     cost stays ~`targetBucketBytes` per touched bucket as the
+    *     store grows.
+    *  2. fragmentation — every incremental commit adds a segment, so a
+    *     long chain scatters a partition's files across many `seg=`
+    *     directories; past `maxSegments` referenced segments,
+    *     [[compact]] collapses them into one (skipped when a rebucket
+    *     already rewrote everything).
+    *  3. [[vacuum]] reclaims segments no retained manifest references.
+    *
+    * Run it from whatever cadence the deployment has (a scheduler
+    * tick, post-ingest hook); every step commits through the same
+    * atomic pointer flip, so readers are never blocked.
+    */
+  def maintain(
+      targetBucketBytes: Long = 256L << 20,
+      maxSegments: Int = 16,
+      maxBuckets: Int = 4096,
+      keep: Int = 2): Maintenance = synchronized {
+    val v = currentVersion
+    if (v == 0L) return Maintenance(None, compacted = false, Nil, 0, 0L)
+    val keyFiles: Seq[(String, Seq[String])] =
+      readManifest(v).values.flatMap(_.toSeq).toSeq
+    val segments = keyFiles.flatMap(_._2)
+      .flatMap(_.split("/").find(_.startsWith("seg="))).distinct.size
+    val maxBucket = keyFiles.map { case (_, fs) =>
+      fs.map(f => Files.size(rootPath.resolve(f))).sum
+    }.maxOption.getOrElse(0L)
+    var factor = 1
+    while (maxBucket > targetBucketBytes * factor &&
+        bucketCount * factor < maxBuckets) factor *= 2
+    val newCount = math.min(bucketCount * factor, maxBuckets)
+    val rebucketedTo =
+      if (newCount > bucketCount) { rebucket(newCount); Some(newCount) }
+      else None
+    val compacted = rebucketedTo.isEmpty && segments > maxSegments
+    if (compacted) compact()
+    val vacuumed = vacuum(keep)
+    Maintenance(rebucketedTo, compacted, vacuumed, segments, maxBucket)
+  }
+
   def rebucket(n: Int): Long = synchronized {
     require(n > 0, s"numBuckets must be positive: $n")
     val (ns, es) = (nodes, edges) // resolve file lists under the OLD count

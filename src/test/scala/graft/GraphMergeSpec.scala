@@ -337,6 +337,42 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(page2.toSeq == Seq("urn:n3", "urn:n4"))
   }
 
+  test("maintain(): bucket watermark rebuckets, fragmentation compacts, vacuum reclaims") {
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-maint").toString, spark,
+      numBuckets = 2)
+    val ds = new GraphDataset(store, spark, "people", "Person")
+    // an incremental chain: growing data + per-key file fragmentation
+    (1 to 5).foreach(i => ds.incremental(Seq(
+      Entity(s"urn:m$i").withProp("urn:x#name", "x" * 200)
+        .withRef("urn:x#knows", s"urn:m${i % 5 + 1}"))))
+    val contentBefore = store.nodes.select("gid").collect()
+      .map(_.getString(0)).sorted.toSeq
+    // 1-byte target forces the watermark: the count doubles to the cap
+    val r1 = store.maintain(targetBucketBytes = 1L, maxBuckets = 8,
+      keep = 1)
+    assert(r1.rebucketedTo.contains(8) && store.bucketCount == 8, r1)
+    assert(!r1.compacted) // the rebucket already rewrote everything
+    // a second chain scatters files over segments; a huge size target
+    // with a tight segment cap triggers compaction instead
+    (6 to 9).foreach(i => ds.incremental(Seq(Entity(s"urn:m$i"))))
+    val r2 = store.maintain(targetBucketBytes = Long.MaxValue,
+      maxSegments = 2, keep = 1)
+    assert(r2.compacted && r2.rebucketedTo.isEmpty, r2)
+    assert(r2.vacuumed.nonEmpty) // the pre-compact chain is reclaimed
+    val segsAfter = store.manifestFiles("nodes").values.flatten
+      .flatMap(_.split("/").find(_.startsWith("seg="))).toSet
+    assert(segsAfter.size == 1, s"compact left segments: $segsAfter")
+    // a settled store is a no-op pass
+    val r3 = store.maintain(keep = 1)
+    assert(r3.rebucketedTo.isEmpty && !r3.compacted, r3)
+    // content and the reverse index survive every step
+    assert(store.nodes.select("gid").collect()
+      .map(_.getString(0)).sorted.toSeq ==
+      (contentBefore ++ (6 to 9).map(i => s"urn:m$i")).sorted)
+    assert(redgeKeys(store) == edgeKeys(store))
+  }
+
   // ---- reverse-edge index (the incoming-probe prune path) ----
 
   private def edgeKeys(st: GraphStore): Set[(String, String, String)] =
