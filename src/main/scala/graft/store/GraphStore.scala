@@ -155,8 +155,28 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     else readManifest(v).getOrElse(table, Map.empty)
   }
 
+  /** per-(version, table, shape) DataFrame memo: a statement touches
+    * the same tables many times (probes, joins, counts), and each
+    * `table()` call would otherwise rebuild the file listing and
+    * schema resolution. Files are immutable per version, so a cached
+    * frame stays valid until the pointer names a new version.
+    */
+  private val tableMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Boolean), DataFrame]
+
   private def table(name: String, schema: StructType,
       keepBucket: Boolean = false): DataFrame = {
+    val v = currentVersion
+    tableMemo.getOrElseUpdate((v, name, keepBucket), {
+      // drop entries for superseded versions (readers holding old
+      // frames keep them; the memo only serves the current pointer)
+      tableMemo.keys.filter(_._1 != v).foreach(tableMemo.remove)
+      buildTable(name, schema, keepBucket)
+    })
+  }
+
+  private def buildTable(name: String, schema: StructType,
+      keepBucket: Boolean): DataFrame = {
     val files = manifestFiles(name).values.flatten.toSeq.sorted
     val outCols =
       if (keepBucket) schema.fieldNames.toSeq :+ "bucket"
