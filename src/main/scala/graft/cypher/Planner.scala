@@ -526,9 +526,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "gid" => col(s"${v}__gid") === pvStrOf(pvCol(e))
         case "source" => col(s"${v}__source") === pvStrOf(pvCol(e))
         case "label" => col(s"${v}__label") === pvStrOf(pvCol(e))
-        case _ => col(s"${v}__props").getItem(k) === pvCol(e)
+        case _ => pvEq(col(s"${v}__props").getItem(k), pvCol(e))
       }
     }
+
+  /** PV equality across storage slots: a stored long must match an
+    * expression/param double of the same value (raw struct equality
+    * would silently match nothing, unlike the literal path's propCmp).
+    * Null on either side — missing prop or null-valued param — is
+    * non-matching, per Cypher `prop = null` semantics.
+    */
+  private def pvEq(a: Column, b: Column): Column = {
+    def num(c: Column) = coalesce(c.getField("l").cast("double"), c.getField("d"))
+    (a.getField("s") === b.getField("s")) ||
+      (num(a) === num(b)) ||
+      (a.getField("b") === b.getField("b"))
+  }
 
   private def propCmp(propsCol: String, key: String, value: Any): Column = {
     val pv = col(propsCol).getItem(key)

@@ -450,7 +450,17 @@ object GraphMerge {
         rows.map(_.getLong(2)).sum)
     }
 
-    effects.foreach {
+    // Cut working-frame lineage between effects: a later effect's
+    // probe actions would otherwise re-execute every earlier effect's
+    // join/union chain over the store tables (quadratic job work and
+    // Catalyst re-analysis in effect count — the same blowup the BFS
+    // loop checkpoints against). Cache is lazy, so single-effect
+    // statements (the common case — the guard below skips them) and
+    // the final frame feeding commit pay nothing extra.
+    effects.zipWithIndex.foreach { case (effect, idx) =>
+      val n0 = nodes
+      val e0 = edges
+      effect match {
       case MergeNodes(rows0, fail) =>
         val rows = cache(rows0.filter($"gid".isNotNull).dropDuplicates("gid"))
         val existing = nodes.select($"gid")
@@ -621,11 +631,32 @@ object GraphMerge {
           .withColumn("relType", coalesce($"new_relType", $"relType"))
         patched = patched.withColumn("recorded", lit(ver))
           .drop("new_source", "new_relType")
-        edges = edges
+        val survivors = edges
           .join(broadcast(p.select($"src", $"dst", $"relType")),
             Seq("src", "dst", "relType"), "left_anti")
-          .unionByName(patched)
+        if (hasType) {
+          // a relType rename can converge two patched rows onto one
+          // identity, or collide with an untouched existing edge —
+          // MERGE semantics keep one row per (src,dst,relType).
+          // Deterministic pick (max source) rather than an arbitrary
+          // dropDuplicates survivor; the collision probe is bounded by
+          // the patch's own key set, never a full-table dedup.
+          patched = patched.groupBy($"src", $"dst", $"relType")
+            .agg(max($"source").as("source"), max($"recorded").as("recorded"))
+          val colliding = survivors
+            .join(broadcast(patched.select($"src", $"dst", $"relType")),
+              Seq("src", "dst", "relType"), "left_semi")
+            .select($"src", $"dst", $"relType")
+          patched = patched.join(broadcast(colliding),
+            Seq("src", "dst", "relType"), "left_anti")
+        }
+        edges = survivors.unionByName(patched)
         edgesMutated = true
+      }
+      if (idx < effects.length - 1) {
+        if (!(nodes eq n0)) nodes = cache(nodes)
+        if (!(edges eq e0)) edges = cache(edges)
+      }
     }
 
     val anyChange = nodesCreated + edgesCreated + propertiesSet +

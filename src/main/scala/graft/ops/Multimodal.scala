@@ -141,7 +141,9 @@ object Multimodal {
       while (ok && i + 8 <= p.length) {
         val at = i.toInt
         val size = le32(p, at + 4)
-        if (ascii(p, at, "fmt ")) {
+        // the fmt branch reads fields up to at+23 — a truncated
+        // trailing fmt chunk must fall out of the walk, not throw
+        if (ascii(p, at, "fmt ") && at + 24 <= p.length) {
           channels = math.max(1, le16(p, at + 10))
           rate = le32(p, at + 12).toInt
           bits = math.max(8, le16(p, at + 22))

@@ -170,8 +170,13 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
               if (syncId.nonEmpty && open.contains(syncId))
                 store.currentVersion // replayed start of the open session
               else {
+                // mark the session open only AFTER the start commit
+                // succeeds: if fullSync throws and the client retries
+                // the identical start, the retry must re-run it, not be
+                // swallowed as a replay of a session that never started
+                val v = dataset.fullSync(entities, syncId)
                 if (syncId.nonEmpty && !fullSyncEnd) openSyncs.put(ds, syncId)
-                dataset.fullSync(entities, syncId)
+                v
               }
             } else openSyncs.get(ds) match {
               case Some(sid) if sid == syncId =>

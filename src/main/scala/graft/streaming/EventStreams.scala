@@ -77,7 +77,15 @@ object EventStreams {
               val sec = e.ts.getTime / 1000
               sessions match {
                 case open :: rest if sec - open.last <= gapSec =>
-                  sessions = open.copy(last = sec, n = open.n + 1) :: rest
+                  // a late-but-within-watermark event from a later
+                  // micro-batch may sort BEFORE the open session's
+                  // anchor; folding it must never move the gap anchor
+                  // backward (or duration negative) or stream sessions
+                  // diverge from the globally-sorted batch twin
+                  sessions = open.copy(
+                    start = math.min(open.start, sec),
+                    last = math.max(open.last, sec),
+                    n = open.n + 1) :: rest
                 case open :: rest =>
                   closed += SessionOut(userId, open.start, open.n,
                     open.last - open.start)

@@ -74,6 +74,20 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1"))
   }
 
+  test("numeric param/item-map prop values match across PV slots") {
+    // stored age is a LONG (l slot); a double-valued param must still
+    // match — raw PV-struct equality would silently return zero rows
+    val viaParam = CypherEngine.query(store,
+      "MATCH (n {age: $a}) RETURN n.gid AS gid",
+      Map("a" -> 23.0)).collect().map(_.getString(0))
+    assert(viaParam.toSeq == Seq("urn:p1"))
+    // and through the reference's item-map template shape
+    val viaItem = CypherEngine.query(store,
+      "UNWIND $items AS item MATCH (n {age: item.age}) RETURN n.gid AS gid",
+      Map("items" -> Seq(Map("age" -> 31.0)))).collect().map(_.getString(0))
+    assert(viaItem.toSeq == Seq("urn:p2"))
+  }
+
   test("hop with rel type and incoming direction") {
     val out = CypherEngine.query(store,
       """MATCH (c:Company)<-[:worksfor]-(p:Person)

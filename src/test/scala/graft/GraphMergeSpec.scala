@@ -447,4 +447,29 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(store.edges.filter($"dst" === doomed).isEmpty)
     assert(redgeKeys(store) == edgeKeys(store))
   }
+
+  test("relType rename keeps edge identity unique (converge + collide)") {
+    import graft.ops.GraphMerge.WriteEffect.PatchEdges
+    val st = freshStore()
+    val ds = new GraphDataset(st, spark, "people", "Person")
+    ds.incremental(Seq(
+      Entity("urn:a")
+        .withRef("urn:x#acted_in", "urn:b")
+        .withRef("urn:x#directed", "urn:b")
+        .withRef("urn:x#knows", "urn:b")))
+    def keys = st.edges.select("src", "dst", "relType").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
+    // two renames converging onto one identity → one merged row
+    GraphMerge.applyWrite(st, Seq(PatchEdges(Seq(
+      ("urn:a", "urn:b", "acted_in", "worked_on"),
+      ("urn:a", "urn:b", "knows", "worked_on"))
+      .toDF("src", "dst", "relType", "new_relType"))))
+    assert(keys == Seq(("urn:a", "urn:b", "directed"),
+      ("urn:a", "urn:b", "worked_on")))
+    // rename colliding with an untouched existing identity → merged
+    GraphMerge.applyWrite(st, Seq(PatchEdges(Seq(
+      ("urn:a", "urn:b", "worked_on", "directed"))
+      .toDF("src", "dst", "relType", "new_relType"))))
+    assert(keys == Seq(("urn:a", "urn:b", "directed")))
+  }
 }

@@ -161,4 +161,18 @@ class MultimodalSpec extends AnyFunSuite {
       && fs(10).height == (16 + (n * 7) % 64).toInt)
     assert(fs(11).kind == "image") // too short to sniff → fallback
   }
+
+  test("a truncated trailing fmt chunk must not throw (regression)") {
+    // RIFF/WAVE whose final chunk says 'fmt ' but the payload ends
+    // before the fmt fields: the walk sees i+8 <= length yet the
+    // field reads extend to at+23 — previously AIOOBE'd the task
+    val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(56)
+    b.put("WAVE".getBytes("ASCII"))
+    b.put("JUNK".getBytes("ASCII")).putInt(36)
+    b.position(12 + 8 + 36) // skip junk body
+    b.put("fmt ".getBytes("ASCII")).putInt(0) // truncated: no fields
+    val fs = decodeAll(Seq(MediaRow(12, "audio", b.array())))
+    assert(fs(12).n_bytes == 64) // decoded, not crashed
+  }
 }

@@ -217,4 +217,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("late in-watermark events never rewind the open session anchor") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val input = ms.toDS().map { case (u, sec) =>
+      EventStreams.SessionEvent(u, new java.sql.Timestamp(sec * 1000)) }
+    val q = EventStreams.sessionize(input, gapSec = 1800,
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    try {
+      val t0 = 1700000000L
+      ms.addData((1L, t0), (1L, t0 + 1000))
+      q.processAllAvailable()
+      // late but inside the watermark delay: must fold into the open
+      // session WITHOUT moving its gap anchor back to t0+500
+      ms.addData((1L, t0 + 500))
+      q.processAllAvailable()
+      // 1301s after the true anchor (t0+1000): same session; a
+      // rewound anchor would see 1801 > gap and split here
+      ms.addData((1L, t0 + 2301))
+      q.processAllAvailable()
+      ms.addData((1L, t0 + 2301 + 1801)) // past the gap: closes inline
+      q.processAllAvailable()
+    } finally q.stop()
+    val t0 = 1700000000L
+    val got = spark.table("late_sessions")
+      .select($"user_id", $"session_start", $"n_events", $"duration_sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, t0, 4L, 2301L)), s"got $got")
+  }
 }
