@@ -27,6 +27,17 @@ object Ast {
   case class ListLit(items: Seq[Expr]) extends Expr
   case class Param(name: String) extends Expr
 
+  /** `x IN list` membership (list literal, param list, or collected
+    * value) */
+  case class InList(e: Expr, list: Expr) extends Expr
+  /** `STARTS WITH` / `ENDS WITH` / `CONTAINS` string predicates;
+    * op ∈ {startswith, endswith, contains} */
+  case class StrPred(op: String, l: Expr, r: Expr) extends Expr
+  /** CASE — simple form carries the test expression (`CASE x WHEN v
+    * THEN r`), searched form has test=None (`CASE WHEN pred THEN r`) */
+  case class CaseExpr(test: Option[Expr], whens: Seq[(Expr, Expr)],
+      els: Option[Expr]) extends Expr
+
   /** property values may be literals OR expressions (parameters,
     * `item.k` property references) — the reference's own templates
     * write `MERGE (n {gid: item.gid})` (/root/reference/neo4j.go:103).

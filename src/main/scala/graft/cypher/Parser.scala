@@ -28,7 +28,9 @@ object Parser {
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
-    "SET", "CREATE", "MERGE", "REMOVE")
+    "SET", "CREATE", "MERGE", "REMOVE",
+    "IN", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
+    "END")
 
   private val tokenRe: Regex =
     """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
@@ -416,6 +418,18 @@ object Parser {
         val negated = p.tryKw("NOT")
         p.expectKw("NULL")
         Ast.IsNull(l, negated)
+      case Some(Kw("IN")) =>
+        p.next()
+        Ast.InList(l, parseAtom(p))
+      case Some(Kw("STARTS")) =>
+        p.next(); p.expectKw("WITH")
+        Ast.StrPred("startswith", l, parseAtom(p))
+      case Some(Kw("ENDS")) =>
+        p.next(); p.expectKw("WITH")
+        Ast.StrPred("endswith", l, parseAtom(p))
+      case Some(Kw("CONTAINS")) =>
+        p.next()
+        Ast.StrPred("contains", l, parseAtom(p))
       case _ => l
     }
   }
@@ -456,6 +470,24 @@ object Parser {
       while (p.trySym(",")) one()
       p.expectSym("}")
       Ast.MapLit(entries.result())
+    case Kw("CASE") =>
+      // searched form starts directly with WHEN; simple form carries
+      // a test expression compared for equality against each WHEN
+      val test = p.peek match {
+        case Some(Kw("WHEN")) => None
+        case _ => Some(parseExpr(p))
+      }
+      val whens = Seq.newBuilder[(Ast.Expr, Ast.Expr)]
+      while (p.tryKw("WHEN")) {
+        val w = parseExpr(p)
+        p.expectKw("THEN")
+        whens += ((w, parseExpr(p)))
+      }
+      val els = if (p.tryKw("ELSE")) Some(parseExpr(p)) else None
+      p.expectKw("END")
+      val ws = whens.result()
+      if (ws.isEmpty) throw ParseException("CASE needs at least one WHEN")
+      Ast.CaseExpr(test, ws, els)
     case Kw(fn) if Set("COLLECT", "COUNT", "SUM", "AVG", "MIN", "MAX")
         .contains(fn) =>
       p.expectSym("(")

@@ -96,6 +96,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case IsNull(x, _) => scan(x)
       case MapLit(es) => es.foreach(x => scan(x._2))
       case ListLit(es) => es.foreach(scan)
+      case InList(x, xs) => scan(x); scan(xs)
+      case StrPred(_, l, r) => scan(l); scan(r)
+      case CaseExpr(t, ws, e) =>
+        t.foreach(scan)
+        ws.foreach { case (w, v) => scan(w); scan(v) }
+        e.foreach(scan)
       case _ => ()
     }
     q.items.foreach(i => scan(i.expr))
@@ -1038,6 +1044,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case And(l, r) => containsAgg(l) || containsAgg(r)
     case Or(l, r) => containsAgg(l) || containsAgg(r)
     case Not(x) => containsAgg(x)
+    case InList(x, xs) => containsAgg(x) || containsAgg(xs)
+    case StrPred(_, l, r) => containsAgg(l) || containsAgg(r)
+    case CaseExpr(t, ws, e) => t.exists(containsAgg) ||
+      ws.exists { case (w, v) => containsAgg(w) || containsAgg(v) } ||
+      e.exists(containsAgg)
     case _ => false
   }
 
@@ -1143,6 +1154,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(m: Map[_, _]) => pvMapLit(m)
       case Some(v) => lit(v)
     }
+    case CaseExpr(test, whens, els) =>
+      // simple form lowers each WHEN through the typed Cmp path (so
+      // `CASE n.age WHEN 23 …` matches a stored long); searched form
+      // lowers predicates directly
+      val branches = whens.map { case (w, v) =>
+        val cond = test match {
+          case Some(t) => toPredicate(Cmp("=", t, w))
+          case None => toPredicate(w)
+        }
+        (cond, valueCol(v))
+      }
+      val chained = branches.tail.foldLeft(
+        when(branches.head._1, branches.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }
+      els.map(e => chained.otherwise(valueCol(e))).getOrElse(chained)
+    case x @ (_: InList | _: StrPred) => toPredicate(x)
     case FuncCall("tostring", Seq(a), _) => typedProp(a, "s")
       .getOrElse(valueCol(a).cast("string"))
     case FuncCall("tointeger", Seq(a), _) => typedProp(a, "l")
@@ -1297,6 +1325,43 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ =>
           val (lc, rc) = cmpSides(l, r)
           apply(lc, rc)
+      }
+    case InList(x, listE) =>
+      // literal / scalar-param lists compare through the typed slot of
+      // the tested side (a numeric prop must match numeric items, not
+      // its canonical-string rendering); anything else — collected
+      // lists, item fields — goes through array_contains on values
+      def inlineVals(le: Ast.Expr): Option[Seq[Any]] = le match {
+        case ListLit(items) if items.nonEmpty &&
+            items.forall(_.isInstanceOf[Lit]) =>
+          Some(items.map { case Lit(v) => v })
+        case Param(n) => params.get(n) match {
+          case Some(seq: Seq[_]) if seq.nonEmpty &&
+              !seq.exists(v => v.isInstanceOf[Map[_, _]] ||
+                v.isInstanceOf[Seq[_]]) => Some(seq)
+          case _ => None
+        }
+        case _ => None
+      }
+      inlineVals(listE) match {
+        case Some(vs) =>
+          val side = x match {
+            case p: PropRef => typedSide(p, vs.head)
+            case _ => valueCol(x)
+          }
+          side.isin(vs: _*)
+        case None => array_contains(valueCol(listE), valueCol(x))
+      }
+    case StrPred(op, l, r) =>
+      def strSide(e: Ast.Expr): Column = e match {
+        case p: PropRef => typedProp(p, "s").getOrElse(valueCol(p))
+        case _ => valueCol(e)
+      }
+      val (lc, rc) = (strSide(l), strSide(r))
+      op match {
+        case "startswith" => lc.startsWith(rc)
+        case "endswith" => lc.endsWith(rc)
+        case "contains" => lc.contains(rc)
       }
     case other => valueCol(other).cast("boolean")
   }

@@ -169,6 +169,20 @@ DETACH DELETE n
            ORDER BY gid""")
     }),
 
+    // Predicate surface beyond comparisons, over the sf-scale customer
+    // graph: list membership (IN), substring predicate (CONTAINS), and
+    // both the searched CASE banding and the grouped count on top.
+    "cypher_case_in" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation)
+           WHERE n.name IN ['NATION_3', 'NATION_7'] AND c.name CONTAINS '1'
+           RETURN n.name AS nation,
+                  CASE WHEN c.acctbal >= 5000 THEN 'high'
+                       WHEN c.acctbal >= 0 THEN 'mid'
+                       ELSE 'neg' END AS band,
+                  count(*) AS n_cust
+           ORDER BY nation, band""")),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -216,6 +230,15 @@ DETACH DELETE n
          'nations' AS src, 'r:'||n_regionkey AS region
          FROM nation WHERE 'n:'||n_nationkey < 'n:20'
          ORDER BY gid""",
+    "cypher_case_in" ->
+      """SELECT n.n_name AS nation,
+         CASE WHEN c.c_acctbal >= 5000 THEN 'high'
+              WHEN c.c_acctbal >= 0 THEN 'mid'
+              ELSE 'neg' END AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_name IN ('NATION_3', 'NATION_7') AND c.c_name LIKE '%1%'
+         GROUP BY 1, 2 ORDER BY nation, band""",
     "cypher_customer_graph" ->
       """SELECT 'r:'||n.n_regionkey AS region, COUNT(*) AS n_cust
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

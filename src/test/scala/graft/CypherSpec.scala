@@ -88,6 +88,45 @@ class CypherSpec extends AnyFunSuite {
     assert(viaItem.toSeq == Seq("urn:p2"))
   }
 
+  test("IN / STARTS WITH / ENDS WITH / CONTAINS / CASE") {
+    def gids(q: String, ps: Map[String, Any] = Map.empty) =
+      CypherEngine.query(store, q, ps).collect().map(_.getString(0)).toSeq
+    assert(gids("""MATCH (n:Person) WHERE n.name IN ['brian', 'ola']
+                   RETURN n.gid AS gid ORDER BY gid""") ==
+      Seq("urn:p1", "urn:p3"))
+    // numeric IN must compare the numeric slot, not canonical strings
+    assert(gids("""MATCH (n:Person) WHERE n.age IN [23, 40]
+                   RETURN n.gid AS gid ORDER BY gid""") ==
+      Seq("urn:p1", "urn:p3"))
+    assert(gids("MATCH (n:Person) WHERE n.age IN $ages RETURN n.gid AS gid",
+      Map("ages" -> Seq(31))) == Seq("urn:p2"))
+    assert(gids("""MATCH (n:Person) WHERE n.name STARTS WITH 'br'
+                   RETURN n.gid AS gid""") == Seq("urn:p1"))
+    assert(gids("""MATCH (n:Person) WHERE n.name ENDS WITH 'ane'
+                   RETURN n.gid AS gid""") == Seq("urn:p2"))
+    assert(gids("""MATCH (n:Person) WHERE n.name CONTAINS 'ja'
+                   RETURN n.gid AS gid""") == Seq("urn:p2"))
+    // searched CASE bands; simple CASE matches through the typed slot
+    val bands = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN n.gid AS gid,
+                CASE WHEN n.age >= 40 THEN 'senior'
+                     WHEN n.age >= 30 THEN 'mid'
+                     ELSE 'junior' END AS band
+         ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(bands.toSeq == Seq(("urn:p1", "junior"), ("urn:p2", "mid"),
+      ("urn:p3", "senior")))
+    val simple = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN n.gid AS gid,
+                CASE n.age WHEN 23 THEN 'young' END AS tag
+         ORDER BY gid""").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(simple.toSeq == Seq(("urn:p1", Some("young")),
+      ("urn:p2", None), ("urn:p3", None)))
+  }
+
   test("hop with rel type and incoming direction") {
     val out = CypherEngine.query(store,
       """MATCH (c:Company)<-[:worksfor]-(p:Person)
