@@ -37,6 +37,12 @@ object Ast {
     * THEN r`), searched form has test=None (`CASE WHEN pred THEN r`) */
   case class CaseExpr(test: Option[Expr], whens: Seq[(Expr, Expr)],
       els: Option[Expr]) extends Expr
+  /** binary arithmetic; op ∈ {+, -, *, /, %, ^}. `+` doubles as
+    * string and list concatenation (openCypher operator overload). */
+  case class Arith(op: String, l: Expr, r: Expr) extends Expr
+  /** `coll[idx]` — 0-based list index (negative = from the end) or
+    * string map-key access */
+  case class Subscript(coll: Expr, idx: Expr) extends Expr
 
   /** property values may be literals OR expressions (parameters,
     * `item.k` property references) — the reference's own templates
@@ -47,7 +53,8 @@ object Ast {
       label: Option[String],
       props: Seq[(String, Expr)])
 
-  /** direction: +1 for ()-[]->(), -1 for ()<-[]-();
+  /** direction: +1 for ()-[]->(), -1 for ()<-[]-(), 0 for the
+    * undirected ()-[]-() (matches the relationship either way);
     * varLength: Some((min, max)) for `-[:T*min..max]->`
     */
   case class RelPattern(
@@ -162,6 +169,8 @@ object Ast {
       case ListLit(es) => es.map(expr).mkString("[", ", ", "]")
       case Param(n) => s"$$$n"
       case Star => "*"
+      case Arith(op, l, r) => s"${expr(l)} $op ${expr(r)}"
+      case Subscript(c, i) => s"${expr(c)}[${expr(i)}]"
     }
   }
 }

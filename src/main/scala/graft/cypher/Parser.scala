@@ -33,7 +33,7 @@ object Parser {
     "END")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|\.\.|[-()\[\]{}:,.*=<>+/])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -379,14 +379,11 @@ object Parser {
       }
       p.expectSym("]")
     }
-    if (incoming) p.expectSym("-")
-    else {
-      if (!p.trySym("->")) {
-        // allow undirected '-' (treated as outgoing is wrong; reject)
-        throw ParseException("only directed relationships supported: -[]-> or <-[]-")
-      }
-    }
-    Ast.RelPattern(variable, relType, if (incoming) -1 else 1, varLength)
+    val direction =
+      if (incoming) { p.expectSym("-"); -1 }
+      else if (p.trySym("->")) 1
+      else { p.expectSym("-"); 0 } // undirected: `-[r]-` / `--`
+    Ast.RelPattern(variable, relType, direction, varLength)
   }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----
@@ -408,11 +405,14 @@ object Parser {
     if (p.tryKw("NOT")) Ast.Not(parseNot(p)) else parseCmp(p)
 
   private def parseCmp(p: P): Ast.Expr = {
-    val l = parseAtom(p)
+    val l = parseAddSub(p)
     p.peek match {
       case Some(Sym(op)) if Set("=", "<>", "<", ">", "<=", ">=").contains(op) =>
         p.next()
-        Ast.Cmp(op, l, parseAtom(p))
+        Ast.Cmp(op, l, parseAddSub(p))
+      case Some(Sym("=~")) =>
+        p.next()
+        Ast.StrPred("regex", l, parseAddSub(p))
       case Some(Kw("IS")) =>
         p.next()
         val negated = p.tryKw("NOT")
@@ -420,18 +420,73 @@ object Parser {
         Ast.IsNull(l, negated)
       case Some(Kw("IN")) =>
         p.next()
-        Ast.InList(l, parseAtom(p))
+        Ast.InList(l, parseAddSub(p))
       case Some(Kw("STARTS")) =>
         p.next(); p.expectKw("WITH")
-        Ast.StrPred("startswith", l, parseAtom(p))
+        Ast.StrPred("startswith", l, parseAddSub(p))
       case Some(Kw("ENDS")) =>
         p.next(); p.expectKw("WITH")
-        Ast.StrPred("endswith", l, parseAtom(p))
+        Ast.StrPred("endswith", l, parseAddSub(p))
       case Some(Kw("CONTAINS")) =>
         p.next()
-        Ast.StrPred("contains", l, parseAtom(p))
+        Ast.StrPred("contains", l, parseAddSub(p))
       case _ => l
     }
+  }
+
+  // arithmetic precedence: +/- < */ /% < ^ (right-assoc) < unary - < postfix [] < atom
+  private def parseAddSub(p: P): Ast.Expr = {
+    var l = parseMulDiv(p)
+    var continue = true
+    while (continue) {
+      p.peek match {
+        case Some(Sym(op @ ("+" | "-"))) =>
+          p.next(); l = Ast.Arith(op, l, parseMulDiv(p))
+        case _ => continue = false
+      }
+    }
+    l
+  }
+
+  private def parseMulDiv(p: P): Ast.Expr = {
+    var l = parsePow(p)
+    var continue = true
+    while (continue) {
+      p.peek match {
+        case Some(Sym(op @ ("*" | "/" | "%"))) =>
+          p.next(); l = Ast.Arith(op, l, parsePow(p))
+        case _ => continue = false
+      }
+    }
+    l
+  }
+
+  private def parsePow(p: P): Ast.Expr = {
+    val l = parseUnary(p)
+    if (p.trySym("^")) Ast.Arith("^", l, parsePow(p)) // right-assoc
+    else l
+  }
+
+  private def parseUnary(p: P): Ast.Expr =
+    if (p.trySym("-")) parseUnary(p) match {
+      // fold literal negation; general case lowers as 0 - e
+      case Ast.Lit(l: Long) => Ast.Lit(-l)
+      case Ast.Lit(d: Double) => Ast.Lit(-d)
+      case other => Ast.Arith("-", Ast.Lit(0L), other)
+    }
+    else if (p.trySym("+")) parseUnary(p)
+    else parsePostfix(p)
+
+  /** postfix subscript: `expr[idx]` (0-based list index / map key) */
+  private def parsePostfix(p: P): Ast.Expr = {
+    var e = parseAtom(p)
+    while (p.peek.contains(Sym("["))) {
+      p.next()
+      val idx = parseExpr(p)
+      p.expectSym("]")
+      e = Ast.Subscript(e, idx)
+    }
+    e
   }
 
   private def parseAtom(p: P): Ast.Expr = p.next() match {

@@ -102,6 +102,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         t.foreach(scan)
         ws.foreach { case (w, v) => scan(w); scan(v) }
         e.foreach(scan)
+      case Arith(_, l, r) => scan(l); scan(r)
+      case Subscript(c, i) => scan(c); scan(i)
       case _ => ()
     }
     q.items.foreach(i => scan(i.expr))
@@ -670,14 +672,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val rv = rel.variable.getOrElse(fresh("r"))
     if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
     env += rv -> RelVar
-    var e = store.edges.select(
+    var base = store.edges.select(
       col("src").as(s"${rv}__src"), col("dst").as(s"${rv}__dst"),
       col("relType").as(s"${rv}__relType"),
       col("source").as(s"${rv}__source"))
-    rel.relType.foreach(t => e = e.filter(col(s"${rv}__relType") === t))
-    val (fromCol, toCol) =
-      if (rel.direction > 0) (s"${rv}__src", s"${rv}__dst")
-      else (s"${rv}__dst", s"${rv}__src")
+    rel.relType.foreach(t => base = base.filter(col(s"${rv}__relType") === t))
+    // undirected hops traverse the edge either way: union both
+    // orientations on throwaway bind columns (the rv columns keep the
+    // STORED orientation — DELETE r and r.* render unchanged). A
+    // self-loop matches once, not twice.
+    val (e, fromCol, toCol) =
+      if (rel.direction == 0) {
+        val (f, t) = (s"${rv}__bind_from", s"${rv}__bind_to")
+        val fwd = base.withColumn(f, col(s"${rv}__src"))
+          .withColumn(t, col(s"${rv}__dst"))
+        val bwd = base.filter(col(s"${rv}__src") =!= col(s"${rv}__dst"))
+          .withColumn(f, col(s"${rv}__dst"))
+          .withColumn(t, col(s"${rv}__src"))
+        (fwd.unionByName(bwd), f, t)
+      }
+      else if (rel.direction > 0) (base, s"${rv}__src", s"${rv}__dst")
+      else (base, s"${rv}__dst", s"${rv}__src")
     df = df.join(e, col(s"${boundVar}__gid") === col(fromCol), "inner")
     val nv = node.variable.getOrElse(fresh("n"))
     if (env.contains(nv)) {
@@ -689,6 +704,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       df = df.join(d, col(toCol) === col(s"${nv}__gid"), "inner")
       exprPropFilters(nv, node).foreach(f => df = df.filter(f))
     }
+    if (rel.direction == 0)
+      df = df.drop(s"${rv}__bind_from", s"${rv}__bind_to")
     (nv, rv)
   }
 
@@ -726,13 +743,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       throw PlanError("relationship variable on a var-length hop is not supported")
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
     rel.relType.foreach(t => e = e.filter(col("relType") === t))
-    val (fromCol, toCol) =
-      if (rel.direction > 0) ("src", "dst") else ("dst", "src")
     // edge identity = the stored (src,dst,relType), independent of
     // traversal direction — the store dedups edges on exactly this key
-    val step = e.select(col(fromCol).as("__from"), col(toCol).as("__to"),
-      concat_ws("\u0001", col("src"), col("dst"), col("relType"))
-        .as("__ekey"))
+    def ekey = concat_ws("\u0001", col("src"), col("dst"), col("relType"))
+      .as("__ekey")
+    val step =
+      if (rel.direction == 0) {
+        // undirected: either orientation advances the walk; the shared
+        // __ekey keeps relationship-uniqueness (an edge is consumed
+        // once regardless of traversal direction). Materialized paths
+        // need an orientation to derive entered nodes from — out of
+        // scope for undirected stretches.
+        if (materialize) throw PlanError(
+          "nodes()/relationships() over an undirected var-length hop is not supported")
+        e.select(col("src").as("__from"), col("dst").as("__to"), ekey)
+          .unionByName(e.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("__from"), col("src").as("__to"), ekey))
+      } else {
+        val (fromCol, toCol) =
+          if (rel.direction > 0) ("src", "dst") else ("dst", "src")
+        e.select(col(fromCol).as("__from"), col(toCol).as("__to"), ekey)
+      }
 
     val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
     var reach: DataFrame = null
@@ -1033,11 +1064,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
   }
 
+  private val aggNames = Set("collect", "count", "sum", "avg", "min",
+    "max", "stdev", "stdevp", "percentilecont")
+
   private def containsAgg(e: Ast.Expr): Boolean = e match {
     case FuncCall(n, args, _) =>
-      Set("collect", "count", "sum", "avg", "min", "max",
-        "stdev", "stdevp", "percentilecont").contains(n) ||
-        args.exists(containsAgg)
+      aggNames.contains(n) || args.exists(containsAgg)
     case MapLit(es) => es.exists(x => containsAgg(x._2))
     case ListLit(es) => es.exists(containsAgg)
     case Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
@@ -1049,6 +1081,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case CaseExpr(t, ws, e) => t.exists(containsAgg) ||
       ws.exists { case (w, v) => containsAgg(w) || containsAgg(v) } ||
       e.exists(containsAgg)
+    case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Subscript(c, i) => containsAgg(c) || containsAgg(i)
     case _ => false
   }
 
@@ -1083,6 +1117,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       coalesce(stddev_pop(numCol(a)), lit(0.0))
     case FuncCall("percentilecont", Seq(a, q), _) =>
       percentile(numCol(a), valueCol(q).cast("double"))
+    // expressions OVER aggregates — count(*) * 2, collect(x)[0],
+    // floor(sum(x)/count(*)) — lower through valueCol, whose leaves
+    // route aggregate calls back here
+    case other if containsAgg(other) => valueCol(other)
     case other => throw PlanError(s"unsupported aggregate: $other")
   }
 
@@ -1258,7 +1296,85 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case o: Or => toPredicate(o)
     case n: Not => toPredicate(n)
     case i: IsNull => toPredicate(i)
+    case Arith(op, l, r) => arithCol(op, l, r)
+    case Subscript(coll, idx) => subscriptCol(valueCol(coll), idx)
+    // an aggregate call reached below a scalar wrapper
+    // (floor(sum(x)/count(*)) routes floor→numCol→here)
+    case f @ FuncCall(n, _, _) if aggNames.contains(n) => aggCol(f)
     case other => throw PlanError(s"unsupported expression: $other")
+  }
+
+  /** binary arithmetic with openCypher's operator overloads: `+` is
+    * string concat when either side is statically a string, list
+    * concat when either side is a list, numeric otherwise. Dynamic
+    * property values go through their numeric slot (double — the
+    * engine's documented typing rule for untyped props); statically
+    * integral operands keep long arithmetic, and integral `/`
+    * truncates toward zero (Cypher integer division). `^` is always
+    * double. Operands may themselves aggregate (count(*) * 2).
+    */
+  private def arithCol(op: String, l: Ast.Expr, r: Ast.Expr): Column = {
+    import org.apache.spark.sql.types._
+    def low(e: Ast.Expr): Column =
+      if (containsAgg(e)) aggCol(e) else valueCol(e)
+    val (lc, rc) = (low(l), low(r))
+    val (lt, rt) = (colType(lc), colType(rc))
+    val (lProp, rProp) = (pvOf(l).isDefined, pvOf(r).isDefined)
+    def isIntegral(t: DataType, prop: Boolean) = !prop && (t match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    def num(e: Ast.Expr, c: Column, t: DataType, prop: Boolean): Column =
+      if (prop) numCol(e)
+      else t match {
+        case _: NumericType => c
+        case _ => c.cast("double")
+      }
+    op match {
+      case "+" if lt.isInstanceOf[ArrayType] || rt.isInstanceOf[ArrayType] =>
+        concat(lc, rc)
+      case "+" if (!lProp && lt == StringType) ||
+          (!rProp && rt == StringType) =>
+        concat(strCol(l), strCol(r))
+      case "^" => pow(num(l, lc, lt, lProp).cast("double"),
+        num(r, rc, rt, rProp).cast("double"))
+      case _ =>
+        val ln = num(l, lc, lt, lProp)
+        val rn = num(r, rc, rt, rProp)
+        val integral = isIntegral(lt, lProp) && isIntegral(rt, rProp)
+        op match {
+          case "+" => ln + rn
+          case "-" => ln - rn
+          case "*" => ln * rn
+          case "%" => ln % rn
+          case "/" =>
+            // cast-through-double truncates toward zero (Java/Cypher
+            // integer-division semantics); non-integral stays double
+            if (integral) (ln.cast("double") / rn).cast("long")
+            else ln / rn
+        }
+    }
+  }
+
+  /** `coll[idx]`: 0-based list index (negative = from the end), map
+    * key, or struct field. Out-of-bounds yields null (try_element_at),
+    * matching Cypher — never an ANSI error. */
+  private def subscriptCol(c: Column, idx: Ast.Expr): Column = {
+    import org.apache.spark.sql.types._
+    colType(c) match {
+      case _: StructType => idx match {
+        case Lit(s: String) => c.getField(s)
+        case other =>
+          throw PlanError(s"struct subscript needs a string key, got $other")
+      }
+      case m: MapType =>
+        val v = try_element_at(c, valueCol(idx).cast(m.keyType))
+        if (isPvMapType(m)) pvStrOf(v) else v
+      case _: ArrayType =>
+        val i = valueCol(idx).cast("int")
+        try_element_at(c, when(i >= 0, i + 1).otherwise(i))
+      case t => throw PlanError(s"cannot subscript a $t value")
+    }
   }
 
   /** the PV struct behind a property reference — node props map, or a
@@ -1362,6 +1478,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "startswith" => lc.startsWith(rc)
         case "endswith" => lc.endsWith(rc)
         case "contains" => lc.contains(rc)
+        // `=~` — whole-string regex match (Cypher anchors both ends)
+        case "regex" => regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
       }
     case other => valueCol(other).cast("boolean")
   }

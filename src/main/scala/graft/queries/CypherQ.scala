@@ -183,6 +183,20 @@ DETACH DELETE n
                   count(*) AS n_cust
            ORDER BY nation, band""")),
 
+    // Expression surface: binary arithmetic (incl. over aggregates),
+    // `+` string concat, `=~` anchored regex, and subscript on a
+    // collected list — one oracled entry per operator family, over the
+    // sf-scale customer graph.
+    "cypher_arith" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation)
+           WHERE c.name =~ '.*[02468]'
+           RETURN n.name AS nation, 'x:' + n.name AS tag,
+                  count(*) AS n_cust, count(*) * 2 + 1 AS odd,
+                  floor(sum(c.acctbal) / count(*)) AS avg_floor,
+                  collect(c.name)[0] AS first_name
+           ORDER BY nation""")),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -252,6 +266,14 @@ DETACH DELETE n
            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
          SELECT target, COUNT(*) AS n FROM hops
          GROUP BY 1 ORDER BY target""",
+    "cypher_arith" ->
+      """SELECT n.n_name AS nation, 'x:'||n.n_name AS tag,
+         COUNT(*) AS n_cust, CAST(COUNT(*) * 2 + 1 AS BIGINT) AS odd,
+         FLOOR(SUM(c.c_acctbal) / COUNT(*)) AS avg_floor,
+         MIN(c.c_name) AS first_name
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE regexp_full_match(c.c_name, '.*[02468]')
+         GROUP BY 1, 2 ORDER BY nation""",
     "cypher_set_create" ->
       """WITH nn AS (
            SELECT n_regionkey,

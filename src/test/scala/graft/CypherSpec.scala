@@ -127,12 +127,105 @@ class CypherSpec extends AnyFunSuite {
       ("urn:p2", None), ("urn:p3", None)))
   }
 
+  test("arithmetic: + - * / % ^, precedence, unary minus") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})
+         RETURN n.age + 1 AS a, n.age - 1 AS s, n.age * 2 AS m,
+                n.age / 2 AS d, toInteger(n.age) % 7 AS mod,
+                2 ^ 3 AS p, 1 + 2 * 3 AS prec, -n.age AS neg,
+                (1 + 2) * 3 AS paren""").collect().head
+    // dynamic props surface through the numeric (double) slot
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 22.0)
+    assert(r.getDouble(2) == 46.0)
+    assert(r.getDouble(3) == 11.5)
+    assert(r.getLong(4) == 2L) // statically-long operands stay long
+    assert(r.getDouble(5) == 8.0)
+    assert(r.getLong(6) == 7L)
+    assert(r.getDouble(7) == -23.0)
+    assert(r.getLong(8) == 9L)
+    // integral division truncates toward zero (Cypher semantics)
+    val d = CypherEngine.query(store,
+      "UNWIND [7, -7] AS x RETURN x / 2 AS q").collect().map(_.getLong(0))
+    assert(d.toSeq == Seq(3L, -3L))
+  }
+
+  test("+ concatenates strings and lists") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'ola'})
+         RETURN n.name + '!' AS bang, 'age: ' + n.age AS mixed,
+                [1, 2] + [3] AS lst""").collect().head
+    assert(r.getString(0) == "ola!")
+    assert(r.getString(1) == "age: 40")
+    assert(r.getSeq[Long](2) == Seq(1L, 2L, 3L))
+  }
+
+  test("arithmetic over aggregates: count(*) * 2, sum/count") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN count(*) * 2 AS dbl, sum(n.age) / count(*) AS mean""")
+      .collect().head
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - 94.0 / 3) < 1e-9)
+  }
+
+  test("=~ regex matches the whole string") {
+    def gids(q: String) =
+      CypherEngine.query(store, q).collect().map(_.getString(0)).toSeq
+    assert(gids("""MATCH (n:Person) WHERE n.name =~ 'br.*'
+                   RETURN n.gid AS gid""") == Seq("urn:p1"))
+    // partial match must NOT count ('=~' anchors both ends)
+    assert(gids("""MATCH (n:Person) WHERE n.name =~ 'r.*'
+                   RETURN n.gid AS gid""") == Seq.empty)
+    assert(gids("""MATCH (n:Person) WHERE n.name =~ '(?i)JANE'
+                   RETURN n.gid AS gid""") == Seq("urn:p2"))
+  }
+
+  test("list subscript: 0-based, negative from the end, null OOB") {
+    val r = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN ['a', 'b', 'c'][0] AS first, ['a', 'b', 'c'][2] AS third,
+                ['a', 'b', 'c'][-1] AS last_e, ['a', 'b', 'c'][5] AS oob,
+                split('x,y', ',')[1] AS y""").collect().head
+    assert(r.getString(0) == "a")
+    assert(r.getString(1) == "c")
+    assert(r.getString(2) == "c")
+    assert(r.isNullAt(3))
+    assert(r.getString(4) == "y")
+    // subscript over a collected aggregate
+    val c = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN collect(n.name)[0] AS first_name""").collect().head
+    assert(c.getString(0) == "brian")
+  }
+
   test("hop with rel type and incoming direction") {
     val out = CypherEngine.query(store,
       """MATCH (c:Company)<-[:worksfor]-(p:Person)
          RETURN c.name AS company, count(*) AS n""").collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("Mimiro", 2L)))
+  }
+
+  test("undirected relationships match either orientation") {
+    // knows: p2 -> p1; undirected sees the pair both ways
+    val pairs = CypherEngine.query(store,
+      """MATCH (a:Person)-[:knows]-(b:Person)
+         RETURN a.name AS a, b.name AS b ORDER BY a""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("brian", "jane"), ("jane", "brian")))
+    // bare undirected syntax `--`; company has 2 incoming worksfor
+    val n = CypherEngine.query(store,
+      "MATCH (c:Company)--(p:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    // undirected var-length: from brian, 1..2 hops touches the company
+    // (out), jane (incoming knows), and nothing twice (rel-uniqueness)
+    val targets = CypherEngine.query(store,
+      """MATCH (a:Person {name: 'brian'})-[*1..2]-(m)
+         RETURN DISTINCT m.gid AS gid ORDER BY gid""").collect()
+      .map(_.getString(0))
+    assert(targets.toSeq == Seq("urn:c1", "urn:p2"))
   }
 
   test("two-hop chain") {
