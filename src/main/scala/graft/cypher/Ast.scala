@@ -136,18 +136,27 @@ object Ast {
   /** `CREATE pattern, …` / `MERGE pattern`: new nodes carry their gid
     * as a property (the engine's node key — literal or expression);
     * `merge` = match-or-create instead of error-on-existing
-    * (neo4j.go:103,111).
+    * (neo4j.go:103,111). `onCreate`/`onMatch` hold the MERGE
+    * sub-clauses `ON CREATE SET …` / `ON MATCH SET …` — applied only
+    * to the rows the merge created / matched respectively.
     */
-  case class CreateClause(patterns: Seq[PathPattern], merge: Boolean)
+  case class CreateClause(patterns: Seq[PathPattern], merge: Boolean,
+      onCreate: Seq[SetItem] = Nil, onMatch: Seq[SetItem] = Nil)
       extends WriteClauseT
 
+  /** `unions` chains further queries combined with UNION [ALL] —
+    * (all?, query) pairs in source order; parts may not mix ALL and
+    * non-ALL, and every part must RETURN the same column names. The
+    * final part's ORDER BY / SKIP / LIMIT scope to the whole union.
+    */
   case class Query(
       clauses: Seq[Clause],
       distinct: Boolean,
       items: Seq[ReturnItem],
       orderBy: Seq[(Expr, Boolean)],
       skip: Option[Long],
-      limit: Option[Long])
+      limit: Option[Long],
+      unions: Seq[(Boolean, Query)] = Nil)
 
   /** default output names for un-aliased return items */
   object Render {

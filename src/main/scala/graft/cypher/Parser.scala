@@ -28,9 +28,9 @@ object Parser {
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
-    "SET", "CREATE", "MERGE", "REMOVE",
+    "SET", "CREATE", "MERGE", "REMOVE", "ON",
     "IN", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
-    "END")
+    "END", "UNION", "ALL")
 
   private val tokenRe: Regex =
     """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
@@ -101,6 +101,27 @@ object Parser {
 
   def parse(query: String): Ast.Query = {
     val p = new P(tokenize(query))
+    val first = parseQuery(p)
+    val unions = Seq.newBuilder[(Boolean, Ast.Query)]
+    var allMode: Option[Boolean] = None
+    while (p.tryKw("UNION")) {
+      val all = p.tryKw("ALL")
+      if (allMode.exists(_ != all))
+        throw ParseException("cannot mix UNION and UNION ALL")
+      allMode = Some(all)
+      if (first.items.isEmpty)
+        throw ParseException("UNION requires RETURN in every part")
+      val q = parseQuery(p)
+      if (q.items.isEmpty)
+        throw ParseException("UNION requires RETURN in every part")
+      unions += ((all, q))
+    }
+    if (p.peek.nonEmpty)
+      throw ParseException(s"trailing input: ${p.toks.take(5)}")
+    first.copy(unions = unions.result())
+  }
+
+  private def parseQuery(p: P): Ast.Query = {
     val clauses = Seq.newBuilder[Ast.Clause]
     var sawAny = false
     var sawWrite = false
@@ -193,28 +214,35 @@ object Parser {
           if (merge && (result.length != 1 || result.head.hops.length > 1))
             throw ParseException(
               "MERGE supports a single node or single-relationship pattern")
-          clauses += Ast.CreateClause(result, merge)
+          // MERGE sub-clauses: ON CREATE SET … / ON MATCH SET …
+          var onCreate = Seq.empty[Ast.SetItem]
+          var onMatch = Seq.empty[Ast.SetItem]
+          while (merge && p.tryKw("ON")) {
+            if (p.tryKw("CREATE")) {
+              p.expectKw("SET"); onCreate ++= parseSetItems(p)
+            } else {
+              p.expectKw("MATCH"); p.expectKw("SET")
+              onMatch ++= parseSetItems(p)
+            }
+          }
+          clauses += Ast.CreateClause(result, merge, onCreate, onMatch)
         case _ => done = true
       }
     }
     p.peek match {
       case Some(Kw("RETURN")) =>
-        if (sawWrite)
-          throw ParseException("RETURN after write clauses is not supported")
         if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
         p.next()
         val distinct = p.tryKw("DISTINCT")
         val items = parseItems(p)
         val (orderBy, skip, limit) = parseTail(p)
-        if (p.peek.nonEmpty)
-          throw ParseException(s"trailing input: ${p.toks.take(5)}")
         Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
-      case None if sawWrite =>
-        Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None)
-      case None if !sawAny =>
-        throw ParseException("query must start with MATCH/UNWIND")
-      case None =>
-        throw ParseException("expected RETURN or a write clause")
+      case None | Some(Kw("UNION")) =>
+        if (sawWrite)
+          Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None)
+        else if (!sawAny)
+          throw ParseException("query must start with MATCH/UNWIND")
+        else throw ParseException("expected RETURN or a write clause")
       case Some(other) =>
         throw ParseException(s"trailing input: $other")
     }

@@ -37,9 +37,10 @@ import graft.store.GraphStore
   *    UpdateNode template is MERGE … WITH … OPTIONAL MATCH … DELETE …
   *    SET, neo4j.go:102-109); each clause snapshots the binding table
   *    into an ordered effect, and ALL effects commit once at the end
-  *    (GraphMerge.applyWrite — the single-Bolt-txn analog). A
-  *    statement has either writes or a RETURN, not both, and write
-  *    statements return a one-row counters frame;
+  *    (GraphMerge.applyWrite — the single-Bolt-txn analog). A write
+  *    statement without RETURN yields a one-row counters frame; with
+  *    RETURN it commits first and projects the binding table's
+  *    post-write values (Neo4j's CREATE … RETURN n);
   *  - reads inside a write statement see the STORE plus the statement's
   *    bindings (a MERGE binds its post-merge node via a left join);
   *    a MATCH does not observe nodes created earlier in the same
@@ -136,6 +137,47 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def spark = store.nodes.sparkSession
 
   def plan(q: Query): DataFrame = {
+    if (q.unions.isEmpty) return planSingle(q)
+    // UNION [ALL]: each part plans standalone (fresh planner — its own
+    // env/bindings); the FINAL part's ORDER BY / SKIP / LIMIT scope to
+    // the whole union, so they are stripped from the branch and
+    // re-applied on the combined frame
+    val (lastAll, lastQ) = q.unions.last
+    val branches =
+      (q.copy(unions = Nil) +: q.unions.init.map(_._2)) :+
+        lastQ.copy(orderBy = Nil, skip = None, limit = None)
+    val frames = branches.zipWithIndex.map { case (b, i) =>
+      if (i == 0) planSingle(b)
+      else new Planner(store, params).planSingle(b)
+    }
+    val names = frames.head.columns.toSeq
+    frames.tail.foreach { f =>
+      if (f.columns.toSeq != names)
+        throw PlanError("UNION parts must return the same columns: " +
+          s"$names vs ${f.columns.toSeq}")
+    }
+    var out = frames.reduce(_ unionByName _)
+    if (!lastAll) out = distinctSafe(out)
+    if (lastQ.orderBy.nonEmpty) {
+      // union-level ORDER BY resolves against the RETURNED columns
+      val sorts = lastQ.orderBy.map { case (e, asc) =>
+        val name = e match {
+          case VarRef(n) if names.contains(n) => n
+          case other if names.contains(Render.expr(other)) =>
+            Render.expr(other)
+          case other => throw PlanError(
+            s"UNION ORDER BY must reference a returned column: $other")
+        }
+        if (asc) col(quote(name)).asc else col(quote(name)).desc
+      }
+      out = out.orderBy(sorts: _*)
+    }
+    lastQ.skip.foreach(n => out = out.offset(n.toInt))
+    lastQ.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  private def planSingle(q: Query): DataFrame = {
     matPathVars = collectPathFnVars(q)
     q.clauses.foreach {
       case m: MatchClause => applyMatch(m)
@@ -146,7 +188,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case s: SetClause => applySet(s)
     }
     val effs = effects.result()
-    if (effs.nonEmpty) return executeWrite(effs)
+    if (effs.nonEmpty && q.items.isEmpty) return executeWrite(effs)
+    if (effs.nonEmpty) {
+      // write + RETURN: commit the statement, then project from the
+      // statement's binding table — its columns carry the POST-write
+      // values (created/merged bindings, SET view updates), and its
+      // lineage pins the pre-commit snapshot's files, so evaluating
+      // the projection after the commit stays consistent
+      graft.ops.GraphMerge.applyWrite(store, effs)
+    }
     if (df == null) throw PlanError("nothing bound before RETURN")
     var out = projectReturn(q.items)
     if (q.distinct) out = distinctSafe(out)
@@ -302,10 +352,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * table's `source` / `type` columns (`SET r.source = item.source`,
     * neo4j.go:122-123).
     */
-  private def applySet(s: SetClause): Unit = {
+  /** `cond` restricts the SET to a row subset of the binding table —
+    * MERGE's ON CREATE / ON MATCH sub-clauses pass the (negated)
+    * matched flag; a plain SET clause passes None (all rows). Besides
+    * emitting effects, the binding VIEW updates in place so later
+    * clauses and a trailing RETURN read the post-SET values.
+    */
+  private def applySet(s: SetClause, cond: Option[Column] = None): Unit = {
     if (df == null) throw PlanError("SET requires a preceding MATCH/MERGE")
     sawWrite = true
     import graft.ops.GraphMerge.WriteEffect._
+    val rowGate = cond.getOrElse(lit(true))
+    /** view update guarded by the row condition */
+    def guarded(old: Column, updated: Column): Column =
+      cond match {
+        case Some(c) => when(c, updated).otherwise(old)
+        case None => updated
+      }
+    val emptyProps = pvMapLit(Map.empty)
     // node/rel property patches accumulate per variable (one effect each)
     val propSets = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[(String, Expr)]]
@@ -315,10 +379,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case SetLabelItem(v, label) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET :Label target must be a node variable: $v")
-        effects += SetLabels(df.select(col(s"${v}__gid").as("gid"))
+        effects += SetLabels(df.filter(rowGate)
+          .select(col(s"${v}__gid").as("gid"))
           .filter(col("gid").isNotNull), label)
         // later clauses of this statement read the stamped label
-        df = df.withColumn(s"${v}__label", lit(label))
+        df = df.withColumn(s"${v}__label",
+          guarded(col(s"${v}__label"), lit(label)))
       case SetAll(v, e) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET $v = … target must be a node variable")
@@ -326,12 +392,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // model mapping (SURVEY §1.3): the map's `gid` key is the node
         // key (it matched the MERGE), `source` maps to the source
         // column, everything else becomes the fully replaced props map
-        effects += ReplaceProps(df
+        def srcOf = pvStrOf(element_at(m, "source"))
+        def propsOf = map_filter(m, (k, _) => k =!= "gid" && k =!= "source")
+        effects += ReplaceProps(df.filter(rowGate)
           .filter(col(s"${v}__gid").isNotNull)
           .select(col(s"${v}__gid").as("gid"),
-            pvStrOf(element_at(m, "source")).as("source"),
-            map_filter(m, (k, _) => k =!= "gid" && k =!= "source")
-              .as("props")))
+            srcOf.as("source"), propsOf.as("props")))
+        df = df
+          .withColumn(s"${v}__source", guarded(col(s"${v}__source"), srcOf))
+          .withColumn(s"${v}__props", guarded(col(s"${v}__props"), propsOf))
       case SetProp(v, prop, e) => env.get(v) match {
         case Some(NodeVar) =>
           if (Set("gid", "label", "source").contains(prop))
@@ -359,10 +428,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val patchCol =
         if (sets.isEmpty) lit(null).cast(propsType)
         else map(sets.flatMap { case (k, x) => Seq(lit(k), pvCol(x)) }: _*)
-      effects += PatchProps(df
+      effects += PatchProps(df.filter(rowGate)
         .filter(col(s"${v}__gid").isNotNull)
         .select(col(s"${v}__gid").as("gid"), patchCol.as("patch"),
           array(removes.map(lit(_)): _*).cast("array<string>").as("removes")))
+      // view: drop removed keys, overlay set keys (evaluated per row)
+      val updated = its.foldLeft(
+        coalesce(col(s"${v}__props"), emptyProps)) {
+        case (acc, (k, Lit(null))) => map_filter(acc, (mk, _) => mk =!= k)
+        case (acc, (k, x)) => map_concat(
+          map_filter(acc, (mk, _) => mk =!= k), map(lit(k), pvCol(x)))
+      }
+      df = df.withColumn(s"${v}__props",
+        guarded(col(s"${v}__props"), updated))
     }
     relSets.foreach { case (v, its) =>
       // value expressions evaluate against the FULL binding table (they
@@ -373,10 +451,20 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case x => pvStrOf(pvCol(x))
         }).as(target)
       }
-      effects += PatchEdges(df.filter(col(s"${v}__src").isNotNull)
+      effects += PatchEdges(df.filter(rowGate)
+        .filter(col(s"${v}__src").isNotNull)
         .select(Seq(col(s"${v}__src").as("src"),
           col(s"${v}__dst").as("dst"),
           col(s"${v}__relType").as("relType")) ++ valueCols: _*))
+      its.foreach { case (target, e) =>
+        val viewCol =
+          if (target == "new_source") s"${v}__source" else s"${v}__relType"
+        val value = e match {
+          case Lit(null) => lit(null).cast("string")
+          case x => pvStrOf(pvCol(x))
+        }
+        df = df.withColumn(viewCol, guarded(col(viewCol), value))
+      }
     }
   }
 
@@ -390,8 +478,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def applyCreate(c: CreateClause): Unit = {
     sawWrite = true
     import graft.ops.GraphMerge.WriteEffect._
+    if ((c.onCreate.nonEmpty || c.onMatch.nonEmpty) &&
+        (c.patterns.length != 1 || c.patterns.head.hops.nonEmpty))
+      throw PlanError(
+        "ON CREATE / ON MATCH SET is supported on single-node MERGE only")
+    val wantMatched = c.onCreate.nonEmpty || c.onMatch.nonEmpty
     c.patterns.foreach { pat =>
-      var prevVar = bindCreateNode(pat.head, c.merge)
+      var prevVar = bindCreateNode(pat.head, c.merge, wantMatched)
+      if (wantMatched) {
+        // the merge bound a per-row matched flag; route each
+        // sub-clause to its row subset
+        val matched = col(s"${prevVar}__matched")
+        if (c.onCreate.nonEmpty)
+          applySet(SetClause(c.onCreate), Some(!matched))
+        if (c.onMatch.nonEmpty)
+          applySet(SetClause(c.onMatch), Some(matched))
+        df = df.drop(s"${prevVar}__matched")
+      }
       pat.hops.foreach { case (rel, node) =>
         val relType = rel.relType.getOrElse(
           throw PlanError("CREATE relationship needs an explicit type"))
@@ -421,7 +524,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   /** resolve a CREATE/MERGE pattern node: bound var → reuse; else emit
     * a MergeNodes effect and bind the variable to per-row columns
     */
-  private def bindCreateNode(n: NodePattern, merge: Boolean): String = {
+  private def bindCreateNode(n: NodePattern, merge: Boolean,
+      wantMatched: Boolean = false): String = {
     import graft.ops.GraphMerge.WriteEffect._
     n.variable match {
       case Some(v) if env.get(v).contains(NodeVar) =>
@@ -459,6 +563,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             col("props").as(s"${v}__props"))
           df = df.withColumn("__ck", gidCol)
             .join(nn, col("__ck") === col(s"${v}__gid"), "left_outer")
+          if (wantMatched)
+            // matched BEFORE the coalesce erases the evidence — feeds
+            // the ON CREATE / ON MATCH row gates
+            df = df.withColumn(s"${v}__matched",
+              col(s"${v}__gid").isNotNull)
+          df = df
             .withColumn(s"${v}__gid", coalesce(col(s"${v}__gid"), col("__ck")))
             .withColumn(s"${v}__label",
               coalesce(col(s"${v}__label"), lit(n.label.orNull)))

@@ -207,6 +207,95 @@ class CypherSpec extends AnyFunSuite {
       Seq(("Mimiro", 2L)))
   }
 
+  test("CREATE/MERGE/SET … RETURN projects post-write values") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-wret").toString, spark, 2)
+    // CREATE … RETURN the created binding
+    val created = CypherEngine.query(st,
+      "CREATE (n:Thing {gid: 't:1', name: 'one'}) RETURN n.gid AS gid, n.name AS name")
+      .collect()
+    assert(created.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("t:1", "one")))
+    assert(CypherEngine.query(st, "MATCH (n:Thing) RETURN n.gid AS g")
+      .collect().map(_.getString(0)).toSeq == Seq("t:1"))
+    // SET … RETURN reads the patched view, and the store has committed
+    val updated = CypherEngine.query(st,
+      "MATCH (n:Thing {gid: 't:1'}) SET n.name = 'renamed' RETURN n.name AS name")
+      .collect()
+    assert(updated.map(_.getString(0)).toSeq == Seq("renamed"))
+    assert(CypherEngine.query(st,
+      "MATCH (n:Thing {gid: 't:1'}) RETURN n.name AS name")
+      .collect().head.getString(0) == "renamed")
+    // MERGE … RETURN binds the post-merge node either way
+    val merged = CypherEngine.query(st,
+      "MERGE (n {gid: 't:1'}) RETURN n.name AS name").collect()
+    assert(merged.map(_.getString(0)).toSeq == Seq("renamed"))
+  }
+
+  test("MERGE ON CREATE SET / ON MATCH SET hit only their rows") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-onmerge").toString, spark, 2)
+    CypherEngine.query(st,
+      "CREATE (n:Acc {gid: 'a:1', name: 'old'})").collect()
+    // one existing (a:1) + one new (a:2) through the same template
+    def mergeOne(g: String) = CypherEngine.query(st,
+      s"""MERGE (n {gid: '$g'})
+          ON CREATE SET n.status = 'fresh', n:Acc
+          ON MATCH SET n.status = 'seen'
+          RETURN n.gid AS gid, n.status AS status""").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(mergeOne("a:1") == Seq(("a:1", "seen")))
+    assert(mergeOne("a:2") == Seq(("a:2", "fresh")))
+    val all = CypherEngine.query(st,
+      """MATCH (n:Acc) RETURN n.gid AS gid, n.name AS name,
+         n.status AS status ORDER BY gid""").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2)))
+    // a:1 kept its name and label, took the ON MATCH status;
+    // a:2 was created with the ON CREATE status + label stamp
+    assert(all.toSeq == Seq(("a:1", Some("old"), "seen"),
+      ("a:2", None, "fresh")))
+  }
+
+  test("UNION / UNION ALL combine queries; tail scopes to the union") {
+    val names = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN n.name AS name
+         UNION MATCH (c:Company) RETURN c.name AS name""").collect()
+      .map(_.getString(0))
+    assert(names.toSet == Set("brian", "jane", "ola", "Mimiro"))
+    assert(names.length == 4)
+    // ALL keeps duplicates
+    val dup = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'ola'}) RETURN n.name AS name
+         UNION ALL MATCH (n:Person {name: 'ola'}) RETURN n.name AS name""")
+      .collect()
+    assert(dup.length == 2)
+    // UNION dedups identical rows across parts
+    val dedup = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'ola'}) RETURN n.name AS name
+         UNION MATCH (n:Person {name: 'ola'}) RETURN n.name AS name""")
+      .collect()
+    assert(dedup.length == 1)
+    // final ORDER BY / LIMIT apply to the COMBINED rows
+    val top = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN n.name AS name
+         UNION MATCH (c:Company) RETURN c.name AS name
+         ORDER BY name DESC LIMIT 2""").collect().map(_.getString(0))
+    assert(top.toSeq == Seq("ola", "jane"))
+    // mixing modes is rejected; mismatched columns are rejected
+    intercept[graft.cypher.Parser.ParseException] {
+      CypherEngine.query(store,
+        """MATCH (n:Person) RETURN n.name AS name
+           UNION ALL MATCH (n:Person) RETURN n.name AS name
+           UNION MATCH (n:Person) RETURN n.name AS name""")
+    }
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        """MATCH (n:Person) RETURN n.name AS name
+           UNION MATCH (c:Company) RETURN c.gid AS gid""")
+    }
+    assert(err.getMessage.contains("same columns"))
+  }
+
   test("undirected relationships match either orientation") {
     // knows: p2 -> p1; undirected sees the pair both ways
     val pairs = CypherEngine.query(store,
