@@ -69,6 +69,60 @@ object TextOps {
         sh AS (SELECT doc_id, s FROM sh0 JOIN keep USING (s)),
         cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)"""
 
+  /** verified MinHash+LSH near-dup pairs (da < db, jaccard ≥ 0.7) —
+    * shared by dedup_minhash_lsh (the pair list) and dedup_cluster
+    * (connected components over it). See dedup_minhash_lsh's entry
+    * comment for the banding/verify design.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = cappedShingles(shingleTable(s, dir)).cache()
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val h = md5($"s")
+    val ha = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val hb = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val hashed = sh.select(($"doc_id" +:
+      (0 until 12).map(i => (ha + lit(i.toLong) * hb).as(s"h$i"))): _*)
+    val mins = (0 until 12).map(i => min(col(s"h$i")).as(s"h$i"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"doc_id",
+        array((0 until 12).map(i => col(s"h$i")): _*).as("hs"))
+    // 4 bands × 3 rows: candidate probability ≈ J³ per band — tuned
+    // so the ~0.7 threshold keeps recall while random-pair collisions
+    // (high baseline vocabulary overlap) stay rare.
+    val bands = sig
+      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("b"), $"hs")
+      .select($"doc_id", $"b",
+        md5(concat_ws("|",
+          element_at($"hs", $"b" * 3 + 1).cast("string"),
+          element_at($"hs", $"b" * 3 + 2).cast("string"),
+          element_at($"hs", $"b" * 3 + 3).cast("string"))).as("bkey"))
+    val cand = bands.select($"doc_id".as("da"), $"b", $"bkey")
+      .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
+        Seq("b", "bkey"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct().cache()
+    // exact-verify only the candidate docs' shingles: the LSH pair
+    // set is tiny relative to the corpus, so semi-filtering both
+    // sides keeps the verify join from shuffling the full shingle
+    // table (at 100 TB that shuffle would dwarf everything else)
+    val x = sh.join(broadcast(cand.select($"da".as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select($"doc_id".as("da"), $"s")
+    val y = sh.join(broadcast(cand.select($"db".as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select($"doc_id".as("db"), $"s")
+    val inter = cand.join(x, Seq("da")).join(y, Seq("db", "s"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+      .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+      .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
+      .filter($"jaccard" >= 0.7)
+      .select($"da", $"db", $"jaccard")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace tokens + alpha-token subset.
     "t_token_count" -> ((s, dir) => {
@@ -174,52 +228,89 @@ object TextOps {
     // DuckDB oracle for bit-parity.
     "dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sh = cappedShingles(shingleTable(s, dir)).cache()
-      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val h = md5($"s")
-      val ha = conv(substring(h, 1, 8), 16, 10).cast("long")
-      val hb = conv(substring(h, 9, 8), 16, 10).cast("long")
-      val hashed = sh.select(($"doc_id" +:
-        (0 until 12).map(i => (ha + lit(i.toLong) * hb).as(s"h$i"))): _*)
-      val mins = (0 until 12).map(i => min(col(s"h$i")).as(s"h$i"))
-      val sig = hashed.groupBy($"doc_id")
-        .agg(mins.head, mins.tail: _*)
+      minhashPairs(s, dir).orderBy($"da", $"db")
+    }),
+
+    // dup-pair graph → clusters → canonical keeper: the standard final
+    // step of a corpus dedup pipeline. Connected components over the
+    // verified MinHash pairs via iterative min-label propagation
+    // (localCheckpoint per round truncates lineage; rounds ~ cluster
+    // diameter, and dup clusters are shallow by construction). Every
+    // document gets (cluster, keep): keep = it is its cluster's min id.
+    "dedup_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = minhashPairs(s, dir)
+      val edges = pairs.select($"da".as("a"), $"db".as("b"))
+        .unionByName(pairs.select($"db".as("a"), $"da".as("b")))
+        .localCheckpoint()
+      var lab = edges.select($"a".as("id")).distinct()
+        .withColumn("cluster", $"id").localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 30) {
+        val viaNbr = edges
+          .join(lab.select($"id".as("b"), $"cluster".as("nc")), Seq("b"))
+          .groupBy($"a").agg(min($"nc").as("nc"))
+          .select($"a".as("id"), $"nc")
+        val next = lab.join(viaNbr, Seq("id"), "left_outer")
+          .select($"id",
+            least($"cluster", coalesce($"nc", $"cluster")).as("cluster"))
+          .localCheckpoint()
+        changed = next
+          .join(lab.select($"id", $"cluster".as("old")), Seq("id"))
+          .filter($"cluster" =!= $"old").count()
+        lab = next
+        rounds += 1
+      }
+      t(s, dir, "documents").select($"doc_id")
+        .join(lab.select($"id".as("doc_id"), $"cluster"),
+          Seq("doc_id"), "left_outer")
         .select($"doc_id",
-          array((0 until 12).map(i => col(s"h$i")): _*).as("hs"))
-      // 4 bands × 3 rows: candidate probability ≈ J³ per band — tuned
-      // so the ~0.7 threshold keeps recall while random-pair collisions
-      // (high baseline vocabulary overlap) stay rare.
-      val bands = sig
-        .select($"doc_id", explode(sequence(lit(0), lit(3))).as("b"), $"hs")
-        .select($"doc_id", $"b",
-          md5(concat_ws("|",
-            element_at($"hs", $"b" * 3 + 1).cast("string"),
-            element_at($"hs", $"b" * 3 + 2).cast("string"),
-            element_at($"hs", $"b" * 3 + 3).cast("string"))).as("bkey"))
-      val cand = bands.select($"doc_id".as("da"), $"b", $"bkey")
-        .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
-          Seq("b", "bkey"))
-        .filter($"da" < $"db")
-        .select($"da", $"db").distinct().cache()
-      // exact-verify only the candidate docs' shingles: the LSH pair
-      // set is tiny relative to the corpus, so semi-filtering both
-      // sides keeps the verify join from shuffling the full shingle
-      // table (at 100 TB that shuffle would dwarf everything else)
-      val x = sh.join(broadcast(cand.select($"da".as("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-        .select($"doc_id".as("da"), $"s")
-      val y = sh.join(broadcast(cand.select($"db".as("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-        .select($"doc_id".as("db"), $"s")
-      val inter = cand.join(x, Seq("da")).join(y, Seq("db", "s"))
-        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
-        .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
-        .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
-        .filter($"jaccard" >= 0.7)
-        .select($"da", $"db", $"jaccard")
-        .orderBy($"da", $"db")
+          coalesce($"cluster", $"doc_id").as("cluster"),
+          (coalesce($"cluster", $"doc_id") === $"doc_id").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // intra-document repetition (Gopher-style quality signal): the
+    // fraction of duplicate word-bigrams and the share held by the
+    // single most frequent bigram. High values flag boilerplate /
+    // degenerate generations. Pure per-doc narrow aggregation — one
+    // shuffle on (doc_id, bigram), scales linearly.
+    "t_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val bi = t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"w") - 1),
+            i => array_join(slice($"w", i, lit(2)), " "))).as("g"))
+      val gc = bi.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      val st = gc.groupBy($"doc_id").agg(
+        sum($"c").as("total"), count(lit(1)).as("ndist"),
+        max($"c").as("maxc"))
+      t(s, dir, "documents").select($"doc_id")
+        .join(st, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce(lit(1.0) - $"ndist" * 1.0 / $"total", lit(0.0))
+            .as("dup_bigram_frac"),
+          coalesce($"maxc" * 1.0 / $"total", lit(0.0))
+            .as("top_bigram_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic stratified sampling: within each language stratum
+    // keep the docs whose salted-md5 bucket falls under the rate — the
+    // reproducible (re-runnable, oracle-able) corpus downsampling
+    // primitive. Pure per-row hash + filter: no shuffle at all.
+    "t_sample" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          (conv(substring(md5(concat(lit("sample:"), $"doc_id")), 1, 8),
+            16, 10).cast("long") % 100).as("bucket"))
+        .filter($"bucket" < 20)
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
     }),
 
     // SimHash(32-bit over md5 nibbles) per doc.
@@ -334,27 +425,43 @@ object TextOps {
           JOIN cnt cb ON cb.doc_id = db
           WHERE i*1.0/(ca.n + cb.n - i) >= 0.7 ORDER BY da, db""",
     "dedup_minhash_lsh" ->
-      s"""WITH $shingleSqlCte,
-          ab AS (SELECT doc_id,
-              ('0x' || substr(md5(s), 1, 8))::BIGINT a,
-              ('0x' || substr(md5(s), 9, 8))::BIGINT b FROM sh),
-          mh AS (SELECT doc_id, i, min(a + i*b) h
-            FROM ab CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
-          sig AS (SELECT doc_id, array_agg(h ORDER BY i) hs FROM mh GROUP BY 1),
-          bands AS (SELECT doc_id, b,
-              md5(hs[3*b+1]::VARCHAR || '|' || hs[3*b+2]::VARCHAR ||
-                  '|' || hs[3*b+3]::VARCHAR) bkey
-            FROM sig CROSS JOIN range(4) t(b)),
-          cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x
-            JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
-              AND x.doc_id < y.doc_id),
-          inter AS (SELECT da, db, count(*) i FROM cand
-            JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db AND b.s = a.s
-            GROUP BY 1, 2)
-          SELECT da, db, i*1.0/(ca.n + cb.n - i) AS jaccard
-          FROM inter JOIN cnt ca ON ca.doc_id = da
-          JOIN cnt cb ON cb.doc_id = db
-          WHERE i*1.0/(ca.n + cb.n - i) >= 0.7 ORDER BY da, db""",
+      s"""WITH $minhashPairsSqlCtes
+          SELECT da, db, jaccard FROM verified ORDER BY da, db""",
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsSqlCtes,
+          edges AS (SELECT da a, db b FROM verified
+            UNION ALL SELECT db, da FROM verified),
+          r(id, m) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.id, e.b FROM r JOIN edges e ON r.m = e.a),
+          clus AS (SELECT id, LEAST(id, MIN(m)) AS cluster FROM r GROUP BY id)
+          SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+            COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+          FROM documents d LEFT JOIN clus c ON c.id = d.doc_id
+          ORDER BY d.doc_id""",
+    "t_repetition" ->
+      """WITH words AS (SELECT doc_id,
+            string_split_regex(trim(text), '\s+') w FROM documents),
+          bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(w), 1)),
+                i -> array_to_string(list_slice(w, i, i+1), ' '))) g
+            FROM words WHERE len(w) >= 2),
+          gc AS (SELECT doc_id, g, count(*) c FROM bi GROUP BY 1, 2),
+          st AS (SELECT doc_id, sum(c) total, count(*) ndist, max(c) maxc
+            FROM gc GROUP BY 1)
+          SELECT d.doc_id,
+            COALESCE(1.0 - ndist*1.0/total, 0.0) AS dup_bigram_frac,
+            COALESCE(maxc*1.0/total, 0.0) AS top_bigram_frac
+          FROM documents d LEFT JOIN st USING (doc_id)
+          ORDER BY d.doc_id""",
+    "t_sample" ->
+      """SELECT doc_id, lang,
+         ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT % 100
+           AS bucket
+         FROM documents
+         WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT % 100 < 20
+         ORDER BY doc_id""",
     "dedup_simhash" -> s"$simhashSql ORDER BY doc_id",
     "dedup_simhash_pairs" ->
       s"""WITH sims AS ($simhashSql),
@@ -367,6 +474,32 @@ object TextOps {
           SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
           FROM cand WHERE bit_count(xor(sa, sb)) <= 3
           ORDER BY da, db""")
+
+  /** the minhashPairs dataflow in DuckDB, ending in a `verified`
+    * CTE (da, db, jaccard) — shared by the pair-list and cluster
+    * oracles */
+  private lazy val minhashPairsSqlCtes =
+    s"""$shingleSqlCte,
+        ab AS (SELECT doc_id,
+            ('0x' || substr(md5(s), 1, 8))::BIGINT a,
+            ('0x' || substr(md5(s), 9, 8))::BIGINT b FROM sh),
+        mh AS (SELECT doc_id, i, min(a + i*b) h
+          FROM ab CROSS JOIN range(12) t(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, array_agg(h ORDER BY i) hs FROM mh GROUP BY 1),
+        bands AS (SELECT doc_id, b,
+            md5(hs[3*b+1]::VARCHAR || '|' || hs[3*b+2]::VARCHAR ||
+                '|' || hs[3*b+3]::VARCHAR) bkey
+          FROM sig CROSS JOIN range(4) t(b)),
+        cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db FROM bands x
+          JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+            AND x.doc_id < y.doc_id),
+        inter AS (SELECT da, db, count(*) i FROM cand
+          JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db AND b.s = a.s
+          GROUP BY 1, 2),
+        verified AS (SELECT da, db, i*1.0/(ca.n + cb.n - i) AS jaccard
+          FROM inter JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE i*1.0/(ca.n + cb.n - i) >= 0.7)"""
 
   private lazy val simhashSql =
     """SELECT doc_id,
