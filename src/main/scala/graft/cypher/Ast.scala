@@ -43,6 +43,22 @@ object Ast {
   /** `coll[idx]` — 0-based list index (negative = from the end) or
     * string map-key access */
   case class Subscript(coll: Expr, idx: Expr) extends Expr
+  /** `[x IN list WHERE pred | proj]` list comprehension (both parts
+    * optional; bare `[x IN list]` copies) */
+  case class ListComp(variable: String, list: Expr, where: Option[Expr],
+      proj: Option[Expr]) extends Expr
+  /** `any/all/none/single(x IN list WHERE pred)` quantified
+    * predicates */
+  case class Quant(op: String, variable: String, list: Expr, pred: Expr)
+      extends Expr
+  /** `reduce(acc = init, x IN list | body)` */
+  case class ReduceExpr(acc: String, init: Expr, variable: String,
+      list: Expr, body: Expr) extends Expr
+  /** `exists((n)-[:T]->(m))` pattern predicate — true when the pattern
+    * matches at least once for the row's bindings; usable only as a
+    * (possibly NOT-negated) top-level WHERE conjunct, where it plans
+    * as a semi/anti join */
+  case class PatternPred(pattern: PathPattern) extends Expr
 
   /** property values may be literals OR expressions (parameters,
     * `item.k` property references) — the reference's own templates
@@ -180,6 +196,7 @@ object Ast {
       case Star => "*"
       case Arith(op, l, r) => s"${expr(l)} $op ${expr(r)}"
       case Subscript(c, i) => s"${expr(c)}[${expr(i)}]"
+      case other => other.toString // alias these in practice
     }
   }
 }

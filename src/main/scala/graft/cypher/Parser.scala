@@ -33,7 +33,7 @@ object Parser {
     "END", "UNION", "ALL")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -283,8 +283,13 @@ object Parser {
 
   private def parseItems(p: P): Seq[Ast.ReturnItem] = {
     val items = Seq.newBuilder[Ast.ReturnItem]
-    items += parseReturnItem(p)
-    while (p.trySym(",")) items += parseReturnItem(p)
+    // `RETURN *` / `WITH *` — all bound variables (may be followed by
+    // further explicit items: `RETURN *, count`)
+    def one(): Unit =
+      if (p.trySym("*")) items += Ast.ReturnItem(Ast.Star, None)
+      else items += parseReturnItem(p)
+    one()
+    while (p.trySym(",")) one()
     items.result()
   }
 
@@ -309,6 +314,18 @@ object Parser {
   private def parseLong(p: P): Long = p.next() match {
     case NumLit(v: Long) => v
     case other => throw ParseException(s"expected integer, got $other")
+  }
+
+  /** quantified predicate body: `(x IN list WHERE pred)` */
+  private def parseQuant(p: P, fn: String): Ast.Expr = {
+    p.expectSym("(")
+    val v = p.identOrKw()
+    p.expectKw("IN")
+    val listE = parseExpr(p)
+    p.expectKw("WHERE")
+    val pred = parseExpr(p)
+    p.expectSym(")")
+    Ast.Quant(fn, v, listE, pred)
   }
 
   private def parseReturnItem(p: P): Ast.ReturnItem = {
@@ -535,13 +552,24 @@ object Parser {
       p.expectSym(")")
       e
     case Sym("[") =>
-      val items = Seq.newBuilder[Ast.Expr]
-      if (!p.trySym("]")) {
-        items += parseExpr(p)
-        while (p.trySym(",")) items += parseExpr(p)
-        p.expectSym("]")
+      // `[x IN list …]` is a comprehension, anything else a literal
+      (p.toks.headOption, p.toks.drop(1).headOption) match {
+        case (Some(Ident(v)), Some(Kw("IN"))) =>
+          p.next(); p.next()
+          val listE = parseExpr(p)
+          val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+          val projE = if (p.trySym("|")) Some(parseExpr(p)) else None
+          p.expectSym("]")
+          Ast.ListComp(v, listE, whereE, projE)
+        case _ =>
+          val items = Seq.newBuilder[Ast.Expr]
+          if (!p.trySym("]")) {
+            items += parseExpr(p)
+            while (p.trySym(",")) items += parseExpr(p)
+            p.expectSym("]")
+          }
+          Ast.ListLit(items.result())
       }
-      Ast.ListLit(items.result())
     case Sym("{") =>
       val entries = Seq.newBuilder[(String, Ast.Expr)]
       def one(): Unit = {
@@ -585,6 +613,50 @@ object Parser {
         }
       p.expectSym(")")
       Ast.FuncCall(fn.toLowerCase, args, distinct)
+    case Ident(fn) if p.peek.contains(Sym("(")) &&
+        Set("any", "all", "none", "single").contains(fn.toLowerCase) &&
+        (p.toks.drop(1).headOption.exists(_.isInstanceOf[Ident]) &&
+          p.toks.drop(2).headOption.contains(Kw("IN")("IN"))) =>
+      parseQuant(p, fn.toLowerCase)
+    // `all` lexes as the UNION ALL keyword — still a quantifier here
+    case k: Kw if k.s == "ALL" && p.peek.contains(Sym("(")) =>
+      parseQuant(p, "all")
+    case Ident(fn) if fn.equalsIgnoreCase("reduce") &&
+        p.peek.contains(Sym("(")) =>
+      // reduce(acc = init, x IN list | body)
+      p.next() // '('
+      val acc = p.identOrKw()
+      p.expectSym("=")
+      val init = parseExpr(p)
+      p.expectSym(",")
+      val v = p.identOrKw()
+      p.expectKw("IN")
+      val listE = parseExpr(p)
+      p.expectSym("|")
+      val body = parseExpr(p)
+      p.expectSym(")")
+      Ast.ReduceExpr(acc, init, v, listE, body)
+    case Ident(fn) if fn.equalsIgnoreCase("exists") &&
+        p.peek.contains(Sym("(")) &&
+        p.toks.drop(1).headOption.contains(Sym("(")) =>
+      // exists((n)-[:T]->(m)) — pattern predicate. A parenthesized
+      // NON-pattern (`exists((n.age))`) backtracks to the value form.
+      val saved = p.toks
+      p.next() // '('
+      try {
+        val pat = parsePattern(p)
+        p.expectSym(")")
+        if (pat.hops.isEmpty)
+          throw ParseException("bare node exists() is a value check")
+        Ast.PatternPred(pat)
+      } catch {
+        case _: ParseException =>
+          p.toks = saved
+          p.next() // '('
+          val e = parseExpr(p)
+          p.expectSym(")")
+          Ast.FuncCall("exists", Seq(e), distinct = false)
+      }
     case Ident(fn) if p.peek.contains(Sym("(")) =>
       p.next() // '('
       val as = Seq.newBuilder[Ast.Expr]

@@ -105,6 +105,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         e.foreach(scan)
       case Arith(_, l, r) => scan(l); scan(r)
       case Subscript(c, i) => scan(c); scan(i)
+      case ListComp(_, l, w, pr) => scan(l); w.foreach(scan); pr.foreach(scan)
+      case Quant(_, _, l, p) => scan(l); scan(p)
+      case ReduceExpr(_, i, _, l, b) => scan(i); scan(l); scan(b)
       case _ => ()
     }
     q.items.foreach(i => scan(i.expr))
@@ -124,6 +127,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var env = Map.empty[String, VarKind]
   private var df: DataFrame = _
   private var anon = 0
+
+  /** lambda-bound variables (list comprehensions / quantifiers /
+    * reduce) — consulted before `env`, innermost binding wins. The
+    * bound Column is Spark's named lambda variable, valid only while
+    * the enclosing higher-order function builds its expression — which
+    * is exactly the dynamic extent of [[withLambda]].
+    */
+  private var lambdaScope: Map[String, Column] = Map.empty
+  private def withLambda(bindings: (String, Column)*)(f: => Column): Column = {
+    val saved = lambdaScope
+    lambdaScope = lambdaScope ++ bindings
+    try f finally lambdaScope = saved
+  }
   private def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
 
   /** write effects accumulated across the statement's clauses —
@@ -187,8 +203,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case d: DeleteClause => applyDelete(d)
       case s: SetClause => applySet(s)
     }
+    val items = expandStar(q.items)
     val effs = effects.result()
-    if (effs.nonEmpty && q.items.isEmpty) return executeWrite(effs)
+    if (effs.nonEmpty && items.isEmpty) return executeWrite(effs)
     if (effs.nonEmpty) {
       // write + RETURN: commit the statement, then project from the
       // statement's binding table — its columns carry the POST-write
@@ -198,11 +215,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       graft.ops.GraphMerge.applyWrite(store, effs)
     }
     if (df == null) throw PlanError("nothing bound before RETURN")
-    var out = projectReturn(q.items)
+    var out = projectReturn(items)
     if (q.distinct) out = distinctSafe(out)
     if (q.orderBy.nonEmpty) {
       val sorts = q.orderBy.map { case (e, asc) =>
-        val c = resolveOrderCol(e, q.items)
+        val c = resolveOrderCol(e, items)
         if (asc) c.asc else c.desc
       }
       out = out.orderBy(sorts: _*)
@@ -211,6 +228,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     q.limit.foreach(n => out = out.limit(n.toInt))
     out
   }
+
+  /** `*` in RETURN/WITH expands to every user-named binding —
+    * alphabetical (the engine's documented column order), skipping
+    * internal fresh vars and path bindings */
+  private def expandStar(items: Seq[ReturnItem]): Seq[ReturnItem] =
+    items.flatMap {
+      case ReturnItem(Star, None) =>
+        env.toSeq.collect {
+          case (v, NodeVar | RelVar | ValueVar(_)) if !v.startsWith("__") => v
+        }.sorted.map(v => ReturnItem(VarRef(v), Some(v)))
+      case it => Seq(it)
+    }
 
   /** `[DETACH] DELETE v, …` (clause): snapshot each target's matched
     * node-gid / edge-key set as delete effects. Edge effects first, so
@@ -266,6 +295,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   /** the Spark type of an expression column under the current frame */
   private def colType(c: Column): org.apache.spark.sql.types.DataType =
     df.select(c).schema.head.dataType
+
+  /** colType, but total: a column referencing a lambda variable (or no
+    * frame at all) cannot be analyzed standalone — callers fall back
+    * to coercion-driven lowering */
+  private def colTypeOpt(c: Column): Option[org.apache.spark.sql.types.DataType] =
+    try Some(colType(c)) catch { case _: Throwable => None }
 
   private def isPvMapType(t: org.apache.spark.sql.types.DataType): Boolean =
     t match {
@@ -729,7 +764,56 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           if (materialize) segs.result() else Nil)
       }
     }
-    m.where.foreach(w => df = df.filter(toPredicate(w)))
+    m.where.foreach { w =>
+      // pattern predicates (exists / NOT exists) only make sense as
+      // top-level conjuncts — each plans as a semi/anti join; the
+      // remaining conjuncts filter as ordinary predicates
+      def conjuncts(e: Expr): Seq[Expr] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      conjuncts(w).foreach {
+        case PatternPred(pat) => applyPatternPred(pat, negated = false)
+        case Not(PatternPred(pat)) => applyPatternPred(pat, negated = true)
+        case e => df = df.filter(toPredicate(e))
+      }
+    }
+  }
+
+  /** `exists((n)-[:T]->(m))` / `NOT exists(…)` as a WHERE conjunct:
+    * the pattern plans standalone (like OPTIONAL MATCH), projects the
+    * gids of the node variables it shares with the outer clause, and
+    * left-semi (or anti) joins them onto the bound rows. The pattern's
+    * own fresh variables never bind — Cypher's existential scoping.
+    */
+  private def applyPatternPred(pat: PathPattern, negated: Boolean): Unit = {
+    if (pat.pathVar.nonEmpty || pat.shortest || pat.allShortest)
+      throw PlanError("exists() patterns cannot bind paths")
+    val outerDf = df
+    val outerEnv = env
+    df = null
+    env = Map.empty
+    applyInnerMatch(MatchClause(Seq(pat), optional = false, where = None))
+    val subDf = df
+    val subEnv = env
+    df = outerDf
+    env = outerEnv
+    subEnv.foreach { case (v, k) =>
+      outerEnv.get(v).foreach { ok =>
+        if (ok != NodeVar || k != NodeVar) throw PlanError(
+          s"exists() pattern reuses $v with a non-node binding")
+      }
+    }
+    val shared = subEnv.collect {
+      case (v, NodeVar) if outerEnv.contains(v) => v
+    }.toSeq.sorted
+    if (shared.isEmpty) throw PlanError(
+      "exists() pattern must reuse at least one bound node variable")
+    val probe = subDf.select(shared.map(v =>
+      col(s"${v}__gid").as(s"__pp__${v}__gid")): _*).distinct()
+    val cond = shared.map(v =>
+      col(s"${v}__gid") === col(s"__pp__${v}__gid")).reduce(_ && _)
+    df = outerDf.join(probe, cond, if (negated) "left_anti" else "left_semi")
   }
 
   /** OPTIONAL MATCH as a whole-clause left join: all comma-separated
@@ -1006,12 +1090,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def applyWith(w: WithClause): Unit = {
     if (df == null) throw PlanError("WITH before any binding")
-    val hasAgg = w.items.exists(i => containsAgg(i.expr))
+    val wi = expandStar(w.items) // WITH * carries every binding through
+    val hasAgg = wi.exists(i => containsAgg(i.expr))
     val newEnv = scala.collection.mutable.Map.empty[String, VarKind]
 
     if (!hasAgg) {
       val cols = Seq.newBuilder[Column]
-      w.items.foreach { i =>
+      wi.foreach { i =>
         i.expr match {
           case VarRef(n) if env.get(n).contains(NodeVar) =>
             val out = i.alias.getOrElse(n)
@@ -1033,8 +1118,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       df = df.select(cols.result(): _*)
     } else {
-      val keyItems = w.items.filter(i => !containsAgg(i.expr))
-      val aggItems = w.items.filter(i => containsAgg(i.expr))
+      val keyItems = wi.filter(i => !containsAgg(i.expr))
+      val aggItems = wi.filter(i => containsAgg(i.expr))
       val groupCols = Seq.newBuilder[Column]
       val postAggs = Seq.newBuilder[Column]
       keyItems.foreach { i =>
@@ -1193,6 +1278,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       e.exists(containsAgg)
     case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
     case Subscript(c, i) => containsAgg(c) || containsAgg(i)
+    case ListComp(_, l, w, pr) =>
+      containsAgg(l) || w.exists(containsAgg) || pr.exists(containsAgg)
+    case Quant(_, _, l, p) => containsAgg(l) || containsAgg(p)
+    case ReduceExpr(_, i, _, l, b) =>
+      containsAgg(i) || containsAgg(l) || containsAgg(b)
     case _ => false
   }
 
@@ -1251,6 +1341,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case Lit(null) => lit(null)
     case Lit(v) => lit(v)
     case Star => throw PlanError("* outside count()")
+    case VarRef(n) if lambdaScope.contains(n) => lambdaScope(n)
+    case PropRef(v, p) if lambdaScope.contains(v) =>
+      lambdaScope(v).getItem(p) // resolves by element type at analysis
     case VarRef(n) => env.get(n) match {
       case Some(NodeVar) => struct(
         col(s"${n}__gid").as("gid"), col(s"${n}__label").as("label"),
@@ -1401,6 +1494,46 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val c = valueCol(a); when(size(c) > 0, element_at(c, 1))
     case FuncCall("last", Seq(a), _) =>
       val c = valueCol(a); when(size(c) > 0, element_at(c, -1))
+    // range(a, b[, step]) — inclusive both ends, like sequence()
+    case FuncCall("range", Seq(a, b), _) =>
+      sequence(valueCol(a).cast("long"), valueCol(b).cast("long"))
+    case FuncCall("range", Seq(a, b, st), _) =>
+      sequence(valueCol(a).cast("long"), valueCol(b).cast("long"),
+        valueCol(st).cast("long"))
+    case FuncCall("keys", Seq(a), _) =>
+      val c = a match {
+        case VarRef(n) if env.get(n).contains(NodeVar) => col(s"${n}__props")
+        case other => valueCol(other)
+      }
+      sort_array(map_keys(c))
+    case FuncCall("properties", Seq(VarRef(n)), _)
+        if env.get(n).contains(NodeVar) =>
+      // canonical-string view of the props map (the engine's documented
+      // untyped-property rendering)
+      transform_values(coalesce(col(s"${n}__props"), pvMapLit(Map.empty)),
+        (_, v) => pvStrOf(v))
+    case ListComp(v, listE, whereE, projE) =>
+      val base = valueCol(listE)
+      val filtered = whereE.map(w =>
+        filter(base, x => withLambda(v -> x)(toPredicate(w))))
+        .getOrElse(base)
+      projE.map(pr =>
+        transform(filtered, x => withLambda(v -> x)(valueCol(pr))))
+        .getOrElse(filtered)
+    case Quant(op, v, listE, predE) =>
+      val base = valueCol(listE)
+      def pred(x: Column) = withLambda(v -> x)(toPredicate(predE))
+      op match {
+        case "any" => exists(base, pred)
+        case "all" => forall(base, pred)
+        case "none" => !exists(base, pred)
+        case "single" => size(filter(base, pred(_))) === 1
+      }
+    case ReduceExpr(acc, init, v, listE, bodyE) =>
+      aggregate(valueCol(listE), valueCol(init),
+        (a, x) => withLambda(acc -> a, v -> x)(valueCol(bodyE)))
+    case PatternPred(_) => throw PlanError(
+      "exists(pattern) is supported only as a top-level WHERE conjunct of a MATCH")
     case c: Cmp => toPredicate(c)
     case a: And => toPredicate(a)
     case o: Or => toPredicate(o)
@@ -1428,7 +1561,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     def low(e: Ast.Expr): Column =
       if (containsAgg(e)) aggCol(e) else valueCol(e)
     val (lc, rc) = (low(l), low(r))
-    val (lt, rt) = (colType(lc), colType(rc))
+    val (lt, rt) = (colTypeOpt(lc), colTypeOpt(rc)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ =>
+        // lambda-scoped operand (comprehension/reduce body): no frame
+        // to analyze against — lower with Spark's own type coercion
+        // (numeric semantics; `^` still forces double)
+        return op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => lc / rc
+          case "%" => lc % rc
+          case "^" => pow(lc.cast("double"), rc.cast("double"))
+        }
+    }
     val (lProp, rProp) = (pvOf(l).isDefined, pvOf(r).isDefined)
     def isIntegral(t: DataType, prop: Boolean) = !prop && (t match {
       case LongType | IntegerType | ShortType | ByteType => true
@@ -1471,19 +1618,26 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * matching Cypher — never an ANSI error. */
   private def subscriptCol(c: Column, idx: Ast.Expr): Column = {
     import org.apache.spark.sql.types._
-    colType(c) match {
-      case _: StructType => idx match {
+    colTypeOpt(c) match {
+      case Some(_: StructType) => idx match {
         case Lit(s: String) => c.getField(s)
         case other =>
           throw PlanError(s"struct subscript needs a string key, got $other")
       }
-      case m: MapType =>
+      case Some(m: MapType) =>
         val v = try_element_at(c, valueCol(idx).cast(m.keyType))
         if (isPvMapType(m)) pvStrOf(v) else v
-      case _: ArrayType =>
+      case Some(_: ArrayType) =>
         val i = valueCol(idx).cast("int")
         try_element_at(c, when(i >= 0, i + 1).otherwise(i))
-      case t => throw PlanError(s"cannot subscript a $t value")
+      case None => idx match {
+        // lambda-scoped collection: resolve the access at analysis
+        case Lit(s: String) => c.getItem(s)
+        case _ =>
+          val i = valueCol(idx).cast("int")
+          try_element_at(c, when(i >= 0, i + 1).otherwise(i))
+      }
+      case Some(t) => throw PlanError(s"cannot subscript a $t value")
     }
   }
 
@@ -1491,6 +1645,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * map-typed UNWIND item (the template's `item.gid`, neo4j.go:103)
     */
   private def pvOf(e: Ast.Expr): Option[Column] = e match {
+    // a lambda binding shadows any frame variable of the same name
+    case PropRef(v, _) if lambdaScope.contains(v) => None
     case PropRef(v, p) => env.get(v) match {
       case Some(NodeVar) if !Set("gid", "label", "source").contains(p) =>
         Some(col(s"${v}__props").getItem(p))

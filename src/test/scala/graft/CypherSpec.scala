@@ -256,6 +256,83 @@ class CypherSpec extends AnyFunSuite {
       ("a:2", None, "fresh")))
   }
 
+  test("range / keys / properties") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})
+         RETURN range(1, 4) AS r, range(0, 10, 5) AS r5,
+                keys(n) AS ks, properties(n) AS ps""").collect().head
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L, 4L))
+    assert(r.getSeq[Long](1) == Seq(0L, 5L, 10L))
+    assert(r.getSeq[String](2) == Seq("age", "name"))
+    assert(r.getMap[String, String](3) ==
+      Map("age" -> "23", "name" -> "brian"))
+  }
+
+  test("list comprehensions, quantifiers, reduce") {
+    val r = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN [x IN range(1, 6) WHERE x % 2 = 0 | x * 10] AS evens,
+                [x IN range(1, 3)] AS copy,
+                [x IN range(1, 6) WHERE x > 4] AS gt4,
+                reduce(acc = 0, x IN range(1, 5) | acc + x) AS total""")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(20L, 40L, 60L))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](2) == Seq(5L, 6L))
+    assert(r.getLong(3) == 15L)
+    val q = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN any(x IN [1, 2, 3] WHERE x > 2) AS a,
+                all(x IN [1, 2, 3] WHERE x > 0) AS al,
+                none(x IN [1, 2, 3] WHERE x > 5) AS no,
+                single(x IN [1, 2, 3] WHERE x = 2) AS si,
+                single(x IN [2, 2] WHERE x = 2) AS si2""").collect().head
+    assert(q.getBoolean(0) && q.getBoolean(1) && q.getBoolean(2) &&
+      q.getBoolean(3) && !q.getBoolean(4))
+    // comprehension over a quantifier-filtered node collect
+    val names = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         WITH collect(n.name) AS ns
+         RETURN [x IN ns WHERE x STARTS WITH 'j'] AS js""").collect().head
+    assert(names.getSeq[String](0) == Seq("jane"))
+  }
+
+  test("exists() pattern predicate plans as semi/anti join") {
+    val has = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE exists((n)-[:worksfor]->())
+         RETURN n.gid AS gid ORDER BY gid""").collect().map(_.getString(0))
+    assert(has.toSeq == Seq("urn:p1", "urn:p2"))
+    val hasNot = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE NOT exists((n)-[:worksfor]->())
+         RETURN n.gid AS gid""").collect().map(_.getString(0))
+    assert(hasNot.toSeq == Seq("urn:p3"))
+    // combined with an ordinary conjunct, and with a bound other end
+    val both = CypherEngine.query(store,
+      """MATCH (n:Person)-[:worksfor]->(c)
+         WHERE exists((n)-[:knows]->()) AND n.age > 1
+         RETURN n.gid AS gid, c.gid AS c""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(both.toSeq == Seq(("urn:p2", "urn:c1")))
+    // exists((n.age)) still parses as the value form
+    val v = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE exists((n.age)) RETURN count(*) AS n""")
+      .collect().head.getLong(0)
+    assert(v == 3L)
+  }
+
+  test("RETURN * / WITH * expand to all bound variables") {
+    val cols = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})-[r:worksfor]->(m)
+         RETURN *""").columns.toSeq
+    assert(cols == Seq("m", "n", "r"))
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         WITH *, n.age AS age
+         RETURN n.gid AS gid, age ORDER BY gid""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:p1", "23"), ("urn:p2", "31"), ("urn:p3", "40")))
+  }
+
   test("UNION / UNION ALL combine queries; tail scopes to the union") {
     val names = CypherEngine.query(store,
       """MATCH (n:Person) RETURN n.name AS name
