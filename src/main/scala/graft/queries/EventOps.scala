@@ -131,9 +131,36 @@ object EventOps {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
           (sum($"k") * 1.0 / count($"k")).as("avg_k"))
         .orderBy($"event_type")
+    }),
+
+    // cohort retention: users grouped by first-activity date; for each
+    // day offset 0..7, how many came back. Two shuffles (first-day per
+    // user broadcastable at any scale — one row per user; activity
+    // dedup shuffles once on (user, day)).
+    "e_retention" -> ((s, dir) => {
+      import s.implicits._
+      val act = ev(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val first = act.groupBy($"user_id").agg(min($"d").as("cohort"))
+      act.join(first, Seq("user_id"))
+        .withColumn("off", datediff($"d", $"cohort"))
+        .filter($"off" <= 7)
+        .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"), $"off")
+        .agg(count_distinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"off")
     }))
 
   val oracles: Map[String, String] = Map(
+    "e_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d
+           FROM events),
+         first AS (SELECT user_id, MIN(d) cohort FROM act GROUP BY 1)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           date_diff('day', cohort, d) AS off,
+           COUNT(DISTINCT act.user_id) AS n_users
+         FROM act JOIN first ON act.user_id = first.user_id
+         WHERE date_diff('day', cohort, d) <= 7
+         GROUP BY 1, 2 ORDER BY cohort, off""",
     "e_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
            '%Y-%m-%d %H:%M:%S') AS wstart, event_type,

@@ -266,9 +266,41 @@ object Relational {
         .filter($"c_acctbal" > $"nation_avg")
         .select($"c_custkey", $"c_name", $"c_acctbal")
         .orderBy($"c_custkey")
+    }),
+
+    // pivot: revenue cents by segment × order priority — Spark's
+    // pivot() with an explicit value list (one shuffle; each cell a
+    // conditional partial agg, the same plan the CASE-WHEN oracle
+    // spells out)
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"))
+        .pivot("o_orderpriority", prios)
+        .agg(sum(cents($"o_totalprice")) / 100.0)
+        .orderBy($"segment")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT c_mktsegment AS segment,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS "1-URGENT",
+         SUM(CASE WHEN o_orderpriority = '2-HIGH'
+           THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS "2-HIGH",
+         SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+           THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS "3-MEDIUM",
+         SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+           THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS "4-NOT SPECIFIED",
+         SUM(CASE WHEN o_orderpriority = '5-LOW'
+           THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS "5-LOW"
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
