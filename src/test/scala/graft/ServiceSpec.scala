@@ -113,6 +113,24 @@ class ServiceSpec extends AnyFunSuite {
     assert(!b5.contains("urn:http1"))
   }
 
+  test("write + RETURN and UNION over POST /query") {
+    val (c1, b1) = post("/query",
+      """{"query": "MERGE (n {gid: 'urn:wr1'}) ON CREATE SET n.state = 'fresh' ON MATCH SET n.state = 'seen' RETURN n.gid AS gid, n.state AS state"}""")
+    assert(c1 == 200, b1)
+    assert(b1.contains("\"gid\":\"urn:wr1\"") &&
+      b1.contains("\"state\":\"fresh\""))
+    val (c2, b2) = post("/query",
+      """{"query": "MERGE (n {gid: 'urn:wr1'}) ON CREATE SET n.state = 'fresh' ON MATCH SET n.state = 'seen' RETURN n.state AS state"}""")
+    assert(c2 == 200, b2)
+    assert(b2.contains("\"state\":\"seen\""))
+    val (c3, b3) = post("/query",
+      """{"query": "MATCH (n {gid: 'urn:wr1'}) RETURN n.gid AS id UNION MATCH (n {gid: 'urn:missing'}) RETURN n.gid AS id"}""")
+    assert(c3 == 200, b3)
+    assert(b3.contains("\"id\":\"urn:wr1\""))
+    // cleanup
+    post("/query", """{"query": "MATCH (n {gid: 'urn:wr1'}) DETACH DELETE n"}""")
+  }
+
   test("the reference's UpdateNode template POSTs verbatim with a map-array $items (neo4j.go:102-109)") {
     val tpl = "UNWIND $items AS item " +
       "MERGE (n {gid: item.gid}) " +
