@@ -198,6 +198,45 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // scalar-quantized ANN (the FAISS-SQ8 compression path): each
+    // dimension maps to an 8-bit code against a per-dimension
+    // [min, max] codebook learned from the corpus — 4× less memory
+    // than float32, and at 100 TB the codebook is a 64-row broadcast
+    // while the scan reads codes only. Search runs on the DEQUANTIZED
+    // values, so the approximation error is exactly the quantization
+    // grid — deterministic, hence oracle-able (DuckDB replays the
+    // identical encode/decode arithmetic).
+    "v_knn_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val dims = e.select($"vec_id", posexplode($"v").as(Seq("i", "x")))
+      val cb = dims.groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+      val cbRow = cb.select(struct($"i", $"mn", $"mx").as("entry"))
+        .agg(sort_array(collect_list($"entry")).as("cb"))
+      val enc = e.crossJoin(broadcast(cbRow))
+        .withColumn("dq", transform($"v", (x, i) => {
+          val lo = element_at($"cb", i + 1).getField("mn")
+          val hi = element_at($"cb", i + 1).getField("mx")
+          val code = when(hi === lo, lit(0L))
+            .otherwise(round((x - lo) * 255.0 / (hi - lo), 0).cast("long"))
+          lo + code * (hi - lo) / 255.0
+        }))
+        .select($"vec_id", $"dq")
+        .withColumn("norm", sqrt(dot($"dq", $"dq")))
+        .cache()
+      val q = enc.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"dq".as("qv"), $"norm".as("qn"))
+      val c = enc.select($"vec_id".as("nid"), $"dq".as("nv"), $"norm".as("nn"))
+      val scored = q.join(c, $"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // embedding near-dup detection: cosine ≥ 0.999 pairs among
     // (label, sign-signature-bucket) candidates. The bucket key shards
     // each label's candidate space ~256 ways, so the pair join is
@@ -260,6 +299,26 @@ object VectorOps {
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
+    "v_knn_sq8" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           FROM embeddings),
+         dims AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+             unnest(v) AS x FROM e),
+         cb AS (SELECT i, min(x) mn, max(x) mx FROM dims GROUP BY i),
+         dq AS (SELECT vec_id, array_agg(
+             mn + (CASE WHEN mx = mn THEN 0
+               ELSE CAST(round((x - mn)*255.0/(mx - mn)) AS BIGINT) END)
+               * (mx - mn)/255.0 ORDER BY i) dv
+           FROM dims JOIN cb USING (i) GROUP BY vec_id),
+         n AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) nrm FROM dq),
+         scored AS (SELECT q.vec_id qid, c.vec_id nid,
+             list_dot_product(q.dv, c.dv)/(q.nrm*c.nrm) sim
+           FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+         ranked AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
     "v_knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
