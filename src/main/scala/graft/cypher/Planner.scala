@@ -1247,7 +1247,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case Ast.VarRef(n) => items.find(_.name == n)
         case _ => None
       })
-    val c = item.map(i => col(quote(i.name))).getOrElse(valueCol(e))
+    val c = item.map(i => col(quote(i.name))).getOrElse {
+      e match {
+        // an UN-projected dynamic property sorts type-aware: numbers
+        // by value before strings/bools (Neo4j ORDER BY), not by the
+        // canonical-string view where "9" > "40". Projected items keep
+        // their output column's own ordering (what the user sees).
+        case p: Ast.PropRef => pvOf(p) match {
+          case Some(pv) =>
+            val num = coalesce(pv.getField("l").cast("double"),
+              pv.getField("d"))
+            struct(
+              when(num.isNotNull, lit(0)).otherwise(lit(1)).as("t"),
+              num.as("n"), pvStrOf(pv).as("s"))
+          case None => valueCol(e)
+        }
+        case _ => valueCol(e)
+      }
+    }
     // a node value is a struct holding a map — not orderable; Cypher
     // node ordering is by identity, so sort on gid. Only applies when
     // the RESOLVED expression is actually a node variable (an alias

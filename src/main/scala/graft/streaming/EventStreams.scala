@@ -146,6 +146,48 @@ object EventStreams {
       }
   }
 
+  case class AttrEvent(user_id: Long, tsMicros: Long, event_id: Long,
+      event_type: String)
+  case class Attribution(event_id: Long, user_id: Long, tsMicros: Long,
+      asof_click_id: Option[Long])
+
+  /** Streaming last-click attribution — the streaming twin of the
+    * batch as-of join (EventOps.e_asof_click): every purchase is
+    * matched to the user's most recent prior-or-simultaneous click.
+    * State is ONE (ts, click_id) pair per user — constant per key, the
+    * smallest possible as-of state — keyed (hash-partitioned) by
+    * user_id exactly as the batch join shuffles. Within a micro-batch
+    * events fold in event-time order with clicks before purchases on
+    * ties (the batch join's `click.ts <= purchase.ts` contract); the
+    * streamed attributions equal the batch as-of result when arrival
+    * order follows event time across batches.
+    */
+  def attributeStream(events: Dataset[AttrEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.tsMicros, if (e.event_type == "click") 0 else 1, e.event_id))
+          var last = state.getOption // (tsMicros, click_id)
+          val out = List.newBuilder[Attribution]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "click" => last = Some((e.tsMicros, e.event_id))
+              case "purchase" =>
+                out += Attribution(e.event_id, uid, e.tsMicros,
+                  last.map(_._2))
+              case _ => ()
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Off-heap RocksDB state store for the stateful operators — at
     * 100 TB the dedup fingerprint set and open-session state outgrow
     * executor heaps; RocksDB spills them to local disk with the same

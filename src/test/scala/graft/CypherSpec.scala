@@ -333,6 +333,24 @@ class CypherSpec extends AnyFunSuite {
       Seq(("urn:p1", "23"), ("urn:p2", "31"), ("urn:p3", "40")))
   }
 
+  test("ORDER BY a dynamic property sorts numerically, not lexically") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-ord").toString, spark, 2)
+    new GraphDataset(st, spark, "ord", "P").fullSync(Seq(
+      Entity("urn:o1").withProp("urn:x#age", 9),
+      Entity("urn:o2").withProp("urn:x#age", 40),
+      Entity("urn:o3").withProp("urn:x#age", 23)))
+    // canonical-string ordering would give "23" < "40" < "9"
+    val asc = CypherEngine.query(st,
+      "MATCH (n:P) RETURN n.gid AS gid ORDER BY n.age").collect()
+      .map(_.getString(0))
+    assert(asc.toSeq == Seq("urn:o1", "urn:o3", "urn:o2"))
+    val desc = CypherEngine.query(st,
+      "MATCH (n:P) RETURN n.gid AS gid ORDER BY n.age DESC").collect()
+      .map(_.getString(0))
+    assert(desc.toSeq == Seq("urn:o2", "urn:o3", "urn:o1"))
+  }
+
   test("UNION / UNION ALL combine queries; tail scopes to the union") {
     val names = CypherEngine.query(store,
       """MATCH (n:Person) RETURN n.name AS name

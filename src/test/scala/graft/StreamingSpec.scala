@@ -187,6 +187,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming last-click attribution matches the batch as-of join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val expected = EventOps.defs("e_asof_click")(spark, dir)
+      .select($"event_id", $"asof_click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", expr("ts div 1000").as("micros"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)]
+      .collect().sortBy(r => (r._2, r._3))
+    // split BY TIME so open state (each user's last click) crosses the
+    // micro-batch boundary
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val input = ms.toDS().map { case (u, m, id, t) =>
+      EventStreams.AttrEvent(u, m, id, t) }
+    val q = EventStreams.attributeStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+      .select($"event_id", $"asof_click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
