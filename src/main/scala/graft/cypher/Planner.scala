@@ -1502,6 +1502,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("abs", Seq(a), _) => abs(numCol(a))
     case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
     case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
+    case FuncCall("round", Seq(a, Lit(p: Long)), _) =>
+      round(numCol(a), p.toInt)
+    // trig / exponential library (Neo4j's math functions)
+    case FuncCall("exp", Seq(a), _) => exp(numCol(a))
+    case FuncCall("log", Seq(a), _) => log(numCol(a))
+    case FuncCall("log10", Seq(a), _) => log10(numCol(a))
+    case FuncCall("sin", Seq(a), _) => sin(numCol(a))
+    case FuncCall("cos", Seq(a), _) => cos(numCol(a))
+    case FuncCall("tan", Seq(a), _) => tan(numCol(a))
+    case FuncCall("asin", Seq(a), _) => asin(numCol(a))
+    case FuncCall("acos", Seq(a), _) => acos(numCol(a))
+    case FuncCall("atan", Seq(a), _) => atan(numCol(a))
+    case FuncCall("atan2", Seq(a, b), _) => atan2(numCol(a), numCol(b))
+    case FuncCall("pi", Seq(), _) => lit(math.Pi)
+    case FuncCall("e", Seq(), _) => lit(math.E)
+    case FuncCall("degrees", Seq(a), _) => degrees(numCol(a))
+    case FuncCall("radians", Seq(a), _) => radians(numCol(a))
     case FuncCall("ceil", Seq(a), _) => ceil(numCol(a)).cast("double")
     case FuncCall("floor", Seq(a), _) => floor(numCol(a)).cast("double")
     case FuncCall("sqrt", Seq(a), _) => sqrt(numCol(a))

@@ -268,6 +268,23 @@ object Relational {
         .orderBy($"c_custkey")
     }),
 
+    // window-function breadth: lag/lead/rank/ntile/percent_rank over
+    // one (partition, order) — a single shuffle serves all five.
+    "q_window_funcs" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders").filter($"o_custkey" < 200)
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_total"),
+          lead($"o_totalprice", 1).over(w).as("next_total"),
+          rank().over(w).cast("long").as("rnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 9).as("pct"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // pivot: revenue cents by segment × order priority — Spark's
     // pivot() with an explicit value list (one shuffle; each cell a
     // conditional partial agg, the same plan the CASE-WHEN oracle
@@ -287,6 +304,16 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_total,
+         lead(o_totalprice, 1) OVER w AS next_total,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 9) AS pct
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_pivot" ->
       """SELECT c_mktsegment AS segment,
          SUM(CASE WHEN o_orderpriority = '1-URGENT'

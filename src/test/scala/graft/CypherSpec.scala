@@ -333,6 +333,24 @@ class CypherSpec extends AnyFunSuite {
       Seq(("urn:p1", "23"), ("urn:p2", "31"), ("urn:p3", "40")))
   }
 
+  test("math function library") {
+    val r = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN round(2.34567, 2) AS r2, exp(0) AS e0, log(e()) AS ln_e,
+                sin(0) AS s0, cos(0) AS c0, atan2(1.0, 1.0) AS a45,
+                pi() AS p, degrees(pi()) AS deg, radians(180.0) AS rad""")
+      .collect().head
+    assert(r.getDouble(0) == 2.35)
+    assert(r.getDouble(1) == 1.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 1.0)
+    assert(math.abs(r.getDouble(5) - math.Pi / 4) < 1e-12)
+    assert(r.getDouble(6) == math.Pi)
+    assert(math.abs(r.getDouble(7) - 180.0) < 1e-9)
+    assert(math.abs(r.getDouble(8) - math.Pi) < 1e-12)
+  }
+
   test("ORDER BY a dynamic property sorts numerically, not lexically") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-ord").toString, spark, 2)
