@@ -54,11 +54,17 @@ object Ast {
   /** `reduce(acc = init, x IN list | body)` */
   case class ReduceExpr(acc: String, init: Expr, variable: String,
       list: Expr, body: Expr) extends Expr
-  /** `exists((n)-[:T]->(m))` pattern predicate — true when the pattern
-    * matches at least once for the row's bindings; usable only as a
-    * (possibly NOT-negated) top-level WHERE conjunct, where it plans
-    * as a semi/anti join */
-  case class PatternPred(pattern: PathPattern) extends Expr
+  /** `exists((n)-[:T]->(m))` / `EXISTS { [MATCH] pattern [WHERE …] }`
+    * pattern predicate — true when the pattern matches at least once
+    * for the row's bindings; usable only as a (possibly NOT-negated)
+    * top-level WHERE conjunct, where it plans as a semi/anti join */
+  case class PatternPred(pattern: PathPattern,
+      where: Option[Expr] = None) extends Expr
+  /** `COUNT { [MATCH] pattern [WHERE …] }` — the number of pattern
+    * matches per row (a correlated count, NOT a grouping aggregate);
+    * usable as a RETURN/WITH item or compared in a WHERE conjunct */
+  case class CountSub(pattern: PathPattern,
+      where: Option[Expr] = None) extends Expr
 
   /** property values may be literals OR expressions (parameters,
     * `item.k` property references) — the reference's own templates

@@ -316,6 +316,17 @@ object Parser {
     case other => throw ParseException(s"expected integer, got $other")
   }
 
+  /** `{ [MATCH] pattern [WHERE expr] }` — the EXISTS/COUNT subquery
+    * body */
+  private def parseSubqueryBody(p: P): (Ast.PathPattern, Option[Ast.Expr]) = {
+    p.expectSym("{")
+    p.tryKw("MATCH")
+    val pat = parsePattern(p)
+    val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+    p.expectSym("}")
+    (pat, whereE)
+  }
+
   /** quantified predicate body: `(x IN list WHERE pred)` */
   private def parseQuant(p: P, fn: String): Ast.Expr = {
     p.expectSym("(")
@@ -599,6 +610,10 @@ object Parser {
       val ws = whens.result()
       if (ws.isEmpty) throw ParseException("CASE needs at least one WHEN")
       Ast.CaseExpr(test, ws, els)
+    case Kw("COUNT") if p.peek.contains(Sym("{")) =>
+      // COUNT { [MATCH] pattern [WHERE …] } — correlated match count
+      val (pat, whereE) = parseSubqueryBody(p)
+      Ast.CountSub(pat, whereE)
     case Kw(fn) if Set("COLLECT", "COUNT", "SUM", "AVG", "MIN", "MAX")
         .contains(fn) =>
       p.expectSym("(")
@@ -636,6 +651,11 @@ object Parser {
       val body = parseExpr(p)
       p.expectSym(")")
       Ast.ReduceExpr(acc, init, v, listE, body)
+    case Ident(fn) if fn.equalsIgnoreCase("exists") &&
+        p.peek.contains(Sym("{")) =>
+      // EXISTS { [MATCH] pattern [WHERE …] } — Neo4j 5 form
+      val (pat, whereE) = parseSubqueryBody(p)
+      Ast.PatternPred(pat, whereE)
     case Ident(fn) if fn.equalsIgnoreCase("exists") &&
         p.peek.contains(Sym("(")) &&
         p.toks.drop(1).headOption.contains(Sym("(")) =>

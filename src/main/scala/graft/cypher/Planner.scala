@@ -203,7 +203,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case d: DeleteClause => applyDelete(d)
       case s: SetClause => applySet(s)
     }
-    val items = expandStar(q.items)
+    val items =
+      if (df == null) expandStar(q.items)
+      else rewriteSubqueryItems(expandStar(q.items))
     val effs = effects.result()
     if (effs.nonEmpty && items.isEmpty) return executeWrite(effs)
     if (effs.nonEmpty) {
@@ -773,11 +775,31 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case x => Seq(x)
       }
       conjuncts(w).foreach {
-        case PatternPred(pat) => applyPatternPred(pat, negated = false)
-        case Not(PatternPred(pat)) => applyPatternPred(pat, negated = true)
+        case PatternPred(pat, sw) =>
+          applyPatternPred(pat, sw, negated = false)
+        case Not(PatternPred(pat, sw)) =>
+          applyPatternPred(pat, sw, negated = true)
+        // COUNT { … } compared in a WHERE conjunct. planSubCount
+        // mutates df (adds the correlated join) — evaluate it BEFORE
+        // reading df for the filter
+        case Cmp(op, cs: CountSub, r) =>
+          val c = planSubCount(cs)
+          df = df.filter(cmpOp(op, c, valueCol(r)))
+        case Cmp(op, l, cs: CountSub) =>
+          val c = planSubCount(cs)
+          df = df.filter(cmpOp(op, valueCol(l), c))
         case e => df = df.filter(toPredicate(e))
       }
     }
+  }
+
+  private def cmpOp(op: String, lc: Column, rc: Column): Column = op match {
+    case "=" => lc === rc
+    case "<>" => lc =!= rc
+    case "<" => lc < rc
+    case ">" => lc > rc
+    case "<=" => lc <= rc
+    case ">=" => lc >= rc
   }
 
   /** `exists((n)-[:T]->(m))` / `NOT exists(…)` as a WHERE conjunct:
@@ -786,14 +808,29 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * left-semi (or anti) joins them onto the bound rows. The pattern's
     * own fresh variables never bind — Cypher's existential scoping.
     */
-  private def applyPatternPred(pat: PathPattern, negated: Boolean): Unit = {
+  private def applyPatternPred(pat: PathPattern, where: Option[Expr],
+      negated: Boolean): Unit = {
+    val (subDf, shared) = planSubPattern(pat, where, "exists()")
+    val probe = subDf.select(shared.map(v =>
+      col(s"${v}__gid").as(s"__pp__${v}__gid")): _*).distinct()
+    val cond = shared.map(v =>
+      col(s"${v}__gid") === col(s"__pp__${v}__gid")).reduce(_ && _)
+    df = df.join(probe, cond, if (negated) "left_anti" else "left_semi")
+  }
+
+  /** plan an EXISTS/COUNT subquery pattern standalone; returns its
+    * frame and the outer node variables it shares (the correlation
+    * key). Leaves df/env untouched.
+    */
+  private def planSubPattern(pat: PathPattern, where: Option[Expr],
+      what: String): (DataFrame, Seq[String]) = {
     if (pat.pathVar.nonEmpty || pat.shortest || pat.allShortest)
-      throw PlanError("exists() patterns cannot bind paths")
+      throw PlanError(s"$what patterns cannot bind paths")
     val outerDf = df
     val outerEnv = env
     df = null
     env = Map.empty
-    applyInnerMatch(MatchClause(Seq(pat), optional = false, where = None))
+    applyInnerMatch(MatchClause(Seq(pat), optional = false, where = where))
     val subDf = df
     val subEnv = env
     df = outerDf
@@ -801,20 +838,55 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     subEnv.foreach { case (v, k) =>
       outerEnv.get(v).foreach { ok =>
         if (ok != NodeVar || k != NodeVar) throw PlanError(
-          s"exists() pattern reuses $v with a non-node binding")
+          s"$what pattern reuses $v with a non-node binding")
       }
     }
     val shared = subEnv.collect {
       case (v, NodeVar) if outerEnv.contains(v) => v
     }.toSeq.sorted
     if (shared.isEmpty) throw PlanError(
-      "exists() pattern must reuse at least one bound node variable")
-    val probe = subDf.select(shared.map(v =>
-      col(s"${v}__gid").as(s"__pp__${v}__gid")): _*).distinct()
-    val cond = shared.map(v =>
-      col(s"${v}__gid") === col(s"__pp__${v}__gid")).reduce(_ && _)
-    df = outerDf.join(probe, cond, if (negated) "left_anti" else "left_semi")
+      s"$what pattern must reuse at least one bound node variable")
+    (subDf, shared)
   }
+
+  /** `COUNT { … }` as a correlated per-row count: the subquery's match
+    * count grouped by the correlation key, left-joined onto the bound
+    * rows (absent key = 0). Mutates df (adds the join); returns the
+    * count column.
+    */
+  private def planSubCount(cs: CountSub): Column = {
+    val (subDf, shared) = planSubPattern(cs.pattern, cs.where, "COUNT { }")
+    val tag = fresh("csub")
+    val grouped = subDf.groupBy(shared.map(v =>
+      col(s"${v}__gid").as(s"__${tag}__${v}__gid")): _*)
+      .agg(count(lit(1)).as(s"__${tag}__cnt"))
+    val cond = shared.map(v =>
+      col(s"${v}__gid") === col(s"__${tag}__${v}__gid")).reduce(_ && _)
+    df = df.join(grouped, cond, "left_outer")
+      .drop(shared.map(v => s"__${tag}__${v}__gid"): _*)
+    coalesce(col(s"__${tag}__cnt"), lit(0L))
+  }
+
+  /** rewrite COUNT{}/EXISTS{} RETURN/WITH items into plain bound
+    * columns (the correlated joins land on df here) */
+  private def rewriteSubqueryItems(items: Seq[ReturnItem]): Seq[ReturnItem] =
+    items.map { it =>
+      it.expr match {
+        case cs: CountSub =>
+          val nm = fresh("cscol")
+          val c = planSubCount(cs) // mutates df (adds the join) FIRST
+          df = df.withColumn(s"${nm}__value", c)
+          env += nm -> ValueVar(s"${nm}__value")
+          ReturnItem(VarRef(nm), Some(it.alias.getOrElse("count")))
+        case pp: PatternPred =>
+          val nm = fresh("escol")
+          val c = planSubCount(CountSub(pp.pattern, pp.where))
+          df = df.withColumn(s"${nm}__value", c > 0)
+          env += nm -> ValueVar(s"${nm}__value")
+          ReturnItem(VarRef(nm), Some(it.alias.getOrElse("exists")))
+        case _ => it
+      }
+    }
 
   /** OPTIONAL MATCH as a whole-clause left join: all comma-separated
     * patterns are planned standalone with inner joins, then left-joined
@@ -1090,7 +1162,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def applyWith(w: WithClause): Unit = {
     if (df == null) throw PlanError("WITH before any binding")
-    val wi = expandStar(w.items) // WITH * carries every binding through
+    // WITH * carries every binding through; COUNT{}/EXISTS{} items
+    // land their correlated joins before the projection
+    val wi = rewriteSubqueryItems(expandStar(w.items))
     val hasAgg = wi.exists(i => containsAgg(i.expr))
     val newEnv = scala.collection.mutable.Map.empty[String, VarKind]
 
@@ -1566,8 +1640,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case ReduceExpr(acc, init, v, listE, bodyE) =>
       aggregate(valueCol(listE), valueCol(init),
         (a, x) => withLambda(acc -> a, v -> x)(valueCol(bodyE)))
-    case PatternPred(_) => throw PlanError(
-      "exists(pattern) is supported only as a top-level WHERE conjunct of a MATCH")
+    case PatternPred(_, _) => throw PlanError(
+      "exists(pattern) is supported as a WHERE conjunct or a bare RETURN/WITH item")
+    case CountSub(_, _) => throw PlanError(
+      "COUNT { } is supported as a bare RETURN/WITH item or compared in a WHERE conjunct")
     case c: Cmp => toPredicate(c)
     case a: And => toPredicate(a)
     case o: Or => toPredicate(o)

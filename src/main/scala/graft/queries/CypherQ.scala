@@ -197,6 +197,17 @@ DETACH DELETE n
                   collect(c.name)[0] AS first_name
            ORDER BY nation""")),
 
+    // COUNT { } correlated subquery over the sf-scale customer graph:
+    // a per-nation incoming-degree count including zero-customer
+    // nations (the left-join-with-0 semantics a grouping count can't
+    // express in one clause).
+    "cypher_count_sub" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           RETURN n.name AS nation,
+                  COUNT { (n)<-[:located_in]-() } AS n_cust
+           ORDER BY nation""")),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -266,6 +277,11 @@ DETACH DELETE n
            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
          SELECT target, COUNT(*) AS n FROM hops
          GROUP BY 1 ORDER BY target""",
+    "cypher_count_sub" ->
+      """SELECT n_name AS nation,
+         (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+           AS n_cust
+         FROM nation n ORDER BY nation""",
     "cypher_arith" ->
       """SELECT n.n_name AS nation, 'x:'||n.n_name AS tag,
          COUNT(*) AS n_cust, CAST(COUNT(*) * 2 + 1 AS BIGINT) AS odd,

@@ -333,6 +333,43 @@ class CypherSpec extends AnyFunSuite {
       Seq(("urn:p1", "23"), ("urn:p2", "31"), ("urn:p3", "40")))
   }
 
+  test("COUNT { } / EXISTS { } subqueries") {
+    // per-row correlated counts (NOT grouping aggregates)
+    val degs = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN n.gid AS gid, COUNT { (n)-[]->() } AS deg
+         ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(degs.toSeq == Seq(("urn:p1", 1L), ("urn:p2", 2L),
+      ("urn:p3", 0L)))
+    // compared in WHERE
+    val busy = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE COUNT { (n)-->() } >= 2
+         RETURN n.gid AS gid""").collect().map(_.getString(0))
+    assert(busy.toSeq == Seq("urn:p2"))
+    // EXISTS { } with MATCH keyword and correlated WHERE
+    val knows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE EXISTS { MATCH (n)-[:worksfor]->(c) WHERE c.gid = 'urn:c1' }
+         RETURN n.gid AS gid ORDER BY gid""").collect().map(_.getString(0))
+    assert(knows.toSeq == Seq("urn:p1", "urn:p2"))
+    // EXISTS { } as a boolean item
+    val flags = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN n.gid AS gid, EXISTS { (n)-[:knows]->() } AS k
+         ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(flags.toSeq == Seq(("urn:p1", false), ("urn:p2", true),
+      ("urn:p3", false)))
+    // COUNT { } item alongside a grouping aggregate groups per key
+    val mixed = CypherEngine.query(store,
+      """MATCH (n:Person)-[:worksfor]->(c)
+         WITH c, COUNT { (c)<-[]-() } AS incoming
+         RETURN c.gid AS gid, incoming, count(*) AS workers""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(mixed.toSeq == Seq(("urn:c1", 2L, 2L)))
+  }
+
   test("math function library") {
     val r = CypherEngine.query(store,
       """UNWIND [1] AS one
