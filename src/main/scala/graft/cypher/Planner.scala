@@ -766,30 +766,33 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           if (materialize) segs.result() else Nil)
       }
     }
-    m.where.foreach { w =>
-      // pattern predicates (exists / NOT exists) only make sense as
-      // top-level conjuncts — each plans as a semi/anti join; the
-      // remaining conjuncts filter as ordinary predicates
-      def conjuncts(e: Expr): Seq[Expr] = e match {
-        case And(l, r) => conjuncts(l) ++ conjuncts(r)
-        case x => Seq(x)
-      }
-      conjuncts(w).foreach {
-        case PatternPred(pat, sw) =>
-          applyPatternPred(pat, sw, negated = false)
-        case Not(PatternPred(pat, sw)) =>
-          applyPatternPred(pat, sw, negated = true)
-        // COUNT { … } compared in a WHERE conjunct. planSubCount
-        // mutates df (adds the correlated join) — evaluate it BEFORE
-        // reading df for the filter
-        case Cmp(op, cs: CountSub, r) =>
-          val c = planSubCount(cs)
-          df = df.filter(cmpOp(op, c, valueCol(r)))
-        case Cmp(op, l, cs: CountSub) =>
-          val c = planSubCount(cs)
-          df = df.filter(cmpOp(op, valueCol(l), c))
-        case e => df = df.filter(toPredicate(e))
-      }
+    m.where.foreach(applyWhere)
+  }
+
+  /** WHERE application shared by MATCH and post-WITH filters: pattern
+    * predicates (exists / NOT exists) only make sense as top-level
+    * conjuncts — each plans as a semi/anti join; COUNT {} comparisons
+    * land their correlated join first (planSubCount mutates df, so it
+    * is evaluated BEFORE df is re-read for the filter); the remaining
+    * conjuncts filter as ordinary predicates.
+    */
+  private def applyWhere(w: Expr): Unit = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(w).foreach {
+      case PatternPred(pat, sw) =>
+        applyPatternPred(pat, sw, negated = false)
+      case Not(PatternPred(pat, sw)) =>
+        applyPatternPred(pat, sw, negated = true)
+      case Cmp(op, cs: CountSub, r) =>
+        val c = planSubCount(cs)
+        df = df.filter(cmpOp(op, c, valueCol(r)))
+      case Cmp(op, l, cs: CountSub) =>
+        val c = planSubCount(cs)
+        df = df.filter(cmpOp(op, valueCol(l), c))
+      case e => df = df.filter(toPredicate(e))
     }
   }
 
@@ -1240,7 +1243,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     w.limit.foreach(n => df = df.limit(n.toInt))
     // openCypher applies a post-WITH WHERE AFTER ORDER BY/SKIP/LIMIT —
     // it filters the windowed rows, it does not re-window the filtered
-    w.where.foreach(p => df = df.filter(toPredicate(p)))
+    w.where.foreach(applyWhere)
   }
 
   /** distinct with map-bearing columns deduped by identity: a map is

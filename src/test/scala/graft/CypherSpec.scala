@@ -370,6 +370,20 @@ class CypherSpec extends AnyFunSuite {
     assert(mixed.toSeq == Seq(("urn:c1", 2L, 2L)))
   }
 
+  test("pattern predicates after WITH") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         WITH n, n.name AS name
+         WHERE exists((n)-[:knows]->())
+         RETURN name""").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("jane"))
+    val counted = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         WITH n WHERE COUNT { (n)-->() } = 0
+         RETURN n.gid AS gid""").collect().map(_.getString(0))
+    assert(counted.toSeq == Seq("urn:p3"))
+  }
+
   test("math function library") {
     val r = CypherEngine.query(store,
       """UNWIND [1] AS one
