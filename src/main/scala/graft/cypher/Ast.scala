@@ -43,6 +43,11 @@ object Ast {
   /** `coll[idx]` — 0-based list index (negative = from the end) or
     * string map-key access */
   case class Subscript(coll: Expr, idx: Expr) extends Expr
+  /** `coll[from..to]` — end-exclusive list slice, openCypher
+    * semantics; either bound may be omitted, negative counts from the
+    * end */
+  case class Slice(coll: Expr, from: Option[Expr], to: Option[Expr])
+      extends Expr
   /** `[x IN list WHERE pred | proj]` list comprehension (both parts
     * optional; bare `[x IN list]` copies) */
   case class ListComp(variable: String, list: Expr, where: Option[Expr],

@@ -533,14 +533,30 @@ object Parser {
     else if (p.trySym("+")) parseUnary(p)
     else parsePostfix(p)
 
-  /** postfix subscript: `expr[idx]` (0-based list index / map key) */
+  /** postfix subscript / slice: `expr[idx]` (0-based list index / map
+    * key) or `expr[from..to]` (end-exclusive; either bound optional) */
   private def parsePostfix(p: P): Ast.Expr = {
     var e = parseAtom(p)
     while (p.peek.contains(Sym("["))) {
       p.next()
-      val idx = parseExpr(p)
-      p.expectSym("]")
-      e = Ast.Subscript(e, idx)
+      if (p.trySym("..")) { // l[..to]
+        val to = parseExpr(p)
+        p.expectSym("]")
+        e = Ast.Slice(e, None, Some(to))
+      } else {
+        val idx = parseExpr(p)
+        if (p.trySym("..")) {
+          val to = p.peek match {
+            case Some(Sym("]")) => None // l[from..]
+            case _ => Some(parseExpr(p))
+          }
+          p.expectSym("]")
+          e = Ast.Slice(e, Some(idx), to)
+        } else {
+          p.expectSym("]")
+          e = Ast.Subscript(e, idx)
+        }
+      }
     }
     e
   }

@@ -105,6 +105,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         e.foreach(scan)
       case Arith(_, l, r) => scan(l); scan(r)
       case Subscript(c, i) => scan(c); scan(i)
+      case Slice(c, f, t) => scan(c); f.foreach(scan); t.foreach(scan)
       case ListComp(_, l, w, pr) => scan(l); w.foreach(scan); pr.foreach(scan)
       case Quant(_, _, l, p) => scan(l); scan(p)
       case ReduceExpr(_, i, _, l, b) => scan(i); scan(l); scan(b)
@@ -1372,6 +1373,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       e.exists(containsAgg)
     case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
     case Subscript(c, i) => containsAgg(c) || containsAgg(i)
+    case Slice(c, f, t) =>
+      containsAgg(c) || f.exists(containsAgg) || t.exists(containsAgg)
     case ListComp(_, l, w, pr) =>
       containsAgg(l) || w.exists(containsAgg) || pr.exists(containsAgg)
     case Quant(_, _, l, p) => containsAgg(l) || containsAgg(p)
@@ -1654,6 +1657,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case i: IsNull => toPredicate(i)
     case Arith(op, l, r) => arithCol(op, l, r)
     case Subscript(coll, idx) => subscriptCol(valueCol(coll), idx)
+    case Slice(collE, fromE, toE) =>
+      // openCypher end-exclusive slice; negative bounds from the end
+      val c = valueCol(collE)
+      val n = size(c)
+      def norm(e: Option[Ast.Expr], dflt: Column): Column = e match {
+        case None => dflt
+        case Some(x) =>
+          val i = valueCol(x).cast("int")
+          when(i >= 0, i).otherwise(n + i)
+      }
+      val f0 = greatest(norm(fromE, lit(0)), lit(0))
+      val t0 = least(norm(toE, n), n)
+      slice(c, f0 + 1, greatest(t0 - f0, lit(0)))
     // an aggregate call reached below a scalar wrapper
     // (floor(sum(x)/count(*)) routes floor→numCol→here)
     case f @ FuncCall(n, _, _) if aggNames.contains(n) => aggCol(f)

@@ -197,6 +197,19 @@ class CypherSpec extends AnyFunSuite {
       """MATCH (n:Person) WHERE n.source = 'people'
          RETURN collect(n.name)[0] AS first_name""").collect().head
     assert(c.getString(0) == "brian")
+    // slices: end-exclusive, optional/negative bounds
+    val sl = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN ['a','b','c','d'][1..3] AS mid,
+                ['a','b','c','d'][..2] AS head_2,
+                ['a','b','c','d'][2..] AS tail_2,
+                ['a','b','c','d'][-3..-1] AS neg,
+                ['a','b','c','d'][3..1] AS empty_s""").collect().head
+    assert(sl.getSeq[String](0) == Seq("b", "c"))
+    assert(sl.getSeq[String](1) == Seq("a", "b"))
+    assert(sl.getSeq[String](2) == Seq("c", "d"))
+    assert(sl.getSeq[String](3) == Seq("b", "c"))
+    assert(sl.getSeq[String](4) == Seq.empty)
   }
 
   test("hop with rel type and incoming direction") {
