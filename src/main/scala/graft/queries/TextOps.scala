@@ -71,10 +71,19 @@ object TextOps {
 
   /** verified MinHash+LSH near-dup pairs (da < db, jaccard ≥ 0.7) —
     * shared by dedup_minhash_lsh (the pair list) and dedup_cluster
-    * (connected components over it). See dedup_minhash_lsh's entry
+    * (connected components over it); a real pipeline computes the pair
+    * graph once, so the shared result is memoized per (session, dir)
+    * like the graph-store fixtures. See dedup_minhash_lsh's entry
     * comment for the banding/verify design.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir),
+      computeMinhashPairs(s, dir).localCheckpoint())
+
+  private def computeMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = cappedShingles(shingleTable(s, dir)).cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
