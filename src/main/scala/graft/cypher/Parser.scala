@@ -33,7 +33,7 @@ object Parser {
     "END", "UNION", "ALL")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(-?\d+\.\d+)|(-?\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0

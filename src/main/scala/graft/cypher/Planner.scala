@@ -303,7 +303,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * frame at all) cannot be analyzed standalone — callers fall back
     * to coercion-driven lowering */
   private def colTypeOpt(c: Column): Option[org.apache.spark.sql.types.DataType] =
-    try Some(colType(c)) catch { case _: Throwable => None }
+    try Some(colType(c))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def isPvMapType(t: org.apache.spark.sql.types.DataType): Boolean =
     t match {
@@ -570,6 +571,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if (n.label.nonEmpty || n.props.nonEmpty)
           throw PlanError(
             s"bound variable $v cannot carry labels/properties in CREATE")
+        // Neo4j: "Cannot merge using an already-bound variable" — and
+        // the ON clauses' matched flag would have nothing to bind to
+        if (wantMatched) throw PlanError(
+          s"MERGE ON CREATE/ON MATCH cannot reuse the bound variable $v")
         v
       case maybeV =>
         val v = maybeV.getOrElse(fresh("c"))
@@ -819,6 +824,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       col(s"${v}__gid").as(s"__pp__${v}__gid")): _*).distinct()
     val cond = shared.map(v =>
       col(s"${v}__gid") === col(s"__pp__${v}__gid")).reduce(_ && _)
+    // a null correlated binding (OPTIONAL MATCH miss) makes exists()
+    // NULL in Cypher, and WHERE drops null — the semi join does that
+    // for free, but the ANTI join would KEEP such rows; filter them
+    if (negated)
+      df = df.filter(shared.map(v => col(s"${v}__gid").isNotNull)
+        .reduce(_ && _))
     df = df.join(probe, cond, if (negated) "left_anti" else "left_semi")
   }
 
@@ -1641,7 +1652,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "any" => exists(base, pred)
         case "all" => forall(base, pred)
         case "none" => !exists(base, pred)
-        case "single" => size(filter(base, pred(_))) === 1
+        // null list → null, like its siblings (bare size(null) is -1)
+        case "single" =>
+          when(base.isNotNull, size(filter(base, pred(_))) === 1)
       }
     case ReduceExpr(acc, init, v, listE, bodyE) =>
       aggregate(valueCol(listE), valueCol(init),
@@ -1658,7 +1671,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case Arith(op, l, r) => arithCol(op, l, r)
     case Subscript(coll, idx) => subscriptCol(valueCol(coll), idx)
     case Slice(collE, fromE, toE) =>
-      // openCypher end-exclusive slice; negative bounds from the end
+      // openCypher end-exclusive slice; negative bounds from the end;
+      // a NULL bound makes the whole slice null (greatest/least skip
+      // nulls, so that case is gated explicitly)
       val c = valueCol(collE)
       val n = size(c)
       def norm(e: Option[Ast.Expr], dflt: Column): Column = e match {
@@ -1669,7 +1684,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       val f0 = greatest(norm(fromE, lit(0)), lit(0))
       val t0 = least(norm(toE, n), n)
-      slice(c, f0 + 1, greatest(t0 - f0, lit(0)))
+      val sliced = slice(c, f0 + 1, greatest(t0 - f0, lit(0)))
+      (fromE.toSeq ++ toE.toSeq).map(x => valueCol(x).isNull)
+        .reduceOption(_ || _) match {
+        case Some(anyNull) => when(!anyNull, sliced)
+        case None => sliced
+      }
     // an aggregate call reached below a scalar wrapper
     // (floor(sum(x)/count(*)) routes floor→numCol→here)
     case f @ FuncCall(n, _, _) if aggNames.contains(n) => aggCol(f)
@@ -1722,6 +1742,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case "+" if (!lProp && lt == StringType) ||
           (!rProp && rt == StringType) =>
         concat(strCol(l), strCol(r))
+      case "+" if lProp && rProp =>
+        // BOTH sides dynamic: dispatch on the runtime slots — long
+        // sum when both integral, numeric sum when numeric, string
+        // concat otherwise (Neo4j's string+string / string+number).
+        // The output is the canonical STRING rendering (a single
+        // column cannot be double-or-string), per the engine's
+        // documented dynamic-value typing rule.
+        val (lpv, rpv) = (pvOf(l).get, pvOf(r).get)
+        val (ll, rl) = (lpv.getField("l"), rpv.getField("l"))
+        val numSum = numCol(l) + numCol(r)
+        when(ll.isNotNull && rl.isNotNull, (ll + rl).cast("string"))
+          .when(numSum.isNotNull, numSum.cast("string"))
+          .otherwise(concat(pvStrOf(lpv), pvStrOf(rpv)))
       case "^" => pow(num(l, lc, lt, lProp).cast("double"),
         num(r, rc, rt, rProp).cast("double"))
       case _ =>
@@ -1734,9 +1767,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case "*" => ln * rn
           case "%" => ln % rn
           case "/" =>
-            // cast-through-double truncates toward zero (Java/Cypher
-            // integer-division semantics); non-integral stays double
-            if (integral) (ln.cast("double") / rn).cast("long")
+            // decimal division keeps full long precision (a double
+            // round-trip corrupts values ≥ 2^53); the long cast
+            // truncates toward zero — Java/Cypher integer division
+            if (integral)
+              (ln.cast(DecimalType(38, 0)) / rn.cast(DecimalType(38, 0)))
+                .cast("long")
             else ln / rn
         }
     }
@@ -1817,14 +1853,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       if (negated) c.isNotNull else c.isNull
     case Cmp(op, l, r) =>
-      def apply(lc: Column, rc: Column): Column = op match {
-        case "=" => lc === rc
-        case "<>" => lc =!= rc
-        case "<" => lc < rc
-        case ">" => lc > rc
-        case "<=" => lc <= rc
-        case ">=" => lc >= rc
-      }
+      def apply(lc: Column, rc: Column): Column = cmpOp(op, lc, rc)
       (numericSlot(l), numericSlot(r)) match {
         // property-to-property: numbers compare numerically when both
         // sides hold numeric slots, else canonical strings — a plain

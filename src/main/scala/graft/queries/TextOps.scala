@@ -80,12 +80,21 @@ object TextOps {
     .empty[(SparkSession, String), DataFrame]
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir),
-      computeMinhashPairs(s, dir).localCheckpoint())
+    pairCache.getOrElseUpdate((s, dir), {
+      val scratch = Seq.newBuilder[DataFrame]
+      val pairs = computeMinhashPairs(s, dir, scratch).localCheckpoint()
+      // the checkpoint materialized the result — the helper caches
+      // (shingles, candidates) are dead weight from here on
+      scratch.result().foreach(_.unpersist())
+      pairs
+    })
 
-  private def computeMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def computeMinhashPairs(s: SparkSession, dir: String,
+      scratch: scala.collection.mutable.Builder[DataFrame, Seq[DataFrame]])
+      : DataFrame = {
     import s.implicits._
     val sh = cappedShingles(shingleTable(s, dir)).cache()
+    scratch += sh
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val h = md5($"s")
     val ha = conv(substring(h, 1, 8), 16, 10).cast("long")
@@ -112,6 +121,7 @@ object TextOps {
         Seq("b", "bkey"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct().cache()
+    scratch += cand
     // exact-verify only the candidate docs' shingles: the LSH pair
     // set is tiny relative to the corpus, so semi-filtering both
     // sides keeps the verify join from shuffling the full shingle

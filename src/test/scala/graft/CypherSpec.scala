@@ -383,6 +383,45 @@ class CypherSpec extends AnyFunSuite {
     assert(mixed.toSeq == Seq(("urn:c1", 2L, 2L)))
   }
 
+  test("review fixes: null semantics, big-long division, prop+prop") {
+    // + between two DYNAMIC props: strings concatenate, integrals sum
+    // (canonical-string output per the dynamic-value typing rule)
+    val pp = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})
+         RETURN n.name + n.name AS nn, n.age + n.age AS aa""")
+      .collect().head
+    assert(pp.getString(0) == "brianbrian")
+    assert(pp.getString(1) == "46")
+    // integer division keeps full long precision (double would corrupt)
+    val big = CypherEngine.query(store,
+      "UNWIND [1] AS one RETURN 9007199254740993 / 1 AS b").collect().head
+    assert(big.getLong(0) == 9007199254740993L)
+    // a null slice bound nulls the slice; single(null list) is null
+    val nn = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN ['a','b'][(CASE WHEN 1 = 2 THEN 0 END)..1] AS s,
+                single(x IN CASE WHEN 1 = 2 THEN [1] END WHERE x > 0) AS g""")
+      .collect().head
+    assert(nn.isNullAt(0))
+    assert(nn.isNullAt(1))
+    // NOT exists() drops rows whose correlated binding is null
+    val notExists = CypherEngine.query(store,
+      """MATCH (p:Person) WHERE p.source = 'people'
+         OPTIONAL MATCH (p)-[:knows]->(m)
+         WITH p, m WHERE NOT exists((m)-[:worksfor]->())
+         RETURN p.gid AS gid""").collect().map(_.getString(0))
+    // only p2 binds m (= p1, who DOES work) → nobody survives: p1/p3
+    // have m null (dropped, Cypher null semantics), p2's m works
+    assert(notExists.isEmpty)
+    // bound-variable MERGE with ON clauses is a clean plan error
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        """MATCH (n:Person {name: 'brian'})
+           MERGE (n) ON MATCH SET n.seen = 'y'""")
+    }
+    assert(err.getMessage.contains("bound variable"))
+  }
+
   test("pattern predicates after WITH") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.source = 'people'
