@@ -122,6 +122,15 @@ object Ast {
 
   case class UnwindClause(expr: Expr, alias: String) extends Clause
 
+  /** `CALL { [WITH imports] <read query> }` — a subquery evaluated per
+    * outer row. Uncorrelated (no imports): the inner result cross-joins
+    * every outer row (UNION inside is allowed). Correlated: imported
+    * node variables correlate by gid; inner aggregation scopes per
+    * invocation, and inner ORDER BY/SKIP/LIMIT apply PER invocation
+    * (lowered as a window over the correlation key). Read-only.
+    */
+  case class CallSub(imports: Seq[String], inner: Query) extends Clause
+
   case class ReturnItem(expr: Expr, alias: Option[String]) {
     def name: String = alias.getOrElse(Render.expr(expr))
   }

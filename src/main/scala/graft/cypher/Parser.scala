@@ -28,7 +28,7 @@ object Parser {
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
-    "SET", "CREATE", "MERGE", "REMOVE", "ON",
+    "SET", "CREATE", "MERGE", "REMOVE", "ON", "CALL",
     "IN", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
     "END", "UNION", "ALL")
 
@@ -156,6 +156,36 @@ object Parser {
           val e = parseExpr(p)
           p.expectKw("AS")
           clauses += Ast.UnwindClause(e, p.identOrKw())
+        case Some(Kw("CALL")) =>
+          p.next()
+          p.expectSym("{")
+          // optional importing WITH of bare variable names
+          val imports = Seq.newBuilder[String]
+          if (p.peek.contains(Kw("WITH")("WITH"))) {
+            p.next()
+            def one(): Unit = p.next() match {
+              case Ident(v) => imports += v
+              case other => throw ParseException(
+                s"CALL imports must be bare variable names, got $other")
+            }
+            one()
+            while (p.trySym(",")) one()
+          }
+          val inner = parseQuery(p)
+          // UNION parts inside an uncorrelated CALL
+          val unions = Seq.newBuilder[(Boolean, Ast.Query)]
+          var allMode: Option[Boolean] = None
+          while (p.tryKw("UNION")) {
+            val all = p.tryKw("ALL")
+            if (allMode.exists(_ != all))
+              throw ParseException("cannot mix UNION and UNION ALL")
+            allMode = Some(all)
+            unions += ((all, parseQuery(p)))
+          }
+          p.expectSym("}")
+          sawAny = true
+          clauses += Ast.CallSub(imports.result(),
+            inner.copy(unions = unions.result()))
         case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
           // [DETACH] DELETE var, … (/root/reference/layer_test.go:275-281,
           // neo4j.go:95-127); may be followed by further clauses (the
@@ -237,7 +267,7 @@ object Parser {
         val items = parseItems(p)
         val (orderBy, skip, limit) = parseTail(p)
         Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
-      case None | Some(Kw("UNION")) =>
+      case None | Some(Kw("UNION")) | Some(Sym("}")) =>
         if (sawWrite)
           Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None)
         else if (!sawAny)

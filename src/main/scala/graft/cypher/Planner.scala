@@ -200,6 +200,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case m: MatchClause => applyMatch(m)
       case w: WithClause => applyWith(w)
       case u: UnwindClause => applyUnwind(u)
+      case c: CallSub => applyCall(c)
       case c: CreateClause => applyCreate(c)
       case d: DeleteClause => applyDelete(d)
       case s: SetClause => applySet(s)
@@ -809,6 +810,85 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case ">" => lc > rc
     case "<=" => lc <= rc
     case ">=" => lc >= rc
+  }
+
+  /** `CALL { … }` subquery (see [[Ast.CallSub]]). Uncorrelated: the
+    * inner query (UNION allowed) plans in a fresh planner and
+    * cross-joins the bound rows. Correlated: each imported node
+    * variable's gid is appended to the inner RETURN as a correlation
+    * key, so inner aggregation scopes per invocation for free; inner
+    * ORDER BY/SKIP/LIMIT become a row_number window over the key
+    * (per-invocation semantics — a global sort-limit would be wrong);
+    * the keyed inner join multiplies/drops outer rows exactly as
+    * CALL row semantics demand.
+    */
+  private def applyCall(c: CallSub): Unit = {
+    val q = c.inner
+    if (q.clauses.exists(_.isInstanceOf[WriteClauseT]) ||
+        q.unions.exists(_._2.clauses.exists(_.isInstanceOf[WriteClauseT])))
+      throw PlanError("CALL subqueries are read-only")
+    if (q.items.isEmpty)
+      throw PlanError("a CALL subquery must RETURN")
+    if (c.imports.isEmpty) {
+      // uncorrelated: evaluate once, cross-join every outer row
+      val innerDf = new Planner(store, params).plan(q)
+      bindCallResult(innerDf, q.items.map(_.name), join = outer =>
+        if (outer == null) innerDf else outer.crossJoin(innerDf))
+      return
+    }
+    if (df == null) throw PlanError("CALL imports need bound variables")
+    c.imports.foreach(v =>
+      if (!env.get(v).contains(NodeVar)) throw PlanError(
+        s"CALL import $v must be a bound node variable"))
+    if (q.unions.nonEmpty)
+      throw PlanError("UNION inside a correlated CALL is not supported")
+    val keyCols = c.imports.zipWithIndex.map { case (v, i) =>
+      v -> s"__call_k$i"
+    }
+    val q2 = q.copy(
+      items = q.items ++ keyCols.map { case (v, k) =>
+        ReturnItem(PropRef(v, "gid"), Some(k)) },
+      orderBy = Nil, skip = None, limit = None, unions = Nil)
+    var innerDf = new Planner(store, params).plan(q2)
+    if (q.orderBy.nonEmpty || q.skip.nonEmpty || q.limit.nonEmpty) {
+      // per-invocation ordering/pagination via a window over the key
+      if (q.orderBy.isEmpty) throw PlanError(
+        "SKIP/LIMIT in a correlated CALL needs ORDER BY")
+      val sorts = q.orderBy.map { case (e, asc) =>
+        val name = q.items.find(i =>
+          i.expr == e || i.alias.contains(Render.expr(e)) ||
+            Render.expr(i.expr) == Render.expr(e))
+          .map(_.name).getOrElse(throw PlanError(
+            s"CALL ORDER BY must reference a returned column: $e"))
+        if (asc) col(quote(name)).asc else col(quote(name)).desc
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(k => col(k._2)): _*).orderBy(sorts: _*)
+      val lo = q.skip.getOrElse(0L)
+      val hi = q.limit.map(lo + _).getOrElse(Long.MaxValue)
+      innerDf = innerDf.withColumn("__call_rn", row_number().over(w))
+        .filter(col("__call_rn") > lo && col("__call_rn") <= hi)
+        .drop("__call_rn")
+    }
+    val cond = keyCols.map { case (v, k) =>
+      col(s"${v}__gid") === col(quote(k))
+    }.reduce(_ && _)
+    bindCallResult(innerDf, q.items.map(_.name), join = outer =>
+      outer.join(innerDf, cond, "inner").drop(keyCols.map(_._2): _*))
+  }
+
+  /** rename a CALL result's columns into value bindings and join */
+  private def bindCallResult(innerDf0: DataFrame, names: Seq[String],
+      join: DataFrame => DataFrame): Unit = {
+    names.foreach { n =>
+      if (env.contains(n))
+        throw PlanError(s"CALL returns $n, which is already bound")
+    }
+    df = join(df)
+    names.foreach { n =>
+      df = df.withColumnRenamed(n, s"${n}__value")
+      env += n -> ValueVar(s"${n}__value")
+    }
   }
 
   /** `exists((n)-[:T]->(m))` / `NOT exists(…)` as a WHERE conjunct:

@@ -422,6 +422,41 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bound variable"))
   }
 
+  test("CALL { } subqueries: uncorrelated, correlated, per-invocation LIMIT") {
+    // uncorrelated with UNION — the classic composition
+    val u = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})
+         CALL { MATCH (c:Company) RETURN c.name AS cname
+                UNION MATCH (p:Person {name: 'ola'}) RETURN p.name AS cname }
+         RETURN n.name AS name, cname ORDER BY cname""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(u.toSeq == Seq(("brian", "Mimiro"), ("brian", "ola")))
+    // correlated: per-invocation aggregation (one row per n)
+    val agg = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         CALL { WITH n MATCH (n)-[r]->() RETURN count(r) AS deg }
+         RETURN n.gid AS gid, deg ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // CALL's inner join drops zero-match rows (p3) — Cypher semantics
+    assert(agg.toSeq == Seq(("urn:p1", 1L), ("urn:p2", 2L)))
+    // correlated row multiplication + per-invocation ORDER BY/LIMIT
+    val top = CypherEngine.query(store,
+      """MATCH (n:Person)
+         CALL { WITH n MATCH (n)-[r]->(m)
+                RETURN m.gid AS tgt ORDER BY tgt LIMIT 1 }
+         RETURN n.gid AS gid, tgt ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // p2 has 2 targets (urn:c1, urn:p1) — LIMIT 1 per invocation keeps
+    // the smaller, NOT a global limit
+    assert(top.toSeq == Seq(("urn:p1", "urn:c1"), ("urn:p2", "urn:c1")))
+    // write clauses inside CALL are rejected
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        "MATCH (n:Person) CALL { CREATE (x {gid: 'urn:bad'}) } RETURN n.gid AS g")
+    }
+    assert(err.getMessage.contains("read-only"))
+  }
+
   test("pattern predicates after WITH") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.source = 'people'
