@@ -208,6 +208,16 @@ DETACH DELETE n
                   COUNT { (n)<-[:located_in]-() } AS n_cust
            ORDER BY nation""")),
 
+    // correlated CALL subquery with per-invocation ORDER BY/LIMIT:
+    // top-1 customer per nation (the window-lowered per-key limit,
+    // provably NOT a global limit since every nation yields a row).
+    "cypher_call_topk" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (n)<-[:located_in]-(c)
+                  RETURN c.name AS top_cust ORDER BY top_cust LIMIT 1 }
+           RETURN n.name AS nation, top_cust ORDER BY nation""")),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -277,6 +287,10 @@ DETACH DELETE n
            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
          SELECT target, COUNT(*) AS n FROM hops
          GROUP BY 1 ORDER BY target""",
+    "cypher_call_topk" ->
+      """SELECT n.n_name AS nation, MIN(c.c_name) AS top_cust
+         FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY nation""",
     "cypher_count_sub" ->
       """SELECT n_name AS nation,
          (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
