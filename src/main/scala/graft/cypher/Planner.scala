@@ -27,7 +27,17 @@ import graft.store.GraphStore
   *    uniqueness does not span other relationships of the same MATCH;
   *  - property values surface as canonical strings unless wrapped in
   *    toString/toInteger/toFloat/toBoolean (comparisons are
-  *    numeric-adaptive when both sides hold numeric slots);
+  *    numeric-adaptive when both sides hold numeric slots; arithmetic
+  *    reads the numeric slot — double for dynamic props; `+` between
+  *    two dynamic props dispatches on the runtime slots and renders
+  *    canonically; un-projected ORDER BY on a dynamic prop sorts
+  *    numbers before strings, by value);
+  *  - inside comprehension/reduce lambdas, operand types are not
+  *    statically known — arithmetic/subscripts lower through Spark's
+  *    coercion; pattern predicates (exists/COUNT comparisons) apply
+  *    as top-level WHERE conjuncts only; correlated subqueries
+  *    (exists/COUNT{}/CALL) correlate through REUSED node variables
+  *    (outer-only references inside the subquery body are unsupported);
   *  - OPTIONAL MATCH plans its whole clause standalone and left-joins
   *    it (WHERE rides in the join condition, so it may correlate with
   *    outer variables);
