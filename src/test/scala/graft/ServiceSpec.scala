@@ -127,6 +127,10 @@ class ServiceSpec extends AnyFunSuite {
       """{"query": "MATCH (n {gid: 'urn:wr1'}) RETURN n.gid AS id UNION MATCH (n {gid: 'urn:missing'}) RETURN n.gid AS id"}""")
     assert(c3 == 200, b3)
     assert(b3.contains("\"id\":\"urn:wr1\""))
+    val (c4, b4) = post("/query",
+      """{"query": "MATCH (n {gid: 'urn:wr1'}) CALL { WITH n MATCH (n) RETURN count(*) AS one } RETURN n.gid AS id, one"}""")
+    assert(c4 == 200, b4)
+    assert(b4.contains("\"id\":\"urn:wr1\"") && b4.contains("\"one\":1"))
     // cleanup
     post("/query", """{"query": "MATCH (n {gid: 'urn:wr1'}) DETACH DELETE n"}""")
   }
