@@ -169,6 +169,15 @@ object Ast {
 
   case class SetClause(items: Seq[SetItem]) extends WriteClauseT
 
+  /** `FOREACH (x IN list | write clauses…)` — runs the writes once per
+    * list element (per binding row); an empty/null list writes
+    * nothing, which makes `FOREACH (_ IN CASE WHEN p THEN [1] ELSE []
+    * END | …)` the standard conditional-write idiom. Does not change
+    * the cardinality or bindings of the surrounding statement.
+    */
+  case class ForeachClause(variable: String, list: Expr,
+      clauses: Seq[Clause]) extends WriteClauseT
+
   /** `CREATE pattern, …` / `MERGE pattern`: new nodes carry their gid
     * as a property (the engine's node key — literal or expression);
     * `merge` = match-or-create instead of error-on-existing

@@ -28,7 +28,7 @@ object Parser {
     "ORDER", "BY", "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT",
     "AS", "DISTINCT", "IS", "NULL", "TRUE", "FALSE", "COLLECT", "COUNT",
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
-    "SET", "CREATE", "MERGE", "REMOVE", "ON", "CALL",
+    "SET", "CREATE", "MERGE", "REMOVE", "ON", "CALL", "FOREACH",
     "IN", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
     "END", "UNION", "ALL")
 
@@ -186,76 +186,39 @@ object Parser {
           sawAny = true
           clauses += Ast.CallSub(imports.result(),
             inner.copy(unions = unions.result()))
-        case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
-          // [DETACH] DELETE var, … (/root/reference/layer_test.go:275-281,
-          // neo4j.go:95-127); may be followed by further clauses (the
-          // UpdateNode template continues with SET after DELETE r)
-          val detach = p.tryKw("DETACH")
-          p.expectKw("DELETE")
+        case Some(Kw("DETACH")) | Some(Kw("DELETE")) | Some(Kw("SET")) |
+            Some(Kw("REMOVE")) | Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
+          val c = parseWriteClause(p)
           sawWrite = true
-          val targets = Seq.newBuilder[String]
-          def one(): Unit = p.next() match {
-            case Ident(v) => targets += v
-            case other =>
-              throw ParseException(s"expected variable to delete, got $other")
-          }
-          one()
-          while (p.trySym(",")) one()
-          clauses += Ast.DeleteClause(detach, targets.result())
-        case Some(Kw("SET")) =>
+          if (c.isInstanceOf[Ast.CreateClause]) sawAny = true
+          clauses += c
+        case Some(Kw("FOREACH")) =>
+          // FOREACH (x IN list | write clauses…) — per-element writes;
+          // an empty list writes nothing (the Neo4j conditional-write
+          // idiom: FOREACH (_ IN CASE WHEN p THEN [1] ELSE [] END | …))
           p.next()
-          sawWrite = true
-          clauses += Ast.SetClause(parseSetItems(p))
-        case Some(Kw("REMOVE")) =>
-          // REMOVE v.prop, … — sugar for SET v.prop = null (property
-          // drop; the planner routes null-valued patches to `removes`)
-          p.next()
-          sawWrite = true
-          val items = Seq.newBuilder[Ast.SetItem]
-          def one(): Unit = {
-            val v = p.next() match {
-              case Ident(s) => s
-              case other => throw ParseException(s"expected variable, got $other")
+          p.expectSym("(")
+          val v = p.identOrKw()
+          p.expectKw("IN")
+          val listE = parseExpr(p)
+          p.expectSym("|")
+          val inner = Seq.newBuilder[Ast.Clause]
+          var more = true
+          while (more) {
+            p.peek match {
+              case Some(Kw("DETACH")) | Some(Kw("DELETE")) | Some(Kw("SET")) |
+                  Some(Kw("REMOVE")) | Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
+                inner += parseWriteClause(p)
+              case _ => more = false
             }
-            p.expectSym(".")
-            items += Ast.SetProp(v, p.identOrKw(), Ast.Lit(null))
           }
-          one()
-          while (p.trySym(",")) one()
-          clauses += Ast.SetClause(items.result())
-        case Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
-          val merge = p.peek.exists { case Kw("MERGE") => true; case _ => false }
-          p.next()
+          val body = inner.result()
+          if (body.isEmpty)
+            throw ParseException("FOREACH needs at least one write clause")
+          p.expectSym(")")
           sawAny = true
           sawWrite = true
-          val pats = Seq.newBuilder[Ast.PathPattern]
-          pats += parsePattern(p)
-          while (p.trySym(",")) pats += parsePattern(p)
-          val result = pats.result()
-          // openCypher rejects path bindings / shortestPath in writes
-          if (result.exists(r =>
-              r.pathVar.nonEmpty || r.shortest || r.allShortest))
-            throw ParseException(
-              "path variables and shortestPath are MATCH-only")
-          // MERGE takes ONE pattern: a node, or a single relationship
-          // between bound/inline endpoints (the reference's edge
-          // template, /root/reference/neo4j.go:116-123). Longer chains
-          // would need partial-match semantics we don't model.
-          if (merge && (result.length != 1 || result.head.hops.length > 1))
-            throw ParseException(
-              "MERGE supports a single node or single-relationship pattern")
-          // MERGE sub-clauses: ON CREATE SET … / ON MATCH SET …
-          var onCreate = Seq.empty[Ast.SetItem]
-          var onMatch = Seq.empty[Ast.SetItem]
-          while (merge && p.tryKw("ON")) {
-            if (p.tryKw("CREATE")) {
-              p.expectKw("SET"); onCreate ++= parseSetItems(p)
-            } else {
-              p.expectKw("MATCH"); p.expectKw("SET")
-              onMatch ++= parseSetItems(p)
-            }
-          }
-          clauses += Ast.CreateClause(result, merge, onCreate, onMatch)
+          clauses += Ast.ForeachClause(v, listE, body)
         case _ => done = true
       }
     }
@@ -276,6 +239,77 @@ object Parser {
       case Some(other) =>
         throw ParseException(s"trailing input: $other")
     }
+  }
+
+  /** one write clause: [DETACH] DELETE / SET / REMOVE / CREATE / MERGE
+    * (shared by the statement loop and FOREACH bodies) */
+  private def parseWriteClause(p: P): Ast.Clause = p.peek match {
+    case Some(Kw("DETACH")) | Some(Kw("DELETE")) =>
+      // [DETACH] DELETE var, … (/root/reference/layer_test.go:275-281,
+      // neo4j.go:95-127); may be followed by further clauses (the
+      // UpdateNode template continues with SET after DELETE r)
+      val detach = p.tryKw("DETACH")
+      p.expectKw("DELETE")
+      val targets = Seq.newBuilder[String]
+      def one(): Unit = p.next() match {
+        case Ident(v) => targets += v
+        case other =>
+          throw ParseException(s"expected variable to delete, got $other")
+      }
+      one()
+      while (p.trySym(",")) one()
+      Ast.DeleteClause(detach, targets.result())
+    case Some(Kw("SET")) =>
+      p.next()
+      Ast.SetClause(parseSetItems(p))
+    case Some(Kw("REMOVE")) =>
+      // REMOVE v.prop, … — sugar for SET v.prop = null (property
+      // drop; the planner routes null-valued patches to `removes`)
+      p.next()
+      val items = Seq.newBuilder[Ast.SetItem]
+      def one(): Unit = {
+        val v = p.next() match {
+          case Ident(s) => s
+          case other => throw ParseException(s"expected variable, got $other")
+        }
+        p.expectSym(".")
+        items += Ast.SetProp(v, p.identOrKw(), Ast.Lit(null))
+      }
+      one()
+      while (p.trySym(",")) one()
+      Ast.SetClause(items.result())
+    case Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
+      val merge = p.peek.exists { case Kw("MERGE") => true; case _ => false }
+      p.next()
+      val pats = Seq.newBuilder[Ast.PathPattern]
+      pats += parsePattern(p)
+      while (p.trySym(",")) pats += parsePattern(p)
+      val result = pats.result()
+      // openCypher rejects path bindings / shortestPath in writes
+      if (result.exists(r =>
+          r.pathVar.nonEmpty || r.shortest || r.allShortest))
+        throw ParseException(
+          "path variables and shortestPath are MATCH-only")
+      // MERGE takes ONE pattern: a node, or a single relationship
+      // between bound/inline endpoints (the reference's edge
+      // template, /root/reference/neo4j.go:116-123). Longer chains
+      // would need partial-match semantics we don't model.
+      if (merge && (result.length != 1 || result.head.hops.length > 1))
+        throw ParseException(
+          "MERGE supports a single node or single-relationship pattern")
+      // MERGE sub-clauses: ON CREATE SET … / ON MATCH SET …
+      var onCreate = Seq.empty[Ast.SetItem]
+      var onMatch = Seq.empty[Ast.SetItem]
+      while (merge && p.tryKw("ON")) {
+        if (p.tryKw("CREATE")) {
+          p.expectKw("SET"); onCreate ++= parseSetItems(p)
+        } else {
+          p.expectKw("MATCH"); p.expectKw("SET")
+          onMatch ++= parseSetItems(p)
+        }
+      }
+      Ast.CreateClause(result, merge, onCreate, onMatch)
+    case other => throw ParseException(s"expected a write clause, got $other")
   }
 
   /** SET items: `v.prop = expr` | `v = expr` (full-map replacement,

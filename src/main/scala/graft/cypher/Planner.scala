@@ -214,6 +214,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case c: CreateClause => applyCreate(c)
       case d: DeleteClause => applyDelete(d)
       case s: SetClause => applySet(s)
+      case f: ForeachClause => applyForeach(f)
     }
     val items =
       if (df == null) expandStar(q.items)
@@ -820,6 +821,35 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case ">" => lc > rc
     case "<=" => lc <= rc
     case ">=" => lc >= rc
+  }
+
+  /** `FOREACH (x IN list | writes…)`: explode the list into a scoped
+    * frame (explode drops empty/null lists — zero effect rows, the
+    * conditional-write idiom), run the inner write clauses against it
+    * (their effects snapshot the exploded frame), then restore the
+    * outer frame/bindings — FOREACH never changes statement
+    * cardinality. Inner view updates (SET's binding maintenance) are
+    * deliberately discarded with the scope.
+    */
+  private def applyForeach(f: ForeachClause): Unit = {
+    sawWrite = true
+    if (df == null) df = spark.range(1).toDF("__seed")
+    if (env.contains(f.variable))
+      throw PlanError(s"variable ${f.variable} already bound")
+    val savedDf = df
+    val savedEnv = env
+    df = df.withColumn(s"${f.variable}__value",
+      explode(valueCol(f.list)))
+    env += f.variable -> ValueVar(s"${f.variable}__value")
+    f.clauses.foreach {
+      case c: CreateClause => applyCreate(c)
+      case d: DeleteClause => applyDelete(d)
+      case s: SetClause => applySet(s)
+      case nested: ForeachClause => applyForeach(nested)
+      case other => throw PlanError(s"FOREACH cannot contain $other")
+    }
+    df = savedDf
+    env = savedEnv
   }
 
   /** `CALL { … }` subquery (see [[Ast.CallSub]]). Uncorrelated: the

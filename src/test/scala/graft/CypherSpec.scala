@@ -422,6 +422,30 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bound variable"))
   }
 
+  test("FOREACH: per-element writes and the conditional-write idiom") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-foreach").toString, spark, 2)
+    // per-element CREATE from a literal item list
+    CypherEngine.query(st,
+      """FOREACH (x IN [{gid: 'f:1'}, {gid: 'f:2'}] |
+           CREATE (n:F {gid: x.gid}))""").collect()
+    // conditional write: the CASE-to-empty-list idiom marks only f:1
+    CypherEngine.query(st,
+      """MATCH (n:F)
+         FOREACH (flag IN CASE WHEN n.gid = 'f:1' THEN [1] ELSE [] END |
+           SET n.marked = 'yes')""").collect()
+    val rows = CypherEngine.query(st,
+      """MATCH (n:F) RETURN n.gid AS gid, n.marked AS m ORDER BY gid""")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(("f:1", Some("yes")), ("f:2", None)))
+    // FOREACH leaves the statement's own bindings untouched
+    val after = CypherEngine.query(st,
+      """MATCH (n:F)
+         FOREACH (x IN [1] | SET n.touched = 'y')
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(after == 2L)
+  }
+
   test("CALL { } subqueries: uncorrelated, correlated, per-invocation LIMIT") {
     // uncorrelated with UNION — the classic composition
     val u = CypherEngine.query(store,
