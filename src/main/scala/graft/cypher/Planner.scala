@@ -860,7 +860,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * ORDER BY/SKIP/LIMIT become a row_number window over the key
     * (per-invocation semantics — a global sort-limit would be wrong);
     * the keyed inner join multiplies/drops outer rows exactly as
-    * CALL row semantics demand.
+    * CALL row semantics demand. When EVERY inner RETURN item is an
+    * aggregate, openCypher yields exactly one row per invocation even
+    * for zero matches (`count` = 0, `collect` = []), so the join is
+    * left-outer with neutral-value coalescing — mirroring
+    * [[planSubCount]], which gets the COUNT {{ }} twin right.
     */
   private def applyCall(c: CallSub): Unit = {
     val q = c.inner
@@ -913,8 +917,40 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val cond = keyCols.map { case (v, k) =>
       col(s"${v}__gid") === col(quote(k))
     }.reduce(_ && _)
-    bindCallResult(innerDf, q.items.map(_.name), join = outer =>
-      outer.join(innerDf, cond, "inner").drop(keyCols.map(_._2): _*))
+    // aggregate-only body: one row per invocation, zero matches
+    // included — left join + neutral values (see scaladoc)
+    val allAgg = q.items.forall(i => containsAgg(i.expr))
+    val innerF = innerDf
+    bindCallResult(innerDf, q.items.map(_.name), join = { outer =>
+      if (!allAgg)
+        outer.join(innerF, cond, "inner").drop(keyCols.map(_._2): _*)
+      else {
+        var j = outer.join(innerF, cond, "left_outer")
+          .drop(keyCols.map(_._2): _*)
+        q.items.foreach { it =>
+          aggNeutral(it.expr, innerF.schema(it.name).dataType).foreach {
+            nv => j = j.withColumn(it.name,
+              coalesce(col(quote(it.name)), nv)) }
+        }
+        j
+      }
+    })
+  }
+
+  /** the value an aggregate yields over zero rows, per openCypher:
+    * count → 0, collect → [], sum → 0, stDev/stDevP → 0.0;
+    * avg/min/max/percentileCont → null (the left join's default).
+    * Compound expressions over aggregates keep null — rare, and the
+    * per-leaf neutral cannot be folded without re-evaluating.
+    */
+  private def aggNeutral(e: Ast.Expr,
+      dt: org.apache.spark.sql.types.DataType): Option[Column] = e match {
+    case FuncCall("count", _, _) => Some(lit(0L))
+    case FuncCall("collect", _, _) =>
+      Some(array().cast(dt))
+    case FuncCall("sum", _, _) => Some(lit(0.0).cast(dt))
+    case FuncCall("stdev" | "stdevp", _, _) => Some(lit(0.0))
+    case _ => None
   }
 
   /** rename a CALL result's columns into value bindings and join */

@@ -218,6 +218,18 @@ DETACH DELETE n
                   RETURN c.name AS top_cust ORDER BY top_cust LIMIT 1 }
            RETURN n.name AS nation, top_cust ORDER BY nation""")),
 
+    // correlated CALL whose body is aggregate-only: openCypher yields
+    // exactly one row per invocation, so the 5 region stubs (zero
+    // outgoing edges) must appear with deg = 0 and a null min — the
+    // left-outer + neutral-coalesce path, which an inner keyed join
+    // (the r5 bug) would silently drop.
+    "cypher_call_agg" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (n)
+           CALL { WITH n MATCH (n)-[:in_region]->(m)
+                  RETURN count(m) AS deg, min(m.gid) AS first_region }
+           RETURN n.gid AS gid, deg, first_region ORDER BY gid""")),
+
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
     // store, then a read whose per-region counts prove both the node
@@ -291,6 +303,14 @@ DETACH DELETE n
       """SELECT n.n_name AS nation, MIN(c.c_name) AS top_cust
          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY nation""",
+    "cypher_call_agg" ->
+      """WITH nodes AS (
+           SELECT 'n:'||n_nationkey AS gid, CAST(1 AS BIGINT) AS deg,
+                  'r:'||n_regionkey AS first_region FROM nation
+           UNION ALL
+           SELECT DISTINCT 'r:'||n_regionkey, CAST(0 AS BIGINT),
+                  CAST(NULL AS VARCHAR) FROM nation)
+         SELECT gid, deg, first_region FROM nodes ORDER BY gid""",
     "cypher_count_sub" ->
       """SELECT n_name AS nation,
          (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)

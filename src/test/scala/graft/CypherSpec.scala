@@ -461,8 +461,28 @@ class CypherSpec extends AnyFunSuite {
          CALL { WITH n MATCH (n)-[r]->() RETURN count(r) AS deg }
          RETURN n.gid AS gid, deg ORDER BY gid""").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    // CALL's inner join drops zero-match rows (p3) — Cypher semantics
-    assert(agg.toSeq == Seq(("urn:p1", 1L), ("urn:p2", 2L)))
+    // aggregate-only body: exactly one row per invocation, zero-match
+    // invocations included (p3 appears with deg = 0, as in Neo4j)
+    assert(agg.toSeq ==
+      Seq(("urn:p1", 1L), ("urn:p2", 2L), ("urn:p3", 0L)))
+    // the COUNT { } twin agrees
+    val twin = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN n.gid AS gid, COUNT { (n)-[]->() } AS deg
+         ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(twin.toSeq == agg.toSeq)
+    // collect() over zero matches is [] (not a dropped row / null)
+    val coll = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         CALL { WITH n MATCH (n)-[r]->(m)
+                RETURN collect(m.gid) AS tgts, count(r) AS deg }
+         RETURN n.gid AS gid, tgts, deg ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList, r.getLong(2)))
+    assert(coll.toSeq == Seq(
+      ("urn:p1", List("urn:c1"), 1L),
+      ("urn:p2", List("urn:c1", "urn:p1"), 2L),
+      ("urn:p3", Nil, 0L)))
     // correlated row multiplication + per-invocation ORDER BY/LIMIT
     val top = CypherEngine.query(store,
       """MATCH (n:Person)
