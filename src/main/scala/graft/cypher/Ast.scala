@@ -164,6 +164,12 @@ object Ast {
     * becomes the (fully replaced) props map.
     */
   case class SetAll(variable: String, value: Expr) extends SetItem
+  /** `SET v += map`: partial update — overlay the map's entries onto
+    * the existing props (null-valued entries remove the key, other
+    * props survive). Model keys (`gid`, `source`, `label`) in the map
+    * are ignored: `+=` patches properties only.
+    */
+  case class SetPlus(variable: String, value: Expr) extends SetItem
   /** `SET v:Label` — the template's `SET n:%s` (neo4j.go:107). */
   case class SetLabelItem(variable: String, label: String) extends SetItem
 

@@ -33,7 +33,7 @@ object Parser {
     "END", "UNION", "ALL")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -104,6 +104,7 @@ object Parser {
     val first = parseQuery(p)
     val unions = Seq.newBuilder[(Boolean, Ast.Query)]
     var allMode: Option[Boolean] = None
+    var prev = first
     while (p.tryKw("UNION")) {
       val all = p.tryKw("ALL")
       if (allMode.exists(_ != all))
@@ -111,10 +112,17 @@ object Parser {
       allMode = Some(all)
       if (first.items.isEmpty)
         throw ParseException("UNION requires RETURN in every part")
+      // Neo4j rejects ORDER BY/SKIP/LIMIT in non-final union parts
+      // (the tail is union-level, not branch-level) — accepting them
+      // with branch-local semantics would quietly diverge
+      if (prev.orderBy.nonEmpty || prev.skip.nonEmpty || prev.limit.nonEmpty)
+        throw ParseException(
+          "ORDER BY/SKIP/LIMIT is only allowed in the final UNION part")
       val q = parseQuery(p)
       if (q.items.isEmpty)
         throw ParseException("UNION requires RETURN in every part")
       unions += ((all, q))
+      prev = q
     }
     if (p.peek.nonEmpty)
       throw ParseException(s"trailing input: ${p.toks.take(5)}")
@@ -172,15 +180,22 @@ object Parser {
             while (p.trySym(",")) one()
           }
           val inner = parseQuery(p)
-          // UNION parts inside an uncorrelated CALL
+          // UNION parts inside a CALL subquery
           val unions = Seq.newBuilder[(Boolean, Ast.Query)]
           var allMode: Option[Boolean] = None
+          var prevPart = inner
           while (p.tryKw("UNION")) {
             val all = p.tryKw("ALL")
             if (allMode.exists(_ != all))
               throw ParseException("cannot mix UNION and UNION ALL")
             allMode = Some(all)
-            unions += ((all, parseQuery(p)))
+            if (prevPart.orderBy.nonEmpty || prevPart.skip.nonEmpty ||
+                prevPart.limit.nonEmpty)
+              throw ParseException(
+                "ORDER BY/SKIP/LIMIT is only allowed in the final UNION part")
+            val part = parseQuery(p)
+            unions += ((all, part))
+            prevPart = part
           }
           p.expectSym("}")
           sawAny = true
@@ -313,9 +328,10 @@ object Parser {
   }
 
   /** SET items: `v.prop = expr` | `v = expr` (full-map replacement,
-    * the template's `SET n = item`, neo4j.go:108) | `v:Label` (the
-    * template's `SET n:%s`, neo4j.go:107). Values are atoms: literals,
-    * parameters, property references (`item.source`), function calls.
+    * the template's `SET n = item`, neo4j.go:108) | `v += map`
+    * (partial update / merge overlay) | `v:Label` (the template's
+    * `SET n:%s`, neo4j.go:107). Values are full expressions —
+    * `SET n.cnt = n.cnt + 1` is bread-and-butter Cypher.
     */
   private def parseSetItems(p: P): Seq[Ast.SetItem] = {
     val items = Seq.newBuilder[Ast.SetItem]
@@ -329,15 +345,19 @@ object Parser {
           p.next()
           val prop = p.identOrKw()
           p.expectSym("=")
-          items += Ast.SetProp(v, prop, parseAtom(p))
+          items += Ast.SetProp(v, prop, parseExpr(p))
         case Some(Sym(":")) =>
           p.next()
           items += Ast.SetLabelItem(v, p.identOrKw())
         case Some(Sym("=")) =>
           p.next()
-          items += Ast.SetAll(v, parseAtom(p))
+          items += Ast.SetAll(v, parseExpr(p))
+        case Some(Sym("+=")) =>
+          p.next()
+          items += Ast.SetPlus(v, parseExpr(p))
         case other =>
-          throw ParseException(s"expected '.', ':' or '=' in SET, got $other")
+          throw ParseException(
+            s"expected '.', ':', '=' or '+=' in SET, got $other")
       }
     }
     one()
@@ -554,7 +574,9 @@ object Parser {
     }
   }
 
-  // arithmetic precedence: +/- < */ /% < ^ (right-assoc) < unary - < postfix [] < atom
+  // arithmetic precedence: +/- < */ /% < unary - < ^ (right-assoc)
+  // < postfix [] < atom. openCypher binds ^ TIGHTER than unary minus:
+  // -2^2 = -(2^2) = -4.0 (the exponent itself may be signed: 2^-3).
   private def parseAddSub(p: P): Ast.Expr = {
     var l = parseMulDiv(p)
     var continue = true
@@ -569,22 +591,16 @@ object Parser {
   }
 
   private def parseMulDiv(p: P): Ast.Expr = {
-    var l = parsePow(p)
+    var l = parseUnary(p)
     var continue = true
     while (continue) {
       p.peek match {
         case Some(Sym(op @ ("*" | "/" | "%"))) =>
-          p.next(); l = Ast.Arith(op, l, parsePow(p))
+          p.next(); l = Ast.Arith(op, l, parseUnary(p))
         case _ => continue = false
       }
     }
     l
-  }
-
-  private def parsePow(p: P): Ast.Expr = {
-    val l = parseUnary(p)
-    if (p.trySym("^")) Ast.Arith("^", l, parsePow(p)) // right-assoc
-    else l
   }
 
   private def parseUnary(p: P): Ast.Expr =
@@ -595,7 +611,14 @@ object Parser {
       case other => Ast.Arith("-", Ast.Lit(0L), other)
     }
     else if (p.trySym("+")) parseUnary(p)
-    else parsePostfix(p)
+    else parsePow(p)
+
+  private def parsePow(p: P): Ast.Expr = {
+    val l = parsePostfix(p)
+    // right-assoc via parseUnary: the exponent may itself be signed
+    if (p.trySym("^")) Ast.Arith("^", l, parseUnary(p))
+    else l
+  }
 
   /** postfix subscript / slice: `expr[idx]` (0-based list index / map
     * key) or `expr[from..to]` (end-exclusive; either bound optional) */

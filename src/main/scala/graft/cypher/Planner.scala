@@ -452,6 +452,28 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         df = df
           .withColumn(s"${v}__source", guarded(col(s"${v}__source"), srcOf))
           .withColumn(s"${v}__props", guarded(col(s"${v}__props"), propsOf))
+      case SetPlus(v, e) =>
+        if (!env.get(v).contains(NodeVar))
+          throw PlanError(s"SET $v += … target must be a node variable")
+        val m = pvMapCol(e)
+        // `+=` patches properties only; model keys are not properties
+        val overlay = map_filter(m, (k, _) =>
+          k =!= "gid" && k =!= "source" && k =!= "label")
+        effects += PatchProps(df.filter(rowGate)
+          .filter(col(s"${v}__gid").isNotNull)
+          .select(col(s"${v}__gid").as("gid"), overlay.as("patch"),
+            array().cast("array<string>").as("removes")))
+        // view: overlay non-null entries, drop keys patched to null
+        // (the executor's all-null-slot rule, mirrored per row)
+        def isNullPv(pv: Column): Column =
+          pv.getField("s").isNull && pv.getField("l").isNull &&
+            pv.getField("d").isNull && pv.getField("b").isNull
+        val updated = map_concat(
+          map_filter(coalesce(col(s"${v}__props"), emptyProps),
+            (k, _) => !array_contains(map_keys(overlay), k)),
+          map_filter(overlay, (_, pv) => !isNullPv(pv)))
+        df = df.withColumn(s"${v}__props",
+          guarded(col(s"${v}__props"), updated))
       case SetProp(v, prop, e) => env.get(v) match {
         case Some(NodeVar) =>
           if (Set("gid", "label", "source").contains(prop))

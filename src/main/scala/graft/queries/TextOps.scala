@@ -252,10 +252,14 @@ object TextOps {
 
     // dup-pair graph → clusters → canonical keeper: the standard final
     // step of a corpus dedup pipeline. Connected components over the
-    // verified MinHash pairs via iterative min-label propagation
-    // (localCheckpoint per round truncates lineage; rounds ~ cluster
-    // diameter, and dup clusters are shallow by construction). Every
-    // document gets (cluster, keep): keep = it is its cluster's min id.
+    // verified MinHash pairs via iterative min-label propagation with
+    // pointer doubling — each round takes the min over neighbours'
+    // labels AND follows cluster := label(cluster), so convergence is
+    // O(log diameter) and the 30-round cap covers diameter 2^30; an
+    // unconverged exit throws rather than silently diverging from the
+    // oracle's exact closure. localCheckpoint per round truncates
+    // lineage. Every document gets (cluster, keep): keep = it is its
+    // cluster's min id.
     "dedup_cluster" -> ((s, dir) => {
       import s.implicits._
       val pairs = minhashPairs(s, dir)
@@ -271,9 +275,17 @@ object TextOps {
           .join(lab.select($"id".as("b"), $"cluster".as("nc")), Seq("b"))
           .groupBy($"a").agg(min($"nc").as("nc"))
           .select($"a".as("id"), $"nc")
-        val next = lab.join(viaNbr, Seq("id"), "left_outer")
+        val stepped = lab.join(viaNbr, Seq("id"), "left_outer")
           .select($"id",
             least($"cluster", coalesce($"nc", $"cluster")).as("cluster"))
+        // pointer doubling: labels are themselves ids in `lab`, so
+        // one extra self-join halves the remaining path each round
+        val hop = stepped.select($"id".as("c_id"), $"cluster".as("c_lab"))
+        val next = stepped.join(hop, stepped("cluster") === hop("c_id"),
+            "left_outer")
+          .select(stepped("id"),
+            least(stepped("cluster"), coalesce($"c_lab", stepped("cluster")))
+              .as("cluster"))
           .localCheckpoint()
         changed = next
           .join(lab.select($"id", $"cluster".as("old")), Seq("id"))
@@ -281,6 +293,8 @@ object TextOps {
         lab = next
         rounds += 1
       }
+      if (changed > 0) throw new IllegalStateException(
+        s"dedup_cluster: label propagation unconverged after $rounds rounds")
       t(s, dir, "documents").select($"doc_id")
         .join(lab.select($"id".as("doc_id"), $"cluster"),
           Seq("doc_id"), "left_outer")

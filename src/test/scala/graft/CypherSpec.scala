@@ -148,6 +148,29 @@ class CypherSpec extends AnyFunSuite {
     val d = CypherEngine.query(store,
       "UNWIND [7, -7] AS x RETURN x / 2 AS q").collect().map(_.getLong(0))
     assert(d.toSeq == Seq(3L, -3L))
+    // ^ binds tighter than unary minus (-2^2 = -(2^2)); a signed
+    // exponent still parses; ^ stays right-associative
+    val e = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN -2 ^ 2 AS a, 2 ^ -1 AS b, 2 ^ 3 ^ 2 AS c""").collect().head
+    assert(e.getDouble(0) == -4.0)
+    assert(e.getDouble(1) == 0.5)
+    assert(e.getDouble(2) == 512.0)
+  }
+
+  test("ORDER BY/SKIP/LIMIT rejected in non-final UNION parts") {
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        """MATCH (n:Person) RETURN n.name AS name ORDER BY name
+           UNION MATCH (c:Company) RETURN c.name AS name""")
+    }
+    assert(err.getMessage.contains("final UNION part"))
+    // final-part tail still scopes to the whole union
+    val ok = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'ola'}) RETURN n.name AS name
+         UNION MATCH (c:Company) RETURN c.name AS name
+         ORDER BY name LIMIT 2""").collect().map(_.getString(0))
+    assert(ok.toSeq == Seq("Mimiro", "ola"))
   }
 
   test("+ concatenates strings and lists") {
@@ -1358,6 +1381,50 @@ class CypherSpec extends AnyFunSuite {
       """MATCH (n:Person) WHERE n.gid = 'urn:p1'
          RETURN n.nickname AS nick, n.name AS name""").collect()
     assert(removed.head.isNullAt(0) && removed.head.getString(1) == "brian")
+  }
+
+  test("SET n += map merges; other props survive; null entry removes") {
+    val st = mutableStore()
+    CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         SET n += {age: 41, city: 'oslo'}""").collect()
+    val after = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN n.name AS name, toInteger(n.age) AS age, n.city AS city""")
+      .collect().head
+    assert(after.getString(0) == "brian") // pre-existing key survives
+    assert(after.getLong(1) == 41L)
+    assert(after.getString(2) == "oslo")
+    // a null-valued entry removes the key; others still merge
+    CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         SET n += {city: NULL, title: 'dr'}""").collect()
+    val r2 = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN n.city AS city, n.title AS title, n.name AS name""")
+      .collect().head
+    assert(r2.isNullAt(0) && r2.getString(1) == "dr" &&
+      r2.getString(2) == "brian")
+    // parameter-map form: SET n += $props
+    val r3 = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1' SET n += $props
+         RETURN n.title AS title, n.name AS name""",
+      Map("props" -> Map("title" -> "prof"))).collect().head
+    assert(r3.getString(0) == "prof" && r3.getString(1) == "brian")
+  }
+
+  test("SET with a bare expression RHS (counter increment)") {
+    val st = mutableStore()
+    CypherEngine.query(st,
+      "MATCH (n:Person) WHERE n.gid = 'urn:p1' SET n.age = 40").collect()
+    CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         SET n.age = n.age + 1, n.tag = 'v' + toString(2 * 3)""").collect()
+    val after = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.gid = 'urn:p1'
+         RETURN toInteger(n.age) AS age, n.tag AS tag""").collect().head
+    assert(after.getLong(0) == 41L)
+    assert(after.getString(1) == "v6")
   }
 
   test("DELETE with zero matches commits nothing") {
