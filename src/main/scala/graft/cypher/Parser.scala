@@ -167,18 +167,21 @@ object Parser {
         case Some(Kw("CALL")) =>
           p.next()
           p.expectSym("{")
-          // optional importing WITH of bare variable names
+          // optional importing WITH of bare variable names — repeated
+          // per UNION part (Neo4j requires each part to re-import)
           val imports = Seq.newBuilder[String]
-          if (p.peek.contains(Kw("WITH")("WITH"))) {
-            p.next()
-            def one(): Unit = p.next() match {
-              case Ident(v) => imports += v
-              case other => throw ParseException(
-                s"CALL imports must be bare variable names, got $other")
+          def parseImports(): Unit =
+            if (p.peek.contains(Kw("WITH")("WITH"))) {
+              p.next()
+              def one(): Unit = p.next() match {
+                case Ident(v) => imports += v
+                case other => throw ParseException(
+                  s"CALL imports must be bare variable names, got $other")
+              }
+              one()
+              while (p.trySym(",")) one()
             }
-            one()
-            while (p.trySym(",")) one()
-          }
+          parseImports()
           val inner = parseQuery(p)
           // UNION parts inside a CALL subquery
           val unions = Seq.newBuilder[(Boolean, Ast.Query)]
@@ -193,13 +196,14 @@ object Parser {
                 prevPart.limit.nonEmpty)
               throw ParseException(
                 "ORDER BY/SKIP/LIMIT is only allowed in the final UNION part")
+            parseImports()
             val part = parseQuery(p)
             unions += ((all, part))
             prevPart = part
           }
           p.expectSym("}")
           sawAny = true
-          clauses += Ast.CallSub(imports.result(),
+          clauses += Ast.CallSub(imports.result().distinct,
             inner.copy(unions = unions.result()))
         case Some(Kw("DETACH")) | Some(Kw("DELETE")) | Some(Kw("SET")) |
             Some(Kw("REMOVE")) | Some(Kw("CREATE")) | Some(Kw("MERGE")) =>

@@ -876,24 +876,32 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   /** `CALL { … }` subquery (see [[Ast.CallSub]]). Uncorrelated: the
     * inner query (UNION allowed) plans in a fresh planner and
-    * cross-joins the bound rows. Correlated: each imported node
+    * cross-joins the bound rows. Correlated: the inner planner is
+    * SEEDED with the imported variables' columns from the outer frame
+    * (one row per distinct key) — the body sees the actual outer
+    * bindings, so outer-value references (`WHERE m.x > n.y`) work and
+    * the inner scan is restricted to the invoked rows; each imported
     * variable's gid is appended to the inner RETURN as a correlation
-    * key, so inner aggregation scopes per invocation for free; inner
-    * ORDER BY/SKIP/LIMIT become a row_number window over the key
-    * (per-invocation semantics — a global sort-limit would be wrong);
-    * the keyed inner join multiplies/drops outer rows exactly as
-    * CALL row semantics demand. When EVERY inner RETURN item is an
-    * aggregate, openCypher yields exactly one row per invocation even
-    * for zero matches (`count` = 0, `collect` = []), so the join is
-    * left-outer with neutral-value coalescing — mirroring
-    * [[planSubCount]], which gets the COUNT {{ }} twin right.
+    * key, so inner aggregation scopes per invocation for free; UNION
+    * parts each plan against their own seed and union before the
+    * keyed join; inner ORDER BY/SKIP/LIMIT (final part only) become a
+    * row_number window over the key (per-invocation semantics — a
+    * global sort-limit would be wrong); the keyed inner join
+    * multiplies/drops outer rows exactly as CALL row semantics
+    * demand. When EVERY inner RETURN item is an aggregate, openCypher
+    * yields exactly one row per invocation even for zero matches
+    * (`count` = 0, `collect` = []), so the join is left-outer with
+    * neutral-value coalescing — mirroring [[planSubCount]], which
+    * gets the COUNT {{ }} twin right; aggregate-only UNION parts are
+    * key-completed the same way before the union.
     */
   private def applyCall(c: CallSub): Unit = {
     val q = c.inner
     if (q.clauses.exists(_.isInstanceOf[WriteClauseT]) ||
         q.unions.exists(_._2.clauses.exists(_.isInstanceOf[WriteClauseT])))
       throw PlanError("CALL subqueries are read-only")
-    if (q.items.isEmpty)
+    if (q.items.isEmpty ||
+        q.unions.exists(_._2.items.isEmpty))
       throw PlanError("a CALL subquery must RETURN")
     if (c.imports.isEmpty) {
       // uncorrelated: evaluate once, cross-join every outer row
@@ -906,22 +914,62 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     c.imports.foreach(v =>
       if (!env.get(v).contains(NodeVar)) throw PlanError(
         s"CALL import $v must be a bound node variable"))
-    if (q.unions.nonEmpty)
-      throw PlanError("UNION inside a correlated CALL is not supported")
     val keyCols = c.imports.zipWithIndex.map { case (v, i) =>
       v -> s"__call_k$i"
     }
-    val q2 = q.copy(
-      items = q.items ++ keyCols.map { case (v, k) =>
-        ReturnItem(PropRef(v, "gid"), Some(k)) },
-      orderBy = Nil, skip = None, limit = None, unions = Nil)
-    var innerDf = new Planner(store, params).plan(q2)
-    if (q.orderBy.nonEmpty || q.skip.nonEmpty || q.limit.nonEmpty) {
+    // the seed: imported columns of the outer frame, one row per
+    // distinct key (dedup by gid — props are map-typed and cannot be
+    // set-operated on, and gid determines the binding)
+    val importCols = c.imports.flatMap(v =>
+      df.columns.filter(_.startsWith(s"${v}__")).toSeq)
+    val seed = df.select(importCols.map(cn => col(quote(cn))): _*)
+      .dropDuplicates(c.imports.map(v => s"${v}__gid"))
+    val seedKeys = seed.select(keyCols.map { case (v, k) =>
+      col(s"${v}__gid").as(k) }: _*)
+    def planSeeded(part: Query): DataFrame = {
+      val pl = new Planner(store, params)
+      pl.df = seed
+      pl.env = c.imports.map(v => v -> (pl.NodeVar: pl.VarKind)).toMap
+      pl.planSingle(part)
+    }
+    val names = q.items.map(_.name)
+    // union-level ORDER BY/SKIP/LIMIT lives on the LAST part (the
+    // parser rejects tails on earlier parts)
+    val parts0: Seq[Query] = q.copy(unions = Nil) +: q.unions.map(_._2)
+    val tailQ = parts0.last
+    def isAggOnly(part: Query): Boolean =
+      part.items.forall(i => containsAgg(i.expr))
+    val frames = parts0.map { part =>
+      val partNames = part.items.map(_.name)
+      if (partNames != names) throw PlanError(
+        s"UNION parts must return the same columns: $names vs $partNames")
+      val withKeys = part.copy(
+        items = part.items ++ keyCols.map { case (v, k) =>
+          ReturnItem(PropRef(v, "gid"), Some(k)) },
+        orderBy = Nil, skip = None, limit = None, unions = Nil)
+      var f = planSeeded(withKeys)
+      // an aggregate-only UNION part yields one row per invocation
+      // even with zero matches — key-complete it BEFORE the union
+      // (the single-part case is handled at the outer join instead)
+      if (parts0.length > 1 && isAggOnly(part)) {
+        var g = seedKeys.join(f, keyCols.map(_._2), "left_outer")
+        part.items.foreach { it =>
+          aggNeutral(it.expr, f.schema(it.name).dataType).foreach { nv =>
+            g = g.withColumn(it.name, coalesce(col(quote(it.name)), nv)) }
+        }
+        f = g.select(f.columns.map(cn => col(quote(cn))): _*)
+      }
+      f
+    }
+    var innerDf = frames.reduce(_ unionByName _)
+    if (q.unions.nonEmpty && !q.unions.head._1)
+      innerDf = distinctSafe(innerDf)
+    if (tailQ.orderBy.nonEmpty || tailQ.skip.nonEmpty || tailQ.limit.nonEmpty) {
       // per-invocation ordering/pagination via a window over the key
-      if (q.orderBy.isEmpty) throw PlanError(
+      if (tailQ.orderBy.isEmpty) throw PlanError(
         "SKIP/LIMIT in a correlated CALL needs ORDER BY")
-      val sorts = q.orderBy.map { case (e, asc) =>
-        val name = q.items.find(i =>
+      val sorts = tailQ.orderBy.map { case (e, asc) =>
+        val name = tailQ.items.find(i =>
           i.expr == e || i.alias.contains(Render.expr(e)) ||
             Render.expr(i.expr) == Render.expr(e))
           .map(_.name).getOrElse(throw PlanError(
@@ -930,8 +978,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(k => col(k._2)): _*).orderBy(sorts: _*)
-      val lo = q.skip.getOrElse(0L)
-      val hi = q.limit.map(lo + _).getOrElse(Long.MaxValue)
+      val lo = tailQ.skip.getOrElse(0L)
+      val hi = tailQ.limit.map(lo + _).getOrElse(Long.MaxValue)
       innerDf = innerDf.withColumn("__call_rn", row_number().over(w))
         .filter(col("__call_rn") > lo && col("__call_rn") <= hi)
         .drop("__call_rn")
@@ -941,15 +989,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }.reduce(_ && _)
     // aggregate-only body: one row per invocation, zero matches
     // included — left join + neutral values (see scaladoc)
-    val allAgg = q.items.forall(i => containsAgg(i.expr))
+    val allAgg = parts0.forall(isAggOnly)
     val innerF = innerDf
-    bindCallResult(innerDf, q.items.map(_.name), join = { outer =>
+    bindCallResult(innerDf, names, join = { outer =>
       if (!allAgg)
         outer.join(innerF, cond, "inner").drop(keyCols.map(_._2): _*)
       else {
         var j = outer.join(innerF, cond, "left_outer")
           .drop(keyCols.map(_._2): _*)
-        q.items.foreach { it =>
+        parts0.head.items.foreach { it =>
           aggNeutral(it.expr, innerF.schema(it.name).dataType).foreach {
             nv => j = j.withColumn(it.name,
               coalesce(col(quote(it.name)), nv)) }

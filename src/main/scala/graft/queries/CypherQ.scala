@@ -218,6 +218,16 @@ DETACH DELETE n
                   RETURN c.name AS top_cust ORDER BY top_cust LIMIT 1 }
            RETURN n.name AS nation, top_cust ORDER BY nation""")),
 
+    // correlated CALL with UNION parts, each re-importing n (Neo4j
+    // syntax): per-invocation union of two expansions — a nation
+    // yields its region stub and itself, distinct per invocation.
+    "cypher_call_union" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (n)-[:in_region]->(m) RETURN m.gid AS who
+                  UNION WITH n MATCH (n) RETURN n.gid AS who }
+           RETURN n.gid AS gid, who ORDER BY gid, who""")),
+
     // correlated CALL whose body is aggregate-only: openCypher yields
     // exactly one row per invocation, so the 5 region stubs (zero
     // outgoing edges) must appear with deg = 0 and a null min — the
@@ -303,6 +313,13 @@ DETACH DELETE n
       """SELECT n.n_name AS nation, MIN(c.c_name) AS top_cust
          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY nation""",
+    "cypher_call_union" ->
+      """WITH pairs AS (
+           SELECT 'n:'||n_nationkey AS gid, 'r:'||n_regionkey AS who
+           FROM nation
+           UNION
+           SELECT 'n:'||n_nationkey, 'n:'||n_nationkey FROM nation)
+         SELECT gid, who FROM pairs ORDER BY gid, who""",
     "cypher_call_agg" ->
       """WITH nodes AS (
            SELECT 'n:'||n_nationkey AS gid, CAST(1 AS BIGINT) AS deg,

@@ -524,6 +524,45 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("read-only"))
   }
 
+  test("UNION inside a correlated CALL; outer-value refs in the body") {
+    // each part re-imports n (Neo4j syntax); parts union per invocation
+    val u = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         CALL { WITH n MATCH (n)-[:worksfor]->(m) RETURN m.gid AS tgt
+                UNION WITH n MATCH (n)-[:knows]->(m) RETURN m.gid AS tgt }
+         RETURN n.gid AS gid, tgt ORDER BY gid, tgt""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(u.toSeq == Seq(
+      ("urn:p1", "urn:c1"), ("urn:p2", "urn:c1"), ("urn:p2", "urn:p1")))
+    // aggregate-only UNION parts: one row per invocation per part,
+    // zero-match invocations included (ola has no edges at all)
+    val agg = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         CALL { WITH n MATCH (n)-[:worksfor]->() RETURN count(*) AS c
+                UNION ALL WITH n MATCH (n)-[:knows]->() RETURN count(*) AS c }
+         RETURN n.gid AS gid, sum(c) AS total ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(agg.toSeq ==
+      Seq(("urn:p1", 1.0), ("urn:p2", 2.0), ("urn:p3", 0.0)))
+    // outer-VALUE reference: the body compares a fresh match against
+    // the imported node's property, not just its gid
+    val vals = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.name = 'brian'
+         CALL { WITH n MATCH (m:Person)
+                WHERE m.name < n.name RETURN m.name AS smaller }
+         RETURN n.name AS name, smaller ORDER BY smaller""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // 'brian' < 'jane','ola'; nothing sorts below it — so use >
+    assert(vals.isEmpty)
+    val vals2 = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.name = 'jane'
+         CALL { WITH n MATCH (m:Person)
+                WHERE m.name < n.name RETURN m.name AS smaller }
+         RETURN n.name AS name, smaller ORDER BY smaller""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(vals2.toSeq == Seq(("jane", "brian")))
+  }
+
   test("pattern predicates after WITH") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.source = 'people'
