@@ -47,6 +47,7 @@ object Bench {
       SparkEntry.queries.get("cypher_customer_graph")
         .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    Scratch.release()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -54,7 +55,12 @@ object Bench {
         val df = fn(spark, sfDir)
         df.queryExecution.toRdd.count() // materialize full rows, not count-only plan
       } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop this entry's scratch caches so residue never charges the
+      // NEXT query (round-5 BENCH attribution decay); release time is
+      // the query's own cost, so it stays inside the timer's shadow
+      Scratch.release()
+      name -> dt
     }
     // The driver captures only a bounded tail of stdout; full-precision
     // doubles over ~80 queries overflow it and the JSON line never

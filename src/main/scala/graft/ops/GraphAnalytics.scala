@@ -23,8 +23,9 @@ object GraphAnalytics {
   def build(spark: SparkSession, nodes: DataFrame, edges: DataFrame)
       : (DataFrame, Graph[String, String]) = {
     import spark.implicits._
-    val dict = nodes.select($"gid").rdd.map(_.getString(0))
-      .zipWithIndex().toDF("gid", "vid").cache()
+    val dict = graft.Scratch.track(
+      nodes.select($"gid").rdd.map(_.getString(0))
+        .zipWithIndex().toDF("gid", "vid").cache())
     val vertices = dict.as[(String, Long)].rdd.map { case (g, v) => (v, g) }
     val es = edges.select($"src", $"dst", $"relType")
       .join(dict.withColumnRenamed("gid", "src")
@@ -88,6 +89,7 @@ object GraphAnalytics {
     val (dict, g0) = build(spark, nodes, edges)
     val g = g0.outerJoinVertices(g0.outDegrees)((_, _, d) => d.getOrElse(0))
       .cache()
+    graft.Scratch.trackRelease(() => { g.unpersist(blocking = false); () })
     var ranks = g.vertices.mapValues((_: Int) => 1000000L)
     for (_ <- 1 to iters) {
       val withRank = g.outerJoinVertices(ranks)((_, outd, r) =>

@@ -201,32 +201,19 @@ object GraphMerge {
     // (directory-level pruning via the bucket partition column), then
     // parquet min/max stats on the gid/src sort keys prune inside.
     val affectedGids = batchGids.unionByName(deletedGids).cache()
-    val affBuckets: Seq[Int] = affectedGids
-      .select(store.bucketOf($"gid").as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // (label, bucket) pairs of EXISTING rows the batch touches —
-    // covers stub promotion (null label) and cross-label deletes
-    val hitLabelBuckets: Set[(Option[String], Option[Int])] =
-      store.nodesWithBucket.select($"gid", $"label", $"bucket")
-        .filter(if (affBuckets.isEmpty) lit(false)
-          else $"bucket".isin(affBuckets: _*))
-        .join(broadcast(affectedGids), Seq("gid"), "left_semi")
-        .select($"label", $"bucket").distinct().collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
-    // buckets the batch's own label writes into; a truncate rewrites
-    // the whole label (every bucket may lose rows)
-    val ownLabelKeys: Set[(Option[String], Option[Int])] =
-      if (truncateFirst) Set(Some(label) -> None)
-      else affBuckets.map(b =>
-        (Some(label): Option[String], Some(b): Option[Int])).toSet
+    // All the tiny driver probes below fuse into TWO jobs (see
+    // ProbeBatch): phase A collects every batch-derived set (bucket
+    // lists, stub/new-edge keys), phase B the store probes that need
+    // phase A's bucket lists for directory pruning.
+    val phaseA = new ProbeBatch
+    var affBuckets: Seq[Int] = Nil
+    phaseA.add(bucketFrame(affectedGids, store.bucketOf($"gid"))) { rows =>
+      affBuckets = rows.flatMap(_._2).toSeq }
     // new stubs land in the null-label partition at bucket(gid) —
     // probe the actual stub set (bounded by the batch's ref targets)
-    val stubKeys: Set[(Option[String], Option[Int])] =
-      stubs.select(store.bucketOf($"gid").as("b")).distinct().collect()
-        .map(r => (Option.empty[String], Some(r.getInt(0)): Option[Int]))
-        .toSet
-    val dirtyNodes = hitLabelBuckets ++ ownLabelKeys ++ stubKeys
+    var stubKeys: Set[(Option[String], Option[Int])] = Set.empty
+    phaseA.add(bucketFrame(stubs, store.bucketOf($"gid"))) { rows =>
+      stubKeys = rows.map(r => (Option.empty[String], r._2)).toSet }
 
     // Edge partitions change where (a) an upserted node's outgoing
     // edges are replaced (B4), (b) a deleted/truncated node's incident
@@ -245,41 +232,63 @@ object GraphMerge {
         srcProbe0.unionByName(d.withColumnRenamed("gid", "src")),
         dstProbe0.unionByName(d.withColumnRenamed("gid", "dst")))
     }
-    val srcBuckets: Seq[Int] = srcProbe
-      .select(store.bucketOf($"src").as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    var srcBuckets: Seq[Int] = Nil
+    phaseA.add(bucketFrame(srcProbe, store.bucketOf($"src"))) { rows =>
+      srcBuckets = rows.flatMap(_._2).toSeq }
+    var dstBuckets: Seq[Int] = Nil
+    if (store.redgesReady)
+      phaseA.add(bucketFrame(dstProbe, store.bucketOf($"dst"))) { rows =>
+        dstBuckets = rows.flatMap(_._2).toSeq }
+    // (relType, bucket) keys added by this batch (batch-derived, small)
+    var newEdgeKeys: Set[(Option[String], Option[Int])] = Set.empty
+    phaseA.add(keyCountFrame(newEdges, $"relType", store.bucketOf($"src"))) {
+      rows => newEdgeKeys = rows.map(r => (r._1, r._2)).toSet }
+    phaseA.run() // ONE job for every batch-derived probe
+
+    // buckets the batch's own label writes into; a truncate rewrites
+    // the whole label (every bucket may lose rows)
+    val ownLabelKeys: Set[(Option[String], Option[Int])] =
+      if (truncateFirst) Set(Some(label) -> None)
+      else affBuckets.map(b =>
+        (Some(label): Option[String], Some(b): Option[Int])).toSet
+
+    val phaseB = new ProbeBatch
+    // (label, bucket) pairs of EXISTING rows the batch touches —
+    // covers stub promotion (null label) and cross-label deletes
+    var hitLabelBuckets: Set[(Option[String], Option[Int])] = Set.empty
+    phaseB.add(keyCountFrame(
+      store.nodesWithBucket.select($"gid", $"label", $"bucket")
+        .filter(if (affBuckets.isEmpty) lit(false)
+          else $"bucket".isin(affBuckets: _*))
+        .join(broadcast(affectedGids), Seq("gid"), "left_semi"),
+      $"label", $"bucket")) { rows =>
+      hitLabelBuckets = rows.map(r => (r._1, r._2)).toSet }
     val eb = store.edgesWithBucket
     val dstSide: DataFrame =
-      if (store.redgesReady) {
-        val dstBuckets: Seq[Int] = dstProbe
-          .select(store.bucketOf($"dst").as("b")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+      if (store.redgesReady)
         store.redgesWithBucket
           .filter(if (dstBuckets.isEmpty) lit(false)
             else $"bucket".isin(dstBuckets: _*))
           .join(dstProbe, Seq("dst"), "left_semi")
           // the incoming edges' MAIN-table partitions
           .select($"relType", store.bucketOf($"src").as("bucket"))
-      } else // pre-index store: one full scan until a commit rebuilds it
+      else // pre-index store: one full scan until a commit rebuilds it
         eb.select($"dst", $"relType", $"bucket")
           .join(dstProbe, Seq("dst"), "left_semi")
           .select($"relType", $"bucket")
-    val hitRelTypeBuckets: Set[(Option[String], Option[Int])] =
+    var hitRelTypeBuckets: Set[(Option[String], Option[Int])] = Set.empty
+    phaseB.add(keyCountFrame(
       eb.select($"src", $"relType", $"bucket")
         .filter(if (srcBuckets.isEmpty) lit(false)
           else $"bucket".isin(srcBuckets: _*))
         .join(srcProbe, Seq("src"), "left_semi")
         .select($"relType", $"bucket")
-        .unionByName(dstSide)
-        .distinct().collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
-    // (relType, bucket) keys added by this batch (batch-derived, small)
-    val newEdgeKeys: Set[(Option[String], Option[Int])] =
-      newEdges.select($"relType", store.bucketOf($"src").as("b"))
-        .distinct().collect()
-        .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-        .toSet
+        .unionByName(dstSide),
+      $"relType", $"bucket")) { rows =>
+      hitRelTypeBuckets = rows.map(r => (r._1, r._2)).toSet }
+    phaseB.run() // ONE job for the bucket-pruned store probes
+
+    val dirtyNodes = hitLabelBuckets ++ ownLabelKeys ++ stubKeys
     val dirtyEdges = hitRelTypeBuckets ++ newEdgeKeys
 
     val committed = store.commit(nodes, edges, syncId,
@@ -387,6 +396,55 @@ object GraphMerge {
 
   private type DirtyKeys = Set[(Option[String], Option[Int])]
 
+  /** Deferred-probe fusion: a write statement's dirty-key / stat
+    * bookkeeping is dozens of TINY driver probes (bucket sets,
+    * per-(partition,bucket) counts) that each cost a full Spark job's
+    * scheduler latency if collected one by one — the dominant cost of
+    * small interactive write statements. A ProbeBatch accumulates the
+    * probe frames (uniform `part: string, b: int, cnt: long` schema,
+    * a tag column appended) and runs them all as ONE tagged-union
+    * collect, dispatching each probe's rows to its sink closure.
+    */
+  private final class ProbeBatch {
+    private val frames = Seq.newBuilder[DataFrame]
+    private val sinks =
+      Seq.newBuilder[Array[(Option[String], Option[Int], Long)] => Unit]
+    private var n = 0
+    /** frame must have columns part (string), b (int), cnt (long) */
+    def add(frame: DataFrame)(
+        sink: Array[(Option[String], Option[Int], Long)] => Unit): Unit = {
+      frames += frame.select(
+        col("part").cast("string").as("part"), col("b").cast("int").as("b"),
+        col("cnt").cast("long").as("cnt"), lit(n).as("__tag"))
+      sinks += sink
+      n += 1
+    }
+    def run(): Unit = {
+      val fs = frames.result()
+      if (fs.isEmpty) return
+      val rows = fs.reduce(_ unionByName _).collect()
+      val byTag = rows.groupBy(_.getInt(3))
+      sinks.result().zipWithIndex.foreach { case (sink, i) =>
+        sink(byTag.getOrElse(i, Array.empty).map(r => (
+          if (r.isNullAt(0)) None else Some(r.getString(0)),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          if (r.isNullAt(2)) 0L else r.getLong(2))))
+      }
+    }
+  }
+
+  /** (part, bucket) count frame for ProbeBatch */
+  private def keyCountFrame(d: DataFrame, part: Column, key: Column)
+      : DataFrame =
+    d.select(part.cast("string").as("part"), key.cast("int").as("b"))
+      .groupBy(col("part"), col("b")).agg(count(lit(1)).as("cnt"))
+
+  /** distinct-bucket frame for ProbeBatch (part/cnt unused) */
+  private def bucketFrame(d: DataFrame, key: Column): DataFrame =
+    d.select(key.cast("int").as("b")).distinct()
+      .select(lit(null).cast("string").as("part"), col("b"),
+        lit(0L).as("cnt"))
+
   /** Execute one write statement's ordered effects against working
     * node/edge frames, then commit ONCE with bucket-level dirty keys.
     * Dirty tracking invariant: every effect that touches EXISTING rows
@@ -421,33 +479,50 @@ object GraphMerge {
     val emptyStr = lit(Array.empty[String])
     val nullProps = lit(null).cast(GraphStore.nodeSchema("props").dataType)
 
-    // One action per small set: groupBy (partition, bucket) + count
-    // yields the dirty manifest keys AND the row count in one collect.
-    def keyCounts(d: DataFrame, partCol: String, keyCol: Column)
-        : (DirtyKeys, Long) = {
-      val rows = d.groupBy(col(partCol), keyCol.as("b")).count().collect()
-      (rows.map(r =>
-          (Option(r.getString(0)), Some(r.getInt(1)): Option[Int])).toSet,
-        rows.map(_.getLong(2)).sum)
-    }
+    // ALL dirty-key / stat probes defer into two fused jobs run after
+    // the effect loop (ProbeBatch): phase A holds every batch-derived
+    // groupBy/count, phase B the pre-state store probes that need
+    // phase A's bucket sets for directory pruning. Only control-flow
+    // probes (CREATE-exists, non-detach-DELETE connectivity) stay
+    // eager. Store tables are immutable (COW), and the probed batch
+    // frames are cached vals, so deferral cannot change results.
+    val phaseA = new ProbeBatch
+    val phaseB = new ProbeBatch
+    val deferredB = Seq.newBuilder[() => Unit]
+
+    /** dirty keys + row count from a batch-derived frame, fused */
+    def deferKeyCounts(d: DataFrame, part: Column, key: Column)(
+        sink: (DirtyKeys, Long) => Unit): Unit =
+      phaseA.add(keyCountFrame(d, part, key)) { rows =>
+        sink(rows.map(r => (r._1, r._2)).toSet, rows.map(_._3).sum) }
+
+    /** a single fused sum (stat counters with no dirty keys) */
+    def deferSum(d: DataFrame, value: Column)(sink: Long => Unit): Unit =
+      phaseA.add(d.agg(coalesce(sum(value), lit(0L)).as("cnt"))
+        .select(lit(null).cast("string").as("part"),
+          lit(null).cast("int").as("b"), col("cnt"))) { rows =>
+        sink(rows.map(_._3).sum) }
 
     /** (label, bucket) keys + count of PRE-STATE store rows matching
-      * `gids`, directory-pruned to the gids' hash buckets. `hint`
-      * broadcasts batch-shaped probes; match-derived sets can be
-      * O(graph), so delete effects leave the strategy to AQE.
+      * `gids`, directory-pruned to the gids' hash buckets (phase B,
+      * after phase A resolves the bucket set). `hint` broadcasts
+      * batch-shaped probes; match-derived sets can be O(graph), so
+      * delete effects leave the strategy to AQE.
       */
-    def storeNodeKeyCounts(gids: DataFrame, hint: Boolean)
-        : (DirtyKeys, Long) = {
-      val bs = gids.select(store.bucketOf($"gid").as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val probe = if (hint) broadcast(gids) else gids
-      val rows = store.nodesWithBucket.select($"gid", $"label", $"bucket")
-        .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
-        .join(probe, Seq("gid"), "left_semi")
-        .groupBy($"label", $"bucket").count().collect()
-      (rows.map(r =>
-          (Option(r.getString(0)), Some(r.getInt(1)): Option[Int])).toSet,
-        rows.map(_.getLong(2)).sum)
+    def deferStoreNodeKeys(gids: DataFrame, hint: Boolean)(
+        sink: (DirtyKeys, Long) => Unit): Unit = {
+      var bs: Seq[Int] = Nil
+      phaseA.add(bucketFrame(gids, store.bucketOf($"gid"))) { rows =>
+        bs = rows.flatMap(_._2).toSeq }
+      deferredB += { () =>
+        val probe = if (hint) broadcast(gids) else gids
+        phaseB.add(keyCountFrame(
+          store.nodesWithBucket.select($"gid", $"label", $"bucket")
+            .filter(if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*))
+            .join(probe, Seq("gid"), "left_semi"),
+          $"label", $"bucket")) { rows =>
+          sink(rows.map(r => (r._1, r._2)).toSet, rows.map(_._3).sum) }
+      }
     }
 
     // Cut working-frame lineage between effects: a later effect's
@@ -472,8 +547,8 @@ object GraphMerge {
         }
         val ins = cache(rows.join(existing, Seq("gid"), "left_anti")
           .withColumn("recorded", lit(ver)))
-        val (k, n) = keyCounts(ins, "label", store.bucketOf($"gid"))
-        dirtyNodes ++= k; nodesCreated += n
+        deferKeyCounts(ins, $"label", store.bucketOf($"gid")) { (k, n) =>
+          dirtyNodes ++= k; nodesCreated += n }
         nodes = nodes.unionByName(ins)
 
       case DeleteNodes(gids0, detach) =>
@@ -483,44 +558,62 @@ object GraphMerge {
         // via the main table's src-hash directories, incoming via the
         // reverse-edge index's dst-hash directories. Otherwise the
         // working-frame scan (statement-local adds must be seen).
-        val touching: DataFrame =
-          if (!edgesMutated && store.redgesReady) {
-            val bs = gids.select(store.bucketOf($"gid").as("b")).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            def bf = if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*)
-            store.edgesWithBucket.filter(bf)
-              .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
-              .select($"src", $"dst", $"relType")
-              .unionByName(store.redgesWithBucket.filter(bf)
-                .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi")
-                .select($"src", $"dst", $"relType"))
-              .distinct()
-          } else edges.select($"src", $"dst", $"relType")
+        def touchingPruned(bs: Seq[Int]): DataFrame = {
+          def bf = if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*)
+          store.edgesWithBucket.filter(bf)
             .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
-            .unionByName(edges.select($"src", $"dst", $"relType")
-              .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
+            .select($"src", $"dst", $"relType")
+            .unionByName(store.redgesWithBucket.filter(bf)
+              .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi")
+              .select($"src", $"dst", $"relType"))
             .distinct()
+        }
+        val touchingWorking = edges.select($"src", $"dst", $"relType")
+          .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
+          .unionByName(edges.select($"src", $"dst", $"relType")
+            .join(gids.withColumnRenamed("gid", "dst"), Seq("dst"), "left_semi"))
+          .distinct()
+        val usePruned = !edgesMutated && store.redgesReady
         if (!detach) {
           // plain DELETE on a still-connected node is an error; the
           // working edge frame already excludes edges deleted earlier
-          // in this statement (Neo4j's "remaining relationships" rule)
+          // in this statement (Neo4j's "remaining relationships" rule).
+          // Control flow — stays eager (rare interactive path).
+          val touching =
+            if (usePruned) {
+              val bs = gids.select(store.bucketOf($"gid").as("b")).distinct()
+                .collect().map(_.getInt(0)).toSeq
+              touchingPruned(bs)
+            } else touchingWorking
           if (!touching.isEmpty)
             throw new IllegalStateException(
               "cannot delete a node that still has relationships; use DETACH DELETE")
         } else {
-          val (ek, en) = keyCounts(touching, "relType", store.bucketOf($"src"))
-          dirtyEdges ++= ek; edgesDeleted += en
+          if (usePruned) {
+            var bs: Seq[Int] = Nil
+            phaseA.add(bucketFrame(gids, store.bucketOf($"gid"))) { rows =>
+              bs = rows.flatMap(_._2).toSeq }
+            deferredB += { () =>
+              phaseB.add(keyCountFrame(touchingPruned(bs), $"relType",
+                store.bucketOf($"src"))) { rows =>
+                dirtyEdges ++= rows.map(r => (r._1, r._2)).toSet
+                edgesDeleted += rows.map(_._3).sum }
+            }
+          } else
+            deferKeyCounts(touchingWorking, $"relType",
+              store.bucketOf($"src")) { (ek, en) =>
+              dirtyEdges ++= ek; edgesDeleted += en }
           edges = cascade(edges, gids)
           edgesMutated = true
         }
-        val (nk, nn) = storeNodeKeyCounts(gids, hint = false)
-        dirtyNodes ++= nk; nodesDeleted += nn
+        deferStoreNodeKeys(gids, hint = false) { (nk, nn) =>
+          dirtyNodes ++= nk; nodesDeleted += nn }
         nodes = nodes.join(gids, Seq("gid"), "left_anti")
 
       case DeleteEdges(keys0) =>
         val keys = cache(keys0.select("src", "dst", "relType").distinct())
-        val (ek, en) = keyCounts(keys, "relType", store.bucketOf($"src"))
-        dirtyEdges ++= ek; edgesDeleted += en
+        deferKeyCounts(keys, $"relType", store.bucketOf($"src")) { (ek, en) =>
+          dirtyEdges ++= ek; edgesDeleted += en }
         edges = edges.join(keys, Seq("src", "dst", "relType"), "left_anti")
         edgesMutated = true
 
@@ -532,8 +625,8 @@ object GraphMerge {
             Seq("src", "dst", "relType"), "left_semi")
         val add = cache(e.join(existing, Seq("src", "dst", "relType"), "left_anti")
           .withColumn("recorded", lit(ver)))
-        val (ek, en) = keyCounts(add, "relType", store.bucketOf($"src"))
-        dirtyEdges ++= ek; edgesCreated += en
+        deferKeyCounts(add, $"relType", store.bucketOf($"src")) { (ek, en) =>
+          dirtyEdges ++= ek; edgesCreated += en }
         edges = edges.unionByName(add)
         // stub creation for endpoints absent from the working node set
         val ends = add.select($"src".as("gid"))
@@ -544,8 +637,8 @@ object GraphMerge {
           .select($"gid", lit(null).cast("string").as("label"),
             lit(null).cast("string").as("source"), nullProps.as("props"),
             lit(ver).as("recorded")))
-        val (sk, sn) = keyCounts(stubs, "label", store.bucketOf($"gid"))
-        dirtyNodes ++= sk; nodesCreated += sn
+        deferKeyCounts(stubs, $"label", store.bucketOf($"gid")) { (sk, sn) =>
+          dirtyNodes ++= sk; nodesCreated += sn }
         nodes = nodes.unionByName(stubs)
         edgesMutated = true
 
@@ -561,9 +654,7 @@ object GraphMerge {
         val patchN = map_filter(patchN0, (_, v) => !isNullPv(v))
         val removesN = concat(coalesce($"removes", emptyStr),
           map_keys(map_filter(patchN0, (_, v) => isNullPv(v))))
-        // coalesce: sum over a zero-match patch set is null, not 0
-        propertiesSet += p.agg(coalesce(sum(
-          size(patchN) + size(removesN)), lit(0L))).as[Long].head()
+        deferSum(p, size(patchN) + size(removesN))(propertiesSet += _)
         val patched = nodes.join(broadcast(p), Seq("gid"), "inner")
           .withColumn("props", map_concat(
             map_filter(coalesce($"props", emptyPv), (k, _) =>
@@ -574,15 +665,13 @@ object GraphMerge {
           .drop("patch", "removes")
         nodes = nodes.join(broadcast(p.select($"gid")), Seq("gid"), "left_anti")
           .unionByName(patched)
-        val (pk, _) = storeNodeKeyCounts(p.select($"gid"), hint = true)
-        dirtyNodes ++= pk
+        deferStoreNodeKeys(p.select($"gid"), hint = true) { (pk, _) =>
+          dirtyNodes ++= pk }
 
       case ReplaceProps(rows0) =>
         val p = cache(rows0.filter($"gid".isNotNull).dropDuplicates("gid"))
-        propertiesSet += p.agg(coalesce(sum(
-          size(coalesce($"props", emptyPv)) +
-            when($"source".isNotNull, 1).otherwise(0)), lit(0L)))
-          .as[Long].head()
+        deferSum(p, size(coalesce($"props", emptyPv)) +
+          when($"source".isNotNull, 1).otherwise(0))(propertiesSet += _)
         val pr = p.select($"gid", $"source".as("__ns"), $"props".as("__np"))
         val patched = nodes.join(broadcast(pr), Seq("gid"), "inner")
           .withColumn("source", $"__ns")
@@ -591,18 +680,16 @@ object GraphMerge {
           .drop("__ns", "__np")
         nodes = nodes.join(broadcast(pr.select($"gid")), Seq("gid"), "left_anti")
           .unionByName(patched)
-        val (pk, _) = storeNodeKeyCounts(p.select($"gid"), hint = true)
-        dirtyNodes ++= pk
+        deferStoreNodeKeys(p.select($"gid"), hint = true) { (pk, _) =>
+          dirtyNodes ++= pk }
 
       case SetLabels(gids0, label) =>
         val gids = cache(gids0.select("gid").distinct())
-        val (ok, cnt) = storeNodeKeyCounts(gids, hint = true)
-        dirtyNodes ++= ok // old locations (label may change partition)
-        dirtyNodes ++= gids.select(store.bucketOf($"gid").as("b")).distinct()
-          .collect().map(r =>
-            (Some(label): Option[String], Some(r.getInt(0)): Option[Int]))
-          .toSet // new locations
-        labelsSet += cnt
+        deferStoreNodeKeys(gids, hint = true) { (ok, cnt) =>
+          // old locations (label may change partition)
+          dirtyNodes ++= ok; labelsSet += cnt }
+        deferKeyCounts(gids, lit(label), store.bucketOf($"gid")) { (k, _) =>
+          dirtyNodes ++= k } // new locations
         val relabeled = nodes.join(broadcast(gids), Seq("gid"), "left_semi")
           .withColumn("label", lit(label))
           .withColumn("recorded", lit(ver))
@@ -614,16 +701,13 @@ object GraphMerge {
         val hasType = p0.columns.contains("new_relType")
         val p = cache(p0.filter($"src".isNotNull)
           .dropDuplicates("src", "dst", "relType"))
-        val (ok, cnt) = keyCounts(p, "relType", store.bucketOf($"src"))
-        dirtyEdges ++= ok
+        val mult = (if (hasSource) 1L else 0L) + (if (hasType) 1L else 0L)
+        deferKeyCounts(p, $"relType", store.bucketOf($"src")) { (ok, cnt) =>
+          dirtyEdges ++= ok; propertiesSet += cnt * mult }
         if (hasType) // a relType change moves the row's partition
-          dirtyEdges ++= p.filter($"new_relType".isNotNull)
-            .groupBy($"new_relType", store.bucketOf($"src").as("b")).count()
-            .collect().map(r =>
-              (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
-            .toSet
-        propertiesSet +=
-          cnt * ((if (hasSource) 1 else 0) + (if (hasType) 1 else 0))
+          deferKeyCounts(p.filter($"new_relType".isNotNull),
+            $"new_relType", store.bucketOf($"src")) { (k, _) =>
+            dirtyEdges ++= k }
         var patched = edges
           .join(broadcast(p), Seq("src", "dst", "relType"), "inner")
         if (hasSource) patched = patched.withColumn("source", $"new_source")
@@ -658,6 +742,10 @@ object GraphMerge {
         if (!(edges eq e0)) edges = cache(edges)
       }
     }
+
+    phaseA.run() // ONE job: every batch-derived probe + bucket sets
+    deferredB.result().foreach(_())
+    phaseB.run() // ONE job: the bucket-pruned pre-state store probes
 
     val anyChange = nodesCreated + edgesCreated + propertiesSet +
       nodesDeleted + edgesDeleted + labelsSet > 0

@@ -219,7 +219,8 @@ object TextOps {
     // n-gram Jaccard near-dup pairs (exact, DF-capped candidate join).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val sh = cappedShingles(shingleTable(s, dir)).cache()
+      val sh = graft.Scratch.track(
+        cappedShingles(shingleTable(s, dir)).cache())
       val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val a = sh.select($"doc_id".as("da"), $"s")
       val b = sh.select($"doc_id".as("db"), $"s")
@@ -357,7 +358,7 @@ object TextOps {
     // so banding has perfect recall) + exact Hamming verify.
     "dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sims = simhashPerDoc(s, dir).cache()
+      val sims = graft.Scratch.track(simhashPerDoc(s, dir).cache())
       val bands = sims
         .select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("k"))

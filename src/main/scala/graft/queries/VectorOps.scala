@@ -55,11 +55,12 @@ object VectorOps {
   def dedupEmbedding(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val en = e.withColumn("norm", sqrt(dot($"v", $"v")))
-      .withColumn("bucket", signBucket($"v"))
-      .withColumn("nz", slice(filter(sequence(lit(0), lit(7)),
-        i => abs(element_at($"v", i + 1)) < ProbeEps), 1, 3))
-      .cache()
+    val en = graft.Scratch.track(
+      e.withColumn("norm", sqrt(dot($"v", $"v")))
+        .withColumn("bucket", signBucket($"v"))
+        .withColumn("nz", slice(filter(sequence(lit(0), lit(7)),
+          i => abs(element_at($"v", i + 1)) < ProbeEps), 1, 3))
+        .cache())
     // probe set: bucket XOR every subset of the near-zero sign bits
     val probeList = when(size($"nz") === 0, array($"bucket"))
       .otherwise(transform(
@@ -103,7 +104,8 @@ object VectorOps {
     // only evaluates the one dot product it must.
     "v_knn_brute" -> ((s, dir) => {
       import s.implicits._
-      val e = emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache()
+      val e = graft.Scratch.track(
+        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
       val q = e.filter($"vec_id" < 20)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"))
       val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"))
@@ -121,10 +123,10 @@ object VectorOps {
     // top-3 within bucket only (the distributed scale path).
     "v_knn_lsh" -> ((s, dir) => {
       import s.implicits._
-      val e = emb(s, dir)
+      val e = graft.Scratch.track(emb(s, dir)
         .withColumn("norm", sqrt(dot($"v", $"v")))
         .withColumn("bucket", signBucket($"v"))
-        .cache()
+        .cache())
       val q = e.filter($"vec_id" < 50)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"), $"bucket")
       val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
@@ -155,7 +157,8 @@ object VectorOps {
     "v_knn_ivf" -> ((s, dir) => {
       import s.implicits._
       val K = 16; val NPROBE = 2; val ITERS = 2
-      val e = emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache()
+      val e = graft.Scratch.track(
+        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
       var cents: Seq[(Long, Seq[Double])] = e.orderBy($"vec_id").limit(K)
         .select($"vec_id".cast("long"), $"v")
         .as[(Long, Seq[Double])].collect().toSeq
@@ -181,7 +184,7 @@ object VectorOps {
           (cid, byCid.getOrElse(cid, old))
         }
       }
-      val trained = assigned.cache()
+      val trained = graft.Scratch.track(assigned.cache())
       val cells = trained.filter($"r" === 1)
         .select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
           $"cid".as("cell"))
@@ -224,6 +227,7 @@ object VectorOps {
         .select($"vec_id", $"dq")
         .withColumn("norm", sqrt(dot($"dq", $"dq")))
         .cache()
+      graft.Scratch.track(enc)
       val q = enc.filter($"vec_id" < 20)
         .select($"vec_id".as("qid"), $"dq".as("qv"), $"norm".as("qn"))
       val c = enc.select($"vec_id".as("nid"), $"dq".as("nv"), $"norm".as("nn"))

@@ -250,15 +250,21 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val (redgesView, redgesDirty) =
-        redgesDelta(newEdges, dirtyEdges, prev, bc)
       val nodesManF = Future(writePartitions(
         newNodes, "nodes", "label", "gid", next, dirtyNodes, prev("nodes"), bc))
       val edgesManF = Future(writePartitions(
         newEdges, "edges", "relType", "src", next, dirtyEdges, prev("edges"), bc))
-      val redgesManF = Future(writePartitions(
-        redgesView, "redges", "relType", "dst", next, redgesDirty,
-        prev.getOrElse("redges", Map.empty), bc))
+      // the reverse-index delta's own probe job (old-vs-new key diff)
+      // runs INSIDE the future so it overlaps the nodes/edges writes
+      // instead of serializing ahead of them (it reads only immutable
+      // prev-manifest files and the batch frame)
+      val redgesManF = Future {
+        val (redgesView, redgesDirty) =
+          redgesDelta(newEdges, dirtyEdges, prev, bc)
+        writePartitions(
+          redgesView, "redges", "relType", "dst", next, redgesDirty,
+          prev.getOrElse("redges", Map.empty), bc)
+      }
       // await ALL before propagating a failure: an orphaned sibling
       // job still writing into seg=<next> would race a retried
       // commit's cleanup of that directory
