@@ -51,6 +51,49 @@ object TextOps {
       .distinct()
   }
 
+  /** MinHash(12) band keys → distinct LSH candidate pairs, from a
+    * (doc_id, s) shingle table. 4 bands × 3 rows: candidate
+    * probability ≈ J³ per band — tuned so the ~0.7 threshold keeps
+    * recall while random-pair collisions (high baseline vocabulary
+    * overlap) stay rare. Carter-Wegman double hashing: ONE md5 split
+    * into two 32-bit halves (a, b) gives the whole family as
+    * h_i = a + i·b. Shared by the batch dedup_minhash_lsh pipeline
+    * and (as the parity target) the streaming bander's spec.
+    */
+  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val h = md5($"s")
+    val ha = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val hb = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val hashed = sh.select(($"doc_id" +:
+      (0 until 12).map(i => (ha + lit(i.toLong) * hb).as(s"h$i"))): _*)
+    val mins = (0 until 12).map(i => min(col(s"h$i")).as(s"h$i"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"doc_id",
+        array((0 until 12).map(i => col(s"h$i")): _*).as("hs"))
+    val bands = sig
+      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("b"), $"hs")
+      .select($"doc_id", $"b",
+        md5(concat_ws("|",
+          element_at($"hs", $"b" * 3 + 1).cast("string"),
+          element_at($"hs", $"b" * 3 + 2).cast("string"),
+          element_at($"hs", $"b" * 3 + 3).cast("string"))).as("bkey"))
+    bands.select($"doc_id".as("da"), $"b", $"bkey")
+      .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
+        Seq("b", "bkey"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+  }
+
+  /** the batch LSH candidate set on the raw corpus — the parity
+    * target StreamingSpec holds the streaming bander to
+    */
+  private[graft] def minhashCandidatesBatch(s: SparkSession,
+      dir: String): DataFrame =
+    lshCandidates(cappedShingles(shingleTable(s, dir)))
+
   /** drop stop-shingles above the document-frequency cap */
   private def cappedShingles(sh: DataFrame): DataFrame = {
     val df = sh.groupBy("s").agg(count(lit(1)).as("nd"))
@@ -96,31 +139,7 @@ object TextOps {
     val sh = cappedShingles(shingleTable(s, dir)).cache()
     scratch += sh
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val h = md5($"s")
-    val ha = conv(substring(h, 1, 8), 16, 10).cast("long")
-    val hb = conv(substring(h, 9, 8), 16, 10).cast("long")
-    val hashed = sh.select(($"doc_id" +:
-      (0 until 12).map(i => (ha + lit(i.toLong) * hb).as(s"h$i"))): _*)
-    val mins = (0 until 12).map(i => min(col(s"h$i")).as(s"h$i"))
-    val sig = hashed.groupBy($"doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select($"doc_id",
-        array((0 until 12).map(i => col(s"h$i")): _*).as("hs"))
-    // 4 bands × 3 rows: candidate probability ≈ J³ per band — tuned
-    // so the ~0.7 threshold keeps recall while random-pair collisions
-    // (high baseline vocabulary overlap) stay rare.
-    val bands = sig
-      .select($"doc_id", explode(sequence(lit(0), lit(3))).as("b"), $"hs")
-      .select($"doc_id", $"b",
-        md5(concat_ws("|",
-          element_at($"hs", $"b" * 3 + 1).cast("string"),
-          element_at($"hs", $"b" * 3 + 2).cast("string"),
-          element_at($"hs", $"b" * 3 + 3).cast("string"))).as("bkey"))
-    val cand = bands.select($"doc_id".as("da"), $"b", $"bkey")
-      .join(bands.select($"doc_id".as("db"), $"b", $"bkey"),
-        Seq("b", "bkey"))
-      .filter($"da" < $"db")
-      .select($"da", $"db").distinct().cache()
+    val cand = lshCandidates(sh).cache()
     scratch += cand
     // exact-verify only the candidate docs' shingles: the LSH pair
     // set is tiny relative to the corpus, so semi-filtering both
@@ -201,6 +220,45 @@ object TextOps {
       t(s, dir, "documents")
         .select($"doc_id",
           md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII detection + scrubbing: emails / phone numbers / SSN-shaped
+    // tokens counted then replaced with typed placeholders. The
+    // fixture corpus has no digits, so matchable PII is SYNTHESIZED
+    // deterministically from doc_id (doc_id%2 → an email, %3 → a
+    // phone, %5 → an SSN) — the DuckDB oracle builds the identical
+    // corpus, so the scrubbed-text hash pins every replacement
+    // byte-for-byte. All codegen'd regexp ops, one narrow projection —
+    // scales linearly like the other per-doc text ops.
+    "t_pii" -> ((s, dir) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      t(s, dir, "documents")
+        .withColumn("text2", concat($"text",
+          when($"doc_id" % 2 === 0,
+            concat(lit(" contact user"), $"doc_id",
+              lit("@example.com now"))).otherwise(lit("")),
+          when($"doc_id" % 3 === 0,
+            concat(lit(" call 555-"),
+              lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" id "),
+              lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit("-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select($"doc_id",
+          regexp_count($"text2", lit(email)).cast("long").as("n_emails"),
+          regexp_count($"text2", lit(phone)).cast("long").as("n_phones"),
+          regexp_count($"text2", lit(ssn)).cast("long").as("n_ssn"),
+          md5(regexp_replace(regexp_replace(regexp_replace($"text2",
+            email, "<EMAIL>"), ssn, "<SSN>"), phone, "<PHONE>"))
+            .as("scrubbed_fp"))
         .orderBy($"doc_id")
     }),
 
@@ -443,6 +501,35 @@ object TextOps {
       """SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "t_pii" ->
+      """WITH synth AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 2 = 0
+                  THEN ' contact user' || doc_id || '@example.com now'
+                  ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                    || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' id ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                    || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                    || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END AS text2
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(text2,
+             '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text2,
+             '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+           md5(regexp_replace(regexp_replace(regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_fp
+         FROM synth ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
          FROM (SELECT doc_id,

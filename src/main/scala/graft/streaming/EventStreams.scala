@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -143,6 +143,73 @@ object EventStreams {
             // first arrival wins; doc_id order within the micro-batch
             Iterator.single(rows.minBy(_.doc_id))
           }
+      }
+  }
+
+  case class CandPair(da: Long, db: Long)
+
+  /** Streaming MinHash-LSH banding — the streaming twin of the batch
+    * dedup_minhash_lsh candidate generator (TextOps.lshCandidates).
+    * The 12-hash signature computes PER ROW (array_min over the
+    * doc's shingle array == the batch groupBy-min over exploded
+    * shingle rows; duplicates cannot change a min), so no streaming
+    * aggregation is needed; each doc then lands in its 4 band
+    * buckets and flatMapGroupsWithState keyed by (band, band-key)
+    * emits a candidate pair per (new doc × prior bucket member).
+    * State per bucket is the member id list — bounded by bucket
+    * size, which LSH keeps small by design; the state store shards
+    * buckets across executors exactly like the batch band self-join
+    * shuffles. A pair colliding in several bands is emitted once per
+    * band — the consumer distincts (the batch side's `.distinct()`),
+    * or chains a dedupStream-shaped pair-keyed stage for
+    * exactly-once at scale. The batch path's corpus-wide DF cap
+    * (stop-shingle removal) has no streaming equivalent here; at the
+    * test SFs the cap is a no-op, and a production deployment would
+    * maintain a DF sketch to pre-drop stop-shingles.
+    */
+  def minhashCandidates(docs: Dataset[DocEvent]): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = split(trim(col("text")), "\\s+")
+    val shingles = when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2),
+        i => array_join(slice(words, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+    def ha(s: Column) = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    def hb(s: Column) = conv(substring(md5(s), 9, 8), 16, 10).cast("long")
+    val sig = array((0 until 12).map(i =>
+      array_min(transform(col("sh"),
+        s => ha(s) + lit(i.toLong) * hb(s)))): _*)
+    docs
+      .withColumn("sh", shingles)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", sig)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("b"), col("hs"))
+      .select(col("doc_id"), concat_ws(":", col("b"),
+        md5(concat_ws("|",
+          element_at(col("hs"), col("b") * 3 + 1).cast("string"),
+          element_at(col("hs"), col("b") * 3 + 2).cast("string"),
+          element_at(col("hs"), col("b") * 3 + 3).cast("string"))))
+        .as("bucket"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)],
+         state: GroupState[List[Long]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[CandPair]
+          // doc_id order within the micro-batch for determinism
+          rows.map(_._1).toSeq.distinct.sorted.foreach { d =>
+            if (!members.contains(d)) {
+              members.foreach(p =>
+                out += (if (p < d) CandPair(p, d) else CandPair(d, p)))
+              members = d :: members
+            }
+          }
+          state.update(members)
+          out.result().iterator
       }
   }
 

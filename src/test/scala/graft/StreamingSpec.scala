@@ -114,6 +114,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed MinHash banding emits the batch LSH candidate pairs " +
+      "across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.queries.TextOps
+      .minhashCandidatesBatch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // three micro-batches: near-dup pairs spanning batch boundaries
+    // exercise the band-bucket state store, not just in-batch joins
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.minhashCandidates(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_stream_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // multi-band collisions emit once per band — distinct like the
+    // batch side's .distinct()
+    val got = spark.table("minhash_stream_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("streamed sessionize closes sessions on EVENT-time, not wall-clock") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime
