@@ -75,10 +75,19 @@ object Ast {
     * `item.k` property references) — the reference's own templates
     * write `MERGE (n {gid: item.gid})` (/root/reference/neo4j.go:103).
     */
+  /** `where` is the Neo4j-5 inline form `(n:L WHERE pred)` — the
+    * parser folds it into the owning clause's WHERE, so the planner
+    * never sees it here.
+    */
+  /** `altLabels` holds the tail of a label disjunction `(n:A|B|C)` —
+    * match-only (writes reject it).
+    */
   case class NodePattern(
       variable: Option[String],
       label: Option[String],
-      props: Seq[(String, Expr)])
+      props: Seq[(String, Expr)],
+      where: Option[Expr] = None,
+      altLabels: Seq[String] = Nil)
 
   /** direction: +1 for ()-[]->(), -1 for ()<-[]-(), 0 for the
     * undirected ()-[]-() (matches the relationship either way);
@@ -172,6 +181,10 @@ object Ast {
   case class SetPlus(variable: String, value: Expr) extends SetItem
   /** `SET v:Label` — the template's `SET n:%s` (neo4j.go:107). */
   case class SetLabelItem(variable: String, label: String) extends SetItem
+  /** `REMOVE v:Label` — clears the label when it matches (the node
+    * becomes an unlabeled stub; this engine's single-label model).
+    */
+  case class RemoveLabelItem(variable: String, label: String) extends SetItem
 
   case class SetClause(items: Seq[SetItem]) extends WriteClauseT
 

@@ -33,7 +33,7 @@ object Parser {
     "END", "UNION", "ALL")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -139,15 +139,17 @@ object Parser {
         case Some(Kw("MATCH")) | Some(Kw("OPTIONAL")) =>
           val optional = p.tryKw("OPTIONAL")
           p.expectKw("MATCH")
-          if (!sawAny && optional)
-            throw ParseException("query must start with MATCH/UNWIND")
           sawAny = true
           // comma-separated patterns share one MATCH (and its WHERE)
           val pats = Seq.newBuilder[Ast.PathPattern]
           pats += parsePattern(p)
           while (p.trySym(",")) pats += parsePattern(p)
           val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
-          clauses += Ast.MatchClause(pats.result(), optional, where)
+          val ps = pats.result()
+          // inline node predicates fold into the clause WHERE
+          val whereAll = (ps.flatMap(inlineWhere) ++ where.toSeq)
+            .reduceOption(Ast.And(_, _))
+          clauses += Ast.MatchClause(ps, optional, whereAll)
         case Some(Kw("WITH")) =>
           p.next()
           if (!sawAny)
@@ -283,7 +285,8 @@ object Parser {
       Ast.SetClause(parseSetItems(p))
     case Some(Kw("REMOVE")) =>
       // REMOVE v.prop, … — sugar for SET v.prop = null (property
-      // drop; the planner routes null-valued patches to `removes`)
+      // drop; the planner routes null-valued patches to `removes`).
+      // REMOVE v:Label clears the label (back to an unlabeled stub).
       p.next()
       val items = Seq.newBuilder[Ast.SetItem]
       def one(): Unit = {
@@ -291,8 +294,11 @@ object Parser {
           case Ident(s) => s
           case other => throw ParseException(s"expected variable, got $other")
         }
-        p.expectSym(".")
-        items += Ast.SetProp(v, p.identOrKw(), Ast.Lit(null))
+        if (p.trySym(":")) items += Ast.RemoveLabelItem(v, p.identOrKw())
+        else {
+          p.expectSym(".")
+          items += Ast.SetProp(v, p.identOrKw(), Ast.Lit(null))
+        }
       }
       one()
       while (p.trySym(",")) one()
@@ -309,6 +315,8 @@ object Parser {
           r.pathVar.nonEmpty || r.shortest || r.allShortest))
         throw ParseException(
           "path variables and shortestPath are MATCH-only")
+      if (result.exists(r => inlineWhere(r).nonEmpty))
+        throw ParseException("WHERE inside a write pattern is not allowed")
       // MERGE takes ONE pattern: a node, or a single relationship
       // between bound/inline endpoints (the reference's edge
       // template, /root/reference/neo4j.go:116-123). Longer chains
@@ -412,7 +420,8 @@ object Parser {
     val pat = parsePattern(p)
     val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
     p.expectSym("}")
-    (pat, whereE)
+    (pat, (inlineWhere(pat).toSeq ++ whereE.toSeq)
+      .reduceOption(Ast.And(_, _)))
   }
 
   /** quantified predicate body: `(x IN list WHERE pred)` */
@@ -473,6 +482,9 @@ object Parser {
       case _ => ()
     }
     val label = if (p.trySym(":")) Some(p.identOrKw()) else None
+    // label disjunction: (n:A|B|C) — Neo4j 5 label expressions' OR
+    val altLabels = Seq.newBuilder[String]
+    if (label.nonEmpty) while (p.trySym("|")) altLabels += p.identOrKw()
     val props = Seq.newBuilder[(String, Ast.Expr)]
     if (p.trySym("{")) {
       def one(): Unit = {
@@ -491,9 +503,17 @@ object Parser {
       while (p.trySym(",")) one()
       p.expectSym("}")
     }
+    // Neo4j-5 inline predicate: (n:Label WHERE n.x > 1)
+    val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
     p.expectSym(")")
-    Ast.NodePattern(variable, label, props.result())
+    Ast.NodePattern(variable, label, props.result(), where,
+      altLabels.result())
   }
+
+  /** the conjunction of a pattern's inline node predicates */
+  private def inlineWhere(pat: Ast.PathPattern): Option[Ast.Expr] =
+    (pat.head.where.toSeq ++ pat.hops.flatMap(_._2.where))
+      .reduceOption(Ast.And(_, _))
 
   // rel := '-[' var? (':' TYPE)? ('*' min? ('..' max)?)? ']->' | '<-[' ... ']-'
   private def parseRel(p: P): Ast.RelPattern = {
@@ -586,7 +606,9 @@ object Parser {
     var continue = true
     while (continue) {
       p.peek match {
-        case Some(Sym(op @ ("+" | "-"))) =>
+        // `||` is Cypher 5's explicit string/list concatenation —
+        // same precedence as `+`, but never numeric
+        case Some(Sym(op @ ("+" | "-" | "||"))) =>
           p.next(); l = Ast.Arith(op, l, parseMulDiv(p))
         case _ => continue = false
       }
@@ -624,30 +646,42 @@ object Parser {
     else l
   }
 
-  /** postfix subscript / slice: `expr[idx]` (0-based list index / map
-    * key) or `expr[from..to]` (end-exclusive; either bound optional) */
+  /** postfix subscript / slice / dot: `expr[idx]` (0-based list index
+    * / map key), `expr[from..to]` (end-exclusive; either bound
+    * optional), `expr.key` (map/struct access on a non-variable —
+    * `properties(n).name`, `collect(x)[0].k`; variables' `n.prop`
+    * parses in the atom as PropRef)
+    */
   private def parsePostfix(p: P): Ast.Expr = {
     var e = parseAtom(p)
-    while (p.peek.contains(Sym("["))) {
-      p.next()
-      if (p.trySym("..")) { // l[..to]
-        val to = parseExpr(p)
-        p.expectSym("]")
-        e = Ast.Slice(e, None, Some(to))
-      } else {
-        val idx = parseExpr(p)
-        if (p.trySym("..")) {
-          val to = p.peek match {
-            case Some(Sym("]")) => None // l[from..]
-            case _ => Some(parseExpr(p))
-          }
+    var continue = true
+    while (continue) {
+      if (p.peek.contains(Sym(".")) &&
+          p.toks.drop(1).headOption.exists {
+            case _: Ident | _: Kw => true; case _ => false }) {
+        p.next()
+        e = Ast.Subscript(e, Ast.Lit(p.identOrKw()))
+      } else if (p.peek.contains(Sym("["))) {
+        p.next()
+        if (p.trySym("..")) { // l[..to]
+          val to = parseExpr(p)
           p.expectSym("]")
-          e = Ast.Slice(e, Some(idx), to)
+          e = Ast.Slice(e, None, Some(to))
         } else {
-          p.expectSym("]")
-          e = Ast.Subscript(e, idx)
+          val idx = parseExpr(p)
+          if (p.trySym("..")) {
+            val to = p.peek match {
+              case Some(Sym("]")) => None // l[from..]
+              case _ => Some(parseExpr(p))
+            }
+            p.expectSym("]")
+            e = Ast.Slice(e, Some(idx), to)
+          } else {
+            p.expectSym("]")
+            e = Ast.Subscript(e, idx)
+          }
         }
-      }
+      } else continue = false
     }
     e
   }
@@ -666,9 +700,25 @@ object Parser {
     case Kw("FALSE") => Ast.Lit(false)
     case Kw("NULL") => Ast.Lit(null)
     case Sym("(") =>
-      val e = parseExpr(p)
-      p.expectSym(")")
-      e
+      // a bare pattern predicate — `WHERE (n)-[:T]->(m)` without the
+      // exists() wrapper (everyday Neo4j) — starts at this same '(';
+      // try a full pattern parse and backtrack to the parenthesized
+      // expression on failure (a pattern needs ≥1 hop, so `(n.x)`
+      // and `(a) - (b)` arithmetic never match)
+      val afterParen = p.toks
+      val asPattern =
+        try {
+          p.toks = Sym("(") :: afterParen
+          val pat = parsePattern(p)
+          if (pat.hops.isEmpty || pat.pathVar.nonEmpty ||
+              pat.shortest || pat.allShortest) { p.toks = afterParen; None }
+          else Some(Ast.PatternPred(pat, inlineWhere(pat)))
+        } catch { case _: ParseException => p.toks = afterParen; None }
+      asPattern.getOrElse {
+        val e = parseExpr(p)
+        p.expectSym(")")
+        e
+      }
     case Sym("[") =>
       // `[x IN list …]` is a comprehension, anything else a literal
       (p.toks.headOption, p.toks.drop(1).headOption) match {
@@ -775,7 +825,7 @@ object Parser {
         p.expectSym(")")
         if (pat.hops.isEmpty)
           throw ParseException("bare node exists() is a value check")
-        Ast.PatternPred(pat)
+        Ast.PatternPred(pat, inlineWhere(pat))
       } catch {
         case _: ParseException =>
           p.toks = saved

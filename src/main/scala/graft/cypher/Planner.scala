@@ -452,6 +452,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         df = df
           .withColumn(s"${v}__source", guarded(col(s"${v}__source"), srcOf))
           .withColumn(s"${v}__props", guarded(col(s"${v}__props"), propsOf))
+      case RemoveLabelItem(v, label) =>
+        if (!env.get(v).contains(NodeVar))
+          throw PlanError(
+            s"REMOVE :Label target must be a node variable: $v")
+        effects += SetLabels(df.filter(rowGate)
+          .filter(col(s"${v}__gid").isNotNull &&
+            col(s"${v}__label") === label)
+          .select(col(s"${v}__gid").as("gid")), null)
+        df = df.withColumn(s"${v}__label",
+          guarded(col(s"${v}__label"),
+            when(col(s"${v}__label") === label,
+              lit(null).cast("string"))
+              .otherwise(col(s"${v}__label"))))
       case SetPlus(v, e) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET $v += … target must be a node variable")
@@ -600,6 +613,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def bindCreateNode(n: NodePattern, merge: Boolean,
       wantMatched: Boolean = false): String = {
     import graft.ops.GraphMerge.WriteEffect._
+    if (n.altLabels.nonEmpty)
+      throw PlanError("a label disjunction (:A|B) is MATCH-only")
     n.variable match {
       case Some(v) if env.get(v).contains(NodeVar) =>
         if (n.label.nonEmpty || n.props.nonEmpty)
@@ -689,13 +704,20 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     var d = store.nodes.select(
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
       col("source").as(s"${v}__source"), col("props").as(s"${v}__props"))
-    n.label.foreach(l => d = d.filter(col(s"${v}__label") === l))
+    labelFilter(col(s"${v}__label"), n).foreach(f => d = d.filter(f))
     n.props.foreach {
       case (k, Lit(value)) => d = d.filter(litPropFilter(v, k, value))
       case _ => () // expression props filter AFTER the join
     }
     d
   }
+
+  /** label predicate incl. the (n:A|B) disjunction */
+  private def labelFilter(c: Column, n: NodePattern): Option[Column] =
+    n.label.map { l =>
+      if (n.altLabels.isEmpty) c === l
+      else c.isin((l +: n.altLabels): _*)
+    }
 
   /** inline literal property predicate. gid/source/label are model
     * COLUMNS, not props-map keys — the reference's own truncate
@@ -754,7 +776,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def applyMatch(m: MatchClause): Unit =
     if (m.optional && df != null) applyOptionalMatch(m)
-    else applyInnerMatch(m)
+    else if (m.optional) {
+      // leading OPTIONAL MATCH operates on one imaginary row: the
+      // pattern's rows when anything matches, else a single all-null
+      // row (Neo4j's semantics — `OPTIONAL MATCH (n:Gone) RETURN
+      // count(n)` is 0, not zero rows)
+      applyInnerMatch(m)
+      if (df.isEmpty) {
+        val nulls = df.schema.fields.map(f =>
+          lit(null).cast(f.dataType).as(f.name))
+        df = spark.range(1).select(nulls.toSeq: _*)
+      }
+    } else applyInnerMatch(m)
 
   private def applyInnerMatch(m: MatchClause): Unit = {
     m.patterns.foreach { pattern =>
@@ -1220,7 +1253,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * filters (they are part of the pattern, not decoration).
     */
   private def rebindFilters(nv: String, node: NodePattern): Unit = {
-    node.label.foreach(l => df = df.filter(col(s"${nv}__label") === l))
+    labelFilter(col(s"${nv}__label"), node).foreach(f => df = df.filter(f))
     node.props.foreach {
       case (k, Lit(v)) => df = df.filter(litPropFilter(nv, k, v))
       case _ => ()
@@ -1622,8 +1655,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def aggCol(e: Ast.Expr): Column = e match {
     case FuncCall("count", Seq(Star), _) => count(lit(1))
-    case FuncCall("count", Seq(a), true) => countDistinct(valueCol(a))
-    case FuncCall("count", Seq(a), false) => count(valueCol(a))
+    // a node/rel var counts by IDENTITY: an OPTIONAL MATCH miss binds
+    // a struct whose fields are all null — the struct itself is NOT
+    // null, so counting the raw struct would count misses
+    case FuncCall("count", Seq(a), true) => countDistinct(identOr(a))
+    case FuncCall("count", Seq(a), false) => count(identOr(a))
     case FuncCall("collect", Seq(a), distinct) =>
       val c = valueCol(a)
       // map-bearing values (node structs, maps, nested lists of them)
@@ -1656,6 +1692,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // route aggregate calls back here
     case other if containsAgg(other) => valueCol(other)
     case other => throw PlanError(s"unsupported aggregate: $other")
+  }
+
+  /** the identity column for node/rel vars (gid / edge key), the
+    * plain value otherwise — what count()/count(DISTINCT) aggregate
+    */
+  private def identOr(e: Ast.Expr): Column = e match {
+    case VarRef(n) if env.get(n).contains(NodeVar) => col(s"${n}__gid")
+    case VarRef(n) if env.get(n).contains(RelVar) =>
+      // null on an OPTIONAL miss (concat_ws alone never nulls)
+      when(col(s"${n}__src").isNotNull,
+        concat_ws("|", col(s"${n}__src"), col(s"${n}__dst"),
+          col(s"${n}__relType")))
+    case other => valueCol(other)
   }
 
   private def numCol(e: Ast.Expr): Column = e match {
@@ -1754,7 +1803,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       .getOrElse(valueCol(a).cast("double"))
     case FuncCall("toboolean", Seq(a), _) => typedProp(a, "b")
       .getOrElse(valueCol(a).cast("boolean"))
-    case FuncCall("id", Seq(VarRef(n)), _) => col(s"${n}__gid")
+    case FuncCall("id" | "elementid", Seq(VarRef(n)), _) =>
+      col(s"${n}__gid")
+    // startNode/endNode return the endpoint's IDENTITY (the gid — how
+    // this engine compares nodes; `startNode(r) = n` and
+    // id(startNode(r)) work). Property access on the result requires
+    // binding the endpoint in the pattern, which also names the join
+    // the property read would otherwise hide.
+    case FuncCall("startnode", Seq(VarRef(n)), _)
+        if env.get(n).contains(RelVar) => col(s"${n}__src")
+    case FuncCall("endnode", Seq(VarRef(n)), _)
+        if env.get(n).contains(RelVar) => col(s"${n}__dst")
+    case FuncCall("id" | "elementid", Seq(inner), _) =>
+      valueCol(inner) // already an identity (startNode/endNode)
     case FuncCall("type", Seq(VarRef(n)), _)
         if env.get(n).contains(RelVar) => col(s"${n}__relType")
     case FuncCall("labels", Seq(VarRef(n)), _) => array(col(s"${n}__label"))
@@ -1845,6 +1906,20 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val c = valueCol(a); when(size(c) > 0, element_at(c, 1))
     case FuncCall("last", Seq(a), _) =>
       val c = valueCol(a); when(size(c) > 0, element_at(c, -1))
+    // tail([]) = [] — everything after the head
+    case FuncCall("tail", Seq(a), _) =>
+      val c = valueCol(a)
+      when(size(c) > 1, slice(c, lit(2), size(c) - 1))
+        .otherwise(slice(c, 1, 0))
+    case FuncCall("isempty", Seq(a), _) =>
+      val c = valueCol(a)
+      colTypeOpt(c) match {
+        case Some(org.apache.spark.sql.types.StringType) =>
+          length(c) === 0
+        case Some(_: org.apache.spark.sql.types.MapType) =>
+          size(map_keys(c)) === 0
+        case _ => size(c) === 0
+      }
     // range(a, b[, step]) — inclusive both ends, like sequence()
     case FuncCall("range", Seq(a, b), _) =>
       sequence(valueCol(a).cast("long"), valueCol(b).cast("long"))
@@ -1895,6 +1970,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case n: Not => toPredicate(n)
     case i: IsNull => toPredicate(i)
     case Arith(op, l, r) => arithCol(op, l, r)
+    // startNode(r)/endNode(r) ARE the endpoint's identity (gid), so
+    // `.gid` / `['gid']` on them is the value itself
+    case Subscript(f @ FuncCall("startnode" | "endnode", _, _),
+        Lit("gid")) => valueCol(f)
     case Subscript(coll, idx) => subscriptCol(valueCol(coll), idx)
     case Slice(collE, fromE, toE) =>
       // openCypher end-exclusive slice; negative bounds from the end;
@@ -1949,6 +2028,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case "/" => lc / rc
           case "%" => lc % rc
           case "^" => pow(lc.cast("double"), rc.cast("double"))
+          case "||" => concat(lc.cast("string"), rc.cast("string"))
         }
     }
     val (lProp, rProp) = (pvOf(l).isDefined, pvOf(r).isDefined)
@@ -1963,6 +2043,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => c.cast("double")
       }
     op match {
+      // `||` concatenates, never adds: list concat when either side
+      // is a list, string concat (canonical renderings) otherwise
+      case "||" =>
+        if (lt.isInstanceOf[ArrayType] || rt.isInstanceOf[ArrayType])
+          concat(lc, rc)
+        else concat(strCol(l), strCol(r))
       case "+" if lt.isInstanceOf[ArrayType] || rt.isInstanceOf[ArrayType] =>
         concat(lc, rc)
       case "+" if (!lProp && lt == StringType) ||
@@ -2136,6 +2222,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def cmpSides(l: Ast.Expr, r: Ast.Expr): (Column, Column) =
     (l, r) match {
+      // node/rel identity vs a startNode()/endNode() identity string:
+      // compare gids (Neo4j compares graph elements by identity)
+      case (FuncCall("startnode" | "endnode", _, _), VarRef(n))
+          if env.get(n).exists(k => k == NodeVar || k == RelVar) =>
+        (valueCol(l), identOr(r))
+      case (VarRef(n), FuncCall("startnode" | "endnode", _, _))
+          if env.get(n).exists(k => k == NodeVar || k == RelVar) =>
+        (identOr(l), valueCol(r))
       case (p: PropRef, Lit(v)) => (typedSide(p, v), lit(v))
       case (Lit(v), p: PropRef) => (lit(v), typedSide(p, v))
       case (p: PropRef, Param(n)) if scalarParam(n).isDefined =>

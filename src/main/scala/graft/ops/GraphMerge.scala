@@ -684,14 +684,17 @@ object GraphMerge {
           dirtyNodes ++= pk }
 
       case SetLabels(gids0, label) =>
+        // label == null clears the label (REMOVE n:Label — the node
+        // becomes an unlabeled stub in the null-label partition)
         val gids = cache(gids0.select("gid").distinct())
         deferStoreNodeKeys(gids, hint = true) { (ok, cnt) =>
           // old locations (label may change partition)
           dirtyNodes ++= ok; labelsSet += cnt }
-        deferKeyCounts(gids, lit(label), store.bucketOf($"gid")) { (k, _) =>
+        deferKeyCounts(gids, lit(label).cast("string"),
+          store.bucketOf($"gid")) { (k, _) =>
           dirtyNodes ++= k } // new locations
         val relabeled = nodes.join(broadcast(gids), Seq("gid"), "left_semi")
-          .withColumn("label", lit(label))
+          .withColumn("label", lit(label).cast("string"))
           .withColumn("recorded", lit(ver))
         nodes = nodes.join(broadcast(gids), Seq("gid"), "left_anti")
           .unionByName(relabeled)

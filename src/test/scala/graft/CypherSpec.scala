@@ -1466,6 +1466,82 @@ class CypherSpec extends AnyFunSuite {
     assert(after.getString(1) == "v6")
   }
 
+  test("everyday-Neo4j round 6: leading OPTIONAL MATCH, inline WHERE, " +
+      "bare pattern predicates, ||, tail/isEmpty, startNode/endNode, " +
+      "label disjunction") {
+    // leading OPTIONAL MATCH: one imaginary row, count(n) = 0
+    val opt = CypherEngine.query(store,
+      "OPTIONAL MATCH (n:Missing) RETURN count(n) AS c").collect()
+    assert(opt.length == 1 && opt.head.getLong(0) == 0L)
+    // inline node-pattern WHERE (Neo4j 5)
+    val inl = CypherEngine.query(store,
+      """MATCH (n:Person WHERE n.name <> 'ola')-[:worksfor]->(m)
+         RETURN n.name AS name ORDER BY name""").collect()
+      .map(_.getString(0))
+    assert(inl.toSeq == Seq("brian", "jane"))
+    // bare pattern predicate in WHERE (no exists() wrapper)
+    val bare = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE (n)-[:knows]->() RETURN n.name AS name""")
+      .collect().map(_.getString(0))
+    assert(bare.toSeq == Seq("jane"))
+    val bareNot = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people' AND
+           NOT (n)-[]->() RETURN n.name AS name""").collect()
+      .map(_.getString(0))
+    assert(bareNot.toSeq == Seq("ola"))
+    // || concatenation (string; list)
+    val cc = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'ola'})
+         RETURN n.name || '!' AS s, [1] || [2, 3] AS l""").collect().head
+    assert(cc.getString(0) == "ola!")
+    assert(cc.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    // tail / isEmpty
+    val t = CypherEngine.query(store,
+      """UNWIND [1] AS one
+         RETURN tail([1, 2, 3]) AS t, tail([1]) AS t1,
+                isEmpty([]) AS e1, isEmpty('x') AS e2""").collect().head
+    assert(t.getSeq[Long](0) == Seq(2L, 3L))
+    assert(t.getSeq[Long](1) == Seq.empty)
+    assert(t.getBoolean(2) && !t.getBoolean(3))
+    // startNode/endNode identity + id()/elementId()
+    val se = CypherEngine.query(store,
+      """MATCH (a:Person {name: 'jane'})-[r:knows]->(b)
+         RETURN startNode(r).gid AS s, endNode(r).gid AS e,
+                id(startNode(r)) AS sid, elementId(a) AS aid,
+                (startNode(r) = a) AS same""").collect().head
+    assert(se.getString(0) == "urn:p2" && se.getString(1) == "urn:p1")
+    assert(se.getString(2) == "urn:p2" && se.getString(3) == "urn:p2")
+    assert(se.getBoolean(4))
+    // label disjunction
+    val lo = CypherEngine.query(store,
+      "MATCH (n:Person|Company) RETURN count(*) AS c").collect().head
+    val people = CypherEngine.query(store,
+      "MATCH (n:Person) RETURN count(*) AS c").collect().head.getLong(0)
+    val comps = CypherEngine.query(store,
+      "MATCH (n:Company) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(lo.getLong(0) == people + comps)
+  }
+
+  test("REMOVE n:Label clears the label; count(n) skips OPTIONAL misses") {
+    val st = mutableStore()
+    CypherEngine.query(st,
+      "MATCH (n:Person {name: 'ola'}) REMOVE n:Person").collect()
+    val left = CypherEngine.query(st,
+      "MATCH (n:Person) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(left == 2L)
+    // the node survives as an unlabeled stub with its props
+    val stub = CypherEngine.query(st,
+      """MATCH (n {gid: 'urn:p3'}) RETURN n.name AS name,
+         labels(n) AS ls""").collect().head
+    assert(stub.getString(0) == "ola")
+    assert(stub.getSeq[String](1).forall(_ == null))
+    // count(n) over OPTIONAL misses is 0 per miss, not 1
+    val cnt = CypherEngine.query(st,
+      """MATCH (n:Person) OPTIONAL MATCH (n)-[:knows]->(m)
+         RETURN count(m) AS c""").collect().head.getLong(0)
+    assert(cnt == 1L) // only jane knows someone
+  }
+
   test("DELETE with zero matches commits nothing") {
     val st = mutableStore()
     val v0 = st.currentVersion
