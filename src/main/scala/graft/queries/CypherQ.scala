@@ -218,6 +218,16 @@ DETACH DELETE n
                   RETURN c.name AS top_cust ORDER BY top_cust LIMIT 1 }
            RETURN n.name AS nation, top_cust ORDER BY nation""")),
 
+    // bare pattern predicate (no exists() wrapper) with an inline
+    // node WHERE (Neo4j 5 style), over the sf-scale customer graph:
+    // nations having at least one high-balance customer — plans as a
+    // semi join, so no row multiplication to re-distinct away.
+    "cypher_pattern_pred" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           WHERE (n)<-[:located_in]-(c:Customer WHERE c.acctbal > 9000)
+           RETURN n.name AS nation ORDER BY nation""")),
+
     // correlated CALL with UNION parts, each re-importing n (Neo4j
     // syntax): per-invocation union of two expansions — a nation
     // yields its region stub and itself, distinct per invocation.
@@ -313,6 +323,11 @@ DETACH DELETE n
       """SELECT n.n_name AS nation, MIN(c.c_name) AS top_cust
          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY nation""",
+    "cypher_pattern_pred" ->
+      """SELECT n.n_name AS nation FROM nation n
+         WHERE EXISTS (SELECT 1 FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+         ORDER BY nation""",
     "cypher_call_union" ->
       """WITH pairs AS (
            SELECT 'n:'||n_nationkey AS gid, 'r:'||n_regionkey AS who
