@@ -390,6 +390,53 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style quality-filter composite (MassiveText rules on the
+    // signals this corpus can express): per-doc rule flags + the final
+    // keep verdict in ONE pass — the real shape of corpus filtering,
+    // where a pipeline wants WHY a doc dropped, not just that it did.
+    // Rules: word count in [20, 10k]; mean word length in [2, 10];
+    // ≥ 2 stopword hits; distinct-word ratio ≥ 0.2; duplicate-bigram
+    // fraction ≤ 0.6. Narrow per-doc aggregations — one bigram
+    // shuffle, everything else per-row; scales like t_repetition.
+    "t_gopher_filter" -> ((s, dir) => {
+      import s.implicits._
+      val stops = Seq("the", "and", "of", "to", "in", "a", "is",
+        "that", "for", "it")
+      val docs = t(s, dir, "documents").select($"doc_id", wordsCol.as("w"))
+      val base = docs.select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        (aggregate($"w", lit(0L), (a, x) => a + length(x)) * 1.0 /
+          size($"w")).as("mean_word_len"),
+        size(filter($"w", x =>
+          stops.map(lit(_) === x).reduce(_ || _)))
+          .cast("long").as("stop_hits"),
+        (size(array_distinct($"w")) * 1.0 / size($"w"))
+          .as("distinct_ratio"))
+      val bi = docs.filter(size($"w") >= 2)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"w") - 1),
+            i => array_join(slice($"w", i, lit(2)), " "))).as("g"))
+      val dup = bi.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          (lit(1.0) - count(lit(1)) * 1.0 / sum($"c"))
+            .as("dup_bigram_frac"))
+      base.join(dup, Seq("doc_id"), "left_outer")
+        .withColumn("dup_bigram_frac",
+          coalesce($"dup_bigram_frac", lit(0.0)))
+        .select($"doc_id", $"n_words", $"mean_word_len", $"stop_hits",
+          $"distinct_ratio", $"dup_bigram_frac",
+          ($"n_words" >= 20 && $"n_words" <= 10000).as("ok_words"),
+          ($"mean_word_len" >= 2.0 && $"mean_word_len" <= 10.0)
+            .as("ok_mwl"),
+          ($"stop_hits" >= 2).as("ok_stops"),
+          ($"distinct_ratio" >= 0.2).as("ok_distinct"),
+          ($"dup_bigram_frac" <= 0.6).as("ok_rep"))
+        .withColumn("keep",
+          $"ok_words" && $"ok_mwl" && $"ok_stops" &&
+            $"ok_distinct" && $"ok_rep")
+        .orderBy($"doc_id")
+    }),
+
     // deterministic stratified sampling: within each language stratum
     // keep the docs whose salted-md5 bucket falls under the rate — the
     // reproducible (re-runnable, oracle-able) corpus downsampling
@@ -501,6 +548,38 @@ object TextOps {
       """SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "t_gopher_filter" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         base AS (SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+               AS mean_word_len,
+             len(list_filter(w, x -> x IN ('the','and','of','to','in',
+               'a','is','that','for','it')))::BIGINT AS stop_hits,
+             len(list_distinct(w)) * 1.0 / len(w) AS distinct_ratio
+           FROM docs),
+         bi AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+           FROM docs WHERE len(w) >= 2),
+         gc AS (SELECT doc_id, g, count(*) c FROM bi GROUP BY 1, 2),
+         dup AS (SELECT doc_id, 1.0 - count(*) * 1.0 / sum(c)
+             AS dup_bigram_frac FROM gc GROUP BY doc_id),
+         j AS (SELECT b.*, coalesce(d.dup_bigram_frac, 0.0)
+             AS dup_bigram_frac
+           FROM base b LEFT JOIN dup d USING (doc_id))
+         SELECT doc_id, n_words, mean_word_len, stop_hits,
+           distinct_ratio, dup_bigram_frac,
+           (n_words >= 20 AND n_words <= 10000) AS ok_words,
+           (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS ok_mwl,
+           (stop_hits >= 2) AS ok_stops,
+           (distinct_ratio >= 0.2) AS ok_distinct,
+           (dup_bigram_frac <= 0.6) AS ok_rep,
+           ((n_words >= 20 AND n_words <= 10000)
+             AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+             AND (stop_hits >= 2) AND (distinct_ratio >= 0.2)
+             AND (dup_bigram_frac <= 0.6)) AS keep
+         FROM j ORDER BY doc_id""",
     "t_pii" ->
       """WITH synth AS (
            SELECT doc_id, text
