@@ -152,8 +152,7 @@ object Parser {
           clauses += Ast.MatchClause(ps, optional, whereAll)
         case Some(Kw("WITH")) =>
           p.next()
-          if (!sawAny)
-            throw ParseException("query must start with MATCH/UNWIND")
+          sawAny = true // leading WITH projects one imaginary row
           val distinct = p.tryKw("DISTINCT")
           val items = parseItems(p)
           val (orderBy, skip, limit) = parseTail(p)
@@ -245,7 +244,7 @@ object Parser {
     }
     p.peek match {
       case Some(Kw("RETURN")) =>
-        if (!sawAny) throw ParseException("query must start with MATCH/UNWIND")
+        // clause-less `RETURN 1` is a single-row projection
         p.next()
         val distinct = p.tryKw("DISTINCT")
         val items = parseItems(p)

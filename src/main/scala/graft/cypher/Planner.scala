@@ -229,7 +229,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // the projection after the commit stays consistent
       graft.ops.GraphMerge.applyWrite(store, effs)
     }
-    if (df == null) throw PlanError("nothing bound before RETURN")
+    // `RETURN 1` — a clause-less query evaluates its items once
+    // against one imaginary row (Neo4j: RETURN without a reading
+    // clause is a single-row projection)
+    if (df == null) df = spark.range(1).select()
     var out = projectReturn(items)
     if (q.distinct) out = distinctSafe(out)
     if (q.orderBy.nonEmpty) {
@@ -1435,7 +1438,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   }
 
   private def applyWith(w: WithClause): Unit = {
-    if (df == null) throw PlanError("WITH before any binding")
+    // leading `WITH 1 AS x …` projects from one imaginary row
+    if (df == null) df = spark.range(1).select()
     // WITH * carries every binding through; COUNT{}/EXISTS{} items
     // land their correlated joins before the projection
     val wi = rewriteSubqueryItems(expandStar(w.items))

@@ -928,7 +928,7 @@ class CypherSpec extends AnyFunSuite {
 
   test("parse errors are reported, not swallowed") {
     intercept[graft.cypher.Parser.ParseException] {
-      CypherEngine.query(store, "RETURN 1")
+      CypherEngine.query(store, "WHERE n.x = 1")
     }
     intercept[graft.cypher.Parser.ParseException] {
       CypherEngine.query(store, "MATCH (n) RETURN n EXTRA")
@@ -1540,6 +1540,25 @@ class CypherSpec extends AnyFunSuite {
       """MATCH (n:Person) OPTIONAL MATCH (n)-[:knows]->(m)
          RETURN count(m) AS c""").collect().head.getLong(0)
     assert(cnt == 1L) // only jane knows someone
+  }
+
+  test("clause-less RETURN / leading WITH project one imaginary row") {
+    val r = CypherEngine.query(store,
+      "RETURN 1 + 1 AS a, 'x' || 'y' AS b, count(*) AS c").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 2L)
+    assert(r.head.getString(1) == "xy")
+    assert(r.head.getLong(2) == 1L) // Neo4j: count(*) over the one row
+    val w = CypherEngine.query(store,
+      """WITH 2 AS x, 3 AS y
+         RETURN x * y AS p""").collect().head.getLong(0)
+    assert(w == 6L)
+    // a leading WITH still pipelines into MATCH
+    val m = CypherEngine.query(store,
+      """WITH 'brian' AS who
+         MATCH (n:Person) WHERE n.name = who
+         RETURN n.gid AS g""").collect().map(_.getString(0))
+    assert(m.toSeq == Seq("urn:p1"))
   }
 
   test("DELETE with zero matches commits nothing") {
