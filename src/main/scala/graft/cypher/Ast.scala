@@ -126,8 +126,8 @@ object Ast {
       items: Seq[ReturnItem],
       where: Option[Expr],
       orderBy: Seq[(Expr, Boolean)],
-      skip: Option[Long],
-      limit: Option[Long]) extends Clause
+      skip: Option[Expr], // integer Lit or Param (`SKIP \$n`)
+      limit: Option[Expr]) extends Clause
 
   case class UnwindClause(expr: Expr, alias: String) extends Clause
 
@@ -218,8 +218,8 @@ object Ast {
       distinct: Boolean,
       items: Seq[ReturnItem],
       orderBy: Seq[(Expr, Boolean)],
-      skip: Option[Long],
-      limit: Option[Long],
+      skip: Option[Expr], // integer Lit or Param (`LIMIT \$n`)
+      limit: Option[Expr],
       unions: Seq[(Boolean, Query)] = Nil)
 
   /** default output names for un-aliased return items */

@@ -389,7 +389,7 @@ object Parser {
   }
 
   private def parseTail(p: P)
-      : (Seq[(Ast.Expr, Boolean)], Option[Long], Option[Long]) = {
+      : (Seq[(Ast.Expr, Boolean)], Option[Ast.Expr], Option[Ast.Expr]) = {
     val orderBy = Seq.newBuilder[(Ast.Expr, Boolean)]
     if (p.tryKw("ORDER")) {
       p.expectKw("BY")
@@ -401,14 +401,17 @@ object Parser {
       one()
       while (p.trySym(",")) one()
     }
-    val skip = if (p.tryKw("SKIP")) Some(parseLong(p)) else None
-    val limit = if (p.tryKw("LIMIT")) Some(parseLong(p)) else None
+    val skip = if (p.tryKw("SKIP")) Some(parseBound(p)) else None
+    val limit = if (p.tryKw("LIMIT")) Some(parseBound(p)) else None
     (orderBy.result(), skip, limit)
   }
 
-  private def parseLong(p: P): Long = p.next() match {
-    case NumLit(v: Long) => v
-    case other => throw ParseException(s"expected integer, got $other")
+  /** SKIP/LIMIT operand: an integer literal or a parameter */
+  private def parseBound(p: P): Ast.Expr = p.next() match {
+    case NumLit(v: Long) => Ast.Lit(v)
+    case ParamTok(n) => Ast.Param(n)
+    case other => throw ParseException(
+      s"expected integer or parameter, got $other")
   }
 
   /** `{ [MATCH] pattern [WHERE expr] }` — the EXISTS/COUNT subquery

@@ -199,8 +199,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       out = out.orderBy(sorts: _*)
     }
-    lastQ.skip.foreach(n => out = out.offset(n.toInt))
-    lastQ.limit.foreach(n => out = out.limit(n.toInt))
+    lastQ.skip.foreach(e => out = out.offset(boundVal(e, "SKIP").toInt))
+    lastQ.limit.foreach(e => out = out.limit(boundVal(e, "LIMIT").toInt))
     out
   }
 
@@ -242,8 +242,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       out = out.orderBy(sorts: _*)
     }
-    q.skip.foreach(n => out = out.offset(n.toInt))
-    q.limit.foreach(n => out = out.limit(n.toInt))
+    q.skip.foreach(e => out = out.offset(boundVal(e, "SKIP").toInt))
+    q.limit.foreach(e => out = out.limit(boundVal(e, "LIMIT").toInt))
     out
   }
 
@@ -1014,8 +1014,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(k => col(k._2)): _*).orderBy(sorts: _*)
-      val lo = tailQ.skip.getOrElse(0L)
-      val hi = tailQ.limit.map(lo + _).getOrElse(Long.MaxValue)
+      val lo = tailQ.skip.map(boundVal(_, "SKIP")).getOrElse(0L)
+      val hi = tailQ.limit.map(e => lo + boundVal(e, "LIMIT"))
+        .getOrElse(Long.MaxValue)
       innerDf = innerDf.withColumn("__call_rn", row_number().over(w))
         .filter(col("__call_rn") > lo && col("__call_rn") <= hi)
         .drop("__call_rn")
@@ -1514,8 +1515,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       df = df.orderBy(sorts: _*)
     }
-    w.skip.foreach(n => df = df.offset(n.toInt))
-    w.limit.foreach(n => df = df.limit(n.toInt))
+    w.skip.foreach(e => df = df.offset(boundVal(e, "SKIP").toInt))
+    w.limit.foreach(e => df = df.limit(boundVal(e, "LIMIT").toInt))
     // openCypher applies a post-WITH WHERE AFTER ORDER BY/SKIP/LIMIT —
     // it filters the windowed rows, it does not re-window the filtered
     w.where.foreach(applyWhere)
@@ -2244,6 +2245,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         (lit(v), typedSide(p, v))
       case _ => (valueCol(l), valueCol(r))
     }
+
+
+  /** resolve a SKIP/LIMIT operand (integer literal or parameter) */
+  private def boundVal(e: Ast.Expr, what: String): Long = e match {
+    case Lit(v: Long) => v
+    case Param(n) => scalarParam(n) match {
+      case Some(v: Long) => v
+      case Some(v: Int) => v.toLong
+      case other => throw PlanError(s"$what parameter must be an integer, got $other")
+    }
+    case other => throw PlanError(s"$what must be an integer: $other")
+  }
 
   private def scalarParam(n: String): Option[Any] = params.get(n) match {
     case Some(_: Seq[_]) | Some(_: Map[_, _]) | None => None

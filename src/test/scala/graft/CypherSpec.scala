@@ -1561,6 +1561,21 @@ class CypherSpec extends AnyFunSuite {
     assert(m.toSeq == Seq("urn:p1"))
   }
 
+  test("parameterized SKIP/LIMIT") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         RETURN n.gid AS g ORDER BY g SKIP $off LIMIT $n""",
+      Map("off" -> 1L, "n" -> 1L)).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("urn:p2"))
+    // non-integer parameter is a plan error
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        "MATCH (n:Person) RETURN n.gid AS g LIMIT $n",
+        Map("n" -> "lots")).collect()
+    }
+    assert(err.getMessage.contains("integer"))
+  }
+
   test("DELETE with zero matches commits nothing") {
     val st = mutableStore()
     val v0 = st.currentVersion
