@@ -1823,7 +1823,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       valueCol(inner) // already an identity (startNode/endNode)
     case FuncCall("type", Seq(VarRef(n)), _)
         if env.get(n).contains(RelVar) => col(s"${n}__relType")
-    case FuncCall("labels", Seq(VarRef(n)), _) => array(col(s"${n}__label"))
+    // Neo4j: labels() of an unlabeled node is [], not [null]
+    case FuncCall("labels", Seq(VarRef(n)), _) =>
+      when(col(s"${n}__label").isNotNull, array(col(s"${n}__label")))
+        .otherwise(array().cast("array<string>"))
     case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
     case FuncCall("length", Seq(VarRef(n), _ @ _*), _)
         if env.get(n).exists(_.isInstanceOf[PathVar]) =>

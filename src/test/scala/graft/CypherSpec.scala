@@ -1534,7 +1534,7 @@ class CypherSpec extends AnyFunSuite {
       """MATCH (n {gid: 'urn:p3'}) RETURN n.name AS name,
          labels(n) AS ls""").collect().head
     assert(stub.getString(0) == "ola")
-    assert(stub.getSeq[String](1).forall(_ == null))
+    assert(stub.getSeq[String](1).isEmpty) // labels() of a stub is []
     // count(n) over OPTIONAL misses is 0 per miss, not 1
     val cnt = CypherEngine.query(st,
       """MATCH (n:Person) OPTIONAL MATCH (n)-[:knows]->(m)
