@@ -390,6 +390,33 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-style vocabulary statistics: per-doc out-of-vocabulary
+    // rate against the corpus's top-100 vocabulary, and the average
+    // corpus frequency of the doc's words — the language-model-free
+    // fluency signals (a doc of rare/garbage tokens scores low).
+    // Integer-exact: counts are long sums, the two ratios are single
+    // double divisions — bit-identical in the oracle. Shape: one
+    // word-count shuffle; the top-100 vocab broadcasts; the per-word
+    // frequency join is keyed by word (the standard join a 100 TB
+    // corpus shards naturally).
+    "t_vocab_stats" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(wordsCol).as("w"))
+      val freq = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      val vocab = freq.orderBy($"cnt".desc, $"w").limit(100)
+        .select($"w", lit(1).as("in_vocab"))
+      toks
+        .join(freq, Seq("w"))
+        .join(broadcast(vocab), Seq("w"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          (sum(when($"in_vocab".isNull, 1L).otherwise(0L)) * 1.0 /
+            count(lit(1))).as("oov_rate"),
+          (sum($"cnt") * 1.0 / count(lit(1))).as("avg_word_freq"))
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style quality-filter composite (MassiveText rules on the
     // signals this corpus can express): per-doc rule flags + the final
     // keep verdict in ONE pass — the real shape of corpus filtering,
@@ -548,6 +575,20 @@ object TextOps {
       """SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "t_vocab_stats" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) w
+           FROM documents),
+         freq AS (SELECT w, count(*) cnt FROM toks GROUP BY w),
+         vocab AS (SELECT w, 1 AS in_vocab FROM freq
+           ORDER BY cnt DESC, w LIMIT 100)
+         SELECT t.doc_id, count(*) AS n_words,
+           sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) AS oov_rate,
+           sum(f.cnt) * 1.0 / count(*) AS avg_word_freq
+         FROM toks t JOIN freq f USING (w)
+         LEFT JOIN vocab v USING (w)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "t_gopher_filter" ->
       """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
            FROM documents),
