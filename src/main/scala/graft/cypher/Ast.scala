@@ -93,11 +93,15 @@ object Ast {
     * undirected ()-[]-() (matches the relationship either way);
     * varLength: Some((min, max)) for `-[:T*min..max]->`
     */
+  /** `altRelTypes` holds the tail of a type disjunction `-[:A|B]->`
+    * — match-only (CREATE needs one concrete type).
+    */
   case class RelPattern(
       variable: Option[String],
       relType: Option[String],
       direction: Int,
-      varLength: Option[(Int, Int)] = None)
+      varLength: Option[(Int, Int)] = None,
+      altRelTypes: Seq[String] = Nil)
 
   /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
     * `shortest` marks `shortestPath(…)` — one minimal-length row per

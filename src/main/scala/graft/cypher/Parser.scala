@@ -524,12 +524,17 @@ object Parser {
     var variable: Option[String] = None
     var relType: Option[String] = None
     var varLength: Option[(Int, Int)] = None
+    val altTypes = Seq.newBuilder[String]
     if (p.trySym("[")) {
       p.peek match {
         case Some(Ident(v)) => p.next(); variable = Some(v)
         case _ => ()
       }
-      if (p.trySym(":")) relType = Some(p.identOrKw())
+      if (p.trySym(":")) {
+        relType = Some(p.identOrKw())
+        // type disjunction: -[:A|B]-> (match-only)
+        while (p.trySym("|")) altTypes += p.identOrKw()
+      }
       if (p.trySym("*")) {
         val min = p.peek match {
           case Some(NumLit(v: Long)) => p.next(); v.toInt
@@ -549,7 +554,8 @@ object Parser {
       if (incoming) { p.expectSym("-"); -1 }
       else if (p.trySym("->")) 1
       else { p.expectSym("-"); 0 } // undirected: `-[r]-` / `--`
-    Ast.RelPattern(variable, relType, direction, varLength)
+    Ast.RelPattern(variable, relType, direction, varLength,
+      altTypes.result())
   }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----

@@ -587,6 +587,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       pat.hops.foreach { case (rel, node) =>
         val relType = rel.relType.getOrElse(
           throw PlanError("CREATE relationship needs an explicit type"))
+        if (rel.altRelTypes.nonEmpty)
+          throw PlanError("a type disjunction (:A|B) is MATCH-only")
         if (rel.varLength.nonEmpty)
           throw PlanError("cannot CREATE a variable-length relationship")
         val nodeVar = bindCreateNode(node, c.merge)
@@ -1220,7 +1222,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       col("src").as(s"${rv}__src"), col("dst").as(s"${rv}__dst"),
       col("relType").as(s"${rv}__relType"),
       col("source").as(s"${rv}__source"))
-    rel.relType.foreach(t => base = base.filter(col(s"${rv}__relType") === t))
+    rel.relType.foreach(t => base = base.filter(
+      if (rel.altRelTypes.isEmpty) col(s"${rv}__relType") === t
+      else col(s"${rv}__relType").isin((t +: rel.altRelTypes): _*)))
     // undirected hops traverse the edge either way: union both
     // orientations on throwaway bind columns (the rv columns keep the
     // STORED orientation — DELETE r and r.* render unchanged). A
@@ -1286,7 +1290,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     if (rel.variable.nonEmpty)
       throw PlanError("relationship variable on a var-length hop is not supported")
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
-    rel.relType.foreach(t => e = e.filter(col("relType") === t))
+    rel.relType.foreach(t => e = e.filter(
+      if (rel.altRelTypes.isEmpty) col("relType") === t
+      else col("relType").isin((t +: rel.altRelTypes): _*)))
     // edge identity = the stored (src,dst,relType), independent of
     // traversal direction — the store dedups edges on exactly this key
     def ekey = concat_ws("\u0001", col("src"), col("dst"), col("relType"))

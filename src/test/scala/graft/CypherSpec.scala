@@ -1561,6 +1561,29 @@ class CypherSpec extends AnyFunSuite {
     assert(m.toSeq == Seq("urn:p1"))
   }
 
+  test("relationship type disjunction -[:A|B]->") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person)-[r:knows|worksfor]->(m)
+         RETURN n.gid AS g, type(r) AS t, m.gid AS m
+         ORDER BY g, t""").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    assert(r.toSeq == Seq(
+      ("urn:p1", "worksfor", "urn:c1"),
+      ("urn:p2", "knows", "urn:p1"),
+      ("urn:p2", "worksfor", "urn:c1")))
+    // var-length over the disjunction
+    val v = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'jane'})-[:knows|worksfor*1..2]->(m)
+         RETURN m.gid AS m ORDER BY m""").collect().map(_.getString(0))
+    assert(v.toSeq == Seq("urn:c1", "urn:c1", "urn:p1"))
+    // CREATE rejects it
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        "MATCH (a:Person), (b:Company) CREATE (a)-[:x|y]->(b)")
+    }
+    assert(err.getMessage.contains("MATCH-only"))
+  }
+
   test("parameterized SKIP/LIMIT") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.source = 'people'
