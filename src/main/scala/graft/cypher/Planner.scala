@@ -139,6 +139,42 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var df: DataFrame = _
   private var anon = 0
 
+  /** the sort in effect from the most recent `WITH … ORDER BY`,
+    * carried as hidden `__ord_i` key columns on `df` (name, ascending).
+    * openCypher collect() respects incoming row order, and a shuffle
+    * into the aggregation destroys physical order — so collect re-sorts
+    * each group's array by these stamped keys instead of relying on
+    * arrival order (or on a global row_number window, which would
+    * single-partition the sort at scale). Cleared whenever the columns
+    * are dropped or the order stops being meaningful (aggregation,
+    * DISTINCT, CALL re-seeding, a newer ORDER BY).
+    */
+  private var pendingOrder: Seq[(String, Boolean)] = Nil
+  private def dropOrd(): Unit = {
+    if (pendingOrder.nonEmpty)
+      df = df.drop(pendingOrder.map(_._1): _*)
+    pendingOrder = Nil
+  }
+
+  /** array_sort comparator restoring the stamped pipeline order inside
+    * a collected group: compares struct fields k0..k(n-1) in sequence,
+    * each with its own direction, null largest (Neo4j: last under ASC,
+    * first under DESC)
+    */
+  private def orderCmp(l: Column, r: Column,
+      dirs: Seq[Boolean]): Column =
+    dirs.zipWithIndex.foldRight(lit(0)) { case ((asc, i), tie) =>
+      val lv = l.getField(s"k$i"); val rv = r.getField(s"k$i")
+      val lt = lit(if (asc) -1 else 1)
+      val gt = lit(if (asc) 1 else -1)
+      when(lv.isNull && rv.isNull, tie)
+        .when(lv.isNull, gt) // null = +inf in value space
+        .when(rv.isNull, lt)
+        .when(lv < rv, lt)
+        .when(lv > rv, gt)
+        .otherwise(tie)
+    }
+
   /** lambda-bound variables (list comprehensions / quantifiers /
     * reduce) — consulted before `env`, innermost binding wins. The
     * bound Column is Spark's named lambda variable, valid only while
@@ -195,7 +231,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case other => throw PlanError(
             s"UNION ORDER BY must reference a returned column: $other")
         }
-        if (asc) col(quote(name)).asc else col(quote(name)).desc
+        if (asc) col(quote(name)).asc_nulls_last
+        else col(quote(name)).desc_nulls_first
       }
       out = out.orderBy(sorts: _*)
     }
@@ -238,7 +275,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     if (q.orderBy.nonEmpty) {
       val sorts = q.orderBy.map { case (e, asc) =>
         val c = resolveOrderCol(e, items)
-        if (asc) c.asc else c.desc
+        // Neo4j null placement: null is the largest value — last
+        // under ASC, first under DESC (Spark's default is the inverse)
+        if (asc) c.asc_nulls_last else c.desc_nulls_first
       }
       out = out.orderBy(sorts: _*)
     }
@@ -934,6 +973,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * key-completed the same way before the union.
     */
   private def applyCall(c: CallSub): Unit = {
+    dropOrd() // the CALL join re-shapes the frame; order keys are stale
     val q = c.inner
     if (q.clauses.exists(_.isInstanceOf[WriteClauseT]) ||
         q.unions.exists(_._2.clauses.exists(_.isInstanceOf[WriteClauseT])))
@@ -1012,7 +1052,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             Render.expr(i.expr) == Render.expr(e))
           .map(_.name).getOrElse(throw PlanError(
             s"CALL ORDER BY must reference a returned column: $e"))
-        if (asc) col(quote(name)).asc else col(quote(name)).desc
+        if (asc) col(quote(name)).asc_nulls_last
+        else col(quote(name)).desc_nulls_first
       }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(k => col(k._2)): _*).orderBy(sorts: _*)
@@ -1475,7 +1516,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             newEnv += out -> ValueVar(s"${out}__value")
         }
       }
-      df = df.select(cols.result(): _*)
+      // hidden ORDER BY key columns ride through a plain projection —
+      // the order they witness is still in effect for a later collect
+      df = df.select(cols.result() ++ pendingOrder.map(p => col(p._1)): _*)
     } else {
       val keyItems = wi.filter(i => !containsAgg(i.expr))
       val aggItems = wi.filter(i => containsAgg(i.expr))
@@ -1505,11 +1548,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val keys = groupCols.result()
       df = if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      pendingOrder = Nil // consumed by aggCol; columns gone with the agg
     }
     env = newEnv.toMap
-    if (w.distinct) df = distinctSafe(df)
+    if (w.distinct) { dropOrd(); df = distinctSafe(df) }
     if (w.orderBy.nonEmpty) {
-      val sorts = w.orderBy.map { case (e, asc) =>
+      dropOrd()
+      val resolved = w.orderBy.map { case (e, asc) =>
         // a node variable is a map-bearing struct — not orderable;
         // Cypher orders nodes by identity, so sort on gid
         val c = e match {
@@ -1517,9 +1562,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             col(s"${n}__gid")
           case _ => valueCol(e)
         }
-        if (asc) c.asc else c.desc
+        (c, asc)
       }
-      df = df.orderBy(sorts: _*)
+      pendingOrder = resolved.indices.map(i => (s"__ord_$i", resolved(i)._2))
+      resolved.zipWithIndex.foreach { case ((c, _), i) =>
+        df = df.withColumn(s"__ord_$i", c)
+      }
+      df = df.orderBy(pendingOrder.map { case (n, asc) =>
+        if (asc) col(n).asc_nulls_last else col(n).desc_nulls_first
+      }: _*)
     }
     w.skip.foreach(e => df = df.offset(boundVal(e, "SKIP").toInt))
     w.limit.foreach(e => df = df.limit(boundVal(e, "LIMIT").toInt))
@@ -1673,16 +1724,36 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("count", Seq(a), false) => count(identOr(a))
     case FuncCall("collect", Seq(a), distinct) =>
       val c = valueCol(a)
-      // map-bearing values (node structs, maps, nested lists of them)
-      // are not sort_array-orderable — decide from the actual Spark
-      // type, not the AST shape; unorderable collects keep arrival
-      // order
-      val orderable = !containsMap(df.select(c).schema.head.dataType)
-      (distinct, orderable) match {
-        case (true, true) => sort_array(collect_set(c))
-        case (true, false) => collect_set(c)
-        case (false, true) => sort_array(collect_list(c))
-        case (false, false) => collect_list(c)
+      if (pendingOrder.nonEmpty) {
+        // an explicit WITH … ORDER BY precedes this aggregation:
+        // collect must honor that row order (openCypher), and the
+        // shuffle into the groupBy destroys it — so collect the
+        // stamped __ord keys alongside each value and re-sort every
+        // group's array by them. Distributed per-group work, no
+        // global window. DISTINCT keeps the FIRST occurrence in
+        // order (array_distinct semantics).
+        val fields = pendingOrder.zipWithIndex.map { case ((n, _), i) =>
+          col(n).as(s"k$i")
+        } :+ c.as("v")
+        val dirs = pendingOrder.map(_._2)
+        val sorted = array_sort(collect_list(struct(fields: _*)),
+          (l, r) => orderCmp(l, r, dirs))
+        val xs = transform(sorted, s => s.getField("v"))
+        if (distinct) array_distinct(xs) else xs
+      } else {
+        // no explicit order: Neo4j's order is arbitrary, so a
+        // deterministic value-sort is a legitimate choice (and what
+        // the DuckDB oracle replays). Map-bearing values (node
+        // structs, maps, nested lists of them) are not
+        // sort_array-orderable — decide from the actual Spark type,
+        // not the AST shape; unorderable collects keep arrival order
+        val orderable = !containsMap(df.select(c).schema.head.dataType)
+        (distinct, orderable) match {
+          case (true, true) => sort_array(collect_set(c))
+          case (true, false) => collect_set(c)
+          case (false, true) => sort_array(collect_list(c))
+          case (false, false) => collect_list(c)
+        }
       }
     case FuncCall("sum", Seq(a), _) => sum(numCol(a))
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
@@ -2034,8 +2105,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case _ =>
         // lambda-scoped operand (comprehension/reduce body): no frame
         // to analyze against — lower with Spark's own type coercion
-        // (numeric semantics; `^` still forces double)
+        // (numeric semantics; `^` still forces double). A `+` chain
+        // with a string literal anywhere in it is concatenation
+        // (Neo4j: string + anything concatenates), which Spark's
+        // numeric `+` would reject at analysis.
+        def strish(e: Ast.Expr): Boolean = e match {
+          case Lit(_: String) => true
+          case Arith("+", a, b) => strish(a) || strish(b)
+          case _ => false
+        }
         return op match {
+          case "+" if strish(l) || strish(r) =>
+            concat(lc.cast("string"), rc.cast("string"))
           case "+" => lc + rc
           case "-" => lc - rc
           case "*" => lc * rc
@@ -2286,4 +2367,29 @@ object CypherEngine {
   def query(store: GraphStore, cypher: String,
       params: Map[String, Any] = Map.empty): DataFrame =
     new Planner(store, params).plan(Parser.parse(cypher))
+
+  /** Open a multi-statement transaction on `store`: every
+    * [[CypherSession.run]] sees the uncommitted writes of earlier
+    * statements through the store's session overlay, and the store
+    * writes its manifest + flips its `_current` pointer ONCE, at
+    * [[CypherSession.commit]] — the analog of the reference executing
+    * each sync's statement batch inside a single Bolt transaction
+    * (/root/reference/neo4j.go:238-284). Write statements still run
+    * their probe jobs eagerly; only the durable commit is deferred,
+    * which is what makes an N-statement batch pay one manifest + flip
+    * instead of N.
+    */
+  def session(store: GraphStore): CypherSession = {
+    store.beginSession()
+    new CypherSession(store)
+  }
+}
+
+final class CypherSession private[cypher] (store: GraphStore) {
+  def run(cypher: String, params: Map[String, Any] = Map.empty): DataFrame =
+    CypherEngine.query(store, cypher, params)
+  /** commit the batched statements: one manifest, one pointer flip */
+  def commit(syncId: String = ""): Long = store.endSession(syncId)
+  /** discard all uncommitted statements */
+  def abort(): Unit = store.abortSession()
 }

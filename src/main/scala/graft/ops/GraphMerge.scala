@@ -460,8 +460,10 @@ object GraphMerge {
     val spark = store.nodes.sparkSession
     import spark.implicits._
     val ver = store.currentVersion + 1
-    var nodes = store.nodes
-    var edges = store.edges
+    val initialNodes = store.nodes // session overlay or committed table
+    val initialEdges = store.edges
+    var nodes = initialNodes
+    var edges = initialEdges
     var dirtyNodes: DirtyKeys = Set.empty
     var dirtyEdges: DirtyKeys = Set.empty
     var nodesCreated, edgesCreated, propertiesSet = 0L
@@ -752,12 +754,42 @@ object GraphMerge {
 
     val anyChange = nodesCreated + edgesCreated + propertiesSet +
       nodesDeleted + edgesDeleted + labelsSet > 0
-    val v =
-      if (!anyChange) store.currentVersion
-      else store.commit(nodes, edges, "", Some(dirtyNodes), Some(dirtyEdges))
-    cached.result().foreach(_.unpersist())
-    CompositeStats(nodesCreated, edgesCreated, propertiesSet,
-      nodesDeleted, edgesDeleted, v)
+    store.session match {
+      case Some(s) =>
+        // open transaction: fold this statement's working frames into
+        // the session overlay instead of committing — later statements
+        // read them through store.nodes/edges, and endSession writes
+        // ONE manifest + pointer flip for the whole batch. The frames
+        // are EAGERLY localCheckpoint'ed: each statement's plan builds
+        // on the previous statement's frame, and without a lineage cut
+        // the logical tree compounds per statement (the per-statement
+        // commit used to cut it at parquet; the checkpoint is the
+        // in-session analog). Blocks are freed by the ContextCleaner
+        // when the session's frames are dropped.
+        if (anyChange) {
+          if (!(nodes eq initialNodes))
+            s.workNodes = Some(nodes.localCheckpoint(true))
+          if (!(edges eq initialEdges))
+            s.workEdges = Some(edges.localCheckpoint(true))
+          s.dirtyNodes ++= dirtyNodes
+          s.dirtyEdges ++= dirtyEdges
+          s.changed = true
+        }
+        // the checkpoint materialized the frames — statement
+        // intermediates are no longer referenced by overlay lineage
+        cached.result().foreach(_.unpersist())
+        CompositeStats(nodesCreated, edgesCreated, propertiesSet,
+          nodesDeleted, edgesDeleted,
+          store.currentVersion + (if (s.changed) 1 else 0))
+      case None =>
+        val v =
+          if (!anyChange) store.currentVersion
+          else store.commit(nodes, edges, "", Some(dirtyNodes),
+            Some(dirtyEdges))
+        cached.result().foreach(_.unpersist())
+        CompositeStats(nodesCreated, edgesCreated, propertiesSet,
+          nodesDeleted, edgesDeleted, v)
+    }
   }
 
   /** result of a Cypher [DETACH] DELETE statement */

@@ -79,14 +79,16 @@ object CypherQ {
     // then a read whose counts and min-names prove all three landed.
     "cypher_set_create" -> ((s, dir) => {
       val store = GraphOnTpch.freshNationStore(s, dir)
-      CypherEngine.query(store,
+      val sess = CypherEngine.session(store)
+      sess.run(
         "CREATE (x:Nation {gid: 'n:99', name: 'ATLANTIS'})").collect()
-      CypherEngine.query(store,
+      sess.run(
         """MATCH (a:Nation), (b) WHERE a.gid = 'n:99' AND b.gid = 'r:0'
            CREATE (a)-[:in_region]->(b)""").collect()
-      CypherEngine.query(store,
+      sess.run(
         "MATCH (n:Nation) WHERE n.gid = 'n:1' SET n.name = 'RENAMED'")
         .collect()
+      sess.commit()
       CypherEngine.query(store,
         """MATCH (m)<-[:in_region]-(n:Nation)
            RETURN m.gid AS region, count(*) AS cnt,
@@ -133,8 +135,12 @@ object CypherQ {
         "to" -> s"r:${r.getAs[Int]("n_regionkey")}",
         "source" -> "nations", "type" -> "in_region"))
       val targetItems = edgeItems.map(m => Map("gid" -> m("to"))).distinct
+      // the reference executes a sync's statements inside ONE Bolt
+      // transaction (neo4j.go:238-284) — the session batches the four
+      // statements into a single store commit
+      val sess = CypherEngine.session(store)
       def run(q: String, ps: Map[String, Any]) =
-        CypherEngine.query(store, q, ps).collect()
+        sess.run(q, ps).collect()
       run("""
 UNWIND $items AS item
 MERGE (n {gid: item.gid})
@@ -162,6 +168,7 @@ MATCH (n {gid: item.gid})
 DETACH DELETE n
 """, Map("items" -> items.filter(
         _("gid").asInstanceOf[String] >= "n:20")))
+      sess.commit()
       CypherEngine.query(store,
         """MATCH (n:Nation)-[r:in_region]->(m)
            RETURN n.gid AS gid, n.name AS name, n.source AS src,
@@ -252,6 +259,19 @@ DETACH DELETE n
 
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
+    // collect() honoring a preceding WITH … ORDER BY (openCypher row
+    // order): the order key (name DESC) is not the collected value's
+    // natural sort, so a value-sorted lowering would hash-mismatch.
+    // The list is flattened to one string via reduce() so the gate
+    // compares scalars (list-typed outputs are untested driver-side).
+    "cypher_collect_order" -> ((s, dir) =>
+      run(s, dir,
+        """MATCH (m)<-[:in_region]-(n:Nation)
+           WITH m, n ORDER BY n.name DESC
+           WITH m.gid AS region, collect(n.name) AS names
+           RETURN region, reduce(s = '', x IN names | s + '|' + x) AS names
+           ORDER BY region""")),
+
     // store, then a read whose per-region counts prove both the node
     // delete and the incident-edge cascade.
     "cypher_delete" -> ((s, dir) => {
@@ -292,6 +312,11 @@ DETACH DELETE n
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_collect_order" ->
+      """SELECT 'r:'||n_regionkey AS region,
+         '|' || array_to_string(list(n_name ORDER BY n_name DESC), '|')
+           AS names
+         FROM nation GROUP BY 1 ORDER BY region""",
     "cypher_ref_templates" ->
       """SELECT 'n:'||n_nationkey AS gid, n_name AS name,
          'nations' AS src, 'r:'||n_regionkey AS region

@@ -101,8 +101,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
 
   def currentVersion: Long = current._1
 
-  def nodes: DataFrame = table("nodes", nodeSchema)
-  def edges: DataFrame = table("edges", edgeSchema)
+  def nodes: DataFrame =
+    session.flatMap(_.workNodes).getOrElse(table("nodes", nodeSchema))
+  def edges: DataFrame =
+    session.flatMap(_.workEdges).getOrElse(table("edges", edgeSchema))
 
   /** The reverse-edge companion index: the edge table re-clustered by
     * DST hash — `relType=…/bucket=H(dst)` directories over slim
@@ -121,12 +123,64 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * rebuilds it
     */
   def redgesReady: Boolean = {
+    // an open session with uncommitted edge writes makes the on-disk
+    // index stale — incoming probes must scan the working frame
+    if (session.exists(_.workEdges.isDefined)) return false
     val v = currentVersion
     v == 0L || {
       val m = readManifest(v)
       m.get("redges").exists(_.nonEmpty) ||
         m.get("edges").forall(_.isEmpty)
     }
+  }
+
+  // ---- multi-statement transaction (session) overlay ----
+
+  /** Uncommitted state of a multi-statement transaction: the working
+    * node/edge frames produced by the statements executed so far, the
+    * union of their dirty partition keys, and every frame they cached
+    * (released at commit/abort). While a session is open, [[nodes]] /
+    * [[edges]] (and the bucket-probing views) serve these frames, so
+    * later statements read earlier statements' writes — and the store
+    * writes its manifest and flips `_current` ONCE, at [[endSession]].
+    * The analog of the reference running each sync batch inside a
+    * single Bolt transaction (/root/reference/neo4j.go:238-284).
+    */
+  private[graft] final class SessionTxn {
+    private[graft] var workNodes: Option[DataFrame] = None
+    private[graft] var workEdges: Option[DataFrame] = None
+    private[graft] var dirtyNodes: Set[DirtyKey] = Set.empty
+    private[graft] var dirtyEdges: Set[DirtyKey] = Set.empty
+    private[graft] var changed = false
+    private[graft] val cached =
+      scala.collection.mutable.Buffer.empty[DataFrame]
+  }
+
+  @volatile private[graft] var session: Option[SessionTxn] = None
+
+  def beginSession(): Unit = synchronized {
+    require(session.isEmpty, s"a session is already open on store $root")
+    session = Some(new SessionTxn)
+  }
+
+  /** commit the open session's batched statements: one manifest write,
+    * one atomic pointer flip. No-op version-wise if nothing changed.
+    */
+  def endSession(syncId: String = ""): Long = synchronized {
+    val s = session.getOrElse(
+      throw new IllegalStateException(s"no open session on store $root"))
+    session = None // commit must read the committed tables, not the overlay
+    try {
+      if (!s.changed) currentVersion
+      else commit(s.workNodes.getOrElse(table("nodes", nodeSchema)),
+        s.workEdges.getOrElse(table("edges", edgeSchema)),
+        syncId, Some(s.dirtyNodes), Some(s.dirtyEdges))
+    } finally s.cached.foreach(_.unpersist())
+  }
+
+  def abortSession(): Unit = synchronized {
+    session.foreach(_.cached.foreach(_.unpersist()))
+    session = None
   }
 
   /** the gid-hash bucket of a cluster-key column — MUST match the
@@ -139,9 +193,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * for dirty-bucket probes that prune at the directory level.
     */
   private[graft] def nodesWithBucket: DataFrame =
-    table("nodes", nodeSchema, keepBucket = true)
+    session.flatMap(_.workNodes)
+      .map(_.withColumn("bucket", bucketOf(col("gid"))))
+      .getOrElse(table("nodes", nodeSchema, keepBucket = true))
   private[graft] def edgesWithBucket: DataFrame =
-    table("edges", edgeSchema, keepBucket = true)
+    session.flatMap(_.workEdges)
+      .map(_.withColumn("bucket", bucketOf(col("src"))))
+      .getOrElse(table("edges", edgeSchema, keepBucket = true))
   private[graft] def redgesWithBucket: DataFrame =
     table("redges", redgeSchema, keepBucket = true)
 
@@ -231,6 +289,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       dirtyEdges: Option[Set[DirtyKey]],
       bc: Int): Long =
     synchronized {
+      require(session.isEmpty,
+        s"store $root has an open session; endSession() commits it")
       val (v, lastSync) = current
       if (syncId.nonEmpty && syncId == lastSync) return v
       val next = v + 1

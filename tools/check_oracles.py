@@ -26,6 +26,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     def norm(v):
         if v is None:
             return ("null",)
+        if type(v).__name__ == "ndarray":  # before .item(): arrays have it too
+            return ("a", tuple(norm(x) for x in v))
         if hasattr(v, "item"):  # numpy scalar -> python
             v = v.item()
         if isinstance(v, float):
