@@ -1840,9 +1840,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(ValueVar(c)) =>
         // a map-typed item (`UNWIND $items AS item` with map values,
         // neo4j.go:96) surfaces its entries as canonical strings, like
-        // node props; struct-typed values keep field access
-        if (isPvMapType(colType(col(c)))) pvStrOf(col(c).getItem(p))
-        else col(c).getField(p)
+        // node props; temporal values answer their accessors
+        // (d.year, dt.epochMillis, dur.days); struct-typed values
+        // keep field access
+        val ct = colType(col(c))
+        if (isPvMapType(ct)) pvStrOf(col(c).getItem(p))
+        else temporalField(col(c), ct, p).getOrElse(col(c).getField(p))
       case Some(PathVar(_, _, _)) =>
         throw PlanError(s"path variable $v has no properties")
       case None => throw PlanError(s"unbound variable: $v")
@@ -1962,6 +1965,54 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       strCol(a).substr(valueCol(st).cast("int") + 1, lit(1 << 30))
     case FuncCall("substring", Seq(a, st, len), _) =>
       strCol(a).substr(valueCol(st).cast("int") + 1, valueCol(len).cast("int"))
+    // ---- temporal values (Neo4j date/datetime/duration) ----
+    // date → DateType, datetime → TimestampType (session tz is UTC),
+    // duration → a {months, days, secs} struct: Spark's interval types
+    // have no field accessors, so the struct keeps `.days`-style reads
+    // cheap and converts to a real interval only at +/- time
+    case FuncCall("date", Seq(), _) => current_date()
+    case FuncCall("date", Seq(MapLit(es)), _) =>
+      val m = es.toMap
+      def df(k: String, d: Int) =
+        m.get(k).map(valueCol(_).cast("int")).getOrElse(lit(d))
+      make_date(df("year", 1), df("month", 1), df("day", 1))
+    case FuncCall("date", Seq(a), _) => to_date(strCol(a))
+    case FuncCall("datetime" | "localdatetime", Seq(), _) =>
+      current_timestamp()
+    case FuncCall("datetime" | "localdatetime", Seq(MapLit(es)), _) =>
+      val m = es.toMap
+      if (m.contains("epochMillis"))
+        timestamp_millis(valueCol(m("epochMillis")).cast("long"))
+      else if (m.contains("epochSeconds"))
+        timestamp_seconds(valueCol(m("epochSeconds")).cast("long"))
+      else {
+        def tf(k: String, d: Int) =
+          m.get(k).map(valueCol(_).cast("int")).getOrElse(lit(d))
+        val secs =
+          m.get("second").map(valueCol(_).cast("double")).getOrElse(lit(0.0)) +
+          m.get("millisecond").map(valueCol(_).cast("double") / 1000.0)
+            .getOrElse(lit(0.0))
+        make_timestamp(tf("year", 1), tf("month", 1), tf("day", 1),
+          tf("hour", 0), tf("minute", 0), secs.cast("decimal(18,6)"))
+      }
+    case FuncCall("datetime" | "localdatetime", Seq(a), _) =>
+      strCol(a).cast("timestamp")
+    case FuncCall("timestamp", Seq(), _) =>
+      // Neo4j: ms since epoch on the statement clock — pinned once at
+      // plan time so every row of the statement sees the same value
+      lit(System.currentTimeMillis())
+    case FuncCall("duration", Seq(Lit(s: String)), _) =>
+      val (mo, d, sec) = parseIsoDuration(s)
+      durStruct(lit(mo), lit(d), lit(sec))
+    case FuncCall("duration", Seq(MapLit(es)), _) =>
+      val m = es.toMap
+      def nf(k: String) =
+        m.get(k).map(valueCol(_).cast("double")).getOrElse(lit(0.0))
+      durStruct(
+        (nf("years") * 12 + nf("months")).cast("long"),
+        (nf("weeks") * 7 + nf("days")).cast("long"),
+        nf("hours") * 3600 + nf("minutes") * 60 + nf("seconds") +
+          nf("milliseconds") / 1000.0)
     case FuncCall("abs", Seq(a), _) => abs(numCol(a))
     case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
     case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
@@ -2138,6 +2189,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => c.cast("double")
       }
     op match {
+      // temporal arithmetic: date/datetime ± duration, duration ± duration
+      case "+" if (lt == DateType || lt == TimestampType) && isDurType(rt) =>
+        lc + durInterval(rc)
+      case "+" if isDurType(lt) && (rt == DateType || rt == TimestampType) =>
+        rc + durInterval(lc)
+      case "-" if (lt == DateType || lt == TimestampType) && isDurType(rt) =>
+        lc - durInterval(rc)
+      case "+" if isDurType(lt) && isDurType(rt) =>
+        durStruct(lc.getField("months") + rc.getField("months"),
+          lc.getField("days") + rc.getField("days"),
+          lc.getField("secs") + rc.getField("secs"))
+      case "-" if isDurType(lt) && isDurType(rt) =>
+        durStruct(lc.getField("months") - rc.getField("months"),
+          lc.getField("days") - rc.getField("days"),
+          lc.getField("secs") - rc.getField("secs"))
       // `||` concatenates, never adds: list concat when either side
       // is a list, string concat (canonical renderings) otherwise
       case "||" =>
@@ -2188,11 +2254,97 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   /** `coll[idx]`: 0-based list index (negative = from the end), map
     * key, or struct field. Out-of-bounds yields null (try_element_at),
     * matching Cypher — never an ANSI error. */
+  // ---- temporal helpers ----
+
+  /** the engine's duration value: total months, days, seconds — the
+    * three independent components Neo4j durations carry
+    */
+  private def durStruct(months: Column, days: Column, secs: Column): Column =
+    struct(months.cast("long").as("months"), days.cast("long").as("days"),
+      secs.cast("double").as("secs"))
+
+  private def isDurType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fieldNames.toSeq == Seq("months", "days", "secs")
+      case _ => false
+    }
+
+  /** a duration struct as a Spark calendar interval, for +/- with
+    * dates and timestamps
+    */
+  private def durInterval(c: Column): Column =
+    make_interval(lit(0), c.getField("months").cast("int"), lit(0),
+      c.getField("days").cast("int"), lit(0), lit(0),
+      c.getField("secs").cast("decimal(18,6)"))
+
+  /** ISO-8601 duration text → (months, days, seconds), parsed at plan
+    * time (duration('P14DT16H12M') — the literal form)
+    */
+  private def parseIsoDuration(s: String): (Long, Long, Double) = {
+    val re = ("""^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?""" +
+      """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$""").r
+    s match {
+      case re(y, mo, w, d, h, mi, sec) =>
+        def l(x: String) = Option(x).map(_.toLong).getOrElse(0L)
+        def dd(x: String) = Option(x).map(_.toDouble).getOrElse(0.0)
+        (l(y) * 12 + l(mo), l(w) * 7 + l(d),
+          dd(h) * 3600 + dd(mi) * 60 + dd(sec))
+      case _ => throw PlanError(s"cannot parse duration: $s")
+    }
+  }
+
+  /** Neo4j temporal accessor (`d.year`, `dt.epochMillis`, `dur.days`)
+    * on a date/timestamp/duration-typed value; integer results, long
+    * like every Cypher integer
+    */
+  private def temporalField(c: Column, t: org.apache.spark.sql.types.DataType,
+      key: String): Option[Column] = {
+    import org.apache.spark.sql.types.{DateType, TimestampType, StructType}
+    def L(x: Column) = Some(x.cast("long"))
+    val isTs = t == TimestampType
+    t match {
+      case DateType | TimestampType => key.toLowerCase match {
+        case "year" => L(year(c))
+        case "month" => L(month(c))
+        case "day" => L(dayofmonth(c))
+        case "week" => L(weekofyear(c))
+        case "quarter" => L(quarter(c))
+        case "ordinalday" => L(dayofyear(c))
+        // Neo4j dayOfWeek: Monday=1 … Sunday=7 (Spark: Sunday=1)
+        case "dayofweek" => L((dayofweek(c) + lit(5)) % 7 + 1)
+        case "hour" if isTs => L(hour(c))
+        case "minute" if isTs => L(minute(c))
+        case "second" if isTs => L(second(c))
+        case "millisecond" if isTs => L(pmod(unix_millis(c), lit(1000)))
+        case "epochmillis" if isTs => L(unix_millis(c))
+        case "epochseconds" if isTs => L(unix_seconds(c))
+        case _ => None
+      }
+      case s: StructType if isDurType(s) => key.toLowerCase match {
+        case "years" => L(floor(c.getField("months") / 12))
+        case "months" => L(c.getField("months"))
+        case "days" => L(c.getField("days"))
+        case "seconds" => L(c.getField("secs"))
+        case "milliseconds" => L(c.getField("secs") * 1000)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def subscriptCol(c: Column, idx: Ast.Expr): Column = {
     import org.apache.spark.sql.types._
     colTypeOpt(c) match {
-      case Some(_: StructType) => idx match {
-        case Lit(s: String) => c.getField(s)
+      case Some(t @ (DateType | TimestampType)) => idx match {
+        case Lit(s: String) => temporalField(c, t, s).getOrElse(
+          throw PlanError(s"unknown temporal accessor: $s"))
+        case other =>
+          throw PlanError(s"temporal accessor needs a string key, got $other")
+      }
+      case Some(t: StructType) => idx match {
+        case Lit(s: String) =>
+          temporalField(c, t, s).getOrElse(c.getField(s))
         case other =>
           throw PlanError(s"struct subscript needs a string key, got $other")
       }

@@ -259,6 +259,24 @@ DETACH DELETE n
 
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
+    // temporal functions: date()/datetime()/duration() construction,
+    // accessors, and ± arithmetic — replayed by DuckDB date functions.
+    // plus45 is folded to yyyymmdd as an integer so the compare is
+    // format-independent.
+    "cypher_temporal" -> ((s, dir) =>
+      run(s, dir,
+        """UNWIND ['2024-01-15', '2024-02-29', '2024-12-31'] AS ds
+           WITH ds, date(ds) AS d
+           WITH ds, d, d + duration({days: 45}) AS p45,
+                datetime(ds + 'T06:30:00Z') AS dt
+           RETURN ds AS d_str, d.year AS y, d.quarter AS q,
+                  d.dayOfWeek AS dow,
+                  p45.year * 10000 + p45.month * 100 + p45.day AS plus45,
+                  dt.epochMillis AS ms,
+                  (dt + duration({hours: 20, minutes: 30})).epochMillis
+                    AS ms2
+           ORDER BY d_str""")),
+
     // collect() honoring a preceding WITH … ORDER BY (openCypher row
     // order): the order key (name DESC) is not the collected value's
     // natural sort, so a value-sorted lowering would hash-mismatch.
@@ -312,6 +330,19 @@ DETACH DELETE n
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_temporal" ->
+      """SELECT ds AS d_str, year(d) AS y, quarter(d) AS q,
+         isodow(d) AS dow,
+         year(d + INTERVAL 45 DAY) * 10000
+           + month(d + INTERVAL 45 DAY) * 100
+           + day(d + INTERVAL 45 DAY) AS plus45,
+         epoch_ms((ds || 'T06:30:00Z')::TIMESTAMP) AS ms,
+         epoch_ms((ds || 'T06:30:00Z')::TIMESTAMP
+           + INTERVAL 20 HOUR + INTERVAL 30 MINUTE) AS ms2
+         FROM (SELECT unnest(['2024-01-15', '2024-02-29', '2024-12-31'])
+                 AS ds, unnest(['2024-01-15', '2024-02-29',
+                 '2024-12-31'])::DATE AS d)
+         ORDER BY d_str""",
     "cypher_collect_order" ->
       """SELECT 'r:'||n_regionkey AS region,
          '|' || array_to_string(list(n_name ORDER BY n_name DESC), '|')

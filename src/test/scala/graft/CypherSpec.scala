@@ -1744,6 +1744,72 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(c1.getString(1) == "Company" && c1.getString(2) == "companies")
   }
 
+  // ---- temporal functions: date/datetime/duration ----
+
+  test("date() accessors: year/month/day/week/quarter/dayOfWeek") {
+    val r = CypherEngine.query(store,
+      """WITH date('2024-03-05') AS d
+         RETURN d.year AS y, d.month AS m, d.day AS dd,
+                d.quarter AS q, d.dayOfWeek AS dow""").collect().head
+    // 2024-03-05 is a Tuesday → dayOfWeek 2 (Neo4j: Monday=1)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2024L, 3L, 5L, 1L, 2L)))
+  }
+
+  test("datetime() from ISO text and epochMillis round-trip") {
+    val r = CypherEngine.query(store,
+      """WITH datetime('2024-03-05T10:30:45Z') AS dt
+         RETURN dt.hour AS h, dt.minute AS mi, dt.second AS s,
+                dt.epochMillis AS ms,
+                datetime({epochMillis: 1700000000000}).epochMillis AS rt
+      """).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 30L && r.getLong(2) == 45L)
+    assert(r.getLong(3) == 1709634645000L)
+    assert(r.getLong(4) == 1700000000000L)
+  }
+
+  test("date arithmetic with duration() crosses a month boundary") {
+    val r = CypherEngine.query(store,
+      """WITH date('2024-01-31') AS d
+         RETURN toString(d + duration({days: 30})) AS plus,
+                toString(d - duration({days: 31})) AS minus""").collect().head
+    assert(r.getString(0).startsWith("2024-03-01"))
+    assert(r.getString(1).startsWith("2023-12-31"))
+  }
+
+  test("duration ISO parse, accessors, and duration±duration") {
+    val r = CypherEngine.query(store,
+      """WITH duration('P1Y2M3DT4H5M6S') AS du
+         RETURN du.months AS mo, du.days AS d, du.seconds AS s,
+                (du + duration({days: 4})).days AS d2,
+                (du - duration({months: 2})).years AS y2""").collect().head
+    assert(r.getLong(0) == 14L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == (4 * 3600 + 5 * 60 + 6).toLong)
+    assert(r.getLong(3) == 7L && r.getLong(4) == 1L)
+  }
+
+  test("datetime comparison and map construction") {
+    val r = CypherEngine.query(store,
+      """WITH date({year: 2024, month: 2, day: 29}) AS a,
+              date('2024-02-28') AS b
+         RETURN a > b AS gt, toString(a) AS s,
+                datetime({year: 2024, month: 2, day: 29, hour: 23,
+                          minute: 59, second: 59}).epochMillis AS ms
+      """).collect().head
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "2024-02-29")
+    assert(r.getLong(2) == 1709251199000L)
+  }
+
+  test("temporal values group and order through WITH pipelines") {
+    val r = CypherEngine.query(store,
+      """UNWIND ['2024-01-15', '2024-01-20', '2024-02-10'] AS s
+         WITH date(s) AS d
+         RETURN d.month AS m, count(*) AS n ORDER BY m""").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
   // ---- multi-statement session: one commit for N statements ----
 
   test("a session batches statements into ONE commit and later " +
