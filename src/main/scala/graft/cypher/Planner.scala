@@ -824,13 +824,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // leading OPTIONAL MATCH operates on one imaginary row: the
       // pattern's rows when anything matches, else a single all-null
       // row (Neo4j's semantics — `OPTIONAL MATCH (n:Gone) RETURN
-      // count(n)` is 0, not zero rows)
+      // count(n)` is 0, not zero rows). Lowered LAZILY as a left
+      // join from the imaginary row, so the match subplan runs once
+      // at materialization, not eagerly at plan time
       applyInnerMatch(m)
-      if (df.isEmpty) {
-        val nulls = df.schema.fields.map(f =>
-          lit(null).cast(f.dataType).as(f.name))
-        df = spark.range(1).select(nulls.toSeq: _*)
-      }
+      val matched = df
+      df = spark.range(1).select(lit(1).as("__opt_seed"))
+        .join(matched, lit(true), "left_outer")
+        .select(matched.columns.map(cn => col(quote(cn))).toSeq: _*)
     } else applyInnerMatch(m)
 
   private def applyInnerMatch(m: MatchClause): Unit = {
@@ -1094,12 +1095,36 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * per-leaf neutral cannot be folded without re-evaluating.
     */
   private def aggNeutral(e: Ast.Expr,
-      dt: org.apache.spark.sql.types.DataType): Option[Column] = e match {
+      dt: org.apache.spark.sql.types.DataType): Option[Column] =
+    neutralCol(e).map(_.cast(dt))
+
+  /** the value of `e` over ZERO input rows, built at plan time: agg
+    * leaves fold to their Neo4j empty-input value (count→0,
+    * collect→[], sum→0, stdev→0; min/max/avg→null, i.e. None, which
+    * the left join already yields), literal/param operands stay
+    * themselves, and arithmetic composes — so a compound item like
+    * `count(m) + 1` key-completes to 1, not NULL
+    */
+  private def neutralCol(e: Ast.Expr): Option[Column] = e match {
     case FuncCall("count", _, _) => Some(lit(0L))
-    case FuncCall("collect", _, _) =>
-      Some(array().cast(dt))
-    case FuncCall("sum", _, _) => Some(lit(0.0).cast(dt))
+    case FuncCall("collect", _, _) => Some(array())
+    case FuncCall("sum", _, _) => Some(lit(0.0))
     case FuncCall("stdev" | "stdevp", _, _) => Some(lit(0.0))
+    case Lit(v) => Some(lit(v))
+    case Param(n) => params.get(n).map(lit(_))
+    case Arith(op, l, r) if containsAgg(e) =>
+      (neutralCol(l), neutralCol(r)) match {
+        case (Some(lc), Some(rc)) => op match {
+          case "+" => Some(lc + rc)
+          case "-" => Some(lc - rc)
+          case "*" => Some(lc * rc)
+          case "/" => Some(lc / rc)
+          case "%" => Some(lc % rc)
+          case "^" => Some(pow(lc.cast("double"), rc.cast("double")))
+          case _ => None
+        }
+        case _ => None
+      }
     case _ => None
   }
 
@@ -1782,9 +1807,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def identOr(e: Ast.Expr): Column = e match {
     case VarRef(n) if env.get(n).contains(NodeVar) => col(s"${n}__gid")
     case VarRef(n) if env.get(n).contains(RelVar) =>
-      // null on an OPTIONAL miss (concat_ws alone never nulls)
+      // null on an OPTIONAL miss (concat_ws alone never nulls);
+      // the canonical edge-key separator matches ekey's (gids may
+      // legitimately contain '|')
       when(col(s"${n}__src").isNotNull,
-        concat_ws("|", col(s"${n}__src"), col(s"${n}__dst"),
+        concat_ws("\u0001", col(s"${n}__src"), col(s"${n}__dst"),
           col(s"${n}__relType")))
     case other => valueCol(other)
   }
@@ -2205,11 +2232,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           lc.getField("days") - rc.getField("days"),
           lc.getField("secs") - rc.getField("secs"))
       // `||` concatenates, never adds: list concat when either side
-      // is a list, string concat (canonical renderings) otherwise
+      // is a list, string concat when a side is statically a string
+      // or a dynamic property slot; anything else (1 || 2) is a type
+      // error, as in Neo4j 5 — never a silent stringification
       case "||" =>
         if (lt.isInstanceOf[ArrayType] || rt.isInstanceOf[ArrayType])
           concat(lc, rc)
-        else concat(strCol(l), strCol(r))
+        else if (lProp || rProp || lt == StringType || rt == StringType)
+          concat(strCol(l), strCol(r))
+        else throw PlanError(
+          s"|| expects string or list operands, got $lt || $rt")
       case "+" if lt.isInstanceOf[ArrayType] || rt.isInstanceOf[ArrayType] =>
         concat(lc, rc)
       case "+" if (!lProp && lt == StringType) ||

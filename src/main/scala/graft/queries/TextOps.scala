@@ -42,9 +42,13 @@ object TextOps {
     * spreads the explode across cores (the source is one file →
     * one scan task).
     */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame = {
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    shingleTableOf(t(s, dir, "documents"))
+
+  private[graft] def shingleTableOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    docs
       .select($"doc_id", wordsCol.as("w"))
       .repartition($"doc_id")
       .select($"doc_id", explode(shinglesCol($"w")).as("s"))
@@ -94,12 +98,30 @@ object TextOps {
       dir: String): DataFrame =
     lshCandidates(cappedShingles(shingleTable(s, dir)))
 
+  /** same pipeline over an arbitrary (doc_id, text) frame with an
+    * explicit cap — lets specs exercise corpora where the cap bites
+    */
+  private[graft] def minhashCandidatesBatchOf(docs: DataFrame,
+      cap: Int = DF_CAP): DataFrame =
+    lshCandidates(cappedShingles(shingleTableOf(docs), cap))
+
   /** drop stop-shingles above the document-frequency cap */
-  private def cappedShingles(sh: DataFrame): DataFrame = {
+  private def cappedShingles(sh: DataFrame, cap: Int = DF_CAP): DataFrame = {
     val df = sh.groupBy("s").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") <= DF_CAP).select("s")
+      .filter(col("nd") <= cap).select("s")
     sh.join(df, Seq("s"), "left_semi")
   }
+
+  /** the shingles ABOVE the document-frequency cap — the stop-shingle
+    * set a streaming deployment precomputes on the standing corpus
+    * (or maintains as a DF sketch) and feeds to
+    * EventStreams.minhashCandidates so batch/stream candidate
+    * generation stays in parity on corpora where the cap bites
+    */
+  private[graft] def stopShingleSet(sh: DataFrame,
+      cap: Int = DF_CAP): DataFrame =
+    sh.groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > cap).select("s")
 
   private val shingleSqlCte =
     s"""words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w

@@ -163,18 +163,26 @@ object EventStreams {
     * band — the consumer distincts (the batch side's `.distinct()`),
     * or chains a dedupStream-shaped pair-keyed stage for
     * exactly-once at scale. The batch path's corpus-wide DF cap
-    * (stop-shingle removal) has no streaming equivalent here; at the
-    * test SFs the cap is a no-op, and a production deployment would
-    * maintain a DF sketch to pre-drop stop-shingles.
+    * (stop-shingle removal) cannot be computed inside the stream (a
+    * stream has no corpus-wide document frequency); `stopShingles`
+    * takes it as an INPUT — precompute it on the standing corpus with
+    * TextOps.stopShingleSet (or maintain a DF sketch) and candidate
+    * generation matches the batch pipeline even where the cap bites.
+    * The set is plan-literal (broadcast): stop-shingles are the head
+    * of the DF distribution, few by construction.
     */
-  def minhashCandidates(docs: Dataset[DocEvent]): Dataset[CandPair] = {
+  def minhashCandidates(docs: Dataset[DocEvent],
+      stopShingles: Set[String] = Set.empty): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = split(trim(col("text")), "\\s+")
-    val shingles = when(size(words) >= 3,
+    val raw = when(size(words) >= 3,
       transform(sequence(lit(1), size(words) - 2),
         i => array_join(slice(words, i, lit(3)), " ")))
       .otherwise(array().cast("array<string>"))
+    // array_except also distincts — harmless (min over dups == min)
+    val shingles = if (stopShingles.isEmpty) raw
+      else array_except(raw, lit(stopShingles.toArray.sorted))
     def ha(s: Column) = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
     def hb(s: Column) = conv(substring(md5(s), 9, 8), 16, 10).cast("long")
     val sig = array((0 until 12).map(i =>

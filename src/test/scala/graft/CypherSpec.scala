@@ -524,6 +524,42 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("read-only"))
   }
 
+  test("compound aggregate in a CALL body key-completes zero-match " +
+      "invocations (count(r) + 1 = 1, not NULL)") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.source = 'people'
+         CALL { WITH n MATCH (n)-[r]->() RETURN count(r) + 1 AS c }
+         RETURN n.gid AS gid, c ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // p3 has zero edges: count = 0, so c = 1 — Neo4j semantics; a
+    // leaf-only neutral would leave the left-join NULL in place
+    assert(rows.toSeq ==
+      Seq(("urn:p1", 2L), ("urn:p2", 3L), ("urn:p3", 1L)))
+  }
+
+  test("|| on numeric operands is a type error, not stringification") {
+    val err = intercept[Exception] {
+      CypherEngine.query(store, "RETURN 1 || 2 AS x").collect()
+    }
+    assert(err.getMessage.contains("||"))
+  }
+
+  test("count(DISTINCT r) keeps edges distinct when gids contain '|'") {
+    // two DIFFERENT edges whose (src, dst) concatenation under a '|'
+    // separator collides: ("urn:x|", "y") and ("urn:x", "|y") — the
+    //  edge-key separator must keep them apart
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-pipe").toString, spark, 2)
+    val ds = new GraphDataset(st, spark, "pipes", "P")
+    ds.fullSync(Seq(
+      Entity("urn:x|").withRef("urn:r#t", "y"),
+      Entity("urn:x").withRef("urn:r#t", "|y")))
+    val n = CypherEngine.query(st,
+      "MATCH (a)-[r]->() RETURN count(DISTINCT r) AS n")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+  }
+
   test("UNION inside a correlated CALL; outer-value refs in the body") {
     // each part re-imports n (Neo4j syntax); parts union per invocation
     val u = CypherEngine.query(store,

@@ -145,6 +145,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed MinHash banding takes a precomputed stop-shingle set " +
+      "and matches the batch DF cap where the cap bites") {
+    // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
+    // With cap=2 those are stop-shingles; only docs 5/6 share enough
+    // kept (suffix) shingles to stay near-dups.
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      1L -> s"$common one red", 2L -> s"$common two blue",
+      3L -> s"$common three green", 4L -> s"$common four yellow",
+      5L -> s"$common purple shared tail words here one",
+      6L -> s"$common purple shared tail words here two")
+    val docsDf = docs.toDF("doc_id", "text")
+    val cap = 2
+    val sh = graft.queries.TextOps.shingleTableOf(docsDf)
+    val stop = graft.queries.TextOps.stopShingleSet(sh, cap)
+      .collect().map(_.getString(0)).toSet
+    assert(stop.nonEmpty) // the cap actually bites on this corpus
+    val expected = graft.queries.TextOps
+      .minhashCandidatesBatchOf(docsDf, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = graft.queries.TextOps
+      .minhashCandidatesBatchOf(docsDf, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped != expected) // …and changes the candidate set
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.minhashCandidates(input, stop)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_stop_out").start()
+    try {
+      docs.grouped(2).foreach { c =>
+        ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("minhash_stop_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("streamed sessionize closes sessions on EVENT-time, not wall-clock") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime
