@@ -43,6 +43,12 @@ object Ast {
   /** `coll[idx]` — 0-based list index (negative = from the end) or
     * string map-key access */
   case class Subscript(coll: Expr, idx: Expr) extends Expr
+  /** `n {.name, .age, alias: expr, x, .*}` map projection (Neo4j).
+    * `.k` desugars to `(k, PropRef(n, k))` and a bare variable `x` to
+    * `(x, VarRef(x))` at parse time; `all` marks `.*` (every property
+    * of `n`, overridden by explicit entries) */
+  case class MapProj(variable: String, entries: Seq[(String, Expr)],
+      all: Boolean) extends Expr
   /** `coll[from..to]` — end-exclusive list slice, openCypher
     * semantics; either bound may be omitted, negative counts from the
     * end */
@@ -101,7 +107,8 @@ object Ast {
       relType: Option[String],
       direction: Int,
       varLength: Option[(Int, Int)] = None,
-      altRelTypes: Seq[String] = Nil)
+      altRelTypes: Seq[String] = Nil,
+      where: Option[Expr] = None)
 
   /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
     * `shortest` marks `shortestPath(…)` — one minimal-length row per

@@ -512,9 +512,11 @@ object Parser {
       altLabels.result())
   }
 
-  /** the conjunction of a pattern's inline node predicates */
+  /** the conjunction of a pattern's inline node + relationship
+    * predicates */
   private def inlineWhere(pat: Ast.PathPattern): Option[Ast.Expr] =
-    (pat.head.where.toSeq ++ pat.hops.flatMap(_._2.where))
+    (pat.head.where.toSeq ++
+      pat.hops.flatMap(h => h._1.where.toSeq ++ h._2.where.toSeq))
       .reduceOption(Ast.And(_, _))
 
   // rel := '-[' var? (':' TYPE)? ('*' min? ('..' max)?)? ']->' | '<-[' ... ']-'
@@ -524,6 +526,7 @@ object Parser {
     var variable: Option[String] = None
     var relType: Option[String] = None
     var varLength: Option[(Int, Int)] = None
+    var relWhere: Option[Ast.Expr] = None
     val altTypes = Seq.newBuilder[String]
     if (p.trySym("[")) {
       p.peek match {
@@ -548,6 +551,13 @@ object Parser {
           throw ParseException(s"unsupported hop range *$min..$max")
         varLength = Some((min, max))
       }
+      // Neo4j-5 inline predicate: -[r:T WHERE type(r) <> 'x']->
+      // (fixed-length only — Neo4j rejects it on var-length too)
+      if (p.tryKw("WHERE")) {
+        if (varLength.nonEmpty) throw ParseException(
+          "inline WHERE is not allowed on a variable-length relationship")
+        relWhere = Some(parseExpr(p))
+      }
       p.expectSym("]")
     }
     val direction =
@@ -555,7 +565,7 @@ object Parser {
       else if (p.trySym("->")) 1
       else { p.expectSym("-"); 0 } // undirected: `-[r]-` / `--`
     Ast.RelPattern(variable, relType, direction, varLength,
-      altTypes.result())
+      altTypes.result(), relWhere)
   }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----
@@ -853,7 +863,33 @@ object Parser {
       Ast.FuncCall(fn.toLowerCase, as.result(), distinct = false)
     case Ident(v) =>
       if (p.trySym(".")) Ast.PropRef(v, p.identOrKw())
+      else if (p.peek.contains(Sym("{"))) parseMapProj(p, v)
       else Ast.VarRef(v)
     case other => throw ParseException(s"unexpected token: $other")
+  }
+
+  /** `v {.k, .*, alias: expr, x}` — Neo4j map projection. `.k`
+    * desugars to `k: v.k`, a bare identifier `x` to `x: x`, `.*`
+    * sets the all-properties flag.
+    */
+  private def parseMapProj(p: P, v: String): Ast.Expr = {
+    p.next() // '{'
+    val entries = Seq.newBuilder[(String, Ast.Expr)]
+    var all = false
+    def one(): Unit =
+      if (p.trySym(".")) {
+        if (p.trySym("*")) all = true
+        else { val k = p.identOrKw(); entries += ((k, Ast.PropRef(v, k))) }
+      } else {
+        val k = p.identOrKw()
+        if (p.trySym(":")) entries += ((k, parseExpr(p)))
+        else entries += ((k, Ast.VarRef(k)))
+      }
+    if (!p.trySym("}")) {
+      one()
+      while (p.trySym(",")) one()
+      p.expectSym("}")
+    }
+    Ast.MapProj(v, entries.result(), all)
   }
 }

@@ -256,6 +256,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val items =
       if (df == null) expandStar(q.items)
       else rewriteSubqueryItems(expandStar(q.items))
+        // endpoint property reads join their node NOW (df mutation),
+        // keeping the item's ORIGINAL name via a pinned alias
+        .map(i => i.copy(expr = resolveEndpointProps(i.expr),
+          alias = Some(i.name)))
     val effs = effects.result()
     if (effs.nonEmpty && items.isEmpty) return executeWrite(effs)
     if (effs.nonEmpty) {
@@ -894,7 +898,69 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * is evaluated BEFORE df is re-read for the filter); the remaining
     * conjuncts filter as ordinary predicates.
     */
-  private def applyWhere(w: Expr): Unit = {
+  /** bottom-up expression transform (children first, then `f` on the
+    * rebuilt node) — pattern bodies inside PatternPred/CountSub are
+    * NOT descended (they plan in their own variable scope) */
+  private def mapExpr(e: Expr)(f: Expr => Expr): Expr = {
+    def go(x: Expr): Expr = f(x match {
+      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
+      case And(l, r) => And(go(l), go(r))
+      case Or(l, r) => Or(go(l), go(r))
+      case Not(a) => Not(go(a))
+      case IsNull(a, n) => IsNull(go(a), n)
+      case FuncCall(n, args, d) => FuncCall(n, args.map(go), d)
+      case MapLit(es) => MapLit(es.map { case (k, v) => (k, go(v)) })
+      case MapProj(v, es, a) =>
+        MapProj(v, es.map { case (k, x) => (k, go(x)) }, a)
+      case ListLit(es) => ListLit(es.map(go))
+      case InList(a, l) => InList(go(a), go(l))
+      case StrPred(op, l, r) => StrPred(op, go(l), go(r))
+      case CaseExpr(t, ws, els) => CaseExpr(t.map(go),
+        ws.map { case (w, v) => (go(w), go(v)) }, els.map(go))
+      case Arith(op, l, r) => Arith(op, go(l), go(r))
+      case Subscript(c, i) => Subscript(go(c), go(i))
+      case Slice(c, fr, to) => Slice(go(c), fr.map(go), to.map(go))
+      case ListComp(v, l, w, pr) => ListComp(v, go(l), w.map(go), pr.map(go))
+      case Quant(op, v, l, p) => Quant(op, v, go(l), go(p))
+      case ReduceExpr(a, i, v, l, b) => ReduceExpr(a, go(i), v, go(l), go(b))
+      case leaf => leaf
+    })
+    go(e)
+  }
+
+  /** `startNode(r).prop` / `endNode(r).prop` with the endpoint not
+    * otherwise bound: joins the node table on the rel's src/dst gid
+    * (once per rel × side — Neo4j resolves the endpoint implicitly)
+    * and rewrites the access into an ordinary PropRef on that
+    * binding. MUTATES df — callers run this before reading df.
+    */
+  private def resolveEndpointProps(e: Expr): Expr = mapExpr(e) {
+    case Subscript(FuncCall(fn @ ("startnode" | "endnode"),
+        Seq(VarRef(r)), _), Lit(key: String))
+        if env.get(r).contains(RelVar) && key != "gid" =>
+      PropRef(bindEndpoint(r, fn == "startnode"), key)
+    case other => other
+  }
+
+  private def bindEndpoint(r: String, start: Boolean): String = {
+    val side = if (start) "src" else "dst"
+    val bv = s"__${r}_${side}ep"
+    if (!env.contains(bv)) {
+      val nd = store.nodes.select(col("gid").as(s"${bv}__gid"),
+        col("label").as(s"${bv}__label"),
+        col("source").as(s"${bv}__source"),
+        col("props").as(s"${bv}__props"))
+      // left join: an OPTIONAL-MATCH miss (null src/dst) and stub
+      // endpoints keep their rows, props read as null
+      df = df.join(nd,
+        col(s"${r}__$side") === col(s"${bv}__gid"), "left_outer")
+      env += bv -> NodeVar
+    }
+    bv
+  }
+
+  private def applyWhere(w0: Expr): Unit = {
+    val w = resolveEndpointProps(w0)
     def conjuncts(e: Expr): Seq[Expr] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -1514,8 +1580,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // leading `WITH 1 AS x …` projects from one imaginary row
     if (df == null) df = spark.range(1).select()
     // WITH * carries every binding through; COUNT{}/EXISTS{} items
-    // land their correlated joins before the projection
+    // land their correlated joins before the projection, and endpoint
+    // property reads join their node (alias pinned to the pre-rewrite
+    // name so downstream references still resolve)
     val wi = rewriteSubqueryItems(expandStar(w.items))
+      .map(i => i.copy(expr = resolveEndpointProps(i.expr),
+        alias = Some(i.name)))
     val hasAgg = wi.exists(i => containsAgg(i.expr))
     val newEnv = scala.collection.mutable.Map.empty[String, VarKind]
 
@@ -1718,6 +1788,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall(n, args, _) =>
       aggNames.contains(n) || args.exists(containsAgg)
     case MapLit(es) => es.exists(x => containsAgg(x._2))
+    case MapProj(_, es, _) => es.exists(x => containsAgg(x._2))
     case ListLit(es) => es.exists(containsAgg)
     case Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
     case And(l, r) => containsAgg(l) || containsAgg(r)
@@ -1879,6 +1950,31 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
     case MapLit(entries) =>
       struct(entries.map { case (k, ex) => valueCol(ex).as(k) }: _*)
+    // map projection `n {.name, alias: expr}`: a struct like MapLit
+    // (typed entries — the parser already desugared `.k` / bare `x`).
+    // The `.*` form needs DYNAMIC keys, so it lowers to a
+    // map<string,string> of canonical renderings with explicit
+    // entries overriding their property namesakes.
+    case MapProj(v, entries, all) =>
+      if (!env.contains(v)) throw PlanError(s"unbound variable: $v")
+      if (!all) {
+        if (entries.isEmpty) throw PlanError("empty map projection")
+        struct(entries.map { case (k, ex) => valueCol(ex).as(k) }: _*)
+      } else {
+        val props = env(v) match {
+          case NodeVar => col(s"${v}__props")
+          case ValueVar(c) if isPvMapType(colType(col(c))) => col(c)
+          case _ => throw PlanError(
+            s"$v {.*} needs a node or map value")
+        }
+        val strMap = transform_values(props, (_, pv) => pvStrOf(pv))
+        val keys = entries.map(_._1)
+        val base = if (keys.isEmpty) strMap
+          else map_filter(strMap, (k, _) => !k.isin(keys: _*))
+        if (entries.isEmpty) base
+        else map_concat(base, map(entries.flatMap { case (k, ex) =>
+          Seq(lit(k), valueCol(ex).cast("string")) }: _*))
+      }
     case ListLit(items) => array(items.map(valueCol): _*)
     case Param(n) => params.get(n) match {
       case None => throw PlanError(s"missing parameter: $n")

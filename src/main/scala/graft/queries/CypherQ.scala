@@ -259,6 +259,18 @@ DETACH DELETE n
 
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
+    // map projection: `c {.name, .acctbal, nation: n.gid}` built per
+    // customer, then read back through the projected map — selectors,
+    // alias entries, and field access all on the oracle path
+    "cypher_map_proj" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation)
+           WHERE c.acctbal > 9000
+           WITH c {.name, .acctbal, nation: n.gid} AS m
+           RETURN m.name AS name, m.nation AS nation,
+                  toFloat(m.acctbal) AS acctbal
+           ORDER BY name""")),
+
     // temporal functions: date()/datetime()/duration() construction,
     // accessors, and ± arithmetic — replayed by DuckDB date functions.
     // plus45 is folded to yyyymmdd as an integer so the compare is
@@ -330,6 +342,10 @@ DETACH DELETE n
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_map_proj" ->
+      """SELECT c_name AS name, 'n:'||c_nationkey AS nation,
+         c_acctbal AS acctbal
+         FROM customer WHERE c_acctbal > 9000 ORDER BY name""",
     "cypher_temporal" ->
       """SELECT ds AS d_str, year(d) AS y, quarter(d) AS q,
          isodow(d) AS dow,

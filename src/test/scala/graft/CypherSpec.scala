@@ -524,6 +524,87 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("read-only"))
   }
 
+  test("map projection n {.k, alias: expr, x} builds a typed map") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'jane'})-[:worksfor]->(c)
+         WITH 'x' AS tag, n, c
+         RETURN n {.name, .gid, employer: c.name, tag} AS m""")
+      .collect().head.getStruct(0)
+    assert(r.getAs[String]("name") == "jane")
+    assert(r.getAs[String]("gid") == "urn:p2")
+    assert(r.getAs[String]("employer") == "Mimiro")
+    assert(r.getAs[String]("tag") == "x")
+    // field access through the projected map
+    val f = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'ola'})
+         WITH n {.name, .age} AS m
+         RETURN m.name AS nm, toInteger(m.age) AS age""").collect().head
+    assert(f.getString(0) == "ola" && f.getLong(1) == 40L)
+  }
+
+  test("map projection n {.*} carries every property; explicit " +
+      "entries override") {
+    val all = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'}) RETURN n {.*} AS m""")
+      .collect().head.getMap[String, String](0)
+    assert(all == Map("name" -> "brian", "age" -> "23"))
+    val over = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})
+         RETURN n {.*, age: 99} AS m""")
+      .collect().head.getMap[String, String](0)
+    assert(over == Map("name" -> "brian", "age" -> "99"))
+  }
+
+  test("startNode(r)/endNode(r) property access joins the endpoint " +
+      "implicitly (endpoint never otherwise bound)") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->()
+         RETURN n.name AS src, endNode(r).name AS tgt
+         ORDER BY src, tgt""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      ("brian", "Mimiro"), ("jane", "Mimiro"), ("jane", "brian")))
+    // in WHERE: filter on the unbound endpoint's property
+    val whr = CypherEngine.query(store,
+      """MATCH (n)-[r]->()
+         WHERE endNode(r).name = 'Mimiro' AND startNode(r).age > 25
+         RETURN n.gid AS gid ORDER BY gid""").collect()
+      .map(_.getString(0))
+    assert(whr.toSeq == Seq("urn:p2"))
+    // the two sides are independent joins; .gid keeps the no-join
+    // identity fast path
+    val both = CypherEngine.query(store,
+      """MATCH ()-[r:knows]->()
+         RETURN startNode(r).name AS a, endNode(r).gid AS b,
+                toInteger(endNode(r).age) AS c""").collect().head
+    assert((both.getString(0), both.getString(1)) == (("jane", "urn:p1")))
+    assert(both.getLong(2) == 23L)
+  }
+
+  test("inline relationship WHERE folds into the owning clause") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n)-[r WHERE type(r) = 'worksfor']->(m)
+         RETURN n.gid AS src, m.gid AS dst ORDER BY src""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq ==
+      Seq(("urn:p1", "urn:c1"), ("urn:p2", "urn:c1")))
+    // composes with an inline NODE predicate on the same hop, and
+    // may reference variables bound elsewhere in the clause
+    val mixed = CypherEngine.query(store,
+      """MATCH (n:Person WHERE n.age < 35)
+               -[r WHERE type(r) <> 'knows']->(m)
+         RETURN n.gid AS src, m.gid AS dst ORDER BY src""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(mixed.toSeq ==
+      Seq(("urn:p1", "urn:c1"), ("urn:p2", "urn:c1")))
+    // var-length + inline WHERE is rejected, as in Neo4j
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        "MATCH (n)-[r*1..2 WHERE type(r) = 'knows']->(m) RETURN n.gid AS g")
+    }
+    assert(err.getMessage.contains("variable-length"))
+  }
+
   test("compound aggregate in a CALL body key-completes zero-match " +
       "invocations (count(r) + 1 = 1, not NULL)") {
     val rows = CypherEngine.query(store,
