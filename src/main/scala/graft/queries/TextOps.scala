@@ -356,22 +356,30 @@ object TextOps {
           .join(lab.select($"id".as("b"), $"cluster".as("nc")), Seq("b"))
           .groupBy($"a").agg(min($"nc").as("nc"))
           .select($"a".as("id"), $"nc")
+        // carry the pre-step label so the change count is a plain
+        // filter over the ALREADY-materialized frame — no extra join
         val stepped = lab.join(viaNbr, Seq("id"), "left_outer")
-          .select($"id",
+          .select($"id", $"cluster".as("old"),
             least($"cluster", coalesce($"nc", $"cluster")).as("cluster"))
-        // pointer doubling: labels are themselves ids in `lab`, so
-        // one extra self-join halves the remaining path each round
-        val hop = stepped.select($"id".as("c_id"), $"cluster".as("c_lab"))
-        val next = stepped.join(hop, stepped("cluster") === hop("c_id"),
-            "left_outer")
-          .select(stepped("id"),
-            least(stepped("cluster"), coalesce($"c_lab", stepped("cluster")))
-              .as("cluster"))
           .localCheckpoint()
-        changed = next
-          .join(lab.select($"id", $"cluster".as("old")), Seq("id"))
-          .filter($"cluster" =!= $"old").count()
-        lab = next
+        changed = stepped.filter($"cluster" =!= $"old").count()
+        if (changed == 0) {
+          // neighbour step at fixpoint ⇒ globally converged (any
+          // node above its component min has a decreasing edge on
+          // the path to it) — skip the doubling hop entirely
+          lab = stepped.select($"id", $"cluster")
+        } else {
+          // pointer doubling: labels are themselves ids in `lab`, so
+          // one extra self-join halves the remaining path each round
+          val hop = stepped.select($"id".as("c_id"), $"cluster".as("c_lab"))
+          val next = stepped.join(hop, stepped("cluster") === hop("c_id"),
+              "left_outer")
+            .select(stepped("id"),
+              least(stepped("cluster"), coalesce($"c_lab", stepped("cluster")))
+                .as("cluster"))
+            .localCheckpoint()
+          lab = next
+        }
         rounds += 1
       }
       if (changed > 0) throw new IllegalStateException(
