@@ -86,14 +86,18 @@ object Ast {
     * never sees it here.
     */
   /** `altLabels` holds the tail of a label disjunction `(n:A|B|C)` —
-    * match-only (writes reject it).
+    * match-only (writes reject it). `extraLabels` holds the tail of a
+    * label CONJUNCTION `(n:A:B)` — every listed label must be present
+    * on a match; on CREATE the head is the primary label and the tail
+    * lands as secondary labels. The two forms don't mix.
     */
   case class NodePattern(
       variable: Option[String],
       label: Option[String],
       props: Seq[(String, Expr)],
       where: Option[Expr] = None,
-      altLabels: Seq[String] = Nil)
+      altLabels: Seq[String] = Nil,
+      extraLabels: Seq[String] = Nil)
 
   /** direction: +1 for ()-[]->(), -1 for ()<-[]-(), 0 for the
     * undirected ()-[]-() (matches the relationship either way);

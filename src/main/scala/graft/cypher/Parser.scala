@@ -484,9 +484,18 @@ object Parser {
       case _ => ()
     }
     val label = if (p.trySym(":")) Some(p.identOrKw()) else None
-    // label disjunction: (n:A|B|C) — Neo4j 5 label expressions' OR
+    // label disjunction: (n:A|B|C) — Neo4j 5 label expressions' OR —
+    // or conjunction (n:A:B) — every label present; CREATE stores the
+    // tail as secondary labels. Mixing the two forms is rejected.
     val altLabels = Seq.newBuilder[String]
-    if (label.nonEmpty) while (p.trySym("|")) altLabels += p.identOrKw()
+    val extraLabels = Seq.newBuilder[String]
+    if (label.nonEmpty) {
+      while (p.trySym("|")) altLabels += p.identOrKw()
+      while (p.trySym(":")) extraLabels += p.identOrKw()
+      val (alts, extras) = (altLabels.result(), extraLabels.result())
+      if (alts.nonEmpty && extras.nonEmpty) throw ParseException(
+        "label expression mixes | (any-of) with : (all-of)")
+    }
     val props = Seq.newBuilder[(String, Ast.Expr)]
     if (p.trySym("{")) {
       def one(): Unit = {
@@ -509,7 +518,7 @@ object Parser {
     val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
     p.expectSym(")")
     Ast.NodePattern(variable, label, props.result(), where,
-      altLabels.result())
+      altLabels.result(), extraLabels.result())
   }
 
   /** the conjunction of a pattern's inline node + relationship

@@ -479,9 +479,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         effects += SetLabels(df.filter(rowGate)
           .select(col(s"${v}__gid").as("gid"))
           .filter(col("gid").isNotNull), label)
-        // later clauses of this statement read the stamped label
-        df = df.withColumn(s"${v}__label",
-          guarded(col(s"${v}__label"), lit(label)))
+        // later clauses of this statement read the edited labels —
+        // Neo4j ADDITION: promote an unlabeled node, else add a
+        // secondary (xlabels view first: it reads the OLD primary)
+        df = df
+          .withColumn(s"${v}__xlabels",
+            guarded(col(s"${v}__xlabels"),
+              when(col(s"${v}__label").isNull ||
+                  col(s"${v}__label") === label, col(s"${v}__xlabels"))
+                .otherwise(array_union(
+                  coalesce(col(s"${v}__xlabels"),
+                    array().cast("array<string>")),
+                  array(lit(label))))))
+          .withColumn(s"${v}__label",
+            guarded(col(s"${v}__label"),
+              coalesce(col(s"${v}__label"), lit(label))))
       case SetAll(v, e) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET $v = … target must be a node variable")
@@ -502,15 +514,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if (!env.get(v).contains(NodeVar))
           throw PlanError(
             s"REMOVE :Label target must be a node variable: $v")
-        effects += SetLabels(df.filter(rowGate)
+        effects += RemoveLabel(df.filter(rowGate)
           .filter(col(s"${v}__gid").isNotNull &&
-            col(s"${v}__label") === label)
-          .select(col(s"${v}__gid").as("gid")), null)
-        df = df.withColumn(s"${v}__label",
-          guarded(col(s"${v}__label"),
-            when(col(s"${v}__label") === label,
-              lit(null).cast("string"))
-              .otherwise(col(s"${v}__label"))))
+            (col(s"${v}__label") === label ||
+              (col(s"${v}__xlabels").isNotNull &&
+                array_contains(col(s"${v}__xlabels"), label))))
+          .select(col(s"${v}__gid").as("gid")), label)
+        df = df
+          .withColumn(s"${v}__xlabels",
+            guarded(col(s"${v}__xlabels"),
+              when(col(s"${v}__xlabels").isNotNull,
+                array_remove(col(s"${v}__xlabels"), label))))
+          .withColumn(s"${v}__label",
+            guarded(col(s"${v}__label"),
+              when(col(s"${v}__label") === label,
+                lit(null).cast("string"))
+                .otherwise(col(s"${v}__label"))))
       case SetPlus(v, e) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET $v += … target must be a node variable")
@@ -692,15 +711,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           else map(propPairs.flatMap { case (k, c) => Seq(lit(k), c) }: _*)
         effects += MergeNodes(df.select(
           gidCol.as("gid"), lit(n.label.orNull).as("label"),
-          lit(null).cast("string").as("source"), propsCol.as("props")),
-          failOnConflict = !merge)
+          lit(null).cast("string").as("source"), propsCol.as("props"),
+          (if (n.extraLabels.isEmpty) lit(null).cast("array<string>")
+           else array(n.extraLabels.distinct.map(lit(_)): _*))
+            .as("xlabels")),
+          failOnConflict = !merge,
+          secondaryLabels = n.extraLabels.toSet)
+        val xlCol =
+          if (n.extraLabels.isEmpty) lit(null).cast("array<string>")
+          else array(n.extraLabels.distinct.map(lit(_)): _*)
         if (merge) {
           // bind the POST-merge node: existing rows keep their
           // label/source/props; new rows carry the pattern's values
           val nn = store.nodes.select(col("gid").as(s"${v}__gid"),
             col("label").as(s"${v}__label"),
             col("source").as(s"${v}__source"),
-            col("props").as(s"${v}__props"))
+            col("props").as(s"${v}__props"),
+            col("xlabels").as(s"${v}__xlabels"))
           df = df.withColumn("__ck", gidCol)
             .join(nn, col("__ck") === col(s"${v}__gid"), "left_outer")
           if (wantMatched)
@@ -709,6 +736,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             df = df.withColumn(s"${v}__matched",
               col(s"${v}__gid").isNotNull)
           df = df
+            .withColumn(s"${v}__xlabels",
+              when(col(s"${v}__gid").isNull, xlCol)
+                .otherwise(col(s"${v}__xlabels")))
             .withColumn(s"${v}__gid", coalesce(col(s"${v}__gid"), col("__ck")))
             .withColumn(s"${v}__label",
               coalesce(col(s"${v}__label"), lit(n.label.orNull)))
@@ -720,6 +750,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .withColumn(s"${v}__label", lit(n.label.orNull))
             .withColumn(s"${v}__source", lit(null).cast("string"))
             .withColumn(s"${v}__props", propsCol)
+            .withColumn(s"${v}__xlabels", xlCol)
         }
         env += v -> NodeVar
         v
@@ -751,8 +782,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def nodeDf(v: String, n: NodePattern): DataFrame = {
     var d = store.nodes.select(
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
-      col("source").as(s"${v}__source"), col("props").as(s"${v}__props"))
-    labelFilter(col(s"${v}__label"), n).foreach(f => d = d.filter(f))
+      col("source").as(s"${v}__source"), col("props").as(s"${v}__props"),
+      col("xlabels").as(s"${v}__xlabels"))
+    labelFilter(v, n).foreach(f => d = d.filter(f))
     n.props.foreach {
       case (k, Lit(value)) => d = d.filter(litPropFilter(v, k, value))
       case _ => () // expression props filter AFTER the join
@@ -760,12 +792,28 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     d
   }
 
-  /** label predicate incl. the (n:A|B) disjunction */
-  private def labelFilter(c: Column, n: NodePattern): Option[Column] =
-    n.label.map { l =>
-      if (n.altLabels.isEmpty) c === l
-      else c.isin((l +: n.altLabels): _*)
-    }
+  /** `v:l` label MEMBERSHIP (primary or secondary). When `l` was
+    * never used as a secondary label anywhere in the store (tracked
+    * in the commit pointer), the test stays a pure partition-column
+    * equality — the scan prunes to the label's directories exactly as
+    * in the single-label model; only labels actually used as
+    * secondaries pay the full-scan disjunction.
+    */
+  private def labelMember(v: String, l: String): Column =
+    if (store.secondaryLabels.contains(l))
+      col(s"${v}__label") === l ||
+        (col(s"${v}__xlabels").isNotNull &&
+          array_contains(col(s"${v}__xlabels"), l))
+    else col(s"${v}__label") === l
+
+  /** label predicate: (n:A|B) disjunction, (n:A:B) conjunction,
+    * each leg a primary-or-secondary membership test */
+  private def labelFilter(v: String, n: NodePattern): Option[Column] = {
+    val disj = n.label.map { l =>
+      (l +: n.altLabels).map(labelMember(v, _)).reduce(_ || _) }
+    val conj = n.extraLabels.map(labelMember(v, _))
+    (disj.toSeq ++ conj).reduceOption(_ && _)
+  }
 
   /** inline literal property predicate. gid/source/label are model
     * COLUMNS, not props-map keys — the reference's own truncate
@@ -949,7 +997,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val nd = store.nodes.select(col("gid").as(s"${bv}__gid"),
         col("label").as(s"${bv}__label"),
         col("source").as(s"${bv}__source"),
-        col("props").as(s"${bv}__props"))
+        col("props").as(s"${bv}__props"),
+        col("xlabels").as(s"${bv}__xlabels"))
       // left join: an OPTIONAL-MATCH miss (null src/dst) and stub
       // endpoints keep their rows, props read as null
       df = df.join(nd,
@@ -1329,7 +1378,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // the sub side (new vars keep canonical names, so the WHERE and
     // later clauses resolve them directly)
     val sharedCols = shared.flatMap(v =>
-      Seq("gid", "label", "source", "props").map(f => s"${v}__$f"))
+      Seq("gid", "label", "source", "props", "xlabels")
+        .map(f => s"${v}__$f"))
       .filter(subDf.columns.contains)
     val renamedSub = sharedCols.foldLeft(subDf)(
       (d, c) => d.withColumnRenamed(c, s"__sub__$c"))
@@ -1393,7 +1443,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * filters (they are part of the pattern, not decoration).
     */
   private def rebindFilters(nv: String, node: NodePattern): Unit = {
-    labelFilter(col(s"${nv}__label"), node).foreach(f => df = df.filter(f))
+    labelFilter(nv, node).foreach(f => df = df.filter(f))
     node.props.foreach {
       case (k, Lit(v)) => df = df.filter(litPropFilter(nv, k, v))
       case _ => ()
@@ -1598,7 +1648,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             cols ++= Seq(col(s"${n}__gid").as(s"${out}__gid"),
               col(s"${n}__label").as(s"${out}__label"),
               col(s"${n}__source").as(s"${out}__source"),
-              col(s"${n}__props").as(s"${out}__props"))
+              col(s"${n}__props").as(s"${out}__props"),
+              col(s"${n}__xlabels").as(s"${out}__xlabels"))
             newEnv += out -> NodeVar
           case VarRef(r) if env.get(r).contains(RelVar) =>
             val out = i.alias.getOrElse(r)
@@ -1627,6 +1678,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               col(s"${n}__label").as(s"${out}__label"),
               col(s"${n}__source").as(s"${out}__source"))
             postAggs += first(col(s"${n}__props")).as(s"${out}__props")
+            postAggs += first(col(s"${n}__xlabels")).as(s"${out}__xlabels")
             newEnv += out -> NodeVar
           case other =>
             val out = i.name
@@ -2026,10 +2078,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       valueCol(inner) // already an identity (startNode/endNode)
     case FuncCall("type", Seq(VarRef(n)), _)
         if env.get(n).contains(RelVar) => col(s"${n}__relType")
-    // Neo4j: labels() of an unlabeled node is [], not [null]
+    // Neo4j: labels() of an unlabeled node is [], not [null].
+    // Multi-label nodes: primary first, then SORTED secondaries —
+    // deterministic where Neo4j's order is insertion-dependent
     case FuncCall("labels", Seq(VarRef(n)), _) =>
-      when(col(s"${n}__label").isNotNull, array(col(s"${n}__label")))
-        .otherwise(array().cast("array<string>"))
+      concat(
+        when(col(s"${n}__label").isNotNull, array(col(s"${n}__label")))
+          .otherwise(array().cast("array<string>")),
+        coalesce(sort_array(col(s"${n}__xlabels")),
+          array().cast("array<string>")))
     case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
     case FuncCall("length", Seq(VarRef(n), _ @ _*), _)
         if env.get(n).exists(_.isInstanceOf[PathVar]) =>

@@ -88,7 +88,8 @@ object GraphMerge {
       lit(label).as("label"),
       lit(source).as("source"),
       transform_keys($"props", (k, _) => NativeStrip(k)).as("props"),
-      lit(ver).as("recorded"))
+      lit(ver).as("recorded"),
+      lit(null).cast("array<string>").as("xlabels"))
 
     // A8/A9 edge extraction: one row per (refProperty, target)
     // (/root/reference/neo4j.go:210-227); B8 in-batch dedup via MERGE.
@@ -115,7 +116,8 @@ object GraphMerge {
         .select($"gid", lit(null).cast("string").as("label"),
           lit(null).cast("string").as("source"),
           lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
-          lit(ver).as("recorded"))
+          lit(ver).as("recorded"),
+          lit(null).cast("array<string>").as("xlabels"))
       val allNodes = newNodes.unionByName(stubs0)
       // every (label, bucket) this commit writes must be dirty — there
       // are no previous files to re-link; both tables' keys come back
@@ -190,7 +192,8 @@ object GraphMerge {
       .select($"gid", lit(null).cast("string").as("label"),
         lit(null).cast("string").as("source"),
         lit(null).cast(GraphStore.nodeSchema("props").dataType).as("props"),
-        lit(ver).as("recorded"))
+        lit(ver).as("recorded"),
+        lit(null).cast("array<string>").as("xlabels"))
     nodes = nodes.unionByName(stubs)
 
     // Touched-file detection (the Delta/Iceberg MERGE shape), at
@@ -323,10 +326,14 @@ object GraphMerge {
     */
   sealed trait WriteEffect
   object WriteEffect {
-    /** `gid, label, source, props`: insert-if-absent (MERGE);
+    /** `gid, label, source, props, xlabels`: insert-if-absent (MERGE);
       * `failOnConflict` (CREATE) errors when a gid already exists.
+      * `secondaryLabels` names the labels the rows carry in `xlabels`
+      * (plan-time constants from `CREATE (n:A:B)`) for the store's
+      * pruning metadata.
       */
-    case class MergeNodes(rows: DataFrame, failOnConflict: Boolean)
+    case class MergeNodes(rows: DataFrame, failOnConflict: Boolean,
+        secondaryLabels: Set[String] = Set.empty)
         extends WriteEffect
     /** one `gid` column; `detach` cascades incident edges, plain
       * DELETE on a still-connected node is a runtime error.
@@ -349,8 +356,19 @@ object GraphMerge {
       * Label is untouched (it has its own `SET n:%s`).
       */
     case class ReplaceProps(rows: DataFrame) extends WriteEffect
-    /** stamp `label` on the matched gids — `SET n:%s` (neo4j.go:107) */
+    /** `SET n:%s` (neo4j.go:107) on the matched gids — Neo4j label
+      * ADDITION: an unlabeled node (stub) takes `label` as its
+      * PRIMARY label (promotion, the template's purpose); a node
+      * already carrying a different primary keeps it and gains
+      * `label` as a secondary. label == null clears the primary
+      * (legacy REMOVE lowering).
+      */
     case class SetLabels(gids: DataFrame, label: String) extends WriteEffect
+    /** `REMOVE n:%s`: clears the primary when it equals `label`,
+      * otherwise drops `label` from the node's secondary set.
+      */
+    case class RemoveLabel(gids: DataFrame, label: String)
+        extends WriteEffect
     /** `src, dst, relType` + optional `new_source` / `new_relType`
       * columns — `SET r.source = item.source` / `SET r.type = …`
       * (neo4j.go:122-123) on the edge table's columns.
@@ -468,6 +486,9 @@ object GraphMerge {
     var dirtyEdges: DirtyKeys = Set.empty
     var nodesCreated, edgesCreated, propertiesSet = 0L
     var nodesDeleted, edgesDeleted, labelsSet = 0L
+    // labels this statement introduces as SECONDARY labels — unioned
+    // into the store's pruning metadata at commit
+    var newSecondaryLabels = Set.empty[String]
     // while no effect has mutated the working edge frame it equals the
     // store tables, so incident-edge probes may use the bucket-pruned
     // store scans (incl. the reverse-edge index for the dst side)
@@ -538,7 +559,12 @@ object GraphMerge {
       val n0 = nodes
       val e0 = edges
       effect match {
-      case MergeNodes(rows0, fail) =>
+      case MergeNodes(rows00, fail, slabels) =>
+        newSecondaryLabels ++= slabels
+        val rows0 =
+          if (rows00.columns.contains("xlabels")) rows00
+          else rows00.withColumn("xlabels",
+            lit(null).cast("array<string>"))
         val rows = cache(rows0.filter($"gid".isNotNull).dropDuplicates("gid"))
         val existing = nodes.select($"gid")
           .join(broadcast(rows.select($"gid")), Seq("gid"), "left_semi")
@@ -638,7 +664,8 @@ object GraphMerge {
         val stubs = cache(ends.join(existingEnds, Seq("gid"), "left_anti")
           .select($"gid", lit(null).cast("string").as("label"),
             lit(null).cast("string").as("source"), nullProps.as("props"),
-            lit(ver).as("recorded")))
+            lit(ver).as("recorded"),
+            lit(null).cast("array<string>").as("xlabels")))
         deferKeyCounts(stubs, $"label", store.bucketOf($"gid")) { (sk, sn) =>
           dirtyNodes ++= sk; nodesCreated += sn }
         nodes = nodes.unionByName(stubs)
@@ -686,17 +713,51 @@ object GraphMerge {
           dirtyNodes ++= pk }
 
       case SetLabels(gids0, label) =>
-        // label == null clears the label (REMOVE n:Label — the node
-        // becomes an unlabeled stub in the null-label partition)
+        // label == null clears the primary (legacy REMOVE lowering —
+        // the node becomes an unlabeled stub in the null-label
+        // partition). Otherwise: Neo4j label ADDITION — promote an
+        // unlabeled node, add a secondary to an already-labeled one.
         val gids = cache(gids0.select("gid").distinct())
         deferStoreNodeKeys(gids, hint = true) { (ok, cnt) =>
-          // old locations (label may change partition)
-          dirtyNodes ++= ok; labelsSet += cnt }
+          // old locations (promotion changes partition); a matched
+          // row whose primary is a DIFFERENT label gains `label` as a
+          // secondary — record it in the pruning metadata
+          dirtyNodes ++= ok; labelsSet += cnt
+          if (label != null && ok.exists(_._1.exists(_ != label)))
+            newSecondaryLabels += label
+        }
         deferKeyCounts(gids, lit(label).cast("string"),
           store.bucketOf($"gid")) { (k, _) =>
-          dirtyNodes ++= k } // new locations
+          dirtyNodes ++= k } // new locations (promoted rows)
         val relabeled = nodes.join(broadcast(gids), Seq("gid"), "left_semi")
-          .withColumn("label", lit(label).cast("string"))
+          .withColumn("xlabels",
+            if (label == null) $"xlabels"
+            else when($"label".isNull || $"label" === label, $"xlabels")
+              .otherwise(array_union(
+                coalesce($"xlabels", emptyStr), array(lit(label)))))
+          .withColumn("label",
+            if (label == null) lit(null).cast("string")
+            else coalesce($"label", lit(label)))
+          .withColumn("recorded", lit(ver))
+        nodes = nodes.join(broadcast(gids), Seq("gid"), "left_anti")
+          .unionByName(relabeled)
+
+      case RemoveLabel(gids0, label) =>
+        // clear the primary where it equals `label`, else drop it
+        // from the secondary set; rows whose primary clears move to
+        // the null-label partition
+        val gids = cache(gids0.select("gid").distinct())
+        deferStoreNodeKeys(gids, hint = true) { (ok, cnt) =>
+          dirtyNodes ++= ok; labelsSet += cnt }
+        deferKeyCounts(gids, lit(null).cast("string"),
+          store.bucketOf($"gid")) { (k, _) =>
+          dirtyNodes ++= k } // null-partition landings
+        val relabeled = nodes.join(broadcast(gids), Seq("gid"), "left_semi")
+          .withColumn("xlabels",
+            when($"xlabels".isNotNull, array_remove($"xlabels", label)))
+          .withColumn("label",
+            when($"label" === label, lit(null).cast("string"))
+              .otherwise($"label"))
           .withColumn("recorded", lit(ver))
         nodes = nodes.join(broadcast(gids), Seq("gid"), "left_anti")
           .unionByName(relabeled)
@@ -773,6 +834,7 @@ object GraphMerge {
             s.workEdges = Some(edges.localCheckpoint(true))
           s.dirtyNodes ++= dirtyNodes
           s.dirtyEdges ++= dirtyEdges
+          s.secondaryLabels ++= newSecondaryLabels
           s.changed = true
         }
         // the checkpoint materialized the frames — statement
@@ -785,7 +847,7 @@ object GraphMerge {
         val v =
           if (!anyChange) store.currentVersion
           else store.commit(nodes, edges, "", Some(dirtyNodes),
-            Some(dirtyEdges))
+            Some(dirtyEdges), newSecondaryLabels)
         cached.result().foreach(_.unpersist())
         CompositeStats(nodesCreated, edgesCreated, propertiesSet,
           nodesDeleted, edgesDeleted, v)

@@ -259,6 +259,36 @@ DETACH DELETE n
 
     // C6 via Cypher text: DETACH DELETE (the reference's own cleanup
     // form, /root/reference/layer_test.go:275-281) into a PRIVATE
+    // multi-label model: CREATE (n:Nation:Place) stores a primary +
+    // secondary label; the conjunctive MATCH (n:Nation:Place), the
+    // secondary-only MATCH (n:Place), and labels() (primary first,
+    // secondaries sorted) all replay against the source table
+    "cypher_multilabel" -> ((s, dir) => {
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-mlab").toString,
+        s, numBuckets = 2)
+      val rows = Relational.t(s, dir, "nation").collect()
+      val items: Seq[Map[String, Any]] = rows.toSeq.map(r => Map(
+        "gid" -> s"n:${r.getAs[Int]("n_nationkey")}",
+        "name" -> r.getAs[String]("n_name")))
+      val sess = CypherEngine.session(store)
+      sess.run(
+        """UNWIND $items AS item
+           CREATE (n:Nation:Place {gid: item.gid, name: item.name})""",
+        Map("items" -> items)).collect()
+      sess.commit()
+      val conj = CypherEngine.query(store,
+        """MATCH (n:Nation:Place)
+           RETURN n.gid AS gid, n.name AS name,
+                  labels(n)[0] AS l0, labels(n)[1] AS l1
+           ORDER BY gid""")
+      // the secondary-only MATCH must reach the same rows — inner
+      // join on gid keeps the entry honest about (n:Place) membership
+      val viaSecondary = CypherEngine.query(store,
+        "MATCH (n:Place) RETURN n.gid AS gid")
+      conj.join(viaSecondary, Seq("gid"), "left_semi").orderBy("gid")
+    }),
+
     // map projection: `c {.name, .acctbal, nation: n.gid}` built per
     // customer, then read back through the projected map — selectors,
     // alias entries, and field access all on the oracle path
@@ -342,6 +372,10 @@ DETACH DELETE n
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_multilabel" ->
+      """SELECT 'n:'||n_nationkey AS gid, n_name AS name,
+         'Nation' AS l0, 'Place' AS l1
+         FROM nation ORDER BY gid""",
     "cypher_map_proj" ->
       """SELECT c_name AS name, 'n:'||c_nationkey AS nation,
          c_acctbal AS acctbal

@@ -87,6 +87,25 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   /** the count the on-disk data is hashed with (see init above) */
   def bucketCount: Int = bucketCount0
 
+  /** every label that occurs as a SECONDARY label anywhere in the
+    * store (pointer line 4, flipped atomically with the version it
+    * describes). Grows monotonically — a stale member only widens a
+    * match from pruned-scan to full-scan, never breaks correctness —
+    * and lets the planner keep `label === L` partition pruning for
+    * any L never used as a secondary label (the common case: dataset
+    * syncs assign exactly one label).
+    */
+  @volatile private var secondaryLabels0: Set[String] =
+    pointerLines.flatMap(_.lift(3)).map(decodeLabelSet).getOrElse(Set.empty)
+
+  def secondaryLabels: Set[String] = secondaryLabels0
+
+  private def encodeLabelSet(s: Set[String]): String =
+    s.toSeq.sorted.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+  private def decodeLabelSet(line: String): Set[String] =
+    line.trim.split(",").filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+
   private def pointerLines: Option[Seq[String]] =
     if (!Files.exists(pointer)) None
     else Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8)
@@ -151,6 +170,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     private[graft] var workEdges: Option[DataFrame] = None
     private[graft] var dirtyNodes: Set[DirtyKey] = Set.empty
     private[graft] var dirtyEdges: Set[DirtyKey] = Set.empty
+    private[graft] var secondaryLabels: Set[String] = Set.empty
     private[graft] var changed = false
     private[graft] val cached =
       scala.collection.mutable.Buffer.empty[DataFrame]
@@ -174,7 +194,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       if (!s.changed) currentVersion
       else commit(s.workNodes.getOrElse(table("nodes", nodeSchema)),
         s.workEdges.getOrElse(table("edges", edgeSchema)),
-        syncId, Some(s.dirtyNodes), Some(s.dirtyEdges))
+        syncId, Some(s.dirtyNodes), Some(s.dirtyEdges),
+        s.secondaryLabels)
     } finally s.cached.foreach(_.unpersist())
   }
 
@@ -272,9 +293,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       newEdges: DataFrame,
       syncId: String = "",
       dirtyNodes: Option[Set[DirtyKey]] = None,
-      dirtyEdges: Option[Set[DirtyKey]] = None): Long =
+      dirtyEdges: Option[Set[DirtyKey]] = None,
+      addSecondaryLabels: Set[String] = Set.empty): Long =
     commitWith(newNodes, newEdges, syncId, dirtyNodes, dirtyEdges,
-      bucketCount0)
+      bucketCount0, addSecondaryLabels)
 
   /** commit with an explicit target bucket count — the visible count
     * (`bucketCount0`) changes ONLY after the pointer flip, so probes
@@ -287,7 +309,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       syncId: String,
       dirtyNodes: Option[Set[DirtyKey]],
       dirtyEdges: Option[Set[DirtyKey]],
-      bc: Int): Long =
+      bc: Int,
+      addSecondaryLabels: Set[String] = Set.empty): Long =
     synchronized {
       require(session.isEmpty,
         s"store $root has an open session; endSession() commits it")
@@ -337,12 +360,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       writeManifest(next, Map(
         "nodes" -> nodesMan, "edges" -> edgesMan, "redges" -> redgesMan))
       val tmp = rootPath.resolve(s"_current.tmp.$next")
+      val slabels = secondaryLabels0 ++ addSecondaryLabels
       Files.write(tmp,
-        s"$next\n$syncId\n$bc".getBytes(StandardCharsets.UTF_8),
+        s"$next\n$syncId\n$bc\n${encodeLabelSet(slabels)}"
+          .getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       bucketCount0 = bc // visible only once the pointer names it
+      secondaryLabels0 = slabels
       next
     }
 
@@ -711,7 +737,13 @@ object GraphStore {
     StructField("label", StringType),
     StructField("source", StringType),
     StructField("props", MapType(StringType, pvType)),
-    StructField("recorded", LongType)))
+    StructField("recorded", LongType),
+    // SECONDARY labels (multi-label nodes: `CREATE (n:A:B)`,
+    // `SET n:B` on an already-labeled node). `label` stays the
+    // PRIMARY label and the physical partition directory; the store
+    // tracks which labels occur here (secondaryLabels) so matches on
+    // purely-primary labels keep exact partition pruning
+    StructField("xlabels", ArrayType(StringType))))
 
   /** Edge row per /root/reference/neo4j.go:215-220 (from/to/rel/source). */
   val edgeSchema: StructType = StructType(Seq(

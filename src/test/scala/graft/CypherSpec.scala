@@ -524,6 +524,55 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.contains("read-only"))
   }
 
+  test("multi-label: CREATE (n:A:B), conjunctive MATCH, labels(), " +
+      "SET/REMOVE label editing") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-mlab").toString, spark, 2)
+    CypherEngine.query(st,
+      """CREATE (a:Person:Admin {gid: 'urn:a', name: 'amy'}),
+               (b:Person {gid: 'urn:b', name: 'bob'})""").collect()
+    // conjunctive match reaches only the dual-labeled node; each
+    // single label reaches its members (Admin via the SECONDARY set)
+    def gids(q: String): Seq[String] =
+      CypherEngine.query(st, q).collect().map(_.getString(0)).toSeq.sorted
+    assert(gids("MATCH (n:Person:Admin) RETURN n.gid AS g") == Seq("urn:a"))
+    assert(gids("MATCH (n:Admin) RETURN n.gid AS g") == Seq("urn:a"))
+    assert(gids("MATCH (n:Person) RETURN n.gid AS g") ==
+      Seq("urn:a", "urn:b"))
+    // labels(): primary first, secondaries sorted
+    val ls = CypherEngine.query(st,
+      "MATCH (n:Admin) RETURN labels(n) AS ls").collect().head
+      .getSeq[String](0)
+    assert(ls == Seq("Person", "Admin"))
+    // the store records Admin as a secondary label (pruning metadata);
+    // Person stays purely primary → keeps its partition-pruned path
+    assert(st.secondaryLabels == Set("Admin"))
+    // SET adds a secondary on an already-labeled node
+    CypherEngine.query(st,
+      "MATCH (n {gid: 'urn:b'}) SET n:Editor").collect()
+    assert(gids("MATCH (n:Editor) RETURN n.gid AS g") == Seq("urn:b"))
+    assert(CypherEngine.query(st,
+      "MATCH (n {gid: 'urn:b'}) RETURN labels(n) AS ls").collect().head
+      .getSeq[String](0) == Seq("Person", "Editor"))
+    // REMOVE a secondary keeps the primary; REMOVE the primary keeps
+    // the remaining secondaries
+    CypherEngine.query(st,
+      "MATCH (n {gid: 'urn:a'}) REMOVE n:Admin").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (n {gid: 'urn:a'}) RETURN labels(n) AS ls").collect().head
+      .getSeq[String](0) == Seq("Person"))
+    CypherEngine.query(st,
+      "MATCH (n {gid: 'urn:b'}) REMOVE n:Person").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (n {gid: 'urn:b'}) RETURN labels(n) AS ls").collect().head
+      .getSeq[String](0) == Seq("Editor"))
+    // mixing | and : in one label expression is rejected
+    val err = intercept[Exception] {
+      CypherEngine.query(st, "MATCH (n:A|B:C) RETURN n.gid AS g")
+    }
+    assert(err.getMessage.toLowerCase.contains("label"))
+  }
+
   test("map projection n {.k, alias: expr, x} builds a typed map") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {name: 'jane'})-[:worksfor]->(c)
