@@ -49,6 +49,10 @@ object Ast {
     * of `n`, overridden by explicit entries) */
   case class MapProj(variable: String, entries: Seq[(String, Expr)],
       all: Boolean) extends Expr
+  /** `n:Label` / `n:A:B` label predicate in expression position
+    * (`WHERE n:Admin`, `RETURN n:Admin AS isAdmin`) — true when the
+    * node carries EVERY listed label (primary or secondary) */
+  case class LabelPred(variable: String, labels: Seq[String]) extends Expr
   /** `coll[from..to]` — end-exclusive list slice, openCypher
     * semantics; either bound may be omitted, negative counts from the
     * end */

@@ -681,6 +681,19 @@ object Parser {
     */
   private def parsePostfix(p: P): Ast.Expr = {
     var e = parseAtom(p)
+    // `n:Label[:More]` label predicate in expression position
+    // (`WHERE n:Admin`, `RETURN n:Admin AS flag`). Only after a bare
+    // variable — map keys and projection aliases consume their ':'
+    // before their value expression parses, so there is no ambiguity.
+    e match {
+      case Ast.VarRef(v) if p.peek.contains(Sym(":")) &&
+          p.toks.drop(1).headOption.exists {
+            case _: Ident | _: Kw => true; case _ => false } =>
+        val labels = Seq.newBuilder[String]
+        while (p.trySym(":")) labels += p.identOrKw()
+        e = Ast.LabelPred(v, labels.result())
+      case _ => ()
+    }
     var continue = true
     while (continue) {
       if (p.peek.contains(Sym(".")) &&
@@ -870,6 +883,24 @@ object Parser {
         p.expectSym(")")
       }
       Ast.FuncCall(fn.toLowerCase, as.result(), distinct = false)
+    case Ident(ns) if Set("date", "datetime", "localdatetime", "duration")
+        .contains(ns.toLowerCase) && p.peek.contains(Sym(".")) &&
+        p.toks.drop(1).headOption.exists {
+          case _: Ident | _: Kw => true; case _ => false } &&
+        p.toks.drop(2).headOption.contains(Sym("(")) =>
+      // temporal namespace call: duration.between(a, b),
+      // datetime.truncate('month', dt), …
+      p.next() // '.'
+      val fn = p.identOrKw()
+      p.next() // '('
+      val as = Seq.newBuilder[Ast.Expr]
+      if (!p.trySym(")")) {
+        as += parseExpr(p)
+        while (p.trySym(",")) as += parseExpr(p)
+        p.expectSym(")")
+      }
+      Ast.FuncCall(s"${ns.toLowerCase}.${fn.toLowerCase}", as.result(),
+        distinct = false)
     case Ident(v) =>
       if (p.trySym(".")) Ast.PropRef(v, p.identOrKw())
       else if (p.peek.contains(Sym("{"))) parseMapProj(p, v)

@@ -2002,6 +2002,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
     case MapLit(entries) =>
       struct(entries.map { case (k, ex) => valueCol(ex).as(k) }: _*)
+    // `n:Label` in expression position — conjunction of membership
+    // tests (primary or secondary), same pruning-aware lowering as a
+    // MATCH label
+    case LabelPred(v, labels) =>
+      if (!env.get(v).contains(NodeVar))
+        throw PlanError(s"label predicate needs a node variable: $v")
+      labels.map(labelMember(v, _)).reduce(_ && _)
     // map projection `n {.name, alias: expr}`: a struct like MapLit
     // (typed entries — the parser already desugared `.k` / bare `x`).
     // The `.*` form needs DYNAMIC keys, so it lowers to a
@@ -2193,6 +2200,35 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         (nf("weeks") * 7 + nf("days")).cast("long"),
         nf("hours") * 3600 + nf("minutes") * 60 + nf("seconds") +
           nf("milliseconds") / 1000.0)
+    // temporal namespace functions. duration.between decomposes like
+    // Neo4j / Postgres age(): whole months first (day-of-month aware
+    // via months_between), then whole days, then remaining seconds —
+    // every component truncating toward zero, so both directions
+    // carry consistent signs
+    case FuncCall("duration.between", Seq(a, b), _) =>
+      val (ta, tb) = (valueCol(a).cast("timestamp"),
+        valueCol(b).cast("timestamp"))
+      val mo = months_between(tb, ta).cast("long")
+      val a2 = ta + make_interval(lit(0), mo.cast("int"))
+      val secTotal = (unix_millis(tb) - unix_millis(a2)) / 1000.0
+      val days = (secTotal / 86400).cast("long")
+      durStruct(mo, days, secTotal - days.cast("double") * 86400)
+    case FuncCall("duration.inmonths", Seq(a, b), _) =>
+      durStruct(months_between(valueCol(b).cast("timestamp"),
+        valueCol(a).cast("timestamp")).cast("long"), lit(0), lit(0.0))
+    case FuncCall("duration.indays", Seq(a, b), _) =>
+      val d = ((unix_millis(valueCol(b).cast("timestamp")) -
+        unix_millis(valueCol(a).cast("timestamp"))) / 86400000L)
+      durStruct(lit(0), d, lit(0.0))
+    case FuncCall("duration.inseconds", Seq(a, b), _) =>
+      durStruct(lit(0), lit(0),
+        (unix_millis(valueCol(b).cast("timestamp")) -
+          unix_millis(valueCol(a).cast("timestamp"))) / 1000.0)
+    case FuncCall("datetime.truncate" | "localdatetime.truncate",
+        Seq(u, a), _) =>
+      date_trunc(truncUnit(u), valueCol(a).cast("timestamp"))
+    case FuncCall("date.truncate", Seq(u, a), _) =>
+      to_date(date_trunc(truncUnit(u), valueCol(a).cast("timestamp")))
     case FuncCall("abs", Seq(a), _) => abs(numCol(a))
     case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
     case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
@@ -2462,6 +2498,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     make_interval(lit(0), c.getField("months").cast("int"), lit(0),
       c.getField("days").cast("int"), lit(0), lit(0),
       c.getField("secs").cast("decimal(18,6)"))
+
+  /** truncation unit for date/datetime.truncate — a plan-time string
+    * literal, validated against Spark's date_trunc vocabulary
+    */
+  private def truncUnit(e: Ast.Expr): String = e match {
+    case Lit(s: String)
+        if Set("year", "quarter", "month", "week", "day",
+          "hour", "minute", "second").contains(s.toLowerCase) =>
+      s.toLowerCase
+    case other => throw PlanError(s"unsupported truncation unit: $other")
+  }
 
   /** ISO-8601 duration text → (months, days, seconds), parsed at plan
     * time (duration('P14DT16H12M') — the literal form)

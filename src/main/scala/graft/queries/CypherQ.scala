@@ -316,7 +316,11 @@ DETACH DELETE n
                   p45.year * 10000 + p45.month * 100 + p45.day AS plus45,
                   dt.epochMillis AS ms,
                   (dt + duration({hours: 20, minutes: 30})).epochMillis
-                    AS ms2
+                    AS ms2,
+                  datetime.truncate('month', dt).epochMillis AS tr_mo,
+                  duration.between(d, p45).months AS bt_mo,
+                  duration.between(d, p45).days AS bt_d,
+                  duration.inDays(d, p45).days AS in_d
            ORDER BY d_str""")),
 
     // collect() honoring a preceding WITH … ORDER BY (openCypher row
@@ -388,10 +392,24 @@ DETACH DELETE n
            + day(d + INTERVAL 45 DAY) AS plus45,
          epoch_ms((ds || 'T06:30:00Z')::TIMESTAMP) AS ms,
          epoch_ms((ds || 'T06:30:00Z')::TIMESTAMP
-           + INTERVAL 20 HOUR + INTERVAL 30 MINUTE) AS ms2
-         FROM (SELECT unnest(['2024-01-15', '2024-02-29', '2024-12-31'])
-                 AS ds, unnest(['2024-01-15', '2024-02-29',
-                 '2024-12-31'])::DATE AS d)
+           + INTERVAL 20 HOUR + INTERVAL 30 MINUTE) AS ms2,
+         epoch_ms(date_trunc('month', (ds || 'T06:30:00Z')::TIMESTAMP))
+           AS tr_mo,
+         mo::BIGINT AS bt_mo,
+         date_diff('day', d + to_months(mo::INT), d + INTERVAL 45 DAY)
+           ::BIGINT AS bt_d,
+         45::BIGINT AS in_d
+         FROM (SELECT ds, d,
+                 -- whole months, day-of-month aware (the engine's
+                 -- months_between truncation; fixture avoids the
+                 -- both-last-day special case)
+                 date_diff('month', d, d + INTERVAL 45 DAY)
+                   - CASE WHEN day(d + INTERVAL 45 DAY) < day(d)
+                          THEN 1 ELSE 0 END AS mo
+               FROM (SELECT
+                 unnest(['2024-01-15', '2024-02-29', '2024-12-31'])
+                   AS ds, unnest(['2024-01-15', '2024-02-29',
+                 '2024-12-31'])::DATE AS d))
          ORDER BY d_str""",
     "cypher_collect_order" ->
       """SELECT 'r:'||n_regionkey AS region,

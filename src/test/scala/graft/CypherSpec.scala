@@ -573,6 +573,52 @@ class CypherSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("label"))
   }
 
+  test("n:Label predicate in WHERE and RETURN (expression position)") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-lpred").toString, spark, 2)
+    CypherEngine.query(st,
+      """CREATE (a:Person:Admin {gid: 'urn:a', name: 'amy'}),
+               (b:Person {gid: 'urn:b', name: 'bob'})""").collect()
+    val w = CypherEngine.query(st,
+      "MATCH (n:Person) WHERE n:Admin RETURN n.gid AS g").collect()
+      .map(_.getString(0)).toSeq
+    assert(w == Seq("urn:a"))
+    val r = CypherEngine.query(st,
+      """MATCH (n:Person) RETURN n.gid AS g, n:Admin AS adm,
+         n:Person:Admin AS both ORDER BY g""").collect()
+      .map(x => (x.getString(0), x.getBoolean(1), x.getBoolean(2)))
+    assert(r.toSeq == Seq(("urn:a", true, true), ("urn:b", false, false)))
+    // NOT composes; CASE takes it as an ordinary boolean
+    val not = CypherEngine.query(st,
+      "MATCH (n:Person) WHERE NOT n:Admin RETURN n.gid AS g").collect()
+      .map(_.getString(0)).toSeq
+    assert(not == Seq("urn:b"))
+  }
+
+  test("temporal namespace: duration.between/inDays/inSeconds, " +
+      "datetime.truncate, date.truncate") {
+    val r = CypherEngine.query(store,
+      """WITH datetime('2024-01-15T10:30:00Z') AS a,
+              datetime('2024-03-10T09:15:30Z') AS b
+         RETURN duration.between(a, b).months AS mo,
+                duration.between(a, b).days AS d,
+                duration.between(a, b).seconds AS s,
+                duration.inDays(a, b).days AS totd,
+                duration.inSeconds(a, b).seconds AS tots,
+                datetime.truncate('month', b).epochMillis AS tm,
+                toString(date.truncate('week', date('2024-03-07'))) AS wk
+      """).collect().head
+    // Jan 15 → Mar 10: 1 whole month (Feb 15), then 23d 22h 45m 30s
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 23L)
+    assert(r.getLong(2) == (22 * 3600 + 45 * 60 + 30).toLong)
+    assert(r.getLong(3) == 54L) // 17 (Jan) + 29 (Feb) + 8 full days
+    assert(r.getLong(4) ==
+      (54L * 86400 + 22 * 3600 + 45 * 60 + 30))
+    assert(r.getLong(5) == 1709251200000L) // 2024-03-01T00:00:00Z
+    assert(r.getString(6) == "2024-03-04") // Monday of that week
+  }
+
   test("map projection n {.k, alias: expr, x} builds a typed map") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {name: 'jane'})-[:worksfor]->(c)
