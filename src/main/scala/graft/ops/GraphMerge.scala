@@ -828,10 +828,16 @@ object GraphMerge {
         // in-session analog). Blocks are freed by the ContextCleaner
         // when the session's frames are dropped.
         if (anyChange) {
+          // delta overlay: only the statement's dirty buckets
+          // materialize; untouched buckets re-read the committed
+          // parquet lazily (statement cost ∝ touched data, the
+          // in-session analog of the commit's bounded rewrite)
           if (!(nodes eq initialNodes))
-            s.workNodes = Some(nodes.localCheckpoint(true))
+            s.workNodes = Some(store.overlayNodes(nodes,
+              s.dirtyNodes ++ dirtyNodes))
           if (!(edges eq initialEdges))
-            s.workEdges = Some(edges.localCheckpoint(true))
+            s.workEdges = Some(store.overlayEdges(edges,
+              s.dirtyEdges ++ dirtyEdges))
           s.dirtyNodes ++= dirtyNodes
           s.dirtyEdges ++= dirtyEdges
           s.secondaryLabels ++= newSecondaryLabels

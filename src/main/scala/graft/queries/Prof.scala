@@ -15,7 +15,12 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs += 1 }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (sys.env.contains("PROF_JOBS"))
+          println(s"JOB stages=${j.stageInfos.length} " +
+            j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+      }
     })
     def time[T](label: String)(f: => T): T = {
       val j0 = jobs; val t0 = System.nanoTime(); val r = f
@@ -34,6 +39,58 @@ object Prof {
     time("create-node") { CypherEngine.query(st3, "CREATE (x:Nation {gid: 'n:99', name: 'ATLANTIS'})").collect() }
     time("create-edge") { CypherEngine.query(st3, "MATCH (a:Nation), (b) WHERE a.gid = 'n:99' AND b.gid = 'r:0' CREATE (a)-[:in_region]->(b)").collect() }
     time("set-prop") { CypherEngine.query(st3, "MATCH (n:Nation) WHERE n.gid = 'n:1' SET n.name = 'RENAMED'").collect() }
+
+    // the cypher_ref_templates shape, statement by statement — where
+    // does the write-latency go?
+    {
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-prof-tpl").toString,
+        spark, numBuckets = 2)
+      val rows = Relational.t(spark, dir, "nation").collect()
+      val items: Seq[Map[String, Any]] = rows.toSeq.map(r => Map(
+        "gid" -> s"n:${r.getAs[Int]("n_nationkey")}",
+        "source" -> "nations",
+        "name" -> r.getAs[String]("n_name")))
+      val edgeItems: Seq[Map[String, Any]] = rows.toSeq.map(r => Map(
+        "from" -> s"n:${r.getAs[Int]("n_nationkey")}",
+        "to" -> s"r:${r.getAs[Int]("n_regionkey")}",
+        "source" -> "nations", "type" -> "in_region"))
+      val targetItems = edgeItems.map(m => Map("gid" -> m("to"))).distinct
+      val sess = CypherEngine.session(store)
+      time("tpl-1-update-node") { sess.run("""
+UNWIND $items AS item
+MERGE (n {gid: item.gid})
+WITH n, item
+OPTIONAL MATCH (n)-[r]->()
+DELETE r
+SET n:Nation
+SET n = item
+""", Map("items" -> items)).collect() }
+      time("tpl-2-target-node") { sess.run("""
+UNWIND $items AS item
+MERGE (n {gid: item.gid })
+""", Map("items" -> targetItems)).collect() }
+      time("tpl-3-update-edge") { sess.run("""
+UNWIND $items AS item
+MATCH (n1 {gid: item.from})
+MATCH (n2 {gid: item.to})
+MERGE (n1)-[r:in_region]->(n2)
+SET r.source = item.source
+SET r.type = item.type
+""", Map("items" -> edgeItems)).collect() }
+      time("tpl-4-delete-node") { sess.run("""
+UNWIND $items AS item
+MATCH (n {gid: item.gid})
+DETACH DELETE n
+""", Map("items" -> items.filter(
+        _("gid").asInstanceOf[String] >= "n:20"))).collect() }
+      time("tpl-commit") { sess.commit() }
+      time("tpl-read") { CypherEngine.query(store,
+        """MATCH (n:Nation)-[r:in_region]->(m)
+           RETURN n.gid AS gid, n.name AS name, n.source AS src,
+                  m.gid AS region
+           ORDER BY gid""").collect() }
+    }
     spark.stop()
   }
 }

@@ -444,18 +444,58 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   /** the dirty-key row filter writePartitions applies (factored so the
     * redges delta can compute the same "changed new content" set)
     */
-  private def dirtyFilter(withBucket: DataFrame, partCol: String,
-      set: Set[DirtyKey]): DataFrame = {
-    val conds: Seq[Column] = set.toSeq.map { case (pv, b) =>
+  /** the (partition, bucket) membership predicate for a dirty set —
+    * expects a `bucket` column alongside `partCol` */
+  private def dirtyPred(partCol: String, set: Set[DirtyKey]): Column =
+    set.toSeq.map { case (pv, b) =>
+      // null-safe <=> so the predicate is never NULL: the overlay
+      // NEGATES it, and a NULL-partition row (stub nodes) under
+      // !(NULL === v && …) would silently drop instead of staying
       val pc: Column = pv match {
-        case None | Some("") => col(partCol).isNull || col(partCol) === ""
-        case Some(v) => col(partCol) === v
+        case None | Some("") => col(partCol).isNull || col(partCol) <=> ""
+        case Some(v) => col(partCol) <=> v
       }
       b.fold(pc)(i => pc && col("bucket") === i)
-    }
-    if (conds.isEmpty) withBucket.filter(lit(false))
-    else withBucket.filter(conds.reduce(_ || _))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  private def dirtyFilter(withBucket: DataFrame, partCol: String,
+      set: Set[DirtyKey]): DataFrame =
+    withBucket.filter(dirtyPred(partCol, set))
+
+  /** Session-overlay view of a statement's working frame: the
+    * COMMITTED table outside the session's dirty (partition, bucket)
+    * keys, union the working frame restricted TO those keys, eagerly
+    * checkpointed. Rows outside the dirty set are byte-identical to
+    * the committed table by the commit contract, so only the
+    * session's actual delta is materialized — the per-statement
+    * lineage cut costs ∝ touched buckets, not table size (a
+    * multi-statement transaction on a 100 TB table must not rewrite
+    * the table once per statement). The untouched side stays a lazy
+    * partition-pruned parquet scan.
+    */
+  private[graft] def overlayView(full: DataFrame, tableName: String,
+      schema: StructType, partCol: String, clusterCol: String,
+      dirty: Set[DirtyKey]): DataFrame = {
+    // an empty dirty set with a changed frame would silently drop the
+    // change — fall back to the full checkpoint (never expected)
+    if (dirty.isEmpty) return full.localCheckpoint(true)
+    val withBucket = full.withColumn("bucket",
+      pmod(hash(col(clusterCol)), lit(bucketCount0)))
+    val delta = withBucket.filter(dirtyPred(partCol, dirty))
+      .drop("bucket").localCheckpoint(true)
+    val base = table(tableName, schema, keepBucket = true)
+      .filter(!dirtyPred(partCol, dirty))
+      .drop("bucket")
+    base.unionByName(delta)
   }
+
+  private[graft] def overlayNodes(full: DataFrame,
+      dirty: Set[DirtyKey]): DataFrame =
+    overlayView(full, "nodes", nodeSchema, "label", "gid", dirty)
+
+  private[graft] def overlayEdges(full: DataFrame,
+      dirty: Set[DirtyKey]): DataFrame =
+    overlayView(full, "edges", edgeSchema, "relType", "src", dirty)
 
   private def readFiles(table: String, files: Seq[String],
       schema: StructType): DataFrame =
