@@ -241,9 +241,64 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     out
   }
 
+  /** every variable a SetClause assigns */
+  private def setTargets(s: SetClause): Set[String] = s.items.map {
+    case SetProp(v, _, _) => v
+    case SetAll(v, _) => v
+    case SetPlus(v, _) => v
+    case SetLabelItem(v, _) => v
+    case RemoveLabelItem(v, _) => v
+  }.toSet
+
+  /** every variable a SetClause's value expressions reference —
+    * conservative structural walk (binder-introduced names count as
+    * references; a false positive only skips a fusion)
+    */
+  private def setReads(s: SetClause): Set[String] = {
+    def refs(x: Any): Set[String] = x match {
+      case VarRef(n) => Set(n)
+      case PropRef(v, _) => Set(v)
+      case MapProj(v, es, _) =>
+        Set(v) ++ es.flatMap(e => refs(e._2))
+      case LabelPred(v, _) => Set(v)
+      case _: String => Set.empty
+      case o: Option[_] => o.toSeq.flatMap(refs).toSet
+      case i: Iterable[_] => i.flatMap(refs).toSet
+      case p: Product => p.productIterator.flatMap(refs).toSet
+      case _ => Set.empty
+    }
+    s.items.flatMap {
+      case SetProp(_, _, e) => refs(e)
+      case SetAll(_, e) => refs(e)
+      case SetPlus(_, e) => refs(e)
+      case _ => Set.empty[String]
+    }.toSet
+  }
+
+  /** Fuse runs of consecutive SET clauses into one — the reference's
+    * sync templates write `SET r.source = item.source SET r.type =
+    * item.type` (neo4j.go:121-123), and fusing them lets applySet
+    * emit ONE patch effect per variable instead of one per clause
+    * (half the dirty-key probes and working-frame passes). Safe only
+    * when the later clause's values read nothing the earlier clause
+    * assigns, and when fusion preserves applySet's internal ordering
+    * (accumulated prop-SETs evaluate after view-updating items, so an
+    * earlier clause with prop-SETs cannot absorb a later
+    * view-updating item).
+    */
+  private def fuseSetRuns(clauses: Seq[Clause]): Seq[Clause] =
+    clauses.foldLeft(Vector.empty[Clause]) {
+      case (init :+ (a: SetClause), b: SetClause)
+          if setReads(b).intersect(setTargets(a)).isEmpty &&
+            !(a.items.exists(_.isInstanceOf[SetProp]) &&
+              b.items.exists(!_.isInstanceOf[SetProp])) =>
+        init :+ SetClause(a.items ++ b.items)
+      case (acc, c) => acc :+ c
+    }
+
   private def planSingle(q: Query): DataFrame = {
     matPathVars = collectPathFnVars(q)
-    q.clauses.foreach {
+    fuseSetRuns(q.clauses).foreach {
       case m: MatchClause => applyMatch(m)
       case w: WithClause => applyWith(w)
       case u: UnwindClause => applyUnwind(u)

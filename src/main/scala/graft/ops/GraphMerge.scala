@@ -555,6 +555,8 @@ object GraphMerge {
     // loop checkpoints against). Cache is lazy, so single-effect
     // statements (the common case — the guard below skips them) and
     // the final frame feeding commit pay nothing extra.
+    val profW0 = sys.env.contains("PROF_WRITE")
+    val tLoop0 = System.nanoTime()
     effects.zipWithIndex.foreach { case (effect, idx) =>
       val n0 = nodes
       val e0 = edges
@@ -777,29 +779,42 @@ object GraphMerge {
         var patched = edges
           .join(broadcast(p), Seq("src", "dst", "relType"), "inner")
         if (hasSource) patched = patched.withColumn("source", $"new_source")
-        if (hasType) patched = patched
-          .withColumn("relType", coalesce($"new_relType", $"relType"))
         patched = patched.withColumn("recorded", lit(ver))
-          .drop("new_source", "new_relType")
         val survivors = edges
           .join(broadcast(p.select($"src", $"dst", $"relType")),
             Seq("src", "dst", "relType"), "left_anti")
         if (hasType) {
+          // Only a patch that actually CHANGES relType moves the row's
+          // identity; `SET r.type = r.type`-shaped patches (the
+          // reference's own sync template sets type to its existing
+          // value on every row) stay on the cheap in-place path. The
+          // split leaves the rename side EMPTY at runtime for those
+          // statements, and AQE's empty-relation propagation prunes
+          // its groupBy + collision joins out of the executed plan.
+          val plain = patched
+            .filter($"new_relType".isNull || $"new_relType" <=> $"relType")
+            .drop("new_source", "new_relType")
           // a relType rename can converge two patched rows onto one
-          // identity, or collide with an untouched existing edge —
-          // MERGE semantics keep one row per (src,dst,relType).
-          // Deterministic pick (max source) rather than an arbitrary
-          // dropDuplicates survivor; the collision probe is bounded by
+          // identity, or collide with an untouched existing edge OR an
+          // in-place-patched row — MERGE semantics keep one row per
+          // (src,dst,relType). Deterministic pick (max source) among
+          // converging renames; an existing identity always wins over
+          // a rename landing on it. Collision probes are bounded by
           // the patch's own key set, never a full-table dedup.
-          patched = patched.groupBy($"src", $"dst", $"relType")
+          var renamed = patched
+            .filter($"new_relType".isNotNull && !($"new_relType" <=> $"relType"))
+            .withColumn("relType", $"new_relType")
+            .drop("new_source", "new_relType")
+            .groupBy($"src", $"dst", $"relType")
             .agg(max($"source").as("source"), max($"recorded").as("recorded"))
-          val colliding = survivors
-            .join(broadcast(patched.select($"src", $"dst", $"relType")),
+          val colliding = survivors.select($"src", $"dst", $"relType")
+            .unionByName(plain.select($"src", $"dst", $"relType"))
+            .join(broadcast(renamed.select($"src", $"dst", $"relType")),
               Seq("src", "dst", "relType"), "left_semi")
-            .select($"src", $"dst", $"relType")
-          patched = patched.join(broadcast(colliding),
+          renamed = renamed.join(broadcast(colliding),
             Seq("src", "dst", "relType"), "left_anti")
-        }
+          patched = plain.unionByName(renamed)
+        } else patched = patched.drop("new_source")
         edges = survivors.unionByName(patched)
         edgesMutated = true
       }
@@ -809,9 +824,17 @@ object GraphMerge {
       }
     }
 
-    phaseA.run() // ONE job: every batch-derived probe + bucket sets
-    deferredB.result().foreach(_())
-    phaseB.run() // ONE job: the bucket-pruned pre-state store probes
+    val profW = profW0
+    if (profW) println(
+      f"  WRITE loop ${(System.nanoTime() - tLoop0) / 1e9}%.2f s")
+    def pw[T](label: String)(f: => T): T =
+      if (!profW) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  WRITE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+    pw("phaseA") { phaseA.run() } // ONE job: every batch-derived probe
+    pw("phaseB") { deferredB.result().foreach(_())
+      phaseB.run() } // ONE job: the bucket-pruned pre-state store probes
 
     val anyChange = nodesCreated + edgesCreated + propertiesSet +
       nodesDeleted + edgesDeleted + labelsSet > 0
@@ -831,13 +854,20 @@ object GraphMerge {
           // delta overlay: only the statement's dirty buckets
           // materialize; untouched buckets re-read the committed
           // parquet lazily (statement cost ∝ touched data, the
-          // in-session analog of the commit's bounded rewrite)
-          if (!(nodes eq initialNodes))
-            s.workNodes = Some(store.overlayNodes(nodes,
-              s.dirtyNodes ++ dirtyNodes))
-          if (!(edges eq initialEdges))
-            s.workEdges = Some(store.overlayEdges(edges,
-              s.dirtyEdges ++ dirtyEdges))
+          // in-session analog of the commit's bounded rewrite). The
+          // two delta checkpoints share no lineage — run them as
+          // concurrent jobs like the commit's table writes.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          pw("overlays") {
+            val nF = if (nodes eq initialNodes) None else Some(Future(
+              store.overlayNodes(nodes, s.dirtyNodes ++ dirtyNodes)))
+            val eF = if (edges eq initialEdges) None else Some(Future(
+              store.overlayEdges(edges, s.dirtyEdges ++ dirtyEdges)))
+            nF.foreach(f => s.workNodes = Some(Await.result(f, Duration.Inf)))
+            eF.foreach(f => s.workEdges = Some(Await.result(f, Duration.Inf)))
+          }
           s.dirtyNodes ++= dirtyNodes
           s.dirtyEdges ++= dirtyEdges
           s.secondaryLabels ++= newSecondaryLabels

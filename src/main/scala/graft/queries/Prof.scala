@@ -57,6 +57,11 @@ object Prof {
         "source" -> "nations", "type" -> "in_region"))
       val targetItems = edgeItems.map(m => Map("gid" -> m("to"))).distinct
       val sess = CypherEngine.session(store)
+      if (sys.env.contains("PROF_NOAQE"))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (sys.env.contains("PROF_SHUF"))
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env("PROF_SHUF").toInt)
       time("tpl-1-update-node") { sess.run("""
 UNWIND $items AS item
 MERGE (n {gid: item.gid})
