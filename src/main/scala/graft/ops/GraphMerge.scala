@@ -428,40 +428,48 @@ object GraphMerge {
     private val sinks =
       Seq.newBuilder[Array[(Option[String], Option[Int], Long)] => Unit]
     private var n = 0
-    /** frame must have columns part (string), b (int), cnt (long) */
+    /** frame must have UNGROUPED rows (part: string, b: int, w: long)
+      * — the batch groups the tagged union once, so N probes cost ONE
+      * shuffle instead of one per probe (partial aggregation still
+      * runs map-side per union arm, so no extra rows move)
+      */
     def add(frame: DataFrame)(
         sink: Array[(Option[String], Option[Int], Long)] => Unit): Unit = {
       frames += frame.select(
         col("part").cast("string").as("part"), col("b").cast("int").as("b"),
-        col("cnt").cast("long").as("cnt"), lit(n).as("__tag"))
+        col("w").cast("long").as("w"), lit(n).as("__tag"))
       sinks += sink
       n += 1
     }
     def run(): Unit = {
       val fs = frames.result()
       if (fs.isEmpty) return
-      val rows = fs.reduce(_ unionByName _).collect()
-      val byTag = rows.groupBy(_.getInt(3))
+      val rows = fs.reduce(_ unionByName _)
+        .groupBy(col("__tag"), col("part"), col("b"))
+        .agg(sum(col("w")).as("cnt"))
+        .collect()
+      val byTag = rows.groupBy(_.getInt(0))
       sinks.result().zipWithIndex.foreach { case (sink, i) =>
         sink(byTag.getOrElse(i, Array.empty).map(r => (
-          if (r.isNullAt(0)) None else Some(r.getString(0)),
-          if (r.isNullAt(1)) None else Some(r.getInt(1)),
-          if (r.isNullAt(2)) 0L else r.getLong(2))))
+          if (r.isNullAt(1)) None else Some(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) 0L else r.getLong(3))))
       }
     }
   }
 
-  /** (part, bucket) count frame for ProbeBatch */
+  /** per-row (part, bucket) key frame for ProbeBatch (w=1 → count) */
   private def keyCountFrame(d: DataFrame, part: Column, key: Column)
       : DataFrame =
-    d.select(part.cast("string").as("part"), key.cast("int").as("b"))
-      .groupBy(col("part"), col("b")).agg(count(lit(1)).as("cnt"))
+    d.select(part.cast("string").as("part"), key.cast("int").as("b"),
+      lit(1L).as("w"))
 
-  /** distinct-bucket frame for ProbeBatch (part/cnt unused) */
+  /** bucket frame for ProbeBatch (per-row; the batch's groupBy
+    * dedups, sinks read the keys and ignore w)
+    */
   private def bucketFrame(d: DataFrame, key: Column): DataFrame =
-    d.select(key.cast("int").as("b")).distinct()
-      .select(lit(null).cast("string").as("part"), col("b"),
-        lit(0L).as("cnt"))
+    d.select(lit(null).cast("string").as("part"),
+      key.cast("int").as("b"), lit(0L).as("w"))
 
   /** Execute one write statement's ordered effects against working
     * node/edge frames, then commit ONCE with bucket-level dirty keys.
@@ -521,10 +529,9 @@ object GraphMerge {
 
     /** a single fused sum (stat counters with no dirty keys) */
     def deferSum(d: DataFrame, value: Column)(sink: Long => Unit): Unit =
-      phaseA.add(d.agg(coalesce(sum(value), lit(0L)).as("cnt"))
-        .select(lit(null).cast("string").as("part"),
-          lit(null).cast("int").as("b"), col("cnt"))) { rows =>
-        sink(rows.map(_._3).sum) }
+      phaseA.add(d.select(lit(null).cast("string").as("part"),
+        lit(null).cast("int").as("b"), value.cast("long").as("w"))) {
+        rows => sink(rows.map(_._3).sum) }
 
     /** (label, bucket) keys + count of PRE-STATE store rows matching
       * `gids`, directory-pruned to the gids' hash buckets (phase B,

@@ -500,7 +500,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   private def readFiles(table: String, files: Seq[String],
       schema: StructType): DataFrame =
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      // a LocalRelation-backed empty frame (NOT emptyRDD, which plans
+      // as an opaque LogicalRDD): Catalyst's PropagateEmptyRelation
+      // then collapses every join/union against an empty table at
+      // optimization time — a bootstrap sync against a fresh store
+      // runs its statements as local projections instead of scheduling
+      // join stages against empty scans
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
     else spark.read
       .option("basePath", dataDir(table).toString)
       .schema(schema)
