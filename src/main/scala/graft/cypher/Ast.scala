@@ -80,6 +80,14 @@ object Ast {
     * usable as a RETURN/WITH item or compared in a WHERE conjunct */
   case class CountSub(pattern: PathPattern,
       where: Option[Expr] = None) extends Expr
+  /** `[(n)-[:T]->(m) WHERE pred | proj]` pattern comprehension — the
+    * projection evaluated over every match of the pattern for the
+    * row's bindings, as a list (the collect-subquery idiom; empty
+    * list when nothing matches). The projection is mandatory
+    * (openCypher grammar — without `|` the text is a list literal).
+    */
+  case class PatternComp(pattern: PathPattern, where: Option[Expr],
+      proj: Expr) extends Expr
 
   /** property values may be literals OR expressions (parameters,
     * `item.k` property references) — the reference's own templates

@@ -760,7 +760,36 @@ object Parser {
         e
       }
     case Sym("[") =>
-      // `[x IN list …]` is a comprehension, anything else a literal
+      // `[x IN list …]` is a comprehension, anything else a literal —
+      // except `[(…)-[…]->(…) … | proj]`, a pattern comprehension:
+      // try the pattern parse at a '[' + '(' opening and backtrack to
+      // the list literal on failure (the mandatory `|` disambiguates:
+      // a parenthesized first ELEMENT is never followed by `|`)
+      val asPatternComp: Option[Ast.Expr] =
+        if (!p.toks.headOption.contains(Sym("("))) None
+        else {
+          val saved = p.toks
+          try {
+            val pat = parsePattern(p)
+            val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+            if (pat.hops.isEmpty || pat.pathVar.nonEmpty ||
+                pat.shortest || pat.allShortest || !p.trySym("|")) {
+              p.toks = saved; None
+            } else {
+              val projE = parseExpr(p)
+              p.expectSym("]")
+              val inline = inlineWhere(pat)
+              val w = (whereE, inline) match {
+                case (Some(a), Some(b)) => Some(Ast.And(a, b))
+                case (a, b) => a.orElse(b)
+              }
+              Some(Ast.PatternComp(pat, w, projE))
+            }
+          } catch {
+            case _: ParseException => p.toks = saved; None
+          }
+        }
+      asPatternComp.getOrElse {
       (p.toks.headOption, p.toks.drop(1).headOption) match {
         case (Some(Ident(v)), Some(Kw("IN"))) =>
           p.next(); p.next()
@@ -777,6 +806,7 @@ object Parser {
             p.expectSym("]")
           }
           Ast.ListLit(items.result())
+      }
       }
     case Sym("{") =>
       val entries = Seq.newBuilder[(String, Ast.Expr)]

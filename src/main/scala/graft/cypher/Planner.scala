@@ -1080,7 +1080,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Cmp(op, l, cs: CountSub) =>
         val c = planSubCount(cs)
         df = df.filter(cmpOp(op, valueCol(l), c))
-      case e => df = df.filter(toPredicate(e))
+      case e =>
+        // `size([pattern | proj]) > 2`-style conjuncts: land the
+        // comprehension's correlated join, then filter on the binding
+        val (e2, _) = rewritePatternComps(e)
+        df = df.filter(toPredicate(e2))
     }
   }
 
@@ -1320,7 +1324,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     */
   private def applyPatternPred(pat: PathPattern, where: Option[Expr],
       negated: Boolean): Unit = {
-    val (subDf, shared) = planSubPattern(pat, where, "exists()")
+    val (subDf, shared, _) = planSubPattern(pat, where, "exists()")
     val probe = subDf.select(shared.map(v =>
       col(s"${v}__gid").as(s"__pp__${v}__gid")): _*).distinct()
     val cond = shared.map(v =>
@@ -1339,7 +1343,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * key). Leaves df/env untouched.
     */
   private def planSubPattern(pat: PathPattern, where: Option[Expr],
-      what: String): (DataFrame, Seq[String]) = {
+      what: String): (DataFrame, Seq[String], Map[String, VarKind]) = {
     if (pat.pathVar.nonEmpty || pat.shortest || pat.allShortest)
       throw PlanError(s"$what patterns cannot bind paths")
     val outerDf = df
@@ -1362,7 +1366,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }.toSeq.sorted
     if (shared.isEmpty) throw PlanError(
       s"$what pattern must reuse at least one bound node variable")
-    (subDf, shared)
+    (subDf, shared, subEnv)
   }
 
   /** `COUNT { … }` as a correlated per-row count: the subquery's match
@@ -1371,7 +1375,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * count column.
     */
   private def planSubCount(cs: CountSub): Column = {
-    val (subDf, shared) = planSubPattern(cs.pattern, cs.where, "COUNT { }")
+    val (subDf, shared, _) =
+      planSubPattern(cs.pattern, cs.where, "COUNT { }")
     val tag = fresh("csub")
     val grouped = subDf.groupBy(shared.map(v =>
       col(s"${v}__gid").as(s"__${tag}__${v}__gid")): _*)
@@ -1381,6 +1386,57 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     df = df.join(grouped, cond, "left_outer")
       .drop(shared.map(v => s"__${tag}__${v}__gid"): _*)
     coalesce(col(s"__${tag}__cnt"), lit(0L))
+  }
+
+  /** `[pattern WHERE pred | proj]` as a correlated per-row collect:
+    * the projection evaluated in the pattern's own scope, collected
+    * per correlation key, left-joined onto the bound rows (absent key
+    * = empty list). Value-sorted — a deterministic choice where
+    * Neo4j's match order is arbitrary, mirroring unordered collect().
+    * Mutates df (adds the join); returns the list column.
+    */
+  private def planPatternComp(pc: PatternComp): Column = {
+    val (subDf0, shared, subEnv) =
+      planSubPattern(pc.pattern, pc.where, "pattern comprehension")
+    // the projection references the PATTERN's bindings — evaluate it
+    // with the sub frame/env active (endpoint resolution may join on
+    // the sub frame)
+    val outerDf = df
+    val outerEnv = env
+    df = subDf0
+    env = subEnv
+    val projCol = valueCol(resolveEndpointProps(pc.proj))
+    val subDf = df
+    df = outerDf
+    env = outerEnv
+    val tag = fresh("pcomp")
+    val grouped = subDf.groupBy(shared.map(v =>
+      col(s"${v}__gid").as(s"__${tag}__${v}__gid")): _*)
+      .agg(sort_array(collect_list(projCol)).as(s"__${tag}__list"))
+    val cond = shared.map(v =>
+      col(s"${v}__gid") === col(s"__${tag}__${v}__gid")).reduce(_ && _)
+    df = df.join(grouped, cond, "left_outer")
+      .drop(shared.map(v => s"__${tag}__${v}__gid"): _*)
+    val elemType = grouped.schema(s"__${tag}__list").dataType
+    coalesce(col(s"__${tag}__list"), array().cast(elemType))
+  }
+
+  /** bind every pattern comprehension inside `e` as a value column
+    * (correlated joins land on df) and rewrite it to the binding;
+    * returns the rewritten expression and whether anything matched */
+  private def rewritePatternComps(e: Expr): (Expr, Boolean) = {
+    var hit = false
+    val out = mapExpr(e) {
+      case pc: PatternComp =>
+        hit = true
+        val nm = fresh("pccol")
+        val c = planPatternComp(pc) // mutates df FIRST
+        df = df.withColumn(s"${nm}__value", c)
+        env += nm -> ValueVar(s"${nm}__value")
+        VarRef(nm)
+      case other => other
+    }
+    (out, hit)
   }
 
   /** rewrite COUNT{}/EXISTS{} RETURN/WITH items into plain bound
@@ -1400,7 +1456,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           df = df.withColumn(s"${nm}__value", c > 0)
           env += nm -> ValueVar(s"${nm}__value")
           ReturnItem(VarRef(nm), Some(it.alias.getOrElse("exists")))
-        case _ => it
+        case _ =>
+          // pattern comprehensions may sit at ANY depth of the item
+          // (`size([…])`, `[…] + […]`); keep the item's original name
+          val (rewritten, hit) = rewritePatternComps(it.expr)
+          if (!hit) it else ReturnItem(rewritten, Some(it.name))
       }
     }
 

@@ -100,6 +100,20 @@ object CypherQ {
     // machinery gated on data whose second hop is non-empty, unlike
     // the 25-node nation star. Fixed 2-hop chain with a property
     // predicate…
+    // Pattern comprehension (the collect-subquery idiom) over the
+    // customer graph: each nation's rich customers as a list, reduced
+    // to one string for the scalar gate compare. Value-sorted lists —
+    // the engine's deterministic choice where Neo4j match order is
+    // arbitrary — mirror DuckDB's list(... ORDER BY ...).
+    "cypher_pattern_comp" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           RETURN n.name AS nation,
+             reduce(s = '', x IN
+               [(c:Customer)-[:located_in]->(n) WHERE c.acctbal > 9000
+                 | c.name] | s + '|' + x) AS rich
+           ORDER BY nation""")),
+
     "cypher_customer_graph" -> ((s, dir) =>
       CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
         """MATCH (c:Customer)-[:located_in]->(n:Nation)-[:in_region]->(r)
@@ -430,6 +444,14 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE n.n_name IN ('NATION_3', 'NATION_7') AND c.c_name LIKE '%1%'
          GROUP BY 1, 2 ORDER BY nation, band""",
+    "cypher_pattern_comp" ->
+      """SELECT n.n_name AS nation,
+         COALESCE('|' || array_to_string(
+           list(c.c_name ORDER BY c.c_name)
+             FILTER (WHERE c.c_name IS NOT NULL), '|'), '') AS rich
+         FROM nation n LEFT JOIN customer c
+           ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+         GROUP BY 1 ORDER BY nation""",
     "cypher_customer_graph" ->
       """SELECT 'r:'||n.n_regionkey AS region, COUNT(*) AS n_cust
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -2113,4 +2113,48 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       """UNWIND [3, 1, 2] AS x RETURN collect(x) AS xs""").collect()
     assert(rows.head.getSeq[Long](0) == Seq(1L, 2L, 3L))
   }
+
+  test("pattern comprehension collects the projection per row") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN n.name AS name, [(n)-[:worksfor]->(c) | c.name] AS cos
+         ORDER BY name""").collect()
+    assert(rows.map(r => (r.getString(0), r.getSeq[String](1))).toSeq ==
+      Seq(("brian", Seq("Mimiro")), ("jane", Seq("Mimiro")),
+        ("ola", Seq.empty)))
+  }
+
+  test("pattern comprehension with WHERE and a computed projection") {
+    val rows = CypherEngine.query(store,
+      """MATCH (c:Company)
+         RETURN c.gid AS gid,
+           [(p:Person)-[:worksfor]->(c) WHERE p.age > 25 | p.name + '!']
+             AS older""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[String](1) == Seq("jane!"))
+  }
+
+  test("pattern comprehension nested in size() and in WHERE") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE size([(n)-[]->(m) | m.gid]) >= 1
+         RETURN n.name AS name, size([(n)-[]->(m) | m.gid]) AS deg
+         ORDER BY name""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("brian", 1L), ("jane", 2L)))
+  }
+
+  test("pattern comprehension over an undirected two-hop pattern") {
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person {gid: 'urn:p2'})
+         RETURN [(p)-[:knows]-(q) | q.name] AS ks""").collect()
+    assert(rows.head.getSeq[String](0) == Seq("brian"))
+  }
+
+  test("a bracketed list whose first element is parenthesized still " +
+      "parses as a list literal") {
+    val rows = CypherEngine.query(store,
+      "RETURN [(1 + 2), 3] AS xs").collect()
+    assert(rows.head.getSeq[Long](0) == Seq(3L, 3L))
+  }
 }
