@@ -685,11 +685,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     sawWrite = true
     import graft.ops.GraphMerge.WriteEffect._
     if ((c.onCreate.nonEmpty || c.onMatch.nonEmpty) &&
-        (c.patterns.length != 1 || c.patterns.head.hops.nonEmpty))
-      throw PlanError(
-        "ON CREATE / ON MATCH SET is supported on single-node MERGE only")
-    val wantMatched = c.onCreate.nonEmpty || c.onMatch.nonEmpty
+        (c.patterns.length != 1 || c.patterns.head.hops.length > 1))
+      throw PlanError("ON CREATE / ON MATCH SET is supported on " +
+        "single-node or single-relationship MERGE only")
+    val wantMatched = (c.onCreate.nonEmpty || c.onMatch.nonEmpty) &&
+      c.patterns.head.hops.isEmpty
+    val wantRelMatched = (c.onCreate.nonEmpty || c.onMatch.nonEmpty) &&
+      c.patterns.head.hops.nonEmpty
     c.patterns.foreach { pat =>
+      // rel-level ON CREATE/ON MATCH routes on whether the edge
+      // already exists between BOUND endpoints — pattern-match then
+      // equals an edge probe (an unbound endpoint would make Neo4j's
+      // whole-pattern match semantics diverge from it)
+      if (wantRelMatched &&
+          (pat.head.variable.forall(v => !env.contains(v)) ||
+            pat.hops.head._2.variable.forall(v => !env.contains(v))))
+        throw PlanError("ON CREATE / ON MATCH on a relationship " +
+          "MERGE needs both endpoint variables bound")
       var prevVar = bindCreateNode(pat.head, c.merge, wantMatched)
       if (wantMatched) {
         // the merge bound a per-row matched flag; route each
@@ -711,6 +723,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val nodeVar = bindCreateNode(node, c.merge)
         val (fromV, toV) =
           if (rel.direction > 0) (prevVar, nodeVar) else (nodeVar, prevVar)
+        val matchedCol =
+          if (!wantRelMatched) None
+          else {
+            val tag = fresh("relm")
+            val ex = store.edges
+              .filter(col("relType") === relType)
+              .select(col("src").as(s"__${tag}_src"),
+                col("dst").as(s"__${tag}_dst"),
+                lit(true).as(s"__${tag}_hit"))
+            df = df.join(ex,
+              col(s"${fromV}__gid") === col(s"__${tag}_src") &&
+                col(s"${toV}__gid") === col(s"__${tag}_dst"),
+              "left_outer")
+              .drop(s"__${tag}_src", s"__${tag}_dst")
+            Some(coalesce(col(s"__${tag}_hit"), lit(false)))
+          }
         effects += MergeEdges(df.select(
           col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
           lit(relType).as("relType"),
@@ -723,6 +751,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .withColumn(s"${r}__dst", col(s"${toV}__gid"))
             .withColumn(s"${r}__relType", lit(relType))
             .withColumn(s"${r}__source", lit(null).cast("string"))
+        }
+        matchedCol.foreach { m =>
+          if (c.onCreate.nonEmpty) applySet(SetClause(c.onCreate), Some(!m))
+          if (c.onMatch.nonEmpty) applySet(SetClause(c.onMatch), Some(m))
+          df = df.drop(df.columns.filter(cn =>
+            cn.startsWith("__") && cn.endsWith("_hit")): _*)
         }
         prevVar = nodeVar
       }
@@ -1949,7 +1983,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   }
 
   private val aggNames = Set("collect", "count", "sum", "avg", "min",
-    "max", "stdev", "stdevp", "percentilecont")
+    "max", "stdev", "stdevp", "percentilecont", "percentiledisc")
 
   private def containsAgg(e: Ast.Expr): Boolean = e match {
     case FuncCall(n, args, _) =>
@@ -2032,6 +2066,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       coalesce(stddev_pop(numCol(a)), lit(0.0))
     case FuncCall("percentilecont", Seq(a, q), _) =>
       percentile(numCol(a), valueCol(q).cast("double"))
+    // percentileDisc: nearest-rank — an actual value from the set
+    // (1-based index ceil(q*n), floor 1 for q=0), keeping the input
+    // type (Neo4j returns int for int input, unlike percentileCont)
+    case FuncCall("percentiledisc", Seq(a, q), _) => {
+      val arr = sort_array(collect_list(valueCol(a)))
+      element_at(arr, greatest(lit(1),
+        ceil(valueCol(q).cast("double") * size(arr)).cast("int")))
+    }
     // expressions OVER aggregates — count(*) * 2, collect(x)[0],
     // floor(sum(x)/count(*)) — lower through valueCol, whose leaves
     // route aggregate calls back here

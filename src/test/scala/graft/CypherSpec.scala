@@ -2114,6 +2114,54 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.head.getSeq[Long](0) == Seq(1L, 2L, 3L))
   }
 
+  test("relationship MERGE with ON CREATE / ON MATCH SET") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-relmerge").toString, spark, 2)
+    val ds = new GraphDataset(st, spark, "people", "Person")
+    ds.fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "a")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "b"),
+      Entity("urn:c").withProp("urn:x#name", "c")))
+    // a-knows-b exists → ON MATCH; b-knows-c doesn't → ON CREATE
+    CypherEngine.query(st,
+      """MATCH (a {gid: 'urn:a'}), (b {gid: 'urn:b'})
+         MERGE (a)-[r:knows]->(b)
+         ON CREATE SET r.source = 'created'
+         ON MATCH SET r.source = 'matched'""").collect()
+    CypherEngine.query(st,
+      """MATCH (b {gid: 'urn:b'}), (c {gid: 'urn:c'})
+         MERGE (b)-[r:knows]->(c)
+         ON CREATE SET r.source = 'created'
+         ON MATCH SET r.source = 'matched'""").collect()
+    val rows = CypherEngine.query(st,
+      """MATCH (x)-[r:knows]->(y)
+         RETURN x.gid AS src, y.gid AS dst, r.source AS s
+         ORDER BY src""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("urn:a", "urn:b", "matched"),
+        ("urn:b", "urn:c", "created")))
+    // unbound endpoint → rejected (pattern-match ≠ edge probe there)
+    val err = intercept[Exception] {
+      CypherEngine.query(st,
+        """MATCH (a {gid: 'urn:a'}) MERGE (a)-[r:knows]->(z:Person)
+           ON CREATE SET r.source = 'x'""").collect()
+    }
+    assert(err.getMessage.contains("endpoint variables bound"))
+  }
+
+  test("percentileDisc returns an actual set value, keeping its type") {
+    val rows = CypherEngine.query(store,
+      """UNWIND [10, 20, 30, 40, 50] AS x
+         RETURN percentileDisc(x, 0.5) AS med,
+                percentileDisc(x, 0.0) AS lo,
+                percentileDisc(x, 1.0) AS hi,
+                percentileCont(x, 0.25) AS q1""").collect()
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((30L, 10L, 50L)))
+    assert(r.getDouble(3) == 20.0)
+  }
+
   test("pattern comprehension collects the projection per row") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person)
