@@ -118,13 +118,19 @@ object Ast {
   /** `altRelTypes` holds the tail of a type disjunction `-[:A|B]->`
     * — match-only (CREATE needs one concrete type).
     */
+  /** `props` holds an inline property map `-[r:T {source: 'x'}]->` —
+    * the edge model's properties are `source` and `type`; in MATCH
+    * they desugar to equality predicates, in CREATE/MERGE `source`
+    * initializes the edge's source column.
+    */
   case class RelPattern(
       variable: Option[String],
       relType: Option[String],
       direction: Int,
       varLength: Option[(Int, Int)] = None,
       altRelTypes: Seq[String] = Nil,
-      where: Option[Expr] = None)
+      where: Option[Expr] = None,
+      props: Seq[(String, Expr)] = Nil)
 
   /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
     * `shortest` marks `shortestPath(…)` — one minimal-length row per

@@ -537,6 +537,7 @@ object Parser {
     var varLength: Option[(Int, Int)] = None
     var relWhere: Option[Ast.Expr] = None
     val altTypes = Seq.newBuilder[String]
+    val relProps = Seq.newBuilder[(String, Ast.Expr)]
     if (p.trySym("[")) {
       p.peek match {
         case Some(Ident(v)) => p.next(); variable = Some(v)
@@ -560,6 +561,22 @@ object Parser {
           throw ParseException(s"unsupported hop range *$min..$max")
         varLength = Some((min, max))
       }
+      // inline property map: -[r:T {source: 'x'}]->
+      if (p.trySym("{")) {
+        def one(): Unit = {
+          val k = p.identOrKw()
+          p.expectSym(":")
+          parseAtom(p) match {
+            case v @ (_: Ast.Lit | _: Ast.Param | _: Ast.PropRef) =>
+              relProps += ((k, v))
+            case other => throw ParseException("relationship property " +
+              s"must be a literal, parameter or property ref, got $other")
+          }
+        }
+        one()
+        while (p.trySym(",")) one()
+        p.expectSym("}")
+      }
       // Neo4j-5 inline predicate: -[r:T WHERE type(r) <> 'x']->
       // (fixed-length only — Neo4j rejects it on var-length too)
       if (p.tryKw("WHERE")) {
@@ -574,7 +591,7 @@ object Parser {
       else if (p.trySym("->")) 1
       else { p.expectSym("-"); 0 } // undirected: `-[r]-` / `--`
     Ast.RelPattern(variable, relType, direction, varLength,
-      altTypes.result(), relWhere)
+      altTypes.result(), relWhere, relProps.result())
   }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----

@@ -739,10 +739,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               .drop(s"__${tag}_src", s"__${tag}_dst")
             Some(coalesce(col(s"__${tag}_hit"), lit(false)))
           }
+        // inline `{source: …}` initializes the edge's source column on
+        // creation (MERGE keeps an existing row's source — patch it
+        // with ON MATCH SET); `type` comes from the pattern's :T
+        val srcVal = rel.props.collectFirst {
+          case ("source", e) => pvStrOf(pvCol(e))
+        }.getOrElse(lit(null).cast("string"))
+        rel.props.collectFirst { case (k, _) if k != "source" => k }
+          .foreach(k => throw PlanError(
+            s"relationship property must be source, got $k"))
         effects += MergeEdges(df.select(
           col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
-          lit(relType).as("relType"),
-          lit(null).cast("string").as("source")))
+          lit(relType).as("relType"), srcVal.as("source")))
         // bind the rel var for later SET r.… clauses (neo4j.go:121-123)
         rel.variable.foreach { r =>
           if (env.contains(r)) throw PlanError(s"variable $r already bound")
@@ -750,7 +758,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           df = df.withColumn(s"${r}__src", col(s"${fromV}__gid"))
             .withColumn(s"${r}__dst", col(s"${toV}__gid"))
             .withColumn(s"${r}__relType", lit(relType))
-            .withColumn(s"${r}__source", lit(null).cast("string"))
+            .withColumn(s"${r}__source", srcVal)
         }
         matchedCol.foreach { m =>
           if (c.onCreate.nonEmpty) applySet(SetClause(c.onCreate), Some(!m))
@@ -975,7 +983,33 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .select(matched.columns.map(cn => col(quote(cn))).toSeq: _*)
     } else applyInnerMatch(m)
 
-  private def applyInnerMatch(m: MatchClause): Unit = {
+  /** inline relationship property maps `-[r:T {source: 'x'}]->`
+    * desugar to equality predicates on the (possibly freshly-named)
+    * rel variable, folded into the clause WHERE
+    */
+  private def foldRelProps(m: MatchClause): MatchClause = {
+    var extra = List.empty[Expr]
+    val pats = m.patterns.map { pat =>
+      val hops = pat.hops.map { case (rel, node) =>
+        if (rel.props.isEmpty) (rel, node)
+        else {
+          if (rel.varLength.nonEmpty) throw PlanError("an inline property " +
+            "map is not supported on a variable-length relationship")
+          val v = rel.variable.getOrElse(fresh("rprop"))
+          rel.props.foreach { case (k, e) =>
+            extra ::= Cmp("=", PropRef(v, k), e) }
+          (rel.copy(variable = Some(v), props = Nil), node)
+        }
+      }
+      pat.copy(hops = hops)
+    }
+    if (extra.isEmpty) m
+    else m.copy(patterns = pats,
+      where = (m.where.toSeq ++ extra).reduceOption(And(_, _)))
+  }
+
+  private def applyInnerMatch(m0: MatchClause): Unit = {
+    val m = foldRelProps(m0)
     m.patterns.foreach { pattern =>
       val headVar = pattern.head.variable.getOrElse(fresh("n"))
       if (!env.contains(headVar)) {

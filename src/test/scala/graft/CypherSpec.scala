@@ -2114,6 +2114,39 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.head.getSeq[Long](0) == Seq(1L, 2L, 3L))
   }
 
+  test("inline relationship property maps in MATCH and CREATE") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-relprops").toString, spark, 2)
+    val ds = new GraphDataset(st, spark, "people", "Person")
+    ds.fullSync(Seq(
+      Entity("urn:a").withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b")))
+    // CREATE with {source: …} initializes the edge source
+    CypherEngine.query(st,
+      """MATCH (b {gid: 'urn:b'}), (a {gid: 'urn:a'})
+         CREATE (b)-[:follows {source: 'manual'}]->(a)""").collect()
+    val created = CypherEngine.query(st,
+      """MATCH (x)-[r:follows]->(y) RETURN r.source AS s""").collect()
+    assert(created.map(_.getString(0)).toSeq == Seq("manual"))
+    // MATCH with {source: …} filters; the sync-built edge has source
+    // 'people', the manual one 'manual'
+    val bySrc = CypherEngine.query(st,
+      """MATCH (x)-[{source: 'manual'}]->(y)
+         RETURN x.gid AS src, y.gid AS dst""").collect()
+    assert(bySrc.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:b", "urn:a")))
+    assert(CypherEngine.query(st,
+      """MATCH (x)-[{source: 'nope'}]->(y) RETURN x.gid AS g""")
+      .collect().isEmpty)
+    // non-model property keys are rejected
+    val err = intercept[Exception] {
+      CypherEngine.query(st,
+        """MATCH (a {gid: 'urn:a'}), (b {gid: 'urn:b'})
+           CREATE (a)-[:r2 {weight: 1}]->(b)""").collect()
+    }
+    assert(err.getMessage.contains("must be source"))
+  }
+
   test("relationship MERGE with ON CREATE / ON MATCH SET") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-relmerge").toString, spark, 2)
