@@ -693,16 +693,20 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val wantRelMatched = (c.onCreate.nonEmpty || c.onMatch.nonEmpty) &&
       c.patterns.head.hops.nonEmpty
     c.patterns.foreach { pat =>
-      // rel-level ON CREATE/ON MATCH routes on whether the edge
-      // already exists between BOUND endpoints — pattern-match then
-      // equals an edge probe (an unbound endpoint would make Neo4j's
-      // whole-pattern match semantics diverge from it)
-      if (wantRelMatched &&
-          (pat.head.variable.forall(v => !env.contains(v)) ||
-            pat.hops.head._2.variable.forall(v => !env.contains(v))))
-        throw PlanError("ON CREATE / ON MATCH on a relationship " +
-          "MERGE needs both endpoint variables bound")
-      var prevVar = bindCreateNode(pat.head, c.merge, wantMatched)
+      // rel-level ON CREATE/ON MATCH routes on whether the WHOLE
+      // pattern already exists: the edge probe AND, for endpoints the
+      // MERGE itself resolves, that endpoint's pre-merge existence.
+      // (Neo4j creates duplicate nodes when the pattern misses; the
+      // gid-keyed store makes node creation an upsert by key, so the
+      // unmatched branch re-uses existing endpoints instead — the
+      // only divergence, and the one a gid-keyed layer wants.)
+      val headBound = wantRelMatched &&
+        pat.head.variable.exists(v => env.contains(v))
+      var prevVar = bindCreateNode(pat.head, c.merge,
+        wantMatched || (wantRelMatched && !headBound))
+      val headMatched: Option[Column] =
+        if (wantRelMatched && !headBound) Some(col(s"${prevVar}__matched"))
+        else None
       if (wantMatched) {
         // the merge bound a per-row matched flag; route each
         // sub-clause to its row subset
@@ -720,7 +724,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           throw PlanError("a type disjunction (:A|B) is MATCH-only")
         if (rel.varLength.nonEmpty)
           throw PlanError("cannot CREATE a variable-length relationship")
-        val nodeVar = bindCreateNode(node, c.merge)
+        val tailBound = wantRelMatched &&
+          node.variable.exists(v => env.contains(v))
+        val nodeVar =
+          bindCreateNode(node, c.merge, wantRelMatched && !tailBound)
+        val tailMatched: Option[Column] =
+          if (wantRelMatched && !tailBound)
+            Some(col(s"${nodeVar}__matched"))
+          else None
         val (fromV, toV) =
           if (rel.direction > 0) (prevVar, nodeVar) else (nodeVar, prevVar)
         val matchedCol =
@@ -737,7 +748,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 col(s"${toV}__gid") === col(s"__${tag}_dst"),
               "left_outer")
               .drop(s"__${tag}_src", s"__${tag}_dst")
-            Some(coalesce(col(s"__${tag}_hit"), lit(false)))
+            val edgeHit = coalesce(col(s"__${tag}_hit"), lit(false))
+            Some((edgeHit +: (headMatched.toSeq ++ tailMatched.toSeq))
+              .reduce(_ && _))
           }
         // inline `{source: …}` initializes the edge's source column on
         // creation (MERGE keeps an existing row's source — patch it
@@ -764,7 +777,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           if (c.onCreate.nonEmpty) applySet(SetClause(c.onCreate), Some(!m))
           if (c.onMatch.nonEmpty) applySet(SetClause(c.onMatch), Some(m))
           df = df.drop(df.columns.filter(cn =>
-            cn.startsWith("__") && cn.endsWith("_hit")): _*)
+            (cn.startsWith("__") && cn.endsWith("_hit")) ||
+              cn.endsWith("__matched")): _*)
         }
         prevVar = nodeVar
       }

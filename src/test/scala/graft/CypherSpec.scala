@@ -2174,13 +2174,66 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .toSeq == Seq(("urn:a", "urn:b", "matched"),
         ("urn:b", "urn:c", "created")))
-    // unbound endpoint → rejected (pattern-match ≠ edge probe there)
+    // unbound endpoint without a gid key → rejected (node key required)
     val err = intercept[Exception] {
       CypherEngine.query(st,
         """MATCH (a {gid: 'urn:a'}) MERGE (a)-[r:knows]->(z:Person)
            ON CREATE SET r.source = 'x'""").collect()
     }
-    assert(err.getMessage.contains("endpoint variables bound"))
+    assert(err.getMessage.contains("needs a gid property"))
+  }
+
+  test("whole-pattern relationship MERGE with unbound endpoints") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-pattmerge").toString, spark, 2)
+    val ds = new GraphDataset(st, spark, "people", "Person")
+    ds.fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "a")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "b")))
+    // whole pattern exists (a, b, and a-knows-b) → ON MATCH
+    CypherEngine.query(st,
+      """MERGE (a:Person {gid: 'urn:a'})-[:knows]->(b:Person {gid: 'urn:b'})
+         ON CREATE SET a.verdict = 'created'
+         ON MATCH SET a.verdict = 'matched'""").collect()
+    // nodes exist but the edge doesn't → whole pattern misses → ON CREATE
+    // (endpoints re-used by gid key, edge created)
+    CypherEngine.query(st,
+      """MERGE (b:Person {gid: 'urn:b'})-[:knows]->(a:Person {gid: 'urn:a'})
+         ON CREATE SET b.verdict = 'created'
+         ON MATCH SET b.verdict = 'matched'""").collect()
+    // nothing exists → both nodes + edge created → ON CREATE
+    CypherEngine.query(st,
+      """MERGE (c:Person {gid: 'urn:c'})-[:knows]->(d:Person {gid: 'urn:d'})
+         ON CREATE SET c.verdict = 'created'
+         ON MATCH SET c.verdict = 'matched'""").collect()
+    val verdicts = CypherEngine.query(st,
+      """MATCH (n:Person) WHERE n.verdict IS NOT NULL
+         RETURN n.gid AS g, n.verdict AS v ORDER BY g""").collect()
+    assert(verdicts.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:a", "matched"), ("urn:b", "created"), ("urn:c", "created")))
+    val edges = CypherEngine.query(st,
+      """MATCH (x)-[:knows]->(y) RETURN x.gid AS s, y.gid AS d
+         ORDER BY s, d""").collect()
+    assert(edges.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:a", "urn:b"), ("urn:b", "urn:a"), ("urn:c", "urn:d")))
+    // mixed: c exists now, e doesn't → whole pattern misses → ON CREATE,
+    // and re-running the same MERGE flips to ON MATCH (idempotent edge)
+    CypherEngine.query(st,
+      """MERGE (c:Person {gid: 'urn:c'})-[:knows]->(e:Person {gid: 'urn:e'})
+         ON CREATE SET e.verdict = 'created'
+         ON MATCH SET e.verdict = 'matched'""").collect()
+    CypherEngine.query(st,
+      """MERGE (c:Person {gid: 'urn:c'})-[:knows]->(e:Person {gid: 'urn:e'})
+         ON CREATE SET e.verdict = 'created2'
+         ON MATCH SET e.verdict = 'matched2'""").collect()
+    val e = CypherEngine.query(st,
+      """MATCH (n {gid: 'urn:e'}) RETURN n.verdict AS v""").collect()
+    assert(e.map(_.getString(0)).toSeq == Seq("matched2"))
+    val eEdges = CypherEngine.query(st,
+      """MATCH (x)-[:knows]->(y {gid: 'urn:e'}) RETURN count(*) AS c""")
+      .collect()
+    assert(eEdges.head.getLong(0) == 1L)
   }
 
   test("percentileDisc returns an actual set value, keeping its type") {
