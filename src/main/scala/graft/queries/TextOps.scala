@@ -284,6 +284,36 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Benchmark decontamination (Brown et al. 2020, appendix C): a
+    // training document is contaminated when its word n-grams collide
+    // with the eval corpus. The "benchmark" here is the deterministic
+    // doc_id % 50 = 0 slice; overlap = the fraction of a train doc's
+    // DISTINCT 3-gram shingles that appear anywhere in the benchmark.
+    // Scale: a real eval corpus is tiny next to 100 TB of training
+    // text — its distinct-shingle set broadcasts, so the train side
+    // pays NO join shuffle; the per-doc counts reuse the shingle
+    // table's doc_id partitioning (one narrow aggregate).
+    "t_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingleTable(s, dir)
+      val bench = sh.filter($"doc_id" % 50 === 0).select($"s").distinct()
+      val train = sh.filter($"doc_id" % 50 =!= 0)
+      val totals = train.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val hits = train.join(broadcast(bench), Seq("s"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      t(s, dir, "documents").filter($"doc_id" % 50 =!= 0).select($"doc_id")
+        .join(totals, Seq("doc_id"), "left_outer")
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          coalesce($"n_hits" * 1.0 / $"n_shingles", lit(0.0)).as("overlap"),
+          coalesce($"n_hits" * 1.0 / $"n_shingles" >= 0.5, lit(false))
+            .as("contaminated"))
+        .orderBy($"doc_id")
+    }),
+
     // exact dedup: group by fingerprint, keep min doc_id.
     "dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -680,6 +710,25 @@ object TextOps {
              '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_fp
          FROM synth ORDER BY doc_id""",
+    "t_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+            FROM documents),
+          sh0 AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+                i -> array_to_string(list_slice(w, i, i+2), ' '))) AS s
+            FROM words WHERE len(w) >= 3),
+          bench AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 50 = 0),
+          train AS (SELECT doc_id, s FROM sh0 WHERE doc_id % 50 <> 0),
+          tot AS (SELECT doc_id, count(*) n FROM train GROUP BY 1),
+          hit AS (SELECT doc_id, count(*) h
+            FROM train JOIN bench USING (s) GROUP BY 1)
+          SELECT d.doc_id, COALESCE(n, 0)::BIGINT AS n_shingles,
+            COALESCE(h, 0)::BIGINT AS n_hits,
+            COALESCE(h*1.0/n, 0.0) AS overlap,
+            COALESCE(h*1.0/n >= 0.5, FALSE) AS contaminated
+          FROM documents d LEFT JOIN tot USING (doc_id)
+          LEFT JOIN hit USING (doc_id)
+          WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
          FROM (SELECT doc_id,
