@@ -89,6 +89,63 @@ object VectorOps {
     assigned
   }
 
+  /** PQ encode + decode over `(vec_id, v)` rows: M=4 sub-space
+    * codebooks of 16 entries each, seeded from the 16 lowest vec_ids
+    * and refined by ONE integer-micro Lloyd step (the deterministic
+    * k-means recipe every trained op here uses), L2 assignment with
+    * (code) tie-break. Returns `(vec_id, dq)` where dq is the decoded
+    * (quantized) vector — the concatenation of each sub-space's
+    * winning codebook entry. Shared by v_knn_ivfpq (PQ over raw
+    * vectors) and v_knn_ivfpq_res (PQ over IVF residuals, FAISS's
+    * default — finer codes because residual variance ≪ raw variance).
+    * Scale: codebooks are 64 rows (broadcast); the only shuffles are
+    * the per-(m,code,pos) refinement aggregate and the per-vec_id
+    * decode regroup.
+    */
+  private def pqDecode(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val M = 4; val SUB = 16; val CODES = 16
+    val subs = ev
+      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("m"),
+        $"v")
+      .select($"vec_id", $"m",
+        slice($"v", $"m" * SUB + 1, lit(SUB)).as("sv"))
+    var cb: Seq[(Int, Long, Seq[Double])] = ev.orderBy($"vec_id")
+      .limit(CODES).select($"vec_id".cast("long"), $"v")
+      .as[(Long, Seq[Double])].collect().toSeq
+      .flatMap { case (code, v) =>
+        (0 until M).map(m => (m, code, v.slice(m * SUB, (m + 1) * SUB)))
+      }
+    def cbDf = cb.toDF("m", "code", "cv")
+    val wSub = Window.partitionBy($"vec_id", $"m")
+      .orderBy($"dist".asc, $"code")
+    def assignedSub = subs.join(broadcast(cbDf), Seq("m"))
+      .withColumn("dist", dot($"sv", $"sv") -
+        lit(2.0) * dot($"sv", $"cv") + dot($"cv", $"cv"))
+      .withColumn("r", row_number().over(wSub))
+    val sums = assignedSub.filter($"r" === 1)
+      .select($"m", $"code", posexplode($"sv").as(Seq("pos", "val")))
+      .groupBy($"m", $"code", $"pos")
+      .agg(sum(round($"val" * 1e6, 0).cast("long")).as("sm"),
+        count(lit(1)).as("cnt"))
+      .select($"m", $"code", $"pos",
+        (floor($"sm" / $"cnt") / 1e6).as("mu"))
+      .collect()
+    val byKey = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+    // an emptied code keeps its seed entry
+    cb = cb.map { case (m, code, old) =>
+      (m, code, byKey.getOrElse((m, code), old)) }
+    // encode each vector against the REFINED codebook; decode =
+    // concatenate the winning entries in sub-space order
+    assignedSub.filter($"r" === 1)
+      .groupBy($"vec_id")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct($"m", $"cv"))),
+        x => x.getField("cv"))).as("dq"))
+  }
+
   /** Bucketed + multi-probed near-dup pairs over `(vec_id, label, v)`
     * rows — the dedup_embedding kernel, exposed for the recall spec
     * (VectorSpec asserts it equals exact all-pairs on a fixture whose
@@ -273,55 +330,53 @@ object VectorOps {
     // replays encode/decode bit-for-bit.
     "v_knn_ivfpq" -> ((s, dir) => {
       import s.implicits._
-      val M = 4; val SUB = 16; val CODES = 16; val NPROBE = 2
+      val NPROBE = 2
       val e = graft.Scratch.track(
         emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
       val trained = graft.Scratch.track(
         ivfAssigned(s, e, K = 16, iters = 2).cache())
-      // ---- PQ codebooks ----
-      val subs = e
-        .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("m"),
-          $"v")
-        .select($"vec_id", $"m",
-          slice($"v", $"m" * SUB + 1, lit(SUB)).as("sv"))
-      var cb: Seq[(Int, Long, Seq[Double])] = e.orderBy($"vec_id")
-        .limit(CODES).select($"vec_id".cast("long"), $"v")
-        .as[(Long, Seq[Double])].collect().toSeq
-        .flatMap { case (code, v) =>
-          (0 until M).map(m => (m, code, v.slice(m * SUB, (m + 1) * SUB)))
-        }
-      def cbDf = cb.toDF("m", "code", "cv")
-      val wSub = Window.partitionBy($"vec_id", $"m")
-        .orderBy($"dist".asc, $"code")
-      def assignedSub = subs.join(broadcast(cbDf), Seq("m"))
-        .withColumn("dist", dot($"sv", $"sv") -
-          lit(2.0) * dot($"sv", $"cv") + dot($"cv", $"cv"))
-        .withColumn("r", row_number().over(wSub))
-      val sums = assignedSub.filter($"r" === 1)
-        .select($"m", $"code", posexplode($"sv").as(Seq("pos", "val")))
-        .groupBy($"m", $"code", $"pos")
-        .agg(sum(round($"val" * 1e6, 0).cast("long")).as("sm"),
-          count(lit(1)).as("cnt"))
-        .select($"m", $"code", $"pos",
-          (floor($"sm" / $"cnt") / 1e6).as("mu"))
-        .collect()
-      val byKey = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
-        .map { case (k, rows) =>
-          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
-      // an emptied code keeps its seed entry
-      cb = cb.map { case (m, code, old) =>
-        (m, code, byKey.getOrElse((m, code), old)) }
-      // encode each vector against the REFINED codebook; decode =
-      // concatenate the winning entries in sub-space order
-      val dec = assignedSub.filter($"r" === 1)
-        .groupBy($"vec_id")
-        .agg(flatten(transform(
-          sort_array(collect_list(struct($"m", $"cv"))),
-          x => x.getField("cv"))).as("dq"))
+      val dec = pqDecode(s, e.select($"vec_id", $"v"))
         .withColumn("dn", sqrt(dot($"dq", $"dq")))
       val cells = trained.filter($"r" === 1)
         .select($"vec_id".as("nid"), $"cid".as("cell"))
         .join(dec.select($"vec_id".as("nid"), $"dq", $"dn"), Seq("nid"))
+      val probes = trained.filter($"vec_id" < 20 && $"r" <= NPROBE)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
+          $"cid".as("cell"))
+      val scored = probes.join(cells, Seq("cell")).filter($"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"dq") / ($"qn" * $"dn"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // IVF-PQ with RESIDUAL encoding — FAISS's default IndexIVFPQ:
+    // PQ quantizes v − centroid(cell) instead of v, because residual
+    // variance within a cell is far smaller than raw variance, so the
+    // same 4×4-bit code budget reconstructs finer. Search decodes
+    // centroid + PQ(residual). Same cells/probes as v_knn_ivfpq; only
+    // the quantization target changes. zip_with keeps the elementwise
+    // subtract/add inside codegen.
+    "v_knn_ivfpq_res" -> ((s, dir) => {
+      import s.implicits._
+      val NPROBE = 2
+      val e = graft.Scratch.track(
+        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
+      val trained = graft.Scratch.track(
+        ivfAssigned(s, e, K = 16, iters = 2).cache())
+      val asg = trained.filter($"r" === 1)
+        .select($"vec_id", $"v", $"cid", $"cv")
+      val resid = asg.select($"vec_id",
+        zip_with($"v", $"cv", (a, b) => a - b).as("v"))
+      val dec = pqDecode(s, resid)
+      val cells = asg
+        .join(dec, Seq("vec_id"))
+        .select($"vec_id".as("nid"), $"cid".as("cell"),
+          zip_with($"cv", $"dq", (a, b) => a + b).as("dq"))
+        .withColumn("dn", sqrt(dot($"dq", $"dq")))
       val probes = trained.filter($"vec_id" < 20 && $"r" <= NPROBE)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
           $"cid".as("cell"))
@@ -491,6 +546,99 @@ object VectorOps {
            FROM pa1 WHERE r = 1 GROUP BY vec_id),
          pdecn AS (SELECT vec_id, dq, sqrt(list_dot_product(dq, dq)) dn
            FROM pdec),
+         cells AS (SELECT a.vec_id nid, d.dq, d.dn, a.cid cell
+           FROM assigned a JOIN pdecn d USING (vec_id) WHERE a.r = 1),
+         probes AS (SELECT vec_id qid, v qv, norm qn, cid cell
+           FROM assigned WHERE vec_id < 20 AND r <= 2),
+         scored AS (SELECT p.qid, c.nid,
+             list_dot_product(p.qv, c.dq) / (p.qn * c.dn) sim
+           FROM probes p JOIN cells c ON p.cell = c.cell AND p.qid != c.nid),
+         ranked AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 3 ORDER BY qid, rank""",
+    "v_knn_ivfpq_res" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
+           ORDER BY vec_id LIMIT 16),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
+         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                 c.cid) r
+           FROM n a CROSS JOIN c2n c),
+         asg AS (SELECT a.vec_id, a.v, a.cid, c.cv
+           FROM assigned a JOIN c2n c USING (cid) WHERE a.r = 1),
+         res AS (SELECT vec_id,
+             list_transform(range(1, len(v)+1), i -> v[i] - cv[i]) rv
+           FROM asg),
+         pq0 AS (SELECT m, CAST(s.vec_id AS BIGINT) code,
+             list_slice(s.rv, m*16+1, m*16+16) cv
+           FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16) s
+           CROSS JOIN range(4) t(m)),
+         psub AS (SELECT vec_id, m, list_slice(rv, m*16+1, m*16+16) sv
+           FROM res CROSS JOIN range(4) t(m)),
+         pa0 AS (SELECT vec_id, m, sv, code,
+             row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY list_dot_product(sv, sv)
+                 - 2 * list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv) ASC, code) r
+           FROM psub JOIN pq0 USING (m)),
+         pmu AS (SELECT m, code, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS mu
+           FROM (SELECT m, code, unnest(range(len(sv))) AS pos,
+                   unnest(sv) AS val FROM pa0 WHERE r = 1)
+           GROUP BY m, code, pos),
+         prcb AS (SELECT pq0.m, pq0.code, COALESCE(mm.cv2, pq0.cv) cv
+           FROM pq0 LEFT JOIN (SELECT m, code, list(mu ORDER BY pos) cv2
+             FROM pmu GROUP BY m, code) mm USING (m, code)),
+         pa1 AS (SELECT vec_id, m, cv,
+             row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY list_dot_product(sv, sv)
+                 - 2 * list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv) ASC, code) r
+           FROM psub JOIN prcb USING (m)),
+         pdec AS (SELECT vec_id, flatten(list(cv ORDER BY m)) dq
+           FROM pa1 WHERE r = 1 GROUP BY vec_id),
+         recon AS (SELECT d.vec_id,
+             list_transform(range(1, len(a.cv)+1), i -> a.cv[i] + d.dq[i]) dq
+           FROM pdec d JOIN asg a USING (vec_id)),
+         pdecn AS (SELECT vec_id, dq, sqrt(list_dot_product(dq, dq)) dn
+           FROM recon),
          cells AS (SELECT a.vec_id nid, d.dq, d.dn, a.cid cell
            FROM assigned a JOIN pdecn d USING (vec_id) WHERE a.r = 1),
          probes AS (SELECT vec_id qid, v qv, norm qn, cid cell
