@@ -173,6 +173,15 @@ object Ast {
     */
   case class CallSub(imports: Seq[String], inner: Query) extends Clause
 
+  /** `CALL db.labels() YIELD label [AS l]` — the introspection
+    * procedures (db.labels / db.relationshipTypes / db.propertyKeys);
+    * each yields one column whose rows cross-product with the
+    * incoming binding table like Neo4j's procedure CALL
+    */
+  case class CallProc(name: String,
+      yields: Seq[(String, Option[String])],
+      where: Option[Expr] = None) extends Clause
+
   case class ReturnItem(expr: Expr, alias: Option[String]) {
     def name: String = alias.getOrElse(Render.expr(expr))
   }

@@ -167,7 +167,32 @@ object Parser {
           clauses += Ast.UnwindClause(e, p.identOrKw())
         case Some(Kw("CALL")) =>
           p.next()
-          p.expectSym("{")
+          if (!p.trySym("{")) {
+            // procedure call: CALL db.labels() [YIELD col [AS alias], …]
+            val nameParts = Seq.newBuilder[String]
+            nameParts += p.identOrKw()
+            while (p.trySym(".")) nameParts += p.identOrKw()
+            p.expectSym("(")
+            p.expectSym(")")
+            val yields = Seq.newBuilder[(String, Option[String])]
+            var procWhere: Option[Ast.Expr] = None
+            p.peek match {
+              case Some(Ident(y)) if y.equalsIgnoreCase("YIELD") =>
+                p.next()
+                def one(): Unit = {
+                  val n = p.identOrKw()
+                  yields += ((n,
+                    if (p.tryKw("AS")) Some(p.identOrKw()) else None))
+                }
+                one()
+                while (p.trySym(",")) one()
+                if (p.tryKw("WHERE")) procWhere = Some(parseExpr(p))
+              case _ => ()
+            }
+            sawAny = true
+            clauses += Ast.CallProc(nameParts.result().mkString("."),
+              yields.result(), procWhere)
+          } else {
           // optional importing WITH of bare variable names — repeated
           // per UNION part (Neo4j requires each part to re-import)
           val imports = Seq.newBuilder[String]
@@ -206,6 +231,7 @@ object Parser {
           sawAny = true
           clauses += Ast.CallSub(imports.result().distinct,
             inner.copy(unions = unions.result()))
+          }
         case Some(Kw("DETACH")) | Some(Kw("DELETE")) | Some(Kw("SET")) |
             Some(Kw("REMOVE")) | Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
           val c = parseWriteClause(p)

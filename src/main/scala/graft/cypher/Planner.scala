@@ -303,6 +303,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case w: WithClause => applyWith(w)
       case u: UnwindClause => applyUnwind(u)
       case c: CallSub => applyCall(c)
+      case c: CallProc => applyCallProc(c)
       case c: CreateClause => applyCreate(c)
       case d: DeleteClause => applyDelete(d)
       case s: SetClause => applySet(s)
@@ -1812,6 +1813,46 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     keepPathAs.foreach(c => df = df.withColumnRenamed("__path", c))
     df = df.drop("__start", "__end", "__hops", "__path")
     nv
+  }
+
+  /** introspection procedures: each yields ONE column of distinct
+    * values scanned from the store's own tables (labels from the
+    * label column + secondary xlabels, relationship types from the
+    * relType partition column — a directory listing at scale — and
+    * property keys from the props map keys). Rows cross-product with
+    * the incoming binding table, as Neo4j procedure CALLs do.
+    */
+  private def applyCallProc(c: CallProc): Unit = {
+    val (defName, frame) = c.name.toLowerCase match {
+      case "db.labels" =>
+        ("label", store.nodes.select(explode(concat(
+          when(col("label").isNotNull, array(col("label")))
+            .otherwise(array().cast("array<string>")),
+          coalesce(col("xlabels"), array().cast("array<string>"))))
+          .as("label")).distinct())
+      case "db.relationshiptypes" =>
+        ("relationshipType", store.edges
+          .select(col("relType").as("relationshipType")).distinct())
+      case "db.propertykeys" =>
+        ("propertyKey", store.nodes
+          .select(explode(map_keys(col("props"))).as("propertyKey"))
+          .distinct())
+      case other => throw PlanError(s"unknown procedure $other")
+    }
+    val outName = c.yields match {
+      case Seq() => defName
+      case Seq((n, alias)) if n == defName => alias.getOrElse(n)
+      case other => throw PlanError(
+        s"${c.name} yields a single column $defName, got " +
+          other.map(_._1).mkString(", "))
+    }
+    if (env.contains(outName))
+      throw PlanError(s"variable $outName already bound")
+    val colName = s"${outName}__value"
+    val f = frame.select(col(defName).as(colName))
+    df = if (df == null) f else df.crossJoin(f)
+    env += outName -> ValueVar(colName)
+    c.where.foreach(applyWhere)
   }
 
   private def applyUnwind(u: UnwindClause): Unit = {

@@ -73,6 +73,24 @@ object CypherQ {
            RETURN n.gid AS gid, m.gid AS target, length(p) AS d
            ORDER BY gid, target""")),
 
+    // Introspection procedures over the customer graph: labels,
+    // relationship types, and property keys the store actually holds
+    // (region stubs are unlabeled, so 'Region' must NOT appear). The
+    // oracle is the fixture's construction recipe spelled out.
+    "cypher_db_meta" -> ((s, dir) => {
+      val st = GraphOnTpch.customerGraphStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.labels() YIELD label
+           RETURN 'label' AS kind, label AS name""")
+        .unionByName(CypherEngine.query(st,
+          """CALL db.propertyKeys() YIELD propertyKey
+             RETURN 'propKey' AS kind, propertyKey AS name"""))
+        .unionByName(CypherEngine.query(st,
+          """CALL db.relationshipTypes() YIELD relationshipType
+             RETURN 'relType' AS kind, relationshipType AS name"""))
+        .orderBy("kind", "name")
+    }),
+
     // Cypher write surface (the reference templates' MERGE/SET forms,
     // /root/reference/neo4j.go:103-127) into a PRIVATE store: CREATE a
     // node, CREATE an edge between bound endpoints, SET a property —
@@ -502,6 +520,13 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE regexp_full_match(c.c_name, '.*[02468]')
          GROUP BY 1, 2 ORDER BY nation""",
+    "cypher_db_meta" ->
+      """SELECT kind, name FROM (VALUES
+           ('label', 'Customer'), ('label', 'Nation'),
+           ('propKey', 'acctbal'), ('propKey', 'name'),
+           ('relType', 'in_region'), ('relType', 'located_in'))
+           t(kind, name)
+         ORDER BY kind, name""",
     "cypher_set_create" ->
       """WITH nn AS (
            SELECT n_regionkey,

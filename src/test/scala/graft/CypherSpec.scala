@@ -2183,6 +2183,46 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(err.getMessage.contains("needs a gid property"))
   }
 
+  test("CALL db.labels / db.relationshipTypes / db.propertyKeys") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-proc").toString, spark, 2)
+    val ds = new GraphDataset(st, spark, "people", "Person")
+    ds.fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "a")
+        .withProp("urn:x#age", 30L)
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "b")
+        .withRef("urn:x#likes", "urn:c")))  // urn:c = unlabeled stub
+    val labels = CypherEngine.query(st,
+      "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("Person"))
+    val types = CypherEngine.query(st,
+      """CALL db.relationshipTypes() YIELD relationshipType AS t
+         RETURN t ORDER BY t""")
+      .collect().map(_.getString(0)).toSeq
+    assert(types == Seq("knows", "likes"))
+    val keys = CypherEngine.query(st,
+      "CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey ORDER BY propertyKey")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("age", "name"))
+    // YIELD + WHERE + downstream use; no-YIELD form binds the default
+    val filtered = CypherEngine.query(st,
+      """CALL db.relationshipTypes() YIELD relationshipType AS t
+         WHERE t STARTS WITH 'k' RETURN count(*) AS n""")
+      .collect()
+    assert(filtered.head.getLong(0) == 1L)
+    val noYield = CypherEngine.query(st,
+      "CALL db.labels() RETURN label").collect()
+    assert(noYield.map(_.getString(0)).toSeq == Seq("Person"))
+    // wrong yield name is a plan error
+    val err = intercept[Exception] {
+      CypherEngine.query(st, "CALL db.labels() YIELD nope RETURN nope")
+        .collect()
+    }
+    assert(err.getMessage.contains("single column"))
+  }
+
   test("whole-pattern relationship MERGE with unbound endpoints") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-pattmerge").toString, spark, 2)
