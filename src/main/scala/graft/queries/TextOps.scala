@@ -361,6 +361,26 @@ object TextOps {
       minhashPairs(s, dir).orderBy($"da", $"db")
     }),
 
+    // Triangle counting over the near-dup pair graph (near-dup
+    // clusters are near-cliques, so triangle density separates true
+    // duplicate groups from chance LSH collisions). Sorted-orientation
+    // join: edges are kept as (da < db), so each triangle
+    // (a < b < c) is found exactly once via e1(a,b) ⋈ e2(b,c) ⋈
+    // e3(a,c) — the node-iterator algorithm whose join fan-out is
+    // bounded by the orientation (no high-degree explosion at scale).
+    // The pair graph is the memoized LSH-verified set, bounded by
+    // banding — never an all-pairs product.
+    "dedup_tri_count" -> ((s, dir) => {
+      import s.implicits._
+      val e = minhashPairs(s, dir).select($"da", $"db")
+      val tri = e.select($"da".as("a"), $"db".as("b"))
+        .join(e.select($"da".as("b"), $"db".as("c")), Seq("b"))
+        .join(e.select($"da".as("a"), $"db".as("c")), Seq("a", "c"))
+      tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"doc_id")
+    }),
+
     // dup-pair graph → clusters → canonical keeper: the standard final
     // step of a corpus dedup pipeline. Connected components over the
     // verified MinHash pairs via iterative min-label propagation with
@@ -747,6 +767,17 @@ object TextOps {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes
           SELECT da, db, jaccard FROM verified ORDER BY da, db""",
+    "dedup_tri_count" ->
+      s"""WITH $minhashPairsSqlCtes,
+          tri AS (SELECT e1.da a, e1.db b, e2.db c
+            FROM verified e1
+            JOIN verified e2 ON e2.da = e1.db
+            JOIN verified e3 ON e3.da = e1.da AND e3.db = e2.db)
+          SELECT doc_id, count(*)::BIGINT AS n_triangles FROM (
+            SELECT a doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY doc_id ORDER BY doc_id""",
     "dedup_cluster" ->
       s"""WITH RECURSIVE $minhashPairsSqlCtes,
           edges AS (SELECT da a, db b FROM verified
