@@ -221,6 +221,44 @@ object EventStreams {
       }
   }
 
+  case class DecontamVerdict(doc_id: Long, n_shingles: Long,
+      n_hits: Long, overlap: Double, contaminated: Boolean)
+
+  /** Streaming decontamination gate — the streaming twin of the batch
+    * t_decontaminate (TextOps): every incoming document is scored for
+    * eval-set n-gram overlap BEFORE it enters the training corpus.
+    * The benchmark shingle set is an INPUT, precomputed on the static
+    * eval corpus (the set is small by construction — eval suites are
+    * a few MB against 100 TB of training text — so it ships as a
+    * plan literal / broadcast). The verdict is ROW-LOCAL: the doc's
+    * distinct shingle array intersects the benchmark set per row —
+    * no state store, no shuffle, which is exactly what an ingest
+    * filter should be. Same shingle construction and the same
+    * `hits * 1.0 / total` arithmetic as the batch op, so verdicts
+    * are bit-identical (StreamingSpec pins stream == batch).
+    */
+  def decontaminate(docs: Dataset[DocEvent],
+      benchShingles: Set[String]): Dataset[DecontamVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = split(trim(col("text")), "\\s+")
+    val raw = when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2),
+        i => array_join(slice(words, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("sh", array_distinct(raw))
+      .withColumn("n_shingles", size(col("sh")).cast("long"))
+      .withColumn("n_hits", size(array_intersect(col("sh"),
+        lit(benchShingles.toArray.sorted))).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        coalesce(col("n_hits") * 1.0 / col("n_shingles"), lit(0.0))
+          .as("overlap"),
+        coalesce(col("n_hits") * 1.0 / col("n_shingles") >= 0.5,
+          lit(false)).as("contaminated"))
+      .as[DecontamVerdict]
+  }
+
   case class AttrEvent(user_id: Long, tsMicros: Long, event_id: Long,
       event_type: String)
   case class Attribution(event_id: Long, user_id: Long, tsMicros: Long,

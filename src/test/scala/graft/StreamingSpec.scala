@@ -145,6 +145,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed decontamination verdicts match the batch operator " +
+      "bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("t_decontaminate")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val bench = graft.queries.TextOps
+      .shingleTableOf(docs.filter(_._1 % 50 == 0).toSeq.toDF("doc_id", "text"))
+      .select($"s").distinct().collect().map(_.getString(0)).toSet
+    assert(bench.nonEmpty)
+    val train = docs.filter(_._1 % 50 != 0)
+    val chunks = train.grouped((train.length + 2) / 3).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.decontaminate(input, bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("decontam_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == expected)
+  }
+
   test("streamed MinHash banding takes a precomputed stop-shingle set " +
       "and matches the batch DF cap where the cap bites") {
     // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
