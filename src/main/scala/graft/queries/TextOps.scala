@@ -314,6 +314,90 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-style line-level boilerplate removal: hash every "line",
+    // count how many DISTINCT docs each line appears in, and strip
+    // lines shared by >= 3 docs (navigation chrome, cookie banners,
+    // boilerplate headers — the things that repeat across a crawl).
+    // The fixture corpus has no newlines, so the "line" unit is a
+    // deterministic 3-word segmentation (same synthesize-the-structure
+    // approach as t_pii); the plumbing — segment, hash, corpus-wide
+    // document-frequency, broadcast anti-join, in-order reassembly —
+    // is exactly the CCNet paragraph-dedup shape. Scale: the
+    // boilerplate set is small by construction (only segments with
+    // df >= 3 distinct docs), so it BROADCASTS to the anti-join; the
+    // segment table shuffles once for the df count and once per-doc
+    // for reassembly. kept_fp pins the reassembled text byte-for-byte.
+    "t_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", wordsCol.as("w"))
+      val segs = docs.filter(size($"w") >= 1)
+        .select($"doc_id", posexplode(
+          transform(
+            sequence(lit(0),
+              floor((size($"w") + lit(2)) / lit(3)).cast("int") - 1),
+            i => array_join(slice($"w", i * 3 + 1, lit(3)), " "))))
+        .toDF("doc_id", "idx", "seg")
+      val boiler = segs.groupBy($"seg")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 3).select($"seg")
+      val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+      val totals = segs.groupBy($"doc_id").agg(count(lit(1)).as("n_segs"))
+      val keptAgg = kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(sort_array(collect_list(struct($"idx", $"seg"))),
+              x => x("seg")), " ")).as("kept_fp"))
+      t(s, dir, "documents").select($"doc_id")
+        .join(totals, Seq("doc_id"))
+        .join(keptAgg, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_segs",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          (($"n_segs" - coalesce($"n_kept", lit(0L))) * 1.0 / $"n_segs")
+            .as("removed_frac"),
+          coalesce($"kept_fp", lit(md5Empty)).as("kept_fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): hashed word-
+    // bigram features, importance weight = how much more the doc's
+    // features look like the TARGET distribution (lang='en' docs)
+    // than the RAW corpus. Log-free integer-micro variant so the
+    // oracle replays it exactly: per-feature likelihood ratio
+    // (ct+1)(Nr+B) · 1e6 div (cr+1)(Nt+B) as a BIGINT, per-doc weight
+    // = Σ count(f)·ratio(f) — the approximation (ratios, not
+    // log-ratios) is deterministic, like the integer-micro Lloyd.
+    // Shape: the feature table is B=256 rows and BROADCASTS; the only
+    // real shuffle is the per-(doc, feature) count — the 100 TB plan.
+    "t_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      val bCount = 256
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", wordsCol.as("w"))
+      val bi = docs.filter(size($"w") >= 2)
+        .select($"doc_id", $"lang",
+          explode(transform(sequence(lit(1), size($"w") - 1),
+            i => array_join(slice($"w", i, lit(2)), " "))).as("g"))
+        .withColumn("f",
+          conv(substring(md5($"g"), 1, 8), 16, 10).cast("long") % bCount)
+      val perDoc = bi.groupBy($"doc_id", $"f").agg(count(lit(1)).as("c"))
+      val raw = bi.groupBy($"f").agg(count(lit(1)).as("cr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      val totals = bi.agg(count(lit(1)).as("nr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nt"))
+      val ratios = raw.crossJoin(broadcast(totals))
+        .select($"f", expr(
+          s"(($$ct + 1) * (nr + $bCount) * 1000000) div " +
+            s"((cr + 1) * (nt + $bCount))").as("ratio_micro"))
+      perDoc.join(broadcast(ratios), Seq("f"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_bigrams"),
+          sum($"c" * $"ratio_micro").as("weight_micro"))
+        .select($"doc_id", $"n_bigrams", $"weight_micro",
+          expr("weight_micro div n_bigrams").as("w_per_bigram"))
+        .orderBy($"doc_id")
+    }),
+
     // exact dedup: group by fingerprint, keep min doc_id.
     "dedup_exact" -> ((s, dir) => {
       import s.implicits._
