@@ -17,14 +17,25 @@ import org.apache.spark.sql.functions._
 object EventOps {
   import Relational.t
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert exactly (integer
-    * `div 1000` — no double rounding on 1e18-scale values).
+  /** Normalize the events `ts` column to session-TZ TimestampType
+    * whatever the parquet encoding: TIMESTAMP(NANOS) read as long via
+    * `nanosAsLong` converts exactly (integer `div 1000` — no double
+    * rounding on 1e18-scale values); TIMESTAMP(MICROS) arrives as
+    * TIMESTAMP_NTZ and casts instant-preserving (session TZ is UTC
+    * in every entry point).
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def ev(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(s, dir, "events"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

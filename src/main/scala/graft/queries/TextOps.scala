@@ -25,6 +25,9 @@ object TextOps {
 
   private val DF_CAP = 1000
 
+  /** md5("") — the fingerprint of a fully-stripped document. */
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
   /** whitespace words of a trimmed text */
   private def wordsCol: Column = split(trim(col("text")), "\\s+")
 
@@ -387,7 +390,7 @@ object TextOps {
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("nt"))
       val ratios = raw.crossJoin(broadcast(totals))
         .select($"f", expr(
-          s"(($$ct + 1) * (nr + $bCount) * 1000000) div " +
+          s"((ct + 1) * (nr + $bCount) * 1000000) div " +
             s"((cr + 1) * (nt + $bCount))").as("ratio_micro"))
       perDoc.join(broadcast(ratios), Seq("f"))
         .groupBy($"doc_id")
@@ -785,6 +788,58 @@ object TextOps {
              AND (stop_hits >= 2) AND (distinct_ratio >= 0.2)
              AND (dup_bigram_frac <= 0.6)) AS keep
          FROM j ORDER BY doc_id""",
+    "t_line_dedup" ->
+      """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         segs AS (SELECT doc_id, idx,
+             array_to_string(w[idx*3+1 : idx*3+3], ' ') AS seg
+           FROM (SELECT doc_id, w,
+                   unnest(range(0, (len(w)+2)//3)) AS idx
+                 FROM docs WHERE len(w) >= 1)),
+         boiler AS (SELECT seg FROM segs
+           GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+         kept AS (SELECT s.* FROM segs s ANTI JOIN boiler b USING (seg)),
+         totals AS (SELECT doc_id, count(*)::BIGINT AS n_segs
+           FROM segs GROUP BY doc_id),
+         ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY idx)) AS kept_fp
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, t.n_segs,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+           (t.n_segs - coalesce(k.n_kept, 0)) * 1.0 / t.n_segs
+             AS removed_frac,
+           coalesce(k.kept_fp, md5('')) AS kept_fp
+         FROM (SELECT doc_id FROM documents) d
+         JOIN totals t USING (doc_id)
+         LEFT JOIN ka k USING (doc_id)
+         ORDER BY d.doc_id""",
+    "t_dsir_weights" ->
+      """WITH docs AS (SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         bi AS (SELECT doc_id, lang,
+             array_to_string(w[i : i+1], ' ') AS g
+           FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+                 FROM docs WHERE len(w) >= 2)),
+         feat AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS f FROM bi),
+         per_doc AS (SELECT doc_id, f, count(*)::BIGINT c
+           FROM feat GROUP BY 1, 2),
+         raw AS (SELECT f, count(*)::BIGINT cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT ct
+           FROM feat GROUP BY f),
+         tot AS (SELECT count(*)::BIGINT nr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT nt
+           FROM feat),
+         ratios AS (SELECT f,
+             (((ct + 1) * (nr + 256) * 1000000)
+               // ((cr + 1) * (nt + 256)))::BIGINT AS ratio_micro
+           FROM raw, tot)
+         SELECT p.doc_id, sum(c)::BIGINT AS n_bigrams,
+           sum(c * ratio_micro)::BIGINT AS weight_micro,
+           (sum(c * ratio_micro) // sum(c))::BIGINT AS w_per_bigram
+         FROM per_doc p JOIN ratios USING (f)
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
     "t_pii" ->
       """WITH synth AS (
            SELECT doc_id, text

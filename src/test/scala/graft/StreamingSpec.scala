@@ -24,8 +24,8 @@ class StreamingSpec extends AnyFunSuite {
   test("streamed tumbling counts equal the batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val expected = EventStreams.tumblingCounts(batchEvents)
       .orderBy("wstart", "event_type").collect()
 
@@ -39,7 +39,7 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.TimestampNTZType),
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type",
@@ -49,7 +49,7 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("props",
           org.apache.spark.sql.types.StringType))))
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = EventStreams.tumblingCounts(streamed)
       .writeStream.outputMode("complete")
       .format("memory").queryName("tumbling_out")
@@ -301,9 +301,10 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .sorted.toSeq
 
-    val rows = spark.read.parquet(s"$dir/events.parquet")
+    val rows = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
       .filter($"event_type".isin("click", "purchase"))
-      .select($"user_id", expr("ts div 1000").as("micros"),
+      .select($"user_id", unix_micros($"ts").as("micros"),
         $"event_id", $"event_type")
       .as[(Long, Long, Long, String)]
       .collect().sortBy(r => (r._2, r._3))
@@ -338,8 +339,8 @@ class StreamingSpec extends AnyFunSuite {
 
     // run the same events through the stateful session fold per user
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evs = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evs = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
       .select($"user_id", $"ts".cast("timestamp").as("ts"))
       .as[EventStreams.SessionEvent]
     // batch-mode check of the same fold logic: group, sort, fold
