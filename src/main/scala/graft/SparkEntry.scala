@@ -17,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ GraphOnTpch.defs ++ TextOps.defs ++
-      VectorOps.defs ++ EventOps.defs ++ MultimodalQ.defs ++ CypherQ.defs ++ GraphXQ.defs
+      VectorOps.defs ++ EventOps.defs ++ MultimodalQ.defs ++ CypherQ.defs ++
+      GraphXQ.defs ++ PackOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ GraphOnTpch.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ EventOps.oracles ++ MultimodalQ.oracles ++
-      CypherQ.oracles ++ GraphXQ.oracles
+      CypherQ.oracles ++ GraphXQ.oracles ++ PackOps.oracles
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators over the `documents` table —
+  * the last mile of an LLM data pipeline after filtering/dedup:
+  * deterministic global shuffle into shards, GPT-style sequence
+  * packing (concatenate the token stream, cut fixed-size blocks),
+  * and per-source (domain) corpus statistics with a C4-style keep
+  * verdict.
+  *
+  * Everything is seeded md5 arithmetic so each operator has an exact
+  * DuckDB oracle: the "random" shuffle order is the md5 of a seeded
+  * key — the standard trick for a reshuffle that is reproducible
+  * across runs AND across engines.
+  *
+  * Scale notes (100 TB): each operator is exactly ONE hash shuffle on
+  * the shard key followed by a per-shard window prefix-sum or
+  * aggregation — no self-joins, no driver data path. Shard counts are
+  * small constants here (8/16) to keep the oracle readable; at
+  * cluster scale they become O(corpus/shard-size) and the plan shape
+  * is unchanged (hash partition → in-partition sort → running sum),
+  * which is exactly how production packing jobs are laid out.
+  */
+object PackOps {
+  import Relational.t
+
+  private def wordsCol = split(trim(col("text")), "\\s+")
+
+  /** seeded md5 shuffle key + its 32-bit prefix as a long */
+  private def skeyCol(seed: String) =
+    md5(concat(lit(seed), col("doc_id")))
+  private def hash32(c: org.apache.spark.sql.Column) =
+    conv(substring(c, 1, 8), 16, 10).cast("long")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic global shuffle: every doc gets a seeded md5 key;
+    // shard = key-hash mod 16, pos = rank of the key inside the
+    // shard. Reading shards 0..15 in pos order IS the training order
+    // — reproducible, engine-independent, and a single hash shuffle
+    // (the window sort is per-shard, the partitioner's own order).
+    "p_shuffle_shards" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "documents")
+        .select($"doc_id", skeyCol("shuffle:42:").as("skey"))
+        .withColumn("shard", hash32($"skey") % 16)
+      keyed
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"shard").orderBy($"skey")).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"doc_id")
+    }),
+
+    // GPT-style sequence packing: concatenate every doc's tokens in
+    // shuffled order and cut the stream into fixed CTX-token blocks;
+    // a doc spans blocks [start/CTX, (end-1)/CTX]. No padding waste
+    // by construction — the per-doc block span and offset is all a
+    // trainer needs to slice examples. One shuffle + one prefix-sum
+    // window; the canonical distributed layout for packing jobs.
+    "p_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val ctx = 64
+      val base = t(s, dir, "documents")
+        .select($"doc_id", size(wordsCol).cast("long").as("n_tokens"),
+          skeyCol("pack:42:").as("skey"))
+        .withColumn("shard", hash32($"skey") % 8)
+      val w = Window.partitionBy($"shard").orderBy($"skey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base
+        .withColumn("start_tok", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"doc_id", $"shard", $"n_tokens", $"start_tok",
+          expr(s"start_tok div $ctx").as("first_block"),
+          expr(s"(start_tok + n_tokens - 1) div $ctx").as("last_block"),
+          ($"start_tok" % ctx).as("block_off"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-source (domain) corpus stats + C4-style source verdict:
+    // docs/tokens per source, English fraction, exact-dup rate inside
+    // the source (normalized-text md5), and a keep flag combining the
+    // thresholds with a static blocklist — the shape of C4's domain
+    // filtering. One narrow per-doc projection + one aggregation on
+    // the (low-cardinality) source key; dup counting reuses the
+    // per-source md5 — countDistinct is partial-aggregated map-side.
+    "p_domain_stats" -> ((s, dir) => {
+      import s.implicits._
+      val blocklist = Seq("src13", "src7")
+      val perDoc = t(s, dir, "documents")
+        .select($"source", $"doc_id", $"lang",
+          size(wordsCol).cast("long").as("n_tokens"),
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          (sum($"n_tokens") * 1.0 / count(lit(1))).as("mean_tokens"),
+          (sum(when($"lang" === "en", 1L).otherwise(0L)) * 1.0
+            / count(lit(1))).as("en_frac"),
+          (count(lit(1)) - countDistinct($"fp")).as("dup_docs"))
+        .select($"source", $"n_docs", $"total_tokens", $"mean_tokens",
+          $"en_frac", $"dup_docs",
+          (!$"source".isin(blocklist: _*) && $"en_frac" >= 0.2 &&
+            $"mean_tokens" >= 20.0 &&
+            $"dup_docs" * 1.0 / $"n_docs" <= 0.5).as("keep"))
+        .orderBy($"source")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "p_shuffle_shards" ->
+      """WITH keyed AS (SELECT doc_id,
+             md5('shuffle:42:' || doc_id) AS skey
+           FROM documents),
+         sharded AS (SELECT doc_id, skey,
+             ('0x' || substr(skey, 1, 8))::BIGINT % 16 AS shard
+           FROM keyed)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY skey)::BIGINT
+             AS pos
+         FROM sharded ORDER BY doc_id""",
+    "p_seq_pack" ->
+      """WITH base AS (SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             md5('pack:42:' || doc_id) AS skey
+           FROM documents),
+         sharded AS (SELECT *,
+             ('0x' || substr(skey, 1, 8))::BIGINT % 8 AS shard
+           FROM base),
+         pos AS (SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_tok
+           FROM sharded)
+         SELECT doc_id, shard, n_tokens, start_tok,
+           (start_tok // 64)::BIGINT AS first_block,
+           ((start_tok + n_tokens - 1) // 64)::BIGINT AS last_block,
+           (start_tok % 64)::BIGINT AS block_off
+         FROM pos ORDER BY doc_id""",
+    "p_domain_stats" ->
+      """WITH per_doc AS (SELECT source, doc_id, lang,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         agg AS (SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens,
+             sum(n_tokens) * 1.0 / count(*) AS mean_tokens,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+               / count(*) AS en_frac,
+             (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs
+           FROM per_doc GROUP BY source)
+         SELECT source, n_docs, total_tokens, mean_tokens, en_frac,
+           dup_docs,
+           (source NOT IN ('src13', 'src7') AND en_frac >= 0.2
+             AND mean_tokens >= 20.0
+             AND dup_docs * 1.0 / n_docs <= 0.5) AS keep
+         FROM agg ORDER BY source""")
+}
