@@ -44,10 +44,32 @@ object GraphMerge {
     // write action before the finally restores the session's policy.
     val prevPolicy = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // Tiny-action mode (see applyWrite): when the batch is a
+    // driver-local relation AND the committed store stats tiny, every
+    // plan this sync runs is a handful of rows — run the whole sync
+    // interpreted; Janino compilation would dominate it. The gate can
+    // never hold at scale (a distributed batch plans as a scan, a
+    // real store fails the manifest-size probe), so the codegen'd
+    // path is untouched exactly where codegen pays.
+    val tiny = store.isTiny &&
+      batch.queryExecution.analyzed.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val cg0 = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm0 = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    if (tiny) {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
     try applyBatchInner(store, source, label, batch, truncateFirst, syncId)
-    finally prevPolicy match {
-      case Some(p) => spark.conf.set("spark.sql.mapKeyDedupPolicy", p)
-      case None    => spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+    finally {
+      if (tiny) {
+        spark.conf.set("spark.sql.codegen.wholeStage", cg0)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm0)
+      }
+      prevPolicy match {
+        case Some(p) => spark.conf.set("spark.sql.mapKeyDedupPolicy", p)
+        case None    => spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+      }
     }
   }
 
@@ -482,6 +504,30 @@ object GraphMerge {
     */
   def applyWrite(store: GraphStore, effects: Seq[WriteEffect])
       : CompositeStats = {
+    // Tiny-action mode: a write statement's bookkeeping is dozens of
+    // small probe plans (bounded by the statement's touch set, not
+    // table size), and Janino whole-stage compilation dominates their
+    // runtime — each distinct plan compiles fresh code to process a
+    // handful of rows. Run the probe/effect phase interpreted;
+    // restore codegen BEFORE the commit/overlay writes (the
+    // data-sized paths) via the callback threaded to that point.
+    // The restore is idempotent and also runs in the finally, so an
+    // expected throw (CREATE conflict) cannot leak the conf.
+    val spark = store.nodes.sparkSession
+    val cg0 = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm0 = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val restore = () => {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg0)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm0)
+    }
+    try applyWrite0(store, effects, restore)
+    finally restore()
+  }
+
+  private def applyWrite0(store: GraphStore, effects: Seq[WriteEffect],
+      restoreCodegen: () => Unit): CompositeStats = {
     import WriteEffect._
     val spark = store.nodes.sparkSession
     import spark.implicits._
@@ -842,6 +888,7 @@ object GraphMerge {
     pw("phaseA") { phaseA.run() } // ONE job: every batch-derived probe
     pw("phaseB") { deferredB.result().foreach(_())
       phaseB.run() } // ONE job: the bucket-pruned pre-state store probes
+    restoreCodegen() // commit/overlay below are data-sized — codegen on
 
     val anyChange = nodesCreated + edgesCreated + propertiesSet +
       nodesDeleted + edgesDeleted + labelsSet > 0

@@ -59,6 +59,10 @@ object Prof {
       val sess = CypherEngine.session(store)
       if (sys.env.contains("PROF_NOAQE"))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (sys.env.contains("PROF_NOCODEGEN")) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
       if (sys.env.contains("PROF_SHUF"))
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env("PROF_SHUF").toInt)

@@ -234,6 +234,21 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     else readManifest(v).getOrElse(table, Map.empty)
   }
 
+  /** Cheap "is this store tiny" probe for the interactive-write
+    * tiny-action fast path: a bounded number of manifest files whose
+    * total size stats under 64 MB. The file-count guard keeps the
+    * probe O(1) metadata work — a store at scale has many manifest
+    * entries and short-circuits to false before any stat.
+    */
+  private[graft] def isTiny: Boolean = {
+    val fs = (manifestFiles("nodes").values.flatten ++
+      manifestFiles("edges").values.flatten).toSeq
+    fs.size <= 64 && {
+      try fs.map(f => Files.size(rootPath.resolve(f))).sum < (64L << 20)
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** per-(version, table, shape) DataFrame memo: a statement touches
     * the same tables many times (probes, joins, counts), and each
     * `table()` call would otherwise rebuild the file listing and
@@ -481,13 +496,34 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     if (dirty.isEmpty) return full.localCheckpoint(true)
     val withBucket = full.withColumn("bucket",
       pmod(hash(col(clusterCol)), lit(bucketCount0)))
-    val delta = withBucket.filter(dirtyPred(partCol, dirty))
-      .drop("bucket").localCheckpoint(true)
+    val deltaPlan = withBucket.filter(dirtyPred(partCol, dirty))
+      .drop("bucket")
+    // Lineage cut, sized to the delta. SMALL deltas (the interactive
+    // write-statement case) collect into a driver LocalRelation: a
+    // localCheckpoint is an opaque RDD that blocks every Catalyst
+    // local-evaluation rule, so each later statement in the session
+    // pays dozens of trivial scheduled jobs probing it; a
+    // LocalRelation folds through ConvertToLocalRelation /
+    // PropagateEmptyRelation instead (on a fresh store the whole
+    // overlay plan collapses to local rows). BIG deltas keep the
+    // distributed checkpoint — a LocalRelation would pull them
+    // through the driver.
+    val rows = deltaPlan.limit(OverlayLocalCap + 1).collect()
+    val delta =
+      if (rows.length <= OverlayLocalCap)
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), deltaPlan.schema)
+      else deltaPlan.localCheckpoint(true)
     val base = table(tableName, schema, keepBucket = true)
       .filter(!dirtyPred(partCol, dirty))
       .drop("bucket")
     base.unionByName(delta)
   }
+
+  /** overlay deltas at or below this row count become driver-side
+    * LocalRelations (see overlayView); above it they stay distributed
+    */
+  private val OverlayLocalCap = 20000
 
   private[graft] def overlayNodes(full: DataFrame,
       dirty: Set[DirtyKey]): DataFrame =
