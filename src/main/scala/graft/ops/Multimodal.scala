@@ -311,4 +311,70 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  /** One sampled frame of a framed container: byte offset, length and
+    * content fingerprint — what a video frame-sampling stage hands to
+    * a downstream embedder.
+    */
+  case class FrameSample(media_id: Long, frame_idx: Int, frame_off: Long,
+      frame_len: Int, frame_fp: String)
+
+  /** Strided frame sampling over a framed container (the video
+    * decode shape: pick every k-th frame, fingerprint its bytes for
+    * downstream dedup/embedding). The container codec is STUBBED as
+    * fixed [[FrameBytes]]-byte frames of the payload — the fixture
+    * corpus has no real video — but the plumbing is the real thing:
+    * typed mapPartitions with a per-partition digest instance, one
+    * output row per sampled frame (explode-shaped), deterministic
+    * offsets a real demuxer would produce from its frame index.
+    */
+  val FrameBytes = 64
+  def sampleFrames(media: Dataset[MediaRow], stride: Int)
+      : Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // one digest per partition batch, reset per frame (the same
+      // amortization a real decoder needs for its codec context)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        Iterator.range(0, nFrames, stride).map { fi =>
+          val off = fi.toLong * FrameBytes
+          val len = math.min(FrameBytes, n - off.toInt)
+          md.reset()
+          md.update(r.payload, off.toInt, len)
+          val fp = md.digest().map("%02x".format(_)).mkString
+          FrameSample(r.media_id, fi, off, len, fp)
+        }
+      }
+    }
+  }
+
+  /** Windowed sample statistics (media_id, window) — the audio
+    * feature-extraction shape: fixed-size sample windows, per-window
+    * energy and integer-micro mean. Samples are STUBBED as the
+    * payload's whitespace-token byte lengths (a deterministic PCM
+    * stand-in the oracle can replay); the imperative payload parse
+    * and the per-window fold run inside the same typed mapPartitions
+    * batch a real PCM decoder would use.
+    */
+  case class PcmWindow(media_id: Long, win_idx: Int, n_samples: Long,
+      energy: Long, mean_micro: Long)
+
+  def windowedPcm(media: Dataset[MediaRow], window: Int)
+      : Dataset[PcmWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val samples = new String(r.payload,
+          java.nio.charset.StandardCharsets.UTF_8)
+          .trim.split("\\s+").map(_.length.toLong)
+        samples.grouped(window).zipWithIndex.map { case (w, i) =>
+          PcmWindow(r.media_id, i, w.length.toLong,
+            w.map(v => v * v).sum, w.sum * 1000000L / w.length)
+        }
+      }
+    }
+  }
 }

@@ -35,6 +35,26 @@ object MultimodalQ {
           octet_length(encode($"text", "UTF-8")).cast("long").as("n_bytes"),
           md5($"text").as("digest"))
         .orderBy($"media_id")
+    }),
+
+    // video-shape frame sampling: every 3rd fixed-64-byte frame,
+    // fingerprinted (see Multimodal.sampleFrames — explode-shaped
+    // typed mapPartitions; the fixture corpus is ASCII so the
+    // char-sliced oracle is byte-exact).
+    "m_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.documentsAsMedia(t(s, dir, "documents")), stride = 3)
+        .toDF().orderBy($"media_id", $"frame_idx")
+    }),
+
+    // audio-shape windowed stats: 16-sample windows over the
+    // payload's token-length PCM stand-in (Multimodal.windowedPcm).
+    "m_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.windowedPcm(
+        Multimodal.documentsAsMedia(t(s, dir, "documents")), window = 16)
+        .toDF().orderBy($"media_id", $"win_idx")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -50,5 +70,27 @@ object MultimodalQ {
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS digest
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    "m_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+             length(text)::BIGINT AS n FROM documents),
+         f AS (SELECT media_id, text, n,
+             unnest(range(0, (n + 63) // 64)) AS fi FROM m),
+         s AS (SELECT media_id, fi, fi * 64 AS off,
+             least(64, n - fi * 64) AS flen, text
+           FROM f WHERE fi % 3 = 0)
+         SELECT media_id, fi::INT AS frame_idx, off::BIGINT AS frame_off,
+           flen::INT AS frame_len,
+           md5(substring(text, (off + 1)::INT, flen::INT)) AS frame_fp
+         FROM s ORDER BY media_id, frame_idx""",
+    "m_audio_windows" ->
+      """WITH base AS (SELECT doc_id AS media_id,
+             string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT media_id, (i - 1) AS idx, length(w[i])::BIGINT AS v
+           FROM (SELECT media_id, w, unnest(range(1, len(w) + 1)) AS i
+                 FROM base))
+         SELECT media_id, (idx // 16)::INT AS win_idx,
+           count(*)::BIGINT AS n_samples, sum(v * v)::BIGINT AS energy,
+           ((sum(v) * 1000000) // count(*))::BIGINT AS mean_micro
+         FROM s GROUP BY 1, 2 ORDER BY media_id, win_idx""")
 }

@@ -175,4 +175,33 @@ class MultimodalSpec extends AnyFunSuite {
     val fs = decodeAll(Seq(MediaRow(12, "audio", b.array())))
     assert(fs(12).n_bytes == 64) // decoded, not crashed
   }
+
+  test("strided frame sampling: offsets, tail length, fingerprints") {
+    import spark.implicits._
+    val payload = Array.tabulate(150)(i => (i % 251).toByte) // 3 frames
+    val rows = Multimodal.sampleFrames(
+      Seq(MediaRow(1, "video", payload)).toDS(), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // frames 0,1,2 (64+64+22 bytes); stride 2 samples 0 and 2
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(rows.map(_.frame_off).toSeq == Seq(0L, 128L))
+    assert(rows.map(_.frame_len).toSeq == Seq(64, 22))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload, 128, 22)
+    val wantTail = md.digest().map("%02x".format(_)).mkString
+    assert(rows(1).frame_fp == wantTail)
+  }
+
+  test("windowed PCM stand-in: per-window counts, energy, micro mean") {
+    import spark.implicits._
+    // 5 tokens of lengths 1,2,3,4,5; window=2 → (1,2),(3,4),(5)
+    val payload = "a bb ccc dddd eeeee".getBytes("UTF-8")
+    val rows = Multimodal.windowedPcm(
+      Seq(MediaRow(2, "audio", payload)).toDS(), window = 2)
+      .collect().sortBy(_.win_idx)
+    assert(rows.map(r => (r.win_idx, r.n_samples, r.energy)).toSeq ==
+      Seq((0, 2L, 5L), (1, 2L, 25L), (2, 1L, 25L)))
+    assert(rows.map(_.mean_micro).toSeq ==
+      Seq(1500000L, 3500000L, 5000000L))
+  }
 }
