@@ -114,6 +114,36 @@ object EventOps {
         .limit(25)
     }),
 
+    // Ordered funnel (view → click → purchase, strictly later steps):
+    // per user, the first view, the first click after it, the first
+    // purchase after that, and the stage reached. Three narrow
+    // filtered scans, everything keyed (shuffled) on user_id only —
+    // the standard product-analytics funnel at any scale.
+    "e_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("tc"))
+        .join(v, Seq("user_id")).filter($"tc" > $"t_view")
+        .groupBy($"user_id").agg(min($"tc").as("t_click"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("tp"))
+        .join(c, Seq("user_id")).filter($"tp" > $"t_click")
+        .groupBy($"user_id").agg(min($"tp").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select($"user_id",
+          date_format($"t_view", "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format($"t_click", "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss")
+            .as("t_purchase"),
+          (lit(1) + when($"t_click".isNotNull, 1).otherwise(0) +
+            when($"t_purchase".isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy($"user_id")
+    }),
+
     // as-of join: each purchase matched to the user's most recent
     // prior-or-simultaneous click (graft.ops.AsOfJoin union+window
     // composition — single shuffle per side).
@@ -216,6 +246,24 @@ object EventOps {
       """SELECT user_id, COUNT(*) AS n,
          SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
          FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 25""",
+    "e_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) t_click FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) t_purchase FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           GROUP BY 1)
+         SELECT v.user_id,
+           strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+           strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+           (1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY v.user_id""",
     "e_asof_click" ->
       """WITH u AS (
            SELECT user_id, ts, 1 AS side, event_id,

@@ -432,6 +432,31 @@ object TextOps {
         .orderBy($"da", $"db")
     }),
 
+    // Shingle CONTAINMENT (Broder's asymmetric measure): |A∩B|/|A|
+    // catches a short doc quoted inside a long one — exactly the case
+    // symmetric Jaccard misses (the union term swamps the overlap).
+    // The candidate join is the same DF-capped shared-shingle join as
+    // dedup_ngram_jaccard (stop-shingle removal bounds it at scale);
+    // both directions report from one ordered pair row.
+    "t_containment" -> ((s, dir) => {
+      import s.implicits._
+      val sh = graft.Scratch.track(
+        cappedShingles(shingleTable(s, dir)).cache())
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select($"doc_id".as("da"), $"s")
+      val b = sh.select($"doc_id".as("db"), $"s")
+      val inter = a.join(b, Seq("s")).filter($"da" < $"db")
+        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+        .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+        .withColumn("c_ab", $"i" * 1.0 / $"na")
+        .withColumn("c_ba", $"i" * 1.0 / $"nb")
+        .filter(greatest($"c_ab", $"c_ba") >= 0.5)
+        .select($"da", $"db", $"i", $"c_ab", $"c_ba")
+        .orderBy($"da", $"db")
+    }),
+
     // MinHash(12) + LSH(4 bands × 3 rows) candidates, exact-Jaccard
     // verified. Deterministic end-to-end: md5 min-hashing both sides.
     // Signatures are computed on the EXPLODED shingle table as 12
@@ -903,6 +928,16 @@ object TextOps {
           FROM inter JOIN cnt ca ON ca.doc_id = da
           JOIN cnt cb ON cb.doc_id = db
           WHERE i*1.0/(ca.n + cb.n - i) >= 0.7 ORDER BY da, db""",
+    "t_containment" ->
+      s"""WITH $shingleSqlCte,
+          inter AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT da, db, i, i*1.0/ca.n AS c_ab, i*1.0/cb.n AS c_ba
+          FROM inter JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE greatest(i*1.0/ca.n, i*1.0/cb.n) >= 0.5
+          ORDER BY da, db""",
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes
           SELECT da, db, jaccard FROM verified ORDER BY da, db""",
