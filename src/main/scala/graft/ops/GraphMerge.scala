@@ -466,16 +466,39 @@ object GraphMerge {
     def run(): Unit = {
       val fs = frames.result()
       if (fs.isEmpty) return
-      val rows = fs.reduce(_ unionByName _)
-        .groupBy(col("__tag"), col("part"), col("b"))
-        .agg(sum(col("w")).as("cnt"))
-        .collect()
-      val byTag = rows.groupBy(_.getInt(0))
+      val unioned = fs.reduce(_ unionByName _)
+      // When every probe source folds to local rows at optimization
+      // time (fresh store, LocalRelation session overlay), aggregate
+      // on the driver — ZERO scheduled jobs. The fold only happens
+      // when the data already fits a LocalRelation, so this can never
+      // pull distributed data through the driver.
+      val rows: Array[(Int, Option[String], Option[Int], Long)] =
+        unioned.queryExecution.optimizedPlan match {
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            val acc = scala.collection.mutable.LinkedHashMap
+              .empty[(Int, Option[String], Option[Int]), Long]
+            lr.data.foreach { r =>
+              val k = (r.getInt(3),
+                if (r.isNullAt(0)) None
+                else Some(r.getUTF8String(0).toString),
+                if (r.isNullAt(1)) None else Some(r.getInt(1)))
+              acc(k) = acc.getOrElse(k, 0L) +
+                (if (r.isNullAt(2)) 0L else r.getLong(2))
+            }
+            acc.iterator.map { case ((t, p, b), w) => (t, p, b, w) }.toArray
+          case _ =>
+            unioned
+              .groupBy(col("__tag"), col("part"), col("b"))
+              .agg(sum(col("w")).as("cnt"))
+              .collect()
+              .map(r => (r.getInt(0),
+                if (r.isNullAt(1)) None else Some(r.getString(1)),
+                if (r.isNullAt(2)) None else Some(r.getInt(2)),
+                if (r.isNullAt(3)) 0L else r.getLong(3)))
+        }
+      val byTag = rows.groupBy(_._1)
       sinks.result().zipWithIndex.foreach { case (sink, i) =>
-        sink(byTag.getOrElse(i, Array.empty).map(r => (
-          if (r.isNullAt(1)) None else Some(r.getString(1)),
-          if (r.isNullAt(2)) None else Some(r.getInt(2)),
-          if (r.isNullAt(3)) 0L else r.getLong(3))))
+        sink(byTag.getOrElse(i, Array.empty).map(r => (r._2, r._3, r._4)))
       }
     }
   }
@@ -548,7 +571,18 @@ object GraphMerge {
     // store scans (incl. the reverse-edge index for the dst side)
     var edgesMutated = false
     val cached = Seq.newBuilder[DataFrame]
-    def cache(d: DataFrame): DataFrame = { val c = d.cache(); cached += c; c }
+    // Lineage-cut cache — EXCEPT when the frame's whole lineage is
+    // already local rows (fresh store + param-derived batch): an
+    // InMemoryRelation is an opaque leaf that blocks PropagateEmpty /
+    // ConvertToLocalRelation folding downstream, and re-evaluating a
+    // local plan is cheaper than materializing blocks. Determinism is
+    // unaffected: local plans re-evaluate to the same rows.
+    def cache(d: DataFrame): DataFrame = {
+      val allLocal = d.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      if (allLocal) d
+      else { val c = d.cache(); cached += c; c }
+    }
 
     val emptyPv = map_from_arrays(
       lit(Array.empty[String]),
@@ -566,6 +600,9 @@ object GraphMerge {
     val phaseA = new ProbeBatch
     val phaseB = new ProbeBatch
     val deferredB = Seq.newBuilder[() => Unit]
+    // one metadata stat per statement; gates the fused-single-probe
+    // path (pruning is pointless on a tiny store)
+    val storeTiny = store.isTiny
 
     /** dirty keys + row count from a batch-derived frame, fused */
     def deferKeyCounts(d: DataFrame, part: Column, key: Column)(
@@ -587,6 +624,18 @@ object GraphMerge {
       */
     def deferStoreNodeKeys(gids: DataFrame, hint: Boolean)(
         sink: (DirtyKeys, Long) => Unit): Unit = {
+      if (storeTiny) {
+        // a tiny store gains nothing from directory pruning — probe
+        // it unpruned in phase A, so the statement pays ONE fused
+        // probe job instead of two
+        val probe = if (hint) broadcast(gids) else gids
+        phaseA.add(keyCountFrame(
+          store.nodesWithBucket.select($"gid", $"label", $"bucket")
+            .join(probe, Seq("gid"), "left_semi"),
+          $"label", $"bucket")) { rows =>
+          sink(rows.map(r => (r._1, r._2)).toSet, rows.map(_._3).sum) }
+        return
+      }
       var bs: Seq[Int] = Nil
       phaseA.add(bucketFrame(gids, store.bucketOf($"gid"))) { rows =>
         bs = rows.flatMap(_._2).toSeq }
@@ -641,8 +690,10 @@ object GraphMerge {
         // via the main table's src-hash directories, incoming via the
         // reverse-edge index's dst-hash directories. Otherwise the
         // working-frame scan (statement-local adds must be seen).
-        def touchingPruned(bs: Seq[Int]): DataFrame = {
-          def bf = if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*)
+        def touchingPruned(bs: Seq[Int], all: Boolean = false): DataFrame = {
+          def bf =
+            if (all) lit(true)
+            else if (bs.isEmpty) lit(false) else $"bucket".isin(bs: _*)
           store.edgesWithBucket.filter(bf)
             .join(gids.withColumnRenamed("gid", "src"), Seq("src"), "left_semi")
             .select($"src", $"dst", $"relType")
@@ -672,7 +723,13 @@ object GraphMerge {
             throw new IllegalStateException(
               "cannot delete a node that still has relationships; use DETACH DELETE")
         } else {
-          if (usePruned) {
+          if (usePruned && storeTiny) {
+            // tiny store: skip the pruning round-trip, one fused probe
+            phaseA.add(keyCountFrame(touchingPruned(Nil, all = true),
+              $"relType", store.bucketOf($"src"))) { rows =>
+              dirtyEdges ++= rows.map(r => (r._1, r._2)).toSet
+              edgesDeleted += rows.map(_._3).sum }
+          } else if (usePruned) {
             var bs: Seq[Int] = Nil
             phaseA.add(bucketFrame(gids, store.bucketOf($"gid"))) { rows =>
               bs = rows.flatMap(_._2).toSeq }
