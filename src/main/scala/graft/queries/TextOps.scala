@@ -518,13 +518,18 @@ object TextOps {
           .join(lab.select($"id".as("b"), $"cluster".as("nc")), Seq("b"))
           .groupBy($"a").agg(min($"nc").as("nc"))
           .select($"a".as("id"), $"nc")
-        // carry the pre-step label so the change count is a plain
-        // filter over the ALREADY-materialized frame — no extra join
+        // the change count rides the checkpoint action itself
+        // (Observation metric over the materializing scan) — no
+        // second job over the frame
+        val obs = new org.apache.spark.sql.Observation()
         val stepped = lab.join(viaNbr, Seq("id"), "left_outer")
           .select($"id", $"cluster".as("old"),
             least($"cluster", coalesce($"nc", $"cluster")).as("cluster"))
+          .observe(obs, sum(when($"cluster" =!= $"old", 1L).otherwise(0L))
+            .as("changed"))
           .localCheckpoint()
-        changed = stepped.filter($"cluster" =!= $"old").count()
+        changed = obs.get.get("changed").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         if (changed == 0) {
           // neighbour step at fixpoint ⇒ globally converged (any
           // node above its component min has a decreasing edge on

@@ -301,6 +301,49 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, tsMicros: Long, event_type: String)
+  case class FunnelRow(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long], stage: Int)
+
+  /** Streaming funnel — the stateful twin of EventOps.e_funnel: per
+    * user, the first view, the first click strictly after it, the
+    * first purchase strictly after that. State is THREE optional
+    * timestamps per user (constant per key), keyed exactly as the
+    * batch funnel shuffles. Each micro-batch emits the user's current
+    * funnel row (update semantics); the final row per user equals the
+    * batch result when arrival order follows event time across
+    * batches. Ties never advance a stage — the strict `>` is in the
+    * fold predicate, same as the batch joins.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+        FunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (tv, tc, tp) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          rows.toSeq.sortBy(e => (e.tsMicros,
+            e.event_type match { case "view" => 0; case "click" => 1
+              case _ => 2 })).foreach { e =>
+            e.event_type match {
+              case "view" if tv.isEmpty => tv = Some(e.tsMicros)
+              case "click" if tv.nonEmpty && tc.isEmpty &&
+                  e.tsMicros > tv.get => tc = Some(e.tsMicros)
+              case "purchase" if tc.nonEmpty && tp.isEmpty &&
+                  e.tsMicros > tc.get => tp = Some(e.tsMicros)
+              case _ => ()
+            }
+          }
+          state.update((tv, tc, tp))
+          FunnelRow(uid, tv, tc, tp,
+            (if (tv.isDefined) 1 else 0) + (if (tc.isDefined) 1 else 0) +
+              (if (tp.isDefined) 1 else 0))
+      }
+  }
+
   /** Off-heap RocksDB state store for the stateful operators — at
     * 100 TB the dedup fingerprint set and open-session state outgrow
     * executor heaps; RocksDB spills them to local disk with the same

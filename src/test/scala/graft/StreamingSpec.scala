@@ -330,6 +330,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stateful funnel stream matches the batch funnel") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: user -> (t_view, t_click, t_purchase, stage)
+    val expected = EventOps.defs("e_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.getString(3)), r.getInt(4)))).toMap
+
+    val rows = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("micros"), $"event_type")
+      .as[(Long, Long, String)]
+      .collect().sortBy(r => (r._2, r._1))
+    // split BY TIME so open funnel state crosses the batch boundary
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val input = ms.toDS().map { case (u, m, t) =>
+      EventStreams.FunnelEvent(u, m, t) }
+    val q = EventStreams.funnelStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // last emitted row per user = the one with the most stages (state
+    // only grows); format micros like the batch query's strings
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def f(m: Option[Long]): Option[String] =
+      m.map(x => fmt.format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(x, 1000000L))))
+    val got = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4))))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2).maxBy(t =>
+        (t._4, t._1.getOrElse(0L), t._2.getOrElse(0L),
+          t._3.getOrElse(0L))) }
+    // batch rows exist only for users with a view; streamed rows with
+    // stage 0 (no view) must have no batch counterpart
+    got.foreach { case (u, (tv, tc, tp, stage)) =>
+      expected.get(u) match {
+        case None => assert(stage == 0, s"user $u: stray funnel row")
+        case Some((ev, ec, ep, es)) =>
+          assert(stage == es && f(tv) == ev && f(tc) == ec && f(tp) == ep,
+            s"user $u: stream (${f(tv)}, ${f(tc)}, ${f(tp)}, $stage) " +
+              s"!= batch ($ev, $ec, $ep, $es)")
+      }
+    }
+    assert(expected.keySet.subsetOf(got.keySet))
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
