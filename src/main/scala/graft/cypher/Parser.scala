@@ -884,6 +884,21 @@ object Parser {
       // COUNT { [MATCH] pattern [WHERE …] } — correlated match count
       val (pat, whereE) = parseSubqueryBody(p)
       Ast.CountSub(pat, whereE)
+    case Kw("COLLECT") if p.peek.contains(Sym("{")) =>
+      // COLLECT { [MATCH] pattern [WHERE …] RETURN expr } (Neo4j 5.6)
+      // — the list-valued member of the COUNT{}/EXISTS{} family; the
+      // MATCH/WHERE/RETURN-expression subset lowers exactly like a
+      // pattern comprehension [pattern WHERE pred | proj]
+      p.expectSym("{")
+      p.tryKw("MATCH")
+      val pat = parsePattern(p)
+      val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+      p.expectKw("RETURN")
+      val proj = parseExpr(p)
+      p.expectSym("}")
+      Ast.PatternComp(pat,
+        (inlineWhere(pat).toSeq ++ whereE.toSeq).reduceOption(Ast.And(_, _)),
+        proj)
     case Kw(fn) if Set("COLLECT", "COUNT", "SUM", "AVG", "MIN", "MAX")
         .contains(fn) =>
       p.expectSym("(")

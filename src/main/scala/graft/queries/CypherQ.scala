@@ -132,6 +132,21 @@ object CypherQ {
                  | c.name] | s + '|' + x) AS rich
            ORDER BY nation""")),
 
+    // COLLECT { … RETURN … } subquery (Neo4j 5.6) — the list-valued
+    // member of the COUNT{}/EXISTS{} family, same lowering as the
+    // pattern comprehension above.
+    "cypher_collect_sub" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           RETURN n.name AS nation,
+             size(COLLECT { MATCH (c:Customer)-[:located_in]->(n)
+               WHERE c.acctbal > 9000 RETURN c.name }) AS n_rich,
+             reduce(s = '', x IN
+               COLLECT { MATCH (c:Customer)-[:located_in]->(n)
+                 WHERE c.acctbal > 9000 RETURN c.name }
+               | s + '|' + x) AS rich
+           ORDER BY nation""")),
+
     "cypher_customer_graph" -> ((s, dir) =>
       CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
         """MATCH (c:Customer)-[:located_in]->(n:Nation)-[:in_region]->(r)
@@ -464,6 +479,15 @@ DETACH DELETE n
          GROUP BY 1, 2 ORDER BY nation, band""",
     "cypher_pattern_comp" ->
       """SELECT n.n_name AS nation,
+         COALESCE('|' || array_to_string(
+           list(c.c_name ORDER BY c.c_name)
+             FILTER (WHERE c.c_name IS NOT NULL), '|'), '') AS rich
+         FROM nation n LEFT JOIN customer c
+           ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+         GROUP BY 1 ORDER BY nation""",
+    "cypher_collect_sub" ->
+      """SELECT n.n_name AS nation,
+         COUNT(c.c_name)::BIGINT AS n_rich,
          COALESCE('|' || array_to_string(
            list(c.c_name ORDER BY c.c_name)
              FILTER (WHERE c.c_name IS NOT NULL), '|'), '') AS rich

@@ -404,6 +404,25 @@ class CypherSpec extends AnyFunSuite {
          RETURN c.gid AS gid, incoming, count(*) AS workers""").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(mixed.toSeq == Seq(("urn:c1", 2L, 2L)))
+    // COLLECT { … RETURN … } — the list member of the family;
+    // value-sorted (the engine's deterministic order), [] on no match
+    val lists = CypherEngine.query(store,
+      """MATCH (c {gid: 'urn:c1'})
+         RETURN COLLECT { MATCH (p)-[:worksfor]->(c)
+           RETURN p.name } AS workers""").collect()
+    assert(lists.head.getSeq[String](0).toSeq == Seq("brian", "jane"))
+    val empty = CypherEngine.query(store,
+      """MATCH (n {gid: 'urn:p1'})
+         RETURN COLLECT { MATCH (n)<-[:worksfor]-(x)
+           RETURN x.gid } AS xs""").collect()
+    assert(empty.head.getSeq[String](0).isEmpty)
+    // correlated WHERE inside the subquery
+    val sized = CypherEngine.query(store,
+      """MATCH (c {gid: 'urn:c1'})
+         RETURN size(COLLECT { MATCH (p)-[:worksfor]->(c)
+           WHERE p.name STARTS WITH 'b' RETURN p.name }) AS n""")
+      .collect()
+    assert(sized.head.getLong(0) == 1L)
   }
 
   test("review fixes: null semantics, big-long division, prop+prop") {
