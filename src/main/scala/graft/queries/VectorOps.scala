@@ -240,6 +240,29 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // Range search (the dedup-shaped query): every in-bucket neighbor
+    // at or above a similarity THRESHOLD, not a fixed k — "find all
+    // near-duplicates of this query set". Same sign-signature bucket
+    // sharding as v_knn_lsh: the join fans each query only to its
+    // bucket, which is what bounds the candidate set at scale.
+    "v_range_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = graft.Scratch.track(emb(s, dir)
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .withColumn("bucket", signBucket($"v"))
+        .cache())
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
+          $"bucket")
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
+        $"bucket")
+      q.join(c, Seq("bucket")).filter($"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .filter($"sim" >= 0.2)
+        .select($"qid", $"nid", round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"nid")
+    }),
+
     // IVF ANN: a coarse quantizer assigns every vector to its nearest
     // of K centroids (the inverted lists); a query probes only its
     // NPROBE nearest cells. This is the standard billion-vector layout
@@ -452,6 +475,19 @@ object VectorOps {
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
+    "v_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             (SELECT coalesce(sum(CASE WHEN v[i+1] > 0
+                 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END), 0)
+              FROM range(8) t(i)) bucket FROM e),
+         scored AS (SELECT q.vec_id qid, c.vec_id nid,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) sim
+           FROM b q JOIN b c ON q.bucket = c.bucket
+             AND q.vec_id < 50 AND q.vec_id != c.vec_id)
+         SELECT qid, nid, round(sim, 9) AS sim FROM scored
+         WHERE sim >= 0.2 ORDER BY qid, nid""",
     "v_knn_sq8" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) v
