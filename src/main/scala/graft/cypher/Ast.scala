@@ -163,6 +163,14 @@ object Ast {
       limit: Option[Expr]) extends Clause
 
   case class UnwindClause(expr: Expr, alias: String) extends Clause
+  /** `LOAD CSV [WITH HEADERS] FROM url AS row [FIELDTERMINATOR ';']`
+    * — the Neo4j bulk-ingest clause, mapped onto a Spark csv scan.
+    * With headers the row binds as a map<string,string> (`row.name`);
+    * without, as an array<string> (`row[0]`). Values are all strings,
+    * matching Neo4j (no schema inference).
+    */
+  case class LoadCsvClause(withHeaders: Boolean, url: Expr, alias: String,
+      sep: Option[String]) extends Clause
 
   /** `CALL { [WITH imports] <read query> }` — a subquery evaluated per
     * outer row. Uncorrelated (no imports): the inner result cross-joins

@@ -165,6 +165,41 @@ object Parser {
           val e = parseExpr(p)
           p.expectKw("AS")
           clauses += Ast.UnwindClause(e, p.identOrKw())
+        case Some(Ident(w)) if w.equalsIgnoreCase("LOAD") =>
+          // LOAD CSV [WITH HEADERS] FROM url AS row [FIELDTERMINATOR s]
+          p.next()
+          p.peek match {
+            case Some(Ident(c)) if c.equalsIgnoreCase("CSV") => p.next()
+            case other => throw ParseException(s"expected CSV, got $other")
+          }
+          val headers = p.peek.contains(Kw("WITH")("WITH")) && {
+            p.next()
+            p.peek match {
+              case Some(Ident(h)) if h.equalsIgnoreCase("HEADERS") =>
+                p.next(); true
+              case other => throw ParseException(
+                s"expected HEADERS after WITH, got $other")
+            }
+          }
+          p.peek match {
+            case Some(Ident(f)) if f.equalsIgnoreCase("FROM") => p.next()
+            case other => throw ParseException(s"expected FROM, got $other")
+          }
+          val url = parseExpr(p)
+          p.expectKw("AS")
+          val rowVar = p.identOrKw()
+          val sep = p.peek match {
+            case Some(Ident(ft)) if ft.equalsIgnoreCase("FIELDTERMINATOR") =>
+              p.next()
+              p.next() match {
+                case StrLit(s) => Some(s)
+                case other => throw ParseException(
+                  s"FIELDTERMINATOR needs a string, got $other")
+              }
+            case _ => None
+          }
+          sawAny = true
+          clauses += Ast.LoadCsvClause(headers, url, rowVar, sep)
         case Some(Kw("CALL")) =>
           p.next()
           if (!p.trySym("{")) {

@@ -308,6 +308,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case d: DeleteClause => applyDelete(d)
       case s: SetClause => applySet(s)
       case f: ForeachClause => applyForeach(f)
+      case l: LoadCsvClause => applyLoadCsv(l)
     }
     val items =
       if (df == null) expandStar(q.items)
@@ -1853,6 +1854,41 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     df = if (df == null) f else df.crossJoin(f)
     env += outName -> ValueVar(colName)
     c.where.foreach(applyWhere)
+  }
+
+  /** `LOAD CSV` → a Spark csv scan (header-aware, no inference — all
+    * strings, the Neo4j contract). The row binds like an UNWIND value:
+    * map<string,string> with headers (`row.key` via map subscript),
+    * array<string> without (`row[0]`). A leading LOAD CSV seeds the
+    * frame; after other clauses it cross-joins per row (Neo4j
+    * semantics: the csv rows multiply the incoming rows).
+    */
+  private def applyLoadCsv(l: LoadCsvClause): Unit = {
+    val path = l.url match {
+      case Lit(s: String) => s
+      case Param(n) => params.get(n) match {
+        case Some(s: String) => s
+        case other => throw PlanError(s"LOAD CSV URL param $$$n: $other")
+      }
+      case other => throw PlanError(
+        s"LOAD CSV needs a literal or parameter URL, got $other")
+    }
+    val local = path.stripPrefix("file://")
+    var reader = spark.read
+      .option("header", l.withHeaders.toString)
+      .option("inferSchema", "false")
+    l.sep.foreach(s => reader = reader.option("sep", s))
+    val csv = reader.csv(local)
+    val colName = s"${l.alias}__value"
+    val rowCol =
+      if (l.withHeaders)
+        map_from_arrays(
+          array(csv.columns.map(lit(_)): _*),
+          array(csv.columns.map(csv(_)): _*))
+      else array(csv.columns.map(csv(_)): _*)
+    val bound = csv.select(rowCol.as(colName))
+    df = if (df == null) bound else df.crossJoin(bound)
+    env += l.alias -> ValueVar(colName)
   }
 
   private def applyUnwind(u: UnwindClause): Unit = {

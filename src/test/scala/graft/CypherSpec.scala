@@ -2350,4 +2350,38 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       "RETURN [(1 + 2), 3] AS xs").collect()
     assert(rows.head.getSeq[Long](0) == Seq(3L, 3L))
   }
+
+  test("LOAD CSV: headers map, headerless array, FIELDTERMINATOR, writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val f1 = dir.resolve("people.csv")
+    java.nio.file.Files.writeString(f1,
+      "gid,name,age\nurn:l1,ada,36\nurn:l2,grace,45\n")
+    // WITH HEADERS → map rows, string values (Neo4j contract)
+    val rows = CypherEngine.query(store,
+      s"""LOAD CSV WITH HEADERS FROM 'file://$f1' AS row
+          RETURN row.name AS name, row.age AS age ORDER BY name""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("ada", "36"), ("grace", "45")))
+    // headerless → array rows, positional access
+    val f2 = dir.resolve("bare.csv")
+    java.nio.file.Files.writeString(f2, "x;1\ny;2\n")
+    val bare = CypherEngine.query(store,
+      s"""LOAD CSV FROM 'file://$f2' AS row FIELDTERMINATOR ';'
+          RETURN row[0] AS k, row[1] AS v ORDER BY k""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bare.toSeq == Seq(("x", "1"), ("y", "2")))
+    // the bulk-ingest idiom: LOAD CSV feeding MERGE + SET
+    val wstore = new GraphStore(
+      Files.createTempDirectory("graft-csvw").toString, spark, 2)
+    CypherEngine.query(wstore,
+      s"""LOAD CSV WITH HEADERS FROM 'file://$f1' AS row
+          MERGE (n {gid: row.gid})
+          SET n:Loaded
+          SET n.name = row.name""").collect()
+    val loaded = CypherEngine.query(wstore,
+      """MATCH (n:Loaded) RETURN n.gid AS gid, n.name AS name
+         ORDER BY gid""").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(loaded.toSeq == Seq(("urn:l1", "ada"), ("urn:l2", "grace")))
+  }
 }
