@@ -59,6 +59,48 @@ object Relational {
         .limit(10)
     }),
 
+    // Q10 returned-item reporting: lineitem filtered to returns joins
+    // orders (date-windowed) and the broadcast customer/nation dims;
+    // exact-cents revenue, top 20. Fact tables shuffle once on the
+    // join key; every dim broadcasts.
+    "q10_returned_items" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+        .filter($"o_orderdate" >= "1996-01-01" &&
+          $"o_orderdate" < "1997-01-01")
+      val l = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg((sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          / 100.0).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // Q18 large-volume customers: the having-subquery shape — an
+    // aggregation over the fact table gates the join (big orders
+    // only), then customer broadcasts onto the survivors.
+    "q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").cast("long").as("total_qty"))
+        .filter($"total_qty" > 300)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      big.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
     // Q5-style: 6-way snowflake join; dims broadcast, facts shuffle once.
     "q5_nation_revenue" -> ((s, dir) => {
       import s.implicits._
@@ -362,6 +404,27 @@ object Relational {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.08 AND l_quantity < 24""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+           AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+         SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
     "q4_priority_count" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
