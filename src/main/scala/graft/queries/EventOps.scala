@@ -114,6 +114,28 @@ object EventOps {
         .limit(25)
     }),
 
+    // Data-quality validation (the Deequ shape): per event type, row
+    // and distinct-id counts (duplicate detection), null/range checks
+    // on value, and arrival-order timestamp regressions per
+    // (user, type) — one keyed window + one aggregation, the audit
+    // every ingest pipeline runs before promoting a batch.
+    "e_dq_checks" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"event_id")
+      e.withColumn("prev_ts", lag($"ts", 1).over(w))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"event_id").as("n_ids"),
+          sum(when($"value".isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(when($"value" < 0, 1L).otherwise(0L)).as("n_neg_value"),
+          sum(when($"prev_ts".isNotNull && $"ts" < $"prev_ts", 1L)
+            .otherwise(0L)).as("n_ts_regress"),
+          (count(lit(1)) === countDistinct($"event_id")).as("ids_unique"))
+        .orderBy($"event_type")
+    }),
+
     // Ordered funnel (view → click → purchase, strictly later steps):
     // per user, the first view, the first click after it, the first
     // purchase after that, and the stage reached. Three narrow
@@ -246,6 +268,21 @@ object EventOps {
       """SELECT user_id, COUNT(*) AS n,
          SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
          FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 25""",
+    "e_dq_checks" ->
+      """WITH flagged AS (SELECT event_type, event_id, value, ts,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+             ORDER BY event_id) AS prev_ts
+         FROM events)
+         SELECT event_type, count(*)::BIGINT AS n,
+           count(DISTINCT event_id)::BIGINT AS n_ids,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_value,
+           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_neg_value,
+           sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+             THEN 1 ELSE 0 END)::BIGINT AS n_ts_regress,
+           (count(*) = count(DISTINCT event_id)) AS ids_unique
+         FROM flagged GROUP BY event_type ORDER BY event_type""",
     "e_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) t_view FROM events
            WHERE event_type = 'view' GROUP BY 1),
