@@ -1873,6 +1873,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case other => throw PlanError(
         s"LOAD CSV needs a literal or parameter URL, got $other")
     }
+    if (path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") &&
+        !path.startsWith("file://"))
+      throw PlanError(s"LOAD CSV supports file:// URLs (or bare local " +
+        s"paths) only, got $path")
     val local = path.stripPrefix("file://")
     var reader = spark.read
       .option("header", l.withHeaders.toString)

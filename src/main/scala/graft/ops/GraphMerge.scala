@@ -54,8 +54,6 @@ object GraphMerge {
     val tiny = store.isTiny &&
       batch.queryExecution.analyzed.collectLeaves().forall(
         _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-    val cg0 = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    val fm0 = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     if (tiny) {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -63,8 +61,10 @@ object GraphMerge {
     try applyBatchInner(store, source, label, batch, truncateFirst, syncId)
     finally {
       if (tiny) {
-        spark.conf.set("spark.sql.codegen.wholeStage", cg0)
-        spark.conf.set("spark.sql.codegen.factoryMode", fm0)
+        // engine defaults, not a captured snapshot — a concurrent
+        // writer's in-flight value must not survive the restore
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       }
       prevPolicy match {
         case Some(p) => spark.conf.set("spark.sql.mapKeyDedupPolicy", p)
@@ -527,24 +527,27 @@ object GraphMerge {
     */
   def applyWrite(store: GraphStore, effects: Seq[WriteEffect])
       : CompositeStats = {
-    // Tiny-action mode: a write statement's bookkeeping is dozens of
-    // small probe plans (bounded by the statement's touch set, not
-    // table size), and Janino whole-stage compilation dominates their
-    // runtime — each distinct plan compiles fresh code to process a
-    // handful of rows. Run the probe/effect phase interpreted;
-    // restore codegen BEFORE the commit/overlay writes (the
-    // data-sized paths) via the callback threaded to that point.
-    // The restore is idempotent and also runs in the finally, so an
-    // expected throw (CREATE conflict) cannot leak the conf.
+    // Tiny-action mode, gated like applyBatch on the store stating
+    // tiny: a small write statement's bookkeeping is dozens of tiny
+    // probe plans whose Janino whole-stage compilation dominates their
+    // runtime. Against a big store the probe phase scans real bucket
+    // data, so codegen stays ON there — the gate can't hold at scale.
+    // Restore is to the ENGINE DEFAULTS (not a captured snapshot):
+    // capturing another in-flight writer's temporary value would leak
+    // NO_CODEGEN past both finallys under concurrent writes. It runs
+    // both at the pre-commit point and in the finally, so an expected
+    // throw (CREATE conflict) cannot leave the conf flipped.
     val spark = store.nodes.sparkSession
-    val cg0 = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    val fm0 = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    val restore = () => {
-      spark.conf.set("spark.sql.codegen.wholeStage", cg0)
-      spark.conf.set("spark.sql.codegen.factoryMode", fm0)
+    val tiny = store.isTiny
+    if (tiny) {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     }
+    val restore = () =>
+      if (tiny) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
     try applyWrite0(store, effects, restore)
     finally restore()
   }

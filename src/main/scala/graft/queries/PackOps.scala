@@ -26,8 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object PackOps {
   import Relational.t
-
-  private def wordsCol = split(trim(col("text")), "\\s+")
+  import TextOps.wordsCol
 
   /** seeded md5 shuffle key + its 32-bit prefix as a long */
   private def skeyCol(seed: String) =

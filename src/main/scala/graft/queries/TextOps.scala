@@ -28,8 +28,11 @@ object TextOps {
   /** md5("") — the fingerprint of a fully-stripped document. */
   private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
 
-  /** whitespace words of a trimmed text */
-  private def wordsCol: Column = split(trim(col("text")), "\\s+")
+  /** whitespace words of a trimmed text — THE tokenization rule every
+    * text/corpus operator shares (PackOps included); changing it here
+    * changes them all together
+    */
+  private[queries] def wordsCol: Column = split(trim(col("text")), "\\s+")
 
   /** word 3-gram shingles (docs with <3 words have none) */
   private def shinglesCol(words: Column): Column =

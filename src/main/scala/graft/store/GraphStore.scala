@@ -498,22 +498,24 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       pmod(hash(col(clusterCol)), lit(bucketCount0)))
     val deltaPlan = withBucket.filter(dirtyPred(partCol, dirty))
       .drop("bucket")
-    // Lineage cut, sized to the delta. SMALL deltas (the interactive
-    // write-statement case) collect into a driver LocalRelation: a
-    // localCheckpoint is an opaque RDD that blocks every Catalyst
-    // local-evaluation rule, so each later statement in the session
-    // pays dozens of trivial scheduled jobs probing it; a
-    // LocalRelation folds through ConvertToLocalRelation /
+    // Lineage cut, sized to the delta. The plan executes ONCE — the
+    // eager checkpoint materializes it — and the count/collect below
+    // read the in-memory blocks, never recompute. SMALL deltas (the
+    // interactive write-statement case) then collect into a driver
+    // LocalRelation: a localCheckpoint is an opaque RDD that blocks
+    // every Catalyst local-evaluation rule, so each later statement
+    // in the session pays dozens of trivial scheduled jobs probing
+    // it; a LocalRelation folds through ConvertToLocalRelation /
     // PropagateEmptyRelation instead (on a fresh store the whole
     // overlay plan collapses to local rows). BIG deltas keep the
     // distributed checkpoint — a LocalRelation would pull them
     // through the driver.
-    val rows = deltaPlan.limit(OverlayLocalCap + 1).collect()
+    val ck = deltaPlan.localCheckpoint(true)
     val delta =
-      if (rows.length <= OverlayLocalCap)
+      if (ck.count() <= OverlayLocalCap)
         spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), deltaPlan.schema)
-      else deltaPlan.localCheckpoint(true)
+          java.util.Arrays.asList(ck.collect(): _*), deltaPlan.schema)
+      else ck
     val base = table(tableName, schema, keepBucket = true)
       .filter(!dirtyPred(partCol, dirty))
       .drop("bucket")

@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions","8")
       .config("spark.ui.enabled","false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -16,6 +16,7 @@ object GraphDemo {
     val Array(ndjson, storeDir) = args
     val spark = SparkSession.builder()
       .master("local[4]").appName("graft-demo")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

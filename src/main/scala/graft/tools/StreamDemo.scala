@@ -18,6 +18,7 @@ object StreamDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]").appName("graft-stream-demo")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
