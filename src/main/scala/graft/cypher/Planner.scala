@@ -3035,8 +3035,40 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 /** Facade: the D1 `Query(query string)` contract, made real. */
 object CypherEngine {
   def query(store: GraphStore, cypher: String,
-      params: Map[String, Any] = Map.empty): DataFrame =
-    new Planner(store, params).plan(Parser.parse(cypher))
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    // Neo4j EXPLAIN/PROFILE prefixes: EXPLAIN plans the query and
+    // returns the physical plan WITHOUT running it (write effects are
+    // not applied — parity with Neo4j, whose EXPLAIN never touches
+    // data... read queries only here, writes are rejected); PROFILE
+    // runs the query and appends the executed plan with per-node
+    // stats (Spark's formatted explain after an AQE-final execution).
+    val trimmed = cypher.dropWhile(_.isWhitespace)
+    val upper = trimmed.toUpperCase
+    if (upper.startsWith("EXPLAIN") || upper.startsWith("PROFILE")) {
+      val profile = upper.startsWith("PROFILE")
+      val body = trimmed.drop("EXPLAIN".length)
+      val q = Parser.parse(body)
+      def hasWrites(qq: Ast.Query): Boolean =
+        qq.clauses.exists {
+          case _: Ast.WriteClauseT => true
+          case c: Ast.CallSub => hasWrites(c.inner)
+          case _ => false
+        } || qq.unions.exists { case (_, part) => hasWrites(part) }
+      if (!profile && hasWrites(q))
+        throw new IllegalArgumentException(
+          "EXPLAIN of write statements is not supported (EXPLAIN never " +
+            "applies effects); use PROFILE to execute and plan")
+      val df = new Planner(store, params).plan(q)
+      val spark = df.sparkSession
+      import spark.implicits._
+      if (profile) {
+        df.collect() // execute so AQE finalizes the plan
+        Seq(df.queryExecution.executedPlan.toString).toDF("plan")
+      } else
+        Seq(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)).toDF("plan")
+    } else new Planner(store, params).plan(Parser.parse(cypher))
+  }
 
   /** Open a multi-statement transaction on `store`: every
     * [[CypherSession.run]] sees the uncommitted writes of earlier

@@ -2351,6 +2351,27 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.head.getSeq[Long](0) == Seq(3L, 3L))
   }
 
+  test("EXPLAIN returns the plan without executing; PROFILE executes") {
+    val plan = CypherEngine.query(store,
+      "EXPLAIN MATCH (n:Person) WHERE n.age > 30 RETURN n.gid AS gid")
+      .collect().head.getString(0)
+    assert(plan.contains("Scan") || plan.contains("LocalTableScan"))
+    // EXPLAIN of a write must refuse (it never applies effects)
+    val err = intercept[IllegalArgumentException] {
+      CypherEngine.query(store,
+        "EXPLAIN CREATE (x:Nope {gid: 'urn:nope'})")
+    }
+    assert(err.getMessage.contains("EXPLAIN of write statements"))
+    assert(CypherEngine.query(store,
+      "MATCH (n {gid: 'urn:nope'}) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    // PROFILE executes and returns the finalized physical plan
+    val prof = CypherEngine.query(store,
+      "PROFILE MATCH (n:Person) RETURN count(n) AS c")
+      .collect().head.getString(0)
+    assert(prof.contains("Aggregate") || prof.contains("AdaptiveSparkPlan"))
+  }
+
   test("LOAD CSV: headers map, headerless array, FIELDTERMINATOR, writes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     val f1 = dir.resolve("people.csv")
