@@ -344,6 +344,39 @@ object EventStreams {
       }
   }
 
+  case class DqEvent(user_id: Long, event_type: String, event_id: Long,
+      tsMicros: Long)
+  case class DqKeyStats(user_id: Long, event_type: String, n: Long,
+      n_ts_regress: Long)
+
+  /** Streaming data-quality audit — the stateful twin of
+    * EventOps.e_dq_checks' arrival-order regression count: per
+    * (user, type), state is (last event_id-ordered ts, running
+    * counts); each micro-batch folds its rows in event_id order and
+    * emits the key's current totals (update semantics). Aggregating
+    * the final per-key rows by type equals the batch window's
+    * verdict when arrival order follows event_id across batches.
+    */
+  def dqStream(events: Dataset[DqEvent]): Dataset[DqKeyStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[(Long, Long, Long), DqKeyStats](
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[DqEvent],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (lastTs, n, regress) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (lastTs != Long.MinValue && e.tsMicros < lastTs) regress += 1
+            lastTs = e.tsMicros
+            n += 1
+          }
+          state.update((lastTs, n, regress))
+          DqKeyStats(key._1, key._2, n, regress)
+      }
+  }
+
   /** Off-heap RocksDB state store for the stateful operators — at
     * 100 TB the dedup fingerprint set and open-session state outgrow
     * executor heaps; RocksDB spills them to local disk with the same

@@ -389,6 +389,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.keySet.subsetOf(got.keySet))
   }
 
+  test("streaming dq audit matches the batch regression counts") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: event_type -> (n, n_ts_regress)
+    val expected = EventOps.defs("e_dq_checks")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(5))).toMap
+
+    val rows = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("micros"))
+      .as[(Long, String, Long, Long)]
+      .collect().sortBy(_._3) // arrival follows event_id
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long)]
+    val input = ms.toDS().map { case (u, t, id, m) =>
+      EventStreams.DqEvent(u, t, id, m) }
+    val q = EventStreams.dqStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dq_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // final row per (user, type) = the one with max n (counts only grow)
+    val got = spark.table("dq_out")
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+      .groupBy(_._1._2) // by event_type
+      .map { case (t, m) =>
+        t -> (m.values.map(_._1).sum, m.values.map(_._2).sum) }
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
