@@ -136,6 +136,35 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // volume anomaly detection: per-type minute-bucket counts scored
+    // by z-score against the type's own bucket distribution, |z| > 3
+    // flagged — the monitoring query every event pipeline runs.
+    // Mean/σ come from INTEGER sums (Σn, Σn², bucket count) with one
+    // double division at the end, so the result is order-independent
+    // and replays exactly; two keyed aggregations (map-side combined)
+    // plus a broadcast of the per-type stats — nothing here grows
+    // with event volume except the first word-count-shaped pass.
+    "e_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = ev(s, dir)
+        .groupBy($"event_type", date_trunc("minute", $"ts").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val stats = buckets.groupBy($"event_type")
+        .agg(count(lit(1)).as("nb"), sum($"n").as("sn"),
+          sum($"n" * $"n").as("sq"))
+      buckets.join(broadcast(stats), Seq("event_type"))
+        .withColumn("mean", $"sn".cast("double") / $"nb")
+        .withColumn("sd",
+          sqrt(greatest(($"sq".cast("double") / $"nb") - $"mean" * $"mean",
+            lit(0.0))))
+        .withColumn("z", round(when($"sd" === 0.0, lit(0.0))
+          .otherwise(($"n".cast("double") - $"mean") / $"sd"), 9))
+        .select($"event_type",
+          date_format($"bucket", "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          $"n", $"z", (abs($"z") > 3.0).as("is_anomaly"))
+        .orderBy($"event_type", $"bucket")
+    }),
+
     // Ordered funnel (view → click → purchase, strictly later steps):
     // per user, the first view, the first click after it, the first
     // purchase after that, and the stage reached. Three narrow
@@ -230,6 +259,25 @@ object EventOps {
          COUNT(*) AS n,
          SUM(CAST(round(value*100) AS BIGINT))/100.0 AS total
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "e_anomaly" ->
+      """WITH b AS (SELECT event_type, date_trunc('minute', ts) bucket,
+             count(*) n
+           FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) nb, sum(n) sn, sum(n*n) sq
+           FROM b GROUP BY 1),
+         j AS (SELECT b.event_type, b.bucket, b.n,
+             CAST(st.sn AS DOUBLE) / st.nb AS mean,
+             sqrt(greatest(CAST(st.sq AS DOUBLE) / st.nb
+               - (CAST(st.sn AS DOUBLE) / st.nb)
+                 * (CAST(st.sn AS DOUBLE) / st.nb), 0.0)) AS sd
+           FROM b JOIN st USING (event_type)),
+         z AS (SELECT event_type, bucket, n,
+             round(CASE WHEN sd = 0.0 THEN 0.0
+               ELSE (CAST(n AS DOUBLE) - mean) / sd END, 9) AS z
+           FROM j)
+         SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n, z, abs(z) > 3.0 AS is_anomaly
+         FROM z ORDER BY event_type, bucket""",
     "e_sliding" ->
       """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, COUNT(*) AS n
          FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),

@@ -34,12 +34,15 @@ object TextOps {
     */
   private[queries] def wordsCol: Column = split(trim(col("text")), "\\s+")
 
-  /** word 3-gram shingles (docs with <3 words have none) */
-  private def shinglesCol(words: Column): Column =
-    when(size(words) >= 3,
-      transform(sequence(lit(1), size(words) - 2),
-        i => array_join(slice(words, i, lit(3)), " ")))
+  /** word k-gram shingles (docs with <k words have none) */
+  private def kShinglesCol(words: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => array_join(slice(words, i, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** word 3-gram shingles (docs with <3 words have none) */
+  private def shinglesCol(words: Column): Column = kShinglesCol(words, 3)
 
   /** (doc_id, s) distinct shingle table. `words` is materialized as a
     * real column BEFORE the shingle transform — inlining the split()
@@ -706,6 +709,101 @@ object TextOps {
         .filter($"hamming" <= 3)
         .select($"da", $"db", $"hamming")
         .orderBy($"da", $"db")
+    }),
+
+    // corpus n-gram statistics: the top-20 word bigrams by total count
+    // (ties broken by bigram text — fully deterministic top-k). The
+    // corpus-analysis staple behind vocabulary reports and template
+    // detection. One shuffle on the bigram; partial aggregation
+    // shrinks it map-side, and the top-k is a 20-row driver result —
+    // the shape is a word-count, it holds at any scale.
+    "t_ngram_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .filter(size($"w") >= 2)
+        .repartition($"doc_id")
+        .select($"doc_id", explode(kShinglesCol($"w", 2)).as("bg"))
+        .groupBy($"bg")
+        .agg(count(lit(1)).as("n_total"),
+          count_distinct($"doc_id").as("n_docs"))
+        .orderBy($"n_total".desc, $"bg")
+        .limit(20)
+    }),
+
+    // duplicated-span detection (the signal behind Lee et al. 2022's
+    // exact-substring dedup, arXiv:2107.06499): a doc's distinct
+    // 8-word spans that also appear verbatim in ANOTHER doc, plus the
+    // duplicated fraction. Unlike the pairwise dedup ops this never
+    // joins doc×doc: the shared-span set comes from one groupBy on
+    // the span (map-side combined), and docs re-join it by span key —
+    // both shuffles are keyed on the span, so the plan is two
+    // word-count-shaped passes regardless of corpus size.
+    "t_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      val sh = graft.Scratch.track(
+        t(s, dir, "documents")
+          .select($"doc_id", wordsCol.as("w"))
+          .repartition($"doc_id")
+          .select($"doc_id", explode(kShinglesCol($"w", 8)).as("s"))
+          .distinct().cache())
+      val shared = sh.groupBy($"s")
+        .agg(count_distinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"s", lit(1).as("dup"))
+      val per = sh.join(shared, Seq("s"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"), count($"dup").as("n_dup"))
+      t(s, dir, "documents").select($"doc_id")
+        .join(per, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          when($"n_spans" === 0, lit(0.0))
+            .otherwise($"n_dup".cast("double") / $"n_spans"))
+        .orderBy($"doc_id")
+    }),
+
+    // BM25 keyword retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75):
+    // per-doc relevance against a fixed query term set — the lexical
+    // retrieval half of a data-curation stack (the other half is the
+    // ANN family in VectorOps). The plan is inverted-index-shaped:
+    // tokens filter to query terms BEFORE any shuffle, document
+    // frequencies and corpus stats are single-row/broadcast joins, and
+    // the per-(doc, term) score aggregates map-side — no all-doc
+    // shuffle carries text. Every input to the formula is an integer
+    // (tf, dl, df, N) cast to double in the same expression both
+    // engines evaluate, so scores replay exactly.
+    "t_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "hash", "join")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .select($"doc_id", size($"w").cast("long").as("dl"), $"w")
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum($"dl").as("sum_dl"))
+      val tf = docs
+        .select($"doc_id", $"dl", explode($"w").as("term"))
+        .filter($"term".isin(terms: _*))
+        .groupBy($"doc_id", $"dl", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term")
+        .agg(count_distinct($"doc_id").as("dfreq"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+        .withColumn("idf", log(lit(1.0) +
+          (($"n_docs" - $"dfreq").cast("double") + 0.5) /
+            ($"dfreq".cast("double") + 0.5)))
+        .withColumn("contrib", $"idf" * ($"tf".cast("double") * 2.2) /
+          ($"tf".cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              ($"dl".cast("double") / $"avgdl"))))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum($"contrib"), 9).as("score"))
+        .orderBy($"doc_id")
     }))
 
   /** 32-bit SimHash over distinct tokens: bit j comes from md5's first
@@ -775,6 +873,57 @@ object TextOps {
       """SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "t_ngram_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+               i -> array_to_string(w[i:i+1], ' '))) AS bg
+           FROM toks WHERE len(w) >= 2)
+         SELECT bg, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+         FROM bg GROUP BY bg ORDER BY n_total DESC, bg LIMIT 20""",
+    "t_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> array_to_string(w[i:i+7], ' '))) AS s
+           FROM toks WHERE len(w) >= 8),
+         shared AS (SELECT s, 1 AS dup FROM sh GROUP BY s
+           HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT sh.doc_id, count(*) AS n_spans,
+             count(sc.dup) AS n_dup
+           FROM sh LEFT JOIN shared sc USING (s) GROUP BY sh.doc_id)
+         SELECT d.doc_id,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.n_dup, 0) AS n_dup,
+           CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_spans END AS dup_frac
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         ORDER BY d.doc_id""",
+    "t_bm25" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) dl,
+             string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT doc_id, dl, term, count(*) tf
+           FROM (SELECT doc_id, dl, unnest(w) term FROM d)
+           WHERE term IN ('spark', 'hash', 'join')
+           GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) dfreq
+           FROM tf GROUP BY term),
+         scored AS (SELECT t.doc_id,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS contrib
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
+         SELECT doc_id, count(*) AS n_terms,
+           round(sum(contrib), 9) AS score
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "t_vocab_stats" ->
       """WITH toks AS (SELECT doc_id,
              unnest(string_split_regex(trim(text), '\s+')) w

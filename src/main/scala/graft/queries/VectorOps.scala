@@ -430,6 +430,41 @@ object VectorOps {
         .select($"vec_id", $"label", asDouble($"embedding").as("v")))
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication = k-means-cluster the embedding space, then drop
+    // near-duplicates WITHIN each cluster only — the clustering bounds
+    // the pairwise cosine work to cell-local joins, which is the whole
+    // point of the method at scale (candidate pairs grow with
+    // Σ|cell|², never corpus²). Reuses the deterministic integer-micro
+    // Lloyd trainer the IVF family shares, so the DuckDB oracle
+    // replays training bit-for-bit. Keep rule: a vector is dropped iff
+    // a LOWER-id member of its cell sits within cosine ≥ τ (greedy
+    // min-id keeper, the same deterministic convention as dedup_exact).
+    // τ = 0.4 is the aggressive end of the paper's threshold sweep —
+    // this corpus has no engineered near-identical pairs, so a
+    // production-τ run would be all-keep.
+    "v_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = graft.Scratch.track(
+        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
+      val cells = graft.Scratch.track(
+        ivfAssigned(s, e, K = 16, iters = 2).filter($"r" === 1)
+          .select($"vec_id", $"v", $"norm", $"cid").cache())
+      val a = cells.select($"cid", $"vec_id".as("da"), $"v".as("va"),
+        $"norm".as("na"))
+      val b = cells.select($"cid", $"vec_id".as("db"), $"v".as("vb"),
+        $"norm".as("nb"))
+      val dups = a.join(b, Seq("cid"))
+        .filter($"da" < $"db")
+        .withColumn("sim", dot($"va", $"vb") / ($"na" * $"nb"))
+        .filter($"sim" >= 0.4)
+        .select($"db".as("vec_id")).distinct()
+      cells.select($"vec_id", $"cid")
+        .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cid", $"dup".isNull.as("keep"))
+        .orderBy($"vec_id")
+    }),
+
     // per-cluster stats: exact micro-norm sums (integer arithmetic).
     "v_cluster_stats" -> ((s, dir) => {
       import s.implicits._
@@ -740,6 +775,59 @@ object VectorOps {
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
+    "v_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
+           ORDER BY vec_id LIMIT 16),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
+         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                 c.cid) r
+           FROM n a CROSS JOIN c2n c),
+         cells AS (SELECT vec_id nid, v nv, norm nn, cid cell
+           FROM assigned WHERE r = 1),
+         pairs AS (SELECT a.nid da, b.nid db,
+             list_dot_product(a.nv, b.nv) / (a.nn * b.nn) sim
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.nid < b.nid),
+         dups AS (SELECT DISTINCT db AS vec_id FROM pairs WHERE sim >= 0.4)
+         SELECT c.nid AS vec_id, c.cell AS cid, d.vec_id IS NULL AS keep
+         FROM cells c LEFT JOIN dups d ON c.nid = d.vec_id
+         ORDER BY vec_id""",
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
            FROM embeddings),
