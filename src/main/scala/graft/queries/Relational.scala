@@ -101,6 +101,97 @@ object Relational {
         .limit(100)
     }),
 
+    // TPC-H Q7 (volume shipping): revenue flowing between two nations
+    // by shipment year. The nation filter lands on the DIM side before
+    // any fact join — supplier/customer shrink to the two nations
+    // first, so the big lineitem⋈orders shuffle carries only rows that
+    // can survive; the cross-pair predicate then only drops same-nation
+    // rows. Dims broadcast, facts shuffle once on orderkey.
+    "q7_volume_shipping" -> ((s, dir) => {
+      import s.implicits._
+      val pairNations = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation")
+        .filter($"n_name".isin(pairNations: _*))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .filter($"n_name".isin(pairNations: _*))
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      val c = t(s, dir, "customer")
+        .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      val l = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1998-01-01")
+      l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").as("l_year"))
+        .agg((sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          / 100.0).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    // TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    // revenue sold into region AMERICA-analog (r_regionkey 0), by
+    // order year. Share = ratio of two exact cent sums — one double
+    // division at the end, so the percentage replays bit-for-bit.
+    // PROMO parts and region-filtered customers prune fact rows
+    // before the orderkey shuffle.
+    "q8_market_share" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part").filter($"p_type" === "PROMO")
+      val r = t(s, dir, "region").filter($"r_regionkey" === 0)
+      val c = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      val sn = t(s, dir, "nation")
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(sn), $"s_nationkey" === $"s_nk")
+      val o = t(s, dir, "orders")
+        .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          sum(when($"supp_nation" === "NATION_3",
+            cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .otherwise(0L)).as("nc"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("tc"))
+        .select($"o_year",
+          round($"nc".cast("double") / $"tc", 9).as("mkt_share"),
+          ($"tc" / 100.0).as("total_revenue"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q14 (promotion effect): PROMO parts' share of a quarter's
+    // revenue. Two exact cent sums in ONE aggregation over the
+    // date-pruned scan; the part dim broadcasts.
+    "q14_promo_effect" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-04-01")
+      l.join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO",
+            cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .otherwise(0L)).as("pc"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("tc"))
+        .select(
+          round($"pc".cast("double") * 100.0 / $"tc", 9)
+            .as("promo_revenue_pct"),
+          ($"pc" / 100.0).as("promo_revenue"),
+          ($"tc" / 100.0).as("total_revenue"))
+    }),
+
     // Q5-style: 6-way snowflake join; dims broadcast, facts shuffle once.
     "q5_nation_revenue" -> ((s, dir) => {
       import s.implicits._
@@ -425,6 +516,58 @@ object Relational {
          FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+             AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND sn.n_name IN ('NATION_1', 'NATION_2')
+           AND cn.n_name IN ('NATION_1', 'NATION_2')
+           AND sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      """WITH agg AS (SELECT year(o_orderdate) AS o_year,
+           SUM(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+             ELSE 0 END) AS nc,
+           SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             AS tc
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cnn ON c_nationkey = cnn.n_nationkey
+         JOIN region ON cnn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE p_type = 'PROMO' AND r_regionkey = 0
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1)
+         SELECT o_year, round(CAST(nc AS DOUBLE) / tc, 9) AS mkt_share,
+           tc/100.0 AS total_revenue
+         FROM agg ORDER BY o_year""",
+    "q14_promo_effect" ->
+      """WITH agg AS (SELECT
+           SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+             ELSE 0 END) AS pc,
+           SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             AS tc
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01')
+         SELECT round(CAST(pc AS DOUBLE) * 100.0 / tc, 9)
+             AS promo_revenue_pct,
+           pc/100.0 AS promo_revenue, tc/100.0 AS total_revenue
+         FROM agg""",
     "q4_priority_count" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
