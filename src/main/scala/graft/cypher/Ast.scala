@@ -188,7 +188,8 @@ object Ast {
     */
   case class CallProc(name: String,
       yields: Seq[(String, Option[String])],
-      where: Option[Expr] = None) extends Clause
+      where: Option[Expr] = None,
+      args: Seq[Expr] = Nil) extends Clause
 
   case class ReturnItem(expr: Expr, alias: Option[String]) {
     def name: String = alias.getOrElse(Render.expr(expr))

@@ -208,7 +208,12 @@ object Parser {
             nameParts += p.identOrKw()
             while (p.trySym(".")) nameParts += p.identOrKw()
             p.expectSym("(")
-            p.expectSym(")")
+            val procArgs = Seq.newBuilder[Ast.Expr]
+            if (!p.trySym(")")) {
+              procArgs += parseExpr(p)
+              while (p.trySym(",")) procArgs += parseExpr(p)
+              p.expectSym(")")
+            }
             val yields = Seq.newBuilder[(String, Option[String])]
             var procWhere: Option[Ast.Expr] = None
             p.peek match {
@@ -226,7 +231,7 @@ object Parser {
             }
             sawAny = true
             clauses += Ast.CallProc(nameParts.result().mkString("."),
-              yields.result(), procWhere)
+              yields.result(), procWhere, procArgs.result())
           } else {
           // optional importing WITH of bare variable names — repeated
           // per UNION part (Neo4j requires each part to re-import)

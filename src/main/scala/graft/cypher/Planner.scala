@@ -1824,35 +1824,78 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * the incoming binding table, as Neo4j procedure CALLs do.
     */
   private def applyCallProc(c: CallProc): Unit = {
-    val (defName, frame) = c.name.toLowerCase match {
+    def noArgs(): Unit = if (c.args.nonEmpty)
+      throw PlanError(s"${c.name} takes no arguments")
+    // one optional integer argument (a literal or an integer param)
+    def intArg(what: String, default: Long): Long = c.args match {
+      case Seq() => default
+      case Seq(Lit(i: Long)) => i
+      case Seq(Param(n)) => params.get(n) match {
+        case Some(i: Int) => i.toLong
+        case Some(i: Long) => i
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(
+        s"$what takes one integer argument, got $other")
+    }
+    val (frame, cols): (DataFrame, Seq[String]) = c.name.toLowerCase match {
       case "db.labels" =>
-        ("label", store.nodes.select(explode(concat(
+        noArgs()
+        (store.nodes.select(explode(concat(
           when(col("label").isNotNull, array(col("label")))
             .otherwise(array().cast("array<string>")),
           coalesce(col("xlabels"), array().cast("array<string>"))))
-          .as("label")).distinct())
+          .as("label")).distinct(), Seq("label"))
       case "db.relationshiptypes" =>
-        ("relationshipType", store.edges
-          .select(col("relType").as("relationshipType")).distinct())
+        noArgs()
+        (store.edges.select(col("relType").as("relationshipType"))
+          .distinct(), Seq("relationshipType"))
       case "db.propertykeys" =>
-        ("propertyKey", store.nodes
+        noArgs()
+        (store.nodes
           .select(explode(map_keys(col("props"))).as("propertyKey"))
-          .distinct())
+          .distinct(), Seq("propertyKey"))
+      // graph-analytics procedures (the gds.* analog): the GraphX
+      // bridge runs over the store snapshot and the result joins back
+      // by gid — deterministic integer arithmetic throughout
+      // (pageRankMicro), so every yield is oracle-able
+      case "graft.pagerank" =>
+        val iters = intArg("graft.pageRank", 10L)
+        if (iters < 1 || iters > 100)
+          throw PlanError(s"graft.pageRank iterations out of [1,100]: $iters")
+        (graft.ops.GraphAnalytics
+          .pageRankMicro(spark, store.nodes, store.edges, iters.toInt)
+          .withColumnRenamed("rank_micro", "rankMicro"),
+          Seq("gid", "rankMicro"))
+      case "graft.connectedcomponents" =>
+        noArgs()
+        (graft.ops.GraphAnalytics
+          .connectedComponents(spark, store.nodes, store.edges),
+          Seq("gid", "component"))
+      case "graft.degrees" =>
+        noArgs()
+        (graft.ops.GraphAnalytics.degrees(spark, store.nodes, store.edges)
+          .withColumnRenamed("out_degree", "outDegree")
+          .withColumnRenamed("in_degree", "inDegree"),
+          Seq("gid", "outDegree", "inDegree"))
       case other => throw PlanError(s"unknown procedure $other")
     }
-    val outName = c.yields match {
-      case Seq() => defName
-      case Seq((n, alias)) if n == defName => alias.getOrElse(n)
-      case other => throw PlanError(
-        s"${c.name} yields a single column $defName, got " +
-          other.map(_._1).mkString(", "))
+    // YIELD picks (and may alias) a subset; a bare CALL binds every
+    // column under its own name (Neo4j standalone-CALL behavior)
+    val binds: Seq[(String, String)] =
+      if (c.yields.isEmpty) cols.map(n => (n, n))
+      else c.yields.map { case (n, alias) =>
+        if (!cols.contains(n)) throw PlanError(
+          s"${c.name} yields ${cols.mkString(", ")}, got $n")
+        (n, alias.getOrElse(n))
+      }
+    binds.foreach { case (_, b) =>
+      if (env.contains(b)) throw PlanError(s"variable $b already bound")
     }
-    if (env.contains(outName))
-      throw PlanError(s"variable $outName already bound")
-    val colName = s"${outName}__value"
-    val f = frame.select(col(defName).as(colName))
+    val f = frame.select(binds.map { case (n, b) =>
+      col(n).as(s"${b}__value") }: _*)
     df = if (df == null) f else df.crossJoin(f)
-    env += outName -> ValueVar(colName)
+    binds.foreach { case (_, b) => env += b -> ValueVar(s"${b}__value") }
     c.where.foreach(applyWhere)
   }
 

@@ -91,6 +91,29 @@ object CypherQ {
         .orderBy("kind", "name")
     }),
 
+    // Graph-analytics procedures (the gds.* analog) over the nation
+    // star: integer-micro PageRank, GraphX degrees, and connected
+    // components — all deterministic integer results, so the oracle
+    // replays them in closed form over the source tables (every
+    // nation has out-degree 1 into its region; ranks converge by
+    // iteration 3 of 5: nations at the 150000 floor, a region at
+    // 150000 + |members|·floor(150000·85/100)).
+    "cypher_proc_analytics" -> ((s, dir) => {
+      val st = GraphOnTpch.nationStore(s, dir)
+      CypherEngine.query(st,
+        """CALL graft.pageRank(5) YIELD gid, rankMicro
+           RETURN 'pr' AS kind, gid, rankMicro AS v ORDER BY gid""")
+        .unionByName(CypherEngine.query(st,
+          """CALL graft.degrees() YIELD gid, outDegree, inDegree
+             RETURN 'deg' AS kind, gid, outDegree * 100 + inDegree AS v
+             ORDER BY gid"""))
+        .unionByName(CypherEngine.query(st,
+          """CALL graft.connectedComponents() YIELD gid, component
+             WHERE component = 'n:0'
+             RETURN 'cc' AS kind, gid, 0 AS v ORDER BY gid"""))
+        .orderBy("kind", "gid")
+    }),
+
     // Cypher write surface (the reference templates' MERGE/SET forms,
     // /root/reference/neo4j.go:103-127) into a PRIVATE store: CREATE a
     // node, CREATE an edge between bound endpoints, SET a property —
@@ -551,6 +574,31 @@ DETACH DELETE n
            ('relType', 'in_region'), ('relType', 'located_in'))
            t(kind, name)
          ORDER BY kind, name""",
+    "cypher_proc_analytics" ->
+      """WITH pr AS (
+           SELECT 'pr' AS kind, 'n:'||n_nationkey AS gid,
+             CAST(150000 AS BIGINT) AS v FROM nation
+           UNION ALL
+           SELECT 'pr', 'r:'||n_regionkey,
+             150000 + COUNT(*) * 127500 FROM nation GROUP BY n_regionkey),
+         deg AS (
+           SELECT 'deg' AS kind, 'n:'||n_nationkey AS gid,
+             CAST(100 AS BIGINT) AS v FROM nation
+           UNION ALL
+           SELECT 'deg', 'r:'||n_regionkey, COUNT(*)
+           FROM nation GROUP BY n_regionkey),
+         cc AS (
+           SELECT 'cc' AS kind, 'n:'||n_nationkey AS gid,
+             CAST(0 AS BIGINT) AS v
+           FROM nation WHERE n_regionkey =
+             (SELECT n_regionkey FROM nation WHERE n_nationkey = 0)
+           UNION ALL
+           SELECT 'cc', 'r:'||
+             (SELECT n_regionkey FROM nation WHERE n_nationkey = 0), 0)
+         SELECT kind, gid, v FROM
+           (SELECT * FROM pr UNION ALL SELECT * FROM deg
+            UNION ALL SELECT * FROM cc)
+         ORDER BY kind, gid""",
     "cypher_set_create" ->
       """WITH nn AS (
            SELECT n_regionkey,

@@ -2239,7 +2239,62 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       CypherEngine.query(st, "CALL db.labels() YIELD nope RETURN nope")
         .collect()
     }
-    assert(err.getMessage.contains("single column"))
+    assert(err.getMessage.contains("yields label"))
+    // db.* procedures take no arguments
+    val argErr = intercept[Exception] {
+      CypherEngine.query(st, "CALL db.labels(3) YIELD label RETURN label")
+        .collect()
+    }
+    assert(argErr.getMessage.contains("no arguments"))
+  }
+
+  test("CALL graft.pageRank / degrees / connectedComponents") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-gds").toString, spark, 2)
+    val ds = new GraphDataset(st, spark, "people", "Person")
+    // a -> b -> c chain plus isolated d
+    ds.fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "a")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "b")
+        .withRef("urn:x#knows", "urn:c"),
+      Entity("urn:c").withProp("urn:x#name", "c"),
+      Entity("urn:d").withProp("urn:x#name", "d")))
+    // degrees: multi-column YIELD with aliasing + WHERE on a yield
+    val deg = CypherEngine.query(st,
+      """CALL graft.degrees() YIELD gid, outDegree AS o, inDegree
+         WHERE o > 0 RETURN gid, o, inDegree ORDER BY gid""").collect()
+    assert(deg.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+      == Seq(("urn:a", 1, 0), ("urn:b", 1, 1)))
+    // components: chain is one component labeled by min gid; d alone
+    val cc = CypherEngine.query(st,
+      """CALL graft.connectedComponents() YIELD gid, component
+         RETURN component, count(*) AS n ORDER BY component""").collect()
+    assert(cc.map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("urn:a", 3L), ("urn:d", 1L)))
+    // pageRank: 2 iterations on the chain — integer-micro arithmetic:
+    // a: 150000; b: 150000 + floor(150000*85/100) = 277500 (iter 2);
+    // c: 150000 + floor((150000+850000... keep to the converged pair
+    // and just pin a < b < c ordering plus the exact floor for a and b
+    val pr = CypherEngine.query(st,
+      """CALL graft.pageRank(2) YIELD gid, rankMicro
+         RETURN gid, rankMicro ORDER BY gid""").collect()
+    val ranks = pr.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("urn:a") == 150000L)
+    assert(ranks("urn:b") == 150000L + 127500L)
+    assert(ranks("urn:d") == 150000L)
+    assert(ranks("urn:c") > ranks("urn:b"))
+    // bare CALL binds all yield columns under their own names
+    val bare = CypherEngine.query(st,
+      "CALL graft.degrees() RETURN gid, outDegree, inDegree ORDER BY gid")
+      .collect()
+    assert(bare.length == 4)
+    // iteration bound is validated
+    val err = intercept[Exception] {
+      CypherEngine.query(st,
+        "CALL graft.pageRank(0) YIELD gid, rankMicro RETURN gid").collect()
+    }
+    assert(err.getMessage.contains("out of [1,100]"))
   }
 
   test("whole-pattern relationship MERGE with unbound endpoints") {
