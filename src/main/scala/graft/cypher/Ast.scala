@@ -179,7 +179,13 @@ object Ast {
     * invocation, and inner ORDER BY/SKIP/LIMIT apply PER invocation
     * (lowered as a window over the correlation key). Read-only.
     */
-  case class CallSub(imports: Seq[String], inner: Query) extends Clause
+  /** `CALL { … }` subquery; `txRows` is set for the
+    * `IN TRANSACTIONS [OF n ROWS]` form (outer None = plain CALL,
+    * Some(None) = default batch size, Some(Some(e)) = OF e ROWS)
+    */
+  case class CallSub(imports: Seq[String], inner: Query,
+      txRows: Option[Option[Expr]] = None,
+      optional: Boolean = false) extends Clause
 
   /** `CALL db.labels() YIELD label [AS l]` — the introspection
     * procedures (db.labels / db.relationshipTypes / db.propertyKeys);

@@ -134,8 +134,120 @@ object Parser {
     var sawAny = false
     var sawWrite = false
     var done = false
+    // CALL — a procedure call or a subquery; `optional` marks
+    // Neo4j 5.21's OPTIONAL CALL (zero body rows keep the outer row,
+    // nulls for the returned columns)
+    def parseCallClause(optional: Boolean): Unit = {
+          if (!p.trySym("{")) {
+            // procedure call: CALL db.labels() [YIELD col [AS alias], …]
+            val nameParts = Seq.newBuilder[String]
+            nameParts += p.identOrKw()
+            while (p.trySym(".")) nameParts += p.identOrKw()
+            p.expectSym("(")
+            val procArgs = Seq.newBuilder[Ast.Expr]
+            if (!p.trySym(")")) {
+              procArgs += parseExpr(p)
+              while (p.trySym(",")) procArgs += parseExpr(p)
+              p.expectSym(")")
+            }
+            val yields = Seq.newBuilder[(String, Option[String])]
+            var procWhere: Option[Ast.Expr] = None
+            p.peek match {
+              case Some(Ident(y)) if y.equalsIgnoreCase("YIELD") =>
+                p.next()
+                def one(): Unit = {
+                  val n = p.identOrKw()
+                  yields += ((n,
+                    if (p.tryKw("AS")) Some(p.identOrKw()) else None))
+                }
+                one()
+                while (p.trySym(",")) one()
+                if (p.tryKw("WHERE")) procWhere = Some(parseExpr(p))
+              case _ => ()
+            }
+            if (optional) throw ParseException(
+              "OPTIONAL CALL supports subqueries only, not procedures")
+            sawAny = true
+            clauses += Ast.CallProc(nameParts.result().mkString("."),
+              yields.result(), procWhere, procArgs.result())
+          } else {
+          // optional importing WITH of bare variable names — repeated
+          // per UNION part (Neo4j requires each part to re-import)
+          val imports = Seq.newBuilder[String]
+          def parseImports(): Unit =
+            if (p.peek.contains(Kw("WITH")("WITH"))) {
+              p.next()
+              def one(): Unit = p.next() match {
+                case Ident(v) => imports += v
+                case other => throw ParseException(
+                  s"CALL imports must be bare variable names, got $other")
+              }
+              one()
+              while (p.trySym(",")) one()
+            }
+          parseImports()
+          val inner = parseQuery(p)
+          // UNION parts inside a CALL subquery
+          val unions = Seq.newBuilder[(Boolean, Ast.Query)]
+          var allMode: Option[Boolean] = None
+          var prevPart = inner
+          while (p.tryKw("UNION")) {
+            val all = p.tryKw("ALL")
+            if (allMode.exists(_ != all))
+              throw ParseException("cannot mix UNION and UNION ALL")
+            allMode = Some(all)
+            if (prevPart.orderBy.nonEmpty || prevPart.skip.nonEmpty ||
+                prevPart.limit.nonEmpty)
+              throw ParseException(
+                "ORDER BY/SKIP/LIMIT is only allowed in the final UNION part")
+            parseImports()
+            val part = parseQuery(p)
+            unions += ((all, part))
+            prevPart = part
+          }
+          p.expectSym("}")
+          // `CALL { … } IN TRANSACTIONS [OF n ROWS]` — batched-commit
+          // write subquery (the Neo4j bulk-ingest idiom)
+          var txRows: Option[Option[Ast.Expr]] = None
+          if (p.peek.contains(Kw("IN")("IN"))) {
+            p.next()
+            p.peek match {
+              case Some(Ident(t)) if t.equalsIgnoreCase("TRANSACTIONS") =>
+                p.next()
+              case other => throw ParseException(
+                s"expected TRANSACTIONS after IN, got $other")
+            }
+            txRows = Some(
+              if (p.peek.exists {
+                case Ident(o) => o.equalsIgnoreCase("OF"); case _ => false
+              }) {
+                p.next()
+                val n = parseExpr(p)
+                p.peek match {
+                  case Some(Ident(r)) if r.equalsIgnoreCase("ROWS") =>
+                    p.next()
+                  case other => throw ParseException(
+                    s"expected ROWS after the batch size, got $other")
+                }
+                Some(n)
+              } else None)
+          }
+          if (optional && txRows.nonEmpty) throw ParseException(
+            "OPTIONAL CALL cannot be combined with IN TRANSACTIONS")
+          sawAny = true
+          // the IN TRANSACTIONS form is itself a write statement (its
+          // body commits) — a trailing RETURN is optional like any write
+          if (txRows.nonEmpty) sawWrite = true
+          clauses += Ast.CallSub(imports.result().distinct,
+            inner.copy(unions = unions.result()), txRows, optional)
+          }
+    }
     while (!done) {
       p.peek match {
+        case Some(Kw("OPTIONAL")) if p.toks.drop(1).headOption
+            .contains(Kw("CALL")("CALL")) =>
+          p.next(); p.next()
+          parseCallClause(optional = true)
         case Some(Kw("MATCH")) | Some(Kw("OPTIONAL")) =>
           val optional = p.tryKw("OPTIONAL")
           p.expectKw("MATCH")
@@ -202,76 +314,7 @@ object Parser {
           clauses += Ast.LoadCsvClause(headers, url, rowVar, sep)
         case Some(Kw("CALL")) =>
           p.next()
-          if (!p.trySym("{")) {
-            // procedure call: CALL db.labels() [YIELD col [AS alias], …]
-            val nameParts = Seq.newBuilder[String]
-            nameParts += p.identOrKw()
-            while (p.trySym(".")) nameParts += p.identOrKw()
-            p.expectSym("(")
-            val procArgs = Seq.newBuilder[Ast.Expr]
-            if (!p.trySym(")")) {
-              procArgs += parseExpr(p)
-              while (p.trySym(",")) procArgs += parseExpr(p)
-              p.expectSym(")")
-            }
-            val yields = Seq.newBuilder[(String, Option[String])]
-            var procWhere: Option[Ast.Expr] = None
-            p.peek match {
-              case Some(Ident(y)) if y.equalsIgnoreCase("YIELD") =>
-                p.next()
-                def one(): Unit = {
-                  val n = p.identOrKw()
-                  yields += ((n,
-                    if (p.tryKw("AS")) Some(p.identOrKw()) else None))
-                }
-                one()
-                while (p.trySym(",")) one()
-                if (p.tryKw("WHERE")) procWhere = Some(parseExpr(p))
-              case _ => ()
-            }
-            sawAny = true
-            clauses += Ast.CallProc(nameParts.result().mkString("."),
-              yields.result(), procWhere, procArgs.result())
-          } else {
-          // optional importing WITH of bare variable names — repeated
-          // per UNION part (Neo4j requires each part to re-import)
-          val imports = Seq.newBuilder[String]
-          def parseImports(): Unit =
-            if (p.peek.contains(Kw("WITH")("WITH"))) {
-              p.next()
-              def one(): Unit = p.next() match {
-                case Ident(v) => imports += v
-                case other => throw ParseException(
-                  s"CALL imports must be bare variable names, got $other")
-              }
-              one()
-              while (p.trySym(",")) one()
-            }
-          parseImports()
-          val inner = parseQuery(p)
-          // UNION parts inside a CALL subquery
-          val unions = Seq.newBuilder[(Boolean, Ast.Query)]
-          var allMode: Option[Boolean] = None
-          var prevPart = inner
-          while (p.tryKw("UNION")) {
-            val all = p.tryKw("ALL")
-            if (allMode.exists(_ != all))
-              throw ParseException("cannot mix UNION and UNION ALL")
-            allMode = Some(all)
-            if (prevPart.orderBy.nonEmpty || prevPart.skip.nonEmpty ||
-                prevPart.limit.nonEmpty)
-              throw ParseException(
-                "ORDER BY/SKIP/LIMIT is only allowed in the final UNION part")
-            parseImports()
-            val part = parseQuery(p)
-            unions += ((all, part))
-            prevPart = part
-          }
-          p.expectSym("}")
-          sawAny = true
-          clauses += Ast.CallSub(imports.result().distinct,
-            inner.copy(unions = unions.result()))
-          }
+          parseCallClause(optional = false)
         case Some(Kw("DETACH")) | Some(Kw("DELETE")) | Some(Kw("SET")) |
             Some(Kw("REMOVE")) | Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
           val c = parseWriteClause(p)
@@ -567,14 +610,11 @@ object Parser {
       def one(): Unit = {
         val k = p.identOrKw()
         p.expectSym(":")
-        // literals, parameters, and property references — the
-        // reference's template form `{gid: item.gid}` (neo4j.go:103)
-        parseAtom(p) match {
-          case v @ (_: Ast.Lit | _: Ast.Param | _: Ast.PropRef) =>
-            props += ((k, v))
-          case other => throw ParseException(
-            s"node property must be a literal, parameter or property ref, got $other")
-        }
+        // any expression — the reference's template form
+        // `{gid: item.gid}` (neo4j.go:103) and the computed-key
+        // ingest idiom `{gid: 'b:' + toString(k)}` alike; the planner
+        // evaluates them per row (pvCol)
+        props += ((k, parseExpr(p)))
       }
       one()
       while (p.trySym(",")) one()
@@ -632,12 +672,7 @@ object Parser {
         def one(): Unit = {
           val k = p.identOrKw()
           p.expectSym(":")
-          parseAtom(p) match {
-            case v @ (_: Ast.Lit | _: Ast.Param | _: Ast.PropRef) =>
-              relProps += ((k, v))
-            case other => throw ParseException("relationship property " +
-              s"must be a literal, parameter or property ref, got $other")
-          }
+          relProps += ((k, parseExpr(p)))
         }
         one()
         while (p.trySym(",")) one()

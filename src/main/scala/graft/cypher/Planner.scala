@@ -1232,6 +1232,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * key-completed the same way before the union.
     */
   private def applyCall(c: CallSub): Unit = {
+    if (c.txRows.nonEmpty) { applyCallInTx(c); return }
     dropOrd() // the CALL join re-shapes the frame; order keys are stale
     val q = c.inner
     if (q.clauses.exists(_.isInstanceOf[WriteClauseT]) ||
@@ -1241,10 +1242,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         q.unions.exists(_._2.items.isEmpty))
       throw PlanError("a CALL subquery must RETURN")
     if (c.imports.isEmpty) {
-      // uncorrelated: evaluate once, cross-join every outer row
+      // uncorrelated: evaluate once, cross-join every outer row;
+      // OPTIONAL keeps each outer row once (null columns) when the
+      // body yields zero rows — a left join on TRUE, never an eager
+      // emptiness probe
       val innerDf = new Planner(store, params).plan(q)
       bindCallResult(innerDf, q.items.map(_.name), join = outer =>
-        if (outer == null) innerDf else outer.crossJoin(innerDf))
+        if (c.optional) {
+          val base = if (outer == null) spark.range(1).select() else outer
+          base.join(innerDf, lit(true), "left_outer")
+        } else if (outer == null) innerDf
+        else outer.crossJoin(innerDf))
       return
     }
     if (df == null) throw PlanError("CALL imports need bound variables")
@@ -1332,7 +1340,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val innerF = innerDf
     bindCallResult(innerDf, names, join = { outer =>
       if (!allAgg)
-        outer.join(innerF, cond, "inner").drop(keyCols.map(_._2): _*)
+        // OPTIONAL CALL: zero body rows keep the invocation row with
+        // null columns (aggregate-only bodies already key-complete)
+        outer.join(innerF, cond, if (c.optional) "left_outer" else "inner")
+          .drop(keyCols.map(_._2): _*)
       else {
         var j = outer.join(innerF, cond, "left_outer")
           .drop(keyCols.map(_._2): _*)
@@ -1344,6 +1355,80 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         j
       }
     })
+  }
+
+  /** `CALL { writes } IN TRANSACTIONS [OF n ROWS]` — the Neo4j
+    * bulk-ingest idiom (`LOAD CSV … CALL { WITH row CREATE … } IN
+    * TRANSACTIONS`): the incoming rows feed the write body in batches
+    * and every batch COMMITS before the next starts (so batch k+1
+    * reads batch k's writes, and a failure keeps the completed
+    * batches — exactly Neo4j's ON ERROR FAIL default). The outer
+    * cardinality is preserved (a unit subquery), and the body must be
+    * write-only here (no RETURN — the returning form isn't supported).
+    *
+    * Execution is a driver loop over batches, which is the semantic
+    * itself (sequential commits), not an implementation shortcut; the
+    * per-batch work and each commit stay fully distributed. The batch
+    * split stamps row_number over a materialized snapshot of the
+    * IMPORTED columns only — a narrow single-pass window whose input
+    * is the import projection, not the store.
+    */
+  private def applyCallInTx(c: CallSub): Unit = {
+    val q = c.inner
+    if (q.unions.nonEmpty)
+      throw PlanError("CALL ... IN TRANSACTIONS does not take UNION")
+    if (q.items.nonEmpty)
+      throw PlanError(
+        "CALL ... IN TRANSACTIONS bodies must be write-only (no RETURN)")
+    if (!q.clauses.exists(_.isInstanceOf[WriteClauseT]))
+      throw PlanError("CALL ... IN TRANSACTIONS needs a write body")
+    if (df == null)
+      throw PlanError("CALL ... IN TRANSACTIONS needs incoming rows " +
+        "(LOAD CSV / UNWIND / MATCH before it)")
+    val batchRows = c.txRows.flatten.map(boundVal(_, "OF ... ROWS"))
+      .getOrElse(1000L)
+    if (batchRows < 1)
+      throw PlanError(s"IN TRANSACTIONS batch size must be >= 1")
+    val kinds = c.imports.map { v =>
+      v -> (env.getOrElse(v, throw PlanError(
+        s"CALL import $v is not bound")) match {
+        case NodeVar => NodeVar
+        case vv: ValueVar => vv
+        case _ => throw PlanError(
+          s"CALL ... IN TRANSACTIONS imports node or value variables, " +
+            s"not $v")
+      })
+    }
+    val importCols = c.imports.flatMap(v =>
+      df.columns.filter(_.startsWith(s"${v}__")).toSeq)
+    // snapshot the import projection once; the id → row_number pass
+    // gives every row exactly one batch
+    val seeded = df.select(importCols.map(cn => col(quote(cn))): _*)
+      .withColumn("__tx_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__tx_mid"))
+    val ranked = seeded
+      .withColumn("__tx_b",
+        ((row_number().over(w) - 1) / batchRows).cast("int"))
+      .drop("__tx_mid")
+      .localCheckpoint()
+    val nb = ranked.agg(max(col("__tx_b"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0) + 1
+    }
+    for (b <- 0 until nb) {
+      val pl = new Planner(store, params)
+      pl.df = ranked.filter(col("__tx_b") === b).drop("__tx_b")
+      pl.env = kinds.map { case (v, k) =>
+        v -> (k match {
+          case ValueVar(cn) => pl.ValueVar(cn): pl.VarKind
+          case _ => pl.NodeVar: pl.VarKind
+        })
+      }.toMap
+      // a write-only body: planSingle runs the effects and commits
+      pl.planSingle(q).collect()
+    }
+    // unit subquery: the outer frame passes through unchanged
   }
 
   /** the value an aggregate yields over zero rows, per openCypher:

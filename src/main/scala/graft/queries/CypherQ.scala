@@ -91,6 +91,25 @@ object CypherQ {
         .orderBy("kind", "name")
     }),
 
+    // `CALL { … } IN TRANSACTIONS OF n ROWS` — the Neo4j bulk-ingest
+    // idiom — into a PRIVATE empty store: 25 driving rows ingest in 3
+    // batch commits (computed-key CREATE inside the body), then a
+    // read-back groups what landed. The oracle replays the generator.
+    "cypher_intx_ingest" -> ((s, dir) => {
+      val st = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-intx-q").toString,
+        s, 4)
+      CypherEngine.query(st,
+        """UNWIND range(0, 24) AS k
+           CALL { WITH k
+             CREATE (:N {gid: 'n:' + toString(k), v: k % 5}) }
+           IN TRANSACTIONS OF 10 ROWS""").collect()
+      CypherEngine.query(st,
+        """MATCH (n:N)
+           RETURN n.v AS v, count(*) AS cnt, min(n.gid) AS first
+           ORDER BY v""")
+    }),
+
     // Graph-analytics procedures (the gds.* analog) over the nation
     // star: integer-micro PageRank, GraphX degrees, and connected
     // components — all deterministic integer results, so the oracle
@@ -574,6 +593,11 @@ DETACH DELETE n
            ('relType', 'in_region'), ('relType', 'located_in'))
            t(kind, name)
          ORDER BY kind, name""",
+    "cypher_intx_ingest" ->
+      """WITH k AS (SELECT unnest(range(0, 25)) AS k)
+         SELECT CAST(k % 5 AS VARCHAR) AS v, count(*) AS cnt,
+           min('n:' || CAST(k AS VARCHAR)) AS first
+         FROM k GROUP BY 1 ORDER BY v""",
     "cypher_proc_analytics" ->
       """WITH pr AS (
            SELECT 'pr' AS kind, 'n:'||n_nationkey AS gid,

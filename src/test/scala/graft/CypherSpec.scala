@@ -488,6 +488,95 @@ class CypherSpec extends AnyFunSuite {
     assert(after == 2L)
   }
 
+  test("CALL { } IN TRANSACTIONS: batched commits, read-your-writes") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-intx").toString, spark, 2)
+    // ingest: 5 driving rows, batches of 2 → 3 commits, 5 nodes
+    CypherEngine.query(st,
+      """UNWIND range(1, 5) AS k
+         CALL { WITH k CREATE (n:B {gid: 'b:' + toString(k), v: k}) }
+         IN TRANSACTIONS OF 2 ROWS""").collect()
+    val n = CypherEngine.query(st,
+      "MATCH (n:B) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(n == 5L)
+    // read-your-writes across batches: each 1-row batch commits before
+    // the next starts, so every SET reads the PREVIOUS batch's total —
+    // the sum accumulates (one uncommitted statement would read 0
+    // four times and last-write-win at 4)
+    CypherEngine.query(st,
+      "CREATE (c:Acc {gid: 'acc', total: 0})").collect()
+    CypherEngine.query(st,
+      """UNWIND range(1, 4) AS k
+         CALL { WITH k MATCH (c:Acc) SET c.total = c.total + k }
+         IN TRANSACTIONS OF 1 ROWS""").collect()
+    val total = CypherEngine.query(st,
+      "MATCH (c:Acc) RETURN c.total AS t").collect().head.getString(0)
+    assert(total == "10.0")
+    // outer cardinality is preserved through the unit subquery
+    val rows = CypherEngine.query(st,
+      """UNWIND [10, 20] AS k
+         CALL { WITH k CREATE (:B {gid: 'x:' + toString(k)}) }
+         IN TRANSACTIONS
+         RETURN k ORDER BY k""").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(10L, 20L))
+    // rejections: RETURN in the body; read-only body; no driving rows
+    val retErr = intercept[Exception] {
+      CypherEngine.query(st,
+        """UNWIND [1] AS k
+           CALL { WITH k RETURN k AS j } IN TRANSACTIONS RETURN j""")
+        .collect()
+    }
+    assert(retErr.getMessage.contains("write-only"))
+    val roErr = intercept[Exception] {
+      CypherEngine.query(st,
+        """UNWIND [1] AS k
+           CALL { WITH k MATCH (n:B) WHERE n.v = k } IN TRANSACTIONS""")
+        .collect()
+    }
+    assert(roErr.getMessage.contains("expected RETURN or a write clause"))
+    val seedErr = intercept[Exception] {
+      CypherEngine.query(st,
+        "CALL { CREATE (:B {gid: 'y'}) } IN TRANSACTIONS").collect()
+    }
+    assert(seedErr.getMessage.contains("incoming rows"))
+  }
+
+  test("OPTIONAL CALL: zero body rows keep the outer row") {
+    // correlated: 'brian' works for Mimiro, 'ola' for nobody —
+    // OPTIONAL CALL keeps ola with a null company
+    val rows = CypherEngine.query(store,
+      """MATCH (p:Person)
+         OPTIONAL CALL { WITH p MATCH (p)-[:worksfor]->(c:Company)
+                         RETURN c.name AS company }
+         RETURN p.name AS name, company ORDER BY name""").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.contains(("ola", None)))
+    assert(rows.contains(("brian", Some("Mimiro"))))
+    // plain CALL drops the zero-match invocation
+    val inner = CypherEngine.query(store,
+      """MATCH (p:Person)
+         CALL { WITH p MATCH (p)-[:worksfor]->(c:Company)
+                RETURN c.name AS company }
+         RETURN p.name AS name ORDER BY name""").collect()
+      .map(_.getString(0))
+    assert(!inner.contains("ola"))
+    // uncorrelated empty body: one outer row survives with a null
+    val un = CypherEngine.query(store,
+      """MATCH (p:Person {name: 'brian'})
+         OPTIONAL CALL { MATCH (n:Nope) RETURN n.name AS nn }
+         RETURN p.name AS name, nn""").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(un.toSeq == Seq(("brian", None)))
+    // OPTIONAL CALL + IN TRANSACTIONS is rejected
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        """UNWIND [1] AS k
+           OPTIONAL CALL { WITH k CREATE (:Z {gid: 'z'}) } IN TRANSACTIONS""")
+        .collect()
+    }
+    assert(err.getMessage.contains("cannot be combined"))
+  }
+
   test("CALL { } subqueries: uncorrelated, correlated, per-invocation LIMIT") {
     // uncorrelated with UNION — the classic composition
     val u = CypherEngine.query(store,
