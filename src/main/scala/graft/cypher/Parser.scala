@@ -1046,8 +1046,8 @@ object Parser {
         p.expectSym(")")
       }
       Ast.FuncCall(fn.toLowerCase, as.result(), distinct = false)
-    case Ident(ns) if Set("date", "datetime", "localdatetime", "duration")
-        .contains(ns.toLowerCase) && p.peek.contains(Sym(".")) &&
+    case Ident(ns) if Set("date", "datetime", "localdatetime", "duration",
+        "point").contains(ns.toLowerCase) && p.peek.contains(Sym(".")) &&
         p.toks.drop(1).headOption.exists {
           case _: Ident | _: Kw => true; case _ => false } &&
         p.toks.drop(2).headOption.contains(Sym("(")) =>

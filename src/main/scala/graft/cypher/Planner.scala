@@ -2638,6 +2638,44 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       durStruct(lit(0), lit(0),
         (unix_millis(valueCol(b).cast("timestamp")) -
           unix_millis(valueCol(a).cast("timestamp"))) / 1000.0)
+    // spatial points (the Neo4j point subset): a point is an
+    // (x, y, crs) struct — {x, y} builds a cartesian point,
+    // {longitude, latitude} a wgs-84 one (longitude rides the x slot).
+    // point.distance is straight-line for cartesian and haversine
+    // (mean Earth radius 6 371 000 m) for wgs-84; both are
+    // deterministic double arithmetic a DuckDB oracle replays —
+    // libm-vs-JVM trig differs by ulps, so oracled queries round.
+    case FuncCall("point", Seq(MapLit(es)), _) =>
+      val m = es.map { case (k, v) => k.toLowerCase -> v }.toMap
+      (m.get("x"), m.get("y"), m.get("longitude"), m.get("latitude")) match {
+        case (Some(x), Some(y), None, None) if m.size == 2 =>
+          struct(valueCol(x).cast("double").as("x"),
+            valueCol(y).cast("double").as("y"),
+            lit("cartesian").as("crs"))
+        case (None, None, Some(lon), Some(lat)) if m.size == 2 =>
+          struct(valueCol(lon).cast("double").as("x"),
+            valueCol(lat).cast("double").as("y"),
+            lit("wgs-84").as("crs"))
+        case _ => throw PlanError(
+          "point() needs {x, y} or {longitude, latitude}")
+      }
+    case FuncCall("point.distance" | "distance", Seq(a, b), _) =>
+      val (pa, pb) = (valueCol(a), valueCol(b))
+      val (ax, ay) = (pa.getField("x"), pa.getField("y"))
+      val (bx, by) = (pb.getField("x"), pb.getField("y"))
+      val cart = sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+      val toRad = math.Pi / 180.0
+      val h = pow(sin((by - ay) * toRad / 2), 2) +
+        cos(ay * toRad) * cos(by * toRad) *
+          pow(sin((bx - ax) * toRad / 2), 2)
+      val hav = lit(2.0 * 6371000.0) * asin(sqrt(h))
+      when(pa.getField("crs") === "wgs-84", hav).otherwise(cart)
+    case FuncCall("point.withinbbox", Seq(a, lo, hi), _) =>
+      val (pa, pl, ph) = (valueCol(a), valueCol(lo), valueCol(hi))
+      pa.getField("x") >= pl.getField("x") &&
+        pa.getField("x") <= ph.getField("x") &&
+        pa.getField("y") >= pl.getField("y") &&
+        pa.getField("y") <= ph.getField("y")
     case FuncCall("datetime.truncate" | "localdatetime.truncate",
         Seq(u, a), _) =>
       date_trunc(truncUnit(u), valueCol(a).cast("timestamp"))

@@ -91,6 +91,24 @@ object CypherQ {
         .orderBy("kind", "name")
     }),
 
+    // Spatial points: cartesian and wgs-84 construction, distance
+    // (straight-line / haversine) and bounding-box containment over a
+    // generated coordinate ladder. The haversine rounds to 3 decimals
+    // because JVM and libm trig differ in final ulps — the cartesian
+    // legs are exact. All per-row expression work; no shuffle at all.
+    "cypher_point" -> ((s, dir) =>
+      run(s, dir,
+        """UNWIND [0, 1, 2, 3, 4] AS i
+           WITH i, point({x: i * 3.0, y: i * 4.0}) AS p,
+                point({longitude: i * 1.0, latitude: 50.0 + i}) AS g
+           RETURN i,
+             round(point.distance(p, point({x: 0.0, y: 0.0})), 9) AS cart,
+             round(point.distance(g,
+               point({longitude: 0.0, latitude: 50.0})), 3) AS geo,
+             point.withinBBox(p, point({x: 2.0, y: 2.0}),
+               point({x: 7.0, y: 9.0})) AS inbox
+           ORDER BY i""")),
+
     // `CALL { … } IN TRANSACTIONS OF n ROWS` — the Neo4j bulk-ingest
     // idiom — into a PRIVATE empty store: 25 driving rows ingest in 3
     // batch commits (computed-key CREATE inside the body), then a
@@ -593,6 +611,22 @@ DETACH DELETE n
            ('relType', 'in_region'), ('relType', 'located_in'))
            t(kind, name)
          ORDER BY kind, name""",
+    "cypher_point" ->
+      """WITH i AS (SELECT unnest(range(0, 5)) AS i),
+         c AS (SELECT i,
+             CAST(i AS DOUBLE) * 3.0 AS x, CAST(i AS DOUBLE) * 4.0 AS y,
+             CAST(i AS DOUBLE) * 1.0 AS lon,
+             50.0 + CAST(i AS DOUBLE) AS lat
+           FROM i)
+         SELECT i,
+           round(sqrt((x - 0.0) * (x - 0.0) + (y - 0.0) * (y - 0.0)), 9)
+             AS cart,
+           round(2.0 * 6371000.0 * asin(sqrt(
+             pow(sin((50.0 - lat) * (pi() / 180.0) / 2), 2) +
+             cos(lat * (pi() / 180.0)) * cos(50.0 * (pi() / 180.0)) *
+               pow(sin((0.0 - lon) * (pi() / 180.0) / 2), 2))), 3) AS geo,
+           (x >= 2.0 AND x <= 7.0 AND y >= 2.0 AND y <= 9.0) AS inbox
+         FROM c ORDER BY i""",
     "cypher_intx_ingest" ->
       """WITH k AS (SELECT unnest(range(0, 25)) AS k)
          SELECT CAST(k % 5 AS VARCHAR) AS v, count(*) AS cnt,

@@ -541,6 +541,35 @@ class CypherSpec extends AnyFunSuite {
     assert(seedErr.getMessage.contains("incoming rows"))
   }
 
+  test("spatial points: construction, accessors, distance, bbox") {
+    val r = CypherEngine.query(store,
+      """WITH point({x: 3.0, y: 4.0}) AS p,
+              point({longitude: 12.0, latitude: 55.0}) AS g
+         RETURN p.x AS px, p.crs AS pcrs, g.crs AS gcrs,
+           point.distance(p, point({x: 0.0, y: 0.0})) AS d,
+           distance(p, point({x: 0.0, y: 0.0})) AS d4,
+           point.withinBBox(p, point({x: 0.0, y: 0.0}),
+             point({x: 5.0, y: 5.0})) AS inbox""").collect().head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getString(1) == "cartesian")
+    assert(r.getString(2) == "wgs-84")
+    assert(r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 5.0)
+    assert(r.getBoolean(5))
+    // haversine: Oslo → Copenhagen ≈ 483 km (sanity window)
+    val geo = CypherEngine.query(store,
+      """RETURN point.distance(point({longitude: 10.75, latitude: 59.91}),
+           point({longitude: 12.57, latitude: 55.68})) AS m""")
+      .collect().head.getDouble(0)
+    assert(geo > 460000 && geo < 500000)
+    // malformed key set
+    val err = intercept[Exception] {
+      CypherEngine.query(store,
+        "RETURN point({x: 1.0, latitude: 2.0}) AS p").collect()
+    }
+    assert(err.getMessage.contains("point()"))
+  }
+
   test("OPTIONAL CALL: zero body rows keep the outer row") {
     // correlated: 'brian' works for Mimiro, 'ola' for nobody —
     // OPTIONAL CALL keeps ola with a null company
