@@ -377,6 +377,33 @@ object EventStreams {
       }
   }
 
+  case class VolEvent(event_type: String, tsMicros: Long)
+  case class BucketCount(event_type: String, bucketMinute: Long, n: Long)
+
+  /** Streaming volume monitor — the stateful half of
+    * EventOps.e_anomaly: per (type, minute bucket) the state is one
+    * running count, emitted on every update. The z-score verdict is a
+    * per-type aggregation OVER the bucket counts (it needs the type's
+    * whole bucket distribution), so it stays a cheap periodic batch
+    * query over this operator's compact output — the standard
+    * split between streaming accumulation and batch scoring. Keyed
+    * exactly like the batch groupBy shuffles; state is one long per
+    * (type, minute), RocksDB-spillable, and a production deployment
+    * would add a watermark-driven timeout to retire closed minutes.
+    */
+  def anomalyStream(events: Dataset[VolEvent]): Dataset[BucketCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.tsMicros / 60000000L))
+      .mapGroupsWithState[Long, BucketCount](GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[VolEvent],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          BucketCount(key._1, key._2, n)
+      }
+  }
+
   /** Off-heap RocksDB state store for the stateful operators — at
     * 100 TB the dedup fingerprint set and open-session state outgrow
     * executor heaps; RocksDB spills them to local disk with the same

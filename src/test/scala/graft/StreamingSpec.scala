@@ -426,6 +426,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming bucket counts match e_anomaly's minute buckets") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the (type, minute bucket) counts e_anomaly scores
+    val expected = EventOps.defs("e_anomaly")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val rows = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .select($"event_type", unix_micros($"ts").as("micros"))
+      .as[(String, Long)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val input = ms.toDS().map { case (t, m) => EventStreams.VolEvent(t, m) }
+    val q = EventStreams.anomalyStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("vol_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // final row per key = max n (counts only grow); bucket minute →
+    // the batch query's formatted bucket string (UTC)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = spark.table("vol_out")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((t, b), rs) =>
+        (t, fmt.format(new java.util.Date(b * 60000L))) -> rs.map(_._2).max
+      }
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
