@@ -47,6 +47,24 @@ object VectorOps {
     */
   private val ProbeEps = 0.05
 
+  /** the trained K=16 / 2-iteration assignment, memoized per
+    * (session, dir) — the IVF family (v_knn_ivf / ivfpq / ivfpq_res /
+    * v_semdedup) shares ONE training run the way the dedup family
+    * shares the MinHash pair graph; the localCheckpoint pins the
+    * result and releases the trainer's caches
+    */
+  private val ivfCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def ivfTrained(s: SparkSession, dir: String): DataFrame =
+    ivfCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache()
+      val trained = ivfAssigned(s, e, K = 16, iters = 2).localCheckpoint()
+      e.unpersist()
+      trained
+    })
+
   /** Fixed-iteration Lloyd k-means coarse quantizer: seeded with the
     * K lowest-id vectors, centroid means in integer-micro arithmetic
     * (order-independent long sums, floored division — the
@@ -279,10 +297,7 @@ object VectorOps {
     "v_knn_ivf" -> ((s, dir) => {
       import s.implicits._
       val NPROBE = 2
-      val e = graft.Scratch.track(
-        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
-      val trained = graft.Scratch.track(
-        ivfAssigned(s, e, K = 16, iters = 2).cache())
+      val trained = ivfTrained(s, dir)
       val cells = trained.filter($"r" === 1)
         .select($"vec_id".as("nid"), $"v".as("nv"), $"norm".as("nn"),
           $"cid".as("cell"))
@@ -354,11 +369,9 @@ object VectorOps {
     "v_knn_ivfpq" -> ((s, dir) => {
       import s.implicits._
       val NPROBE = 2
-      val e = graft.Scratch.track(
-        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
-      val trained = graft.Scratch.track(
-        ivfAssigned(s, e, K = 16, iters = 2).cache())
-      val dec = pqDecode(s, e.select($"vec_id", $"v"))
+      val trained = ivfTrained(s, dir)
+      val dec = pqDecode(s,
+        trained.filter($"r" === 1).select($"vec_id", $"v"))
         .withColumn("dn", sqrt(dot($"dq", $"dq")))
       val cells = trained.filter($"r" === 1)
         .select($"vec_id".as("nid"), $"cid".as("cell"))
@@ -386,10 +399,7 @@ object VectorOps {
     "v_knn_ivfpq_res" -> ((s, dir) => {
       import s.implicits._
       val NPROBE = 2
-      val e = graft.Scratch.track(
-        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
-      val trained = graft.Scratch.track(
-        ivfAssigned(s, e, K = 16, iters = 2).cache())
+      val trained = ivfTrained(s, dir)
       val asg = trained.filter($"r" === 1)
         .select($"vec_id", $"v", $"cid", $"cv")
       val resid = asg.select($"vec_id",
@@ -445,11 +455,8 @@ object VectorOps {
     // production-τ run would be all-keep.
     "v_semdedup" -> ((s, dir) => {
       import s.implicits._
-      val e = graft.Scratch.track(
-        emb(s, dir).withColumn("norm", sqrt(dot($"v", $"v"))).cache())
-      val cells = graft.Scratch.track(
-        ivfAssigned(s, e, K = 16, iters = 2).filter($"r" === 1)
-          .select($"vec_id", $"v", $"norm", $"cid").cache())
+      val cells = ivfTrained(s, dir).filter($"r" === 1)
+        .select($"vec_id", $"v", $"norm", $"cid")
       val a = cells.select($"cid", $"vec_id".as("da"), $"v".as("va"),
         $"norm".as("na"))
       val b = cells.select($"cid", $"vec_id".as("db"), $"v".as("vb"),
