@@ -104,6 +104,31 @@ object PackOps {
             $"mean_tokens" >= 20.0 &&
             $"dup_docs" * 1.0 / $"n_docs" <= 0.5).as("keep"))
         .orderBy($"source")
+    }),
+
+    // Curriculum ordering (easy→hard data scheduling): docs rank by a
+    // cheap integer quality score (distinct-word ratio in micro units
+    // — INTEGER division, so the rank key is exact) and split into 3
+    // curriculum stages by global rank terciles; stage_pos is the
+    // in-stage training order. One sort-shuffle on the score key —
+    // at cluster scale the global row_number becomes a range-partition
+    // rank (same plan shape Spark uses for orderBy writes).
+    "p_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .select($"doc_id",
+          expr("size(array_distinct(w)) * cast(1000000 as bigint) div size(w)")
+            .as("score"))
+      val n = scored.count()
+      val w1 = Window.orderBy($"score".desc, $"doc_id")
+      scored
+        .withColumn("rank", row_number().over(w1).cast("long"))
+        .withColumn("stage", expr(s"(rank - 1) * 3 div $n"))
+        .withColumn("stage_pos", row_number().over(
+          Window.partitionBy($"stage").orderBy($"rank")).cast("long"))
+        .select($"doc_id", $"score", $"rank", $"stage", $"stage_pos")
+        .orderBy($"doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -154,5 +179,21 @@ object PackOps {
            (source NOT IN ('src13', 'src7') AND en_frac >= 0.2
              AND mean_tokens >= 20.0
              AND dup_docs * 1.0 / n_docs <= 0.5) AS keep
-         FROM agg ORDER BY source""")
+         FROM agg ORDER BY source""",
+    "p_curriculum" ->
+      """WITH sc AS (SELECT doc_id,
+             len(list_distinct(string_split_regex(trim(text), '\s+')))
+               * 1000000 // len(string_split_regex(trim(text), '\s+'))
+               AS score
+           FROM documents),
+         r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             count(*) OVER () AS n
+           FROM sc),
+         g AS (SELECT doc_id, score, rank, (rank - 1) * 3 // n AS stage
+           FROM r)
+         SELECT doc_id, score, rank, stage,
+           row_number() OVER (PARTITION BY stage ORDER BY rank)
+             AS stage_pos
+         FROM g ORDER BY doc_id""")
 }

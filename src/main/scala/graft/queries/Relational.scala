@@ -192,6 +192,23 @@ object Relational {
           ($"tc" / 100.0).as("total_revenue"))
     }),
 
+    // TPC-H Q13 (customer order-count distribution): how many
+    // customers placed k orders, INCLUDING k = 0 — the left join no
+    // WHERE-filter can express. Two aggregations, each keyed on its
+    // group (custkey then count) with map-side partials; the customer
+    // side never broadcasts the fact table.
+    "q13_customer_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey",
+          "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+      perCust.groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
     // Q5-style: 6-way snowflake join; dims broadcast, facts shuffle once.
     "q5_nation_revenue" -> ((s, dir) => {
       import s.implicits._
@@ -516,6 +533,12 @@ object Relational {
          FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l_shipdate) AS l_year,

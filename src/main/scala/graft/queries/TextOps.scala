@@ -804,6 +804,34 @@ object TextOps {
         .agg(count(lit(1)).as("n_terms"),
           round(sum($"contrib"), 9).as("score"))
         .orderBy($"doc_id")
+    }),
+
+    // character-entropy quality signal (low entropy flags repetitive /
+    // machine-generated text; a Shannon-entropy gate is standard in
+    // web-corpus cleaning). The float trap here is that Σ p·log p is
+    // order-sensitive under double addition, so the per-char ln is
+    // QUANTIZED to integer micro-nats and the per-doc reduction is a
+    // LONG sum (order-independent, replayable):
+    //   H_bits = (ln(n)·n − Σ c·⌊ln(c)·1e6⌉) / (n·1e6) / ln 2.
+    // Two keyed aggregations, both map-side combined — word-count
+    // shape at any corpus size.
+    "t_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val ch = t(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", "")).as("ch"))
+        .filter($"ch" =!= "")
+      val per = ch.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+        .withColumn("clnc",
+          $"c" * round(log($"c".cast("double")) * 1e6, 0).cast("long"))
+      per.groupBy($"doc_id")
+        .agg(sum($"c").as("n"), sum($"clnc").as("s"),
+          count(lit(1)).as("alphabet"))
+        .select($"doc_id", $"n", $"alphabet",
+          round((round(log($"n".cast("double")) * 1e6, 0).cast("long")
+            * $"n" - $"s").cast("double") /
+            ($"n".cast("double") * 1e6) / log(lit(2.0)), 6)
+            .as("entropy_bits"))
+        .orderBy($"doc_id")
     }))
 
   /** 32-bit SimHash over distinct tokens: bit j comes from md5's first
@@ -924,6 +952,22 @@ object TextOps {
          SELECT doc_id, count(*) AS n_terms,
            round(sum(contrib), 9) AS score
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "t_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         per AS (SELECT doc_id, ch, count(*) AS c FROM ch
+           WHERE ch <> '' GROUP BY doc_id, ch),
+         m AS (SELECT doc_id, ch, c,
+             c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS clnc
+           FROM per),
+         a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(clnc) AS BIGINT) AS s, count(*) AS alphabet
+           FROM m GROUP BY doc_id)
+         SELECT doc_id, n, alphabet,
+           round(CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+               * n - s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1e6) / ln(2.0), 6) AS entropy_bits
+         FROM a ORDER BY doc_id""",
     "t_vocab_stats" ->
       """WITH toks AS (SELECT doc_id,
              unnest(string_split_regex(trim(text), '\s+')) w
