@@ -1046,6 +1046,24 @@ object Parser {
         p.expectSym(")")
       }
       Ast.FuncCall(fn.toLowerCase, as.result(), distinct = false)
+    case Ident(ns) if ns.equalsIgnoreCase("vector") &&
+        p.peek.contains(Sym(".")) &&
+        p.toks.drop(1).headOption.exists {
+          case Ident(s) => s.equalsIgnoreCase("similarity"); case _ => false
+        } && p.toks.drop(2).headOption.contains(Sym(".")) &&
+        p.toks.drop(4).headOption.contains(Sym("(")) =>
+      // vector.similarity.cosine(a, b) / .euclidean(a, b) (Neo4j 5.18)
+      p.next(); p.next(); p.next() // '.', 'similarity', '.'
+      val fn = p.identOrKw()
+      p.next() // '('
+      val as = Seq.newBuilder[Ast.Expr]
+      if (!p.trySym(")")) {
+        as += parseExpr(p)
+        while (p.trySym(",")) as += parseExpr(p)
+        p.expectSym(")")
+      }
+      Ast.FuncCall(s"vector.similarity.${fn.toLowerCase}", as.result(),
+        distinct = false)
     case Ident(ns) if Set("date", "datetime", "localdatetime", "duration",
         "point").contains(ns.toLowerCase) && p.peek.contains(Sym(".")) &&
         p.toks.drop(1).headOption.exists {

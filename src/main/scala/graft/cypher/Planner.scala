@@ -2659,6 +2659,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => throw PlanError(
           "point() needs {x, y} or {longitude, latitude}")
       }
+    // vector similarity (Neo4j 5.18): cosine = a·b / (|a||b|);
+    // euclidean similarity = 1 / (1 + d²) (the [0,1]-normalized
+    // score). Both run on the codegen'd DotProduct fold — the same
+    // kernel the ANN family uses.
+    case FuncCall("vector.similarity.cosine", Seq(a, b), _) =>
+      val va = transform(valueCol(a), x => x.cast("double"))
+      val vb = transform(valueCol(b), x => x.cast("double"))
+      graft.functions.DotProduct(va, vb) /
+        (sqrt(graft.functions.DotProduct(va, va)) *
+          sqrt(graft.functions.DotProduct(vb, vb)))
+    case FuncCall("vector.similarity.euclidean", Seq(a, b), _) =>
+      val va = transform(valueCol(a), x => x.cast("double"))
+      val vb = transform(valueCol(b), x => x.cast("double"))
+      val diff = zip_with(va, vb, (x, y) => x - y)
+      lit(1.0) / (lit(1.0) + graft.functions.DotProduct(diff, diff))
     case FuncCall("point.distance" | "distance", Seq(a, b), _) =>
       val (pa, pb) = (valueCol(a), valueCol(b))
       val (ax, ay) = (pa.getField("x"), pa.getField("y"))

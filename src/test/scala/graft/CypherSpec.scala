@@ -541,6 +541,23 @@ class CypherSpec extends AnyFunSuite {
     assert(seedErr.getMessage.contains("incoming rows"))
   }
 
+  test("vector.similarity.cosine / euclidean") {
+    val r = CypherEngine.query(store,
+      """RETURN vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS same,
+         vector.similarity.cosine([1.0, 0.0], [0.0, 1.0]) AS ortho,
+         vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0]) AS euc""")
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0 / 26.0) // 1 / (1 + 5²)
+    // works over collected lists from the graph
+    val g = CypherEngine.query(store,
+      """MATCH (n:Person) WITH collect(n.age) AS ages
+         RETURN vector.similarity.cosine(ages, ages) AS self""")
+      .collect().head.getDouble(0)
+    assert(math.abs(g - 1.0) < 1e-12)
+  }
+
   test("spatial points: construction, accessors, distance, bbox") {
     val r = CypherEngine.query(store,
       """WITH point({x: 3.0, y: 4.0}) AS p,
