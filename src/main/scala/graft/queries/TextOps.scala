@@ -806,6 +806,42 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // bigram-LM perplexity (the CCNet/Gopher-style perplexity filter,
+    // self-trained on the corpus): add-one-smoothed p(w|prev) =
+    // (c(prev,w)+1)/(c(prev)+V); per-position -ln p quantizes to
+    // integer micro-nats so the per-doc reduction is a LONG sum
+    // (order-independent → exact oracle), ppl = exp(nll / n). Plan:
+    // one bigram-explode pass, two count aggregations keyed on the
+    // bigram/context, keyed joins back, vocab size broadcast — every
+    // shuffle is word-count-shaped; nothing is all-pairs.
+    "t_ppl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", wordsCol.as("w"))
+      val bg = docs
+        .filter(size($"w") >= 2)
+        .repartition($"doc_id")
+        .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("prev"),
+            element_at($"w", i + 1).as("wd")))).as("p"))
+        .select($"doc_id", $"p.prev".as("prev"), $"p.wd".as("wd"))
+      val bgc = bg.groupBy($"prev", $"wd").agg(count(lit(1)).as("cbi"))
+      val ugc = bgc.groupBy($"prev")
+        .agg(sum($"cbi").cast("long").as("cprev"))
+      val voc = docs.select(explode($"w").as("tok"))
+        .agg(count_distinct($"tok").as("vsize"))
+      bg.join(bgc, Seq("prev", "wd")).join(ugc, Seq("prev"))
+        .crossJoin(broadcast(voc))
+        .withColumn("nll", round(log(
+          ($"cprev" + $"vsize").cast("double") /
+            ($"cbi" + lit(1L)).cast("double")) * 1e6, 0).cast("long"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"nll").as("nll_micro"))
+        .select($"doc_id", $"n_bigrams", $"nll_micro",
+          round(exp($"nll_micro".cast("double") /
+            ($"n_bigrams".cast("double") * 1e6)), 6).as("ppl"))
+        .orderBy($"doc_id")
+    }),
+
     // character-entropy quality signal (low entropy flags repetitive /
     // machine-generated text; a Shannon-entropy gate is standard in
     // web-corpus cleaning). The float trap here is that Σ p·log p is
@@ -952,6 +988,32 @@ object TextOps {
          SELECT doc_id, count(*) AS n_terms,
            round(sum(contrib), 9) AS score
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "t_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+               i -> struct_pack(prev := w[i], wd := w[i+1]))) AS p
+           FROM toks WHERE len(w) >= 2),
+         b2 AS (SELECT doc_id, p.prev AS prev, p.wd AS wd FROM bg),
+         bgc AS (SELECT prev, wd, count(*) AS cbi FROM b2
+           GROUP BY prev, wd),
+         ugc AS (SELECT prev, CAST(sum(cbi) AS BIGINT) AS cprev FROM bgc
+           GROUP BY prev),
+         voc AS (SELECT count(DISTINCT tok) AS vsize FROM
+           (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)),
+         j AS (SELECT b2.doc_id,
+             CAST(round(ln(CAST(u.cprev + v.vsize AS DOUBLE)
+               / CAST(g.cbi + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS nll
+           FROM b2 JOIN bgc g USING (prev, wd) JOIN ugc u USING (prev)
+           CROSS JOIN voc v),
+         a AS (SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(nll) AS BIGINT) AS nll_micro FROM j GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, nll_micro,
+           round(exp(CAST(nll_micro AS DOUBLE)
+             / (CAST(n_bigrams AS DOUBLE) * 1e6)), 6) AS ppl
+         FROM a ORDER BY doc_id""",
     "t_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
            FROM documents),
