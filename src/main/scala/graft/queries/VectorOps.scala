@@ -56,6 +56,10 @@ object VectorOps {
   private val ivfCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  /** drop the cross-query memo (Bench best-of-2 re-runs re-pay the
+    * training exactly like their first run) */
+  private[graft] def clearMemos(): Unit = ivfCache.clear()
+
   private def ivfTrained(s: SparkSession, dir: String): DataFrame =
     ivfCache.getOrElseUpdate((s, dir), {
       import s.implicits._
