@@ -192,6 +192,29 @@ object Relational {
           ($"tc" / 100.0).as("total_revenue"))
     }),
 
+    // TPC-H Q19 (discounted revenue): the bracketed OR-of-ANDs filter
+    // that exercises disjunctive predicate pushdown — the part dim
+    // broadcasts, and Catalyst extracts `l_quantity <= 40` as a
+    // common conjunct it can push below the join while the per-brand
+    // brackets evaluate post-join. One scan, one broadcast, one
+    // single-row aggregate.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 20)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(1, 30) &&
+            $"l_quantity".between(10, 30)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 50) &&
+            $"l_quantity".between(20, 40)))
+        .agg((sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q13 (customer order-count distribution): how many
     // customers placed k orders, INCLUDING k = 0 — the left join no
     // WHERE-filter can express. Two aggregations, each keyed on its
@@ -533,6 +556,18 @@ object Relational {
          FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q19_discounted_revenue" ->
+      """SELECT
+           SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+             / 100.0 AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+             AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+             AND l_quantity BETWEEN 20 AND 40)""",
     "q13_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

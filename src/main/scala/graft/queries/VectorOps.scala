@@ -444,6 +444,28 @@ object VectorOps {
         .select($"vec_id", $"label", asDouble($"embedding").as("v")))
     }),
 
+    // Max-inner-product search (the recommender retrieval objective:
+    // UNNORMALIZED dot, FAISS's IP metric — long vectors win, unlike
+    // cosine). Brute kernel over the query subset as the exactness
+    // anchor; the scale path is the standard MIPS→cosine reduction
+    // (augment each vector with sqrt(M²−‖v‖²) so inner product
+    // becomes cosine, then the LSH/IVF family applies unchanged).
+    "v_mips" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"))
+      val scored = q.join(c, $"qid" =!= $"nid")
+        .withColumn("ip", dot($"qv", $"nv"))
+      val w = Window.partitionBy($"qid").orderBy($"ip".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"ip", 9).as("ip"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // deduplication = k-means-cluster the embedding space, then drop
     // near-duplicates WITHIN each cluster only — the clustering bounds
@@ -786,6 +808,15 @@ object VectorOps {
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
+    "v_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         scored AS (SELECT q.vec_id qid, c.vec_id nid,
+             list_dot_product(q.v, c.v) ip
+           FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+         ranked AS (SELECT qid, nid, ip, row_number() OVER
+             (PARTITION BY qid ORDER BY ip DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, round(ip, 9) AS ip FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
     "v_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
