@@ -19,6 +19,9 @@ object Ast {
   case class Or(l: Expr, r: Expr) extends Expr
   case class Not(e: Expr) extends Expr
   case class IsNull(e: Expr, negated: Boolean) extends Expr
+  /** `x IS [NOT] :: TYPE` (Neo4j 5 type predicate); tpe ∈
+    * INTEGER/FLOAT/STRING/BOOLEAN/LIST/MAP */
+  case class TypePred(e: Expr, tpe: String, negated: Boolean) extends Expr
   case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean)
       extends Expr
   case class MapLit(entries: Seq[(String, Expr)]) extends Expr

@@ -725,8 +725,28 @@ object Parser {
       case Some(Kw("IS")) =>
         p.next()
         val negated = p.tryKw("NOT")
-        p.expectKw("NULL")
-        Ast.IsNull(l, negated)
+        if (p.trySym(":")) {
+          // `x IS [NOT] :: TYPE` (Neo4j 5 type predicate); the inner
+          // element type of LIST<...> is accepted and ignored (values
+          // here are untyped lists)
+          p.expectSym(":")
+          val tname = p.identOrKw().toUpperCase match {
+            case "INT" | "INTEGER" => "INTEGER"
+            case "FLOAT" => "FLOAT"
+            case "STRING" => "STRING"
+            case "BOOL" | "BOOLEAN" => "BOOLEAN"
+            case "LIST" =>
+              if (p.trySym("<")) { p.identOrKw(); p.expectSym(">") }
+              "LIST"
+            case "MAP" => "MAP"
+            case other => throw ParseException(
+              s"unsupported type in IS ::, got $other")
+          }
+          Ast.TypePred(l, tname, negated)
+        } else {
+          p.expectKw("NULL")
+          Ast.IsNull(l, negated)
+        }
       case Some(Kw("IN")) =>
         p.next()
         Ast.InList(l, parseAddSub(p))

@@ -1963,6 +1963,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .withColumnRenamed("out_degree", "outDegree")
           .withColumnRenamed("in_degree", "inDegree"),
           Seq("gid", "outDegree", "inDegree"))
+      // store statistics: per-label node counts + per-relType edge
+      // counts (the db.stats / apoc.meta.stats shape) — two partial-
+      // aggregated counts over the snapshot, nothing driver-side
+      case "graft.stats" =>
+        noArgs()
+        val nodeStats = store.nodes
+          .groupBy(coalesce(col("label"), lit("<unlabeled>")).as("name"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("nodes"))
+        val edgeStats = store.edges
+          .groupBy(col("relType").as("name"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("relationships"))
+        (nodeStats.unionByName(edgeStats).select("kind", "name", "n"),
+          Seq("kind", "name", "n"))
       case other => throw PlanError(s"unknown procedure $other")
     }
     // YIELD picks (and may alias) a subset; a bare CALL binds every
@@ -2788,6 +2803,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case o: Or => toPredicate(o)
     case n: Not => toPredicate(n)
     case i: IsNull => toPredicate(i)
+    case t: TypePred => toPredicate(t)
     case Arith(op, l, r) => arithCol(op, l, r)
     // startNode(r)/endNode(r) ARE the endpoint's identity (gid), so
     // `.gid` / `['gid']` on them is the value itself
@@ -3110,6 +3126,40 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => valueCol(x)
       }
       if (negated) c.isNotNull else c.isNull
+    // `x IS [NOT] :: TYPE` — the typed property slots ARE the type
+    // witness: a dynamic prop holds exactly one of (s, l, d, b).
+    // Neo4j: null satisfies every nullable type predicate, both
+    // polarities.
+    case TypePred(x, tpe, negated) =>
+      val static = colTypeOpt(valueCol(x))
+      val res = (static, tpe) match {
+        case (Some(_: org.apache.spark.sql.types.ArrayType), _) =>
+          val c = valueCol(x)
+          when(c.isNull, lit(true)).otherwise(lit(tpe == "LIST") =!= negated)
+        case (Some(_: org.apache.spark.sql.types.MapType), _) =>
+          val c = valueCol(x)
+          when(c.isNull, lit(true)).otherwise(lit(tpe == "MAP") =!= negated)
+        case _ =>
+          if (tpe == "LIST" || tpe == "MAP") {
+            // a PV-slot value is never a list/map
+            val pv = pvCol(x)
+            when(pv.isNull, lit(true)).otherwise(lit(negated))
+          } else {
+            val pv = pvCol(x)
+            val slotC = tpe match {
+              case "INTEGER" => pv.getField("l")
+              case "FLOAT" => pv.getField("d")
+              case "STRING" => pv.getField("s")
+              case "BOOLEAN" => pv.getField("b")
+            }
+            val allNull = pv.isNull ||
+              (pv.getField("s").isNull && pv.getField("l").isNull &&
+                pv.getField("d").isNull && pv.getField("b").isNull)
+            when(allNull, lit(true))
+              .otherwise(slotC.isNotNull =!= lit(negated))
+          }
+      }
+      res
     case Cmp(op, l, r) =>
       def apply(lc: Column, rc: Column): Column = cmpOp(op, lc, rc)
       (numericSlot(l), numericSlot(r)) match {

@@ -91,6 +91,14 @@ object CypherQ {
         .orderBy("kind", "name")
     }),
 
+    // Store statistics procedure (the db.stats / apoc.meta.stats
+    // shape): per-label node counts + per-relType edge counts off the
+    // snapshot — the oracle is the fixture's construction recipe.
+    "cypher_stats" -> ((s, dir) =>
+      run(s, dir,
+        """CALL graft.stats() YIELD kind, name, n
+           RETURN kind, name, n ORDER BY kind, name""")),
+
     // Spatial points: cartesian and wgs-84 construction, distance
     // (straight-line / haversine) and bounding-box containment over a
     // generated coordinate ladder. The haversine rounds to 3 decimals
@@ -610,6 +618,16 @@ DETACH DELETE n
            ('propKey', 'acctbal'), ('propKey', 'name'),
            ('relType', 'in_region'), ('relType', 'located_in'))
            t(kind, name)
+         ORDER BY kind, name""",
+    "cypher_stats" ->
+      """SELECT kind, name, n FROM (
+           SELECT 'nodes' AS kind, 'Nation' AS name, count(*) AS n
+           FROM nation
+           UNION ALL
+           SELECT 'nodes', '<unlabeled>', count(DISTINCT n_regionkey)
+           FROM nation
+           UNION ALL
+           SELECT 'relationships', 'in_region', count(*) FROM nation)
          ORDER BY kind, name""",
     "cypher_point" ->
       """WITH i AS (SELECT unnest(range(0, 5)) AS i),

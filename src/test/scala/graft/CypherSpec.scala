@@ -541,6 +541,36 @@ class CypherSpec extends AnyFunSuite {
     assert(seedErr.getMessage.contains("incoming rows"))
   }
 
+  test("IS :: type predicates read the typed property slots") {
+    // age is a LONG slot, name a STRING slot
+    val n = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.age IS :: INTEGER AND n.name IS :: STRING
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(n == 3L)
+    val s = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.age IS :: STRING
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(s == 0L)
+    val nn = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.age IS NOT :: STRING
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(nn == 3L)
+    // a missing property is null — satisfies BOTH polarities (Neo4j)
+    val missing = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE n.nope IS :: INTEGER AND n.nope IS NOT :: INTEGER
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(missing == 3L)
+    // lists and literals
+    val lits = CypherEngine.query(store,
+      """WITH [1, 2] AS l, 3 AS i, 'x' AS t, 1.5 AS f, true AS b
+         RETURN l IS :: LIST<INTEGER> AS a, i IS :: INTEGER AS bb,
+           t IS :: STRING AS c, f IS :: FLOAT AS d, b IS :: BOOLEAN AS e,
+           i IS :: STRING AS ff""").collect().head
+    assert((0 to 4).forall(lits.getBoolean))
+    assert(!lits.getBoolean(5))
+  }
+
   test("vector.similarity.cosine / euclidean") {
     val r = CypherEngine.query(store,
       """RETURN vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS same,
