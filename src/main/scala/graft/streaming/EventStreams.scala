@@ -377,6 +377,28 @@ object EventStreams {
       }
   }
 
+  case class UserEvent(user_id: Long, cents: Long)
+  case class UserTotal(user_id: Long, n: Long, total_cents: Long)
+
+  /** Streaming per-user totals — the stateful half of e_user_topk:
+    * state is (count, exact integer cents) per user; the top-k cut is
+    * a batch query over the compact per-user output (top-k needs the
+    * whole key set, so it does not belong in the per-key fold). Keyed
+    * like the batch groupBy; state is two longs per user.
+    */
+  def userTotalsStream(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), UserTotal](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[(Long, Long)]) =>
+          var (n, tc) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { e => n += 1; tc += e.cents }
+          state.update((n, tc))
+          UserTotal(uid, n, tc)
+      }
+  }
+
   case class VolEvent(event_type: String, tsMicros: Long)
   case class BucketCount(event_type: String, bucketMinute: Long, n: Long)
 

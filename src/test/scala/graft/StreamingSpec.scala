@@ -426,6 +426,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming per-user totals match e_user_topk's top 25") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = EventOps.defs("e_user_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val input = ms.toDS().map { case (u, c) => EventStreams.UserEvent(u, c) }
+    val q = EventStreams.userTotalsStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ut_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // final row per user = max n; then the batch top-25 cut
+    val got = spark.table("ut_out")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).maxBy(_._1)) }
+      .toSeq
+      .map { case (u, (n, tc)) => (u, n, tc / 100.0) }
+      .sortBy { case (u, _, t) => (-t, u) }
+      .take(25)
+    assert(got == expected.toSeq)
+  }
+
   test("streaming bucket counts match e_anomaly's minute buckets") {
     val dir = "/root/testdata/sf0.001"
     // batch truth: the (type, minute bucket) counts e_anomaly scores
