@@ -18,6 +18,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // colTypeOpt probes analyze lambda-var columns standalone and
+    // CATCH the failure; Spark 4 still posts it to the execution
+    // listener bus, which logs a scary-but-benign ERROR — silence
+    // that one logger (the exception is handled, nothing is lost)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.util.ExecutionListenerBus",
+      org.apache.logging.log4j.Level.OFF)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

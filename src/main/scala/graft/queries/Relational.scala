@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage over the TPC-H-ish corpus
@@ -190,6 +191,29 @@ object Relational {
             .as("promo_revenue_pct"),
           ($"pc" / 100.0).as("promo_revenue"),
           ($"tc" / 100.0).as("total_revenue"))
+    }),
+
+    // Time-RANGE window frame (the only frame kind q_window_funcs'
+    // row frames don't cover): per supplier, each shipment sees the
+    // count and exact-cents revenue of that supplier's shipments in
+    // the PRECEDING 30 days — rangeBetween over epoch seconds, the
+    // rolling-window shape fleet telemetry uses. One shuffle on the
+    // partition key serves both window aggregates.
+    "q_window_range" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"ship_sec")
+        .rangeBetween(-2592000L, 0L)
+      t(s, dir, "lineitem")
+        .filter($"l_suppkey" <= 5)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          unix_timestamp($"l_shipdate").as("ship_sec"),
+          cents($"l_extendedprice").as("price_cents"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("rev_30d", (sum($"price_cents").over(w) / 100.0))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"n_30d", $"rev_30d")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     }),
 
     // TPC-H Q19 (discounted revenue): the bracketed OR-of-ANDs filter
@@ -556,6 +580,16 @@ object Relational {
          FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           count(*) OVER w AS n_30d,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) OVER w / 100.0
+             AS rev_30d
+         FROM lineitem WHERE l_suppkey <= 5
+         WINDOW w AS (PARTITION BY l_suppkey
+           ORDER BY CAST(floor(epoch(l_shipdate)) AS BIGINT)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     "q19_discounted_revenue" ->
       """SELECT
            SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
