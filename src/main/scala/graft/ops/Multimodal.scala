@@ -351,6 +351,45 @@ object Multimodal {
     }
   }
 
+  /** Fixed-grid patch extraction (the ViT patchify shape): every
+    * FrameBytes frame splits into patchBytes patches, and each patch
+    * reports offset/length, md5, and its integer byte sum — the
+    * per-patch features a vision tokenizer computes before
+    * projection. Same explode-shaped typed mapPartitions as
+    * sampleFrames; the ASCII corpus makes the char-sliced oracle
+    * byte-exact.
+    */
+  case class Patch(media_id: Long, frame_idx: Int, patch_idx: Int,
+      off: Long, len: Int, fp: String, byte_sum: Long)
+
+  def patchify(media: Dataset[MediaRow], patchBytes: Int)
+      : Dataset[Patch] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        Iterator.range(0, nFrames).flatMap { fi =>
+          val foff = fi * FrameBytes
+          val flen = math.min(FrameBytes, n - foff)
+          val nPatches = (flen + patchBytes - 1) / patchBytes
+          Iterator.range(0, nPatches).map { pi =>
+            val off = foff + pi * patchBytes
+            val len = math.min(patchBytes, n - off)
+            md.reset()
+            md.update(r.payload, off, len)
+            val fp = md.digest().map("%02x".format(_)).mkString
+            var s = 0L
+            var i = off
+            while (i < off + len) { s += r.payload(i) & 0xff; i += 1 }
+            Patch(r.media_id, fi, pi, off.toLong, len, fp, s)
+          }
+        }
+      }
+    }
+  }
+
   /** Windowed sample statistics (media_id, window) — the audio
     * feature-extraction shape: fixed-size sample windows, per-window
     * energy and integer-micro mean. Samples are STUBBED as the

@@ -165,6 +165,29 @@ object EventOps {
         .orderBy($"event_type", $"bucket")
     }),
 
+    // event-type transition matrix (the Markov-chain prep step behind
+    // next-event prediction and session modeling): per-user ordered
+    // successor pairs → (from, to) counts and row-normalized
+    // transition probabilities. One keyed window + two low-cardinality
+    // aggregations; integer counts with one double division, so it
+    // replays exactly.
+    "e_markov" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = ev(s, dir)
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .select($"event_type".as("from_type"), $"next_type".as("to_type"))
+      val tr = pairs.groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy($"from_type")
+        .agg(sum($"n").cast("long").as("nf"))
+      tr.join(tot, Seq("from_type"))
+        .select($"from_type", $"to_type", $"n",
+          round($"n".cast("double") / $"nf", 9).as("p"))
+        .orderBy($"from_type", $"to_type")
+    }),
+
     // Ordered funnel (view → click → purchase, strictly later steps):
     // per user, the first view, the first click after it, the first
     // purchase after that, and the stage reached. Three narrow
@@ -278,6 +301,20 @@ object EventOps {
          SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
            n, z, abs(z) > 3.0 AS is_anomaly
          FROM z ORDER BY event_type, bucket""",
+    "e_markov" ->
+      """WITH e2 AS (SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nt
+           FROM events),
+         tr AS (SELECT event_type AS from_type, nt AS to_type,
+             count(*) AS n
+           FROM e2 WHERE nt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM tr
+           GROUP BY 1)
+         SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / tot.nf, 9) AS p
+         FROM tr t JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
     "e_sliding" ->
       """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, COUNT(*) AS n
          FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),

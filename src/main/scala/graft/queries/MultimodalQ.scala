@@ -48,6 +48,16 @@ object MultimodalQ {
         .toDF().orderBy($"media_id", $"frame_idx")
     }),
 
+    // ViT-patchify shape: 64-byte frames → 16-byte patches with
+    // per-patch digest + byte sum (see Multimodal.patchify).
+    "m_patchify" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.patchify(
+        Multimodal.documentsAsMedia(t(s, dir, "documents")),
+        patchBytes = 16)
+        .toDF().orderBy($"media_id", $"frame_idx", $"patch_idx")
+    }),
+
     // audio-shape windowed stats: 16-sample windows over the
     // payload's token-length PCM stand-in (Multimodal.windowedPcm).
     "m_audio_windows" -> ((s, dir) => {
@@ -83,6 +93,23 @@ object MultimodalQ {
            flen::INT AS frame_len,
            md5(substring(text, (off + 1)::INT, flen::INT)) AS frame_fp
          FROM s ORDER BY media_id, frame_idx""",
+    "m_patchify" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+             length(text)::BIGINT AS n FROM documents),
+         f AS (SELECT media_id, text, n,
+             unnest(range(0, (n + 63) // 64)) AS fi FROM m),
+         pp AS (SELECT media_id, text, n, fi,
+             unnest(range(0, (least(64, n - fi * 64) + 15) // 16)) AS pi
+           FROM f),
+         s AS (SELECT media_id, fi, pi, fi * 64 + pi * 16 AS off,
+             least(16, n - (fi * 64 + pi * 16)) AS plen, text FROM pp)
+         SELECT media_id, fi::INT AS frame_idx, pi::INT AS patch_idx,
+           off::BIGINT AS off, plen::INT AS len,
+           md5(substring(text, (off + 1)::INT, plen::INT)) AS fp,
+           CAST(list_sum(list_transform(
+             string_split(substring(text, (off + 1)::INT, plen::INT), ''),
+             x -> ord(x))) AS BIGINT) AS byte_sum
+         FROM s ORDER BY media_id, frame_idx, patch_idx""",
     "m_audio_windows" ->
       """WITH base AS (SELECT doc_id AS media_id,
              string_split_regex(trim(text), '\s+') AS w FROM documents),
