@@ -1963,6 +1963,42 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .withColumnRenamed("out_degree", "outDegree")
           .withColumnRenamed("in_degree", "inDegree"),
           Seq("gid", "outDegree", "inDegree"))
+      // multi-hop reachability: every node within maxHops (directed)
+      // of the source — the Pregel BFS behind gx_reachable, exposed
+      // as a procedure. Args: source gid (string), max hops (int).
+      case "graft.reachable" =>
+        val (src, hops) = c.args match {
+          case Seq(a, b) =>
+            val s0 = a match {
+              case Lit(s0: String) => s0
+              case Param(n) => params.get(n) match {
+                case Some(s0: String) => s0
+                case other => throw PlanError(
+                  s"graft.reachable source param $$$n: $other")
+              }
+              case other => throw PlanError(
+                s"graft.reachable needs a string source gid, got $other")
+            }
+            val h = b match {
+              case Lit(i: Long) => i
+              case Param(n) => params.get(n) match {
+                case Some(i: Int) => i.toLong
+                case Some(i: Long) => i
+                case other => throw PlanError(
+                  s"graft.reachable hops param $$$n: $other")
+              }
+              case other => throw PlanError(
+                s"graft.reachable needs an integer hop count, got $other")
+            }
+            (s0, h)
+          case other => throw PlanError(
+            s"graft.reachable takes (sourceGid, maxHops), got $other")
+        }
+        if (hops < 1 || hops > 20)
+          throw PlanError(s"graft.reachable hops out of [1,20]: $hops")
+        (graft.ops.GraphAnalytics.reachableWithin(spark, store.nodes,
+          store.edges, Set(src), hops.toInt),
+          Seq("gid", "hops"))
       // store statistics: per-label node counts + per-relType edge
       // counts (the db.stats / apoc.meta.stats shape) — two partial-
       // aggregated counts over the snapshot, nothing driver-side

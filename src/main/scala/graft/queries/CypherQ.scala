@@ -91,6 +91,14 @@ object CypherQ {
         .orderBy("kind", "name")
     }),
 
+    // Reachability procedure: Pregel BFS within a hop bound from a
+    // source gid — in the nation star, 2 hops from n:0 reach exactly
+    // n:0 itself and its region stub.
+    "cypher_reachable" -> ((s, dir) =>
+      run(s, dir,
+        """CALL graft.reachable('n:0', 2) YIELD gid, hops
+           RETURN gid, hops ORDER BY gid""")),
+
     // Store statistics procedure (the db.stats / apoc.meta.stats
     // shape): per-label node counts + per-relType edge counts off the
     // snapshot — the oracle is the fixture's construction recipe.
@@ -619,6 +627,13 @@ DETACH DELETE n
            ('relType', 'in_region'), ('relType', 'located_in'))
            t(kind, name)
          ORDER BY kind, name""",
+    "cypher_reachable" ->
+      """SELECT gid, hops FROM (
+           SELECT 'n:0' AS gid, 0 AS hops
+           UNION ALL
+           SELECT 'r:' || (SELECT n_regionkey FROM nation
+             WHERE n_nationkey = 0), 1)
+         ORDER BY gid""",
     "cypher_stats" ->
       """SELECT kind, name, n FROM (
            SELECT 'nodes' AS kind, 'Nation' AS name, count(*) AS n
