@@ -716,9 +716,24 @@ object Parser {
   private def parseCmp(p: P): Ast.Expr = {
     val l = parseAddSub(p)
     p.peek match {
-      case Some(Sym(op)) if Set("=", "<>", "<", ">", "<=", ">=").contains(op) =>
-        p.next()
-        Ast.Cmp(op, l, parseAddSub(p))
+      case Some(Sym(op0)) if Set("=", "<>", "<", ">", "<=", ">=")
+          .contains(op0) =>
+        // chained comparisons (openCypher): 1 < x <= 5 desugars to
+        // 1 < x AND x <= 5 (every adjacent pair conjoined)
+        var cur = l
+        var acc: Option[Ast.Expr] = None
+        var more = true
+        while (more) p.peek match {
+          case Some(Sym(op)) if Set("=", "<>", "<", ">", "<=", ">=")
+              .contains(op) =>
+            p.next()
+            val r = parseAddSub(p)
+            val c = Ast.Cmp(op, cur, r)
+            acc = Some(acc.map(a => Ast.And(a, c): Ast.Expr).getOrElse(c))
+            cur = r
+          case _ => more = false
+        }
+        acc.get
       case Some(Sym("=~")) =>
         p.next()
         Ast.StrPred("regex", l, parseAddSub(p))

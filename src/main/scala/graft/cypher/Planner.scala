@@ -2559,7 +2559,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .otherwise(array().cast("array<string>")),
         coalesce(sort_array(col(s"${n}__xlabels")),
           array().cast("array<string>")))
-    case FuncCall("size", Seq(a), _) => size(valueCol(a)).cast("long")
+    case FuncCall("size", Seq(a), _) =>
+      // Neo4j size(): element count for lists/maps, CHARACTER count
+      // for strings (dynamic props surface as canonical strings)
+      val c = valueCol(a)
+      colTypeOpt(c) match {
+        case Some(org.apache.spark.sql.types.StringType) =>
+          length(c).cast("long")
+        case _ => size(c).cast("long")
+      }
     case FuncCall("length", Seq(VarRef(n), _ @ _*), _)
         if env.get(n).exists(_.isInstanceOf[PathVar]) =>
       val PathVar(fixed, hopsCol, _) = env(n): @unchecked
@@ -2845,6 +2853,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // `.gid` / `['gid']` on them is the value itself
     case Subscript(f @ FuncCall("startnode" | "endnode", _, _),
         Lit("gid")) => valueCol(f)
+    // dynamic property access on a node variable: a literal key is
+    // exactly the PropRef (full typed machinery); an expression key
+    // resolves the model columns by name at runtime, else reads the
+    // props map
+    case Subscript(VarRef(n), Lit(k: String))
+        if env.get(n).contains(NodeVar) =>
+      valueCol(PropRef(n, k))
+    case Subscript(VarRef(n), keyE) if env.get(n).contains(NodeVar) =>
+      val keyC = strCol(keyE)
+      when(keyC === "gid", col(s"${n}__gid"))
+        .when(keyC === "label", col(s"${n}__label"))
+        .when(keyC === "source", col(s"${n}__source"))
+        .otherwise(pvStrOf(element_at(col(s"${n}__props"), keyC)))
     case Subscript(coll, idx) => subscriptCol(valueCol(coll), idx)
     case Slice(collE, fromE, toE) =>
       // openCypher end-exclusive slice; negative bounds from the end;

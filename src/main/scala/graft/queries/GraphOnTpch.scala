@@ -58,7 +58,7 @@ object GraphOnTpch {
   /** shared with CypherQ: the Cypher registry queries run over the
     * same applyBatch-built store.
     */
-  private[queries] def nationStore(s: SparkSession, dir: String): GraphStore =
+  private[graft] def nationStore(s: SparkSession, dir: String): GraphStore =
     mergedNationStore(s, dir)
 
   /** a private store per call — for queries that MUTATE it

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cypher.CypherEngine
+
+/** Gap finder: a battery of everyday-Neo4j text run against the
+  * nation-store fixture; prints PASS/FAIL per query. A dev tool, not
+  * part of the registry — failures here are candidate round work.
+  */
+object SyntaxProbe {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val store = graft.queries.GraphOnTpch.nationStore(s, "/root/testdata/sf0.001")
+    val probes: Seq[(String, String)] = Seq(
+      "skip-limit" -> "MATCH (n:Nation) RETURN n.name AS nm ORDER BY nm SKIP 1 LIMIT 2",
+      "case-value-form" -> "MATCH (n:Nation) RETURN CASE n.gid WHEN 'n:1' THEN 'one' ELSE 'other' END AS c LIMIT 3",
+      "mod-pow" -> "RETURN 5 % 3 AS m, 2 ^ 3 AS p",
+      "undirected" -> "MATCH (a:Nation)--(b) RETURN count(*) AS c",
+      "undirected-rel" -> "MATCH (a:Nation)-[r]-(b) RETURN type(r) AS t LIMIT 2",
+      "coalesce-optional" -> "MATCH (n:Nation) OPTIONAL MATCH (n)-[:nope]->(m) RETURN coalesce(m.gid, 'none') AS g LIMIT 2",
+      "conversions" -> "RETURN toInteger('42') AS i, toFloat('1.5') AS f, toBoolean('true') AS b",
+      "list-comp" -> "RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS l",
+      "quantifiers" -> "RETURN any(x IN [1,2] WHERE x > 1) AS a, none(x IN [1] WHERE x > 5) AS n",
+      "path-fns" -> "MATCH p = (a:Nation)-[*1..2]->(b) RETURN length(p) AS l, size(nodes(p)) AS nn LIMIT 2",
+      "exists-sub" -> "MATCH (n:Nation) WHERE EXISTS { MATCH (n)-[:in_region]->() } RETURN count(*) AS c",
+      "dyn-prop-str" -> "MATCH (n:Nation) RETURN n['name'] AS nm ORDER BY nm LIMIT 2",
+      "dyn-prop-expr" -> "WITH 'name' AS k MATCH (n:Nation) RETURN n[k] AS nm ORDER BY nm LIMIT 2",
+      "props-keys-labels" -> "MATCH (n:Nation) RETURN keys(properties(n)) AS ks, labels(n) AS ls LIMIT 1",
+      "orderby-expr" -> "MATCH (n:Nation) RETURN n.gid AS g ORDER BY size(n.name) DESC, g LIMIT 3",
+      "collect-distinct" -> "MATCH (n:Nation)-[r]->(m) RETURN size(collect(DISTINCT m.gid)) AS c",
+      "unwind-maps" -> "UNWIND [{a: 1}, {a: 2}] AS row RETURN row.a AS a",
+      "multi-create" -> "CREATE (a:Tmp {gid: 'tmp:1'}), (b:Tmp {gid: 'tmp:2'}) RETURN 1 AS ok",
+      "null-arith" -> "RETURN null + 1 AS a, size(null) AS b",
+      "union-literal" -> "RETURN 1 AS a UNION RETURN 2 AS a",
+      "regex-flags" -> "MATCH (n:Nation) WHERE n.name =~ '(?i)nation.*' RETURN count(*) AS c",
+      "reduce-mult" -> "RETURN reduce(acc = 1, x IN [1,2,3,4] | acc * x) AS f",
+      "stdev" -> "UNWIND [1.0, 2.0, 3.0] AS x RETURN stdev(x) AS sd, percentileCont(x, 0.5) AS med",
+      "not-pattern" -> "MATCH (n:Nation) WHERE NOT (n)-[:nope]->() RETURN count(*) AS c",
+      "param-dyn-prop" -> "MATCH (n:Nation) RETURN n[$key] AS v ORDER BY v LIMIT 1",
+      "string-norm" -> "RETURN toUpper('a') AS u, trim('  x ') AS t, split('a,b', ',') AS sp",
+      "temporal-cmp" -> "RETURN date('2024-01-02') > date('2024-01-01') AS cmp",
+      "duration-add" -> "RETURN date('2024-01-31') + duration('P1D') AS d",
+      "nested-subscript" -> "RETURN [[1,2],[3]][0][1] AS v",
+      "map-subscript" -> "RETURN {a: {b: 7}}['a']['b'] AS v",
+      "count-if" -> "MATCH (n:Nation) RETURN count(CASE WHEN n.gid > 'n:2' THEN 1 END) AS c",
+      "distinct-with" -> "MATCH (n:Nation)-[r]->(m) WITH DISTINCT m RETURN count(*) AS c",
+      "chained-cmp" -> "WITH 5 AS x RETURN 1 < x <= 5 AS inrange",
+      "elementid-fn" -> "MATCH (n:Nation) RETURN elementId(n) AS e LIMIT 1",
+      "shortest-fn" -> "MATCH p = shortestPath((a:Nation {gid: 'n:1'})-[*1..3]->(b)) RETURN length(p) AS l LIMIT 1")
+    val params = Map("key" -> "name")
+    probes.foreach { case (tag, q) =>
+      val res =
+        try { CypherEngine.query(store, q, params).collect(); "PASS" }
+        catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(100)}" }
+      println(s"PROBE $tag: $res")
+    }
+    s.stop()
+  }
+}

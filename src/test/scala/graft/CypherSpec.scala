@@ -541,6 +541,39 @@ class CypherSpec extends AnyFunSuite {
     assert(seedErr.getMessage.contains("incoming rows"))
   }
 
+  test("dynamic property subscript, chained comparisons, size(string)") {
+    // n['name'] == n.name; expression and parameter keys resolve at
+    // runtime (model columns by name, props map otherwise)
+    val a = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n['name'] = 'brian'
+         RETURN n['age'] AS age, n['gid'] AS g""").collect().head
+    assert(a.getString(0) == "23")
+    assert(a.getString(1) == "urn:p1")
+    val b = CypherEngine.query(store,
+      """WITH 'name' AS k MATCH (n:Person) RETURN n[k] AS v ORDER BY v""")
+      .collect().map(_.getString(0))
+    assert(b.toSeq == Seq("brian", "jane", "ola"))
+    val c = CypherEngine.query(store,
+      "MATCH (n:Person) RETURN n[$key] AS v ORDER BY v LIMIT 1",
+      Map("key" -> "gid")).collect().head.getString(0)
+    assert(c == "urn:p1")
+    // chained comparisons desugar to pairwise AND
+    val d = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE 23 <= n.age < 40
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(d == 2L) // brian 23, jane 31; ola 40 excluded
+    val e = CypherEngine.query(store,
+      "WITH 5 AS x RETURN 1 < x <= 5 AS inr, 1 < x < 5 AS out")
+      .collect().head
+    assert(e.getBoolean(0) && !e.getBoolean(1))
+    // size(): chars for strings, elements for lists
+    val f = CypherEngine.query(store,
+      """MATCH (n:Person {name: 'brian'})
+         RETURN size(n.name) AS sc, size([1, 2, 3]) AS lc""")
+      .collect().head
+    assert(f.getLong(0) == 5L && f.getLong(1) == 3L)
+  }
+
   test("IS :: type predicates read the typed property slots") {
     // age is a LONG slot, name a STRING slot
     val n = CypherEngine.query(store,
