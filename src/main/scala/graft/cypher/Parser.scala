@@ -515,13 +515,11 @@ object Parser {
     (orderBy.result(), skip, limit)
   }
 
-  /** SKIP/LIMIT operand: an integer literal or a parameter */
-  private def parseBound(p: P): Ast.Expr = p.next() match {
-    case NumLit(v: Long) => Ast.Lit(v)
-    case ParamTok(n) => Ast.Param(n)
-    case other => throw ParseException(
-      s"expected integer or parameter, got $other")
-  }
+  /** SKIP/LIMIT operand: any constant integer expression (Neo4j
+    * allows `LIMIT 1 + 1`) — the planner folds it (boundVal) and
+    * rejects non-constant / non-integer forms there
+    */
+  private def parseBound(p: P): Ast.Expr = parseAddSub(p)
 
   /** `{ [MATCH] pattern [WHERE expr] }` — the EXISTS/COUNT subquery
     * body */

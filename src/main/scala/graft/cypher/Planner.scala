@@ -2455,12 +2455,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(ValueVar(c)) =>
         // a map-typed item (`UNWIND $items AS item` with map values,
         // neo4j.go:96) surfaces its entries as canonical strings, like
-        // node props; temporal values answer their accessors
+        // node props; a COLLECTED-then-UNWOUND node (its value is the
+        // node struct) answers property access like the node variable
+        // it came from; temporal values answer their accessors
         // (d.year, dt.epochMillis, dur.days); struct-typed values
         // keep field access
         val ct = colType(col(c))
-        if (isPvMapType(ct)) pvStrOf(col(c).getItem(p))
-        else temporalField(col(c), ct, p).getOrElse(col(c).getField(p))
+        ct match {
+          case st: org.apache.spark.sql.types.StructType
+              if st.fieldNames.length >= 4 && st.fieldNames.take(4)
+                .sameElements(Array("gid", "label", "source", "props")) =>
+            p match {
+              case "gid" | "label" | "source" => col(c).getField(p)
+              case _ => pvStrOf(col(c).getField("props").getItem(p))
+            }
+          case _ if isPvMapType(ct) => pvStrOf(col(c).getItem(p))
+          case _ =>
+            temporalField(col(c), ct, p).getOrElse(col(c).getField(p))
+        }
       case Some(PathVar(_, _, _)) =>
         throw PlanError(s"path variable $v has no properties")
       case None => throw PlanError(s"unbound variable: $v")
@@ -3303,6 +3315,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(v: Int) => v.toLong
       case other => throw PlanError(s"$what parameter must be an integer, got $other")
     }
+    // constant integer arithmetic folds (`LIMIT 1 + 1`, `SKIP $n * 2`)
+    case Arith(op, l, r) =>
+      val (a, b) = (boundVal(l, what), boundVal(r, what))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" =>
+          if (b == 0) throw PlanError(s"$what divides by zero") else a / b
+        case "%" =>
+          if (b == 0) throw PlanError(s"$what divides by zero") else a % b
+        case other => throw PlanError(s"$what: unsupported operator $other")
+      }
     case other => throw PlanError(s"$what must be an integer: $other")
   }
 

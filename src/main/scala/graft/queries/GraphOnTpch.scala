@@ -65,7 +65,7 @@ object GraphOnTpch {
     * (cypher_delete); the memoized store must stay pristine for the
     * read-only registry entries.
     */
-  private[queries] def freshNationStore(s: SparkSession, dir: String): GraphStore =
+  private[graft] def freshNationStore(s: SparkSession, dir: String): GraphStore =
     buildMergedNationStore(s, dir)
 
   /** Non-toy Cypher fixture: the CUSTOMER graph at the scale factor's
@@ -80,7 +80,7 @@ object GraphOnTpch {
   private val customerStores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphStore]
 
-  private[queries] def customerGraphStore(s: SparkSession,
+  private[graft] def customerGraphStore(s: SparkSession,
       dir: String): GraphStore =
     customerStores.getOrElseUpdate((s, dir), {
       import s.implicits._

@@ -52,7 +52,7 @@ object SyntaxProbe {
       "chained-cmp" -> "WITH 5 AS x RETURN 1 < x <= 5 AS inrange",
       "elementid-fn" -> "MATCH (n:Nation) RETURN elementId(n) AS e LIMIT 1",
       "shortest-fn" -> "MATCH p = shortestPath((a:Nation {gid: 'n:1'})-[*1..3]->(b)) RETURN length(p) AS l LIMIT 1")
-    val params = Map("key" -> "name")
+    val params = Map("key" -> "name", "list" -> Seq(1, 2, 3))
     probes.foreach { case (tag, q) =>
       val res =
         try { CypherEngine.query(store, q, params).collect(); "PASS" }
@@ -60,6 +60,78 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(100)}" }
       println(s"PROBE $tag: $res")
     }
+    // battery 2: write clauses + aggregation/subquery edges, on a
+    // private store (the probes mutate it)
+    val wstore = graft.queries.GraphOnTpch.freshNationStore(s,
+      "/root/testdata/sf0.001")
+    val writeProbes: Seq[(String, String)] = Seq(
+      "merge-on-clauses" ->
+        """MERGE (n:X {gid: 'm:1'}) ON CREATE SET n.c = '1'
+           ON MATCH SET n.m = '1'""",
+      "set-multi" -> "MATCH (n {gid: 'm:1'}) SET n.a = 1, n.b = 2",
+      "remove-prop" -> "MATCH (n {gid: 'm:1'}) REMOVE n.b",
+      "with-order-limit-match" ->
+        """MATCH (n:Nation) WITH n ORDER BY n.name LIMIT 1
+           MATCH (n)-[:in_region]->(m) RETURN m.gid AS g""",
+      "count-distinct-prop" ->
+        "MATCH (n:Nation) RETURN count(DISTINCT n.name) AS c",
+      "cartesian-id" ->
+        """MATCH (a:Nation), (b:Nation) WHERE id(a) < id(b)
+           RETURN count(*) AS c""",
+      "chain-create" ->
+        """CREATE (a:Y {gid: 'y:1'})-[:t]->(b:Y {gid: 'y:2'})-[:t]->
+           (c:Y {gid: 'y:3'})""",
+      "unwind-param" -> "UNWIND $list AS x RETURN x * 2 AS d",
+      "in-list" ->
+        "MATCH (n:Nation) WHERE n.name IN ['NATION_1'] RETURN count(*) AS c",
+      "pow-dynamic" ->
+        "MATCH (n:Nation {gid: 'n:1'}) RETURN size(n.name) ^ 2 AS p",
+      "orderby-agg-alias" ->
+        """MATCH (n:Nation)-[r]->(m) RETURN m.gid AS g, count(*) AS c
+           ORDER BY c DESC, g LIMIT 2""",
+      "collect-unwind-nodes" ->
+        """MATCH (n:Nation) WITH collect(n) AS ns UNWIND ns AS n
+           RETURN n.name AS nm ORDER BY nm LIMIT 2""",
+      "head-collect" ->
+        """MATCH (n:Nation) WITH n ORDER BY n.name
+           RETURN head(collect(n.name)) AS first""",
+      "size-labels" ->
+        "MATCH (n) WHERE size(labels(n)) > 0 RETURN count(*) AS c",
+      "multi-when" ->
+        """MATCH (n:Nation) RETURN CASE WHEN n.gid = 'n:1' THEN 'a'
+           WHEN n.gid = 'n:2' THEN 'b' ELSE 'z' END AS k LIMIT 3""",
+      "optional-where" ->
+        """MATCH (n:Nation) OPTIONAL MATCH (n)-[:in_region]->(m)
+           WHERE m.gid = 'r:0' RETURN count(m) AS c""",
+      "limit-expr" ->
+        "MATCH (n:Nation) RETURN n.gid AS g ORDER BY g LIMIT 1 + 1",
+      "count-bare-pattern" ->
+        "MATCH (n:Nation) RETURN n.gid AS g, COUNT { (n)-->() } AS deg LIMIT 2",
+      "exists-bare-pattern" ->
+        "MATCH (n:Nation) WHERE EXISTS { (n)-[:in_region]->() } RETURN count(*) AS c",
+      "delete-rel" ->
+        "MATCH (:Y {gid: 'y:1'})-[r:t]->() DELETE r",
+      "merge-stub-promote" ->
+        "MERGE (n:Region {gid: 'r:0'}) RETURN n.gid AS g")
+    writeProbes.foreach { case (tag, q) =>
+      val res =
+        try { CypherEngine.query(wstore, q, params).collect(); "PASS" }
+        catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(100)}" }
+      println(s"PROBE2 $tag: $res")
+    }
+    // aggregates over DYNAMIC numeric props (canonical strings): a
+    // lexicographic min/max would order "9" > "40" — probe VALUES too
+    val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,
+      "/root/testdata/sf0.001")
+    val aggRows =
+      try CypherEngine.query(cstore,
+        """MATCH (c:Customer)
+           RETURN min(c.acctbal) AS lo, max(c.acctbal) AS hi,
+             round(avg(c.acctbal), 2) AS av, count(*) AS n""").collect()
+      catch { case e: Throwable => println(
+        s"PROBE3 agg-dynamic: FAIL ${e.getMessage.take(100)}"); Array.empty[org.apache.spark.sql.Row] }
+    aggRows.foreach(r => println(s"PROBE3 agg-dynamic: $r"))
     s.stop()
   }
 }

@@ -574,6 +574,22 @@ class CypherSpec extends AnyFunSuite {
     assert(f.getLong(0) == 5L && f.getLong(1) == 3L)
   }
 
+  test("collected nodes unwind back with property access; LIMIT exprs") {
+    // the collect → unwind round trip (the batching idiom): the
+    // unwound value answers .prop like the original node variable
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person) WITH collect(n) AS ns
+         UNWIND ns AS n RETURN n.name AS nm, n.gid AS g ORDER BY nm""")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    assert(r.toSeq == Seq(("brian", "urn:p1"), ("jane", "urn:p2"),
+      ("ola", "urn:p3")))
+    // constant integer expressions in SKIP/LIMIT
+    val l = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN n.name AS nm ORDER BY nm
+         SKIP 3 - 2 LIMIT 1 + 1""").collect().map(_.getString(0))
+    assert(l.toSeq == Seq("jane", "ola"))
+  }
+
   test("IS :: type predicates read the typed property slots") {
     // age is a LONG slot, name a STRING slot
     val n = CypherEngine.query(store,
