@@ -3128,7 +3128,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       case Some(t: StructType) => idx match {
         case Lit(s: String) =>
-          temporalField(c, t, s).getOrElse(c.getField(s))
+          // a node-shaped struct (collect(n)[0].name) answers property
+          // access like the node variable it came from
+          if (t.fieldNames.length >= 4 && t.fieldNames.take(4)
+              .sameElements(Array("gid", "label", "source", "props"))) {
+            if (Set("gid", "label", "source").contains(s)) c.getField(s)
+            else pvStrOf(c.getField("props").getItem(s))
+          } else temporalField(c, t, s).getOrElse(c.getField(s))
         case other =>
           throw PlanError(s"struct subscript needs a string key, got $other")
       }

@@ -120,6 +120,60 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(100)}" }
       println(s"PROBE2 $tag: $res")
     }
+    val probes3: Seq[(String, String)] = Seq(
+      "label-pred-where" ->
+        "MATCH (n) WHERE n:Nation RETURN count(*) AS c",
+      "map-proj-computed" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           RETURN n{.name, deg: size([(n)-->() | 1])} AS m""",
+      "nested-map-list" -> "WITH {a: [1, 2]} AS m RETURN m.a[0] AS v",
+      "step-range" -> "UNWIND range(0, 10, 2) AS x RETURN count(*) AS c",
+      "varlen-type-disj" ->
+        "MATCH (a:Nation)-[:in_region|nope*1..2]->(b) RETURN count(*) AS c",
+      "not-startswith" ->
+        """MATCH (n:Nation) WHERE NOT n.name STARTS WITH 'NATION_1'
+           RETURN count(*) AS c""",
+      "datetime-accessor" ->
+        "RETURN datetime('2024-01-01T10:00:00Z').epochMillis AS ms",
+      "pattern-comp-with" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           WITH n, [(n)-->(m) | m.gid] AS ts RETURN size(ts) AS c""",
+      // nodes(p) yields gid REFERENCES (model choice: materializing
+      // props per path node would hide a join); property access needs
+      // the bound variable — the two nodes-p probes document that
+      "nodes-p-lambda-prop" ->
+        """MATCH p = (a:Nation {gid: 'n:1'})-[:in_region]->(b)
+           RETURN [x IN nodes(p) | x.gid] AS gids""",
+      "nodes-p-lambda-dynprop" ->
+        """MATCH p = (a:Nation {gid: 'n:1'})-[:in_region]->(b)
+           RETURN [x IN nodes(p) | x.name] AS names""",
+      "collect-subscript-prop" ->
+        """MATCH (n:Nation) WITH n ORDER BY n.gid
+           RETURN collect(n)[0].name AS first""",
+      "exists-prop-fn" ->
+        "MATCH (n:Nation) WHERE exists(n.name) RETURN count(*) AS c",
+      "param-cmp" ->
+        "MATCH (n:Nation) WHERE n.name >= $minName RETURN count(*) AS c",
+      "order-multi-mixed" ->
+        """MATCH (n:Nation) RETURN n.gid AS g
+           ORDER BY n.name DESC, n.gid ASC LIMIT 2""",
+      "tostring-forms" ->
+        "RETURN toString(1.5) AS a, toString(true) AS b, toString(7) AS c",
+      "order-by-node" ->
+        "MATCH (n:Nation) RETURN n ORDER BY n LIMIT 1",
+      "merge-whole-pattern" ->
+        """MERGE (a:W {gid: 'w:1'})-[:t]->(b:W {gid: 'w:2'})
+           RETURN 1 AS ok""",
+      "case-list-result" ->
+        "RETURN CASE WHEN true THEN [1,2] ELSE [] END AS l")
+    probes3.foreach { case (tag, q) =>
+      val res =
+        try { CypherEngine.query(wstore, q,
+          Map("minName" -> "NATION_2")).collect(); "PASS" }
+        catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(100)}" }
+      println(s"PROBE3 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,
