@@ -498,6 +498,96 @@ object Relational {
         .pivot("o_orderpriority", prios)
         .agg(sum(cents($"o_totalprice")) / 100.0)
         .orderBy($"segment")
+    }),
+
+    // TPC-H Q15 (top supplier): per-supplier revenue in a quarter,
+    // keep the max. Revenue stays exact integer cents through the
+    // max-comparison (a double tie-break could pick a different
+    // supplier than the oracle); the 1-row max and the 100-row
+    // supplier dim both broadcast — the fact table shuffles once on
+    // l_suppkey with map-side partials.
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("rev_c"))
+      rev.join(broadcast(rev.agg(max($"rev_c").as("max_c"))),
+          $"rev_c" === $"max_c")
+        .join(broadcast(t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          ($"rev_c" / 100.0).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): lineitems under 20%
+    // of their part's average quantity. The per-part average is an
+    // aggregate of the brand-filtered join (bounded by the parts of
+    // one brand → broadcasts back); quantities are integral doubles
+    // so the average is fp-exact and order-independent.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val lp = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter($"p_brand" === "Brand#5").select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+      val avgq = lp.groupBy($"l_partkey".as("ak"))
+        .agg(avg($"l_quantity").as("aq"))
+      lp.join(broadcast(avgq), $"l_partkey" === $"ak")
+        .filter($"l_quantity" < lit(0.2) * $"aq")
+        .agg((sum(cents($"l_extendedprice")) / 100.0 / 7.0)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 (dormant customers, adapted: the synthetic schema has
+    // no c_phone, so "country code" = c_nationkey; every customer has
+    // SOME order, so "no orders" = none since 2000). Above-average
+    // balance compares in exact integer cents (bal·n > Σbal avoids a
+    // double-avg boundary); the 1-row stats broadcast, the recent-
+    // order probe is a left-anti join keyed on the customer.
+    "q22_dormant_customers" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .filter($"c_nationkey".isin(0, 1, 2, 3, 4, 5, 6))
+      val stats = c.filter($"c_acctbal" > 0)
+        .agg(sum(cents($"c_acctbal")).as("sum_c"),
+          count(lit(1)).as("cnt"))
+      val recent = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      c.crossJoin(broadcast(stats))
+        .filter(cents($"c_acctbal") * $"cnt" > $"sum_c")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(cents($"c_acctbal")) / 100.0).as("totacctbal"))
+        .orderBy($"cntrycode")
+    }),
+
+    // TPC-H Q12 (shipping-lag priority audit, adapted: the synthetic
+    // schema has no l_shipmode/l_commitdate, so lines bucket by
+    // ship-lag days instead of mode). The CASE-counting join shape is
+    // Q12's: one fact-fact shuffle join on the order key, then a
+    // 3-group aggregate with map-side partials.
+    "q12_ship_lag_priority" -> ((s, dir) => {
+      import s.implicits._
+      val lag = datediff($"l_shipdate", $"o_orderdate")
+      t(s, dir, "lineitem").join(t(s, dir, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("lag_bucket",
+          when(lag <= 30, "a_0_30")
+            .when(lag <= 90, "b_31_90")
+            .otherwise("c_over_90"))
+        .groupBy($"lag_bucket")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy($"lag_bucket")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -741,5 +831,54 @@ object Relational {
          JOIN (SELECT c_nationkey AS nk,
                  SUM(CAST(round(c_acctbal*100) AS BIGINT))/100.0/COUNT(*) AS nation_avg
                FROM customer GROUP BY c_nationkey) ON c_nationkey = nk
-         WHERE c_acctbal > nation_avg ORDER BY c_custkey""")
+         WHERE c_acctbal > nation_avg ORDER BY c_custkey""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               AS rev_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, rev_c/100.0 AS total_revenue
+         FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+         WHERE rev_c = (SELECT max(rev_c) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q17_small_qty_revenue" ->
+      """SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/7.0
+             AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#5'
+           AND l_quantity < 0.2 * (
+             SELECT avg(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = p_partkey)""",
+    "q22_dormant_customers" ->
+      """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           SUM(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS totacctbal
+         FROM customer
+         WHERE c_nationkey IN (0,1,2,3,4,5,6)
+           AND CAST(round(c_acctbal*100) AS BIGINT) *
+             (SELECT count(*) FROM customer
+              WHERE c_acctbal > 0 AND c_nationkey IN (0,1,2,3,4,5,6))
+             > (SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT))
+                FROM customer
+                WHERE c_acctbal > 0 AND c_nationkey IN (0,1,2,3,4,5,6))
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q12_ship_lag_priority" ->
+      """SELECT CASE
+             WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+               THEN 'a_0_30'
+             WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+               THEN 'b_31_90'
+             ELSE 'c_over_90' END AS lag_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""")
 }
