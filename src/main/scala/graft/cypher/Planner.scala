@@ -1590,6 +1590,102 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     coalesce(col(s"__${tag}__list"), array().cast(elemType))
   }
 
+  /** is `e` a nodes(p) / relationships(p) call over a bound path? */
+  private def pathListCall(e: Expr): Option[Boolean] = e match {
+    case FuncCall(fn @ ("nodes" | "relationships"), Seq(VarRef(p)), _)
+        if env.get(p).exists(_.isInstanceOf[PathVar]) =>
+      Some(fn == "nodes")
+    case _ => None
+  }
+
+  /** Inside a lambda over nodes(p)/relationships(p) the elements are
+    * the path's renderings — node gids / relationship types — so
+    * identity reads fold to the element itself: `x.gid`, id(x),
+    * elementId(x) over nodes; type(x) over relationships. */
+  private def foldPathElemIdentity(v: String, overNodes: Boolean,
+      e: Expr): Expr = mapExpr(e) {
+    case PropRef(`v`, "gid") if overNodes => VarRef(v)
+    case FuncCall("id" | "elementid", Seq(VarRef(`v`)), _)
+        if overNodes => VarRef(v)
+    case FuncCall("type", Seq(VarRef(`v`)), _) if !overNodes => VarRef(v)
+    case other => other
+  }
+
+  /** does `e` read properties of the lambda variable `v`? */
+  private def readsElemProps(v: String, e: Expr): Boolean = {
+    var hit = false
+    mapExpr(e) {
+      case pr @ PropRef(`v`, _) => hit = true; pr
+      case s @ Subscript(VarRef(`v`), _) => hit = true; s
+      case other => other
+    }
+    hit
+  }
+
+  private def refsOtherVars(v: String, e: Expr): Boolean = {
+    var hit = false
+    mapExpr(e) {
+      case x @ VarRef(n) if n != v && env.contains(n) => hit = true; x
+      case x @ PropRef(n, _) if n != v && env.contains(n) => hit = true; x
+      case other => other
+    }
+    hit
+  }
+
+  /** `[x IN nodes(p) | … x.prop …]` — the path materializes node
+    * IDENTITIES (gids), so property reads buy an explicit node-table
+    * join rather than failing: distinct gid arrays posexplode, join
+    * the node table ONCE on gid (the same keyed shuffle any
+    * bound-node read pays), evaluate the body per element, re-collect
+    * in path order. The body may reference only the lambda variable —
+    * the collected list must be a pure function of the gid array (the
+    * correlation key). Mutates df; returns the list column.
+    */
+  private def planPathNodeComp(v: String, listE: Expr,
+      whereE: Option[Expr], projE: Option[Expr]): Column = {
+    (whereE.toSeq ++ projE.toSeq).foreach { e =>
+      if (refsOtherVars(v, e)) throw PlanError(
+        "a property-reading comprehension over nodes(p) may reference " +
+          "only its own variable — bind the node in the pattern to mix " +
+          "outer values")
+    }
+    val tag = fresh("pn")
+    val keyName = s"__${tag}_key"
+    df = df.withColumn(keyName, valueCol(listE))
+    val nv = fresh("pnnode")
+    val keys = df.select(col(keyName))
+      .filter(col(keyName).isNotNull).distinct()
+    val ex = keys.select(col(keyName),
+      posexplode(col(keyName)).as(Seq(s"__${tag}_pos", s"__${tag}_gid")))
+    val joined = ex.join(nodeDf(nv, NodePattern(None, None, Nil)),
+      col(s"__${tag}_gid") === col(s"${nv}__gid"), "left_outer")
+    val outerDf = df
+    val outerEnv = env
+    df = joined
+    env = Map(nv -> NodeVar)
+    def ren(e: Expr): Expr = mapExpr(e) {
+      case VarRef(`v`) => VarRef(nv)
+      case PropRef(`v`, k) => PropRef(nv, k)
+      case other => other
+    }
+    whereE.foreach(w => df = df.filter(toPredicate(ren(w))))
+    val projCol = projE.map(p => valueCol(ren(p)))
+      .getOrElse(col(s"__${tag}_gid"))
+    val grouped = df.groupBy(col(keyName).as(s"__${tag}_k"))
+      .agg(transform(sort_array(collect_list(struct(
+          col(s"__${tag}_pos").as("p"), projCol.as("v")))),
+        s => s("v")).as(s"__${tag}_list"))
+    df = outerDf
+    env = outerEnv
+    df = df.join(grouped, col(keyName) === col(s"__${tag}_k"),
+        "left_outer")
+      .drop(s"__${tag}_k")
+    // [x IN null | …] is null; a fully-filtered or empty path is []
+    when(col(keyName).isNull, lit(null))
+      .otherwise(coalesce(col(s"__${tag}_list"),
+        array().cast(grouped.schema(s"__${tag}_list").dataType)))
+  }
+
   /** bind every pattern comprehension inside `e` as a value column
     * (correlated joins land on df) and rewrite it to the binding;
     * returns the rewritten expression and whether anything matched */
@@ -1603,6 +1699,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         df = df.withColumn(s"${nm}__value", c)
         env += nm -> ValueVar(s"${nm}__value")
         VarRef(nm)
+      case lc @ ListComp(v, listE, w, pr) if pathListCall(listE).isDefined =>
+        val overNodes = pathListCall(listE).get
+        val w2 = w.map(foldPathElemIdentity(v, overNodes, _))
+        val pr2 = pr.map(foldPathElemIdentity(v, overNodes, _))
+        val needsProps = overNodes &&
+          (w2.exists(readsElemProps(v, _)) || pr2.exists(readsElemProps(v, _)))
+        if (!needsProps) ListComp(v, listE, w2, pr2)
+        else {
+          hit = true
+          val nm = fresh("pncol")
+          val c = planPathNodeComp(v, listE, w2, pr2) // mutates df FIRST
+          df = df.withColumn(s"${nm}__value", c)
+          env += nm -> ValueVar(s"${nm}__value")
+          VarRef(nm)
+        }
       case other => other
     }
     (out, hit)
@@ -2541,12 +2652,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case x @ (_: InList | _: StrPred) => toPredicate(x)
     case FuncCall("tostring", Seq(a), _) => typedProp(a, "s")
       .getOrElse(valueCol(a).cast("string"))
-    case FuncCall("tointeger", Seq(a), _) => typedProp(a, "l")
-      .getOrElse(valueCol(a).cast("long"))
-    case FuncCall("tofloat", Seq(a), _) => typedProp(a, "d")
-      .getOrElse(valueCol(a).cast("double"))
-    case FuncCall("toboolean", Seq(a), _) => typedProp(a, "b")
-      .getOrElse(valueCol(a).cast("boolean"))
+    // conversions are null-on-malformed in Cypher (toInteger('x') is
+    // null) — try_cast, not cast, under Spark's default ANSI mode;
+    // the *OrNull family (Neo4j 4.4) lowers identically
+    case FuncCall("tointeger" | "tointegerornull", Seq(a), _) =>
+      // numeric input converts exactly; a float-looking STRING takes
+      // the double detour ('13.5' → 13, Neo4j truncation)
+      typedProp(a, "l").getOrElse {
+        val c = valueCol(a)
+        coalesce(c.try_cast("long"),
+          c.try_cast("double").try_cast("long"))
+      }
+    case FuncCall("tofloat" | "tofloatornull", Seq(a), _) =>
+      typedProp(a, "d").getOrElse(valueCol(a).try_cast("double"))
+    case FuncCall("toboolean" | "tobooleanornull", Seq(a), _) =>
+      typedProp(a, "b").getOrElse(valueCol(a).try_cast("boolean"))
+    case FuncCall("tostringornull", Seq(a), _) =>
+      typedProp(a, "s").getOrElse(valueCol(a).cast("string"))
+    case FuncCall("isnan", Seq(a), _) => isnan(valueCol(a).cast("double"))
+    case FuncCall("char_length" | "character_length", Seq(a), _) =>
+      length(strCol(a)).cast("long")
+    // nondeterministic value functions — real user text; excluded
+    // from oracled registry entries by nature
+    case FuncCall("rand", Nil, _) => rand()
+    case FuncCall("randomuuid", Nil, _) => expr("uuid()")
     case FuncCall("id" | "elementid", Seq(VarRef(n)), _) =>
       col(s"${n}__gid")
     // startNode/endNode return the endpoint's IDENTITY (the gid — how
@@ -2610,7 +2739,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => None
       }
       if (parts.isEmpty) array().cast("array<string>")
-      else concat(parts: _*)
+      else {
+        // an OPTIONAL MATCH miss binds the pattern-internal path
+        // bindings all-null (a shared outer node stays bound): any
+        // null fixed-node gid witnesses the miss — a matched path has
+        // them all — so nodes(null)/relationships(null) are null, not
+        // a null-bearing list
+        val missed = segs.collect { case NodeSeg(c) => col(c).isNull }
+          .reduceOption(_ || _)
+        missed match {
+          case Some(m) => when(m, lit(null)).otherwise(concat(parts: _*))
+          case None => concat(parts: _*)
+        }
+      }
     // openCypher scalar library (string / numeric / list / null)
     case FuncCall("coalesce", args, _) if args.nonEmpty =>
       coalesce(args.map(valueCol): _*)
@@ -2828,7 +2969,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // untyped-property rendering)
       transform_values(coalesce(col(s"${n}__props"), pvMapLit(Map.empty)),
         (_, v) => pvStrOf(v))
-    case ListComp(v, listE, whereE, projE) =>
+    case ListComp(v, listE, whereE0, projE0) =>
+      // over nodes(p)/relationships(p): elements are path renderings
+      // (gids / relTypes) — fold identity reads to the element itself
+      val (whereE, projE) = pathListCall(listE) match {
+        case Some(overNodes) =>
+          (whereE0.map(foldPathElemIdentity(v, overNodes, _)),
+            projE0.map(foldPathElemIdentity(v, overNodes, _)))
+        case None => (whereE0, projE0)
+      }
       val base = valueCol(listE)
       val filtered = whereE.map(w =>
         filter(base, x => withLambda(v -> x)(toPredicate(w))))
@@ -2836,7 +2985,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       projE.map(pr =>
         transform(filtered, x => withLambda(v -> x)(valueCol(pr))))
         .getOrElse(filtered)
-    case Quant(op, v, listE, predE) =>
+    case Quant(op, v, listE, predE0) =>
+      val predE = pathListCall(listE) match {
+        case Some(overNodes) => foldPathElemIdentity(v, overNodes, predE0)
+        case None => predE0
+      }
       val base = valueCol(listE)
       def pred(x: Column) = withLambda(v -> x)(toPredicate(predE))
       op match {

@@ -121,6 +121,23 @@ object GraphAnalytics {
         coalesce($"in_degree", lit(0)).as("in_degree"))
   }
 
+  /** Per-vertex triangle counts — GraphX TriangleCount over the
+    * undirected view (self-loops dropped, direction canonicalized,
+    * parallel edges deduped by the library). Integer counts →
+    * deterministic, DuckDB-oracle-able.
+    */
+  def triangleCounts(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (dict, g) = build(spark, nodes, edges)
+    val tc = g.partitionBy(
+        org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.toDF("vid", "tri")
+    dict.join(tc, Seq("vid"), "left_outer")
+      .select($"gid", coalesce($"tri", lit(0)).cast("long")
+        .as("n_triangles"))
+  }
+
   /** Multi-hop reachability via Pregel: all vertices within `maxHops`
     * (directed) of the source set — the variable-length-path analog
     * (SURVEY §4: iterative driver loop, not a SparkStrategy).

@@ -468,7 +468,18 @@ DETACH DELETE n
       CypherEngine.query(store,
         """MATCH (m)<-[:in_region]-(n:Nation)
            RETURN m.gid AS region, count(*) AS n ORDER BY region""")
-    }))
+    }),
+
+    // property reads inside a comprehension over nodes(p): the path
+    // carries identities, so x.name buys ONE explicit node-table join
+    // (distinct gid arrays posexplode → keyed join → re-collect in
+    // path order); the region stub's missing name stays null.
+    "cypher_path_props" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH p = (c:Customer)-[:located_in]->(n:Nation)-[:in_region]->(r)
+           WHERE c.acctbal > 9800
+           RETURN c.gid AS gid, [x IN nodes(p) | x.name] AS names
+           ORDER BY gid""")))
 
   val oracles: Map[String, String] = Map(
     "cypher_match_where" ->
@@ -698,5 +709,10 @@ DETACH DELETE n
            UNION ALL SELECT 0, 'ATLANTIS')
          SELECT 'r:'||n_regionkey AS region, COUNT(*) AS cnt,
            MIN(name) AS first_name
-         FROM nn GROUP BY 1 ORDER BY region""")
+         FROM nn GROUP BY 1 ORDER BY region""",
+    "cypher_path_props" ->
+      """SELECT 'c:' || c_custkey AS gid,
+           [c_name, n_name, NULL] AS names
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 9800 ORDER BY gid""")
 }

@@ -263,6 +263,37 @@ object EventOps {
         .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"), $"off")
         .agg(count_distinct($"user_id").as("n_users"))
         .orderBy($"cohort", $"off")
+    }),
+
+    // RFM segmentation (recency / frequency / monetary): per-user
+    // purchase stats (exact cents), then tercile scores via ntile —
+    // the windows sort the PER-USER table (≪ events; the honest cost
+    // of exact quantile segmentation), each with a user_id tie-break
+    // so both engines cut identically.
+    "e_rfm" -> ((s, dir) => {
+      import s.implicits._
+      val p = ev(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id", $"ts",
+          round($"value" * 100, 0).cast("long").as("vc"))
+      val per = p.groupBy($"user_id").agg(
+        max($"ts").as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum($"vc").as("mon_c"))
+      val mx = p.agg(max($"ts").as("mxts"))
+      val base = per.crossJoin(broadcast(mx))
+        .withColumn("recency_days",
+          datediff($"mxts", $"last_ts").cast("long"))
+      val rW = Window.orderBy($"recency_days".asc, $"user_id".asc)
+      val fW = Window.orderBy($"frequency".desc, $"user_id".asc)
+      val mW = Window.orderBy($"mon_c".desc, $"user_id".asc)
+      base.select($"user_id", $"recency_days", $"frequency",
+          ($"mon_c" / 100.0).as("monetary"),
+          ntile(3).over(rW).cast("long").as("r_seg"),
+          ntile(3).over(fW).cast("long").as("f_seg"),
+          ntile(3).over(mW).cast("long").as("m_seg"))
+        .withColumn("rfm",
+          $"r_seg" * 100 + $"f_seg" * 10 + $"m_seg")
+        .orderBy($"user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -276,6 +307,33 @@ object EventOps {
          FROM act JOIN first ON act.user_id = first.user_id
          WHERE date_diff('day', cohort, d) <= 7
          GROUP BY 1, 2 ORDER BY cohort, off""",
+    "e_rfm" ->
+      """WITH p AS (SELECT user_id, ts,
+             CAST(round(value*100) AS BIGINT) vc
+           FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT user_id, max(ts) last_ts,
+             count(*) frequency, CAST(sum(vc) AS BIGINT) mon_c
+           FROM p GROUP BY 1),
+         base AS (SELECT user_id,
+             CAST(date_diff('day', last_ts, (SELECT max(ts) FROM p))
+               AS BIGINT) recency_days,
+             frequency, mon_c
+           FROM per)
+         SELECT user_id, recency_days, frequency,
+           mon_c/100.0 AS monetary,
+           CAST(ntile(3) OVER (ORDER BY recency_days ASC, user_id ASC)
+             AS BIGINT) AS r_seg,
+           CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id ASC)
+             AS BIGINT) AS f_seg,
+           CAST(ntile(3) OVER (ORDER BY mon_c DESC, user_id ASC)
+             AS BIGINT) AS m_seg,
+           CAST(ntile(3) OVER (ORDER BY recency_days ASC, user_id ASC)
+               AS BIGINT) * 100
+             + CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id ASC)
+               AS BIGINT) * 10
+             + CAST(ntile(3) OVER (ORDER BY mon_c DESC, user_id ASC)
+               AS BIGINT) AS rfm
+         FROM base ORDER BY user_id""",
     "e_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
            '%Y-%m-%d %H:%M:%S') AS wstart, event_type,

@@ -81,6 +81,25 @@ object GraphXQ {
         Set("c:1", "c:2"), maxHops = 2)
         .select($"gid", $"hops".cast("long").as("hops"))
         .orderBy($"gid")
+    }),
+
+    // GraphX TriangleCount: the star graph alone is triangle-free, so
+    // customer→supplier "serves" edges (same nation) close one
+    // triangle per (customer, supplier, nation) — per-node counts are
+    // then closed-form from per-nation customer/supplier counts,
+    // which is what the oracle replays.
+    "gx_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val (nodes, edges) = graphTables(s, dir)
+      val serves = t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")
+        .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"c_nationkey" === $"s_nationkey")
+        .select(concat(lit("c:"), $"c_custkey").as("src"),
+          concat(lit("s:"), $"s_suppkey").as("dst"),
+          lit("serves").as("relType"))
+      GraphAnalytics.triangleCounts(s, nodes, edges.unionByName(serves))
+        .orderBy($"gid")
     }))
 
   /** one unrolled integer-PageRank iteration (DuckDB `//` floor-divides
@@ -160,5 +179,25 @@ object GraphXQ {
            SELECT DISTINCT 'r:'||n_regionkey, 2 FROM nation
              JOIN customer ON c_nationkey = n_nationkey
              WHERE c_custkey IN (1, 2))
+         ORDER BY gid""",
+    "gx_triangles" ->
+      """WITH cn AS (SELECT c_nationkey nk, count(*) nc
+             FROM customer GROUP BY 1),
+           sn AS (SELECT s_nationkey nk, count(*) ns
+             FROM supplier GROUP BY 1)
+         SELECT gid, n_triangles FROM (
+           SELECT 'n:'||n_nationkey AS gid,
+             CAST(coalesce(nc, 0) * coalesce(ns, 0) AS BIGINT)
+               AS n_triangles
+           FROM nation LEFT JOIN cn ON n_nationkey = cn.nk
+             LEFT JOIN sn ON n_nationkey = sn.nk
+           UNION ALL
+           SELECT 'c:'||c_custkey, CAST(coalesce(ns, 0) AS BIGINT)
+           FROM customer LEFT JOIN sn ON c_nationkey = sn.nk
+           UNION ALL
+           SELECT 's:'||s_suppkey, CAST(coalesce(nc, 0) AS BIGINT)
+           FROM supplier LEFT JOIN cn ON s_nationkey = cn.nk
+           UNION ALL
+           SELECT 'r:'||r_regionkey, CAST(0 AS BIGINT) FROM region)
          ORDER BY gid""")
 }

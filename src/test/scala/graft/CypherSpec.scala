@@ -127,6 +127,24 @@ class CypherSpec extends AnyFunSuite {
       ("urn:p2", None), ("urn:p3", None)))
   }
 
+  test("*OrNull conversions, isNaN, char_length, rand/randomUUID") {
+    val r = CypherEngine.query(store,
+      """RETURN toIntegerOrNull('42') AS a, toIntegerOrNull('x') AS b,
+                toFloatOrNull('1.5') AS c, toBooleanOrNull('nope') AS d,
+                toStringOrNull(7) AS e, isNaN(sqrt(-1.0)) AS f,
+                isNaN(1.5) AS g, char_length('héllo') AS h,
+                character_length('ab') AS i,
+                rand() AS rnd, randomUUID() AS uid""").collect().head
+    assert(r.getLong(0) == 42L && r.isNullAt(1))
+    assert(r.getDouble(2) == 1.5 && r.isNullAt(3))
+    assert(r.getString(4) == "7")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getLong(7) == 5L && r.getLong(8) == 2L)
+    val rnd = r.getDouble(9)
+    assert(rnd >= 0.0 && rnd < 1.0)
+    assert(r.getString(10).length == 36)
+  }
+
   test("arithmetic: + - * / % ^, precedence, unary minus") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {name: 'brian'})
@@ -1615,6 +1633,54 @@ class CypherSpec extends AnyFunSuite {
          WHERE b.gid = 'urn:d' AND a.gid = 'urn:b'
          RETURN nodes(p) AS ns""").collect()
     assert(inc.head.getSeq[String](0) == Seq("urn:d", "urn:c", "urn:b"))
+  }
+
+  test("lambdas over nodes(p): identity folds and property reads") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-pathprop").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "ann")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "bob")
+        .withRef("urn:x#knows", "urn:c"),
+      Entity("urn:c").withProp("urn:x#name", "cal")))
+    // x.gid / id(x) fold to the element (nodes(p) carries identities)
+    val ids = CypherEngine.query(st,
+      """MATCH p = (a:Person {gid: 'urn:a'})-[:knows]->(b)
+         RETURN [x IN nodes(p) | x.gid] AS gs,
+                [x IN nodes(p) | id(x)] AS is""").collect()
+    assert(ids.head.getSeq[String](0) == Seq("urn:a", "urn:b"))
+    assert(ids.head.getSeq[String](1) == Seq("urn:a", "urn:b"))
+    // dynamic property reads join the node table, in path order —
+    // including over a var-length path's derived entered nodes
+    val nm = CypherEngine.query(st,
+      """MATCH p = (a:Person {gid: 'urn:a'})-[*2..2]->(b)
+         RETURN [x IN nodes(p) | x.name] AS names""").collect()
+    assert(nm.head.getSeq[String](0) == Seq("ann", "bob", "cal"))
+    // WHERE inside the comprehension filters per element
+    val fl = CypherEngine.query(st,
+      """MATCH p = (a:Person {gid: 'urn:a'})-[*2..2]->(b)
+         RETURN [x IN nodes(p) WHERE x.name <> 'bob' | x.name] AS ns""")
+      .collect()
+    assert(fl.head.getSeq[String](0) == Seq("ann", "cal"))
+    // type(x) folds over relationships(p)
+    val ty = CypherEngine.query(st,
+      """MATCH p = (a:Person {gid: 'urn:a'})-[:knows]->(b)
+         RETURN [x IN relationships(p) | type(x)] AS ts""").collect()
+    assert(ty.head.getSeq[String](0) == Seq("knows"))
+    // a null path (OPTIONAL MATCH miss) yields a null list
+    val nul = CypherEngine.query(st,
+      """MATCH (c:Person {gid: 'urn:c'})
+         OPTIONAL MATCH p = (c)-[:knows]->(z)
+         RETURN [x IN nodes(p) | x.name] AS names""").collect()
+    assert(nul.head.isNullAt(0))
+    // mixing outer variables into a property-reading body is rejected
+    val err = intercept[Exception] {
+      CypherEngine.query(st,
+        """MATCH p = (a:Person {gid: 'urn:a'})-[:knows]->(b)
+           RETURN [x IN nodes(p) | x.name + a.name] AS z""").collect()
+    }
+    assert(err.getMessage.contains("only its own variable"))
   }
 
   test("post-WITH WHERE applies AFTER ORDER BY/SKIP/LIMIT (openCypher)") {
