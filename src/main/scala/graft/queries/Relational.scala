@@ -588,6 +588,73 @@ object Relational {
           sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
             .otherwise(1L)).as("low_line_count"))
         .orderBy($"lag_bucket")
+    }),
+
+    // TPC-H Q9 (product-type profit, adapted: no partsupp, so unit
+    // cost ≈ 60% of p_retailprice). Profit rounds to cents BEFORE the
+    // sum (one long per line — order-independent); part and the
+    // supplier→nation dims broadcast, the fact shuffles once into the
+    // (nation, year) aggregate.
+    "q9_profit" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter($"p_name".contains("widget"))
+        .select($"p_partkey", $"p_retailprice")
+      val sn = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"n_name".as("nation"),
+          year($"l_shipdate").cast("long").as("o_year"))
+        .agg((sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          - $"p_retailprice" * 0.6 * $"l_quantity")) / 100.0)
+          .as("sum_profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    // TPC-H Q11 (important stock, adapted: inventory value per part =
+    // summed lineitem extendedprice; keep parts 20% above the average
+    // part — scale-free where Q11's fixed global fraction is not,
+    // since the part count grows with SF). val·n·100 > tot·120 stays
+    // integer-exact against a broadcast 1-row (sum, count).
+    "q11_important_parts" -> ((s, dir) => {
+      import s.implicits._
+      val per = t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum(cents($"l_extendedprice")).as("val_c"))
+      per.crossJoin(broadcast(per.agg(sum($"val_c").as("tot_c"),
+          count(lit(1)).as("n_p"))))
+        .filter($"val_c" * $"n_p" * 100 > $"tot_c" * 120)
+        .select($"l_partkey".as("p_partkey"),
+          ($"val_c" / 100.0).as("part_value"))
+        .orderBy($"part_value".desc, $"p_partkey")
+    }),
+
+    // TPC-H Q20 (above-average shippers, adapted): suppliers whose
+    // 1997 widget volume beats the per-supplier average — qty·n > Σqty
+    // stays integer-exact (quantities are integral doubles), the
+    // 1-row stats and the supplier dim broadcast.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      val w = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")
+          .filter($"p_name".contains("widget")).select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_quantity").cast("long").as("qty"))
+      val stats = w.agg(sum($"qty").as("sum_q"),
+        count(lit(1)).as("n_s"))
+      w.crossJoin(broadcast(stats))
+        .filter($"qty" * $"n_s" > $"sum_q")
+        .join(broadcast(t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"qty")
+        .orderBy($"s_suppkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -880,5 +947,39 @@ object Relational {
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           SUM(CAST(round((l_extendedprice*(1-l_discount)
+             - p_retailprice*0.6*l_quantity)*100) AS BIGINT))/100.0
+             AS sum_profit
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q11_important_parts" ->
+      """WITH per AS (
+           SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS val_c
+           FROM lineitem GROUP BY 1)
+         SELECT l_partkey AS p_partkey, val_c/100.0 AS part_value
+         FROM per
+         WHERE val_c * (SELECT count(*) FROM per) * 100
+             > (SELECT CAST(SUM(val_c) AS BIGINT) FROM per) * 120
+         ORDER BY part_value DESC, p_partkey""",
+    "q20_excess_suppliers" ->
+      """WITH w AS (
+           SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%widget%'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, qty
+         FROM w JOIN supplier ON l_suppkey = s_suppkey
+         WHERE qty * (SELECT count(*) FROM w)
+             > (SELECT CAST(SUM(qty) AS BIGINT) FROM w)
+         ORDER BY s_suppkey""")
 }
