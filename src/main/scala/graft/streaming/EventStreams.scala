@@ -426,6 +426,36 @@ object EventStreams {
       }
   }
 
+  case class PurchaseEvent(user_id: Long, tsMicros: Long, cents: Long)
+  case class UserRfm(user_id: Long, lastTsMicros: Long, frequency: Long,
+      mon_c: Long)
+
+  /** Streaming RFM accumulator — the stateful half of
+    * EventOps.e_rfm: per user the state is (last purchase ts, count,
+    * exact cents), emitted on every update. The tercile segmentation
+    * is a global rank cut (it needs the whole per-user distribution),
+    * so it stays a periodic batch query over this operator's compact
+    * output — the same accumulation/scoring split as anomalyStream.
+    * Keyed like the batch groupBy; three longs of state per user.
+    */
+  def rfmStream(purchases: Dataset[PurchaseEvent]): Dataset[UserRfm] = {
+    import purchases.sparkSession.implicits._
+    purchases.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), UserRfm](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PurchaseEvent],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (last, n, c) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          rows.foreach { e =>
+            if (e.tsMicros > last) last = e.tsMicros
+            n += 1
+            c += e.cents
+          }
+          state.update((last, n, c))
+          UserRfm(uid, last, n, c)
+      }
+  }
+
   /** Off-heap RocksDB state store for the stateful operators — at
     * 100 TB the dedup fingerprint set and open-session state outgrow
     * executor heaps; RocksDB spills them to local disk with the same

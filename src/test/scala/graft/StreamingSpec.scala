@@ -493,6 +493,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming RFM accumulator matches e_rfm's per-user metrics") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: user_id → (recency_days, frequency, monetary)
+    val expected = EventOps.defs("e_rfm")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val rows = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("micros"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val input = ms.toDS().map { case (u, m, c) =>
+      EventStreams.PurchaseEvent(u, m, c) }
+    val q = EventStreams.rfmStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rfm_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // final row per user = max frequency (counts only grow); recency
+    // re-derives against the corpus max ts, as the batch scorer would
+    val fin = spark.table("rfm_out")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._2) }
+    val maxTs = fin.values.map(_._1).max
+    // UTC calendar-day difference == floor-days-since-epoch diff
+    def days(micros: Long): Long =
+      (maxTs / 86400000000L) - (micros / 86400000000L)
+    val got = fin.map { case (u, (last, n, c)) =>
+      u -> (days(last), n, c / 100.0) }
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventOps.defs("e_sessions")(spark, dir)
