@@ -209,6 +209,30 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // BPE-style pre-tokenizer counting (the GPT-2 pattern, minus the
+    // RE2-unsupported lookahead so the oracle's regex engine agrees):
+    // contractions, space-prefixed letter/digit/punct runs. Per-row
+    // narrow work — no shuffle at all; the average length is an
+    // integer char sum with ONE double division.
+    "t_tokens_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+" +
+        "| ?[^A-Za-z0-9\\s]+|\\s+"
+      t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"),
+          filter(regexp_extract_all($"text", lit(pat), lit(0)),
+            x => !x.rlike("^\\s+$")).as("t"))
+        .select($"doc_id",
+          size($"w").cast("long").as("n_ws"),
+          size($"t").cast("long").as("n_bpe"),
+          size(array_distinct($"t")).cast("long").as("n_distinct"),
+          when(size($"t") === 0, lit(0.0))
+            .otherwise(aggregate($"t", lit(0L),
+              (a, x) => a + length(x)).cast("double") / size($"t"))
+            .as("avg_len"))
+        .orderBy($"doc_id")
+    }),
+
     // quality scoring: length/diversity ratios.
     "t_quality" -> ((s, dir) => {
       import s.implicits._
@@ -913,6 +937,20 @@ object TextOps {
          len(list_distinct(w)) AS n_distinct
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w
                FROM documents) ORDER BY doc_id""",
+    "t_tokens_bpe" ->
+      """WITH d AS (SELECT doc_id,
+           list_filter(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+             x -> NOT regexp_matches(x, '^\s+$')) t,
+           len(string_split_regex(trim(text), '\s+')) n_ws
+         FROM documents)
+         SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws,
+           CAST(len(t) AS BIGINT) AS n_bpe,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(t) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(t, x -> length(x)))
+               AS DOUBLE) / len(t) END AS avg_len
+         FROM d ORDER BY doc_id""",
     "t_quality" ->
       """SELECT doc_id, length(text) AS n_chars, len(w) AS n_words,
          list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS avg_word_len,
