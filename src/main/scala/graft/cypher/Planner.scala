@@ -2125,6 +2125,74 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .withColumn("kind", lit("relationships"))
         (nodeStats.unionByName(edgeStats).select("kind", "name", "n"),
           Seq("kind", "name", "n"))
+      // schema introspection (Neo4j db.schema.*): per (label, key) the
+      // observed value types — the typed property slots ARE the type
+      // witness — plus mandatory = every node/rel of that label has
+      // the key. Two partial-aggregated scans, nothing driver-side.
+      case "db.schema.nodetypeproperties" =>
+        noArgs()
+        val lbl = coalesce(col("label"), lit("<unlabeled>"))
+        val totals = store.nodes.groupBy(lbl.as("lbl"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val perKey = store.nodes
+          .select(lbl.as("lbl"),
+            explode(col("props")).as(Seq("propertyName", "pv")))
+          .select(col("lbl"), col("propertyName"),
+            when(col("pv.s").isNotNull, "String")
+              .when(col("pv.l").isNotNull, "Long")
+              .when(col("pv.d").isNotNull, "Double")
+              .when(col("pv.b").isNotNull, "Boolean").as("ptype"))
+          .groupBy(col("lbl"), col("propertyName"))
+          .agg(sort_array(collect_set(col("ptype"))).as("propertyTypes"),
+            count(lit(1)).as("n_with"))
+        (perKey.join(totals, "lbl")
+          .select(concat(lit(":"), col("lbl")).as("nodeType"),
+            array(col("lbl")).as("nodeLabels"), col("propertyName"),
+            col("propertyTypes"),
+            (col("n_with") === col("n_nodes")).as("mandatory")),
+          Seq("nodeType", "nodeLabels", "propertyName", "propertyTypes",
+            "mandatory"))
+      case "db.schema.reltypeproperties" =>
+        noArgs()
+        // the edge model carries exactly two properties
+        // (neo4j.go:120-122): source (nullable) and type (= relType)
+        val byType = store.edges.groupBy(col("relType").as("rt"))
+          .agg(count(lit(1)).as("n"), count(col("source")).as("n_src"))
+        val srcRows = byType.filter(col("n_src") > 0)
+          .select(concat(lit(":"), col("rt")).as("relType"),
+            lit("source").as("propertyName"),
+            array(lit("String")).as("propertyTypes"),
+            (col("n_src") === col("n")).as("mandatory"))
+        val typRows = byType
+          .select(concat(lit(":"), col("rt")).as("relType"),
+            lit("type").as("propertyName"),
+            array(lit("String")).as("propertyTypes"),
+            lit(true).as("mandatory"))
+        (srcRows.unionByName(typRows),
+          Seq("relType", "propertyName", "propertyTypes", "mandatory"))
+      // the procedure registry itself (the CALL dbms.procedures()
+      // shape SHOW PROCEDURES replaced) — a static local relation
+      case "dbms.procedures" =>
+        noArgs()
+        val procs = Seq(
+          ("db.labels", "db.labels() :: (label)"),
+          ("db.relationshipTypes",
+            "db.relationshipTypes() :: (relationshipType)"),
+          ("db.propertyKeys", "db.propertyKeys() :: (propertyKey)"),
+          ("db.schema.nodeTypeProperties",
+            "db.schema.nodeTypeProperties() :: (nodeType, nodeLabels, propertyName, propertyTypes, mandatory)"),
+          ("db.schema.relTypeProperties",
+            "db.schema.relTypeProperties() :: (relType, propertyName, propertyTypes, mandatory)"),
+          ("dbms.procedures", "dbms.procedures() :: (name, signature)"),
+          ("graft.pageRank", "graft.pageRank(iters :: INTEGER?) :: (gid, rankMicro)"),
+          ("graft.connectedComponents",
+            "graft.connectedComponents() :: (gid, component)"),
+          ("graft.degrees", "graft.degrees() :: (gid, outDegree, inDegree)"),
+          ("graft.reachable",
+            "graft.reachable(sourceGid :: STRING, maxHops :: INTEGER) :: (gid, hops)"),
+          ("graft.stats", "graft.stats() :: (kind, name, n)"))
+        (spark.createDataFrame(procs).toDF("name", "signature"),
+          Seq("name", "signature"))
       case other => throw PlanError(s"unknown procedure $other")
     }
     // YIELD picks (and may alias) a subset; a bare CALL binds every

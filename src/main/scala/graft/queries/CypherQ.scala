@@ -470,6 +470,17 @@ DETACH DELETE n
            RETURN m.gid AS region, count(*) AS n ORDER BY region""")
     }),
 
+    // schema introspection: per (label, key) observed value types +
+    // mandatory flag, straight off the typed property slots — the
+    // oracle re-derives the same facts from the source parquet.
+    "cypher_schema_procs" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """CALL db.schema.nodeTypeProperties()
+           YIELD nodeType, nodeLabels, propertyName, propertyTypes, mandatory
+           RETURN nodeType, nodeLabels, propertyName, propertyTypes,
+             mandatory
+           ORDER BY nodeType, propertyName""")),
+
     // property reads inside a comprehension over nodes(p): the path
     // carries identities, so x.name buys ONE explicit node-table join
     // (distinct gid arrays posexplode → keyed join → re-collect in
@@ -710,6 +721,18 @@ DETACH DELETE n
          SELECT 'r:'||n_regionkey AS region, COUNT(*) AS cnt,
            MIN(name) AS first_name
          FROM nn GROUP BY 1 ORDER BY region""",
+    "cypher_schema_procs" ->
+      """SELECT * FROM (
+           SELECT ':Customer' AS nodeType, ['Customer'] AS nodeLabels,
+             'acctbal' AS propertyName, ['Double'] AS propertyTypes,
+             (SELECT count(c_acctbal) = count(*) FROM customer) AS mandatory
+           UNION ALL
+           SELECT ':Customer', ['Customer'], 'name', ['String'],
+             (SELECT count(c_name) = count(*) FROM customer)
+           UNION ALL
+           SELECT ':Nation', ['Nation'], 'name', ['String'],
+             (SELECT count(n_name) = count(*) FROM nation))
+         ORDER BY nodeType, propertyName""",
     "cypher_path_props" ->
       """SELECT 'c:' || c_custkey AS gid,
            [c_name, n_name, NULL] AS names

@@ -2482,6 +2482,39 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(err.getMessage.contains("needs a gid property"))
   }
 
+  test("CALL db.schema.nodeTypeProperties / relTypeProperties / dbms.procedures") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-schema").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "a")
+        .withProp("urn:x#age", 30L)
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "b")))
+    val np = CypherEngine.query(st,
+      """CALL db.schema.nodeTypeProperties()
+         YIELD nodeType, propertyName, propertyTypes, mandatory
+         RETURN nodeType, propertyName, propertyTypes, mandatory
+         ORDER BY nodeType, propertyName""").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getBoolean(3))).toSeq
+    // name on both Person nodes (mandatory), age on one (optional);
+    // the urn:b stub partition carries no props
+    assert(np == Seq(
+      (":Person", "age", Seq("Long"), false),
+      (":Person", "name", Seq("String"), true)))
+    val rp = CypherEngine.query(st,
+      """CALL db.schema.relTypeProperties()
+         YIELD relType, propertyName, mandatory
+         RETURN relType, propertyName, mandatory
+         ORDER BY relType, propertyName""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(rp == Seq((":knows", "source", true), (":knows", "type", true)))
+    val procs = CypherEngine.query(st,
+      """CALL dbms.procedures() YIELD name, signature
+         WHERE name STARTS WITH 'graft.' RETURN count(*) AS n""").collect()
+    assert(procs.head.getLong(0) == 5L)
+  }
+
   test("CALL db.labels / db.relationshipTypes / db.propertyKeys") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-proc").toString, spark, 2)
