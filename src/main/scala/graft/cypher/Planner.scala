@@ -2858,6 +2858,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         m.get(k).map(valueCol(_).cast("int")).getOrElse(lit(d))
       make_date(df("year", 1), df("month", 1), df("day", 1))
     case FuncCall("date", Seq(a), _) => to_date(strCol(a))
+    // time / localtime → Spark 4's native TIME type (this engine
+    // conflates the two: offsets parse but are DROPPED — store
+    // timestamps are UTC, so local == offset-free)
+    case FuncCall("time" | "localtime", Seq(), _) => current_time()
+    case FuncCall("time" | "localtime", Seq(MapLit(es)), _) =>
+      val m = es.toMap
+      def tc(k: String) =
+        m.get(k).map(valueCol(_).cast("int")).getOrElse(lit(0))
+      make_time(tc("hour"), tc("minute"), tc("second").cast("decimal(16,6)"))
+    case FuncCall("time" | "localtime", Seq(a), _) =>
+      val s0 = strCol(a)
+      coalesce(try_to_time(s0),
+        try_to_time(regexp_replace(s0, "(Z|[+-][0-9:]+)$", "")))
     case FuncCall("datetime" | "localdatetime", Seq(), _) =>
       current_timestamp()
     case FuncCall("datetime" | "localdatetime", Seq(MapLit(es)), _) =>
@@ -3030,7 +3043,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case VarRef(n) if env.get(n).contains(NodeVar) => col(s"${n}__props")
         case other => valueCol(other)
       }
-      sort_array(map_keys(c))
+      colTypeOpt(c) match {
+        // a struct-backed map literal: field names are static
+        case Some(t: org.apache.spark.sql.types.StructType) =>
+          val names = t.fieldNames.sorted
+          when(c.isNotNull, array(names.map(lit(_)): _*))
+        case _ => sort_array(map_keys(c))
+      }
     case FuncCall("properties", Seq(VarRef(n)), _)
         if env.get(n).contains(NodeVar) =>
       // canonical-string view of the props map (the engine's documented
@@ -3326,6 +3345,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "epochseconds" if isTs => L(unix_seconds(c))
         case _ => None
       }
+      case _: org.apache.spark.sql.types.TimeType => key.toLowerCase match {
+        case "hour" => L(hour(c))
+        case "minute" => L(minute(c))
+        case "second" => L(second(c))
+        case _ => None
+      }
       case s: StructType if isDurType(s) => key.toLowerCase match {
         case "years" => L(floor(c.getField("months") / 12))
         case "months" => L(c.getField("months"))
@@ -3341,24 +3366,49 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def subscriptCol(c: Column, idx: Ast.Expr): Column = {
     import org.apache.spark.sql.types._
     colTypeOpt(c) match {
-      case Some(t @ (DateType | TimestampType)) => idx match {
+      case Some(t)
+          if t == DateType || t == TimestampType ||
+            t.isInstanceOf[TimeType] => idx match {
         case Lit(s: String) => temporalField(c, t, s).getOrElse(
           throw PlanError(s"unknown temporal accessor: $s"))
         case other =>
           throw PlanError(s"temporal accessor needs a string key, got $other")
       }
-      case Some(t: StructType) => idx match {
-        case Lit(s: String) =>
-          // a node-shaped struct (collect(n)[0].name) answers property
-          // access like the node variable it came from
-          if (t.fieldNames.length >= 4 && t.fieldNames.take(4)
-              .sameElements(Array("gid", "label", "source", "props"))) {
-            if (Set("gid", "label", "source").contains(s)) c.getField(s)
-            else pvStrOf(c.getField("props").getItem(s))
-          } else temporalField(c, t, s).getOrElse(c.getField(s))
-        case other =>
-          throw PlanError(s"struct subscript needs a string key, got $other")
-      }
+      case Some(t: StructType) =>
+        val nodeShaped = t.fieldNames.length >= 4 && t.fieldNames.take(4)
+          .sameElements(Array("gid", "label", "source", "props"))
+        idx match {
+          case Lit(s: String) =>
+            // a node-shaped struct (collect(n)[0].name) answers property
+            // access like the node variable it came from
+            if (nodeShaped) {
+              if (Set("gid", "label", "source").contains(s)) c.getField(s)
+              else pvStrOf(c.getField("props").getItem(s))
+            } else temporalField(c, t, s).getOrElse(c.getField(s))
+          case keyE if nodeShaped =>
+            val keyC = strCol(keyE)
+            when(keyC === "gid", c.getField("gid"))
+              .when(keyC === "label", c.getField("label"))
+              .when(keyC === "source", c.getField("source"))
+              .otherwise(pvStrOf(element_at(c.getField("props"), keyC)))
+          case keyE =>
+            // dynamic key on a struct-backed map literal: the fields
+            // are statically known, so a when-chain resolves the key
+            // at runtime — typed when the fields share one type,
+            // canonical strings otherwise
+            val keyC = strCol(keyE)
+            val fields = t.fields.toSeq
+            if (fields.map(_.dataType).distinct.length == 1)
+              fields.foldRight(lit(null).cast(fields.head.dataType)) {
+                case (f, acc) =>
+                  when(keyC === f.name, c.getField(f.name)).otherwise(acc)
+              }
+            else
+              fields.foldRight(lit(null).cast("string")) { case (f, acc) =>
+                when(keyC === f.name, c.getField(f.name).cast("string"))
+                  .otherwise(acc)
+              }
+        }
       case Some(m: MapType) =>
         val v = try_element_at(c, valueCol(idx).cast(m.keyType))
         if (isPvMapType(m)) pvStrOf(v) else v
@@ -3522,6 +3572,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case (VarRef(n), FuncCall("startnode" | "endnode", _, _))
           if env.get(n).exists(k => k == NodeVar || k == RelVar) =>
         (identOr(l), valueCol(r))
+      // node/rel vs node/rel (`a <> b`, `a = b`): identity comparison
+      // — the bound struct carries an unorderable props map, and
+      // Neo4j compares graph elements by identity anyway
+      case (VarRef(a), VarRef(b))
+          if env.get(a).exists(k => k == NodeVar || k == RelVar) &&
+            env.get(b).exists(k => k == NodeVar || k == RelVar) =>
+        (identOr(l), identOr(r))
       case (p: PropRef, Lit(v)) => (typedSide(p, v), lit(v))
       case (Lit(v), p: PropRef) => (lit(v), typedSide(p, v))
       case (p: PropRef, Param(n)) if scalarParam(n).isDefined =>
@@ -3582,6 +3639,10 @@ object CypherEngine {
     // data... read queries only here, writes are rejected); PROFILE
     // runs the query and appends the executed plan with per-node
     // stats (Spark's formatted explain after an AQE-final execution).
+    // Cypher time()/localtime() lower to Spark 4's native TIME type,
+    // which ships behind a flag — enable it for the engine's queries
+    store.nodes.sparkSession.conf
+      .set("spark.sql.timeType.enabled", "true")
     val trimmed = cypher.dropWhile(_.isWhitespace)
     val upper = trimmed.toUpperCase
     if (upper.startsWith("EXPLAIN") || upper.startsWith("PROFILE")) {

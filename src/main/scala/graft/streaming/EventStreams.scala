@@ -426,6 +426,39 @@ object EventStreams {
       }
   }
 
+  case class MarkovEvent(user_id: Long, event_type: String,
+      tsMicros: Long, event_id: Long)
+  case class Transition(from_type: String, to_type: String)
+
+  /** Streaming transition extractor — the stateful half of
+    * EventOps.e_markov: per user the state is the LAST event seen
+    * ((type, ts, id) — three fields), and each arriving event emits
+    * one (from, to) transition row. The matrix normalization is a
+    * batch aggregation over this compact output. Within a batch the
+    * group sorts by (ts, event_id) like the batch window; across
+    * batches events are assumed in arrival order (the source's
+    * contract for order-sensitive folds, as in sessionize).
+    */
+  def markovStream(events: Dataset[MarkovEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[MarkovEvent],
+         state: GroupState[(String, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            st.foreach { case (t, _, _) =>
+              out += Transition(t, e.event_type) }
+            st = Some((e.event_type, e.tsMicros, e.event_id))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class PurchaseEvent(user_id: Long, tsMicros: Long, cents: Long)
   case class UserRfm(user_id: Long, lastTsMicros: Long, frequency: Long,
       mon_c: Long)

@@ -174,6 +174,59 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(100)}" }
       println(s"PROBE3 $tag: $res")
     }
+    val probes4: Seq[(String, String)] = Seq(
+      "time-fn" -> "RETURN time('12:30:05') > time('11:00:00') AS c",
+      "localtime-accessor" -> "RETURN localtime('12:30:05').hour AS h",
+      "list-map-eq" -> "RETURN [1,2] = [1,2] AS a, {x: 1} = {x: 1} AS b",
+      "in-nested-list" -> "RETURN [1,2] IN [[1,2],[3]] AS c",
+      "distinct-labels" ->
+        "MATCH (n) RETURN DISTINCT labels(n) AS ls ORDER BY ls",
+      "node-neq" ->
+        "MATCH (a:Nation), (b:Nation) WHERE a <> b RETURN count(*) AS c",
+      "merge-rel-return" ->
+        """MERGE (a:Z {gid:'z:1'})-[r:t]->(b:Z {gid:'z:2'})
+           RETURN type(r) AS t""",
+      "case-null-value" ->
+        "RETURN CASE null WHEN null THEN 'y' ELSE 'n' END AS c",
+      "slice-collect" ->
+        """MATCH (n:Nation) WITH n.name AS nm ORDER BY nm
+           RETURN collect(nm)[..2] AS l""",
+      "skip-no-order" -> "MATCH (n:Nation) RETURN n.gid AS g SKIP 20",
+      "str-concat-plus" -> "RETURN 'a' + 'b' + 'c' AS s",
+      "unwind-nested" ->
+        "UNWIND [[1,2],[3]] AS xs UNWIND xs AS x RETURN sum(x) AS s",
+      "rel-prop-notnull" ->
+        """MATCH ()-[r:in_region]->() WHERE r.source IS NOT NULL
+           RETURN count(*) AS c""",
+      "with-star-extra" ->
+        """MATCH (n:Nation) WITH *, size(n.name) AS len
+           RETURN count(*) AS c, max(len) AS m""",
+      "with-agg-order-limit" ->
+        """MATCH (n:Nation)-[r]->(m) WITH m, count(*) AS c
+           ORDER BY c DESC, m.gid RETURN m.gid AS g, c LIMIT 2""",
+      "labels-of-null" ->
+        "OPTIONAL MATCH (x:Nope) RETURN labels(x) AS l",
+      "round-modes" ->
+        "RETURN round(2.5) AS a, round(-2.5) AS b, round(2.445, 2) AS c",
+      "date-week-accessors" ->
+        """RETURN date('2024-01-15').week AS w,
+           date('2024-01-15').dayOfWeek AS d""",
+      "datetime-offset" ->
+        "RETURN datetime('2024-01-01T10:00:00+02:00').epochMillis AS ms",
+      "duration-between-months" ->
+        """RETURN duration.between(date('2024-01-01'),
+           date('2024-03-05')).months AS m""",
+      "tostring-date" -> "RETURN toString(date('2024-01-05')) AS s",
+      "map-dynamic-iterate" ->
+        """WITH {a:1, b:2} AS m UNWIND keys(m) AS k
+           RETURN k, m[k] AS v ORDER BY k""")
+    probes4.foreach { case (tag, q) =>
+      val res =
+        try { CypherEngine.query(wstore, q, params).collect(); "PASS" }
+        catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(100)}" }
+      println(s"PROBE4 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

@@ -127,6 +127,33 @@ class CypherSpec extends AnyFunSuite {
       ("urn:p2", None), ("urn:p3", None)))
   }
 
+  test("time()/localtime(), node <> node, dynamic map-literal access") {
+    val r = CypherEngine.query(store,
+      """RETURN time('12:30:05') > time('11:00:00') AS gt,
+                localtime('12:30:05').hour AS h,
+                time({hour: 9, minute: 30}).minute AS m,
+                time('10:00:00+02:00').hour AS tz""").collect().head
+    assert(r.getBoolean(0) && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 30L && r.getLong(3) == 10L)
+    // node <> node compares identities (the struct carries an
+    // unorderable props map)
+    val neq = CypherEngine.query(store,
+      """MATCH (a:Person), (b:Person) WHERE a <> b
+         RETURN count(*) AS c""").collect()
+    assert(neq.head.getLong(0) == 6L) // 3 persons, ordered pairs
+    // keys() + dynamic subscript on a struct-backed map literal
+    val dm = CypherEngine.query(store,
+      """WITH {a: 1, b: 2} AS m UNWIND keys(m) AS k
+         RETURN k, m[k] AS v ORDER BY k""").collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+    assert(dm == Seq(("a", 1L), ("b", 2L)))
+    // mixed-type map literal: dynamic access renders canonically
+    val mx = CypherEngine.query(store,
+      """WITH {a: 1, b: 'x'} AS m, 'b' AS k RETURN m[k] AS v""")
+      .collect().head.getString(0)
+    assert(mx == "x")
+  }
+
   test("*OrNull conversions, isNaN, char_length, rand/randomUUID") {
     val r = CypherEngine.query(store,
       """RETURN toIntegerOrNull('42') AS a, toIntegerOrNull('x') AS b,

@@ -493,6 +493,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming transition extractor matches e_markov's pair counts") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = EventOps.defs("e_markov")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    // feed in global (ts, event_id) order so cross-batch arrival
+    // matches the operator's in-order contract
+    val rows = EventOps.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("m"),
+        $"event_id")
+      .orderBy($"m", $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long)]
+    val input = ms.toDS().map { case (u, t, m, i) =>
+      EventStreams.MarkovEvent(u, t, m, i) }
+    val q = EventStreams.markovStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mk_out").start()
+    try {
+      ms.addData(first.toSeq: _*); q.processAllAvailable()
+      ms.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mk_out")
+      .groupBy($"from_type", $"to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expected)
+  }
+
   test("streaming RFM accumulator matches e_rfm's per-user metrics") {
     val dir = "/root/testdata/sf0.001"
     // batch truth: user_id → (recency_days, frequency, monetary)
