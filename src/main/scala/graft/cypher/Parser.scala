@@ -33,7 +33,7 @@ object Parser {
     "END", "UNION", "ALL")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|&!])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -590,18 +590,29 @@ object Parser {
       case Some(Ident(v)) => p.next(); variable = Some(v)
       case _ => ()
     }
-    val label = if (p.trySym(":")) Some(p.identOrKw()) else None
-    // label disjunction: (n:A|B|C) — Neo4j 5 label expressions' OR —
-    // or conjunction (n:A:B) — every label present; CREATE stores the
-    // tail as secondary labels. Mixing the two forms is rejected.
+    // label expressions: disjunction (n:A|B|C), conjunction (n:A:B)
+    // or the Neo4j-5 (n:A&B) form, and negation (n:!A) which folds
+    // into the pattern's inline WHERE as NOT n:A. Mixing | with the
+    // all-of/negation forms is rejected.
+    var label: Option[String] = None
     val altLabels = Seq.newBuilder[String]
     val extraLabels = Seq.newBuilder[String]
-    if (label.nonEmpty) {
+    val negLabels = Seq.newBuilder[String]
+    var amp = false
+    if (p.trySym(":")) {
+      def item(): Unit =
+        if (p.trySym("!")) negLabels += p.identOrKw()
+        else if (label.isEmpty) label = Some(p.identOrKw())
+        else extraLabels += p.identOrKw()
+      item()
+      while (p.trySym("&")) { amp = true; item() }
       while (p.trySym("|")) altLabels += p.identOrKw()
       while (p.trySym(":")) extraLabels += p.identOrKw()
       val (alts, extras) = (altLabels.result(), extraLabels.result())
-      if (alts.nonEmpty && extras.nonEmpty) throw ParseException(
-        "label expression mixes | (any-of) with : (all-of)")
+      if (alts.nonEmpty &&
+          (extras.nonEmpty || amp || negLabels.result().nonEmpty))
+        throw ParseException(
+          "label expression mixes | (any-of) with all-of/negation forms")
     }
     val props = Seq.newBuilder[(String, Ast.Expr)]
     if (p.trySym("{")) {
@@ -621,7 +632,18 @@ object Parser {
     // Neo4j-5 inline predicate: (n:Label WHERE n.x > 1)
     val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
     p.expectSym(")")
-    Ast.NodePattern(variable, label, props.result(), where,
+    val negs = negLabels.result()
+    val whereAll =
+      if (negs.isEmpty) where
+      else {
+        val v = variable.getOrElse(throw ParseException(
+          "a negated label (:!A) needs a named variable"))
+        val negPred = negs.map(l =>
+            Ast.Not(Ast.LabelPred(v, Seq(l))): Ast.Expr)
+          .reduce(Ast.And(_, _))
+        Some(where.map(Ast.And(_, negPred)).getOrElse(negPred))
+      }
+    Ast.NodePattern(variable, label, props.result(), whereAll,
       altLabels.result(), extraLabels.result())
   }
 

@@ -265,6 +265,40 @@ object EventOps {
         .orderBy($"cohort", $"off")
     }),
 
+    // A/B-test readout: deterministic md5 arm assignment (the salted
+    // split both engines hash bit-identically), per-arm user and
+    // converter counts stay integers, and the two-proportion z-stat
+    // is computed once from the 2-row aggregate — the experiment-
+    // analysis shape (assignment is per-row, everything else is one
+    // tiny aggregation).
+    "e_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val arms = e.select($"user_id").distinct()
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("ab:"), $"user_id")), 1, 8),
+            16, 10).cast("long") % 2)
+      val converted = e.filter($"event_type" === "purchase" &&
+          $"value" > 180)
+        .select($"user_id").distinct().withColumn("cv", lit(1L))
+      val per = arms.join(converted, Seq("user_id"), "left_outer")
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n"), count($"cv").as("c"))
+      val a0 = per.filter($"arm" === 0)
+        .select($"n".as("n0"), $"c".as("c0"))
+      val a1 = per.filter($"arm" === 1)
+        .select($"n".as("n1"), $"c".as("c1"))
+      val j = a0.crossJoin(a1)
+      val r0 = $"c0".cast("double") / $"n0"
+      val r1 = $"c1".cast("double") / $"n1"
+      val p = ($"c0" + $"c1").cast("double") / ($"n0" + $"n1")
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / $"n0" + lit(1.0) / $"n1"))
+      j.select($"n0", $"c0", $"n1", $"c1",
+        round(r0, 9).as("rate0"), round(r1, 9).as("rate1"),
+        round((r1 - r0) / se, 9).as("z"))
+    }),
+
     // RFM segmentation (recency / frequency / monetary): per-user
     // purchase stats (exact cents), then tercile scores via ntile —
     // the windows sort the PER-USER table (≪ events; the honest cost
@@ -307,6 +341,27 @@ object EventOps {
          FROM act JOIN first ON act.user_id = first.user_id
          WHERE date_diff('day', cohort, d) <= 7
          GROUP BY 1, 2 ORDER BY cohort, off""",
+    "e_ab_test" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         arms AS (SELECT user_id,
+             ('0x' || substr(md5('ab:' || user_id), 1, 8))::BIGINT % 2
+               AS arm FROM users),
+         conv AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 180),
+         per AS (SELECT arm, count(*) AS n, count(conv.user_id) AS c
+           FROM arms LEFT JOIN conv USING (user_id) GROUP BY 1),
+         a0 AS (SELECT CAST(n AS BIGINT) n0, CAST(c AS BIGINT) c0
+           FROM per WHERE arm = 0),
+         a1 AS (SELECT CAST(n AS BIGINT) n1, CAST(c AS BIGINT) c1
+           FROM per WHERE arm = 1)
+         SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 9) AS rate0,
+           round(CAST(c1 AS DOUBLE) / n1, 9) AS rate1,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (1.0 / n0 + 1.0 / n1)), 9) AS z
+         FROM a0 CROSS JOIN a1""",
     "e_rfm" ->
       """WITH p AS (SELECT user_id, ts,
              CAST(round(value*100) AS BIGINT) vc

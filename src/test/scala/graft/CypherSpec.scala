@@ -127,6 +127,28 @@ class CypherSpec extends AnyFunSuite {
       ("urn:p2", None), ("urn:p3", None)))
   }
 
+  test("label expressions: & conjunction and ! negation") {
+    val total = CypherEngine.query(store,
+      "MATCH (n) RETURN count(*) AS c").collect().head.getLong(0)
+    val persons = CypherEngine.query(store,
+      "MATCH (n:Person) RETURN count(*) AS c").collect().head.getLong(0)
+    // (n:!Person) ≡ WHERE NOT n:Person (unlabeled stubs included)
+    val notP = CypherEngine.query(store,
+      "MATCH (n:!Person) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(notP == total - persons)
+    // & is the Neo4j-5 spelling of conjunction; mixed with negation
+    val pNotC = CypherEngine.query(store,
+      "MATCH (n:Person&!Company) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(pNotC == persons)
+    // | may not mix with &
+    val err = intercept[Exception] {
+      CypherEngine.query(store, "MATCH (n:Person&Company|Person) RETURN n")
+        .collect()
+    }
+    assert(err.getMessage.contains("mixes"))
+  }
+
   test("time()/localtime(), node <> node, dynamic map-literal access") {
     val r = CypherEngine.query(store,
       """RETURN time('12:30:05') > time('11:00:00') AS gt,
