@@ -575,6 +575,40 @@ object Parser {
           val rel = parseRel(p)
           val node = parseNode(p)
           hops += ((rel, node))
+        case Some(Sym("(")) =>
+          // quantified path pattern (GQL / Neo4j 5): the supported
+          // subset (()-[:T]->()){m,n} desugars to a var-length hop —
+          // bare inner nodes, one relationship, bounded quantifier;
+          // the node FOLLOWING the group is the hop's target
+          p.expectSym("(")
+          val innerHead = parseNode(p)
+          val innerRel = parseRel(p)
+          val innerTo = parseNode(p)
+          p.expectSym(")")
+          def bare(n: Ast.NodePattern): Boolean =
+            n.variable.isEmpty && n.label.isEmpty && n.props.isEmpty &&
+              n.where.isEmpty && n.altLabels.isEmpty && n.extraLabels.isEmpty
+          if (!bare(innerHead) || !bare(innerTo)) throw ParseException(
+            "quantified path patterns support bare inner nodes — bind " +
+              "endpoints outside the group")
+          if (innerRel.variable.nonEmpty || innerRel.varLength.nonEmpty ||
+              innerRel.where.nonEmpty || innerRel.props.nonEmpty)
+            throw ParseException(
+              "quantified path patterns support a plain -[:T]-> inner " +
+                "relationship")
+          p.expectSym("{")
+          def qnum(): Int = p.next() match {
+            case NumLit(v: Long) => v.toInt
+            case other => throw ParseException(
+              s"expected a quantifier bound, got $other")
+          }
+          val lo = qnum()
+          val hi = if (p.trySym(",")) qnum() else lo
+          p.expectSym("}")
+          if (lo < 1 || hi < lo || hi > 10) throw ParseException(
+            s"unsupported quantifier {$lo,$hi} (bounded 1..10)")
+          val target = parseNode(p)
+          hops += ((innerRel.copy(varLength = Some((lo, hi))), target))
         case _ => continue = false
       }
     }

@@ -84,6 +84,36 @@ object PackOps {
     // filtering. One narrow per-doc projection + one aggregation on
     // the (low-cardinality) source key; dup counting reuses the
     // per-source md5 — countDistinct is partial-aggregated map-side.
+    // Temperature-scaled source mixture (the XLM-R α-sampling shape,
+    // α = 0.5): per-source weight √n̄ kept INTEGER (⌊√(n·1e6)⌋) so the
+    // total is an order-independent long sum; per-doc keep decisions
+    // are salted-md5 thresholds (shuffle-free), the target budget is
+    // 200 docs. Doubles appear only in single divisions of exact
+    // integers — both engines replay bit-for-bit.
+    "p_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source")
+      val per = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt($"n_docs".cast("double") * 1e6)).cast("long"))
+      val rates = per
+        .crossJoin(broadcast(per.agg(sum($"w").as("sw"))))
+        .withColumn("p_mix", $"w".cast("double") / $"sw")
+        .withColumn("thresh",
+          floor($"w".cast("double") * 2e8 /
+            ($"sw" * $"n_docs").cast("double")).cast("long"))
+      val kept = docs
+        .join(broadcast(rates.select($"source", $"thresh".as("th"))),
+          Seq("source"))
+        .filter(conv(substring(md5(concat(lit("mix:"), $"doc_id")), 1, 8),
+          16, 10).cast("long") % 1000000L < $"th")
+        .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+      rates.join(kept, Seq("source"), "left_outer")
+        .select($"source", $"n_docs", round($"p_mix", 9).as("p_mix"),
+          $"thresh", coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+        .orderBy($"source")
+    }),
+
     "p_domain_stats" -> ((s, dir) => {
       import s.implicits._
       val blocklist = Seq("src13", "src7")
@@ -161,6 +191,27 @@ object PackOps {
            ((start_tok + n_tokens - 1) // 64)::BIGINT AS last_block,
            (start_tok % 64)::BIGINT AS block_off
          FROM pos ORDER BY doc_id""",
+    "p_mixture" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT n_docs
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs * 1000000.0)) AS BIGINT) w
+           FROM per),
+         tot AS (SELECT CAST(SUM(w) AS BIGINT) sw FROM w),
+         rates AS (SELECT source, n_docs, w, sw,
+             w * 1.0 / sw AS p_mix,
+             CAST(floor(w * 200000000.0 / CAST(sw * n_docs AS DOUBLE))
+               AS BIGINT) thresh
+           FROM w CROSS JOIN tot),
+         kept AS (SELECT d.source, count(*)::BIGINT n_sampled
+           FROM documents d JOIN rates r USING (source)
+           WHERE ('0x' || substr(md5('mix:' || d.doc_id), 1, 8))::BIGINT
+             % 1000000 < r.thresh
+           GROUP BY 1)
+         SELECT r.source, r.n_docs, round(r.p_mix, 9) AS p_mix,
+           r.thresh, coalesce(k.n_sampled, 0) AS n_sampled
+         FROM rates r LEFT JOIN kept k USING (source)
+         ORDER BY r.source""",
     "p_domain_stats" ->
       """WITH per_doc AS (SELECT source, doc_id, lang,
              len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -127,6 +127,36 @@ class CypherSpec extends AnyFunSuite {
       ("urn:p2", None), ("urn:p3", None)))
   }
 
+  test("quantified path patterns desugar to var-length hops") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-qpp").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "ann")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "bob")
+        .withRef("urn:x#knows", "urn:c"),
+      Entity("urn:c").withProp("urn:x#name", "cal")))
+    val two = CypherEngine.query(st,
+      """MATCH (a:Person {name: 'ann'}) (()-[:knows]->()){2,2} (c)
+         RETURN c.name AS nm""").collect()
+    assert(two.map(_.getString(0)).toSeq == Seq("cal"))
+    val upTo2 = CypherEngine.query(st,
+      """MATCH (a:Person {name: 'ann'}) (()-[:knows]->()){1,2} (c)
+         RETURN c.name AS nm ORDER BY nm""").collect()
+    assert(upTo2.map(_.getString(0)).toSeq == Seq("bob", "cal"))
+    // exact form {2} and a path variable over the group
+    val withPath = CypherEngine.query(st,
+      """MATCH p = (a:Person {name: 'ann'}) (()-[:knows]->()){2} (c)
+         RETURN length(p) AS d""").collect()
+    assert(withPath.head.getLong(0) == 2L)
+    // inner bindings are rejected with a pointer outward
+    val err = intercept[Exception] {
+      CypherEngine.query(st,
+        "MATCH (a) ((x)-[:knows]->()){1,2} (c) RETURN c").collect()
+    }
+    assert(err.getMessage.contains("bare inner nodes"))
+  }
+
   test("label expressions: & conjunction and ! negation") {
     val total = CypherEngine.query(store,
       "MATCH (n) RETURN count(*) AS c").collect().head.getLong(0)
