@@ -262,6 +262,38 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // Recall evaluation — the measurement every ANN deployment runs:
+    // brute-force top-5 is ground truth, the sign-bucket LSH top-5 is
+    // the candidate, recall@5 = |∩|/5 per query. Both sides are
+    // deterministic (sim DESC, nid tie-break), so the oracle replays
+    // the whole evaluation; the LSH side only pays its bucket join.
+    "v_recall_eval" -> ((s, dir) => {
+      import s.implicits._
+      val e = graft.Scratch.track(emb(s, dir)
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .withColumn("bucket", signBucket($"v"))
+        .cache())
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
+          $"bucket".as("qb"))
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"),
+        $"norm".as("nn"), $"bucket".as("cb"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      def top5(scored: DataFrame): DataFrame =
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5).select($"qid", $"nid")
+      val brute = top5(q.join(c, $"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn")))
+      val lsh = top5(q.join(c, $"qb" === $"cb" && $"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn")))
+      val hits = brute.join(lsh, Seq("qid", "nid"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+      q.select($"qid").join(hits, Seq("qid"), "left_outer")
+        .select($"qid", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)) / 5.0).as("recall"))
+        .orderBy($"qid")
+    }),
+
     // Range search (the dedup-shaped query): every in-bucket neighbor
     // at or above a similarity THRESHOLD, not a fixed k — "find all
     // near-duplicates of this query set". Same sign-signature bucket
@@ -528,6 +560,38 @@ object VectorOps {
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
+    "v_recall_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             (SELECT coalesce(sum(CASE WHEN v[i+1] > 0
+                 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END), 0)
+              FROM range(8) t(i)) bucket FROM e),
+         brute AS (SELECT qid, nid FROM (
+           SELECT q.vec_id qid, c.vec_id nid,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) rank
+           FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+           WHERE rank <= 5),
+         lsh AS (SELECT qid, nid FROM (
+           SELECT q.vec_id qid, c.vec_id nid,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) rank
+           FROM b q JOIN b c ON q.bucket = c.bucket
+             AND q.vec_id < 20 AND q.vec_id != c.vec_id)
+           WHERE rank <= 5),
+         hits AS (SELECT brute.qid, count(*)::BIGINT n_hits
+           FROM brute JOIN lsh ON brute.qid = lsh.qid
+             AND brute.nid = lsh.nid
+           GROUP BY 1)
+         SELECT q.vec_id AS qid, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) / 5.0 AS recall
+         FROM (SELECT vec_id FROM e WHERE vec_id < 20) q
+         LEFT JOIN hits h ON q.vec_id = h.qid
+         ORDER BY qid""",
     "v_knn_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          b AS (SELECT vec_id, v,
