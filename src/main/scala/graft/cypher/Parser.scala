@@ -30,29 +30,75 @@ object Parser {
     "SUM", "AVG", "MIN", "MAX", "WITH", "UNWIND", "DELETE", "DETACH",
     "SET", "CREATE", "MERGE", "REMOVE", "ON", "CALL", "FOREACH",
     "IN", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
-    "END", "UNION", "ALL")
+    "END", "UNION", "ALL", "XOR")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|&!])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(\d+\.\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|&!])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(0[xX][0-9a-fA-F]+)|(\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+
+  /** Cypher string-escape decoding: \t \b \n \r \f \' \" \\ \uXXXX. */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; i += 2
+          case 'b' => b += '\b'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 'f' => b += '\f'; i += 2
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2 // \' \" \\ and unknown → literal
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  /** Skips whitespace and Cypher comments — `//` to end of line and
+    * block comments (slash-star … star-slash) — outside string and
+    * backquote literals: callers invoke this between tokens.
+    */
+  private def skipTrivia(q: String, from: Int): Int = {
+    var pos = from
+    var moved = true
+    while (moved) {
+      moved = false
+      while (pos < q.length && q.charAt(pos).isWhitespace) { pos += 1; moved = true }
+      if (pos + 1 < q.length && q.charAt(pos) == '/' && q.charAt(pos + 1) == '/') {
+        while (pos < q.length && q.charAt(pos) != '\n') pos += 1
+        moved = true
+      } else if (pos + 1 < q.length && q.charAt(pos) == '/' && q.charAt(pos + 1) == '*') {
+        val end = q.indexOf("*/", pos + 2)
+        if (end < 0) throw ParseException("unterminated /* comment")
+        pos = end + 2
+        moved = true
+      }
+    }
+    pos
+  }
 
   def tokenize(q: String): List[Tok] = {
     var pos = 0
     val out = List.newBuilder[Tok]
-    while (pos < q.length) {
+    while ({ pos = skipTrivia(q, pos); pos < q.length }) {
       tokenRe.findPrefixMatchOf(q.substring(pos)) match {
         case Some(m) if m.end > 0 =>
           pos += m.end
           if (m.group(1) != null) out += Sym(m.group(1))
           else if (m.group(2) != null) out += Ident(m.group(2))
-          else if (m.group(3) != null)
-            out += StrLit(m.group(3).replace("\\'", "'").replace("\\\\", "\\"))
-          else if (m.group(4) != null)
-            out += StrLit(m.group(4).replace("\\\"", "\"").replace("\\\\", "\\"))
-          else if (m.group(5) != null) out += NumLit(m.group(5).toDouble)
-          else if (m.group(6) != null) out += NumLit(m.group(6).toLong)
-          else if (m.group(7) != null) out += ParamTok(m.group(7))
+          else if (m.group(3) != null) out += StrLit(unescape(m.group(3)))
+          else if (m.group(4) != null) out += StrLit(unescape(m.group(4)))
+          else if (m.group(5) != null)
+            out += NumLit(java.lang.Long.parseLong(m.group(5).drop(2), 16))
+          else if (m.group(6) != null) out += NumLit(m.group(6).toDouble)
+          else if (m.group(7) != null) out += NumLit(m.group(7).toLong)
+          else if (m.group(8) != null) out += ParamTok(m.group(8))
           else {
-            val w = m.group(8)
+            val w = m.group(9)
             if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)(w)
             else out += Ident(w)
           }
@@ -753,8 +799,21 @@ object Parser {
   private def parseExpr(p: P): Ast.Expr = parseOr(p)
 
   private def parseOr(p: P): Ast.Expr = {
+    var l = parseXor(p)
+    while (p.tryKw("OR")) l = Ast.Or(l, parseXor(p))
+    l
+  }
+
+  /** `a XOR b` desugars to `(a OR b) AND NOT (a AND b)` — the same
+    * three-valued truth table (null if either side is null), with no
+    * new AST node for downstream match sites to learn.
+    */
+  private def parseXor(p: P): Ast.Expr = {
     var l = parseAnd(p)
-    while (p.tryKw("OR")) l = Ast.Or(l, parseAnd(p))
+    while (p.tryKw("XOR")) {
+      val r = parseAnd(p)
+      l = Ast.And(Ast.Or(l, r), Ast.Not(Ast.And(l, r)))
+    }
     l
   }
 

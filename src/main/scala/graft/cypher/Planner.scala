@@ -182,10 +182,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * is exactly the dynamic extent of [[withLambda]].
     */
   private var lambdaScope: Map[String, Column] = Map.empty
+  /** static types for lambda variables where the binder knows them
+    * (reduce accumulator/element) — lets arithCol pick the list/string
+    * overload inside a lambda body, where colTypeOpt has no frame.
+    */
+  private var lambdaTypeHints: Map[String, org.apache.spark.sql.types.DataType] =
+    Map.empty
   private def withLambda(bindings: (String, Column)*)(f: => Column): Column = {
     val saved = lambdaScope
     lambdaScope = lambdaScope ++ bindings
     try f finally lambdaScope = saved
+  }
+  private def withLambdaHints(
+      hints: (String, org.apache.spark.sql.types.DataType)*)(
+      f: => Column): Column = {
+    val saved = lambdaTypeHints
+    lambdaTypeHints = lambdaTypeHints ++ hints
+    try f finally lambdaTypeHints = saved
   }
   private def fresh(prefix: String): String = { anon += 1; s"__$prefix$anon" }
 
@@ -428,6 +441,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         s.fieldNames.sameElements(Array("s", "l", "d", "b"))
       case _ => false
     }
+
+  /** Neo4j toBoolean semantics: only 'true'/'false' (any case) and
+    * actual booleans convert; everything else is null.
+    */
+  private def boolStrict(c: Column): Column =
+    when(lower(c.cast("string")) === "true", lit(true))
+      .when(lower(c.cast("string")) === "false", lit(false))
 
   /** canonical string view of a PV struct column */
   private def pvStrOf(pv: Column): Column =
@@ -2734,9 +2754,57 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("tofloat" | "tofloatornull", Seq(a), _) =>
       typedProp(a, "d").getOrElse(valueCol(a).try_cast("double"))
     case FuncCall("toboolean" | "tobooleanornull", Seq(a), _) =>
-      typedProp(a, "b").getOrElse(valueCol(a).try_cast("boolean"))
+      // only 'true'/'false' convert (Neo4j) — Spark's boolean cast
+      // would also accept y/n/yes/no/0/1
+      typedProp(a, "b").getOrElse(boolStrict(valueCol(a)))
     case FuncCall("tostringornull", Seq(a), _) =>
       typedProp(a, "s").getOrElse(valueCol(a).cast("string"))
+    // list conversions (Neo4j 5): element-wise, null-on-malformed,
+    // null list → null
+    case FuncCall("tointegerlist", Seq(a), _) =>
+      transform(valueCol(a), x =>
+        coalesce(x.try_cast("long"), x.try_cast("double").try_cast("long")))
+    case FuncCall("tofloatlist", Seq(a), _) =>
+      transform(valueCol(a), _.try_cast("double"))
+    case FuncCall("tobooleanlist", Seq(a), _) =>
+      transform(valueCol(a), boolStrict(_))
+    case FuncCall("tostringlist", Seq(a), _) =>
+      transform(valueCol(a), _.cast("string"))
+    // valueType() (Neo4j 5.13): the value's Cypher type name. Static
+    // types resolve at plan time; dynamic property slots dispatch on
+    // whichever slot is populated.
+    case FuncCall("valuetype", Seq(a), _) =>
+      import org.apache.spark.sql.types._
+      def tname(t: DataType): String = t match {
+        case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+        case DoubleType | FloatType => "FLOAT"
+        case StringType => "STRING"
+        case BooleanType => "BOOLEAN"
+        case DateType => "DATE"
+        case TimestampType => "ZONED DATETIME"
+        case _: TimeType => "LOCAL TIME"
+        case s: StructType if isDurType(s) => "DURATION"
+        case ArrayType(et, _) => s"LIST<${tname(et)} NOT NULL>"
+        case _: MapType | _: StructType => "MAP"
+        case NullType => "NULL"
+        case other => other.typeName.toUpperCase
+      }
+      pvOf(a) match {
+        case Some(pv) =>
+          when(pv.getField("l").isNotNull, lit("INTEGER NOT NULL"))
+            .when(pv.getField("d").isNotNull, lit("FLOAT NOT NULL"))
+            .when(pv.getField("b").isNotNull, lit("BOOLEAN NOT NULL"))
+            .when(pv.getField("s").isNotNull, lit("STRING NOT NULL"))
+            .otherwise(lit("NULL"))
+        case None =>
+          val c = valueCol(a)
+          colTypeOpt(c) match {
+            case Some(NullType) | None => lit("NULL")
+            case Some(t) =>
+              when(c.isNull, lit("NULL"))
+                .otherwise(lit(s"${tname(t)} NOT NULL"))
+          }
+      }
     case FuncCall("isnan", Seq(a), _) => isnan(valueCol(a).cast("double"))
     case FuncCall("char_length" | "character_length", Seq(a), _) =>
       length(strCol(a)).cast("long")
@@ -2744,6 +2812,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // from oracled registry entries by nature
     case FuncCall("rand", Nil, _) => rand()
     case FuncCall("randomuuid", Nil, _) => expr("uuid()")
+    case FuncCall("id" | "elementid", Seq(VarRef(n)), _)
+        if env.get(n).contains(RelVar) =>
+      // a relationship's identity is its canonical edge key (null on
+      // an OPTIONAL miss — concat_ws alone never nulls)
+      when(col(s"${n}__src").isNotNull,
+        concat_ws("\u0001", col(s"${n}__src"), col(s"${n}__dst"),
+          col(s"${n}__relType")))
     case FuncCall("id" | "elementid", Seq(VarRef(n)), _) =>
       col(s"${n}__gid")
     // startNode/endNode return the endpoint's IDENTITY (the gid — how
@@ -2836,6 +2911,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       replace(strCol(a), strCol(f), strCol(t))
     case FuncCall("split", Seq(a, Lit(d: String)), _) =>
       split(strCol(a), java.util.regex.Pattern.quote(d))
+    // Neo4j split(s, [d1, d2, …]): split on ANY of the delimiters —
+    // a static alternation of quoted literals
+    case FuncCall("split", Seq(a, ListLit(ds)), _)
+        if ds.forall { case Lit(_: String) => true; case _ => false } =>
+      split(strCol(a), ds.map { case Lit(d: String) =>
+        java.util.regex.Pattern.quote(d); case _ => "" }.mkString("|"))
     case FuncCall("left", Seq(a, n), _) =>
       substring(strCol(a), lit(1), valueCol(n).cast("int"))
     case FuncCall("right", Seq(a, n), _) =>
@@ -3056,6 +3137,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // untyped-property rendering)
       transform_values(coalesce(col(s"${n}__props"), pvMapLit(Map.empty)),
         (_, v) => pvStrOf(v))
+    // properties() of a map value is the map itself (Neo4j parity)
+    case FuncCall("properties", Seq(a), _) => valueCol(a)
     case ListComp(v, listE, whereE0, projE0) =>
       // over nodes(p)/relationships(p): elements are path renderings
       // (gids / relTypes) — fold identity reads to the element itself
@@ -3088,8 +3171,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           when(base.isNotNull, size(filter(base, pred(_))) === 1)
       }
     case ReduceExpr(acc, init, v, listE, bodyE) =>
-      aggregate(valueCol(listE), valueCol(init),
-        (a, x) => withLambda(acc -> a, v -> x)(valueCol(bodyE)))
+      import org.apache.spark.sql.types._
+      val listC = valueCol(listE)
+      val elemT = colTypeOpt(listC) match {
+        case Some(ArrayType(et, _)) => Some(et)
+        case _ => None
+      }
+      // an empty-list accumulator (`acc = []`) types as array<null> —
+      // retype it from the list's element type so the merge lambda's
+      // result (e.g. acc + x) matches the accumulator type
+      val initT0 = colTypeOpt(valueCol(init))
+      val (initC, initT) = (initT0, elemT) match {
+        case (Some(ArrayType(NullType, _)), Some(et)) =>
+          (valueCol(init).cast(ArrayType(et)), Some(ArrayType(et)))
+        case _ => (valueCol(init), initT0)
+      }
+      val hints = initT.map(acc -> _).toSeq ++ elemT.map(v -> _).toSeq
+      aggregate(listC, initC,
+        (a, x) => withLambdaHints(hints: _*)(
+          withLambda(acc -> a, v -> x)(valueCol(bodyE))))
     case PatternPred(_, _) => throw PlanError(
       "exists(pattern) is supported as a WHERE conjunct or a bare RETURN/WITH item")
     case CountSub(_, _) => throw PlanError(
@@ -3159,7 +3259,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     def low(e: Ast.Expr): Column =
       if (containsAgg(e)) aggCol(e) else valueCol(e)
     val (lc, rc) = (low(l), low(r))
-    val (lt, rt) = (colTypeOpt(lc), colTypeOpt(rc)) match {
+    def hinted(e: Ast.Expr): Option[DataType] = e match {
+      case VarRef(n) => lambdaTypeHints.get(n)
+      case ListLit(_) => colTypeOpt(valueCol(e))
+      case _ => None
+    }
+    val (lt, rt) = (colTypeOpt(lc).orElse(hinted(l)),
+        colTypeOpt(rc).orElse(hinted(r))) match {
       case (Some(a), Some(b)) => (a, b)
       case _ =>
         // lambda-scoped operand (comprehension/reduce body): no frame
@@ -3224,7 +3330,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         else throw PlanError(
           s"|| expects string or list operands, got $lt || $rt")
       case "+" if lt.isInstanceOf[ArrayType] || rt.isInstanceOf[ArrayType] =>
-        concat(lc, rc)
+        // list + element appends / element + list prepends (Neo4j) —
+        // wrap the scalar side so concat sees two arrays
+        val la = if (lt.isInstanceOf[ArrayType]) lc else array(lc)
+        val ra = if (rt.isInstanceOf[ArrayType]) rc else array(rc)
+        concat(la, ra)
       case "+" if (!lProp && lt == StringType) ||
           (!rProp && rt == StringType) =>
         concat(strCol(l), strCol(r))
@@ -3352,11 +3462,26 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => None
       }
       case s: StructType if isDurType(s) => key.toLowerCase match {
+        // each component group converts independently (Neo4j): the
+        // month group feeds years/quarters, the day group weeks, the
+        // second group hours/minutes/sub-second units
         case "years" => L(floor(c.getField("months") / 12))
+        case "quarters" => L(floor(c.getField("months") / 3))
         case "months" => L(c.getField("months"))
+        case "monthsofyear" => L(pmod(c.getField("months"), lit(12)))
+        case "monthsofquarter" => L(pmod(c.getField("months"), lit(3)))
+        case "quartersofyear" => L(floor(pmod(c.getField("months"), lit(12)) / 3))
+        case "weeks" => L(floor(c.getField("days") / 7))
         case "days" => L(c.getField("days"))
+        case "daysofweek" => L(pmod(c.getField("days"), lit(7)))
+        case "hours" => L(floor(c.getField("secs") / 3600))
+        case "minutes" => L(floor(c.getField("secs") / 60))
+        case "minutesofhour" => L(pmod(floor(c.getField("secs") / 60), lit(60)))
         case "seconds" => L(c.getField("secs"))
+        case "secondsofminute" => L(pmod(c.getField("secs"), lit(60)))
         case "milliseconds" => L(c.getField("secs") * 1000)
+        case "microseconds" => L(c.getField("secs") * 1000000L)
+        case "nanoseconds" => L(c.getField("secs") * 1000000000L)
         case _ => None
       }
       case _ => None
@@ -3518,7 +3643,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .otherwise(apply(valueCol(l), valueCol(r)))
         case _ =>
           val (lc, rc) = cmpSides(l, r)
-          apply(lc, rc)
+          // cross-type-family comparison (`1 = '1'`): Cypher says
+          // values of different families are never equal (Spark's
+          // coercion would cast and say true); ordering across
+          // families is null. Runtime nulls still propagate as null.
+          import org.apache.spark.sql.types.{BooleanType, NumericType, StringType}
+          def fam(c: Column): Option[Int] = colTypeOpt(c) match {
+            case Some(_: NumericType) => Some(1)
+            case Some(StringType) => Some(2)
+            case Some(BooleanType) => Some(3)
+            case _ => None
+          }
+          (fam(lc), fam(rc)) match {
+            case (Some(a), Some(b)) if a != b => op match {
+              case "=" => when(lc.isNull || rc.isNull,
+                lit(null).cast("boolean")).otherwise(lit(false))
+              case "<>" => when(lc.isNull || rc.isNull,
+                lit(null).cast("boolean")).otherwise(lit(true))
+              case _ => lit(null).cast("boolean")
+            }
+            case _ => apply(lc, rc)
+          }
       }
     case InList(x, listE) =>
       // literal / scalar-param lists compare through the typed slot of

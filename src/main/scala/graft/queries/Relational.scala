@@ -655,6 +655,85 @@ object Relational {
           $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name", $"qty")
         .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q2 (min-cost supplier, adapted: no partsupp table — the
+    // observed supply relation is distinct (l_partkey, l_suppkey),
+    // supply cost = the pair's min observed line total in exact
+    // cents). Region-0 suppliers only; the per-part min is a window
+    // over the SAME shuffle that built the candidate set (no second
+    // aggregation pass); part + supplier dims broadcast.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val ps = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(cents($"l_extendedprice")).as("cost_c"))
+      val p = t(s, dir, "part")
+        .filter($"p_size" === 15 && $"p_type" === "STANDARD")
+        .select($"p_partkey", $"p_name")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter($"n_regionkey" === 0)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val cand = ps.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      cand
+        .withColumn("min_c",
+          min($"cost_c").over(Window.partitionBy($"p_partkey")))
+        .filter($"cost_c" === $"min_c")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+          ($"cost_c" / 100.0).as("supplycost"))
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    }),
+
+    // TPC-H Q16 (supplier-relationship count, adapted: partsupp :=
+    // distinct observed pairs; the "complaints" supplier exclusion
+    // becomes s_acctbal < 0). Distinct pairs shuffle once on the
+    // pair; both dims broadcast; the excluded-supplier probe is a
+    // broadcast anti-join.
+    "q16_part_supplier_count" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val p = t(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#1" && $"p_size" <= 20)
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val excluded = t(s, dir, "supplier")
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      pairs.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size".cast("long").as("p_size"))
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting, adapted: no
+    // commit/receipt dates — the "blocker" is the unique supplier
+    // whose last ship date IS the finished order's last ship date,
+    // with at least one other supplier waiting on it). One shuffle
+    // keyed on the order builds per-supplier lasts AND the three
+    // order-level window stats; the supplier dim broadcasts.
+    "q21_waiting_orders" -> ((s, dir) => {
+      import s.implicits._
+      val f = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      val w = Window.partitionBy($"l_orderkey")
+      f.groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max($"l_shipdate").as("supp_last"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("order_last", max($"supp_last").over(w))
+        .withColumn("n_at_last",
+          sum(when($"supp_last" === $"order_last", 1).otherwise(0)).over(w))
+        .filter($"n_supp" >= 2 && $"n_at_last" === 1 &&
+          $"supp_last" === $"order_last")
+        .join(broadcast(t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -981,5 +1060,60 @@ object Relational {
          FROM w JOIN supplier ON l_suppkey = s_suppkey
          WHERE qty * (SELECT count(*) FROM w)
              > (SELECT CAST(SUM(qty) AS BIGINT) FROM w)
-         ORDER BY s_suppkey""")
+         ORDER BY s_suppkey""",
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c
+           FROM lineitem GROUP BY 1, 2),
+         cand AS (
+           SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_c
+           FROM ps
+           JOIN part ON l_partkey = p_partkey
+             AND p_size = 15 AND p_type = 'STANDARD'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 0)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           cost_c/100.0 AS supplycost
+         FROM (SELECT *, MIN(cost_c) OVER (PARTITION BY p_partkey) AS min_c
+               FROM cand)
+         WHERE cost_c = min_c
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+
+    "q16_part_supplier_count" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM pairs
+         JOIN part ON l_partkey = p_partkey
+           AND p_brand <> 'Brand#1' AND p_size <= 20
+         WHERE l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q21_waiting_orders" ->
+      """WITH f AS (
+           SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+           FROM lineitem l JOIN orders
+             ON l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+         ps AS (
+           SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+           FROM f GROUP BY 1, 2),
+         o1 AS (
+           SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             MAX(supp_last) OVER (PARTITION BY l_orderkey) AS order_last
+           FROM ps),
+         o2 AS (
+           SELECT *, SUM(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_orderkey) AS n_at_last
+           FROM o1)
+         SELECT s_name, COUNT(*) AS numwait
+         FROM o2 JOIN supplier ON l_suppkey = s_suppkey
+         WHERE n_supp >= 2 AND n_at_last = 1 AND supp_last = order_last
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 100""")
 }

@@ -227,6 +227,67 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(100)}" }
       println(s"PROBE4 $tag: $res")
     }
+    // battery 5: lexical trivia, three-valued logic edges, conversion
+    // lists, legacy-but-common forms. Value-sensitive ones print rows.
+    val probes5: Seq[(String, String)] = Seq(
+      "comment-line" -> "MATCH (n:Nation) // trailing comment\nRETURN count(*) AS c",
+      "comment-block" -> "MATCH (n:Nation) /* mid */ RETURN count(*) AS c",
+      "xor" -> "RETURN true XOR false AS a, true XOR true AS b, true XOR null AS c",
+      "sci-hex-lit" -> "RETURN 1e3 AS a, 2.5e-2 AS b, 0xFF AS h",
+      "escape-str" -> "RETURN 'a\\nb' AS s, '\\u0041' AS u",
+      "in-with-null" -> "RETURN 1 IN [1, null] AS a, 2 IN [1, null] AS b",
+      "cross-type-eq" -> "RETURN 1 = '1' AS a, [1] = [1.0] AS b",
+      "substring-single" -> "RETURN substring('hello', 2) AS s",
+      "split-multi-delim" -> "RETURN split('a;b,c', [';', ',']) AS l",
+      "to-list-conv" -> ("RETURN toIntegerList(['1','2']) AS il, " +
+        "toFloatList(['1.5']) AS fl, toStringList([1, 2.0]) AS sl, " +
+        "toBooleanList(['true']) AS bl"),
+      "case-no-else" -> "RETURN CASE WHEN false THEN 1 END AS c",
+      "reduce-list-acc" -> "RETURN reduce(acc = [], x IN [1,2] | acc + x) AS l",
+      "regex-null" -> "RETURN 'a' =~ null AS r",
+      "order-null-asc" -> "UNWIND [3, null, 1] AS x RETURN x ORDER BY x",
+      "props-map-param" -> "CREATE (n:PP {gid: 'pp:1'}) SET n = $props RETURN n.k AS k",
+      "minmax-lists" -> "UNWIND [[1,2],[0,9]] AS l RETURN min(l) AS lo",
+      "type-null" -> "OPTIONAL MATCH (x:Nope)-[r:nope]->() RETURN type(r) AS t",
+      "id-rel" -> "MATCH ()-[r:in_region]->() RETURN id(r) AS i LIMIT 1",
+      "keys-node-direct" -> "MATCH (n:Nation) RETURN keys(n) AS ks LIMIT 1",
+      "properties-of-map" -> "RETURN properties({a: 1}) AS m",
+      "exists-legacy-paren" ->
+        "MATCH (n:Nation) WHERE exists((n)-[:in_region]->()) RETURN count(*) AS c",
+      "allshortest" ->
+        """MATCH p = allShortestPaths((a:Nation {gid:'n:1'})-[*1..3]->(b))
+           RETURN count(*) AS c""",
+      "backtick-prop" ->
+        "CREATE (n:BT {gid: 'bt:1', `weird prop`: '1'}) RETURN n.`weird prop` AS w",
+      "datetime-map" ->
+        "RETURN datetime({year: 2024, month: 2, day: 29, hour: 3}).epochMillis AS ms",
+      "duration-accessors" ->
+        """RETURN duration('P1Y2M3DT4H').months AS mo,
+           duration({days: 2, hours: 3}).hours AS h""",
+      "contains-ends" ->
+        """MATCH (n:Nation) WHERE n.name CONTAINS 'ATION'
+           AND n.name ENDS WITH '1' RETURN count(*) AS c""",
+      "distinct-lists" -> "UNWIND [[1],[1],[2]] AS l RETURN DISTINCT l ORDER BY l",
+      "valuetype" -> "RETURN valueType(1) AS a, valueType('x') AS b",
+      "varlen-open-lower" ->
+        "MATCH (a:Nation {gid:'n:1'})-[*..2]->(b) RETURN count(*) AS c",
+      "varlen-bare-star" ->
+        "MATCH (a:Nation {gid:'n:1'})-[*]->(b) RETURN count(*) AS c",
+      "merge-label-only" -> "MERGE (n:OnlyL {gid: 'ol:1'}) MERGE (n2:OnlyL {gid: 'ol:1'}) RETURN count(*) AS c",
+      "shortest-undirected-open" ->
+        """MATCH p = shortestPath((a:Nation {gid:'n:1'})-[*..2]-(b:Region))
+           RETURN length(p) AS l LIMIT 1""")
+    val p5params = Map("props" -> Map("k" -> "v"), "key" -> "name",
+      "list" -> Seq(1, 2, 3))
+    probes5.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q, p5params).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE5 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

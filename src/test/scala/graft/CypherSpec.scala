@@ -2852,4 +2852,84 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       .map(r => (r.getString(0), r.getString(1)))
     assert(loaded.toSeq == Seq(("urn:l1", "ada"), ("urn:l2", "grace")))
   }
+
+  test("comments, XOR, scientific/hex literals, string escapes") {
+    val r = CypherEngine.query(store,
+      "// leading comment\nRETURN /* mid */ true XOR false AS a, " +
+        "true XOR true AS b, true XOR null AS c, " +
+        "1e3 AS d, 2.5e-2 AS e, 0xFF AS f, 'a\\tb' AS g // trailing")
+      .collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 1000.0 && r.getDouble(4) == 0.025)
+    assert(r.getLong(5) == 255L && r.getString(6) == "a\tb")
+  }
+
+  test("cross-type-family comparison is never equal (1 = '1' is false)") {
+    val r = CypherEngine.query(store,
+      """RETURN 1 = '1' AS a, 1 <> '1' AS b, [1] = [1.0] AS c,
+         true = 'true' AS d, 1 < 'x' AS e""").collect().head
+    assert(!r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(!r.getBoolean(3) && r.isNullAt(4))
+  }
+
+  test("split with a delimiter list; element-wise list conversions") {
+    val r = CypherEngine.query(store,
+      """RETURN split('a;b,c', [';', ',']) AS s,
+         toIntegerList(['1', '2.5', 'x']) AS il,
+         toFloatList(['1.5', 'x']) AS fl,
+         toBooleanList(['true', 'no']) AS bl,
+         toStringList([1, 2]) AS sl""").collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[Any](1) == Seq(1L, 2L, null))
+    assert(r.getSeq[Any](2) == Seq(1.5, null))
+    assert(r.getSeq[Any](3) == Seq(true, null))
+    assert(r.getSeq[String](4) == Seq("1", "2"))
+  }
+
+  test("reduce with a list accumulator appends (acc + x)") {
+    val r = CypherEngine.query(store,
+      """RETURN reduce(acc = [], x IN [1, 2, 3] | acc + x) AS l,
+         reduce(acc = [0], x IN [1] | acc + x) AS m""").collect().head
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](1) == Seq(0L, 1L))
+  }
+
+  test("id() of a relationship is its identity; properties() of a map") {
+    val rows = CypherEngine.query(store,
+      """MATCH (a)-[r:knows]->(b)
+         RETURN id(r) AS i, id(r) = id(r) AS same,
+           properties({a: 1}).a AS pa""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0).contains("urn:p2"))
+    assert(rows.head.getBoolean(1) && rows.head.getLong(2) == 1L)
+  }
+
+  test("duration derived accessors convert within component groups") {
+    val r = CypherEngine.query(store,
+      """WITH duration({days: 16, hours: 3, minutes: 90}) AS d
+         RETURN d.weeks AS w, d.days AS dd, d.hours AS h,
+           d.minutes AS m, d.minutesOfHour AS moh,
+           duration('P1Y3M').quarters AS q""").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 16L)
+    assert(r.getLong(2) == 4L)      // 3h + 90min = 4.5h → 4
+    assert(r.getLong(3) == 270L)    // 4h30 → 270 minutes
+    assert(r.getLong(4) == 30L)
+    assert(r.getLong(5) == 5L)      // 15 months → 5 quarters
+  }
+
+  test("valueType() names static and dynamic-slot types") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person {gid: 'urn:p1'})
+         RETURN valueType(1) AS a, valueType('x') AS b,
+           valueType(1.5) AS c, valueType([1]) AS d,
+           valueType(n.age) AS e, valueType(n.name) AS f,
+           valueType(n.gone) AS g""").collect().head
+    assert(r.getString(0) == "INTEGER NOT NULL")
+    assert(r.getString(1) == "STRING NOT NULL")
+    assert(r.getString(2) == "FLOAT NOT NULL")
+    assert(r.getString(3) == "LIST<INTEGER NOT NULL> NOT NULL")
+    assert(r.getString(4) == "INTEGER NOT NULL")
+    assert(r.getString(5) == "STRING NOT NULL")
+    assert(r.getString(6) == "NULL")
+  }
 }
