@@ -416,4 +416,47 @@ object Multimodal {
       }
     }
   }
+
+  /** One resized image per media row: source/target geometry, the
+    * integer pixel sum and a fingerprint of the resized grid — what
+    * an image-normalization stage hands to an embedder.
+    */
+  case class ResizedImage(media_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, px_sum: Long, px_fp: String)
+
+  /** Nearest-neighbor resize to a fixed (outW × outH) grid (the
+    * image-preprocessing shape: every vision pipeline normalizes
+    * geometry before embedding). The image decode is STUBBED as a
+    * 16-byte-per-row grid over the payload (out-of-range cells are
+    * 0) — the fixture corpus has no real images — but the plumbing
+    * is the real thing: per-row imperative resampling inside one
+    * typed mapPartitions batch, integer-exact arithmetic the oracle
+    * replays, one output row per media.
+    */
+  val RowBytes = 16
+  def resizeNearest(media: Dataset[MediaRow], outW: Int, outH: Int)
+      : Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val n = r.payload.length
+        val srcH = math.max(1, (n + RowBytes - 1) / RowBytes)
+        val px = new Array[Int](outW * outH)
+        var i = 0
+        while (i < px.length) {
+          val sr = (i / outW) * srcH / outH
+          val sc = (i % outW) * RowBytes / outW
+          val idx = sr * RowBytes + sc
+          px(i) = if (idx < n) r.payload(idx) & 0xff else 0
+          i += 1
+        }
+        md.reset()
+        val fp = md.digest(px.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        ResizedImage(r.media_id, RowBytes, srcH, outW, outH,
+          px.foldLeft(0L)(_ + _), fp)
+      }
+    }
+  }
 }

@@ -65,6 +65,17 @@ object MultimodalQ {
       Multimodal.windowedPcm(
         Multimodal.documentsAsMedia(t(s, dir, "documents")), window = 16)
         .toDF().orderBy($"media_id", $"win_idx")
+    }),
+
+    // image-preprocessing shape: nearest-neighbor resize of the
+    // stubbed byte-grid image to a fixed 8×8 (Multimodal.resizeNearest
+    // — one typed-mapPartitions row per media).
+    "m_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeNearest(
+        Multimodal.documentsAsMedia(t(s, dir, "documents")),
+        outW = 8, outH = 8)
+        .toDF().orderBy($"media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -119,5 +130,23 @@ object MultimodalQ {
          SELECT media_id, (idx // 16)::INT AS win_idx,
            count(*)::BIGINT AS n_samples, sum(v * v)::BIGINT AS energy,
            ((sum(v) * 1000000) // count(*))::BIGINT AS mean_micro
-         FROM s GROUP BY 1, 2 ORDER BY media_id, win_idx""")
+         FROM s GROUP BY 1, 2 ORDER BY media_id, win_idx""",
+    "m_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+             length(text)::BIGINT AS n FROM documents),
+         g AS (SELECT media_id, text, n,
+             greatest(1, (n + 15) // 16) AS src_h FROM m),
+         px AS (SELECT media_id, src_h,
+             list_transform(range(0, 64), i ->
+               CASE WHEN ((i // 8) * src_h // 8) * 16 + (i % 8) * 2 < n
+                 THEN ord(substring(text,
+                   (((i // 8) * src_h // 8) * 16 + (i % 8) * 2 + 1)::INT, 1))
+                 ELSE 0 END) AS p
+           FROM g)
+         SELECT media_id, 16 AS src_w, src_h::INT AS src_h,
+           8 AS out_w, 8 AS out_h,
+           list_sum(p)::BIGINT AS px_sum,
+           md5(list_aggregate(list_transform(p, x -> x::VARCHAR),
+             'string_agg', ',')) AS px_fp
+         FROM px ORDER BY media_id""")
 }

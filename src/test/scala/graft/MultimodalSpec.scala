@@ -204,4 +204,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.mean_micro).toSeq ==
       Seq(1500000L, 3500000L, 5000000L))
   }
+
+  test("nearest-neighbor resize: geometry, sampling grid, padding") {
+    import spark.implicits._
+    // 40 bytes → 16-wide grid, src_h = 3; resize to 2×2 samples
+    // (row 0, col 0), (row 0, col 8), (row 1, col 0), (row 1, col 8):
+    // out row 1 maps to src row 1*3/2 = 1, out col 1 to 1*16/2 = 8
+    val payload = (0 until 40).map(i => (i + 10).toByte).toArray
+    val r = Multimodal.resizeNearest(
+      Seq(Multimodal.MediaRow(7, "image", payload)).toDS(),
+      outW = 2, outH = 2).collect().head
+    assert((r.src_w, r.src_h, r.out_w, r.out_h) == (16, 3, 2, 2))
+    // sampled bytes: idx 0 → 10, idx 8 → 18, idx 16 → 26, idx 24 → 34
+    assert(r.px_sum == 10L + 18L + 26L + 34L)
+    // out-of-range cells pad with 0: a 1-byte payload with src_h = 1
+    // samples idx 0 for BOTH out rows (nearest row 0), col 8 pads
+    val tiny = Multimodal.resizeNearest(
+      Seq(Multimodal.MediaRow(8, "image", Array(42.toByte))).toDS(),
+      outW = 2, outH = 2).collect().head
+    assert(tiny.src_h == 1 && tiny.px_sum == 84L)
+  }
 }
