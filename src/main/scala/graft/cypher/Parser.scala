@@ -184,6 +184,26 @@ object Parser {
     // Neo4j 5.21's OPTIONAL CALL (zero body rows keep the outer row,
     // nulls for the returned columns)
     def parseCallClause(optional: Boolean): Unit = {
+          // `CALL (n, m) { }` / `CALL (*) { }` / `CALL () { }` — the
+          // Neo4j 5.23 variable-scope form; the scope list IS the
+          // import list (no importing WITH inside)
+          var scopeImports: Option[Seq[String]] = None
+          if (p.peek.contains(Sym("("))) {
+            p.next()
+            val vars = Seq.newBuilder[String]
+            var star = false
+            if (!p.trySym(")")) {
+              if (p.trySym("*")) star = true
+              else {
+                vars += p.identOrKw()
+                while (p.trySym(",")) vars += p.identOrKw()
+              }
+              p.expectSym(")")
+            }
+            scopeImports = Some(if (star) Seq("*") else vars.result())
+            if (!p.peek.contains(Sym("{")))
+              throw ParseException("CALL (scope) needs a { subquery }")
+          }
           if (!p.trySym("{")) {
             // procedure call: CALL db.labels() [YIELD col [AS alias], …]
             val nameParts = Seq.newBuilder[String]
@@ -221,7 +241,10 @@ object Parser {
           // per UNION part (Neo4j requires each part to re-import)
           val imports = Seq.newBuilder[String]
           def parseImports(): Unit =
-            if (p.peek.contains(Kw("WITH")("WITH"))) {
+            // the scope form supplies the imports; a leading WITH in
+            // the body stays an ordinary clause
+            if (scopeImports.nonEmpty) ()
+            else if (p.peek.contains(Kw("WITH")("WITH"))) {
               p.next()
               def one(): Unit = p.next() match {
                 case Ident(v) => imports += v
@@ -284,7 +307,8 @@ object Parser {
           // the IN TRANSACTIONS form is itself a write statement (its
           // body commits) — a trailing RETURN is optional like any write
           if (txRows.nonEmpty) sawWrite = true
-          clauses += Ast.CallSub(imports.result().distinct,
+          clauses += Ast.CallSub(
+            scopeImports.getOrElse(imports.result().distinct),
             inner.copy(unions = unions.result()), txRows, optional)
           }
     }
@@ -556,7 +580,13 @@ object Parser {
       one()
       while (p.trySym(",")) one()
     }
-    val skip = if (p.tryKw("SKIP")) Some(parseBound(p)) else None
+    // OFFSET is the Cypher-25 alias of SKIP
+    val isOffset = p.peek match {
+      case Some(Ident(s)) if s.equalsIgnoreCase("OFFSET") => p.next(); true
+      case _ => false
+    }
+    val skip =
+      if (isOffset || p.tryKw("SKIP")) Some(parseBound(p)) else None
     val limit = if (p.tryKw("LIMIT")) Some(parseBound(p)) else None
     (orderBy.result(), skip, limit)
   }
@@ -1081,28 +1111,62 @@ object Parser {
         p.expectSym(":")
         entries += ((k, parseExpr(p)))
       }
-      one()
-      while (p.trySym(",")) one()
-      p.expectSym("}")
+      if (!p.trySym("}")) { // `{}` is the empty map
+        one()
+        while (p.trySym(",")) one()
+        p.expectSym("}")
+      }
       Ast.MapLit(entries.result())
     case Kw("CASE") =>
       // searched form starts directly with WHEN; simple form carries
-      // a test expression compared for equality against each WHEN
+      // a test expression compared for equality against each WHEN.
+      // Neo4j 5.19 extended simple form: `WHEN > 3`, `WHEN IS NULL`,
+      // and comma-separated alternatives — those desugar the whole
+      // CASE to the searched form (OR of predicates per WHEN)
       val test = p.peek match {
         case Some(Kw("WHEN")) => None
         case _ => Some(parseExpr(p))
       }
-      val whens = Seq.newBuilder[(Ast.Expr, Ast.Expr)]
+      var extended = false
+      val whens =
+        Seq.newBuilder[(Seq[Either[Ast.Expr, Ast.Expr]], Ast.Expr)]
       while (p.tryKw("WHEN")) {
-        val w = parseExpr(p)
+        val conds = Seq.newBuilder[Either[Ast.Expr, Ast.Expr]]
+        def one(): Unit = (test, p.peek) match {
+          case (Some(t), Some(Sym(op)))
+              if Set(">", "<", ">=", "<=", "=", "<>").contains(op) =>
+            p.next(); extended = true
+            conds += Right(Ast.Cmp(op, t, parseExpr(p)))
+          case (Some(t), Some(Kw("IS"))) =>
+            p.next(); extended = true
+            val not = p.tryKw("NOT")
+            p.expectKw("NULL")
+            conds += Right(Ast.IsNull(t, negated = not))
+          case _ => conds += Left(parseExpr(p))
+        }
+        one()
+        while (p.trySym(",")) { extended = true; one() }
         p.expectKw("THEN")
-        whens += ((w, parseExpr(p)))
+        whens += ((conds.result(), parseExpr(p)))
       }
       val els = if (p.tryKw("ELSE")) Some(parseExpr(p)) else None
       p.expectKw("END")
       val ws = whens.result()
       if (ws.isEmpty) throw ParseException("CASE needs at least one WHEN")
-      Ast.CaseExpr(test, ws, els)
+      if (!extended)
+        Ast.CaseExpr(test, ws.map { case (cs, v) => (cs.head.merge, v) }, els)
+      else {
+        val searched = ws.map { case (cs, v) =>
+          val preds = cs.map {
+            case Left(value) => Ast.Cmp("=", test.getOrElse(
+              throw ParseException(
+                "extended WHEN forms need a CASE test expression")), value)
+            case Right(pred) => pred
+          }
+          (preds.reduce(Ast.Or(_, _)), v)
+        }
+        Ast.CaseExpr(None, searched, els)
+      }
     case Kw("COUNT") if p.peek.contains(Sym("{")) =>
       // COUNT { [MATCH] pattern [WHERE …] } — correlated match count
       val (pat, whereE) = parseSubqueryBody(p)
@@ -1185,6 +1249,40 @@ object Parser {
           p.expectSym(")")
           Ast.FuncCall("exists", Seq(e), distinct = false)
       }
+    case Ident(fn) if fn.equalsIgnoreCase("trim") &&
+        p.peek.contains(Sym("(")) &&
+        (p.toks.drop(1).headOption match {
+          case Some(Ident(s)) =>
+            Set("both", "leading", "trailing", "from")
+              .contains(s.toLowerCase)
+          case _ => false
+        }) =>
+      // trim([BOTH|LEADING|TRAILING] [chars] FROM s) — the Cypher 5
+      // trim-specification form desugars to trim/btrim/ltrim/rtrim
+      p.next() // '('
+      val spec = p.peek match {
+        case Some(Ident(s))
+            if Set("both", "leading", "trailing").contains(s.toLowerCase) =>
+          p.next(); s.toLowerCase
+        case _ => "both"
+      }
+      val chars: Option[Ast.Expr] = p.peek match {
+        case Some(Ident(s)) if s.equalsIgnoreCase("from") => None
+        case _ => Some(parseExpr(p))
+      }
+      p.next() match {
+        case Ident(s) if s.equalsIgnoreCase("from") => ()
+        case other =>
+          throw ParseException(s"expected FROM in trim(), got $other")
+      }
+      val subject = parseExpr(p)
+      p.expectSym(")")
+      val fname = spec match {
+        case "both" => if (chars.isEmpty) "trim" else "btrim"
+        case "leading" => "ltrim"
+        case "trailing" => "rtrim"
+      }
+      Ast.FuncCall(fname, subject +: chars.toSeq, distinct = false)
     case Ident(fn) if p.peek.contains(Sym("(")) =>
       p.next() // '('
       val as = Seq.newBuilder[Ast.Expr]

@@ -69,6 +69,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private case object NodeVar extends VarKind
   private case object RelVar extends VarKind
   private case class ValueVar(colName: String) extends VarKind
+  /** a named var-length relationship (`-[rs:T*1..2]->`): the bound
+    * column carries the stretch's edge-key array; the variable
+    * renders as the relationship-TYPE list, like relationships(p)
+    */
+  private case class RelListVar(colName: String) extends VarKind
   /** one segment of a materialized path: a fixed node, a fixed
     * relationship, or a var-length stretch (its edge-key array column
     * + traversal direction). The var-length segment's entered nodes
@@ -441,6 +446,48 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         s.fieldNames.sameElements(Array("s", "l", "d", "b"))
       case _ => false
     }
+
+  /** toString with Neo4j temporal renderings: durations as ISO-8601
+    * (`P1DT2H`, `PT0S` for zero), timestamps as `…T…Z`; everything
+    * else is the plain string cast.
+    */
+  private def renderString(c: Column): Column = {
+    import org.apache.spark.sql.types.{StructType, TimestampType}
+    colTypeOpt(c) match {
+      case Some(s: StructType) if isDurType(s) =>
+        val mo = c.getField("months")
+        val d = c.getField("days")
+        val sec = c.getField("secs")
+        val y = (mo / 12).cast("long")
+        val m2 = mo % 12
+        val h = floor(sec / 3600).cast("long")
+        val mi = floor((sec - h * 3600) / 60).cast("long")
+        val s2 = sec - h * 3600 - mi * 60
+        val sStr = when(s2 % 1.0 === 0.0,
+          s2.cast("long").cast("string")).otherwise(s2.cast("string"))
+        def part(v: Column, suffix: String, render: Column) =
+          when(v =!= 0, concat(render, lit(suffix))).otherwise(lit(""))
+        val datePart = concat(
+          part(y, "Y", y.cast("string")),
+          part(m2, "M", m2.cast("string")),
+          part(d, "D", d.cast("string")))
+        val timePart = concat(
+          part(h, "H", h.cast("string")),
+          part(mi, "M", mi.cast("string")),
+          when(s2 =!= 0.0, concat(sStr, lit("S"))).otherwise(lit("")))
+        val body = concat(datePart,
+          when(length(timePart) > 0, concat(lit("T"), timePart))
+            .otherwise(lit("")))
+        when(c.isNotNull,
+          concat(lit("P"),
+            when(length(body) === 0, lit("T0S")).otherwise(body)))
+      case Some(TimestampType) =>
+        when(pmod(unix_millis(c), lit(1000)) === 0,
+          date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+          .otherwise(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+      case _ => c.cast("string")
+    }
+  }
 
   /** Neo4j toBoolean semantics: only 'true'/'false' (any case) and
     * actual booleans convert; everything else is null.
@@ -1077,9 +1124,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       pattern.hops.foreach { case (rel, node) =>
         boundVar = rel.varLength match {
           case Some((minH, maxH)) =>
+            val relKeys = rel.variable.map { rv =>
+              if (env.contains(rv))
+                throw PlanError(s"variable $rv already bound")
+              s"${rv}__keys"
+            }
             val nv = applyVarLengthHop(boundVar, rel, node, minH, maxH,
               hopsColName, pattern.shortest, pattern.allShortest,
-              materialize, pathColName)
+              materialize, pathColName, relKeys)
+            rel.variable.foreach(rv => env += rv -> RelListVar(s"${rv}__keys"))
             pathColName.foreach(pc => segs += VarSeg(pc, rel.direction > 0))
             nv
           case None =>
@@ -1251,7 +1304,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * gets the COUNT {{ }} twin right; aggregate-only UNION parts are
     * key-completed the same way before the union.
     */
-  private def applyCall(c: CallSub): Unit = {
+  private def applyCall(c0: CallSub): Unit = {
+    // `CALL (*) { }` (the 5.23 scope form): import every user-named
+    // binding — anonymous pattern vars (`__x7`) stay internal
+    val c =
+      if (c0.imports == Seq("*"))
+        c0.copy(imports = env.keys.filterNot(_.startsWith("__")).toSeq.sorted)
+      else c0
     if (c.txRows.nonEmpty) { applyCallInTx(c); return }
     dropOrd() // the CALL join re-shapes the frame; order keys are stale
     val q = c.inner
@@ -1610,11 +1669,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     coalesce(col(s"__${tag}__list"), array().cast(elemType))
   }
 
-  /** is `e` a nodes(p) / relationships(p) call over a bound path? */
+  /** is `e` a nodes(p) / relationships(p) call over a bound path —
+    * or a named var-length relationship list (same rel rendering)? */
   private def pathListCall(e: Expr): Option[Boolean] = e match {
     case FuncCall(fn @ ("nodes" | "relationships"), Seq(VarRef(p)), _)
         if env.get(p).exists(_.isInstanceOf[PathVar]) =>
       Some(fn == "nodes")
+    case VarRef(n) if env.get(n).exists(_.isInstanceOf[RelListVar]) =>
+      Some(false)
     case _ => None
   }
 
@@ -1883,9 +1945,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       shortest: Boolean = false,
       allShortest: Boolean = false,
       materialize: Boolean = false,
-      keepPathAs: Option[String] = None): String = {
-    if (rel.variable.nonEmpty)
-      throw PlanError("relationship variable on a var-length hop is not supported")
+      keepPathAs: Option[String] = None,
+      keepRelKeysAs: Option[String] = None): String = {
+    // a NAMED var-length relationship binds its edge-key array —
+    // that demands the enumerating (path-carrying) expansion
+    val mat = materialize || keepRelKeysAs.nonEmpty
     var e = store.edges.select(col("src"), col("dst"), col("relType"))
     rel.relType.foreach(t => e = e.filter(
       if (rel.altRelTypes.isEmpty) col("relType") === t
@@ -1901,7 +1965,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // once regardless of traversal direction). Materialized paths
         // need an orientation to derive entered nodes from — out of
         // scope for undirected stretches.
-        if (materialize) throw PlanError(
+        if (mat) throw PlanError(
           "nodes()/relationships() over an undirected var-length hop is not supported")
         e.select(col("src").as("__from"), col("dst").as("__to"), ekey)
           .unionByName(e.filter(col("src") =!= col("dst"))
@@ -1914,7 +1978,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
     val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
     var reach: DataFrame = null
-    if ((shortest || allShortest) && minH <= 1 && !materialize) {
+    if ((shortest || allShortest) && minH <= 1 && !mat) {
       // EARLY-TERMINATING BFS — the shortest variants never need the
       // path enumeration: a minimal-length walk cannot revisit a
       // vertex (removing the cycle would shorten it), so BFS levels
@@ -1988,9 +2052,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           else reach.unionByName(frontier)
       }
       if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
-      if (!materialize) reach = reach.drop("__path")
+      if (!mat) reach = reach.drop("__path")
       if (shortest) {
-        if (!materialize)
+        if (!mat)
           // keep one minimal-length row per (start, end) pair — an
           // aggregate, not a window, so map-side partial mins apply
           reach = reach.groupBy(col("__start"), col("__end"))
@@ -2026,6 +2090,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       df = df.join(d, col("__end") === col(s"${nv}__gid"), "inner")
       exprPropFilters(nv, node).foreach(f => df = df.filter(f))
     }
+    keepRelKeysAs.foreach(c => df = df.withColumn(c, col("__path")))
     keepHopsAs.foreach(c => df = df.withColumnRenamed("__hops", c))
     keepPathAs.foreach(c => df = df.withColumnRenamed("__path", c))
     df = df.drop("__start", "__end", "__hops", "__path")
@@ -2275,7 +2340,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def applyUnwind(u: UnwindClause): Unit = {
     if (df == null) df = spark.range(1).toDF("__seed")
-    val c = valueCol(u.expr)
+    val c0 = valueCol(u.expr)
+    // UNWIND null produces zero rows (Neo4j) — a typed null array
+    // explodes to nothing, where explode(NULL literal) won't analyze
+    val c = colTypeOpt(c0) match {
+      case Some(org.apache.spark.sql.types.NullType) =>
+        c0.cast("array<string>")
+      case _ => c0
+    }
     val colName = s"${u.alias}__value"
     df = df.select(df.columns.map(col) :+ explode(c).as(colName): _*)
       .drop("__seed")
@@ -2629,6 +2701,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         col(s"${n}__source").as("source"), col(s"${n}__props").as("props"))
       case Some(RelVar) => col(s"${n}__relType")
       case Some(ValueVar(c)) => col(c)
+      case Some(RelListVar(c)) =>
+        // render like relationships(p): the stretch's TYPE list
+        transform(col(c), k => element_at(split(k, "\u0001"), 3))
       case Some(PathVar(_, _, _)) =>
         throw PlanError(
           s"path variable $n supports length/nodes/relationships($n)")
@@ -2649,7 +2724,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(RelVar) => p match {
         case "type" | "relType" => col(s"${v}__relType")
         case "source" => col(s"${v}__source")
-        case other => throw PlanError(s"unknown rel property: $other")
+        // missing properties read as null (Neo4j) — the edge model
+        // carries exactly source/type
+        case _ => lit(null).cast("string")
       }
       case Some(ValueVar(c)) =>
         // a map-typed item (`UNWIND $items AS item` with map values,
@@ -2739,7 +2816,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       els.map(e => chained.otherwise(valueCol(e))).getOrElse(chained)
     case x @ (_: InList | _: StrPred) => toPredicate(x)
     case FuncCall("tostring", Seq(a), _) => typedProp(a, "s")
-      .getOrElse(valueCol(a).cast("string"))
+      .getOrElse(renderString(valueCol(a)))
     // conversions are null-on-malformed in Cypher (toInteger('x') is
     // null) — try_cast, not cast, under Spark's default ANSI mode;
     // the *OrNull family (Neo4j 4.4) lowers identically
@@ -2758,7 +2835,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // would also accept y/n/yes/no/0/1
       typedProp(a, "b").getOrElse(boolStrict(valueCol(a)))
     case FuncCall("tostringornull", Seq(a), _) =>
-      typedProp(a, "s").getOrElse(valueCol(a).cast("string"))
+      typedProp(a, "s").getOrElse(renderString(valueCol(a)))
     // list conversions (Neo4j 5): element-wise, null-on-malformed,
     // null list → null
     case FuncCall("tointegerlist", Seq(a), _) =>
@@ -2834,6 +2911,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       valueCol(inner) // already an identity (startNode/endNode)
     case FuncCall("type", Seq(VarRef(n)), _)
         if env.get(n).contains(RelVar) => col(s"${n}__relType")
+    // `type(rs[i])` over a named var-length stretch: the subscripted
+    // element already IS the type rendering
+    case FuncCall("type", Seq(sub @ Subscript(VarRef(n), _)), _)
+        if env.get(n).exists(_.isInstanceOf[RelListVar]) => valueCol(sub)
     // Neo4j: labels() of an unlabeled node is [], not [null].
     // Multi-label nodes: primary first, then SORTED secondaries —
     // deterministic where Neo4j's order is insertion-dependent
@@ -2899,9 +2980,31 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("coalesce", args, _) if args.nonEmpty =>
       coalesce(args.map(valueCol): _*)
     case FuncCall("exists", Seq(a), _) => valueCol(a).isNotNull
-    case FuncCall("toupper", Seq(a), _) => upper(strCol(a))
-    case FuncCall("tolower", Seq(a), _) => lower(strCol(a))
+    case FuncCall("toupper" | "upper", Seq(a), _) => upper(strCol(a))
+    case FuncCall("tolower" | "lower", Seq(a), _) => lower(strCol(a))
     case FuncCall("trim", Seq(a), _) => trim(strCol(a))
+    // trim/btrim/ltrim/rtrim with an explicit trim-character set
+    // (Neo4j 5.20; `trim(BOTH c FROM s)` parses to the 2-arg form).
+    // The char set must be a literal — Spark's trimString overloads
+    // are static strings
+    case FuncCall("btrim" | "trim", Seq(a, Lit(cs: String)), _) =>
+      trim(strCol(a), cs)
+    case FuncCall("ltrim", Seq(a, Lit(cs: String)), _) =>
+      ltrim(strCol(a), cs)
+    case FuncCall("rtrim", Seq(a, Lit(cs: String)), _) =>
+      rtrim(strCol(a), cs)
+    // normalize() (Neo4j 5.17): unicode normalization via the native
+    // codegen expression (Spark has no built-in); NFC default, the
+    // form parses as a bare identifier (NFKD) or a string
+    case FuncCall("normalize", Seq(a), _) =>
+      graft.functions.NormalizeForm(strCol(a), "NFC")
+    case FuncCall("normalize", Seq(a, f), _) =>
+      val form = f match {
+        case Lit(s: String) => s.toUpperCase
+        case VarRef(n) if !env.contains(n) => n.toUpperCase
+        case other => throw PlanError(s"unknown normal form: $other")
+      }
+      graft.functions.NormalizeForm(strCol(a), form)
     case FuncCall("ltrim", Seq(a), _) => ltrim(strCol(a))
     case FuncCall("rtrim", Seq(a), _) => rtrim(strCol(a))
     // Spark's reverse handles string AND array natively — valueCol
@@ -2961,14 +3064,28 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       else if (m.contains("epochSeconds"))
         timestamp_seconds(valueCol(m("epochSeconds")).cast("long"))
       else {
-        def tf(k: String, d: Int) =
-          m.get(k).map(valueCol(_).cast("int")).getOrElse(lit(d))
+        // component construction, with `date:`/`time:` value
+        // components as the field defaults (Neo4j: explicit fields
+        // override the component's)
+        val dateC = m.get("date").map(e => valueCol(e).cast("date"))
+        val timeC = m.get("time").map(e => valueCol(e))
+        def tfD(k: String, fromDate: Column => Column, d: Int) =
+          m.get(k).map(valueCol(_).cast("int"))
+            .orElse(dateC.map(fromDate)).getOrElse(lit(d))
+        def tfT(k: String, fromTime: Column => Column) =
+          m.get(k).map(valueCol(_).cast("int"))
+            .orElse(timeC.map(fromTime)).getOrElse(lit(0))
         val secs =
-          m.get("second").map(valueCol(_).cast("double")).getOrElse(lit(0.0)) +
+          m.get("second").map(valueCol(_).cast("double"))
+            .orElse(timeC.map(c => second(c).cast("double")))
+            .getOrElse(lit(0.0)) +
           m.get("millisecond").map(valueCol(_).cast("double") / 1000.0)
             .getOrElse(lit(0.0))
-        make_timestamp(tf("year", 1), tf("month", 1), tf("day", 1),
-          tf("hour", 0), tf("minute", 0), secs.cast("decimal(18,6)"))
+        make_timestamp(
+          tfD("year", year, 1), tfD("month", month, 1),
+          tfD("day", dayofmonth, 1),
+          tfT("hour", hour), tfT("minute", minute),
+          secs.cast("decimal(18,6)"))
       }
     case FuncCall("datetime" | "localdatetime", Seq(a), _) =>
       strCol(a).cast("timestamp")
@@ -3075,6 +3192,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
     case FuncCall("round", Seq(a, Lit(p: Long)), _) =>
       round(numCol(a), p.toInt)
+    // explicit rounding mode (Neo4j 4.2+): HALF_UP is Spark's round,
+    // HALF_EVEN its bround; the directed modes derive from
+    // ceil/floor on the scaled value (abs/signum for the
+    // away-from/toward-zero pair)
+    case FuncCall("round", Seq(a, Lit(p: Long), Lit(mode: String)), _) =>
+      val x = numCol(a)
+      val m = lit(math.pow(10.0, p.toDouble))
+      val v = x * m
+      val r = mode.toUpperCase match {
+        case "HALF_UP" => round(x, p.toInt)
+        case "HALF_EVEN" => bround(x, p.toInt)
+        case "HALF_DOWN" => signum(x) * ceil(abs(v) - lit(0.5)) / m
+        case "UP" => signum(x) * ceil(abs(v)) / m
+        case "DOWN" => signum(x) * floor(abs(v)) / m
+        case "CEILING" => ceil(v) / m
+        case "FLOOR" => floor(v) / m
+        case other => throw PlanError(s"unknown rounding mode: $other")
+      }
+      r.cast("double")
     // trig / exponential library (Neo4j's math functions)
     case FuncCall("exp", Seq(a), _) => exp(numCol(a))
     case FuncCall("log", Seq(a), _) => log(numCol(a))
@@ -3119,6 +3255,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("range", Seq(a, b, st), _) =>
       sequence(valueCol(a).cast("long"), valueCol(b).cast("long"),
         valueCol(st).cast("long"))
+    case FuncCall("keys", Seq(a), _) if (a match {
+        case VarRef(n) => env.get(n).contains(RelVar); case _ => false }) =>
+      // the edge model's one real property — present on every edge
+      val VarRef(n) = a: @unchecked
+      when(col(s"${n}__src").isNotNull,
+        when(col(s"${n}__source").isNotNull, array(lit("source")))
+          .otherwise(array().cast("array<string>")))
     case FuncCall("keys", Seq(a), _) =>
       val c = a match {
         case VarRef(n) if env.get(n).contains(NodeVar) => col(s"${n}__props")

@@ -288,6 +288,56 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE5 $tag: $res")
     }
+    // battery 6: trim spec forms, normalization, var-length rel lists,
+    // extended CASE, UNWIND null, rel keys, duration rendering
+    val probes6: Seq[(String, String)] = Seq(
+      "trim-spec" -> ("RETURN trim(BOTH 'x' FROM 'xxaxx') AS b, " +
+        "trim(LEADING 'x' FROM 'xxaxx') AS l, trim(TRAILING 'x' FROM 'xxaxx') AS t"),
+      "btrim-chars" -> "RETURN btrim('xxaxx', 'x') AS b, ltrim('xxaxx', 'x') AS l, rtrim('xxaxx', 'x') AS r",
+      "normalize-fn" -> "RETURN normalize('a\\u0301') = '\\u00E1' AS nfc",
+      "lower-upper-alias" -> "RETURN lower('AB') AS lo, upper('ab') AS up",
+      "case-extended" -> "WITH 5 AS x RETURN CASE x WHEN > 3 THEN 'big' WHEN IS NULL THEN 'null' ELSE 'small' END AS c",
+      "varlen-rel-list" ->
+        "MATCH (a:Nation {gid:'n:1'})-[rs:in_region*1..2]->(b) RETURN size(rs) AS n, type(rs[0]) AS t",
+      "unwind-null" -> "UNWIND null AS x RETURN count(*) AS c",
+      "rel-keys" -> "MATCH ()-[r:in_region]->() RETURN keys(r) AS ks LIMIT 1",
+      "rel-missing-prop" -> "MATCH ()-[r:in_region]->() RETURN r.nope IS NULL AS m LIMIT 1",
+      "tostring-duration" -> "RETURN toString(duration({days: 1, hours: 2})) AS s",
+      "tostring-datetime" -> "RETURN toString(datetime('2024-01-05T10:30:00Z')) AS s",
+      "round-mode" -> "RETURN round(2.5, 0, 'HALF_DOWN') AS a, round(1.249, 1, 'UP') AS b",
+      "param-subscript" -> "RETURN [10, 20, 30][$idx] AS v",
+      "count-undirected-sub" -> "MATCH (n:Nation {gid:'n:1'}) RETURN COUNT { (n)--() } AS deg",
+      "exists-label-inside" ->
+        "MATCH (n:Nation) WHERE EXISTS { MATCH (n)-->(m:Region) } RETURN count(*) AS c",
+      "list-prop-create" -> "CREATE (n:LP {gid: 'lp:1', tags: ['a', 'b']}) RETURN n.tags AS t",
+      "merge-rel-props" ->
+        """MATCH (a:Nation {gid:'n:1'})-[:in_region]->(b)
+           MERGE (a)-[r:extra {source: 'probe'}]->(b) RETURN type(r) AS t""",
+      "size-keys-node" -> "MATCH (n:Nation) RETURN size(keys(n)) AS c LIMIT 1",
+      "last-collect" ->
+        "MATCH (n:Nation) WITH n.name AS nm ORDER BY nm RETURN last(collect(nm)) AS l",
+      "isempty-null" -> "RETURN isEmpty(null) AS e",
+      "datetime-compose" ->
+        "RETURN datetime({date: date('2024-01-05'), hour: 10}).epochMillis AS ms",
+      "date-truncate-week" ->
+        "RETURN date.truncate('week', date('2024-01-18')) AS w",
+      "skip-float-rejected" -> "MATCH (n:Nation) RETURN n.gid AS g LIMIT 1.5",
+      "min-mixed-null" -> "UNWIND [3, null, 1] AS x RETURN min(x) AS lo, max(x) AS hi",
+      "agg-then-match" ->
+        """MATCH (n:Nation) WITH count(*) AS c
+           MATCH (r:Region) RETURN c, count(*) AS rc""",
+      "percentile-param" ->
+        "UNWIND [1.0, 2.0, 3.0] AS x RETURN percentileCont(x, $p) AS med")
+    val p6params = Map("idx" -> 1, "p" -> 0.5)
+    probes6.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q, p6params).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE6 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

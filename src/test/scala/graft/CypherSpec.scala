@@ -2917,6 +2917,122 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(r.getLong(5) == 5L)      // 15 months → 5 quarters
   }
 
+  test("trim specification forms and char-set trims") {
+    val r = CypherEngine.query(store,
+      """RETURN trim(BOTH 'x' FROM 'xxaxx') AS a,
+         trim(LEADING 'x' FROM 'xxaxx') AS b,
+         trim(TRAILING 'x' FROM 'xxaxx') AS c,
+         btrim('yyay', 'y') AS d, ltrim('zza', 'z') AS e,
+         rtrim('azz', 'z') AS f, trim(BOTH FROM '  a  ') AS g""")
+      .collect().head
+    assert((0 to 6).map(r.getString) ==
+      Seq("a", "axx", "xxa", "a", "a", "a", "a"))
+  }
+
+  test("normalize() applies unicode normal forms") {
+    val r = CypherEngine.query(store,
+      "RETURN normalize('a\\u0301') = '\\u00E1' AS nfc, " +
+        "normalize('\\u00E1', NFD) = 'a\\u0301' AS nfd").collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("extended CASE: comparison WHENs, IS NULL, value alternatives") {
+    val rows = CypherEngine.query(store,
+      """UNWIND [1, 5, null, 3] AS x
+         RETURN CASE x WHEN > 4 THEN 'big' WHEN IS NULL THEN 'none'
+           WHEN 1, 2 THEN 'small' ELSE 'mid' END AS c""").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("small", "big", "none", "mid"))
+  }
+
+  test("named var-length relationship binds the stretch's rel list") {
+    val rows = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[rs:worksfor*1..2]->(b)
+         RETURN size(rs) AS n, type(rs[0]) AS t,
+           [x IN rs | type(x)] AS ts""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L)
+    assert(rows.head.getString(1) == "worksfor")
+    assert(rows.head.getSeq[String](2) == Seq("worksfor"))
+    // two-hop stretch across types
+    val two = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[rs*2]->(b)
+         RETURN [x IN rs | type(x)] AS ts""").collect()
+    assert(two.map(_.getSeq[String](0)).toSet ==
+      Set(Seq("knows", "worksfor")))
+  }
+
+  test("UNWIND null produces zero rows; rel prop edges") {
+    assert(CypherEngine.query(store,
+      "UNWIND null AS x RETURN count(*) AS c").collect().head.getLong(0) == 0L)
+    val r = CypherEngine.query(store,
+      """MATCH ()-[r:knows]->()
+         RETURN keys(r) AS ks, r.nope IS NULL AS miss""").collect().head
+    assert(r.getSeq[String](0) == Seq("source") && r.getBoolean(1))
+  }
+
+  test("toString renders durations and datetimes ISO-style") {
+    val r = CypherEngine.query(store,
+      """RETURN toString(duration({days: 1, hours: 2})) AS a,
+         toString(duration({months: 14})) AS b,
+         toString(duration({})) AS c,
+         toString(datetime('2024-01-05T10:30:00Z')) AS d""").collect().head
+    assert(r.getString(0) == "P1DT2H")
+    assert(r.getString(1) == "P1Y2M")
+    assert(r.getString(2) == "PT0S")
+    assert(r.getString(3) == "2024-01-05T10:30:00Z")
+  }
+
+  test("round with explicit rounding modes") {
+    val r = CypherEngine.query(store,
+      """RETURN round(2.5, 0, 'HALF_DOWN') AS a, round(2.5, 0, 'HALF_UP') AS b,
+         round(1.21, 1, 'UP') AS c, round(1.29, 1, 'DOWN') AS d,
+         round(-1.21, 1, 'CEILING') AS e, round(2.5, 0, 'HALF_EVEN') AS f""")
+      .collect().head
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 1.3 && r.getDouble(3) == 1.2)
+    assert(r.getDouble(4) == -1.2 && r.getDouble(5) == 2.0)
+  }
+
+  test("datetime composes from date/time components with overrides") {
+    val r = CypherEngine.query(store,
+      """RETURN datetime({date: date('2024-01-05'), hour: 10}).epochMillis AS a,
+         datetime({date: date('2024-01-05'),
+           time: time('06:30:15')}).epochMillis AS b,
+         datetime({date: date('2024-01-05')}).epochMillis AS c""")
+      .collect().head
+    assert(r.getLong(0) == 1704448800000L)
+    assert(r.getLong(1) == 1704436215000L)
+    assert(r.getLong(2) == 1704412800000L)
+  }
+
+  test("CALL (scope) subqueries and the OFFSET alias") {
+    // scope-form correlated CALL — per-invocation aggregation
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         CALL (n) { MATCH (n)-[r]->() RETURN count(r) AS deg }
+         RETURN n.gid AS gid, deg ORDER BY gid""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:p1", 1L), ("urn:p2", 2L), ("urn:p3", 0L)))
+    // CALL (*) imports everything; CALL () is uncorrelated
+    val star = CypherEngine.query(store,
+      """MATCH (n:Person {gid: 'urn:p2'})
+         CALL (*) { MATCH (n)-[:knows]->(m) RETURN m.gid AS mg }
+         RETURN mg""").collect()
+    assert(star.map(_.getString(0)).toSeq == Seq("urn:p1"))
+    val uncorr = CypherEngine.query(store,
+      """MATCH (n:Person {gid: 'urn:p2'})
+         CALL () { RETURN 7 AS seven } RETURN n.gid AS g, seven""")
+      .collect()
+    assert(uncorr.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:p2", 7L)))
+    // OFFSET = SKIP
+    val off = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN n.name AS nm
+         ORDER BY nm OFFSET 1 LIMIT 1""").collect()
+    assert(off.map(_.getString(0)).toSeq == Seq("jane"))
+  }
+
   test("valueType() names static and dynamic-slot types") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {gid: 'urn:p1'})
