@@ -386,6 +386,35 @@ DETACH DELETE n
     // secondary label; the conjunctive MATCH (n:Nation:Place), the
     // secondary-only MATCH (n:Place), and labels() (primary first,
     // secondaries sorted) all replay against the source table
+    // round-12 string/logic surface over the sf-scale customer graph:
+    // trim specification, XOR, extended CASE, explicit rounding modes
+    // (on exactly-representable values — k+0.5 and quarters — so the
+    // mode arithmetic, not fp drift, decides), normalize() codegen.
+    "cypher_string_fns" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation)
+           WHERE c.name ENDS WITH '7'
+           RETURN n.name AS nation,
+             lower(trim(BOTH 'N' FROM n.name)) AS trimmed,
+             normalize(n.name, NFKC) AS norm,
+             count(*) AS n_cust,
+             round(count(*) + 0.5, 0, 'HALF_DOWN') AS cnt_hd,
+             round(count(*) / 4.0, 0, 'UP') AS cnt_up,
+             CASE count(*) WHEN > 5 THEN 'many' WHEN 1, 2 THEN 'few'
+               ELSE 'some' END AS bucket,
+             count(*) > 3 XOR n.name ENDS WITH '1' AS flag
+           ORDER BY nation""")),
+
+    // named var-length relationship list: every customer's two-hop
+    // stretch to its region — size, per-element type projection
+    "cypher_varlen_rels" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[rs*2]->(x)
+           WHERE c.name ENDS WITH '42'
+           RETURN c.gid AS gid, size(rs) AS n,
+             [r IN rs | type(r)] AS types
+           ORDER BY gid""")),
+
     "cypher_multilabel" -> ((s, dir) => {
       val store = new graft.store.GraphStore(
         java.nio.file.Files.createTempDirectory("graft-mlab").toString,
@@ -521,6 +550,24 @@ DETACH DELETE n
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_string_fns" ->
+      """SELECT n_name AS nation,
+         lower(trim(n_name, 'N')) AS trimmed,
+         n_name AS norm,
+         COUNT(*) AS n_cust,
+         CAST(COUNT(*) AS DOUBLE) AS cnt_hd,
+         ceil(COUNT(*) / 4.0) AS cnt_up,
+         CASE WHEN COUNT(*) > 5 THEN 'many'
+           WHEN COUNT(*) IN (1, 2) THEN 'few' ELSE 'some' END AS bucket,
+         (COUNT(*) > 3) <> (n_name LIKE '%1') AS flag
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c_name LIKE '%7'
+         GROUP BY n_name ORDER BY nation""",
+    "cypher_varlen_rels" ->
+      """SELECT 'c:' || c_custkey AS gid, CAST(2 AS BIGINT) AS n,
+         ['located_in', 'in_region'] AS types
+         FROM customer WHERE c_name LIKE '%42'
+         ORDER BY gid""",
     "cypher_multilabel" ->
       """SELECT 'n:'||n_nationkey AS gid, n_name AS name,
          'Nation' AS l0, 'Place' AS l1
