@@ -411,15 +411,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   /** PV-struct literal column (the node prop map's value type) */
   private def pvLit(v: Any): Column = {
-    def slot(s: Any, l: Any, d: Any, b: Any) = struct(
+    def slot(s: Any, l: Any, d: Any, b: Any, a: Column = lit(null)) = struct(
       lit(s).cast("string").as("s"), lit(l).cast("bigint").as("l"),
-      lit(d).cast("double").as("d"), lit(b).cast("boolean").as("b"))
+      lit(d).cast("double").as("d"), lit(b).cast("boolean").as("b"),
+      a.cast("array<string>").as("a"))
     v match {
       case s: String => slot(s, null, null, null)
       case l: Long => slot(null, l, null, null)
       case i: Int => slot(null, i.toLong, null, null)
       case d: Double => slot(null, null, d, null)
       case b: Boolean => slot(null, null, null, b)
+      case xs: Seq[_] => slot(null, null, null, null,
+        array(xs.map(x => lit(x).cast("string")): _*))
       case null => slot(null, null, null, null) // all-null = remove key
       case other => throw PlanError(s"unsupported value: $other")
     }
@@ -443,7 +446,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     t match {
       case MapType(org.apache.spark.sql.types.StringType,
         s: org.apache.spark.sql.types.StructType, _) =>
-        s.fieldNames.sameElements(Array("s", "l", "d", "b"))
+        s.fieldNames.sameElements(Array("s", "l", "d", "b", "a"))
       case _ => false
     }
 
@@ -496,17 +499,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     when(lower(c.cast("string")) === "true", lit(true))
       .when(lower(c.cast("string")) === "false", lit(false))
 
-  /** canonical string view of a PV struct column */
+  /** canonical string view of a PV struct column (lists render as
+    * `[e1, e2]` — the bracketed join of their canonical elements) */
   private def pvStrOf(pv: Column): Column =
     coalesce(pv.getField("s"), pv.getField("l").cast("string"),
-      pv.getField("d").cast("string"), pv.getField("b").cast("string"))
+      pv.getField("d").cast("string"), pv.getField("b").cast("string"),
+      when(pv.getField("a").isNotNull,
+        concat(lit("["), array_join(pv.getField("a"), ", "), lit("]"))))
 
   /** wrap a plain scalar column into a PV struct by its static type */
   private def wrapPv(c: Column): Column = {
     import org.apache.spark.sql.types._
-    def slot(s: Column, l: Column, d: Column, b: Column) = struct(
+    def slot(s: Column, l: Column, d: Column, b: Column,
+        a: Column = lit(null)) = struct(
       s.cast("string").as("s"), l.cast("bigint").as("l"),
-      d.cast("double").as("d"), b.cast("boolean").as("b"))
+      d.cast("double").as("d"), b.cast("boolean").as("b"),
+      a.cast("array<string>").as("a"))
     val nul = lit(null)
     colType(c) match {
       case StringType => slot(c, nul, nul, nul)
@@ -515,6 +523,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case DoubleType | FloatType => slot(nul, nul, c, nul)
       case BooleanType => slot(nul, nul, nul, c)
       case NullType => slot(nul, nul, nul, nul)
+      // list values store canonical-string elements in the list slot
+      case ArrayType(_, _) =>
+        slot(nul, nul, nul, nul, transform(c, _.cast("string")))
       case t if t.toString == propsType.asInstanceOf[MapType]
         .valueType.toString => c // already a PV struct
       case t => throw PlanError(s"unsupported value type: $t")
@@ -546,7 +557,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def pvMapLit(m: Map[_, _]): Column = {
     if (m.isEmpty)
       return map_from_arrays(array().cast("array<string>"),
-        array().cast("array<struct<s:string,l:bigint,d:double,b:boolean>>"))
+        array().cast("array<struct<s:string,l:bigint,d:double,b:boolean,a:array<string>>>"))
     map(m.toSeq.flatMap { case (k, v) =>
       Seq(lit(String.valueOf(k)), pvLit(v)) }: _*)
   }
@@ -669,7 +680,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // (the executor's all-null-slot rule, mirrored per row)
         def isNullPv(pv: Column): Column =
           pv.getField("s").isNull && pv.getField("l").isNull &&
-            pv.getField("d").isNull && pv.getField("b").isNull
+            pv.getField("d").isNull && pv.getField("b").isNull &&
+            pv.getField("a").isNull
         val updated = map_concat(
           map_filter(coalesce(col(s"${v}__props"), emptyProps),
             (k, _) => !array_contains(map_keys(overlay), k)),
@@ -2278,6 +2290,45 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           ("graft.stats", "graft.stats() :: (kind, name, n)"))
         (spark.createDataFrame(procs).toDF("name", "signature"),
           Seq("name", "signature"))
+      // the function registry (the CALL dbms.functions() shape SHOW
+      // FUNCTIONS replaced) — static, lists the implemented surface
+      case "dbms.functions" =>
+        noArgs()
+        def f(cat: String, names: String*) = names.map((_, cat))
+        val fns =
+          f("scalar", "coalesce", "head", "last", "tail", "size",
+            "length", "id", "elementId", "type", "labels", "keys",
+            "properties", "startNode", "endNode", "timestamp",
+            "randomUUID", "rand", "valueType", "nullIf", "isEmpty") ++
+          f("string", "toString", "toUpper", "toLower", "upper", "lower",
+            "trim", "btrim", "ltrim", "rtrim", "normalize", "reverse",
+            "replace", "split", "left", "right", "substring",
+            "char_length", "character_length") ++
+          f("numeric", "abs", "sign", "round", "ceil", "floor", "sqrt",
+            "exp", "log", "log10", "sin", "cos", "tan", "asin", "acos",
+            "atan", "atan2", "pi", "e", "degrees", "radians", "isNaN") ++
+          f("conversion", "toInteger", "toFloat", "toBoolean",
+            "toIntegerOrNull", "toFloatOrNull", "toBooleanOrNull",
+            "toStringOrNull", "toIntegerList", "toFloatList",
+            "toBooleanList", "toStringList") ++
+          f("temporal", "date", "datetime", "localdatetime", "time",
+            "localtime", "duration", "duration.between", "date.truncate",
+            "datetime.truncate") ++
+          f("list", "range", "nodes", "relationships", "reduce") ++
+          f("spatial", "point", "point.distance", "point.withinBBox",
+            "distance") ++
+          f("vector", "vector.similarity.cosine",
+            "vector.similarity.euclidean") ++
+          f("aggregating", "count", "sum", "avg", "min", "max",
+            "collect", "stDev", "stDevP", "percentileCont",
+            "percentileDisc")
+        (spark.createDataFrame(fns.sortBy(_._1)).toDF("name", "category"),
+          Seq("name", "category"))
+      // single-database deployment: the store IS the database
+      case "dbms.databases" =>
+        noArgs()
+        (spark.createDataFrame(Seq(("graft", "online")))
+          .toDF("name", "currentStatus"), Seq("name", "currentStatus"))
       case other => throw PlanError(s"unknown procedure $other")
     }
     // YIELD picks (and may alias) a subset; a bare CALL binds every
@@ -2340,7 +2391,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def applyUnwind(u: UnwindClause): Unit = {
     if (df == null) df = spark.range(1).toDF("__seed")
-    val c0 = valueCol(u.expr)
+    // UNWIND over a property: the list slot unwinds element-wise, a
+    // scalar slot is a single row (Neo4j UNWIND-scalar semantics)
+    val c0 = pvOf(u.expr) match {
+      case Some(pv) =>
+        when(pv.getField("a").isNotNull, pv.getField("a"))
+          .otherwise(when(pvStrOf(pv).isNotNull, array(pvStrOf(pv))))
+      case None => valueCol(u.expr)
+    }
     // UNWIND null produces zero rows (Neo4j) — a typed null array
     // explodes to nothing, where explode(NULL literal) won't analyze
     val c = colTypeOpt(c0) match {
@@ -2714,12 +2772,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "gid" => col(s"${v}__gid")
         case "label" => col(s"${v}__label")
         case "source" => col(s"${v}__source")
-        case _ =>
-          val pv = col(s"${v}__props").getItem(p)
-          coalesce(pv.getField("s"),
-            pv.getField("l").cast("string"),
-            pv.getField("d").cast("string"),
-            pv.getField("b").cast("string"))
+        case _ => pvStrOf(col(s"${v}__props").getItem(p))
       }
       case Some(RelVar) => p match {
         case "type" | "relType" => col(s"${v}__relType")
@@ -2926,12 +2979,20 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           array().cast("array<string>")))
     case FuncCall("size", Seq(a), _) =>
       // Neo4j size(): element count for lists/maps, CHARACTER count
-      // for strings (dynamic props surface as canonical strings)
-      val c = valueCol(a)
-      colTypeOpt(c) match {
-        case Some(org.apache.spark.sql.types.StringType) =>
-          length(c).cast("long")
-        case _ => size(c).cast("long")
+      // for strings (dynamic props surface as canonical strings; a
+      // list-slot property counts its elements)
+      pvOf(a) match {
+        case Some(pv) =>
+          when(pv.getField("a").isNotNull,
+            size(pv.getField("a")).cast("long"))
+            .otherwise(length(pvStrOf(pv)).cast("long"))
+        case None =>
+          val c = valueCol(a)
+          colTypeOpt(c) match {
+            case Some(org.apache.spark.sql.types.StringType) =>
+              length(c).cast("long")
+            case _ => size(c).cast("long")
+          }
       }
     case FuncCall("length", Seq(VarRef(n), _ @ _*), _)
         if env.get(n).exists(_.isInstanceOf[PathVar]) =>
@@ -2979,6 +3040,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // openCypher scalar library (string / numeric / list / null)
     case FuncCall("coalesce", args, _) if args.nonEmpty =>
       coalesce(args.map(valueCol): _*)
+    // nullIf(a, b) (Cypher 25): null when equal, else a
+    case FuncCall("nullif", Seq(a, b), _) =>
+      val (ac, bc) = (valueCol(a), valueCol(b))
+      when(ac <=> bc, lit(null)).otherwise(ac)
     case FuncCall("exists", Seq(a), _) => valueCol(a).isNotNull
     case FuncCall("toupper" | "upper", Seq(a), _) => upper(strCol(a))
     case FuncCall("tolower" | "lower", Seq(a), _) => lower(strCol(a))
@@ -3291,7 +3356,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             projE0.map(foldPathElemIdentity(v, overNodes, _)))
         case None => (whereE0, projE0)
       }
-      val base = valueCol(listE)
+      val base = listishCol(listE)
       val filtered = whereE.map(w =>
         filter(base, x => withLambda(v -> x)(toPredicate(w))))
         .getOrElse(base)
@@ -3303,7 +3368,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case Some(overNodes) => foldPathElemIdentity(v, overNodes, predE0)
         case None => predE0
       }
-      val base = valueCol(listE)
+      val base = listishCol(listE)
       def pred(x: Column) = withLambda(v -> x)(toPredicate(predE))
       op match {
         case "any" => exists(base, pred)
@@ -3361,6 +3426,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .when(keyC === "label", col(s"${n}__label"))
         .when(keyC === "source", col(s"${n}__source"))
         .otherwise(pvStrOf(element_at(col(s"${n}__props"), keyC)))
+    // subscript on a property: a list-slot value subscripts its
+    // array (0-based, negative from the end, null OOB)
+    case Subscript(coll, idx) if pvOf(coll).isDefined =>
+      val pv = pvOf(coll).get
+      val i = valueCol(idx).cast("int")
+      try_element_at(pv.getField("a"), when(i >= 0, i + 1).otherwise(i))
     case Subscript(coll, idx) => subscriptCol(valueCol(coll), idx)
     case Slice(collE, fromE, toE) =>
       // openCypher end-exclusive slice; negative bounds from the end;
@@ -3710,6 +3781,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case _ => None
   }
 
+  /** the LIST-context view of an expression: a property reference
+    * prefers its list slot (null when the value is scalar); anything
+    * else lowers normally */
+  private def listishCol(e: Ast.Expr): Column = pvOf(e) match {
+    case Some(pv) => pv.getField("a")
+    case None => valueCol(e)
+  }
+
   /** the numeric (long-or-double) view of a PV property reference */
   private def numericSlot(e: Ast.Expr): Option[Column] = pvOf(e).map(pv =>
     coalesce(pv.getField("l").cast("double"), pv.getField("d")))
@@ -3717,15 +3796,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def typedProp(e: Ast.Expr, slot: String): Option[Column] =
     pvOf(e).map { pv =>
       slot match {
-        case "s" => coalesce(pv.getField("s"),
-          pv.getField("l").cast("string"), pv.getField("d").cast("string"),
-          pv.getField("b").cast("string"))
+        case "s" => pvStrOf(pv)
         case "l" => coalesce(pv.getField("l"),
           pv.getField("d").cast("long"), pv.getField("s").cast("long"))
         case "d" => coalesce(pv.getField("d"),
           pv.getField("l").cast("double"), pv.getField("s").cast("double"))
         case "b" => coalesce(pv.getField("b"),
           pv.getField("s").cast("boolean"))
+        case "a" => pv.getField("a")
       }
     }
 
@@ -3768,7 +3846,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             }
             val allNull = pv.isNull ||
               (pv.getField("s").isNull && pv.getField("l").isNull &&
-                pv.getField("d").isNull && pv.getField("b").isNull)
+                pv.getField("d").isNull && pv.getField("b").isNull &&
+                pv.getField("a").isNull)
             when(allNull, lit(true))
               .otherwise(slotC.isNotNull =!= lit(negated))
           }
@@ -3832,7 +3911,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             case _ => valueCol(x)
           }
           side.isin(vs: _*)
-        case None => array_contains(valueCol(listE), valueCol(x))
+        case None => array_contains(listishCol(listE), valueCol(x))
       }
     case StrPred(op, l, r) =>
       def strSide(e: Ast.Expr): Column = e match {
@@ -3931,7 +4010,30 @@ object CypherEngine {
     // which ships behind a flag — enable it for the engine's queries
     store.nodes.sparkSession.conf
       .set("spark.sql.timeType.enabled", "true")
-    val trimmed = cypher.dropWhile(_.isWhitespace)
+    val trimmed0 = cypher.dropWhile(_.isWhitespace)
+    // SHOW PROCEDURES / FUNCTIONS / DATABASES (the Neo4j 4.3+ command
+    // surface) desugar to their registry procedures; a trailing
+    // YIELD/WHERE/RETURN rides along, the bare command yields all
+    // columns ordered by name
+    val trimmed = {
+      val u0 = trimmed0.toUpperCase
+      def show(cmd: String, proc: String, cols: Seq[String]): Option[String] =
+        if (!u0.startsWith(cmd)) None
+        else {
+          val rest = trimmed0.drop(cmd.length).trim
+          Some(
+            if (rest.isEmpty)
+              s"CALL $proc() YIELD ${cols.mkString(", ")} " +
+                s"RETURN ${cols.mkString(", ")} ORDER BY ${cols.head}"
+            else s"CALL $proc() $rest")
+        }
+      show("SHOW PROCEDURES", "dbms.procedures", Seq("name", "signature"))
+        .orElse(show("SHOW FUNCTIONS", "dbms.functions",
+          Seq("name", "category")))
+        .orElse(show("SHOW DATABASES", "dbms.databases",
+          Seq("name", "currentStatus")))
+        .getOrElse(trimmed0)
+    }
     val upper = trimmed.toUpperCase
     if (upper.startsWith("EXPLAIN") || upper.startsWith("PROFILE")) {
       val profile = upper.startsWith("PROFILE")
@@ -3956,7 +4058,7 @@ object CypherEngine {
       } else
         Seq(df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode)).toDF("plan")
-    } else new Planner(store, params).plan(Parser.parse(cypher))
+    } else new Planner(store, params).plan(Parser.parse(trimmed))
   }
 
   /** Open a multi-statement transaction on `store`: every

@@ -32,6 +32,18 @@ object EgdmCodec {
           case JDecimal(d) => PV(d = Some(d.toDouble))
           case JBool(b)    => PV(b = Some(b))
           case JNull       => PV()
+          // list-valued property: scalar elements store canonically
+          case JArray(items) => PV(a = Some(items.map {
+            case JString(s)  => s
+            case JInt(i)     => i.toString
+            case JLong(i)    => i.toString
+            case JDouble(d)  => d.toString
+            case JDecimal(d) => d.toDouble.toString
+            case JBool(b)    => b.toString
+            case JNull       => null
+            case other => throw new IllegalArgumentException(
+              s"unsupported list element for $k: $other")
+          }))
           case other => throw new IllegalArgumentException(
             s"unsupported property value for $k: $other")
         })
@@ -60,11 +72,14 @@ object EgdmCodec {
     import org.json4s.JsonDSL._
     val props = JObject(e.props.toList.map { case (k, pv) =>
       k -> (pv match {
-        case PV(Some(s), _, _, _) => JString(s)
-        case PV(_, Some(l), _, _) => JLong(l)
-        case PV(_, _, Some(d), _) => JDouble(d)
-        case PV(_, _, _, Some(b)) => JBool(b)
-        case _                    => JNull
+        case PV(Some(s), _, _, _, _) => JString(s)
+        case PV(_, Some(l), _, _, _) => JLong(l)
+        case PV(_, _, Some(d), _, _) => JDouble(d)
+        case PV(_, _, _, Some(b), _) => JBool(b)
+        case PV(_, _, _, _, Some(xs)) =>
+          JArray(xs.toList.map(x =>
+            if (x == null) JNull else JString(x)))
+        case _                       => JNull
       })
     })
     val refs = JObject(e.refs.toList.map { case (k, ts) =>

@@ -14,9 +14,10 @@ case class PV(
     s: Option[String] = None,
     l: Option[Long] = None,
     d: Option[Double] = None,
-    b: Option[Boolean] = None
+    b: Option[Boolean] = None,
+    a: Option[Seq[String]] = None
 ) {
-  def value: Any = s.orElse(l).orElse(d).orElse(b).orNull
+  def value: Any = s.orElse(l).orElse(d).orElse(b).orElse(a).orNull
 }
 
 object PV {
@@ -31,9 +32,23 @@ object PV {
     case x: Float   => PV(d = Some(x.toDouble))
     case x: Boolean => PV(b = Some(x))
     case x: BigInt  => PV(l = Some(x.toLong))
+    // list-valued properties: elements store as canonical strings
+    // (the same rendering the scalar slots cast to)
+    case xs: Seq[_]   => PV(a = Some(xs.map(canon)))
+    case xs: Array[_] => PV(a = Some(xs.toSeq.map(canon)))
     case other =>
       throw new IllegalArgumentException(
         s"unsupported property value type: ${other.getClass}")
+  }
+
+  /** canonical string rendering of a list element — matches the
+    * scalar slots' `cast("string")` output
+    */
+  private def canon(v: Any): String = v match {
+    case null => null
+    case x: String => x
+    case x: Float => x.toDouble.toString
+    case other => other.toString
   }
 }
 

@@ -589,7 +589,7 @@ object GraphMerge {
 
     val emptyPv = map_from_arrays(
       lit(Array.empty[String]),
-      array().cast("array<struct<s:string,l:bigint,d:double,b:boolean>>"))
+      array().cast("array<struct<s:string,l:bigint,d:double,b:boolean,a:array<string>>>"))
     val emptyStr = lit(Array.empty[String])
     val nullProps = lit(null).cast(GraphStore.nodeSchema("props").dataType)
 
@@ -794,7 +794,8 @@ object GraphMerge {
         // expression like a missing `item.k`) removes the key
         def isNullPv(v: Column): Column =
           v.getField("s").isNull && v.getField("l").isNull &&
-            v.getField("d").isNull && v.getField("b").isNull
+            v.getField("d").isNull && v.getField("b").isNull &&
+            v.getField("a").isNull
         val patchN = map_filter(patchN0, (_, v) => !isNullPv(v))
         val removesN = concat(coalesce($"removes", emptyStr),
           map_keys(map_filter(patchN0, (_, v) => isNullPv(v))))

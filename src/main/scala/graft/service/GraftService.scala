@@ -301,8 +301,8 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
       case b: Boolean => JBool(b)
       // a PV tagged value renders as its scalar (EGDM shape)
       case r: Row if r.schema != null &&
-          r.schema.fieldNames.sameElements(Array("s", "l", "d", "b")) =>
-        (0 until 4).map(r.get).find(_ != null).map(toJValue).getOrElse(JNull)
+          r.schema.fieldNames.sameElements(Array("s", "l", "d", "b", "a")) =>
+        (0 until 5).map(r.get).find(_ != null).map(toJValue).getOrElse(JNull)
       case r: Row => JObject(r.schema.fieldNames.toList.zipWithIndex.map {
         case (n, i) => n -> toJValue(r.get(i))
       })

@@ -815,7 +815,8 @@ object GraphStore {
     */
   val pvType: StructType = StructType(Seq(
     StructField("s", StringType), StructField("l", LongType),
-    StructField("d", DoubleType), StructField("b", BooleanType)))
+    StructField("d", DoubleType), StructField("b", BooleanType),
+    StructField("a", ArrayType(StringType))))
 
   val nodeSchema: StructType = StructType(Seq(
     StructField("gid", StringType, nullable = false),

@@ -309,7 +309,7 @@ object SyntaxProbe {
       "count-undirected-sub" -> "MATCH (n:Nation {gid:'n:1'}) RETURN COUNT { (n)--() } AS deg",
       "exists-label-inside" ->
         "MATCH (n:Nation) WHERE EXISTS { MATCH (n)-->(m:Region) } RETURN count(*) AS c",
-      "list-prop-create" -> "CREATE (n:LP {gid: 'lp:1', tags: ['a', 'b']}) RETURN n.tags AS t",
+      "list-prop-create" -> "CREATE (n:LP {gid: 'lp:1', tags: ['a', 'b']}) RETURN n.tags AS t, size(n.tags) AS n",
       "merge-rel-props" ->
         """MATCH (a:Nation {gid:'n:1'})-[:in_region]->(b)
            MERGE (a)-[r:extra {source: 'probe'}]->(b) RETURN type(r) AS t""",

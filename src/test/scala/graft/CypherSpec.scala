@@ -3033,6 +3033,65 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(off.map(_.getString(0)).toSeq == Seq("jane"))
   }
 
+  test("SHOW PROCEDURES / FUNCTIONS / DATABASES commands") {
+    val procs = CypherEngine.query(store, "SHOW PROCEDURES").collect()
+    assert(procs.map(_.getString(0)).contains("db.labels"))
+    assert(procs.map(_.getString(0)).toSeq.sorted ==
+      procs.map(_.getString(0)).toSeq)
+    val fns = CypherEngine.query(store,
+      "SHOW FUNCTIONS YIELD name, category WHERE category = 'aggregating' " +
+        "RETURN name ORDER BY name").collect()
+    assert(fns.map(_.getString(0)).contains("percentileDisc"))
+    val dbs = CypherEngine.query(store, "SHOW DATABASES").collect()
+    assert(dbs.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("graft", "online")))
+    // nullIf rides the same commit
+    val ni = CypherEngine.query(store,
+      "RETURN nullIf(1, 1) AS a, nullIf('x', 'y') AS b").collect().head
+    assert(ni.isNullAt(0) && ni.getString(1) == "x")
+  }
+
+  test("list-valued properties: store, read, size, subscript, UNWIND, IN") {
+    val wstore = mutableStore()
+    CypherEngine.query(wstore,
+      """CREATE (n:Tagged {gid: 'tag:1', tags: ['alpha', 'beta', 'gamma'],
+         nums: [3, 1], name: 'one'})""").collect()
+    val r = CypherEngine.query(wstore,
+      """MATCH (n:Tagged {gid: 'tag:1'})
+         RETURN n.tags AS rendered, size(n.tags) AS n,
+           n.tags[0] AS first, n.tags[-1] AS last_,
+           'beta' IN n.tags AS has, 'zeta' IN n.tags AS hasnt,
+           [t IN n.tags WHERE t <> 'beta' | toUpper(t)] AS comp,
+           size(n.name) AS scalar_size""").collect().head
+    assert(r.getString(0) == "[alpha, beta, gamma]")
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "alpha" && r.getString(3) == "gamma")
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getSeq[String](6) == Seq("ALPHA", "GAMMA"))
+    assert(r.getLong(7) == 3L) // 'one' is a string: char count
+    // UNWIND a list property; scalar props unwind as one row
+    val u = CypherEngine.query(wstore,
+      """MATCH (n:Tagged) UNWIND n.tags AS t
+         RETURN t ORDER BY t""").collect()
+    assert(u.map(_.getString(0)).toSeq == Seq("alpha", "beta", "gamma"))
+    // numeric elements store canonically
+    val nums = CypherEngine.query(wstore,
+      "MATCH (n:Tagged) RETURN n.nums[0] AS a").collect().head
+    assert(nums.getString(0) == "3")
+    // SET replaces a list property; += merges one in
+    CypherEngine.query(wstore,
+      "MATCH (n:Tagged) SET n.tags = ['delta']").collect()
+    assert(CypherEngine.query(wstore,
+      "MATCH (n:Tagged) RETURN size(n.tags) AS n")
+      .collect().head.getLong(0) == 1L)
+    // round-trips through the EGDM JSON codec
+    val ent = graft.model.EgdmCodec.parseLine(
+      """{"id":"urn:lp","props":{"urn:p#xs":["a",2,true]}}""")
+    assert(ent.props("urn:p#xs").a.contains(Seq("a", "2", "true")))
+    assert(graft.model.EgdmCodec.parseLine(
+      graft.model.EgdmCodec.toJsonLine(ent)) == ent)
+  }
+
   test("valueType() names static and dynamic-slot types") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {gid: 'urn:p1'})

@@ -632,4 +632,47 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(got == Set((1L, t0, 4L, 2301L)), s"got $got")
   }
+
+  test("streaming IVF ingest matches the batch cell assignment") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val cents = e.sortBy(_._1).take(4)
+    // batch assignment: the same Spark pipeline shape v_knn_ivf uses
+    def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val eDf = e.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(dotC($"v", $"v")))
+    val centDf = cents.toDF("cid", "cv")
+      .withColumn("cn", sqrt(dotC($"cv", $"cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val batch = eDf.crossJoin(broadcast(centDf))
+      .withColumn("csim", dotC($"v", $"cv") / ($"norm" * $"cn"))
+      .withColumn("r", row_number().over(w)).filter($"r" === 1)
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        sum(round(sqrt(dotC($"v", $"v")) * 1e6, 0).cast("long")).as("nm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val input = ms.toDS().map { case (id, v) =>
+      graft.streaming.VectorStreams.VecEvent(id, v) }
+    val q = graft.streaming.VectorStreams.ivfIngestStream(input, cents)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ivf_ingest").start()
+    try {
+      val (a, b) = e.splitAt(e.length / 2)
+      ms.addData(a: _*); q.processAllAvailable()
+      ms.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivf_ingest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
 }
