@@ -415,6 +415,35 @@ DETACH DELETE n
              [r IN rs | type(r)] AS types
            ORDER BY gid""")),
 
+    // list-valued properties end-to-end: ingest nations with a tags
+    // list (name + region ref), read size/subscript/membership and
+    // UNWIND back out — the DuckDB oracle rebuilds the same lists
+    // from the raw parquet
+    "cypher_list_props" -> ((s, dir) => {
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-lprops").toString,
+        s, numBuckets = 2)
+      val rows = Relational.t(s, dir, "nation").collect()
+      val items: Seq[Map[String, Any]] = rows.toSeq.map(r => Map(
+        "gid" -> s"n:${r.getAs[Int]("n_nationkey")}",
+        "name" -> r.getAs[String]("n_name"),
+        "tags" -> Seq(r.getAs[String]("n_name"),
+          s"r:${r.getAs[Int]("n_regionkey")}")))
+      val sess = CypherEngine.session(store)
+      sess.run(
+        """UNWIND $items AS item
+           CREATE (n:Nation {gid: item.gid, name: item.name})
+           SET n.tags = item.tags""",
+        Map("items" -> items)).collect()
+      sess.commit()
+      CypherEngine.query(store,
+        """MATCH (n:Nation)
+           UNWIND n.tags AS tag
+           RETURN n.gid AS gid, size(n.tags) AS n_tags,
+             n.tags[0] AS first, n.name IN n.tags AS has_name, tag
+           ORDER BY gid, tag""")
+    }),
+
     "cypher_multilabel" -> ((s, dir) => {
       val store = new graft.store.GraphStore(
         java.nio.file.Files.createTempDirectory("graft-mlab").toString,
@@ -550,6 +579,12 @@ DETACH DELETE n
       """SELECT 'r:'||n_regionkey AS region, COUNT(*) AS n
          FROM nation WHERE 'n:'||n_nationkey < 'n:10'
          GROUP BY 1 ORDER BY region""",
+    "cypher_list_props" ->
+      """SELECT gid, CAST(2 AS BIGINT) AS n_tags, name AS first,
+         true AS has_name, unnest(tags) AS tag
+         FROM (SELECT 'n:'||n_nationkey AS gid, n_name AS name,
+               [n_name, 'r:'||n_regionkey] AS tags FROM nation)
+         ORDER BY gid, tag""",
     "cypher_string_fns" ->
       """SELECT n_name AS nation,
          lower(trim(n_name, 'N')) AS trimmed,
