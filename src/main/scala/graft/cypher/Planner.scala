@@ -945,6 +945,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .withColumn(s"${v}__xlabels", xlCol)
         }
         env += v -> NodeVar
+        // later MATCH clauses of THIS statement see the created /
+        // post-merge node (Neo4j within-statement visibility): the
+        // binding columns carry exactly the post-write values, so a
+        // small gid-deduped view rides pendingNodes into nodeDf
+        val vis = df.select(col(s"${v}__gid").as("gid"),
+          col(s"${v}__label").as("label"),
+          col(s"${v}__source").as("source"),
+          col(s"${v}__props").as("props"),
+          col(s"${v}__xlabels").as("xlabels"))
+          .filter(col("gid").isNotNull).dropDuplicates("gid")
+        pendingNodes = Some(pendingNodes match {
+          case Some(old) => old
+            .join(vis.select(col("gid")), Seq("gid"), "left_anti")
+            .unionByName(vis)
+          case None => vis
+        })
         v
     }
   }
@@ -971,8 +987,28 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   // ---- clause application ----
 
+  /** created / post-merge nodes of THIS statement's earlier write
+    * clauses — visible to later MATCH scans (Neo4j within-statement
+    * semantics). The view is store ANTI-JOIN pending gids (broadcast
+    * — pending is bounded by the clause's row count) ∪ pending rows,
+    * so merged-but-existing nodes appear exactly once with their
+    * post-merge values. Edge scans keep committed-only visibility
+    * (documented: a later MATCH does not see same-statement CREATEd
+    * relationships).
+    */
+  private var pendingNodes: Option[DataFrame] = None
+
   private def nodeDf(v: String, n: NodePattern): DataFrame = {
-    var d = store.nodes.select(
+    val base = pendingNodes match {
+      case Some(p) =>
+        store.nodes
+          .select(col("gid"), col("label"), col("source"), col("props"),
+            col("xlabels"))
+          .join(broadcast(p.select(col("gid"))), Seq("gid"), "left_anti")
+          .unionByName(p)
+      case None => store.nodes
+    }
+    var d = base.select(
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
       col("source").as(s"${v}__source"), col("props").as(s"${v}__props"),
       col("xlabels").as(s"${v}__xlabels"))
@@ -992,7 +1028,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * secondaries pay the full-scan disjunction.
     */
   private def labelMember(v: String, l: String): Column =
-    if (store.secondaryLabels.contains(l))
+    // with same-statement pending nodes in view, a label may be a
+    // secondary before the commit pointer records it — test fully
+    if (store.secondaryLabels.contains(l) || pendingNodes.nonEmpty)
       col(s"${v}__label") === l ||
         (col(s"${v}__xlabels").isNotNull &&
           array_contains(col(s"${v}__xlabels"), l))
@@ -3314,12 +3352,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           size(map_keys(c)) === 0
         case _ => size(c) === 0
       }
-    // range(a, b[, step]) — inclusive both ends, like sequence()
+    // range(a, b[, step]) — inclusive both ends. Neo4j yields []
+    // when the step cannot reach b from a (range(0, -1) is empty);
+    // Spark's sequence would instead walk DOWNWARD by default
     case FuncCall("range", Seq(a, b), _) =>
-      sequence(valueCol(a).cast("long"), valueCol(b).cast("long"))
+      val (ac, bc) = (valueCol(a).cast("long"), valueCol(b).cast("long"))
+      when(ac <= bc, sequence(ac, bc))
+        .otherwise(array().cast("array<bigint>"))
     case FuncCall("range", Seq(a, b, st), _) =>
-      sequence(valueCol(a).cast("long"), valueCol(b).cast("long"),
-        valueCol(st).cast("long"))
+      val (ac, bc, sc) = (valueCol(a).cast("long"),
+        valueCol(b).cast("long"), valueCol(st).cast("long"))
+      when((sc > 0 && ac <= bc) || (sc < 0 && ac >= bc),
+        sequence(ac, bc, sc))
+        .otherwise(array().cast("array<bigint>"))
     case FuncCall("keys", Seq(a), _) if (a match {
         case VarRef(n) => env.get(n).contains(RelVar); case _ => false }) =>
       // the edge model's one real property — present on every edge
@@ -3911,7 +3956,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             case _ => valueCol(x)
           }
           side.isin(vs: _*)
-        case None => array_contains(listishCol(listE), valueCol(x))
+        case None => x match {
+          // node/rel membership in a collected list compares by
+          // IDENTITY (the collected struct's gid), as Neo4j does
+          case VarRef(n) if env.get(n).contains(NodeVar) =>
+            array_contains(
+              transform(listishCol(listE), _.getField("gid")),
+              col(s"${n}__gid"))
+          case _ => array_contains(listishCol(listE), valueCol(x))
+        }
       }
     case StrPred(op, l, r) =>
       def strSide(e: Ast.Expr): Column = e match {

@@ -338,6 +338,69 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE6 $tag: $res")
     }
+    // battery 7: shadowing, converging patterns, collected-node
+    // membership, write-then-read visibility, range edge cases
+    val probes7: Seq[(String, String)] = Seq(
+      "with-shadow" ->
+        "MATCH (n:Nation) WITH n.name AS n RETURN n ORDER BY n LIMIT 1",
+      "converging" ->
+        "MATCH (a:Nation)-->(r)<--(b:Nation) WHERE a.gid < b.gid RETURN count(*) AS c",
+      "collect-distinct-ordered" ->
+        """MATCH (n:Nation) WITH n.gid AS g ORDER BY g DESC
+           RETURN collect(DISTINCT g)[0] AS first""",
+      "case-in-set" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           SET n.sizeclass = CASE WHEN size(n.name) > 7 THEN 'long' ELSE 'short' END
+           RETURN n.sizeclass AS sc""",
+      "merge-param-map" -> "MERGE (n {gid: $gid}) RETURN n.gid AS g",
+      "not-pattern-both-bound" ->
+        """MATCH (a:Nation {gid:'n:1'}), (b:Nation {gid:'n:2'})
+           WHERE NOT (a)-[:nope]->(b) RETURN count(*) AS c""",
+      "range-empty" -> "RETURN range(0, -1) AS r, size(range(0, -1)) AS n",
+      "null-string-fns" ->
+        "RETURN toUpper(null) AS a, split(null, ',') AS b, trim(null) AS c",
+      "orderby-hidden-expr" ->
+        "MATCH (n:Nation) RETURN n.gid AS g ORDER BY size(n.name), n.gid LIMIT 2",
+      "return-star-extra" ->
+        "MATCH (n:Nation {gid:'n:1'}) RETURN *, size(n.name) AS len",
+      "optional-null-or" ->
+        """MATCH (n:Nation) OPTIONAL MATCH (n)-[:in_region]->(m)
+           WHERE m.gid = 'r:0' WITH n, m
+           WHERE m IS NULL OR m.gid = 'r:0' RETURN count(*) AS c""",
+      "fixed-path-len" ->
+        "MATCH p = (a:Nation {gid:'n:1'})-[:in_region]->(b) RETURN length(p) AS l",
+      "node-in-collected" ->
+        """MATCH (n:Nation) WITH collect(n) AS ns
+           MATCH (m:Nation) WHERE m IN ns RETURN count(*) AS c""",
+      "ts-arith" -> ("RETURN timestamp() / 1000 > 0 AS ok, " +
+        "datetime() + duration({days: 1}) > datetime() AS fut"),
+      "nested-map-value" ->
+        "RETURN {a: {b: [1, {c: 2}]}} AS m, {a: {b: [1, {c: 2}]}}.a.b[1].c AS v",
+      "substr-expr-args" ->
+        """MATCH (n:Nation {gid:'n:1'})
+           RETURN substring(n.name, size(n.name) - 2) AS tail2""",
+      "orderby-case" ->
+        """MATCH (n:Nation) RETURN n.gid AS g
+           ORDER BY CASE WHEN n.gid = 'n:9' THEN 0 ELSE 1 END, g LIMIT 1""",
+      "startswith-fn-rhs" ->
+        "MATCH (n:Nation) WHERE n.name STARTS WITH toUpper('nation') RETURN count(*) AS c",
+      "write-then-match" ->
+        """CREATE (a:WV {gid: 'wv:1'}) WITH a
+           MATCH (b:WV) RETURN count(*) AS c""",
+      "percentile-group" ->
+        """MATCH (n:Nation)-[r]->(m)
+           RETURN m.gid AS g, percentileDisc(size(n.name), 0.5) AS p
+           ORDER BY g LIMIT 2""")
+    val p7params = Map("gid" -> "n:3")
+    probes7.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q, p7params).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE7 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

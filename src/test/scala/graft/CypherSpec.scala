@@ -3092,6 +3092,45 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       graft.model.EgdmCodec.toJsonLine(ent)) == ent)
   }
 
+  test("later MATCH clauses see this statement's created nodes") {
+    val wstore = mutableStore()
+    // CREATE then MATCH: the new node is visible (Neo4j semantics)
+    val r = CypherEngine.query(wstore,
+      """CREATE (a:Vis {gid: 'vis:1', k: 'x'}) WITH a
+         MATCH (b:Vis) RETURN count(*) AS c, collect(b.k)[0] AS k""")
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "x")
+    // MERGE on an existing node: visible once, with its EXISTING props
+    val m = CypherEngine.query(wstore,
+      """MERGE (p {gid: 'urn:p1'}) WITH p
+         MATCH (q {gid: 'urn:p1'}) RETURN count(*) AS c, q.name AS nm""")
+      .collect().head
+    assert(m.getLong(0) == 1L && m.getString(1) == "brian")
+    // both pending batches visible; secondary labels match pre-commit
+    val two = CypherEngine.query(wstore,
+      """CREATE (a:V2:Extra {gid: 'vis:2'})
+         CREATE (b:V2 {gid: 'vis:3'})
+         WITH a MATCH (n:Extra) RETURN count(*) AS c""").collect().head
+    assert(two.getLong(0) == 1L)
+  }
+
+  test("range() is empty when the step cannot reach the bound") {
+    val r = CypherEngine.query(store,
+      """RETURN range(0, -1) AS a, range(5, 1) AS b, range(1, 5, -1) AS c,
+         range(3, 1, -1) AS d, range(1, 3) AS e""").collect().head
+    assert(r.getSeq[Long](0).isEmpty && r.getSeq[Long](1).isEmpty &&
+      r.getSeq[Long](2).isEmpty)
+    assert(r.getSeq[Long](3) == Seq(3L, 2L, 1L))
+    assert(r.getSeq[Long](4) == Seq(1L, 2L, 3L))
+  }
+
+  test("node membership in a collected list compares identity") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WITH collect(n) AS people
+         MATCH (m) WHERE m IN people RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 3L) // people only, not the company
+  }
+
   test("valueType() names static and dynamic-slot types") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {gid: 'urn:p1'})
