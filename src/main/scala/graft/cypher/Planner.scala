@@ -845,6 +845,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         effects += MergeEdges(df.select(
           col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
           lit(relType).as("relType"), srcVal.as("source")))
+        // later MATCH hops of this statement see the edge
+        val evis = df.select(
+          col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
+          lit(relType).as("relType"), srcVal.as("source"))
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .dropDuplicates("src", "dst", "relType")
+        pendingEdges = Some(pendingEdges match {
+          case Some(old) => old
+            .join(evis.select(col("src"), col("dst"), col("relType")),
+              Seq("src", "dst", "relType"), "left_anti")
+            .unionByName(evis)
+          case None => evis
+        })
         // bind the rel var for later SET r.… clauses (neo4j.go:121-123)
         rel.variable.foreach { r =>
           if (env.contains(r)) throw PlanError(s"variable $r already bound")
@@ -997,6 +1010,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * relationships).
     */
   private var pendingNodes: Option[DataFrame] = None
+
+  /** same-statement created/merged edges, visible to later MATCH hops
+    * (keyed like the store dedups: (src, dst, relType); pending wins
+    * over committed so a same-statement source upsert reads back)
+    */
+  private var pendingEdges: Option[DataFrame] = None
+
+  /** the committed edge table overlaid with this statement's pending
+    * edges (anti-join on the canonical key; pending broadcast)
+    */
+  private def edgesInView: DataFrame = pendingEdges match {
+    case Some(p) =>
+      store.edges
+        .select(col("src"), col("dst"), col("relType"), col("source"))
+        .join(broadcast(p.select(col("src"), col("dst"), col("relType"))),
+          Seq("src", "dst", "relType"), "left_anti")
+        .unionByName(p)
+    case None => store.edges
+  }
 
   private def nodeDf(v: String, n: NodePattern): DataFrame = {
     val base = pendingNodes match {
@@ -1927,7 +1959,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val rv = rel.variable.getOrElse(fresh("r"))
     if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
     env += rv -> RelVar
-    var base = store.edges.select(
+    var base = edgesInView.select(
       col("src").as(s"${rv}__src"), col("dst").as(s"${rv}__dst"),
       col("relType").as(s"${rv}__relType"),
       col("source").as(s"${rv}__source"))
@@ -2000,7 +2032,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // a NAMED var-length relationship binds its edge-key array —
     // that demands the enumerating (path-carrying) expansion
     val mat = materialize || keepRelKeysAs.nonEmpty
-    var e = store.edges.select(col("src"), col("dst"), col("relType"))
+    var e = edgesInView.select(col("src"), col("dst"), col("relType"))
     rel.relType.foreach(t => e = e.filter(
       if (rel.altRelTypes.isEmpty) col("relType") === t
       else col("relType").isin((t +: rel.altRelTypes): _*)))
@@ -2727,7 +2759,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case (false, false) => collect_list(c)
         }
       }
-    case FuncCall("sum", Seq(a), _) => sum(numCol(a))
+    case FuncCall("sum", Seq(a), _) =>
+      val c = valueCol(a)
+      colTypeOpt(c) match {
+        // sum of durations aggregates component-wise (Neo4j)
+        case Some(s: org.apache.spark.sql.types.StructType)
+            if isDurType(s) =>
+          durStruct(sum(c.getField("months")), sum(c.getField("days")),
+            sum(c.getField("secs")))
+        case _ => sum(numCol(a))
+      }
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
     case FuncCall("min", Seq(a), _) => min(valueCol(a))
     case FuncCall("max", Seq(a), _) => max(valueCol(a))
@@ -3191,7 +3232,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           secs.cast("decimal(18,6)"))
       }
     case FuncCall("datetime" | "localdatetime", Seq(a), _) =>
-      strCol(a).cast("timestamp")
+      // a trailing `[Zone/Id]` names the zone (Neo4j): with no
+      // explicit offset the wall time is IN that zone; an offset, if
+      // present, is authoritative and the zone is display-only
+      val raw = strCol(a)
+      val zone = regexp_extract(raw, """\[([^\]]+)\]$""", 1)
+      val bare = regexp_replace(raw, """\[[^\]]+\]$""", "")
+      val hasOffset = regexp_like(bare, lit("""(Z|[+-]\d{2}:?\d{2})$"""))
+      when(zone === "" || hasOffset, bare.cast("timestamp"))
+        .otherwise(to_utc_timestamp(bare.cast("timestamp_ntz"), zone))
     case FuncCall("timestamp", Seq(), _) =>
       // Neo4j: ms since epoch on the statement clock — pinned once at
       // plan time so every row of the statement sees the same value
@@ -3674,16 +3723,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   /** ISO-8601 duration text → (months, days, seconds), parsed at plan
     * time (duration('P14DT16H12M') — the literal form)
     */
-  private def parseIsoDuration(s: String): (Long, Long, Double) = {
-    val re = ("""^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?""" +
-      """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$""").r
+  private def parseIsoDuration(s0: String): (Long, Long, Double) = {
+    // a leading '-' negates every component (`-P1D`); components may
+    // also carry their own sign (Neo4j: `P-1D` is valid)
+    val (neg, s) =
+      if (s0.startsWith("-")) (true, s0.drop(1)) else (false, s0)
+    val re = ("""^P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)W)?(?:(-?\d+)D)?""" +
+      """(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?\d+(?:\.\d+)?)S)?)?$""").r
     s match {
       case re(y, mo, w, d, h, mi, sec) =>
         def l(x: String) = Option(x).map(_.toLong).getOrElse(0L)
         def dd(x: String) = Option(x).map(_.toDouble).getOrElse(0.0)
-        (l(y) * 12 + l(mo), l(w) * 7 + l(d),
-          dd(h) * 3600 + dd(mi) * 60 + dd(sec))
-      case _ => throw PlanError(s"cannot parse duration: $s")
+        val sign = if (neg) -1 else 1
+        (sign * (l(y) * 12 + l(mo)), sign * (l(w) * 7 + l(d)),
+          sign * (dd(h) * 3600 + dd(mi) * 60 + dd(sec)))
+      case _ => throw PlanError(s"cannot parse duration: $s0")
     }
   }
 

@@ -401,6 +401,48 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE7 $tag: $res")
     }
+    // battery 8: temporal aggregates/equality, invalid dates, zone ids
+    val probes8: Seq[(String, String)] = Seq(
+      "min-max-date" ->
+        """UNWIND [date('2024-03-01'), date('2023-01-01')] AS d
+           RETURN min(d) AS lo, max(d) AS hi""",
+      "collect-dates" ->
+        """UNWIND [date('2024-03-01'), date('2023-01-01')] AS d
+           RETURN collect(d)[0] AS first""",
+      "orderby-datetime" ->
+        """UNWIND [datetime('2024-01-02T00:00:00Z'),
+           datetime('2024-01-01T00:00:00Z')] AS t
+           RETURN t ORDER BY t LIMIT 1""",
+      "duration-eq" ->
+        """RETURN duration({seconds: 90}) =
+           duration({minutes: 1, seconds: 30}) AS eq""",
+      "invalid-date" -> "RETURN date('2024-02-30') AS d",
+      "zone-id-datetime" ->
+        "RETURN datetime('2024-06-01T12:00:00[Europe/Oslo]').epochMillis AS ms",
+      "negative-duration" ->
+        "RETURN duration({days: -2}).days AS d, duration('-P1D').days AS i",
+      "date-minus-dur" ->
+        "RETURN date('2024-01-05') - duration({days: 4}) AS d",
+      "sum-duration" ->
+        """UNWIND [duration({days: 1}), duration({hours: 12})] AS d
+           RETURN sum(d) AS total""",
+      "in-tx-date-cmp" ->
+        """UNWIND ['2024-01-01', '2023-06-01'] AS s
+           WITH date(s) AS d WHERE d > date('2023-12-31')
+           RETURN count(*) AS c""",
+      "tostring-time" -> "RETURN toString(time('12:30:05')) AS s",
+      "dur-between-dates" ->
+        """RETURN duration.between(date('2024-01-01'),
+           datetime('2024-03-02T06:00:00Z')).days AS d""")
+    probes8.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q, params).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE8 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

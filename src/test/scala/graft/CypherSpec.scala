@@ -3112,6 +3112,40 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
          CREATE (b:V2 {gid: 'vis:3'})
          WITH a MATCH (n:Extra) RETURN count(*) AS c""").collect().head
     assert(two.getLong(0) == 1L)
+    // created RELATIONSHIPS are visible to later hops too —
+    // fixed-length and var-length
+    val er = CypherEngine.query(wstore,
+      """CREATE (x:EV {gid: 'ev:1'})-[:links]->(y:EV {gid: 'ev:2'})
+         WITH x MATCH (a:EV)-[r:links]->(b)
+         RETURN type(r) AS t, b.gid AS dst""").collect()
+    assert(er.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("links", "ev:2")))
+    val ev = CypherEngine.query(wstore,
+      """CREATE (p:EV2 {gid: 'ev:3'})-[:links]->(q:EV2 {gid: 'ev:4'})
+         WITH p MATCH (a:EV2)-[*1..2]->(b) RETURN count(*) AS c""")
+      .collect().head
+    assert(ev.getLong(0) == 1L)
+  }
+
+  test("zone-id datetimes, negative durations, sum(duration)") {
+    val r = CypherEngine.query(store,
+      """RETURN datetime('2024-06-01T12:00:00[Europe/Oslo]').epochMillis AS a,
+         datetime('2024-06-01T12:00:00+02:00[Europe/Oslo]').epochMillis AS b,
+         datetime('2024-01-15T12:00:00[Europe/Oslo]').epochMillis AS c,
+         duration('-P1DT2H').days AS d, duration('-P1DT2H').hours AS h,
+         duration({days: -2}).days AS e""").collect().head
+    assert(r.getLong(0) == 1717236000000L) // CEST: UTC+2
+    assert(r.getLong(1) == 1717236000000L) // explicit offset agrees
+    assert(r.getLong(2) == 1705316400000L) // CET winter: UTC+1
+    assert(r.getLong(3) == -1L && r.getLong(4) == -2L)
+    assert(r.getLong(5) == -2L)
+    val s2 = CypherEngine.query(store,
+      """UNWIND [duration({days: 1, hours: 6}), duration({hours: 18}),
+         duration({months: 2})] AS d
+         RETURN sum(d).months AS mo, sum(d).days AS dd,
+           sum(d).hours AS h""").collect().head
+    assert(s2.getLong(0) == 2L && s2.getLong(1) == 1L)
+    assert(s2.getLong(2) == 24L)
   }
 
   test("range() is empty when the step cannot reach the bound") {
