@@ -403,10 +403,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
     }
     edgeSets.result().reduceOption(_ unionByName _)
-      .foreach(e => effects += graft.ops.GraphMerge.WriteEffect.DeleteEdges(e))
+      .foreach { e =>
+        effects += graft.ops.GraphMerge.WriteEffect.DeleteEdges(e)
+        pendingEdgeDeletes = Some(pendingEdgeDeletes
+          .map(_.unionByName(e)).getOrElse(e))
+      }
     nodeSets.result().reduceOption(_ unionByName _)
-      .foreach(g =>
-        effects += graft.ops.GraphMerge.WriteEffect.DeleteNodes(g, d.detach))
+      .foreach { g =>
+        effects += graft.ops.GraphMerge.WriteEffect.DeleteNodes(g, d.detach)
+        // later MATCH clauses must not see the deleted node; DETACH
+        // also hides its incident edges
+        pendingNodeDeletes = Some(pendingNodeDeletes
+          .map(_.unionByName(g)).getOrElse(g))
+        if (d.detach)
+          pendingDetachedGids = Some(pendingDetachedGids
+            .map(_.unionByName(g)).getOrElse(g))
+      }
   }
 
   /** PV-struct literal column (the node prop map's value type) */
@@ -1017,21 +1029,44 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     */
   private var pendingEdges: Option[DataFrame] = None
 
-  /** the committed edge table overlaid with this statement's pending
-    * edges (anti-join on the canonical key; pending broadcast)
+  /** same-statement deletions — later MATCH clauses must not see a
+    * deleted node/edge (Neo4j); DETACH also hides incident edges
     */
-  private def edgesInView: DataFrame = pendingEdges match {
-    case Some(p) =>
-      store.edges
-        .select(col("src"), col("dst"), col("relType"), col("source"))
-        .join(broadcast(p.select(col("src"), col("dst"), col("relType"))),
-          Seq("src", "dst", "relType"), "left_anti")
-        .unionByName(p)
-    case None => store.edges
+  private var pendingNodeDeletes: Option[DataFrame] = None
+  private var pendingEdgeDeletes: Option[DataFrame] = None
+  private var pendingDetachedGids: Option[DataFrame] = None
+
+  /** the committed edge table overlaid with this statement's pending
+    * edges and deletions (anti-joins on the canonical key / endpoint
+    * gids; pending frames broadcast — bounded by clause row counts)
+    */
+  private def edgesInView: DataFrame = {
+    var e = pendingEdges match {
+      case Some(p) =>
+        store.edges
+          .select(col("src"), col("dst"), col("relType"), col("source"))
+          .join(broadcast(p.select(col("src"), col("dst"), col("relType"))),
+            Seq("src", "dst", "relType"), "left_anti")
+          .unionByName(p)
+      case None => store.edges
+    }
+    pendingEdgeDeletes.foreach { del =>
+      e = e.join(broadcast(del.dropDuplicates("src", "dst", "relType")),
+        Seq("src", "dst", "relType"), "left_anti")
+    }
+    pendingDetachedGids.foreach { g =>
+      val gids = g.dropDuplicates("gid")
+      e = e
+        .join(broadcast(gids.select(col("gid").as("src"))),
+          Seq("src"), "left_anti")
+        .join(broadcast(gids.select(col("gid").as("dst"))),
+          Seq("dst"), "left_anti")
+    }
+    e
   }
 
   private def nodeDf(v: String, n: NodePattern): DataFrame = {
-    val base = pendingNodes match {
+    var base = pendingNodes match {
       case Some(p) =>
         store.nodes
           .select(col("gid"), col("label"), col("source"), col("props"),
@@ -1039,6 +1074,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .join(broadcast(p.select(col("gid"))), Seq("gid"), "left_anti")
           .unionByName(p)
       case None => store.nodes
+    }
+    pendingNodeDeletes.foreach { del =>
+      base = base.join(broadcast(del.dropDuplicates("gid")),
+        Seq("gid"), "left_anti")
     }
     var d = base.select(
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
@@ -2394,6 +2433,20 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             "percentileDisc")
         (spark.createDataFrame(fns.sortBy(_._1)).toDF("name", "category"),
           Seq("name", "category"))
+      // the store's intrinsic indexes (SHOW INDEXES): gid-hash
+      // bucket + sort on nodes (A13), relType-major directories and
+      // the reverse-edge dst-bucket index on relationships
+      case "db.indexes" =>
+        noArgs()
+        val rows = Seq(
+          ("node_gid_bucket", "RANGE", "NODE", "gid", "ONLINE"),
+          ("rel_type_directory", "LOOKUP", "RELATIONSHIP", "relType",
+            "ONLINE"),
+          ("rel_reverse_dst_bucket", "LOOKUP", "RELATIONSHIP", "dst",
+            "ONLINE"))
+        (spark.createDataFrame(rows)
+          .toDF("name", "type", "entityType", "properties", "state"),
+          Seq("name", "type", "entityType", "properties", "state"))
       // single-database deployment: the store IS the database
       case "dbms.databases" =>
         noArgs()
@@ -4139,7 +4192,20 @@ object CypherEngine {
           Seq("name", "category")))
         .orElse(show("SHOW DATABASES", "dbms.databases",
           Seq("name", "currentStatus")))
+        .orElse(show("SHOW INDEXES", "db.indexes",
+          Seq("name", "type", "entityType", "properties", "state")))
         .getOrElse(trimmed0)
+    }
+    // CREATE/DROP INDEX DDL: the store's indexes are intrinsic to its
+    // layout (gid-hash buckets + sort, relType directories, redges) —
+    // accept the statement idempotently, as the reference's index DDL
+    // is (B10); nothing to build or tear down
+    if (trimmed.toUpperCase.startsWith("CREATE INDEX") ||
+        trimmed.toUpperCase.startsWith("DROP INDEX")) {
+      val spark = store.nodes.sparkSession
+      import spark.implicits._
+      return Seq(("indexes are intrinsic to the store layout", true))
+        .toDF("info", "acknowledged")
     }
     val upper = trimmed.toUpperCase
     if (upper.startsWith("EXPLAIN") || upper.startsWith("PROFILE")) {

@@ -3049,6 +3049,15 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     val ni = CypherEngine.query(store,
       "RETURN nullIf(1, 1) AS a, nullIf('x', 'y') AS b").collect().head
     assert(ni.isNullAt(0) && ni.getString(1) == "x")
+    // SHOW INDEXES lists the store's intrinsic indexes; index DDL is
+    // an acknowledged no-op (the layout IS the index)
+    val idx = CypherEngine.query(store, "SHOW INDEXES").collect()
+    assert(idx.map(_.getString(0)).toSet ==
+      Set("node_gid_bucket", "rel_type_directory",
+        "rel_reverse_dst_bucket"))
+    val ddl = CypherEngine.query(store,
+      "CREATE INDEX foo FOR (n:Person) ON (n.name)").collect().head
+    assert(ddl.getBoolean(1))
   }
 
   test("list-valued properties: store, read, size, subscript, UNWIND, IN") {
@@ -3125,6 +3134,17 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
          WITH p MATCH (a:EV2)-[*1..2]->(b) RETURN count(*) AS c""")
       .collect().head
     assert(ev.getLong(0) == 1L)
+    // same-statement DELETE hides the node (and DETACH its edges)
+    val del = CypherEngine.query(wstore,
+      """MATCH (x:EV {gid: 'ev:1'}) DETACH DELETE x
+         WITH 1 AS one MATCH (n:EV) RETURN count(*) AS c""")
+      .collect().head
+    assert(del.getLong(0) == 1L) // only ev:2 survives in view
+    val delEdge = CypherEngine.query(wstore,
+      """MATCH (:EV2 {gid: 'ev:3'})-[r:links]->() DELETE r
+         WITH 1 AS one MATCH (:EV2)-[r2:links]->() RETURN count(*) AS c""")
+      .collect().head
+    assert(delEdge.getLong(0) == 0L)
   }
 
   test("zone-id datetimes, negative durations, sum(duration)") {
