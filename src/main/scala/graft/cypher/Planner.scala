@@ -939,8 +939,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           else array(n.extraLabels.distinct.map(lit(_)): _*)
         if (merge) {
           // bind the POST-merge node: existing rows keep their
-          // label/source/props; new rows carry the pattern's values
-          val nn = store.nodes.select(col("gid").as(s"${v}__gid"),
+          // label/source/props; new rows carry the pattern's values.
+          // The probe reads the VIEW, so a same-statement creation
+          // matches instead of re-creating (Neo4j)
+          val nn = nodesInView.select(col("gid").as(s"${v}__gid"),
             col("label").as(s"${v}__label"),
             col("source").as(s"${v}__source"),
             col("props").as(s"${v}__props"),
@@ -1065,7 +1067,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     e
   }
 
-  private def nodeDf(v: String, n: NodePattern): DataFrame = {
+  /** the committed node table overlaid with this statement's pending
+    * creations/merges and deletions — every node lookup (MATCH scans
+    * AND the MERGE match probe) reads this view
+    */
+  private def nodesInView: DataFrame = {
     var base = pendingNodes match {
       case Some(p) =>
         store.nodes
@@ -1079,7 +1085,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       base = base.join(broadcast(del.dropDuplicates("gid")),
         Seq("gid"), "left_anti")
     }
-    var d = base.select(
+    base
+  }
+
+  private def nodeDf(v: String, n: NodePattern): DataFrame = {
+    var d = nodesInView.select(
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
       col("source").as(s"${v}__source"), col("props").as(s"${v}__props"),
       col("xlabels").as(s"${v}__xlabels"))

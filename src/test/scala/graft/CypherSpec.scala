@@ -3145,6 +3145,14 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
          WITH 1 AS one MATCH (:EV2)-[r2:links]->() RETURN count(*) AS c""")
       .collect().head
     assert(delEdge.getLong(0) == 0L)
+    // MERGE probes the view: a same-statement creation MATCHES
+    // instead of re-creating, and keeps the created props
+    val mv = CypherEngine.query(wstore,
+      """CREATE (a:MV {gid: 'mv:1', k: 'orig'}) WITH a
+         MERGE (b {gid: 'mv:1'}) RETURN b.k AS k""").collect()
+    assert(mv.map(_.getString(0)).toSeq == Seq("orig"))
+    assert(CypherEngine.query(wstore,
+      "MATCH (n:MV) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
   }
 
   test("zone-id datetimes, negative durations, sum(duration)") {
