@@ -349,17 +349,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // against one imaginary row (Neo4j: RETURN without a reading
     // clause is a single-row projection)
     if (df == null) df = spark.range(1).select()
-    var out = projectReturn(items)
+    // ORDER BY on an aggregate that is NOT projected (`RETURN m.gid
+    // ORDER BY count(*)`): compute it as a hidden aggregation column,
+    // sort, drop — Neo4j allows this on non-DISTINCT projections
+    val hiddenOrd =
+      if (q.distinct || !items.exists(i => containsAgg(i.expr))) Nil
+      else q.orderBy.zipWithIndex.collect {
+        case ((e, _), i) if containsAgg(e) && !items.exists(it =>
+            it.expr == e || it.alias.contains(Ast.Render.expr(e))) =>
+          (e, s"__ord_agg$i")
+      }
+    var out = projectReturn(items ++
+      hiddenOrd.map { case (e, n) => ReturnItem(e, Some(n)) })
     if (q.distinct) out = distinctSafe(out)
     if (q.orderBy.nonEmpty) {
       val sorts = q.orderBy.map { case (e, asc) =>
-        val c = resolveOrderCol(e, items)
+        val c = hiddenOrd.find(_._1 == e).map(h => col(h._2))
+          .getOrElse(resolveOrderCol(e, items))
         // Neo4j null placement: null is the largest value — last
         // under ASC, first under DESC (Spark's default is the inverse)
         if (asc) c.asc_nulls_last else c.desc_nulls_first
       }
       out = out.orderBy(sorts: _*)
     }
+    if (hiddenOrd.nonEmpty) out = out.drop(hiddenOrd.map(_._2): _*)
     q.skip.foreach(e => out = out.offset(boundVal(e, "SKIP").toInt))
     q.limit.foreach(e => out = out.limit(boundVal(e, "LIMIT").toInt))
     out
@@ -765,6 +778,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         df = df.withColumn(viewCol, guarded(col(viewCol), value))
       }
     }
+    // republish edited nodes into the same-statement view, so a later
+    // MATCH filtering on the edited label/props sees post-SET state
+    val touched = (s.items.collect {
+      case SetLabelItem(v, _) => v
+      case RemoveLabelItem(v, _) => v
+      case SetAll(v, _) => v
+      case SetPlus(v, _) => v
+    } ++ propSets.keys).distinct
+    touched.filter(v => env.get(v).contains(NodeVar))
+      .foreach(publishNodeView)
   }
 
   /** `CREATE pattern, …` / `MERGE pattern` (clause): node rows build
@@ -976,20 +999,34 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // post-merge node (Neo4j within-statement visibility): the
         // binding columns carry exactly the post-write values, so a
         // small gid-deduped view rides pendingNodes into nodeDf
-        val vis = df.select(col(s"${v}__gid").as("gid"),
-          col(s"${v}__label").as("label"),
-          col(s"${v}__source").as("source"),
-          col(s"${v}__props").as("props"),
-          col(s"${v}__xlabels").as("xlabels"))
-          .filter(col("gid").isNotNull).dropDuplicates("gid")
-        pendingNodes = Some(pendingNodes match {
-          case Some(old) => old
-            .join(vis.select(col("gid")), Seq("gid"), "left_anti")
-            .unionByName(vis)
-          case None => vis
-        })
+        publishNodeView(v)
         v
     }
+  }
+
+  /** publish variable `v`'s CURRENT binding columns (post-write
+    * values) into the same-statement node view — called after
+    * CREATE/MERGE binds and after SET/REMOVE edits, so later MATCH
+    * clauses read post-write state. A republished gid also un-deletes
+    * (DELETE x CREATE y with the same key resurrects the node).
+    */
+  private def publishNodeView(v: String): Unit = {
+    val vis = df.select(col(s"${v}__gid").as("gid"),
+      col(s"${v}__label").as("label"),
+      col(s"${v}__source").as("source"),
+      col(s"${v}__props").as("props"),
+      col(s"${v}__xlabels").as("xlabels"))
+      .filter(col("gid").isNotNull).dropDuplicates("gid")
+    pendingNodes = Some(pendingNodes match {
+      case Some(old) => old
+        .join(vis.select(col("gid")), Seq("gid"), "left_anti")
+        .unionByName(vis)
+      case None => vis
+    })
+    pendingNodeDeletes = pendingNodeDeletes.map(
+      _.join(vis.select(col("gid")), Seq("gid"), "left_anti"))
+    pendingDetachedGids = pendingDetachedGids.map(
+      _.join(vis.select(col("gid")), Seq("gid"), "left_anti"))
   }
 
   /** run the accumulated effects as ONE committed statement and shape

@@ -454,6 +454,29 @@ object Relational {
     // scalar-subquery pattern: customers above their nation's average
     // balance (join against pre-aggregated averages; avg recomputed as
     // exact cents sum / count for cross-engine determinism).
+    // Skew-safe two-phase aggregation: l_returnflag has ~3 distinct
+    // values over the whole fact table — a direct groupBy hashes ALL
+    // rows to 3 reducers. Phase 1 salts the key 16 ways (map-side
+    // partials still apply per salt), phase 2 merges the 48 partial
+    // rows. Same semantics as the plain groupBy (the oracle IS the
+    // plain groupBy); the shape is the generic recipe for skewed keys
+    // beyond what AQE's skew-join handles (aggregation, not join).
+    "q_salted_skew_agg" -> ((s, dir) => {
+      import s.implicits._
+      val salted = t(s, dir, "lineitem")
+        .withColumn("__salt",
+          (crc32($"l_orderkey".cast("string")) % 16).cast("int"))
+        .groupBy($"l_returnflag", $"__salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(cents($"l_extendedprice")).as("pc"),
+          sum($"l_quantity").as("pq"))
+      salted.groupBy($"l_returnflag")
+        .agg(sum($"pn").as("n_rows"),
+          (sum($"pc") / 100.0).as("total_price"),
+          sum($"pq").cast("long").as("total_qty"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q_above_nation_avg" -> ((s, dir) => {
       import s.implicits._
       val c = t(s, dir, "customer")
@@ -1061,6 +1084,12 @@ object Relational {
          WHERE qty * (SELECT count(*) FROM w)
              > (SELECT CAST(SUM(qty) AS BIGINT) FROM w)
          ORDER BY s_suppkey""",
+
+    "q_salted_skew_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS total_price,
+         CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q2_min_cost_supplier" ->
       """WITH ps AS (

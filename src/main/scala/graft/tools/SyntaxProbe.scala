@@ -443,6 +443,46 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE8 $tag: $res")
     }
+    // battery 9: visibility combinations and tail-end everyday forms
+    val probes9: Seq[(String, String)] = Seq(
+      "set-on-created" ->
+        """CREATE (a:B9 {gid: 'b9:1'}) WITH a
+           MATCH (n:B9) SET n.seen = 'y' RETURN n.seen AS s""",
+      "foreach-then-match" ->
+        """FOREACH (i IN [1, 2] | CREATE (:B9F {gid: 'b9f:' + toString(i)}))
+           WITH 1 AS one MATCH (n:B9F) RETURN count(*) AS c""",
+      "delete-create-same-gid" ->
+        """MATCH (x:B9 {gid: 'b9:1'}) DETACH DELETE x
+           CREATE (y:B9 {gid: 'b9:1', k: 'new'})
+           WITH y MATCH (n:B9) RETURN count(*) AS c, n.k AS k""",
+      "remove-label-then-match" ->
+        """CREATE (a:B9R:Extra9 {gid: 'b9r:1'}) WITH a
+           REMOVE a:Extra9 WITH a MATCH (n:Extra9) RETURN count(*) AS c""",
+      "orderby-aggregate" ->
+        """MATCH (n:Nation)-[r]->(m) RETURN m.gid AS g, sum(1) AS s
+           ORDER BY count(*) DESC, g LIMIT 2""",
+      "with-distinct-expr" ->
+        """MATCH (n:Nation) WITH DISTINCT size(n.name) AS ln
+           RETURN count(*) AS c""",
+      "unwind-empty-literal" -> "UNWIND [] AS x RETURN count(*) AS c",
+      "nested-comprehension" ->
+        "RETURN [x IN [1,2] | [y IN [10] | x * y]] AS m",
+      "exists-on-created" ->
+        """CREATE (p:B9E {gid: 'e:1'})-[:t9]->(q:B9E {gid: 'e:2'})
+           WITH p MATCH (a:B9E {gid: 'e:1'})
+           WHERE EXISTS { (a)-[:t9]->() } RETURN count(*) AS c""",
+      "merge-rel-on-created-nodes" ->
+        """CREATE (a:B9M {gid: 'b9m:1'}) CREATE (b:B9M {gid: 'b9m:2'})
+           WITH a, b MERGE (a)-[r:t9m]->(b) RETURN type(r) AS t""")
+    probes9.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q, params).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE9 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

@@ -3153,6 +3153,29 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(mv.map(_.getString(0)).toSeq == Seq("orig"))
     assert(CypherEngine.query(wstore,
       "MATCH (n:MV) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+    // DELETE then CREATE of the same key resurrects (publish clears
+    // the pending delete); REMOVE republishes the edited label set
+    val rc = CypherEngine.query(wstore,
+      """MATCH (x:MV {gid: 'mv:1'}) DETACH DELETE x
+         CREATE (y:MV {gid: 'mv:1', k: 'new'})
+         WITH y MATCH (n:MV) RETURN count(*) AS c, collect(n.k)[0] AS k""")
+      .collect().head
+    assert(rc.getLong(0) == 1L && rc.getString(1) == "new")
+    val rl = CypherEngine.query(wstore,
+      """CREATE (a:RL:Gone {gid: 'rl:1'}) WITH a
+         REMOVE a:Gone WITH a MATCH (n:Gone) RETURN count(*) AS c""")
+      .collect().head
+    assert(rl.getLong(0) == 0L)
+  }
+
+  test("ORDER BY an unprojected aggregate on an aggregating RETURN") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)-[r]->(m)
+         RETURN m.gid AS g, min(n.name) AS nm
+         ORDER BY count(*) DESC, g""").collect()
+    // urn:c1 has 2 incoming worksfor, urn:p1 has 1 knows
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:c1", "urn:p1"))
+    assert(rows.head.schema.fieldNames.toSeq == Seq("g", "nm"))
   }
 
   test("zone-id datetimes, negative durations, sum(duration)") {
