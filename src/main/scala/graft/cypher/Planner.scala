@@ -3539,6 +3539,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // untyped-property rendering)
       transform_values(coalesce(col(s"${n}__props"), pvMapLit(Map.empty)),
         (_, v) => pvStrOf(v))
+    // properties() of a relationship: the edge model's one real
+    // property (empty map when source is null)
+    case FuncCall("properties", Seq(VarRef(n)), _)
+        if env.get(n).contains(RelVar) =>
+      when(col(s"${n}__source").isNotNull,
+        map(lit("source"), col(s"${n}__source")))
+        .otherwise(map_from_arrays(array().cast("array<string>"),
+          array().cast("array<string>")))
     // properties() of a map value is the map itself (Neo4j parity)
     case FuncCall("properties", Seq(a), _) => valueCol(a)
     case ListComp(v, listE, whereE0, projE0) =>

@@ -483,6 +483,42 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE9 $tag: $res")
     }
+    // battery 10: relationship renderings, stub matching, tx batches
+    val probes10: Seq[(String, String)] = Seq(
+      "rel-map-proj" ->
+        "MATCH ()-[r:in_region]->() RETURN r {.source} AS m LIMIT 1",
+      "properties-rel" ->
+        "MATCH ()-[r:in_region]->() RETURN properties(r) AS p LIMIT 1",
+      "collect-rels" ->
+        "MATCH (n:Nation {gid:'n:1'})-[r]->() RETURN collect(r) AS rs",
+      "return-rel-var" ->
+        "MATCH ()-[r:in_region]->() RETURN r LIMIT 1",
+      "stub-label-size" ->
+        "MATCH (n) WHERE size(labels(n)) = 0 RETURN count(*) AS c",
+      "labels-in-where" ->
+        "MATCH (n) WHERE 'Nation' IN labels(n) RETURN count(*) AS c",
+      "intx-rows-param" ->
+        """UNWIND range(1, 4) AS i
+           CALL { WITH i CREATE (:TxP {gid: 'txp:' + toString(i)}) }
+           IN TRANSACTIONS OF $rows ROWS
+           RETURN count(*) AS c""",
+      "shortest-bare-undirected" ->
+        """MATCH p = shortestPath((a:Nation {gid:'n:1'})-[*..3]-(b:Nation {gid:'n:5'}))
+           RETURN length(p) AS l""",
+      "count-star-group-empty" ->
+        "MATCH (n:NopeL) RETURN n.gid AS g, count(*) AS c",
+      "distinct-rels-count" ->
+        "MATCH (a:Nation)-[r]-(b) RETURN count(DISTINCT r) AS c")
+    probes10.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q,
+            Map("rows" -> 2)).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE10 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

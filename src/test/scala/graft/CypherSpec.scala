@@ -3168,6 +3168,14 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rl.getLong(0) == 0L)
   }
 
+  test("properties() of a relationship yields its property map") {
+    val r = CypherEngine.query(store,
+      """MATCH ()-[r:knows]->()
+         RETURN properties(r).source AS s, size(keys(properties(r))) AS n""")
+      .collect().head
+    assert(r.getString(0) == "people" && r.getLong(1) == 1L)
+  }
+
   test("ORDER BY an unprojected aggregate on an aggregating RETURN") {
     val rows = CypherEngine.query(store,
       """MATCH (n:Person)-[r]->(m)
