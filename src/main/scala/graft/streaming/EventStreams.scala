@@ -259,6 +259,46 @@ object EventStreams {
       .as[DecontamVerdict]
   }
 
+  case class LineDedupRow(doc_id: Long, n_segs: Long, n_kept: Long,
+      removed_frac: Double, kept_fp: String)
+
+  /** Streaming boilerplate removal — the streaming twin of the batch
+    * t_line_dedup (CCNet line-level dedup): each incoming document
+    * drops its boilerplate segments and reports the same per-doc
+    * verdict. The boilerplate set is an INPUT, precomputed on the
+    * static corpus (document frequency needs corpus-wide counts a
+    * stream cannot see; df≥3 keeps the set tiny, so it ships as a
+    * plan literal / broadcast). ROW-LOCAL like decontaminate: the
+    * doc's segment array filters against the set per row — no state,
+    * no shuffle; same segmentation and md5 reassembly arithmetic as
+    * the batch op (StreamingSpec pins stream == batch).
+    */
+  def lineDedupStream(docs: Dataset[DocEvent],
+      boilerplate: Set[String]): Dataset[LineDedupRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val md5Empty = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    val words = split(trim(col("text")), "\\s+")
+    val segs = when(size(words) >= 1,
+      transform(
+        sequence(lit(0),
+          floor((size(words) + lit(2)) / lit(3)).cast("int") - 1),
+        i => array_join(slice(words, i * 3 + 1, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("segs", segs)
+      .withColumn("kept", filter(col("segs"),
+        s => !array_contains(lit(boilerplate.toArray.sorted), s)))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        ((size(col("segs")) - size(col("kept"))) * 1.0 / size(col("segs")))
+          .as("removed_frac"),
+        when(size(col("kept")) > 0, md5(array_join(col("kept"), " ")))
+          .otherwise(lit(md5Empty)).as("kept_fp"))
+      .as[LineDedupRow]
+  }
+
   case class AttrEvent(user_id: Long, tsMicros: Long, event_id: Long,
       event_type: String)
   case class Attribution(event_id: Long, user_id: Long, tsMicros: Long,

@@ -179,6 +179,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed boilerplate removal matches t_line_dedup bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("t_line_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    // the boilerplate set, derived exactly as the batch op derives it
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val w = split(trim($"text"), "\\s+")
+    val boiler = docsDf
+      .select($"doc_id", posexplode(
+        transform(
+          sequence(lit(0), floor((size(w) + lit(2)) / lit(3)).cast("int") - 1),
+          i => array_join(slice(w, i * 3 + 1, lit(3)), " "))))
+      .toDF("doc_id", "idx", "seg")
+      .groupBy($"seg").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 3).select($"seg")
+      .collect().map(_.getString(0)).toSet
+    val docs = docsDf.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 1) / 2).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.lineDedupStream(input, boiler)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("linededup_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("linededup_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(got == expected)
+  }
+
   test("streamed MinHash banding takes a precomputed stop-shingle set " +
       "and matches the batch DF cap where the cap bites") {
     // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
