@@ -240,6 +240,33 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // Metadata-FILTERED ANN (the modern filtered-search shape): each
+    // query's neighbors must share its label. The filter IS the join
+    // key — label equality prunes candidates BEFORE any scoring
+    // (pre-filtering; post-filtering a top-k collapses recall when
+    // the predicate is selective). At scale the label-keyed join
+    // composes with the bucket/IVF family: (label, bucket) becomes
+    // the shard key.
+    "v_knn_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", asDouble($"embedding").as("v"), $"label")
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"),
+          $"label")
+      val c = e.select($"vec_id".as("nid"), $"v".as("nv"),
+        $"norm".as("nn"), $"label")
+      val scored = q.join(c, Seq("label")).filter($"qid" =!= $"nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"qid", $"label", $"rank".cast("long").as("rank"),
+          $"nid", round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // LSH-bucketed ANN: sign-signature buckets over the first 8 dims;
     // top-3 within bucket only (the distributed scale path).
     "v_knn_lsh" -> ((s, dir) => {
@@ -559,6 +586,18 @@ object VectorOps {
          ranked AS (SELECT qid, nid, sim, row_number() OVER
              (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "v_knn_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label
+             FROM embeddings),
+         scored AS (SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS nid,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) sim
+           FROM e q JOIN e c ON q.label = c.label
+             AND q.vec_id < 20 AND q.vec_id != c.vec_id),
+         ranked AS (SELECT qid, label, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, label, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
     "v_recall_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
