@@ -495,13 +495,18 @@ object Parser {
           "path variables and shortestPath are MATCH-only")
       if (result.exists(r => inlineWhere(r).nonEmpty))
         throw ParseException("WHERE inside a write pattern is not allowed")
-      // MERGE takes ONE pattern: a node, or a single relationship
-      // between bound/inline endpoints (the reference's edge
-      // template, /root/reference/neo4j.go:116-123). Longer chains
-      // would need partial-match semantics we don't model.
-      if (merge && (result.length != 1 || result.head.hops.length > 1))
+      // MERGE takes ONE pattern. Multi-hop chains merge PER ELEMENT
+      // (each node, then each relationship) — in a gid-keyed store
+      // "create the whole pattern fresh" cannot duplicate keyed
+      // nodes, so per-element merge IS the coherent whole-pattern
+      // semantics here. ON CREATE/ON MATCH stay single-element (the
+      // matched flag is per element, not per chain).
+      if (merge && result.length != 1)
+        throw ParseException("MERGE takes a single pattern")
+      if (merge && result.head.hops.length > 1 &&
+          p.peek.exists { case Kw("ON") => true; case _ => false })
         throw ParseException(
-          "MERGE supports a single node or single-relationship pattern")
+          "ON CREATE / ON MATCH SET needs a single-element MERGE")
       // MERGE sub-clauses: ON CREATE SET … / ON MATCH SET …
       var onCreate = Seq.empty[Ast.SetItem]
       var onMatch = Seq.empty[Ast.SetItem]
@@ -537,8 +542,8 @@ object Parser {
           p.expectSym("=")
           items += Ast.SetProp(v, prop, parseExpr(p))
         case Some(Sym(":")) =>
-          p.next()
-          items += Ast.SetLabelItem(v, p.identOrKw())
+          // `SET n:L1:L2` adds every label in the chain
+          while (p.trySym(":")) items += Ast.SetLabelItem(v, p.identOrKw())
         case Some(Sym("=")) =>
           p.next()
           items += Ast.SetAll(v, parseExpr(p))

@@ -519,6 +519,49 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE10 $tag: $res")
     }
+    // battery 11: label predicates in WHERE, multi-label SET, path
+    // helpers, CASE over aggregates, multi-hop MERGE
+    val probes11: Seq[(String, String)] = Seq(
+      "not-label-pred" ->
+        "MATCH (n) WHERE NOT n:Nation RETURN count(*) AS c",
+      "set-two-labels" ->
+        """CREATE (n:SL {gid: 'sl:1'}) WITH n
+           SET n:L1:L2 RETURN labels(n)[1] AS l1, labels(n)[2] AS l2""",
+      "remove-mixed" ->
+        """CREATE (n:RM:RX {gid: 'rm:1', a: '1', b: '2'}) WITH n
+           REMOVE n.a, n:RX RETURN n.a IS NULL AS gone, labels(n) AS ls""",
+      "case-over-agg" ->
+        """MATCH (n:Nation)
+           RETURN CASE WHEN count(*) > 5 THEN 'many' ELSE 'few' END AS c""",
+      "head-nodes-p" ->
+        """MATCH p = (a:Nation {gid:'n:1'})-[:in_region]->(b)
+           RETURN head(nodes(p)) AS h, last(nodes(p)) AS t""",
+      "len-eq-size-rels" ->
+        """MATCH p = (a:Nation {gid:'n:1'})-[*1..2]->(b)
+           RETURN length(p) = size(relationships(p)) AS eq LIMIT 2""",
+      "reverse-nodes-p" ->
+        """MATCH p = (a:Nation {gid:'n:1'})-[:in_region]->(b)
+           RETURN reverse(nodes(p))[0] AS r0""",
+      "merge-two-hops" ->
+        """MERGE (x:MH {gid: 'mh:1'})-[:t]->(y:MH {gid: 'mh:2'})-[:t]->
+           (z:MH {gid: 'mh:3'}) RETURN 1 AS ok""",
+      "in-param-list-gids" ->
+        "MATCH (n:Nation) WHERE n.gid IN $gids RETURN count(*) AS c",
+      "nested-case-agg" ->
+        """MATCH (n:Nation)-[r]->(m)
+           RETURN m.gid AS g,
+             CASE WHEN count(*) >= 6 THEN 'hub' ELSE 'leaf' END AS k
+           ORDER BY g LIMIT 2""")
+    probes11.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q,
+            Map("gids" -> Seq("n:1", "n:2"))).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE11 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

@@ -1947,11 +1947,20 @@ class CypherSpec extends AnyFunSuite {
          ORDER BY s""").collect()
     assert(hop.map(x => (x.getString(0), x.getString(1))).toSeq ==
       Seq(("urn:p1", "urn:rome"), ("urn:p2", "urn:rome")))
-    // chains of more than one hop stay rejected
+    // chains of more than one hop merge PER ELEMENT (gid-keyed store:
+    // whole-pattern re-creation cannot duplicate keyed nodes)
+    CypherEngine.query(st,
+      """MERGE (a {gid: 'x'})-[:r1]->(b {gid: 'y'})-[:r2]->
+               (c {gid: 'z'})""").collect()
+    val chain = CypherEngine.query(st,
+      """MATCH ({gid: 'x'})-[:r1]->({gid: 'y'})-[:r2]->({gid: 'z'})
+         RETURN count(*) AS c""").collect()
+    assert(chain.head.getLong(0) == 1L)
+    // but ON CREATE / ON MATCH needs a single element
     intercept[Exception] {
       CypherEngine.query(st,
-        """MERGE (a {gid: 'x'})-[:r1]->(b {gid: 'y'})-[:r2]->
-                 (c {gid: 'z'})""").collect()
+        """MERGE (a {gid: 'x'})-[:r1]->(b {gid: 'y'})-[:r2]->(c {gid: 'z'})
+           ON CREATE SET a.k = '1'""").collect()
     }
   }
 
@@ -3166,6 +3175,28 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
          REMOVE a:Gone WITH a MATCH (n:Gone) RETURN count(*) AS c""")
       .collect().head
     assert(rl.getLong(0) == 0L)
+  }
+
+  test("multi-label SET chains and multi-hop MERGE") {
+    val wstore = mutableStore()
+    val ls = CypherEngine.query(wstore,
+      """CREATE (n:SL {gid: 'sl:1'}) WITH n
+         SET n:L1:L2 RETURN labels(n) AS ls""").collect().head
+    assert(ls.getSeq[String](0) == Seq("SL", "L1", "L2"))
+    // multi-hop MERGE merges per element; re-running is idempotent
+    CypherEngine.query(wstore,
+      """MERGE (x:MH {gid: 'mh:1'})-[:t]->(y:MH {gid: 'mh:2'})
+         -[:u]->(z:MH {gid: 'mh:3'})""").collect()
+    CypherEngine.query(wstore,
+      """MERGE (x:MH {gid: 'mh:1'})-[:t]->(y:MH {gid: 'mh:2'})
+         -[:u]->(z:MH {gid: 'mh:3'})""").collect()
+    val st = CypherEngine.query(wstore,
+      """MATCH (a:MH)-[r]->(b:MH)
+         RETURN count(*) AS edges, count(DISTINCT a.gid) AS srcs""")
+      .collect().head
+    assert(st.getLong(0) == 2L && st.getLong(1) == 2L)
+    assert(CypherEngine.query(wstore,
+      "MATCH (n:MH) RETURN count(*) AS c").collect().head.getLong(0) == 3L)
   }
 
   test("properties() of a relationship yields its property map") {
