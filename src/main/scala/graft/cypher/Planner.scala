@@ -690,6 +690,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               when(col(s"${v}__label") === label,
                 lit(null).cast("string"))
                 .otherwise(col(s"${v}__label"))))
+      case SetPlus(v, e) if env.get(v).contains(RelVar) =>
+        // `SET r += map` on a relationship: the edge model has one
+        // real property — a present `source` key patches it, an
+        // absent one is the `+=` no-op; other keys are rejected
+        val srcExpr: Option[Expr] = e match {
+          case MapLit(es) =>
+            val bad = es.map(_._1).filter(_ != "source")
+            if (bad.nonEmpty) throw PlanError(
+              s"relationship property must be source, got ${bad.mkString(", ")}")
+            es.collectFirst { case ("source", x) => x }
+          case Param(n) => params.get(n) match {
+            case Some(m: Map[_, _]) =>
+              val bad = m.keys.map(String.valueOf).filter(_ != "source")
+              if (bad.nonEmpty) throw PlanError(
+                s"relationship property must be source, got ${bad.mkString(", ")}")
+              m.asInstanceOf[Map[String, Any]].get("source").map(Lit(_))
+            case _ => throw PlanError(s"parameter $n is not a map")
+          }
+          case other => throw PlanError(s"SET $v += expects a map, got $other")
+        }
+        srcExpr.foreach { x =>
+          relSets(v) = relSets.getOrElse(v, Vector.empty) :+
+            ("new_source" -> x)
+        }
       case SetPlus(v, e) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET $v += … target must be a node variable")

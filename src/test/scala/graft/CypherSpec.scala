@@ -3177,6 +3177,28 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rl.getLong(0) == 0L)
   }
 
+  test("SET r += map patches a relationship's source") {
+    val wstore = mutableStore()
+    val r = CypherEngine.query(wstore,
+      """MATCH (a)-[r:knows]->(b) SET r += {source: 'patched'}
+         RETURN r.source AS s""").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("patched"))
+    // absent source key = no-op; foreign keys reject
+    val keep = CypherEngine.query(wstore,
+      "MATCH ()-[r:knows]->() SET r += {} RETURN r.source AS s")
+      .collect().head.getString(0)
+    assert(keep == "patched")
+    intercept[Exception] {
+      CypherEngine.query(wstore,
+        "MATCH ()-[r:knows]->() SET r += {weight: 2}").collect()
+    }
+    // param-map form
+    val pm = CypherEngine.query(wstore,
+      "MATCH ()-[r:knows]->() SET r += $m RETURN r.source AS s",
+      Map("m" -> Map("source" -> "viaParam"))).collect().head.getString(0)
+    assert(pm == "viaParam")
+  }
+
   test("multi-label SET chains and multi-hop MERGE") {
     val wstore = mutableStore()
     val ls = CypherEngine.query(wstore,
