@@ -654,6 +654,28 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .withColumn(s"${v}__label",
             guarded(col(s"${v}__label"),
               coalesce(col(s"${v}__label"), lit(label))))
+      case SetAll(v, e) if env.get(v).contains(RelVar) =>
+        // `SET r = map`: full replacement of the relationship's
+        // properties — a missing source key CLEARS it (unlike `+=`)
+        val srcExpr: Expr = e match {
+          case MapLit(es) =>
+            val bad = es.map(_._1).filter(_ != "source")
+            if (bad.nonEmpty) throw PlanError(
+              s"relationship property must be source, got ${bad.mkString(", ")}")
+            es.collectFirst { case ("source", x) => x }.getOrElse(Lit(null))
+          case Param(n) => params.get(n) match {
+            case Some(m: Map[_, _]) =>
+              val bad = m.keys.map(String.valueOf).filter(_ != "source")
+              if (bad.nonEmpty) throw PlanError(
+                s"relationship property must be source, got ${bad.mkString(", ")}")
+              m.asInstanceOf[Map[String, Any]].get("source")
+                .map(Lit(_)).getOrElse(Lit(null))
+            case _ => throw PlanError(s"parameter $n is not a map")
+          }
+          case other => throw PlanError(s"SET $v = expects a map, got $other")
+        }
+        relSets(v) = relSets.getOrElse(v, Vector.empty) :+
+          ("new_source" -> srcExpr)
       case SetAll(v, e) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET $v = … target must be a node variable")

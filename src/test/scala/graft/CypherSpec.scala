@@ -3197,6 +3197,15 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       "MATCH ()-[r:knows]->() SET r += $m RETURN r.source AS s",
       Map("m" -> Map("source" -> "viaParam"))).collect().head.getString(0)
     assert(pm == "viaParam")
+    // full replacement: a MISSING source key clears it
+    val cleared = CypherEngine.query(wstore,
+      "MATCH ()-[r:knows]->() SET r = {} RETURN r.source IS NULL AS n")
+      .collect().head.getBoolean(0)
+    assert(cleared)
+    val setAll = CypherEngine.query(wstore,
+      "MATCH ()-[r:knows]->() SET r = {source: 'full'} RETURN r.source AS s")
+      .collect().head.getString(0)
+    assert(setAll == "full")
   }
 
   test("multi-label SET chains and multi-hop MERGE") {
