@@ -406,13 +406,16 @@ DETACH DELETE n
            ORDER BY nation""")),
 
     // named var-length relationship list: every customer's two-hop
-    // stretch to its region — size, per-element type projection
+    // stretch to its region — size, per-element type projection. The
+    // type list is flattened to one '|'-joined string so the gate
+    // compares scalars (the driver's pandas sort chokes on arrays);
+    // the list machinery ([r IN rs | type(r)]) stays on the engine path.
     "cypher_varlen_rels" -> ((s, dir) =>
       CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
         """MATCH (c:Customer)-[rs*2]->(x)
            WHERE c.name ENDS WITH '42'
            RETURN c.gid AS gid, size(rs) AS n,
-             [r IN rs | type(r)] AS types
+             reduce(s = '', t IN [r IN rs | type(r)] | s + '|' + t) AS types
            ORDER BY gid""")),
 
     // list-valued properties end-to-end: ingest nations with a tags
@@ -530,24 +533,35 @@ DETACH DELETE n
 
     // schema introspection: per (label, key) observed value types +
     // mandatory flag, straight off the typed property slots — the
-    // oracle re-derives the same facts from the source parquet.
+    // oracle re-derives the same facts from the source parquet. The
+    // YIELDed list columns are flattened to '|'-joined strings for the
+    // gate (pandas can't sort array cells); YIELD still carries lists.
     "cypher_schema_procs" -> ((s, dir) =>
       CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
         """CALL db.schema.nodeTypeProperties()
            YIELD nodeType, nodeLabels, propertyName, propertyTypes, mandatory
-           RETURN nodeType, nodeLabels, propertyName, propertyTypes,
+           RETURN nodeType,
+             reduce(s = '', x IN nodeLabels | s + '|' + x) AS nodeLabels,
+             propertyName,
+             reduce(s = '', x IN propertyTypes | s + '|' + x)
+               AS propertyTypes,
              mandatory
            ORDER BY nodeType, propertyName""")),
 
     // property reads inside a comprehension over nodes(p): the path
     // carries identities, so x.name buys ONE explicit node-table join
     // (distinct gid arrays posexplode → keyed join → re-collect in
-    // path order); the region stub's missing name stays null.
+    // path order); the region stub's missing name stays null and is
+    // rendered as the '<null>' sentinel when the list is flattened to
+    // one string for the gate (arrays break the driver's pandas sort),
+    // so the null-name assertion survives the flattening.
     "cypher_path_props" -> ((s, dir) =>
       CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
         """MATCH p = (c:Customer)-[:located_in]->(n:Nation)-[:in_region]->(r)
            WHERE c.acctbal > 9800
-           RETURN c.gid AS gid, [x IN nodes(p) | x.name] AS names
+           RETURN c.gid AS gid,
+             reduce(s = '', x IN [y IN nodes(p) | y.name] |
+               s + '|' + coalesce(x, '<null>')) AS names
            ORDER BY gid""")))
 
   val oracles: Map[String, String] = Map(
@@ -600,7 +614,7 @@ DETACH DELETE n
          GROUP BY n_name ORDER BY nation""",
     "cypher_varlen_rels" ->
       """SELECT 'c:' || c_custkey AS gid, CAST(2 AS BIGINT) AS n,
-         ['located_in', 'in_region'] AS types
+         '|located_in|in_region' AS types
          FROM customer WHERE c_name LIKE '%42'
          ORDER BY gid""",
     "cypher_multilabel" ->
@@ -805,19 +819,19 @@ DETACH DELETE n
          FROM nn GROUP BY 1 ORDER BY region""",
     "cypher_schema_procs" ->
       """SELECT * FROM (
-           SELECT ':Customer' AS nodeType, ['Customer'] AS nodeLabels,
-             'acctbal' AS propertyName, ['Double'] AS propertyTypes,
+           SELECT ':Customer' AS nodeType, '|Customer' AS nodeLabels,
+             'acctbal' AS propertyName, '|Double' AS propertyTypes,
              (SELECT count(c_acctbal) = count(*) FROM customer) AS mandatory
            UNION ALL
-           SELECT ':Customer', ['Customer'], 'name', ['String'],
+           SELECT ':Customer', '|Customer', 'name', '|String',
              (SELECT count(c_name) = count(*) FROM customer)
            UNION ALL
-           SELECT ':Nation', ['Nation'], 'name', ['String'],
+           SELECT ':Nation', '|Nation', 'name', '|String',
              (SELECT count(n_name) = count(*) FROM nation))
          ORDER BY nodeType, propertyName""",
     "cypher_path_props" ->
       """SELECT 'c:' || c_custkey AS gid,
-           [c_name, n_name, NULL] AS names
+           '|' || c_name || '|' || n_name || '|<null>' AS names
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_acctbal > 9800 ORDER BY gid""")
 }

@@ -66,6 +66,19 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             failed.append(name)
             continue
+        # The REAL driver sorts rows with pandas sort_values, which
+        # throws `unhashable type: numpy.ndarray` on array cells before
+        # any comparison. Round 7 shipped three array-returning entries
+        # because this local stand-in silently normalized them — now an
+        # array/list cell in the spark output is a hard FAIL here too.
+        arr_cols = [c for c in got.columns if len(got) > 0 and any(
+            type(v).__name__ == "ndarray" or isinstance(v, (list, tuple))
+            for v in got[c].head(5))]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed output columns {arr_cols} "
+                  "(driver's sort_values would die) — flatten to scalars")
+            failed.append(name)
+            continue
         g_cols, w_cols = sorted(got.columns), sorted(want.columns)
         if g_cols != w_cols:
             print(f"FAIL {name}: columns {g_cols} != {w_cols}")
