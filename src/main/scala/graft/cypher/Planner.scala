@@ -22,9 +22,12 @@ import graft.store.GraphStore
   * Documented simplifications (evidenced subset only):
   *  - a bare relationship variable renders as its type string; a
   *    relationship variable on a var-length hop is not bindable;
-  *  - var-length hops enforce relationship-uniqueness WITHIN the hop
-  *    (one row per edge-unique path, Neo4j-correct on cyclic data);
-  *    uniqueness does not span other relationships of the same MATCH;
+  *  - relationship-uniqueness (Neo4j's relationship isomorphism) is
+  *    enforced MATCH-wide: all relationships of one MATCH clause are
+  *    pairwise distinct, and a var-length hop is additionally
+  *    edge-unique within itself (one row per edge-unique path,
+  *    Neo4j-correct on cyclic data); the one gap is a shortestPath
+  *    stretch on the array-free BFS fast path vs OTHER clause rels;
   *  - property values surface as canonical strings unless wrapped in
   *    toString/toInteger/toFloat/toBoolean (comparisons are
   *    numeric-adaptive when both sides hold numeric slots; arithmetic
@@ -1305,8 +1308,45 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       where = (m.where.toSeq ++ extra).reduceOption(And(_, _)))
   }
 
+  /** MATCH-wide relationship uniqueness (Neo4j's relationship-
+    * isomorphism rule): all relationships matched by ONE MATCH clause
+    * are pairwise distinct — `MATCH (a)-[r1:knows]->(b)<-[r2:knows]-(c)`
+    * never binds r1 = r2. Scope is the clause (comma-separated patterns
+    * included); different MATCH clauses may rebind the same edge, as in
+    * Neo4j. Enforced as cheap codegen'd filters over the stored edge
+    * identity (src,dst,relType): fixed-vs-fixed is a string inequality,
+    * fixed-vs-stretch is array_contains on the stretch's visited-edge
+    * keys, stretch-vs-stretch is arrays_overlap. Pairs whose concrete
+    * relationship-type sets are disjoint are skipped outright (their
+    * edge keys cannot collide), so the ubiquitous typed two-hop chain
+    * pays nothing. Known gap: a shortestPath stretch planned on the
+    * array-free BFS fast path carries no edge keys, so cross-uniqueness
+    * against OTHER clause relationships is not enforced there (within
+    * the stretch it is — a minimal walk cannot repeat an edge).
+    */
+  private case class BoundRel(ekey: Column, types: Option[Set[String]])
+  private case class BoundStretch(pathCol: String, types: Option[Set[String]])
+  private var clauseRelUniq: Boolean = false
+  private var clauseFixedRels: List[BoundRel] = Nil
+  private var clauseStretches: List[BoundStretch] = Nil
+  private var clauseRetained: List[String] = Nil
+  private def relTypeSet(rel: RelPattern): Option[Set[String]] =
+    rel.relType.map(t => (t +: rel.altRelTypes).toSet)
+  private def typesMayOverlap(a: Option[Set[String]],
+      b: Option[Set[String]]): Boolean =
+    a.isEmpty || b.isEmpty || (a.get & b.get).nonEmpty
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
     val m = foldRelProps(m0)
+    // save/restore the uniqueness scope: subquery bodies (pattern
+    // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
+    // their own clause scope mid-plan
+    val saved = (clauseRelUniq, clauseFixedRels, clauseStretches,
+      clauseRetained)
+    clauseRelUniq = m.patterns.map(_.hops.length).sum > 1
+    clauseFixedRels = Nil
+    clauseStretches = Nil
+    clauseRetained = Nil
     m.patterns.foreach { pattern =>
       val headVar = pattern.head.variable.getOrElse(fresh("n"))
       if (!env.contains(headVar)) {
@@ -1362,6 +1402,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           if (materialize) segs.result() else Nil)
       }
     }
+    // uniqueness bookkeeping columns (retained stretch edge-key
+    // arrays) are clause-internal — drop before WHERE/later clauses
+    clauseRetained.foreach(c => df = df.drop(c))
+    val (sU, sF, sS, sR) = saved
+    clauseRelUniq = sU; clauseFixedRels = sF
+    clauseStretches = sS; clauseRetained = sR
     m.where.foreach(applyWhere)
   }
 
@@ -2115,6 +2161,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       else if (rel.direction > 0) (base, s"${rv}__src", s"${rv}__dst")
       else (base, s"${rv}__dst", s"${rv}__src")
     df = df.join(e, col(s"${boundVar}__gid") === col(fromCol), "inner")
+    // MATCH-wide relationship uniqueness vs earlier clause rels (see
+    // clauseRelUniq doc): stored-orientation edge identity, so an
+    // undirected re-traversal of the same edge is excluded too
+    if (clauseRelUniq) {
+      val myTypes = relTypeSet(rel)
+      val myEkey = concat_ws("\u0001", col(s"${rv}__src"),
+        col(s"${rv}__dst"), col(s"${rv}__relType"))
+      clauseFixedRels.filter(b => typesMayOverlap(myTypes, b.types))
+        .foreach(b => df = df.filter(myEkey =!= b.ekey))
+      clauseStretches.filter(b => typesMayOverlap(myTypes, b.types))
+        .foreach(b => df = df.filter(!array_contains(col(b.pathCol), myEkey)))
+      clauseFixedRels ::= BoundRel(myEkey, myTypes)
+    }
     val nv = node.variable.getOrElse(fresh("n"))
     if (env.contains(nv)) {
       df = df.filter(col(toCol) === col(s"${nv}__gid"))
@@ -2266,7 +2325,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           else reach.unionByName(frontier)
       }
       if (reach == null) throw PlanError(s"empty hop range *$minH..$maxH")
-      if (!mat) reach = reach.drop("__path")
+      // MATCH-wide uniqueness needs the visited-edge keys beyond the
+      // stretch itself when the clause binds other relationships
+      if (!mat && !clauseRelUniq) reach = reach.drop("__path")
       if (shortest) {
         if (!mat)
           // keep one minimal-length row per (start, end) pair — an
@@ -2303,6 +2364,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val d = nodeDf(nv, node)
       df = df.join(d, col("__end") === col(s"${nv}__gid"), "inner")
       exprPropFilters(nv, node).foreach(f => df = df.filter(f))
+    }
+    // MATCH-wide relationship uniqueness vs earlier clause rels (see
+    // clauseRelUniq doc). The BFS fast path and the shortest-variant
+    // aggregation carry no __path — cross-uniqueness is skipped there
+    // (documented gap); the general expansion always has it now.
+    if (clauseRelUniq && df.columns.contains("__path")) {
+      val myTypes = relTypeSet(rel)
+      clauseFixedRels.filter(b => typesMayOverlap(myTypes, b.types))
+        .foreach(b => df = df.filter(!array_contains(col("__path"), b.ekey)))
+      clauseStretches.filter(b => typesMayOverlap(myTypes, b.types))
+        .foreach(b =>
+          df = df.filter(!arrays_overlap(col("__path"), col(b.pathCol))))
+      val keep = s"${fresh("uniq")}__path"
+      df = df.withColumn(keep, col("__path"))
+      clauseRetained ::= keep
+      clauseStretches ::= BoundStretch(keep, myTypes)
     }
     keepRelKeysAs.foreach(c => df = df.withColumn(c, col("__path")))
     keepHopsAs.foreach(c => df = df.withColumnRenamed("__hops", c))

@@ -405,6 +405,17 @@ DETACH DELETE n
              count(*) > 3 XOR n.name ENDS WITH '1' AS flag
            ORDER BY nation""")),
 
+    // MATCH-wide relationship uniqueness (Neo4j's relationship
+    // isomorphism): the vee pattern shares the located_in edge set on
+    // both hops, so a per-hop plan would also bind c2 = c1 through the
+    // SAME edge — the correct per-nation ordered-pair count is
+    // n*(n-1), not n*n. The oracle derives exactly that from parquet.
+    "cypher_rel_uniq" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c1:Customer)-[:located_in]->(n:Nation)<-[:located_in]-(c2:Customer)
+           RETURN n.name AS nation, count(*) AS n_pairs
+           ORDER BY nation""")),
+
     // named var-length relationship list: every customer's two-hop
     // stretch to its region — size, per-element type projection. The
     // type list is flattened to one '|'-joined string so the gate
@@ -611,6 +622,10 @@ DETACH DELETE n
          (COUNT(*) > 3) <> (n_name LIKE '%1') AS flag
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE c_name LIKE '%7'
+         GROUP BY n_name ORDER BY nation""",
+    "cypher_rel_uniq" ->
+      """SELECT n_name AS nation, COUNT(*) * (COUNT(*) - 1) AS n_pairs
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY nation""",
     "cypher_varlen_rels" ->
       """SELECT 'c:' || c_custkey AS gid, CAST(2 AS BIGINT) AS n,

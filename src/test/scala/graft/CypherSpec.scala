@@ -3286,6 +3286,73 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.head.getLong(0) == 3L) // people only, not the company
   }
 
+  // MATCH-wide relationship uniqueness (Neo4j relationship
+  // isomorphism): the 2-node cycle a-[:knows]->b, b-[:knows]->a is
+  // the minimal store where a naive per-hop plan over-counts
+  private lazy val cycleStore: GraphStore = {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-cycle").toString, spark, 2)
+    new GraphDataset(st, spark, "cycle", "P").fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "a")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "b")
+        .withRef("urn:x#knows", "urn:a")))
+    st
+  }
+
+  test("relationship uniqueness spans the whole MATCH clause") {
+    // (a)-[r1]->(b)<-[r2]-(c): b's only incoming knows IS r1, so
+    // Neo4j returns zero rows (r1 = r2 is excluded); a per-hop plan
+    // would return 2 (c = a rows)
+    val vee = CypherEngine.query(cycleStore,
+      """MATCH (a)-[r1:knows]->(b)<-[r2:knows]-(c)
+         RETURN count(*) AS c""").collect()
+    assert(vee.head.getLong(0) == 0L)
+    // the chain shape binds DISTINCT edges — both 2-hop walks around
+    // the cycle survive (a->b->a, b->a->b)
+    val chain = CypherEngine.query(cycleStore,
+      """MATCH (x)-[r1:knows]->(y)-[r2:knows]->(z)
+         RETURN count(*) AS c""").collect()
+    assert(chain.head.getLong(0) == 2L)
+  }
+
+  test("relationship uniqueness holds for undirected hops") {
+    // 4 r1 traversals (2 edges x 2 orientations); from each midpoint
+    // exactly ONE other edge continues — re-traversing r1 backwards
+    // (the naive extra 4 rows) is excluded by stored edge identity
+    val rows = CypherEngine.query(cycleStore,
+      """MATCH (x)-[r1:knows]-(y)-[r2:knows]-(z)
+         RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 4L)
+  }
+
+  test("relationship uniqueness spans fixed and var-length elements") {
+    // r1 consumes one cycle edge; the stretch may use the OTHER edge
+    // (1 hop) but its 2-hop continuation would re-traverse r1 — per
+    // r1 exactly one path, 2 total. Within-stretch-only uniqueness
+    // would return 4.
+    val rows = CypherEngine.query(cycleStore,
+      """MATCH (x)-[r1:knows]->(y)-[rs:knows*1..2]->(z)
+         RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 2L)
+    // two stretches in one clause: rs1 takes an edge, rs2 (1 hop)
+    // must take the other — arrays_overlap path-vs-path enforcement
+    val two = CypherEngine.query(cycleStore,
+      """MATCH (x)-[rs1:knows*1..1]->(y)-[rs2:knows*1..1]->(z)
+         RETURN count(*) AS c""").collect()
+    assert(two.head.getLong(0) == 2L)
+  }
+
+  test("uniqueness is per MATCH clause, not across clauses") {
+    // the same edge may bind in two DIFFERENT MATCH clauses (Neo4j
+    // scopes isomorphism to one clause)
+    val rows = CypherEngine.query(cycleStore,
+      """MATCH (a {name: 'a'})-[r1:knows]->(b)
+         MATCH (a)-[r2:knows]->(c)
+         RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 1L) // r1 = r2 allowed across clauses
+  }
+
   test("valueType() names static and dynamic-slot types") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {gid: 'urn:p1'})
