@@ -1832,49 +1832,146 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     */
   private def applyPatternPred(pat: PathPattern, where: Option[Expr],
       negated: Boolean): Unit = {
-    val (subDf, shared, _) = planSubPattern(pat, where, "exists()")
-    val probe = subDf.select(shared.map(v =>
-      col(s"${v}__gid").as(s"__pp__${v}__gid")): _*).distinct()
-    val cond = shared.map(v =>
-      col(s"${v}__gid") === col(s"__pp__${v}__gid")).reduce(_ && _)
-    // a null correlated binding (OPTIONAL MATCH miss) makes exists()
-    // NULL in Cypher, and WHERE drops null — the semi join does that
-    // for free, but the ANTI join would KEEP such rows; filter them
-    if (negated)
-      df = df.filter(shared.map(v => col(s"${v}__gid").isNotNull)
+    val (subDf, nodeKeys, seedKeys, _) = planSubPattern(pat, where, "exists()")
+    val keys = nodeKeys ++ seedKeys
+    val probe = subDf.select(keys.zipWithIndex.map { case (k, i) =>
+      col(quote(k)).as(s"__pp_$i") }: _*).distinct()
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(quote(k)) === col(s"__pp_$i") }.reduce(_ && _)
+    // a null correlated NODE binding (OPTIONAL MATCH miss) makes
+    // exists() NULL in Cypher, and WHERE drops null — the semi join
+    // does that for free, but the ANTI join would KEEP such rows;
+    // filter them. A null seeded VALUE is different: the inner WHERE
+    // is null → zero matches → exists() is FALSE, so NOT keeps the
+    // row — the anti join's null-never-matches already does that.
+    if (negated && nodeKeys.nonEmpty)
+      df = df.filter(nodeKeys.map(k => col(quote(k)).isNotNull)
         .reduce(_ && _))
     df = df.join(probe, cond, if (negated) "left_anti" else "left_semi")
   }
 
-  /** plan an EXISTS/COUNT subquery pattern standalone; returns its
-    * frame and the outer node variables it shares (the correlation
-    * key). Leaves df/env untouched.
+  /** free variable names an expression references — lambda-bound
+    * names (list comprehension / quantifier / reduce variables) are
+    * shadowed within their body; PatternPred/CountSub bodies are not
+    * descended (they correlate in their own scope when planned).
+    */
+  private def freeVarNames(exprs: Seq[Expr]): Seq[String] = {
+    val names = scala.collection.mutable.LinkedHashSet[String]()
+    def go(e: Expr, bound: Set[String]): Unit = e match {
+      case VarRef(v) => if (!bound(v)) names += v
+      case PropRef(v, _) => if (!bound(v)) names += v
+      case MapProj(v, es, _) =>
+        if (!bound(v)) names += v; es.foreach(x => go(x._2, bound))
+      case LabelPred(v, _) => if (!bound(v)) names += v
+      case ListComp(v, l, w, pr) =>
+        go(l, bound); (w.toSeq ++ pr.toSeq).foreach(go(_, bound + v))
+      case Quant(_, v, l, p) => go(l, bound); go(p, bound + v)
+      case ReduceExpr(acc, init, v, l, b) =>
+        go(init, bound); go(l, bound); go(b, bound + acc + v)
+      case Cmp(_, l, r) => go(l, bound); go(r, bound)
+      case And(l, r) => go(l, bound); go(r, bound)
+      case Or(l, r) => go(l, bound); go(r, bound)
+      case Not(x) => go(x, bound)
+      case IsNull(x, _) => go(x, bound)
+      case TypePred(x, _, _) => go(x, bound)
+      case FuncCall(_, args, _) => args.foreach(go(_, bound))
+      case MapLit(es) => es.foreach(x => go(x._2, bound))
+      case ListLit(es) => es.foreach(go(_, bound))
+      case InList(x, l) => go(x, bound); go(l, bound)
+      case StrPred(_, l, r) => go(l, bound); go(r, bound)
+      case CaseExpr(t, ws, els) =>
+        t.foreach(go(_, bound))
+        ws.foreach { case (w, v) => go(w, bound); go(v, bound) }
+        els.foreach(go(_, bound))
+      case Arith(_, l, r) => go(l, bound); go(r, bound)
+      case Subscript(c, i) => go(c, bound); go(i, bound)
+      case Slice(c, f, t) =>
+        go(c, bound); f.foreach(go(_, bound)); t.foreach(go(_, bound))
+      case _ => ()
+    }
+    exprs.foreach(go(_, Set.empty))
+    names.toSeq
+  }
+
+  /** plan an EXISTS/COUNT/pattern-comprehension subquery pattern;
+    * returns its frame, the correlation key columns split into
+    * pattern-reused node gids vs SEEDED outer-value keys, and the sub
+    * env. Leaves df/env untouched.
+    *
+    * Correlation works two ways, mirroring Neo4j's scoping:
+    *  - a node variable REUSED as a pattern element correlates by gid
+    *    (the classic path — the sub pattern plans standalone and joins
+    *    back on the shared gids);
+    *  - any other outer variable the body references by VALUE (a WITH
+    *    alias, or a node variable only read via properties) is SEEDED
+    *    into the sub-planner's starting frame — one row per distinct
+    *    key, the CALL-subquery seeding idea — so `WHERE EXISTS { MATCH
+    *    (m)-->(x) WHERE x.age > a }` works; its key column joins the
+    *    result back per outer row.
+    * The split matters for NOT exists: a null reused-NODE binding
+    * makes exists() NULL (row dropped), while a null seeded VALUE just
+    * makes the inner WHERE null → zero matches → exists() FALSE (row
+    * kept) — callers null-filter only the node keys.
     */
   private def planSubPattern(pat: PathPattern, where: Option[Expr],
-      what: String): (DataFrame, Seq[String], Map[String, VarKind]) = {
+      what: String, extraScan: Seq[Expr] = Nil)
+      : (DataFrame, Seq[String], Seq[String], Map[String, VarKind]) = {
     if (pat.pathVar.nonEmpty || pat.shortest || pat.allShortest)
       throw PlanError(s"$what patterns cannot bind paths")
     val outerDf = df
     val outerEnv = env
+    val patVars: Set[String] =
+      (pat.head.variable.toSeq ++ pat.hops.flatMap { case (r, n) =>
+        r.variable.toSeq ++ n.variable.toSeq }).toSet
+    val patExprs = (pat.head +: pat.hops.map(_._2)).flatMap(_.props.map(_._2)) ++
+      pat.hops.flatMap(_._1.props.map(_._2))
+    val seeded = freeVarNames(patExprs ++ where.toSeq ++ extraScan)
+      .filter(v => !patVars.contains(v) && outerEnv.contains(v))
+    val seedKeyCols = seeded.map { v =>
+      outerEnv(v) match {
+        case NodeVar => s"${v}__gid"
+        case ValueVar(cn) => cn
+        case _ => throw PlanError(
+          s"$what references outer variable $v — only node and value " +
+            "variables can correlate into a subquery body")
+      }
+    }
     df = null
     env = Map.empty
+    if (seeded.nonEmpty) {
+      if (outerDf == null)
+        throw PlanError(s"$what references unbound variables")
+      val cols = seeded.flatMap { v =>
+        outerEnv(v) match {
+          case NodeVar =>
+            outerDf.columns.filter(_.startsWith(s"${v}__")).toSeq
+          case ValueVar(cn) => Seq(cn)
+          case _ => Nil
+        }
+      }
+      df = outerDf.select(cols.map(cn => col(quote(cn))): _*)
+        .dropDuplicates(seedKeyCols)
+      env = seeded.map(v => v -> outerEnv(v)).toMap
+    }
     applyInnerMatch(MatchClause(Seq(pat), optional = false, where = where))
     val subDf = df
     val subEnv = env
     df = outerDf
     env = outerEnv
     subEnv.foreach { case (v, k) =>
-      outerEnv.get(v).foreach { ok =>
-        if (ok != NodeVar || k != NodeVar) throw PlanError(
-          s"$what pattern reuses $v with a non-node binding")
-      }
+      if (!seeded.contains(v))
+        outerEnv.get(v).foreach { ok =>
+          if (ok != NodeVar || k != NodeVar) throw PlanError(
+            s"$what pattern reuses $v with a non-node binding")
+        }
     }
-    val shared = subEnv.collect {
-      case (v, NodeVar) if outerEnv.contains(v) => v
+    val sharedNodes = subEnv.collect {
+      case (v, NodeVar) if outerEnv.contains(v) && !seeded.contains(v) => v
     }.toSeq.sorted
-    if (shared.isEmpty) throw PlanError(
-      s"$what pattern must reuse at least one bound node variable")
-    (subDf, shared, subEnv)
+    val nodeKeyCols = sharedNodes.map(v => s"${v}__gid")
+    if (nodeKeyCols.isEmpty && seedKeyCols.isEmpty) throw PlanError(
+      s"$what pattern must reference at least one bound outer variable")
+    (subDf, nodeKeyCols, seedKeyCols, subEnv)
   }
 
   /** `COUNT { … }` as a correlated per-row count: the subquery's match
@@ -1883,16 +1980,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * count column.
     */
   private def planSubCount(cs: CountSub): Column = {
-    val (subDf, shared, _) =
+    val (subDf, nodeKeys, seedKeys, _) =
       planSubPattern(cs.pattern, cs.where, "COUNT { }")
+    val keys = nodeKeys ++ seedKeys
     val tag = fresh("csub")
-    val grouped = subDf.groupBy(shared.map(v =>
-      col(s"${v}__gid").as(s"__${tag}__${v}__gid")): _*)
+    val grouped = subDf.groupBy(keys.zipWithIndex.map { case (k, i) =>
+      col(quote(k)).as(s"__${tag}_$i") }: _*)
       .agg(count(lit(1)).as(s"__${tag}__cnt"))
-    val cond = shared.map(v =>
-      col(s"${v}__gid") === col(s"__${tag}__${v}__gid")).reduce(_ && _)
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(quote(k)) === col(s"__${tag}_$i") }.reduce(_ && _)
     df = df.join(grouped, cond, "left_outer")
-      .drop(shared.map(v => s"__${tag}__${v}__gid"): _*)
+      .drop(keys.indices.map(i => s"__${tag}_$i"): _*)
     coalesce(col(s"__${tag}__cnt"), lit(0L))
   }
 
@@ -1904,8 +2002,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * Mutates df (adds the join); returns the list column.
     */
   private def planPatternComp(pc: PatternComp): Column = {
-    val (subDf0, shared, subEnv) =
-      planSubPattern(pc.pattern, pc.where, "pattern comprehension")
+    val (subDf0, nodeKeys, seedKeys, subEnv) = planSubPattern(
+      pc.pattern, pc.where, "pattern comprehension", Seq(pc.proj))
+    val keys = nodeKeys ++ seedKeys
     // the projection references the PATTERN's bindings — evaluate it
     // with the sub frame/env active (endpoint resolution may join on
     // the sub frame)
@@ -1918,13 +2017,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     df = outerDf
     env = outerEnv
     val tag = fresh("pcomp")
-    val grouped = subDf.groupBy(shared.map(v =>
-      col(s"${v}__gid").as(s"__${tag}__${v}__gid")): _*)
+    val grouped = subDf.groupBy(keys.zipWithIndex.map { case (k, i) =>
+      col(quote(k)).as(s"__${tag}_$i") }: _*)
       .agg(sort_array(collect_list(projCol)).as(s"__${tag}__list"))
-    val cond = shared.map(v =>
-      col(s"${v}__gid") === col(s"__${tag}__${v}__gid")).reduce(_ && _)
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(quote(k)) === col(s"__${tag}_$i") }.reduce(_ && _)
     df = df.join(grouped, cond, "left_outer")
-      .drop(shared.map(v => s"__${tag}__${v}__gid"): _*)
+      .drop(keys.indices.map(i => s"__${tag}_$i"): _*)
     val elemType = grouped.schema(s"__${tag}__list").dataType
     coalesce(col(s"__${tag}__list"), array().cast(elemType))
   }
@@ -4193,6 +4292,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case (Some(ln), Some(rn)) =>
           when(ln.isNotNull && rn.isNotNull, apply(ln, rn))
             .otherwise(apply(valueCol(l), valueCol(r)))
+        // property vs a statically-NUMERIC column (a WITH alias like
+        // toFloat(n.x), arithmetic, count(*)): a numeric property
+        // value compares through its numeric slot; a non-numeric one
+        // is a cross-family comparison (false for =, true for <>,
+        // null for ordering); null propagates as null
+        case (Some(ln), None) if staticNumericCol(r).isDefined =>
+          propVsNumeric(op, ln, valueCol(l), staticNumericCol(r).get,
+            propLeft = true)
+        case (None, Some(rn)) if staticNumericCol(l).isDefined =>
+          propVsNumeric(op, rn, valueCol(r), staticNumericCol(l).get,
+            propLeft = false)
         case _ =>
           val (lc, rc) = cmpSides(l, r)
           // cross-type-family comparison (`1 = '1'`): Cypher says
@@ -4265,6 +4375,33 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case "regex" => regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
       }
     case other => valueCol(other).cast("boolean")
+  }
+
+  /** the lowered column when its STATIC type is numeric (a WITH alias,
+    * arithmetic, an aggregate) — the bridge that lets a dynamic
+    * property compare numerically against runtime numbers */
+  private def staticNumericCol(e: Ast.Expr): Option[Column] = {
+    val c = valueCol(e)
+    colTypeOpt(c) match {
+      case Some(_: org.apache.spark.sql.types.NumericType) =>
+        Some(c.cast("double"))
+      case _ => None
+    }
+  }
+
+  /** dynamic-prop-vs-numeric-column comparison: numeric slot when the
+    * property holds a number, cross-family semantics otherwise */
+  private def propVsNumeric(op: String, slot: Column, propVal: Column,
+      num: Column, propLeft: Boolean): Column = {
+    val ordered = if (propLeft) cmpOp(op, slot, num) else cmpOp(op, num, slot)
+    when(slot.isNotNull && num.isNotNull, ordered)
+      .otherwise(op match {
+        case "=" => when(propVal.isNull || num.isNull,
+          lit(null).cast("boolean")).otherwise(lit(false))
+        case "<>" => when(propVal.isNull || num.isNull,
+          lit(null).cast("boolean")).otherwise(lit(true))
+        case _ => lit(null).cast("boolean")
+      })
   }
 
   private def cmpSides(l: Ast.Expr, r: Ast.Expr): (Column, Column) =

@@ -405,6 +405,20 @@ DETACH DELETE n
              count(*) > 3 XOR n.name ENDS WITH '1' AS flag
            ORDER BY nation""")),
 
+    // outer-VALUE correlation into a COUNT{} body (round 8): bal is a
+    // WITH alias, not a node — the subquery seeds its column into the
+    // sub frame (the CALL-subquery seeding path), so `o.acctbal > bal`
+    // counts per OUTER row. One nation keeps the seed × body product
+    // bounded (distinct-bal × nation-customers, not corpus²).
+    "cypher_count_corr" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation {name: 'NATION_3'})
+           WITH c.gid AS gid, toFloat(c.acctbal) AS bal
+           RETURN gid,
+             COUNT { (o:Customer)-[:located_in]->(m:Nation {name: 'NATION_3'})
+               WHERE o.acctbal > bal } AS richer
+           ORDER BY gid""")),
+
     // MATCH-wide relationship uniqueness (Neo4j's relationship
     // isomorphism): the vee pattern shares the located_in edge set on
     // both hops, so a per-hop plan would also bind c2 = c1 through the
@@ -623,6 +637,14 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE c_name LIKE '%7'
          GROUP BY n_name ORDER BY nation""",
+    "cypher_count_corr" ->
+      """SELECT 'c:'||c.c_custkey AS gid,
+         (SELECT COUNT(*) FROM customer o JOIN nation m
+            ON o.c_nationkey = m.n_nationkey
+          WHERE m.n_name = 'NATION_3' AND o.c_acctbal > c.c_acctbal)
+           AS richer
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_3' ORDER BY gid""",
     "cypher_rel_uniq" ->
       """SELECT n_name AS nation, COUNT(*) * (COUNT(*) - 1) AS n_pairs
          FROM customer JOIN nation ON c_nationkey = n_nationkey

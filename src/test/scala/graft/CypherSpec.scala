@@ -3353,6 +3353,60 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.head.getLong(0) == 1L) // r1 = r2 allowed across clauses
   }
 
+  test("EXISTS {} correlates through an outer VALUE variable") {
+    // nm is a WITH alias, not a node — the body is seeded with its
+    // column (CALL-subquery seeding), so k.name = nm correlates
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WITH n.name AS nm
+         MATCH (m:Person)
+         WHERE EXISTS { MATCH (m)-[:knows]->(k) WHERE k.name = nm }
+         RETURN nm, m.gid AS gid ORDER BY nm, gid""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("brian", "urn:p2"))) // only p2 knows someone named brian
+  }
+
+  test("COUNT {} correlates through an outer VALUE variable") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WITH n.age AS a
+         RETURN a, COUNT { (m:Person) WHERE m.age > a } AS c
+         ORDER BY a""").collect()
+    assert(rows.map(r => (r.get(0).toString.toDouble.toLong, r.getLong(1)))
+      .toSeq == Seq((23L, 2L), (31L, 1L), (40L, 0L)))
+  }
+
+  test("outer node referenced only via properties seeds the body") {
+    // n is never re-matched inside the body — only n.age is read, so
+    // the sub frame is seeded with n's columns and keyed on its gid
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE EXISTS { MATCH (m:Person) WHERE m.age > n.age }
+         RETURN n.gid AS gid ORDER BY gid""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p1", "urn:p2"))
+  }
+
+  test("NOT EXISTS with a null seeded value keeps the row") {
+    // p3 has no employer: e.name is null → inner WHERE is null → zero
+    // matches → exists() is FALSE → NOT keeps the row. (A null reused
+    // NODE binding would instead make exists() NULL and drop it.)
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) OPTIONAL MATCH (n)-[:worksfor]->(e)
+         WITH n, e.name AS emp
+         WHERE NOT EXISTS { MATCH (m:Company) WHERE m.name = emp }
+         RETURN n.gid AS gid ORDER BY gid""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:p3"))
+  }
+
+  test("pattern comprehension projection reads an outer value") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WITH n, n.name AS nm
+         RETURN n.gid AS gid,
+           [(n)-[:knows]->(k) | nm + '>' + k.name] AS links
+         ORDER BY gid""").collect()
+    assert(rows.map(r => (r.getString(0), r.getSeq[String](1))).toSeq ==
+      Seq(("urn:p1", Seq()), ("urn:p2", Seq("jane>brian")),
+        ("urn:p3", Seq())))
+  }
+
   test("valueType() names static and dynamic-slot types") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {gid: 'urn:p1'})
