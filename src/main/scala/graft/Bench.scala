@@ -71,9 +71,13 @@ object Bench {
       Scratch.release()
       dt
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => (name, fn, timeOne(name, fn))
-    }
+    // optional arg: comma-separated query-name filter (local iteration
+    // only — the driver always runs argless = full registry)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => (name, fn, timeOne(name, fn)) }
     // Contention guard (VERDICT r6: machine-contended captures cried
     // wolf round over round): entries over 2 s re-run once and keep
     // the better time. Cross-query memos are cleared first, so the

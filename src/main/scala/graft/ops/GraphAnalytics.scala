@@ -121,20 +121,63 @@ object GraphAnalytics {
         coalesce($"in_degree", lit(0)).as("in_degree"))
   }
 
-  /** Per-vertex triangle counts — GraphX TriangleCount over the
-    * undirected view (self-loops dropped, direction canonicalized,
-    * parallel edges deduped by the library). Integer counts →
-    * deterministic, DuckDB-oracle-able.
+  /** Per-vertex triangle counts over the undirected view (self-loops
+    * dropped, direction canonicalized, parallel edges deduped) — a
+    * pure DataFrame plan, not GraphX: the graph never densifies into
+    * RDD adjacency sets, stays columnar/codegen'd, and AQE handles
+    * skew. Degree-ordered orientation (each undirected edge points
+    * from its (degree, gid)-smaller endpoint to the larger) is the
+    * node-iterator bound: every vertex's out-adjacency is O(sqrt(E)),
+    * so the wedge join `o(a,b) ⋈ o(b,c) ⋈ o(a,c)` enumerates each
+    * triangle exactly once (the orientation is an acyclic total
+    * order) with no high-degree-hub explosion — the 100-TB-safe shape,
+    * unlike id-ordered orientation which a celebrity hub breaks.
+    * Integer counts → deterministic, DuckDB-oracle-able.
     */
   def triangleCounts(spark: SparkSession, nodes: DataFrame,
       edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val (dict, g) = build(spark, nodes, edges)
-    val tc = g.partitionBy(
-        org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
-      .triangleCount().vertices.toDF("vid", "tri")
-    dict.join(tc, Seq("vid"), "left_outer")
-      .select($"gid", coalesce($"tri", lit(0)).cast("long")
+    // the wedge join is the hot path — run it over dictionary-encoded
+    // Long vertex ids, not gid strings: integer sort/hash keys cut the
+    // shuffle-compare cost several-fold, and the dictionary itself is
+    // two narrow joins (AQE broadcasts it whenever |V| allows).
+    // monotonically_increasing_id is collision-free by construction
+    // (unlike hashing gids) and stable under the checkpoint.
+    val dict = nodes.select($"gid").distinct()
+      .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint() // ids must be minted exactly once
+    val und = edges
+      .select(least($"src", $"dst").as("ga"), greatest($"src", $"dst").as("gb"))
+      .filter($"ga" =!= $"gb").distinct()
+      .join(dict.select($"gid".as("ga"), $"vid".as("a")), Seq("ga"))
+      .join(dict.select($"gid".as("gb"), $"vid".as("b")), Seq("gb"))
+      .select($"a", $"b")
+      // referenced by the degree agg AND the orientation join —
+      // materialize once, not as repeated recomputes of the upstream
+      // edge build
+      .localCheckpoint(false)
+    // per-node degree is |V|-sized — NOT broadcast-hinted: at billions
+    // of vertices it must stay a shuffle join, and AQE picks right
+    // from the runtime size either way
+    val deg = und.select(explode(array($"a", $"b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select($"v".as("a"), $"d".as("da")), Seq("a"))
+      .join(deg.select($"v".as("b"), $"d".as("db")), Seq("b"))
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"a")
+          .otherwise($"b").as("x"),
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"b")
+          .otherwise($"a").as("y"))
+      .localCheckpoint(false) // feeds all three legs of the wedge join
+    val tri = oriented.select($"x".as("a"), $"y".as("b"))
+      .join(oriented.select($"x".as("b"), $"y".as("c")), Seq("b"))
+      .join(oriented.select($"x".as("a"), $"y".as("c")), Seq("a", "c"))
+    val counts = tri
+      .select(explode(array($"a", $"b", $"c")).as("vid"))
+      .groupBy($"vid").agg(count(lit(1)).as("tri"))
+    dict.join(counts, Seq("vid"), "left_outer")
+      .select($"gid", coalesce($"tri", lit(0L)).cast("long")
         .as("n_triangles"))
   }
 
