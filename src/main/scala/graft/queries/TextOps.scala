@@ -710,26 +710,28 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
-    // SimHash(32-bit over md5 nibbles) per doc.
+    // SimHash(64-bit over md5 nibbles) per doc.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       simhashPerDoc(s, dir).orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairs: 4×8-bit byte banding (a pair within
-    // Hamming ≤ 3 of 32 bits must agree on ≥1 of 4 bytes — pigeonhole,
-    // so banding has perfect recall) + exact Hamming verify.
+    // SimHash near-dup pairs: 4×16-bit banding (a pair within
+    // Hamming ≤ 3 of 64 bits must agree on ≥1 of 4 16-bit bands —
+    // pigeonhole, so banding has perfect recall) + exact Hamming
+    // verify. 65536 buckets per band keep per-bucket candidate sets
+    // ~256× smaller than byte bands at corpus scale (round-7 flag).
     "dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val sims = graft.Scratch.track(simhashPerDoc(s, dir).cache())
       val bands = sims
         .select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("k"))
-        .withColumn("byte", expr("shiftright(simhash, 8*k) % 256"))
+        .withColumn("band", expr("shiftright(simhash, 16*k) & 65535"))
       val cand = bands.select($"doc_id".as("da"), $"simhash".as("sa"),
-          $"k", $"byte")
+          $"k", $"band")
         .join(bands.select($"doc_id".as("db"), $"simhash".as("sb"),
-          $"k", $"byte"), Seq("k", "byte"))
+          $"k", $"band"), Seq("k", "band"))
         .filter($"da" < $"db")
         .select($"da", $"db", $"sa", $"sb").distinct()
       cand
@@ -898,19 +900,23 @@ object TextOps {
         .orderBy($"doc_id")
     }))
 
-  /** 32-bit SimHash over distinct tokens: bit j comes from md5's first
-    * 8 hex nibbles; each token votes ±1 per bit; simhash bit j set iff
-    * the vote sum is positive.
+  /** 64-bit SimHash over distinct tokens: bit j comes from md5's first
+    * 16 hex nibbles (MSB-first); each token votes ±1 per bit; simhash
+    * bit j set iff the vote sum is positive. 64 bits (vs round-1's 32)
+    * is the scale recipe: 16-bit bands over a 64-bit hash give 65536
+    * buckets per band, so per-bucket candidate pair counts drop ~256×
+    * vs byte bands on a large corpus while the hamming≤3 pigeonhole
+    * guarantee is unchanged (4 bands, ≤3 differing bits → ≥1 intact).
     *
-    * Physical shape: each token's leading 8 md5 hex chars are decoded
-    * ONCE via `conv(..., 16, 10)` into a 32-bit value `v`; the oracle's
-    * nibble arithmetic reduces to `bit_j = (v >> (31-j)) & 1` (j indexes
-    * the md5 prefix MSB-first). The per-doc vote tally is then a single
-    * whole-stage-codegen hash aggregate with 32 bit-count sums — no
-    * interpreted HOF lambdas. `votes_j > 0` ⟺ `2*ones_j > n_tokens`.
-    * Shuffle per doc is 33 longs (map-side partial agg), so the shape
-    * holds at any scale. Same arithmetic as round 1's fold, so the
-    * DuckDB oracle is unchanged.
+    * Physical shape: each token's md5 prefix decodes ONCE via two
+    * `conv(..., 16, 10)` 32-bit halves (a single 64-bit conv would
+    * overflow the signed Long cast); the oracle's nibble arithmetic
+    * reduces to `bit_j = (half >> (31 - j%32)) & 1`. The per-doc vote
+    * tally is a single whole-stage-codegen hash aggregate with 64
+    * bit-count sums — no interpreted HOF lambdas. `votes_j > 0` ⟺
+    * `2*ones_j > n_tokens`. Shuffle per doc is 65 longs (map-side
+    * partial agg), so the shape holds at any scale. Bit 63 makes the
+    * Long negative — two's complement, matching DuckDB BIGINT exactly.
     */
   private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -919,10 +925,13 @@ object TextOps {
       .repartition($"doc_id")
       .select($"doc_id", explode($"w").as("tok"))
       .select($"doc_id",
-        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("v"))
-    val ones = (0 until 32).map(j =>
-      sum(shiftright($"v", 31 - j).bitwiseAND(1)).as(s"o$j"))
-    val simhash = (0 until 32).map(j =>
+        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("vh"),
+        conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long").as("vl"))
+    val ones = (0 until 64).map { j =>
+      val half = if (j < 32) $"vh" else $"vl"
+      sum(shiftright(half, 31 - j % 32).bitwiseAND(1)).as(s"o$j")
+    }
+    val simhash = (0 until 64).map(j =>
       when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     toks.groupBy($"doc_id")
@@ -1295,11 +1304,11 @@ object TextOps {
     "dedup_simhash" -> s"$simhashSql ORDER BY doc_id",
     "dedup_simhash_pairs" ->
       s"""WITH sims AS ($simhashSql),
-          bands AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) % 256 byte
+          bands AS (SELECT doc_id, simhash, k, (simhash >> (16*k)) & 65535 band
             FROM sims CROSS JOIN range(4) t(k)),
           cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db,
               a.simhash sa, b.simhash sb
-            FROM bands a JOIN bands b ON a.k = b.k AND a.byte = b.byte
+            FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band
               AND a.doc_id < b.doc_id)
           SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
           FROM cand WHERE bit_count(xor(sa, sb)) <= 3
@@ -1333,7 +1342,7 @@ object TextOps {
 
   private lazy val simhashSql =
     """SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
          AS BIGINT) AS simhash
        FROM (
          SELECT doc_id, j, SUM(bit*2 - 1) v FROM (
@@ -1344,7 +1353,7 @@ object TextOps {
            FROM (SELECT DISTINCT doc_id,
                    unnest(string_split_regex(trim(text), '\s+')) w
                  FROM documents)
-           CROSS JOIN range(32) t(j))
+           CROSS JOIN range(64) t(j))
          GROUP BY doc_id, j)
        GROUP BY doc_id"""
 }

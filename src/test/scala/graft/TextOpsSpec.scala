@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SimHash banding invariants (round 8: 64-bit hash, 4×16-bit bands).
+  * The oracle gate pins the VALUES; these specs pin the structural
+  * guarantees the scale argument rests on.
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  test("simhash is a genuine 64-bit code, banded into 16-bit buckets") {
+    import spark.implicits._
+    val sims = queries.TextOps.defs("dedup_simhash")(spark, dir).cache()
+    val n = sims.count()
+    assert(n > 0)
+    // high 32 bits are in use: with ~50 docs the probability that no
+    // hash sets any of bits 32..63 is (2^-32)-ish — a 32-bit code
+    // (the round-7 shape) fails this deterministically
+    val hi = sims.filter(expr("shiftright(simhash, 32) <> 0")).count()
+    assert(hi > 0, "no simhash uses bits 32..63 — code is not 64-bit")
+    // each 16-bit band stays in [0, 65535] and actually exceeds the
+    // 8-bit range somewhere (the round-7 byte-banding space)
+    val bands = sims.select($"simhash",
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("band", expr("shiftright(simhash, 16*k) & 65535"))
+    assert(bands.filter($"band" < 0 || $"band" > 65535).count() == 0)
+    assert(bands.filter($"band" > 255).count() > 0,
+      "all band values fit in 8 bits — banding is not 16-bit")
+  }
+
+  test("16-bit banding keeps perfect recall for hamming <= 3") {
+    import spark.implicits._
+    val sims = queries.TextOps.defs("dedup_simhash")(spark, dir).cache()
+    // ground truth: brute-force all-pairs hamming (fixture-sized only)
+    val a = sims.select($"doc_id".as("da"), $"simhash".as("sa"))
+    val b = sims.select($"doc_id".as("db"), $"simhash".as("sb"))
+    val brute = a.crossJoin(b).filter($"da" < $"db")
+      .filter(expr("bit_count(sa ^ sb)") <= 3)
+      .select($"da", $"db").as[(String, String)].collect().toSet
+    val banded = queries.TextOps.defs("dedup_simhash_pairs")(spark, dir)
+      .select($"da", $"db").as[(String, String)].collect().toSet
+    // pigeonhole: <= 3 differing bits across 4 disjoint 16-bit bands
+    // leaves >= 1 band identical, so banding misses NOTHING; the
+    // exact-hamming verify also adds nothing
+    assert(banded == brute)
+  }
+}
