@@ -126,6 +126,11 @@ object Ast {
     * they desugar to equality predicates, in CREATE/MERGE `source`
     * initializes the edge's source column.
     */
+  /** `qppNodeVars` carries a quantified path pattern's inner node
+    * GROUP variables `((a)-[r]->(b)){m,n}` — (source, target) names
+    * that bind per-iteration gid LISTS (GQL group variables); the
+    * rel's own `variable` is the relationship group variable.
+    */
   case class RelPattern(
       variable: Option[String],
       relType: Option[String],
@@ -133,7 +138,8 @@ object Ast {
       varLength: Option[(Int, Int)] = None,
       altRelTypes: Seq[String] = Nil,
       where: Option[Expr] = None,
-      props: Seq[(String, Expr)] = Nil)
+      props: Seq[(String, Expr)] = Nil,
+      qppNodeVars: Option[(Option[String], Option[String])] = None)
 
   /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
     * `shortest` marks `shortestPath(…)` — one minimal-length row per

@@ -666,16 +666,19 @@ object Parser {
           val innerRel = parseRel(p)
           val innerTo = parseNode(p)
           p.expectSym(")")
+          // inner VARIABLES are GQL group variables (each binds a
+          // per-iteration list); labels/props/WHERE on inner elements
+          // stay out of scope — constrain endpoints outside the group
           def bare(n: Ast.NodePattern): Boolean =
-            n.variable.isEmpty && n.label.isEmpty && n.props.isEmpty &&
+            n.label.isEmpty && n.props.isEmpty &&
               n.where.isEmpty && n.altLabels.isEmpty && n.extraLabels.isEmpty
           if (!bare(innerHead) || !bare(innerTo)) throw ParseException(
-            "quantified path patterns support bare inner nodes — bind " +
-              "endpoints outside the group")
-          if (innerRel.variable.nonEmpty || innerRel.varLength.nonEmpty ||
+            "quantified path pattern inner nodes take group VARIABLES " +
+              "only — put labels/properties outside the group")
+          if (innerRel.varLength.nonEmpty ||
               innerRel.where.nonEmpty || innerRel.props.nonEmpty)
             throw ParseException(
-              "quantified path patterns support a plain -[:T]-> inner " +
+              "quantified path patterns support a plain -[r:T]-> inner " +
                 "relationship")
           p.expectSym("{")
           def qnum(): Int = p.next() match {
@@ -689,7 +692,11 @@ object Parser {
           if (lo < 1 || hi < lo || hi > 10) throw ParseException(
             s"unsupported quantifier {$lo,$hi} (bounded 1..10)")
           val target = parseNode(p)
-          hops += ((innerRel.copy(varLength = Some((lo, hi))), target))
+          hops += ((innerRel.copy(varLength = Some((lo, hi)),
+            qppNodeVars =
+              if (innerHead.variable.nonEmpty || innerTo.variable.nonEmpty)
+                Some((innerHead.variable, innerTo.variable))
+              else None), target))
         case _ => continue = false
       }
     }

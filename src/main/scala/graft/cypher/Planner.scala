@@ -1378,15 +1378,41 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       pattern.hops.foreach { case (rel, node) =>
         boundVar = rel.varLength match {
           case Some((minH, maxH)) =>
-            val relKeys = rel.variable.map { rv =>
-              if (env.contains(rv))
-                throw PlanError(s"variable $rv already bound")
-              s"${rv}__keys"
+            val qppVars = rel.qppNodeVars.toSeq
+              .flatMap(q => q._1.toSeq ++ q._2.toSeq)
+            (rel.variable.toSeq ++ qppVars).foreach { v =>
+              if (env.contains(v))
+                throw PlanError(s"variable $v already bound")
             }
+            // group variables (rel OR inner nodes) need the stretch's
+            // ordered edge-key array — the rel group var binds it
+            // directly; node group vars derive their gid lists from it
+            val relKeys = rel.variable.map(rv => s"${rv}__keys")
+              .orElse(if (qppVars.nonEmpty)
+                Some(s"${fresh("qppk")}__keys") else None)
             val nv = applyVarLengthHop(boundVar, rel, node, minH, maxH,
               hopsColName, pattern.shortest, pattern.allShortest,
               materialize, pathColName, relKeys)
             rel.variable.foreach(rv => env += rv -> RelListVar(s"${rv}__keys"))
+            // GQL group variables `((a)-[r]->(b)){m,n}`: a and b bind
+            // per-iteration gid LISTS, projected out of the edge-key
+            // array (stored orientation: srcdstrelType —
+            // a directed stretch's traversal source/target are fixed
+            // slots). Undirected stretches already reject group
+            // binding (applyVarLengthHop's materialize guard).
+            rel.qppNodeVars.foreach { case (srcV, dstV) =>
+              val keysCol = relKeys.get
+              val (srcIdx, dstIdx) =
+                if (rel.direction >= 0) (0, 1) else (1, 0)
+              def bindGroup(v: String, idx: Int): Unit = {
+                df = df.withColumn(s"${v}__value",
+                  transform(col(keysCol),
+                    k => split(k, "\u0001").getItem(idx)))
+                env += v -> ValueVar(s"${v}__value")
+              }
+              srcV.foreach(bindGroup(_, srcIdx))
+              dstV.foreach(bindGroup(_, dstIdx))
+            }
             pathColName.foreach(pc => segs += VarSeg(pc, rel.direction > 0))
             nv
           case None =>

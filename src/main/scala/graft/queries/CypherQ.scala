@@ -405,6 +405,20 @@ DETACH DELETE n
              count(*) > 3 XOR n.name ENDS WITH '1' AS flag
            ORDER BY nation""")),
 
+    // GQL quantified path pattern with inner GROUP variables (round
+    // 8): ((x)-[r:..]->(y)){2,2} binds x/y as per-iteration gid lists
+    // and r as the relationship list — flattened to '|'-joined strings
+    // for the gate (scalar-only harness contract).
+    "cypher_qpp_group" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer) ((x)-[r:located_in|in_region]->(y)){2,2} (z)
+           WHERE c.name ENDS WITH '77'
+           RETURN c.gid AS gid,
+             reduce(s = '', g IN x | s + '|' + g) AS xs,
+             reduce(s = '', g IN y | s + '|' + g) AS ys,
+             size(r) AS nr
+           ORDER BY gid""")),
+
     // outer-VALUE correlation into a COUNT{} body (round 8): bal is a
     // WITH alias, not a node — the subquery seeds its column into the
     // sub frame (the CALL-subquery seeding path), so `o.acctbal > bal`
@@ -637,6 +651,13 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE c_name LIKE '%7'
          GROUP BY n_name ORDER BY nation""",
+    "cypher_qpp_group" ->
+      """SELECT 'c:'||c_custkey AS gid,
+         '|c:'||c_custkey||'|n:'||c_nationkey AS xs,
+         '|n:'||c_nationkey||'|r:'||n_regionkey AS ys,
+         CAST(2 AS BIGINT) AS nr
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_name LIKE '%77' ORDER BY gid""",
     "cypher_count_corr" ->
       """SELECT 'c:'||c.c_custkey AS gid,
          (SELECT COUNT(*) FROM customer o JOIN nation m

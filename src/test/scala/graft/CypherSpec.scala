@@ -149,12 +149,45 @@ class CypherSpec extends AnyFunSuite {
       """MATCH p = (a:Person {name: 'ann'}) (()-[:knows]->()){2} (c)
          RETURN length(p) AS d""").collect()
     assert(withPath.head.getLong(0) == 2L)
-    // inner bindings are rejected with a pointer outward
+    // inner LABELS/PROPS stay rejected with a pointer outward (inner
+    // variables are group variables — separate test)
     val err = intercept[Exception] {
       CypherEngine.query(st,
-        "MATCH (a) ((x)-[:knows]->()){1,2} (c) RETURN c").collect()
+        "MATCH (a) ((x:Person)-[:knows]->()){1,2} (c) RETURN c").collect()
     }
-    assert(err.getMessage.contains("bare inner nodes"))
+    assert(err.getMessage.contains("outside the group"))
+  }
+
+  test("quantified path patterns bind GQL group variables") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-qppg").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "Person").fullSync(Seq(
+      Entity("urn:a").withProp("urn:x#name", "ann")
+        .withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b").withProp("urn:x#name", "bob")
+        .withRef("urn:x#knows", "urn:c"),
+      Entity("urn:c").withProp("urn:x#name", "cal")))
+    // ((x)-[r]->(y)){2}: x/y/r are per-iteration LISTS — x the entered
+    // sources, y the targets, r the relationship (type) list
+    val rows = CypherEngine.query(st,
+      """MATCH (a:Person {name: 'ann'}) ((x)-[r:knows]->(y)){2,2} (c)
+         RETURN c.name AS nm, size(r) AS nr, x[0] AS x0, x[1] AS x1,
+           y[0] AS y0, y[1] AS y1""").collect()
+    assert(rows.length == 1)
+    val r0 = rows.head
+    assert(r0.getString(0) == "cal")
+    assert(r0.getLong(1) == 2L)
+    assert((r0.getString(2), r0.getString(3)) == ("urn:a", "urn:b"))
+    assert((r0.getString(4), r0.getString(5)) == ("urn:b", "urn:c"))
+    // incoming direction flips the per-iteration source/target slots
+    val back = CypherEngine.query(st,
+      """MATCH (c:Person {name: 'cal'}) ((x)<-[r:knows]-(y)){1,2} (a)
+         WHERE a.name = 'ann'
+         RETURN size(r) AS nr, x[0] AS x0, y[0] AS y0""").collect()
+    assert(back.length == 1)
+    assert(back.head.getLong(0) == 2L)
+    assert(back.head.getString(1) == "urn:c") // first entered source
+    assert(back.head.getString(2) == "urn:b") // first target walked to
   }
 
   test("label expressions: & conjunction and ! negation") {
