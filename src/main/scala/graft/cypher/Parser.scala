@@ -49,7 +49,10 @@ object Parser {
           case 'r' => b += '\r'; i += 2
           case 'f' => b += '\f'; i += 2
           case 'u' if i + 5 < s.length =>
-            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            val hex = s.substring(i + 2, i + 6)
+            b += (try Integer.parseInt(hex, 16).toChar
+              catch { case _: NumberFormatException => throw ParseException(
+                s"invalid unicode escape \\u$hex") })
             i += 6
           case other => b += other; i += 2 // \' \" \\ and unknown → literal
         }
@@ -93,9 +96,15 @@ object Parser {
           else if (m.group(3) != null) out += StrLit(unescape(m.group(3)))
           else if (m.group(4) != null) out += StrLit(unescape(m.group(4)))
           else if (m.group(5) != null)
-            out += NumLit(java.lang.Long.parseLong(m.group(5).drop(2), 16))
+            out += NumLit(
+              try java.lang.Long.parseLong(m.group(5).drop(2), 16)
+              catch { case _: NumberFormatException => throw ParseException(
+                s"integer literal out of range: ${m.group(5)}") })
           else if (m.group(6) != null) out += NumLit(m.group(6).toDouble)
-          else if (m.group(7) != null) out += NumLit(m.group(7).toLong)
+          else if (m.group(7) != null) out += NumLit(
+            try m.group(7).toLong
+            catch { case _: NumberFormatException => throw ParseException(
+              s"integer literal out of range: ${m.group(7)}") })
           else if (m.group(8) != null) out += ParamTok(m.group(8))
           else {
             val w = m.group(9)

@@ -439,10 +439,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   /** PV-struct literal column (the node prop map's value type) */
   private def pvLit(v: Any): Column = {
-    def slot(s: Any, l: Any, d: Any, b: Any, a: Column = lit(null)) = struct(
+    def slot(s: Any, l: Any, d: Any, b: Any, a: Column = lit(null),
+        at: Column = lit(null)) = struct(
       lit(s).cast("string").as("s"), lit(l).cast("bigint").as("l"),
       lit(d).cast("double").as("d"), lit(b).cast("boolean").as("b"),
-      a.cast("array<string>").as("a"))
+      a.cast("array<string>").as("a"), at.cast("string").as("at"))
     v match {
       case s: String => slot(s, null, null, null)
       case l: Long => slot(null, l, null, null)
@@ -450,7 +451,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case d: Double => slot(null, null, d, null)
       case b: Boolean => slot(null, null, null, b)
       case xs: Seq[_] => slot(null, null, null, null,
-        array(xs.map(x => lit(x).cast("string")): _*))
+        array(xs.map(x => lit(x).cast("string")): _*),
+        lit(xs.map(graft.model.PV.tagOf).mkString))
       case null => slot(null, null, null, null) // all-null = remove key
       case other => throw PlanError(s"unsupported value: $other")
     }
@@ -474,7 +476,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     t match {
       case MapType(org.apache.spark.sql.types.StringType,
         s: org.apache.spark.sql.types.StructType, _) =>
-        s.fieldNames.sameElements(Array("s", "l", "d", "b", "a"))
+        s.fieldNames.sameElements(Array("s", "l", "d", "b", "a", "at"))
       case _ => false
     }
 
@@ -539,10 +541,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def wrapPv(c: Column): Column = {
     import org.apache.spark.sql.types._
     def slot(s: Column, l: Column, d: Column, b: Column,
-        a: Column = lit(null)) = struct(
+        a: Column = lit(null), at: Column = lit(null)) = struct(
       s.cast("string").as("s"), l.cast("bigint").as("l"),
       d.cast("double").as("d"), b.cast("boolean").as("b"),
-      a.cast("array<string>").as("a"))
+      a.cast("array<string>").as("a"), at.cast("string").as("at"))
     val nul = lit(null)
     colType(c) match {
       case StringType => slot(c, nul, nul, nul)
@@ -551,9 +553,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case DoubleType | FloatType => slot(nul, nul, c, nul)
       case BooleanType => slot(nul, nul, nul, c)
       case NullType => slot(nul, nul, nul, nul)
-      // list values store canonical-string elements in the list slot
-      case ArrayType(_, _) =>
-        slot(nul, nul, nul, nul, transform(c, _.cast("string")))
+      // list values store canonical-string elements in the list slot,
+      // tagged per element by the STATIC element type (nulls keep the
+      // uniform tag — toJsonLine emits null before consulting tags)
+      case ArrayType(et, _) =>
+        val tag = et match {
+          case LongType | IntegerType | ShortType | ByteType => "l"
+          case DoubleType | FloatType => "d"
+          case BooleanType => "b"
+          case _ => "s"
+        }
+        slot(nul, nul, nul, nul, transform(c, _.cast("string")),
+          repeat(lit(tag), size(c)))
       case t if t.toString == propsType.asInstanceOf[MapType]
         .valueType.toString => c // already a PV struct
       case t => throw PlanError(s"unsupported value type: $t")
@@ -585,7 +596,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def pvMapLit(m: Map[_, _]): Column = {
     if (m.isEmpty)
       return map_from_arrays(array().cast("array<string>"),
-        array().cast("array<struct<s:string,l:bigint,d:double,b:boolean,a:array<string>>>"))
+        array().cast(
+          "array<struct<s:string,l:bigint,d:double,b:boolean," +
+            "a:array<string>,at:string>>"))
     map(m.toSeq.flatMap { case (k, v) =>
       Seq(lit(String.valueOf(k)), pvLit(v)) }: _*)
   }
@@ -942,6 +955,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .unionByName(evis)
           case None => evis
         })
+        // resurrect: DELETE r then CREATE/MERGE of the same
+        // (src,dst,relType) in ONE statement makes the edge visible
+        // to later MATCH hops again — mirroring publishNodeView's
+        // pendingNodeDeletes clearing for re-created nodes
+        pendingEdgeDeletes = pendingEdgeDeletes.map(_.join(
+          evis.select(col("src"), col("dst"), col("relType")),
+          Seq("src", "dst", "relType"), "left_anti"))
         // bind the rel var for later SET r.… clauses (neo4j.go:121-123)
         rel.variable.foreach { r =>
           if (env.contains(r)) throw PlanError(s"variable $r already bound")
@@ -1105,9 +1125,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * semantics). The view is store ANTI-JOIN pending gids (broadcast
     * — pending is bounded by the clause's row count) ∪ pending rows,
     * so merged-but-existing nodes appear exactly once with their
-    * post-merge values. Edge scans keep committed-only visibility
-    * (documented: a later MATCH does not see same-statement CREATEd
-    * relationships).
+    * post-merge values. Edge scans see the same overlay through
+    * [[edgesInView]] (pendingEdges ∪ committed, minus pending
+    * deletions) — later MATCH hops observe same-statement CREATEd
+    * relationships, and a re-created edge clears its pending delete
+    * (resurrect), symmetric with nodes.
     */
   private var pendingNodes: Option[DataFrame] = None
 
@@ -3348,10 +3370,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       pvOf(a) match {
         case Some(pv) =>
+          // list-valued props dispatch on the element TYPE TAGS
+          // (PV.at): a uniformly-tagged list names its element type,
+          // a mixed/legacy one is LIST<ANY>
+          val tags = pv.getField("at")
+          def listT(n: String) = lit(s"LIST<$n NOT NULL> NOT NULL")
           when(pv.getField("l").isNotNull, lit("INTEGER NOT NULL"))
             .when(pv.getField("d").isNotNull, lit("FLOAT NOT NULL"))
             .when(pv.getField("b").isNotNull, lit("BOOLEAN NOT NULL"))
             .when(pv.getField("s").isNotNull, lit("STRING NOT NULL"))
+            .when(pv.getField("a").isNotNull,
+              when(regexp_like(tags, lit("^l+$")), listT("INTEGER"))
+                .when(regexp_like(tags, lit("^d+$")), listT("FLOAT"))
+                .when(regexp_like(tags, lit("^b+$")), listT("BOOLEAN"))
+                .when(tags.isNull || regexp_like(tags, lit("^s*$")),
+                  listT("STRING"))
+                .otherwise(listT("ANY")))
             .otherwise(lit("NULL"))
         case None =>
           val c = valueCol(a)

@@ -32,18 +32,25 @@ object EgdmCodec {
           case JDecimal(d) => PV(d = Some(d.toDouble))
           case JBool(b)    => PV(b = Some(b))
           case JNull       => PV()
-          // list-valued property: scalar elements store canonically
-          case JArray(items) => PV(a = Some(items.map {
-            case JString(s)  => s
-            case JInt(i)     => i.toString
-            case JLong(i)    => i.toString
-            case JDouble(d)  => d.toString
-            case JDecimal(d) => d.toDouble.toString
-            case JBool(b)    => b.toString
-            case JNull       => null
-            case other => throw new IllegalArgumentException(
-              s"unsupported list element for $k: $other")
-          }))
+          // list-valued property: scalar elements store canonically,
+          // with a per-element type tag (PV.at) so toJsonLine re-emits
+          // the ORIGINAL JSON types — the reference layer passes EGDM
+          // values through verbatim (neo4j.go UpdateNodeQueryTemplate,
+          // SET n = item), so [1, true] must survive as [1, true]
+          case JArray(items) =>
+            val typed = items.map {
+              case JString(s)  => (s, 's')
+              case JInt(i)     => (i.toString, 'l')
+              case JLong(i)    => (i.toString, 'l')
+              case JDouble(d)  => (d.toString, 'd')
+              case JDecimal(d) => (d.toDouble.toString, 'd')
+              case JBool(b)    => (b.toString, 'b')
+              case JNull       => (null, 'n')
+              case other => throw new IllegalArgumentException(
+                s"unsupported list element for $k: $other")
+            }
+            PV(a = Some(typed.map(_._1)),
+              at = Some(typed.map(_._2).mkString))
           case other => throw new IllegalArgumentException(
             s"unsupported property value for $k: $other")
         })
@@ -72,14 +79,23 @@ object EgdmCodec {
     import org.json4s.JsonDSL._
     val props = JObject(e.props.toList.map { case (k, pv) =>
       k -> (pv match {
-        case PV(Some(s), _, _, _, _) => JString(s)
-        case PV(_, Some(l), _, _, _) => JLong(l)
-        case PV(_, _, Some(d), _, _) => JDouble(d)
-        case PV(_, _, _, Some(b), _) => JBool(b)
-        case PV(_, _, _, _, Some(xs)) =>
-          JArray(xs.toList.map(x =>
-            if (x == null) JNull else JString(x)))
-        case _                       => JNull
+        case PV(Some(s), _, _, _, _, _) => JString(s)
+        case PV(_, Some(l), _, _, _, _) => JLong(l)
+        case PV(_, _, Some(d), _, _, _) => JDouble(d)
+        case PV(_, _, _, Some(b), _, _) => JBool(b)
+        case PV(_, _, _, _, Some(xs), at) =>
+          // re-emit each element under its recorded type tag; untagged
+          // (legacy) elements stay strings
+          JArray(xs.toList.zipWithIndex.map { case (x, i) =>
+            if (x == null) JNull
+            else at.flatMap(_.lift(i)).getOrElse('s') match {
+              case 'l' => JLong(x.toLong)
+              case 'd' => JDouble(x.toDouble)
+              case 'b' => JBool(x.toBoolean)
+              case _   => JString(x)
+            }
+          })
+        case _ => JNull
       })
     })
     val refs = JObject(e.refs.toList.map { case (k, ts) =>

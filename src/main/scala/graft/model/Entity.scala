@@ -15,7 +15,12 @@ case class PV(
     l: Option[Long] = None,
     d: Option[Double] = None,
     b: Option[Boolean] = None,
-    a: Option[Seq[String]] = None
+    a: Option[Seq[String]] = None,
+    // per-element TYPE TAGS for the list slot — one char per element
+    // (s/l/d/b, n for null), so EGDM round-trips re-emit typed JSON
+    // ([1, true] stays [1, true], not ["1", "true"]). None = legacy
+    // all-string list.
+    at: Option[String] = None
 ) {
   def value: Any = s.orElse(l).orElse(d).orElse(b).orElse(a).orNull
 }
@@ -33,9 +38,12 @@ object PV {
     case x: Boolean => PV(b = Some(x))
     case x: BigInt  => PV(l = Some(x.toLong))
     // list-valued properties: elements store as canonical strings
-    // (the same rendering the scalar slots cast to)
-    case xs: Seq[_]   => PV(a = Some(xs.map(canon)))
-    case xs: Array[_] => PV(a = Some(xs.toSeq.map(canon)))
+    // (the same rendering the scalar slots cast to) + a type tag per
+    // element so the original scalar types survive the round-trip
+    case xs: Seq[_]   => PV(a = Some(xs.map(canon)),
+      at = Some(xs.map(tagOf).mkString))
+    case xs: Array[_] => PV(a = Some(xs.toSeq.map(canon)),
+      at = Some(xs.toSeq.map(tagOf).mkString))
     case other =>
       throw new IllegalArgumentException(
         s"unsupported property value type: ${other.getClass}")
@@ -49,6 +57,15 @@ object PV {
     case x: String => x
     case x: Float => x.toDouble.toString
     case other => other.toString
+  }
+
+  /** the type-tag char of a list element (see [[PV.at]]) */
+  def tagOf(v: Any): Char = v match {
+    case null => 'n'
+    case _: Int | _: Long | _: Short | _: Byte | _: BigInt => 'l'
+    case _: Double | _: Float => 'd'
+    case _: Boolean => 'b'
+    case _ => 's'
   }
 }
 

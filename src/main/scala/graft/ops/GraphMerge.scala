@@ -589,7 +589,8 @@ object GraphMerge {
 
     val emptyPv = map_from_arrays(
       lit(Array.empty[String]),
-      array().cast("array<struct<s:string,l:bigint,d:double,b:boolean,a:array<string>>>"))
+      array().cast("array<struct<s:string,l:bigint,d:double,b:boolean," +
+        "a:array<string>,at:string>>"))
     val emptyStr = lit(Array.empty[String])
     val nullProps = lit(null).cast(GraphStore.nodeSchema("props").dataType)
 

@@ -299,10 +299,24 @@ class GraftService(spark: SparkSession, initialConfig: LayerConfig,
       case l: Long => JInt(l)
       case d: Double => JDouble(d)
       case b: Boolean => JBool(b)
-      // a PV tagged value renders as its scalar (EGDM shape)
+      // a PV tagged value renders as its scalar (EGDM shape); list
+      // values re-emit each element under its recorded type tag
       case r: Row if r.schema != null &&
-          r.schema.fieldNames.sameElements(Array("s", "l", "d", "b", "a")) =>
-        (0 until 5).map(r.get).find(_ != null).map(toJValue).getOrElse(JNull)
+          r.schema.fieldNames.sameElements(
+            Array("s", "l", "d", "b", "a", "at")) =>
+        if (!r.isNullAt(4)) {
+          val tags = Option(r.getString(5))
+          JArray(r.getSeq[String](4).toList.zipWithIndex.map {
+            case (null, _) => JNull
+            case (x, i) => tags.flatMap(_.lift(i)).getOrElse('s') match {
+              case 'l' => JInt(BigInt(x))
+              case 'd' => JDouble(x.toDouble)
+              case 'b' => JBool(x.toBoolean)
+              case _   => JString(x)
+            }
+          })
+        } else (0 until 4).map(r.get).find(_ != null)
+          .map(toJValue).getOrElse(JNull)
       case r: Row => JObject(r.schema.fieldNames.toList.zipWithIndex.map {
         case (n, i) => n -> toJValue(r.get(i))
       })

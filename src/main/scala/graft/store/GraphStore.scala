@@ -816,7 +816,9 @@ object GraphStore {
   val pvType: StructType = StructType(Seq(
     StructField("s", StringType), StructField("l", LongType),
     StructField("d", DoubleType), StructField("b", BooleanType),
-    StructField("a", ArrayType(StringType))))
+    StructField("a", ArrayType(StringType)),
+    // per-element type tags for the list slot (see model.PV.at)
+    StructField("at", StringType)))
 
   val nodeSchema: StructType = StructType(Seq(
     StructField("gid", StringType, nullable = false),

@@ -3440,6 +3440,52 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
         ("urn:p3", Seq())))
   }
 
+  test("edge delete-then-create in one statement resurrects visibility") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-eres").toString, spark, 2)
+    new GraphDataset(st, spark, "people", "P").fullSync(Seq(
+      Entity("urn:a").withRef("urn:x#knows", "urn:b"),
+      Entity("urn:b")))
+    // DELETE r, re-CREATE the same (src,dst,relType), then a later
+    // MATCH hop in the SAME statement must see the edge again
+    // (symmetric with node resurrect via publishNodeView)
+    val rows = CypherEngine.query(st,
+      """MATCH (a {gid: 'urn:a'})-[r:knows]->(b)
+         DELETE r
+         CREATE (a)-[:knows]->(b)
+         WITH a MATCH (a)-[r2:knows]->(m)
+         RETURN m.gid AS tgt""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:b"))
+  }
+
+  test("lexer range errors surface as ParseException") {
+    val hexErr = intercept[Exception](CypherEngine.query(store,
+      "RETURN 0xFFFFFFFFFFFFFFFFFF AS x").collect())
+    assert(hexErr.getMessage.contains("out of range"))
+    // built by concatenation — Scala pre-processes \u even in triple
+    // quotes, and the ENGINE's lexer must be the one seeing the escape
+    val uErr = intercept[Exception](CypherEngine.query(store,
+      "RETURN '" + "\\u" + "ZZZZ' AS x").collect())
+    assert(uErr.getMessage.contains("unicode escape"))
+  }
+
+  test("valueType() reports list types for list-valued properties") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-vtl").toString, spark, 2)
+    val sess = CypherEngine.session(st)
+    sess.run(
+      "CREATE (n:T {gid: 'urn:v1'}) SET n.nums = [1, 2], n.tags = ['a']",
+      Map.empty).collect()
+    sess.commit()
+    // per-element type tags (PV.at) drive the LIST element type — the
+    // round-7 behavior reported NULL for any list-valued prop
+    val r = CypherEngine.query(st,
+      """MATCH (n:T) RETURN valueType(n.nums) AS a,
+         valueType(n.tags) AS b""").collect().head
+    assert(r.getString(0) == "LIST<INTEGER NOT NULL> NOT NULL")
+    assert(r.getString(1) == "LIST<STRING NOT NULL> NOT NULL")
+  }
+
   test("valueType() names static and dynamic-slot types") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person {gid: 'urn:p1'})

@@ -102,11 +102,21 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getString(0) == "c" && r.getString(1) == "q")
   }
 
+  private val listElemGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(identity[Any]),
+    Arbitrary.arbitrary[Long].map(identity[Any]),
+    Arbitrary.arbitrary[Boolean].map(identity[Any]),
+    Gen.chooseNum(-1e6, 1e6).map(identity[Any]))
+
   private val pvGen: Gen[PV] = Gen.oneOf(
     Gen.alphaNumStr.map(s => PV(s = Some(s))),
     Arbitrary.arbitrary[Long].map(l => PV(l = Some(l))),
     Arbitrary.arbitrary[Boolean].map(b => PV(b = Some(b))),
-    Gen.chooseNum(-1e6, 1e6).map(d => PV(d = Some(d))))
+    Gen.chooseNum(-1e6, 1e6).map(d => PV(d = Some(d))),
+    // MIXED-type list values — the round-trip law below requires the
+    // per-element tags (PV.at) to survive the JSON round-trip, so a
+    // re-parse distinguishes [1, true, 'x'] from ['1', 'true', 'x']
+    Gen.nonEmptyListOf(listElemGen).map(xs => PV.of(xs.take(4))))
 
   private val entityGen: Gen[Entity] = for {
     id <- segment.map("urn:e:" + _)
@@ -126,6 +136,21 @@ class PropertySpec extends AnyFunSuite {
       assert(back.refs.view.mapValues(_.toList).toMap ==
         e.refs.view.mapValues(_.toList).toMap)
     }
+  }
+
+  test("typed list elements survive the EGDM round-trip verbatim") {
+    import org.json4s.jackson.JsonMethods
+    // the reference layer passes EGDM values through verbatim
+    // (neo4j.go UpdateNodeQueryTemplate, SET n = item) — an entity
+    // with "xs":[1,true,2.5,"x",null] must re-emit with the SAME
+    // JSON types, not ["1","true","2.5","x",null]
+    val line = """{"id":"urn:e1","deleted":false,""" +
+      """"props":{"urn:p#xs":[1,true,2.5,"x",null]},"refs":{}}"""
+    val e = EgdmCodec.parseLine(line)
+    assert(e.props("urn:p#xs").at.contains("lbdsn"))
+    val back = EgdmCodec.toJsonLine(e)
+    assert(JsonMethods.parse(back) \ "props" ==
+      JsonMethods.parse(line) \ "props")
   }
 
   private def freshStore(): GraphStore =
