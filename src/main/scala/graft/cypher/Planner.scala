@@ -1643,25 +1643,42 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       return
     }
     if (df == null) throw PlanError("CALL imports need bound variables")
-    c.imports.foreach(v =>
-      if (!env.get(v).contains(NodeVar)) throw PlanError(
-        s"CALL import $v must be a bound node variable"))
+    // node variables correlate by gid; VALUE variables (WITH aliases)
+    // correlate by their value column — `CALL { WITH a MATCH ...
+    // WHERE m.p > a ... }` works like the EXISTS{}/COUNT{} seeding
+    c.imports.foreach(v => env.get(v) match {
+      case Some(NodeVar) | Some(ValueVar(_)) => ()
+      case _ => throw PlanError(
+        s"CALL import $v must be a bound node or value variable")
+    })
     val keyCols = c.imports.zipWithIndex.map { case (v, i) =>
       v -> s"__call_k$i"
     }
+    // the per-import key column name, valid in the outer frame AND
+    // the seed (node: the gid column; value: its value column — props
+    // are map-typed and cannot be set-operated on, and gid determines
+    // a node binding)
+    def keyColName(v: String): String = env(v) match {
+      case ValueVar(cn) => cn
+      case _ => s"${v}__gid"
+    }
     // the seed: imported columns of the outer frame, one row per
-    // distinct key (dedup by gid — props are map-typed and cannot be
-    // set-operated on, and gid determines the binding)
-    val importCols = c.imports.flatMap(v =>
-      df.columns.filter(_.startsWith(s"${v}__")).toSeq)
+    // distinct key
+    val importCols = c.imports.flatMap(v => env(v) match {
+      case ValueVar(cn) => Seq(cn)
+      case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
+    })
     val seed = df.select(importCols.map(cn => col(quote(cn))): _*)
-      .dropDuplicates(c.imports.map(v => s"${v}__gid"))
+      .dropDuplicates(c.imports.map(keyColName))
     val seedKeys = seed.select(keyCols.map { case (v, k) =>
-      col(s"${v}__gid").as(k) }: _*)
+      col(quote(keyColName(v))).as(k) }: _*)
     def planSeeded(part: Query): DataFrame = {
       val pl = new Planner(store, params)
       pl.df = seed
-      pl.env = c.imports.map(v => v -> (pl.NodeVar: pl.VarKind)).toMap
+      pl.env = c.imports.map(v => v -> (env(v) match {
+        case ValueVar(cn) => pl.ValueVar(cn): pl.VarKind
+        case _ => pl.NodeVar: pl.VarKind
+      })).toMap
       pl.planSingle(part)
     }
     val names = q.items.map(_.name)
@@ -1677,7 +1694,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         s"UNION parts must return the same columns: $names vs $partNames")
       val withKeys = part.copy(
         items = part.items ++ keyCols.map { case (v, k) =>
-          ReturnItem(PropRef(v, "gid"), Some(k)) },
+          val keyExpr: Expr = env(v) match {
+            case ValueVar(_) => VarRef(v)
+            case _ => PropRef(v, "gid")
+          }
+          ReturnItem(keyExpr, Some(k)) },
         orderBy = Nil, skip = None, limit = None, unions = Nil)
       var f = planSeeded(withKeys)
       // an aggregate-only UNION part yields one row per invocation
@@ -1719,7 +1740,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .drop("__call_rn")
     }
     val cond = keyCols.map { case (v, k) =>
-      col(s"${v}__gid") === col(quote(k))
+      col(quote(keyColName(v))) === col(quote(k))
     }.reduce(_ && _)
     // aggregate-only body: one row per invocation, zero matches
     // included — left join + neutral values (see scaladoc)

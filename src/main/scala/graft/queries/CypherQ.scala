@@ -405,6 +405,19 @@ DETACH DELETE n
              count(*) > 3 XOR n.name ENDS WITH '1' AS flag
            ORDER BY nation""")),
 
+    // CALL subquery importing a VALUE variable (round 8): bal is a
+    // WITH alias seeded into the body's frame; aggregate-only body
+    // yields one row per invocation (zero matches => 0).
+    "cypher_call_value" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[:located_in]->(n:Nation {name: 'NATION_5'})
+           WITH c.gid AS gid, toFloat(c.acctbal) AS bal
+           CALL { WITH bal
+                  MATCH (o:Customer)-[:located_in]->(m:Nation {name: 'NATION_5'})
+                  WHERE o.acctbal > bal
+                  RETURN count(*) AS richer }
+           RETURN gid, richer ORDER BY gid""")),
+
     // GQL quantified path pattern with inner GROUP variables (round
     // 8): ((x)-[r:..]->(y)){2,2} binds x/y as per-iteration gid lists
     // and r as the relationship list — flattened to '|'-joined strings
@@ -651,6 +664,14 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE c_name LIKE '%7'
          GROUP BY n_name ORDER BY nation""",
+    "cypher_call_value" ->
+      """SELECT 'c:'||c.c_custkey AS gid,
+         (SELECT COUNT(*) FROM customer o JOIN nation m
+            ON o.c_nationkey = m.n_nationkey
+          WHERE m.n_name = 'NATION_5' AND o.c_acctbal > c.c_acctbal)
+           AS richer
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_5' ORDER BY gid""",
     "cypher_qpp_group" ->
       """SELECT 'c:'||c_custkey AS gid,
          '|c:'||c_custkey||'|n:'||c_nationkey AS xs,

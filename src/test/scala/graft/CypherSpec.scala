@@ -3469,6 +3469,27 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(uErr.getMessage.contains("unicode escape"))
   }
 
+  test("CALL subquery imports VALUE variables") {
+    // `a` is a WITH alias — the CALL body seeds its column and keys
+    // the join back per outer row (aggregate-only body: one row per
+    // invocation even with zero matches)
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) WITH n, n.age AS a
+         CALL { WITH a MATCH (m:Person) WHERE m.age > a
+                RETURN count(*) AS older }
+         RETURN n.gid AS gid, older ORDER BY gid""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:p1", 2L), ("urn:p2", 1L), ("urn:p3", 0L)))
+    // mixed node + value imports, non-aggregate body
+    val mixed = CypherEngine.query(store,
+      """MATCH (n:Person) WITH n, n.age AS a
+         CALL { WITH n, a MATCH (n)-[:knows]->(k)
+                RETURN k.gid AS kg }
+         RETURN n.gid AS gid, kg ORDER BY gid""").collect()
+    assert(mixed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("urn:p2", "urn:p1")))
+  }
+
   test("valueType() reports list types for list-valued properties") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-vtl").toString, spark, 2)
