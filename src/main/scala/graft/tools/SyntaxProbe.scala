@@ -562,6 +562,82 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(110)}" }
       println(s"PROBE11 $tag: $res")
     }
+    // battery 12 (driver round 8): the new correlation/uniqueness/QPP
+    // surface under everyday composition, plus common idioms not yet
+    // probed
+    val probes12: Seq[(String, String)] = Seq(
+      "exists-value-in-with" ->
+        """MATCH (n:Nation) WITH n.name AS nm, n
+           WHERE EXISTS { MATCH (m:Nation) WHERE m.name = nm AND m.gid <> n.gid }
+           RETURN count(*) AS c""",
+      "count-corr-in-orderby" ->
+        """MATCH (n:Nation) WITH n.gid AS g, n.name AS nm
+           RETURN g, COUNT { (m:Nation) WHERE m.name < nm } AS smaller
+           ORDER BY smaller DESC, g LIMIT 3""",
+      "qpp-group-in-where" ->
+        """MATCH (a:Nation {gid: 'n:1'}) ((x)-[r:in_region]->(y)){1,1} (c)
+           WHERE size(r) = 1 RETURN y[0] AS first""",
+      "qpp-group-unwind" ->
+        """MATCH (a:Nation {gid: 'n:1'}) ((x)-[r:in_region]->(y)){1,1} (c)
+           UNWIND y AS yy RETURN yy""",
+      "uniq-undirected-pair" ->
+        """MATCH (a:Nation {gid: 'n:1'})-[r1]-(b)-[r2]-(c)
+           RETURN count(*) AS c""",
+      "call-value-plus-node" ->
+        """MATCH (n:Nation) WITH n, n.name AS nm
+           CALL { WITH n, nm MATCH (n)-[:in_region]->(m)
+                  RETURN nm + '>' + m.gid AS tag }
+           RETURN count(*) AS c""",
+      "call-star-with-values" ->
+        """MATCH (n:Nation {gid: 'n:1'}) WITH n, n.name AS nm
+           CALL (*) { MATCH (n)-[:in_region]->(m) RETURN m.gid AS mg }
+           RETURN nm, mg""",
+      "exists-nested-outer-val" ->
+        """WITH 'NATION_3' AS target
+           MATCH (n:Nation) WHERE EXISTS {
+             MATCH (n)-[:in_region]->(m) WHERE n.name = target }
+           RETURN n.gid AS g""",
+      "pattern-comp-value-proj" ->
+        """MATCH (n:Nation {gid: 'n:1'}) WITH n, 'X' AS mark
+           RETURN [(n)-[:in_region]->(m) | mark + m.gid] AS tags""",
+      "varlen-plus-fixed-uniq" ->
+        """MATCH (a:Nation {gid: 'n:1'})-[r1:in_region]->(b)<-[rs:in_region*1..1]-(c)
+           RETURN count(*) AS c""",
+      "with-star" ->
+        "MATCH (n:Nation {gid: 'n:1'}) WITH * RETURN n.gid AS g",
+      "with-limit-then-match" ->
+        """MATCH (n:Nation) WITH n ORDER BY n.gid LIMIT 1
+           MATCH (n)-[:in_region]->(m) RETURN m.gid AS m""",
+      "collect-unwind-nodes" ->
+        """MATCH (n:Nation) WITH collect(n) AS ns
+           UNWIND ns AS n RETURN count(*) AS c""",
+      "map-proj-star" ->
+        """MATCH (n:Nation {gid: 'n:1'}) RETURN n {.*} AS m""",
+      "orderby-case" ->
+        """MATCH (n:Nation) RETURN n.gid AS g
+           ORDER BY CASE WHEN n.gid = 'n:3' THEN 0 ELSE 1 END, g LIMIT 2""",
+      "distinct-return-nodes" ->
+        """MATCH (n:Nation)-[:in_region]->(m) RETURN DISTINCT m ORDER BY m""",
+      "string-fns-2" ->
+        """RETURN left('hello', 2) AS l, right('hello', 2) AS r,
+           replace('aXa', 'X', '-') AS rep, reverse('ab') AS rev""",
+      "list-concat-in" ->
+        "RETURN ([1,2] + [3])[2] AS v, 2 IN [1,2] AS m",
+      "percentile-disc" ->
+        """UNWIND [1.0, 2.0, 3.0, 4.0] AS x
+           RETURN percentileDisc(x, 0.5) AS p""",
+      "keys-size" ->
+        "MATCH (n:Nation {gid: 'n:1'}) RETURN size(keys(n)) AS k")
+    probes12.foreach { case (tag, q) =>
+      val res =
+        try {
+          // the PRISTINE store — earlier write batteries mutate wstore
+          val rows = CypherEngine.query(store, q).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(110)}" }
+      println(s"PROBE12 $tag: $res")
+    }
     // aggregates over DYNAMIC numeric props (canonical strings): a
     // lexicographic min/max would order "9" > "40" — probe VALUES too
     val cstore = graft.queries.GraphOnTpch.customerGraphStore(s,

@@ -3376,6 +3376,27 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(two.head.getLong(0) == 2L)
   }
 
+  test("relationship uniqueness spans comma-separated patterns") {
+    // one clause, two patterns: Neo4j's isomorphism covers BOTH, so
+    // r1 = r2 is excluded — 2 edges give 2 ordered distinct pairs
+    val rows = CypherEngine.query(cycleStore,
+      """MATCH (a)-[r1:knows]->(b), (c)-[r2:knows]->(d)
+         RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 2L)
+  }
+
+  test("relationship uniqueness inside OPTIONAL MATCH") {
+    // the vee is impossible on the 2-cycle (r2 would equal r1), so
+    // OPTIONAL MATCH binds ALL-null instead of fabricating c = a
+    val rows = CypherEngine.query(cycleStore,
+      """MATCH (a {name: 'a'})
+         OPTIONAL MATCH (a)-[r1:knows]->(b)<-[r2:knows]-(c)
+         RETURN a.gid AS gid, c.gid AS cg""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "urn:a")
+    assert(rows.head.isNullAt(1))
+  }
+
   test("uniqueness is per MATCH clause, not across clauses") {
     // the same edge may bind in two DIFFERENT MATCH clauses (Neo4j
     // scopes isomorphism to one clause)
