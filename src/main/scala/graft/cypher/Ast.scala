@@ -76,13 +76,20 @@ object Ast {
     * pattern predicate — true when the pattern matches at least once
     * for the row's bindings; usable only as a (possibly NOT-negated)
     * top-level WHERE conjunct, where it plans as a semi/anti join */
+  /** `full` (Neo4j 5): the body is a whole regular query (multiple
+    * MATCHes, WITH stages, UNWIND …) instead of a single pattern —
+    * `pattern`/`where` are unused dummies then. Outer variables are
+    * auto-imported, as Neo4j scopes these subqueries. */
   case class PatternPred(pattern: PathPattern,
-      where: Option[Expr] = None) extends Expr
+      where: Option[Expr] = None,
+      full: Option[Query] = None) extends Expr
   /** `COUNT { [MATCH] pattern [WHERE …] }` — the number of pattern
     * matches per row (a correlated count, NOT a grouping aggregate);
-    * usable as a RETURN/WITH item or compared in a WHERE conjunct */
+    * usable as a RETURN/WITH item or compared in a WHERE conjunct.
+    * `full` as on [[PatternPred]]. */
   case class CountSub(pattern: PathPattern,
-      where: Option[Expr] = None) extends Expr
+      where: Option[Expr] = None,
+      full: Option[Query] = None) extends Expr
   /** `[(n)-[:T]->(m) WHERE pred | proj]` pattern comprehension — the
     * projection evaluated over every match of the pattern for the
     * row's bindings, as a list (the collect-subquery idiom; empty

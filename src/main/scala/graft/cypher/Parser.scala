@@ -184,7 +184,8 @@ object Parser {
     first.copy(unions = unions.result())
   }
 
-  private def parseQuery(p: P): Ast.Query = {
+  private def parseQuery(p: P, returnOptional: Boolean = false)
+      : Ast.Query = {
     val clauses = Seq.newBuilder[Ast.Clause]
     var sawAny = false
     var sawWrite = false
@@ -439,7 +440,7 @@ object Parser {
         val (orderBy, skip, limit) = parseTail(p)
         Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
       case None | Some(Kw("UNION")) | Some(Sym("}")) =>
-        if (sawWrite)
+        if (sawWrite || returnOptional)
           Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None)
         else if (!sawAny)
           throw ParseException("query must start with MATCH/UNWIND")
@@ -612,15 +613,31 @@ object Parser {
   private def parseBound(p: P): Ast.Expr = parseAddSub(p)
 
   /** `{ [MATCH] pattern [WHERE expr] }` — the EXISTS/COUNT subquery
-    * body */
-  private def parseSubqueryBody(p: P): (Ast.PathPattern, Option[Ast.Expr]) = {
+    * body. Falls back to a FULL regular query body (Neo4j 5:
+    * `EXISTS { MATCH … WITH … MATCH … }`) when the classic
+    * single-pattern form doesn't parse to the closing brace.
+    */
+  private def parseSubqueryBody(p: P)
+      : (Ast.PathPattern, Option[Ast.Expr], Option[Ast.Query]) = {
     p.expectSym("{")
-    p.tryKw("MATCH")
-    val pat = parsePattern(p)
-    val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
-    p.expectSym("}")
-    (pat, (inlineWhere(pat).toSeq ++ whereE.toSeq)
-      .reduceOption(Ast.And(_, _)))
+    val saved = p.toks
+    try {
+      p.tryKw("MATCH")
+      val pat = parsePattern(p)
+      val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+      p.expectSym("}")
+      (pat, (inlineWhere(pat).toSeq ++ whereE.toSeq)
+        .reduceOption(Ast.And(_, _)), None)
+    } catch {
+      case _: ParseException =>
+        p.toks = saved
+        // RETURN is optional in these bodies (`EXISTS { MATCH … WITH
+        // … MATCH … }` — the row count is the semantics)
+        val q = parseQuery(p, returnOptional = true)
+        p.expectSym("}")
+        (Ast.PathPattern(Ast.NodePattern(None, None, Nil), Nil),
+          None, Some(q))
+    }
   }
 
   /** quantified predicate body: `(x IN list WHERE pred)` */
@@ -1189,9 +1206,10 @@ object Parser {
         Ast.CaseExpr(None, searched, els)
       }
     case Kw("COUNT") if p.peek.contains(Sym("{")) =>
-      // COUNT { [MATCH] pattern [WHERE …] } — correlated match count
-      val (pat, whereE) = parseSubqueryBody(p)
-      Ast.CountSub(pat, whereE)
+      // COUNT { [MATCH] pattern [WHERE …] } — correlated match count;
+      // or a full regular-query body (Neo4j 5)
+      val (pat, whereE, full) = parseSubqueryBody(p)
+      Ast.CountSub(pat, whereE, full)
     case Kw("COLLECT") if p.peek.contains(Sym("{")) =>
       // COLLECT { [MATCH] pattern [WHERE …] RETURN expr } (Neo4j 5.6)
       // — the list-valued member of the COUNT{}/EXISTS{} family; the
@@ -1246,9 +1264,10 @@ object Parser {
       Ast.ReduceExpr(acc, init, v, listE, body)
     case Ident(fn) if fn.equalsIgnoreCase("exists") &&
         p.peek.contains(Sym("{")) =>
-      // EXISTS { [MATCH] pattern [WHERE …] } — Neo4j 5 form
-      val (pat, whereE) = parseSubqueryBody(p)
-      Ast.PatternPred(pat, whereE)
+      // EXISTS { [MATCH] pattern [WHERE …] } — Neo4j 5 form; or a
+      // full regular-query body
+      val (pat, whereE, full) = parseSubqueryBody(p)
+      Ast.PatternPred(pat, whereE, full)
     case Ident(fn) if fn.equalsIgnoreCase("exists") &&
         p.peek.contains(Sym("(")) &&
         p.toks.drop(1).headOption.contains(Sym("(")) =>

@@ -1535,9 +1535,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case x => Seq(x)
     }
     conjuncts(w).foreach {
-      case PatternPred(pat, sw) =>
+      // full-query bodies lower through the per-key row count (a null
+      // seeded value gives count 0 — exists() FALSE, as in Neo4j).
+      // planFullSubCount MUTATES df (adds the join) — evaluate it
+      // BEFORE re-reading df for the filter
+      case PatternPred(_, _, Some(q)) =>
+        val c = planFullSubCount(q)
+        df = df.filter(c > 0)
+      case Not(PatternPred(_, _, Some(q))) =>
+        val c = planFullSubCount(q)
+        df = df.filter(c === 0)
+      case PatternPred(pat, sw, None) =>
         applyPatternPred(pat, sw, negated = false)
-      case Not(PatternPred(pat, sw)) =>
+      case Not(PatternPred(pat, sw, None)) =>
         applyPatternPred(pat, sw, negated = true)
       case Cmp(op, cs: CountSub, r) =>
         val c = planSubCount(cs)
@@ -2048,7 +2058,101 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * rows (absent key = 0). Mutates df (adds the join); returns the
     * count column.
     */
+  /** full regular-query EXISTS/COUNT body (Neo4j 5): the body plans
+    * in a sub-planner SEEDED with every user-named outer node/value
+    * binding (Neo4j auto-imports the outer scope into these
+    * subqueries), the correlation keys are threaded through EVERY
+    * WITH stage (which also makes inner aggregation/DISTINCT scope
+    * per invocation — exactly Neo4j's semantics), and the result is
+    * the per-key row count, 0 for invocations with no rows.
+    * Supported subset: read-only, no UNION, no body-level
+    * DISTINCT/ORDER BY/SKIP/LIMIT, no aggregates in the body's own
+    * RETURN (an aggregate RETURN pins cardinality at one row, which
+    * makes EXISTS vacuous — rejected with a pointer).
+    */
+  private def planFullSubCount(q: Query): Column = {
+    if (q.unions.nonEmpty)
+      throw PlanError("EXISTS/COUNT subquery bodies do not take UNION")
+    if (q.clauses.exists(_.isInstanceOf[WriteClauseT]))
+      throw PlanError("EXISTS/COUNT subquery bodies are read-only")
+    if (q.distinct || q.orderBy.nonEmpty || q.skip.nonEmpty ||
+        q.limit.nonEmpty)
+      throw PlanError("EXISTS/COUNT subquery bodies do not take " +
+        "DISTINCT/ORDER BY/SKIP/LIMIT — the row count is unaffected " +
+        "or ill-defined per invocation")
+    if (q.items.exists(i => containsAgg(i.expr)))
+      throw PlanError("an aggregate RETURN inside EXISTS/COUNT fixes " +
+        "the row count at one — aggregate in the OUTER query instead")
+    q.clauses.foreach {
+      case w: WithClause if w.skip.nonEmpty || w.limit.nonEmpty =>
+        throw PlanError(
+          "WITH … SKIP/LIMIT inside EXISTS/COUNT bodies is unsupported")
+      case _ => ()
+    }
+    if (df == null)
+      throw PlanError("EXISTS/COUNT subqueries need bound rows")
+    val tag = fresh("fsub")
+    // auto-import: every user-named node/value binding of the outer
+    // scope (rel/path bindings are not seedable — a body referencing
+    // one fails with an unknown-variable pointer)
+    val imports = env.toSeq.collect {
+      case (v, NodeVar) if !v.startsWith("__") => v
+      case (v, ValueVar(_)) if !v.startsWith("__") => v
+    }.sorted
+    if (imports.isEmpty) throw PlanError(
+      "EXISTS/COUNT subquery bodies need at least one outer binding")
+    def keyColName(v: String): String = env(v) match {
+      case ValueVar(cn) => cn
+      case _ => s"${v}__gid"
+    }
+    def keyExpr(v: String): Expr = env(v) match {
+      case ValueVar(_) => VarRef(v)
+      case _ => PropRef(v, "gid")
+    }
+    val keyCols = imports.zipWithIndex.map { case (v, i) =>
+      v -> s"__${tag}_k$i"
+    }
+    val importCols = imports.flatMap(v => env(v) match {
+      case ValueVar(cn) => Seq(cn)
+      case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
+    })
+    val seed = df.select(importCols.map(cn => col(quote(cn))): _*)
+      .dropDuplicates(imports.map(keyColName))
+    // thread the keys through every WITH stage: the first carries the
+    // key expression, later stages (where the source vars may be
+    // projected away) re-carry the key alias — and an aggregating or
+    // DISTINCT WITH now groups/dedups PER INVOCATION for free
+    var carried = false
+    def keyItems: Seq[ReturnItem] = keyCols.map { case (v, k) =>
+      ReturnItem(if (carried) VarRef(k) else keyExpr(v), Some(k))
+    }
+    val clauses2 = q.clauses.map {
+      case w: WithClause =>
+        val w2 = w.copy(items = w.items ++ keyItems)
+        carried = true
+        w2
+      case c => c
+    }
+    val qc = q.copy(clauses = clauses2, items = keyItems :+
+      ReturnItem(FuncCall("count", Seq(Star), distinct = false),
+        Some(s"__${tag}_cnt")))
+    val pl = new Planner(store, params)
+    pl.df = seed
+    pl.env = imports.map(v => v -> (env(v) match {
+      case ValueVar(cn) => pl.ValueVar(cn): pl.VarKind
+      case _ => pl.NodeVar: pl.VarKind
+    })).toMap
+    val grouped = pl.planSingle(qc)
+    val cond = keyCols.map { case (v, k) =>
+      col(quote(keyColName(v))) === col(quote(k))
+    }.reduce(_ && _)
+    df = df.join(grouped, cond, "left_outer")
+      .drop(keyCols.map(_._2): _*)
+    coalesce(col(s"__${tag}_cnt"), lit(0L))
+  }
+
   private def planSubCount(cs: CountSub): Column = {
+    cs.full.foreach(q => return planFullSubCount(q))
     val (subDf, nodeKeys, seedKeys, _) =
       planSubPattern(cs.pattern, cs.where, "COUNT { }")
     val keys = nodeKeys ++ seedKeys
@@ -2242,7 +2346,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           ReturnItem(VarRef(nm), Some(it.alias.getOrElse("count")))
         case pp: PatternPred =>
           val nm = fresh("escol")
-          val c = planSubCount(CountSub(pp.pattern, pp.where))
+          val c = planSubCount(CountSub(pp.pattern, pp.where, pp.full))
           df = df.withColumn(s"${nm}__value", c > 0)
           env += nm -> ValueVar(s"${nm}__value")
           ReturnItem(VarRef(nm), Some(it.alias.getOrElse("exists")))
@@ -3903,9 +4007,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       aggregate(listC, initC,
         (a, x) => withLambdaHints(hints: _*)(
           withLambda(acc -> a, v -> x)(valueCol(bodyE))))
-    case PatternPred(_, _) => throw PlanError(
+    case PatternPred(_, _, _) => throw PlanError(
       "exists(pattern) is supported as a WHERE conjunct or a bare RETURN/WITH item")
-    case CountSub(_, _) => throw PlanError(
+    case CountSub(_, _, _) => throw PlanError(
       "COUNT { } is supported as a bare RETURN/WITH item or compared in a WHERE conjunct")
     case c: Cmp => toPredicate(c)
     case a: And => toPredicate(a)

@@ -405,6 +405,21 @@ DETACH DELETE n
              count(*) > 3 XOR n.name ENDS WITH '1' AS flag
            ORDER BY nation""")),
 
+    // FULL regular-query COUNT{} body (round 8, Neo4j 5): multi-clause
+    // body (MATCH -> WITH -> MATCH) auto-importing the outer n; the
+    // WITH stage carries the correlation key, so the count scopes per
+    // nation. Counts ordered (poorer, richer) customer pairs per
+    // nation — the DuckDB oracle replays the self-join.
+    "cypher_count_full" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           RETURN n.name AS nation,
+             COUNT { MATCH (c:Customer)-[:located_in]->(n)
+                     WITH c, n
+                     MATCH (c2:Customer)-[:located_in]->(n)
+                     WHERE c2.acctbal > c.acctbal } AS pairs
+           ORDER BY nation""")),
+
     // CALL subquery importing a VALUE variable (round 8): bal is a
     // WITH alias seeded into the body's frame; aggregate-only body
     // yields one row per invocation (zero matches => 0).
@@ -664,6 +679,13 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE c_name LIKE '%7'
          GROUP BY n_name ORDER BY nation""",
+    "cypher_count_full" ->
+      """SELECT n_name AS nation,
+         (SELECT COUNT(*) FROM customer a JOIN customer b
+            ON a.c_nationkey = n.n_nationkey
+           AND b.c_nationkey = n.n_nationkey
+           AND b.c_acctbal > a.c_acctbal) AS pairs
+         FROM nation n ORDER BY nation""",
     "cypher_call_value" ->
       """SELECT 'c:'||c.c_custkey AS gid,
          (SELECT COUNT(*) FROM customer o JOIN nation m

@@ -3490,6 +3490,44 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(uErr.getMessage.contains("unicode escape"))
   }
 
+  test("EXISTS/COUNT with FULL regular-query bodies") {
+    // multi-clause body: MATCH … WITH … WHERE — the outer n is auto-
+    // imported; the WITH stage carries the correlation key through
+    val ex = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE EXISTS { MATCH (n)-[:knows]->(k)
+                        WITH k.name AS kn
+                        MATCH (m:Person) WHERE m.name = kn }
+         RETURN n.gid AS gid""").collect()
+    assert(ex.map(_.getString(0)).toSeq == Seq("urn:p2"))
+    // COUNT with a WITH stage and a second MATCH: per-person count of
+    // (employer, colleague) rows — p1/p2 share c1, so each sees the
+    // other (and themself): 2 rows each; p3 has no employer: 0
+    val ct = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN n.gid AS gid,
+           COUNT { MATCH (n)-[:worksfor]->(e)
+                   WITH e MATCH (o:Person)-[:worksfor]->(e)
+                   RETURN o } AS c
+         ORDER BY gid""").collect()
+    assert(ct.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:p1", 2L), ("urn:p2", 2L), ("urn:p3", 0L)))
+    // UNWIND inside the body; NOT EXISTS over the full body
+    val un = CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE NOT EXISTS { UNWIND [1, 2] AS x
+                            MATCH (n)-[:knows]->(k)
+                            RETURN x }
+         RETURN count(*) AS c""").collect()
+    assert(un.head.getLong(0) == 2L) // p1 and p3 know nobody
+    // aggregate RETURN in the body is rejected with a pointer
+    val err = intercept[Exception](CypherEngine.query(store,
+      """MATCH (n:Person)
+         WHERE EXISTS { MATCH (m) RETURN count(*) }
+         RETURN n""").collect())
+    assert(err.getMessage.contains("aggregate"))
+  }
+
   test("CALL subquery imports VALUE variables") {
     // `a` is a WITH alias — the CALL body seeds its column and keys
     // the join back per outer row (aggregate-only body: one row per
