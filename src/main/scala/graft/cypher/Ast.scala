@@ -96,8 +96,11 @@ object Ast {
     * list when nothing matches). The projection is mandatory
     * (openCypher grammar — without `|` the text is a list literal).
     */
+  /** `full` (Neo4j 5): a whole-query COLLECT{} body — the body's
+    * single RETURN item is the collected projection; pattern/where/
+    * proj are unused dummies then. */
   case class PatternComp(pattern: PathPattern, where: Option[Expr],
-      proj: Expr) extends Expr
+      proj: Expr, full: Option[Query] = None) extends Expr
 
   /** property values may be literals OR expressions (parameters,
     * `item.k` property references) — the reference's own templates

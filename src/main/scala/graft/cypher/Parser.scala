@@ -1214,17 +1214,30 @@ object Parser {
       // COLLECT { [MATCH] pattern [WHERE …] RETURN expr } (Neo4j 5.6)
       // — the list-valued member of the COUNT{}/EXISTS{} family; the
       // MATCH/WHERE/RETURN-expression subset lowers exactly like a
-      // pattern comprehension [pattern WHERE pred | proj]
+      // pattern comprehension [pattern WHERE pred | proj]; a body
+      // that doesn't fit falls back to a FULL regular query whose
+      // single RETURN item is the collected projection
       p.expectSym("{")
-      p.tryKw("MATCH")
-      val pat = parsePattern(p)
-      val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
-      p.expectKw("RETURN")
-      val proj = parseExpr(p)
-      p.expectSym("}")
-      Ast.PatternComp(pat,
-        (inlineWhere(pat).toSeq ++ whereE.toSeq).reduceOption(Ast.And(_, _)),
-        proj)
+      val savedCollect = p.toks
+      try {
+        p.tryKw("MATCH")
+        val pat = parsePattern(p)
+        val whereE = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
+        p.expectKw("RETURN")
+        val proj = parseExpr(p)
+        p.expectSym("}")
+        Ast.PatternComp(pat,
+          (inlineWhere(pat).toSeq ++ whereE.toSeq)
+            .reduceOption(Ast.And(_, _)),
+          proj)
+      } catch {
+        case _: ParseException =>
+          p.toks = savedCollect
+          val q = parseQuery(p) // RETURN mandatory for COLLECT
+          p.expectSym("}")
+          Ast.PatternComp(Ast.PathPattern(Ast.NodePattern(None, None, Nil),
+            Nil), None, Ast.Lit(null), Some(q))
+      }
     case Kw(fn) if Set("COLLECT", "COUNT", "SUM", "AVG", "MIN", "MAX")
         .contains(fn) =>
       p.expectSym("(")

@@ -2070,27 +2070,38 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * RETURN (an aggregate RETURN pins cardinality at one row, which
     * makes EXISTS vacuous — rejected with a pointer).
     */
-  private def planFullSubCount(q: Query): Column = {
+  /** the per-import key column name (valid in the outer frame AND the
+    * seed): a node's gid column, a value variable's value column */
+  private def fullSubKeyCol(v: String): String = env(v) match {
+    case ValueVar(cn) => cn
+    case _ => s"${v}__gid"
+  }
+
+  /** shared machinery for full-query subquery bodies: validate, seed
+    * ALL user-named outer node/value bindings, thread the correlation
+    * keys through every WITH stage, and plan the body's binding rows
+    * with `proj` (if any) evaluated in the sub scope. Returns the
+    * per-row frame (key aliases + proj alias) and the key mapping.
+    */
+  private def planFullSubRows(q: Query, proj: Option[ReturnItem],
+      what: String): (DataFrame, Seq[(String, String)]) = {
     if (q.unions.nonEmpty)
-      throw PlanError("EXISTS/COUNT subquery bodies do not take UNION")
+      throw PlanError(s"$what subquery bodies do not take UNION")
     if (q.clauses.exists(_.isInstanceOf[WriteClauseT]))
-      throw PlanError("EXISTS/COUNT subquery bodies are read-only")
+      throw PlanError(s"$what subquery bodies are read-only")
     if (q.distinct || q.orderBy.nonEmpty || q.skip.nonEmpty ||
         q.limit.nonEmpty)
-      throw PlanError("EXISTS/COUNT subquery bodies do not take " +
-        "DISTINCT/ORDER BY/SKIP/LIMIT — the row count is unaffected " +
+      throw PlanError(s"$what subquery bodies do not take " +
+        "DISTINCT/ORDER BY/SKIP/LIMIT — the result is unaffected " +
         "or ill-defined per invocation")
-    if (q.items.exists(i => containsAgg(i.expr)))
-      throw PlanError("an aggregate RETURN inside EXISTS/COUNT fixes " +
-        "the row count at one — aggregate in the OUTER query instead")
     q.clauses.foreach {
       case w: WithClause if w.skip.nonEmpty || w.limit.nonEmpty =>
         throw PlanError(
-          "WITH … SKIP/LIMIT inside EXISTS/COUNT bodies is unsupported")
+          s"WITH … SKIP/LIMIT inside $what bodies is unsupported")
       case _ => ()
     }
     if (df == null)
-      throw PlanError("EXISTS/COUNT subqueries need bound rows")
+      throw PlanError(s"$what subqueries need bound rows")
     val tag = fresh("fsub")
     // auto-import: every user-named node/value binding of the outer
     // scope (rel/path bindings are not seedable — a body referencing
@@ -2100,11 +2111,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case (v, ValueVar(_)) if !v.startsWith("__") => v
     }.sorted
     if (imports.isEmpty) throw PlanError(
-      "EXISTS/COUNT subquery bodies need at least one outer binding")
-    def keyColName(v: String): String = env(v) match {
-      case ValueVar(cn) => cn
-      case _ => s"${v}__gid"
-    }
+      s"$what subquery bodies need at least one outer binding")
     def keyExpr(v: String): Expr = env(v) match {
       case ValueVar(_) => VarRef(v)
       case _ => PropRef(v, "gid")
@@ -2117,7 +2124,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
     })
     val seed = df.select(importCols.map(cn => col(quote(cn))): _*)
-      .dropDuplicates(imports.map(keyColName))
+      .dropDuplicates(imports.map(fullSubKeyCol))
     // thread the keys through every WITH stage: the first carries the
     // key expression, later stages (where the source vars may be
     // projected away) re-carry the key alias — and an aggregating or
@@ -2133,22 +2140,65 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         w2
       case c => c
     }
-    val qc = q.copy(clauses = clauses2, items = keyItems :+
-      ReturnItem(FuncCall("count", Seq(Star), distinct = false),
-        Some(s"__${tag}_cnt")))
+    val qc = q.copy(clauses = clauses2, items = keyItems ++ proj.toSeq)
     val pl = new Planner(store, params)
     pl.df = seed
     pl.env = imports.map(v => v -> (env(v) match {
       case ValueVar(cn) => pl.ValueVar(cn): pl.VarKind
       case _ => pl.NodeVar: pl.VarKind
     })).toMap
-    val grouped = pl.planSingle(qc)
+    (pl.planSingle(qc), keyCols)
+  }
+
+  /** full regular-query EXISTS/COUNT body (Neo4j 5): the per-key row
+    * count, 0 for invocations with no rows. Aggregate RETURNs are
+    * rejected (they pin cardinality at one row, making EXISTS
+    * vacuous). Mutates df (adds the join); returns the count column.
+    */
+  private def planFullSubCount(q: Query): Column = {
+    if (q.items.exists(i => containsAgg(i.expr)))
+      throw PlanError("an aggregate RETURN inside EXISTS/COUNT fixes " +
+        "the row count at one — aggregate in the OUTER query instead")
+    val (rows, keyCols) =
+      planFullSubRows(q.copy(items = Nil), None, "EXISTS/COUNT")
+    val cnt = s"${fresh("fcnt")}__c"
+    val grouped = rows.groupBy(keyCols.map(k => col(k._2)): _*)
+      .agg(count(lit(1)).as(cnt))
     val cond = keyCols.map { case (v, k) =>
-      col(quote(keyColName(v))) === col(quote(k))
+      col(quote(fullSubKeyCol(v))) === col(quote(k))
     }.reduce(_ && _)
     df = df.join(grouped, cond, "left_outer")
       .drop(keyCols.map(_._2): _*)
-    coalesce(col(s"__${tag}_cnt"), lit(0L))
+    coalesce(col(quote(cnt)), lit(0L))
+  }
+
+  /** full regular-query COLLECT body (Neo4j 5.6): the body's single
+    * RETURN expression collected per invocation (value-sorted, like
+    * pattern comprehensions; empty list when nothing matches).
+    * Mutates df (adds the join); returns the list column.
+    */
+  private def planFullSubCollect(q: Query): Column = {
+    val item = q.items match {
+      case Seq(i) => i
+      case _ => throw PlanError(
+        "COLLECT { } bodies must RETURN exactly one expression")
+    }
+    if (containsAgg(item.expr))
+      throw PlanError("an aggregate RETURN inside COLLECT { } is not " +
+        "supported — aggregate in the OUTER query instead")
+    val proj = s"${fresh("fcol")}__p"
+    val (rows, keyCols) = planFullSubRows(q.copy(items = Nil),
+      Some(ReturnItem(item.expr, Some(proj))), "COLLECT")
+    val lst = s"${fresh("fcol")}__l"
+    val grouped = rows.groupBy(keyCols.map(k => col(k._2)): _*)
+      .agg(sort_array(collect_list(col(quote(proj)))).as(lst))
+    val cond = keyCols.map { case (v, k) =>
+      col(quote(fullSubKeyCol(v))) === col(quote(k))
+    }.reduce(_ && _)
+    df = df.join(grouped, cond, "left_outer")
+      .drop(keyCols.map(_._2): _*)
+    val elemType = grouped.schema(lst).dataType
+    coalesce(col(quote(lst)), array().cast(elemType))
   }
 
   private def planSubCount(cs: CountSub): Column = {
@@ -2175,6 +2225,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * Mutates df (adds the join); returns the list column.
     */
   private def planPatternComp(pc: PatternComp): Column = {
+    pc.full.foreach(q => return planFullSubCollect(q))
     val (subDf0, nodeKeys, seedKeys, subEnv) = planSubPattern(
       pc.pattern, pc.where, "pattern comprehension", Seq(pc.proj))
     val keys = nodeKeys ++ seedKeys

@@ -3528,6 +3528,22 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(err.getMessage.contains("aggregate"))
   }
 
+  test("COLLECT {} with a FULL regular-query body") {
+    // multi-clause body: colleagues via the shared employer, collected
+    // per person (value-sorted; empty list when no employer)
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN n.gid AS gid,
+           COLLECT { MATCH (n)-[:worksfor]->(e)
+                     WITH e MATCH (o:Person)-[:worksfor]->(e)
+                     RETURN o.name } AS who
+         ORDER BY gid""").collect()
+    assert(rows.map(r => (r.getString(0), r.getSeq[String](1))).toSeq ==
+      Seq(("urn:p1", Seq("brian", "jane")),
+        ("urn:p2", Seq("brian", "jane")),
+        ("urn:p3", Seq())))
+  }
+
   test("CALL subquery imports VALUE variables") {
     // `a` is a WITH alias — the CALL body seeds its column and keys
     // the join back per outer row (aggregate-only body: one row per
