@@ -221,6 +221,70 @@ object EventStreams {
       }
   }
 
+  case class SimPair(da: Long, db: Long, hamming: Long)
+
+  /** Streaming 64-bit SimHash near-dup detection — the streaming twin
+    * of the batch dedup_simhash_pairs (TextOps). The simhash computes
+    * PER ROW (the 64 bit votes fold over the row's distinct-token
+    * array with the exact arithmetic of the batch aggregate: same md5
+    * halves, same `2·ones > n` vote rule), so no streaming aggregation
+    * is needed; each doc lands in its 4 16-bit band buckets and
+    * flatMapGroupsWithState keyed by (band, value) verifies exact
+    * hamming ≤ 3 against prior bucket members — banding keeps the
+    * pigeonhole recall guarantee, and 65536 buckets per band keep
+    * per-bucket state small at corpus scale. A pair agreeing on
+    * several bands emits once per band; the consumer distincts (the
+    * batch side's `.distinct()`). State per bucket is the member
+    * (id, simhash) list — RocksDB-spillable, sharded by bucket exactly
+    * like the batch band self-join shuffles.
+    */
+  def simhashPairs(docs: Dataset[DocEvent]): Dataset[SimPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = array_distinct(split(trim(col("text")), "\\s+"))
+    val th = transform(toks, t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("vh"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("vl")))
+    val n = size(th)
+    val sim = (0 until 64).map { j =>
+      val ones = size(filter(th, v => shiftright(
+        if (j < 32) v.getField("vh") else v.getField("vl"),
+        31 - j % 32).bitwiseAND(1) === 1))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .withColumn("simhash", sim)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("doc_id"), col("simhash"),
+        concat_ws(":", col("k"),
+          expr("shiftright(simhash, 16*k) & 65535")).as("bucket"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Long)], SimPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, Long, String)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[SimPair]
+          // doc_id order within the micro-batch for determinism
+          rows.map(r => (r._1, r._2)).toSeq.distinct.sortBy(_._1)
+            .foreach { case (d, h) =>
+              if (!members.exists(_._1 == d)) {
+                members.foreach { case (pd, ph) =>
+                  val ham = java.lang.Long.bitCount(h ^ ph).toLong
+                  if (ham <= 3)
+                    out += (if (pd < d) SimPair(pd, d, ham)
+                      else SimPair(d, pd, ham))
+                }
+                members = (d, h) :: members
+              }
+            }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   case class DecontamVerdict(doc_id: Long, n_shingles: Long,
       n_hits: Long, overlap: Double, contaminated: Boolean)
 

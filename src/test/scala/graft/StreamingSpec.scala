@@ -145,6 +145,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed SimHash banding emits the batch near-dup pairs " +
+      "across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+      .select($"da".cast("long"), $"db".cast("long"),
+        $"hamming".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // three micro-batches: pairs spanning batch boundaries exercise
+    // the band-bucket state store, not just in-batch collisions
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.simhashPairs(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simhash_stream_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // multi-band collisions emit once per band — distinct like the
+    // batch side
+    val got = spark.table("simhash_stream_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("streamed decontamination verdicts match the batch operator " +
       "bit for bit") {
     val dir = "/root/testdata/sf0.001"
