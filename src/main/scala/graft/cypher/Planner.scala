@@ -1341,10 +1341,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * keys, stretch-vs-stretch is arrays_overlap. Pairs whose concrete
     * relationship-type sets are disjoint are skipped outright (their
     * edge keys cannot collide), so the ubiquitous typed two-hop chain
-    * pays nothing. Known gap: a shortestPath stretch planned on the
-    * array-free BFS fast path carries no edge keys, so cross-uniqueness
-    * against OTHER clause relationships is not enforced there (within
-    * the stretch it is — a minimal walk cannot repeat an edge).
+    * pays nothing — and a clause whose rel elements are pairwise
+    * type-disjoint disables the machinery entirely. When enforcement
+    * IS live, shortestPath stretches leave the BFS fast path for the
+    * enumerating expansion so their edge keys participate; the one
+    * remaining approximation is single-shortestPath's deterministic
+    * path choice (see the applyVarLengthHop caveat).
     */
   private case class BoundRel(ekey: Column, types: Option[Set[String]])
   private case class BoundStretch(pathCol: String, types: Option[Set[String]])
@@ -1365,7 +1367,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // their own clause scope mid-plan
     val saved = (clauseRelUniq, clauseFixedRels, clauseStretches,
       clauseRetained)
-    clauseRelUniq = m.patterns.map(_.hops.length).sum > 1
+    // enforcement is live only when two rel elements of the clause
+    // COULD bind the same edge — pairwise-disjoint concrete type sets
+    // (the ubiquitous typed chain) skip the whole machinery, which
+    // also keeps the shortestPath BFS fast path available there
+    val clauseRels = m.patterns.flatMap(_.hops.map(_._1))
+    clauseRelUniq = clauseRels.length > 1 &&
+      clauseRels.map(relTypeSet).combinations(2).exists {
+        case Seq(a, b) => typesMayOverlap(a, b)
+        case _ => false
+      }
     clauseFixedRels = Nil
     clauseStretches = Nil
     clauseRetained = Nil
@@ -2574,7 +2585,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
     val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
     var reach: DataFrame = null
-    if ((shortest || allShortest) && minH <= 1 && !mat) {
+    // MATCH-wide uniqueness needs the visited-edge keys, so a clause
+    // with potentially-overlapping other rels takes the enumerating
+    // expansion even for the shortest variants (rare — the common
+    // disjoint-typed clause keeps the BFS fast path)
+    if ((shortest || allShortest) && minH <= 1 && !mat && !clauseRelUniq) {
       // EARLY-TERMINATING BFS — the shortest variants never need the
       // path enumeration: a minimal-length walk cannot revisit a
       // vertex (removing the cycle would shorten it), so BFS levels
@@ -2652,12 +2667,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // stretch itself when the clause binds other relationships
       if (!mat && !clauseRelUniq) reach = reach.drop("__path")
       if (shortest) {
-        if (!mat)
+        if (!mat && !clauseRelUniq)
           // keep one minimal-length row per (start, end) pair — an
           // aggregate, not a window, so map-side partial mins apply
           reach = reach.groupBy(col("__start"), col("__end"))
             .agg(min(col("__hops")).as("__hops"))
         else {
+          // uniqueness enforcement needs the kept path's edge keys;
+          // caveat (shortest only): if the ONE deterministically-kept
+          // minimal path conflicts with another clause relationship,
+          // the row drops even where a different equal-length path
+          // would avoid the conflict — allShortestPaths checks every
+          // minimal path and has no such approximation
           // ONE minimal row per pair WITH its path — deterministic
           // tie-break on the edge-key array
           val w = org.apache.spark.sql.expressions.Window

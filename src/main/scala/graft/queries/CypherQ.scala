@@ -420,6 +420,20 @@ DETACH DELETE n
                      WHERE c2.acctbal > c.acctbal } AS pairs
            ORDER BY nation""")),
 
+    // FULL regular-query COLLECT{} body (round 8, Neo4j 5.6): the
+    // WITH-filtered body collects rich customer names per nation
+    // (value-sorted, empty when none), flattened via reduce() for the
+    // scalar-only gate.
+    "cypher_collect_full" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (n:Nation)
+           WITH n, COLLECT { MATCH (c:Customer)-[:located_in]->(n)
+                             WITH c WHERE c.acctbal > 9500
+                             RETURN c.name } AS rich
+           RETURN n.name AS nation,
+             reduce(s = '', x IN rich | s + '|' + x) AS rich
+           ORDER BY nation""")),
+
     // CALL subquery importing a VALUE variable (round 8): bal is a
     // WITH alias seeded into the body's frame; aggregate-only body
     // yields one row per invocation (zero matches => 0).
@@ -679,6 +693,14 @@ DETACH DELETE n
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE c_name LIKE '%7'
          GROUP BY n_name ORDER BY nation""",
+    "cypher_collect_full" ->
+      """SELECT n.n_name AS nation,
+         COALESCE('|' || array_to_string(
+           list(c.c_name ORDER BY c.c_name)
+             FILTER (WHERE c.c_name IS NOT NULL), '|'), '') AS rich
+         FROM nation n LEFT JOIN customer c
+           ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9500
+         GROUP BY 1 ORDER BY nation""",
     "cypher_count_full" ->
       """SELECT n_name AS nation,
          (SELECT COUNT(*) FROM customer a JOIN customer b

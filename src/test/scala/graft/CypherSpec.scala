@@ -3397,6 +3397,24 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(rows.head.isNullAt(1))
   }
 
+  test("shortestPath participates in MATCH-wide uniqueness") {
+    // r1 consumes a->b; shortest stretches from b: b->a (1 hop, the
+    // OTHER edge — kept) and b->a->b (2 hops, re-traverses r1 —
+    // dropped). The BFS fast path (no edge keys) would return 2.
+    val rows = CypherEngine.query(cycleStore,
+      """MATCH (x {name: 'a'})-[r1:knows]->(y),
+               p = shortestPath((y)-[:knows*1..2]->(z))
+         RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 1L)
+    // disjoint-typed clause: the machinery disengages and the BFS
+    // fast path still serves (count unchanged by enforcement)
+    val disjoint = CypherEngine.query(store,
+      """MATCH (a:Person {name: 'jane'})-[r1:worksfor]->(c),
+               p = shortestPath((a)-[:knows*1..2]->(z))
+         RETURN count(*) AS n""").collect()
+    assert(disjoint.head.getLong(0) == 1L) // jane -knows-> brian only
+  }
+
   test("uniqueness is per MATCH clause, not across clauses") {
     // the same edge may bind in two DIFFERENT MATCH clauses (Neo4j
     // scopes isomorphism to one clause)
