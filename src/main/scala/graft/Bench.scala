@@ -102,7 +102,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only a bounded stdout tail, which has
+    // truncated the per-query JSON in past rounds (BENCH_r07) — also
+    // persist the full line to a file so comparisons never need a
+    // re-run
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
