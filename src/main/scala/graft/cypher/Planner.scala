@@ -3334,6 +3334,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             if isDurType(s) =>
           durStruct(sum(c.getField("months")), sum(c.getField("days")),
             sum(c.getField("secs")))
+        // sum over statically-INTEGER input stays INTEGER (Neo4j:
+        // sum of integers is an integer); dynamic props keep the
+        // double view (their family is only known at runtime)
+        case Some(org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType) => sum(c)
         case _ => sum(numCol(a))
       }
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
@@ -3918,7 +3925,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       date_trunc(truncUnit(u), valueCol(a).cast("timestamp"))
     case FuncCall("date.truncate", Seq(u, a), _) =>
       to_date(date_trunc(truncUnit(u), valueCol(a).cast("timestamp")))
-    case FuncCall("abs", Seq(a), _) => abs(numCol(a))
+    // abs preserves the input's numeric family (Neo4j: abs(-3) is
+    // INTEGER 3, abs(-3.0) is FLOAT 3.0); dynamic props keep the
+    // double view (their family is only known at runtime)
+    case FuncCall("abs", Seq(a), _) =>
+      val c = valueCol(a)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+        ShortType}
+      colTypeOpt(c) match {
+        case Some(LongType | IntegerType | ShortType | ByteType) => abs(c)
+        case _ => abs(numCol(a))
+      }
     case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
     case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
     case FuncCall("round", Seq(a, Lit(p: Long)), _) =>
