@@ -3545,6 +3545,19 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
          WHERE EXISTS { MATCH (m) RETURN count(*) }
          RETURN n""").collect())
     assert(err.getMessage.contains("aggregate"))
+    // an aggregating WITH inside the body scopes PER INVOCATION (the
+    // threaded correlation keys join its implicit grouping): count of
+    // n's employers that have more than one member of staff
+    val aggW = CypherEngine.query(store,
+      """MATCH (n:Person)
+         RETURN n.gid AS gid,
+           COUNT { MATCH (n)-[:worksfor]->(e)
+                   WITH e MATCH (o:Person)-[:worksfor]->(e)
+                   WITH e, count(o) AS staff WHERE staff > 1
+                   RETURN e } AS bigemp
+         ORDER BY gid""").collect()
+    assert(aggW.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:p1", 1L), ("urn:p2", 1L), ("urn:p3", 0L)))
   }
 
   test("COLLECT {} with a FULL regular-query body") {
