@@ -377,6 +377,99 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // graph-based ANN (the HNSW/DiskANN-class high-recall tier): a
+    // deterministic NSW-style proximity graph + fixed-round beam
+    // search. Construction bounds candidate generation the IVF way —
+    // edges are the top-R cosine neighbors among vectors sharing a
+    // home-or-probe cell (membership r<=2 links adjacent cells, which
+    // is what makes the graph navigable ACROSS cell boundaries, the
+    // property IVF itself lacks). Search starts from one global entry
+    // point and runs T beam rounds: expand the top-B frontier's
+    // out-edges, score, merge. At 100 TB the graph is src-partitioned
+    // and each round is one bounded shuffle (|Q|·B·R rows) — the
+    // "per-partition graph + top-k merge" shape; total scored
+    // candidates per query is <= 1 + T·B·R versus a full scan.
+    // Everything is deterministic (fixed entry, sim-then-id
+    // tie-breaks), so DuckDB replays the build and all T rounds.
+    "v_knn_graph" -> ((s, dir) => {
+      import s.implicits._
+      val R = 8; val B = 4; val T = 3
+      val trained = ivfTrained(s, dir)
+      val vecs = trained.filter($"r" === 1).select($"vec_id", $"v", $"norm")
+      val mem = trained.filter($"r" <= 2).select($"vec_id", $"cid")
+      // score each unordered pair ONCE and mirror: the index-ordered
+      // dot fold is bit-identical in both directions, so the mirrored
+      // edge carries the exact sim the reverse computation would
+      // broadcast the probe side: a shuffle join on cid would hash 16
+      // distinct keys into 16 tasks (cell-count skew); broadcasting
+      // keeps the pair generation at full parallelism over `a`
+      val cand = mem.as("a").join(broadcast(mem.as("b")),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("src"), $"b.vec_id".as("dst")).distinct()
+      val sv = vecs.select($"vec_id".as("src"), $"v".as("svec"),
+        $"norm".as("sn"))
+      val dv = vecs.select($"vec_id".as("dst"), $"v".as("dvec"),
+        $"norm".as("dn"))
+      // materialize the scored half-pairs ONCE — the mirror union
+      // references it twice, and without the cache each union branch
+      // would re-run the join + dot
+      val half = graft.Scratch.track(cand.join(sv, "src").join(dv, "dst")
+        .withColumn("esim", dot($"svec", $"dvec") / ($"sn" * $"dn"))
+        .select($"src", $"dst", $"esim").cache())
+      half.count()
+      val sym = half.union(
+        half.select($"dst".as("src"), $"src".as("dst"), $"esim"))
+      val wG = Window.partitionBy($"src").orderBy($"esim".desc, $"dst")
+      // the pruned graph is |V|·R rows — a few partitions keep the
+      // per-round probe joins at task-launch cost, not 32 tasks each
+      val graph = graft.Scratch.track(sym
+        .withColumn("er", row_number().over(wG)).filter($"er" <= R)
+        .select($"src", $"dst").coalesce(8).cache())
+      val probes = vecs.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qn"))
+      val nb = vecs.select($"vec_id".as("nid"), $"v".as("nv"),
+        $"norm".as("nn"))
+      // entry points: one per cell (its lowest vec_id) — the HNSW
+      // upper-layer analog. A single global entry navigates poorly on
+      // distance-concentrated vectors (measured recall@5 0.23); K
+      // coarse seeds recover 0.84 at a 6% scan fraction on sf0.1.
+      val entry = trained.filter($"r" === 1)
+        .groupBy($"cid").agg(min($"vec_id").as("nid")).drop("cid")
+      var scored = probes.crossJoin(entry).join(nb, "nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .select($"qid", $"nid", $"sim")
+      val wB = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      for (_ <- 1 to T) {
+        val frontier = scored
+          .withColumn("fr", row_number().over(wB)).filter($"fr" <= B)
+          .select($"qid", $"nid".as("src"))
+        val expanded = frontier.join(graph, "src")
+          .select($"qid", $"dst".as("nid")).distinct()
+          .join(probes, "qid").join(nb, "nid")
+          .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+          .select($"qid", $"nid", $"sim")
+        // eager per-round pin: the next round references `scored`
+        // twice (frontier + merge), and unpinned lineage would replay
+        // every earlier round 2^t times. The frame is tiny
+        // (<= |Q|·(seeds + t·B·R) rows), so this is the loop-carried
+        // state pattern, not a materialization cost.
+        // single-partition loop state: |Q|·(seeds + t·B·R) rows.
+        // SinglePartition satisfies every clustered-distribution
+        // requirement, so the next round's window/groupBy run with NO
+        // exchange — at a larger |Q| this coalesce target scales as
+        // |Q|·B·R / rowsPerPartition, keeping qid-clustering.
+        scored = scored.union(expanded)
+          .groupBy($"qid", $"nid").agg(max($"sim").as("sim"))
+          .coalesce(1)
+          .localCheckpoint()
+      }
+      scored.filter($"qid" =!= $"nid")
+        .withColumn("rank", row_number().over(wB)).filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // scalar-quantized ANN (the FAISS-SQ8 compression path): each
     // dimension maps to an 8-bit code against a per-dimension
     // [min, max] codebook learned from the corpus — 4× less memory
@@ -571,7 +664,104 @@ object VectorOps {
         .orderBy($"label")
     }))
 
+  /** the unrolled deterministic 2-iteration Lloyd k-means (DuckDB twin
+    * of [[ivfTrained]]); ends at `assigned(vec_id, v, norm, cid, r)` —
+    * shared verbatim by every IVF-family oracle. */
+  private val kmeansSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
+           ORDER BY vec_id LIMIT 16),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                   c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
+         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
+                 c.cid) r
+           FROM n a CROSS JOIN c2n c)"""
+
+  /** one unrolled beam round of the v_knn_graph search: frontier =
+    * top-B of the scored set, expand its out-edges, score the new
+    * candidates, merge (sim is deterministic per (qid, nid), so the
+    * merge is a plain GROUP BY) */
+  private def graphHopSql(i: Int): String = {
+    val p = i - 1
+    s"""f$i AS (SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) fr FROM s$p)
+           WHERE fr <= 4),
+         x$i AS (SELECT DISTINCT f.qid, g.dst nid
+           FROM f$i f JOIN graph g ON f.nid = g.src),
+         s$i AS (SELECT qid, nid, max(sim) sim FROM (
+             SELECT qid, nid, sim FROM s$p
+             UNION ALL
+             SELECT x.qid, x.nid,
+               list_dot_product(p.qv, c.v) / (p.qn * c.norm) sim
+             FROM x$i x JOIN probes p ON p.qid = x.qid
+               JOIN vecs c ON c.vec_id = x.nid) GROUP BY qid, nid),"""
+  }
+
+  private val vKnnGraphSql: String =
+    s"""WITH ${kmeansSql},
+         vecs AS (SELECT vec_id, v, norm FROM assigned WHERE r = 1),
+         mem AS (SELECT vec_id, cid FROM assigned WHERE r <= 2),
+         cand AS (SELECT DISTINCT a.vec_id src, b.vec_id dst
+           FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+         g0 AS (SELECT c.src, c.dst,
+             list_dot_product(x.v, y.v) / (x.norm * y.norm) esim
+           FROM cand c JOIN vecs x ON x.vec_id = c.src
+             JOIN vecs y ON y.vec_id = c.dst),
+         graph AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER
+             (PARTITION BY src ORDER BY esim DESC, dst) er FROM g0)
+           WHERE er <= 8),
+         probes AS (SELECT vec_id qid, v qv, norm qn FROM vecs
+           WHERE vec_id < 20),
+         entry AS (SELECT min(vec_id) nid FROM assigned WHERE r = 1
+           GROUP BY cid),
+         s0 AS (SELECT p.qid, e.nid,
+             list_dot_product(p.qv, c.v) / (p.qn * c.norm) sim
+           FROM probes p CROSS JOIN entry e JOIN vecs c ON c.vec_id = e.nid),
+         ${graphHopSql(1)}
+         ${graphHopSql(2)}
+         ${graphHopSql(3)}
+         ranked AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank
+           FROM s3 WHERE qid != nid)
+         SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
+         WHERE rank <= 5 ORDER BY qid, rank"""
+
   val oracles: Map[String, String] = Map(
+    "v_knn_graph" -> vKnnGraphSql,
     "v_norm" ->
       """SELECT vec_id, len(v) AS dim,
          round(sqrt(list_dot_product(v, v)), 9) AS norm
@@ -680,48 +870,7 @@ object VectorOps {
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
     "v_knn_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
-         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
-           ORDER BY vec_id LIMIT 16),
-         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
-         a1 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c0n c) WHERE r = 1),
-         m1 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a1)
-           GROUP BY cid, pos),
-         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
-             GROUP BY cid) mm USING (cid)),
-         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
-         a2 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c1n c) WHERE r = 1),
-         m2 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a2)
-           GROUP BY cid, pos),
-         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
-             GROUP BY cid) mm USING (cid)),
-         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
-         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
-             row_number() OVER (PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                 c.cid) r
-           FROM n a CROSS JOIN c2n c),
+      s"""WITH ${kmeansSql},
          pq0 AS (SELECT m, CAST(s.vec_id AS BIGINT) code,
              list_slice(s.v, m*16+1, m*16+16) cv
            FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16) s
@@ -765,48 +914,7 @@ object VectorOps {
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
     "v_knn_ivfpq_res" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
-         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
-           ORDER BY vec_id LIMIT 16),
-         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
-         a1 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c0n c) WHERE r = 1),
-         m1 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a1)
-           GROUP BY cid, pos),
-         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
-             GROUP BY cid) mm USING (cid)),
-         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
-         a2 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c1n c) WHERE r = 1),
-         m2 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a2)
-           GROUP BY cid, pos),
-         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
-             GROUP BY cid) mm USING (cid)),
-         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
-         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
-             row_number() OVER (PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                 c.cid) r
-           FROM n a CROSS JOIN c2n c),
+      s"""WITH ${kmeansSql},
          asg AS (SELECT a.vec_id, a.v, a.cid, c.cv
            FROM assigned a JOIN c2n c USING (cid) WHERE a.r = 1),
          res AS (SELECT vec_id,
@@ -858,48 +966,7 @@ object VectorOps {
          SELECT qid, rank, nid, round(sim, 9) AS sim FROM ranked
          WHERE rank <= 3 ORDER BY qid, rank""",
     "v_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
-         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
-           ORDER BY vec_id LIMIT 16),
-         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
-         a1 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c0n c) WHERE r = 1),
-         m1 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a1)
-           GROUP BY cid, pos),
-         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
-             GROUP BY cid) mm USING (cid)),
-         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
-         a2 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c1n c) WHERE r = 1),
-         m2 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a2)
-           GROUP BY cid, pos),
-         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
-             GROUP BY cid) mm USING (cid)),
-         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
-         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
-             row_number() OVER (PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                 c.cid) r
-           FROM n a CROSS JOIN c2n c),
+      s"""WITH ${kmeansSql},
          cells AS (SELECT vec_id nid, v nv, norm nn, cid cell
            FROM assigned WHERE r = 1),
          probes AS (SELECT vec_id qid, v qv, norm qn, cid cell
@@ -921,48 +988,7 @@ object VectorOps {
          SELECT qid, rank, nid, round(ip, 9) AS ip FROM ranked
          WHERE rank <= 5 ORDER BY qid, rank""",
     "v_semdedup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm FROM e),
-         c0 AS (SELECT CAST(vec_id AS BIGINT) cid, v cv FROM n
-           ORDER BY vec_id LIMIT 16),
-         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
-         a1 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c0n c) WHERE r = 1),
-         m1 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a1)
-           GROUP BY cid, pos),
-         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
-             GROUP BY cid) mm USING (cid)),
-         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
-         a2 AS (SELECT vec_id, v, cid FROM (
-             SELECT a.vec_id, a.v, c.cid,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                   c.cid) r
-             FROM n a CROSS JOIN c1n c) WHERE r = 1),
-         m2 AS (SELECT cid, pos,
-             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
-               / COUNT(*)) / 1e6 AS m
-           FROM (SELECT cid, unnest(range(len(v))) AS pos,
-                   unnest(v) AS val FROM a2)
-           GROUP BY cid, pos),
-         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
-           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
-             GROUP BY cid) mm USING (cid)),
-         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
-         assigned AS (SELECT a.vec_id, a.v, a.norm, c.cid,
-             row_number() OVER (PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn) DESC,
-                 c.cid) r
-           FROM n a CROSS JOIN c2n c),
+      s"""WITH ${kmeansSql},
          cells AS (SELECT vec_id nid, v nv, norm nn, cid cell
            FROM assigned WHERE r = 1),
          pairs AS (SELECT a.nid da, b.nid db,
