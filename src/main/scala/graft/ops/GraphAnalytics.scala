@@ -133,9 +133,17 @@ object GraphAnalytics {
     * order) with no high-degree-hub explosion — the 100-TB-safe shape,
     * unlike id-ordered orientation which a celebrity hub breaks.
     * Integer counts → deterministic, DuckDB-oracle-able.
+    *
+    * `undirectedUnique = true` is the caller's contract that the edge
+    * multiset contains no parallel edges and no mutual (a→b plus b→a)
+    * pairs — true for any single-relType slice of the store, whose
+    * edge identity is (src, dst, relType). It elides the undirected
+    * dedup, turning the whole encode step into a pure map-side plan
+    * (broadcast dictionary joins, zero shuffles before the degree
+    * aggregation). The default stays safe for arbitrary multisets.
     */
   def triangleCounts(spark: SparkSession, nodes: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, undirectedUnique: Boolean = false): DataFrame = {
     import spark.implicits._
     // the wedge join is the hot path — run it over dictionary-encoded
     // Long vertex ids, not gid strings: integer sort/hash keys cut the
@@ -146,15 +154,26 @@ object GraphAnalytics {
     val dict = nodes.select($"gid").distinct()
       .withColumn("vid", monotonically_increasing_id())
       .localCheckpoint() // ids must be minted exactly once
-    val und = edges
-      .select(least($"src", $"dst").as("ga"), greatest($"src", $"dst").as("gb"))
-      .filter($"ga" =!= $"gb").distinct()
-      .join(dict.select($"gid".as("ga"), $"vid".as("a")), Seq("ga"))
-      .join(dict.select($"gid".as("gb"), $"vid".as("b")), Seq("gb"))
-      .select($"a", $"b")
-      // referenced by the degree agg AND the orientation join —
-      // materialize once, not as repeated recomputes of the upstream
-      // edge build
+    // Encode FIRST, dedup SECOND: the undirected dedup then shuffles
+    // two Longs per edge instead of two gid strings. The dictionary
+    // joins themselves go broadcast when |V| fits (runtime-adaptive —
+    // the count materializes the checkpoint we need anyway, and the
+    // checkpointed lineage hides stats from AQE); past that they are
+    // the standard pair of dimension shuffles.
+    val dictDim =
+      if (dict.count() <= 5000000L) (d: DataFrame) => broadcast(d)
+      else (d: DataFrame) => d
+    val und0 = edges
+      .select($"src", $"dst").filter($"src" =!= $"dst")
+      .join(dictDim(dict.select($"gid".as("src"), $"vid".as("sa"))),
+        Seq("src"))
+      .join(dictDim(dict.select($"gid".as("dst"), $"vid".as("sb"))),
+        Seq("dst"))
+      .select(least($"sa", $"sb").as("a"), greatest($"sa", $"sb").as("b"))
+    // referenced by the degree agg AND the orientation join —
+    // materialize once, not as repeated recomputes of the upstream
+    // edge build
+    val und = (if (undirectedUnique) und0 else und0.distinct())
       .localCheckpoint(false)
     // per-node degree is |V|-sized — NOT broadcast-hinted: at billions
     // of vertices it must stay a shuffle join, and AQE picks right
@@ -170,9 +189,21 @@ object GraphAnalytics {
         when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"b")
           .otherwise($"a").as("y"))
       .localCheckpoint(false) // feeds all three legs of the wedge join
+    // Runtime-adaptive wedge join: checkpointed lineage hides size
+    // stats from the planner, so without help both legs become
+    // sort-merge shuffles of the |wedges| ≈ Σ outdeg² intermediate.
+    // The oriented edge list itself is only |E| narrow rows — when it
+    // fits a broadcast (two Longs/row; 5M rows ≈ 80 MB) the whole
+    // wedge pipeline runs map-side with NO shuffle of the wedge
+    // explosion. Past that size the shuffle path is the right plan
+    // (same decision AQE would make if it could see the stats). The
+    // count is free: it materializes the checkpoint we need anyway.
+    val dim =
+      if (oriented.count() <= 5000000L) (d: DataFrame) => broadcast(d)
+      else (d: DataFrame) => d
     val tri = oriented.select($"x".as("a"), $"y".as("b"))
-      .join(oriented.select($"x".as("b"), $"y".as("c")), Seq("b"))
-      .join(oriented.select($"x".as("a"), $"y".as("c")), Seq("a", "c"))
+      .join(dim(oriented.select($"x".as("b"), $"y".as("c"))), Seq("b"))
+      .join(dim(oriented.select($"x".as("a"), $"y".as("c"))), Seq("a", "c"))
     val counts = tri
       .select(explode(array($"a", $"b", $"c")).as("vid"))
       .groupBy($"vid").agg(count(lit(1)).as("tri"))

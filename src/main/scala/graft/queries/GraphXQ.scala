@@ -91,14 +91,22 @@ object GraphXQ {
     "gx_triangles" -> ((s, dir) => {
       import s.implicits._
       val (nodes, edges) = graphTables(s, dir)
+      // broadcast the supplier side: a shuffle join on ~25 distinct
+      // nation keys collapses to 25 skewed tasks; the dimension table
+      // broadcasts at any scale
       val serves = t(s, dir, "customer")
         .select($"c_custkey", $"c_nationkey")
-        .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+        .join(broadcast(t(s, dir, "supplier")
+            .select($"s_suppkey", $"s_nationkey")),
           $"c_nationkey" === $"s_nationkey")
         .select(concat(lit("c:"), $"c_custkey").as("src"),
           concat(lit("s:"), $"s_suppkey").as("dst"),
           lit("serves").as("relType"))
-      GraphAnalytics.triangleCounts(s, nodes, edges.unionByName(serves))
+      // undirectedUnique: the fixture's edge families (c→n, s→n, n→r,
+      // c→s) each pair distinct entity-type tiers exactly once —
+      // no parallel and no mutual edges, so the dedup shuffle elides
+      GraphAnalytics.triangleCounts(s, nodes, edges.unionByName(serves),
+          undirectedUnique = true)
         .orderBy($"gid")
     }))
 

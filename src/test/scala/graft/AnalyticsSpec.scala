@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraphAnalytics
+
+/** Pins the DataFrame triangle counter: orientation correctness on a
+  * known graph, the dedup default on messy (parallel/mutual) edge
+  * multisets, and the `undirectedUnique` fast-path contract being a
+  * pure optimization (identical counts when the contract holds).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def counts(nodes: Seq[String], edges: Seq[(String, String)],
+      unique: Boolean): Map[String, Long] = {
+    val n = nodes.toDF("gid")
+    val e = edges.toDF("src", "dst").withColumn("relType", lit("t"))
+    GraphAnalytics.triangleCounts(spark, n, e, undirectedUnique = unique)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle counts on K4 minus one edge (two triangles)") {
+    // a-b-c-d complete minus (a,d): triangles abc and bcd; b,c in both
+    val nodes = Seq("a", "b", "c", "d")
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "b" -> "d",
+      "c" -> "d")
+    val got = counts(nodes, edges, unique = true)
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("default path dedups parallel, mutual, and self edges") {
+    val nodes = Seq("a", "b", "c")
+    val messy = Seq("a" -> "b", "b" -> "a", "a" -> "b", // mutual + parallel
+      "b" -> "c", "c" -> "a", "a" -> "a") // self loop
+    val got = counts(nodes, messy, unique = false)
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("undirectedUnique elision matches the safe path when the " +
+      "contract holds") {
+    val nodes = (1 to 20).map(i => s"v$i")
+    // a ring plus chords — unique directed edges, no mutual pairs
+    val ring = (1 to 20).map(i => s"v$i" -> s"v${i % 20 + 1}")
+    val chords = (1 to 10).map(i => s"v$i" -> s"v${i + 2}")
+    assert(counts(nodes, ring ++ chords, unique = true) ==
+      counts(nodes, ring ++ chords, unique = false))
+  }
+}
