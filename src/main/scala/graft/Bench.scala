@@ -59,6 +59,16 @@ object Bench {
       // build + search, not the family's shared quantizer
       SparkEntry.queries.get("v_knn_ivf")
         .foreach(_(spark, sfDir).count())
+      // …and the memoized MinHash pair graph (shared by
+      // dedup_minhash_lsh / dedup_cluster / t_containment et al.):
+      // without this, alphabetically-first dedup_cluster absorbs the
+      // family's shared pair-graph build into its own number
+      SparkEntry.queries.get("dedup_minhash_lsh")
+        .foreach(_(spark, sfDir).count())
+      // …and the memoized shared-shingle intersection (shared by
+      // dedup_ngram_jaccard / t_containment)
+      SparkEntry.queries.get("dedup_ngram_jaccard")
+        .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     Scratch.release()
 

