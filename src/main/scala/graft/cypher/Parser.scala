@@ -336,6 +336,35 @@ object Parser {
           val pats = Seq.newBuilder[Ast.PathPattern]
           pats += parsePattern(p)
           while (p.trySym(",")) pats += parsePattern(p)
+          // Neo4j planner hints — USING INDEX [SEEK] v:L(p,…) /
+          // USING SCAN v:L / USING JOIN ON v,… — are advice to a
+          // cost-based planner this engine does not have (Catalyst
+          // owns physical planning); accept-and-ignore so ported
+          // queries run verbatim, validating only the shape
+          while (p.peek.exists {
+              case Ident(w) => w.equalsIgnoreCase("USING"); case _ => false
+            }) {
+            p.next()
+            p.identOrKw().toUpperCase match {
+              case "INDEX" =>
+                if (p.peek.exists { case Ident(w) =>
+                    w.equalsIgnoreCase("SEEK"); case _ => false }) p.next()
+                p.identOrKw(); p.expectSym(":"); p.identOrKw()
+                p.expectSym("(")
+                p.identOrKw()
+                while (p.trySym(",")) p.identOrKw()
+                p.expectSym(")")
+              case "SCAN" =>
+                p.identOrKw(); p.expectSym(":"); p.identOrKw()
+              case "JOIN" =>
+                if (!p.identOrKw().equalsIgnoreCase("ON"))
+                  throw ParseException("USING JOIN expects ON <var>")
+                p.identOrKw()
+                while (p.trySym(",")) p.identOrKw()
+              case other => throw ParseException(
+                s"unknown planner hint USING $other")
+            }
+          }
           val where = if (p.tryKw("WHERE")) Some(parseExpr(p)) else None
           val ps = pats.result()
           // inline node predicates fold into the clause WHERE
@@ -1344,7 +1373,14 @@ object Parser {
         while (p.trySym(",")) as += parseExpr(p)
         p.expectSym(")")
       }
-      Ast.FuncCall(fn.toLowerCase, as.result(), distinct = false)
+      as.result() match {
+        // legacy Neo4j 3/4 pattern-count idiom `size((n)-[:T]->())` —
+        // exactly COUNT { pattern }, which Neo4j 5 replaced it with;
+        // desugar so ported queries run verbatim
+        case Seq(pp: Ast.PatternPred) if fn.equalsIgnoreCase("size") =>
+          Ast.CountSub(pp.pattern, pp.where, pp.full)
+        case args => Ast.FuncCall(fn.toLowerCase, args, distinct = false)
+      }
     case Ident(ns) if ns.equalsIgnoreCase("vector") &&
         p.peek.contains(Sym(".")) &&
         p.toks.drop(1).headOption.exists {

@@ -2961,6 +2961,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         (spark.createDataFrame(rows)
           .toDF("name", "type", "entityType", "properties", "state"),
           Seq("name", "type", "entityType", "properties", "state"))
+      // the store's intrinsic constraints (SHOW CONSTRAINTS): gid is
+      // the node key on EVERY label — the merge path upserts by gid,
+      // so uniqueness and existence hold by construction, exactly
+      // what Neo4j's UNIQUE + NOT NULL pair declares
+      case "db.constraints" =>
+        noArgs()
+        val rows = Seq(
+          ("node_gid_unique", "UNIQUENESS", "NODE", "*", "gid"),
+          ("node_gid_exists", "NODE_PROPERTY_EXISTENCE", "NODE", "*",
+            "gid"))
+        (spark.createDataFrame(rows)
+          .toDF("name", "type", "entityType", "labelsOrTypes",
+            "properties"),
+          Seq("name", "type", "entityType", "labelsOrTypes",
+            "properties"))
       // single-database deployment: the store IS the database
       case "dbms.databases" =>
         noArgs()
@@ -4166,6 +4181,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * truncates toward zero (Cypher integer division). `^` is always
     * double. Operands may themselves aggregate (count(*) * 2).
     */
+  /** IEEE-754 semantics for Cypher FLOAT division/modulo (Neo4j:
+    * `1.5/0.0` = Infinity, `-1.5/0.0` = -Infinity, `0.0/0.0` = NaN,
+    * `x % 0.0` = NaN) — Spark's ANSI mode would raise DIVIDE_BY_ZERO
+    * instead. The zero-divisor branch is selected per row, so the
+    * ANSI division never evaluates there. Integer division/modulo by
+    * zero still error, matching Neo4j's own `/ by zero`.
+    */
+  private def ieeeDiv(a: Column, b: Column): Column = {
+    val ad = a.cast("double"); val bd = b.cast("double")
+    when(bd === 0.0,
+      when(isnan(ad) || isnan(bd) || ad === 0.0, lit(Double.NaN))
+        .when(ad > 0.0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(ad / bd)
+  }
+
+  private def ieeeMod(a: Column, b: Column): Column = {
+    val ad = a.cast("double"); val bd = b.cast("double")
+    when(bd === 0.0, lit(Double.NaN)).otherwise(ad % bd)
+  }
+
   private def arithCol(op: String, l: Ast.Expr, r: Ast.Expr): Column = {
     import org.apache.spark.sql.types._
     def low(e: Ast.Expr): Column =
@@ -4197,7 +4233,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case "+" => lc + rc
           case "-" => lc - rc
           case "*" => lc * rc
-          case "/" => lc / rc
+          // `/` coerces to double in this untyped path either way —
+          // route through the IEEE guard so a zero divisor yields
+          // NaN/±Infinity instead of an ANSI error. `%` stays native:
+          // integer modulo must keep its integer type here.
+          case "/" => ieeeDiv(lc, rc)
           case "%" => lc % rc
           case "^" => pow(lc.cast("double"), rc.cast("double"))
           case "||" => concat(lc.cast("string"), rc.cast("string"))
@@ -4273,7 +4313,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case "+" => ln + rn
           case "-" => ln - rn
           case "*" => ln * rn
-          case "%" => ln % rn
+          case "%" => if (integral) ln % rn else ieeeMod(ln, rn)
           case "/" =>
             // decimal division keeps full long precision (a double
             // round-trip corrupts values ≥ 2^53); the long cast
@@ -4281,7 +4321,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             if (integral)
               (ln.cast(DecimalType(38, 0)) / rn.cast(DecimalType(38, 0)))
                 .cast("long")
-            else ln / rn
+            else ieeeDiv(ln, rn)
         }
     }
   }
@@ -4783,17 +4823,30 @@ object CypherEngine {
           Seq("name", "currentStatus")))
         .orElse(show("SHOW INDEXES", "db.indexes",
           Seq("name", "type", "entityType", "properties", "state")))
+        .orElse(show("SHOW CONSTRAINTS", "db.constraints",
+          Seq("name", "type", "entityType", "labelsOrTypes", "properties")))
         .getOrElse(trimmed0)
     }
-    // CREATE/DROP INDEX DDL: the store's indexes are intrinsic to its
-    // layout (gid-hash buckets + sort, relType directories, redges) —
-    // accept the statement idempotently, as the reference's index DDL
-    // is (B10); nothing to build or tear down
+    // CREATE/DROP INDEX and CONSTRAINT DDL: the store's indexes are
+    // intrinsic to its layout (gid-hash buckets + sort, relType
+    // directories, redges) and its uniqueness/existence constraints
+    // intrinsic to its model (gid IS the node key on every label —
+    // upserts can never create a duplicate or a null key) — accept
+    // the statements idempotently, as the reference's index DDL is
+    // (B10); nothing to build or tear down
     if (trimmed.toUpperCase.startsWith("CREATE INDEX") ||
         trimmed.toUpperCase.startsWith("DROP INDEX")) {
       val spark = store.nodes.sparkSession
       import spark.implicits._
       return Seq(("indexes are intrinsic to the store layout", true))
+        .toDF("info", "acknowledged")
+    }
+    if (trimmed.toUpperCase.startsWith("CREATE CONSTRAINT") ||
+        trimmed.toUpperCase.startsWith("DROP CONSTRAINT")) {
+      val spark = store.nodes.sparkSession
+      import spark.implicits._
+      return Seq(("constraints are intrinsic to the store model " +
+          "(gid keys every label)", true))
         .toDF("info", "acknowledged")
     }
     val upper = trimmed.toUpperCase

@@ -650,6 +650,61 @@ object SyntaxProbe {
       catch { case e: Throwable => println(
         s"PROBE3 agg-dynamic: FAIL ${e.getMessage.take(100)}"); Array.empty[org.apache.spark.sql.Row] }
     aggRows.foreach(r => println(s"PROBE3 agg-dynamic: $r"))
+    // battery 13 (driver round 9): porting-friction surface — planner
+    // hints, constraint DDL shims, legacy pattern-size, LOAD CSV,
+    // dynamic labels, function-library stragglers
+    val probes13: Seq[(String, String)] = Seq(
+      "using-index-hint" ->
+        """MATCH (n:Nation) USING INDEX n:Nation(gid)
+           WHERE n.gid = 'n:1' RETURN n.name AS nm""",
+      "using-scan-hint" ->
+        """MATCH (n:Nation) USING SCAN n:Nation
+           WHERE n.gid = 'n:1' RETURN n.name AS nm""",
+      "create-constraint" ->
+        """CREATE CONSTRAINT nation_gid IF NOT EXISTS
+           FOR (n:Nation) REQUIRE n.gid IS UNIQUE""",
+      "show-constraints" -> "SHOW CONSTRAINTS",
+      "drop-constraint" -> "DROP CONSTRAINT nation_gid IF EXISTS",
+      "legacy-pattern-size" ->
+        "MATCH (n:Nation) RETURN size((n)-[:in_region]->()) AS d LIMIT 2",
+      "pattern-count-where" ->
+        "MATCH (n:Nation) WHERE size((n)-->()) > 0 RETURN count(*) AS c",
+      "dyn-label-set" ->
+        """CREATE (x:Tmp13 {gid: 'tmp13:1'}) WITH x
+           SET x:$(\"Extra\") RETURN labels(x) AS ls""",
+      "load-csv" ->
+        """LOAD CSV WITH HEADERS FROM 'file:///tmp/probe13.csv'
+           AS row RETURN row.a AS a ORDER BY a""",
+      "isnan-fn" -> "RETURN isNaN(1.5) AS f",
+      "float-div-zero" -> "RETURN 1.5/0.0 AS inf, 0.0/0.0 AS nan",
+      "float-div-isnan" -> "RETURN isNaN(0.0/0.0) AS n",
+      "atan2-fn" -> "RETURN round(atan2(1.0, 1.0), 4) AS a",
+      "char-length" -> "RETURN char_length('abc') AS c, character_length('ab') AS c2",
+      "point-distance" ->
+        """WITH point({x: 0.0, y: 0.0}) AS p1, point({x: 3.0, y: 4.0}) AS p2
+           RETURN point.distance(p1, p2) AS d""",
+      "datetime-epoch" ->
+        "RETURN datetime({epochMillis: 86400000}).year AS y",
+      "min-of-dates" ->
+        """UNWIND [date('2024-02-01'), date('2023-01-01')] AS d
+           RETURN min(d) AS lo, max(d) AS hi""",
+      "toDegrees" -> "RETURN round(degrees(pi()), 2) AS d, round(radians(180.0), 4) AS r",
+      "string-repeat-concat" -> "RETURN reduce(s = '', x IN range(1,3) | s + 'ab') AS r",
+      "null-in-list-in" -> "RETURN null IN [1, 2] AS a, 1 IN [null, 1] AS b",
+      "listcomp-nested" ->
+        "RETURN [x IN [1,2] | [y IN [10] | x * y]] AS nested",
+      "order-by-agg-alias" ->
+        """MATCH (n:Nation)-[r]->(m) WITH m.gid AS g, count(*) AS c
+           RETURN g, c ORDER BY c DESC, g LIMIT 2""")
+    probes13.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(store, q).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(130)}" }
+      println(s"PROBE13 $tag: $res")
+    }
     s.stop()
   }
 }

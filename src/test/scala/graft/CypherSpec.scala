@@ -3629,4 +3629,83 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(r.getString(5) == "STRING NOT NULL")
     assert(r.getString(6) == "NULL")
   }
+
+  test("USING INDEX / SCAN / JOIN hints are accepted and change nothing") {
+    val plain = CypherEngine.query(store,
+      "MATCH (n:Person) WHERE n.name = 'brian' RETURN n.gid AS g").collect()
+    val hinted = CypherEngine.query(store,
+      """MATCH (n:Person) USING INDEX n:Person(name)
+         WHERE n.name = 'brian' RETURN n.gid AS g""").collect()
+    val scan = CypherEngine.query(store,
+      """MATCH (n:Person) USING SCAN n:Person
+         WHERE n.name = 'brian' RETURN n.gid AS g""").collect()
+    assert(hinted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    assert(scan.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    val join = CypherEngine.query(store,
+      """MATCH (a:Person)-[:worksfor]->(c) USING JOIN ON c
+         RETURN count(*) AS n""").collect()
+    assert(join.head.getLong(0) == 2L)
+    // malformed hints still reject
+    intercept[Exception] {
+      CypherEngine.query(store,
+        "MATCH (n:Person) USING FROBNICATE n RETURN n.gid AS g")
+    }
+  }
+
+  test("constraint DDL shims: CREATE/DROP acknowledge, SHOW lists " +
+      "the intrinsic gid constraints") {
+    val ack = CypherEngine.query(store,
+      """CREATE CONSTRAINT person_gid IF NOT EXISTS
+         FOR (n:Person) REQUIRE n.gid IS UNIQUE""").collect()
+    assert(ack.head.getBoolean(1))
+    val ack2 = CypherEngine.query(store,
+      "DROP CONSTRAINT person_gid IF EXISTS").collect()
+    assert(ack2.head.getBoolean(1))
+    val shown = CypherEngine.query(store, "SHOW CONSTRAINTS").collect()
+    assert(shown.map(_.getString(0)).toSet ==
+      Set("node_gid_unique", "node_gid_exists"))
+    assert(shown.forall(_.getString(4) == "gid"))
+    // the YIELD/WHERE tail rides along like the other SHOW commands
+    val uniq = CypherEngine.query(store,
+      """SHOW CONSTRAINTS YIELD name, type WHERE type = 'UNIQUENESS'
+         RETURN name""").collect()
+    assert(uniq.map(_.getString(0)).toSeq == Seq("node_gid_unique"))
+  }
+
+  test("legacy size(pattern) is COUNT { pattern }") {
+    val rows = CypherEngine.query(store,
+      """MATCH (n:Person) RETURN n.gid AS g,
+         size((n)-[:worksfor]->()) AS d ORDER BY g""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("urn:p1", 1L), ("urn:p2", 1L), ("urn:p3", 0L)))
+    val filtered = CypherEngine.query(store,
+      "MATCH (n:Person) WHERE size((n)-->()) > 1 RETURN n.gid AS g")
+      .collect()
+    assert(filtered.map(_.getString(0)).toSeq == Seq("urn:p2"))
+  }
+
+  test("FLOAT division and modulo follow IEEE-754; INTEGER forms " +
+      "still error (Neo4j semantics)") {
+    val r = CypherEngine.query(store,
+      """RETURN 1.5/0.0 AS pinf, -1.5/0.0 AS ninf, 0.0/0.0 AS nan,
+         isNaN(0.0/0.0) AS isn, 1.0 % 0.0 AS modnan,
+         6.0/2.0 AS ok, 7.0 % 4.0 AS okm""").collect().head
+    assert(r.getDouble(0).isPosInfinity)
+    assert(r.getDouble(1).isNegInfinity)
+    assert(r.getDouble(2).isNaN)
+    assert(r.getBoolean(3))
+    assert(r.getDouble(4).isNaN)
+    assert(r.getDouble(5) == 3.0)
+    assert(r.getDouble(6) == 3.0)
+    // int/float mixed: one float operand makes it float division
+    val mixed = CypherEngine.query(store,
+      "RETURN 3/0.0 AS inf").collect().head
+    assert(mixed.getDouble(0).isPosInfinity)
+    intercept[Exception] {
+      CypherEngine.query(store, "RETURN 1/0 AS boom").collect()
+    }
+    intercept[Exception] {
+      CypherEngine.query(store, "RETURN 1 % 0 AS boom").collect()
+    }
+  }
 }
