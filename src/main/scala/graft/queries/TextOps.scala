@@ -238,6 +238,34 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Sliding token-window passage chunking (the RAG / pretraining
+    // shard-prep step): window W=64 tokens, stride S=48 (16-token
+    // overlap), chunk starts 0, S, 2S, … with the LAST window clipped
+    // at the document end so every token is covered exactly once by a
+    // non-overlap region. Pure explode shape — chunking is
+    // embarrassingly parallel at 100 TB (no shuffle except the
+    // presentation sort); the per-chunk md5 fingerprint is what a
+    // downstream chunk-level dedup/index keys on. Integer-only chunk
+    // arithmetic, so DuckDB replays it exactly.
+    "t_chunk" -> ((s, dir) => {
+      import s.implicits._
+      val W = 64; val S = 48
+      t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .withColumn("n", size($"w")).filter($"n" > 0)
+        .withColumn("k", when($"n" <= W, lit(0L))
+          .otherwise(floor(($"n" - W + S - 1) / lit(S)).cast("long")))
+        .select($"doc_id", $"w", $"n",
+          explode(sequence(lit(0L), $"k")).as("chunk_idx"))
+        .withColumn("start_tok", $"chunk_idx" * S)
+        .withColumn("ck",
+          slice($"w", ($"start_tok" + 1).cast("int"), lit(W)))
+        .select($"doc_id", $"chunk_idx", $"start_tok",
+          size($"ck").cast("long").as("n_tok"),
+          md5(array_join($"ck", " ")).as("chunk_fp"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // BPE-style pre-tokenizer counting (the GPT-2 pattern, minus the
     // RE2-unsupported lookahead so the oracle's regex engine agrees):
     // contractions, space-prefixed letter/digit/punct runs. Per-row
@@ -964,6 +992,23 @@ object TextOps {
          len(list_distinct(w)) AS n_distinct
          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w
                FROM documents) ORDER BY doc_id""",
+    "t_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w
+           FROM documents),
+         sized AS (SELECT doc_id, w, len(w) n FROM d WHERE len(w) > 0),
+         ks AS (SELECT doc_id, w, n,
+             CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END k
+           FROM sized),
+         ch AS (SELECT doc_id, w, n,
+             unnest(range(0, k + 1)) AS chunk_idx FROM ks),
+         out0 AS (SELECT doc_id, chunk_idx,
+             chunk_idx * 48 AS start_tok,
+             list_slice(w, chunk_idx * 48 + 1,
+               least(chunk_idx * 48 + 64, n)) ck
+           FROM ch)
+         SELECT doc_id, chunk_idx, start_tok, len(ck) AS n_tok,
+           md5(array_to_string(ck, ' ')) AS chunk_fp
+         FROM out0 ORDER BY doc_id, chunk_idx""",
     "t_tokens_bpe" ->
       """WITH d AS (SELECT doc_id,
            list_filter(regexp_extract_all(text,

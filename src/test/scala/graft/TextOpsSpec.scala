@@ -49,4 +49,34 @@ class TextOpsSpec extends AnyFunSuite {
     // exact-hamming verify also adds nothing
     assert(banded == brute)
   }
+
+  test("t_chunk: windows cover every token exactly once per stride, " +
+      "overlap is W-S, tail clips") {
+    import spark.implicits._
+    val rows = queries.TextOps.defs("t_chunk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val W = 64; val S = 48
+    val byDoc = rows.groupBy(_.getLong(0))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val n = docs(doc)
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk_idx contiguous from 0; starts at stride multiples
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (0L until sorted.length.toLong))
+      sorted.foreach { c =>
+        assert(c.getLong(2) == c.getLong(1) * S)
+        val expectLen = math.min(W, n - c.getLong(2).toInt)
+        assert(c.getLong(3) == expectLen,
+          s"$doc chunk ${c.getLong(1)}: n_tok ${c.getLong(3)} != $expectLen")
+      }
+      // full coverage: the last window reaches the document end
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == n)
+      // a doc longer than W must produce > 1 chunk
+      if (n > W) assert(sorted.length > 1)
+    }
+  }
 }
