@@ -69,6 +69,10 @@ object Bench {
       // dedup_ngram_jaccard / t_containment)
       SparkEntry.queries.get("dedup_ngram_jaccard")
         .foreach(_(spark, sfDir).count())
+      // …and the memoized SimHash signature table (shared by
+      // dedup_simhash / dedup_simhash_pairs)
+      SparkEntry.queries.get("dedup_simhash")
+        .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     Scratch.release()
 

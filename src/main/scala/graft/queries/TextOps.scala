@@ -158,6 +158,7 @@ object TextOps {
   private[graft] def clearMemos(): Unit = {
     pairCache.clear()
     interCache.clear()
+    simsCache.clear()
   }
 
   /** shared-shingle intersection counts `(da, db, i)` plus per-doc
@@ -769,7 +770,7 @@ object TextOps {
     // ~256× smaller than byte bands at corpus scale (round-7 flag).
     "dedup_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sims = graft.Scratch.track(simhashPerDoc(s, dir).cache())
+      val sims = simhashPerDoc(s, dir)
       val bands = sims
         .select($"doc_id", $"simhash",
           explode(sequence(lit(0), lit(3))).as("k"))
@@ -964,7 +965,19 @@ object TextOps {
     * partial agg), so the shape holds at any scale. Bit 63 makes the
     * Long negative — two's complement, matching DuckDB BIGINT exactly.
     */
-  private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
+  /** per-doc 64-bit SimHash signatures, memoized per (session, dir) —
+    * dedup_simhash (the signature table) and dedup_simhash_pairs (the
+    * banded near-dup join) share one signature computation the way
+    * the MinHash family shares its pair graph. */
+  private val simsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def simhashPerDoc(s: SparkSession, dir: String): DataFrame =
+    simsCache.getOrElseUpdate((s, dir),
+      computeSimhashPerDoc(s, dir).localCheckpoint())
+
+  private def computeSimhashPerDoc(s: SparkSession, dir: String)
+      : DataFrame = {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select($"doc_id", array_distinct(wordsCol).as("w"))
