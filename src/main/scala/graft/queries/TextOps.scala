@@ -291,6 +291,23 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    // arXiv:1508.07909): R=4 merge rounds over the word-FREQUENCY
+    // table — |vocab| rows, never the corpus, which is the real
+    // trainer shape at 100 TB (count words once, train on the
+    // aggregate). Each round = one map-side-partial pair-count
+    // shuffle over the vocab + a 1-row argmax collect; the merge then
+    // applies per word with the closed-form leftmost-greedy rule:
+    // position i merges iff s[i]=pb ∧ s[i-1]=pa ∧ (pa≠pb ∨ the run
+    // of pa's ending at i-1 has odd length). That formula IS the
+    // sequential BPE fold (a merged symbol pa·pb can never equal pa,
+    // so the only chained dependence is the pa=pb run, whose greedy
+    // outcome is run-position parity) — with no sequential
+    // dependence, so it vectorizes per row. Integer counts and
+    // byte-order tie-breaks make every round DuckDB-replayable.
+    "t_bpe_train" -> ((s, dir) =>
+      bpeTrain(t(s, dir, "documents"), rounds = 4)),
+
     // quality scoring: length/diversity ratios.
     "t_quality" -> ((s, dir) => {
       import s.implicits._
@@ -998,7 +1015,104 @@ object TextOps {
       .select($"doc_id", simhash.as("simhash"))
   }
 
+  /** the t_bpe_train trainer over an arbitrary (… text …) frame —
+    * factored out so specs can feed engineered corpora (identical-
+    * symbol runs) and hold the closed-form merge rule to a sequential
+    * reference fold
+    */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words0 = docs
+      .select(explode(wordsCol).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_extract_all($"word", lit("."), lit(0)).as("s"),
+        $"cnt")
+    var words = graft.Scratch.track(words0.cache())
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = words.filter(size($"s") >= 2)
+        .select($"cnt",
+          explode(transform(sequence(lit(1), size($"s") - 1),
+            i => struct(element_at($"s", i).as("pa"),
+              element_at($"s", i + 1).as("pb")))).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(sum($"cnt").as("c"))
+      val best = pairs.orderBy($"c".desc, $"pa", $"pb").limit(1)
+        .collect()(0)
+      val (pa, pb, c) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, pa, pb, c))
+      // merge flags per 1-based position — the closed-form rule
+      val flags = transform(sequence(lit(1), size($"s")), i =>
+        when(i === 1, lit(false)).otherwise(
+          element_at($"s", i) === pb &&
+            element_at($"s", i - 1) === pa &&
+            (lit(pa != pb) ||
+              ((i - 1 - coalesce(
+                array_max(filter(sequence(lit(1), i - 1),
+                  j => element_at($"s", j) =!= pa)), lit(0)))
+                % 2 === 1))))
+      words = words
+        .withColumn("m", flags)
+        .withColumn("s", filter(
+          transform(sequence(lit(1), size($"s")), i =>
+            when(element_at($"m", i), lit(null).cast("string"))
+              .when(i === size($"s"), element_at($"s", i))
+              .when(element_at($"m", i + 1), lit(pa + pb))
+              .otherwise(element_at($"s", i))),
+          x => x.isNotNull))
+        .drop("m")
+    }
+    merges.result().toDF("round", "pa", "pb", "cnt").orderBy($"round")
+  }
+
+  /** one unrolled BPE merge round for the t_bpe_train oracle: pair
+    * counts over `$prev`, the argmax pick `b$r`, and the merged word
+    * table `w$r` — the same closed-form leftmost-greedy rule the
+    * Spark side evaluates (see the t_bpe_train entry comment).
+    */
+  private def bpeRound(prev: String, r: Int): String =
+    s"""p$r AS (SELECT s[i] AS pa, s[i+1] AS pb,
+            CAST(sum(cnt) AS BIGINT) AS c
+          FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i
+                FROM $prev WHERE len(s) >= 2)
+          GROUP BY 1, 2),
+        b$r AS (SELECT pa, pb, c FROM p$r
+          ORDER BY c DESC, pa, pb LIMIT 1),
+        w$r AS (SELECT list_filter(
+            list_transform(range(1, len(s) + 1), i ->
+              CASE WHEN m[i] THEN NULL
+                   WHEN i = len(s) THEN s[i]
+                   WHEN m[i + 1] THEN pa || pb
+                   ELSE s[i] END),
+            x -> x IS NOT NULL) AS s, cnt
+          FROM (SELECT s, cnt, pa, pb,
+                  list_transform(range(1, len(s) + 1), i ->
+                    i > 1 AND s[i] = pb AND s[i-1] = pa AND
+                    (pa <> pb OR
+                     ((i - 1 - coalesce(list_max(list_filter(
+                         range(1, i), j -> s[j] <> pa)), 0)) % 2 = 1)))
+                    AS m
+                FROM $prev CROSS JOIN b$r))"""
+
   val oracles: Map[String, String] = Map(
+    "t_bpe_train" ->
+      s"""WITH w0 AS (
+            SELECT regexp_extract_all(word, '.') AS s,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                    AS word FROM documents)
+            WHERE word <> '' GROUP BY word),
+          ${bpeRound("w0", 1)}, ${bpeRound("w1", 2)},
+          ${bpeRound("w2", 3)}, ${bpeRound("w3", 4)}
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, pa, pb, c AS cnt FROM b1
+            UNION ALL SELECT 2, pa, pb, c FROM b2
+            UNION ALL SELECT 3, pa, pb, c FROM b3
+            UNION ALL SELECT 4, pa, pb, c FROM b4)
+          ORDER BY round""",
     "t_token_count" ->
       """SELECT doc_id, len(w) AS n_tokens,
          len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,

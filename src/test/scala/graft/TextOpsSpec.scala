@@ -79,4 +79,56 @@ class TextOpsSpec extends AnyFunSuite {
       if (n > W) assert(sorted.length > 1)
     }
   }
+
+  /** sequential reference BPE: word-count table → greedy leftmost
+    * fold per word, R argmax rounds with (count DESC, pa, pb)
+    * tie-breaks — the semantics the distributed closed-form rule
+    * must reproduce exactly
+    */
+  private def bpeReference(texts: Seq[String], rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+    (1 to rounds).map { r =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- words; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      val ((pa, pb), c) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      words = words.groupBy { case (s, _) =>
+        // greedy leftmost fold
+        s.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == pa && x == pb)
+            acc.init :+ (pa + pb)
+          else acc :+ x
+        }
+      }.map { case (s2, m) => (s2, m.values.sum) }
+      (r.toLong, pa, pb, c)
+    }
+  }
+
+  test("t_bpe_train: closed-form merge rule == sequential greedy " +
+      "fold, including identical-symbol runs") {
+    import spark.implicits._
+    // 'aaaaaa' forces the pa=pb run-parity branch: greedy gives
+    // [aa,aa,aa], the naive string-replace fixpoint [aa,a,aa,a]
+    val texts = Seq(
+      "aaaaaa aab abab banana",
+      "aaaa abba aab aab",
+      "banana bandana aaaaaa",
+      "abab abab cab")
+    val got = queries.TextOps.bpeTrain(
+        texts.toDF("text"), rounds = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == bpeReference(texts, 4),
+      s"distributed $got != reference ${bpeReference(texts, 4)}")
+    // and the corpus entry agrees with the reference on real data
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.select($"text").as[String].collect().toSeq
+    val gotCorpus = queries.TextOps.defs("t_bpe_train")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(gotCorpus == bpeReference(corpus, 4))
+  }
 }
