@@ -83,6 +83,48 @@ object GraphXQ {
         .orderBy($"gid")
     }),
 
+    // k-core decomposition by iterative peeling over the order↔part
+    // bipartite graph (lineitem) — the classic "dense interaction
+    // core" densification step before collaborative filtering /
+    // graph-embedding training. R=6 peel rounds at k=6, FIXED in both
+    // engines so the DuckDB oracle replays the exact same relation
+    // (at fixpoint the result IS the 6-core; a production run loops
+    // until the round is a no-op). Each round: two semi joins gate
+    // the edge list to surviving endpoints, one map-side-partial
+    // degree count, filter >= k; localCheckpoint truncates the plan
+    // per round (dedup_cluster's recipe), so lineage never compounds.
+    // Everything shuffles on the SAME vertex key — at 100 TB the
+    // vertex set and edge list stay co-partitioned round over round,
+    // and the edge list only ever shrinks.
+    "gx_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val K = 6; val R = 6
+      val e = t(s, dir, "lineitem")
+        .select(concat(lit("o:"), $"l_orderkey").as("src"),
+          concat(lit("p:"), $"l_partkey").as("dst"))
+        .distinct()
+      val eu = graft.Scratch.track(
+        e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+          .cache())
+      var v = eu.select($"src".as("g")).distinct().localCheckpoint()
+      for (_ <- 1 to R) {
+        v = eu
+          .join(v.select($"g".as("src")), Seq("src"), "left_semi")
+          .join(v.select($"g".as("dst")), Seq("dst"), "left_semi")
+          .groupBy($"src").agg(count(lit(1)).as("d"))
+          .filter($"d" >= K)
+          .select($"src".as("g"))
+          .localCheckpoint()
+      }
+      // survivors' degree within the induced subgraph (round R+1's
+      // count) — the per-vertex coreness witness
+      eu.join(v.select($"g".as("src")), Seq("src"), "left_semi")
+        .join(v.select($"g".as("dst")), Seq("dst"), "left_semi")
+        .groupBy($"src").agg(count(lit(1)).cast("long").as("core_deg"))
+        .select($"src".as("gid"), $"core_deg")
+        .orderBy($"gid")
+    }),
+
     // GraphX TriangleCount: the star graph alone is triangle-free, so
     // customer→supplier "serves" edges (same nation) close one
     // triangle per (customer, supplier, nation) — per-node counts are
@@ -144,7 +186,28 @@ object GraphXQ {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1)"""
 
+  /** one unrolled k-core peel round (k=6) for the gx_kcore oracle */
+  private def kcoreRound(prev: String, cur: String): String =
+    s"""$cur AS (SELECT src AS g FROM eu
+          WHERE src IN (SELECT g FROM $prev)
+            AND dst IN (SELECT g FROM $prev)
+          GROUP BY src HAVING count(*) >= 6)"""
+
+  private val kcoreOracle: String =
+    s"""WITH e AS (SELECT DISTINCT 'o:'||l_orderkey AS src,
+            'p:'||l_partkey AS dst FROM lineitem),
+        eu AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        v0 AS (SELECT DISTINCT src AS g FROM eu),
+        ${kcoreRound("v0", "v1")}, ${kcoreRound("v1", "v2")},
+        ${kcoreRound("v2", "v3")}, ${kcoreRound("v3", "v4")},
+        ${kcoreRound("v4", "v5")}, ${kcoreRound("v5", "v6")}
+        SELECT src AS gid, CAST(count(*) AS BIGINT) AS core_deg
+        FROM eu WHERE src IN (SELECT g FROM v6)
+          AND dst IN (SELECT g FROM v6)
+        GROUP BY src ORDER BY gid"""
+
   val oracles: Map[String, String] = Map(
+    "gx_kcore" -> kcoreOracle,
     "gx_pagerank" -> pagerankOracle,
     "gx_connected_components" ->
       s"""WITH $regionComponentCte

@@ -49,4 +49,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(counts(nodes, ring ++ chords, unique = true) ==
       counts(nodes, ring ++ chords, unique = false))
   }
+
+  test("gx_kcore == an in-memory reference peel (6 rounds, k=6)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat(lit("o:"), $"l_orderkey"),
+        concat(lit("p:"), $"l_partkey"))
+      .distinct().as[(String, String)].collect()
+    val eu = (e ++ e.map(_.swap)).toSeq
+    var v = eu.map(_._1).toSet
+    for (_ <- 1 to 6) {
+      val deg = eu.filter(p => v(p._1) && v(p._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      v = deg.filter(_._2 >= 6).keySet
+    }
+    val expected = eu.filter(p => v(p._1) && v(p._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = queries.GraphXQ.defs("gx_kcore")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+    // the fixture actually peels: some vertex must have died
+    assert(v.size < eu.map(_._1).distinct.size)
+  }
 }
