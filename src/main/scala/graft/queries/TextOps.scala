@@ -248,24 +248,9 @@ object TextOps {
     // presentation sort); the per-chunk md5 fingerprint is what a
     // downstream chunk-level dedup/index keys on. Integer-only chunk
     // arithmetic, so DuckDB replays it exactly.
-    "t_chunk" -> ((s, dir) => {
-      import s.implicits._
-      val W = 64; val S = 48
-      t(s, dir, "documents")
-        .select($"doc_id", wordsCol.as("w"))
-        .withColumn("n", size($"w")).filter($"n" > 0)
-        .withColumn("k", when($"n" <= W, lit(0L))
-          .otherwise(floor(($"n" - W + S - 1) / lit(S)).cast("long")))
-        .select($"doc_id", $"w", $"n",
-          explode(sequence(lit(0L), $"k")).as("chunk_idx"))
-        .withColumn("start_tok", $"chunk_idx" * S)
-        .withColumn("ck",
-          slice($"w", ($"start_tok" + 1).cast("int"), lit(W)))
-        .select($"doc_id", $"chunk_idx", $"start_tok",
-          size($"ck").cast("long").as("n_tok"),
-          md5(array_join($"ck", " ")).as("chunk_fp"))
-        .orderBy($"doc_id", $"chunk_idx")
-    }),
+    "t_chunk" -> ((s, dir) =>
+      chunkTable(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // BPE-style pre-tokenizer counting (the GPT-2 pattern, minus the
     // RE2-unsupported lookahead so the oracle's regex engine agrees):
@@ -1013,6 +998,30 @@ object TextOps {
     toks.groupBy($"doc_id")
       .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
       .select($"doc_id", simhash.as("simhash"))
+  }
+
+  /** the t_chunk transform over an arbitrary (doc_id, text) frame —
+    * row-local explode (W=64, S=48), shared verbatim by the batch
+    * entry and the streaming twin (EventStreams.chunkStream) so their
+    * parity holds by construction
+    */
+  private[graft] def chunkTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = 64; val S = 48
+    docs
+      .select($"doc_id", wordsCol.as("w"))
+      .withColumn("n", size($"w")).filter($"n" > 0)
+      .withColumn("k", when($"n" <= W, lit(0L))
+        .otherwise(floor(($"n" - W + S - 1) / lit(S)).cast("long")))
+      .select($"doc_id", $"w", $"n",
+        explode(sequence(lit(0L), $"k")).as("chunk_idx"))
+      .withColumn("start_tok", $"chunk_idx" * S)
+      .withColumn("ck",
+        slice($"w", ($"start_tok" + 1).cast("int"), lit(W)))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        size($"ck").cast("long").as("n_tok"),
+        md5(array_join($"ck", " ")).as("chunk_fp"))
   }
 
   /** the t_bpe_train trainer over an arbitrary (… text …) frame —

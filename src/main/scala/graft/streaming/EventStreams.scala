@@ -363,6 +363,23 @@ object EventStreams {
       .as[LineDedupRow]
   }
 
+  case class ChunkRow(doc_id: Long, chunk_idx: Long, start_tok: Long,
+      n_tok: Long, chunk_fp: String)
+
+  /** Streaming passage chunking — t_chunk's streaming twin for a
+    * live RAG-ingest path. Chunking is ROW-LOCAL (the batch op's
+    * explode with zero shuffle), so the stream needs no state and no
+    * watermark: each arriving document emits its windows immediately
+    * in append mode. The transform is literally the batch one
+    * (TextOps.chunkTable), so stream == batch parity holds by
+    * construction and the spec only pins the plumbing.
+    */
+  def chunkStream(docs: Dataset[DocEvent]): Dataset[ChunkRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.queries.TextOps.chunkTable(docs.toDF()).as[ChunkRow]
+  }
+
   case class AttrEvent(user_id: Long, tsMicros: Long, event_id: Long,
       event_type: String)
   case class Attribution(event_id: Long, user_id: Long, tsMicros: Long,

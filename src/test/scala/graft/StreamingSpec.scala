@@ -250,6 +250,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed passage chunking matches t_chunk across a " +
+      "micro-batch split") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("t_chunk")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(expected.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 1) / 2).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.chunkStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got == expected)
+  }
+
   test("streamed MinHash banding takes a precomputed stop-shingle set " +
       "and matches the batch DF cap where the cap bites") {
     // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
