@@ -735,17 +735,26 @@ object Parser {
             throw ParseException(
               "quantified path patterns support a plain -[r:T]-> inner " +
                 "relationship")
-          p.expectSym("{")
           def qnum(): Int = p.next() match {
             case NumLit(v: Long) => v.toInt
             case other => throw ParseException(
               s"expected a quantifier bound, got $other")
           }
-          val lo = qnum()
-          val hi = if (p.trySym(",")) qnum() else lo
-          p.expectSym("}")
-          if (lo < 1 || hi < lo || hi > 10) throw ParseException(
-            s"unsupported quantifier {$lo,$hi} (bounded 1..10)")
+          // GQL quantifiers: {m,n} / {m} braces, or the * / +
+          // shorthands (unbounded upper lowers to the engine's hop
+          // cap of 10, the same bound var-length `*` carries)
+          val (lo, hi) = p.peek match {
+            case Some(Sym("*")) => p.next(); (0, 10)
+            case Some(Sym("+")) => p.next(); (1, 10)
+            case _ =>
+              p.expectSym("{")
+              val l = qnum()
+              val h = if (p.trySym(",")) qnum() else l
+              p.expectSym("}")
+              (l, h)
+          }
+          if (lo < 0 || hi < lo || hi > 10) throw ParseException(
+            s"unsupported quantifier {$lo,$hi} (bounded 0..10)")
           val target = parseNode(p)
           hops += ((innerRel.copy(varLength = Some((lo, hi)),
             qppNodeVars =
@@ -852,15 +861,26 @@ object Parser {
         while (p.trySym("|")) altTypes += p.identOrKw()
       }
       if (p.trySym("*")) {
-        val min = p.peek match {
-          case Some(NumLit(v: Long)) => p.next(); v.toInt
-          case _ => 1
+        // Neo4j forms: `*` (1..∞), `*n` (exact), `*n..`, `*..m`,
+        // `*n..m`, `*0..m` — an open upper bound lowers to the
+        // engine's hop cap of 10 (documented; unbounded expansion
+        // over a cyclic store is unbounded work)
+        val minOpt = p.peek match {
+          case Some(NumLit(v: Long)) => p.next(); Some(v.toInt)
+          case _ => None
         }
-        val max = if (p.trySym("..")) p.peek match {
-          case Some(NumLit(v: Long)) => p.next(); v.toInt
-          case other => throw ParseException(s"expected max hops, got $other")
-        } else min
-        if (min < 1 || max < min || max > 10)
+        val (min, max) =
+          if (p.trySym("..")) {
+            val maxOpt = p.peek match {
+              case Some(NumLit(v: Long)) => p.next(); Some(v.toInt)
+              case _ => None
+            }
+            (minOpt.getOrElse(1), maxOpt.getOrElse(10))
+          } else minOpt match {
+            case Some(n) => (n, n)
+            case None => (1, 10)
+          }
+        if (min < 0 || max < min || max > 10)
           throw ParseException(s"unsupported hop range *$min..$max")
         varLength = Some((min, max))
       }

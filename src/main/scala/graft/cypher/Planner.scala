@@ -2605,14 +2605,26 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // lineage (settled_h references every earlier frontier twice),
       // and the materialized level lets the loop STOP on an empty
       // frontier instead of always unrolling to maxH
+      // *0.. lower bound: every start settles with ITSELF at level 0
+      // (one zero-length walk per pair); level-1 pairs that would
+      // re-settle a (s, s) self-loop anti-join away like any later
+      // level does against the settled set
+      val zeroLevel: Option[DataFrame] = if (minH == 0)
+        Some(start.select(col("__start"), col("__start").as("__end"),
+          lit(1L).as("__cnt"), lit(0).as("__hops")).localCheckpoint())
+      else None
       var frontier = start.join(step, col("__start") === col("__from"))
         .groupBy(col("__start"), col("__to").as("__end"))
         .agg(count(lit(1)).as("__cnt"))
         .withColumn("__hops", lit(1))
+      frontier = zeroLevel.map(z => frontier.join(
+          z.select(col("__start"), col("__end")),
+          Seq("__start", "__end"), "left_anti")).getOrElse(frontier)
         .localCheckpoint()
-      var levels = Seq(frontier)
+      var levels = zeroLevel.toSeq
+      if (maxH >= 1) levels :+= frontier
       var h = 2
-      var exhausted = frontier.isEmpty
+      var exhausted = maxH < 1 || frontier.isEmpty
       while (h <= maxH && !exhausted) {
         // fresh column names per iteration — joining the same step
         // relation repeatedly trips the ambiguous-self-join detector
@@ -2647,7 +2659,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .join(step, col("__start") === col("__from"))
         .select(col("__start"), col("__to").as("__end"), lit(1).as("__hops"),
           array(col("__ekey")).as("__path"))
-      reach = if (minH <= 1) frontier else null
+      // *0.. lower bound: ONE zero-length walk per start (end = start,
+      // empty edge list — uniqueness filters are vacuous on it, and a
+      // label/prop filter on the end node applies to the start itself,
+      // Neo4j semantics)
+      val zeroWalk = start.select(col("__start"),
+        col("__start").as("__end"), lit(0).as("__hops"),
+        array().cast("array<string>").as("__path"))
+      reach = if (minH == 0) {
+        if (maxH >= 1) zeroWalk.unionByName(frontier) else zeroWalk
+      } else if (minH <= 1) frontier else null
       for (h <- 2 to maxH) {
         // fresh column names per iteration — joining the same step
         // relation repeatedly trips the ambiguous-self-join detector
@@ -3347,16 +3368,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // sum of durations aggregates component-wise (Neo4j)
         case Some(s: org.apache.spark.sql.types.StructType)
             if isDurType(s) =>
-          durStruct(sum(c.getField("months")), sum(c.getField("days")),
-            sum(c.getField("secs")))
+          durStruct(coalesce(sum(c.getField("months")), lit(0L)),
+            coalesce(sum(c.getField("days")), lit(0L)),
+            coalesce(sum(c.getField("secs")), lit(0L)))
         // sum over statically-INTEGER input stays INTEGER (Neo4j:
         // sum of integers is an integer); dynamic props keep the
-        // double view (their family is only known at runtime)
+        // double view (their family is only known at runtime).
+        // Neo4j: sum over zero values is 0, not null (probe 14)
         case Some(org.apache.spark.sql.types.LongType |
             org.apache.spark.sql.types.IntegerType |
             org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.ByteType) => sum(c)
-        case _ => sum(numCol(a))
+            org.apache.spark.sql.types.ByteType) =>
+          coalesce(sum(c), lit(0L))
+        case _ => coalesce(sum(numCol(a)), lit(0.0))
       }
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
     case FuncCall("min", Seq(a), _) => min(valueCol(a))
@@ -3952,7 +3976,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => abs(numCol(a))
       }
     case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
-    case FuncCall("round", Seq(a), _) => round(numCol(a), 0)
+    // 1-arg round: Neo4j uses Math.round — halves go toward POSITIVE
+    // infinity (round(-2.5) = -2.0, round(-0.5) = 0.0), not Spark's
+    // HALF_UP away-from-zero (probe 14). floor(x + 0.5) is exactly
+    // that; the precision forms below keep their documented modes.
+    case FuncCall("round", Seq(a), _) =>
+      val x = numCol(a).cast("double")
+      when(isnan(x) || x === lit(Double.PositiveInfinity) ||
+          x === lit(Double.NegativeInfinity), x)
+        .otherwise(floor(x + lit(0.5)).cast("double"))
     case FuncCall("round", Seq(a, Lit(p: Long)), _) =>
       round(numCol(a), p.toInt)
     // explicit rounding mode (Neo4j 4.2+): HALF_UP is Spark's round,
@@ -3994,6 +4026,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("sqrt", Seq(a), _) => sqrt(numCol(a))
     // openCypher head([])/last([]) are null; bare element_at would
     // throw under ANSI mode on an empty list
+    // head/last/tail of a null LITERAL is null (Neo4j) — a NullType
+    // column can't feed element_at/slice (probe 14)
+    case FuncCall("head" | "last" | "tail", Seq(a), _)
+        if colTypeOpt(valueCol(a))
+          .contains(org.apache.spark.sql.types.NullType) =>
+      lit(null)
     case FuncCall("head", Seq(a), _) =>
       val c = valueCol(a); when(size(c) > 0, element_at(c, 1))
     case FuncCall("last", Seq(a), _) =>
@@ -4630,7 +4668,32 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             case Some(BooleanType) => Some(3)
             case _ => None
           }
-          (fam(lc), fam(rc)) match {
+          // map (struct-backed) equality is KEY-SET equality, not
+          // field-order equality (probe 14: {a:1,b:'x'} = {b:'x',a:1}
+          // is true in Neo4j). Both sides reorder their fields by
+          // name — a pure, equality-preserving rewrite that also
+          // passes durations/points through unchanged (fixed field
+          // sets); different key sets mean the maps are simply
+          // unequal.
+          val structEq: Option[Column] =
+            (colTypeOpt(lc), colTypeOpt(rc)) match {
+              case (Some(ls: org.apache.spark.sql.types.StructType),
+                    Some(rs: org.apache.spark.sql.types.StructType))
+                  if op == "=" || op == "<>" =>
+                def reorder(c: Column,
+                    t: org.apache.spark.sql.types.StructType): Column =
+                  struct(t.fieldNames.sorted.toSeq
+                    .map(n => c.getField(n).as(n)): _*)
+                val sameKeys =
+                  ls.fieldNames.sorted.sameElements(rs.fieldNames.sorted)
+                Some(if (!sameKeys)
+                  when(lc.isNull || rc.isNull, lit(null).cast("boolean"))
+                    .otherwise(lit(op == "<>"))
+                else apply(reorder(lc, ls), reorder(rc, rs)))
+              case _ => None
+            }
+          if (structEq.nonEmpty) structEq.get
+          else (fam(lc), fam(rc)) match {
             case (Some(a), Some(b)) if a != b => op match {
               case "=" => when(lc.isNull || rc.isNull,
                 lit(null).cast("boolean")).otherwise(lit(false))

@@ -236,6 +236,13 @@ object CypherQ {
         """MATCH (c:Customer)-[*1..2]->(m)
            RETURN m.gid AS target, count(*) AS n ORDER BY target""")),
 
+    // zero-length lower bound (probe 14 → Neo4j parity): *0..2 binds
+    // every start to ITSELF at hop 0, then its nation and region
+    "cypher_varlen_zero" -> ((s, dir) =>
+      CypherEngine.query(GraphOnTpch.customerGraphStore(s, dir),
+        """MATCH (c:Customer)-[*0..2]->(m)
+           RETURN m.gid AS target, count(*) AS n ORDER BY target""")),
+
     // The reference's parameterized write templates VERBATIM
     // (/root/reference/neo4j.go:95-127): nation rows become $items
     // map arrays driven through UpdateNode / TargetNode / UpdateEdge /
@@ -819,6 +826,16 @@ DETACH DELETE n
     "cypher_customer_varlen" ->
       """WITH hops AS (
            SELECT 'n:'||c_nationkey AS target FROM customer
+           UNION ALL
+           SELECT 'r:'||n.n_regionkey
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         SELECT target, COUNT(*) AS n FROM hops
+         GROUP BY 1 ORDER BY target""",
+    "cypher_varlen_zero" ->
+      """WITH hops AS (
+           SELECT 'c:'||c_custkey AS target FROM customer
+           UNION ALL
+           SELECT 'n:'||c_nationkey FROM customer
            UNION ALL
            SELECT 'r:'||n.n_regionkey
            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)

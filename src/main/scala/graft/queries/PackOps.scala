@@ -159,6 +159,41 @@ object PackOps {
           Window.partitionBy($"stage").orderBy($"rank")).cast("long"))
         .select($"doc_id", $"score", $"rank", $"stage", $"stage_pos")
         .orderBy($"doc_id")
+    }),
+
+    // Length-bucketed batching (the dynamic-batching trick): docs
+    // group into power-of-2 token-length buckets, each bucket packs
+    // B=8 docs per batch in deterministic (doc_id) order, and the
+    // per-batch padding waste (B·max_len − Σlen of a full batch) is
+    // the metric the bucketing exists to minimize — batching WITHOUT
+    // bucketing pads every sequence to the global max. One window
+    // shuffle on the bucket key; integer-only arithmetic.
+    "p_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val B = 8
+      val sized = t(s, dir, "documents")
+        .select($"doc_id", size(wordsCol).cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+        // bucket = min b with 2^b >= n_tok (ceil-log2 WITHOUT a float
+        // log — ln(x)/ln(2) is off by an ulp at exact powers of two
+        // in one engine and not the other; 2^b comparisons are exact
+        // in both)
+        .withColumn("bucket",
+          array_min(filter(sequence(lit(0L), lit(20L)),
+            b => pow(lit(2.0), b) >= $"n_tok")))
+      val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      sized
+        .withColumn("batch_idx",
+          ((row_number().over(w) - 1) / B).cast("long"))
+        .groupBy($"bucket", $"batch_idx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tok"),
+          max($"n_tok").as("max_tok"))
+        .withColumn("pad_waste",
+          $"n_docs" * $"max_tok" - $"sum_tok")
+        .select($"bucket", $"batch_idx", $"n_docs", $"sum_tok",
+          $"max_tok", $"pad_waste")
+        .orderBy($"bucket", $"batch_idx")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -246,5 +281,28 @@ object PackOps {
          SELECT doc_id, score, rank, stage,
            row_number() OVER (PARTITION BY stage ORDER BY rank)
              AS stage_pos
-         FROM g ORDER BY doc_id""")
+         FROM g ORDER BY doc_id""",
+    "p_length_buckets" ->
+      """WITH sized AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+         bucketed AS (SELECT doc_id, n_tok,
+             list_min(list_filter(range(0, 21),
+               b -> power(2, b) >= n_tok)) AS bucket
+           FROM sized),
+         batched AS (SELECT bucket, n_tok,
+             CAST((row_number() OVER
+               (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+               AS BIGINT) AS batch_idx
+           FROM bucketed)
+         SELECT bucket, batch_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           max(n_tok) AS max_tok,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+             AS pad_waste
+         FROM batched GROUP BY bucket, batch_idx
+         ORDER BY bucket, batch_idx""")
 }

@@ -705,6 +705,83 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(130)}" }
       println(s"PROBE13 $tag: $res")
     }
+    // battery 14 (driver round 9, session 2): semantic corners —
+    // zero-length paths, null ordering/aggregation, optional-WHERE
+    // placement, mixed-type orderability, boundary slices
+    val probes14: Seq[(String, String)] = Seq(
+      "varlen-zero" ->
+        """MATCH (a:Nation {gid: 'n:1'})-[:in_region*0..1]->(b)
+           RETURN b.gid AS g ORDER BY g""",
+      "path-zero-len" ->
+        "MATCH p = (n:Nation {gid: 'n:1'}) RETURN length(p) AS l",
+      "optional-inline-where" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           OPTIONAL MATCH (n)-[:in_region]->(m) WHERE m.gid = 'nope'
+           RETURN n.gid AS g, m.gid AS mg""",
+      "agg-over-empty" ->
+        """MATCH (n:Nation) WHERE n.gid = 'nope'
+           RETURN sum(n.x) AS s, count(*) AS c, min(n.x) AS lo,
+             avg(n.x) AS av, collect(n.gid) AS l""",
+      "collect-skips-null" ->
+        "UNWIND [1, null, 2] AS x RETURN collect(x) AS l",
+      "string-predicates-null" ->
+        """RETURN 'abc' STARTS WITH 'a' AS sw, 'abc' CONTAINS 'b' AS ct,
+           'abc' ENDS WITH null AS en""",
+      "null-prop-compare" ->
+        """MATCH (n:Nation {gid: 'n:1'}) WITH n
+           WHERE n.missing = 'x' RETURN count(*) AS c""",
+      "orderby-null-asc" ->
+        """UNWIND [3, null, 1] AS x RETURN x ORDER BY x""",
+      "orderby-null-desc" ->
+        """UNWIND [3, null, 1] AS x RETURN x ORDER BY x DESC""",
+      "unwind-empty-agg" ->
+        "UNWIND [] AS x RETURN count(x) AS c",
+      "double-unwind" ->
+        """UNWIND [[1,2],[3]] AS l UNWIND l AS x RETURN sum(x) AS s""",
+      "with-shadow-self" ->
+        "WITH 1 AS x WITH x + 1 AS x RETURN x",
+      "min-mixed-types" ->
+        """UNWIND [2, 'a', 1] AS x RETURN min(x) AS lo, max(x) AS hi""",
+      "head-last-empty" ->
+        "RETURN head([]) AS h, last([]) AS l, head(null) AS hn",
+      "label-predicate-expr" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           RETURN n:Nation AS isN, n:Region AS isR""",
+      "is-not-null-form" ->
+        """MATCH (n:Nation) WHERE n.name IS NOT NULL
+           RETURN count(*) AS c""",
+      "tostring-forms" ->
+        "RETURN toString(3.0) AS f, toString(true) AS b, toString(7) AS i",
+      "round-half" ->
+        "RETURN round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c",
+      "slice-beyond" ->
+        "RETURN [1,2,3][1..10] AS s, [1,2,3][-10..2] AS t",
+      "range-step" ->
+        "RETURN range(1, 10, 3) AS r, range(10, 1, -4) AS d",
+      "map-equality" ->
+        "RETURN {a: 1, b: 'x'} = {b: 'x', a: 1} AS eq",
+      "list-in-listlist" ->
+        "RETURN [1,2] IN [[1,2],[3]] AS m",
+      "count-distinct-null" ->
+        "UNWIND [1, null, 1, 2] AS x RETURN count(DISTINCT x) AS c",
+      "substring-one-arg" ->
+        "RETURN substring('hello', 1) AS s, size('hello') AS n",
+      "collect-then-slice" ->
+        """MATCH (n:Nation) WITH n.gid AS g ORDER BY g
+           WITH collect(g) AS gs RETURN gs[..2] AS first2""",
+      "not-null-logic" ->
+        "RETURN NOT null AS a, -null AS b, null ^ 2 AS c",
+      "double-mod" ->
+        "RETURN 5.5 % 2.0 AS m, -5.5 % 2.0 AS n")
+    probes14.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(store, q).collect()
+          "PASS " + rows.take(3).mkString("; ").take(140)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(130)}" }
+      println(s"PROBE14 $tag: $res")
+    }
     s.stop()
   }
 }

@@ -3708,4 +3708,112 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       CypherEngine.query(store, "RETURN 1 % 0 AS boom").collect()
     }
   }
+
+  test("*0.. zero-length paths: end binds the start and end-node " +
+      "filters apply to the start itself (Neo4j)") {
+    val r = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[*0..1]->(b)
+         RETURN b.gid AS g ORDER BY g""").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("urn:c1", "urn:p1", "urn:p2"))
+    // end label EXCLUDES the zero-length row when the start fails it…
+    val lab = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[*0..1]->(b:Company)
+         RETURN b.gid AS g""").collect().map(_.getString(0))
+    assert(lab.toSeq == Seq("urn:c1"))
+    // …and INCLUDES it when the start satisfies it (isolated p3)
+    val self = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p3'})-[*0..2]->(b:Person)
+         RETURN b.gid AS g""").collect().map(_.getString(0))
+    assert(self.toSeq == Seq("urn:p3"))
+    // *0 exact: only the start, even with a relType
+    val zero = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[:knows*0]->(b)
+         RETURN b.gid AS g""").collect().map(_.getString(0))
+    assert(zero.toSeq == Seq("urn:p2"))
+    // the zero walk's path has length 0 and an empty rel list
+    val p = CypherEngine.query(store,
+      """MATCH p = (a:Person {gid: 'urn:p3'})-[rs*0..1]->(b)
+         RETURN length(p) = 0 AS z, size(rs) = 0 AS e""").collect()
+    assert(p.map(x => (x.getBoolean(0), x.getBoolean(1))).toSeq ==
+      Seq((true, true)))
+    // shortestPath to SELF via *0.. is the zero-length path
+    val sp = CypherEngine.query(store,
+      """MATCH p = shortestPath(
+           (a:Person {gid: 'urn:p2'})-[*0..2]->(b:Person {gid: 'urn:p2'}))
+         RETURN length(p) = 0 AS z""").collect()
+    assert(sp.map(_.getBoolean(0)).toSeq == Seq(true))
+  }
+
+  test("bare * and open hop ranges follow Neo4j (1..cap, n.., ..m)") {
+    val bs = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[:knows*]->(b)
+         RETURN b.gid AS g""").collect().map(_.getString(0))
+    assert(bs.toSeq == Seq("urn:p1"))
+    val open = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[*1..]->(b)
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(open == 3) // knows→p1, worksfor→c1, knows·worksfor→c1
+  }
+
+  test("QPP {0,n} and the * / + quantifier shorthands") {
+    val r = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'}) ((x)-[r:knows]->(y)){0,1} (c:Person)
+         RETURN c.gid AS g, size(r) = 0 AS zero ORDER BY g""").collect()
+    assert(r.map(x => (x.getString(0), x.getBoolean(1))).toSeq ==
+      Seq(("urn:p1", false), ("urn:p2", true)))
+    val plus = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'}) ((x)-[r:knows]->(y))+ (c)
+         RETURN c.gid AS g""").collect().map(_.getString(0))
+    assert(plus.toSeq == Seq("urn:p1"))
+    val star = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p3'}) ((x)-[r:knows]->(y))* (c)
+         RETURN c.gid AS g""").collect().map(_.getString(0))
+    assert(star.toSeq == Seq("urn:p3"))
+  }
+
+  test("sum over zero rows is 0, not null (probe 14)") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person) WHERE n.gid = 'nope'
+         RETURN sum(n.age) AS s, count(*) AS c, min(n.age) AS lo,
+           collect(n.gid) AS l""").collect().head
+    assert(r.getDouble(0) == 0.0) // dynamic prop → FLOAT family view
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(2))
+    assert(r.getSeq[String](3).isEmpty)
+    // statically-INTEGER input keeps the INTEGER zero
+    val i = CypherEngine.query(store,
+      "WITH 1 AS y WHERE y = 0 RETURN sum(y) AS s").collect().head
+    assert(i.getLong(0) == 0L)
+  }
+
+  test("head/last/tail of null are null (probe 14)") {
+    val r = CypherEngine.query(store,
+      "RETURN head(null) AS h, last(null) AS l, tail(null) AS t")
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("map equality is key-set equality, not field-order (probe 14)") {
+    val r = CypherEngine.query(store,
+      """RETURN {a: 1, b: 'x'} = {b: 'x', a: 1} AS eq,
+         {a: 1} = {a: 2} AS valdiff,
+         {a: 1} = {a: 1, b: 2} AS keydiff,
+         {a: 1} <> {b: 1} AS ne""").collect().head
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+    assert(!r.getBoolean(2))
+    assert(r.getBoolean(3))
+  }
+
+  test("1-arg round() halves go toward +infinity like Math.round " +
+      "(probe 14); precision form keeps HALF_UP") {
+    val r = CypherEngine.query(store,
+      """RETURN round(2.5) AS a, round(-2.5) AS b, round(-0.5) AS c,
+         round(1.4) AS d, round(2.25, 1) AS p""").collect().head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == -2.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 2.3)
+  }
 }
