@@ -459,4 +459,45 @@ object Multimodal {
       }
     }
   }
+
+  case class DHashRow(media_id: Long, dhash: String)
+
+  /** Perceptual difference-hash (dHash, the classic image near-dup
+    * fingerprint): resample to a 9×8 grid with the same stubbed
+    * nearest-neighbor sampling resizeNearest uses, then bit k
+    * (row k/8, col k%8) is 1 iff the pixel is darker than its right
+    * neighbor — 64 gradient bits, robust to uniform brightness
+    * shifts. Rendered as 16 hex nibbles MSB-first so a 16-bit band
+    * is exactly a 4-character substring (m_phash_pairs bands on
+    * that, SimHash-style). Pure per-row typed work; the oracle
+    * replays every pixel and bit.
+    */
+  def dhash(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    val outW = 9; val outH = 8
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val srcH = math.max(1, (n + RowBytes - 1) / RowBytes)
+        val px = new Array[Int](outW * outH)
+        var i = 0
+        while (i < px.length) {
+          val sr = (i / outW) * srcH / outH
+          val sc = (i % outW) * RowBytes / outW
+          val idx = sr * RowBytes + sc
+          px(i) = if (idx < n) r.payload(idx) & 0xff else 0
+          i += 1
+        }
+        var h = 0L
+        var k = 0
+        while (k < 64) {
+          val row = k / 8; val col = k % 8
+          if (px(row * outW + col) < px(row * outW + col + 1))
+            h |= 1L << (63 - k)
+          k += 1
+        }
+        DHashRow(r.media_id, f"$h%016x")
+      }
+    }
+  }
 }

@@ -14,6 +14,10 @@ import graft.ops.Multimodal
 object MultimodalQ {
   import Relational.t
 
+  /** the dHash table both m_phash entries derive from */
+  private def phashTable(s: SparkSession, dir: String) =
+    Multimodal.dhash(Multimodal.documentsAsMedia(t(s, dir, "documents")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -76,6 +80,45 @@ object MultimodalQ {
         Multimodal.documentsAsMedia(t(s, dir, "documents")),
         outW = 8, outH = 8)
         .toDF().orderBy($"media_id")
+    }),
+
+    // Perceptual-hash table (dHash 9×8 gradient bits) — the image
+    // near-dup fingerprint every multimodal curation pipeline keys
+    // on (image dedup before caption alignment).
+    "m_phash" -> ((s, dir) => {
+      import s.implicits._
+      phashTable(s, dir).toDF().orderBy($"media_id")
+    }),
+
+    // Image near-dup pairs: 4×16-bit bands over the dHash (a band is
+    // a 4-hex-char substring) generate candidates — pigeonhole recall
+    // for hamming ≤ 3, and in practice most gradient-similar media
+    // collide on some band well past that — then the exact hamming
+    // (conv/xor/bit_count per band, all codegen) verifies ≤ 6. The
+    // banded join is what bounds candidates at 100 TB, exactly like
+    // the SimHash text twin.
+    "m_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val hx = phashTable(s, dir).toDF()
+      val bands = hx.select($"media_id", $"dhash",
+          explode(sequence(lit(0), lit(3))).as("bk"))
+        .select($"media_id", $"dhash", $"bk",
+          expr("substring(dhash, bk * 4 + 1, 4)").as("key"))
+      val cand = bands.select($"media_id".as("ma"), $"dhash".as("da"),
+          $"bk", $"key")
+        .join(bands.select($"media_id".as("mb"), $"dhash".as("db"),
+          $"bk", $"key"), Seq("bk", "key"))
+        .filter($"ma" < $"mb")
+        .select($"ma", $"da", $"mb", $"db").distinct()
+      def bandNum(c: org.apache.spark.sql.Column, b: Int) =
+        conv(substring(c, b * 4 + 1, 4), 16, 10).cast("long")
+      val ham = (0 until 4).map(b =>
+        bit_count(bandNum($"da", b).bitwiseXOR(bandNum($"db", b))))
+        .reduce(_ + _)
+      cand.withColumn("hamming", ham.cast("long"))
+        .filter($"hamming" <= 6)
+        .select($"ma", $"mb", $"hamming")
+        .orderBy($"ma", $"mb")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +191,56 @@ object MultimodalQ {
            list_sum(p)::BIGINT AS px_sum,
            md5(list_aggregate(list_transform(p, x -> x::VARCHAR),
              'string_agg', ',')) AS px_fp
-         FROM px ORDER BY media_id""")
+         FROM px ORDER BY media_id""",
+    "m_phash" ->
+      s"""WITH $phashCtes
+         SELECT media_id, dhash FROM hx ORDER BY media_id""",
+    "m_phash_pairs" ->
+      s"""WITH $phashCtes,
+         bands AS (SELECT media_id, b, dhash, unnest(range(0, 4)) AS bk
+           FROM hx),
+         keyed AS (SELECT media_id, b, bk,
+             substring(dhash, (bk * 4 + 1)::INT, 4) AS key FROM bands),
+         cand AS (SELECT DISTINCT a.media_id ma, c.media_id mb
+           FROM keyed a JOIN keyed c ON a.bk = c.bk AND a.key = c.key
+             AND a.media_id < c.media_id),
+         ham AS (SELECT ma, mb,
+             (SELECT CAST(len(list_filter(range(0, 64),
+                 k -> ba.b[k+1] != bb.b[k+1])) AS BIGINT)
+              FROM hx ba, hx bb
+              WHERE ba.media_id = ma AND bb.media_id = mb) AS hamming
+           FROM cand)
+         SELECT ma, mb, hamming FROM ham WHERE hamming <= 6
+         ORDER BY ma, mb""")
+
+  /** shared dHash derivation CTEs (pixels → gradient bits → hex) —
+    * the exact replay of Multimodal.dhash's stubbed sampling
+    * (a def: the oracles val above interpolates it at init)
+    */
+  private def phashCtes: String =
+    """m AS (SELECT doc_id AS media_id, text,
+           length(text)::BIGINT AS n FROM documents),
+       g AS (SELECT media_id, text, n,
+           greatest(1, (n + 15) // 16) AS src_h FROM m),
+       px AS (SELECT media_id,
+           list_transform(range(0, 72), i ->
+             CASE WHEN ((i // 9) * src_h // 8) * 16 + (i % 9) * 16 // 9 < n
+               THEN ord(substring(text,
+                 (((i // 9) * src_h // 8) * 16
+                   + (i % 9) * 16 // 9 + 1)::INT, 1))
+               ELSE 0 END) AS p
+         FROM g),
+       bits AS (SELECT media_id,
+           list_transform(range(0, 64), k ->
+             CASE WHEN p[(k // 8) * 9 + (k % 8) + 1]
+                     < p[(k // 8) * 9 + (k % 8) + 2]
+               THEN 1 ELSE 0 END) AS b
+         FROM px),
+       hx AS (SELECT media_id, b,
+           list_aggregate(list_transform(range(0, 16), j ->
+             substring('0123456789abcdef',
+               (b[j*4+1]*8 + b[j*4+2]*4 + b[j*4+3]*2 + b[j*4+4]
+                 + 1)::INT, 1)),
+             'string_agg', '') AS dhash
+         FROM bits)"""
 }

@@ -224,4 +224,35 @@ class MultimodalSpec extends AnyFunSuite {
       outW = 2, outH = 2).collect().head
     assert(tiny.src_h == 1 && tiny.px_sum == 84L)
   }
+
+  test("dHash: brightness-invariant gradient bits, 16 hex nibbles, " +
+      "banding finds every hamming<=3 pair") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => ((i * 37 + 11) % 200).toByte)
+    // uniform brightness shift flips NO gradient comparisons
+    val brighter = base.map(b => ((b & 0xff) + 30).toByte)
+    val rows = Multimodal.dhash(Seq(
+      Multimodal.MediaRow(1, "image", base),
+      Multimodal.MediaRow(2, "image", brighter)).toDS())
+      .collect().map(r => r.media_id -> r.dhash).toMap
+    assert(rows(1).length == 16 &&
+      rows(1).forall("0123456789abcdef".contains(_)))
+    assert(rows(1) == rows(2),
+      s"dhash not brightness-invariant: ${rows(1)} vs ${rows(2)}")
+    // banding recall on the corpus: every hamming<=3 pair (pigeonhole
+    // over 4 disjoint 16-bit bands) appears in m_phash_pairs
+    val dir = "/root/testdata/sf0.001"
+    val hx = graft.queries.MultimodalQ.defs("m_phash")(spark, dir)
+      .as[(Long, String)].collect()
+    def bits(h: String): Long = java.lang.Long.parseUnsignedLong(h, 16)
+    val brute = (for {
+      (a, ha) <- hx; (b, hb) <- hx if a < b
+      d = java.lang.Long.bitCount(bits(ha) ^ bits(hb)) if d <= 3
+    } yield (a, b)).toSet
+    val banded = graft.queries.MultimodalQ
+      .defs("m_phash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(banded),
+      s"banding missed ${brute -- banded}")
+  }
 }
