@@ -103,25 +103,38 @@ object GraphXQ {
         .select(concat(lit("o:"), $"l_orderkey").as("src"),
           concat(lit("p:"), $"l_partkey").as("dst"))
         .distinct()
+      // pre-partition the undirected edge list on the PROBE key (dst):
+      // the cached InMemoryRelation keeps HashPartitioning(dst), so
+      // each round's semi join against the dead set shuffles only the
+      // dead side — the big relation never re-shuffles
       val eu = graft.Scratch.track(
         e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+          .repartition($"dst")
           .cache())
-      var v = eu.select($"src".as("g")).distinct().localCheckpoint()
+      // INCREMENTAL peel: count full-graph degrees ONCE, then each
+      // round only SUBTRACTS the removed vertices' edge contributions
+      // (eu semi-joined to the round's dead set — work ∝ churn, which
+      // shrinks geometrically, instead of ∝ |E|·rounds; the textbook
+      // distributed k-core shape and the one that survives 100 TB).
+      // Maintained degrees stay equal to a per-round full recount, so
+      // the DuckDB oracle's recounting unrolled CTEs hash-match.
+      var alive = eu.groupBy($"src").agg(count(lit(1)).as("d"))
+        .select($"src".as("g"), $"d").localCheckpoint()
       for (_ <- 1 to R) {
-        v = eu
-          .join(v.select($"g".as("src")), Seq("src"), "left_semi")
-          .join(v.select($"g".as("dst")), Seq("dst"), "left_semi")
-          .groupBy($"src").agg(count(lit(1)).as("d"))
-          .filter($"d" >= K)
-          .select($"src".as("g"))
+        val dead = alive.filter($"d" < K).select($"g".as("dst"))
+        val dec = eu.join(dead, Seq("dst"), "left_semi")
+          .groupBy($"src").agg(count(lit(1)).as("rm"))
+          .select($"src".as("g"), $"rm")
+        alive = alive.filter($"d" >= K)
+          .join(dec, Seq("g"), "left_outer")
+          .select($"g", ($"d" - coalesce($"rm", lit(0L))).as("d"))
           .localCheckpoint()
       }
-      // survivors' degree within the induced subgraph (round R+1's
-      // count) — the per-vertex coreness witness
-      eu.join(v.select($"g".as("src")), Seq("src"), "left_semi")
-        .join(v.select($"g".as("dst")), Seq("dst"), "left_semi")
-        .groupBy($"src").agg(count(lit(1)).cast("long").as("core_deg"))
-        .select($"src".as("gid"), $"core_deg")
+      // survivors with their degree inside the final induced subgraph
+      // (vertices at degree 0 have no induced edges — same relation a
+      // recount produces)
+      alive.filter($"d" > 0)
+        .select($"g".as("gid"), $"d".cast("long").as("core_deg"))
         .orderBy($"gid")
     }),
 

@@ -782,6 +782,86 @@ object SyntaxProbe {
           s"FAIL ${e.getMessage.take(130)}" }
       println(s"PROBE14 $tag: $res")
     }
+    // battery 15: deletion contracts, EXISTS as a value, null flow
+    // through scalar functions, list equality, error contracts
+    val probes15: Seq[(String, String)] = Seq(
+      "exists-as-value" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           RETURN EXISTS { MATCH (n)-[:in_region]->() } AS has,
+             EXISTS { MATCH (n)-[:nope]->() } AS hasnt""",
+      "count-as-value-return" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           RETURN COUNT { (n)-->() } + 10 AS c""",
+      "scalar-null-flow" ->
+        """RETURN toUpper(null) AS u, trim(null) AS t, size(null) AS s,
+           reverse(null) AS r, split(null, ',') AS sp""",
+      "labels-type-null" ->
+        """OPTIONAL MATCH (n:Nope) RETURN labels(n) AS l,
+           coalesce(null, null, 'x') AS c""",
+      "list-equality" ->
+        """RETURN [1,2] = [1,2] AS eq, [1,2] = [1,3] AS ne,
+           [1,2] = [1,2,3] AS len, [1,[2]] = [1,[2]] AS nested""",
+      "list-reverse" ->
+        "RETURN reverse([1,2,3]) AS r",
+      "agg-expr-distinct" ->
+        """UNWIND [1,1,2] AS x
+           RETURN collect(DISTINCT x * 10) AS l, sum(x * 10) AS s""",
+      "case-in-sum" ->
+        """MATCH (n:Nation) RETURN
+           sum(CASE WHEN n.gid < 'n:2' THEN 1 ELSE 0 END) AS c""",
+      "keys-empty" ->
+        """MATCH (r:Region) RETURN keys(r) AS ks LIMIT 1""",
+      "percentile-empty" ->
+        """MATCH (n:Nation) WHERE n.gid = 'nope'
+           RETURN percentileCont(n.x, 0.5) AS p""",
+      "range-empty-step" ->
+        "RETURN range(1, 5, -1) AS r, range(5, 1) AS d",
+      "substring-oob" ->
+        "RETURN substring('abc', 10) AS s",
+      "size-of-map-error" ->
+        "RETURN size({a: 1}) AS s",
+      "orderby-hidden-distinct" ->
+        """MATCH (n:Nation) RETURN DISTINCT n.name AS nm
+           ORDER BY n.gid LIMIT 2""",
+      "datetime-truncate" ->
+        """RETURN date.truncate('month', date('2024-03-17')) AS m,
+           datetime.truncate('day', datetime('2024-03-17T10:30:00Z')) AS d""",
+      "duration-between" ->
+        """RETURN duration.between(date('2024-01-01'),
+           date('2024-03-15')) AS d""",
+      "timestamp-consistency" ->
+        "RETURN timestamp() >= 0 AS ok")
+    probes15.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(store, q).collect()
+          "PASS " + rows.take(3).mkString("; ").take(140)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(130)}" }
+      println(s"PROBE15 $tag: $res")
+    }
+    // write-path contracts on the mutable store: Neo4j refuses a
+    // plain DELETE of a node with relationships (DETACH required)
+    val writeProbes15: Seq[(String, String)] = Seq(
+      "delete-connected-node" ->
+        """MATCH (n:Nation {gid: 'n:2'}) DELETE n""",
+      "detach-delete-connected" ->
+        """MATCH (n:Nation {gid: 'n:3'}) DETACH DELETE n""",
+      "delete-null-noop" ->
+        """OPTIONAL MATCH (n:Nope) DELETE n RETURN count(*) AS c""",
+      "merge-prop-map-rel" ->
+        """MATCH (a:Nation {gid: 'n:4'})-[:in_region]->(b)
+           MERGE (a)-[r:in_region {source: 'nations'}]->(b)
+           RETURN type(r) AS t""")
+    writeProbes15.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${e.getMessage.take(130)}" }
+      println(s"PROBE15W $tag: $res")
+    }
     s.stop()
   }
 }
