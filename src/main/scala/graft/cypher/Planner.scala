@@ -2413,12 +2413,40 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           env += nm -> ValueVar(s"${nm}__value")
           ReturnItem(VarRef(nm), Some(it.alias.getOrElse("exists")))
         case _ =>
-          // pattern comprehensions may sit at ANY depth of the item
-          // (`size([…])`, `[…] + […]`); keep the item's original name
-          val (rewritten, hit) = rewritePatternComps(it.expr)
-          if (!hit) it else ReturnItem(rewritten, Some(it.name))
+          // COUNT{}/EXISTS{} and pattern comprehensions may sit at
+          // ANY depth of the item (`COUNT { … } + 10`, `size([…])`,
+          // `[…] + […]`); keep the item's original name
+          val (r1, hit1) = rewriteSubExprs(it.expr)
+          val (rewritten, hit2) = rewritePatternComps(r1)
+          if (!hit1 && !hit2) it else ReturnItem(rewritten, Some(it.name))
       }
     }
+
+  /** rewrite COUNT{}/EXISTS{} sub-EXPRESSIONS (any depth) into bound
+    * columns — the composed-expression form Neo4j 5 allows
+    * (`RETURN COUNT { … } + 10`); mutates df like the bare-item path
+    */
+  private def rewriteSubExprs(e: Expr): (Expr, Boolean) = {
+    var hit = false
+    val out = mapExpr(e) {
+      case cs: CountSub =>
+        hit = true
+        val nm = fresh("cscol")
+        val c = planSubCount(cs)
+        df = df.withColumn(s"${nm}__value", c)
+        env += nm -> ValueVar(s"${nm}__value")
+        VarRef(nm)
+      case pp: PatternPred =>
+        hit = true
+        val nm = fresh("escol")
+        val c = planSubCount(CountSub(pp.pattern, pp.where, pp.full))
+        df = df.withColumn(s"${nm}__value", c > 0)
+        env += nm -> ValueVar(s"${nm}__value")
+        VarRef(nm)
+      case other => other
+    }
+    (out, hit)
+  }
 
   /** OPTIONAL MATCH as a whole-clause left join: all comma-separated
     * patterns are planned standalone with inner joins, then left-joined
@@ -3270,12 +3298,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // canonical-string view where "9" > "40". Projected items keep
         // their output column's own ordering (what the user sees).
         case p: Ast.PropRef => pvOf(p) match {
-          case Some(pv) =>
-            val num = coalesce(pv.getField("l").cast("double"),
-              pv.getField("d"))
-            struct(
-              when(num.isNotNull, lit(0)).otherwise(lit(1)).as("t"),
-              num.as("n"), pvStrOf(pv).as("s"))
+          case Some(pv) => pvOrderKey(pv)
           case None => valueCol(e)
         }
         case _ => valueCol(e)
@@ -3290,6 +3313,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Ast.VarRef(n) if env.get(n).contains(NodeVar) => c.getField("gid")
       case _ => c
     }
+  }
+
+  /** orderability key for a dynamic property slot: numbers by VALUE
+    * before strings/booleans (Neo4j's ORDER BY and min/max rule),
+    * never the canonical-string view where "9" > "40"
+    */
+  private def pvOrderKey(pv: Column): Column = {
+    val num = coalesce(pv.getField("l").cast("double"),
+      pv.getField("d"))
+    struct(
+      when(num.isNotNull, lit(0)).otherwise(lit(1)).as("t"),
+      num.as("n"), pvStrOf(pv).as("s"))
   }
 
   private val aggNames = Set("collect", "count", "sum", "avg", "min",
@@ -3383,8 +3418,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case _ => coalesce(sum(numCol(a)), lit(0.0))
       }
     case FuncCall("avg", Seq(a), _) => avg(numCol(a))
-    case FuncCall("min", Seq(a), _) => min(valueCol(a))
-    case FuncCall("max", Seq(a), _) => max(valueCol(a))
+    // min/max over a DYNAMIC property use orderability (numbers by
+    // value before strings — probe: canonical strings put "40" < "9")
+    // via min_by/max_by on the shared type-aware key; a null VALUE
+    // nulls the ordering, which min_by/max_by skip (Neo4j skips
+    // nulls in aggregates)
+    case FuncCall("min", Seq(a), _) =>
+      pvOf(a) match {
+        case Some(pv) =>
+          min_by(valueCol(a), when(valueCol(a).isNotNull, pvOrderKey(pv)))
+        case None => min(valueCol(a))
+      }
+    case FuncCall("max", Seq(a), _) =>
+      pvOf(a) match {
+        case Some(pv) =>
+          max_by(valueCol(a), when(valueCol(a).isNotNull, pvOrderKey(pv)))
+        case None => max(valueCol(a))
+      }
     // openCypher statistics aggregates: stDev/stDevP (sample /
     // population), percentileCont (exact linear interpolation —
     // Spark's sort-based percentile, not the approx sketch)

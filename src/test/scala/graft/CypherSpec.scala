@@ -3805,6 +3805,40 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(r.getBoolean(3))
   }
 
+  test("COUNT{}/EXISTS{} compose into larger RETURN expressions " +
+      "(probe 15, Neo4j 5)") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person {gid: 'urn:p2'})
+         RETURN COUNT { (n)-->() } + 10 AS c,
+           (EXISTS { MATCH (n)-[:knows]->() } AND true) AS e,
+           CASE WHEN COUNT { (n)-->() } > 1 THEN 'multi' ELSE 'one'
+             END AS k""").collect().head
+    assert(r.getLong(0) == 12) // knows + worksfor = 2, + 10
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "multi")
+  }
+
+  test("min/max on dynamic props use orderability: numbers by value " +
+      "before strings, not canonical strings (probe fix)") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-minmax").toString, spark, 2)
+    val xs = new GraphDataset(st, spark, "xs", "X")
+    xs.fullSync(Seq(
+      Entity("urn:a").withProp("urn:p#v", 9),
+      Entity("urn:b").withProp("urn:p#v", 40),
+      Entity("urn:c").withProp("urn:p#v", "zeta")))
+    // mixed: the numeric 9 is the min (numbers order before strings),
+    // the string is the max
+    val mixed = CypherEngine.query(st,
+      "MATCH (n:X) RETURN min(n.v) AS lo, max(n.v) AS hi").collect().head
+    assert(mixed.getString(0) == "9" && mixed.getString(1) == "zeta")
+    // all-numeric: BY VALUE ("40" < "9" lexicographically — the bug)
+    val nums = CypherEngine.query(st,
+      """MATCH (n:X) WHERE n.gid < 'urn:c'
+         RETURN min(n.v) AS lo, max(n.v) AS hi""").collect().head
+    assert(nums.getString(0) == "9" && nums.getString(1) == "40")
+  }
+
   test("1-arg round() halves go toward +infinity like Math.round " +
       "(probe 14); precision form keeps HALF_UP") {
     val r = CypherEngine.query(store,
