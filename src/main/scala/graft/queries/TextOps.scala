@@ -293,6 +293,56 @@ object TextOps {
     "t_bpe_train" -> ((s, dir) =>
       bpeTrain(t(s, dir, "documents"), rounds = 4)),
 
+    // URL canonicalization + duplicate detection — the #1 web-corpus
+    // dedup key (Common Crawl dedups on canonical URL before any
+    // content hash). The fixture has no URLs, so each doc synthesizes
+    // one deterministically from doc_id (the t_pii recipe) covering
+    // every rule: uppercase hosts, www. prefixes, default :443
+    // ports, trailing slashes, utm_* tracking params (positionally
+    // first, middle, last), fragments. Canonicalization = lowercase
+    // host − www. − :443 − fragment − utm params − trailing slash;
+    // host/path/query are normalized SEPARATELY (no replacement
+    // backreferences — their escape syntax differs across engines).
+    // Pure per-row regexp work + ONE groupBy on the canonical key.
+    "t_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val u = concat(lit("https://"),
+        element_at(array(lit("WWW.Example.COM"), lit("cdn.Example.com"),
+          lit("news.site.org"), lit("blog.site.org")),
+          ($"doc_id" % 4 + 1).cast("int")),
+        when($"doc_id" % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/a/"), ($"doc_id" % 50).cast("string"),
+        when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("")),
+        when($"doc_id" % 3 === 0,
+          concat(lit("?utm_source=x&utm_campaign=y&id="),
+            ($"doc_id" % 7).cast("string")))
+          .when($"doc_id" % 3 === 1,
+            concat(lit("?id="), ($"doc_id" % 7).cast("string")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit("#frag")).otherwise(lit("")))
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(u, "^https://([^/?#]+)", 1)),
+        "^www\\.", ""), ":443$", "")
+      val path = regexp_replace(
+        regexp_extract(u, "^https://[^/?#]+([^?#]*)", 1), "/$", "")
+      val q2 = regexp_replace(
+        regexp_replace(regexp_extract(u, "\\?([^#]*)", 1),
+          "utm_[a-z]+=[^&]*&", ""),
+        "&?utm_[a-z]+=[^&]*$", "")
+      val canon = t(s, dir, "documents")
+        .select($"doc_id",
+          concat(lit("https://"), host, path,
+            when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+            .as("canon_url"),
+          regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+      val dups = canon.groupBy($"canon_url")
+        .agg(count(lit(1)).as("dup_cnt"))
+      canon.join(dups, Seq("canon_url"))
+        .select($"doc_id", $"canon_url", $"domain", $"dup_cnt",
+          ($"dup_cnt" > 1).as("is_dup"))
+        .orderBy($"doc_id")
+    }),
+
     // quality scoring: length/diversity ratios.
     "t_quality" -> ((s, dir) => {
       import s.implicits._
@@ -1107,6 +1157,44 @@ object TextOps {
                 FROM $prev CROSS JOIN b$r))"""
 
   val oracles: Map[String, String] = Map(
+    "t_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           'https://' ||
+           CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM'
+             WHEN 1 THEN 'cdn.Example.com'
+             WHEN 2 THEN 'news.site.org' ELSE 'blog.site.org' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+           '/a/' || (doc_id % 50) ||
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+           CASE doc_id % 3
+             WHEN 0 THEN '?utm_source=x&utm_campaign=y&id=' || (doc_id % 7)
+             WHEN 1 THEN '?id=' || (doc_id % 7) ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+         FROM documents),
+        parts AS (SELECT doc_id,
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+             '^www\.', ''), ':443$', '') AS host,
+           regexp_replace(
+             regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+             '/$', '') AS path,
+           coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+         FROM u),
+        cleaned AS (SELECT doc_id, host, path,
+           regexp_replace(regexp_replace(q, 'utm_[a-z]+=[^&]*&', '', 'g'),
+             '&?utm_[a-z]+=[^&]*$', '') AS q2
+         FROM parts),
+        canon AS (SELECT doc_id,
+           'https://' || host || path ||
+             CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canon_url,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+         FROM cleaned),
+        dups AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS dup_cnt
+          FROM canon GROUP BY canon_url)
+        SELECT c.doc_id, c.canon_url, c.domain, d.dup_cnt,
+          d.dup_cnt > 1 AS is_dup
+        FROM canon c JOIN dups d USING (canon_url)
+        ORDER BY c.doc_id""",
     "t_bpe_train" ->
       s"""WITH w0 AS (
             SELECT regexp_extract_all(word, '.') AS s,

@@ -380,6 +380,22 @@ object EventStreams {
     graft.queries.TextOps.chunkTable(docs.toDF()).as[ChunkRow]
   }
 
+  /** Streaming perceptual-hash ingest — m_phash's streaming twin for
+    * a live media pipeline: each arriving payload fingerprints
+    * ROW-LOCALLY through the exact batch dHash (no state, append
+    * mode); the banded near-dup join stays a batch/bucket-state
+    * query over the compact hash table, like the SimHash twin's
+    * banding state.
+    */
+  def phashStream(docs: Dataset[DocEvent])
+      : Dataset[graft.ops.Multimodal.DHashRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Multimodal.dhash(
+      graft.ops.Multimodal.documentsAsMedia(
+        docs.select(col("doc_id"), col("text"))))
+  }
+
   case class AttrEvent(user_id: Long, tsMicros: Long, event_id: Long,
       event_type: String)
   case class Attribution(event_id: Long, user_id: Long, tsMicros: Long,

@@ -279,6 +279,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed perceptual hashing matches m_phash across a " +
+      "micro-batch split") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("m_phash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 1) / 2).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.phashStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("phash_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("phash_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
   test("streamed MinHash banding takes a precomputed stop-shingle set " +
       "and matches the batch DF cap where the cap bites") {
     // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
