@@ -271,6 +271,44 @@ object EventOps {
     // is computed once from the 2-row aggregate — the experiment-
     // analysis shape (assignment is per-row, everything else is one
     // tiny aggregation).
+    // Interval (range) join, the scale recipe: 20 overlapping 60-hour
+    // campaign windows at 36-hour spacing vs the event stream. The
+    // naive form is a θ-join (`ts BETWEEN start AND end`) — a nested
+    // loop at scale. Instead time quantizes into 12-hour buckets:
+    // each interval EXPLODES to the 5 buckets it overlaps, each event
+    // has exactly ONE bucket, and the join becomes a hash equi-join
+    // on the bucket key refined by the exact containment predicate.
+    // An (event, campaign) pair shares exactly one bucket, so no
+    // dedup pass is needed. All integer-micros arithmetic (`div`),
+    // so DuckDB replays the naive θ-join to the same rows.
+    "e_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val H = 3600000000L // one hour in micros
+      val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+      val B = 12 * H
+      val campaigns = s.range(0, 20)
+        .select($"id".as("campaign"),
+          (lit(t0) + $"id" * (36 * H)).as("start_us"))
+        .withColumn("end_us", $"start_us" + 60 * H)
+      val cb = campaigns.select($"campaign", $"start_us", $"end_us",
+        explode(sequence(expr(s"start_us div $B"),
+          expr(s"(end_us - 1) div $B"))).as("bucket"))
+      val evb = ev(s, dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+        .withColumn("bucket", expr(s"us div $B"))
+      val hits = evb.join(cb, Seq("bucket"))
+        .filter($"us" >= $"start_us" && $"us" < $"end_us")
+        .groupBy($"campaign")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+      campaigns.select($"campaign")
+        .join(hits, Seq("campaign"), "left_outer")
+        .select($"campaign",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"n_users", lit(0L)).as("n_users"))
+        .orderBy($"campaign")
+    }),
+
     "e_ab_test" -> ((s, dir) => {
       import s.implicits._
       val e = ev(s, dir)
@@ -518,6 +556,17 @@ object EventOps {
          SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            asof_click_id
          FROM c WHERE side = 1 ORDER BY event_id""",
+    "e_interval_join" ->
+      """WITH c AS (SELECT i AS campaign,
+             1704067200000000 + i * 129600000000 AS start_us
+           FROM range(0, 20) t(i)),
+         e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT c.campaign,
+           CAST(count(e.event_id) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM c LEFT JOIN e ON e.us >= c.start_us
+           AND e.us < c.start_us + 216000000000
+         GROUP BY 1 ORDER BY 1""",
     "e_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
