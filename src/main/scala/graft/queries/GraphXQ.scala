@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.GraphAnalytics
@@ -138,6 +139,35 @@ object GraphXQ {
         .orderBy($"gid")
     }),
 
+    // Bipartite co-occurrence projection (the item-similarity graph
+    // build behind "customers also bought"): project the order↔part
+    // bipartite graph onto parts — edge weight = number of orders
+    // containing both parts — and keep each part's top-5 co-purchased
+    // neighbors. Pair generation is PER-ORDER (C(n,2) bounded by
+    // basket size, never part×part), one pair-count shuffle, one
+    // window over the projected edges; ties break on the neighbor
+    // key so the oracle replays exactly. At 100 TB outlier baskets
+    // get capped before the explode (the DF_CAP recipe) — basket
+    // size bounds the quadratic term.
+    "gx_copurchase" -> ((s, dir) => {
+      import s.implicits._
+      val op = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .distinct()
+      val pairs = op.select($"ok", $"pk".as("pa"))
+        .join(op.select($"ok", $"pk".as("pb")), Seq("ok"))
+        .filter($"pa" < $"pb")
+        .groupBy($"pa", $"pb").agg(count(lit(1)).as("n"))
+      val und = pairs.unionByName(
+        pairs.select($"pb".as("pa"), $"pa".as("pb"), $"n"))
+      val w = Window.partitionBy($"pa").orderBy($"n".desc, $"pb")
+      und.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"pa".as("part"), $"rank".cast("long").as("rank"),
+          $"pb".as("also_bought"), $"n".as("n_orders"))
+        .orderBy($"part", $"rank")
+    }),
+
     // GraphX TriangleCount: the star graph alone is triangle-free, so
     // customer→supplier "serves" edges (same nation) close one
     // triangle per (customer, supplier, nation) — per-node counts are
@@ -220,6 +250,19 @@ object GraphXQ {
         GROUP BY src ORDER BY gid"""
 
   val oracles: Map[String, String] = Map(
+    "gx_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk
+             FROM lineitem),
+         pairs AS (SELECT a.pk pa, b.pk pb,
+             CAST(count(*) AS BIGINT) n
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2),
+         und AS (SELECT pa, pb, n FROM pairs
+           UNION ALL SELECT pb, pa, n FROM pairs),
+         ranked AS (SELECT pa, pb, n, row_number() OVER
+             (PARTITION BY pa ORDER BY n DESC, pb) rank FROM und)
+         SELECT pa AS part, rank, pb AS also_bought, n AS n_orders
+         FROM ranked WHERE rank <= 5 ORDER BY part, rank""",
     "gx_kcore" -> kcoreOracle,
     "gx_pagerank" -> pagerankOracle,
     "gx_connected_components" ->
