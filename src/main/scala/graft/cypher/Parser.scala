@@ -433,30 +433,38 @@ object Parser {
         case Some(Kw("FOREACH")) =>
           // FOREACH (x IN list | write clauses…) — per-element writes;
           // an empty list writes nothing (the Neo4j conditional-write
-          // idiom: FOREACH (_ IN CASE WHEN p THEN [1] ELSE [] END | …))
+          // idiom: FOREACH (_ IN CASE WHEN p THEN [1] ELSE [] END | …)).
+          // Bodies may nest FOREACH (probe 16) — the planner already
+          // recurses; parsing does too.
           p.next()
-          p.expectSym("(")
-          val v = p.identOrKw()
-          p.expectKw("IN")
-          val listE = parseExpr(p)
-          p.expectSym("|")
-          val inner = Seq.newBuilder[Ast.Clause]
-          var more = true
-          while (more) {
-            p.peek match {
-              case Some(Kw("DETACH")) | Some(Kw("DELETE")) | Some(Kw("SET")) |
-                  Some(Kw("REMOVE")) | Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
-                inner += parseWriteClause(p)
-              case _ => more = false
+          def parseForeachBody(): Ast.ForeachClause = {
+            p.expectSym("(")
+            val v = p.identOrKw()
+            p.expectKw("IN")
+            val listE = parseExpr(p)
+            p.expectSym("|")
+            val inner = Seq.newBuilder[Ast.Clause]
+            var more = true
+            while (more) {
+              p.peek match {
+                case Some(Kw("DETACH")) | Some(Kw("DELETE")) |
+                    Some(Kw("SET")) | Some(Kw("REMOVE")) |
+                    Some(Kw("CREATE")) | Some(Kw("MERGE")) =>
+                  inner += parseWriteClause(p)
+                case Some(Kw("FOREACH")) =>
+                  p.next(); inner += parseForeachBody()
+                case _ => more = false
+              }
             }
+            val body = inner.result()
+            if (body.isEmpty)
+              throw ParseException("FOREACH needs at least one write clause")
+            p.expectSym(")")
+            Ast.ForeachClause(v, listE, body)
           }
-          val body = inner.result()
-          if (body.isEmpty)
-            throw ParseException("FOREACH needs at least one write clause")
-          p.expectSym(")")
           sawAny = true
           sawWrite = true
-          clauses += Ast.ForeachClause(v, listE, body)
+          clauses += parseForeachBody()
         case _ => done = true
       }
     }

@@ -218,6 +218,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var sawDelete = false
   private var sawWrite = false
 
+  /** set on a sub-planner running a WRITE CALL body: its effects
+    * splice into the OUTER planner's list instead of committing —
+    * the whole statement still commits ONCE (see applyCallWrite)
+    */
+  private var effectsSink: Option[Planner] = None
+
   private def spark = store.nodes.sparkSession
 
   def plan(q: Query): DataFrame = {
@@ -339,7 +345,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .map(i => i.copy(expr = resolveEndpointProps(i.expr),
           alias = Some(i.name)))
     val effs = effects.result()
-    if (effs.nonEmpty && items.isEmpty) return executeWrite(effs)
+    if (effs.nonEmpty && items.isEmpty) return effectsSink match {
+      case Some(outer) =>
+        // write CALL body: hand the effects to the enclosing
+        // statement (ordered at the CALL's position) — no commit here
+        outer.effects ++= effs
+        outer.sawWrite = outer.sawWrite || sawWrite
+        outer.sawDelete = outer.sawDelete || sawDelete
+        spark.emptyDataFrame
+      case None => executeWrite(effs)
+    }
     if (effs.nonEmpty) {
       // write + RETURN: commit the statement, then project from the
       // statement's binding table — its columns carry the POST-write
@@ -1641,11 +1656,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         c0.copy(imports = env.keys.filterNot(_.startsWith("__")).toSeq.sorted)
       else c0
     if (c.txRows.nonEmpty) { applyCallInTx(c); return }
+    val q0 = c.inner
+    if (q0.clauses.exists(_.isInstanceOf[WriteClauseT]) ||
+        q0.unions.exists(_._2.clauses.exists(_.isInstanceOf[WriteClauseT]))) {
+      applyCallWrite(c); return
+    }
     dropOrd() // the CALL join re-shapes the frame; order keys are stale
     val q = c.inner
-    if (q.clauses.exists(_.isInstanceOf[WriteClauseT]) ||
-        q.unions.exists(_._2.clauses.exists(_.isInstanceOf[WriteClauseT])))
-      throw PlanError("CALL subqueries are read-only")
     if (q.items.isEmpty ||
         q.unions.exists(_._2.items.isEmpty))
       throw PlanError("a CALL subquery must RETURN")
@@ -1784,6 +1801,46 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         j
       }
     })
+  }
+
+  /** Plain `CALL { writes }` (Neo4j 5 write subqueries, probe 16):
+    * the body executes once per input row against the imported
+    * scope, and its effects SPLICE into the enclosing statement's
+    * effect list at this clause's position — one statement, ONE
+    * commit (IN TRANSACTIONS is the per-batch-commit variant). Unit
+    * subquery: the outer frame passes through unchanged. Limits
+    * (each with a pointer out): no RETURN from a writing body (use a
+    * separate statement), no UNION, and the body reads the
+    * pre-statement snapshot (it does not see the SAME statement's
+    * earlier pending writes — the outer clauses do).
+    */
+  private def applyCallWrite(c: CallSub): Unit = {
+    val q = c.inner
+    if (q.unions.nonEmpty)
+      throw PlanError("a write CALL subquery does not take UNION")
+    if (q.items.nonEmpty)
+      throw PlanError("a write CALL subquery must be write-only " +
+        "(RETURN from a writing CALL is not supported — use a " +
+        "separate statement or CALL ... IN TRANSACTIONS)")
+    sawWrite = true
+    val pl = new Planner(store, params)
+    pl.effectsSink = Some(this)
+    if (df != null) {
+      val importCols = c.imports.flatMap(v =>
+        df.columns.filter(_.startsWith(s"${v}__")).toSeq)
+      // zero-column select keeps ROW MULTIPLICITY: the body runs once
+      // per input row even with no imports (Neo4j cardinality)
+      pl.df = df.select(importCols.map(cn => col(quote(cn))): _*)
+      pl.env = c.imports.map(v => v -> (env.getOrElse(v,
+        throw PlanError(s"CALL import $v is not bound")) match {
+        case ValueVar(cn) => pl.ValueVar(cn): pl.VarKind
+        case NodeVar => pl.NodeVar: pl.VarKind
+        case _ => throw PlanError(
+          s"CALL import $v must be a bound node or value variable")
+      })).toMap
+    }
+    pl.planSingle(q)
+    // unit subquery: outer frame and env unchanged
   }
 
   /** `CALL { writes } IN TRANSACTIONS [OF n ROWS]` — the Neo4j
@@ -3364,6 +3421,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // null, so counting the raw struct would count misses
     case FuncCall("count", Seq(a), true) => countDistinct(identOr(a))
     case FuncCall("count", Seq(a), false) => count(identOr(a))
+    case FuncCall("count", args, _) if args.length != 1 =>
+      throw PlanError(s"count takes one argument, got ${args.length}")
     case FuncCall("collect", Seq(a), distinct) =>
       val c = valueCol(a)
       if (pendingOrder.nonEmpty) {
@@ -3389,10 +3448,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // structs, maps, nested lists of them) are not
         // sort_array-orderable — decide from the actual Spark type,
         // not the AST shape; unorderable collects keep arrival order
-        val orderable = !containsMap(df.select(c).schema.head.dataType)
+        val dt = df.select(c).schema.head.dataType
+        val orderable = !containsMap(dt)
         (distinct, orderable) match {
           case (true, true) => sort_array(collect_set(c))
-          case (true, false) => collect_set(c)
+          case (true, false) =>
+            // collect_set can't hash map-bearing values (a node
+            // struct carries its props map — probe 16): collect all,
+            // then keep each value's FIRST occurrence by identity —
+            // gid for graph elements, the JSON rendering otherwise
+            val key: Column => Column = dt match {
+              case st: org.apache.spark.sql.types.StructType
+                  if st.fieldNames.headOption.contains("gid") =>
+                y => y.getField("gid")
+              case _ => y => to_json(y)
+            }
+            val l = collect_list(c)
+            filter(l, (x, i) =>
+              array_position(transform(l, y => key(y)), key(x))
+                === (i + 1).cast("long"))
           case (false, true) => sort_array(collect_list(c))
           case (false, false) => collect_list(c)
         }

@@ -57,7 +57,7 @@ object SyntaxProbe {
       val res =
         try { CypherEngine.query(store, q, params).collect(); "PASS" }
         catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(100)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE $tag: $res")
     }
     // battery 2: write clauses + aggregation/subquery edges, on a
@@ -117,7 +117,7 @@ object SyntaxProbe {
       val res =
         try { CypherEngine.query(wstore, q, params).collect(); "PASS" }
         catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(100)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE2 $tag: $res")
     }
     val probes3: Seq[(String, String)] = Seq(
@@ -171,7 +171,7 @@ object SyntaxProbe {
         try { CypherEngine.query(wstore, q,
           Map("minName" -> "NATION_2")).collect(); "PASS" }
         catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(100)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE3 $tag: $res")
     }
     val probes4: Seq[(String, String)] = Seq(
@@ -224,7 +224,7 @@ object SyntaxProbe {
       val res =
         try { CypherEngine.query(wstore, q, params).collect(); "PASS" }
         catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(100)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE4 $tag: $res")
     }
     // battery 5: lexical trivia, three-valued logic edges, conversion
@@ -285,7 +285,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(wstore, q, p5params).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE5 $tag: $res")
     }
     // battery 6: trim spec forms, normalization, var-length rel lists,
@@ -335,7 +335,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(wstore, q, p6params).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE6 $tag: $res")
     }
     // battery 7: shadowing, converging patterns, collected-node
@@ -398,7 +398,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(wstore, q, p7params).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE7 $tag: $res")
     }
     // battery 8: temporal aggregates/equality, invalid dates, zone ids
@@ -440,7 +440,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(wstore, q, params).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE8 $tag: $res")
     }
     // battery 9: visibility combinations and tail-end everyday forms
@@ -480,7 +480,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(wstore, q, params).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE9 $tag: $res")
     }
     // battery 10: relationship renderings, stub matching, tx batches
@@ -516,7 +516,7 @@ object SyntaxProbe {
             Map("rows" -> 2)).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE10 $tag: $res")
     }
     // battery 11: label predicates in WHERE, multi-label SET, path
@@ -559,7 +559,7 @@ object SyntaxProbe {
             Map("gids" -> Seq("n:1", "n:2"))).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE11 $tag: $res")
     }
     // battery 12 (driver round 8): the new correlation/uniqueness/QPP
@@ -635,7 +635,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(store, q).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(110)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE12 $tag: $res")
     }
     // aggregates over DYNAMIC numeric props (canonical strings): a
@@ -702,7 +702,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(store, q).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(130)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE13 $tag: $res")
     }
     // battery 14 (driver round 9, session 2): semantic corners —
@@ -779,7 +779,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(store, q).collect()
           "PASS " + rows.take(3).mkString("; ").take(140)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(130)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE14 $tag: $res")
     }
     // battery 15: deletion contracts, EXISTS as a value, null flow
@@ -837,7 +837,7 @@ object SyntaxProbe {
           val rows = CypherEngine.query(store, q).collect()
           "PASS " + rows.take(3).mkString("; ").take(140)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(130)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE15 $tag: $res")
     }
     // write-path contracts on the mutable store: Neo4j refuses a
@@ -859,8 +859,74 @@ object SyntaxProbe {
           val rows = CypherEngine.query(wstore, q).collect()
           "PASS " + rows.take(2).mkString("; ").take(120)
         } catch { case e: Throwable =>
-          s"FAIL ${e.getMessage.take(130)}" }
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE15W $tag: $res")
+    }
+    // battery 16: write composition, within-statement MERGE dedup,
+    // parameter access forms, precedence, nested projections
+    val params16 = Map("m" -> Map("key" -> "NATION_1"),
+      "list" -> Seq("NATION_1", "NATION_2"))
+    val probes16: Seq[(String, String)] = Seq(
+      "unwind-merge-dedup" ->
+        """UNWIND [1, 1, 1] AS x MERGE (n:T16 {gid: 't16:dup'})
+           RETURN count(n) AS c""",
+      "set-case-rhs" ->
+        """MATCH (n:Nation {gid: 'n:6'})
+           SET n.sz = CASE WHEN n.name CONTAINS '6' THEN 'has6'
+             ELSE 'no6' END
+           RETURN n.sz AS sz""",
+      "write-in-call" ->
+        """MATCH (n:Nation {gid: 'n:7'})
+           CALL { WITH n CREATE (c:T16 {gid: 'c16:' + n.gid}) }
+           RETURN count(*) AS c""",
+      "remove-then-read" ->
+        """CREATE (x:T16 {gid: 't16:rm', p: 1}) WITH x
+           REMOVE x.p RETURN x.p IS NULL AS gone""",
+      "nested-foreach" ->
+        """FOREACH (i IN [1, 2] |
+             FOREACH (j IN [1] |
+               CREATE (:T16 {gid: 't16:f' + toString(i)})))""",
+      "nested-map-proj" ->
+        """MATCH (n:Nation {gid: 'n:8'})-[:in_region]->(m)
+           RETURN n {.name, region: m {.gid}} AS proj""",
+      "param-map-access" ->
+        "RETURN $m.key AS v",
+      "param-in-list" ->
+        """MATCH (n:Nation) WHERE n.name IN $list
+           RETURN count(*) AS c""",
+      "collect-distinct-nodes" ->
+        """MATCH (n:Nation)-[:in_region]->(m)
+           RETURN size(collect(DISTINCT m)) AS c""",
+      "reduce-over-structs" ->
+        """MATCH (n:Nation) WITH collect(n) AS ns
+           RETURN reduce(s = 0, x IN ns | s + size(x.gid)) AS tot""",
+      "skip0-limit0" ->
+        "MATCH (n:Nation) RETURN n.gid AS g SKIP 0 LIMIT 0",
+      "count-distinct-two-args" ->
+        "MATCH (n:Nation) RETURN count(DISTINCT n.gid, n.name) AS c",
+      "datetime-minus-datetime" ->
+        """RETURN datetime('2024-01-02T00:00:00Z')
+           - datetime('2024-01-01T00:00:00Z') AS d""",
+      "precedence-mix" ->
+        "RETURN 2 + 3 * 4 ^ 2 % 5 AS v, 'a' + 1 + 2 AS s",
+      "with-agg-case" ->
+        """MATCH (n:Nation) WITH CASE WHEN count(*) > 10 THEN 'many'
+             ELSE 'few' END AS verdict
+           RETURN verdict""",
+      "tostring-date" ->
+        "RETURN toString(date('2024-03-05')) AS d",
+      "merge-return-created-flag" ->
+        """MERGE (n:T16 {gid: 't16:flag'})
+           ON CREATE SET n.created = 'yes'
+           RETURN n.created AS c""")
+    probes16.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q, params16).collect()
+          "PASS " + rows.take(2).mkString("; ").take(120)
+        } catch { case e: Throwable =>
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
+      println(s"PROBE16 $tag: $res")
     }
     s.stop()
   }

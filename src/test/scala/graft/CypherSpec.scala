@@ -879,12 +879,16 @@ class CypherSpec extends AnyFunSuite {
     // p2 has 2 targets (urn:c1, urn:p1) — LIMIT 1 per invocation keeps
     // the smaller, NOT a global limit
     assert(top.toSeq == Seq(("urn:p1", "urn:c1"), ("urn:p2", "urn:c1")))
-    // write clauses inside CALL are rejected
+    // write bodies are allowed (probe-16 spec) but RETURNING write
+    // bodies are rejected — and the rejection precedes any effect
     val err = intercept[Exception] {
       CypherEngine.query(store,
-        "MATCH (n:Person) CALL { CREATE (x {gid: 'urn:bad'}) } RETURN n.gid AS g")
+        """MATCH (n:Person) CALL { CREATE (x {gid: 'urn:bad'})
+           RETURN x } RETURN n.gid AS g""")
     }
-    assert(err.getMessage.contains("read-only"))
+    assert(err.getMessage.contains("not supported"))
+    assert(CypherEngine.query(store,
+      "MATCH (x {gid: 'urn:bad'}) RETURN x.gid AS g").collect().isEmpty)
   }
 
   test("multi-label: CREATE (n:A:B), conjunctive MATCH, labels(), " +
@@ -3837,6 +3841,52 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       """MATCH (n:X) WHERE n.gid < 'urn:c'
          RETURN min(n.v) AS lo, max(n.v) AS hi""").collect().head
     assert(nums.getString(0) == "9" && nums.getString(1) == "40")
+  }
+
+  test("write CALL subqueries run per input row and splice into the " +
+      "statement's single commit (probe 16, Neo4j 5)") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-wcall").toString, spark, 2)
+    CypherEngine.query(st,
+      "CREATE (:P {gid: 'p:1'}), (:P {gid: 'p:2'})").collect()
+    val r = CypherEngine.query(st,
+      """MATCH (p:P)
+         CALL { WITH p CREATE (:C {gid: 'c:' + p.gid}) }
+         RETURN count(*) AS c""").collect().head
+    assert(r.getLong(0) == 2) // unit subquery keeps outer cardinality
+    val created = CypherEngine.query(st,
+      "MATCH (c:C) RETURN c.gid AS g ORDER BY g").collect()
+      .map(_.getString(0)).toSeq
+    assert(created == Seq("c:p:1", "c:p:2"))
+    // RETURNing write bodies are rejected with a pointer out
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """MATCH (p:P) CALL { WITH p CREATE (x:Z {gid: 'z'})
+           RETURN x } RETURN count(*) AS c""").collect()
+    }
+  }
+
+  test("FOREACH bodies nest (probe 16)") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-nestfe").toString, spark, 2)
+    CypherEngine.query(st,
+      """FOREACH (i IN [1, 2] |
+           FOREACH (j IN [1, 2] |
+             CREATE (:F {gid: 'f:' + toString(i) + ':' + toString(j)})))""")
+      .collect()
+    val gids = CypherEngine.query(st,
+      "MATCH (f:F) RETURN f.gid AS g ORDER BY g").collect()
+      .map(_.getString(0)).toSeq
+    assert(gids == Seq("f:1:1", "f:1:2", "f:2:1", "f:2:2"))
+  }
+
+  test("collect(DISTINCT node) dedups by identity (probe 16)") {
+    val r = CypherEngine.query(store,
+      """MATCH (n:Person)-[:worksfor]->(m)
+         RETURN size(collect(DISTINCT m)) AS c,
+           collect(DISTINCT m)[0].gid AS g""").collect().head
+    assert(r.getLong(0) == 1) // p1 and p2 both work for c1
+    assert(r.getString(1) == "urn:c1")
   }
 
   test("1-arg round() halves go toward +infinity like Math.round " +
