@@ -563,6 +563,42 @@ object EventStreams {
       }
   }
 
+  case class IntervalEvent(event_id: Long, user_id: Long, tsMicros: Long)
+  case class CampaignHit(event_id: Long, user_id: Long, campaign: Long)
+
+  /** Streaming interval enrichment — e_interval_join's streaming
+    * twin and the one join CATEGORY the other twins don't cover: a
+    * STREAM-STATIC join. The static campaign-window table (exploded
+    * to its 12 h buckets exactly like the batch op) broadcasts into
+    * the stream; each event equi-joins its ONE time bucket and
+    * refines with the exact containment predicate — row-local, no
+    * state, no watermark, append mode. The per-campaign aggregation
+    * stays a batch query over the emitted hits (like the other
+    * compact-output twins).
+    */
+  def intervalJoinStream(events: Dataset[IntervalEvent])
+      : Dataset[CampaignHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val H = 3600000000L
+    val t0 = 1704067200000000L
+    val B = 12 * H
+    val cb = spark.range(0, 20)
+      .select(col("id").as("campaign"),
+        (lit(t0) + col("id") * (36 * H)).as("start_us"))
+      .withColumn("end_us", col("start_us") + 60 * H)
+      .select(col("campaign"), col("start_us"), col("end_us"),
+        explode(sequence(expr(s"start_us div $B"),
+          expr(s"(end_us - 1) div $B"))).as("bucket"))
+    events
+      .withColumn("bucket", expr(s"tsMicros div $B"))
+      .join(broadcast(cb), Seq("bucket"))
+      .filter(col("tsMicros") >= col("start_us") &&
+        col("tsMicros") < col("end_us"))
+      .select(col("event_id"), col("user_id"), col("campaign"))
+      .as[CampaignHit]
+  }
+
   case class MarkovEvent(user_id: Long, event_type: String,
       tsMicros: Long, event_id: Long)
   case class Transition(from_type: String, to_type: String)

@@ -305,6 +305,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream-static interval join matches e_interval_join across a " +
+      "micro-batch split") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("e_interval_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val evs = graft.queries.EventOps.normalizeTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select($"event_id", $"user_id", unix_micros($"ts"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val chunks = evs.grouped((evs.length + 1) / 2).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val input = ms.toDS().map { case (e, u, t) =>
+      EventStreams.IntervalEvent(e, u, t) }
+    val q = EventStreams.intervalJoinStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("intjoin_out").start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val hits = spark.table("intjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = hits.groupBy(_._3).map { case (c, hs) =>
+      c -> (hs.length.toLong, hs.map(_._2).distinct.length.toLong) }
+    // streamed per-campaign aggregates equal the batch op; campaigns
+    // with zero batch events produced zero streamed hits
+    got.foreach { case (c, agg) => assert(batch(c) == agg,
+      s"campaign $c: streamed $agg != batch ${batch(c)}") }
+    batch.filter(_._2._1 > 0).keys.foreach(c =>
+      assert(got.contains(c), s"campaign $c missing from stream"))
+  }
+
   test("streamed MinHash banding takes a precomputed stop-shingle set " +
       "and matches the batch DF cap where the cap bites") {
     // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
