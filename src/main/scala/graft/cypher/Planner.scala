@@ -1329,9 +1329,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val pats = m.patterns.map { pat =>
       val hops = pat.hops.map { case (rel, node) =>
         if (rel.props.isEmpty) (rel, node)
+        // a var-length rel's property map constrains EVERY step —
+        // consumed inside applyVarLengthHop (filters the step edges)
+        else if (rel.varLength.nonEmpty) (rel, node)
         else {
-          if (rel.varLength.nonEmpty) throw PlanError("an inline property " +
-            "map is not supported on a variable-length relationship")
           val v = rel.variable.getOrElse(fresh("rprop"))
           rel.props.foreach { case (k, e) =>
             extra ::= Cmp("=", PropRef(v, k), e) }
@@ -2642,7 +2643,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // a NAMED var-length relationship binds its edge-key array —
     // that demands the enumerating (path-carrying) expansion
     val mat = materialize || keepRelKeysAs.nonEmpty
-    var e = edgesInView.select(col("src"), col("dst"), col("relType"))
+    // Neo4j: `-[:T*1..2 {source: 'x'}]->` constrains EVERY step of
+    // the stretch — the property map filters the step edge relation
+    // itself (the edge model carries source + type)
+    var e0 = edgesInView
+    rel.props.foreach { case (k, ex) =>
+      val v = ex match {
+        case Lit(x) => lit(x)
+        case Param(n) => params.get(n).map(lit(_)).getOrElse(
+          throw PlanError(s"missing parameter $$$n"))
+        case other => throw PlanError("a var-length relationship " +
+          s"property map takes literal/parameter values, got $other")
+      }
+      e0 = k match {
+        case "source" => e0.filter(col("source") === v)
+        case "type" | "relType" => e0.filter(col("relType") === v)
+        case _ => e0.filter(lit(false)) // no such key on the edge model
+      }
+    }
+    var e = e0.select(col("src"), col("dst"), col("relType"))
     rel.relType.foreach(t => e = e.filter(
       if (rel.altRelTypes.isEmpty) col("relType") === t
       else col("relType").isin((t +: rel.altRelTypes): _*)))

@@ -119,6 +119,10 @@ object GraphXQ {
       // distributed k-core shape and the one that survives 100 TB).
       // Maintained degrees stay equal to a per-round full recount, so
       // the DuckDB oracle's recounting unrolled CTEs hash-match.
+      // Test-SF wall time is STAGE-LATENCY-bound (6 sequential rounds
+      // of fixed job overhead; rounds 2+ move <2k-row dead sets) —
+      // the per-round DATA cost is what matters at scale and it only
+      // shrinks.
       var alive = eu.groupBy($"src").agg(count(lit(1)).as("d"))
         .select($"src".as("g"), $"d").localCheckpoint()
       for (_ <- 1 to R) {

@@ -3775,6 +3775,24 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(star.toSeq == Seq("urn:p3"))
   }
 
+  test("var-length relationship property maps constrain every step " +
+      "(Neo4j)") {
+    val hit = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[:knows*1..2 {source: 'people'}]->(b)
+         RETURN b.gid AS g""").collect().map(_.getString(0))
+    assert(hit.toSeq == Seq("urn:p1"))
+    val miss = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[*1..2 {source: 'other'}]->(b)
+         RETURN b.gid AS g""").collect()
+    assert(miss.isEmpty)
+    // a key the edge model lacks matches nothing (edges carry only
+    // source/type), like n.missing = 'x' on nodes
+    val nokey = CypherEngine.query(store,
+      """MATCH (a:Person {gid: 'urn:p2'})-[*1..2 {weight: 3}]->(b)
+         RETURN b.gid AS g""").collect()
+    assert(nokey.isEmpty)
+  }
+
   test("sum over zero rows is 0, not null (probe 14)") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.gid = 'nope'
