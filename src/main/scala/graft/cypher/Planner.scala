@@ -917,6 +917,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           throw PlanError("a type disjunction (:A|B) is MATCH-only")
         if (rel.varLength.nonEmpty)
           throw PlanError("cannot CREATE a variable-length relationship")
+        // Neo4j: CREATE takes directed relationships only (probe 17);
+        // an undirected MERGE picks left-to-right on create, like
+        // Neo4j, so only plain CREATE rejects
+        if (rel.direction == 0 && !c.merge)
+          throw PlanError(
+            "only directed relationships are supported in CREATE")
         val tailBound = wantRelMatched &&
           node.variable.exists(v => env.contains(v))
         val nodeVar =
@@ -925,8 +931,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           if (wantRelMatched && !tailBound)
             Some(col(s"${nodeVar}__matched"))
           else None
+        // undirected (direction 0) only reaches here via MERGE, which
+        // creates LEFT-to-right like Neo4j
         val (fromV, toV) =
-          if (rel.direction > 0) (prevVar, nodeVar) else (nodeVar, prevVar)
+          if (rel.direction >= 0) (prevVar, nodeVar) else (nodeVar, prevVar)
         val matchedCol =
           if (!wantRelMatched) None
           else {
@@ -3818,6 +3826,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // Neo4j: labels() of an unlabeled node is [], not [null].
     // Multi-label nodes: primary first, then SORTED secondaries —
     // deterministic where Neo4j's order is insertion-dependent
+    case FuncCall("labels", Seq(VarRef(n)), _)
+        if !env.get(n).contains(NodeVar) =>
+      throw PlanError(s"labels() requires a node, but $n is not one")
     case FuncCall("labels", Seq(VarRef(n)), _) =>
       concat(
         when(col(s"${n}__label").isNotNull, array(col(s"${n}__label")))

@@ -928,6 +928,55 @@ object SyntaxProbe {
           s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE16 $tag: $res")
     }
+    // battery 17: UNION name alignment, MERGE direction contracts,
+    // EXPLAIN over write CALLs, YIELD filtering, null/empty corners
+    val probes17: Seq[(String, String)] = Seq(
+      "union-name-order" ->
+        "RETURN 1 AS a, 2 AS b UNION RETURN 4 AS b, 3 AS a",
+      "union-distinct-rows" ->
+        "RETURN 1 AS a UNION RETURN 1 AS a UNION RETURN 2 AS a",
+      "merge-undirected-reject" ->
+        """MERGE (a:Nation {gid: 'n:1'})-[r:x17]-(b:Nation {gid: 'n:2'})
+           RETURN type(r) AS t""",
+      "create-undirected-reject" ->
+        "CREATE (a:T17 {gid: 't17:1'})-[:u17]-(b:T17 {gid: 't17:2'})",
+      "explain-write-call" ->
+        """EXPLAIN MATCH (n:Nation)
+           CALL { WITH n CREATE (:T17 {gid: 'x'}) } RETURN count(*) AS c""",
+      "yield-where" ->
+        """CALL dbms.procedures() YIELD name
+           WHERE name CONTAINS 'graft' RETURN count(*) AS c""",
+      "case-null-cond" ->
+        "RETURN CASE WHEN null THEN 1 ELSE 2 END AS v",
+      "in-empty-list" ->
+        "RETURN 1 IN [] AS a, NOT 1 IN [2] AS b",
+      "legacy-exists-prop" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           RETURN exists(n.name) AS a, exists(n.nope) AS b""",
+      "string-order" ->
+        "RETURN 'a' < 'b' AS lt, 'B' < 'a' AS caseord",
+      "with-skip-limit-mid" ->
+        """MATCH (n:Nation) WITH n.gid AS g ORDER BY g SKIP 2 LIMIT 2
+           RETURN collect(g) AS gs""",
+      "double-optional-chain" ->
+        """MATCH (n:Nation {gid: 'n:1'})
+           OPTIONAL MATCH (n)-[:nope]->(m)
+           OPTIONAL MATCH (m)-[:in_region]->(r)
+           RETURN n.gid AS g, m.gid AS mg, r.gid AS rg""",
+      "varlen-prop-filter" ->
+        """MATCH (a:Nation {gid: 'n:1'})-[*1..2 {source: 'nations'}]->(b)
+           RETURN count(*) AS c""",
+      "labels-of-rel" ->
+        """MATCH (:Nation {gid: 'n:1'})-[r]->() RETURN labels(r) AS l""")
+    probes17.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(wstore, q).collect()
+          "PASS " + rows.take(3).mkString("; ").take(130)
+        } catch { case e: Throwable =>
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
+      println(s"PROBE17 $tag: $res")
+    }
     s.stop()
   }
 }

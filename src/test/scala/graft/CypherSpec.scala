@@ -3793,6 +3793,31 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(nokey.isEmpty)
   }
 
+  test("CREATE rejects undirected relationships; labels(rel) is a " +
+      "clean type error (probe 17, Neo4j contracts)") {
+    val e1 = intercept[Exception] {
+      CypherEngine.query(store,
+        "CREATE (a:W {gid: 'w:1'})-[:u]-(b:W {gid: 'w:2'})").collect()
+    }
+    assert(e1.getMessage.contains("directed"))
+    val e2 = intercept[Exception] {
+      CypherEngine.query(store,
+        "MATCH (:Person)-[r]->() RETURN labels(r) AS l").collect()
+    }
+    assert(e2.getMessage.contains("requires a node"))
+    // undirected MERGE stays allowed (Neo4j: matches either
+    // direction, creates left-to-right)
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-umerge").toString, spark, 2)
+    CypherEngine.query(st,
+      """MERGE (a:M {gid: 'm:1'})-[r:t]-(b:M {gid: 'm:2'})
+         RETURN type(r) AS t""").collect()
+    val dir = CypherEngine.query(st,
+      "MATCH (a:M {gid: 'm:1'})-[r:t]->(b) RETURN b.gid AS g")
+      .collect().map(_.getString(0))
+    assert(dir.toSeq == Seq("m:2")) // created left-to-right
+  }
+
   test("sum over zero rows is 0, not null (probe 14)") {
     val r = CypherEngine.query(store,
       """MATCH (n:Person) WHERE n.gid = 'nope'
