@@ -1896,16 +1896,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
     val importCols = c.imports.flatMap(v =>
       df.columns.filter(_.startsWith(s"${v}__")).toSeq)
-    // snapshot the import projection once; the id → row_number pass
-    // gives every row exactly one batch
+    // snapshot the import projection once (before any batch commits
+    // mutate the store it may read), then assign contiguous batch ids
+    // via the partition-order index — per-partition counts + broadcast
+    // prefix offsets (zipWithIndex), NOT a global Window.orderBy whose
+    // empty partition spec would pull the whole driving-row set into
+    // one task; this clause exists precisely for huge ingests.
     val seeded = df.select(importCols.map(cn => col(quote(cn))): _*)
-      .withColumn("__tx_mid", monotonically_increasing_id())
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__tx_mid"))
-    val ranked = seeded
-      .withColumn("__tx_b",
-        ((row_number().over(w) - 1) / batchRows).cast("int"))
-      .drop("__tx_mid")
+    val ranked = graft.ops.ScaleRank
+      .withPartitionOrderIndex(seeded, "__tx_i")
+      .withColumn("__tx_b", (col("__tx_i") / batchRows).cast("int"))
+      .drop("__tx_i")
       .localCheckpoint()
     val nb = ranked.agg(max(col("__tx_b"))).head() match {
       case r if r.isNullAt(0) => 0

@@ -338,10 +338,14 @@ object EventOps {
     }),
 
     // RFM segmentation (recency / frequency / monetary): per-user
-    // purchase stats (exact cents), then tercile scores via ntile —
-    // the windows sort the PER-USER table (≪ events; the honest cost
-    // of exact quantile segmentation), each with a user_id tie-break
-    // so both engines cut identically.
+    // purchase stats (exact cents), then tercile scores. ntile(k) over
+    // a total order is the closed form ((rank-1)*k) div n + 1 (larger
+    // buckets first — the standard ntile rule, identical in Spark and
+    // DuckDB), so each segment comes from a SCALE-SAFE global rank
+    // (range shuffle + zipWithIndex, ScaleRank) instead of an
+    // unpartitioned ntile window that would sort all users in one
+    // task. Each ranking carries a user_id tie-break so both engines
+    // cut identically.
     "e_rfm" -> ((s, dir) => {
       import s.implicits._
       val p = ev(s, dir).filter($"event_type" === "purchase")
@@ -355,14 +359,19 @@ object EventOps {
       val base = per.crossJoin(broadcast(mx))
         .withColumn("recency_days",
           datediff($"mxts", $"last_ts").cast("long"))
-      val rW = Window.orderBy($"recency_days".asc, $"user_id".asc)
-      val fW = Window.orderBy($"frequency".desc, $"user_id".asc)
-      val mW = Window.orderBy($"mon_c".desc, $"user_id".asc)
-      base.select($"user_id", $"recency_days", $"frequency",
+        .localCheckpoint()
+      val n = base.count()
+      val ranked = graft.ops.ScaleRank.withGlobalRank(
+        graft.ops.ScaleRank.withGlobalRank(
+          graft.ops.ScaleRank.withGlobalRank(base,
+            "__rr", $"recency_days".asc, $"user_id".asc),
+          "__rf", $"frequency".desc, $"user_id".asc),
+        "__rm", $"mon_c".desc, $"user_id".asc)
+      ranked.select($"user_id", $"recency_days", $"frequency",
           ($"mon_c" / 100.0).as("monetary"),
-          ntile(3).over(rW).cast("long").as("r_seg"),
-          ntile(3).over(fW).cast("long").as("f_seg"),
-          ntile(3).over(mW).cast("long").as("m_seg"))
+          expr(s"(__rr - 1) * 3 div $n + 1").as("r_seg"),
+          expr(s"(__rf - 1) * 3 div $n + 1").as("f_seg"),
+          expr(s"(__rm - 1) * 3 div $n + 1").as("m_seg"))
         .withColumn("rfm",
           $"r_seg" * 100 + $"f_seg" * 10 + $"m_seg")
         .orderBy($"user_id")

@@ -151,12 +151,16 @@ object PackOps {
           expr("size(array_distinct(w)) * cast(1000000 as bigint) div size(w)")
             .as("score"))
       val n = scored.count()
-      val w1 = Window.orderBy($"score".desc, $"doc_id")
-      scored
-        .withColumn("rank", row_number().over(w1).cast("long"))
+      // global rank via range shuffle + zipWithIndex (ScaleRank) —
+      // not an unpartitioned Window (single-task sort at scale). The
+      // in-stage position needs no second window either: stage s
+      // starts at rank ceil(s·n/3)+1, so stage_pos is closed-form
+      // rank − (s·n+2) div 3 (integer-exact).
+      graft.ops.ScaleRank
+        .withGlobalRank(scored, "rank", $"score".desc, $"doc_id")
         .withColumn("stage", expr(s"(rank - 1) * 3 div $n"))
-        .withColumn("stage_pos", row_number().over(
-          Window.partitionBy($"stage").orderBy($"rank")).cast("long"))
+        .withColumn("stage_pos",
+          expr(s"rank - (stage * $n + 2) div 3").cast("long"))
         .select($"doc_id", $"score", $"rank", $"stage", $"stage_pos")
         .orderBy($"doc_id")
     }),

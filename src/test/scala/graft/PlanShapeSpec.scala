@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the 100-TB plan shape: queries that used to rank through an
+  * unpartitioned Window (empty partition spec ⇒ every row in ONE task)
+  * must never regress to it. ScaleRank (range shuffle + zipWithIndex)
+  * is the sanctioned global-rank shape.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(flatten) ++
+      p.subqueries.flatMap(flatten)
+  }
+
+  private def unpartitionedWindows(df: DataFrame): Seq[WindowExec] =
+    flatten(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+
+  test("e_rfm plans no unpartitioned WindowExec") {
+    val df = graft.queries.EventOps.defs("e_rfm")(spark, dir)
+    assert(unpartitionedWindows(df).isEmpty)
+    assert(df.count() > 0)
+  }
+
+  test("p_curriculum plans no unpartitioned WindowExec") {
+    val df = graft.queries.PackOps.defs("p_curriculum")(spark, dir)
+    assert(unpartitionedWindows(df).isEmpty)
+    assert(df.count() > 0)
+  }
+
+  test("CALL { } IN TRANSACTIONS executes no unpartitioned window") {
+    // the batching runs inside the planner (writes), so watch every
+    // execution fired while the statement runs via a listener
+    val offenders = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        flatten(qe.executedPlan).foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            offenders.add(w.simpleStringWithNodeId())
+          case _ => ()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-planshape").toString,
+        spark, 2)
+      graft.cypher.CypherEngine.query(store,
+        """UNWIND range(1, 57) AS i
+          |CALL {
+          |  WITH i
+          |  CREATE (:TxNode {gid: 'tx:' + toString(i)})
+          |} IN TRANSACTIONS OF 10 ROWS""".stripMargin).collect()
+      val n = graft.cypher.CypherEngine.query(store,
+        "MATCH (n:TxNode) RETURN count(n) AS c")
+        .collect()(0).getLong(0)
+      assert(n == 57L)
+      // listener callbacks are async; give the bus a moment to drain
+      Thread.sleep(1500)
+      assert(offenders.isEmpty, s"unpartitioned windows: $offenders")
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
