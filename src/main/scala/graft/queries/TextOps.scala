@@ -948,7 +948,6 @@ object TextOps {
       val docs = t(s, dir, "documents").select($"doc_id", wordsCol.as("w"))
       val bg = docs
         .filter(size($"w") >= 2)
-        .repartition($"doc_id")
         .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - 1),
           i => struct(element_at($"w", i).as("prev"),
             element_at($"w", i + 1).as("wd")))).as("p"))
