@@ -2874,7 +2874,192 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * property keys from the props map keys). Rows cross-product with
     * the incoming binding table, as Neo4j procedure CALLs do.
     */
+  /** `CALL db.index.vector.queryNodes(name, k, query)` /
+    * `CALL db.index.fulltext.queryNodes(name, query)` — the Neo4j 5
+    * index procedures (the first thing real ported apps call; D1
+    * `Query()` is the declared surface, /root/reference/layer.go:24).
+    * Both read the store-maintained index table partition-pruned
+    * (probed IVF cells / query-term buckets — never a node scan) and
+    * yield a full NODE binding plus a score. Inside a session with
+    * uncommitted node writes the index is stale, so they fall back to
+    * scanning the overlay view (correct, unindexed — redgesReady's
+    * contract).
+    */
+  private def applyIndexProc(c: CallProc): Unit = {
+    import graft.store.SearchIndexes
+    def strArg(e: Ast.Expr, what: String): String = e match {
+      case Lit(s: String) => s
+      case Param(n) => params.get(n) match {
+        case Some(s: String) => s
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(s"$what needs a string, got $other")
+    }
+    def longArg(e: Ast.Expr, what: String): Long = e match {
+      case Lit(i: Long) => i
+      case Param(n) => params.get(n) match {
+        case Some(i: Int) => i.toLong
+        case Some(i: Long) => i
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(s"$what needs an integer, got $other")
+    }
+    def vecArg(e: Ast.Expr, what: String): Seq[Double] = e match {
+      case ListLit(items) => items.map {
+        case Lit(d: Double) => d
+        case Lit(l: Long) => l.toDouble
+        case other => throw PlanError(s"$what: non-numeric element $other")
+      }
+      case Param(n) => params.get(n) match {
+        case Some(xs: Seq[_]) => xs.map {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case other => throw PlanError(s"$what: non-numeric element $other")
+        }
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(s"$what needs a number list, got $other")
+    }
+    val isVector = c.name.toLowerCase == "db.index.vector.querynodes"
+    // (gid, score) — each branch keeps candidate generation bounded
+    val (hits: DataFrame, idxLabel: String) = if (isVector) {
+      val (idxName, k, qv) = c.args match {
+        case Seq(a, b, v) => (strArg(a, "indexName"),
+          longArg(b, "numberOfNearestNeighbours"), vecArg(v, "query"))
+        case other => throw PlanError(
+          s"db.index.vector.queryNodes takes (indexName, k, query), got $other")
+      }
+      if (k < 1) throw PlanError(s"k must be >= 1: $k")
+      val d = store.indexDef(idxName).filter(_.kind == "vector")
+        .getOrElse(throw PlanError(s"no such vector index: $idxName"))
+      if (d.dims > 0 && qv.size != d.dims)
+        throw PlanError(
+          s"query vector has ${qv.size} dims; index $idxName has ${d.dims}")
+      val base: DataFrame = // (gid, v, norm)
+        if (store.searchIndexReady(d) && d.centroids.nonEmpty) {
+          // IVF probe: rank the persisted centroids on the driver,
+          // read ONLY the top-NProbe cells' directories
+          val cells = SearchIndexes.probeCells(d.centroids, qv).toSet
+          store.readSearchIndex(d,
+            key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
+            .select(col("gid"), col("v"), col("norm"))
+        } else SearchIndexes.vectors(nodesInView, d)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      (base
+        .withColumn("score",
+          SearchIndexes.dot(col("v"), typedLit(qv)) / (col("norm") * lit(qn)))
+        // top-k by (score desc, gid): plans TakeOrderedAndProject —
+        // per-partition heaps + driver merge of k rows, no global sort
+        .orderBy(col("score").desc, col("gid")).limit(k.toInt)
+        .select(col("gid"), col("score")), d.label)
+    } else {
+      val (idxName, q) = c.args match {
+        case Seq(a, b) =>
+          (strArg(a, "indexName"), strArg(b, "queryString"))
+        case other => throw PlanError(
+          s"db.index.fulltext.queryNodes takes (indexName, queryString), got $other")
+      }
+      val d = store.indexDef(idxName).filter(_.kind == "fulltext")
+        .getOrElse(throw PlanError(s"no such fulltext index: $idxName"))
+      val terms = q.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      if (terms.isEmpty) throw PlanError("empty fulltext query")
+      val (toks, statsDf) =
+        if (store.searchIndexReady(d)) {
+          // query-term-first: manifest keys prune to the terms'
+          // buckets + the one stats row; no corpus scan, no corpus
+          // shuffle — the per-term groupBy below runs on posting rows
+          val idx = store.readSearchIndex(d, store.ftProbeKeys(terms))
+          (idx.filter(col("sect") === "t" && col("term").isin(terms: _*)),
+            idx.filter(col("sect") === "s")
+              .select(col("tf").as("n_docs"), col("dl").as("sum_dl")))
+        } else {
+          val docs = SearchIndexes.texts(nodesInView, d)
+          (SearchIndexes.tokenRows(docs).filter(col("term").isin(terms: _*)),
+            docs.agg(count(lit(1)).as("n_docs"),
+              sum(size(SearchIndexes.termsOf(col("text"))))
+                .cast("long").as("sum_dl")))
+        }
+      // BM25 (k1=1.2, b=0.75) — the t_bm25 kernel over the postings
+      val dfreq = toks.groupBy(col("term"))
+        .agg(count_distinct(col("gid")).as("dfreq"))
+      (toks.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(statsDf))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("idf", log(lit(1.0) +
+          ((col("n_docs") - col("dfreq")).cast("double") + 0.5) /
+            (col("dfreq").cast("double") + 0.5)))
+        .withColumn("contrib", col("idf") *
+          (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl")))))
+        .groupBy(col("gid"))
+        .agg(sum(col("contrib")).as("score")), d.label)
+    }
+    // bind YIELD node (full node columns) + score; default both
+    val yields: Seq[(String, String)] =
+      if (c.yields.isEmpty) Seq(("node", "node"), ("score", "score"))
+      else c.yields.map { case (n, alias) =>
+        if (n != "node" && n != "score") throw PlanError(
+          s"${c.name} yields node, score — got $n")
+        (n, alias.getOrElse(n))
+      }
+    yields.foreach { case (_, b) =>
+      if (env.contains(b)) throw PlanError(s"variable $b already bound")
+    }
+    // the hit list is k (vector) or per-term postings (fulltext) —
+    // small against the node table: broadcast it into the gid join,
+    // and prune the node scan to the indexed label's directories
+    // (falling back to the full membership test only when the label
+    // is known to occur as a secondary label — the labelMember rule)
+    val labelPred =
+      if (store.secondaryLabels.contains(idxLabel))
+        col("label") === idxLabel ||
+          (col("xlabels").isNotNull &&
+            array_contains(col("xlabels"), idxLabel))
+      else col("label") === idxLabel
+    val joined = nodesInView.filter(labelPred)
+      .join(broadcast(hits), Seq("gid"))
+    val f0 = yields.foldLeft(Option.empty[DataFrame]) { case (acc, (n, b)) =>
+      val d0 = acc.getOrElse(joined)
+      Some(n match {
+        case "node" => d0
+          .withColumn(s"${b}__gid", col("gid"))
+          .withColumn(s"${b}__label", col("label"))
+          .withColumn(s"${b}__source", col("source"))
+          .withColumn(s"${b}__props", col("props"))
+          .withColumn(s"${b}__xlabels", col("xlabels"))
+        case _ => d0.withColumn(s"${b}__value", col("score"))
+      })
+    }.get
+    val keep = yields.flatMap { case (n, b) =>
+      if (n == "node") Seq(s"${b}__gid", s"${b}__label", s"${b}__source",
+        s"${b}__props", s"${b}__xlabels")
+      else Seq(s"${b}__value")
+    } :+ "__proc_score" // ordering column (score desc, gid) for Neo4j parity
+    val f = f0.withColumn("__proc_score", col("score"))
+      .withColumn("__proc_gid", col("gid"))
+      .select((keep :+ "__proc_gid").map(cn => col(quote(cn))): _*)
+      .orderBy(col("__proc_score").desc, col("__proc_gid"))
+      .drop("__proc_score", "__proc_gid")
+    df = if (df == null) f else df.crossJoin(f)
+    yields.foreach { case (n, b) =>
+      env += b -> (if (n == "node") NodeVar: VarKind
+        else ValueVar(s"${b}__value"))
+    }
+    c.where.foreach(applyWhere)
+  }
+
   private def applyCallProc(c: CallProc): Unit = {
+    // the two index procedures yield a NODE (not a value column) —
+    // handled apart from the scalar-yield registry below
+    c.name.toLowerCase match {
+      case "db.index.vector.querynodes" | "db.index.fulltext.querynodes" =>
+        applyIndexProc(c); return
+      case _ => ()
+    }
     def noArgs(): Unit = if (c.args.nonEmpty)
       throw PlanError(s"${c.name} takes no arguments")
     // one optional integer argument (a literal or an integer param)
@@ -3045,7 +3230,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           ("graft.degrees", "graft.degrees() :: (gid, outDegree, inDegree)"),
           ("graft.reachable",
             "graft.reachable(sourceGid :: STRING, maxHops :: INTEGER) :: (gid, hops)"),
-          ("graft.stats", "graft.stats() :: (kind, name, n)"))
+          ("graft.stats", "graft.stats() :: (kind, name, n)"),
+          ("db.index.vector.queryNodes",
+            "db.index.vector.queryNodes(indexName :: STRING, " +
+              "numberOfNearestNeighbours :: INTEGER, query :: LIST<FLOAT>) " +
+              ":: (node, score)"),
+          ("db.index.fulltext.queryNodes",
+            "db.index.fulltext.queryNodes(indexName :: STRING, " +
+              "queryString :: STRING) :: (node, score)"))
         (spark.createDataFrame(procs).toDF("name", "signature"),
           Seq("name", "signature"))
       // the function registry (the CALL dbms.functions() shape SHOW
@@ -3087,12 +3279,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // the reverse-edge dst-bucket index on relationships
       case "db.indexes" =>
         noArgs()
+        val declared = store.indexDefs.sortBy(_.name).map { d =>
+          (d.name, d.kind.toUpperCase, "NODE",
+            s"${d.label}.${d.property}",
+            if (d.kind == "vector" && d.centroids.isEmpty) "POPULATING"
+            else "ONLINE")
+        }
         val rows = Seq(
           ("node_gid_bucket", "RANGE", "NODE", "gid", "ONLINE"),
           ("rel_type_directory", "LOOKUP", "RELATIONSHIP", "relType",
             "ONLINE"),
           ("rel_reverse_dst_bucket", "LOOKUP", "RELATIONSHIP", "dst",
-            "ONLINE"))
+            "ONLINE")) ++ declared
         (spark.createDataFrame(rows)
           .toDF("name", "type", "entityType", "properties", "state"),
           Seq("name", "type", "entityType", "properties", "state"))
@@ -5053,12 +5251,61 @@ object CypherEngine {
     // upserts can never create a duplicate or a null key) — accept
     // the statements idempotently, as the reference's index DDL is
     // (B10); nothing to build or tear down
-    if (trimmed.toUpperCase.startsWith("CREATE INDEX") ||
-        trimmed.toUpperCase.startsWith("DROP INDEX")) {
+    // CREATE VECTOR/FULLTEXT INDEX: REAL index DDL — registers the
+    // def in the store sidecar and builds the index table from the
+    // current snapshot (a vector index trains its IVF quantizer once,
+    // here); every later commit maintains the table incrementally
+    val VectorIdxRe =
+      ("""(?is)^CREATE\s+VECTOR\s+INDEX\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*ON\s*\(?\s*\w+\.(\w+)""" +
+        """\s*\)?\s*(OPTIONS\s*\{.*\})?\s*$""").r
+    val FulltextIdxRe =
+      ("""(?is)^CREATE\s+FULLTEXT\s+INDEX\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*""" +
+        """\[\s*\w+\.(\w+)\s*\]\s*$""").r
+    def ddlAck(info: String): DataFrame = {
       val spark = store.nodes.sparkSession
       import spark.implicits._
-      return Seq(("indexes are intrinsic to the store layout", true))
-        .toDF("info", "acknowledged")
+      Seq((info, true)).toDF("info", "acknowledged")
+    }
+    def createSearchIndex(name: String, ifNotExists: Boolean,
+        d: graft.store.IndexDef): DataFrame = {
+      if (store.indexDef(name).isDefined) {
+        if (ifNotExists) return ddlAck(s"index $name already exists")
+        throw new IllegalArgumentException(
+          s"an index named $name already exists (use IF NOT EXISTS)")
+      }
+      store.buildSearchIndex(d)
+      ddlAck(s"created ${d.kind} index $name on :${d.label}(${d.property})")
+    }
+    trimmed match {
+      case VectorIdxRe(name, ine, label, prop, opts) =>
+        val optStr = Option(opts).getOrElse("")
+        val dims = """(?i)[`"]?vector\.dimensions[`"]?\s*:\s*(\d+)""".r
+          .findFirstMatchIn(optStr).map(_.group(1).toInt).getOrElse(0)
+        val sim =
+          """(?i)[`"]?vector\.similarity_function[`"]?\s*:\s*'(\w+)'""".r
+            .findFirstMatchIn(optStr).map(_.group(1).toLowerCase)
+            .getOrElse("cosine")
+        if (sim != "cosine") throw new IllegalArgumentException(
+          s"unsupported vector similarity function: $sim (cosine only)")
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "vector", label, prop, dims = dims, similarity = sim))
+      case FulltextIdxRe(name, ine, label, prop) =>
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "fulltext", label, prop))
+      case _ => ()
+    }
+    val DropIdxRe = """(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
+    trimmed match {
+      case DropIdxRe(name, _) if store.indexDef(name).isDefined =>
+        store.dropSearchIndex(name)
+        return ddlAck(s"dropped index $name")
+      case _ => ()
+    }
+    if (trimmed.toUpperCase.startsWith("CREATE INDEX") ||
+        trimmed.toUpperCase.startsWith("DROP INDEX")) {
+      return ddlAck("indexes are intrinsic to the store layout")
     }
     if (trimmed.toUpperCase.startsWith("CREATE CONSTRAINT") ||
         trimmed.toUpperCase.startsWith("DROP CONSTRAINT")) {

@@ -650,7 +650,99 @@ DETACH DELETE n
            RETURN c.gid AS gid,
              reduce(s = '', x IN [y IN nodes(p) | y.name] |
                s + '|' + coalesce(x, '<null>')) AS names
-           ORDER BY gid""")))
+           ORDER BY gid""")),
+
+    // CREATE VECTOR INDEX + CALL db.index.vector.queryNodes — the
+    // Neo4j 5.13 ANN-from-Cypher surface over the store-persisted IVF
+    // index (quantizer trained once at DDL, assignments ride the
+    // manifest; the probe reads ONLY the top-nprobe cells'
+    // directories). Query vector = vec_id 0's own embedding, passed
+    // as a parameter; the oracle replays the deterministic k-means
+    // (gid-ordered seed, integer-micro means) and the 2-cell probe.
+    "cypher_vector_index" -> ((s, dir) => {
+      import s.implicits._
+      val st = embeddingStore(s, dir)
+      val q = Relational.t(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select(transform($"embedding", x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      CypherEngine.query(st,
+        """CALL db.index.vector.queryNodes('vidx', 10, $q)
+           YIELD node, score
+           RETURN node.gid AS gid, score""",
+        Map("q" -> q))
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
+    // CREATE FULLTEXT INDEX + CALL db.index.fulltext.queryNodes — the
+    // BM25 procedure over the store-maintained posting table
+    // (sect=t/bucket=H(term) directories; the probe prunes to the
+    // query terms' buckets + the one stats row, never a corpus scan).
+    "cypher_fulltext" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', 'spark hash join')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }))
+
+  /** embeddings table as :Emb nodes (gid `v:<vec_id>`, list prop
+    * `emb`) with a trained vector index — built once per (session,
+    * dir); entities build DISTRIBUTED from the parquet rows. */
+  private val embStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.store.GraphStore]
+
+  private def embeddingStore(s: SparkSession,
+      dir: String): graft.store.GraphStore =
+    embStores.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-vidx-q").toString,
+        s, 8)
+      val ents = Relational.t(s, dir, "embeddings")
+        .select($"vec_id".cast("long"),
+          transform($"embedding", x => x.cast("double")))
+        .as[(Long, Seq[Double])]
+        .map { case (id, v) =>
+          graft.model.Entity(s"v:$id",
+            props = Map("http://g/prop#emb" -> graft.model.PV.of(v)))
+        }
+      graft.ops.GraphMerge.applyBatch(store, "embs", "Emb", ents,
+        truncateFirst = true)
+      CypherEngine.query(store,
+        "CREATE VECTOR INDEX vidx FOR (m:Emb) ON (m.emb)").collect()
+      store
+    })
+
+  /** documents table as :Doc nodes (gid `d:<doc_id>`, string prop
+    * `body`) with a fulltext index. */
+  private val docStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.store.GraphStore]
+
+  private def documentStore(s: SparkSession,
+      dir: String): graft.store.GraphStore =
+    docStores.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-fidx-q").toString,
+        s, 8)
+      val ents = Relational.t(s, dir, "documents")
+        .select($"doc_id".cast("string"), $"text")
+        .as[(String, String)]
+        .map { case (id, text) =>
+          graft.model.Entity(s"d:$id",
+            props = Map("http://g/prop#body" -> graft.model.PV.of(text)))
+        }
+      graft.ops.GraphMerge.applyBatch(store, "docs", "Doc", ents,
+        truncateFirst = true)
+      CypherEngine.query(store,
+        "CREATE FULLTEXT INDEX fidx FOR (x:Doc) ON EACH [x.body]").collect()
+      store
+    })
 
   val oracles: Map[String, String] = Map(
     "cypher_match_where" ->
@@ -973,5 +1065,94 @@ DETACH DELETE n
       """SELECT 'c:' || c_custkey AS gid,
            '|' || c_name || '|' || n_name || '|<null>' AS names
          FROM customer JOIN nation ON c_nationkey = n_nationkey
-         WHERE c_acctbal > 9800 ORDER BY gid""")
+         WHERE c_acctbal > 9800 ORDER BY gid""",
+
+    // unrolled twin of the store vector index: gid-ordered K=16 seed,
+    // 2 integer-micro Lloyd steps, cosine assignment with lowest-cid
+    // tie-break (= SearchIndexes.trainCentroids/assignCells), 2-cell
+    // probe for vec_id 0's own embedding, exact cosine top-10
+    "cypher_vector_index" ->
+      """WITH e AS (SELECT 'v:' || CAST(vec_id AS VARCHAR) gid,
+             CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT gid, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         c0 AS (SELECT row_number() OVER (ORDER BY gid) - 1 AS cid, v cv
+           FROM (SELECT gid, v FROM n ORDER BY gid LIMIT 16)),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT gid, v, cid FROM (
+             SELECT a.gid, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.gid
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn)
+                   DESC, c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT gid, v, cid FROM (
+             SELECT a.gid, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.gid
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn)
+                   DESC, c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
+         assigned AS (SELECT a.gid, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.gid
+               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn)
+                 DESC, c.cid) r
+           FROM n a CROSS JOIN c2n c),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) qn
+           FROM embeddings WHERE vec_id = 0),
+         probes AS (SELECT cid FROM (
+             SELECT c.cid, row_number() OVER
+               (ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
+                 DESC, c.cid) pr
+             FROM c2n c CROSS JOIN q) WHERE pr <= 2),
+         hits AS (SELECT a.gid,
+             list_dot_product(q.qv, a.v) / (q.qn * a.norm) score
+           FROM assigned a CROSS JOIN q
+           WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)
+           ORDER BY score DESC, gid LIMIT 10)
+         SELECT gid, round(score, 9) AS score FROM hits ORDER BY gid""",
+
+    // BM25 twin of the fulltext procedure (t_bm25's proven kernel,
+    // query 'spark hash join', gid-keyed)
+    "cypher_fulltext" ->
+      """WITH d AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) dl,
+             string_split_regex(trim(text), '\s+') w
+           FROM documents WHERE len(trim(text)) > 0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term IN ('spark', 'hash', 'join')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         scored AS (SELECT t.gid,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS contrib
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
+         SELECT gid, round(sum(contrib), 9) AS score
+         FROM scored GROUP BY gid ORDER BY gid""")
 }

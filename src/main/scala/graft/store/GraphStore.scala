@@ -111,6 +111,134 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     else Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8)
       .split("\n", -1).toSeq)
 
+  // ---- user-declared search indexes (CREATE VECTOR/FULLTEXT INDEX) ----
+
+  private def indexesPath: Path = rootPath.resolve("_indexes.json")
+
+  @volatile private var indexDefs0: Seq[IndexDef] = readIndexDefs()
+
+  /** every declared vector/fulltext index (see [[SearchIndexes]]) */
+  def indexDefs: Seq[IndexDef] = indexDefs0
+  def indexDef(name: String): Option[IndexDef] =
+    indexDefs0.find(_.name == name)
+
+  private def readIndexDefs(): Seq[IndexDef] =
+    if (!Files.exists(indexesPath)) Nil
+    else JsonMethods.parse(new String(Files.readAllBytes(indexesPath),
+        StandardCharsets.UTF_8)) match {
+      case JArray(items) => items.collect { case o: JObject =>
+        val m = o.obj.toMap
+        def str(k: String) =
+          m.get(k).collect { case JString(s) => s }.getOrElse("")
+        def intv(k: String) =
+          m.get(k).collect { case JInt(i) => i.toInt }.getOrElse(0)
+        val cents = m.get("centroids") match {
+          case Some(JArray(cs)) => cs.collect { case JArray(ds) =>
+            ds.collect {
+              case JDouble(x) => x
+              case JInt(x) => x.toDouble
+            }: Seq[Double]
+          }
+          case _ => Nil
+        }
+        IndexDef(str("name"), str("kind"), str("label"), str("property"),
+          intv("dims"),
+          if (str("similarity").isEmpty) "cosine" else str("similarity"),
+          cents)
+      }
+      case _ => Nil
+    }
+
+  /** atomic sidecar replace — index DEFINITIONS (and the trained
+    * quantizer) live beside the data pointer; the data TABLE rides the
+    * versioned manifest like nodes/edges/redges */
+  private def writeIndexDefs(defs: Seq[IndexDef]): Unit = {
+    val json = JArray(defs.sortBy(_.name).toList.map { d =>
+      JObject(List(
+        "name" -> JString(d.name), "kind" -> JString(d.kind),
+        "label" -> JString(d.label), "property" -> JString(d.property),
+        "dims" -> JInt(d.dims), "similarity" -> JString(d.similarity),
+        "centroids" -> JArray(d.centroids.toList.map(c =>
+          JArray(c.toList.map(JDouble(_)))))))
+    })
+    val tmp = rootPath.resolve("_indexes.tmp")
+    Files.write(tmp,
+      JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, indexesPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    indexDefs0 = defs
+  }
+
+  /** Register (or replace) an index and build its table from the
+    * current snapshot: a vector def trains its coarse quantizer here
+    * (build-once artifact — later commits only re-ASSIGN changed
+    * nodes), then a relink-only commit runs the full build through the
+    * index-maintenance pass. Rejected inside an open session (Neo4j
+    * parity: schema commands run outside transactions).
+    */
+  def buildSearchIndex(d0: IndexDef): Long = synchronized {
+    require(session.isEmpty,
+      "index DDL cannot run inside an open transaction")
+    putIndexDef(d0)
+    commit(nodes, edges, "", Some(Set.empty), Some(Set.empty))
+  }
+
+  def putIndexDef(d: IndexDef): Unit = synchronized {
+    writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ d)
+  }
+
+  /** drop the definition; the table leaves the NEXT commit's manifest
+    * (only current defs' tables are carried forward) and vacuum
+    * reclaims its files */
+  def dropSearchIndex(name: String): Boolean = synchronized {
+    val had = indexDefs0.exists(_.name == name)
+    if (had) writeIndexDefs(indexDefs0.filterNot(_.name == name))
+    had
+  }
+
+  /** is the declared index's table usable for queries right now?
+    * False inside a session with uncommitted node writes (the
+    * procedures then fall back to scanning the overlay view — correct,
+    * just unindexed, mirroring redgesReady).
+    */
+  def searchIndexReady(d: IndexDef): Boolean =
+    !session.exists(_.workNodes.isDefined) && {
+      val v = currentVersion
+      v > 0L && readManifest(v).contains(d.tableName)
+    }
+
+  /** partition-pruned read of an index table: `keep` filters manifest
+    * partition keys (`cell=c3/bucket=…`, `sect=t/bucket=5`) so a probe
+    * reads ONLY its cells' / its query terms' directories.
+    */
+  def readSearchIndex(d: IndexDef, keep: String => Boolean): DataFrame = {
+    val schema =
+      if (d.kind == "vector") SearchIndexes.vxSchema
+      else SearchIndexes.ftSchema
+    readFiles(d.tableName,
+      manifestFiles(d.tableName).view.filterKeys(keep)
+        .values.flatten.toSeq.sorted, schema)
+  }
+
+  /** manifest keys of a fulltext probe: the stats partition plus the
+    * `sect=t` buckets the query terms hash into */
+  def ftProbeKeys(terms: Seq[String]): String => Boolean = {
+    val bs = terms.map { t =>
+      // evaluate the exact Catalyst expression the write path uses
+      // (pmod(hash(col), bc)) on the driver — bit-identical bucketing
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)), 42)
+        .eval(null).asInstanceOf[Int]
+      ((h % bucketCount0) + bucketCount0) % bucketCount0
+    }.toSet
+    (k: String) => k.startsWith("sect=s/") ||
+      bs.exists(b => k == s"sect=t/bucket=$b")
+  }
+
   /** (version, syncId) named by the pointer file; version 0 = empty store. */
   def current: (Long, String) = pointerLines match {
     case None => (0L, "")
@@ -363,17 +491,49 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           redgesView, "redges", "relType", "dst", next, redgesDirty,
           prev.getOrElse("redges", Map.empty), bc)
       }
+      // user-declared search indexes: train any still-untrained vector
+      // quantizer from this commit's data (build-once artifact, synced
+      // to the sidecar BEFORE the pointer flip so a failed commit
+      // retries with the same centroids), then maintain each index
+      // table with the same bounded delta shape as the reverse index
+      val sdefs = indexDefs0.map { d =>
+        if (d.kind == "vector" && d.centroids.isEmpty) {
+          val cents = SearchIndexes.trainCentroids(
+            SearchIndexes.vectors(newNodes, d))
+          if (cents.nonEmpty) {
+            val nd = d.copy(centroids = cents, dims = cents.head.size)
+            writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ nd)
+            nd
+          } else d
+        } else d
+      }
+      val idxManFs = sdefs.map { d =>
+        d.tableName -> Future {
+          val (view, dirty) = searchIndexDelta(d, newNodes, dirtyNodes,
+            prev, bc)
+          val (pc, cc) =
+            if (d.kind == "vector") ("cell", "gid") else ("sect", "term")
+          writePartitions(view, d.tableName, pc, cc, next, dirty,
+            prev.getOrElse(d.tableName, Map.empty), bc)
+        }
+      }
       // await ALL before propagating a failure: an orphaned sibling
       // job still writing into seg=<next> would race a retried
       // commit's cleanup of that directory
       val nodesManT = scala.util.Try(Await.result(nodesManF, Duration.Inf))
       val edgesManT = scala.util.Try(Await.result(edgesManF, Duration.Inf))
       val redgesManT = scala.util.Try(Await.result(redgesManF, Duration.Inf))
+      val idxManTs = idxManFs.map { case (t, f) =>
+        t -> scala.util.Try(Await.result(f, Duration.Inf)) }
       val nodesMan = nodesManT.get
       val edgesMan = edgesManT.get
       val redgesMan = redgesManT.get
+      // dropped defs' tables simply leave the manifest here; vacuum
+      // reclaims their files once no retained manifest names them
+      val idxMans = idxManTs.map { case (t, r) => t -> r.get }
       writeManifest(next, Map(
-        "nodes" -> nodesMan, "edges" -> edgesMan, "redges" -> redgesMan))
+        "nodes" -> nodesMan, "edges" -> edgesMan,
+        "redges" -> redgesMan) ++ idxMans)
       val tmp = rootPath.resolve(s"_current.tmp.$next")
       val slabels = secondaryLabels0 ++ addSecondaryLabels
       Files.write(tmp,
@@ -443,6 +603,130 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .join(removed, Seq("dst", "src", "relType"), "left_anti")
       .unionByName(added)
     (view, Some(dk))
+  }
+
+  /** Derive one search index's view + dirty keys from the commit's
+    * node rewrite — the [[redgesDelta]] recipe pointed at nodes:
+    * old-vs-new content of the dirty NODE partitions (bounded by the
+    * commit's own rewrite set) yields added/removed docs; their
+    * deterministic re-extraction (cell assignment / tokenization)
+    * names exactly the index partitions to rewrite. Maintaining an
+    * index never scans the full node table.
+    */
+  private def searchIndexDelta(
+      d: IndexDef,
+      newNodes: DataFrame,
+      dirtyNodes: Option[Set[DirtyKey]],
+      prev: Manifest,
+      bc: Int): (DataFrame, Option[Set[DirtyKey]]) = {
+    import SearchIndexes._
+    val tbl = d.tableName
+    val schema = if (d.kind == "vector") vxSchema else ftSchema
+    def empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    val prevIdx = prev.getOrElse(tbl, Map.empty)
+    val prevNodes = prev.getOrElse("nodes", Map.empty)
+    // a def whose table is not in the previous manifest (fresh DDL)
+    // builds fully; so does a full node rewrite (compact / rebucket)
+    val mustRebuild = !prev.contains(tbl) && prevNodes.nonEmpty
+    def fullView: DataFrame = d.kind match {
+      case "vector" =>
+        if (d.centroids.isEmpty) empty
+        else assignCells(vectors(newNodes, d), d.centroids)
+      case _ =>
+        val docs = texts(newNodes, d)
+        val st = docs
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.size(
+                termsOf(col("text")))).cast("long")).head()
+        val (n, sdl) =
+          (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+        tokenRows(docs).unionByName(statsRow(spark, n, sdl))
+    }
+    if (mustRebuild || dirtyNodes.isEmpty) return (fullView, None)
+    val keys = dirtyNodes.get
+    if (keys.isEmpty) return (empty, Some(Set.empty))
+    val changedOldNodes = readFiles("nodes",
+      prevNodes.view.filterKeys(keyMatches("label", keys)).values
+        .flatten.toSeq, nodeSchema)
+    val changedNewNodes = dirtyFilter(
+      newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
+      "label", keys).drop("bucket")
+    d.kind match {
+      case "vector" =>
+        if (d.centroids.isEmpty) return (empty, Some(Set.empty))
+        val oldV = vectors(changedOldNodes, d)
+        val newV = vectors(changedNewNodes, d)
+        val removed = oldV.join(newV, Seq("gid", "v"), "left_anti")
+        val added = newV.join(oldV, Seq("gid", "v"), "left_anti")
+        val remA = assignCells(removed, d.centroids)
+        val addA = assignCells(added, d.centroids)
+        val dk: Set[DirtyKey] = remA.unionByName(addA)
+          .select(col("cell"), pmod(hash(col("gid")), lit(bc)).as("b"))
+          .distinct().collect()
+          .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
+          .toSet
+        if (dk.isEmpty) return (empty, Some(Set.empty))
+        val oldPruned = readFiles(tbl,
+          prevIdx.view.filterKeys(keyMatches("cell", dk)).values
+            .flatten.toSeq, vxSchema)
+        val view = oldPruned
+          .join(remA.select(col("gid")), Seq("gid"), "left_anti")
+          .unionByName(addA.select(vxSchema.fieldNames.map(col).toSeq: _*))
+          .select(vxSchema.fieldNames.map(col).toSeq: _*)
+        (view, Some(dk))
+      case _ =>
+        val oldD = texts(changedOldNodes, d)
+        val newD = texts(changedNewNodes, d)
+        // changed docs appear on both sides; deterministic
+        // tokenization makes the removed rows byte-equal to the old
+        // stored rows, so every stale row lives in a dirty bucket
+        val removedDocs = oldD.join(newD, Seq("gid", "text"), "left_anti")
+          .localCheckpoint()
+        val addedDocs = newD.join(oldD, Seq("gid", "text"), "left_anti")
+          .localCheckpoint()
+        val remT = tokenRows(removedDocs)
+        val addT = tokenRows(addedDocs)
+        val termBuckets = remT.unionByName(addT)
+          .select(pmod(hash(col("term")), lit(bc)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (termBuckets.isEmpty) return (empty, Some(Set.empty))
+        def docStats(docs: DataFrame): (Long, Long) = {
+          val r = docs.agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.size(
+                termsOf(col("text")))).cast("long")).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        val (remN, remDl) = docStats(removedDocs)
+        val (addN, addDl) = docStats(addedDocs)
+        val statsKey: Set[DirtyKey] = Set((Some("s"), None))
+        val oldStatsRow = readFiles(tbl,
+          prevIdx.view.filterKeys(keyMatches("sect", statsKey)).values
+            .flatten.toSeq, ftSchema)
+          .collect().headOption
+        val (n0, dl0) = oldStatsRow
+          .map(r => (r.getLong(3), r.getLong(4))).getOrElse((0L, 0L))
+        val dk: Set[DirtyKey] = termBuckets
+          .map(b => (Some("t"): Option[String], Some(b): Option[Int]))
+          .toSet ++ statsKey
+        val oldPruned = readFiles(tbl,
+          prevIdx.view.filterKeys(keyMatches("sect", dk)).values
+            .flatten.toSeq, ftSchema)
+        val keepToks = oldPruned.filter(col("sect") === "t")
+          .join(removedDocs.select(col("gid")).distinct(),
+            Seq("gid"), "left_anti")
+        val view = keepToks
+          .select(ftSchema.fieldNames.map(col).toSeq: _*)
+          .unionByName(addT)
+          .unionByName(
+            statsRow(spark, n0 - remN + addN, dl0 - remDl + addDl))
+        (view, Some(dk))
+    }
   }
 
   /** does manifest key `k` fall inside the dirty set? */

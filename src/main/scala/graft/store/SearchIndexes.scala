@@ -1,0 +1,205 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A user-declared search index over node properties — the Neo4j 5
+  * `CREATE VECTOR INDEX` / `CREATE FULLTEXT INDEX` surface (the two
+  * index procedures real apps ported from Neo4j call first:
+  * `db.index.vector.queryNodes`, `db.index.fulltext.queryNodes`).
+  * Declared via Cypher DDL through D1 `Query()`
+  * (/root/reference/layer.go:24), persisted in `<root>/_indexes.json`,
+  * and its DATA table maintained by every [[GraphStore.commit]] with
+  * the same bounded-rewrite delta the reverse-edge index rides.
+  *
+  * `centroids` is the trained IVF coarse quantizer of a vector index
+  * (K×dims, trained once at build from the snapshot — the
+  * build-once/query-for-weeks artifact); empty = untrained (no data
+  * yet), trained lazily by the first data-bearing commit.
+  */
+case class IndexDef(
+    name: String,
+    kind: String, // "vector" | "fulltext"
+    label: String,
+    property: String,
+    dims: Int = 0,
+    similarity: String = "cosine",
+    centroids: Seq[Seq[Double]] = Nil) {
+  def tableName: String =
+    (if (kind == "vector") "vx_" else "ft_") + name
+}
+
+/** Kernels shared by index build, per-commit delta maintenance, and
+  * the query procedures — one deterministic definition of
+  * tokenization / vector extraction / cell assignment, so the rows a
+  * commit writes are exactly the rows a query (and the DuckDB oracle)
+  * recomputes.
+  *
+  * Scale shape:
+  *  - vector table `vx_<name>`: `(gid, cell, v, norm)` partitioned by
+  *    `cell=<cid>/bucket=H(gid)` — a query probes nprobe cells and
+  *    reads ONLY those directories (the IVF inverted-list layout).
+  *  - fulltext table `ft_<name>`: `(sect, term, gid, tf, dl)`
+  *    partitioned by `sect=t/bucket=H(term)` — a query prunes to its
+  *    terms' buckets (query-term-first, never a corpus scan), plus a
+  *    single-row `sect=s` stats partition carrying (N, Σdl) for BM25,
+  *    updated incrementally.
+  */
+object SearchIndexes {
+  /** IVF cells (coarse-quantizer K) and Lloyd refinement steps —
+    * fixed small constants so the DuckDB oracle can unroll training */
+  val K = 16
+  val TrainIters = 2
+  /** cells probed by a vector query (home + 1 neighbor) */
+  val NProbe = 2
+
+  val vxSchema: StructType = StructType(Seq(
+    StructField("cell", StringType, nullable = false),
+    StructField("gid", StringType, nullable = false),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("norm", DoubleType)))
+
+  /** sect "t" = token rows (term,gid,tf,dl); sect "s" = ONE stats row
+    * (term="",gid="__stats",tf=N_docs,dl=Σdl) */
+  val ftSchema: StructType = StructType(Seq(
+    StructField("sect", StringType, nullable = false),
+    StructField("term", StringType),
+    StructField("gid", StringType),
+    StructField("tf", LongType),
+    StructField("dl", LongType)))
+
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** label membership on a raw node row (primary or secondary) */
+  private def labelMember(l: String): Column =
+    col("label") === l ||
+      (col("xlabels").isNotNull && array_contains(col("xlabels"), l))
+
+  /** `(gid, v, norm)` of every live node of the def's label carrying
+    * the property as a non-empty list — the vector extraction the
+    * build, the delta, and the fallback scan all share. */
+  def vectors(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val lst = col("props").getItem(d.property).getField("a")
+    nodes
+      .filter(labelMember(d.label) && lst.isNotNull && size(lst) > 0)
+      .select(col("gid"),
+        transform(lst, x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** `(gid, text)` of every live node of the def's label carrying the
+    * property as a non-empty string. */
+  def texts(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val s = col("props").getItem(d.property).getField("s")
+    nodes
+      .filter(labelMember(d.label) && s.isNotNull && length(trim(s)) > 0)
+      .select(col("gid"), s.as("text"))
+  }
+
+  /** whitespace tokenization — the exact t_bm25 tokenizer, shared so
+    * the oracle stays `string_split_regex(trim(text), '\s+')` */
+  def termsOf(text: Column): Column = split(trim(text), "\\s+")
+
+  /** token rows `(sect="t", term, gid, tf, dl)` of `(gid, text)` docs */
+  def tokenRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("gid"), termsOf(col("text")).as("w"))
+      .select(col("gid"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("gid"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(lit("t").as("sect"), col("term"), col("gid"),
+        col("tf"), col("dl"))
+
+  /** one stats row from (nDocs, sumDl) */
+  def statsRow(spark: SparkSession, nDocs: Long, sumDl: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row("s", "", "__stats", nDocs, sumDl)),
+      ftSchema)
+
+  /** a local DataFrame of the trained centroids `(cid, cv, cn)` */
+  def centroidDf(spark: SparkSession, cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+      .toDF("cid", "cv")
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** assign each `(gid, v, norm)` row its home cell: argmax cosine
+    * over the broadcast centroids, ties to the LOWEST cid — the
+    * deterministic assignment the oracle replays. Emits vxSchema. */
+  def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val spark = vecs.sparkSession
+    val cd = centroidDf(spark, cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gid")).orderBy(col("csim").desc, col("cid"))
+    vecs.crossJoin(broadcast(cd))
+      .withColumn("csim", dot(col("v"), col("cv")) /
+        (col("norm") * col("cn")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(concat(lit("c"), col("cid")).as("cell"), col("gid"),
+        col("v"), col("norm"))
+  }
+
+  /** Deterministic IVF training over `(gid, v, norm)` rows: seeded
+    * with the K lowest-gid vectors, [[TrainIters]] Lloyd steps with
+    * integer-micro centroid means (order-independent long sums,
+    * floored division — the pageRankMicro recipe), cosine assignment
+    * with lowest-cid tie-break. Only the K×dim centroid table rides
+    * the driver between iterations; assignment stays distributed.
+    * Returns Nil when the snapshot holds no vectors. */
+  def trainCentroids(vecs: DataFrame): Seq[Seq[Double]] = {
+    val spark = vecs.sparkSession
+    var cents: Seq[Seq[Double]] = vecs.orderBy(col("gid")).limit(K)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    if (cents.isEmpty) return Nil
+    for (_ <- 1 to TrainIters) {
+      val cd = centroidDf(spark, cents)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gid")).orderBy(col("csim").desc, col("cid"))
+      val sums = vecs.crossJoin(broadcast(cd))
+        .withColumn("csim", dot(col("v"), col("cv")) /
+          (col("norm") * col("cn")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(round(col("val") * 1e6, 0).cast("long")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          (floor(col("sm") / col("cnt")) / 1e6).as("m"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCid.getOrElse(i.toLong, old) // an emptied cell keeps its centroid
+      }
+    }
+    cents
+  }
+
+  /** rank the trained cells for a query vector: cosine desc, cid asc;
+    * returns the top-[[NProbe]] cell partition values ("c<cid>") */
+  def probeCells(cents: Seq[Seq[Double]], q: Seq[Double]): Seq[String] = {
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qn = math.sqrt(dotL(q, q))
+    cents.zipWithIndex
+      .map { case (cv, i) =>
+        val cn = math.sqrt(dotL(cv, cv))
+        (i, dotL(q, cv) / (qn * cn))
+      }
+      .sortBy { case (i, sim) => (-sim, i) }
+      .take(NProbe)
+      .map { case (i, _) => s"c$i" }
+  }
+}

@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.CypherEngine
+import graft.store.{GraphStore, IndexDef, SearchIndexes}
+
+/** CREATE VECTOR/FULLTEXT INDEX DDL, the db.index.*.queryNodes
+  * procedures, bounded per-commit maintenance, and persistence
+  * across a store reopen (build once, query without training).
+  */
+class SearchIndexSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.get
+
+  /** deterministic 4-dim vector of node i */
+  private def vec(i: Int): Seq[Double] =
+    Seq(i / 7.0, (i % 5).toDouble, (i % 3).toDouble, 1.0)
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  private def vecLit(v: Seq[Double]): String =
+    v.mkString("[", ", ", "]")
+
+  private def newStore(tag: String): GraphStore =
+    new GraphStore(
+      Files.createTempDirectory(s"graft-sidx-$tag").toString, spark, 4)
+
+  test("vector index: DDL, probe query, incremental maintenance") {
+    val st = newStore("vec")
+    val n = 40
+    val create = (1 to n).map(i =>
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})")
+    val sess = CypherEngine.session(st)
+    create.foreach(q => sess.run(q).collect())
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX vidx IF NOT EXISTS FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4,
+        |  `vector.similarity_function`: 'cosine'}}""".stripMargin)
+      .collect()
+    val d = st.indexDef("vidx").get
+    assert(d.kind == "vector" && d.label == "Emb" && d.property == "v")
+    assert(d.centroids.nonEmpty, "quantizer trained at DDL")
+    assert(d.dims == 4)
+    assert(st.searchIndexReady(d))
+    // index rows cover every vector-bearing node exactly once
+    val idxRows = st.readSearchIndex(d, _ => true)
+    assert(idxRows.count() == n)
+
+    val q7 = vec(7)
+    val rows = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('vidx', 5, ${vecLit(q7)})
+         |YIELD node, score
+         |RETURN node.gid AS gid, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length == 5)
+    // self-match first, scores descending, every score = exact cosine
+    assert(rows.head._1 == "e:7")
+    assert(math.abs(rows.head._2 - 1.0) < 1e-9)
+    assert(rows.map(_._2).toSeq.sliding(2).forall(
+      w => w.length < 2 || w(0) >= w(1)))
+    rows.foreach { case (gid, s) =>
+      val i = gid.drop(2).toInt
+      assert(math.abs(s - cosine(q7, vec(i))) < 1e-9, gid)
+    }
+
+    // incremental: a new node with e:7's exact vector must appear
+    CypherEngine.query(st,
+      s"CREATE (:Emb {gid: 'e:99', v: ${vecLit(vec(7))}})").collect()
+    assert(st.readSearchIndex(d, _ => true).count() == n + 1)
+    val rows2 = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('vidx', 2, ${vecLit(q7)})
+         |YIELD node, score RETURN node.gid AS gid""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows2.toSeq == Seq("e:7", "e:99"))
+
+    // delete: the removed node leaves the index
+    CypherEngine.query(st,
+      "MATCH (m:Emb {gid: 'e:99'}) DELETE m").collect()
+    val gidsAfter = st.readSearchIndex(d, _ => true)
+      .select("gid").collect().map(_.getString(0)).toSet
+    assert(!gidsAfter.contains("e:99") && gidsAfter.size == n)
+  }
+
+  test("vector index: reopen queries without retraining") {
+    val root = Files.createTempDirectory("graft-sidx-reopen").toString
+    val st = new GraphStore(root, spark, 4)
+    val sess = CypherEngine.session(st)
+    (1 to 30).foreach(i => sess.run(
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})").collect())
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE VECTOR INDEX vidx FOR (m:Emb) ON (m.v)").collect()
+    val q = vec(11)
+    val expect = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('vidx', 3, ${vecLit(q)})
+         |YIELD node, score RETURN node.gid AS gid""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+
+    // fresh store handle (new process analog): centroids come from the
+    // sidecar, assignments from the manifest table — no training jobs
+    val st2 = new GraphStore(root, spark, 4)
+    assert(st2.indexDef("vidx").exists(_.centroids.nonEmpty))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val got = CypherEngine.query(st2,
+        s"""CALL db.index.vector.queryNodes('vidx', 3, ${vecLit(q)})
+           |YIELD node, score RETURN node.gid AS gid""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+      assert(got == expect)
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // training alone is TrainIters+1 collects over the corpus; a pure
+    // probe query stays a handful of scan/collect jobs
+    assert(jobs.get() <= 8, s"too many jobs for a probe query: ${jobs.get()}")
+  }
+
+  test("fulltext index: DDL, BM25 parity, term-bucket pruning, delta") {
+    val st = newStore("ft")
+    val docs = Map(
+      "d:1" -> "spark join hash join",
+      "d:2" -> "hash partition spark",
+      "d:3" -> "sort merge join algorithm",
+      "d:4" -> "filter scan pushdown",
+      "d:5" -> "spark spark spark hash")
+    val sess = CypherEngine.session(st)
+    docs.foreach { case (g, t) =>
+      sess.run(s"CREATE (:Doc {gid: '$g', body: '$t'})").collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX fidx FOR (x:Doc) ON EACH [x.body]").collect()
+    val d = st.indexDef("fidx").get
+    assert(st.searchIndexReady(d))
+
+    // stats row: N docs and total token count
+    val stats = st.readSearchIndex(d, _.startsWith("sect=s"))
+      .collect().head
+    assert(stats.getLong(3) == docs.size)
+    assert(stats.getLong(4) ==
+      docs.values.map(_.split("\\s+").length.toLong).sum)
+
+    // term-bucket pruning: the probe reads a strict subset of files
+    val terms = Seq("spark", "hash")
+    val probeFiles = st.readSearchIndex(d, st.ftProbeKeys(terms))
+      .inputFiles.toSet
+    val allFiles = st.readSearchIndex(d, _ => true).inputFiles.toSet
+    assert(probeFiles.subsetOf(allFiles))
+    assert(probeFiles.size < allFiles.size,
+      s"probe read everything: ${probeFiles.size}/${allFiles.size}")
+
+    // BM25 parity with a scala-side computation
+    def bm25(q: Seq[String]): Map[String, Double] = {
+      val n = docs.size
+      val dls = docs.view.mapValues(_.split("\\s+").length).toMap
+      val avgdl = dls.values.sum.toDouble / n
+      docs.keys.map { g =>
+        val words = docs(g).split("\\s+").toSeq
+        val score = q.distinct.map { t =>
+          val tf = words.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else {
+            val dfq = docs.values.count(_.split("\\s+").contains(t))
+            val idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls(g) / avgdl))
+          }
+        }.sum
+        g -> score
+      }.toMap.filter(_._2 > 0)
+    }
+    val got = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fidx', 'spark hash')
+        |YIELD node, score
+        |RETURN node.gid AS gid, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = bm25(Seq("spark", "hash"))
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (g, s) =>
+      assert(math.abs(s - want(g)) < 1e-9, g) }
+    // ordered by score desc
+    assert(got.map(_._2).toSeq.sliding(2).forall(
+      w => w.length < 2 || w(0) >= w(1)))
+
+    // delta: updating a doc's text moves its postings and the stats
+    CypherEngine.query(st,
+      "MATCH (x:Doc {gid: 'd:4'}) SET x.body = 'spark pushdown'")
+      .collect()
+    val stats2 = st.readSearchIndex(d, _.startsWith("sect=s"))
+      .collect().head
+    assert(stats2.getLong(3) == docs.size)
+    assert(stats2.getLong(4) ==
+      docs.values.map(_.split("\\s+").length.toLong).sum - 1)
+    val got2 = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fidx', 'pushdown')
+        |YIELD node, score RETURN node.gid AS gid""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq("d:4"))
+  }
+
+  test("index DDL bookkeeping: SHOW INDEXES, DROP, duplicate guard") {
+    val st = newStore("ddl")
+    CypherEngine.query(st, "CREATE (:Doc {gid: 'd:1', body: 'x y'})")
+      .collect()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX f2 FOR (x:Doc) ON EACH [x.body]").collect()
+    val listed = CypherEngine.query(st, "SHOW INDEXES")
+      .collect().map(_.getString(0)).toSet
+    assert(listed.contains("f2"))
+    intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        "CREATE FULLTEXT INDEX f2 FOR (x:Doc) ON EACH [x.body]")
+    }
+    // IF NOT EXISTS is the idempotent form
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX f2 IF NOT EXISTS FOR (x:Doc) ON EACH [x.body]")
+      .collect()
+    CypherEngine.query(st, "DROP INDEX f2").collect()
+    assert(st.indexDef("f2").isEmpty)
+    assert(!CypherEngine.query(st, "SHOW INDEXES")
+      .collect().map(_.getString(0)).contains("f2"))
+  }
+}
