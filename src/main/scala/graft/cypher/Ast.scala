@@ -116,13 +116,18 @@ object Ast {
     * on a match; on CREATE the head is the primary label and the tail
     * lands as secondary labels. The two forms don't mix.
     */
+  /** `dynLabel` carries a Cypher 25 dynamic label `(n:$(expr))` —
+    * resolved at plan time when the expression is constant
+    * (literal/parameter), evaluated per row in CREATE otherwise
+    */
   case class NodePattern(
       variable: Option[String],
       label: Option[String],
       props: Seq[(String, Expr)],
       where: Option[Expr] = None,
       altLabels: Seq[String] = Nil,
-      extraLabels: Seq[String] = Nil)
+      extraLabels: Seq[String] = Nil,
+      dynLabel: Option[Expr] = None)
 
   /** direction: +1 for ()-[]->(), -1 for ()<-[]-(), 0 for the
     * undirected ()-[]-() (matches the relationship either way);
@@ -141,6 +146,8 @@ object Ast {
     * that bind per-iteration gid LISTS (GQL group variables); the
     * rel's own `variable` is the relationship group variable.
     */
+  /** `dynType` carries a dynamic relationship type `-[:$(expr)]->` —
+    * same resolution rule as NodePattern.dynLabel */
   case class RelPattern(
       variable: Option[String],
       relType: Option[String],
@@ -149,7 +156,8 @@ object Ast {
       altRelTypes: Seq[String] = Nil,
       where: Option[Expr] = None,
       props: Seq[(String, Expr)] = Nil,
-      qppNodeVars: Option[(Option[String], Option[String])] = None)
+      qppNodeVars: Option[(Option[String], Option[String])] = None,
+      dynType: Option[Expr] = None)
 
   /** `pathVar` binds `p = …` (length(p) resolves to the hop count);
     * `shortest` marks `shortestPath(…)` — one minimal-length row per
@@ -256,11 +264,13 @@ object Ast {
     */
   case class SetPlus(variable: String, value: Expr) extends SetItem
   /** `SET v:Label` — the template's `SET n:%s` (neo4j.go:107). */
-  case class SetLabelItem(variable: String, label: String) extends SetItem
+  case class SetLabelItem(variable: String, label: String,
+      dynLabel: Option[Expr] = None) extends SetItem
   /** `REMOVE v:Label` — clears the label when it matches (the node
     * becomes an unlabeled stub; this engine's single-label model).
     */
-  case class RemoveLabelItem(variable: String, label: String) extends SetItem
+  case class RemoveLabelItem(variable: String, label: String,
+      dynLabel: Option[Expr] = None) extends SetItem
 
   case class SetClause(items: Seq[SetItem]) extends WriteClauseT
 

@@ -33,7 +33,7 @@ object Parser {
     "END", "UNION", "ALL", "XOR")
 
   private val tokenRe: Regex =
-    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|&!])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(0[xX][0-9a-fA-F]+)|(\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*))""".r
+    """\s*(?:(<=|>=|<>|<-|->|=~|\+=|\|\||\.\.|[-()\[\]{}:,.*=<>+/%^|&!])|`([^`]*)`|'((?:[^'\\]|\\.)*)'|"((?:[^"\\]|\\.)*)"|(0[xX][0-9a-fA-F]+)|(\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)|(\d+)|\$([A-Za-z_][A-Za-z0-9_]*)|([A-Za-z_][A-Za-z0-9_]*)|(\$))""".r
 
   /** Cypher string-escape decoding: \t \b \n \r \f \' \" \\ \uXXXX. */
   private def unescape(s: String): String = {
@@ -106,11 +106,14 @@ object Parser {
             catch { case _: NumberFormatException => throw ParseException(
               s"integer literal out of range: ${m.group(7)}") })
           else if (m.group(8) != null) out += ParamTok(m.group(8))
-          else {
+          else if (m.group(9) != null) {
             val w = m.group(9)
             if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)(w)
             else out += Ident(w)
           }
+          // a bare `$` (not a parameter): the Cypher 25 dynamic
+          // label/type marker `$(expr)`
+          else out += Sym("$")
         case _ =>
           if (q.substring(pos).trim.isEmpty) pos = q.length
           else throw ParseException(
@@ -519,7 +522,10 @@ object Parser {
           case Ident(s) => s
           case other => throw ParseException(s"expected variable, got $other")
         }
-        if (p.trySym(":")) items += Ast.RemoveLabelItem(v, p.identOrKw())
+        if (p.trySym(":")) items += (tryDynRef(p) match {
+          case Some(e) => Ast.RemoveLabelItem(v, "", Some(e))
+          case None => Ast.RemoveLabelItem(v, p.identOrKw())
+        })
         else {
           p.expectSym(".")
           items += Ast.SetProp(v, p.identOrKw(), Ast.Lit(null))
@@ -590,7 +596,10 @@ object Parser {
           items += Ast.SetProp(v, prop, parseExpr(p))
         case Some(Sym(":")) =>
           // `SET n:L1:L2` adds every label in the chain
-          while (p.trySym(":")) items += Ast.SetLabelItem(v, p.identOrKw())
+          while (p.trySym(":")) items += (tryDynRef(p) match {
+            case Some(e) => Ast.SetLabelItem(v, "", Some(e))
+            case None => Ast.SetLabelItem(v, p.identOrKw())
+          })
         case Some(Sym("=")) =>
           p.next()
           items += Ast.SetAll(v, parseExpr(p))
@@ -789,6 +798,7 @@ object Parser {
     // into the pattern's inline WHERE as NOT n:A. Mixing | with the
     // all-of/negation forms is rejected.
     var label: Option[String] = None
+    var dynLabel: Option[Ast.Expr] = None
     val altLabels = Seq.newBuilder[String]
     val extraLabels = Seq.newBuilder[String]
     val negLabels = Seq.newBuilder[String]
@@ -796,8 +806,15 @@ object Parser {
     if (p.trySym(":")) {
       def item(): Unit =
         if (p.trySym("!")) negLabels += p.identOrKw()
-        else if (label.isEmpty) label = Some(p.identOrKw())
-        else extraLabels += p.identOrKw()
+        else tryDynRef(p) match {
+          case Some(e) =>
+            if (label.nonEmpty || dynLabel.nonEmpty) throw ParseException(
+              "a dynamic label $(…) must be the pattern's only label")
+            dynLabel = Some(e)
+          case None =>
+            if (label.isEmpty && dynLabel.isEmpty) label = Some(p.identOrKw())
+            else extraLabels += p.identOrKw()
+        }
       item()
       while (p.trySym("&")) { amp = true; item() }
       while (p.trySym("|")) altLabels += p.identOrKw()
@@ -838,7 +855,7 @@ object Parser {
         Some(where.map(Ast.And(_, negPred)).getOrElse(negPred))
       }
     Ast.NodePattern(variable, label, props.result(), whereAll,
-      altLabels.result(), extraLabels.result())
+      altLabels.result(), extraLabels.result(), dynLabel)
   }
 
   /** the conjunction of a pattern's inline node + relationship
@@ -848,12 +865,25 @@ object Parser {
       pat.hops.flatMap(h => h._1.where.toSeq ++ h._2.where.toSeq))
       .reduceOption(Ast.And(_, _))
 
+  /** `$(expr)` in a label/type position — the Cypher 25 dynamic
+    * label/type reference (`SET n:$(x)`, `CREATE (n:$(x))`,
+    * `-[:$(x)]->`) */
+  private def tryDynRef(p: P): Option[Ast.Expr] =
+    if (!p.trySym("$")) None
+    else {
+      p.expectSym("(")
+      val e = parseExpr(p)
+      p.expectSym(")")
+      Some(e)
+    }
+
   // rel := '-[' var? (':' TYPE)? ('*' min? ('..' max)?)? ']->' | '<-[' ... ']-'
   private def parseRel(p: P): Ast.RelPattern = {
     val incoming = p.peek.contains(Sym("<-"))
     if (incoming) p.next() else p.expectSym("-")
     var variable: Option[String] = None
     var relType: Option[String] = None
+    var dynType: Option[Ast.Expr] = None
     var varLength: Option[(Int, Int)] = None
     var relWhere: Option[Ast.Expr] = None
     val altTypes = Seq.newBuilder[String]
@@ -864,9 +894,13 @@ object Parser {
         case _ => ()
       }
       if (p.trySym(":")) {
-        relType = Some(p.identOrKw())
-        // type disjunction: -[:A|B]-> (match-only)
-        while (p.trySym("|")) altTypes += p.identOrKw()
+        tryDynRef(p) match {
+          case Some(e) => dynType = Some(e)
+          case None =>
+            relType = Some(p.identOrKw())
+            // type disjunction: -[:A|B]-> (match-only)
+            while (p.trySym("|")) altTypes += p.identOrKw()
+        }
       }
       if (p.trySym("*")) {
         // Neo4j forms: `*` (1..∞), `*n` (exact), `*n..`, `*..m`,
@@ -917,7 +951,7 @@ object Parser {
       else if (p.trySym("->")) 1
       else { p.expectSym("-"); 0 } // undirected: `-[r]-` / `--`
     Ast.RelPattern(variable, relType, direction, varLength,
-      altTypes.result(), relWhere, relProps.result())
+      altTypes.result(), relWhere, relProps.result(), dynType = dynType)
   }
 
   // ---- expressions (precedence: OR < AND < NOT < cmp < atom) ----

@@ -273,8 +273,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case SetProp(v, _, _) => v
     case SetAll(v, _) => v
     case SetPlus(v, _) => v
-    case SetLabelItem(v, _) => v
-    case RemoveLabelItem(v, _) => v
+    case SetLabelItem(v, _, _) => v
+    case RemoveLabelItem(v, _, _) => v
   }.toSet
 
   /** every variable a SetClause's value expressions reference —
@@ -664,9 +664,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val relSets = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[(String, Expr)]]
     s.items.foreach {
-      case SetLabelItem(v, label) =>
+      case SetLabelItem(v, label0, dynE) =>
         if (!env.get(v).contains(NodeVar))
           throw PlanError(s"SET :Label target must be a node variable: $v")
+        // `SET n:$(expr)`: the expression must fold to a plan-time
+        // constant string (literal/parameter) — the SetLabels effect
+        // is label-keyed
+        val label = dynE.map(requireConstLabel(_, "SET")).getOrElse(label0)
         effects += SetLabels(df.filter(rowGate)
           .select(col(s"${v}__gid").as("gid"))
           .filter(col("gid").isNotNull), label)
@@ -723,7 +727,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         df = df
           .withColumn(s"${v}__source", guarded(col(s"${v}__source"), srcOf))
           .withColumn(s"${v}__props", guarded(col(s"${v}__props"), propsOf))
-      case RemoveLabelItem(v, label) =>
+      case RemoveLabelItem(v, label0, dynE) =>
+        val label = dynE.map(requireConstLabel(_, "REMOVE")).getOrElse(label0)
         if (!env.get(v).contains(NodeVar))
           throw PlanError(
             s"REMOVE :Label target must be a node variable: $v")
@@ -858,8 +863,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // republish edited nodes into the same-statement view, so a later
     // MATCH filtering on the edited label/props sees post-SET state
     val touched = (s.items.collect {
-      case SetLabelItem(v, _) => v
-      case RemoveLabelItem(v, _) => v
+      case SetLabelItem(v, _, _) => v
+      case RemoveLabelItem(v, _, _) => v
       case SetAll(v, _) => v
       case SetPlus(v, _) => v
     } ++ propSets.keys).distinct
@@ -911,8 +916,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         df = df.drop(s"${prevVar}__matched")
       }
       pat.hops.foreach { case (rel, node) =>
-        val relType = rel.relType.getOrElse(
-          throw PlanError("CREATE relationship needs an explicit type"))
+        // dynamic relationship type `-[:$(expr)]->`: constant folds to
+        // a plan-time type; per-row expressions ride the effect frame
+        // as a relType COLUMN (CREATE only — the MERGE probe needs a
+        // plan-time type)
+        val relTypeConst: Option[String] = rel.dynType match {
+          case Some(e) => constStr(e).map { s =>
+            if (s.isEmpty) throw PlanError(
+              "dynamic relationship type must not be empty")
+            s
+          }
+          case None => Some(rel.relType.getOrElse(
+            throw PlanError("CREATE relationship needs an explicit type")))
+        }
+        if (relTypeConst.isEmpty && c.merge) throw PlanError(
+          "a dynamic relationship type in MERGE must be a constant " +
+            "(literal or parameter) string expression")
+        val relTypeCol: Column = relTypeConst match {
+          case Some(s) => lit(s)
+          case None => dynLabelCol(rel.dynType.get)
+        }
+        def relType = relTypeConst.get // merge-only consumers
         if (rel.altRelTypes.nonEmpty)
           throw PlanError("a type disjunction (:A|B) is MATCH-only")
         if (rel.varLength.nonEmpty)
@@ -964,11 +988,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             s"relationship property must be source, got $k"))
         effects += MergeEdges(df.select(
           col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
-          lit(relType).as("relType"), srcVal.as("source")))
+          relTypeCol.as("relType"), srcVal.as("source")))
         // later MATCH hops of this statement see the edge
         val evis = df.select(
           col(s"${fromV}__gid").as("src"), col(s"${toV}__gid").as("dst"),
-          lit(relType).as("relType"), srcVal.as("source"))
+          relTypeCol.as("relType"), srcVal.as("source"))
           .filter(col("src").isNotNull && col("dst").isNotNull)
           .dropDuplicates("src", "dst", "relType")
         pendingEdges = Some(pendingEdges match {
@@ -991,7 +1015,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           env += r -> RelVar
           df = df.withColumn(s"${r}__src", col(s"${fromV}__gid"))
             .withColumn(s"${r}__dst", col(s"${toV}__gid"))
-            .withColumn(s"${r}__relType", lit(relType))
+            .withColumn(s"${r}__relType", relTypeCol)
             .withColumn(s"${r}__source", srcVal)
         }
         matchedCol.foreach { m =>
@@ -1016,7 +1040,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       throw PlanError("a label disjunction (:A|B) is MATCH-only")
     n.variable match {
       case Some(v) if env.get(v).contains(NodeVar) =>
-        if (n.label.nonEmpty || n.props.nonEmpty)
+        if (n.label.nonEmpty || n.dynLabel.nonEmpty || n.props.nonEmpty)
           throw PlanError(
             s"bound variable $v cannot carry labels/properties in CREATE")
         // Neo4j: "Cannot merge using an already-bound variable" — and
@@ -1038,11 +1062,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val propPairs = n.props.collect {
           case (k, e) if k != "gid" => k -> pvCol(e)
         }
+        // a dynamic label `(n:$(expr))`: constant expressions fold to
+        // a plan-time label; per-row expressions (the data-driven
+        // ingest form, `CREATE (n:$(row.kind))`) ride the effect frame
+        // as a label COLUMN — MergeNodes already takes labels as
+        // per-row values
+        val labelCol: Column = n.dynLabel match {
+          case Some(e) => constStr(e) match {
+            case Some(s) if s.nonEmpty => lit(s)
+            case Some(_) => throw PlanError(
+              "dynamic label must not be empty")
+            case None => dynLabelCol(e)
+          }
+          case None => lit(n.label.orNull)
+        }
         val propsCol =
           if (propPairs.isEmpty) lit(null).cast(propsType)
           else map(propPairs.flatMap { case (k, c) => Seq(lit(k), c) }: _*)
         effects += MergeNodes(df.select(
-          gidCol.as("gid"), lit(n.label.orNull).as("label"),
+          gidCol.as("gid"), labelCol.as("label"),
           lit(null).cast("string").as("source"), propsCol.as("props"),
           (if (n.extraLabels.isEmpty) lit(null).cast("array<string>")
            else array(n.extraLabels.distinct.map(lit(_)): _*))
@@ -1075,13 +1113,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 .otherwise(col(s"${v}__xlabels")))
             .withColumn(s"${v}__gid", coalesce(col(s"${v}__gid"), col("__ck")))
             .withColumn(s"${v}__label",
-              coalesce(col(s"${v}__label"), lit(n.label.orNull)))
+              coalesce(col(s"${v}__label"), labelCol))
             .withColumn(s"${v}__props",
               coalesce(col(s"${v}__props"), propsCol))
             .drop("__ck")
         } else {
           df = df.withColumn(s"${v}__gid", gidCol)
-            .withColumn(s"${v}__label", lit(n.label.orNull))
+            .withColumn(s"${v}__label", labelCol)
             .withColumn(s"${v}__source", lit(null).cast("string"))
             .withColumn(s"${v}__props", propsCol)
             .withColumn(s"${v}__xlabels", xlCol)
@@ -1335,7 +1373,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private def foldRelProps(m: MatchClause): MatchClause = {
     var extra = List.empty[Expr]
     val pats = m.patterns.map { pat =>
-      val hops = pat.hops.map { case (rel, node) =>
+      val hops = pat.hops.map { case (rel0, node0) =>
+        // dynamic labels/types in MATCH resolve to plan-time
+        // constants (literal/parameter) — the data-driven per-row
+        // form is a CREATE feature
+        val rel1 = resolveDynRel(rel0, "MATCH")
+        val node = resolveDynNode(node0, "MATCH")
+        val rel = rel1
         if (rel.props.isEmpty) (rel, node)
         // a var-length rel's property map constrains EVERY step —
         // consumed inside applyVarLengthHop (filters the step edges)
@@ -1347,10 +1391,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           (rel.copy(variable = Some(v), props = Nil), node)
         }
       }
-      pat.copy(hops = hops)
+      pat.copy(head = resolveDynNode(pat.head, "MATCH"), hops = hops)
     }
-    if (extra.isEmpty) m
-    else m.copy(patterns = pats,
+    m.copy(patterns = pats,
       where = (m.where.toSeq ++ extra).reduceOption(And(_, _)))
   }
 
@@ -1380,6 +1423,67 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var clauseRetained: List[String] = Nil
   private def relTypeSet(rel: RelPattern): Option[Set[String]] =
     rel.relType.map(t => (t +: rel.altRelTypes).toSet)
+
+  // ---- dynamic labels/types (Cypher 25 `$(expr)`) ----
+
+  /** plan-time constant evaluation of a dynamic label/type
+    * expression: string literals, string parameters, their `+`
+    * concatenations and toString. A non-string constant is rejected
+    * here — the runtime type error Neo4j raises, surfaced at the
+    * statement's execution. None = genuinely per-row.
+    */
+  private def constStr(e: Ast.Expr): Option[String] = e match {
+    case Lit(s: String) => Some(s)
+    case Lit(null) => throw PlanError(
+      "dynamic label/type must be a non-empty string, got: null")
+    case Lit(other) => throw PlanError(
+      s"dynamic label/type must be a string, got: $other")
+    case Param(n) => params.get(n) match {
+      case Some(s: String) => Some(s)
+      case Some(other) => throw PlanError(
+        s"dynamic label/type must be a string, got $$$n = $other")
+      case None => throw PlanError(s"parameter $$$n is not bound")
+    }
+    case Arith("+", a, b) =>
+      for { x <- constStr(a); y <- constStr(b) } yield x + y
+    case FuncCall("tostring", Seq(x), _) => constStr(x)
+    case _ => None
+  }
+
+  private def requireConstLabel(e: Ast.Expr, where: String): String =
+    constStr(e) match {
+      case Some(s) if s.nonEmpty => s
+      case Some(_) => throw PlanError(
+        s"dynamic label/type in $where must not be empty")
+      case None => throw PlanError(
+        s"a dynamic label/type in $where must be a constant " +
+          "(literal or parameter) string expression")
+    }
+
+  /** per-row dynamic label/type column with Neo4j's runtime type
+    * enforcement: the value must be a non-empty string */
+  private def dynLabelCol(e: Ast.Expr): Column = {
+    val pv = pvCol(e)
+    val s = pv.getField("s")
+    when(s.isNotNull && length(s) > 0, s)
+      .otherwise(raise_error(concat(
+        lit("dynamic label/type must be a non-empty string, got: "),
+        coalesce(pvStrOf(pv), lit("null")))))
+  }
+
+  private def resolveDynNode(n: NodePattern, where: String): NodePattern =
+    n.dynLabel match {
+      case None => n
+      case Some(e) =>
+        n.copy(label = Some(requireConstLabel(e, where)), dynLabel = None)
+    }
+
+  private def resolveDynRel(r: RelPattern, where: String): RelPattern =
+    r.dynType match {
+      case None => r
+      case Some(e) =>
+        r.copy(relType = Some(requireConstLabel(e, where)), dynType = None)
+    }
   private def typesMayOverlap(a: Option[Set[String]],
       b: Option[Set[String]]): Boolean =
     a.isEmpty || b.isEmpty || (a.get & b.get).nonEmpty
@@ -3776,11 +3880,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case other => valueCol(other)
   }
 
-  private def numCol(e: Ast.Expr): Column = e match {
-    case PropRef(v, p) if env.get(v).contains(NodeVar) =>
-      val pv = col(s"${v}__props").getItem(p)
+  private def numCol(e: Ast.Expr): Column = pvOf(e) match {
+    // any dynamic value (prop, PV-map item, typed list element):
+    // numeric = the long-or-double slot
+    case Some(pv) =>
       coalesce(pv.getField("l").cast("double"), pv.getField("d"))
-    case other => valueCol(other).cast("double")
+    case None => valueCol(e).cast("double")
   }
 
   /** the string view of an expression (PV string slot when available) */
@@ -4913,6 +5018,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         Some(col(cn).getItem(p))
       case _ => None
     }
+    // subscript on a dynamic LIST property: the per-element type tag
+    // (PV.at) reconstructs the element's typed slots, so every typed
+    // context (arithmetic via numCol, string functions via typedProp,
+    // type predicates, comparisons) dispatches on the STORED element
+    // type instead of its canonical string — `n.nums[0] + 1` is 2,
+    // not a string coercion
+    case Subscript(coll, idx) =>
+      pvOf(coll).map { pv =>
+        val lst = pv.getField("a")
+        val i = valueCol(idx).cast("int")
+        val elem = try_element_at(lst, when(i >= 0, i + 1).otherwise(i))
+        val ci = when(i >= 0, i).otherwise(size(lst) + i)
+        // a legacy list (at = null) is all-string by construction
+        val tag = coalesce(pv.getField("at").substr(ci + 1, lit(1)),
+          lit("s"))
+        val nul = lit(null)
+        struct(
+          when(tag === "s", elem).cast("string").as("s"),
+          when(tag === "l", elem).cast("bigint").as("l"),
+          when(tag === "d", elem).cast("double").as("d"),
+          when(tag === "b", elem).cast("boolean").as("b"),
+          nul.cast("array<string>").as("a"),
+          nul.cast("string").as("at"))
+      }
     case _ => None
   }
 

@@ -671,7 +671,7 @@ object SyntaxProbe {
         "MATCH (n:Nation) WHERE size((n)-->()) > 0 RETURN count(*) AS c",
       "dyn-label-set" ->
         """CREATE (x:Tmp13 {gid: 'tmp13:1'}) WITH x
-           SET x:$(\"Extra\") RETURN labels(x) AS ls""",
+           SET x:$('Extra') RETURN labels(x) AS ls""",
       "load-csv" ->
         """LOAD CSV WITH HEADERS FROM 'file:///tmp/probe13.csv'
            AS row RETURN row.a AS a ORDER BY a""",

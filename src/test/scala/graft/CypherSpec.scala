@@ -3943,4 +3943,96 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(r.getDouble(3) == 1.0)
     assert(r.getDouble(4) == 2.3)
   }
+
+  test("typed list-element subscript dispatches on the PV.at tag") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-subsc").toString, spark, 2)
+    CypherEngine.query(st,
+      """CREATE (:T {gid: 't:1', nums: [1, 2], fs: [1.5, 2.5],
+           bs: [true, false], ss: ['a', 'b']})""").collect()
+    val r = CypherEngine.query(st,
+      """MATCH (n:T)
+         RETURN n.nums[0] + 1 AS a, n.nums[-1] * 10 AS b,
+                n.fs[1] / 2 AS c, n.ss[0] + 'x' AS d,
+                n.nums[0] AS bare, n.nums[7] AS oob,
+                n.bs[0] AS tb""").collect().head
+    // numeric elements surface through the numeric slot (the same
+    // double surface scalar dynamic props have: n.age + 1 is 24.0)
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 20.0)
+    assert(r.getDouble(2) == 1.25)
+    assert(r.getString(3) == "ax")
+    // bare reads keep the canonical rendering of dynamic values
+    assert(r.getString(4) == "1")
+    assert(r.isNullAt(5))
+    assert(r.getString(6) == "true")
+    val p = CypherEngine.query(st,
+      "MATCH (n:T) WHERE n.nums[1] > 1 RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(p == 1L)
+  }
+
+  test("dynamic labels/types: $(expr) in CREATE, MATCH, SET, rel types") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-dynlbl").toString, spark, 2)
+    // constant (parameter) label
+    CypherEngine.query(st, "CREATE (n:$($l) {gid: 'd:1'})",
+      Map("l" -> "Alpha")).collect()
+    // per-row data-driven labels (the ingest idiom)
+    CypherEngine.query(st,
+      """UNWIND [{gid: 'd:2', kind: 'Beta'},
+                 {gid: 'd:3', kind: 'Gamma'}] AS row
+         CREATE (n:$(row.kind) {gid: row.gid})""").collect()
+    def labelOf(g: String): String = CypherEngine.query(st,
+      s"MATCH (n {gid: '$g'}) RETURN labels(n) AS ls")
+      .collect().head.getSeq[String](0).head
+    assert(labelOf("d:1") == "Alpha")
+    assert(labelOf("d:2") == "Beta")
+    assert(labelOf("d:3") == "Gamma")
+    // MATCH with a constant dynamic label
+    val nBeta = CypherEngine.query(st,
+      """MATCH (n:$("Beta")) RETURN count(*) AS c""")
+      .collect().head.getLong(0)
+    assert(nBeta == 1L)
+    // SET with a constant dynamic label adds a secondary
+    CypherEngine.query(st,
+      """MATCH (n {gid: 'd:1'}) SET n:$("Extra")""").collect()
+    val ls1 = CypherEngine.query(st,
+      "MATCH (n {gid: 'd:1'}) RETURN labels(n) AS ls")
+      .collect().head.getSeq[String](0)
+    assert(ls1.toSet == Set("Alpha", "Extra"))
+    // REMOVE with a dynamic label
+    CypherEngine.query(st,
+      """MATCH (n {gid: 'd:1'}) REMOVE n:$("Extra")""").collect()
+    assert(labelOf("d:1") == "Alpha")
+    // per-row dynamic relationship types
+    CypherEngine.query(st,
+      """UNWIND [{s: 'd:2', t: 'LIKES'}, {s: 'd:3', t: 'OWNS'}] AS row
+         MATCH (a {gid: row.s}) MATCH (b {gid: 'd:1'})
+         CREATE (a)-[:$(row.t)]->(b)""").collect()
+    val types = CypherEngine.query(st,
+      "MATCH ()-[r]->() RETURN type(r) AS t ORDER BY t")
+      .collect().map(_.getString(0)).toSeq
+    assert(types == Seq("LIKES", "OWNS"))
+    // MATCH with a dynamic rel type (parameter)
+    val nLikes = CypherEngine.query(st,
+      "MATCH ()-[r:$($t)]->() RETURN count(*) AS c", Map("t" -> "LIKES"))
+      .collect().head.getLong(0)
+    assert(nLikes == 1L)
+    // a non-string constant is rejected (Neo4j type error)
+    intercept[Exception] {
+      CypherEngine.query(st, "CREATE (n:$(1) {gid: 'd:9'})").collect()
+    }
+    // a per-row non-string value raises at runtime
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """UNWIND [{k: 5}] AS row
+           CREATE (n:$(row.k) {gid: 'd:9'})""").collect()
+    }
+    // nothing leaked from the failed statements
+    val n9 = CypherEngine.query(st,
+      "MATCH (n {gid: 'd:9'}) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(n9 == 0L)
+  }
 }
