@@ -2769,9 +2769,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case other => throw PlanError("a var-length relationship " +
           s"property map takes literal/parameter values, got $other")
       }
+      // the allowed keys derive from the edge view's OWN columns, so
+      // a property that exists on the model filters normally and only
+      // a genuinely absent key collapses to no-match — if edge
+      // properties are ever added, filters on them keep working
+      // instead of silently returning empty
       e0 = k match {
-        case "source" => e0.filter(col("source") === v)
         case "type" | "relType" => e0.filter(col("relType") === v)
+        case _ if e0.columns.contains(k) => e0.filter(col(k) === v)
         case _ => e0.filter(lit(false)) // no such key on the edge model
       }
     }
@@ -4437,13 +4442,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case FuncCall("sign", Seq(a), _) => signum(numCol(a)).cast("long")
     // 1-arg round: Neo4j uses Math.round — halves go toward POSITIVE
     // infinity (round(-2.5) = -2.0, round(-0.5) = 0.0), not Spark's
-    // HALF_UP away-from-zero (probe 14). floor(x + 0.5) is exactly
-    // that; the precision forms below keep their documented modes.
+    // HALF_UP away-from-zero (probe 14). NOT lowered as
+    // floor(x + 0.5): the double ADDITION is inexact at values like
+    // 0.49999999999999994 (x + 0.5 rounds up to 1.0, while Math.round
+    // since JDK 7 yields 0). `x - floor(x)` extracts the fraction
+    // EXACTLY in IEEE754, so comparing it to 0.5 reproduces
+    // Math.round's bit-level behavior at every magnitude.
     case FuncCall("round", Seq(a), _) =>
       val x = numCol(a).cast("double")
+      val f = floor(x)
       when(isnan(x) || x === lit(Double.PositiveInfinity) ||
           x === lit(Double.NegativeInfinity), x)
-        .otherwise(floor(x + lit(0.5)).cast("double"))
+        .otherwise(when(x - f >= lit(0.5), f + 1).otherwise(f)
+          .cast("double"))
     case FuncCall("round", Seq(a, Lit(p: Long)), _) =>
       round(numCol(a), p.toInt)
     // explicit rounding mode (Neo4j 4.2+): HALF_UP is Spark's round,

@@ -179,25 +179,39 @@ object GraphXQ {
     // which is what the oracle replays.
     "gx_triangles" -> ((s, dir) => {
       import s.implicits._
-      val (nodes, edges) = graphTables(s, dir)
-      // broadcast the supplier side: a shuffle join on ~25 distinct
-      // nation keys collapses to 25 skewed tasks; the dimension table
-      // broadcasts at any scale
-      val serves = t(s, dir, "customer")
-        .select($"c_custkey", $"c_nationkey")
-        .join(broadcast(t(s, dir, "supplier")
-            .select($"s_suppkey", $"s_nationkey")),
-          $"c_nationkey" === $"s_nationkey")
-        .select(concat(lit("c:"), $"c_custkey").as("src"),
-          concat(lit("s:"), $"s_suppkey").as("dst"),
-          lit("serves").as("relType"))
+      val (nodes, _) = graphTables(s, dir)
       // undirectedUnique: the fixture's edge families (c→n, s→n, n→r,
       // c→s) each pair distinct entity-type tiers exactly once —
-      // no parallel and no mutual edges, so the dedup shuffle elides
-      GraphAnalytics.triangleCounts(s, nodes, edges.unionByName(serves),
+      // no parallel and no mutual edges, so the dedup shuffle elides.
+      // AnalyticsSpec pins that contract (trianglesEdgeUnion is
+      // duplicate-free as unordered pairs) so a fixture change fails
+      // loudly instead of double-counting triangles.
+      GraphAnalytics.triangleCounts(s, nodes, trianglesEdgeUnion(s, dir),
           undirectedUnique = true)
         .orderBy($"gid")
     }))
+
+  /** the gx_triangles edge multiset: the store's star edges plus
+    * customer→supplier "serves" edges (same nation — broadcast the
+    * supplier side: a shuffle join on ~25 distinct nation keys would
+    * collapse to 25 skewed tasks; the dimension broadcasts at any
+    * scale). Shared with AnalyticsSpec, which asserts the
+    * undirectedUnique contract this union claims.
+    */
+  private[graft] def trianglesEdgeUnion(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val (_, edges) = graphTables(s, dir)
+    val serves = t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+      .join(broadcast(t(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")),
+        $"c_nationkey" === $"s_nationkey")
+      .select(concat(lit("c:"), $"c_custkey").as("src"),
+        concat(lit("s:"), $"s_suppkey").as("dst"),
+        lit("serves").as("relType"))
+    edges.unionByName(serves)
+  }
 
   /** one unrolled integer-PageRank iteration (DuckDB `//` floor-divides
     * BIGINTs exactly like Spark's Long division on positive values)

@@ -153,9 +153,24 @@ object TextOps {
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** release the materialized blocks behind a localCheckpoint'd
+    * frame: the checkpoint's RDD sits in the plan as a LogicalRDD —
+    * unpersisting THAT frees the block data (a new `.rdd` wrapper
+    * would not). Shared by the memo clears here and in VectorOps. */
+  private[queries] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   /** drop the cross-query memos (Bench best-of-2 re-runs re-pay the
-    * shared builds exactly like their first run) */
+    * shared builds exactly like their first run) — and UNPERSIST the
+    * localCheckpoint blocks behind them, so repeated re-runs don't
+    * accumulate dead RDD block data until GC/session end */
   private[graft] def clearMemos(): Unit = {
+    pairCache.values.foreach(unpersistCheckpoint)
+    interCache.values.foreach { case (a, b) =>
+      unpersistCheckpoint(a); unpersistCheckpoint(b) }
+    simsCache.values.foreach(unpersistCheckpoint)
     pairCache.clear()
     interCache.clear()
     simsCache.clear()

@@ -57,8 +57,12 @@ object VectorOps {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** drop the cross-query memo (Bench best-of-2 re-runs re-pay the
-    * training exactly like their first run) */
-  private[graft] def clearMemos(): Unit = ivfCache.clear()
+    * training exactly like their first run), releasing the
+    * checkpointed training blocks with it */
+  private[graft] def clearMemos(): Unit = {
+    ivfCache.values.foreach(TextOps.unpersistCheckpoint)
+    ivfCache.clear()
+  }
 
   private def ivfTrained(s: SparkSession, dir: String): DataFrame =
     ivfCache.getOrElseUpdate((s, dir), {

@@ -72,4 +72,18 @@ class AnalyticsSpec extends AnyFunSuite {
     // the fixture actually peels: some vertex must have died
     assert(v.size < eu.map(_._1).distinct.size)
   }
+
+  test("gx_triangles undirectedUnique contract: edge union has no " +
+      "mutual or parallel pairs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val und = queries.GraphXQ.trianglesEdgeUnion(spark, dir)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+    val total = und.count()
+    val distinctPairs = und.distinct().count()
+    assert(total == distinctPairs,
+      s"gx_triangles passes undirectedUnique=true but the fixture has " +
+        s"${total - distinctPairs} duplicate unordered pairs — remove the " +
+        "flag or fix the edge families")
+  }
 }
