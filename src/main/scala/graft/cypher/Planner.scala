@@ -1411,9 +1411,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * pays nothing — and a clause whose rel elements are pairwise
     * type-disjoint disables the machinery entirely. When enforcement
     * IS live, shortestPath stretches leave the BFS fast path for the
-    * enumerating expansion so their edge keys participate; the one
-    * remaining approximation is single-shortestPath's deterministic
-    * path choice (see the applyVarLengthHop caveat).
+    * enumerating expansion so their edge keys participate, and the
+    * shortest-path choice DEFERS past the uniqueness filters: the
+    * kept path is the minimal VALID one per outer row (Neo4j's
+    * exhaustive-search fallback), so a conflict with another clause
+    * relationship falls back to the next-shortest conflict-free path
+    * instead of dropping the row.
     */
   private case class BoundRel(ekey: Column, types: Option[Set[String]])
   private case class BoundStretch(pathCol: String, types: Option[Set[String]])
@@ -2808,6 +2811,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
     val start = df.select(col(s"${boundVar}__gid").as("__start")).distinct()
     var reach: DataFrame = null
+    // set when shortestPath must pick its path AFTER the cross-clause
+    // uniqueness filters (see the shortest+clauseRelUniq branch)
+    var deferShortestPick = false
     // MATCH-wide uniqueness needs the visited-edge keys, so a clause
     // with potentially-overlapping other rels takes the enumerating
     // expansion even for the shortest variants (rare — the common
@@ -2916,32 +2922,47 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           // aggregate, not a window, so map-side partial mins apply
           reach = reach.groupBy(col("__start"), col("__end"))
             .agg(min(col("__hops")).as("__hops"))
-        else {
-          // uniqueness enforcement needs the kept path's edge keys;
-          // caveat (shortest only): if the ONE deterministically-kept
-          // minimal path conflicts with another clause relationship,
-          // the row drops even where a different equal-length path
-          // would avoid the conflict — allShortestPaths checks every
-          // minimal path and has no such approximation
-          // ONE minimal row per pair WITH its path — deterministic
+        else if (!clauseRelUniq) {
+          // path materialization without cross-clause uniqueness: ONE
+          // minimal row per pair WITH its path — deterministic
           // tie-break on the edge-key array
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("__start"), col("__end"))
             .orderBy(col("__hops").asc, col("__path").asc)
           reach = reach.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+        } else {
+          // cross-clause uniqueness is live: DEFER the choice. Neo4j
+          // finds the shortest path SATISFYING MATCH-wide
+          // relationship uniqueness (its exhaustive-search fallback),
+          // so the pick must happen per OUTER ROW after the conflict
+          // filters — keep every enumerated path here; the
+          // post-filter window below keeps the minimal survivor
+          // (bounded by the clause's own conflict set, not the graph)
+          deferShortestPick = true
         }
       }
       // allShortestPaths: keep EVERY minimal-length path row per pair
-      // (path multiplicity preserved — one reach row per distinct path)
+      // (path multiplicity preserved — one reach row per distinct
+      // path). Under cross-clause uniqueness the minimal length is
+      // itself defined over VALID paths, so the reduction defers past
+      // the conflict filters exactly like single shortestPath.
       else if (allShortest) {
-        val mins = reach.groupBy(col("__start"), col("__end"))
-          .agg(min(col("__hops")).as("__minh"))
-        reach = reach.join(mins, Seq("__start", "__end"))
-          .filter(col("__hops") === col("__minh")).drop("__minh")
+        if (clauseRelUniq) deferShortestPick = true
+        else {
+          val mins = reach.groupBy(col("__start"), col("__end"))
+            .agg(min(col("__hops")).as("__minh"))
+          reach = reach.join(mins, Seq("__start", "__end"))
+            .filter(col("__hops") === col("__minh")).drop("__minh")
+        }
       }
     }
 
+    // a deferred shortest pick needs the OUTER-row identity: minted
+    // in the same plan that consumes it (one evaluation), so the id
+    // only has to be internally consistent, never durable
+    if (deferShortestPick)
+      df = df.withColumn("__sp_rid", monotonically_increasing_id())
     df = df.join(reach, col(s"${boundVar}__gid") === reach("__start"), "inner")
     val nv = node.variable.getOrElse(fresh("n"))
     if (env.contains(nv)) {
@@ -2964,6 +2985,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       clauseStretches.filter(b => typesMayOverlap(myTypes, b.types))
         .foreach(b =>
           df = df.filter(!arrays_overlap(col("__path"), col(b.pathCol))))
+      // deferred shortest pick: among the paths SURVIVING the
+      // uniqueness filters, keep per (outer row, end) the minimal one
+      // (shortestPath) or all of minimal length (allShortestPaths) —
+      // Neo4j's shortest-VALID-path semantics: a conflicting minimal
+      // path falls back to the next-shortest valid one
+      if (deferShortestPick) {
+        val part = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__sp_rid"), col("__end"))
+        if (shortest)
+          df = df.withColumn("__sp_rn", row_number().over(
+              part.orderBy(col("__hops").asc, col("__path").asc)))
+            .filter(col("__sp_rn") === 1).drop("__sp_rn", "__sp_rid")
+        else
+          df = df.withColumn("__sp_minh", min(col("__hops")).over(part))
+            .filter(col("__hops") === col("__sp_minh"))
+            .drop("__sp_minh", "__sp_rid")
+        deferShortestPick = false
+      }
       val keep = s"${fresh("uniq")}__path"
       df = df.withColumn(keep, col("__path"))
       clauseRetained ::= keep

@@ -4035,4 +4035,52 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       .collect().head.getLong(0)
     assert(n9 == 0L)
   }
+
+  test("shortestPath under cross-clause uniqueness picks the shortest " +
+      "VALID path (Neo4j exhaustive fallback)") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-spuniq").toString, spark, 2)
+    // diamond: a->b1->c and a->b2->c (both length 2); edge-key order
+    // makes the a->b1 path the deterministic first choice
+    val sess = CypherEngine.session(st)
+    Seq("a", "b1", "b2", "c").foreach(g =>
+      sess.run(s"CREATE (:V {gid: '$g'})").collect())
+    Seq(("a","b1"), ("b1","c"), ("a","b2"), ("b2","c")).foreach {
+      case (x, y) => sess.run(
+        s"MATCH (p:V {gid: '$x'}), (q:V {gid: '$y'}) " +
+          "CREATE (p)-[:T]->(q)").collect() }
+    sess.commit()
+    // r binds the a->b1 edge, which lies ON the first-choice shortest
+    // path; the equal-length a->b2->c alternative must keep the row
+    val rows = CypherEngine.query(st,
+      """MATCH (a:V {gid: 'a'})-[r:T]->(m:V {gid: 'b1'}),
+               sp = shortestPath((a)-[:T*1..3]->(c:V {gid: 'c'}))
+         RETURN length(sp) AS l""").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 2L)
+
+    // second graph: the ONLY 2-hop path conflicts, but a 3-hop
+    // conflict-free path exists -> Neo4j returns length 3, not zero rows
+    val st2 = new GraphStore(
+      Files.createTempDirectory("graft-spuniq2").toString, spark, 2)
+    val s2 = CypherEngine.session(st2)
+    Seq("a", "b1", "b2", "d", "c").foreach(g =>
+      s2.run(s"CREATE (:V {gid: '$g'})").collect())
+    Seq(("a","b1"), ("b1","c"), ("a","b2"), ("b2","d"), ("d","c"))
+      .foreach { case (x, y) => s2.run(
+        s"MATCH (p:V {gid: '$x'}), (q:V {gid: '$y'}) " +
+          "CREATE (p)-[:T]->(q)").collect() }
+    s2.commit()
+    val rows2 = CypherEngine.query(st2,
+      """MATCH (a:V {gid: 'a'})-[r:T]->(m:V {gid: 'b1'}),
+               sp = shortestPath((a)-[:T*1..4]->(c:V {gid: 'c'}))
+         RETURN length(sp) AS l""").collect()
+    assert(rows2.length == 1 && rows2.head.getLong(0) == 3L)
+
+    // control: without the competing clause rel, the plain shortest
+    // length is 2 on both graphs
+    val plain = CypherEngine.query(st2,
+      """MATCH sp = shortestPath((a:V {gid: 'a'})-[:T*1..4]->(c:V {gid: 'c'}))
+         RETURN length(sp) AS l""").collect()
+    assert(plain.length == 1 && plain.head.getLong(0) == 2L)
+  }
 }
