@@ -366,7 +366,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // `RETURN 1` — a clause-less query evaluates its items once
     // against one imaginary row (Neo4j: RETURN without a reading
     // clause is a single-row projection)
-    if (df == null) df = spark.range(1).select()
+    if (df == null) df = seedRow()
     // ORDER BY on an aggregate that is NOT projected (`RETURN m.gid
     // ORDER BY count(*)`): compute it as a hidden aggregation column,
     // sort, drop — Neo4j allows this on non-DISTINCT projections
@@ -1051,7 +1051,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case maybeV =>
         val v = maybeV.getOrElse(fresh("c"))
         if (env.contains(v)) throw PlanError(s"variable $v already bound")
-        if (df == null) df = spark.range(1).toDF("__seed")
+        if (df == null) df = seedRow("__seed" -> 1L)
         val gidExpr = n.props.collectFirst { case ("gid", e) => e }
           .getOrElse(throw PlanError(
             "CREATE/MERGE node needs a gid property (the node key)"))
@@ -1361,7 +1361,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // at materialization, not eagerly at plan time
       applyInnerMatch(m)
       val matched = df
-      df = spark.range(1).select(lit(1).as("__opt_seed"))
+      df = seedRow("__opt_seed" -> 1)
         .join(matched, lit(true), "left_outer")
         .select(matched.columns.map(cn => col(quote(cn))).toSeq: _*)
     } else applyInnerMatch(m)
@@ -1426,6 +1426,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var clauseRetained: List[String] = Nil
   private def relTypeSet(rel: RelPattern): Option[Set[String]] =
     rel.relType.map(t => (t +: rel.altRelTypes).toSet)
+
+  /** one-row seed frame as a LocalRelation — not a Range leaf, which
+    * blocks ConvertToLocalRelation and forces every downstream
+    * broadcast in an interactive write statement to submit its own
+    * job; a LocalRelation seed lets tiny statement plans fold
+    * driver-side end to end */
+  private def seedRow(cols: (String, Any)*): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (cols.isEmpty)
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row()),
+        StructType(Nil))
+    else
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(cols.map(_._2): _*)),
+        StructType(cols.map { case (n, v) =>
+          StructField(n, v match {
+            case _: Long => LongType
+            case _: Int => IntegerType
+            case _ => StringType
+          }, nullable = false)
+        }))
+  }
 
   // ---- dynamic labels/types (Cypher 25 `$(expr)`) ----
 
@@ -1724,7 +1748,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     */
   private def applyForeach(f: ForeachClause): Unit = {
     sawWrite = true
-    if (df == null) df = spark.range(1).toDF("__seed")
+    if (df == null) df = seedRow("__seed" -> 1L)
     if (env.contains(f.variable))
       throw PlanError(s"variable ${f.variable} already bound")
     val savedDf = df
@@ -1790,7 +1814,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val innerDf = new Planner(store, params).plan(q)
       bindCallResult(innerDf, q.items.map(_.name), join = outer =>
         if (c.optional) {
-          val base = if (outer == null) spark.range(1).select() else outer
+          val base = if (outer == null) seedRow() else outer
           base.join(innerDf, lit(true), "left_outer")
         } else if (outer == null) innerDf
         else outer.crossJoin(innerDf))
@@ -3523,7 +3547,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   }
 
   private def applyUnwind(u: UnwindClause): Unit = {
-    if (df == null) df = spark.range(1).toDF("__seed")
+    if (df == null) df = seedRow("__seed" -> 1L)
     // UNWIND over a property: the list slot unwinds element-wise, a
     // scalar slot is a single row (Neo4j UNWIND-scalar semantics)
     val c0 = pvOf(u.expr) match {
@@ -3547,7 +3571,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def applyWith(w: WithClause): Unit = {
     // leading `WITH 1 AS x …` projects from one imaginary row
-    if (df == null) df = spark.range(1).select()
+    if (df == null) df = seedRow()
     // WITH * carries every binding through; COUNT{}/EXISTS{} items
     // land their correlated joins before the projection, and endpoint
     // property reads join their node (alias pinned to the pre-rewrite

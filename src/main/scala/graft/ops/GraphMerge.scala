@@ -581,9 +581,29 @@ object GraphMerge {
     // local plan is cheaper than materializing blocks. Determinism is
     // unaffected: local plans re-evaluate to the same rows.
     def cache(d: DataFrame): DataFrame = {
-      val allLocal = d.queryExecution.optimizedPlan.collectLeaves().forall(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-      if (allLocal) d
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      val plan = d.queryExecution.optimizedPlan
+      val allLocalLeaves =
+        plan.collectLeaves().forall(_.isInstanceOf[LocalRelation])
+      if (allLocalLeaves) {
+        // fully folded already (project/filter over a LocalRelation):
+        // re-evaluation is free, keep the local plan
+        if (plan.isInstanceOf[LocalRelation]) d
+        else {
+          // local leaves but an unfoldable op on top (dropDuplicates,
+          // join, aggregate): evaluate ONCE to a LocalRelation. Every
+          // downstream broadcast then builds driver-side (no
+          // per-broadcast job — an interactive statement schedules
+          // dozens otherwise) and later probe plans fold locally.
+          // Bounded: leaves are the statement's own batch and (on a
+          // tiny store) the localized tables.
+          val rows = d.collect()
+          if (rows.length <= 20000)
+            spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), d.schema)
+          else { val c = d.cache(); cached += c; c }
+        }
+      }
       else { val c = d.cache(); cached += c; c }
     }
 

@@ -384,12 +384,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * frame stays valid until the pointer names a new version.
     */
   private val tableMemo =
-    scala.collection.concurrent.TrieMap.empty[(Long, String, Boolean), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(Long, String, Boolean, Boolean), DataFrame]
+
+  /** test hook: disable the tiny-store LocalRelation materialization
+    * so specs can assert the at-scale parquet plan shape (directory
+    * pruning, pushed filters) on small fixtures */
+  @volatile private[graft] var localizeTinyTables: Boolean = true
 
   private def table(name: String, schema: StructType,
       keepBucket: Boolean = false): DataFrame = {
     val v = currentVersion
-    tableMemo.getOrElseUpdate((v, name, keepBucket), {
+    tableMemo.getOrElseUpdate((v, name, keepBucket, localizeTinyTables), {
       // drop entries for superseded versions (readers holding old
       // frames keep them; the memo only serves the current pointer)
       tableMemo.keys.filter(_._1 != v).foreach(tableMemo.remove)
@@ -407,14 +413,32 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       val s = if (keepBucket)
         StructType(schema.fields :+ StructField("bucket", IntegerType))
       else schema
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    } else
-      spark.read
+      // LocalRelation-backed empty frame (NOT emptyRDD, which plans
+      // as an opaque LogicalRDD): PropagateEmptyRelation then folds
+      // joins/unions against a fresh store at optimization time
+      // instead of scheduling jobs against empty scans
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+    } else {
+      val scan = spark.read
         .option("basePath", dataDir(name).toString)
         .schema(schema) // partition cols in the schema (label/relType)
         // `seg` and `bucket` are appended by partition discovery
         .parquet(files.map(f => rootPath.resolve(f).toString): _*)
         .select(outCols.map(col): _*) // canonical order, drop seg
+      // TINY-STORE fast path: materialize the table as a driver-local
+      // relation, ONCE per version (tableMemo caches this frame).
+      // Every downstream broadcast join then builds its hash relation
+      // driver-side instead of submitting its own broadcast job — an
+      // interactive write statement otherwise schedules DOZENS of
+      // those tiny jobs (the dominant cost of the reference's
+      // statement templates on a small store) — and Catalyst's local
+      // rules fold whole probe plans. Strictly bounded by isTiny;
+      // a store at scale always keeps the pruned parquet scan.
+      if (localizeTinyTables && isTiny)
+        spark.createDataFrame(
+          java.util.Arrays.asList(scan.collect(): _*), scan.schema)
+      else scan
+    }
   }
 
   /** Commit version n+1 and atomically flip the pointer.
@@ -776,8 +800,20 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       schema: StructType, partCol: String, clusterCol: String,
       dirty: Set[DirtyKey]): DataFrame = {
     // an empty dirty set with a changed frame would silently drop the
-    // change — fall back to the full checkpoint (never expected)
-    if (dirty.isEmpty) return full.localCheckpoint(true)
+    // change — fall back to the full checkpoint (never expected).
+    // A fully-local frame (tiny store / no-op statement, e.g. DELETE
+    // matching nothing) collects to a LocalRelation instead: a
+    // checkpoint here would seed every LATER statement's plans with
+    // an opaque LogicalRDD leaf, un-folding the whole session
+    if (dirty.isEmpty) {
+      val allLocal = full.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      return if (allLocal)
+        spark.createDataFrame(
+          java.util.Arrays.asList(full.collect(): _*), full.schema)
+      else full.localCheckpoint(true)
+    }
     val withBucket = full.withColumn("bucket",
       pmod(hash(col(clusterCol)), lit(bucketCount0)))
     val deltaPlan = withBucket.filter(dirtyPred(partCol, dirty))
@@ -794,12 +830,24 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     // overlay plan collapses to local rows). BIG deltas keep the
     // distributed checkpoint — a LocalRelation would pull them
     // through the driver.
-    val ck = deltaPlan.localCheckpoint(true)
+    val allLocalLeaves = deltaPlan.queryExecution.optimizedPlan
+      .collectLeaves().forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
     val delta =
-      if (ck.count() <= OverlayLocalCap)
+      if (allLocalLeaves)
+        // every input is already driver-local (tiny-store tables +
+        // a local working frame): one collect IS the lineage cut —
+        // skip the checkpoint job + count job it would otherwise pay
         spark.createDataFrame(
-          java.util.Arrays.asList(ck.collect(): _*), deltaPlan.schema)
-      else ck
+          java.util.Arrays.asList(deltaPlan.collect(): _*),
+          deltaPlan.schema)
+      else {
+        val ck = deltaPlan.localCheckpoint(true)
+        if (ck.count() <= OverlayLocalCap)
+          spark.createDataFrame(
+            java.util.Arrays.asList(ck.collect(): _*), deltaPlan.schema)
+        else ck
+      }
     val base = table(tableName, schema, keepBucket = true)
       .filter(!dirtyPred(partCol, dirty))
       .drop("bucket")

@@ -428,6 +428,10 @@ class GraphMergeSpec extends AnyFunSuite {
     // a single-dst probe (what a 1-entity tombstone runs) prunes at the
     // directory level: the scan reads only that bucket's files
     val doomed = "urn:t3"
+    // assert the AT-SCALE plan shape: bypass the tiny-store
+    // LocalRelation fast path so the parquet scan (and its directory
+    // pruning) is what plans
+    store.localizeTinyTables = false
     val b = store.redges.sparkSession.range(1)
       .select(store.bucketOf(org.apache.spark.sql.functions.lit(doomed)))
       .head().getInt(0)
@@ -443,6 +447,7 @@ class GraphMergeSpec extends AnyFunSuite {
     assert(filesRead == bucketFiles && filesRead < totalFiles,
       s"probe read $filesRead files; bucket has $bucketFiles of $totalFiles")
     // and the pruned tombstone commit stays correct end to end
+    store.localizeTinyTables = true
     ds.incremental(Seq(Entity(doomed, deleted = true)))
     assert(store.edges.filter($"dst" === doomed).isEmpty)
     assert(redgeKeys(store) == edgeKeys(store))
