@@ -977,6 +977,78 @@ object SyntaxProbe {
           s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE17 $tag: $res")
     }
+
+    // battery 18: the round-10 surface — vector/fulltext index DDL +
+    // procedures, dynamic labels/types, typed list subscripts,
+    // Math.round boundary parity
+    val istore = new graft.store.GraphStore(
+      java.nio.file.Files.createTempDirectory("graft-probe18").toString,
+      s, 4)
+    val isess = CypherEngine.session(istore)
+    (1 to 12).foreach(i => isess.run(
+      s"CREATE (:P18 {gid: 'p:$i', v: [${i % 5}.0, ${i % 3}.0, 1.0], " +
+        s"body: 'alpha w$i ${if (i % 2 == 0) "beta" else "gamma"}'})")
+      .collect())
+    isess.commit()
+    val probes18: Seq[(String, String)] = Seq(
+      "create-vector-index" ->
+        """CREATE VECTOR INDEX p18v IF NOT EXISTS FOR (n:P18) ON (n.v)
+           OPTIONS {indexConfig: {`vector.dimensions`: 3,
+             `vector.similarity_function`: 'cosine'}}""",
+      "create-fulltext-index" ->
+        "CREATE FULLTEXT INDEX p18f FOR (n:P18) ON EACH [n.body]",
+      "vector-query" ->
+        """CALL db.index.vector.queryNodes('p18v', 3, [1.0, 1.0, 1.0])
+           YIELD node, score RETURN node.gid AS g, round(score, 6) AS s""",
+      "vector-query-yield-alias" ->
+        """CALL db.index.vector.queryNodes('p18v', 2, [0.0, 1.0, 1.0])
+           YIELD node AS n, score AS sc WHERE sc > 0
+           RETURN n.gid AS g ORDER BY g""",
+      "fulltext-query" ->
+        """CALL db.index.fulltext.queryNodes('p18f', 'beta')
+           YIELD node, score RETURN count(*) AS hits""",
+      "fulltext-score-filter" ->
+        """CALL db.index.fulltext.queryNodes('p18f', 'alpha beta')
+           YIELD node, score WHERE score > 0.1
+           RETURN count(*) AS hits""",
+      "show-indexes-declared" ->
+        "SHOW INDEXES YIELD name WHERE name STARTS WITH 'p18' RETURN name ORDER BY name",
+      "vector-wrong-dims" ->
+        """CALL db.index.vector.queryNodes('p18v', 2, [1.0])
+           YIELD node, score RETURN count(*) AS c""",
+      "fulltext-unknown-index" ->
+        """CALL db.index.fulltext.queryNodes('nope', 'x')
+           YIELD node, score RETURN count(*) AS c""",
+      "dyn-label-perrow-create" ->
+        """UNWIND [{g: 'd18:1', k: 'D18A'}, {g: 'd18:2', k: 'D18B'}] AS r
+           CREATE (:$(r.k) {gid: r.g})""",
+      "dyn-label-match-const" ->
+        """MATCH (n:$('D18A')) RETURN n.gid AS g""",
+      "dyn-reltype-create" ->
+        """MATCH (a {gid: 'd18:1'}) MATCH (b {gid: 'd18:2'})
+           CREATE (a)-[:$('L18' + 'X')]->(b)""",
+      "dyn-reltype-match" ->
+        "MATCH ()-[r:$('L18X')]->() RETURN count(*) AS c",
+      "typed-subscript-arith" ->
+        """MATCH (n:P18 {gid: 'p:1'}) RETURN n.v[0] + 1 AS a,
+           n.v[-1] * 2 AS b""",
+      "typed-subscript-compare" ->
+        "MATCH (n:P18) WHERE n.v[2] >= 1 RETURN count(*) AS c",
+      "round-half-boundary" ->
+        "RETURN round(0.49999999999999994) AS z, round(0.5) AS h, round(-0.5) AS nh",
+      "drop-vector-index" -> "DROP INDEX p18v",
+      "vector-query-after-drop" ->
+        """CALL db.index.vector.queryNodes('p18v', 2, [1.0, 1.0, 1.0])
+           YIELD node, score RETURN count(*) AS c""")
+    probes18.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(istore, q).collect()
+          "PASS " + rows.take(3).mkString("; ").take(130)
+        } catch { case e: Throwable =>
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
+      println(s"PROBE18 $tag: $res")
+    }
     s.stop()
   }
 }
