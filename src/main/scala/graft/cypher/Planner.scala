@@ -3113,15 +3113,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if (store.searchIndexReady(d) && d.centroids.nonEmpty) {
           // IVF probe: rank the persisted centroids on the driver,
           // read ONLY the top-NProbe cells' directories
-          val cells = SearchIndexes.probeCells(d.centroids, qv).toSet
+          val cells =
+            SearchIndexes.probeCells(d.centroids, qv, d.similarity).toSet
           store.readSearchIndex(d,
             key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
             .select(col("gid"), col("v"), col("norm"))
         } else SearchIndexes.vectors(nodesInView, d)
       val qn = math.sqrt(qv.map(x => x * x).sum)
+      val qdot = SearchIndexes.dot(col("v"), typedLit(qv))
+      // Neo4j's similarity scores: cosine in [-1,1]; euclidean
+      // 1/(1+d²) in (0,1], d² expanded from the same dot fold
+      val scoreCol =
+        if (d.similarity == "euclidean")
+          lit(1.0) / (lit(1.0) +
+            (lit(qn * qn) + col("norm") * col("norm") - lit(2.0) * qdot))
+        else qdot / (col("norm") * lit(qn))
       (base
-        .withColumn("score",
-          SearchIndexes.dot(col("v"), typedLit(qv)) / (col("norm") * lit(qn)))
+        .withColumn("score", scoreCol)
         // top-k by (score desc, gid): plans TakeOrderedAndProject —
         // per-partition heaps + driver merge of k rows, no global sort
         .orderBy(col("score").desc, col("gid")).limit(k.toInt)
@@ -5490,8 +5498,10 @@ object CypherEngine {
           """(?i)[`"]?vector\.similarity_function[`"]?\s*:\s*'(\w+)'""".r
             .findFirstMatchIn(optStr).map(_.group(1).toLowerCase)
             .getOrElse("cosine")
-        if (sim != "cosine") throw new IllegalArgumentException(
-          s"unsupported vector similarity function: $sim (cosine only)")
+        if (sim != "cosine" && sim != "euclidean")
+          throw new IllegalArgumentException(
+            s"unsupported vector similarity function: $sim " +
+              "(cosine | euclidean)")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "vector", label, prop, dims = dims, similarity = sim))
       case FulltextIdxRe(name, ine, label, prop) =>

@@ -523,7 +523,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       val sdefs = indexDefs0.map { d =>
         if (d.kind == "vector" && d.centroids.isEmpty) {
           val cents = SearchIndexes.trainCentroids(
-            SearchIndexes.vectors(newNodes, d))
+            SearchIndexes.vectors(newNodes, d), d.similarity)
           if (cents.nonEmpty) {
             val nd = d.copy(centroids = cents, dims = cents.head.size)
             writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ nd)
@@ -656,7 +656,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty
-        else assignCells(vectors(newNodes, d), d.centroids)
+        else assignCells(vectors(newNodes, d), d.centroids, d.similarity)
       case _ =>
         val docs = texts(newNodes, d)
         val st = docs
@@ -685,8 +685,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         val newV = vectors(changedNewNodes, d)
         val removed = oldV.join(newV, Seq("gid", "v"), "left_anti")
         val added = newV.join(oldV, Seq("gid", "v"), "left_anti")
-        val remA = assignCells(removed, d.centroids)
-        val addA = assignCells(added, d.centroids)
+        val remA = assignCells(removed, d.centroids, d.similarity)
+        val addA = assignCells(added, d.centroids, d.similarity)
         val dk: Set[DirtyKey] = remA.unionByName(addA)
           .select(col("cell"), pmod(hash(col("gid")), lit(bc)).as("b"))
           .distinct().collect()

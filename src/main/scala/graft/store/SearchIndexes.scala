@@ -127,17 +127,29 @@ object SearchIndexes {
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
   }
 
-  /** assign each `(gid, v, norm)` row its home cell: argmax cosine
+  /** the per-(row, centroid) affinity used for cell assignment AND
+    * probe ranking: HIGHER is closer under both metrics. Cosine is the
+    * normalized dot; euclidean is −d² expanded as 2·v·c − |c|²
+    * (the |v|² term is row-constant, so dropping it keeps the argmax
+    * and the determinism — one dot fold + one product, both
+    * index-ordered and oracle-replayable). */
+  private def affinity(sim: String, v: Column, n: Column,
+      cv: Column, cn: Column): Column =
+    if (sim == "euclidean") lit(2.0) * dot(v, cv) - cn * cn
+    else dot(v, cv) / (n * cn)
+
+  /** assign each `(gid, v, norm)` row its home cell: argmax affinity
     * over the broadcast centroids, ties to the LOWEST cid — the
     * deterministic assignment the oracle replays. Emits vxSchema. */
-  def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+  def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]],
+      sim: String = "cosine"): DataFrame = {
     val spark = vecs.sparkSession
     val cd = centroidDf(spark, cents)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("gid")).orderBy(col("csim").desc, col("cid"))
     vecs.crossJoin(broadcast(cd))
-      .withColumn("csim", dot(col("v"), col("cv")) /
-        (col("norm") * col("cn")))
+      .withColumn("csim",
+        affinity(sim, col("v"), col("norm"), col("cv"), col("cn")))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .select(concat(lit("c"), col("cid")).as("cell"), col("gid"),
@@ -147,11 +159,12 @@ object SearchIndexes {
   /** Deterministic IVF training over `(gid, v, norm)` rows: seeded
     * with the K lowest-gid vectors, [[TrainIters]] Lloyd steps with
     * integer-micro centroid means (order-independent long sums,
-    * floored division — the pageRankMicro recipe), cosine assignment
+    * floored division — the pageRankMicro recipe), affinity assignment
     * with lowest-cid tie-break. Only the K×dim centroid table rides
     * the driver between iterations; assignment stays distributed.
     * Returns Nil when the snapshot holds no vectors. */
-  def trainCentroids(vecs: DataFrame): Seq[Seq[Double]] = {
+  def trainCentroids(vecs: DataFrame,
+      sim: String = "cosine"): Seq[Seq[Double]] = {
     val spark = vecs.sparkSession
     var cents: Seq[Seq[Double]] = vecs.orderBy(col("gid")).limit(K)
       .select(col("v")).collect()
@@ -162,8 +175,8 @@ object SearchIndexes {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("gid")).orderBy(col("csim").desc, col("cid"))
       val sums = vecs.crossJoin(broadcast(cd))
-        .withColumn("csim", dot(col("v"), col("cv")) /
-          (col("norm") * col("cn")))
+        .withColumn("csim",
+          affinity(sim, col("v"), col("norm"), col("cv"), col("cn")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") === 1)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
@@ -183,9 +196,11 @@ object SearchIndexes {
     cents
   }
 
-  /** rank the trained cells for a query vector: cosine desc, cid asc;
-    * returns the top-[[NProbe]] cell partition values ("c<cid>") */
-  def probeCells(cents: Seq[Seq[Double]], q: Seq[Double]): Seq[String] = {
+  /** rank the trained cells for a query vector by the same affinity
+    * (desc, cid asc); returns the top-[[NProbe]] cell partition
+    * values ("c<cid>") */
+  def probeCells(cents: Seq[Seq[Double]], q: Seq[Double],
+      sim: String = "cosine"): Seq[String] = {
     def dotL(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -196,9 +211,12 @@ object SearchIndexes {
     cents.zipWithIndex
       .map { case (cv, i) =>
         val cn = math.sqrt(dotL(cv, cv))
-        (i, dotL(q, cv) / (qn * cn))
+        val a =
+          if (sim == "euclidean") 2.0 * dotL(q, cv) - cn * cn
+          else dotL(q, cv) / (qn * cn)
+        (i, a)
       }
-      .sortBy { case (i, sim) => (-sim, i) }
+      .sortBy { case (i, a) => (-a, i) }
       .take(NProbe)
       .map { case (i, _) => s"c$i" }
   }

@@ -230,4 +230,37 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(!CypherEngine.query(st, "SHOW INDEXES")
       .collect().map(_.getString(0)).contains("f2"))
   }
+
+  test("vector index: euclidean similarity (assignment, probe, score)") {
+    val st = newStore("l2")
+    val sess = CypherEngine.session(st)
+    (1 to 30).foreach(i => sess.run(
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})").collect())
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX l2idx FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`vector.dimensions`: 4,
+        |  `vector.similarity_function`: 'euclidean'}}""".stripMargin)
+      .collect()
+    val d = st.indexDef("l2idx").get
+    assert(d.similarity == "euclidean" && d.centroids.nonEmpty)
+    val q = vec(9)
+    val rows = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('l2idx', 4, ${vecLit(q)})
+         |YIELD node, score
+         |RETURN node.gid AS gid, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length == 4)
+    // self-match first with score exactly 1 (d = 0)
+    assert(rows.head._1 == "e:9")
+    assert(math.abs(rows.head._2 - 1.0) < 1e-12)
+    // every score = Neo4j's 1/(1+d^2), recomputed scala-side
+    rows.foreach { case (gid, sc) =>
+      val i = gid.drop(2).toInt
+      val d2 = q.zip(vec(i)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(sc - 1.0 / (1.0 + d2)) < 1e-9, gid)
+    }
+    assert(rows.map(_._2).toSeq.sliding(2).forall(
+      w => w.length < 2 || w(0) >= w(1)))
+  }
 }
