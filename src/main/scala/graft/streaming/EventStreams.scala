@@ -380,6 +380,32 @@ object EventStreams {
     graft.queries.TextOps.chunkTable(docs.toDF()).as[ChunkRow]
   }
 
+  case class PostingRow(term: String, gid: String, tf: Long, dl: Long)
+
+  /** Streaming fulltext-posting ingest — the streaming twin of the
+    * store's CREATE FULLTEXT INDEX maintenance: each arriving document
+    * emits its posting rows (term, gid, tf, dl) ROW-LOCALLY with the
+    * exact index tokenizer (whitespace split of trim — a plain Scala
+    * fold of one row, zero shuffle, zero state, append mode). A live
+    * ingest path sinks these into the `sect=t/bucket=H(term)` layout
+    * the batch commit maintains; the query side is unchanged.
+    */
+  def ftPostingsStream(docs: Dataset[DocEvent]): Dataset[PostingRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val t = Option(d.text).getOrElse("").trim
+      if (t.isEmpty) Iterator.empty
+      else {
+        val w = t.split("\\s+")
+        val dl = w.length.toLong
+        w.groupBy(identity).iterator.map { case (term, g) =>
+          PostingRow(term, s"d:${d.doc_id}", g.length.toLong, dl)
+        }
+      }
+    }
+  }
+
   /** Streaming perceptual-hash ingest — m_phash's streaming twin for
     * a live media pipeline: each arriving payload fingerprints
     * ROW-LOCALLY through the exact batch dHash (no state, append

@@ -64,4 +64,37 @@ object VectorStreams {
           CellStats(cid, n, nm)
       }
   }
+
+  case class VxRow(cell: String, gid: String, norm: Double)
+
+  /** Streaming vector-index ASSIGNMENT — the row-shape twin of the
+    * store's CREATE VECTOR INDEX maintenance (SearchIndexes
+    * .assignCells): each arriving vector emits its (cell, gid, norm)
+    * row against the broadcast centroids with the exact batch
+    * affinity (cosine, or euclidean's 2·v·c − |c|² — same argmax,
+    * lowest-cid tie-break). Row-local, stateless, append mode; a
+    * live ingest sinks these into the `cell=<cid>/bucket=H(gid)`
+    * layout the batch commit maintains.
+    */
+  def vxAssignStream(vecs: Dataset[VecEvent],
+      cents: Seq[(Long, Seq[Double])],
+      sim: String = "cosine"): Dataset[VxRow] = {
+    import vecs.sparkSession.implicits._
+    vecs.map { e =>
+      val vn = math.sqrt(dot(e.v, e.v))
+      var best = -1L
+      var bestAff = Double.NegativeInfinity
+      cents.foreach { case (cid, cv) =>
+        val aff =
+          if (sim == "euclidean")
+            2.0 * dot(e.v, cv) - dot(cv, cv)
+          else dot(e.v, cv) / (vn * math.sqrt(dot(cv, cv)))
+        if (aff > bestAff || (aff == bestAff && cid < best)) {
+          bestAff = aff
+          best = cid
+        }
+      }
+      VxRow(s"c$best", s"v:${e.vec_id}", vn)
+    }
+  }
 }

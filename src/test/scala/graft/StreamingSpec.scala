@@ -835,4 +835,73 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
     assert(got == batch, s"stream $got vs batch $batch")
   }
+
+  test("ftPostingsStream == SearchIndexes.tokenRows across a split batch") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join hash join"),
+      (2L, "  hash partition spark  "),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, "a b a b a"))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    val q = EventStreams.ftPostingsStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ftpost_out").start()
+    try {
+      docs.grouped(2).foreach { c =>
+        ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("ftpost_out")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch twin: the exact store-index tokenizer over the same docs
+    val batchDocs = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => (s"d:$id", t) }.toDF("gid", "text")
+    val expected = graft.store.SearchIndexes.tokenRows(batchDocs)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("vxAssignStream == SearchIndexes.assignCells (cosine and euclidean)") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Double] =
+      Seq(i / 7.0, (i % 5).toDouble, (i % 3).toDouble, 1.0)
+    val vecs = (1 to 25).map(i => (i.toLong, vec(i)))
+    val batchVecs = vecs.map { case (id, v) => (s"v:$id", v) }
+      .toDF("gid", "v")
+      .withColumn("norm", sqrt(graft.functions.DotProduct($"v", $"v")))
+    val cents = graft.store.SearchIndexes.trainCentroids(batchVecs)
+    val centsIdx = cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    for (sim <- Seq("cosine", "euclidean")) {
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val input = ms.toDS()
+        .map { case (id, v) => graft.streaming.VectorStreams.VecEvent(id, v) }
+      val name = s"vx_out_$sim"
+      val q = graft.streaming.VectorStreams.vxAssignStream(input, centsIdx, sim)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        vecs.grouped(9).foreach { c =>
+          ms.addData(c.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name)
+        .collect().map(r => (r.getString(1), r.getString(0))).toMap
+      val expected = graft.store.SearchIndexes
+        .assignCells(batchVecs, cents, sim)
+        .collect().map(r => (r.getString(1), r.getString(0))).toMap
+      assert(got == expected, sim)
+      assert(got.size == 25)
+    }
+  }
 }
