@@ -675,6 +675,24 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // the euclidean twin: same store, second index (vidx_l2), Neo4j's
+    // 1/(1+d²) score; assignment/probe rank by 2·v·c − |c|²
+    "cypher_vector_index_l2" -> ((s, dir) => {
+      import s.implicits._
+      val st = embeddingStore(s, dir)
+      val q = Relational.t(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select(transform($"embedding", x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      CypherEngine.query(st,
+        """CALL db.index.vector.queryNodes('vidx_l2', 10, $q)
+           YIELD node, score
+           RETURN node.gid AS gid, score""",
+        Map("q" -> q))
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // CREATE FULLTEXT INDEX + CALL db.index.fulltext.queryNodes — the
     // BM25 procedure over the store-maintained posting table
     // (sect=t/bucket=H(term) directories; the probe prunes to the
@@ -715,6 +733,12 @@ DETACH DELETE n
         truncateFirst = true)
       CypherEngine.query(store,
         "CREATE VECTOR INDEX vidx FOR (m:Emb) ON (m.emb)").collect()
+      // a SECOND index on the same property, euclidean — the two
+      // tables maintain side by side in every commit
+      CypherEngine.query(store,
+        """CREATE VECTOR INDEX vidx_l2 FOR (m:Emb) ON (m.emb)
+           OPTIONS {indexConfig:
+             {`vector.similarity_function`: 'euclidean'}}""").collect()
       store
     })
 
@@ -1126,6 +1150,70 @@ DETACH DELETE n
              FROM c2n c CROSS JOIN q) WHERE pr <= 2),
          hits AS (SELECT a.gid,
              list_dot_product(q.qv, a.v) / (q.qn * a.norm) score
+           FROM assigned a CROSS JOIN q
+           WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)
+           ORDER BY score DESC, gid LIMIT 10)
+         SELECT gid, round(score, 9) AS score FROM hits ORDER BY gid""",
+
+    // euclidean twin: identical unrolled k-means except assignment /
+    // probe rank by the affinity 2·v·c − |c|² (argmax = argmin d²;
+    // the row-constant |v|² term drops), score = 1/(1+d²)
+    "cypher_vector_index_l2" ->
+      """WITH e AS (SELECT 'v:' || CAST(vec_id AS VARCHAR) gid,
+             CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT gid, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         c0 AS (SELECT row_number() OVER (ORDER BY gid) - 1 AS cid, v cv
+           FROM (SELECT gid, v FROM n ORDER BY gid LIMIT 16)),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT gid, v, cid FROM (
+             SELECT a.gid, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.gid
+                 ORDER BY 2.0 * list_dot_product(a.v, c.cv) - c.cn * c.cn
+                   DESC, c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT gid, v, cid FROM (
+             SELECT a.gid, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.gid
+                 ORDER BY 2.0 * list_dot_product(a.v, c.cv) - c.cn * c.cn
+                   DESC, c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
+         assigned AS (SELECT a.gid, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.gid
+               ORDER BY 2.0 * list_dot_product(a.v, c.cv) - c.cn * c.cn
+                 DESC, c.cid) r
+           FROM n a CROSS JOIN c2n c),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) qn
+           FROM embeddings WHERE vec_id = 0),
+         probes AS (SELECT cid FROM (
+             SELECT c.cid, row_number() OVER
+               (ORDER BY 2.0 * list_dot_product(q.qv, c.cv) - c.cn * c.cn
+                 DESC, c.cid) pr
+             FROM c2n c CROSS JOIN q) WHERE pr <= 2),
+         hits AS (SELECT a.gid,
+             1.0 / (1.0 + (q.qn * q.qn + a.norm * a.norm
+               - 2.0 * list_dot_product(q.qv, a.v))) score
            FROM assigned a CROSS JOIN q
            WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)
            ORDER BY score DESC, gid LIMIT 10)

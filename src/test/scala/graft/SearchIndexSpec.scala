@@ -263,4 +263,43 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq.sliding(2).forall(
       w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("procedures see uncommitted writes via the overlay fallback") {
+    val st = newStore("sess")
+    val s0 = CypherEngine.session(st)
+    Seq("d:1" -> "alpha beta", "d:2" -> "beta gamma").foreach {
+      case (g, t) =>
+        s0.run(s"CREATE (:Doc {gid: '$g', body: '$t'})").collect() }
+    s0.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX fsx FOR (x:Doc) ON EACH [x.body]").collect()
+    val d = st.indexDef("fsx").get
+    assert(st.searchIndexReady(d))
+
+    // open transaction: the committed index is stale for this
+    // session's view, so the procedure scans the overlay instead
+    val sess = CypherEngine.session(st)
+    sess.run("CREATE (:Doc {gid: 'd:new', body: 'zeta zeta'})").collect()
+    assert(!st.searchIndexReady(d))
+    val mid = sess.run(
+      """CALL db.index.fulltext.queryNodes('fsx', 'zeta')
+        |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(mid == Seq("d:new"))
+    // and existing docs still match through the fallback
+    val midBeta = sess.run(
+      """CALL db.index.fulltext.queryNodes('fsx', 'beta')
+        |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(midBeta == Seq("d:1", "d:2"))
+    sess.commit()
+
+    // after commit the maintained index serves the same rows
+    assert(st.searchIndexReady(d))
+    val after = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fsx', 'zeta')
+        |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("d:new"))
+  }
 }
