@@ -4064,6 +4064,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         else map_concat(base, map(entries.flatMap { case (k, ex) =>
           Seq(lit(k), valueCol(ex).cast("string")) }: _*))
       }
+    case ListLit(items) if heterogeneousLit(items) =>
+      // heterogeneous CONSTANT list ([1, {c: 2}], [[1], 2], maps with
+      // different key sets): Spark arrays must unify element types, so
+      // these lower to array<VARIANT> — each element JSON-rendered at
+      // plan time and parse_json'd; subscripts navigate via
+      // variant_get and values render as their JSON text
+      array(items.map(e => parse_json(lit(jsonOfLit(e).get))): _*)
     case ListLit(items) => array(items.map(valueCol): _*)
     case Param(n) => params.get(n) match {
       case None => throw PlanError(s"missing parameter: $n")
@@ -4905,6 +4912,55 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
   }
 
+  /** JSON rendering of a CONSTANT expression tree (literals, list
+    * literals, map literals) — None when anything is non-constant.
+    * Used to lower heterogeneous literal lists to array<VARIANT>. */
+  private def jsonOfLit(e: Ast.Expr): Option[String] = e match {
+    case Lit(null) => Some("null")
+    case Lit(s: String) =>
+      Some("\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\"")
+    case Lit(l: Long) => Some(l.toString)
+    case Lit(d: Double) => Some(d.toString)
+    case Lit(b: Boolean) => Some(b.toString)
+    case ListLit(es) =>
+      val parts = es.map(jsonOfLit)
+      if (parts.forall(_.isDefined))
+        Some(parts.flatten.mkString("[", ",", "]"))
+      else None
+    case MapLit(entries) =>
+      val parts = entries.map { case (k, v) =>
+        jsonOfLit(v).map(jv => jsonOfLit(Lit(k)).get + ":" + jv) }
+      if (parts.forall(_.isDefined))
+        Some(parts.flatten.mkString("{", ",", "}"))
+      else None
+    case _ => None
+  }
+
+  /** does this literal list need the VARIANT lowering? true when the
+    * elements are all constant but mix shapes Spark arrays cannot
+    * unify: scalar beside map/list, nested list beside scalar, or map
+    * literals with different key sets */
+  private def heterogeneousLit(items: Seq[Ast.Expr]): Boolean = {
+    if (items.size < 2) return false
+    if (!items.forall(jsonOfLit(_).isDefined)) return false
+    def kind(e: Ast.Expr): Int = e match {
+      case _: MapLit => 1
+      case _: ListLit => 2
+      case _ => 0
+    }
+    val ks = items.map(kind).distinct
+    if (ks.size > 1) true
+    else if (ks == Seq(1))
+      items.collect { case MapLit(es) => es.map(_._1).toSet }
+        .distinct.size > 1
+    else false
+  }
+
   /** `coll[idx]`: 0-based list index (negative = from the end), map
     * key, or struct field. Out-of-bounds yields null (try_element_at),
     * matching Cypher — never an ANSI error. */
@@ -5069,6 +5125,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 when(keyC === f.name, c.getField(f.name).cast("string"))
                   .otherwise(acc)
               }
+        }
+      case Some(t) if t.isInstanceOf[org.apache.spark.sql.types.VariantType] =>
+        // a VARIANT element (heterogeneous literal list): literal
+        // keys/indexes navigate via variant_get JSON paths
+        idx match {
+          case Lit(s: String) => variant_get(c, s"$$.$s", "variant")
+          case Lit(i: Long) if i >= 0 =>
+            variant_get(c, s"$$[$i]", "variant")
+          case other => throw PlanError(
+            s"a VARIANT value subscripts with a literal key/index, got $other")
         }
       case Some(m: MapType) =>
         val v = try_element_at(c, valueCol(idx).cast(m.keyType))

@@ -4083,4 +4083,23 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
          RETURN length(sp) AS l""").collect()
     assert(plain.length == 1 && plain.head.getLong(0) == 2L)
   }
+
+  test("heterogeneous literal lists lower to VARIANT (Neo4j accepts them)") {
+    // the formerly-documented rejection: [1, {c: 2}]
+    val r = CypherEngine.query(store,
+      """RETURN [1, {c: 2}] AS l, [1, {c: 2}][1].c AS c,
+                [[1], 2][0][0] AS n, size([1, {c: 2}]) AS sz,
+                [{a: 1}, {b: 2}][1].b AS mixed""").collect().head
+    // the list itself renders as JSON text per element
+    assert(r.getSeq[Any](0).map(String.valueOf).toSeq ==
+      Seq("1", "{\"c\":2}"))
+    assert(String.valueOf(r.get(1)) == "2")
+    assert(String.valueOf(r.get(2)) == "1")
+    assert(String.valueOf(r.get(3)) == "2")
+    assert(String.valueOf(r.get(4)) == "2")
+    // homogeneous lists keep their native lowering
+    val h = CypherEngine.query(store,
+      "RETURN [1, 2, 3][1] AS x").collect().head
+    assert(h.getLong(0) == 2L)
+  }
 }
