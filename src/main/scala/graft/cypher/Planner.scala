@@ -5573,7 +5573,24 @@ object CypherEngine {
       case FulltextIdxRe(name, ine, label, prop) =>
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "fulltext", label, prop))
-      case _ => ()
+      case _ =>
+        // a vector/fulltext DDL that did NOT match the supported form
+        // (multi-property list, relationship target, unnamed index)
+        // gets a targeted error instead of a generic parse failure
+        val u = trimmed.toUpperCase
+        if (u.startsWith("CREATE VECTOR INDEX"))
+          throw new IllegalArgumentException(
+            "unsupported CREATE VECTOR INDEX form; supported: " +
+              "CREATE VECTOR INDEX <name> [IF NOT EXISTS] " +
+              "FOR (n:Label) ON (n.prop) [OPTIONS {indexConfig: " +
+              "{`vector.dimensions`: d, `vector.similarity_function`: " +
+              "'cosine'|'euclidean'}}] (node indexes, one property)")
+        if (u.startsWith("CREATE FULLTEXT INDEX"))
+          throw new IllegalArgumentException(
+            "unsupported CREATE FULLTEXT INDEX form; supported: " +
+              "CREATE FULLTEXT INDEX <name> [IF NOT EXISTS] " +
+              "FOR (n:Label) ON EACH [n.prop] " +
+              "(node indexes, one property)")
     }
     val DropIdxRe = """(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     trimmed match {

@@ -302,4 +302,18 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(after == Seq("d:new"))
   }
+
+  test("unsupported index DDL forms get targeted errors") {
+    val st = newStore("ddl2")
+    val multi = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        "CREATE FULLTEXT INDEX fx FOR (n:Doc) ON EACH [n.a, n.b]")
+    }
+    assert(multi.getMessage.contains("one property"))
+    val rel = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        "CREATE VECTOR INDEX vx FOR ()-[r:T]-() ON (r.v)")
+    }
+    assert(rel.getMessage.contains("node indexes"))
+  }
 }
