@@ -5539,7 +5539,7 @@ object CypherEngine {
     val FulltextIdxRe =
       ("""(?is)^CREATE\s+FULLTEXT\s+INDEX\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?""" +
         """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*""" +
-        """\[\s*\w+\.(\w+)\s*\]\s*$""").r
+        """\[\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\]\s*$""").r
     def ddlAck(info: String): DataFrame = {
       val spark = store.nodes.sparkSession
       import spark.implicits._
@@ -5570,9 +5570,13 @@ object CypherEngine {
               "(cosine | euclidean)")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "vector", label, prop, dims = dims, similarity = sim))
-      case FulltextIdxRe(name, ine, label, prop) =>
+      case FulltextIdxRe(name, ine, label, propList) =>
+        // `ON EACH [n.title, n.body]`: store the property NAMES
+        // comma-joined; the index concatenates the fields
+        val props = propList.split(",")
+          .map(_.trim.split("\\.", 2)(1)).mkString(",")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
-          name, "fulltext", label, prop))
+          name, "fulltext", label, props))
       case _ =>
         // a vector/fulltext DDL that did NOT match the supported form
         // (multi-property list, relationship target, unnamed index)
@@ -5589,8 +5593,7 @@ object CypherEngine {
           throw new IllegalArgumentException(
             "unsupported CREATE FULLTEXT INDEX form; supported: " +
               "CREATE FULLTEXT INDEX <name> [IF NOT EXISTS] " +
-              "FOR (n:Label) ON EACH [n.prop] " +
-              "(node indexes, one property)")
+              "FOR (n:Label) ON EACH [n.p1, n.p2, …] (node indexes)")
     }
     val DropIdxRe = """(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     trimmed match {

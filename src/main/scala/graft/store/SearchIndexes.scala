@@ -22,12 +22,16 @@ case class IndexDef(
     name: String,
     kind: String, // "vector" | "fulltext"
     label: String,
-    property: String,
+    property: String, // fulltext: comma-joined for multi-property
     dims: Int = 0,
     similarity: String = "cosine",
     centroids: Seq[Seq[Double]] = Nil) {
   def tableName: String =
     (if (kind == "vector") "vx_" else "ft_") + name
+  /** a fulltext index over several properties (`ON EACH [n.a, n.b]`)
+    * stores them comma-joined; the document text is their
+    * space-concatenation (the BM25F-without-field-weights model) */
+  def properties: Seq[String] = property.split(",").map(_.trim).toSeq
 }
 
 /** Kernels shared by index build, per-commit delta maintenance, and
@@ -88,13 +92,21 @@ object SearchIndexes {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** `(gid, text)` of every live node of the def's label carrying the
-    * property as a non-empty string. */
+  /** `(gid, text)` of every live node of the def's label carrying at
+    * least one indexed property as a non-empty string; a
+    * multi-property index concatenates the fields with single spaces
+    * (tokenization is whitespace-split, so field boundaries stay
+    * token boundaries). */
   def texts(nodes: DataFrame, d: IndexDef): DataFrame = {
-    val s = col("props").getItem(d.property).getField("s")
+    val parts = d.properties.map(p =>
+      col("props").getItem(p).getField("s"))
+    val txt =
+      if (parts.size == 1) parts.head
+      else concat_ws(" ", parts.map(p => trim(coalesce(p, lit("")))): _*)
     nodes
-      .filter(labelMember(d.label) && s.isNotNull && length(trim(s)) > 0)
-      .select(col("gid"), s.as("text"))
+      .filter(labelMember(d.label) &&
+        parts.map(_.isNotNull).reduce(_ || _) && length(trim(txt)) > 0)
+      .select(col("gid"), txt.as("text"))
   }
 
   /** whitespace tokenization — the exact t_bm25 tokenizer, shared so

@@ -305,15 +305,73 @@ class SearchIndexSpec extends AnyFunSuite {
 
   test("unsupported index DDL forms get targeted errors") {
     val st = newStore("ddl2")
-    val multi = intercept[IllegalArgumentException] {
-      CypherEngine.query(st,
-        "CREATE FULLTEXT INDEX fx FOR (n:Doc) ON EACH [n.a, n.b]")
-    }
-    assert(multi.getMessage.contains("one property"))
     val rel = intercept[IllegalArgumentException] {
       CypherEngine.query(st,
         "CREATE VECTOR INDEX vx FOR ()-[r:T]-() ON (r.v)")
     }
     assert(rel.getMessage.contains("node indexes"))
+    val relF = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        "CREATE FULLTEXT INDEX fx FOR ()-[r:T]-() ON EACH [r.a]")
+    }
+    assert(relF.getMessage.contains("node indexes"))
+  }
+
+  test("multi-property fulltext index concatenates the fields") {
+    val st = newStore("ftmulti")
+    val docs = Seq(
+      ("d:1", "alpha spark", "hash beta"),
+      ("d:2", "spark spark", ""),
+      ("d:3", "", "gamma hash"),
+      ("d:4", "delta", "epsilon"))
+    val sess = CypherEngine.session(st)
+    docs.foreach { case (g, t, b) =>
+      sess.run(
+        s"CREATE (:Art {gid: '$g', title: '$t', body: '$b'})").collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX artidx FOR (a:Art) ON EACH [a.title, a.body]")
+      .collect()
+    val d = st.indexDef("artidx").get
+    assert(d.properties == Seq("title", "body"))
+    // BM25 over the concatenated text, scala-recomputed
+    val joined = docs.map { case (g, t, b) =>
+      g -> s"${t.trim} ${b.trim}".trim.split("\\s+").toSeq }
+      .filter(_._2.exists(_.nonEmpty)).toMap
+    def bm25(q: Seq[String]): Map[String, Double] = {
+      val n = joined.size
+      val dls = joined.view.mapValues(_.length).toMap
+      val avgdl = dls.values.sum.toDouble / n
+      joined.keys.map { g =>
+        val score = q.distinct.map { t =>
+          val tf = joined(g).count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else {
+            val dfq = joined.values.count(_.contains(t))
+            val idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls(g) / avgdl))
+          }
+        }.sum
+        g -> score
+      }.toMap.filter(_._2 > 0)
+    }
+    val got = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('artidx', 'spark hash')
+        |YIELD node, score RETURN node.gid AS g, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val want = bm25(Seq("spark", "hash"))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, sc) =>
+      assert(math.abs(sc - want(g)) < 1e-9, g) }
+    // a match in EITHER field hits (d:1 title, d:3 body)
+    assert(got.contains("d:1") && got.contains("d:3"))
+    // delta: editing ONE field moves the postings
+    CypherEngine.query(st,
+      "MATCH (a:Art {gid: 'd:4'}) SET a.body = 'spark'").collect()
+    val got2 = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('artidx', 'spark')
+        |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got2.contains("d:4"))
   }
 }
