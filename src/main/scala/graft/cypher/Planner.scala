@@ -3135,11 +3135,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .orderBy(col("score").desc, col("gid")).limit(k.toInt)
         .select(col("gid"), col("score")), d.label)
     } else {
-      val (idxName, q) = c.args match {
+      val (idxName, q, ftLimit) = c.args match {
         case Seq(a, b) =>
-          (strArg(a, "indexName"), strArg(b, "queryString"))
+          (strArg(a, "indexName"), strArg(b, "queryString"),
+            None: Option[Long])
+        case Seq(a, b, MapLit(entries)) =>
+          // Neo4j's options map — `{limit: n}` caps the hit list
+          // (top-n by score, a TakeOrderedAndProject); other keys
+          // (skip, analyzer) are rejected rather than ignored
+          val lim = entries.collectFirst {
+            case ("limit", Lit(l: Long)) => l }
+          entries.collectFirst {
+            case (k, _) if k != "limit" => k }.foreach(k =>
+            throw PlanError(s"unsupported fulltext option: $k"))
+          (strArg(a, "indexName"), strArg(b, "queryString"), lim)
         case other => throw PlanError(
-          s"db.index.fulltext.queryNodes takes (indexName, queryString), got $other")
+          "db.index.fulltext.queryNodes takes (indexName, queryString" +
+            s"[, {limit: n}]), got $other")
       }
       val d = store.indexDef(idxName).filter(_.kind == "fulltext")
         .getOrElse(throw PlanError(s"no such fulltext index: $idxName"))
@@ -3164,7 +3176,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // BM25 (k1=1.2, b=0.75) — the t_bm25 kernel over the postings
       val dfreq = toks.groupBy(col("term"))
         .agg(count_distinct(col("gid")).as("dfreq"))
-      (toks.join(broadcast(dfreq), Seq("term"))
+      val scored = toks.join(broadcast(dfreq), Seq("term"))
         .crossJoin(broadcast(statsDf))
         .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
         .withColumn("idf", log(lit(1.0) +
@@ -3176,7 +3188,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             lit(1.2) * (lit(0.25) + lit(0.75) *
               (col("dl").cast("double") / col("avgdl")))))
         .groupBy(col("gid"))
-        .agg(sum(col("contrib")).as("score")), d.label)
+        .agg(sum(col("contrib")).as("score"))
+      (ftLimit match {
+        case Some(n) =>
+          scored.orderBy(col("score").desc, col("gid")).limit(n.toInt)
+        case None => scored
+      }, d.label)
     }
     // bind YIELD node (full node columns) + score; default both
     val yields: Seq[(String, String)] =
@@ -5510,11 +5527,29 @@ object CypherEngine {
                 s"RETURN ${cols.mkString(", ")} ORDER BY ${cols.head}"
             else s"CALL $proc() $rest")
         }
+      // the kind-filtered index listings (Neo4j 5): SHOW VECTOR/
+      // FULLTEXT INDEXES desugar to db.indexes + a type filter
+      def showKind(cmd: String, kind: String): Option[String] =
+        if (!u0.startsWith(cmd)) None
+        else {
+          val cols = Seq("name", "type", "entityType", "properties",
+            "state")
+          val rest = trimmed0.drop(cmd.length).trim
+          Some(
+            if (rest.isEmpty)
+              s"CALL db.indexes() YIELD ${cols.mkString(", ")} " +
+                s"WHERE type = '$kind' " +
+                s"RETURN ${cols.mkString(", ")} ORDER BY name"
+            else s"CALL db.indexes() YIELD ${cols.mkString(", ")} " +
+              s"WHERE type = '$kind' WITH ${cols.mkString(", ")} $rest")
+        }
       show("SHOW PROCEDURES", "dbms.procedures", Seq("name", "signature"))
         .orElse(show("SHOW FUNCTIONS", "dbms.functions",
           Seq("name", "category")))
         .orElse(show("SHOW DATABASES", "dbms.databases",
           Seq("name", "currentStatus")))
+        .orElse(showKind("SHOW VECTOR INDEXES", "VECTOR"))
+        .orElse(showKind("SHOW FULLTEXT INDEXES", "FULLTEXT"))
         .orElse(show("SHOW INDEXES", "db.indexes",
           Seq("name", "type", "entityType", "properties", "state")))
         .orElse(show("SHOW CONSTRAINTS", "db.constraints",

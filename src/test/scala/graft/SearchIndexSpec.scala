@@ -374,4 +374,34 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got2.contains("d:4"))
   }
+
+  test("fulltext {limit} option and kind-filtered SHOW forms") {
+    val st = newStore("ftopt")
+    val sess = CypherEngine.session(st)
+    Seq("d:1" -> "spark spark spark", "d:2" -> "spark spark",
+        "d:3" -> "spark").foreach { case (g, t) =>
+      sess.run(s"CREATE (:Doc {gid: '$g', body: '$t'})").collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX fo FOR (x:Doc) ON EACH [x.body]").collect()
+    CypherEngine.query(st,
+      "CREATE VECTOR INDEX vo FOR (x:Doc) ON (x.nope)").collect()
+    val top2 = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fo', 'spark', {limit: 2})
+        |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // top-2 by score = the two highest-tf docs
+    assert(top2 == Seq("d:1", "d:2"))
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fo', 'spark',
+          |{analyzer: 'x'}) YIELD node, score RETURN 1 AS o""".stripMargin)
+    }
+    val ftShown = CypherEngine.query(st, "SHOW FULLTEXT INDEXES")
+      .collect().map(_.getString(0)).toSeq
+    assert(ftShown == Seq("fo"))
+    val vShown = CypherEngine.query(st, "SHOW VECTOR INDEXES")
+      .collect().map(_.getString(0)).toSeq
+    assert(vShown == Seq("vo"))
+  }
 }
