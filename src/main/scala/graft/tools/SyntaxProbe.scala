@@ -1036,6 +1036,13 @@ object SyntaxProbe {
         "MATCH (n:P18) WHERE n.v[2] >= 1 RETURN count(*) AS c",
       "round-half-boundary" ->
         "RETURN round(0.49999999999999994) AS z, round(0.5) AS h, round(-0.5) AS nh",
+      "fulltext-limit-option" ->
+        """CALL db.index.fulltext.queryNodes('p18f', 'alpha', {limit: 3})
+           YIELD node, score RETURN count(*) AS hits""",
+      "show-fulltext-indexes" ->
+        "SHOW FULLTEXT INDEXES",
+      "show-vector-indexes" ->
+        "SHOW VECTOR INDEXES",
       "drop-vector-index" -> "DROP INDEX p18v",
       "vector-query-after-drop" ->
         """CALL db.index.vector.queryNodes('p18v', 2, [1.0, 1.0, 1.0])
