@@ -3121,13 +3121,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         } else SearchIndexes.vectors(nodesInView, d)
       val qn = math.sqrt(qv.map(x => x * x).sum)
       val qdot = SearchIndexes.dot(col("v"), typedLit(qv))
-      // Neo4j's similarity scores: cosine in [-1,1]; euclidean
-      // 1/(1+d²) in (0,1], d² expanded from the same dot fold
+      // Neo4j's similarity scores: cosine normalized to (1+cos)/2 in
+      // [0,1] (Neo4j 5 parity — raw cosine would rank identically but
+      // YIELDed scores and `WHERE score > x` filters would diverge);
+      // euclidean 1/(1+d²) in (0,1], d² expanded from the same dot fold
       val scoreCol =
         if (d.similarity == "euclidean")
           lit(1.0) / (lit(1.0) +
             (lit(qn * qn) + col("norm") * col("norm") - lit(2.0) * qdot))
-        else qdot / (col("norm") * lit(qn))
+        else (lit(1.0) + qdot / (col("norm") * lit(qn))) / lit(2.0)
       (base
         .withColumn("score", scoreCol)
         // top-k by (score desc, gid): plans TakeOrderedAndProject —
@@ -3142,9 +3144,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case Seq(a, b, MapLit(entries)) =>
           // Neo4j's options map — `{limit: n}` caps the hit list
           // (top-n by score, a TakeOrderedAndProject); other keys
-          // (skip, analyzer) are rejected rather than ignored
-          val lim = entries.collectFirst {
-            case ("limit", Lit(l: Long)) => l }
+          // (skip, analyzer) are rejected rather than ignored. The
+          // limit value resolves like every other integer argument
+          // (literal or parameter) and anything that isn't a positive
+          // integer is an error, not a silent no-cap
+          val lim = entries.collectFirst { case ("limit", e) =>
+            val n = longArg(e, "fulltext option limit")
+            if (n < 1) throw PlanError(
+              s"fulltext option limit must be a positive integer: $n")
+            n
+          }
           entries.collectFirst {
             case (k, _) if k != "limit" => k }.foreach(k =>
             throw PlanError(s"unsupported fulltext option: $k"))

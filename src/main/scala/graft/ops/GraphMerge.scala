@@ -596,11 +596,13 @@ object GraphMerge {
           // per-broadcast job — an interactive statement schedules
           // dozens otherwise) and later probe plans fold locally.
           // Bounded: leaves are the statement's own batch and (on a
-          // tiny store) the localized tables.
-          val rows = d.collect()
-          if (rows.length <= 20000)
+          // tiny store) the localized tables. The size probe is a
+          // take(cap+1), not a collect — an oversized result must not
+          // be pulled through the driver just to learn it's oversized
+          val probe = d.take(20001)
+          if (probe.length <= 20000)
             spark.createDataFrame(
-              java.util.Arrays.asList(rows: _*), d.schema)
+              java.util.Arrays.asList(probe: _*), d.schema)
           else { val c = d.cache(); cached += c; c }
         }
       }

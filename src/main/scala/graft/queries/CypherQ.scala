@@ -1149,7 +1149,8 @@ DETACH DELETE n
                  DESC, c.cid) pr
              FROM c2n c CROSS JOIN q) WHERE pr <= 2),
          hits AS (SELECT a.gid,
-             list_dot_product(q.qv, a.v) / (q.qn * a.norm) score
+             (1.0 + list_dot_product(q.qv, a.v) / (q.qn * a.norm))
+               / 2.0 score
            FROM assigned a CROSS JOIN q
            WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)
            ORDER BY score DESC, gid LIMIT 10)

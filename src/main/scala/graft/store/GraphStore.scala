@@ -171,6 +171,17 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     indexDefs0 = defs
   }
 
+  /** index names whose table must be FULLY rebuilt by the next commit
+    * regardless of what the previous manifest carries: a freshly
+    * (re-)registered definition may share its table name with a
+    * just-dropped index whose rows the old manifest still links —
+    * without the force, `searchIndexDelta`'s carried-forward entry
+    * would serve the OLD definition's rows under the new definition.
+    * Cleared per-name only after the rebuild's pointer flip, so a
+    * failed build retries as a rebuild.
+    */
+  @volatile private var forceIndexRebuild0: Set[String] = Set.empty
+
   /** Register (or replace) an index and build its table from the
     * current snapshot: a vector def trains its coarse quantizer here
     * (build-once artifact — later commits only re-ASSIGN changed
@@ -182,6 +193,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     require(session.isEmpty,
       "index DDL cannot run inside an open transaction")
     putIndexDef(d0)
+    forceIndexRebuild0 += d0.name
     commit(nodes, edges, "", Some(Set.empty), Some(Set.empty))
   }
 
@@ -195,6 +207,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def dropSearchIndex(name: String): Boolean = synchronized {
     val had = indexDefs0.exists(_.name == name)
     if (had) writeIndexDefs(indexDefs0.filterNot(_.name == name))
+    forceIndexRebuild0 -= name
     had
   }
 
@@ -568,6 +581,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         StandardCopyOption.REPLACE_EXISTING)
       bucketCount0 = bc // visible only once the pointer names it
       secondaryLabels0 = slabels
+      // the forced rebuilds just landed in the flipped manifest; a
+      // commit that failed earlier keeps its names and retries as a
+      // rebuild
+      forceIndexRebuild0 --= sdefs.map(_.name)
       next
     }
 
@@ -652,7 +669,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val prevNodes = prev.getOrElse("nodes", Map.empty)
     // a def whose table is not in the previous manifest (fresh DDL)
     // builds fully; so does a full node rewrite (compact / rebucket)
-    val mustRebuild = !prev.contains(tbl) && prevNodes.nonEmpty
+    // and a just-(re)registered def whose NAME matches a dropped
+    // index's carried-forward table (forceIndexRebuild0 — the stale
+    // rows belong to the OLD definition)
+    val mustRebuild = (!prev.contains(tbl) ||
+      forceIndexRebuild0.contains(d.name)) && prevNodes.nonEmpty
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty

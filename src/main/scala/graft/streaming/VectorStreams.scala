@@ -89,7 +89,15 @@ object VectorStreams {
           if (sim == "euclidean")
             2.0 * dot(e.v, cv) - dot(cv, cv)
           else dot(e.v, cv) / (vn * math.sqrt(dot(cv, cv)))
-        if (aff > bestAff || (aff == bestAff && cid < best)) {
+        // java.lang.Double.compare, NOT >: a zero-norm vector under
+        // cosine yields NaN for EVERY centroid, and IEEE NaN > x is
+        // always false — best would stay -1 and the row would land in
+        // a cell ("c-1") the batch layout never creates. The batch
+        // assignment (SearchIndexes.assignCells) orders by Spark's
+        // double ordering, where NaN sorts ABOVE any affinity and
+        // ties break to the lowest cid — compare matches it
+        val c = java.lang.Double.compare(aff, bestAff)
+        if (best < 0 || c > 0 || (c == 0 && cid < best)) {
           bestAff = aff
           best = cid
         }

@@ -59,14 +59,15 @@ class SearchIndexSpec extends AnyFunSuite {
          |RETURN node.gid AS gid, score""".stripMargin)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(rows.length == 5)
-    // self-match first, scores descending, every score = exact cosine
+    // self-match first, scores descending; every score is Neo4j 5's
+    // normalized cosine (1+cos)/2 in [0,1]
     assert(rows.head._1 == "e:7")
     assert(math.abs(rows.head._2 - 1.0) < 1e-9)
     assert(rows.map(_._2).toSeq.sliding(2).forall(
       w => w.length < 2 || w(0) >= w(1)))
     rows.foreach { case (gid, s) =>
       val i = gid.drop(2).toInt
-      assert(math.abs(s - cosine(q7, vec(i))) < 1e-9, gid)
+      assert(math.abs(s - (1.0 + cosine(q7, vec(i))) / 2.0) < 1e-9, gid)
     }
 
     // incremental: a new node with e:7's exact vector must appear
@@ -229,6 +230,29 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(st.indexDef("f2").isEmpty)
     assert(!CypherEngine.query(st, "SHOW INDEXES")
       .collect().map(_.getString(0)).contains("f2"))
+  }
+
+  test("DROP then CREATE with the same name rebuilds the table") {
+    val st = newStore("recreate")
+    val sess = CypherEngine.session(st)
+    sess.run("CREATE (:Doc {gid: 'd:1', title: 'alpha', body: 'beta'})")
+      .collect()
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX rx FOR (x:Doc) ON EACH [x.title]").collect()
+    def hits(q: String): Seq[String] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('rx', '$q')
+         |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(hits("alpha") == Seq("d:1") && hits("beta").isEmpty)
+    // DROP + CREATE same name over a DIFFERENT property with no data
+    // commit in between: the old manifest still links the dropped
+    // index's table — the rebuild must not carry its rows forward
+    CypherEngine.query(st, "DROP INDEX rx").collect()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX rx FOR (x:Doc) ON EACH [x.body]").collect()
+    assert(hits("beta") == Seq("d:1"), "new definition's rows")
+    assert(hits("alpha").isEmpty, "stale rows of the dropped definition")
   }
 
   test("vector index: euclidean similarity (assignment, probe, score)") {
