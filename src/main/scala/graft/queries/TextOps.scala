@@ -47,9 +47,11 @@ object TextOps {
   /** (doc_id, s) distinct shingle table. `words` is materialized as a
     * real column BEFORE the shingle transform — inlining the split()
     * expression into the lambda would re-run the regex once per
-    * shingle index (no CSE inside HOF lambdas). The repartition
-    * spreads the explode across cores (the source is one file →
-    * one scan task).
+    * shingle index (no CSE inside HOF lambdas). No pre-explode
+    * repartition: the distinct's own shuffle redistributes the
+    * shingles, and at scale the scan's natural split parallelism
+    * feeds the explode — a keyed exchange of the corpus text ahead
+    * of it would buy balance the next shuffle provides anyway.
     */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     shingleTableOf(t(s, dir, "documents"))
@@ -59,7 +61,6 @@ object TextOps {
     import s.implicits._
     docs
       .select($"doc_id", wordsCol.as("w"))
-      .repartition($"doc_id")
       .select($"doc_id", explode(shinglesCol($"w")).as("s"))
       .distinct()
   }
@@ -866,7 +867,6 @@ object TextOps {
       t(s, dir, "documents")
         .select($"doc_id", wordsCol.as("w"))
         .filter(size($"w") >= 2)
-        .repartition($"doc_id")
         .select($"doc_id", explode(kShinglesCol($"w", 2)).as("bg"))
         .groupBy($"bg")
         .agg(count(lit(1)).as("n_total"),
@@ -888,7 +888,6 @@ object TextOps {
       val sh = graft.Scratch.track(
         t(s, dir, "documents")
           .select($"doc_id", wordsCol.as("w"))
-          .repartition($"doc_id")
           .select($"doc_id", explode(kShinglesCol($"w", 8)).as("s"))
           .distinct().cache())
       val shared = sh.groupBy($"s")
@@ -1047,7 +1046,6 @@ object TextOps {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select($"doc_id", array_distinct(wordsCol).as("w"))
-      .repartition($"doc_id")
       .select($"doc_id", explode($"w").as("tok"))
       .select($"doc_id",
         conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long").as("vh"),

@@ -43,6 +43,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("text pipelines plan no explicit pre-explode repartition") {
+    // the keyed repartition($"doc_id") ahead of an explode bought only
+    // balance the next shuffle (distinct/groupBy) provides anyway —
+    // deleted; pin the logical plans free of explicit Repartition
+    // nodes so they never regress (framework shuffles from groupBy /
+    // join don't plan Repartition nodes, so this is exact)
+    for (q <- Seq("dedup_minhash_lsh", "t_ngram_stats", "t_dup_spans",
+        "dedup_simhash")) {
+      val df = graft.queries.TextOps.defs(q)(spark, dir)
+      val reparts = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionOperation => r
+      }
+      assert(reparts.isEmpty, s"$q plans explicit repartitions: $reparts")
+      assert(df.count() >= 0)
+    }
+  }
+
   test("CALL { } IN TRANSACTIONS executes no unpartitioned window") {
     // the batching runs inside the planner (writes), so watch every
     // execution fired while the statement runs via a listener
