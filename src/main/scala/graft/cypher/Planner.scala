@@ -1258,7 +1258,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   }
 
   private def nodeDf(v: String, n: NodePattern): DataFrame = {
-    var d = nodesInView.select(
+    var d = propIndexedBase(n).getOrElse(nodesInView).select(
       col("gid").as(s"${v}__gid"), col("label").as(s"${v}__label"),
       col("source").as(s"${v}__source"), col("props").as(s"${v}__props"),
       col("xlabels").as(s"${v}__xlabels"))
@@ -1268,6 +1268,61 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case _ => () // expression props filter AFTER the join
     }
     d
+  }
+
+  /** candidate-gid cap of the property-index fast path: at or below
+    * it the probe's gids pull to the driver and the node read prunes
+    * to their hash-bucket directories (point-lookup shape); above it
+    * the route keeps a broadcast semi-join over the unpruned scan
+    * (low-selectivity value — still narrowed before the wide node
+    * columns materialize, never pulled through the driver). */
+  private val PxRouteCap = 1024
+
+  /** Property-index fast path for `MATCH (n:L {p: $v})`: when a READY
+    * declared property index covers (L, p) and the value is a
+    * plan-time scalar (literal or parameter), resolve candidate gids
+    * from the ONE `sect=p/bucket=H(val)` directory of the slim px
+    * table, then read only those gids' node-bucket directories (with
+    * the gid IN-list pushed to parquet — files are gid-sorted, so
+    * row groups prune too). The caller keeps every label/property
+    * filter as a residual on top, so the route narrows the scan but
+    * can never change the result. Skipped mid-statement (pending
+    * writes/deletes in view) and inside sessions with uncommitted
+    * node writes (searchIndexReady) — the overlay scan is the
+    * correct fallback, exactly as for the search procedures.
+    */
+  private def propIndexedBase(n: NodePattern): Option[DataFrame] = {
+    if (pendingNodes.nonEmpty || pendingNodeDeletes.nonEmpty) return None
+    val label = n.label match {
+      case Some(l) if n.altLabels.isEmpty => l
+      case _ => return None
+    }
+    val route = n.props.view.flatMap { case (k, e) =>
+      val value: Option[Any] = e match {
+        case Lit(v) if v != null => Some(v)
+        case Param(p) => params.get(p)
+        case _ => None
+      }
+      for {
+        v <- value
+        enc <- graft.store.SearchIndexes.encodeValue(v)
+        d <- store.indexDefs.find(ix => ix.kind == "property" &&
+          ix.label == label && ix.property == k)
+        if store.searchIndexReady(d)
+      } yield (d, enc)
+    }.headOption
+    route.map { case (d, enc) =>
+      val hits = store.readSearchIndex(d, store.pxProbeKeys(enc))
+        .filter(col("val") === enc).select(col("gid"))
+      val probe = hits.take(PxRouteCap + 1).map(_.getString(0)).toSeq
+      if (probe.size <= PxRouteCap) {
+        val buckets = probe.map(store.bucketOfString).toSet
+        store.nodesByGidBuckets(buckets)
+          .filter(col("gid").isin(probe: _*))
+      } else
+        nodesInView.join(broadcast(hits.dropDuplicates("gid")),
+          Seq("gid"), "left_semi")
+    }
   }
 
   /** `v:l` label MEMBERSHIP (primary or secondary). When `l` was
@@ -3112,9 +3167,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       val base: DataFrame = // (gid, v, norm)
         if (store.searchIndexReady(d) && d.centroids.nonEmpty) {
           // IVF probe: rank the persisted centroids on the driver,
-          // read ONLY the top-NProbe cells' directories
-          val cells =
-            SearchIndexes.probeCells(d.centroids, qv, d.similarity).toSet
+          // read ONLY the top-nprobe cells' directories (configured
+          // override, else ~√K/2 of the trained cell count)
+          val cells = SearchIndexes.probeCells(
+            d.centroids, qv, d.similarity, d.effectiveNProbe).toSet
           store.readSearchIndex(d,
             key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
             .select(col("gid"), col("v"), col("norm"))
@@ -3486,7 +3542,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case "db.indexes" =>
         noArgs()
         val declared = store.indexDefs.sortBy(_.name).map { d =>
-          (d.name, d.kind.toUpperCase, "NODE",
+          val typ = d.kind match {
+            case "property" => "RANGE" // Neo4j's default index type
+            case k => k.toUpperCase
+          }
+          (d.name, typ, "NODE",
             s"${d.label}.${d.property}",
             if (d.kind == "vector" && d.centroids.isEmpty) "POPULATING"
             else "ONLINE")
@@ -5559,6 +5619,7 @@ object CypherEngine {
           Seq("name", "currentStatus")))
         .orElse(showKind("SHOW VECTOR INDEXES", "VECTOR"))
         .orElse(showKind("SHOW FULLTEXT INDEXES", "FULLTEXT"))
+        .orElse(showKind("SHOW RANGE INDEXES", "RANGE"))
         .orElse(show("SHOW INDEXES", "db.indexes",
           Seq("name", "type", "entityType", "properties", "state")))
         .orElse(show("SHOW CONSTRAINTS", "db.constraints",
@@ -5584,6 +5645,18 @@ object CypherEngine {
       ("""(?is)^CREATE\s+FULLTEXT\s+INDEX\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?""" +
         """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*""" +
         """\[\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\]\s*$""").r
+    // CREATE [RANGE] INDEX … FOR (n:L) ON (n.prop): a REAL
+    // property-value index — a commit-maintained (sect=p, H(val))
+    // projection table the planner routes `MATCH (n:L {p: $v})`
+    // through (the most common lookup in a ported Neo4j app after
+    // gid; the reference's one index is this exact shape for gid,
+    // /root/reference/neo4j.go:21). The name is optional (Neo4j
+    // auto-names) — derived as index_<label>_<prop>.
+    val PropIdxRe =
+      ("""(?is)^CREATE\s+(?:RANGE\s+)?INDEX""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*$""").r
     def ddlAck(info: String): DataFrame = {
       val spark = store.nodes.sparkSession
       import spark.implicits._
@@ -5612,8 +5685,19 @@ object CypherEngine {
           throw new IllegalArgumentException(
             s"unsupported vector similarity function: $sim " +
               "(cosine | euclidean)")
+        // IVF scale dials (graft extensions): cells pins the trained
+        // coarse-quantizer size, nprobe the probe width; both default
+        // to 0 = auto (cells ~N/1024 at build, nprobe ~√cells/2)
+        val ivfCells = """(?i)[`"]?graft\.ivf\.cells[`"]?\s*:\s*(\d+)""".r
+          .findFirstMatchIn(optStr).map(_.group(1).toInt).getOrElse(0)
+        val ivfNProbe = """(?i)[`"]?graft\.ivf\.nprobe[`"]?\s*:\s*(\d+)""".r
+          .findFirstMatchIn(optStr).map(_.group(1).toInt).getOrElse(0)
+        if (ivfCells < 0 || ivfCells > graft.store.SearchIndexes.MaxCells)
+          throw new IllegalArgumentException(
+            s"graft.ivf.cells out of range: $ivfCells (1..4096)")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
-          name, "vector", label, prop, dims = dims, similarity = sim))
+          name, "vector", label, prop, dims = dims, similarity = sim,
+          cells = ivfCells, nprobe = ivfNProbe))
       case FulltextIdxRe(name, ine, label, propList) =>
         // `ON EACH [n.title, n.body]`: store the property NAMES
         // comma-joined; the index concatenates the fields
@@ -5621,6 +5705,14 @@ object CypherEngine {
           .map(_.trim.split("\\.", 2)(1)).mkString(",")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "fulltext", label, props))
+      case PropIdxRe(name0, ine, label, prop) =>
+        // gid IS the physical layout (hash buckets + sort) — nothing
+        // to build; likewise the model columns
+        if (prop == "gid" || prop == "source" || prop == "label")
+          return ddlAck(s"$prop indexes are intrinsic to the store layout")
+        val name = Option(name0).getOrElse(s"index_${label}_$prop")
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "property", label, prop))
       case _ =>
         // a vector/fulltext DDL that did NOT match the supported form
         // (multi-property list, relationship target, unnamed index)
@@ -5638,6 +5730,16 @@ object CypherEngine {
             "unsupported CREATE FULLTEXT INDEX form; supported: " +
               "CREATE FULLTEXT INDEX <name> [IF NOT EXISTS] " +
               "FOR (n:Label) ON EACH [n.p1, n.p2, …] (node indexes)")
+        // a composite property list almost-matched PropIdxRe — give a
+        // targeted error instead of silently acking it as intrinsic
+        if ((u.startsWith("CREATE INDEX") ||
+            u.startsWith("CREATE RANGE INDEX")) &&
+            """(?is)FOR\s*\(.*\)\s*ON\s*\(\s*\w+\.\w+\s*,""".r
+              .findFirstIn(trimmed).isDefined)
+          throw new IllegalArgumentException(
+            "composite property indexes are not supported; create one " +
+              "index per property: CREATE INDEX <name> FOR (n:Label) " +
+              "ON (n.prop)")
     }
     val DropIdxRe = """(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     trimmed match {

@@ -693,6 +693,28 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // CREATE INDEX … ON (c.name) + routed point lookups — the
+    // property-value index (Neo4j's default RANGE index shape): each
+    // MATCH resolves its candidate gids from ONE sect=p/bucket=H(val)
+    // directory of the px table and reads only those gids' node
+    // buckets; the label partition is never scanned. Three lookups
+    // (two literal, one parameter) exercise the route per statement.
+    "cypher_prop_index" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer {name: 'Customer#000000042'})
+           RETURN c.gid AS gid, c.name AS name, toFloat(c.acctbal) AS acctbal
+           UNION ALL
+           MATCH (c:Customer {name: 'Customer#000000007'})
+           RETURN c.gid AS gid, c.name AS name, toFloat(c.acctbal) AS acctbal
+           UNION ALL
+           MATCH (c:Customer {name: $nm})
+           RETURN c.gid AS gid, c.name AS name, toFloat(c.acctbal) AS acctbal""",
+        Map("nm" -> "Customer#000000123"))
+        .orderBy($"gid")
+    }),
+
     // CREATE FULLTEXT INDEX + CALL db.index.fulltext.queryNodes — the
     // BM25 procedure over the store-maintained posting table
     // (sect=t/bucket=H(term) directories; the probe prunes to the
@@ -739,6 +761,37 @@ DETACH DELETE n
         """CREATE VECTOR INDEX vidx_l2 FOR (m:Emb) ON (m.emb)
            OPTIONS {indexConfig:
              {`vector.similarity_function`: 'euclidean'}}""").collect()
+      store
+    })
+
+  /** customer table as :Customer nodes (name + acctbal props) with a
+    * declared property index on `name` — built once per (session,
+    * dir), its own store so the shared customer-graph fixture's
+    * version history stays untouched. */
+  private val pxStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.store.GraphStore]
+
+  private def propIndexStore(s: SparkSession,
+      dir: String): graft.store.GraphStore =
+    pxStores.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-pidx-q").toString,
+        s, 8)
+      val ents = Relational.t(s, dir, "customer")
+        .select($"c_custkey".cast("long"), $"c_name",
+          $"c_acctbal".cast("double"))
+        .as[(Long, String, Double)]
+        .map { case (k, name, bal) =>
+          graft.model.Entity(s"c:$k",
+            props = Map(
+              "http://g/prop#name" -> graft.model.PV.of(name),
+              "http://g/prop#acctbal" -> graft.model.PV.of(bal)))
+        }
+      graft.ops.GraphMerge.applyBatch(store, "customers", "Customer", ents,
+        truncateFirst = true)
+      CypherEngine.query(store,
+        "CREATE INDEX cnameidx FOR (c:Customer) ON (c.name)").collect()
       store
     })
 
@@ -1219,6 +1272,14 @@ DETACH DELETE n
            WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)
            ORDER BY score DESC, gid LIMIT 10)
          SELECT gid, round(score, 9) AS score FROM hits ORDER BY gid""",
+
+    "cypher_prop_index" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name,
+         CAST(c_acctbal AS DOUBLE) AS acctbal
+         FROM customer
+         WHERE c_name IN ('Customer#000000042', 'Customer#000000007',
+           'Customer#000000123')
+         ORDER BY gid""",
 
     // BM25 twin of the fulltext procedure (t_bm25's proven kernel,
     // query 'spark hash join', gid-keyed)

@@ -144,7 +144,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         IndexDef(str("name"), str("kind"), str("label"), str("property"),
           intv("dims"),
           if (str("similarity").isEmpty) "cosine" else str("similarity"),
-          cents)
+          cents, intv("cells"), intv("nprobe"))
       }
       case _ => Nil
     }
@@ -158,6 +158,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "name" -> JString(d.name), "kind" -> JString(d.kind),
         "label" -> JString(d.label), "property" -> JString(d.property),
         "dims" -> JInt(d.dims), "similarity" -> JString(d.similarity),
+        "cells" -> JInt(d.cells), "nprobe" -> JInt(d.nprobe),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -227,30 +228,54 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * reads ONLY its cells' / its query terms' directories.
     */
   def readSearchIndex(d: IndexDef, keep: String => Boolean): DataFrame = {
-    val schema =
-      if (d.kind == "vector") SearchIndexes.vxSchema
-      else SearchIndexes.ftSchema
+    val schema = d.kind match {
+      case "vector" => SearchIndexes.vxSchema
+      case "fulltext" => SearchIndexes.ftSchema
+      case _ => SearchIndexes.pxSchema
+    }
     readFiles(d.tableName,
       manifestFiles(d.tableName).view.filterKeys(keep)
         .values.flatten.toSeq.sorted, schema)
   }
 
+  /** the bucket a string cluster key hashes into — evaluates the
+    * exact Catalyst expression the write path uses (pmod(hash(col),
+    * bc)) on the driver, so probes are bit-identical to the layout */
+  def bucketOfString(s: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % bucketCount0) + bucketCount0) % bucketCount0
+  }
+
   /** manifest keys of a fulltext probe: the stats partition plus the
     * `sect=t` buckets the query terms hash into */
   def ftProbeKeys(terms: Seq[String]): String => Boolean = {
-    val bs = terms.map { t =>
-      // evaluate the exact Catalyst expression the write path uses
-      // (pmod(hash(col), bc)) on the driver — bit-identical bucketing
-      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(t),
-          org.apache.spark.sql.types.StringType)), 42)
-        .eval(null).asInstanceOf[Int]
-      ((h % bucketCount0) + bucketCount0) % bucketCount0
-    }.toSet
+    val bs = terms.map(bucketOfString).toSet
     (k: String) => k.startsWith("sect=s/") ||
       bs.exists(b => k == s"sect=t/bucket=$b")
   }
+
+  /** manifest key of a property-index equality probe: the ONE
+    * `sect=p` bucket the encoded value hashes into */
+  def pxProbeKeys(encodedVal: String): String => Boolean = {
+    val b = bucketOfString(encodedVal)
+    (k: String) => k == s"sect=p/bucket=$b"
+  }
+
+  /** the node table pruned AT THE MANIFEST to the given gid-hash
+    * buckets — a point probe lists (and reads) only those buckets'
+    * files across every label directory, the same file-list-level
+    * pruning the search index probes use. Callers own correctness:
+    * only rows whose gid hashes into `buckets` can be returned.
+    */
+  def nodesByGidBuckets(buckets: Set[Int]): DataFrame =
+    readFiles("nodes",
+      manifestFiles("nodes").view
+        .filterKeys(k => buckets.exists(b => k.endsWith(s"/bucket=$b")))
+        .values.flatten.toSeq.sorted, nodeSchema)
 
   /** (version, syncId) named by the pointer file; version 0 = empty store. */
   def current: (Long, String) = pointerLines match {
@@ -535,8 +560,16 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // table with the same bounded delta shape as the reverse index
       val sdefs = indexDefs0.map { d =>
         if (d.kind == "vector" && d.centroids.isEmpty) {
-          val cents = SearchIndexes.trainCentroids(
-            SearchIndexes.vectors(newNodes, d), d.similarity)
+          val vecs = SearchIndexes.vectors(newNodes, d)
+          // configured cell count wins; otherwise scale with the
+          // snapshot (~AutoCellRows vectors per cell) — the trained K
+          // persists in the sidecar, so probes and replays stay
+          // deterministic regardless of later growth (maintain()
+          // retrains when the data outgrows the trained cells)
+          val k =
+            if (d.cells > 0) d.cells
+            else SearchIndexes.autoCells(vecs.count())
+          val cents = SearchIndexes.trainCentroids(vecs, d.similarity, k)
           if (cents.nonEmpty) {
             val nd = d.copy(centroids = cents, dims = cents.head.size)
             writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ nd)
@@ -548,8 +581,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         d.tableName -> Future {
           val (view, dirty) = searchIndexDelta(d, newNodes, dirtyNodes,
             prev, bc)
-          val (pc, cc) =
-            if (d.kind == "vector") ("cell", "gid") else ("sect", "term")
+          val (pc, cc) = d.kind match {
+            case "vector" => ("cell", "gid")
+            case "fulltext" => ("sect", "term")
+            case _ => ("sect", "val")
+          }
           writePartitions(view, d.tableName, pc, cc, next, dirty,
             prev.getOrElse(d.tableName, Map.empty), bc)
         }
@@ -662,7 +698,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       bc: Int): (DataFrame, Option[Set[DirtyKey]]) = {
     import SearchIndexes._
     val tbl = d.tableName
-    val schema = if (d.kind == "vector") vxSchema else ftSchema
+    val schema = d.kind match {
+      case "vector" => vxSchema
+      case "fulltext" => ftSchema
+      case _ => pxSchema
+    }
     def empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), schema)
     val prevIdx = prev.getOrElse(tbl, Map.empty)
@@ -678,6 +718,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       case "vector" =>
         if (d.centroids.isEmpty) empty
         else assignCells(vectors(newNodes, d), d.centroids, d.similarity)
+      case "property" => propRows(newNodes, d)
       case _ =>
         val docs = texts(newNodes, d)
         val st = docs
@@ -721,6 +762,30 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .join(remA.select(col("gid")), Seq("gid"), "left_anti")
           .unionByName(addA.select(vxSchema.fieldNames.map(col).toSeq: _*))
           .select(vxSchema.fieldNames.map(col).toSeq: _*)
+        (view, Some(dk))
+      case "property" =>
+        // the redgesDelta recipe keyed on the encoded value: old vs
+        // new (gid, val) rows of the dirty node partitions name the
+        // H(val) buckets to rewrite — bounded by the commit's own
+        // rewrite set, never a node-table scan
+        val oldP = propRows(changedOldNodes, d)
+        val newP = propRows(changedNewNodes, d)
+        val removed = oldP.join(newP, Seq("gid", "val"), "left_anti")
+        val added = newP.join(oldP, Seq("gid", "val"), "left_anti")
+        val dk: Set[DirtyKey] = removed.unionByName(added)
+          .select(pmod(hash(col("val")), lit(bc)).as("b"))
+          .distinct().collect()
+          .map(r => (Some("p"): Option[String], Some(r.getInt(0)): Option[Int]))
+          .toSet
+        if (dk.isEmpty) return (empty, Some(Set.empty))
+        val oldPruned = readFiles(tbl,
+          prevIdx.view.filterKeys(keyMatches("sect", dk)).values
+            .flatten.toSeq, pxSchema)
+        val view = oldPruned
+          .join(removed.select(col("gid"), col("val")),
+            Seq("gid", "val"), "left_anti")
+          .unionByName(added.select(pxSchema.fieldNames.map(col).toSeq: _*))
+          .select(pxSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
       case _ =>
         val oldD = texts(changedOldNodes, d)
@@ -1033,7 +1098,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   /** outcome of one [[maintain]] pass */
   case class Maintenance(
       rebucketedTo: Option[Int], compacted: Boolean,
-      vacuumed: Seq[Long], segments: Int, maxBucketBytes: Long)
+      vacuumed: Seq[Long], segments: Int, maxBucketBytes: Long,
+      retrainedIndexes: Seq[String] = Nil)
 
   /** Self-turning maintenance dial (SURVEY §8 scale notes): measures
     * the CURRENT layout from the manifest and applies, in order:
@@ -1062,8 +1128,27 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       keep: Int = 2): Maintenance = synchronized {
     val v = currentVersion
     if (v == 0L) return Maintenance(None, compacted = false, Nil, 0, 0L)
+    // vector-quantizer watermark: an AUTO-scaled index whose data has
+    // outgrown (or shrunk far below) its trained cell count retrains
+    // at the current size — the same self-turning recipe as the
+    // bucket dial below. Cell-count drift ≥2× triggers; a user-pinned
+    // `graft.ivf.cells` is never second-guessed. The retrain is a
+    // full rebuild commit of just that index's table (atomic flip,
+    // readers never blocked).
+    val retrained = indexDefs0.collect {
+      case d if d.kind == "vector" && d.centroids.nonEmpty &&
+          d.cells == 0 =>
+        val n = readSearchIndex(d, _ => true).count()
+        val target = SearchIndexes.autoCells(n)
+        val k = d.centroids.size
+        if (target >= 2 * k || (k > SearchIndexes.K && 2 * target <= k)) {
+          buildSearchIndex(d.copy(centroids = Nil, dims = 0))
+          Some(d.name)
+        } else None
+    }.flatten
+    // measure the manifest the retrains (if any) just flipped to
     val keyFiles: Seq[(String, Seq[String])] =
-      readManifest(v).values.flatMap(_.toSeq).toSeq
+      readManifest(currentVersion).values.flatMap(_.toSeq).toSeq
     val segments = keyFiles.flatMap(_._2)
       .flatMap(_.split("/").find(_.startsWith("seg="))).distinct.size
     val maxBucket = keyFiles.map { case (_, fs) =>
@@ -1079,7 +1164,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val compacted = rebucketedTo.isEmpty && segments > maxSegments
     if (compacted) compact()
     val vacuumed = vacuum(keep)
-    Maintenance(rebucketedTo, compacted, vacuumed, segments, maxBucket)
+    Maintenance(rebucketedTo, compacted, vacuumed, segments, maxBucket,
+      retrained)
   }
 
   def rebucket(n: Int): Long = synchronized {

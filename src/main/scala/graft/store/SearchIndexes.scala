@@ -20,18 +20,35 @@ import org.apache.spark.sql.types._
   */
 case class IndexDef(
     name: String,
-    kind: String, // "vector" | "fulltext"
+    kind: String, // "vector" | "fulltext" | "property"
     label: String,
     property: String, // fulltext: comma-joined for multi-property
     dims: Int = 0,
     similarity: String = "cosine",
-    centroids: Seq[Seq[Double]] = Nil) {
-  def tableName: String =
-    (if (kind == "vector") "vx_" else "ft_") + name
+    centroids: Seq[Seq[Double]] = Nil,
+    // vector-index scale dials (OPTIONS {indexConfig:
+    // {`graft.ivf.cells`: k, `graft.ivf.nprobe`: n}}); 0 = auto —
+    // cells scale with the snapshot size at build time (and
+    // GraphStore.maintain retrains when the data outgrows them),
+    // nprobe scales as ~√cells/2 so the probed fraction SHRINKS as
+    // the index grows instead of staying a constant nprobe/K
+    cells: Int = 0,
+    nprobe: Int = 0) {
+  def tableName: String = kind match {
+    case "vector" => "vx_" + name
+    case "fulltext" => "ft_" + name
+    case _ => "px_" + name
+  }
   /** a fulltext index over several properties (`ON EACH [n.a, n.b]`)
     * stores them comma-joined; the document text is their
     * space-concatenation (the BM25F-without-field-weights model) */
   def properties: Seq[String] = property.split(",").map(_.trim).toSeq
+  /** cells a query probes: the configured override, else ~√K/2 of
+    * the TRAINED cell count (2 at the 16-cell default) */
+  def effectiveNProbe: Int =
+    if (nprobe > 0) nprobe
+    else SearchIndexes.autoNProbe(
+      if (centroids.nonEmpty) centroids.size else SearchIndexes.K)
 }
 
 /** Kernels shared by index build, per-commit delta maintenance, and
@@ -52,11 +69,31 @@ case class IndexDef(
   */
 object SearchIndexes {
   /** IVF cells (coarse-quantizer K) and Lloyd refinement steps —
-    * fixed small constants so the DuckDB oracle can unroll training */
+    * the DEFAULT cell count (≤ ~16k vectors) stays a fixed small
+    * constant so the DuckDB oracle can unroll training */
   val K = 16
   val TrainIters = 2
-  /** cells probed by a vector query (home + 1 neighbor) */
+  /** cells probed by a vector query at the default cell count
+    * (home + 1 neighbor) */
   val NProbe = 2
+  /** auto-scaled cell count: ~[[AutoCellRows]] vectors per cell,
+    * never below the oracle-replay default of [[K]], capped at 4096
+    * (a 4096×dims centroid table still broadcasts in KBs). The probed
+    * fraction under [[autoNProbe]] is then ~1/(2√K) — it SHRINKS as
+    * the corpus grows, which is the whole point of the index. */
+  val AutoCellRows = 1024L
+  val MaxCells = 4096
+  /** test hook: shrink the rows-per-cell target so specs can trigger
+    * the maintain() retrain watermark on small fixtures; production
+    * always runs at [[AutoCellRows]] (build and retrain read the same
+    * dial, so they agree by construction) */
+  @volatile private[graft] var cellRowsDial: Long = AutoCellRows
+  def autoCells(n: Long): Int =
+    math.max(K, math.min(MaxCells.toLong,
+      (n + cellRowsDial - 1) / cellRowsDial).toInt)
+  /** default probe width ~√K/2: 2 at K=16, 11 at K=500, 32 at K=4096 */
+  def autoNProbe(k: Int): Int =
+    math.max(NProbe, math.ceil(math.sqrt(k.toDouble)).toInt / 2)
 
   val vxSchema: StructType = StructType(Seq(
     StructField("cell", StringType, nullable = false),
@@ -72,6 +109,17 @@ object SearchIndexes {
     StructField("gid", StringType),
     StructField("tf", LongType),
     StructField("dl", LongType)))
+
+  /** property-value index row (`CREATE INDEX … FOR (n:L) ON (n.p)`):
+    * one row per (node, scalar value), laid out as
+    * `sect=p/bucket=H(val)` directories so an equality lookup reads
+    * ONE bucket directory — and, files being sorted by `val`, parquet
+    * min/max stats prune inside it. `sect` is the constant "p" (the
+    * manifest-key scheme wants a partition directory level). */
+  val pxSchema: StructType = StructType(Seq(
+    StructField("sect", StringType, nullable = false),
+    StructField("val", StringType),
+    StructField("gid", StringType, nullable = false)))
 
   def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
@@ -107,6 +155,48 @@ object SearchIndexes {
       .filter(labelMember(d.label) &&
         parts.map(_.isNotNull).reduce(_ || _) && length(trim(txt)) > 0)
       .select(col("gid"), txt.as("text"))
+  }
+
+  /** Canonical string encoding of a scalar property value — the ONE
+    * definition of the property-index key, shared by the build/delta
+    * extraction (Column form) and the planner's driver-side probe
+    * (encodeValue). Strings keep their text under an `s:` tag;
+    * numbers (long OR double slot) canonicalize through double under
+    * `n:` so `{age: 42}` finds a node stored with 42.0 — the same
+    * numeric-equality semantics the unindexed filter (propCmp) has.
+    * Collisions from the double round-trip (longs past 2^53) only
+    * widen the candidate set; the residual filter the planner keeps
+    * removes them. */
+  def encodeScalar(pv: Column): Column =
+    when(pv.getField("s").isNotNull, concat(lit("s:"), pv.getField("s")))
+      .when(pv.getField("l").isNotNull,
+        concat(lit("n:"), pv.getField("l").cast("double").cast("string")))
+      .when(pv.getField("d").isNotNull,
+        concat(lit("n:"), pv.getField("d").cast("string")))
+      .when(pv.getField("b").isNotNull,
+        concat(lit("b:"), pv.getField("b").cast("string")))
+
+  /** driver-side twin of [[encodeScalar]]; None = a type the index
+    * doesn't key (lists, nulls) — the caller falls back to the scan */
+  def encodeValue(v: Any): Option[String] = v match {
+    case s: String => Some("s:" + s)
+    case i: Int => Some("n:" + i.toDouble.toString)
+    case l: Long => Some("n:" + l.toDouble.toString)
+    case f: Float => Some("n:" + f.toDouble.toString)
+    case d: Double => Some("n:" + d.toString)
+    case b: Boolean => Some("b:" + b.toString)
+    case _ => None
+  }
+
+  /** `(sect="p", val, gid)` of every live node of the def's label
+    * carrying the property as a non-null scalar — the build, the
+    * delta, and the planner's probe all key on exactly these rows. */
+  def propRows(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val pv = col("props").getItem(d.property)
+    nodes
+      .filter(labelMember(d.label) && pv.isNotNull)
+      .select(lit("p").as("sect"), encodeScalar(pv).as("val"), col("gid"))
+      .filter(col("val").isNotNull)
   }
 
   /** whitespace tokenization — the exact t_bm25 tokenizer, shared so
@@ -176,9 +266,9 @@ object SearchIndexes {
     * the driver between iterations; assignment stays distributed.
     * Returns Nil when the snapshot holds no vectors. */
   def trainCentroids(vecs: DataFrame,
-      sim: String = "cosine"): Seq[Seq[Double]] = {
+      sim: String = "cosine", k: Int = K): Seq[Seq[Double]] = {
     val spark = vecs.sparkSession
-    var cents: Seq[Seq[Double]] = vecs.orderBy(col("gid")).limit(K)
+    var cents: Seq[Seq[Double]] = vecs.orderBy(col("gid")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
     if (cents.isEmpty) return Nil
@@ -209,10 +299,10 @@ object SearchIndexes {
   }
 
   /** rank the trained cells for a query vector by the same affinity
-    * (desc, cid asc); returns the top-[[NProbe]] cell partition
+    * (desc, cid asc); returns the top-`nprobe` cell partition
     * values ("c<cid>") */
   def probeCells(cents: Seq[Seq[Double]], q: Seq[Double],
-      sim: String = "cosine"): Seq[String] = {
+      sim: String = "cosine", nprobe: Int = NProbe): Seq[String] = {
     def dotL(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -229,7 +319,7 @@ object SearchIndexes {
         (i, a)
       }
       .sortBy { case (i, a) => (-a, i) }
-      .take(NProbe)
+      .take(nprobe)
       .map { case (i, _) => s"c$i" }
   }
 }

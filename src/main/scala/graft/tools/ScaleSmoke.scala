@@ -87,6 +87,25 @@ object ScaleSmoke {
            RETURN c.gid AS gid, count(*) AS n_orders""").collect()
       println(s"SMOKE read rows=${n.length}")
     }
+    // property-index point lookup: unindexed scan vs the declared
+    // RANGE index route (px bucket probe + gid-bucket node read)
+    def pointLookup(label: String): Double = {
+      val t0 = System.nanoTime()
+      val r = CypherEngine.query(store,
+        "MATCH (c:Customer {name: 'UPDATED-7'}) RETURN c.gid AS gid")
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SMOKE point-lookup($label) ${secs}%.2f s rows=${r.length}")
+      assert(r.length == 1, s"point lookup rows: ${r.length}")
+      secs
+    }
+    val scanSecs = pointLookup("scan")
+    time("create property index") {
+      CypherEngine.query(store,
+        "CREATE INDEX cname FOR (c:Customer) ON (c.name)").collect()
+    }
+    val idxSecs = pointLookup("indexed")
+    println(f"SMOKE point-lookup speedup ${scanSecs / idxSecs}%.1fx")
     time("detach-delete 100") {
       val r = CypherEngine.query(store,
         "MATCH (c:Customer) WHERE c.acctbal < -900.0 DETACH DELETE c")

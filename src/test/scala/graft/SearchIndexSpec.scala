@@ -232,6 +232,145 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).contains("f2"))
   }
 
+  test("vector index scale dial: explicit cells/nprobe, auto-retrain") {
+    val st = newStore("dial")
+    val sess = CypherEngine.session(st)
+    (1 to 60).foreach(i => sess.run(
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})").collect())
+    sess.commit()
+    // explicit non-default quantizer: 8 cells, 3-cell probes
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX dialidx FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`graft.ivf.cells`: 8,
+        |  `graft.ivf.nprobe`: 3}}""".stripMargin).collect()
+    val d = st.indexDef("dialidx").get
+    assert(d.cells == 8 && d.centroids.size == 8 && d.effectiveNProbe == 3)
+    val q = vec(13)
+    assert(SearchIndexes.probeCells(
+      d.centroids, q, d.similarity, d.effectiveNProbe).size == 3)
+    // parity at the non-default K: the query's own vector is the top
+    // hit with the normalized cosine score 1
+    val rows = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('dialidx', 3, ${vecLit(q)})
+         |YIELD node, score
+         |RETURN node.gid AS gid, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.head._1 == "e:13" && math.abs(rows.head._2 - 1.0) < 1e-9)
+    // a user-pinned cell count is never second-guessed by maintain
+    assert(!st.maintain().retrainedIndexes.contains("dialidx"))
+
+    // auto-scaled index: default 16 cells on this corpus…
+    CypherEngine.query(st,
+      "CREATE VECTOR INDEX autoidx FOR (m:Emb) ON (m.v)").collect()
+    assert(st.indexDef("autoidx").get.centroids.size == 16)
+    // …and the maintain watermark retrains when the per-cell row
+    // target says the data outgrew the trained cells (dial shrunk so
+    // the 60-vector fixture crosses the 2× drift threshold)
+    SearchIndexes.cellRowsDial = 1L
+    try {
+      val m = st.maintain()
+      assert(m.retrainedIndexes == Seq("autoidx"))
+      val d2 = st.indexDef("autoidx").get
+      assert(d2.centroids.size == 60, s"retrained K: ${d2.centroids.size}")
+      assert(st.searchIndexReady(d2))
+      assert(st.readSearchIndex(d2, _ => true).count() == 60)
+      val rows2 = CypherEngine.query(st,
+        s"""CALL db.index.vector.queryNodes('autoidx', 2, ${vecLit(q)})
+           |YIELD node, score RETURN node.gid AS gid""".stripMargin)
+        .collect().map(_.getString(0))
+      assert(rows2.head == "e:13")
+    } finally SearchIndexes.cellRowsDial = SearchIndexes.AutoCellRows
+  }
+
+  test("property index: DDL, routed lookup, file pruning, delta") {
+    val st = newStore("px")
+    st.localizeTinyTables = false // assert the at-scale parquet shape
+    val sess = CypherEngine.session(st)
+    (1 to 40).foreach { i =>
+      sess.run(s"CREATE (:Person {gid: 'p:$i', email: 'u$i@x.io', " +
+        s"age: ${i % 7}})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX pidx FOR (p:Person) ON (p.email)").collect()
+    val d = st.indexDef("pidx").get
+    assert(d.kind == "property" && st.searchIndexReady(d))
+    assert(st.readSearchIndex(d, _ => true).count() == 40)
+
+    // routed point lookup: right node, and the plan reads a strict
+    // subset of the node table's files (gid-bucket directory pruning)
+    val df = CypherEngine.query(st,
+      "MATCH (p:Person {email: 'u7@x.io'}) RETURN p.gid AS gid")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("p:7"))
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    val routedFiles = df.inputFiles.toSet
+    assert(routedFiles.nonEmpty && routedFiles.subsetOf(allNodeFiles))
+    assert(routedFiles.size < allNodeFiles.size,
+      s"lookup read every node file: ${routedFiles.size}/${allNodeFiles.size}")
+    // and the px probe itself reads one bucket directory, not the table
+    val pxAll = st.readSearchIndex(d, _ => true).inputFiles.toSet
+    val pxProbe = st.readSearchIndex(d,
+      st.pxProbeKeys("s:u7@x.io")).inputFiles.toSet
+    assert(pxProbe.nonEmpty && pxProbe.size < pxAll.size)
+
+    // numeric cross-slot: a long-stored value found via long OR double
+    CypherEngine.query(st,
+      "CREATE INDEX aidx FOR (p:Person) ON (p.age)").collect()
+    val viaLong = CypherEngine.query(st,
+      "MATCH (p:Person {age: $a}) RETURN p.gid AS gid ORDER BY gid",
+      Map("a" -> 3L)).collect().map(_.getString(0)).toSeq
+    val viaDouble = CypherEngine.query(st,
+      "MATCH (p:Person {age: $a}) RETURN p.gid AS gid ORDER BY gid",
+      Map("a" -> 3.0)).collect().map(_.getString(0)).toSeq
+    assert(viaLong == Seq("p:10", "p:17", "p:24", "p:3", "p:31", "p:38"))
+    assert(viaDouble == viaLong)
+
+    // delta: updating the property moves the index rows
+    CypherEngine.query(st,
+      "MATCH (p:Person {gid: 'p:7'}) SET p.email = 'moved@x.io'").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (p:Person {email: 'u7@x.io'}) RETURN p.gid AS gid")
+      .collect().isEmpty)
+    assert(CypherEngine.query(st,
+      "MATCH (p:Person {email: 'moved@x.io'}) RETURN p.gid AS gid")
+      .collect().map(_.getString(0)).toSeq == Seq("p:7"))
+    // and a deleted node leaves the index
+    CypherEngine.query(st,
+      "MATCH (p:Person {gid: 'p:9'}) DELETE p").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (p:Person {email: 'u9@x.io'}) RETURN p.gid AS gid")
+      .collect().isEmpty)
+    assert(st.readSearchIndex(d, _ => true)
+      .filter("gid = 'p:9'").count() == 0)
+  }
+
+  test("property index DDL forms: auto-name, intrinsic gid, composite") {
+    val st = newStore("pxddl")
+    CypherEngine.query(st,
+      "CREATE (:Person {gid: 'p:1', nickname: 'ace'})").collect()
+    // unnamed form auto-names (Neo4j auto-generates; ours is derived)
+    CypherEngine.query(st,
+      "CREATE INDEX FOR (n:Person) ON (n.nickname)").collect()
+    assert(st.indexDef("index_Person_nickname").exists(_.kind == "property"))
+    val shown = CypherEngine.query(st, "SHOW RANGE INDEXES")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // alongside the intrinsic gid-bucket RANGE row
+    assert(shown.contains(("index_Person_nickname", "RANGE")))
+    // gid is the physical layout — acknowledged, nothing declared
+    CypherEngine.query(st,
+      "CREATE INDEX gx FOR (n:Person) ON (n.gid)").collect()
+    assert(st.indexDef("gx").isEmpty)
+    // composite gets a targeted error, not a silent ack
+    val e = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        "CREATE INDEX cx FOR (n:Person) ON (n.a, n.b)")
+    }
+    assert(e.getMessage.contains("composite"))
+    // DROP works through the same path as vector/fulltext
+    CypherEngine.query(st, "DROP INDEX index_Person_nickname").collect()
+    assert(st.indexDef("index_Person_nickname").isEmpty)
+  }
+
   test("DROP then CREATE with the same name rebuilds the table") {
     val st = newStore("recreate")
     val sess = CypherEngine.session(st)
