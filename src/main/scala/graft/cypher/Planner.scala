@@ -3193,14 +3193,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .orderBy(col("score").desc, col("gid")).limit(k.toInt)
         .select(col("gid"), col("score")), d.label)
     } else {
-      val (idxName, q, ftLimit) = c.args match {
+      val (idxName, q, ftLimit, anOverride) = c.args match {
         case Seq(a, b) =>
           (strArg(a, "indexName"), strArg(b, "queryString"),
-            None: Option[Long])
+            None: Option[Long], None: Option[String])
         case Seq(a, b, MapLit(entries)) =>
           // Neo4j's options map — `{limit: n}` caps the hit list
-          // (top-n by score, a TakeOrderedAndProject); other keys
-          // (skip, analyzer) are rejected rather than ignored. The
+          // (top-n by score, a TakeOrderedAndProject) and
+          // `{analyzer: 'name'}` overrides the QUERY-side analyzer;
+          // other keys (skip) are rejected rather than ignored. The
           // limit value resolves like every other integer argument
           // (literal or parameter) and anything that isn't a positive
           // integer is an error, not a silent no-cap
@@ -3210,50 +3211,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               s"fulltext option limit must be a positive integer: $n")
             n
           }
+          val an = entries.collectFirst { case ("analyzer", e) =>
+            val name = strArg(e, "fulltext option analyzer")
+            if (!SearchIndexes.Analyzers.contains(name)) throw PlanError(
+              s"unknown analyzer: $name " +
+                s"(${SearchIndexes.Analyzers.toSeq.sorted.mkString(" | ")})")
+            name
+          }
           entries.collectFirst {
-            case (k, _) if k != "limit" => k }.foreach(k =>
-            throw PlanError(s"unsupported fulltext option: $k"))
-          (strArg(a, "indexName"), strArg(b, "queryString"), lim)
+            case (k, _) if k != "limit" && k != "analyzer" => k }
+            .foreach(k => throw PlanError(s"unsupported fulltext option: $k"))
+          (strArg(a, "indexName"), strArg(b, "queryString"), lim, an)
         case other => throw PlanError(
           "db.index.fulltext.queryNodes takes (indexName, queryString" +
-            s"[, {limit: n}]), got $other")
+            s"[, {limit: n, analyzer: 'name'}]), got $other")
       }
       val d = store.indexDef(idxName).filter(_.kind == "fulltext")
         .getOrElse(throw PlanError(s"no such fulltext index: $idxName"))
-      val terms = q.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-      if (terms.isEmpty) throw PlanError("empty fulltext query")
-      val (toks, statsDf) =
-        if (store.searchIndexReady(d)) {
-          // query-term-first: manifest keys prune to the terms'
-          // buckets + the one stats row; no corpus scan, no corpus
-          // shuffle — the per-term groupBy below runs on posting rows
-          val idx = store.readSearchIndex(d, store.ftProbeKeys(terms))
-          (idx.filter(col("sect") === "t" && col("term").isin(terms: _*)),
-            idx.filter(col("sect") === "s")
-              .select(col("tf").as("n_docs"), col("dl").as("sum_dl")))
-        } else {
-          val docs = SearchIndexes.texts(nodesInView, d)
-          (SearchIndexes.tokenRows(docs).filter(col("term").isin(terms: _*)),
-            docs.agg(count(lit(1)).as("n_docs"),
-              sum(size(SearchIndexes.termsOf(col("text"))))
-                .cast("long").as("sum_dl")))
-        }
-      // BM25 (k1=1.2, b=0.75) — the t_bm25 kernel over the postings
-      val dfreq = toks.groupBy(col("term"))
-        .agg(count_distinct(col("gid")).as("dfreq"))
-      val scored = toks.join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(statsDf))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-        .withColumn("idf", log(lit(1.0) +
-          ((col("n_docs") - col("dfreq")).cast("double") + 0.5) /
-            (col("dfreq").cast("double") + 0.5)))
-        .withColumn("contrib", col("idf") *
-          (col("tf").cast("double") * 2.2) /
-          (col("tf").cast("double") +
-            lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") / col("avgdl")))))
-        .groupBy(col("gid"))
-        .agg(sum(col("contrib")).as("score"))
+      val scored = fulltextScores(d, q, anOverride.getOrElse(d.analyzer))
       (ftLimit match {
         case Some(n) =>
           scored.orderBy(col("score").desc, col("gid")).limit(n.toInt)
@@ -3312,6 +3287,185 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         else ValueVar(s"${b}__value"))
     }
     c.where.foreach(applyWhere)
+  }
+
+  /** `(gid, score)` hits of a fulltext query against index `d` under
+    * `analyzer` — Lucene-ish syntax (AND/OR/NOT, "phrases", prefix*,
+    * parentheses; default operator OR) over the store's posting
+    * table.
+    *
+    * Shape: leaf atoms share ONE per-(term, gid) BM25-contribution
+    * frame computed from term-bucket-pruned postings (a prefix atom
+    * widens the read to every `sect=t` bucket — a prefix can't hash-
+    * prune). The common all-OR-of-terms query keeps the original
+    * single-aggregation plan; boolean trees aggregate a per-doc
+    * matched-atom BITMASK (one union + one groupBy, no joins between
+    * atoms) and filter on the tree evaluated over the mask. Phrases
+    * post-verify contiguity against the stored text of their
+    * candidate docs only (conjunctive term match first — bounded by
+    * the rarest term's postings). Atoms under an odd number of NOTs
+    * never contribute score. Pure-negative queries (satisfiable with
+    * zero matched atoms) are rejected — they would need a corpus
+    * enumeration, as in Lucene.
+    */
+  private def fulltextScores(d: graft.store.IndexDef, q: String,
+      analyzer: String): DataFrame = {
+    import graft.store.{FulltextQuery => FQ, SearchIndexes}
+    import scala.collection.mutable
+    val raw =
+      try FQ.parse(q)
+      catch { case e: FQ.ParseError => throw PlanError(e.getMessage) }
+
+    sealed trait Atom
+    case class ATerm(t: String) extends Atom
+    case class APrefix(p: String) extends Atom
+    case class APhrase(ts: Seq[String]) extends Atom
+    sealed trait N
+    case class NLeaf(i: Int) extends N
+    case class NAnd(l: N, r: N) extends N
+    case class NOr(l: N, r: N) extends N
+    case class NNot(x: N) extends N
+
+    val atoms = mutable.ArrayBuffer.empty[Atom]
+    val atomIdx = mutable.HashMap.empty[Atom, Int]
+    val positive = mutable.HashSet.empty[Int]
+    def intern(a: Atom, pos: Boolean): N = {
+      val i = atomIdx.getOrElseUpdate(a, { atoms += a; atoms.size - 1 })
+      if (pos) positive += i
+      NLeaf(i)
+    }
+    def tokensAtom(text: String, what: String, pos: Boolean): N =
+      SearchIndexes.analyze(text, analyzer) match {
+        case Seq() => throw PlanError(
+          s"$what '$text' analyzes to no tokens under $analyzer")
+        case Seq(one) => intern(ATerm(one), pos)
+        case many => intern(APhrase(many), pos)
+      }
+    def conv(qq: FQ.Q, pos: Boolean): N = qq match {
+      case FQ.Term(t) => tokensAtom(t, "query term", pos)
+      case FQ.Phrase(p) => tokensAtom(p, "phrase", pos)
+      case FQ.Prefix(p) => SearchIndexes.analyze(p, analyzer) match {
+        case Seq(one) => intern(APrefix(one), pos)
+        case other => throw PlanError(
+          s"prefix '$p*' must analyze to one token, got $other")
+      }
+      case FQ.And(l, r) => NAnd(conv(l, pos), conv(r, pos))
+      case FQ.Or(l, r) => NOr(conv(l, pos), conv(r, pos))
+      case FQ.Not(x) => NNot(conv(x, !pos))
+    }
+    val tree = conv(raw, pos = true)
+    if (atoms.size > 63)
+      throw PlanError("fulltext query too complex (max 63 distinct atoms)")
+    def evalEmpty(n: N): Boolean = n match {
+      case NLeaf(_) => false
+      case NAnd(l, r) => evalEmpty(l) && evalEmpty(r)
+      case NOr(l, r) => evalEmpty(l) || evalEmpty(r)
+      case NNot(x) => !evalEmpty(x)
+    }
+    if (evalEmpty(tree)) throw PlanError(
+      "pure-negative fulltext queries are not supported (the query " +
+        "would match documents containing none of its terms)")
+
+    val allTerms = atoms.flatMap {
+      case ATerm(t) => Seq(t)
+      case APhrase(ts) => ts
+      case APrefix(_) => Nil
+    }.distinct.toSeq
+    val prefixes = atoms.collect { case APrefix(p) => p }.toSeq
+    val termCond = (
+      (if (allTerms.nonEmpty) Seq(col("term").isin(allTerms: _*)) else Nil)
+        ++ prefixes.map(p => col("term").startsWith(p)))
+      .reduce(_ || _)
+
+    val (toks, statsDf) =
+      if (store.searchIndexReady(d)) {
+        // query-term-first: manifest keys prune to the terms' buckets
+        // + the one stats row; no corpus scan, no corpus shuffle —
+        // the per-term groupBy below runs on posting rows
+        val keep: String => Boolean =
+          if (prefixes.nonEmpty) _ => true // prefixes match any bucket
+          else store.ftProbeKeys(allTerms)
+        val idx = store.readSearchIndex(d, keep)
+        (idx.filter(col("sect") === "t" && termCond),
+          idx.filter(col("sect") === "s")
+            .select(col("tf").as("n_docs"), col("dl").as("sum_dl")))
+      } else {
+        val docs = SearchIndexes.texts(nodesInView, d)
+        (SearchIndexes.tokenRows(docs, analyzer).filter(termCond),
+          docs.agg(count(lit(1)).as("n_docs"),
+            sum(size(SearchIndexes.termsOf(col("text"), analyzer)))
+              .cast("long").as("sum_dl")))
+      }
+    // BM25 (k1=1.2, b=0.75) — the t_bm25 kernel over the postings,
+    // kept per (term, gid) so every atom shares it
+    val dfreq = toks.groupBy(col("term"))
+      .agg(count_distinct(col("gid")).as("dfreq"))
+    val contrib = toks.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(statsDf))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        ((col("n_docs") - col("dfreq")).cast("double") + 0.5) /
+          (col("dfreq").cast("double") + 0.5)))
+      .withColumn("contrib", col("idf") *
+        (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / col("avgdl")))))
+      .select(col("term"), col("gid"), col("contrib"))
+
+    def isPureOr(n: N): Boolean = n match {
+      case NLeaf(_) => true
+      case NOr(l, r) => isPureOr(l) && isPureOr(r)
+      case _ => false
+    }
+    // the common query shape — OR of plain terms — stays the original
+    // one-aggregation plan (and the cypher_fulltext oracle's shape)
+    if (atoms.forall(_.isInstanceOf[ATerm]) && isPureOr(tree))
+      return contrib.groupBy(col("gid"))
+        .agg(sum(col("contrib")).as("score"))
+
+    def leafHits(a: Atom): DataFrame = a match {
+      case ATerm(t) =>
+        contrib.filter(col("term") === t).groupBy(col("gid"))
+          .agg(sum(col("contrib")).as("s"))
+      case APrefix(p) =>
+        contrib.filter(col("term").startsWith(p)).groupBy(col("gid"))
+          .agg(sum(col("contrib")).as("s"))
+      case APhrase(ts) =>
+        val k = ts.size
+        val cand = contrib.filter(col("term").isin(ts.distinct: _*))
+          .groupBy(col("gid"))
+          .agg(count_distinct(col("term")).as("nt"),
+            sum(col("contrib")).as("s"))
+          .filter(col("nt") === ts.distinct.size)
+          .select(col("gid"), col("s"))
+        // contiguity post-verify on the stored text, candidates only
+        val tokArr = SearchIndexes.termsOf(col("text"), analyzer)
+        val pharr = array(ts.map(lit): _*)
+        val ok = when(size(tokArr) >= k,
+          exists(sequence(lit(1), size(tokArr) - lit(k - 1)),
+            i => slice(tokArr, i, lit(k)) === pharr)).otherwise(lit(false))
+        SearchIndexes.texts(nodesInView, d)
+          .join(broadcast(cand), Seq("gid"))
+          .filter(ok)
+          .select(col("gid"), col("s"))
+    }
+    // per-doc matched-atom bitmask + score in ONE aggregation; the
+    // boolean tree then evaluates as a codegen'd mask predicate
+    val perLeaf = atoms.toSeq.zipWithIndex.map { case (a, i) =>
+      leafHits(a).select(col("gid"), lit(1L << i).as("m"),
+        (if (positive(i)) col("s") else lit(0.0)).as("s"))
+    }
+    val agg = perLeaf.reduce(_ unionByName _)
+      .groupBy(col("gid"))
+      .agg(sum(col("m")).as("mask"), sum(col("s")).as("score"))
+    def pred(n: N): Column = n match {
+      case NLeaf(i) => col("mask").bitwiseAND(lit(1L << i)) =!= lit(0L)
+      case NAnd(l, r) => pred(l) && pred(r)
+      case NOr(l, r) => pred(l) || pred(r)
+      case NNot(x) => !pred(x)
+    }
+    agg.filter(pred(tree)).select(col("gid"), col("score"))
   }
 
   private def applyCallProc(c: CallProc): Unit = {
@@ -5644,7 +5798,8 @@ object CypherEngine {
     val FulltextIdxRe =
       ("""(?is)^CREATE\s+FULLTEXT\s+INDEX\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?""" +
         """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*""" +
-        """\[\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\]\s*$""").r
+        """\[\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\]""" +
+        """\s*(OPTIONS\s*\{.*\})?\s*$""").r
     // CREATE [RANGE] INDEX … FOR (n:L) ON (n.prop): a REAL
     // property-value index — a commit-maintained (sect=p, H(val))
     // projection table the planner routes `MATCH (n:L {p: $v})`
@@ -5698,13 +5853,26 @@ object CypherEngine {
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "vector", label, prop, dims = dims, similarity = sim,
           cells = ivfCells, nprobe = ivfNProbe))
-      case FulltextIdxRe(name, ine, label, propList) =>
+      case FulltextIdxRe(name, ine, label, propList, opts) =>
         // `ON EACH [n.title, n.body]`: store the property NAMES
         // comma-joined; the index concatenates the fields
         val props = propList.split(",")
           .map(_.trim.split("\\.", 2)(1)).mkString(",")
+        // Neo4j's `fulltext.analyzer` indexConfig — defaults to the
+        // standard analyzer (lowercase, non-alphanumeric split), like
+        // Neo4j's standard-no-stop-words; 'whitespace' keeps the
+        // case-sensitive \s+ tokenizer
+        val an = """(?i)[`"]?fulltext\.analyzer[`"]?\s*:\s*'([\w-]+)'""".r
+          .findFirstMatchIn(Option(opts).getOrElse(""))
+          .map(_.group(1).toLowerCase)
+          .getOrElse(graft.store.SearchIndexes.StandardAnalyzer)
+        if (!graft.store.SearchIndexes.Analyzers.contains(an))
+          throw new IllegalArgumentException(
+            s"unknown fulltext analyzer: $an (" +
+              graft.store.SearchIndexes.Analyzers.toSeq.sorted
+                .mkString(" | ") + ")")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
-          name, "fulltext", label, props))
+          name, "fulltext", label, props, analyzer = an))
       case PropIdxRe(name0, ine, label, prop) =>
         // gid IS the physical layout (hash buckets + sort) — nothing
         // to build; likewise the model columns

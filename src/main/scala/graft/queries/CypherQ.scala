@@ -728,6 +728,25 @@ DETACH DELETE n
            RETURN node.gid AS gid, score""")
         .select($"gid", round($"score", 9).as("score"))
         .orderBy($"gid")
+    }),
+
+    // the standard analyzer + Lucene boolean syntax: a MIXED-CASE
+    // query analyzes to the stored lowercase tokens (the silent-recall
+    // trap a ported Neo4j app would hit with a case-sensitive
+    // tokenizer), AND requires both terms, NOT excludes docs with
+    // 'merge' — evaluated as a per-doc matched-atom bitmask over one
+    // shared posting aggregation (no joins between atoms); negated
+    // atoms never contribute score.
+    "cypher_fulltext_analyzer" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx',
+             'SPARK AND Hash NOT Merge')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
     }))
 
   /** embeddings table as :Emb nodes (gid `v:<vec_id>`, list prop
@@ -1282,12 +1301,14 @@ DETACH DELETE n
          ORDER BY gid""",
 
     // BM25 twin of the fulltext procedure (t_bm25's proven kernel,
-    // query 'spark hash join', gid-keyed)
+    // query 'spark hash join', gid-keyed) under the index's default
+    // standard analyzer: lowercase, tokens are [a-z0-9]+ runs
     "cypher_fulltext" ->
-      """WITH d AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) dl,
-             string_split_regex(trim(text), '\s+') w
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
            FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
          stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
          tf AS (SELECT gid, dl, term, count(*) tf
            FROM (SELECT gid, dl, unnest(w) term FROM d)
@@ -1304,5 +1325,38 @@ DETACH DELETE n
                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS contrib
            FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
          SELECT gid, round(sum(contrib), 9) AS score
-         FROM scored GROUP BY gid ORDER BY gid""")
+         FROM scored GROUP BY gid ORDER BY gid""",
+
+    // analyzer + boolean twin: lowercase standard tokens; docs must
+    // carry BOTH spark and hash, must NOT carry merge; the two
+    // positive terms' BM25 contributions sum (dfreq computed over the
+    // same three-term posting set the engine reads)
+    "cypher_fulltext_analyzer" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term IN ('spark', 'hash', 'merge')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s),
+         pos AS (SELECT gid, sum(c) score
+           FROM contrib WHERE term IN ('spark', 'hash')
+           GROUP BY gid HAVING count(DISTINCT term) = 2)
+         SELECT p.gid, round(p.score, 9) AS score FROM pos p
+         WHERE NOT EXISTS (SELECT 1 FROM contrib m
+           WHERE m.gid = p.gid AND m.term = 'merge')
+         ORDER BY p.gid""")
 }

@@ -1,0 +1,116 @@
+package graft.store
+
+/** Lucene-style fulltext query syntax for
+  * `db.index.fulltext.queryNodes` (Neo4j passes the query string to
+  * Lucene, so ported call sites use this surface —
+  * /root/reference/layer.go:24 exposes the raw query text):
+  *
+  *  - bare terms, default operator OR: `spark hash` = spark OR hash
+  *  - `AND` / `OR` / `NOT` (uppercase, Lucene's convention), with
+  *    NOT binding tightest, then AND, then OR/adjacency
+  *  - quoted phrases: `"sort merge join"` (contiguous token match,
+  *    post-verified against the stored text)
+  *  - trailing-star prefixes: `spar*`
+  *  - parentheses for grouping
+  *
+  * The parser works on RAW text — each leaf's text is analyzed later
+  * with the index's analyzer, so `"Hello, World"` under the standard
+  * analyzer becomes the phrase [hello, world].
+  */
+object FulltextQuery {
+  sealed trait Q
+  /** raw leaf text; analysis happens index-side */
+  final case class Term(text: String) extends Q
+  final case class Prefix(text: String) extends Q
+  final case class Phrase(text: String) extends Q
+  final case class And(l: Q, r: Q) extends Q
+  final case class Or(l: Q, r: Q) extends Q
+  final case class Not(q: Q) extends Q
+
+  final case class ParseError(msg: String)
+      extends IllegalArgumentException(msg)
+
+  private sealed trait Tok
+  private case object TAnd extends Tok
+  private case object TOr extends Tok
+  private case object TNot extends Tok
+  private case object TLParen extends Tok
+  private case object TRParen extends Tok
+  private final case class TWord(w: String) extends Tok
+  private final case class TPhrase(p: String) extends Tok
+
+  private def lex(s: String): List[Tok] = {
+    val out = List.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += TLParen; i += 1 }
+      else if (c == ')') { out += TRParen; i += 1 }
+      else if (c == '"') {
+        val end = s.indexOf('"', i + 1)
+        if (end < 0) throw ParseError(s"unterminated phrase quote in: $s")
+        out += TPhrase(s.substring(i + 1, end))
+        i = end + 1
+      } else {
+        val start = i
+        while (i < s.length && !s.charAt(i).isWhitespace &&
+          s.charAt(i) != '(' && s.charAt(i) != ')' &&
+          s.charAt(i) != '"') i += 1
+        s.substring(start, i) match {
+          case "AND" => out += TAnd
+          case "OR" => out += TOr
+          case "NOT" => out += TNot
+          case w => out += TWord(w)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** orExpr := andExpr ((OR | adjacency) andExpr)* — Lucene's default
+    * operator is OR, so two adjacent clauses disjoin */
+  def parse(s: String): Q = {
+    var toks = lex(s)
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = { val t = toks.head; toks = toks.tail; t }
+
+    def atom(): Q = next() match {
+      case TLParen =>
+        val q = orExpr()
+        if (peek.contains(TRParen)) { next(); q }
+        else throw ParseError(s"missing ')' in: $s")
+      case TNot => Not(atom())
+      case TWord(w) if w.length > 1 && w.endsWith("*") =>
+        Prefix(w.dropRight(1))
+      case TWord(w) => Term(w)
+      case TPhrase(p) => Phrase(p)
+      case t => throw ParseError(s"unexpected $t in: $s")
+    }
+
+    def andExpr(): Q = {
+      var q = atom()
+      while (peek.contains(TAnd)) { next(); q = And(q, atom()) }
+      q
+    }
+
+    def orExpr(): Q = {
+      var q = andExpr()
+      var go = true
+      while (go) peek match {
+        case Some(TOr) => next(); q = Or(q, andExpr())
+        // `a NOT b` is Lucene's MUST_NOT clause: it EXCLUDES b's
+        // matches from the result (AND NOT), unlike plain adjacency
+        case Some(TNot) => q = And(q, andExpr())
+        case Some(t) if t != TRParen => q = Or(q, andExpr())
+        case _ => go = false
+      }
+      q
+    }
+
+    if (toks.isEmpty) throw ParseError("empty fulltext query")
+    val q = orExpr()
+    if (toks.nonEmpty) throw ParseError(s"trailing tokens in: $s")
+    q
+  }
+}

@@ -144,7 +144,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         IndexDef(str("name"), str("kind"), str("label"), str("property"),
           intv("dims"),
           if (str("similarity").isEmpty) "cosine" else str("similarity"),
-          cents, intv("cells"), intv("nprobe"))
+          cents, intv("cells"), intv("nprobe"),
+          // entries written before the analyzer field were BUILT with
+          // the whitespace tokenizer — read them back as such
+          if (str("analyzer").isEmpty) SearchIndexes.WhitespaceAnalyzer
+          else str("analyzer"))
       }
       case _ => Nil
     }
@@ -159,6 +163,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "label" -> JString(d.label), "property" -> JString(d.property),
         "dims" -> JInt(d.dims), "similarity" -> JString(d.similarity),
         "cells" -> JInt(d.cells), "nprobe" -> JInt(d.nprobe),
+        "analyzer" -> JString(d.analyzer),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -726,10 +731,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             org.apache.spark.sql.functions.lit(1)),
             org.apache.spark.sql.functions.sum(
               org.apache.spark.sql.functions.size(
-                termsOf(col("text")))).cast("long")).head()
+                termsOf(col("text"), d.analyzer))).cast("long")).head()
         val (n, sdl) =
           (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-        tokenRows(docs).unionByName(statsRow(spark, n, sdl))
+        tokenRows(docs, d.analyzer).unionByName(statsRow(spark, n, sdl))
     }
     if (mustRebuild || dirtyNodes.isEmpty) return (fullView, None)
     val keys = dirtyNodes.get
@@ -797,8 +802,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .localCheckpoint()
         val addedDocs = newD.join(oldD, Seq("gid", "text"), "left_anti")
           .localCheckpoint()
-        val remT = tokenRows(removedDocs)
-        val addT = tokenRows(addedDocs)
+        val remT = tokenRows(removedDocs, d.analyzer)
+        val addT = tokenRows(addedDocs, d.analyzer)
         val termBuckets = remT.unionByName(addT)
           .select(pmod(hash(col("term")), lit(bc)).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
@@ -809,7 +814,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               org.apache.spark.sql.functions.lit(1)),
             org.apache.spark.sql.functions.sum(
               org.apache.spark.sql.functions.size(
-                termsOf(col("text")))).cast("long")).head()
+                termsOf(col("text"), d.analyzer))).cast("long")).head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         val (remN, remDl) = docStats(removedDocs)

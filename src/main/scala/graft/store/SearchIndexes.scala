@@ -33,7 +33,13 @@ case class IndexDef(
     // nprobe scales as ~√cells/2 so the probed fraction SHRINKS as
     // the index grows instead of staying a constant nprobe/K
     cells: Int = 0,
-    nprobe: Int = 0) {
+    nprobe: Int = 0,
+    // fulltext analyzer (Neo4j's `fulltext.analyzer` indexConfig):
+    // "standard-no-stop-words" (the Neo4j default — lowercase, split
+    // on non-alphanumeric) or "whitespace" (case-sensitive \s+ split).
+    // Sidecar entries written before this field read back as
+    // "whitespace" — what those indexes were built with.
+    analyzer: String = SearchIndexes.StandardAnalyzer) {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name
@@ -199,14 +205,38 @@ object SearchIndexes {
       .filter(col("val").isNotNull)
   }
 
-  /** whitespace tokenization — the exact t_bm25 tokenizer, shared so
-    * the oracle stays `string_split_regex(trim(text), '\s+')` */
-  def termsOf(text: Column): Column = split(trim(text), "\\s+")
+  /** analyzer names — Neo4j's default and the legacy/explicit
+    * whitespace analyzer */
+  val StandardAnalyzer = "standard-no-stop-words"
+  val WhitespaceAnalyzer = "whitespace"
+  val Analyzers: Set[String] = Set(StandardAnalyzer, WhitespaceAnalyzer)
+
+  /** Tokenization under an analyzer. "whitespace" is the exact t_bm25
+    * tokenizer (`string_split_regex(trim(text), '\s+')` in the
+    * oracle, case-SENSITIVE); "standard-no-stop-words" approximates
+    * Neo4j/Lucene's default: lowercase, tokens are [a-z0-9]+ runs, so
+    * "Hello," matches the query `hello`. The default stays whitespace
+    * so t_bm25 and the streaming-postings twin keep their pinned
+    * kernel; index paths pass the def's analyzer explicitly. */
+  def termsOf(text: Column,
+      analyzer: String = WhitespaceAnalyzer): Column =
+    if (analyzer == StandardAnalyzer)
+      filter(split(lower(trim(text)), "[^a-z0-9]+"), t => t =!= "")
+    else split(trim(text), "\\s+")
+
+  /** driver-side twin of [[termsOf]] — query strings and the
+    * streaming ingest analyze with EXACTLY the index tokenizer */
+  def analyze(text: String,
+      analyzer: String = WhitespaceAnalyzer): Seq[String] =
+    (if (analyzer == StandardAnalyzer)
+      text.toLowerCase.split("[^a-z0-9]+").toSeq
+    else text.trim.split("\\s+").toSeq).filter(_.nonEmpty)
 
   /** token rows `(sect="t", term, gid, tf, dl)` of `(gid, text)` docs */
-  def tokenRows(docs: DataFrame): DataFrame =
+  def tokenRows(docs: DataFrame,
+      analyzer: String = WhitespaceAnalyzer): DataFrame =
     docs
-      .select(col("gid"), termsOf(col("text")).as("w"))
+      .select(col("gid"), termsOf(col("text"), analyzer).as("w"))
       .select(col("gid"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
       .filter(col("term") =!= "")

@@ -390,14 +390,18 @@ object EventStreams {
     * ingest path sinks these into the `sect=t/bucket=H(term)` layout
     * the batch commit maintains; the query side is unchanged.
     */
-  def ftPostingsStream(docs: Dataset[DocEvent]): Dataset[PostingRow] = {
+  def ftPostingsStream(docs: Dataset[DocEvent],
+      analyzer: String = graft.store.SearchIndexes.WhitespaceAnalyzer)
+      : Dataset[PostingRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.flatMap { d =>
       val t = Option(d.text).getOrElse("").trim
       if (t.isEmpty) Iterator.empty
       else {
-        val w = t.split("\\s+")
+        // the exact index tokenizer (SearchIndexes.analyze is the
+        // driver/executor-side twin of the batch termsOf column)
+        val w = graft.store.SearchIndexes.analyze(t, analyzer)
         val dl = w.length.toLong
         w.groupBy(identity).iterator.map { case (term, g) =>
           PostingRow(term, s"d:${d.doc_id}", g.length.toLong, dl)

@@ -538,6 +538,99 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(got2.contains("d:4"))
   }
 
+  test("fulltext analyzer: standard default lowercases and strips punct") {
+    val st = newStore("ftan")
+    val sess = CypherEngine.session(st)
+    Seq("d:1" -> "Hello, World!", "d:2" -> "hello world",
+        "d:3" -> "HELLO-there").foreach { case (g, t) =>
+      sess.run(s"CREATE (:Doc {gid: '$g', body: '$t'})").collect() }
+    sess.commit()
+    // default analyzer = standard-no-stop-words: 'Hello,' matches
+    // query 'hello' (the ported-app recall trap the whitespace
+    // tokenizer had)
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX fstd FOR (x:Doc) ON EACH [x.body]").collect()
+    assert(st.indexDef("fstd").get.analyzer == "standard-no-stop-words")
+    def hits(idx: String, q: String): Seq[String] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('$idx', '$q')
+         |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(hits("fstd", "hello") == Seq("d:1", "d:2", "d:3"))
+    assert(hits("fstd", "WORLD") == Seq("d:1", "d:2"))
+    // explicit whitespace analyzer keeps the case-sensitive tokenizer
+    CypherEngine.query(st,
+      """CREATE FULLTEXT INDEX fws FOR (x:Doc) ON EACH [x.body]
+        |OPTIONS {indexConfig: {`fulltext.analyzer`: 'whitespace'}}"""
+        .stripMargin).collect()
+    assert(st.indexDef("fws").get.analyzer == "whitespace")
+    assert(hits("fws", "hello") == Seq("d:2"))
+    assert(hits("fws", "Hello,") == Seq("d:1"))
+    // query-side analyzer override via the options map
+    val overridden = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fws', 'HELLO-there',
+        |{analyzer: 'whitespace'}) YIELD node, score
+        |RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(overridden == Seq("d:3"))
+    // unknown analyzers are rejected at DDL and query time
+    intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        """CREATE FULLTEXT INDEX fb FOR (x:Doc) ON EACH [x.body]
+          |OPTIONS {indexConfig: {`fulltext.analyzer`: 'bogus'}}"""
+          .stripMargin)
+    }
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fstd', 'x',
+          |{analyzer: 'bogus'}) YIELD node, score
+          |RETURN 1 AS o""".stripMargin)
+    }
+  }
+
+  test("fulltext query syntax: AND, NOT, phrase, prefix, parens") {
+    val st = newStore("ftq")
+    val sess = CypherEngine.session(st)
+    Seq(
+      "d:1" -> "sort merge join algorithm",
+      "d:2" -> "merge sort is not a join",
+      "d:3" -> "hash join beats sort",
+      "d:4" -> "nested loop join").foreach { case (g, t) =>
+      sess.run(s"CREATE (:Doc {gid: '$g', body: '$t'})").collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX fq FOR (x:Doc) ON EACH [x.body]").collect()
+    def hits(q: String): Seq[String] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('fq', '$q')
+         |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // phrase: contiguous token match, not bag-of-words
+    assert(hits("\"sort merge\"") == Seq("d:1"))
+    assert(hits("\"merge sort\"") == Seq("d:2"))
+    // AND requires both terms
+    assert(hits("join AND sort") == Seq("d:1", "d:2", "d:3"))
+    // NOT excludes (Lucene MUST_NOT semantics for adjacency)
+    assert(hits("join NOT sort") == Seq("d:4"))
+    // prefix
+    assert(hits("mer*") == Seq("d:1", "d:2"))
+    // parentheses + nested boolean
+    assert(hits("(hash OR nested) AND join") == Seq("d:3", "d:4"))
+    // default operator is OR
+    assert(hits("hash nested") == Seq("d:3", "d:4"))
+    // scores: positive atoms only, descending order preserved
+    val scored = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fq', 'join NOT nested')
+        |YIELD node, score RETURN node.gid AS g, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(scored.map(_._1).toSet == Set("d:1", "d:2", "d:3"))
+    assert(scored.forall(_._2 > 0.0))
+    // pure-negative queries are rejected, as in Lucene
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fq', 'NOT join')
+          |YIELD node, score RETURN 1 AS o""".stripMargin)
+    }
+  }
+
   test("fulltext {limit} option and kind-filtered SHOW forms") {
     val st = newStore("ftopt")
     val sess = CypherEngine.session(st)
