@@ -3150,6 +3150,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case other => throw PlanError(s"$what needs a number list, got $other")
     }
     val isVector = c.name.toLowerCase == "db.index.vector.querynodes"
+    val isRelProc =
+      c.name.toLowerCase == "db.index.fulltext.queryrelationships"
     // (gid, score) — each branch keeps candidate generation bounded
     val (hits: DataFrame, idxLabel: String) = if (isVector) {
       val (idxName, k, qv) = c.args match {
@@ -3228,12 +3230,66 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       val d = store.indexDef(idxName).filter(_.kind == "fulltext")
         .getOrElse(throw PlanError(s"no such fulltext index: $idxName"))
+      val wantEntity = if (isRelProc) "RELATIONSHIP" else "NODE"
+      if (d.entity != wantEntity) throw PlanError(
+        s"$idxName is a ${d.entity.toLowerCase} index; use " +
+          (if (isRelProc) "db.index.fulltext.queryNodes"
+           else "db.index.fulltext.queryRelationships"))
       val scored = fulltextScores(d, q, anOverride.getOrElse(d.analyzer))
       (ftLimit match {
         case Some(n) =>
           scored.orderBy(col("score").desc, col("gid")).limit(n.toInt)
         case None => scored
       }, d.label)
+    }
+    if (isRelProc) {
+      // bind YIELD relationship (+ score): hits re-join the edge
+      // table on the recomputed composite identity — a relType-pruned
+      // scan probed by the broadcast hit list, never parsed back
+      val yields: Seq[(String, String)] =
+        if (c.yields.isEmpty)
+          Seq(("relationship", "relationship"), ("score", "score"))
+        else c.yields.map { case (n, alias) =>
+          if (n != "relationship" && n != "score") throw PlanError(
+            s"${c.name} yields relationship, score — got $n")
+          (n, alias.getOrElse(n))
+        }
+      yields.foreach { case (_, b) =>
+        if (env.contains(b)) throw PlanError(s"variable $b already bound")
+      }
+      val joined = edgesInView.filter(col("relType") === idxLabel)
+        .join(broadcast(hits.withColumnRenamed("gid", "__egid")),
+          concat_ws(SearchIndexes.EdgeGidSep, col("src"), col("relType"),
+            col("dst")) === col("__egid"))
+      val f0 = yields.foldLeft(Option.empty[DataFrame]) {
+        case (acc, (n, b)) =>
+          val d0 = acc.getOrElse(joined)
+          Some(n match {
+            case "relationship" => d0
+              .withColumn(s"${b}__src", col("src"))
+              .withColumn(s"${b}__dst", col("dst"))
+              .withColumn(s"${b}__relType", col("relType"))
+              .withColumn(s"${b}__source", col("source"))
+            case _ => d0.withColumn(s"${b}__value", col("score"))
+          })
+      }.get
+      val keep = yields.flatMap { case (n, b) =>
+        if (n == "relationship") Seq(s"${b}__src", s"${b}__dst",
+          s"${b}__relType", s"${b}__source")
+        else Seq(s"${b}__value")
+      }
+      val f = f0.withColumn("__proc_score", col("score"))
+        .select((keep ++ Seq("__proc_score", "__egid"))
+          .map(cn => col(quote(cn))): _*)
+        .orderBy(col("__proc_score").desc, col("__egid"))
+        .drop("__proc_score", "__egid")
+      df = if (df == null) f else df.crossJoin(f)
+      yields.foreach { case (n, b) =>
+        env += b -> (if (n == "relationship") RelVar: VarKind
+          else ValueVar(s"${b}__value"))
+      }
+      c.where.foreach(applyWhere)
+      return
     }
     // bind YIELD node (full node columns) + score; default both
     val yields: Seq[(String, String)] =
@@ -3377,6 +3433,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         ++ prefixes.map(p => col("term").startsWith(p)))
       .reduce(_ || _)
 
+    // the index's document view — nodes' property text, or (for a
+    // relationship index) the edges' source text keyed by composite
+    // identity; used by the unindexed fallback and phrase verification
+    def docsView: DataFrame =
+      if (d.entity == "RELATIONSHIP")
+        SearchIndexes.edgeTexts(edgesInView, d)
+      else SearchIndexes.texts(nodesInView, d)
     val (toks, statsDf) =
       if (store.searchIndexReady(d)) {
         // query-term-first: manifest keys prune to the terms' buckets
@@ -3390,7 +3453,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           idx.filter(col("sect") === "s")
             .select(col("tf").as("n_docs"), col("dl").as("sum_dl")))
       } else {
-        val docs = SearchIndexes.texts(nodesInView, d)
+        val docs = docsView
         (SearchIndexes.tokenRows(docs, analyzer).filter(termCond),
           docs.agg(count(lit(1)).as("n_docs"),
             sum(size(SearchIndexes.termsOf(col("text"), analyzer)))
@@ -3445,7 +3508,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val ok = when(size(tokArr) >= k,
           exists(sequence(lit(1), size(tokArr) - lit(k - 1)),
             i => slice(tokArr, i, lit(k)) === pharr)).otherwise(lit(false))
-        SearchIndexes.texts(nodesInView, d)
+        docsView
           .join(broadcast(cand), Seq("gid"))
           .filter(ok)
           .select(col("gid"), col("s"))
@@ -3472,8 +3535,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // the two index procedures yield a NODE (not a value column) —
     // handled apart from the scalar-yield registry below
     c.name.toLowerCase match {
-      case "db.index.vector.querynodes" | "db.index.fulltext.querynodes" =>
+      case "db.index.vector.querynodes" | "db.index.fulltext.querynodes" |
+          "db.index.fulltext.queryrelationships" =>
         applyIndexProc(c); return
+      case "db.index.vector.queryrelationships" =>
+        throw PlanError(
+          "db.index.vector.queryRelationships is unsupported: edges " +
+            "carry no list-valued properties in this model")
       case _ => ()
     }
     def noArgs(): Unit = if (c.args.nonEmpty)
@@ -3700,7 +3768,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             case "property" => "RANGE" // Neo4j's default index type
             case k => k.toUpperCase
           }
-          (d.name, typ, "NODE",
+          (d.name, typ, d.entity,
             s"${d.label}.${d.property}",
             if (d.kind == "vector" && d.centroids.isEmpty) "POPULATING"
             else "ONLINE")
@@ -5800,6 +5868,15 @@ object CypherEngine {
         """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*""" +
         """\[\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\]""" +
         """\s*(OPTIONS\s*\{.*\})?\s*$""").r
+    // relationship fulltext index (`FOR ()-[r:T]-()`): the edge table
+    // is the document source — identity src·relType·dst, indexable
+    // property `source` (edges carry no other properties in this
+    // model; any other property list gets a targeted error)
+    val RelFulltextIdxRe =
+      ("""(?is)^CREATE\s+FULLTEXT\s+INDEX\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\)\s*-\s*\[\s*\w+\s*:\s*(\w+)\s*\]\s*-\s*\(\s*\)""" +
+        """\s*ON\s+EACH\s*\[\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\]""" +
+        """\s*(OPTIONS\s*\{.*\})?\s*$""").r
     // CREATE [RANGE] INDEX … FOR (n:L) ON (n.prop): a REAL
     // property-value index — a commit-maintained (sect=p, H(val))
     // projection table the planner routes `MATCH (n:L {p: $v})`
@@ -5873,6 +5950,25 @@ object CypherEngine {
                 .mkString(" | ") + ")")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "fulltext", label, props, analyzer = an))
+      case RelFulltextIdxRe(name, ine, relType, propList, opts) =>
+        val props = propList.split(",")
+          .map(_.trim.split("\\.", 2)(1)).toSeq
+        props.find(_ != "source").foreach(p =>
+          throw new IllegalArgumentException(
+            s"relationship fulltext indexes can only index r.source " +
+              s"(edges carry no other properties in this model), got r.$p"))
+        val an = """(?i)[`"]?fulltext\.analyzer[`"]?\s*:\s*'([\w-]+)'""".r
+          .findFirstMatchIn(Option(opts).getOrElse(""))
+          .map(_.group(1).toLowerCase)
+          .getOrElse(graft.store.SearchIndexes.StandardAnalyzer)
+        if (!graft.store.SearchIndexes.Analyzers.contains(an))
+          throw new IllegalArgumentException(
+            s"unknown fulltext analyzer: $an (" +
+              graft.store.SearchIndexes.Analyzers.toSeq.sorted
+                .mkString(" | ") + ")")
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "fulltext", relType, "source", analyzer = an,
+          entity = "RELATIONSHIP"))
       case PropIdxRe(name0, ine, label, prop) =>
         // gid IS the physical layout (hash buckets + sort) — nothing
         // to build; likewise the model columns
@@ -5892,12 +5988,15 @@ object CypherEngine {
               "CREATE VECTOR INDEX <name> [IF NOT EXISTS] " +
               "FOR (n:Label) ON (n.prop) [OPTIONS {indexConfig: " +
               "{`vector.dimensions`: d, `vector.similarity_function`: " +
-              "'cosine'|'euclidean'}}] (node indexes, one property)")
+              "'cosine'|'euclidean'}}] — node indexes, one property " +
+              "(relationship vector indexes are unsupported: edges " +
+              "carry no list-valued properties in this model)")
         if (u.startsWith("CREATE FULLTEXT INDEX"))
           throw new IllegalArgumentException(
             "unsupported CREATE FULLTEXT INDEX form; supported: " +
-              "CREATE FULLTEXT INDEX <name> [IF NOT EXISTS] " +
-              "FOR (n:Label) ON EACH [n.p1, n.p2, …] (node indexes)")
+              "CREATE FULLTEXT INDEX <name> [IF NOT EXISTS] FOR " +
+              "(n:Label) ON EACH [n.p1, …] or FOR ()-[r:T]-() ON " +
+              "EACH [r.source]")
         // a composite property list almost-matched PropIdxRe — give a
         // targeted error instead of silently acking it as intrinsic
         if ((u.startsWith("CREATE INDEX") ||

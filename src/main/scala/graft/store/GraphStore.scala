@@ -148,7 +148,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           // entries written before the analyzer field were BUILT with
           // the whitespace tokenizer — read them back as such
           if (str("analyzer").isEmpty) SearchIndexes.WhitespaceAnalyzer
-          else str("analyzer"))
+          else str("analyzer"),
+          if (str("entity").isEmpty) "NODE" else str("entity"))
       }
       case _ => Nil
     }
@@ -164,6 +165,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "dims" -> JInt(d.dims), "similarity" -> JString(d.similarity),
         "cells" -> JInt(d.cells), "nprobe" -> JInt(d.nprobe),
         "analyzer" -> JString(d.analyzer),
+        "entity" -> JString(d.entity),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -222,11 +224,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * procedures then fall back to scanning the overlay view — correct,
     * just unindexed, mirroring redgesReady).
     */
-  def searchIndexReady(d: IndexDef): Boolean =
-    !session.exists(_.workNodes.isDefined) && {
+  def searchIndexReady(d: IndexDef): Boolean = {
+    // uncommitted writes to the index's SOURCE table make the on-disk
+    // index stale for the session's view — procedures then scan the
+    // overlay (redgesReady's contract)
+    val staleWork =
+      if (d.entity == "RELATIONSHIP") session.exists(_.workEdges.isDefined)
+      else session.exists(_.workNodes.isDefined)
+    !staleWork && {
       val v = currentVersion
       v > 0L && readManifest(v).contains(d.tableName)
     }
+  }
 
   /** partition-pruned read of an index table: `keep` filters manifest
     * partition keys (`cell=c3/bucket=…`, `sect=t/bucket=5`) so a probe
@@ -584,8 +593,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       }
       val idxManFs = sdefs.map { d =>
         d.tableName -> Future {
-          val (view, dirty) = searchIndexDelta(d, newNodes, dirtyNodes,
-            prev, bc)
+          val (view, dirty) = searchIndexDelta(d, newNodes, newEdges,
+            dirtyNodes, dirtyEdges, prev, bc)
           val (pc, cc) = d.kind match {
             case "vector" => ("cell", "gid")
             case "fulltext" => ("sect", "term")
@@ -698,7 +707,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   private def searchIndexDelta(
       d: IndexDef,
       newNodes: DataFrame,
+      newEdges: DataFrame,
       dirtyNodes: Option[Set[DirtyKey]],
+      dirtyEdges: Option[Set[DirtyKey]],
       prev: Manifest,
       bc: Int): (DataFrame, Option[Set[DirtyKey]]) = {
     import SearchIndexes._
@@ -711,21 +722,32 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     def empty = spark.createDataFrame(
       java.util.Collections.emptyList[Row](), schema)
     val prevIdx = prev.getOrElse(tbl, Map.empty)
-    val prevNodes = prev.getOrElse("nodes", Map.empty)
+    // a RELATIONSHIP index sources the EDGE table: its delta is
+    // bounded by the commit's edge rewrite set instead of the node one
+    val isRel = d.entity == "RELATIONSHIP"
+    val (srcNew, srcDirty, prevSrc, srcTable, srcSchema, srcPart, srcKey) =
+      if (isRel)
+        (newEdges, dirtyEdges, prev.getOrElse("edges", Map.empty),
+          "edges", edgeSchema, "relType", "src")
+      else
+        (newNodes, dirtyNodes, prev.getOrElse("nodes", Map.empty),
+          "nodes", nodeSchema, "label", "gid")
+    def docsOf(frame: DataFrame): DataFrame =
+      if (isRel) edgeTexts(frame, d) else texts(frame, d)
     // a def whose table is not in the previous manifest (fresh DDL)
-    // builds fully; so does a full node rewrite (compact / rebucket)
+    // builds fully; so does a full source rewrite (compact / rebucket)
     // and a just-(re)registered def whose NAME matches a dropped
     // index's carried-forward table (forceIndexRebuild0 — the stale
     // rows belong to the OLD definition)
     val mustRebuild = (!prev.contains(tbl) ||
-      forceIndexRebuild0.contains(d.name)) && prevNodes.nonEmpty
+      forceIndexRebuild0.contains(d.name)) && prevSrc.nonEmpty
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty
         else assignCells(vectors(newNodes, d), d.centroids, d.similarity)
       case "property" => propRows(newNodes, d)
       case _ =>
-        val docs = texts(newNodes, d)
+        val docs = docsOf(srcNew)
         val st = docs
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)),
@@ -736,15 +758,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
         tokenRows(docs, d.analyzer).unionByName(statsRow(spark, n, sdl))
     }
-    if (mustRebuild || dirtyNodes.isEmpty) return (fullView, None)
-    val keys = dirtyNodes.get
+    if (mustRebuild || srcDirty.isEmpty) return (fullView, None)
+    val keys = srcDirty.get
     if (keys.isEmpty) return (empty, Some(Set.empty))
-    val changedOldNodes = readFiles("nodes",
-      prevNodes.view.filterKeys(keyMatches("label", keys)).values
-        .flatten.toSeq, nodeSchema)
+    val changedOldNodes = readFiles(srcTable,
+      prevSrc.view.filterKeys(keyMatches(srcPart, keys)).values
+        .flatten.toSeq, srcSchema)
     val changedNewNodes = dirtyFilter(
-      newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
-      "label", keys).drop("bucket")
+      srcNew.withColumn("bucket", pmod(hash(col(srcKey)), lit(bc))),
+      srcPart, keys).drop("bucket")
     d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) return (empty, Some(Set.empty))
@@ -793,8 +815,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .select(pxSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
       case _ =>
-        val oldD = texts(changedOldNodes, d)
-        val newD = texts(changedNewNodes, d)
+        val oldD = docsOf(changedOldNodes)
+        val newD = docsOf(changedNewNodes)
         // changed docs appear on both sides; deterministic
         // tokenization makes the removed rows byte-equal to the old
         // stored rows, so every stale row lives in a dirty bucket

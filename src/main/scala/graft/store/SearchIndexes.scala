@@ -39,7 +39,13 @@ case class IndexDef(
     // on non-alphanumeric) or "whitespace" (case-sensitive \s+ split).
     // Sidecar entries written before this field read back as
     // "whitespace" — what those indexes were built with.
-    analyzer: String = SearchIndexes.StandardAnalyzer) {
+    analyzer: String = SearchIndexes.StandardAnalyzer,
+    // "NODE" | "RELATIONSHIP" (`FOR ()-[r:T]-()`): a relationship
+    // index sources the EDGE table — label holds the relType, the
+    // document identity is src·relType·dst, and the indexable
+    // property surface is `source` (edges carry no other properties
+    // in this model, matching the reference's bare refs)
+    entity: String = "NODE") {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name
@@ -204,6 +210,22 @@ object SearchIndexes {
       .select(lit("p").as("sect"), encodeScalar(pv).as("val"), col("gid"))
       .filter(col("val").isNotNull)
   }
+
+  /** separator of the composite edge identity a relationship index
+    * keys its documents by (src SEP relType SEP dst) — a control
+    * character no URI-shaped gid contains; hits re-join the edge
+    * table on the recomputed composite, so it is never parsed back */
+  val EdgeGidSep = "\u0001"
+
+  /** `(gid, text)` of every edge of a RELATIONSHIP def's relType
+    * carrying a non-empty `source` — the relationship-index document
+    * extraction (the edge-table twin of [[texts]]) */
+  def edgeTexts(edges: DataFrame, d: IndexDef): DataFrame =
+    edges
+      .filter(col("relType") === d.label && col("source").isNotNull &&
+        length(trim(col("source"))) > 0)
+      .select(concat_ws(EdgeGidSep, col("src"), col("relType"),
+        col("dst")).as("gid"), col("source").as("text"))
 
   /** analyzer names — Neo4j's default and the legacy/explicit
     * whitespace analyzer */

@@ -472,12 +472,65 @@ class SearchIndexSpec extends AnyFunSuite {
       CypherEngine.query(st,
         "CREATE VECTOR INDEX vx FOR ()-[r:T]-() ON (r.v)")
     }
-    assert(rel.getMessage.contains("node indexes"))
+    assert(rel.getMessage.contains("no list-valued properties"))
     val relF = intercept[IllegalArgumentException] {
       CypherEngine.query(st,
         "CREATE FULLTEXT INDEX fx FOR ()-[r:T]-() ON EACH [r.a]")
     }
-    assert(relF.getMessage.contains("node indexes"))
+    assert(relF.getMessage.contains("r.source"))
+  }
+
+  test("relationship fulltext index: DDL, queryRelationships, delta") {
+    val st = newStore("relft")
+    val sess = CypherEngine.session(st)
+    // edges with distinct source strings (the one edge property)
+    Seq(("a", "b", "Batch Alpha sync"), ("b", "c", "manual import"),
+        ("c", "d", "alpha feed")).foreach { case (s0, d0, src) =>
+      sess.run(s"MERGE (:P {gid: 'n:$s0'})").collect()
+      sess.run(s"MERGE (:P {gid: 'n:$d0'})").collect()
+      sess.run(
+        s"""MATCH (a:P {gid: 'n:$s0'}), (b:P {gid: 'n:$d0'})
+           |CREATE (a)-[:KNOWS {source: '$src'}]->(b)""".stripMargin)
+        .collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX rfx FOR ()-[r:KNOWS]-() ON EACH [r.source]")
+      .collect()
+    val d = st.indexDef("rfx").get
+    assert(d.entity == "RELATIONSHIP" && d.label == "KNOWS" &&
+      d.property == "source")
+    assert(st.searchIndexReady(d))
+    // SHOW INDEXES lists it with the RELATIONSHIP entity type
+    val listed = CypherEngine.query(st, "SHOW INDEXES")
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(listed.get("rfx").contains("RELATIONSHIP"))
+    // standard analyzer: 'Alpha' matches lowercase query
+    val got = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryRelationships('rfx', 'alpha')
+        |YIELD relationship, score
+        |RETURN startNode(relationship).gid AS s,
+        |  endNode(relationship).gid AS e, score
+        |ORDER BY s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("n:a", "n:b"), ("n:c", "n:d")))
+    // wrong-procedure targeted errors
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('rfx', 'alpha')
+          |YIELD node, score RETURN 1 AS o""".stripMargin)
+    }
+    // delta: a new edge's postings appear after its commit
+    CypherEngine.query(st,
+      """MATCH (a:P {gid: 'n:d'}), (b:P {gid: 'n:a'})
+        |CREATE (a)-[:KNOWS {source: 'alpha backfill'}]->(b)"""
+        .stripMargin).collect()
+    val after = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryRelationships('rfx', 'backfill')
+        |YIELD relationship, score
+        |RETURN startNode(relationship).gid AS s""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("n:d"))
   }
 
   test("multi-property fulltext index concatenates the fields") {
