@@ -398,6 +398,50 @@ class CypherSpec extends AnyFunSuite {
     assert(merged.map(_.getString(0)).toSeq == Seq("renamed"))
   }
 
+  test("chain MERGE: whole-pattern match vs create-the-missing") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-wpmerge").toString, spark, 2)
+    CypherEngine.query(st,
+      "CREATE (:X {gid: 'x', keep: 'original'})").collect()
+    val v0 = st.currentVersion
+
+    // PATTERN-MISSING with a pre-existing endpoint: only the missing
+    // elements are created; x is REUSED by its key — its properties
+    // are untouched (the documented gid-keyed narrowing of Neo4j's
+    // duplicate-the-whole-pattern behavior)
+    val r1 = CypherEngine.query(st,
+      """MERGE (a:X {gid: 'x', keep: 'overwrite-attempt'})
+        |-[:R]->(b:Y {gid: 'y'})""".stripMargin).collect().head
+    assert(r1.getAs[Long]("nodes_created") == 1L, "only y created")
+    assert(r1.getAs[Long]("relationships_created") == 1L)
+    assert(CypherEngine.query(st,
+      "MATCH (a:X {gid: 'x'}) RETURN a.keep AS k")
+      .collect().head.getString(0) == "original")
+    val v1 = st.currentVersion
+    assert(v1 > v0)
+
+    // PATTERN-EXISTS: the whole chain matches — a pure read. Nothing
+    // is created, bindings carry the EXISTING nodes' values, and the
+    // store version does not move (no re-record in the change feed)
+    val r2 = CypherEngine.query(st,
+      """MERGE (a:X {gid: 'x'})-[:R]->(b:Y {gid: 'y'})
+        |RETURN a.keep AS k, b.gid AS bg""".stripMargin).collect().head
+    assert(r2.getString(0) == "original" && r2.getString(1) == "y")
+    assert(st.currentVersion == v1, "fully-matched MERGE must not commit")
+    val counters = CypherEngine.query(st,
+      "MERGE (a:X {gid: 'x'})-[:R]->(b:Y {gid: 'y'})").collect().head
+    assert(counters.getAs[Long]("nodes_created") == 0L)
+    assert(counters.getAs[Long]("relationships_created") == 0L)
+
+    // edge-only gap: both endpoints exist, the edge doesn't — exactly
+    // the relationship is created
+    CypherEngine.query(st, "CREATE (:Z {gid: 'z'})").collect()
+    val r3 = CypherEngine.query(st,
+      "MERGE (a:X {gid: 'x'})-[:R2]->(c:Z {gid: 'z'})").collect().head
+    assert(r3.getAs[Long]("nodes_created") == 0L)
+    assert(r3.getAs[Long]("relationships_created") == 1L)
+  }
+
   test("MERGE ON CREATE SET / ON MATCH SET hit only their rows") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-onmerge").toString, spark, 2)
