@@ -61,6 +61,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("every registry entry plans scale-safe (whole-registry guard)") {
+    // the guard that keeps FUTURE entries scale-true by construction:
+    // after executing each of the 180+ registry queries at sf0.001,
+    // its final (AQE-resolved) plan and subqueries must contain
+    //  (a) no WindowExec with an empty partition spec — a global
+    //      window funnels every row into ONE task at any scale;
+    //  (b) no CartesianProductExec whose BOTH inputs exceed a row
+    //      bound — an unbounded all-pairs join. Tiny sides (driver
+    //      configs, stats rows, probe lists) are legitimate.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      val df =
+        try graft.SparkEntry.queries(name)(spark, dir)
+        catch { case e: Throwable =>
+          failures += s"$name: define failed: ${e.getMessage}"; null }
+      if (df != null) {
+        try {
+          df.write.mode("overwrite").format("noop").save()
+          val plans = flatten(df.queryExecution.executedPlan)
+          plans.foreach {
+            case w: WindowExec if w.partitionSpec.isEmpty =>
+              failures += s"$name: unpartitioned WindowExec"
+            case c: CartesianProductExec =>
+              def rows(p: SparkPlan): Long = flatten(p)
+                .flatMap(_.metrics.get("numOutputRows").map(_.value))
+                .headOption.getOrElse(0L)
+              val (l, r) = (rows(c.left), rows(c.right))
+              if (l > 1000 && r > 1000)
+                failures += s"$name: CartesianProduct ${l}x$r rows"
+            case _ => ()
+          }
+        } catch { case e: Throwable =>
+          failures += s"$name: execute failed: ${e.getMessage}" }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} offenders:\n${failures.mkString("\n")}")
+  }
+
   test("CALL { } IN TRANSACTIONS executes no unpartitioned window") {
     // the batching runs inside the planner (writes), so watch every
     // execution fired while the statement runs via a listener
