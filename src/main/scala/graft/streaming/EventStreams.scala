@@ -629,6 +629,35 @@ object EventStreams {
       .as[CampaignHit]
   }
 
+  case class ClickEv(click_id: Long, cuser: Long,
+      clickTime: java.sql.Timestamp)
+  case class BuyEv(purchase_id: Long, buser: Long,
+      buyTime: java.sql.Timestamp)
+
+  /** Watermarked STREAM-STREAM join — the join category the other
+    * twins don't cover (intervalJoinStream is stream-static,
+    * attributeStream is stateful-fold): each purchase joins every
+    * click by the same user within the last hour
+    * (`clickTime ∈ [buyTime − 1h, buyTime]`). Both sides carry
+    * watermarks, so Spark derives the state-retention bound from the
+    * join's time-range condition and EVICTS clicks older than
+    * `watermark − 1h` instead of buffering the stream forever — the
+    * property that makes a stream-stream join runnable at scale.
+    * Inner join, append mode; the last-click attribution is a batch
+    * `max(clickTime) per purchase` over this compact pair output.
+    */
+  def clickPurchaseJoinStream(clicks: Dataset[ClickEv],
+      buys: Dataset[BuyEv], watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("clickTime", watermark)
+    val b = buys.withWatermark("buyTime", watermark)
+    b.join(c, expr(
+      """cuser = buser AND
+         clickTime <= buyTime AND
+         clickTime >= buyTime - INTERVAL 1 HOUR"""))
+      .select(col("purchase_id"), col("buser").as("user_id"),
+        col("buyTime"), col("click_id"), col("clickTime"))
+  }
+
   case class MarkovEvent(user_id: Long, event_type: String,
       tsMicros: Long, event_id: Long)
   case class Transition(from_type: String, to_type: String)

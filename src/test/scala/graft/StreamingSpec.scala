@@ -339,6 +339,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.contains(c), s"campaign $c missing from stream"))
   }
 
+  test("watermarked stream-stream click/purchase join matches the " +
+      "batch interval join across a time-ordered micro-batch split") {
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.queries.EventOps.normalizeTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select($"event_id", $"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val clicks = evs.filter(_._4 == "click").sortBy(_._3)
+    val buys = evs.filter(_._4 == "purchase").sortBy(_._3)
+    assert(clicks.nonEmpty && buys.nonEmpty)
+    // batch truth: all (purchase, click) pairs by user within 1 hour
+    val lagUs = 3600L * 1000000L
+    val byUser = clicks.groupBy(_._2)
+    val expected = buys.flatMap { case (pid, u, pt, _) =>
+      byUser.getOrElse(u, Array.empty)
+        .filter { case (_, _, ct, _) => ct <= pt && ct >= pt - lagUs }
+        .map { case (cid, _, _, _) => (pid, cid) }
+    }.toSet
+    assert(expected.nonEmpty, "fixture has no in-window pairs")
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val bms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val cIn = cms.toDS().map { case (id, u, t) =>
+      EventStreams.ClickEv(id, u, new java.sql.Timestamp(t / 1000)) }
+    val bIn = bms.toDS().map { case (id, u, t) =>
+      EventStreams.BuyEv(id, u, new java.sql.Timestamp(t / 1000)) }
+    val q = EventStreams.clickPurchaseJoinStream(cIn, bIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      // both sides split at the SAME time boundary (events sorted by
+      // event time), so later chunks are never behind the watermark
+      val mid = evs.map(_._3).sorted.apply(evs.length / 2)
+      for (late <- Seq(false, true)) {
+        val cc = clicks.filter(e => (e._3 > mid) == late)
+          .map(e => (e._1, e._2, e._3))
+        val bc = buys.filter(e => (e._3 > mid) == late)
+          .map(e => (e._1, e._2, e._3))
+        cms.addData(cc.toSeq: _*)
+        bms.addData(bc.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // flush: advance both watermarks past every buffered row
+      val tmax = evs.map(_._3).max + 10L * lagUs
+      cms.addData((-1L, -1L, tmax)); bms.addData((-1L, -2L, tmax))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin_out")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("streamed MinHash banding takes a precomputed stop-shingle set " +
       "and matches the batch DF cap where the cap bites") {
     // 6 docs sharing a 10-word prefix: every prefix shingle has DF 6.
