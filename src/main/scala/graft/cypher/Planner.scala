@@ -4379,7 +4379,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // plan time and parse_json'd; subscripts navigate via
       // variant_get and values render as their JSON text
       array(items.map(e => parse_json(lit(jsonOfLit(e).get))): _*)
-    case ListLit(items) => array(items.map(valueCol): _*)
+    case ListLit(items) =>
+      val cols = items.map(valueCol)
+      val plain = array(cols: _*)
+      // COLUMN-BUILT heterogeneous lists ([n.name, {k: n.age}],
+      // [[n.age], n.name]) take the same array<VARIANT> lowering as
+      // the literal form: when Spark's array() cannot unify the
+      // element types (analysis fails against the current frame),
+      // each element casts to VARIANT instead. Coercible mixes
+      // (long beside double) keep the plain array.
+      if (items.size < 2 || analyzes(plain)) plain
+      else array(cols.map(toVariant): _*)
     case Param(n) => params.get(n) match {
       case None => throw PlanError(s"missing parameter: $n")
       // list-of-maps — the reference's `$items` batches (neo4j.go:96)
@@ -5247,6 +5257,29 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         Some(parts.flatten.mkString("{", ",", "}"))
       else None
     case _ => None
+  }
+
+  /** does `c` analyze against the current frame? false ⇒ the
+    * expression mixes types Spark cannot unify (the column-built
+    * heterogeneous-list probe) */
+  private def analyzes(c: Column): Boolean = {
+    val frame = if (df != null) df else seedRow("__probe" -> 1L)
+    try { frame.select(c); true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+  }
+
+  /** lower one list element to VARIANT: native cast where Spark
+    * supports it (scalars), to_variant_object for struct/map shapes,
+    * else a JSON round-trip (`variant_get(parse_json(to_json(...)))`
+    * — to_json needs a container, so the element rides a 1-array) */
+  private def toVariant(c: Column): Column = {
+    val cast = c.cast("variant")
+    if (analyzes(cast)) cast
+    else {
+      val obj = to_variant_object(c)
+      if (analyzes(obj)) obj
+      else variant_get(parse_json(to_json(array(c))), "$[0]", "variant")
+    }
   }
 
   /** does this literal list need the VARIANT lowering? true when the

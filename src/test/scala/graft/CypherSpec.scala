@@ -4146,4 +4146,32 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
       "RETURN [1, 2, 3][1] AS x").collect().head
     assert(h.getLong(0) == 2L)
   }
+
+  test("column-built heterogeneous lists lower to VARIANT too") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-varcol").toString, spark, 2)
+    CypherEngine.query(st,
+      "CREATE (:T {gid: 't:1', name: 'ada', age: 7})").collect()
+    // scalar beside map beside nested list, all built from COLUMNS —
+    // the closed divergence: these formerly required unifiable types
+    val r = CypherEngine.query(st,
+      """MATCH (n:T {gid: 't:1'})
+        |RETURN [n.name, {k: n.age}, [n.age]] AS l,
+        |       [n.name, {k: n.age}, [n.age]][1].k AS k,
+        |       [[n.age], n.name][0][0] AS nested,
+        |       size([n.name, {k: n.age}]) AS sz""".stripMargin)
+      .collect().head
+    // dynamic (column-sourced) values render canonical strings inside
+    // maps/lists, as everywhere in the engine — hence "7", not 7
+    assert(r.getSeq[Any](0).map(String.valueOf).toSeq ==
+      Seq("\"ada\"", "{\"k\":\"7\"}", "[\"7\"]"))
+    assert(String.valueOf(r.get(1)).replace("\"", "") == "7")
+    assert(String.valueOf(r.get(2)).replace("\"", "") == "7")
+    assert(String.valueOf(r.get(3)) == "2")
+    // coercible mixes (long beside double) keep the plain array
+    val c = CypherEngine.query(st,
+      """MATCH (n:T {gid: 't:1'})
+        |RETURN [n.age, 1.5][0] AS x""".stripMargin).collect().head
+    assert(c.getDouble(0) == 7.0)
+  }
 }
