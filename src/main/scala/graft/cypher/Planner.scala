@@ -1570,8 +1570,75 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       b: Option[Set[String]]): Boolean =
     a.isEmpty || b.isEmpty || (a.get & b.get).nonEmpty
 
+  /** WHERE-clause equality conjuncts `n.p = <scalar const>` (either
+    * side) fold into node `n`'s inline property map when that makes a
+    * READY property index's route (propIndexedBase) applicable —
+    * `MATCH (n:L) WHERE n.p = $v` then plans the same gid-bucket
+    * point lookup as `MATCH (n:L {p: $v})`. Semantics-preserving:
+    * inline props ARE equality predicates evaluated inside the match
+    * (null/missing props drop the row either way, typed numeric
+    * equality matches propCmp/pvEq), and the conjunct MOVES, so
+    * nothing evaluates twice. Deliberately narrow: the variable must
+    * be a fresh pattern node occurring exactly once in the clause
+    * with a single label, the value a scalar literal or parameter the
+    * index can key, and a ready index must exist — otherwise the
+    * predicate stays verbatim in WHERE.
+    */
+  private def foldNodePropEqs(m: MatchClause): MatchClause = {
+    val wh = m.where.getOrElse(return m)
+    if (pendingNodes.nonEmpty || pendingNodeDeletes.nonEmpty) return m
+    def conjs(e: Expr): List[Expr] = e match {
+      case And(a, b) => conjs(a) ++ conjs(b)
+      case x => List(x)
+    }
+    def constOk(e: Expr): Boolean = e match {
+      case Lit(v) if v != null =>
+        graft.store.SearchIndexes.encodeValue(v).isDefined
+      case Param(p) => params.get(p).exists(v =>
+        graft.store.SearchIndexes.encodeValue(v).isDefined)
+      case _ => false
+    }
+    val occ = m.patterns.flatMap(p => p.head +: p.hops.map(_._2))
+      .flatMap(_.variable)
+    val once = occ.groupBy(identity).collect {
+      case (v, vs) if vs.size == 1 => v }.toSet
+    val nodesByVar: Map[String, NodePattern] =
+      m.patterns.flatMap(p => p.head +: p.hops.map(_._2))
+        .flatMap(n => n.variable.map(_ -> n)).toMap
+    def routable(v: String, k: String): Boolean =
+      once(v) && !env.contains(v) && nodesByVar.get(v).exists { n =>
+        n.label.isDefined && n.altLabels.isEmpty &&
+          !n.props.exists(_._1 == k) &&
+          store.indexDefs.exists(ix => ix.kind == "property" &&
+            ix.label == n.label.get && ix.property == k &&
+            store.searchIndexReady(ix))
+      }
+    var moved = Map.empty[String, List[(String, Expr)]]
+    def grab(v: String, k: String, value: Expr): Boolean =
+      if (routable(v, k) && !moved.getOrElse(v, Nil).exists(_._1 == k)) {
+        moved += v -> ((k, value) :: moved.getOrElse(v, Nil)); true
+      } else false
+    val kept = conjs(wh).filterNot {
+      case Cmp("=", PropRef(v, k), rhs) if constOk(rhs) => grab(v, k, rhs)
+      case Cmp("=", lhs, PropRef(v, k)) if constOk(lhs) => grab(v, k, lhs)
+      case _ => false
+    }
+    if (moved.isEmpty) m
+    else {
+      def aug(n: NodePattern): NodePattern = n.variable match {
+        case Some(v) if moved.contains(v) =>
+          n.copy(props = n.props ++ moved(v).reverse)
+        case _ => n
+      }
+      m.copy(
+        patterns = m.patterns.map(p => p.copy(head = aug(p.head),
+          hops = p.hops.map { case (r, nn) => (r, aug(nn)) })),
+        where = kept.reduceOption(And(_, _)))
+    }
+  }
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
-    val m = foldRelProps(m0)
+    val m = foldNodePropEqs(foldRelProps(m0))
     // save/restore the uniqueness scope: subquery bodies (pattern
     // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
     // their own clause scope mid-plan

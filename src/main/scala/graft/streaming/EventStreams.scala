@@ -629,6 +629,31 @@ object EventStreams {
       .as[CampaignHit]
   }
 
+  case class PropEvent(gid: String, sVal: Option[String],
+      lVal: Option[Long], dVal: Option[Double], bVal: Option[Boolean])
+  case class PxRow(sect: String, value: String, gid: String)
+
+  /** Streaming property-index ingest — the row-local twin of the px
+    * table's build/delta extraction (SearchIndexes.propRows): each
+    * arriving node's scalar property value emits its
+    * (sect="p", encoded value, gid) row for the same
+    * `sect=p/bucket=H(val)` layout the batch commits maintain.
+    * Stateless, append mode; the slot precedence (s, l, d, b) and the
+    * numeric-through-double canonicalization are the SHARED
+    * encodeValue/encodeScalar definition, so stream and batch rows
+    * are byte-equal (pinned by the spec). Completes the live-ingest
+    * trio alongside ftPostingsStream and vxAssignStream.
+    */
+  def pxRowsStream(props: Dataset[PropEvent]): Dataset[PxRow] = {
+    import props.sparkSession.implicits._
+    props.flatMap { e =>
+      val v: Option[Any] =
+        e.sVal.orElse(e.lVal).orElse(e.dVal).orElse(e.bVal)
+      v.flatMap(graft.store.SearchIndexes.encodeValue)
+        .map(enc => PxRow("p", enc, e.gid)).iterator
+    }
+  }
+
   case class ClickEv(click_id: Long, cuser: Long,
       clickTime: java.sql.Timestamp)
   case class BuyEv(purchase_id: Long, buser: Long,

@@ -313,6 +313,20 @@ class SearchIndexSpec extends AnyFunSuite {
       st.pxProbeKeys("s:u7@x.io")).inputFiles.toSet
     assert(pxProbe.nonEmpty && pxProbe.size < pxAll.size)
 
+    // WHERE-clause equality folds into the same routed lookup
+    val viaWhere = CypherEngine.query(st,
+      "MATCH (p:Person) WHERE p.email = 'u7@x.io' RETURN p.gid AS gid")
+    assert(viaWhere.collect().map(_.getString(0)).toSeq == Seq("p:7"))
+    assert(viaWhere.inputFiles.toSet.subsetOf(allNodeFiles) &&
+      viaWhere.inputFiles.toSet.size < allNodeFiles.size,
+      "WHERE p.email = … did not take the index route")
+    // …and compound WHEREs keep their residual conjuncts
+    val compound = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.email = 'u8@x.io' AND p.age > 0
+        |RETURN p.gid AS gid""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(compound == Seq("p:8")) // 8 % 7 = 1 > 0
+
     // numeric cross-slot: a long-stored value found via long OR double
     CypherEngine.query(st,
       "CREATE INDEX aidx FOR (p:Person) ON (p.age)").collect()

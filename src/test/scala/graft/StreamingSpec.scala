@@ -339,6 +339,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.contains(c), s"campaign $c missing from stream"))
   }
 
+  test("pxRowsStream == SearchIndexes.propRows across a split batch") {
+    // one store with mixed-typed scalar props; the batch extraction
+    // is the oracle for the streamed rows (shared encode definition)
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-pxstream").toString, spark, 2)
+    val sess = graft.cypher.CypherEngine.session(st)
+    val fixtures: Seq[(String, Any)] = Seq(
+      "p:1" -> "alpha", "p:2" -> 42L, "p:3" -> 4.25, "p:4" -> true,
+      "p:5" -> 42.0, "p:6" -> "Beta Gamma")
+    fixtures.foreach { case (g, v) =>
+      val lit = v match {
+        case s: String => s"'$s'"
+        case other => other.toString
+      }
+      sess.run(s"CREATE (:P {gid: '$g', x: $lit})").collect()
+    }
+    sess.commit()
+    val d = graft.store.IndexDef("pxs", "property", "P", "x")
+    val expected = graft.store.SearchIndexes.propRows(st.nodes, d)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(expected.size == fixtures.size)
+    // 42L and 42.0 canonicalize to the SAME key (numeric equality)
+    assert(expected.count(_._2 == "n:42.0") == 2)
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Double, Boolean, Int)]
+    val input = ms.toDS().map { case (g, s, l, dd, b, tag) =>
+      EventStreams.PropEvent(g,
+        if (tag == 0) Some(s) else None,
+        if (tag == 1) Some(l) else None,
+        if (tag == 2) Some(dd) else None,
+        if (tag == 3) Some(b) else None)
+    }
+    val q = EventStreams.pxRowsStream(input)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("px_out").start()
+    val evs = fixtures.map {
+      case (g, s: String) => (g, s, 0L, 0.0, false, 0)
+      case (g, l: Long) => (g, "", l, 0.0, false, 1)
+      case (g, dd: Double) => (g, "", 0L, dd, false, 2)
+      case (g, b: Boolean) => (g, "", 0L, 0.0, b, 3)
+      case (g, other) => throw new IllegalArgumentException(s"$g $other")
+    }
+    try {
+      evs.grouped(3).foreach { c =>
+        ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("px_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("watermarked stream-stream click/purchase join matches the " +
       "batch interval join across a time-ordered micro-batch split") {
     val dir = "/root/testdata/sf0.001"
