@@ -5931,8 +5931,18 @@ object CypherEngine {
               s"CALL db.indexes() YIELD ${cols.mkString(", ")} " +
                 s"WHERE type = '$kind' " +
                 s"RETURN ${cols.mkString(", ")} ORDER BY name"
-            else s"CALL db.indexes() YIELD ${cols.mkString(", ")} " +
-              s"WHERE type = '$kind' WITH ${cols.mkString(", ")} $rest")
+            else {
+              // `SHOW RANGE INDEXES YIELD name WHERE … RETURN …`: the
+              // user's YIELD projects after the kind filter — rewrite
+              // it as a WITH stage so it chains onto the synthesized
+              // filter pipeline
+              val restAdj =
+                if (rest.toUpperCase.startsWith("YIELD"))
+                  "WITH" + rest.drop("YIELD".length)
+                else rest
+              s"CALL db.indexes() YIELD ${cols.mkString(", ")} " +
+                s"WHERE type = '$kind' WITH ${cols.mkString(", ")} $restAdj"
+            })
         }
       show("SHOW PROCEDURES", "dbms.procedures", Seq("name", "signature"))
         .orElse(show("SHOW FUNCTIONS", "dbms.functions",

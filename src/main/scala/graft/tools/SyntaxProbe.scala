@@ -1056,6 +1056,118 @@ object SyntaxProbe {
           s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE18 $tag: $res")
     }
+
+    // battery 19 (driver round 11): property indexes + routed
+    // lookups, relationship fulltext, analyzers, Lucene query syntax,
+    // IVF scale-dial options
+    val pstore = new graft.store.GraphStore(
+      java.nio.file.Files.createTempDirectory("graft-probe19").toString,
+      s, 4)
+    val p19sess = CypherEngine.session(pstore)
+    (1 to 12).foreach { i =>
+      p19sess.run(
+        s"CREATE (:U19 {gid: 'u19:$i', mail: 'm$i@x.io', n: ${i % 4}, " +
+          s"bio: 'Likes Spark, joins & Hash-maps no$i'})").collect()
+    }
+    p19sess.run("MERGE (:U19 {gid: 'u19:hub'})").collect()
+    (1 to 3).foreach(i => p19sess.run(
+      s"""MATCH (a:U19 {gid: 'u19:$i'}), (b:U19 {gid: 'u19:hub'})
+         |CREATE (a)-[:FOLLOWS {source: 'Feed Import $i'}]->(b)"""
+        .stripMargin).collect())
+    p19sess.commit()
+    val probes19: Seq[(String, String)] = Seq(
+      "prop-index-create" ->
+        "CREATE INDEX u19mail FOR (u:U19) ON (u.mail)",
+      "prop-index-create-unnamed" ->
+        "CREATE INDEX FOR (u:U19) ON (u.n)",
+      "prop-index-if-not-exists" ->
+        "CREATE INDEX u19mail IF NOT EXISTS FOR (u:U19) ON (u.mail)",
+      "prop-index-duplicate" ->
+        "CREATE INDEX u19mail FOR (u:U19) ON (u.mail)",
+      "prop-index-range-kw" ->
+        "CREATE RANGE INDEX u19r FOR (u:U19) ON (u.bio)",
+      "prop-index-gid-intrinsic" ->
+        "CREATE INDEX gx19 FOR (u:U19) ON (u.gid)",
+      "prop-index-composite-error" ->
+        "CREATE INDEX c19 FOR (u:U19) ON (u.a, u.b)",
+      "prop-lookup-inline" ->
+        "MATCH (u:U19 {mail: 'm7@x.io'}) RETURN u.gid AS g",
+      "prop-lookup-where" ->
+        "MATCH (u:U19) WHERE u.mail = 'm3@x.io' RETURN u.gid AS g",
+      "prop-lookup-param" ->
+        "MATCH (u:U19 {n: $k}) RETURN count(*) AS c",
+      "prop-lookup-numeric-cross" ->
+        "MATCH (u:U19 {n: 2.0}) RETURN count(*) AS c",
+      "show-range-indexes" ->
+        ("SHOW RANGE INDEXES YIELD name WHERE name STARTS WITH 'u19' " +
+          "RETURN name ORDER BY name"),
+      "ft-analyzer-default" ->
+        "CREATE FULLTEXT INDEX f19 FOR (u:U19) ON EACH [u.bio]",
+      "ft-query-case-insensitive" ->
+        """CALL db.index.fulltext.queryNodes('f19', 'SPARK')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-query-punct-stripped" ->
+        """CALL db.index.fulltext.queryNodes('f19', 'hash')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-lucene-and-not" ->
+        """CALL db.index.fulltext.queryNodes('f19', 'spark AND hash NOT no3')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-lucene-phrase" ->
+        """CALL db.index.fulltext.queryNodes('f19', '"likes spark"')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-lucene-prefix" ->
+        """CALL db.index.fulltext.queryNodes('f19', 'jo*')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-lucene-parens" ->
+        """CALL db.index.fulltext.queryNodes('f19', '(no1 OR no2) AND spark')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-pure-negative-error" ->
+        """CALL db.index.fulltext.queryNodes('f19', 'NOT spark')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-whitespace-analyzer-opt" ->
+        """CREATE FULLTEXT INDEX f19w FOR (u:U19) ON EACH [u.bio]
+           OPTIONS {indexConfig: {`fulltext.analyzer`: 'whitespace'}}""",
+      "ft-whitespace-case-sensitive" ->
+        """CALL db.index.fulltext.queryNodes('f19w', 'spark')
+           YIELD node, score RETURN count(*) AS c""",
+      "relft-create" ->
+        """CREATE FULLTEXT INDEX rf19 FOR ()-[r:FOLLOWS]-()
+           ON EACH [r.source]""",
+      "relft-query" ->
+        """CALL db.index.fulltext.queryRelationships('rf19', 'feed')
+           YIELD relationship, score
+           RETURN endNode(relationship).gid AS g, count(*) AS c""",
+      "relft-wrong-proc" ->
+        """CALL db.index.fulltext.queryNodes('rf19', 'feed')
+           YIELD node, score RETURN count(*) AS c""",
+      "relft-nonsource-error" ->
+        "CREATE FULLTEXT INDEX rb19 FOR ()-[r:FOLLOWS]-() ON EACH [r.weight]",
+      "rel-vector-error" ->
+        "CREATE VECTOR INDEX rv19 FOR ()-[r:FOLLOWS]-() ON (r.v)",
+      "vector-dial-options" ->
+        """CREATE VECTOR INDEX v19 FOR (u:U19) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.ivf.cells`: 8,
+             `graft.ivf.nprobe`: 3}}""",
+      "vector-dial-out-of-range" ->
+        """CREATE VECTOR INDEX v19b FOR (u:U19) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.ivf.cells`: 99999}}""",
+      "prop-index-drop" -> "DROP INDEX u19r",
+      "merge-chain-pure-match" ->
+        """MERGE (a:U19 {gid: 'u19:1'})-[:FOLLOWS]->(b:U19 {gid: 'u19:hub'})
+           RETURN a.mail AS m""",
+      "hetero-column-list" ->
+        """MATCH (u:U19 {gid: 'u19:2'})
+           RETURN [u.mail, {k: u.n}, [u.n]][1].k AS k""")
+    probes19.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(pstore, q,
+            Map("k" -> 2L)).collect()
+          "PASS " + rows.take(3).mkString("; ").take(130)
+        } catch { case e: Throwable =>
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
+      println(s"PROBE19 $tag: $res")
+    }
     s.stop()
   }
 }
