@@ -747,6 +747,20 @@ DETACH DELETE n
            RETURN node.gid AS gid, score""")
         .select($"gid", round($"score", 9).as("score"))
         .orderBy($"gid")
+    }),
+
+    // Lucene phrase query: conjunctive candidates from the posting
+    // buckets, contiguity post-verified on the stored text — the
+    // oracle replays the sliding-window check with a list lambda.
+    "cypher_fulltext_phrase" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', '"merge join"')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
     }))
 
   /** embeddings table as :Emb nodes (gid `v:<vec_id>`, list prop
@@ -1358,5 +1372,36 @@ DETACH DELETE n
          SELECT p.gid, round(p.score, 9) AS score FROM pos p
          WHERE NOT EXISTS (SELECT 1 FROM contrib m
            WHERE m.gid = p.gid AND m.term = 'merge')
-         ORDER BY p.gid""")
+         ORDER BY p.gid""",
+
+    // phrase twin: both terms' BM25 contributions for docs where the
+    // tokens are CONTIGUOUS in order (sliding-window list lambda)
+    "cypher_fulltext_phrase" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term IN ('merge', 'join')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s),
+         cand AS (SELECT gid, sum(c) score FROM contrib
+           GROUP BY gid HAVING count(DISTINCT term) = 2)
+         SELECT cand.gid, round(cand.score, 9) AS score
+         FROM cand JOIN d ON cand.gid = d.gid
+         WHERE len(list_filter(range(1, len(d.w)),
+           i -> d.w[i] = 'merge' AND d.w[i+1] = 'join')) > 0
+         ORDER BY cand.gid""")
 }
