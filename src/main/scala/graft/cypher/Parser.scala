@@ -480,10 +480,16 @@ object Parser {
         val (orderBy, skip, limit) = parseTail(p)
         Ast.Query(clauses.result(), distinct, items, orderBy, skip, limit)
       case None | Some(Kw("UNION")) | Some(Sym("}")) =>
+        val cs = clauses.result()
         if (sawWrite || returnOptional)
-          Ast.Query(clauses.result(), distinct = false, Nil, Nil, None, None)
+          Ast.Query(cs, distinct = false, Nil, Nil, None, None)
         else if (!sawAny)
           throw ParseException("query must start with MATCH/UNWIND")
+        // standalone CALL (Neo4j): a procedure call may END the query
+        // with no RETURN — it projects everything it yielded/bound
+        else if (cs.lastOption.exists(_.isInstanceOf[Ast.CallProc]))
+          Ast.Query(cs, distinct = false,
+            Seq(Ast.ReturnItem(Ast.Star, None)), Nil, None, None)
         else throw ParseException("expected RETURN or a write clause")
       case Some(other) =>
         throw ParseException(s"trailing input: $other")

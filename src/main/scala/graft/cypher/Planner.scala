@@ -3625,7 +3625,87 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case other => throw PlanError(
         s"$what takes one integer argument, got $other")
     }
+    // procedure-argument helpers shared by the legacy index-creation
+    // procedures below
+    def pStr(e: Ast.Expr, what: String): String = e match {
+      case Lit(s: String) => s
+      case Param(n) => params.get(n) match {
+        case Some(s: String) => s
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(s"$what needs a string, got $other")
+    }
+    def pStrList(e: Ast.Expr, what: String): Seq[String] = e match {
+      case ListLit(items) => items.map(pStr(_, what))
+      case Param(n) => params.get(n) match {
+        case Some(xs: Seq[_]) => xs.map(String.valueOf)
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(s"$what needs a string list, got $other")
+    }
+    def pLong(e: Ast.Expr, what: String): Long = e match {
+      case Lit(i: Long) => i
+      case Param(n) => params.get(n) match {
+        case Some(i: Int) => i.toLong
+        case Some(i: Long) => i
+        case other => throw PlanError(s"$what param $$$n: $other")
+      }
+      case other => throw PlanError(s"$what needs an integer, got $other")
+    }
+    /** the legacy (Neo4j ≤5.10) index-creation procedures — alive in
+      * every ported app older than the DDL forms. Side-effecting:
+      * only valid as a standalone leading CALL (Neo4j would run a
+      * mid-pipeline procedure per row — a per-row index build is
+      * never what anyone means). */
+    def requireLeading(): Unit =
+      if (df != null) throw PlanError(
+        s"${c.name} creates an index — call it as a standalone " +
+          "statement, not inside a query pipeline")
+    def ackFrame(msg: String): (DataFrame, Seq[String]) =
+      (spark.createDataFrame(Seq(Tuple1(msg))).toDF("info"), Seq("info"))
+
     val (frame, cols): (DataFrame, Seq[String]) = c.name.toLowerCase match {
+      case "db.index.vector.createnodeindex" =>
+        requireLeading()
+        val (nm, label, prop, dims, sim) = c.args match {
+          case Seq(a, b, p, d, s0) =>
+            (pStr(a, "indexName"), pStr(b, "label"), pStr(p, "property"),
+              pLong(d, "vectorDimension"),
+              pStr(s0, "vectorSimilarityFunction").toLowerCase)
+          case Seq(a, b, p, d) =>
+            (pStr(a, "indexName"), pStr(b, "label"), pStr(p, "property"),
+              pLong(d, "vectorDimension"), "cosine")
+          case other => throw PlanError(
+            "db.index.vector.createNodeIndex takes (indexName, label, " +
+              s"propertyKey, vectorDimension[, similarityFunction]), got $other")
+        }
+        if (sim != "cosine" && sim != "euclidean") throw PlanError(
+          s"unsupported vector similarity function: $sim")
+        if (store.indexDef(nm).isDefined) throw PlanError(
+          s"an index named $nm already exists")
+        store.buildSearchIndex(graft.store.IndexDef(
+          nm, "vector", label, prop, dims = dims.toInt, similarity = sim))
+        ackFrame(s"created vector index $nm on :$label($prop)")
+      case "db.index.fulltext.createnodeindex" =>
+        requireLeading()
+        val (nm, labels, props) = c.args match {
+          case Seq(a, b, p) => (pStr(a, "indexName"),
+            pStrList(b, "labels"), pStrList(p, "propertyKeys"))
+          case other => throw PlanError(
+            "db.index.fulltext.createNodeIndex takes (indexName, " +
+              s"[labels], [propertyKeys]), got $other")
+        }
+        if (labels.size != 1) throw PlanError(
+          "fulltext indexes cover exactly one label here, got " +
+            labels.mkString("[", ", ", "]"))
+        if (props.isEmpty) throw PlanError("propertyKeys must be non-empty")
+        if (store.indexDef(nm).isDefined) throw PlanError(
+          s"an index named $nm already exists")
+        store.buildSearchIndex(graft.store.IndexDef(
+          nm, "fulltext", labels.head, props.mkString(",")))
+        ackFrame(
+          s"created fulltext index $nm on :${labels.head}" +
+            props.mkString("(", ", ", ")"))
       case "db.labels" =>
         noArgs()
         (store.nodes.select(explode(concat(

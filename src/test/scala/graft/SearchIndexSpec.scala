@@ -605,6 +605,46 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(got2.contains("d:4"))
   }
 
+  test("legacy createNodeIndex procedures build real indexes") {
+    val st = newStore("legacy")
+    val sess = CypherEngine.session(st)
+    (1 to 10).foreach(i => sess.run(
+      s"CREATE (:E {gid: 'e:$i', v: ${vecLit(vec(i))}, t: 'doc no$i'})")
+      .collect())
+    sess.commit()
+    CypherEngine.query(st,
+      "CALL db.index.vector.createNodeIndex('lv', 'E', 'v', 4, 'cosine')")
+      .collect()
+    assert(st.indexDef("lv").exists(d =>
+      d.kind == "vector" && d.centroids.nonEmpty && d.dims == 4))
+    val hits = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('lv', 1, ${vecLit(vec(4))})
+         |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("e:4"))
+    CypherEngine.query(st,
+      "CALL db.index.fulltext.createNodeIndex('lf', ['E'], ['t'])")
+      .collect()
+    assert(st.indexDef("lf").exists(d =>
+      d.kind == "fulltext" && d.label == "E" && d.property == "t"))
+    val fhits = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('lf', 'no7')
+        |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(fhits == Seq("e:7"))
+    // duplicate names and mid-pipeline calls are rejected
+    intercept[Exception] {
+      CypherEngine.query(st,
+        "CALL db.index.vector.createNodeIndex('lv', 'E', 'v', 4, 'cosine')")
+    }
+    intercept[Exception] {
+      CypherEngine.query(st,
+        """MATCH (n:E)
+          |CALL db.index.vector.createNodeIndex('x', 'E', 'v', 4, 'cosine')
+          |RETURN 1 AS o""".stripMargin)
+    }
+  }
+
   test("fulltext analyzer: standard default lowercases and strips punct") {
     val st = newStore("ftan")
     val sess = CypherEngine.session(st)
