@@ -3234,7 +3234,53 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         throw PlanError(
           s"query vector has ${qv.size} dims; index $idxName has ${d.dims}")
       val base: DataFrame = // (gid, v, norm)
-        if (store.searchIndexReady(d) && d.centroids.nonEmpty) {
+        if (d.graphDeg > 0 && d.centroids.nonEmpty &&
+            d.graphEntries.nonEmpty && store.graphIndexReady(d)) {
+          // PROXIMITY-GRAPH tier: driver-side beam search over the
+          // persisted adjacency — T rounds of (read frontier rows
+          // from their gid-bucket directories, score, expand the
+          // top-B frontier's out-edges). Scans ≤ entries + T·B·deg
+          // rows regardless of corpus size: the high-recall path
+          // whose cost FALLS as a fraction of the corpus.
+          def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+            var s = 0.0; var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) { s += a(i) * b(i); i += 1 }
+            s
+          }
+          val qnn = math.sqrt(dotL(qv, qv))
+          def affOf(v: Seq[Double], n: Double): Double =
+            if (d.similarity == "euclidean") 2.0 * dotL(qv, v) - n * n
+            else dotL(qv, v) / (qnn * n)
+          import scala.collection.mutable
+          val B = math.max(8, k.toInt); val T = 3
+          val info = mutable.Map
+            .empty[String, (Seq[Double], Double, Seq[String], Seq[Double])]
+          val aff = mutable.Map.empty[String, Double]
+          var frontier: Set[String] = d.graphEntries.toSet
+          var round = 0
+          while (round <= T && frontier.nonEmpty) {
+            val rows = store.readGraphRows(d, frontier -- info.keySet)
+            info ++= rows
+            rows.foreach { case (g, (v, n, _, _)) => aff(g) = affOf(v, n) }
+            frontier = aff.toSeq.sortBy { case (g, a) => (-a, g) }
+              .take(B)
+              .flatMap { case (g, _) =>
+                info.get(g).map(_._3).getOrElse(Nil) }
+              .toSet -- info.keySet
+            round += 1
+          }
+          val top = aff.toSeq.sortBy { case (g, a) => (-a, g) }
+            .take(math.max(B, k.toInt))
+            .map { case (g, _) =>
+              val (v, n, _, _) = info(g)
+              org.apache.spark.sql.Row(g, v, n)
+            }
+          val spark = nodesInView.sparkSession
+          spark.createDataFrame(java.util.Arrays.asList(top: _*),
+            org.apache.spark.sql.types.StructType(
+              SearchIndexes.vxSchema.fields.filter(_.name != "cell")))
+        } else if (store.searchIndexReady(d) && d.centroids.nonEmpty) {
           // IVF probe: rank the persisted centroids on the driver,
           // read ONLY the top-nprobe cells' directories (configured
           // override, else ~√K/2 of the trained cell count)
@@ -6117,9 +6163,16 @@ object CypherEngine {
         if (ivfCells < 0 || ivfCells > graft.store.SearchIndexes.MaxCells)
           throw new IllegalArgumentException(
             s"graft.ivf.cells out of range: $ivfCells (1..4096)")
+        // `graft.graph.degree`: >0 adds the persisted proximity-graph
+        // tier (NSW adjacency + beam search) beside the IVF cells
+        val graphDeg = """(?i)[`"]?graft\.graph\.degree[`"]?\s*:\s*(\d+)""".r
+          .findFirstMatchIn(optStr).map(_.group(1).toInt).getOrElse(0)
+        if (graphDeg < 0 || graphDeg > 64)
+          throw new IllegalArgumentException(
+            s"graft.graph.degree out of range: $graphDeg (1..64)")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "vector", label, prop, dims = dims, similarity = sim,
-          cells = ivfCells, nprobe = ivfNProbe))
+          cells = ivfCells, nprobe = ivfNProbe, graphDeg = graphDeg))
       case FulltextIdxRe(name, ine, label, propList, opts) =>
         // `ON EACH [n.title, n.body]`: store the property NAMES
         // comma-joined; the index concatenates the fields

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{array, col, hash, lit, pmod}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -149,7 +149,12 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           // the whitespace tokenizer — read them back as such
           if (str("analyzer").isEmpty) SearchIndexes.WhitespaceAnalyzer
           else str("analyzer"),
-          if (str("entity").isEmpty) "NODE" else str("entity"))
+          if (str("entity").isEmpty) "NODE" else str("entity"),
+          intv("graphDeg"),
+          m.get("graphEntries") match {
+            case Some(JArray(gs)) => gs.collect { case JString(g) => g }
+            case _ => Nil
+          })
       }
       case _ => Nil
     }
@@ -166,6 +171,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "cells" -> JInt(d.cells), "nprobe" -> JInt(d.nprobe),
         "analyzer" -> JString(d.analyzer),
         "entity" -> JString(d.entity),
+        "graphDeg" -> JInt(d.graphDeg),
+        "graphEntries" -> JArray(d.graphEntries.toList.map(JString(_))),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -277,6 +284,34 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def pxProbeKeys(encodedVal: String): String => Boolean = {
     val b = bucketOfString(encodedVal)
     (k: String) => k == s"sect=p/bucket=$b"
+  }
+
+  /** is a graph-tier vector index's adjacency table queryable? */
+  def graphIndexReady(d: IndexDef): Boolean =
+    !session.exists(_.workNodes.isDefined) && {
+      val v = currentVersion
+      v > 0L && readManifest(v).contains(d.graphTableName)
+    }
+
+  /** One beam round's adjacency read: ONLY the frontier gids' hash
+    * buckets' files are listed and read (the vectors ride in the
+    * rows, so a round is one pruned scan of ≤ beam×degree rows —
+    * never a second lookup). Returns gid → (v, norm, nbrs).
+    */
+  def readGraphRows(d: IndexDef, gids: Set[String])
+      : Map[String, (Seq[Double], Double, Seq[String], Seq[Double])] = {
+    if (gids.isEmpty) return Map.empty
+    val bs = gids.map(bucketOfString)
+    val files = manifestFiles(d.graphTableName).view
+      .filterKeys(k => bs.exists(b => k.endsWith(s"/bucket=$b")))
+      .values.flatten.toSeq.sorted
+    readFiles(d.graphTableName, files, SearchIndexes.vgSchema)
+      .filter(col("gid").isin(gids.toSeq: _*))
+      .collect().map { r =>
+        r.getString(1) -> ((r.getSeq[Double](2).toSeq, r.getDouble(3),
+          Option(r.getSeq[String](4)).map(_.toSeq).getOrElse(Nil),
+          Option(r.getSeq[Double](5)).map(_.toSeq).getOrElse(Nil)))
+      }.toMap
   }
 
   /** the node table pruned AT THE MANIFEST to the given gid-hash
@@ -572,23 +607,37 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // to the sidecar BEFORE the pointer flip so a failed commit
       // retries with the same centroids), then maintain each index
       // table with the same bounded delta shape as the reverse index
-      val sdefs = indexDefs0.map { d =>
-        if (d.kind == "vector" && d.centroids.isEmpty) {
-          val vecs = SearchIndexes.vectors(newNodes, d)
-          // configured cell count wins; otherwise scale with the
-          // snapshot (~AutoCellRows vectors per cell) — the trained K
-          // persists in the sidecar, so probes and replays stay
-          // deterministic regardless of later growth (maintain()
-          // retrains when the data outgrows the trained cells)
-          val k =
-            if (d.cells > 0) d.cells
-            else SearchIndexes.autoCells(vecs.count())
-          val cents = SearchIndexes.trainCentroids(vecs, d.similarity, k)
-          if (cents.nonEmpty) {
-            val nd = d.copy(centroids = cents, dims = cents.head.size)
-            writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ nd)
-            nd
-          } else d
+      val sdefs = indexDefs0.map { d0 =>
+        val d =
+          if (d0.kind == "vector" && d0.centroids.isEmpty) {
+            val vecs = SearchIndexes.vectors(newNodes, d0)
+            // configured cell count wins; otherwise scale with the
+            // snapshot (~AutoCellRows vectors per cell) — the trained K
+            // persists in the sidecar, so probes and replays stay
+            // deterministic regardless of later growth (maintain()
+            // retrains when the data outgrows the trained cells)
+            val k =
+              if (d0.cells > 0) d0.cells
+              else SearchIndexes.autoCells(vecs.count())
+            val cents = SearchIndexes.trainCentroids(vecs, d0.similarity, k)
+            if (cents.nonEmpty) {
+              val nd = d0.copy(centroids = cents, dims = cents.head.size)
+              writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
+              nd
+            } else d0
+          } else d0
+        // graph-tier entry points ride the sidecar like the quantizer:
+        // computed when the graph table (re)builds — fresh DDL, forced
+        // rebuild, or a just-trained quantizer
+        if (d.kind == "vector" && d.graphDeg > 0 && d.centroids.nonEmpty &&
+            (d.graphEntries.isEmpty || !prev.contains(d.graphTableName) ||
+              forceIndexRebuild0.contains(d.name))) {
+          val assigned = SearchIndexes.assignCells(
+            SearchIndexes.vectors(newNodes, d), d.centroids, d.similarity)
+          val entries = SearchIndexes.graphEntryPoints(assigned)
+          val nd = d.copy(graphEntries = entries)
+          writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ nd)
+          nd
         } else d
       }
       val idxManFs = sdefs.map { d =>
@@ -603,6 +652,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           writePartitions(view, d.tableName, pc, cc, next, dirty,
             prev.getOrElse(d.tableName, Map.empty), bc)
         }
+      } ++ sdefs.collect {
+        // the proximity-graph companion table of graph-tier vector
+        // indexes — its own partition layout (bucket=H(gid)), its own
+        // bounded delta
+        case d if d.kind == "vector" && d.graphDeg > 0 &&
+            d.centroids.nonEmpty =>
+          d.graphTableName -> Future {
+            val (view, dirty) =
+              graphIndexDelta(d, newNodes, dirtyNodes, prev, bc)
+            writePartitions(view, d.graphTableName, "sect", "gid", next,
+              dirty, prev.getOrElse(d.graphTableName, Map.empty), bc)
+          }
       }
       // await ALL before propagating a failure: an orphaned sibling
       // job still writing into seg=<next> would race a retried
@@ -864,6 +925,171 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             statsRow(spark, n0 - remN + addN, dl0 - remDl + addDl))
         (view, Some(dk))
     }
+  }
+
+  /** The proximity-graph table's view + dirty keys for one commit.
+    * Full build (fresh DDL / forced rebuild / retrained quantizer):
+    * every vector's top-`graphDeg` affinity neighbors among vectors
+    * sharing one of its two nearest cells — Σ|cell|²-bounded, never
+    * all-pairs. Incremental commits use the APPEND-bounded delta
+    * standard for navigable-graph indexes (HNSW/DiskANN practice):
+    * removed gids drop their rows (stale back-references dangle —
+    * the beam skips missing rows); added gids get edges computed
+    * against their cells' CURRENT residents (read from the vx
+    * table's pruned cell directories). Existing nodes' edge lists
+    * are not retroactively widened toward new arrivals — recall
+    * drifts slowly with churn, and a quantizer retrain (the
+    * maintain() watermark) rebuilds the graph exactly.
+    */
+  private def graphIndexDelta(
+      d: IndexDef,
+      newNodes: DataFrame,
+      dirtyNodes: Option[Set[DirtyKey]],
+      prev: Manifest,
+      bc: Int): (DataFrame, Option[Set[DirtyKey]]) = {
+    import SearchIndexes._
+    val tbl = d.graphTableName
+    def empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), vgSchema)
+    val prevIdx = prev.getOrElse(tbl, Map.empty)
+    val prevNodes = prev.getOrElse("nodes", Map.empty)
+    val mustRebuild = (!prev.contains(tbl) ||
+      forceIndexRebuild0.contains(d.name)) && prevNodes.nonEmpty
+    def fullView: DataFrame = {
+      val a2 = assignCells2(vectors(newNodes, d), d.centroids,
+        d.similarity)
+      graphRows(a2, a2, d.similarity, d.graphDeg)
+    }
+    if (mustRebuild || dirtyNodes.isEmpty) return (fullView, None)
+    val keys = dirtyNodes.get
+    if (keys.isEmpty) return (empty, Some(Set.empty))
+    val changedOldNodes = readFiles("nodes",
+      prevNodes.view.filterKeys(keyMatches("label", keys)).values
+        .flatten.toSeq, nodeSchema)
+    val changedNewNodes = dirtyFilter(
+      newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
+      "label", keys).drop("bucket")
+    val oldV = vectors(changedOldNodes, d)
+    val newV = vectors(changedNewNodes, d)
+    val removed = oldV.join(newV, Seq("gid", "v"), "left_anti")
+      .select(col("gid")).localCheckpoint()
+    val added = newV.join(oldV, Seq("gid", "v"), "left_anti")
+      .localCheckpoint()
+    val removedGids = removed.collect().map(_.getString(0)).toSet
+    val addedCount = added.count()
+    if (removedGids.isEmpty && addedCount == 0L)
+      return (empty, Some(Set.empty))
+    // a BULK batch amortizes the Σ|cell|² rebuild — row surgery only
+    // pays below it (and keeps the driver-side merge bounded)
+    if (addedCount > 10000) return (fullView, None)
+    val addedA2 = assignCells2(added, d.centroids, d.similarity)
+    // candidate residents: the vx table's rows for the added gids'
+    // home+probe cells (directory-pruned read), minus removals, plus
+    // the additions themselves (two new same-cell vectors pair up)
+    val candCells = addedA2.select(col("cell")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val vxPrev = prev.getOrElse(d.tableName, Map.empty)
+    val residents = readFiles(d.tableName,
+      vxPrev.view.filterKeys(k =>
+        candCells.exists(cl => k.startsWith(s"cell=$cl/")))
+        .values.flatten.toSeq, vxSchema)
+      .join(removed, Seq("gid"), "left_anti")
+      .select(col("cell"), col("gid"), col("v"), col("norm"))
+      .unionByName(addedA2.filter(col("cell").isin(candCells.toSeq: _*)))
+    // forward edges of the ADDED gids (distributed, cell-bounded),
+    // then the bounded driver-side merge: splice each arrival into
+    // its neighbors' lists (evict the weakest edge past graphDeg) so
+    // new vectors are REACHABLE, not just present
+    case class VgRow(gid: String, v: Seq[Double], norm: Double,
+        nbrs: Seq[String], nsim: Seq[Double])
+    val newLocal: Seq[VgRow] =
+      graphRows(addedA2, residents, d.similarity, d.graphDeg)
+        .collect().map(r => VgRow(r.getString(1),
+          r.getSeq[Double](2).toSeq, r.getDouble(3),
+          r.getSeq[String](4).toSeq, r.getSeq[Double](5).toSeq)).toSeq
+    val addedLocal: Seq[(String, Seq[Double], Double)] = added
+      .select(col("gid"), col("v"), col("norm")).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toSeq,
+        r.getDouble(2))).toSeq
+    val withEdges = newLocal.map(_.gid).toSet
+    val isolated = addedLocal.filterNot(a => withEdges(a._1))
+      .map { case (g, v, n) => VgRow(g, v, n, Nil, Nil) }
+    val addedGids = addedLocal.map(_._1).toSet
+    // back-edge targets: neighbors of the additions that are PRE-
+    // EXISTING rows (additions' own rows are already fresh)
+    val hGids = newLocal.flatMap(_.nbrs).toSet -- addedGids -- removedGids
+    val hBuckets = hGids.map(g =>
+      ((org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(g),
+          org.apache.spark.sql.types.StringType)), 42)
+        .eval(null).asInstanceOf[Int] % bc) + bc) % bc)
+    val hRows: Map[String, VgRow] =
+      if (hGids.isEmpty) Map.empty
+      else readFiles(tbl,
+        prevIdx.view.filterKeys(k =>
+          hBuckets.exists(b => k.endsWith(s"/bucket=$b")))
+          .values.flatten.toSeq, vgSchema)
+        .filter(col("gid").isin(hGids.toSeq: _*))
+        .collect().map(r => r.getString(1) -> VgRow(r.getString(1),
+          r.getSeq[Double](2).toSeq, r.getDouble(3),
+          Option(r.getSeq[String](4)).map(_.toSeq).getOrElse(Nil),
+          Option(r.getSeq[Double](5)).map(_.toSeq).getOrElse(Nil)))
+        .toMap
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val addedByGid = addedLocal.map(a => a._1 -> a).toMap
+    val merged: Seq[VgRow] = newLocal
+      .flatMap(nr => nr.nbrs.map(h => h -> nr.gid))
+      .groupBy(_._1)
+      .flatMap { case (h, pairs) =>
+        hRows.get(h).map { hr =>
+          val cands = pairs.map(_._2).distinct.map { g =>
+            val (_, gv, gn) = addedByGid(g)
+            val s =
+              if (d.similarity == "euclidean")
+                2.0 * dotL(hr.v, gv) - gn * gn
+              else dotL(hr.v, gv) / (hr.norm * gn)
+            (s, g)
+          }
+          val all = (hr.nsim.zip(hr.nbrs) ++ cands)
+            .sortBy { case (s, g) => (-s, g) }
+            .foldLeft(Vector.empty[(Double, String)]) { (acc, e) =>
+              if (acc.exists(_._2 == e._2)) acc else acc :+ e
+            }
+            .take(d.graphDeg)
+          VgRow(h, hr.v, hr.norm, all.map(_._2), all.map(_._1))
+        }
+      }.toSeq
+    val rewritten = (newLocal ++ isolated ++ merged)
+      .sortBy(_.gid)
+    val rewrittenGids = rewritten.map(_.gid).toSet
+    val dk: Set[DirtyKey] = spark.createDataFrame(
+        java.util.Arrays.asList(
+          (rewrittenGids ++ removedGids).toSeq.sorted
+            .map(g => Row(g)): _*),
+        StructType(Seq(StructField("gid", StringType, nullable = false))))
+      .select(pmod(hash(col("gid")), lit(bc)).as("b"))
+      .distinct().collect()
+      .map(r => (Some("g"): Option[String], Some(r.getInt(0)): Option[Int]))
+      .toSet
+    if (dk.isEmpty) return (empty, Some(Set.empty))
+    val localRows = spark.createDataFrame(
+      java.util.Arrays.asList(rewritten.map(r =>
+        Row("g", r.gid, r.v, r.norm, r.nbrs, r.nsim)): _*), vgSchema)
+    val oldPruned = readFiles(tbl,
+      prevIdx.view.filterKeys(keyMatches("sect", dk)).values
+        .flatten.toSeq, vgSchema)
+    val view = oldPruned
+      .filter(!col("gid").isin(
+        (rewrittenGids ++ removedGids).toSeq: _*))
+      .select(vgSchema.fieldNames.map(col).toSeq: _*)
+      .unionByName(localRows)
+    (view, Some(dk))
   }
 
   /** does manifest key `k` fall inside the dirty set? */

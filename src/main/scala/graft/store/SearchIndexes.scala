@@ -45,12 +45,22 @@ case class IndexDef(
     // document identity is src·relType·dst, and the indexable
     // property surface is `source` (edges carry no other properties
     // in this model, matching the reference's bare refs)
-    entity: String = "NODE") {
+    entity: String = "NODE",
+    // proximity-graph tier (`graft.graph.degree` indexConfig): >0
+    // persists an NSW-style adjacency table beside the IVF cells
+    // (vg_<name>) and queryNodes beam-searches it instead of probing
+    // cells — the high-recall path at a bounded scan. graphEntries
+    // are the per-cell entry gids (the HNSW upper-layer analog),
+    // computed at build and persisted with the quantizer.
+    graphDeg: Int = 0,
+    graphEntries: Seq[String] = Nil) {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name
     case _ => "px_" + name
   }
+  /** the proximity-graph companion table (graphDeg > 0 only) */
+  def graphTableName: String = "vg_" + name
   /** a fulltext index over several properties (`ON EACH [n.a, n.b]`)
     * stores them comma-joined; the document text is their
     * space-concatenation (the BM25F-without-field-weights model) */
@@ -309,6 +319,83 @@ object SearchIndexes {
       .select(concat(lit("c"), col("cid")).as("cell"), col("gid"),
         col("v"), col("norm"))
   }
+
+  /** proximity-graph adjacency row: the vector rides WITH the edges
+    * so a beam round reads ONE bucket-pruned row per frontier gid —
+    * neighbors' vectors never need a second lookup table. `nsim`
+    * keeps each edge's affinity so an incremental INSERT can splice a
+    * new arrival into a neighbor's list (evicting the weakest edge)
+    * without recomputing that neighbor's whole candidate set — the
+    * NSW bidirectional-insert rule. */
+  val vgSchema: StructType = StructType(Seq(
+    StructField("sect", StringType, nullable = false), // constant "g"
+    StructField("gid", StringType, nullable = false),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("norm", DoubleType),
+    StructField("nbrs", ArrayType(StringType)),
+    StructField("nsim", ArrayType(DoubleType))))
+
+  /** home + first-probe (top-2 affinity) cell assignment — one row
+    * per (gid, cell), rank ≤ 2; the candidate-generation domain of
+    * the proximity graph (edges only consider vectors sharing a
+    * home-or-probe cell, so construction is Σ|cell|²-bounded, never
+    * all-pairs — the v_knn_graph recipe) */
+  def assignCells2(vecs: DataFrame, cents: Seq[Seq[Double]],
+      sim: String = "cosine"): DataFrame = {
+    val spark = vecs.sparkSession
+    val cd = centroidDf(spark, cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gid")).orderBy(col("csim").desc, col("cid"))
+    vecs.crossJoin(broadcast(cd))
+      .withColumn("csim",
+        affinity(sim, col("v"), col("norm"), col("cv"), col("cn")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+      .select(concat(lit("c"), col("cid")).as("cell"), col("gid"),
+        col("v"), col("norm"))
+  }
+
+  /** Adjacency rows for `members` against `candidates` (both
+    * (cell, gid, v, norm) cell-exploded frames): per member gid the
+    * top-`deg` same-cell candidates by affinity (ties to the lowest
+    * gid — deterministic), collected in rank order. Emits vgSchema.
+    * The full build passes the same frame on both sides; the
+    * incremental delta passes only the ADDED members against their
+    * cells' current residents. */
+  def graphRows(members: DataFrame, candidates: DataFrame,
+      sim: String, deg: Int): DataFrame = {
+    val l = members.select(col("cell"), col("gid"), col("v"), col("norm"))
+    val r = candidates.select(col("cell"), col("gid").as("gid2"),
+      col("v").as("v2"), col("norm").as("norm2"))
+    val aff =
+      if (sim == "euclidean")
+        lit(2.0) * dot(col("v"), col("v2")) - col("norm2") * col("norm2")
+      else dot(col("v"), col("v2")) / (col("norm") * col("norm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gid")).orderBy(col("s").desc, col("gid2"))
+    val ranked = l.join(r, Seq("cell"))
+      .filter(col("gid") =!= col("gid2"))
+      .withColumn("s", aff)
+      // a pair sharing both cells appears twice — same score, dedupe
+      .dropDuplicates("gid", "gid2")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= deg)
+    ranked.groupBy(col("gid"))
+      .agg(first(col("v")).as("v"), first(col("norm")).as("norm"),
+        array_sort(collect_list(
+          struct(col("rk"), col("gid2"), col("s")))).as("es"))
+      .select(lit("g").as("sect"), col("gid"), col("v"), col("norm"),
+        transform(col("es"), x => x.getField("gid2")).as("nbrs"),
+        transform(col("es"), x => x.getField("s")).as("nsim"))
+  }
+
+  /** per-cell entry points (the HNSW upper-layer analog): the LOWEST
+    * gid assigned to each home cell — deterministic, ≤ K gids,
+    * persisted in the sidecar beside the quantizer */
+  def graphEntryPoints(assigned: DataFrame): Seq[String] =
+    assigned.groupBy(col("cell"))
+      .agg(min(col("gid")).as("g"))
+      .collect().map(_.getString(1)).distinct.sorted.toSeq
 
   /** Deterministic IVF training over `(gid, v, norm)` rows: seeded
     * with the K lowest-gid vectors, [[TrainIters]] Lloyd steps with

@@ -282,6 +282,71 @@ class SearchIndexSpec extends AnyFunSuite {
     } finally SearchIndexes.cellRowsDial = SearchIndexes.AutoCellRows
   }
 
+  test("graph-tier vector index: persisted NSW adjacency + beam search") {
+    val st = newStore("vg")
+    val n = 80
+    val sess = CypherEngine.session(st)
+    (1 to n).foreach(i => sess.run(
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})").collect())
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX gx FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`graft.graph.degree`: 6}}""".stripMargin)
+      .collect()
+    val d = st.indexDef("gx").get
+    assert(d.graphDeg == 6 && d.centroids.nonEmpty)
+    assert(d.graphEntries.nonEmpty && d.graphEntries.size <= 16)
+    assert(st.graphIndexReady(d))
+    // adjacency covers every vector; degree bounded; edges carry sims
+    val all = st.readGraphRows(d, (1 to n).map(i => s"e:$i").toSet)
+    assert(all.size == n)
+    assert(all.values.forall { case (_, _, nbrs, nsim) =>
+      nbrs.size <= 6 && nbrs.size == nsim.size })
+
+    def top(k: Int, q: Seq[Double]): Seq[(String, Double)] =
+      CypherEngine.query(st,
+        s"""CALL db.index.vector.queryNodes('gx', $k, ${vecLit(q)})
+           |YIELD node, score
+           |RETURN node.gid AS g, score""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // self-match first with normalized score 1, scores descending
+    val r23 = top(5, vec(23))
+    assert(r23.head._1 == "e:23" && math.abs(r23.head._2 - 1.0) < 1e-9)
+    assert(r23.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // recall@5 vs brute force over a few probes
+    val hits = (1 to 5).map { j =>
+      val q = vec(j * 13)
+      val brute = (1 to n).map(i => (s"e:$i", cosine(q, vec(i))))
+        .sortBy { case (g, c) => (-c, g) }.take(5).map(_._1).toSet
+      top(5, q).map(_._1).count(brute)
+    }.sum
+    assert(hits >= 15, s"graph recall@5 too low: $hits/25")
+
+    // incremental insert: the new vector must be REACHABLE (its
+    // neighbors' lists splice it in — bidirectional insert), so a
+    // beam from the old entries finds the clone as the top hit
+    CypherEngine.query(st,
+      s"CREATE (:Emb {gid: 'e:900', v: ${vecLit(vec(23))}})").collect()
+    val afterAdd = top(2, vec(23)).map(_._1)
+    assert(afterAdd.contains("e:900"),
+      s"inserted vector unreachable: $afterAdd")
+    // delete: the row leaves the table and the beam skips danglers
+    CypherEngine.query(st,
+      "MATCH (m:Emb {gid: 'e:23'}) DELETE m").collect()
+    val afterDel = top(3, vec(23)).map(_._1)
+    assert(!afterDel.contains("e:23") && afterDel.contains("e:900"))
+
+    // reopen: entries + quantizer from the sidecar, no training jobs
+    val st2 = new GraphStore(st.root, spark, 4)
+    val d2 = st2.indexDef("gx").get
+    assert(d2.graphEntries == st.indexDef("gx").get.graphEntries)
+    assert(top(1, vec(40)).head._1 == "e:40" ||
+      CypherEngine.query(st2,
+        s"""CALL db.index.vector.queryNodes('gx', 1, ${vecLit(vec(40))})
+           |YIELD node, score RETURN node.gid AS g""".stripMargin)
+        .collect().head.getString(0) == "e:40")
+  }
+
   test("property index: DDL, routed lookup, file pruning, delta") {
     val st = newStore("px")
     st.localizeTinyTables = false // assert the at-scale parquet shape
