@@ -1297,7 +1297,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(l) if n.altLabels.isEmpty => l
       case _ => return None
     }
-    val route = n.props.view.flatMap { case (k, e) =>
+    val eqRoute = n.props.view.flatMap { case (k, e) =>
       val value: Option[Any] = e match {
         case Lit(v) if v != null => Some(v)
         case Param(p) => params.get(p)
@@ -1309,11 +1309,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         d <- store.indexDefs.find(ix => ix.kind == "property" &&
           ix.label == label && ix.property == k)
         if store.searchIndexReady(d)
-      } yield (d, enc)
+      } yield (d, Seq(enc))
     }.headOption
-    route.map { case (d, enc) =>
-      val hits = store.readSearchIndex(d, store.pxProbeKeys(enc))
-        .filter(col("val") === enc).select(col("gid"))
+    // IN-list hints from the clause WHERE: multi-bucket probe (the
+    // predicate itself stayed in WHERE as the correctness filter)
+    val route = eqRoute.orElse(
+      n.variable.flatMap(pxInRoutes.get).flatMap { case (k, encs) =>
+        store.indexDefs.find(ix => ix.kind == "property" &&
+          ix.label == label && ix.property == k)
+          .filter(store.searchIndexReady)
+          .map(d => (d, encs))
+      })
+    route.map { case (d, encs) =>
+      val buckets = encs.map(store.bucketOfString).toSet
+      val hits = store.readSearchIndex(d,
+        k => buckets.exists(b => k == s"sect=p/bucket=$b"))
+        .filter(col("val").isin(encs: _*)).select(col("gid"))
       val probe = hits.take(PxRouteCap + 1).map(_.getString(0)).toSeq
       if (probe.size <= PxRouteCap) {
         val buckets = probe.map(store.bucketOfString).toSet
@@ -1618,6 +1629,34 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       if (routable(v, k) && !moved.getOrElse(v, Nil).exists(_._1 == k)) {
         moved += v -> ((k, value) :: moved.getOrElse(v, Nil)); true
       } else false
+    // `n.p IN [v1, v2, …]` (literal or scalar-param list) routes as a
+    // MULTI-bucket probe: the predicate STAYS in WHERE (it is the
+    // correctness filter); the hint only tells nodeDf which px
+    // buckets resolve the candidate gids
+    def inListEncs(listE: Expr): Option[Seq[String]] = {
+      val vals: Option[Seq[Any]] = listE match {
+        case ListLit(items) if items.nonEmpty &&
+            items.forall(_.isInstanceOf[Lit]) =>
+          Some(items.map { case Lit(x) => x })
+        case Param(p) => params.get(p) match {
+          case Some(seq: Seq[_]) if seq.nonEmpty => Some(seq)
+          case _ => None
+        }
+        case _ => None
+      }
+      vals.filter(_.size <= 256).flatMap { vs =>
+        val encs = vs.map(graft.store.SearchIndexes.encodeValue)
+        if (encs.forall(_.isDefined)) Some(encs.flatten.distinct)
+        else None
+      }
+    }
+    conjs(wh).foreach {
+      case InList(PropRef(v, k), listE)
+          if routable(v, k) && !pxInRoutes.contains(v) =>
+        inListEncs(listE).foreach(encs =>
+          pxInRoutes += v -> ((k, encs)))
+      case _ => ()
+    }
     val kept = conjs(wh).filterNot {
       case Cmp("=", PropRef(v, k), rhs) if constOk(rhs) => grab(v, k, rhs)
       case Cmp("=", lhs, PropRef(v, k)) if constOk(lhs) => grab(v, k, lhs)
@@ -1637,7 +1676,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     }
   }
 
+  /** clause-local IN-list route hints (var → (prop, encoded values))
+    * feeding [[propIndexedBase]]; the IN predicate itself stays in
+    * WHERE */
+  private var pxInRoutes: Map[String, (String, Seq[String])] = Map.empty
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
+    val savedPx = pxInRoutes
+    pxInRoutes = Map.empty
     val m = foldNodePropEqs(foldRelProps(m0))
     // save/restore the uniqueness scope: subquery bodies (pattern
     // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
@@ -1745,6 +1791,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     clauseRelUniq = sU; clauseFixedRels = sF
     clauseStretches = sS; clauseRetained = sR
     m.where.foreach(applyWhere)
+    pxInRoutes = savedPx
   }
 
   /** WHERE application shared by MATCH and post-WITH filters: pattern

@@ -392,6 +392,21 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(compound == Seq("p:8")) // 8 % 7 = 1 > 0
 
+    // IN-list routing: a multi-bucket probe (predicate stays residual)
+    val viaIn = CypherEngine.query(st,
+      """MATCH (p:Person)
+        |WHERE p.email IN ['u3@x.io', 'u11@x.io', 'nope@x.io']
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin)
+    assert(viaIn.collect().map(_.getString(0)).toSeq ==
+      Seq("p:11", "p:3"))
+    assert(viaIn.inputFiles.toSet.subsetOf(allNodeFiles) &&
+      viaIn.inputFiles.toSet.size < allNodeFiles.size,
+      "IN-list lookup did not take the index route")
+    val viaInParam = CypherEngine.query(st,
+      "MATCH (p:Person) WHERE p.email IN $ms RETURN p.gid AS gid",
+      Map("ms" -> Seq("u5@x.io"))).collect().map(_.getString(0)).toSeq
+    assert(viaInParam == Seq("p:5"))
+
     // numeric cross-slot: a long-stored value found via long OR double
     CypherEngine.query(st,
       "CREATE INDEX aidx FOR (p:Person) ON (p.age)").collect()
