@@ -3623,7 +3623,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // kept per (term, gid) so every atom shares it
     val dfreq = toks.groupBy(col("term"))
       .agg(count_distinct(col("gid")).as("dfreq"))
-    val contrib = toks.join(broadcast(dfreq), Seq("term"))
+    val contrib0 = toks.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(statsDf))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf", log(lit(1.0) +
@@ -3635,6 +3635,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           lit(1.2) * (lit(0.25) + lit(0.75) *
             (col("dl").cast("double") / col("avgdl")))))
       .select(col("term"), col("gid"), col("contrib"))
+    // multi-atom trees re-read the postings once per leaf otherwise;
+    // the checkpoint caps that at one pipeline evaluation. Index-
+    // backed reads only — the overlay fallback may be a folded local
+    // plan, and an RDD leaf would un-fold every later statement
+    val contrib =
+      if (atoms.size > 1 && store.searchIndexReady(d))
+        contrib0.localCheckpoint()
+      else contrib0
 
     def isPureOr(n: N): Boolean = n match {
       case NLeaf(_) => true
@@ -3662,15 +3670,40 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             sum(col("contrib")).as("s"))
           .filter(col("nt") === ts.distinct.size)
           .select(col("gid"), col("s"))
-        // contiguity post-verify on the stored text, candidates only
-        val tokArr = SearchIndexes.termsOf(col("text"), analyzer)
+        // contiguity post-verify on the stored text, candidates only.
+        // The token array MUST materialize as a real column before
+        // the sliding-window exists() — HOF lambda bodies don't CSE,
+        // so an inline tokenizer would re-run lower+split+filter once
+        // PER WINDOW POSITION (O(len²) regex work per doc). The
+        // conjunctive candidate list is bounded by the RAREST term's
+        // postings — small enough to resolve driver-side, so the
+        // verify join becomes a LocalRelation probe (pruned by the
+        // gid IN-list); an unexpectedly huge list keeps the
+        // distributed join
         val pharr = array(ts.map(lit): _*)
-        val ok = when(size(tokArr) >= k,
-          exists(sequence(lit(1), size(tokArr) - lit(k - 1)),
-            i => slice(tokArr, i, lit(k)) === pharr)).otherwise(lit(false))
-        docsView
+        def verified(docs: DataFrame): DataFrame = {
+          val t = docs.withColumn("__toks",
+            SearchIndexes.termsOf(col("text"), analyzer))
+          val ok = when(size(col("__toks")) >= k,
+            exists(sequence(lit(1), size(col("__toks")) - lit(k - 1)),
+              i => slice(col("__toks"), i, lit(k)) === pharr))
+            .otherwise(lit(false))
+          t.filter(ok).select(col("gid"))
+        }
+        val candLocal = cand.take(100001)
+        if (candLocal.length <= 100000) {
+          val spark = nodesInView.sparkSession
+          val candDf = spark.createDataFrame(
+            java.util.Arrays.asList(candLocal: _*), cand.schema)
+          if (candLocal.isEmpty) candDf
+          else verified(docsView.filter(col("gid").isin(
+              candLocal.map(_.getString(0)).toSeq: _*)))
+            .join(broadcast(candDf), Seq("gid"))
+            .select(col("gid"), col("s"))
+        } else verified(docsView
+            .join(broadcast(cand.select(col("gid"))), Seq("gid"),
+              "left_semi"))
           .join(broadcast(cand), Seq("gid"))
-          .filter(ok)
           .select(col("gid"), col("s"))
     }
     // per-doc matched-atom bitmask + score in ONE aggregation; the
