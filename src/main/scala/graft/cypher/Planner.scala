@@ -3832,6 +3832,23 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         ackFrame(
           s"created fulltext index $nm on :${labels.head}" +
             props.mkString("(", ", ", ")"))
+      // index lifecycle no-ops: every index here builds SYNCHRONOUSLY
+      // inside its DDL's commit, so awaiting is trivially satisfied
+      // and resampling has no statistics to refresh — but ported apps
+      // call these right after creation, so they must succeed (and
+      // db.awaitIndex validates the name, Neo4j's error contract)
+      case "db.awaitindex" =>
+        val nm = c.args.headOption
+          .map(e => pStr(e, "indexName"))
+          .getOrElse(throw PlanError("db.awaitIndex takes an index name"))
+        val intrinsic = Set("node_gid_bucket", "rel_type_directory",
+          "rel_reverse_dst_bucket")
+        if (store.indexDef(nm).isEmpty && !intrinsic.contains(nm))
+          throw PlanError(s"no such index: $nm")
+        ackFrame(s"index $nm is online")
+      case "db.awaitindexes" | "db.resampleindex" |
+          "db.resampleoutdatedindexes" =>
+        ackFrame("indexes build synchronously at DDL time")
       case "db.labels" =>
         noArgs()
         (store.nodes.select(explode(concat(
@@ -6204,7 +6221,12 @@ object CypherEngine {
       ("""(?is)^CREATE\s+(?:RANGE\s+)?INDEX""" +
         """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
         """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
-        """\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*$""").r
+        """\s*ON\s*\(\s*\w+\.(\w+)\s*\)""" +
+        // Neo4j dump/export DDL carries OPTIONS {indexProvider:
+        // 'range-1.0'} — accepted and ignored (one physical layout
+        // here); without this the statement would SILENTLY fall to
+        // the generic intrinsic ack and build nothing
+        """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
     def ddlAck(info: String): DataFrame = {
       val spark = store.nodes.sparkSession
       import spark.implicits._

@@ -725,6 +725,28 @@ class SearchIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIONS-carrying CREATE INDEX and the await/resample procs") {
+    val st = newStore("optddl")
+    CypherEngine.query(st,
+      "CREATE (:Acct {gid: 'a:1', email: 'x@y.z'})").collect()
+    // the Neo4j-dump DDL form (indexProvider option) must build a
+    // REAL index, not fall to the generic intrinsic ack
+    CypherEngine.query(st,
+      """CREATE INDEX acct_email FOR (a:Acct) ON (a.email)
+        |OPTIONS {indexProvider: 'range-1.0'}""".stripMargin).collect()
+    assert(st.indexDef("acct_email").exists(_.kind == "property"))
+    // lifecycle procs ported apps call right after creation
+    CypherEngine.query(st, "CALL db.awaitIndex('acct_email')").collect()
+    CypherEngine.query(st, "CALL db.awaitIndexes()").collect()
+    CypherEngine.query(st, "CALL db.resampleOutdatedIndexes()").collect()
+    intercept[Exception] {
+      CypherEngine.query(st, "CALL db.awaitIndex('nope')").collect()
+    }
+    assert(CypherEngine.query(st,
+      "MATCH (a:Acct {email: 'x@y.z'}) RETURN a.gid AS g")
+      .collect().map(_.getString(0)).toSeq == Seq("a:1"))
+  }
+
   test("fulltext analyzer: standard default lowercases and strips punct") {
     val st = newStore("ftan")
     val sess = CypherEngine.session(st)
