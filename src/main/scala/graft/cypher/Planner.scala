@@ -4058,20 +4058,28 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             case "property" => "RANGE" // Neo4j's default index type
             case k => k.toUpperCase
           }
+          val provider = d.kind match {
+            case "vector" => "vector-2.0"
+            case "fulltext" => "fulltext-1.0"
+            case _ => "range-1.0"
+          }
           (d.name, typ, d.entity,
             s"${d.label}.${d.property}",
             if (d.kind == "vector" && d.centroids.isEmpty) "POPULATING"
-            else "ONLINE")
+            else "ONLINE",
+            d.label, provider, 100.0)
         }
         val rows = Seq(
-          ("node_gid_bucket", "RANGE", "NODE", "gid", "ONLINE"),
+          ("node_gid_bucket", "RANGE", "NODE", "gid", "ONLINE",
+            "*", "range-1.0", 100.0),
           ("rel_type_directory", "LOOKUP", "RELATIONSHIP", "relType",
-            "ONLINE"),
+            "ONLINE", "*", "token-lookup-1.0", 100.0),
           ("rel_reverse_dst_bucket", "LOOKUP", "RELATIONSHIP", "dst",
-            "ONLINE")) ++ declared
-        (spark.createDataFrame(rows)
-          .toDF("name", "type", "entityType", "properties", "state"),
-          Seq("name", "type", "entityType", "properties", "state"))
+            "ONLINE", "*", "token-lookup-1.0", 100.0)) ++ declared
+        val cols = Seq("name", "type", "entityType", "properties",
+          "state", "labelsOrTypes", "indexProvider",
+          "populationPercent")
+        (spark.createDataFrame(rows).toDF(cols: _*), cols)
       // the store's intrinsic constraints (SHOW CONSTRAINTS): gid is
       // the node key on EVERY label — the merge path upserts by gid,
       // so uniqueness and existence hold by construction, exactly
@@ -6147,7 +6155,8 @@ object CypherEngine {
         if (!u0.startsWith(cmd)) None
         else {
           val cols = Seq("name", "type", "entityType", "properties",
-            "state")
+            "state", "labelsOrTypes", "indexProvider",
+            "populationPercent")
           val rest = trimmed0.drop(cmd.length).trim
           Some(
             if (rest.isEmpty)
@@ -6176,7 +6185,8 @@ object CypherEngine {
         .orElse(showKind("SHOW FULLTEXT INDEXES", "FULLTEXT"))
         .orElse(showKind("SHOW RANGE INDEXES", "RANGE"))
         .orElse(show("SHOW INDEXES", "db.indexes",
-          Seq("name", "type", "entityType", "properties", "state")))
+          Seq("name", "type", "entityType", "properties", "state",
+            "labelsOrTypes", "indexProvider", "populationPercent")))
         .orElse(show("SHOW CONSTRAINTS", "db.constraints",
           Seq("name", "type", "entityType", "labelsOrTypes", "properties")))
         .getOrElse(trimmed0)
