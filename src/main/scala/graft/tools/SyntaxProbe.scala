@@ -1155,6 +1155,28 @@ object SyntaxProbe {
       "merge-chain-pure-match" ->
         """MERGE (a:U19 {gid: 'u19:1'})-[:FOLLOWS]->(b:U19 {gid: 'u19:hub'})
            RETURN a.mail AS m""",
+      "prop-index-options-provider" ->
+        """CREATE INDEX u19mail2 FOR (u:U19) ON (u.bio)
+           OPTIONS {indexProvider: 'range-1.0'}""",
+      "await-index" -> "CALL db.awaitIndex('u19mail')",
+      "await-indexes-bare" -> "CALL db.awaitIndexes()",
+      "await-missing-index" -> "CALL db.awaitIndex('missing19')",
+      "legacy-vector-create" ->
+        "CALL db.index.vector.createNodeIndex('lv19', 'U19', 'emb', 4)",
+      "legacy-fulltext-create" ->
+        "CALL db.index.fulltext.createNodeIndex('lf19', ['U19'], ['bio'])",
+      "legacy-fulltext-query" ->
+        """CALL db.index.fulltext.queryNodes('lf19', 'spark')
+           YIELD node, score RETURN count(*) AS c""",
+      "graph-tier-create" ->
+        """CREATE VECTOR INDEX vgt19 FOR (u:U19) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.graph.degree`: 4}}""",
+      "prop-in-list-lookup" ->
+        """MATCH (u:U19) WHERE u.mail IN ['m2@x.io', 'm9@x.io']
+           RETURN count(*) AS c""",
+      "show-indexes-new-cols" ->
+        ("SHOW INDEXES YIELD name, labelsOrTypes, indexProvider " +
+          "WHERE name = 'u19mail' RETURN labelsOrTypes, indexProvider"),
       "hetero-column-list" ->
         """MATCH (u:U19 {gid: 'u19:2'})
            RETURN [u.mail, {k: u.n}, [u.n]][1].k AS k""")
