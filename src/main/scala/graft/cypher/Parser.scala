@@ -485,9 +485,11 @@ object Parser {
           Ast.Query(cs, distinct = false, Nil, Nil, None, None)
         else if (!sawAny)
           throw ParseException("query must start with MATCH/UNWIND")
-        // standalone CALL (Neo4j): a procedure call may END the query
-        // with no RETURN — it projects everything it yielded/bound
-        else if (cs.lastOption.exists(_.isInstanceOf[Ast.CallProc]))
+        // standalone CALL (Neo4j): a RETURN-less procedure call is only
+        // legal when the call IS the whole query — `MATCH (n) CALL
+        // db.labels()` without RETURN is an error in Neo4j, so a
+        // malformed ported query must not silently project *
+        else if (cs.size == 1 && cs.head.isInstanceOf[Ast.CallProc])
           Ast.Query(cs, distinct = false,
             Seq(Ast.ReturnItem(Ast.Star, None)), Nil, None, None)
         else throw ParseException("expected RETURN or a write clause")

@@ -3528,6 +3528,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       analyzer: String): DataFrame = {
     import graft.store.{FulltextQuery => FQ, SearchIndexes}
     import scala.collection.mutable
+    // the `{analyzer: …}` option re-analyzes the QUERY string only;
+    // corpus-side tokenization (the unindexed fallback, its stats,
+    // phrase contiguity verification) always uses the analyzer the
+    // index was BUILT with — otherwise the same query would return
+    // different hit sets depending on whether the index is ready,
+    // and phrase candidates (from d.analyzer postings) would verify
+    // under a different tokenization
+    val corpusAnalyzer = d.analyzer
     val raw =
       try FQ.parse(q)
       catch { case e: FQ.ParseError => throw PlanError(e.getMessage) }
@@ -3614,9 +3622,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .select(col("tf").as("n_docs"), col("dl").as("sum_dl")))
       } else {
         val docs = docsView
-        (SearchIndexes.tokenRows(docs, analyzer).filter(termCond),
+        (SearchIndexes.tokenRows(docs, corpusAnalyzer).filter(termCond),
           docs.agg(count(lit(1)).as("n_docs"),
-            sum(size(SearchIndexes.termsOf(col("text"), analyzer)))
+            sum(size(SearchIndexes.termsOf(col("text"), corpusAnalyzer)))
               .cast("long").as("sum_dl")))
       }
     // BM25 (k1=1.2, b=0.75) — the t_bm25 kernel over the postings,
@@ -3683,7 +3691,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val pharr = array(ts.map(lit): _*)
         def verified(docs: DataFrame): DataFrame = {
           val t = docs.withColumn("__toks",
-            SearchIndexes.termsOf(col("text"), analyzer))
+            SearchIndexes.termsOf(col("text"), corpusAnalyzer))
           val ok = when(size(col("__toks")) >= k,
             exists(sequence(lit(1), size(col("__toks")) - lit(k - 1)),
               i => slice(col("__toks"), i, lit(k)) === pharr))
@@ -3696,10 +3704,26 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           val candDf = spark.createDataFrame(
             java.util.Arrays.asList(candLocal: _*), cand.schema)
           if (candLocal.isEmpty) candDf
-          else verified(docsView.filter(col("gid").isin(
-              candLocal.map(_.getString(0)).toSeq: _*)))
-            .join(broadcast(candDf), Seq("gid"))
-            .select(col("gid"), col("s"))
+          else {
+            val gids = candLocal.map(_.getString(0)).toSeq
+            // candidate docs read through the px route's recipe:
+            // list (and read) only the candidates' gid-hash bucket
+            // directories instead of the whole node-table file
+            // listing — a phrase query on a large corpus must not
+            // open every node file just to verify ≤100k candidates.
+            // Falls back to the overlay view whenever the committed
+            // table may not BE the statement's view (pending writes
+            // or deletes, relationship-sourced docs)
+            val docSrc =
+              if (d.entity != "RELATIONSHIP" && store.searchIndexReady(d)
+                  && pendingNodes.isEmpty && pendingNodeDeletes.isEmpty)
+                SearchIndexes.texts(store.nodesByGidBuckets(
+                  gids.map(store.bucketOfString).toSet), d)
+              else docsView
+            verified(docSrc.filter(col("gid").isin(gids: _*)))
+              .join(broadcast(candDf), Seq("gid"))
+              .select(col("gid"), col("s"))
+          }
         } else verified(docsView
             .join(broadcast(cand.select(col("gid"))), Seq("gid"),
               "left_semi"))

@@ -1639,9 +1639,17 @@ object TextOps {
           JOIN cnt cb ON cb.doc_id = db
           WHERE i*1.0/(ca.n + cb.n - i) >= 0.7)"""
 
+  // bit 63 must be the two's-complement sign value, not `1 << 63`:
+  // DuckDB raises an overflow error on the shift the first time any
+  // doc's bit-63 majority is positive (the engine's `lit(1L << 63)`
+  // IS Long.MinValue, so summing the negative literal matches it
+  // exactly; the band extraction masks with & 65535, which agrees
+  // under arithmetic and logical shifts alike)
   private lazy val simhashSql =
     """SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+       CAST(SUM(CASE WHEN v <= 0 THEN 0
+                     WHEN j = 63 THEN -9223372036854775807 - 1
+                     ELSE (1::BIGINT << j) END)
          AS BIGINT) AS simhash
        FROM (
          SELECT doc_id, j, SUM(bit*2 - 1) v FROM (

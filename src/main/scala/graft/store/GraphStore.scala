@@ -626,20 +626,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               nd
             } else d0
           } else d0
-        // graph-tier entry points ride the sidecar like the quantizer:
-        // computed when the graph table (re)builds — fresh DDL, forced
-        // rebuild, or a just-trained quantizer
-        if (d.kind == "vector" && d.graphDeg > 0 && d.centroids.nonEmpty &&
-            (d.graphEntries.isEmpty || !prev.contains(d.graphTableName) ||
-              forceIndexRebuild0.contains(d.name))) {
-          val assigned = SearchIndexes.assignCells(
-            SearchIndexes.vectors(newNodes, d), d.centroids, d.similarity)
-          val entries = SearchIndexes.graphEntryPoints(assigned)
-          val nd = d.copy(graphEntries = entries)
-          writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ nd)
-          nd
-        } else d
+        d
       }
+      // per-commit channel from the graph-tier delta futures back to
+      // the entry-point maintenance below: (tookFullRebuild,
+      // removedGids) — entries must refresh on BOTH (a full rebuild
+      // re-cells everything; a removed entry gid would silently
+      // shrink the beam frontier, down to zero on a populated index)
+      val graphDeltaInfo = scala.collection.concurrent.TrieMap
+        .empty[String, (Boolean, Set[String])]
       val idxManFs = sdefs.map { d =>
         d.tableName -> Future {
           val (view, dirty) = searchIndexDelta(d, newNodes, newEdges,
@@ -659,8 +654,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         case d if d.kind == "vector" && d.graphDeg > 0 &&
             d.centroids.nonEmpty =>
           d.graphTableName -> Future {
-            val (view, dirty) =
+            val (view, dirty, fullRebuild, removedGids) =
               graphIndexDelta(d, newNodes, dirtyNodes, prev, bc)
+            graphDeltaInfo.put(d.name, (fullRebuild, removedGids))
             writePartitions(view, d.graphTableName, "sect", "gid", next,
               dirty, prev.getOrElse(d.graphTableName, Map.empty), bc)
           }
@@ -679,6 +675,36 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // dropped defs' tables simply leave the manifest here; vacuum
       // reclaims their files once no retained manifest names them
       val idxMans = idxManTs.map { case (t, r) => t -> r.get }
+      // graph-tier entry points ride the sidecar like the quantizer.
+      // They refresh from the NEW vx manifest (per-cell lowest gid —
+      // zero extra assignment work) whenever the graph table fully
+      // rebuilt, an entry gid was deleted (a beam seeded from a
+      // deleted gid reads nothing — enough deletions and queryNodes
+      // returns zero rows on a populated index), or entries are
+      // missing for a populated table (fresh build).
+      sdefs.foreach { d =>
+        if (d.kind == "vector" && d.graphDeg > 0 && d.centroids.nonEmpty) {
+          val (fullRebuild, removedGids) =
+            graphDeltaInfo.getOrElse(d.name, (false, Set.empty[String]))
+          val vxMan = idxMans.collectFirst {
+            case (t, m) if t == d.tableName => m }.getOrElse(Map.empty)
+          val hasRows = vxMan.values.exists(_.nonEmpty)
+          val stale = fullRebuild ||
+            removedGids.exists(d.graphEntries.contains) ||
+            (d.graphEntries.isEmpty && hasRows)
+          if (stale) {
+            val entries =
+              if (!hasRows) Nil
+              else readFiles(d.tableName,
+                vxMan.values.flatten.toSeq.sorted, SearchIndexes.vxSchema)
+                .groupBy(col("cell"))
+                .agg(org.apache.spark.sql.functions.min(col("gid")).as("g"))
+                .collect().map(_.getString(1)).distinct.sorted.toSeq
+            writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+
+              d.copy(graphEntries = entries))
+          }
+        }
+      }
       writeManifest(next, Map(
         "nodes" -> nodesMan, "edges" -> edgesMan,
         "redges" -> redgesMan) ++ idxMans)
@@ -946,7 +972,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       newNodes: DataFrame,
       dirtyNodes: Option[Set[DirtyKey]],
       prev: Manifest,
-      bc: Int): (DataFrame, Option[Set[DirtyKey]]) = {
+      bc: Int): (DataFrame, Option[Set[DirtyKey]], Boolean, Set[String]) = {
     import SearchIndexes._
     val tbl = d.graphTableName
     def empty = spark.createDataFrame(
@@ -960,9 +986,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         d.similarity)
       graphRows(a2, a2, d.similarity, d.graphDeg)
     }
-    if (mustRebuild || dirtyNodes.isEmpty) return (fullView, None)
+    if (mustRebuild || dirtyNodes.isEmpty)
+      return (fullView, None, true, Set.empty)
     val keys = dirtyNodes.get
-    if (keys.isEmpty) return (empty, Some(Set.empty))
+    if (keys.isEmpty) return (empty, Some(Set.empty), false, Set.empty)
     val changedOldNodes = readFiles("nodes",
       prevNodes.view.filterKeys(keyMatches("label", keys)).values
         .flatten.toSeq, nodeSchema)
@@ -978,10 +1005,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val removedGids = removed.collect().map(_.getString(0)).toSet
     val addedCount = added.count()
     if (removedGids.isEmpty && addedCount == 0L)
-      return (empty, Some(Set.empty))
+      return (empty, Some(Set.empty), false, Set.empty)
     // a BULK batch amortizes the Σ|cell|² rebuild — row surgery only
     // pays below it (and keeps the driver-side merge bounded)
-    if (addedCount > 10000) return (fullView, None)
+    if (addedCount > 10000) return (fullView, None, true, Set.empty)
     val addedA2 = assignCells2(added, d.centroids, d.similarity)
     // candidate residents: the vx table's rows for the added gids'
     // home+probe cells (directory-pruned read), minus removals, plus
@@ -1077,7 +1104,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .distinct().collect()
       .map(r => (Some("g"): Option[String], Some(r.getInt(0)): Option[Int]))
       .toSet
-    if (dk.isEmpty) return (empty, Some(Set.empty))
+    if (dk.isEmpty) return (empty, Some(Set.empty), false, removedGids)
     val localRows = spark.createDataFrame(
       java.util.Arrays.asList(rewritten.map(r =>
         Row("g", r.gid, r.v, r.norm, r.nbrs, r.nsim)): _*), vgSchema)
@@ -1089,7 +1116,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         (rewrittenGids ++ removedGids).toSeq: _*))
       .select(vgSchema.fieldNames.map(col).toSeq: _*)
       .unionByName(localRows)
-    (view, Some(dk))
+    (view, Some(dk), false, removedGids)
   }
 
   /** does manifest key `k` fall inside the dirty set? */
@@ -1394,7 +1421,16 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         val n = readSearchIndex(d, _ => true).count()
         val target = SearchIndexes.autoCells(n)
         val k = d.centroids.size
-        if (target >= 2 * k || (k > SearchIndexes.K && 2 * target <= k)) {
+        // grow only when the trained count was not DATA-limited:
+        // trainCentroids seeds from the k lowest-gid vectors, so with
+        // n < target it can never produce `target` centroids —
+        // `target >= 2*k` alone would then hold after every retrain
+        // and the loop would rebuild the index forever. `k <
+        // min(target, n)` retrains exactly when more centroids are
+        // both wanted AND trainable, and converges: the retrained k
+        // equals min(target, n), falsifying the condition.
+        val grow = target >= 2 * k && k < math.min(target.toLong, n)
+        if (grow || (k > SearchIndexes.K && 2 * target <= k)) {
           buildSearchIndex(d.copy(centroids = Nil, dims = 0))
           Some(d.name)
         } else None

@@ -2729,6 +2729,14 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
         .collect()
     }
     assert(argErr.getMessage.contains("no arguments"))
+    // a RETURN-less CALL is only legal when it IS the whole query
+    // (Neo4j errors on `MATCH (n) CALL db.labels()` without RETURN)
+    val standalone = CypherEngine.query(st, "CALL db.labels()")
+      .collect().map(_.getString(0)).toSeq
+    assert(standalone == Seq("Person"))
+    intercept[Exception] {
+      CypherEngine.query(st, "MATCH (n) CALL db.labels()").collect()
+    }
   }
 
   test("CALL graft.pageRank / degrees / connectedComponents") {

@@ -345,6 +345,23 @@ class SearchIndexSpec extends AnyFunSuite {
         s"""CALL db.index.vector.queryNodes('gx', 1, ${vecLit(vec(40))})
            |YIELD node, score RETURN node.gid AS g""".stripMargin)
         .collect().head.getString(0) == "e:40")
+
+    // deleting every ENTRY gid must not strand the beam: the commit
+    // reseeds per-cell entries from the surviving vx rows (without
+    // this, queryNodes on a populated index would return zero rows)
+    val entries0 = st2.indexDef("gx").get.graphEntries
+    assert(entries0.nonEmpty)
+    entries0.foreach(g => CypherEngine.query(st2,
+      s"MATCH (m:Emb {gid: '$g'}) DELETE m").collect())
+    val d3 = st2.indexDef("gx").get
+    assert(d3.graphEntries.nonEmpty, "entries not reseeded after delete")
+    assert(d3.graphEntries.toSet.intersect(entries0.toSet).isEmpty,
+      s"stale entries survived: ${d3.graphEntries}")
+    val reseeded = CypherEngine.query(st2,
+      s"""CALL db.index.vector.queryNodes('gx', 3, ${vecLit(vec(40))})
+         |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(reseeded.nonEmpty, "beam found nothing after entry reseed")
   }
 
   test("property index: DDL, routed lookup, file pruning, delta") {
