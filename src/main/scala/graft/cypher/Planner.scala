@@ -1320,11 +1320,54 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .filter(store.searchIndexReady)
           .map(d => (d, encs))
       })
-    route.map { case (d, encs) =>
+    val eqHits: Option[DataFrame] = route.map { case (d, encs) =>
       val buckets = encs.map(store.bucketOfString).toSet
-      val hits = store.readSearchIndex(d,
+      store.readSearchIndex(d,
         k => buckets.exists(b => k == s"sect=p/bucket=$b"))
         .filter(col("val").isin(encs: _*)).select(col("gid"))
+    }
+    // range / STARTS WITH hints (the Neo4j RANGE-index predicates):
+    // candidate gids resolve from the CONTIGUOUS run of order-
+    // preserving `sect=r` buckets the bounds map to, with the bound
+    // filter pushed to parquet (files are val-sorted, so row groups
+    // prune inside the run too). The inequality itself stayed in
+    // WHERE — the route is a superset narrowing, never the semantics.
+    val rangeHits: Option[DataFrame] =
+      if (eqHits.isDefined) None
+      else n.variable.flatMap(pxRangeRoutes.get).flatMap { pr =>
+        store.indexDefs.find(ix => ix.kind == "property" &&
+          ix.label == label && ix.property == pr.prop &&
+          !ix.property.contains(","))
+          .filter(store.searchIndexReady)
+          .map { d =>
+            pr.prefix match {
+              case Some(p) =>
+                store.readSearchIndex(d, store.pxPrefixKeys(d, p))
+                  .filter(col("sect") === "r" &&
+                    col("val").startsWith("s:" + p))
+                  .select(col("gid"))
+              case None =>
+                // an open end stays inside the bound's TYPE region
+                // ("n:…" hex never reaches "n:G"; strings stop at
+                // "s;") — `n.age > 30` must not read string buckets
+                def ceil(key: String) = key.take(2) match {
+                  case "n:" => "n:G"
+                  case "s:" => "s;"
+                  case _ => "b;"
+                }
+                def floor(key: String) = key.take(2)
+                val lo = pr.lo.orElse(pr.hi.map(floor))
+                val hi = pr.hi.orElse(pr.lo.map(ceil))
+                var f = store.readSearchIndex(d,
+                  store.pxRangeKeys(d, lo, hi))
+                  .filter(col("sect") === "r")
+                lo.foreach(l => f = f.filter(col("val") >= l))
+                hi.foreach(h => f = f.filter(col("val") <= h))
+                f.select(col("gid"))
+            }
+          }
+      }
+    eqHits.orElse(rangeHits).map { hits =>
       val probe = hits.take(PxRouteCap + 1).map(_.getString(0)).toSeq
       if (probe.size <= PxRouteCap) {
         val buckets = probe.map(store.bucketOfString).toSet
@@ -1335,6 +1378,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           Seq("gid"), "left_semi")
     }
   }
+
+  /** clause-local range-route hint: a contiguous [lo, hi] span of
+    * sortable-encoded bounds, or a string prefix — the predicates
+    * themselves stay in WHERE */
+  private case class PxRange(prop: String, lo: Option[String],
+      hi: Option[String], prefix: Option[String])
 
   /** `v:l` label MEMBERSHIP (primary or secondary). When `l` was
     * never used as a secondary label anywhere in the store (tracked
@@ -1657,6 +1706,79 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           pxInRoutes += v -> ((k, encs)))
       case _ => ()
     }
+    // range / STARTS WITH hints: inequality conjuncts on a (single-
+    // property) indexed key map to a contiguous sect=r bucket span.
+    // Numeric bounds WIDEN by one ulp before encoding — the sortable
+    // key canonicalizes longs through double, and a probe bound must
+    // never round past a stored key it should include; the residual
+    // WHERE keeps exactness either way.
+    def sortableBound(e: Expr, widen: Int): Option[String] = {
+      def num(d0: Double): Option[String] = {
+        val d = if (widen < 0) math.nextDown(d0)
+          else if (widen > 0) math.nextUp(d0) else d0
+        graft.store.SearchIndexes.encodeSortableValue(d)
+      }
+      val v: Option[Any] = e match {
+        case Lit(x) if x != null => Some(x)
+        case Param(p) => params.get(p)
+        case _ => None
+      }
+      v.flatMap {
+        case s: String => graft.store.SearchIndexes.encodeSortableValue(s)
+        case b: Boolean => graft.store.SearchIndexes.encodeSortableValue(b)
+        case i: Int => num(i.toDouble)
+        case l: Long => num(l.toDouble)
+        case f: Float => num(f.toDouble)
+        case d: Double => num(d)
+        case _ => None
+      }
+    }
+    def rangeRoutable(v: String, k: String): Boolean =
+      once(v) && !env.contains(v) && !pxInRoutes.contains(v) &&
+        pxRangeRoutes.get(v).forall(_.prop == k) &&
+        nodesByVar.get(v).exists { n =>
+          n.label.isDefined && n.altLabels.isEmpty &&
+            store.indexDefs.exists(ix => ix.kind == "property" &&
+              ix.label == n.label.get && ix.property == k &&
+              store.searchIndexReady(ix))
+        }
+    def cmpKeys(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def addBound(v: String, k: String, isLo: Boolean, key: String): Unit = {
+      val cur = pxRangeRoutes.getOrElse(v, PxRange(k, None, None, None))
+      val nxt =
+        if (isLo) cur.copy(lo = Some(cur.lo
+          .filter(cmpKeys(_, key) >= 0).getOrElse(key)))
+        else cur.copy(hi = Some(cur.hi
+          .filter(cmpKeys(_, key) <= 0).getOrElse(key)))
+      pxRangeRoutes += v -> nxt
+    }
+    val rangeOps = Set(">", ">=", "<", "<=")
+    conjs(wh).foreach {
+      case Cmp(op, PropRef(v, k), rhs)
+          if rangeOps(op) && rangeRoutable(v, k) =>
+        val isLo = op == ">" || op == ">="
+        sortableBound(rhs, if (isLo) -1 else 1)
+          .foreach(addBound(v, k, isLo, _))
+      case Cmp(op, lhs, PropRef(v, k))
+          if rangeOps(op) && rangeRoutable(v, k) =>
+        val isLo = op == "<" || op == "<=" // const < n.p  ⇒  n.p > const
+        sortableBound(lhs, if (isLo) -1 else 1)
+          .foreach(addBound(v, k, isLo, _))
+      case StrPred("startswith", PropRef(v, k), rhs)
+          if rangeRoutable(v, k) =>
+        (rhs match {
+          case Lit(s: String) => Some(s)
+          case Param(p) => params.get(p).collect { case s: String => s }
+          case _ => None
+        }).filter(_.nonEmpty).foreach { p =>
+          val cur = pxRangeRoutes.getOrElse(v, PxRange(k, None, None, None))
+          if (cur.prefix.isEmpty)
+            pxRangeRoutes += v -> cur.copy(prefix = Some(p))
+        }
+      case _ => ()
+    }
     val kept = conjs(wh).filterNot {
       case Cmp("=", PropRef(v, k), rhs) if constOk(rhs) => grab(v, k, rhs)
       case Cmp("=", lhs, PropRef(v, k)) if constOk(lhs) => grab(v, k, lhs)
@@ -1681,9 +1803,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * WHERE */
   private var pxInRoutes: Map[String, (String, Seq[String])] = Map.empty
 
+  /** clause-local range/STARTS WITH route hints (var → bucket-span
+    * bounds) feeding [[propIndexedBase]]'s sect=r route */
+  private var pxRangeRoutes: Map[String, PxRange] = Map.empty
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
     val savedPx = pxInRoutes
+    val savedPxR = pxRangeRoutes
     pxInRoutes = Map.empty
+    pxRangeRoutes = Map.empty
     val m = foldNodePropEqs(foldRelProps(m0))
     // save/restore the uniqueness scope: subquery bodies (pattern
     // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
@@ -1792,6 +1920,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     clauseStretches = sS; clauseRetained = sR
     m.where.foreach(applyWhere)
     pxInRoutes = savedPx
+    pxRangeRoutes = savedPxR
   }
 
   /** WHERE application shared by MATCH and post-WITH filters: pattern

@@ -715,6 +715,36 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // RANGE predicate through the property index (Neo4j's default
+    // RANGE index serves exactly this): `WHERE c.acctbal > $lo`
+    // resolves candidate gids from the CONTIGUOUS run of order-
+    // preserving sect=r buckets the bound maps to (boundary span +
+    // parquet min/max inside — never a label-partition scan), then
+    // reads only those gids' node buckets; the inequality stays a
+    // residual filter, so the route can never change the result.
+    "cypher_prop_index_range" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.acctbal > $lo
+           RETURN c.gid AS gid, c.name AS name,
+                  toFloat(c.acctbal) AS acctbal""",
+        Map("lo" -> 9000.0))
+        .orderBy($"gid")
+    }),
+
+    // STARTS WITH through the same index family: the string prefix
+    // maps to its exact sect=r bucket span (no successor-string
+    // construction — the span is computed from the boundary list).
+    "cypher_prop_index_prefix" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.name STARTS WITH 'Customer#00000003'
+           RETURN c.gid AS gid, c.name AS name""")
+        .orderBy($"gid")
+    }),
+
     // CREATE FULLTEXT INDEX + CALL db.index.fulltext.queryNodes — the
     // BM25 procedure over the store-maintained posting table
     // (sect=t/bucket=H(term) directories; the probe prunes to the
@@ -825,6 +855,8 @@ DETACH DELETE n
         truncateFirst = true)
       CypherEngine.query(store,
         "CREATE INDEX cnameidx FOR (c:Customer) ON (c.name)").collect()
+      CypherEngine.query(store,
+        "CREATE INDEX cbalidx FOR (c:Customer) ON (c.acctbal)").collect()
       store
     })
 
@@ -1312,6 +1344,17 @@ DETACH DELETE n
          FROM customer
          WHERE c_name IN ('Customer#000000042', 'Customer#000000007',
            'Customer#000000123')
+         ORDER BY gid""",
+
+    "cypher_prop_index_range" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name,
+         CAST(c_acctbal AS DOUBLE) AS acctbal
+         FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 9000.0
+         ORDER BY gid""",
+
+    "cypher_prop_index_prefix" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name
+         FROM customer WHERE c_name LIKE 'Customer#00000003%'
          ORDER BY gid""",
 
     // BM25 twin of the fulltext procedure (t_bm25's proven kernel,

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{array, col, hash, lit, pmod, when}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -154,7 +154,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           m.get("graphEntries") match {
             case Some(JArray(gs)) => gs.collect { case JString(g) => g }
             case _ => Nil
-          })
+          },
+          m.get("boundaries") match {
+            case Some(JArray(bs)) => bs.collect { case JString(b) => b }
+            case _ => Nil
+          },
+          m.get("boundaryN").collect {
+            case JInt(i) => i.toLong }.getOrElse(0L))
       }
       case _ => Nil
     }
@@ -173,6 +179,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "entity" -> JString(d.entity),
         "graphDeg" -> JInt(d.graphDeg),
         "graphEntries" -> JArray(d.graphEntries.toList.map(JString(_))),
+        "boundaries" -> JArray(d.boundaries.toList.map(JString(_))),
+        "boundaryN" -> JInt(d.boundaryN),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -284,6 +292,51 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def pxProbeKeys(encodedVal: String): String => Boolean = {
     val b = bucketOfString(encodedVal)
     (k: String) => k == s"sect=p/bucket=$b"
+  }
+
+  /** manifest keys of a property-index RANGE probe (sortable-encoded
+    * [lo, hi], either end open): the CONTIGUOUS run of `sect=r`
+    * buckets the bounds map to under the def's trained boundaries —
+    * an inequality or STARTS WITH lookup lists only those
+    * directories, never the label partition. Bucket mapping is
+    * conservative-inclusive; the caller's pushed val filter and the
+    * residual WHERE keep exactness. */
+  def pxRangeKeys(d: IndexDef, lo: Option[String],
+      hi: Option[String]): String => Boolean = {
+    val bLo = lo.map(v => SearchIndexes.rangeBucketOf(d.boundaries, v))
+      .getOrElse(0)
+    val bHi = hi.map(v => SearchIndexes.rangeBucketOf(d.boundaries, v))
+      .getOrElse(d.boundaries.size)
+    (k: String) =>
+      k.startsWith("sect=r/bucket=") && {
+        val b = k.drop("sect=r/bucket=".length)
+        b.nonEmpty && b.forall(_.isDigit) && {
+          val i = b.toInt; i >= bLo && i <= bHi
+        }
+      }
+  }
+
+  /** manifest keys of a STARTS WITH probe: the exact bucket span of
+    * the prefix under the trained boundaries. No successor-string
+    * construction (incrementing a prefix's last char can mint a lone
+    * surrogate): by bucket(x) = |{bd : bd ≤ x}|, the highest bucket
+    * any prefix-p value can reach is |{bd : bd ≤ "s:p" ∨ bd starts
+    * with "s:p"}| — computed directly from the boundary list. */
+  def pxPrefixKeys(d: IndexDef, prefix: String): String => Boolean = {
+    val lo = "s:" + prefix
+    val ulo = org.apache.spark.unsafe.types.UTF8String.fromString(lo)
+    val bLo = SearchIndexes.rangeBucketOf(d.boundaries, lo)
+    val bHi = d.boundaries.count { bd =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(bd)
+        .compareTo(ulo) <= 0 || bd.startsWith(lo)
+    }
+    (k: String) =>
+      k.startsWith("sect=r/bucket=") && {
+        val b = k.drop("sect=r/bucket=".length)
+        b.nonEmpty && b.forall(_.isDigit) && {
+          val i = b.toInt; i >= bLo && i <= bHi
+        }
+      }
   }
 
   /** is a graph-tier vector index's adjacency table queryable? */
@@ -625,6 +678,20 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
               nd
             } else d0
+          } else if (d0.kind == "property" && d0.boundaryN == 0L &&
+              !d0.property.contains(",")) {
+            // range-section boundaries train once from the snapshot
+            // (the px analog of the IVF quantizer): equi-depth over
+            // the distinct sortable keys, persisted to the sidecar
+            // BEFORE the delta futures assign buckets with them
+            val rows = SearchIndexes.propRangeRows(newNodes, d0)
+            val n = rows.count()
+            if (n > 0) {
+              val bounds = SearchIndexes.trainBoundaries(rows, bc)
+              val nd = d0.copy(boundaries = bounds, boundaryN = n)
+              writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
+              nd
+            } else d0
           } else d0
         d
       }
@@ -644,8 +711,19 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             case "fulltext" => ("sect", "term")
             case _ => ("sect", "val")
           }
+          // a property table buckets its equality section by value
+          // hash and its range section by trained boundary position
+          // (order-preserving — range probes then prune to a
+          // contiguous directory run)
+          val bexpr =
+            if (d.kind == "property")
+              Some(when(col("sect") === "p",
+                pmod(hash(col("val")), lit(bc)))
+                .otherwise(SearchIndexes.rangeBucketExpr(
+                  col("val"), d.boundaries)))
+            else None
           writePartitions(view, d.tableName, pc, cc, next, dirty,
-            prev.getOrElse(d.tableName, Map.empty), bc)
+            prev.getOrElse(d.tableName, Map.empty), bc, bexpr)
         }
       } ++ sdefs.collect {
         // the proximity-graph companion table of graph-tier vector
@@ -828,11 +906,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     // rows belong to the OLD definition)
     val mustRebuild = (!prev.contains(tbl) ||
       forceIndexRebuild0.contains(d.name)) && prevSrc.nonEmpty
+    // composite defs have no range section (a multi-key tuple has no
+    // total order worth range-partitioning; only all-keys-equality
+    // routes through them)
+    val hasRange = d.kind == "property" && !d.property.contains(",")
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty
         else assignCells(vectors(newNodes, d), d.centroids, d.similarity)
-      case "property" => propRows(newNodes, d)
+      case "property" =>
+        if (hasRange) propRows(newNodes, d)
+          .unionByName(propRangeRows(newNodes, d))
+        else propRows(newNodes, d)
       case _ =>
         val docs = docsOf(srcNew)
         val st = docs
@@ -880,25 +965,46 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       case "property" =>
         // the redgesDelta recipe keyed on the encoded value: old vs
         // new (gid, val) rows of the dirty node partitions name the
-        // H(val) buckets to rewrite — bounded by the commit's own
+        // H(val) buckets (equality section) and boundary buckets
+        // (range section) to rewrite — bounded by the commit's own
         // rewrite set, never a node-table scan
         val oldP = propRows(changedOldNodes, d)
         val newP = propRows(changedNewNodes, d)
         val removed = oldP.join(newP, Seq("gid", "val"), "left_anti")
         val added = newP.join(oldP, Seq("gid", "val"), "left_anti")
-        val dk: Set[DirtyKey] = removed.unionByName(added)
+        val dkP: Set[DirtyKey] = removed.unionByName(added)
           .select(pmod(hash(col("val")), lit(bc)).as("b"))
           .distinct().collect()
           .map(r => (Some("p"): Option[String], Some(r.getInt(0)): Option[Int]))
           .toSet
+        val (removedR, addedR, dkR) =
+          if (!hasRange) (empty, empty, Set.empty[DirtyKey])
+          else {
+            val oldR = propRangeRows(changedOldNodes, d)
+            val newR = propRangeRows(changedNewNodes, d)
+            val remR = oldR.join(newR, Seq("gid", "val"), "left_anti")
+            val addR = newR.join(oldR, Seq("gid", "val"), "left_anti")
+            val dk = remR.unionByName(addR)
+              .select(rangeBucketExpr(col("val"), d.boundaries).as("b"))
+              .distinct().collect()
+              .map(r => (Some("r"): Option[String],
+                Some(r.getInt(0)): Option[Int])).toSet
+            (remR, addR, dk: Set[DirtyKey])
+          }
+        val dk = dkP ++ dkR
         if (dk.isEmpty) return (empty, Some(Set.empty))
         val oldPruned = readFiles(tbl,
           prevIdx.view.filterKeys(keyMatches("sect", dk)).values
             .flatten.toSeq, pxSchema)
-        val view = oldPruned
+        val viewP = oldPruned.filter(col("sect") === "p")
           .join(removed.select(col("gid"), col("val")),
             Seq("gid", "val"), "left_anti")
           .unionByName(added.select(pxSchema.fieldNames.map(col).toSeq: _*))
+        val viewR = oldPruned.filter(col("sect") === "r")
+          .join(removedR.select(col("gid"), col("val")),
+            Seq("gid", "val"), "left_anti")
+          .unionByName(addedR.select(pxSchema.fieldNames.map(col).toSeq: _*))
+        val view = viewP.unionByName(viewR)
           .select(pxSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
       case _ =>
@@ -1267,12 +1373,16 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       next: Long,
       dirty: Option[Set[DirtyKey]],
       prev: Map[String, Seq[String]],
-      bc: Int): Map[String, Seq[String]] = {
+      bc: Int,
+      // bucket assignment override: default gid-hash; a property
+      // index's range section assigns ORDER-PRESERVING buckets from
+      // its trained boundaries instead (see SearchIndexes.boundaries)
+      bucketExpr: Option[Column] = None): Map[String, Seq[String]] = {
     // a batch that touched nothing in this table (e.g. a node-only
     // patch) re-links the previous manifest without running a write job
     if (dirty.exists(_.isEmpty)) return prev
-    val withBucket =
-      df.withColumn("bucket", pmod(hash(col(clusterCol)), lit(bc)))
+    val withBucket = df.withColumn("bucket",
+      bucketExpr.getOrElse(pmod(hash(col(clusterCol)), lit(bc))))
     // "" and null partition values share the Hive default partition
     // directory (partDirName), so either one dirty means both are
     // rewritten — a split would drop the other's files from the
@@ -1432,6 +1542,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         val grow = target >= 2 * k && k < math.min(target.toLong, n)
         if (grow || (k > SearchIndexes.K && 2 * target <= k)) {
           buildSearchIndex(d.copy(centroids = Nil, dims = 0))
+          Some(d.name)
+        } else None
+      // property-index range boundaries: equi-depth boundaries drift
+      // as data grows/shrinks or skews — retrain on 2× row-count
+      // drift from the training watermark (boundaryN updates to the
+      // current count, so each retrain doubles the next trigger —
+      // convergent, never perpetual)
+      case d if d.kind == "property" && d.boundaryN > 0 &&
+          !d.property.contains(",") =>
+        val n = readSearchIndex(d, _.startsWith("sect=r")).count()
+        if (n >= 2 * d.boundaryN || (n > 0 && 2 * n <= d.boundaryN)) {
+          buildSearchIndex(d.copy(boundaries = Nil, boundaryN = 0))
           Some(d.name)
         } else None
     }.flatten

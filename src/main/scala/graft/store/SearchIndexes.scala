@@ -53,7 +53,17 @@ case class IndexDef(
     // are the per-cell entry gids (the HNSW upper-layer analog),
     // computed at build and persisted with the quantizer.
     graphDeg: Int = 0,
-    graphEntries: Seq[String] = Nil) {
+    graphEntries: Seq[String] = Nil,
+    // range-partition boundaries of a property index's ORDER-
+    // PRESERVING `sect=r` section (sortable-encoded values, sorted;
+    // row → bucket = count of boundaries ≤ its value). Trained once
+    // from the snapshot at the first data-bearing commit (the
+    // build-once artifact, like the IVF quantizer) and persisted in
+    // the sidecar so probe mapping and write assignment agree across
+    // processes; maintain() retrains on 2× row-count drift.
+    // `boundaryN` is the row count at training time (0 = untrained).
+    boundaries: Seq[String] = Nil,
+    boundaryN: Long = 0) {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name
@@ -219,6 +229,90 @@ object SearchIndexes {
       .filter(labelMember(d.label) && pv.isNotNull)
       .select(lit("p").as("sect"), encodeScalar(pv).as("val"), col("gid"))
       .filter(col("val").isNotNull)
+  }
+
+  /** ORDER-PRESERVING twin of [[encodeScalar]] — the `sect=r` section
+    * key. Lexical (UTF8-byte) order of the encoding equals the value
+    * order within each type region: strings keep their text ("s:"),
+    * numbers render their IEEE total-order bits as fixed-width hex
+    * ("n:", so "n.p > 30" maps to one contiguous key range even
+    * across negative values), booleans "b:0"/"b:1". The regions
+    * themselves sort "b:" < "n:" < "s:", so a typed range never
+    * crosses into another type's buckets. */
+  def encodeSortable(pv: Column): Column = {
+    val num = org.apache.spark.sql.functions.coalesce(
+      pv.getField("l").cast("double"), pv.getField("d"))
+    when(pv.getField("s").isNotNull, concat(lit("s:"), pv.getField("s")))
+      .when(num.isNotNull, concat(lit("n:"),
+        lpad(hex(graft.functions.DoubleSortBits(num)), 16, "0")))
+      .when(pv.getField("b").isNotNull, concat(lit("b:"),
+        when(pv.getField("b"), lit("1")).otherwise(lit("0"))))
+  }
+
+  /** driver-side twin of [[encodeSortable]] (probe bounds); None = a
+    * type the range section doesn't key */
+  def encodeSortableValue(v: Any): Option[String] = {
+    def num(d: Double): String =
+      "n:" + f"${graft.functions.DoubleSortBits.bits(d)}%016X"
+    v match {
+      case s: String => Some("s:" + s)
+      case i: Int => Some(num(i.toDouble))
+      case l: Long => Some(num(l.toDouble))
+      case f: Float => Some(num(f.toDouble))
+      case d: Double => Some(num(d))
+      case b: Boolean => Some("b:" + (if (b) "1" else "0"))
+      case _ => None
+    }
+  }
+
+  /** `(sect="r", val, gid)` rows of the range section — the same
+    * (node, scalar) pairs as [[propRows]] under the sortable
+    * encoding. Single-property defs only: a composite tuple has no
+    * meaningful total order to range-partition. */
+  def propRangeRows(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val pv = col("props").getItem(d.property)
+    nodes
+      .filter(labelMember(d.label) && pv.isNotNull)
+      .select(lit("r").as("sect"), encodeSortable(pv).as("val"),
+        col("gid"))
+      .filter(col("val").isNotNull)
+  }
+
+  /** range-bucket assignment: count of boundaries ≤ the value
+    * (UTF8-byte string comparison — the same comparison the driver
+    * twin and parquet min/max stats use). Empty boundaries = one
+    * bucket. */
+  def rangeBucketExpr(v: Column, boundaries: Seq[String]): Column =
+    if (boundaries.isEmpty) lit(0)
+    else size(filter(typedLit(boundaries), b => b <= v))
+
+  /** driver twin of [[rangeBucketExpr]]: UTF8String.compareTo IS the
+    * executor's string ordering (Java String.compareTo differs for
+    * supplementary-plane characters — using it here could map a probe
+    * bound into the wrong bucket and silently skip files) */
+  def rangeBucketOf(boundaries: Seq[String], v: String): Int = {
+    val uv = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    boundaries.count(b =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(b)
+        .compareTo(uv) <= 0)
+  }
+
+  /** Train the `sect=r` boundaries from the snapshot's range rows:
+    * distinct sortable keys, globally sorted, one boundary every
+    * ⌈m/buckets⌉ keys — ≤ buckets-1 boundaries, equi-depth over the
+    * DISTINCT key space (skew-robust: a hot key occupies one bucket,
+    * it cannot widen its neighbors). A build-once full sort of the
+    * slim key column, the px analog of IVF centroid training. */
+  def trainBoundaries(rows: DataFrame, buckets: Int): Seq[String] = {
+    val vs = rows.select(col("val")).distinct()
+    val m = vs.count()
+    if (m <= 1 || buckets <= 1) return Nil
+    val step = math.max(1L, math.ceil(m.toDouble / buckets).toLong)
+    vs.orderBy(col("val")).select(col("val")).rdd
+      .zipWithIndex()
+      .filter { case (_, i) => i > 0 && i % step == 0 }
+      .map(_._1.getString(0))
+      .collect().toSeq.sorted.take(buckets - 1)
   }
 
   /** separator of the composite edge identity a relationship index

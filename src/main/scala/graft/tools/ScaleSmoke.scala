@@ -99,13 +99,28 @@ object ScaleSmoke {
       assert(r.length == 1, s"point lookup rows: ${r.length}")
       secs
     }
+    // STARTS WITH lookup: unindexed scan vs the order-preserving
+    // sect=r bucket-span route of the same index
+    def prefixLookup(label: String): Double = {
+      val t0 = System.nanoTime()
+      val r = CypherEngine.query(store,
+        """MATCH (c:Customer) WHERE c.name STARTS WITH 'UPDATED-'
+           RETURN c.gid AS gid""").collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SMOKE prefix-lookup($label) ${secs}%.2f s rows=${r.length}")
+      assert(r.length == 10, s"prefix lookup rows: ${r.length}")
+      secs
+    }
     val scanSecs = pointLookup("scan")
+    val scanPfx = prefixLookup("scan")
     time("create property index") {
       CypherEngine.query(store,
         "CREATE INDEX cname FOR (c:Customer) ON (c.name)").collect()
     }
     val idxSecs = pointLookup("indexed")
     println(f"SMOKE point-lookup speedup ${scanSecs / idxSecs}%.1fx")
+    val idxPfx = prefixLookup("indexed")
+    println(f"SMOKE prefix-lookup speedup ${scanPfx / idxPfx}%.1fx")
     time("detach-delete 100") {
       val r = CypherEngine.query(store,
         "MATCH (c:Customer) WHERE c.acctbal < -900.0 DETACH DELETE c")

@@ -455,6 +455,109 @@ class SearchIndexSpec extends AnyFunSuite {
       .filter("gid = 'p:9'").count() == 0)
   }
 
+  test("property index range + STARTS WITH: sect=r routing and pruning") {
+    val st = newStore("pxr")
+    st.localizeTinyTables = false // assert the at-scale parquet shape
+    val sess = CypherEngine.session(st)
+    (1 to 200).foreach { i =>
+      sess.run(f"CREATE (:Person {gid: 'p:$i', email: 'u$i%03d@x.io', " +
+        s"age: $i})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX pager FOR (p:Person) ON (p.age)").collect()
+    CypherEngine.query(st,
+      "CREATE INDEX pmail FOR (p:Person) ON (p.email)").collect()
+    val da = st.indexDef("pager").get
+    val dm = st.indexDef("pmail").get
+    // boundaries trained at build (equi-depth over distinct keys)
+    assert(da.boundaryN == 200 && da.boundaries.nonEmpty)
+    assert(dm.boundaryN == 200 && dm.boundaries.nonEmpty)
+    // both sections persisted: sect=p (hash) + sect=r (ordered)
+    assert(st.readSearchIndex(da, _.startsWith("sect=p")).count() == 200)
+    assert(st.readSearchIndex(da, _.startsWith("sect=r")).count() == 200)
+
+    val allNodeFiles = st.nodes.inputFiles.toSet
+
+    // numeric range: correct rows, node read bucket-pruned
+    val gt = CypherEngine.query(st,
+      "MATCH (p:Person) WHERE p.age > 195 RETURN p.gid AS gid ORDER BY gid")
+    assert(gt.collect().map(_.getString(0)).toSeq ==
+      (196 to 200).map(i => s"p:$i").sorted)
+    assert(gt.inputFiles.toSet.subsetOf(allNodeFiles) &&
+      gt.inputFiles.toSet.size < allNodeFiles.size,
+      "range lookup did not take the index route")
+    // …and the px probe itself lists a strict subset of the range
+    // section's files (the contiguous boundary-bucket span)
+    val rAll = st.readSearchIndex(da, _.startsWith("sect=r"))
+      .inputFiles.toSet
+    val lo = graft.store.SearchIndexes.encodeSortableValue(195.0)
+    val rProbe = st.readSearchIndex(da,
+      st.pxRangeKeys(da, lo, Some("n:G"))).inputFiles.toSet
+    assert(rProbe.nonEmpty && rProbe.subsetOf(rAll) &&
+      rProbe.size < rAll.size,
+      s"range probe read ${rProbe.size}/${rAll.size} sect=r files")
+
+    // closed interval, both bound orders, param bounds
+    val between = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.age >= $lo AND $hi >= p.age
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin,
+      Map("lo" -> 10, "hi" -> 12)).collect().map(_.getString(0)).toSeq
+    assert(between == Seq("p:10", "p:11", "p:12"))
+
+    // STARTS WITH: correct rows, pruned probe
+    val pfx = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.email STARTS WITH 'u19'
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin)
+    assert(pfx.collect().map(_.getString(0)).toSeq ==
+      (190 to 199).map(i => s"p:$i").sorted)
+    assert(pfx.inputFiles.toSet.subsetOf(allNodeFiles) &&
+      pfx.inputFiles.toSet.size < allNodeFiles.size,
+      "STARTS WITH lookup did not take the index route")
+    val mAll = st.readSearchIndex(dm, _.startsWith("sect=r"))
+      .inputFiles.toSet
+    val mProbe = st.readSearchIndex(dm,
+      st.pxPrefixKeys(dm, "u19")).inputFiles.toSet
+    assert(mProbe.nonEmpty && mProbe.subsetOf(mAll) &&
+      mProbe.size < mAll.size,
+      s"prefix probe read ${mProbe.size}/${mAll.size} sect=r files")
+
+    // residual conjuncts still apply on top of the routed base
+    val resid = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.age > 195 AND p.email ENDS WITH '8@x.io'
+        |RETURN p.gid AS gid""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(resid == Seq("p:198"))
+
+    // delta: a moved value leaves its old range bucket and lands in
+    // the new one (both sections stay consistent)
+    CypherEngine.query(st,
+      "MATCH (p:Person {gid: 'p:1'}) SET p.age = 199.5").collect()
+    val moved = CypherEngine.query(st,
+      "MATCH (p:Person) WHERE p.age > 199 RETURN p.gid AS gid ORDER BY gid")
+      .collect().map(_.getString(0)).toSeq
+    assert(moved == Seq("p:1", "p:200"))
+    assert(CypherEngine.query(st,
+      "MATCH (p:Person) WHERE p.age < 1.5 RETURN p.gid AS gid")
+      .collect().isEmpty)
+    // maintain() retrains boundaries on 2× growth and converges
+    val sess2 = CypherEngine.session(st)
+    (201 to 420).foreach { i =>
+      sess2.run(s"CREATE (:Person {gid: 'p:$i', age: $i})").collect()
+    }
+    sess2.commit()
+    val m = st.maintain()
+    assert(m.retrainedIndexes.contains("pager"),
+      s"boundary watermark did not fire: ${m.retrainedIndexes}")
+    assert(st.indexDef("pager").get.boundaryN == 420)
+    assert(!st.maintain().retrainedIndexes.contains("pager"),
+      "boundary retrain did not converge")
+    val afterGrow = CypherEngine.query(st,
+      "MATCH (p:Person) WHERE p.age > 418 RETURN p.gid AS gid ORDER BY gid")
+      .collect().map(_.getString(0)).toSeq
+    assert(afterGrow == Seq("p:419", "p:420"))
+  }
+
   test("property index DDL forms: auto-name, intrinsic gid, composite") {
     val st = newStore("pxddl")
     CypherEngine.query(st,
