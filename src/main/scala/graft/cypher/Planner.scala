@@ -3741,10 +3741,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       if (store.searchIndexReady(d)) {
         // query-term-first: manifest keys prune to the terms' buckets
         // + the one stats row; no corpus scan, no corpus shuffle —
-        // the per-term groupBy below runs on posting rows
+        // the per-term groupBy below runs on posting rows. A prefix
+        // atom expands against the VOCABULARY-sized sect=d dictionary
+        // to its matching terms' buckets (reading the dictionary,
+        // never the postings) — only a pre-dictionary table falls
+        // back to the unpruned posting read
         val keep: String => Boolean =
-          if (prefixes.nonEmpty) _ => true // prefixes match any bucket
-          else store.ftProbeKeys(allTerms)
+          if (prefixes.isEmpty) store.ftProbeKeys(allTerms)
+          else if (store.ftDictReady(d)) {
+            val base = store.ftProbeKeys(allTerms)
+            val pb = store.ftPrefixBuckets(d, prefixes)
+            (k: String) => base(k) ||
+              pb.exists(b => k == s"sect=t/bucket=$b")
+          } else _ => true
         val idx = store.readSearchIndex(d, keep)
         (idx.filter(col("sect") === "t" && termCond),
           idx.filter(col("sect") === "s")

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, col, hash, lit, pmod, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, hash, lit, pmod, when}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -285,6 +285,28 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val bs = terms.map(bucketOfString).toSet
     (k: String) => k.startsWith("sect=s/") ||
       bs.exists(b => k == s"sect=t/bucket=$b")
+  }
+
+  /** does the fulltext table carry its term-dictionary section?
+    * (tables built before the dictionary existed don't — prefix
+    * queries then fall back to the unpruned posting read until the
+    * next full rebuild regenerates both sections) */
+  def ftDictReady(d: IndexDef): Boolean =
+    manifestFiles(d.tableName).keys.exists(_.startsWith("sect=d"))
+
+  /** the H(term) posting buckets holding at least one term with any
+    * of the prefixes — resolved from the VOCABULARY-sized `sect=d`
+    * dictionary (terms hash-share buckets with their postings), so a
+    * `spar*` query reads the dictionary plus exactly its matching
+    * terms' posting buckets, never the whole posting index */
+  def ftPrefixBuckets(d: IndexDef, prefixes: Seq[String]): Set[Int] = {
+    if (prefixes.isEmpty) return Set.empty
+    val cond = prefixes.map(p => col("term").startsWith(p))
+      .reduce(_ || _)
+    readSearchIndex(d, _.startsWith("sect=d"))
+      .filter(cond)
+      .select(pmod(hash(col("term")), lit(bucketCount0)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
   }
 
   /** manifest key of a property-index equality probe: the ONE
@@ -928,7 +950,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
                 termsOf(col("text"), d.analyzer))).cast("long")).head()
         val (n, sdl) =
           (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-        tokenRows(docs, d.analyzer).unionByName(statsRow(spark, n, sdl))
+        val toks = tokenRows(docs, d.analyzer)
+        toks.unionByName(statsRow(spark, n, sdl))
+          .unionByName(dictRows(toks))
     }
     if (mustRebuild || srcDirty.isEmpty) return (fullView, None)
     val keys = srcDirty.get
@@ -1041,20 +1065,51 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .collect().headOption
         val (n0, dl0) = oldStatsRow
           .map(r => (r.getLong(3), r.getLong(4))).getOrElse((0L, 0L))
+        // a table built BEFORE the dictionary section existed must
+        // not grow a partial one (prefix queries would silently miss
+        // pre-existing terms): maintain the dict only when the
+        // previous manifest carries it, or the table was empty (a
+        // fresh dict is complete by construction). Older tables stay
+        // dict-less — and prefix-unpruned — until a full rebuild.
+        val hadDict = prevIdx.isEmpty ||
+          prevIdx.keys.exists(_.startsWith("sect=d"))
         val dk: Set[DirtyKey] = termBuckets
           .map(b => (Some("t"): Option[String], Some(b): Option[Int]))
-          .toSet ++ statsKey
+          .toSet ++ (if (hadDict) termBuckets
+            .map(b => (Some("d"): Option[String], Some(b): Option[Int]))
+            .toSet else Set.empty[DirtyKey]) ++ statsKey
         val oldPruned = readFiles(tbl,
           prevIdx.view.filterKeys(keyMatches("sect", dk)).values
             .flatten.toSeq, ftSchema)
         val keepToks = oldPruned.filter(col("sect") === "t")
           .join(removedDocs.select(col("gid")).distinct(),
             Seq("gid"), "left_anti")
-        val view = keepToks
+        // dictionary df maintenance: every changed term lives in a
+        // dirty bucket (remT covers all terms of removed docs, addT
+        // of added), so adjusting exactly those rows is complete —
+        // df' = df - removedDocsWithTerm + addedDocsWithTerm, rows
+        // reaching zero leave the dictionary
+        val oldDict = oldPruned.filter(col("sect") === "d")
+          .select(col("term"), col("tf"))
+        val remDf = remT.groupBy(col("term"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("rm"))
+        val addDf = addT.groupBy(col("term"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("ad"))
+        val dictView = oldDict
+          .join(remDf, Seq("term"), "full_outer")
+          .join(addDf, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("tf"), lit(0L)) - coalesce(col("rm"), lit(0L))
+              + coalesce(col("ad"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+          .select(lit("d").as("sect"), col("term"), lit("").as("gid"),
+            col("df").as("tf"), lit(0L).as("dl"))
+        val view0 = keepToks
           .select(ftSchema.fieldNames.map(col).toSeq: _*)
           .unionByName(addT)
           .unionByName(
             statsRow(spark, n0 - remN + addN, dl0 - remDl + addDl))
+        val view = if (hadDict) view0.unionByName(dictView) else view0
         (view, Some(dk))
     }
   }

@@ -371,6 +371,20 @@ object SearchIndexes {
       .select(lit("t").as("sect"), col("term"), col("gid"),
         col("tf"), col("dl"))
 
+  /** term-dictionary rows `(sect="d", term, gid="", tf=df, dl=0)` of
+    * a token-row frame — one row per DISTINCT term, `tf` carrying the
+    * document frequency. The dictionary is vocabulary-sized (≪ the
+    * postings) and hash-shares buckets with them, so a prefix query
+    * expands against it instead of scanning every posting file, and
+    * the per-commit delta rewrites exactly the dirty term buckets of
+    * both sections together. */
+  def dictRows(toks: DataFrame): DataFrame =
+    toks.filter(col("sect") === "t")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(lit("d").as("sect"), col("term"), lit("").as("gid"),
+        col("df").as("tf"), lit(0L).as("dl"))
+
   /** one stats row from (nDocs, sumDl) */
   def statsRow(spark: SparkSession, nDocs: Long, sumDl: Long): DataFrame =
     spark.createDataFrame(

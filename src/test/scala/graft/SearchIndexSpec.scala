@@ -960,6 +960,60 @@ class SearchIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("fulltext prefix reads are dictionary-bounded") {
+    val st = newStore("ftdict")
+    st.localizeTinyTables = false // assert the at-scale parquet shape
+    val sess = CypherEngine.session(st)
+    (1 to 40).foreach { i =>
+      sess.run(s"CREATE (:Doc {gid: 'd:$i', body: 'term$i filler$i'})")
+        .collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX fd FOR (x:Doc) ON EACH [x.body]").collect()
+    val d = st.indexDef("fd").get
+    assert(st.ftDictReady(d), "dictionary section missing after build")
+    // one dict row per distinct term, tf = document frequency
+    val dict = st.readSearchIndex(d, _.startsWith("sect=d"))
+    assert(dict.count() == 80)
+    assert(dict.filter("term = 'term7'").head().getLong(3) == 1L)
+
+    def hits(q: String): Seq[String] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('fd', '$q')
+         |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(hits("term39*") == Seq("d:39"))
+    assert(hits("term3*") ==
+      (Seq(3) ++ (30 to 39)).map(i => s"d:$i").sorted)
+
+    // the probe reads a strict subset of the POSTING files: the
+    // dictionary names the matching terms' buckets, so `term39*`
+    // never scans the whole posting index
+    val postAll = st.readSearchIndex(d, _.startsWith("sect=t"))
+      .inputFiles.toSet
+    val res = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fd', 'term39*')
+        |YIELD node, score RETURN node.gid AS g""".stripMargin)
+    val used = res.inputFiles.toSet.intersect(postAll)
+    assert(used.nonEmpty && used.size < postAll.size,
+      s"prefix query read ${used.size}/${postAll.size} posting files")
+
+    // delta: new docs join the dictionary, deleted docs leave it
+    CypherEngine.query(st,
+      "CREATE (:Doc {gid: 'd:41', body: 'term39x common'})").collect()
+    assert(hits("term39*") == Seq("d:39", "d:41"))
+    CypherEngine.query(st,
+      "MATCH (x:Doc {gid: 'd:39'}) DELETE x").collect()
+    assert(hits("term39*") == Seq("d:41"))
+    assert(st.readSearchIndex(st.indexDef("fd").get,
+      _.startsWith("sect=d")).filter("term = 'term39'").count() == 0)
+    // a changed doc's old terms leave, new terms arrive (df stays 1)
+    CypherEngine.query(st,
+      "MATCH (x:Doc {gid: 'd:41'}) SET x.body = 'term40x common'")
+      .collect()
+    assert(hits("term39*").isEmpty)
+    assert(hits("term40*") == Seq("d:40", "d:41"))
+  }
+
   test("fulltext {limit} option and kind-filtered SHOW forms") {
     val st = newStore("ftopt")
     val sess = CypherEngine.session(st)
