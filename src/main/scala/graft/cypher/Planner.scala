@@ -1297,20 +1297,35 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Some(l) if n.altLabels.isEmpty => l
       case _ => return None
     }
-    val eqRoute = n.props.view.flatMap { case (k, e) =>
+    // every plan-time scalar equality binding of this node (inline
+    // props + WHERE equalities folded in by foldNodePropEqs)
+    val boundEncs: Map[String, String] = n.props.flatMap { case (k, e) =>
       val value: Option[Any] = e match {
         case Lit(v) if v != null => Some(v)
         case Param(p) => params.get(p)
         case _ => None
       }
-      for {
-        v <- value
-        enc <- graft.store.SearchIndexes.encodeValue(v)
-        d <- store.indexDefs.find(ix => ix.kind == "property" &&
-          ix.label == label && ix.property == k)
-        if store.searchIndexReady(d)
-      } yield (d, Seq(enc))
-    }.headOption
+      value.flatMap(graft.store.SearchIndexes.encodeValue).map(k -> _)
+    }.toMap
+    // composite defs route only when ALL their keys are bound; the
+    // widest applicable one wins (most selective tuple)
+    val compositeRoute = store.indexDefs
+      .filter(ix => ix.kind == "property" && ix.label == label &&
+        ix.properties.size > 1 &&
+        ix.properties.forall(boundEncs.contains) &&
+        store.searchIndexReady(ix))
+      .sortBy(-_.properties.size).headOption
+      .map(d => (d, Seq(d.properties.map(boundEncs)
+        .mkString(graft.store.SearchIndexes.CompositeSep))))
+    val eqRoute = compositeRoute.orElse(
+      n.props.view.flatMap { case (k, _) =>
+        for {
+          enc <- boundEncs.get(k)
+          d <- store.indexDefs.find(ix => ix.kind == "property" &&
+            ix.label == label && ix.property == k)
+          if store.searchIndexReady(d)
+        } yield (d, Seq(enc))
+      }.headOption)
     // IN-list hints from the clause WHERE: multi-bucket probe (the
     // predicate itself stayed in WHERE as the correctness filter)
     val route = eqRoute.orElse(
@@ -1669,8 +1684,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       once(v) && !env.contains(v) && nodesByVar.get(v).exists { n =>
         n.label.isDefined && n.altLabels.isEmpty &&
           !n.props.exists(_._1 == k) &&
+          // any ready index whose key set CONTAINS k — a composite
+          // routes once all its keys fold in (moving an equality
+          // conjunct into inline props is semantics-preserving
+          // whether or not the route fires)
           store.indexDefs.exists(ix => ix.kind == "property" &&
-            ix.label == n.label.get && ix.property == k &&
+            ix.label == n.label.get && ix.properties.contains(k) &&
             store.searchIndexReady(ix))
       }
     var moved = Map.empty[String, List[(String, Expr)]]
@@ -6389,6 +6408,15 @@ object CypherEngine {
     // gid; the reference's one index is this exact shape for gid,
     // /root/reference/neo4j.go:21). The name is optional (Neo4j
     // auto-names) — derived as index_<label>_<prop>.
+    // composite form (`ON (n.a, n.b)`): one index keyed on the TUPLE
+    // of all listed properties — routed only when every key has an
+    // equality binding (Neo4j's composite-index seek semantics)
+    val CompositeIdxRe =
+      ("""(?is)^CREATE\s+(?:RANGE\s+)?INDEX""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s*ON\s*\(\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)+)\s*\)""" +
+        """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
     val PropIdxRe =
       ("""(?is)^CREATE\s+(?:RANGE\s+)?INDEX""" +
         """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
@@ -6494,6 +6522,20 @@ object CypherEngine {
         val name = Option(name0).getOrElse(s"index_${label}_$prop")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "property", label, prop))
+      case CompositeIdxRe(name0, ine, label, propList) =>
+        val props = propList.split(",")
+          .map(_.trim.split("\\.", 2)(1)).toSeq
+        props.find(p => p == "gid" || p == "source" || p == "label")
+          .foreach(p => throw new IllegalArgumentException(
+            s"composite indexes cannot include the model column $p " +
+              "(gid/source/label are intrinsic to the store layout)"))
+        if (props.distinct.size != props.size)
+          throw new IllegalArgumentException(
+            s"duplicate property in composite index: ${props.mkString(", ")}")
+        val name = Option(name0)
+          .getOrElse(s"index_${label}_${props.mkString("_")}")
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "property", label, props.mkString(",")))
       case _ =>
         // a vector/fulltext DDL that did NOT match the supported form
         // (multi-property list, relationship target, unnamed index)
@@ -6514,16 +6556,6 @@ object CypherEngine {
               "CREATE FULLTEXT INDEX <name> [IF NOT EXISTS] FOR " +
               "(n:Label) ON EACH [n.p1, …] or FOR ()-[r:T]-() ON " +
               "EACH [r.source]")
-        // a composite property list almost-matched PropIdxRe — give a
-        // targeted error instead of silently acking it as intrinsic
-        if ((u.startsWith("CREATE INDEX") ||
-            u.startsWith("CREATE RANGE INDEX")) &&
-            """(?is)FOR\s*\(.*\)\s*ON\s*\(\s*\w+\.\w+\s*,""".r
-              .findFirstIn(trimmed).isDefined)
-          throw new IllegalArgumentException(
-            "composite property indexes are not supported; create one " +
-              "index per property: CREATE INDEX <name> FOR (n:Label) " +
-              "ON (n.prop)")
     }
     val DropIdxRe = """(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     trimmed match {

@@ -745,6 +745,19 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // COMPOSITE index ((tenant, key) shape): the lookup routes only
+    // when every indexed property has an equality binding — candidate
+    // gids resolve from ONE sect=p bucket of the tuple key, the two
+    // equality predicates stay residual.
+    "cypher_prop_index_composite" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer {nation: 5, segment: 'BUILDING'})
+           RETURN c.gid AS gid, c.name AS name""")
+        .orderBy($"gid")
+    }),
+
     // CREATE FULLTEXT INDEX + CALL db.index.fulltext.queryNodes — the
     // BM25 procedure over the store-maintained posting table
     // (sect=t/bucket=H(term) directories; the probe prunes to the
@@ -843,13 +856,16 @@ DETACH DELETE n
         s, 8)
       val ents = Relational.t(s, dir, "customer")
         .select($"c_custkey".cast("long"), $"c_name",
-          $"c_acctbal".cast("double"))
-        .as[(Long, String, Double)]
-        .map { case (k, name, bal) =>
+          $"c_acctbal".cast("double"), $"c_nationkey".cast("long"),
+          $"c_mktsegment")
+        .as[(Long, String, Double, Long, String)]
+        .map { case (k, name, bal, nk, seg) =>
           graft.model.Entity(s"c:$k",
             props = Map(
               "http://g/prop#name" -> graft.model.PV.of(name),
-              "http://g/prop#acctbal" -> graft.model.PV.of(bal)))
+              "http://g/prop#acctbal" -> graft.model.PV.of(bal),
+              "http://g/prop#nation" -> graft.model.PV.of(nk),
+              "http://g/prop#segment" -> graft.model.PV.of(seg)))
         }
       graft.ops.GraphMerge.applyBatch(store, "customers", "Customer", ents,
         truncateFirst = true)
@@ -857,6 +873,11 @@ DETACH DELETE n
         "CREATE INDEX cnameidx FOR (c:Customer) ON (c.name)").collect()
       CypherEngine.query(store,
         "CREATE INDEX cbalidx FOR (c:Customer) ON (c.acctbal)").collect()
+      // composite (tenant, key)-shaped index: routed only when BOTH
+      // keys have equality bindings
+      CypherEngine.query(store,
+        "CREATE INDEX cnsidx FOR (c:Customer) ON (c.nation, c.segment)")
+        .collect()
       store
     })
 
@@ -1355,6 +1376,12 @@ DETACH DELETE n
     "cypher_prop_index_prefix" ->
       """SELECT 'c:'||c_custkey AS gid, c_name AS name
          FROM customer WHERE c_name LIKE 'Customer#00000003%'
+         ORDER BY gid""",
+
+    "cypher_prop_index_composite" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name
+         FROM customer
+         WHERE c_nationkey = 5 AND c_mktsegment = 'BUILDING'
          ORDER BY gid""",
 
     // BM25 twin of the fulltext procedure (t_bm25's proven kernel,

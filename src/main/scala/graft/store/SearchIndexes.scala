@@ -220,15 +220,40 @@ object SearchIndexes {
     case _ => None
   }
 
+  /** separator of a COMPOSITE index's tuple key: the encoded values
+    * of `ON (n.a, n.b)` join under a control character (the ekey
+    * recipe — values containing it only widen the candidate set; the
+    * residual equality predicates keep exactness) */
+  val CompositeSep = "\u0001"
+
   /** `(sect="p", val, gid)` of every live node of the def's label
     * carrying the property as a non-null scalar — the build, the
-    * delta, and the planner's probe all key on exactly these rows. */
+    * delta, and the planner's probe all key on exactly these rows.
+    * A composite def keys the tuple of ALL its properties (rows exist
+    * only when every indexed property is a non-null scalar — Neo4j's
+    * composite-index semantics). */
   def propRows(nodes: DataFrame, d: IndexDef): DataFrame = {
-    val pv = col("props").getItem(d.property)
-    nodes
-      .filter(labelMember(d.label) && pv.isNotNull)
-      .select(lit("p").as("sect"), encodeScalar(pv).as("val"), col("gid"))
-      .filter(col("val").isNotNull)
+    val ps = d.properties
+    if (ps.size == 1) {
+      val pv = col("props").getItem(d.property)
+      nodes
+        .filter(labelMember(d.label) && pv.isNotNull)
+        .select(lit("p").as("sect"), encodeScalar(pv).as("val"),
+          col("gid"))
+        .filter(col("val").isNotNull)
+    } else {
+      val pvs = ps.map(p => col("props").getItem(p))
+      // concat (not concat_ws): any null/unkeyable component nulls
+      // the whole tuple key, so the row leaves the index instead of
+      // silently collapsing onto a shorter key
+      val parts = pvs.map(encodeScalar).flatMap(e =>
+        Seq(e, lit(CompositeSep))).dropRight(1)
+      nodes
+        .filter(labelMember(d.label) && pvs.map(_.isNotNull).reduce(_ && _))
+        .select(lit("p").as("sect"), concat(parts: _*).as("val"),
+          col("gid"))
+        .filter(col("val").isNotNull)
+    }
   }
 
   /** ORDER-PRESERVING twin of [[encodeScalar]] — the `sect=r` section

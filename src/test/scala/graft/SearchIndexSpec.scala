@@ -558,6 +558,65 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(afterGrow == Seq("p:419", "p:420"))
   }
 
+  test("composite property index: tuple key, all-bound routing, delta") {
+    val st = newStore("pxc")
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 60).foreach { i =>
+      sess.run(s"CREATE (:Acct {gid: 'a:$i', tenant: 't${i % 5}', " +
+        s"key: 'k${i % 12}', tag: $i})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX tk FOR (a:Acct) ON (a.tenant, a.key)").collect()
+    val d = st.indexDef("tk").get
+    assert(d.properties == Seq("tenant", "key"))
+    // one tuple row per node carrying BOTH properties
+    assert(st.readSearchIndex(d, _ => true).count() == 60)
+    // composites have no range section (no total order to partition)
+    assert(st.readSearchIndex(d, _.startsWith("sect=r")).count() == 0)
+
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    // (t2, k7): i ≡ 2 (mod 5) and i ≡ 7 (mod 12) → i ≡ 7 (mod 60)
+    val df = CypherEngine.query(st,
+      "MATCH (a:Acct {tenant: 't2', key: 'k7'}) RETURN a.gid AS gid")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("a:7"))
+    assert(df.inputFiles.toSet.subsetOf(allNodeFiles) &&
+      df.inputFiles.toSet.size < allNodeFiles.size,
+      "composite lookup did not take the index route")
+    // WHERE equalities fold in and route the same way (param + literal)
+    val viaWhere = CypherEngine.query(st,
+      """MATCH (a:Acct) WHERE a.tenant = $t AND a.key = 'k3'
+        |RETURN a.gid AS gid ORDER BY gid""".stripMargin,
+      Map("t" -> "t3")).collect().map(_.getString(0)).toSeq
+    assert(viaWhere == Seq("a:3")) // i ≡ 3 (mod 5) ∧ i ≡ 3 (mod 12)
+    // a PARTIALLY bound composite must not route — and stays correct
+    val partial = CypherEngine.query(st,
+      """MATCH (a:Acct) WHERE a.tenant = 't2' AND a.tag > 50
+        |RETURN a.gid AS gid ORDER BY gid""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(partial == Seq("a:52", "a:57"))
+    // residuals on top of the routed pair
+    val resid = CypherEngine.query(st,
+      """MATCH (a:Acct {tenant: 't2', key: 'k7'}) WHERE a.tag > 50
+        |RETURN a.gid AS gid""".stripMargin).collect()
+    assert(resid.isEmpty)
+    // delta: moving one component moves the tuple row
+    CypherEngine.query(st,
+      "MATCH (a:Acct {gid: 'a:7'}) SET a.key = 'k99'").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (a:Acct {tenant: 't2', key: 'k7'}) RETURN a.gid AS gid")
+      .collect().isEmpty)
+    assert(CypherEngine.query(st,
+      "MATCH (a:Acct {tenant: 't2', key: 'k99'}) RETURN a.gid AS gid")
+      .collect().map(_.getString(0)).toSeq == Seq("a:7"))
+    // dropping one component drops the node from the index entirely
+    CypherEngine.query(st,
+      "MATCH (a:Acct {gid: 'a:7'}) REMOVE a.key").collect()
+    assert(st.readSearchIndex(st.indexDef("tk").get, _ => true)
+      .filter("gid = 'a:7'").count() == 0)
+  }
+
   test("property index DDL forms: auto-name, intrinsic gid, composite") {
     val st = newStore("pxddl")
     CypherEngine.query(st,
@@ -574,12 +633,18 @@ class SearchIndexSpec extends AnyFunSuite {
     CypherEngine.query(st,
       "CREATE INDEX gx FOR (n:Person) ON (n.gid)").collect()
     assert(st.indexDef("gx").isEmpty)
-    // composite gets a targeted error, not a silent ack
+    // composite DDL registers a tuple-keyed def (auto-named)
+    CypherEngine.query(st,
+      "CREATE INDEX FOR (n:Person) ON (n.a, n.b)").collect()
+    val cd = st.indexDef("index_Person_a_b").get
+    assert(cd.kind == "property" && cd.properties == Seq("a", "b"))
+    CypherEngine.query(st, "DROP INDEX index_Person_a_b").collect()
+    // …but model columns inside one get a targeted error
     val e = intercept[IllegalArgumentException] {
       CypherEngine.query(st,
-        "CREATE INDEX cx FOR (n:Person) ON (n.a, n.b)")
+        "CREATE INDEX cx FOR (n:Person) ON (n.gid, n.b)")
     }
-    assert(e.getMessage.contains("composite"))
+    assert(e.getMessage.contains("model column"))
     // DROP works through the same path as vector/fulltext
     CypherEngine.query(st, "DROP INDEX index_Person_nickname").collect()
     assert(st.indexDef("index_Person_nickname").isEmpty)
