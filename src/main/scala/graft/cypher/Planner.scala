@@ -4234,7 +4234,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // the reverse-edge dst-bucket index on relationships
       case "db.indexes" =>
         noArgs()
-        val declared = store.indexDefs.sortBy(_.name).map { d =>
+        // "exists" constraints carry no table — not an index; unique
+        // constraints DO list (their backing px table is a real
+        // index, as in Neo4j)
+        val declared = store.indexDefs
+          .filterNot(_.kind == "constraint").sortBy(_.name).map { d =>
           val typ = d.kind match {
             case "property" => "RANGE" // Neo4j's default index type
             case k => k.toUpperCase
@@ -4267,10 +4271,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // what Neo4j's UNIQUE + NOT NULL pair declares
       case "db.constraints" =>
         noArgs()
+        val declared = store.indexDefs.filter(_.constraint.nonEmpty)
+          .sortBy(_.name).map { d =>
+            (d.name,
+              if (d.constraint == "unique") "UNIQUENESS"
+              else "NODE_PROPERTY_EXISTENCE",
+              "NODE", d.label, d.property)
+          }
         val rows = Seq(
           ("node_gid_unique", "UNIQUENESS", "NODE", "*", "gid"),
           ("node_gid_exists", "NODE_PROPERTY_EXISTENCE", "NODE", "*",
-            "gid"))
+            "gid")) ++ declared
         (spark.createDataFrame(rows)
           .toDF("name", "type", "entityType", "labelsOrTypes",
             "properties"),
@@ -6568,13 +6579,72 @@ object CypherEngine {
         trimmed.toUpperCase.startsWith("DROP INDEX")) {
       return ddlAck("indexes are intrinsic to the store layout")
     }
-    if (trimmed.toUpperCase.startsWith("CREATE CONSTRAINT") ||
-        trimmed.toUpperCase.startsWith("DROP CONSTRAINT")) {
-      val spark = store.nodes.sparkSession
-      import spark.implicits._
-      return Seq(("constraints are intrinsic to the store model " +
-          "(gid keys every label)", true))
-        .toDF("info", "acknowledged")
+    // CREATE CONSTRAINT … REQUIRE n.p IS UNIQUE / IS NOT NULL: REAL
+    // declared constraints — a unique constraint builds (and is
+    // enforced through) a px index probe at every commit; NOT NULL
+    // checks each batch's changed rows. gid uniqueness/existence stay
+    // intrinsic (the merge path upserts by gid).
+    val UniqueConstraintRe =
+      ("""(?is)^CREATE\s+CONSTRAINT""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s+REQUIRE\s+\(?\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\)?""" +
+        """\s+IS\s+UNIQUE\s*$""").r
+    val ExistsConstraintRe =
+      ("""(?is)^CREATE\s+CONSTRAINT""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s+REQUIRE\s+\(?\s*\w+\.(\w+)\s*\)?""" +
+        """\s+IS\s+NOT\s+NULL\s*$""").r
+    val DropConstraintRe =
+      """(?is)^DROP\s+CONSTRAINT\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
+    def createConstraint(name: String, ifNotExists: Boolean,
+        d: graft.store.IndexDef): DataFrame = {
+      if (store.indexDef(name).isDefined) {
+        if (ifNotExists) return ddlAck(s"constraint $name already exists")
+        throw new IllegalArgumentException(
+          s"a constraint or index named $name already exists " +
+            "(use IF NOT EXISTS)")
+      }
+      store.buildConstraint(d)
+      val what = if (d.constraint == "unique") "uniqueness" else "existence"
+      ddlAck(s"created $what constraint $name on " +
+        s":${d.label}(${d.property})")
+    }
+    trimmed match {
+      case UniqueConstraintRe(name0, ine, label, propList) =>
+        val props = propList.split(",")
+          .map(_.trim.split("\\.", 2)(1)).toSeq
+        if (props.contains("gid"))
+          return ddlAck("gid uniqueness is intrinsic to the store model")
+        val name = Option(name0)
+          .getOrElse(s"constraint_${label}_${props.mkString("_")}")
+        return createConstraint(name, ine != null, graft.store.IndexDef(
+          name, "property", label, props.mkString(","),
+          constraint = "unique"))
+      case ExistsConstraintRe(name0, ine, label, prop) =>
+        if (prop == "gid")
+          return ddlAck("gid existence is intrinsic to the store model")
+        val name = Option(name0).getOrElse(s"constraint_${label}_$prop")
+        return createConstraint(name, ine != null, graft.store.IndexDef(
+          name, "constraint", label, prop, constraint = "exists"))
+      case DropConstraintRe(name, ife) =>
+        val had = store.indexDef(name).exists(_.constraint.nonEmpty)
+        if (had) { store.dropSearchIndex(name)
+          return ddlAck(s"dropped constraint $name") }
+        if (ife != null) return ddlAck(s"no constraint named $name")
+        throw new IllegalArgumentException(s"no such constraint: $name")
+      case _ => ()
+    }
+    if (trimmed.toUpperCase.startsWith("CREATE CONSTRAINT")) {
+      // unparsed forms must NOT silently ack — a ported app would
+      // believe it created an enforced constraint
+      throw new IllegalArgumentException(
+        "unsupported CREATE CONSTRAINT form; supported: CREATE " +
+          "CONSTRAINT <name> [IF NOT EXISTS] FOR (n:Label) REQUIRE " +
+          "n.prop IS UNIQUE | (n.a, n.b) IS UNIQUE | n.prop IS NOT " +
+          "NULL (NODE KEY and relationship constraints are not " +
+          "supported)")
     }
     val upper = trimmed.toUpperCase
     if (upper.startsWith("EXPLAIN") || upper.startsWith("PROFILE")) {

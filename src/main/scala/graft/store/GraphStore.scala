@@ -11,6 +11,13 @@ import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
+/** A batch (or constraint DDL validating existing data) violated a
+  * declared uniqueness/existence constraint — the commit wrote
+  * nothing and the pointer never flipped (Neo4j's
+  * ConstraintValidationFailed analog). */
+final class ConstraintViolation(msg: String)
+    extends IllegalArgumentException(msg)
+
 /** Manifest-snapshot property-graph store: the Spark analog of the
   * reference's single Bolt transaction per batch
   * (/root/reference/neo4j.go:238-284). A snapshot is a JSON manifest
@@ -160,7 +167,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             case _ => Nil
           },
           m.get("boundaryN").collect {
-            case JInt(i) => i.toLong }.getOrElse(0L))
+            case JInt(i) => i.toLong }.getOrElse(0L),
+          str("constraint"))
       }
       case _ => Nil
     }
@@ -181,6 +189,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "graphEntries" -> JArray(d.graphEntries.toList.map(JString(_))),
         "boundaries" -> JArray(d.boundaries.toList.map(JString(_))),
         "boundaryN" -> JInt(d.boundaryN),
+        "constraint" -> JString(d.constraint),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -222,6 +231,44 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
 
   def putIndexDef(d: IndexDef): Unit = synchronized {
     writeIndexDefs(indexDefs0.filterNot(_.name == d.name) :+ d)
+  }
+
+  /** Register a constraint after validating the CURRENT snapshot —
+    * creation registers nothing if existing data already violates it
+    * (Neo4j parity). A "unique" constraint is a constraint-backed
+    * property index: its px table builds here and doubles as the
+    * commit-time enforcement probe AND an ordinary lookup route. An
+    * "exists" constraint has no table — commits check the batch frame.
+    */
+  def buildConstraint(d0: IndexDef): Unit = synchronized {
+    require(session.isEmpty,
+      "constraint DDL cannot run inside an open transaction")
+    val live = nodes
+    val labelPred = col("label") === d0.label ||
+      (col("xlabels").isNotNull &&
+        org.apache.spark.sql.functions.array_contains(
+          col("xlabels"), d0.label))
+    if (d0.constraint == "exists") {
+      val pv = col("props").getItem(d0.property)
+      val bad = live.filter(labelPred && pv.isNull)
+        .select(col("gid")).take(1)
+      bad.headOption.foreach(r => throw new ConstraintViolation(
+        s"cannot create constraint ${d0.name}: node ${r.getString(0)} " +
+          s"with label ${d0.label} has no property ${d0.property}"))
+      putIndexDef(d0)
+    } else {
+      val dup = SearchIndexes.propRows(live, d0)
+        .groupBy(col("val"))
+        .agg(org.apache.spark.sql.functions
+          .count_distinct(col("gid")).as("n"),
+          org.apache.spark.sql.functions.min(col("gid")).as("g1"),
+          org.apache.spark.sql.functions.max(col("gid")).as("g2"))
+        .filter(col("n") > 1).take(1)
+      dup.headOption.foreach(r => throw new ConstraintViolation(
+        s"cannot create constraint ${d0.name}: nodes ${r.getString(2)} " +
+          s"and ${r.getString(3)} share ${d0.label}.${d0.property}"))
+      buildSearchIndex(d0)
+    }
   }
 
   /** drop the definition; the table leaves the NEXT commit's manifest
@@ -656,6 +703,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       if (unbucketed && (dirtyNodes.isDefined || dirtyEdges.isDefined))
         throw new IllegalStateException(
           s"store at $root has a pre-bucketing manifest; run compact() first")
+      // declared constraints veto the batch BEFORE any write job runs
+      // (violating commits write nothing; the pointer never flips)
+      enforceConstraints(newNodes, dirtyNodes, prev, bc)
       // the table writes touch disjoint directories and share no
       // lineage — run them as concurrent Spark jobs (the scheduler
       // interleaves stages)
@@ -724,7 +774,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // shrink the beam frontier, down to zero on a populated index)
       val graphDeltaInfo = scala.collection.concurrent.TrieMap
         .empty[String, (Boolean, Set[String])]
-      val idxManFs = sdefs.map { d =>
+      // "exists" constraints carry no table — nothing to maintain
+      val idxManFs = sdefs.filterNot(_.kind == "constraint").map { d =>
         d.tableName -> Future {
           val (view, dirty) = searchIndexDelta(d, newNodes, newEdges,
             dirtyNodes, dirtyEdges, prev, bc)
@@ -824,6 +875,92 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       forceIndexRebuild0 --= sdefs.map(_.name)
       next
     }
+
+  /** Validate every declared constraint against the batch BEFORE any
+    * write job runs. NOT NULL checks the CHANGED rows' frame; UNIQUE
+    * checks the changed rows against themselves (batch-internal
+    * duplicates) and against the committed px rows of exactly the
+    * H(val) buckets the changed values hash into — excluding
+    * committed rows the batch itself rewrites (their current state is
+    * in the changed frame). Work is bounded by the batch's dirty node
+    * partitions plus the probed index buckets, never a table scan.
+    */
+  private def enforceConstraints(
+      newNodes: DataFrame,
+      dirtyNodes: Option[Set[DirtyKey]],
+      prev: Manifest,
+      bc: Int): Unit = {
+    val cdefs = indexDefs0.filter(_.constraint.nonEmpty)
+    if (cdefs.isEmpty) return
+    if (dirtyNodes.exists(_.isEmpty)) return // node-untouched commit
+    import org.apache.spark.sql.functions.{array_contains, count_distinct,
+      max => fmax, min => fmin}
+    val changedNew = dirtyNodes match {
+      case None => newNodes
+      case Some(keys) => dirtyFilter(
+        newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
+        "label", keys).drop("bucket")
+    }
+    cdefs.foreach { d =>
+      val labelPred = col("label") === d.label ||
+        (col("xlabels").isNotNull &&
+          array_contains(col("xlabels"), d.label))
+      if (d.constraint == "exists") {
+        val pv = col("props").getItem(d.property)
+        val bad = changedNew.filter(labelPred && pv.isNull)
+          .select(col("gid")).take(1)
+        bad.headOption.foreach(r => throw new ConstraintViolation(
+          s"node ${r.getString(0)} with label ${d.label} must have " +
+            s"property ${d.property} (constraint ${d.name})"))
+      } else {
+        val newP = SearchIndexes.propRows(changedNew, d)
+          .select(col("val"), col("gid"))
+        // batch-internal duplicates
+        val dup = newP.groupBy(col("val"))
+          .agg(count_distinct(col("gid")).as("n"),
+            fmin(col("gid")).as("g1"), fmax(col("gid")).as("g2"))
+          .filter(col("n") > 1).take(1)
+        dup.headOption.foreach(r => throw new ConstraintViolation(
+          s"nodes ${r.getString(2)} and ${r.getString(3)} both carry " +
+            s"the same ${d.label}.${d.property} " +
+            s"(uniqueness constraint ${d.name})"))
+        // vs committed rows the batch does NOT rewrite. dirty=None
+        // (full rewrite) re-derives every row, so the internal check
+        // above is already complete.
+        val prevIdx = prev.getOrElse(d.tableName, Map.empty)
+        if (dirtyNodes.isDefined && prevIdx.nonEmpty) {
+          val keys = dirtyNodes.get
+          val probeBuckets = newP
+            .select(pmod(hash(col("val")), lit(bc)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          if (probeBuckets.nonEmpty) {
+            // gids whose committed rows the batch rewrites — read
+            // from the PREVIOUS snapshot's dirty partitions (covers
+            // secondary-label residents and deletions exactly)
+            val rewrittenGids = readFiles("nodes",
+              prev.getOrElse("nodes", Map.empty).view
+                .filterKeys(keyMatches("label", keys)).values
+                .flatten.toSeq, nodeSchema)
+              .select(col("gid"))
+            val oldRows = readFiles(d.tableName,
+              prevIdx.view.filterKeys(k =>
+                probeBuckets.exists(b => k == s"sect=p/bucket=$b"))
+                .values.flatten.toSeq, SearchIndexes.pxSchema)
+              .filter(col("sect") === "p")
+            val conflict = oldRows
+              .join(newP.withColumnRenamed("gid", "ngid"), Seq("val"))
+              .filter(col("gid") =!= col("ngid"))
+              .join(rewrittenGids, Seq("gid"), "left_anti")
+              .select(col("gid"), col("ngid")).take(1)
+            conflict.headOption.foreach(r => throw new ConstraintViolation(
+              s"node ${r.getString(1)} would violate uniqueness " +
+                s"constraint ${d.name}: node ${r.getString(0)} already " +
+                s"exists with the same ${d.label}.${d.property}"))
+          }
+        }
+      }
+    }
+  }
 
   /** Derive the reverse-index view and its dirty keys from the main
     * edge table's rewrite. The delta is BOUNDED by the commit's own

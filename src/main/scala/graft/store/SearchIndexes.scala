@@ -63,7 +63,15 @@ case class IndexDef(
     // processes; maintain() retrains on 2× row-count drift.
     // `boundaryN` is the row count at training time (0 = untrained).
     boundaries: Seq[String] = Nil,
-    boundaryN: Long = 0) {
+    boundaryN: Long = 0,
+    // declared constraint riding this def: "" (none), "unique"
+    // (kind="property" — the px table IS the enforcement probe, the
+    // constraint-backed-index model Neo4j uses), or "exists"
+    // (kind="constraint" — no table; the commit checks the batch
+    // frame). Enforcement happens inside GraphStore.commit BEFORE the
+    // pointer flip: a violating batch throws ConstraintViolation and
+    // commits nothing.
+    constraint: String = "") {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name

@@ -617,6 +617,103 @@ class SearchIndexSpec extends AnyFunSuite {
       .filter("gid = 'a:7'").count() == 0)
   }
 
+  test("constraints: UNIQUE and NOT NULL are enforced at commit") {
+    val st = newStore("cstr")
+    val sess0 = CypherEngine.session(st)
+    (1 to 10).foreach { i =>
+      sess0.run(s"CREATE (:User {gid: 'u:$i', email: 'u$i@x.io', " +
+        s"name: 'user$i'})").collect() }
+    sess0.commit()
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT uemail FOR (u:User)
+        |REQUIRE u.email IS UNIQUE""".stripMargin).collect()
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT uname FOR (u:User)
+        |REQUIRE u.name IS NOT NULL""".stripMargin).collect()
+    val shown = CypherEngine.query(st, "SHOW CONSTRAINTS")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shown.contains(("uemail", "UNIQUENESS")))
+    assert(shown.contains(("uname", "NODE_PROPERTY_EXISTENCE")))
+
+    // a new node duplicating a COMMITTED email is vetoed at commit —
+    // and the failed batch leaves the store untouched
+    val vBefore = st.currentVersion
+    val e1 = intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:User {gid: 'u:99', email: 'u3@x.io', name: 'dup'})")
+        .collect()
+    }
+    assert(e1.getMessage.contains("uemail"))
+    assert(st.currentVersion == vBefore)
+    assert(CypherEngine.query(st,
+      "MATCH (u:User {gid: 'u:99'}) RETURN u.gid AS g").collect().isEmpty)
+    // batch-internal duplicates are caught too (one session commit)
+    val sess1 = CypherEngine.session(st)
+    sess1.run("CREATE (:User {gid: 'u:50', email: 'same@x.io', name: 'a'})")
+      .collect()
+    sess1.run("CREATE (:User {gid: 'u:51', email: 'same@x.io', name: 'b'})")
+      .collect()
+    intercept[graft.store.ConstraintViolation] { sess1.commit() }
+    // NOT NULL: creating without the property is vetoed
+    val e2 = intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:User {gid: 'u:60', email: 'u60@x.io'})").collect()
+    }
+    assert(e2.getMessage.contains("uname"))
+    // …as is removing it from an existing node
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "MATCH (u:User {gid: 'u:1'}) REMOVE u.name").collect()
+    }
+    // UPDATING a node's own value is fine (no self-conflict), and a
+    // MERGE matching an existing gid does not trip uniqueness
+    CypherEngine.query(st,
+      "MATCH (u:User {gid: 'u:1'}) SET u.email = 'fresh@x.io'").collect()
+    CypherEngine.query(st,
+      "MERGE (u:User {gid: 'u:2'}) SET u.name = 'renamed'").collect()
+    // a MERGE creating a new node under a taken business key is vetoed
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        """MERGE (u:User {gid: 'u:77'})
+          |SET u.email = 'u5@x.io', u.name = 'x'""".stripMargin).collect()
+    }
+    // value freed by the update is reusable
+    CypherEngine.query(st,
+      "CREATE (:User {gid: 'u:70', email: 'u1@x.io', name: 'ok'})")
+      .collect()
+    // the unique constraint's backing table doubles as a lookup index
+    assert(CypherEngine.query(st,
+      "MATCH (u:User {email: 'fresh@x.io'}) RETURN u.gid AS g")
+      .collect().map(_.getString(0)).toSeq == Seq("u:1"))
+
+    // creating a constraint over already-violating data fails and
+    // registers nothing
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        """CREATE CONSTRAINT udup FOR (u:User)
+          |REQUIRE u.nope IS NOT NULL""".stripMargin).collect()
+    }
+    assert(st.indexDef("udup").isEmpty)
+    // DROP lifts enforcement
+    CypherEngine.query(st, "DROP CONSTRAINT uname").collect()
+    CypherEngine.query(st,
+      "CREATE (:User {gid: 'u:61', email: 'u61@x.io'})").collect()
+    // unparsed forms error instead of silently acking
+    intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        """CREATE CONSTRAINT nk FOR (u:User)
+          |REQUIRE (u.a, u.b) IS NODE KEY""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      CypherEngine.query(st, "DROP CONSTRAINT never_existed")
+    }
+    // the intrinsic gid forms stay acknowledged (reference parity)
+    assert(CypherEngine.query(st,
+      """CREATE CONSTRAINT g IF NOT EXISTS FOR (u:User)
+        |REQUIRE u.gid IS UNIQUE""".stripMargin)
+      .collect().head.getBoolean(1))
+  }
+
   test("property index DDL forms: auto-name, intrinsic gid, composite") {
     val st = newStore("pxddl")
     CypherEngine.query(st,
