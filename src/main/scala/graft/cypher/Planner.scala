@@ -3475,6 +3475,58 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           spark.createDataFrame(java.util.Arrays.asList(top: _*),
             org.apache.spark.sql.types.StructType(
               SearchIndexes.vxSchema.fields.filter(_.name != "cell")))
+        } else if (store.searchIndexReady(d) && d.centroids.nonEmpty &&
+            d.quant.nonEmpty) {
+          // QUANTIZED tier: probe the top-nprobe cells' CODE rows
+          // (8× / 64× less IO than raw float64), shortlist by the
+          // approximate score, then exact-rescore only the shortlist
+          // — its float vectors read from the candidates' gid-bucket
+          // node directories (the quantize-then-rescore recipe).
+          val cells = SearchIndexes.probeCells(
+            d.centroids, qv, d.similarity, d.effectiveNProbe).toSet
+          val codes = store.readSearchIndex(d,
+            key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
+          val shortlistN = math.max(4 * k.toInt, 64)
+          val approx: Column = d.quant match {
+            case "sq8" =>
+              // dot(q, dq(code)) = Σ qᵢ·mnᵢ + Σ wᵢ·(codeᵢ+128),
+              // wᵢ = qᵢ·(mxᵢ−mnᵢ)/255 — both folded driver-side so
+              // the row work is one weighted byte fold
+              val w = qv.zipWithIndex.map { case (q, i) =>
+                if (i < d.sqMn.size && d.sqMx(i) > d.sqMn(i))
+                  q * (d.sqMx(i) - d.sqMn(i)) / 255.0
+                else 0.0
+              }
+              val c0 = qv.zipWithIndex.map { case (q, i) =>
+                if (i < d.sqMn.size) q * d.sqMn(i) else 0.0
+              }.sum + 128.0 * w.sum
+              val qn = math.sqrt(qv.map(x => x * x).sum)
+              val adot = lit(c0) + aggregate(
+                zip_with(col("code"), typedLit(w),
+                  (b, ww) => b.cast("double") * ww),
+                lit(0.0), (acc, x) => acc + x)
+              if (d.similarity == "euclidean")
+                lit(2.0) * adot - col("norm") * col("norm")
+              else adot / (col("norm") * lit(qn))
+            case _ => // bq: NEGATIVE hamming distance to the query's
+              // sign code (higher = closer, ties resolved on gid)
+              val qc = SearchIndexes.bqEncodeLocal(qv,
+                if (d.dims > 0) d.dims else qv.size)
+              -aggregate(
+                zip_with(col("code"), typedLit(qc),
+                  (c, q) => bit_count(c.bitwiseXOR(q)).cast("long")),
+                lit(0L), (acc, x) => acc + x).cast("double")
+          }
+          val short = codes.withColumn("__a", approx)
+            .orderBy(col("__a").desc, col("gid")).limit(shortlistN)
+            .select(col("gid")).collect().map(_.getString(0)).toSeq
+          // exact rescore from the node rows, bucket-pruned
+          if (short.isEmpty)
+            SearchIndexes.vectors(nodesInView, d).limit(0)
+          else SearchIndexes.vectors(
+            store.nodesByGidBuckets(
+              short.map(store.bucketOfString).toSet), d)
+            .filter(col("gid").isin(short: _*))
         } else if (store.searchIndexReady(d) && d.centroids.nonEmpty) {
           // IVF probe: rank the persisted centroids on the driver,
           // read ONLY the top-nprobe cells' directories (configured
@@ -6483,9 +6535,25 @@ object CypherEngine {
         if (graphDeg < 0 || graphDeg > 64)
           throw new IllegalArgumentException(
             s"graft.graph.degree out of range: $graphDeg (1..64)")
+        // `graft.quantization`: 'sq8' | 'bq' stores codes instead of
+        // raw float64 rows; queries shortlist on codes and exact-
+        // rescore from the node rows
+        val quant =
+          """(?i)[`"]?graft\.quantization[`"]?\s*:\s*'(\w+)'""".r
+            .findFirstMatchIn(optStr).map(_.group(1).toLowerCase)
+            .getOrElse("")
+        if (quant.nonEmpty && quant != "sq8" && quant != "bq")
+          throw new IllegalArgumentException(
+            s"unsupported graft.quantization: $quant (sq8 | bq)")
+        if (quant.nonEmpty && graphDeg > 0)
+          throw new IllegalArgumentException(
+            "graft.quantization and graft.graph.degree are mutually " +
+              "exclusive tiers (quantized IVF cells OR the proximity " +
+              "graph — the graph rows carry raw vectors by design)")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "vector", label, prop, dims = dims, similarity = sim,
-          cells = ivfCells, nprobe = ivfNProbe, graphDeg = graphDeg))
+          cells = ivfCells, nprobe = ivfNProbe, graphDeg = graphDeg,
+          quant = quant))
       case FulltextIdxRe(name, ine, label, propList, opts) =>
         // `ON EACH [n.title, n.body]`: store the property NAMES
         // comma-joined; the index concatenates the fields

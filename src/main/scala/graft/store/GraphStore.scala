@@ -148,6 +148,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           }
           case _ => Nil
         }
+        def dblSeq(k: String): Seq[Double] = m.get(k) match {
+          case Some(JArray(ds)) => ds.collect {
+            case JDouble(x) => x
+            case JInt(x) => x.toDouble
+          }
+          case _ => Nil
+        }
         IndexDef(str("name"), str("kind"), str("label"), str("property"),
           intv("dims"),
           if (str("similarity").isEmpty) "cosine" else str("similarity"),
@@ -168,7 +175,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           },
           m.get("boundaryN").collect {
             case JInt(i) => i.toLong }.getOrElse(0L),
-          str("constraint"))
+          str("constraint"), str("quant"), dblSeq("sqMn"), dblSeq("sqMx"))
       }
       case _ => Nil
     }
@@ -190,6 +197,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "boundaries" -> JArray(d.boundaries.toList.map(JString(_))),
         "boundaryN" -> JInt(d.boundaryN),
         "constraint" -> JString(d.constraint),
+        "quant" -> JString(d.quant),
+        "sqMn" -> JArray(d.sqMn.toList.map(JDouble(_))),
+        "sqMx" -> JArray(d.sqMx.toList.map(JDouble(_))),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -305,7 +315,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     */
   def readSearchIndex(d: IndexDef, keep: String => Boolean): DataFrame = {
     val schema = d.kind match {
-      case "vector" => SearchIndexes.vxSchema
+      case "vector" => SearchIndexes.vxSchemaOf(d) // raw | sq8 | bq
       case "fulltext" => SearchIndexes.ftSchema
       case _ => SearchIndexes.pxSchema
     }
@@ -746,7 +756,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               else SearchIndexes.autoCells(vecs.count())
             val cents = SearchIndexes.trainCentroids(vecs, d0.similarity, k)
             if (cents.nonEmpty) {
-              val nd = d0.copy(centroids = cents, dims = cents.head.size)
+              // the SQ8 codebook trains from the same snapshot as the
+              // quantizer and persists beside it — build-once, so the
+              // delta's re-encoded rows stay byte-identical
+              val (mn, mx) =
+                if (d0.quant == "sq8") SearchIndexes.trainSq8Codebook(vecs)
+                else (d0.sqMn, d0.sqMx)
+              val nd = d0.copy(centroids = cents, dims = cents.head.size,
+                sqMn = mn, sqMx = mx)
               writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
               nd
             } else d0
@@ -1039,7 +1056,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     import SearchIndexes._
     val tbl = d.tableName
     val schema = d.kind match {
-      case "vector" => vxSchema
+      case "vector" => vxSchemaOf(d)
       case "fulltext" => ftSchema
       case _ => pxSchema
     }
@@ -1072,7 +1089,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty
-        else assignCells(vectors(newNodes, d), d.centroids, d.similarity)
+        else storageRows(
+          assignCells(vectors(newNodes, d), d.centroids, d.similarity), d)
       case "property" =>
         if (hasRange) propRows(newNodes, d)
           .unionByName(propRangeRows(newNodes, d))
@@ -1115,13 +1133,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .map(r => (Option(r.getString(0)), Some(r.getInt(1)): Option[Int]))
           .toSet
         if (dk.isEmpty) return (empty, Some(Set.empty))
+        val storageSchema = vxSchemaOf(d)
         val oldPruned = readFiles(tbl,
           prevIdx.view.filterKeys(keyMatches("cell", dk)).values
-            .flatten.toSeq, vxSchema)
+            .flatten.toSeq, storageSchema)
         val view = oldPruned
           .join(remA.select(col("gid")), Seq("gid"), "left_anti")
-          .unionByName(addA.select(vxSchema.fieldNames.map(col).toSeq: _*))
-          .select(vxSchema.fieldNames.map(col).toSeq: _*)
+          .unionByName(storageRows(addA, d)
+            .select(storageSchema.fieldNames.map(col).toSeq: _*))
+          .select(storageSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
       case "property" =>
         // the redgesDelta recipe keyed on the encoded value: old vs
@@ -1733,7 +1753,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         // equals min(target, n), falsifying the condition.
         val grow = target >= 2 * k && k < math.min(target.toLong, n)
         if (grow || (k > SearchIndexes.K && 2 * target <= k)) {
-          buildSearchIndex(d.copy(centroids = Nil, dims = 0))
+          // the SQ8 codebook retrains with the quantizer (same
+          // build-once contract, same watermark)
+          buildSearchIndex(d.copy(centroids = Nil, dims = 0,
+            sqMn = Nil, sqMx = Nil))
           Some(d.name)
         } else None
       // property-index range boundaries: equi-depth boundaries drift

@@ -71,7 +71,19 @@ case class IndexDef(
     // frame). Enforcement happens inside GraphStore.commit BEFORE the
     // pointer flip: a violating batch throws ConstraintViolation and
     // commits nothing.
-    constraint: String = "") {
+    constraint: String = "",
+    // quantized STORAGE of the persisted vector tier
+    // (`graft.quantization` indexConfig): "" = raw float64 rows,
+    // "sq8" = per-dimension 8-bit scalar codes against a [min, max]
+    // codebook trained at build (8× smaller rows; sqMn/sqMx persist
+    // beside the centroids), "bq" = 1-bit sign codes packed 32/word
+    // (64×; hamming candidates). Queries score codes cell-pruned,
+    // shortlist, then exact-rescore the shortlist's float vectors
+    // from the node rows — the quantize-then-rescore recipe, now
+    // BEHIND the index DDL instead of only in the registry kernels.
+    quant: String = "",
+    sqMn: Seq[Double] = Nil,
+    sqMx: Seq[Double] = Nil) {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name
@@ -140,6 +152,84 @@ object SearchIndexes {
     StructField("gid", StringType, nullable = false),
     StructField("v", ArrayType(DoubleType)),
     StructField("norm", DoubleType)))
+
+  /** quantized vector-table rows: `code` replaces the float64 array —
+    * one signed byte per dimension (sq8, value−128 so 0..255 fits) or
+    * one long per 32 sign bits (bq). `norm` keeps the ORIGINAL
+    * vector's norm (approximate scoring normalizes with it; the exact
+    * rescore reads the float vector from the node row). */
+  val vxq8Schema: StructType = StructType(Seq(
+    StructField("cell", StringType, nullable = false),
+    StructField("gid", StringType, nullable = false),
+    StructField("code", ArrayType(ByteType)),
+    StructField("norm", DoubleType)))
+
+  val vxbqSchema: StructType = StructType(Seq(
+    StructField("cell", StringType, nullable = false),
+    StructField("gid", StringType, nullable = false),
+    StructField("code", ArrayType(LongType)),
+    StructField("norm", DoubleType)))
+
+  def vxSchemaOf(d: IndexDef): StructType = d.quant match {
+    case "sq8" => vxq8Schema
+    case "bq" => vxbqSchema
+    case _ => vxSchema
+  }
+
+  /** per-dimension SQ8 code of `v` under the trained [mn, mx]
+    * codebook: round((x−mn)·255/(mx−mn)), clamped, stored −128 so it
+    * fits a signed byte. Deterministic — the delta's removed rows
+    * byte-match the stored rows because the codebook is fixed after
+    * build. */
+  def sq8Encode(v: Column, mn: Seq[Double], mx: Seq[Double]): Column =
+    transform(v, (x, i) => {
+      val lo = element_at(typedLit(mn), i + 1)
+      val hi = element_at(typedLit(mx), i + 1)
+      val q = when(hi <= lo, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          round((x - lo) * 255.0 / (hi - lo), 0).cast("long"))))
+      (q - 128).cast("byte")
+    })
+
+  /** 1-bit sign pack of `v`: word w holds dims [32w, 32w+31] as bits
+    * (2^b added when the dim is positive — the v_knn_bq kernel's
+    * packing, 32 bits/word so 2^b never touches the sign bit) */
+  def bqEncode(v: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit((dims + 31) / 32 - 1)), w =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) =>
+        acc + when(
+          coalesce(try_element_at(v, w * 32 + b + 1), lit(0.0)) > 0,
+          pow(lit(2.0), b).cast("long")).otherwise(lit(0L))))
+
+  /** driver twin of [[bqEncode]] for the query vector */
+  def bqEncodeLocal(q: Seq[Double], dims: Int): Seq[Long] =
+    (0 until (dims + 31) / 32).map { w =>
+      (0 until 32).foldLeft(0L) { (acc, b) =>
+        val i = w * 32 + b
+        if (i < q.length && q(i) > 0) acc + (1L << b) else acc
+      }
+    }
+
+  /** map assigned `(cell, gid, v, norm)` rows to the def's STORAGE
+    * schema (identity for raw defs) */
+  def storageRows(assigned: DataFrame, d: IndexDef): DataFrame =
+    d.quant match {
+      case "sq8" => assigned.select(col("cell"), col("gid"),
+        sq8Encode(col("v"), d.sqMn, d.sqMx).as("code"), col("norm"))
+      case "bq" => assigned.select(col("cell"), col("gid"),
+        bqEncode(col("v"), d.dims).as("code"), col("norm"))
+      case _ => assigned
+    }
+
+  /** per-dimension [min, max] SQ8 codebook of the snapshot's vectors
+    * — trained once at build beside the centroids */
+  def trainSq8Codebook(vecs: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = vecs.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
 
   /** sect "t" = token rows (term,gid,tf,dl); sect "s" = ONE stats row
     * (term="",gid="__stats",tf=N_docs,dl=Σdl) */

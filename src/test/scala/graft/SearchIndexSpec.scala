@@ -282,6 +282,91 @@ class SearchIndexSpec extends AnyFunSuite {
     } finally SearchIndexes.cellRowsDial = SearchIndexes.AutoCellRows
   }
 
+  test("quantized vector tier: sq8/bq codes + exact rescore") {
+    val st = newStore("vq")
+    val n = 80
+    val sess = CypherEngine.session(st)
+    (1 to n).foreach(i => sess.run(
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})").collect())
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX q8 FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`graft.quantization`: 'sq8'}}"""
+        .stripMargin).collect()
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX qb FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`graft.quantization`: 'bq'}}"""
+        .stripMargin).collect()
+    val d8 = st.indexDef("q8").get
+    val db = st.indexDef("qb").get
+    assert(d8.quant == "sq8" && d8.sqMn.size == 4 && d8.sqMx.size == 4)
+    assert(db.quant == "bq" && db.centroids.nonEmpty)
+    // the stored rows are CODES, not float arrays
+    val r8 = st.readSearchIndex(d8, _ => true)
+    assert(r8.count() == n)
+    assert(r8.schema("code").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType))
+    val rb = st.readSearchIndex(db, _ => true)
+    assert(rb.schema("code").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    // one packed word for 4 dims
+    assert(rb.head().getSeq[Long](2).size == 1)
+
+    def top(idx: String, k: Int, q: Seq[Double]): Seq[(String, Double)] =
+      CypherEngine.query(st,
+        s"""CALL db.index.vector.queryNodes('$idx', $k, ${vecLit(q)})
+           |YIELD node, score
+           |RETURN node.gid AS g, score""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // scores are EXACT (rescored from the node rows): self-match
+    // first with normalized score 1 despite the lossy codes
+    val s23 = top("q8", 5, vec(23))
+    assert(s23.head._1 == "e:23" && math.abs(s23.head._2 - 1.0) < 1e-9)
+    assert(s23.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // recall@5 vs brute force over a few probes (sq8 tight, bq looser)
+    def recall(idx: String): Int = (1 to 5).map { j =>
+      val q = vec(j * 13)
+      val brute = (1 to n).map(i => (s"e:$i", cosine(q, vec(i))))
+        .sortBy { case (g, c) => (-c, g) }.take(5).map(_._1).toSet
+      top(idx, 5, q).map(_._1).count(brute)
+    }.sum
+    assert(recall("q8") >= 18, s"sq8 recall too low: ${recall("q8")}/25")
+    assert(recall("qb") >= 10, s"bq recall too low: ${recall("qb")}/25")
+
+    // incremental maintenance re-encodes through the FIXED codebook
+    CypherEngine.query(st,
+      s"CREATE (:Emb {gid: 'e:900', v: ${vecLit(vec(23))}})").collect()
+    assert(top("q8", 2, vec(23)).map(_._1).toSet == Set("e:23", "e:900"))
+    CypherEngine.query(st,
+      "MATCH (m:Emb {gid: 'e:23'}) DELETE m").collect()
+    assert(!top("q8", 3, vec(23)).map(_._1).contains("e:23"))
+
+    // reopen: codebook + quantizer ride the sidecar
+    val st2 = new GraphStore(st.root, spark, 4)
+    val d8b = st2.indexDef("q8").get
+    assert(d8b.sqMn == d8.sqMn && d8b.sqMx == d8.sqMx)
+    assert(CypherEngine.query(st2,
+      s"""CALL db.index.vector.queryNodes('q8', 1, ${vecLit(vec(40))})
+         |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().head.getString(0) == "e:40")
+
+    // invalid / conflicting OPTIONS get targeted errors
+    intercept[IllegalArgumentException] {
+      CypherEngine.query(st2,
+        """CREATE VECTOR INDEX bad FOR (m:Emb) ON (m.v)
+          |OPTIONS {indexConfig: {`graft.quantization`: 'pq4'}}"""
+          .stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      CypherEngine.query(st2,
+        """CREATE VECTOR INDEX bad2 FOR (m:Emb) ON (m.v)
+          |OPTIONS {indexConfig: {`graft.quantization`: 'sq8',
+          |  `graft.graph.degree`: 6}}""".stripMargin)
+    }
+  }
+
   test("graph-tier vector index: persisted NSW adjacency + beam search") {
     val st = newStore("vg")
     val n = 80
