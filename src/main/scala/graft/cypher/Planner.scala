@@ -3555,22 +3555,29 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .orderBy(col("score").desc, col("gid")).limit(k.toInt)
         .select(col("gid"), col("score")), d.label)
     } else {
-      val (idxName, q, ftLimit, anOverride) = c.args match {
+      val (idxName, q, ftLimit, ftSkip, anOverride) = c.args match {
         case Seq(a, b) =>
           (strArg(a, "indexName"), strArg(b, "queryString"),
-            None: Option[Long], None: Option[String])
+            None: Option[Long], None: Option[Long], None: Option[String])
         case Seq(a, b, MapLit(entries)) =>
           // Neo4j's options map — `{limit: n}` caps the hit list
-          // (top-n by score, a TakeOrderedAndProject) and
+          // (top-n by score, a TakeOrderedAndProject), `{skip: n}`
+          // drops the first n hits (score-ordered pagination), and
           // `{analyzer: 'name'}` overrides the QUERY-side analyzer;
-          // other keys (skip) are rejected rather than ignored. The
-          // limit value resolves like every other integer argument
-          // (literal or parameter) and anything that isn't a positive
-          // integer is an error, not a silent no-cap
+          // other keys are rejected rather than ignored. Values
+          // resolve like every other integer argument (literal or
+          // parameter); anything malformed is an error, not a silent
+          // no-op
           val lim = entries.collectFirst { case ("limit", e) =>
             val n = longArg(e, "fulltext option limit")
             if (n < 1) throw PlanError(
               s"fulltext option limit must be a positive integer: $n")
+            n
+          }
+          val skp = entries.collectFirst { case ("skip", e) =>
+            val n = longArg(e, "fulltext option skip")
+            if (n < 0) throw PlanError(
+              s"fulltext option skip must be non-negative: $n")
             n
           }
           val an = entries.collectFirst { case ("analyzer", e) =>
@@ -3581,12 +3588,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             name
           }
           entries.collectFirst {
-            case (k, _) if k != "limit" && k != "analyzer" => k }
+            case (k, _) if k != "limit" && k != "analyzer" &&
+              k != "skip" => k }
             .foreach(k => throw PlanError(s"unsupported fulltext option: $k"))
-          (strArg(a, "indexName"), strArg(b, "queryString"), lim, an)
+          (strArg(a, "indexName"), strArg(b, "queryString"), lim, skp, an)
         case other => throw PlanError(
           "db.index.fulltext.queryNodes takes (indexName, queryString" +
-            s"[, {limit: n, analyzer: 'name'}]), got $other")
+            s"[, {limit: n, skip: n, analyzer: 'name'}]), got $other")
       }
       val d = store.indexDef(idxName).filter(_.kind == "fulltext")
         .getOrElse(throw PlanError(s"no such fulltext index: $idxName"))
@@ -3596,11 +3604,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           (if (isRelProc) "db.index.fulltext.queryNodes"
            else "db.index.fulltext.queryRelationships"))
       val scored = fulltextScores(d, q, anOverride.getOrElse(d.analyzer))
-      (ftLimit match {
-        case Some(n) =>
-          scored.orderBy(col("score").desc, col("gid")).limit(n.toInt)
-        case None => scored
-      }, d.label)
+      val paged =
+        if (ftLimit.isEmpty && ftSkip.isEmpty) scored
+        else {
+          val ordered = scored.orderBy(col("score").desc, col("gid"))
+          val skipped = ftSkip.fold(ordered)(n => ordered.offset(n.toInt))
+          ftLimit.fold(skipped)(n => skipped.limit(n.toInt))
+        }
+      (paged, d.label)
     }
     if (isRelProc) {
       // bind YIELD relationship (+ score): hits re-join the edge
@@ -3744,6 +3755,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case class ATerm(t: String) extends Atom
     case class APrefix(p: String) extends Atom
     case class APhrase(ts: Seq[String]) extends Atom
+    // field-scoped leaves (`title:spark`): candidates come from the
+    // shared posting contributions (the index stores the fields'
+    // CONCATENATED text), then post-verify against the named field's
+    // own text — candidate-bounded, like phrase contiguity. Scores
+    // keep the unscoped BM25 contribution (the
+    // BM25F-without-field-weights model the index stores).
+    case class AFTerm(f: String, t: String) extends Atom
+    case class AFPrefix(f: String, p: String) extends Atom
+    case class AFPhrase(f: String, ts: Seq[String]) extends Atom
     sealed trait N
     case class NLeaf(i: Int) extends N
     case class NAnd(l: N, r: N) extends N
@@ -3773,6 +3793,31 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case other => throw PlanError(
           s"prefix '$p*' must analyze to one token, got $other")
       }
+      case FQ.Field(f, inner) =>
+        if (!d.properties.contains(f)) throw PlanError(
+          s"index ${d.name} has no field $f " +
+            s"(fields: ${d.properties.mkString(", ")})")
+        inner match {
+          case FQ.Term(t) => SearchIndexes.analyze(t, analyzer) match {
+            case Seq() => throw PlanError(
+              s"field term '$t' analyzes to no tokens under $analyzer")
+            case Seq(one) => intern(AFTerm(f, one), pos)
+            case many => intern(AFPhrase(f, many), pos)
+          }
+          case FQ.Phrase(p) => SearchIndexes.analyze(p, analyzer) match {
+            case Seq() => throw PlanError(
+              s"field phrase '$p' analyzes to no tokens under $analyzer")
+            case Seq(one) => intern(AFTerm(f, one), pos)
+            case many => intern(AFPhrase(f, many), pos)
+          }
+          case FQ.Prefix(p) => SearchIndexes.analyze(p, analyzer) match {
+            case Seq(one) => intern(AFPrefix(f, one), pos)
+            case other => throw PlanError(
+              s"prefix '$p*' must analyze to one token, got $other")
+          }
+          case other => throw PlanError(
+            s"field scope only takes a term, phrase, or prefix: $other")
+        }
       case FQ.And(l, r) => NAnd(conv(l, pos), conv(r, pos))
       case FQ.Or(l, r) => NOr(conv(l, pos), conv(r, pos))
       case FQ.Not(x) => NNot(conv(x, !pos))
@@ -3793,9 +3838,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val allTerms = atoms.flatMap {
       case ATerm(t) => Seq(t)
       case APhrase(ts) => ts
-      case APrefix(_) => Nil
+      case AFTerm(_, t) => Seq(t)
+      case AFPhrase(_, ts) => ts
+      case APrefix(_) | AFPrefix(_, _) => Nil
     }.distinct.toSeq
-    val prefixes = atoms.collect { case APrefix(p) => p }.toSeq
+    val prefixes = atoms.collect {
+      case APrefix(p) => p
+      case AFPrefix(_, p) => p
+    }.toSeq
     val termCond = (
       (if (allTerms.nonEmpty) Seq(col("term").isin(allTerms: _*)) else Nil)
         ++ prefixes.map(p => col("term").startsWith(p)))
@@ -3872,6 +3922,72 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       return contrib.groupBy(col("gid"))
         .agg(sum(col("contrib")).as("score"))
 
+    // conjunctive candidates of a token sequence (bounded by the
+    // rarest token's postings) — shared by phrase atoms, scoped or not
+    def phraseCand(ts: Seq[String]): DataFrame =
+      contrib.filter(col("term").isin(ts.distinct: _*))
+        .groupBy(col("gid"))
+        .agg(count_distinct(col("term")).as("nt"),
+          sum(col("contrib")).as("s"))
+        .filter(col("nt") === ts.distinct.size)
+        .select(col("gid"), col("s"))
+    // ONE field's `(gid, text)` docs for the given candidates, read
+    // bucket-pruned when the committed table is the statement's view
+    def fieldTexts(f: String, gids: Seq[String]): DataFrame = {
+      val fd = d.copy(property = f)
+      if (d.entity == "RELATIONSHIP")
+        SearchIndexes.edgeTexts(edgesInView, fd)
+          .filter(col("gid").isin(gids: _*))
+      else {
+        val src =
+          if (store.searchIndexReady(d) && pendingNodes.isEmpty &&
+              pendingNodeDeletes.isEmpty)
+            SearchIndexes.texts(store.nodesByGidBuckets(
+              gids.map(store.bucketOfString).toSet), fd)
+          else SearchIndexes.texts(nodesInView, fd)
+        src.filter(col("gid").isin(gids: _*))
+      }
+    }
+    // candidate-bounded verification of a field-scoped leaf: keep the
+    // candidates whose NAMED field's own tokens satisfy `ok`
+    def fieldVerified(f: String, cand: DataFrame,
+        ok: Column => Column): DataFrame = {
+      val candLocal = cand.take(100001)
+      val spark = nodesInView.sparkSession
+      if (candLocal.length <= 100000) {
+        val candDf = spark.createDataFrame(
+          java.util.Arrays.asList(candLocal: _*), cand.schema)
+        if (candLocal.isEmpty) candDf
+        else fieldTexts(f, candLocal.map(_.getString(0)).toSeq)
+          .withColumn("__toks",
+            SearchIndexes.termsOf(col("text"), corpusAnalyzer))
+          .filter(ok(col("__toks")))
+          .select(col("gid"))
+          .join(broadcast(candDf), Seq("gid"))
+          .select(col("gid"), col("s"))
+      } else {
+        val fd = d.copy(property = f)
+        val docs = (if (d.entity == "RELATIONSHIP")
+            SearchIndexes.edgeTexts(edgesInView, fd)
+          else SearchIndexes.texts(nodesInView, fd))
+          .join(broadcast(cand.select(col("gid"))), Seq("gid"),
+            "left_semi")
+        docs.withColumn("__toks",
+            SearchIndexes.termsOf(col("text"), corpusAnalyzer))
+          .filter(ok(col("__toks")))
+          .select(col("gid"))
+          .join(broadcast(cand), Seq("gid"))
+          .select(col("gid"), col("s"))
+      }
+    }
+    def phraseOk(ts: Seq[String])(toks: Column): Column = {
+      val k = ts.size
+      val pharr = array(ts.map(lit): _*)
+      when(size(toks) >= k,
+        exists(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => slice(toks, i, lit(k)) === pharr))
+        .otherwise(lit(false))
+    }
     def leafHits(a: Atom): DataFrame = a match {
       case ATerm(t) =>
         contrib.filter(col("term") === t).groupBy(col("gid"))
@@ -3879,14 +3995,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case APrefix(p) =>
         contrib.filter(col("term").startsWith(p)).groupBy(col("gid"))
           .agg(sum(col("contrib")).as("s"))
+      case AFTerm(f, t) =>
+        fieldVerified(f,
+          contrib.filter(col("term") === t).groupBy(col("gid"))
+            .agg(sum(col("contrib")).as("s")),
+          toks => array_contains(toks, t))
+      case AFPrefix(f, p) =>
+        fieldVerified(f,
+          contrib.filter(col("term").startsWith(p)).groupBy(col("gid"))
+            .agg(sum(col("contrib")).as("s")),
+          toks => exists(toks, x => x.startsWith(p)))
+      case AFPhrase(f, ts) =>
+        fieldVerified(f, phraseCand(ts), phraseOk(ts))
       case APhrase(ts) =>
         val k = ts.size
-        val cand = contrib.filter(col("term").isin(ts.distinct: _*))
-          .groupBy(col("gid"))
-          .agg(count_distinct(col("term")).as("nt"),
-            sum(col("contrib")).as("s"))
-          .filter(col("nt") === ts.distinct.size)
-          .select(col("gid"), col("s"))
+        val cand = phraseCand(ts)
         // contiguity post-verify on the stored text, candidates only.
         // The token array MUST materialize as a real column before
         // the sliding-window exists() — HOF lambda bodies don't CSE,
@@ -4082,6 +4205,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case "db.awaitindexes" | "db.resampleindex" |
           "db.resampleoutdatedindexes" =>
         ackFrame("indexes build synchronously at DDL time")
+      // fulltext indexes here are TRANSACTIONALLY consistent (the
+      // posting table rides the same commit as the data), so the
+      // eventual-consistency refresh is trivially satisfied — but
+      // ported call sites invoke it after bulk loads, so it must
+      // succeed rather than error
+      case "db.index.fulltext.awaiteventuallyconsistentindexrefresh" =>
+        ackFrame("fulltext indexes are transactionally consistent")
       case "db.labels" =>
         noArgs()
         (store.nodes.select(explode(concat(

@@ -23,6 +23,10 @@ object FulltextQuery {
   final case class Term(text: String) extends Q
   final case class Prefix(text: String) extends Q
   final case class Phrase(text: String) extends Q
+  /** `field:term` / `field:"phrase"` / `field:pre*` — the leaf must
+    * match inside that indexed property (candidates post-verified
+    * against the field's own text) */
+  final case class Field(field: String, q: Q) extends Q
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
   final case class Not(q: Q) extends Q
@@ -61,7 +65,17 @@ object FulltextQuery {
           case "AND" => out += TAnd
           case "OR" => out += TOr
           case "NOT" => out += TNot
-          case w => out += TWord(w)
+          case w =>
+            // Lucene syntax this engine does NOT serve gets a
+            // TARGETED error instead of mis-lexing into a term the
+            // index would silently never match
+            if (w.contains("~")) throw ParseError(
+              s"fuzzy / slop syntax ('$w') is not supported; " +
+                "use an exact term, a phrase, or a prefix*")
+            if (w.contains("^")) throw ParseError(
+              s"boost syntax ('$w') is not supported; " +
+                "boosts would change scores, not matches")
+            out += TWord(w)
         }
       }
     }
@@ -75,15 +89,30 @@ object FulltextQuery {
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = { val t = toks.head; toks = toks.tail; t }
 
+    def leafOf(w: String): Q =
+      if (w.length > 1 && w.endsWith("*")) Prefix(w.dropRight(1))
+      else Term(w)
+
     def atom(): Q = next() match {
       case TLParen =>
         val q = orExpr()
         if (peek.contains(TRParen)) { next(); q }
         else throw ParseError(s"missing ')' in: $s")
       case TNot => Not(atom())
-      case TWord(w) if w.length > 1 && w.endsWith("*") =>
-        Prefix(w.dropRight(1))
-      case TWord(w) => Term(w)
+      // `field:term` / `field:pre*` / `field:"phrase"` (the quote
+      // ends the word token, so the phrase arrives as the next token)
+      case TWord(w) if w.contains(":") =>
+        val cut = w.indexOf(':')
+        val (f, rest) = (w.substring(0, cut), w.substring(cut + 1))
+        if (f.isEmpty || !f.forall(c => c.isLetterOrDigit || c == '_'))
+          throw ParseError(s"bad field name in '$w'")
+        if (rest.nonEmpty) Field(f, leafOf(rest))
+        else peek match {
+          case Some(TPhrase(p)) => next(); Field(f, Phrase(p))
+          case _ => throw ParseError(
+            s"field scope '$f:' must be followed by a term or phrase")
+        }
+      case TWord(w) => leafOf(w)
       case TPhrase(p) => Phrase(p)
       case t => throw ParseError(s"unexpected $t in: $s")
     }

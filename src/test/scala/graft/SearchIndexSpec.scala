@@ -1205,6 +1205,50 @@ class SearchIndexSpec extends AnyFunSuite {
         """CALL db.index.fulltext.queryNodes('fq', 'NOT join')
           |YIELD node, score RETURN 1 AS o""".stripMargin)
     }
+    // fuzzy / boost / slop syntax gets TARGETED errors, not mis-lexed
+    // terms that silently never match
+    Seq("spark~1", "spark^2", "\"sort merge\"~2").foreach { bad =>
+      val e = intercept[Exception] {
+        CypherEngine.query(st,
+          s"""CALL db.index.fulltext.queryNodes('fq', '$bad')
+             |YIELD node, score RETURN 1 AS o""".stripMargin)
+      }
+      assert(e.getMessage.contains("not supported"), s"$bad: $e")
+    }
+  }
+
+  test("fulltext field scoping: field:term / field:\"phrase\"") {
+    val st = newStore("ftfield")
+    val sess = CypherEngine.session(st)
+    Seq(
+      ("d:1", "spark internals", "tuning joins"),
+      ("d:2", "tuning guide", "spark shuffle internals"),
+      ("d:3", "hash joins", "sort merge spark")).foreach {
+      case (g, ti, bo) =>
+        sess.run(s"CREATE (:Doc {gid: '$g', title: '$ti', body: '$bo'})")
+          .collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE FULLTEXT INDEX ff FOR (x:Doc)
+        |ON EACH [x.title, x.body]""".stripMargin).collect()
+    def hits(q: String): Seq[String] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('ff', '$q')
+         |YIELD node, score RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    // unscoped matches the concatenated fields; scoped only its own
+    assert(hits("spark") == Seq("d:1", "d:2", "d:3"))
+    assert(hits("title:spark") == Seq("d:1"))
+    assert(hits("body:spark") == Seq("d:2", "d:3"))
+    // scoped phrase: contiguity verified inside the named field
+    assert(hits("body:\"sort merge\"") == Seq("d:3"))
+    // scoped prefix
+    assert(hits("title:tun*") == Seq("d:2"))
+    // composes with boolean operators
+    assert(hits("title:spark OR body:shuffle") == Seq("d:1", "d:2"))
+    assert(hits("spark NOT title:spark") == Seq("d:2", "d:3"))
+    // unknown field is a targeted error
+    val e = intercept[Exception] { hits("nope:spark") }
+    assert(e.getMessage.contains("no field"))
   }
 
   test("fulltext prefix reads are dictionary-bounded") {
@@ -1278,6 +1322,18 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     // top-2 by score = the two highest-tf docs
     assert(top2 == Seq("d:1", "d:2"))
+    // {skip}: score-ordered pagination (skip the top hit)
+    val page2 = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fo', 'spark',
+        |{skip: 1, limit: 2}) YIELD node, score
+        |RETURN node.gid AS g ORDER BY g""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(page2 == Seq("d:2", "d:3"))
+    // the eventual-consistency refresh proc succeeds (transactional
+    // indexes — trivially satisfied, but ported call sites invoke it)
+    assert(CypherEngine.query(st,
+      "CALL db.index.fulltext.awaitEventuallyConsistentIndexRefresh()")
+      .collect().nonEmpty)
     intercept[Exception] {
       CypherEngine.query(st,
         """CALL db.index.fulltext.queryNodes('fo', 'spark',
