@@ -3487,37 +3487,39 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           val codes = store.readSearchIndex(d,
             key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
           val shortlistN = math.max(4 * k.toInt, 64)
-          val approx: Column = d.quant match {
+          val withApprox: DataFrame = d.quant match {
             case "sq8" =>
-              // dot(q, dq(code)) = Σ qᵢ·mnᵢ + Σ wᵢ·(codeᵢ+128),
-              // wᵢ = qᵢ·(mxᵢ−mnᵢ)/255 — both folded driver-side so
-              // the row work is one weighted byte fold
-              val w = qv.zipWithIndex.map { case (q, i) =>
-                if (i < d.sqMn.size && d.sqMx(i) > d.sqMn(i))
-                  q * (d.sqMx(i) - d.sqMn(i)) / 255.0
-                else 0.0
-              }
-              val c0 = qv.zipWithIndex.map { case (q, i) =>
-                if (i < d.sqMn.size) q * d.sqMn(i) else 0.0
-              }.sum + 128.0 * w.sum
+              // elementwise dequantize (dqᵢ = mnᵢ + (codeᵢ+128)·
+              // (mxᵢ−mnᵢ)/255) then the shared index-ordered dot —
+              // the EXACT arithmetic the DuckDB oracle replays, so
+              // shortlist membership is bit-deterministic across
+              // engines (an algebraically-folded form would diverge
+              // in the last ulp and flip boundary candidates)
+              val mnL = typedLit(d.sqMn)
+              val mxL = typedLit(d.sqMx)
+              val dq = transform(col("code"), (b, i) => {
+                val lo = element_at(mnL, i + 1)
+                val hi = element_at(mxL, i + 1)
+                when(hi <= lo, lo).otherwise(
+                  lo + (b.cast("double") + lit(128.0)) *
+                    (hi - lo) / lit(255.0))
+              })
               val qn = math.sqrt(qv.map(x => x * x).sum)
-              val adot = lit(c0) + aggregate(
-                zip_with(col("code"), typedLit(w),
-                  (b, ww) => b.cast("double") * ww),
-                lit(0.0), (acc, x) => acc + x)
-              if (d.similarity == "euclidean")
-                lit(2.0) * adot - col("norm") * col("norm")
-              else adot / (col("norm") * lit(qn))
+              val adot = SearchIndexes.dot(col("__dq"), typedLit(qv))
+              codes.withColumn("__dq", dq).withColumn("__a",
+                if (d.similarity == "euclidean")
+                  lit(2.0) * adot - col("norm") * col("norm")
+                else adot / (col("norm") * lit(qn)))
             case _ => // bq: NEGATIVE hamming distance to the query's
               // sign code (higher = closer, ties resolved on gid)
               val qc = SearchIndexes.bqEncodeLocal(qv,
                 if (d.dims > 0) d.dims else qv.size)
-              -aggregate(
+              codes.withColumn("__a", -aggregate(
                 zip_with(col("code"), typedLit(qc),
                   (c, q) => bit_count(c.bitwiseXOR(q)).cast("long")),
-                lit(0L), (acc, x) => acc + x).cast("double")
+                lit(0L), (acc, x) => acc + x).cast("double"))
           }
-          val short = codes.withColumn("__a", approx)
+          val short = withApprox
             .orderBy(col("__a").desc, col("gid")).limit(shortlistN)
             .select(col("gid")).collect().map(_.getString(0)).toSeq
           // exact rescore from the node rows, bucket-pruned

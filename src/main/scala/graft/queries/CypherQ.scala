@@ -693,6 +693,28 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // quantized (SQ8) persisted tier through the DDL: the probe scans
+    // CODE rows of the top-nprobe cells, shortlists max(4k, 64) by
+    // the dequantized approximate score, then exact-rescores only the
+    // shortlist from the node rows — YIELDed scores are exact, the
+    // quantization only shapes the shortlist; the oracle replays the
+    // whole train/encode/decode/shortlist/rescore pipeline
+    "cypher_vector_quant" -> ((s, dir) => {
+      import s.implicits._
+      val st = embeddingStore(s, dir)
+      val q = Relational.t(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select(transform($"embedding", x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      CypherEngine.query(st,
+        """CALL db.index.vector.queryNodes('vidx_q8', 10, $q)
+           YIELD node, score
+           RETURN node.gid AS gid, score""",
+        Map("q" -> q))
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // CREATE INDEX … ON (c.name) + routed point lookups — the
     // property-value index (Neo4j's default RANGE index shape): each
     // MATCH resolves its candidate gids from ONE sect=p/bucket=H(val)
@@ -837,6 +859,12 @@ DETACH DELETE n
         """CREATE VECTOR INDEX vidx_l2 FOR (m:Emb) ON (m.emb)
            OPTIONS {indexConfig:
              {`vector.similarity_function`: 'euclidean'}}""").collect()
+      // …and a THIRD with quantized SQ8 storage (codes + codebook
+      // instead of raw float64 rows; queries rescore exactly)
+      CypherEngine.query(store,
+        """CREATE VECTOR INDEX vidx_q8 FOR (m:Emb) ON (m.emb)
+           OPTIONS {indexConfig: {`graft.quantization`: 'sq8'}}""")
+        .collect()
       store
     })
 
@@ -1357,6 +1385,86 @@ DETACH DELETE n
            FROM assigned a CROSS JOIN q
            WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)
            ORDER BY score DESC, gid LIMIT 10)
+         SELECT gid, round(score, 9) AS score FROM hits ORDER BY gid""",
+
+    // the SQ8 tier's replay: identical unrolled k-means (seeds,
+    // 2 Lloyd steps, assignment, 2-cell probe) + per-dimension
+    // [min,max] codebook, elementwise dequantize, approximate-score
+    // shortlist of 64, exact rescore of the shortlist — every
+    // floating-point step in the same operation order as the engine
+    "cypher_vector_quant" ->
+      """WITH e AS (SELECT 'v:' || CAST(vec_id AS VARCHAR) gid,
+             CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         n AS (SELECT gid, v, sqrt(list_dot_product(v, v)) norm FROM e),
+         c0 AS (SELECT row_number() OVER (ORDER BY gid) - 1 AS cid, v cv
+           FROM (SELECT gid, v FROM n ORDER BY gid LIMIT 16)),
+         c0n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c0),
+         a1 AS (SELECT gid, v, cid FROM (
+             SELECT a.gid, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.gid
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn)
+                   DESC, c.cid) r
+             FROM n a CROSS JOIN c0n c) WHERE r = 1),
+         m1 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a1)
+           GROUP BY cid, pos),
+         c1 AS (SELECT c0.cid, COALESCE(mm.cv2, c0.cv) cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m1
+             GROUP BY cid) mm USING (cid)),
+         c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c1),
+         a2 AS (SELECT gid, v, cid FROM (
+             SELECT a.gid, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.gid
+                 ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn)
+                   DESC, c.cid) r
+             FROM n a CROSS JOIN c1n c) WHERE r = 1),
+         m2 AS (SELECT cid, pos,
+             floor(SUM(CAST(round(val*1e6) AS BIGINT)) * 1.0
+               / COUNT(*)) / 1e6 AS m
+           FROM (SELECT cid, unnest(range(len(v))) AS pos,
+                   unnest(v) AS val FROM a2)
+           GROUP BY cid, pos),
+         c2 AS (SELECT c1.cid, COALESCE(mm.cv2, c1.cv) cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY pos) cv2 FROM m2
+             GROUP BY cid) mm USING (cid)),
+         c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) cn FROM c2),
+         assigned AS (SELECT a.gid, a.v, a.norm, c.cid,
+             row_number() OVER (PARTITION BY a.gid
+               ORDER BY list_dot_product(a.v, c.cv) / (a.norm * c.cn)
+                 DESC, c.cid) r
+           FROM n a CROSS JOIN c2n c),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) qn
+           FROM embeddings WHERE vec_id = 0),
+         probes AS (SELECT cid FROM (
+             SELECT c.cid, row_number() OVER
+               (ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
+                 DESC, c.cid) pr
+             FROM c2n c CROSS JOIN q) WHERE pr <= 2),
+         cand AS (SELECT a.gid, a.v, a.norm FROM assigned a
+           WHERE a.r = 1 AND a.cid IN (SELECT cid FROM probes)),
+         cb AS (SELECT pos, min(val) mn, max(val) mx
+           FROM (SELECT unnest(range(len(v))) pos, unnest(v) val FROM n)
+           GROUP BY pos),
+         dq AS (SELECT gid, norm,
+             list(CASE WHEN mx <= mn THEN mn
+                  ELSE mn + round((val - mn) * 255.0 / (mx - mn))
+                    * (mx - mn) / 255.0 END ORDER BY pos) dqv
+           FROM (SELECT gid, norm, unnest(range(len(v))) pos,
+                   unnest(v) val FROM cand) x
+           JOIN cb USING (pos) GROUP BY gid, norm),
+         short AS (SELECT d.gid FROM dq d CROSS JOIN q
+           ORDER BY list_dot_product(q.qv, d.dqv) / (d.norm * q.qn)
+             DESC, d.gid LIMIT 64),
+         hits AS (SELECT n.gid,
+             (1.0 + list_dot_product(q.qv, n.v) / (q.qn * n.norm))
+               / 2.0 score
+           FROM n JOIN short USING (gid) CROSS JOIN q
+           ORDER BY score DESC, n.gid LIMIT 10)
          SELECT gid, round(score, 9) AS score FROM hits ORDER BY gid""",
 
     "cypher_prop_index" ->

@@ -462,7 +462,10 @@ class SearchIndexSpec extends AnyFunSuite {
       "CREATE INDEX pidx FOR (p:Person) ON (p.email)").collect()
     val d = st.indexDef("pidx").get
     assert(d.kind == "property" && st.searchIndexReady(d))
-    assert(st.readSearchIndex(d, _ => true).count() == 40)
+    // one row per node in EACH section: sect=p (equality, H(val)
+    // buckets) and sect=r (range, boundary buckets)
+    assert(st.readSearchIndex(d, _.startsWith("sect=p")).count() == 40)
+    assert(st.readSearchIndex(d, _.startsWith("sect=r")).count() == 40)
 
     // routed point lookup: right node, and the plan reads a strict
     // subset of the node table's files (gid-bucket directory pruning)
