@@ -1354,13 +1354,29 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           ix.label == label && ix.property == pr.prop &&
           !ix.property.contains(","))
           .filter(store.searchIndexReady)
-          .map { d =>
+          .flatMap { d =>
+            import graft.store.SearchIndexes.rangeBucketOf
+            // SELECTIVITY guard: boundaries are equi-depth, so the
+            // bucket-span fraction approximates the row fraction —
+            // a broad predicate (`age > 0`) must keep the label scan
+            // (one pass) instead of reading most of the index AND
+            // semi-joining it back. Neo4j's planner makes the same
+            // index-vs-scan call on selectivity.
+            val nBuckets = d.boundaries.size + 1
+            def spanOk(bLo: Int, bHi: Int): Boolean =
+              nBuckets >= 4 && (bHi - bLo + 1).toDouble / nBuckets <= 0.5
             pr.prefix match {
               case Some(p) =>
-                store.readSearchIndex(d, store.pxPrefixKeys(d, p))
+                val lo = "s:" + p
+                val bLo = rangeBucketOf(d.boundaries, lo)
+                val bHi = d.boundaries.count(bd =>
+                  rangeBucketOf(Seq(bd), lo) == 1 || bd.startsWith(lo))
+                if (!spanOk(bLo, bHi)) None
+                else Some(store
+                  .readSearchIndex(d, store.pxPrefixKeys(d, p))
                   .filter(col("sect") === "r" &&
                     col("val").startsWith("s:" + p))
-                  .select(col("gid"))
+                  .select(col("gid")))
               case None =>
                 // an open end stays inside the bound's TYPE region
                 // ("n:…" hex never reaches "n:G"; strings stop at
@@ -1373,12 +1389,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 def floor(key: String) = key.take(2)
                 val lo = pr.lo.orElse(pr.hi.map(floor))
                 val hi = pr.hi.orElse(pr.lo.map(ceil))
-                var f = store.readSearchIndex(d,
-                  store.pxRangeKeys(d, lo, hi))
-                  .filter(col("sect") === "r")
-                lo.foreach(l => f = f.filter(col("val") >= l))
-                hi.foreach(h => f = f.filter(col("val") <= h))
-                f.select(col("gid"))
+                val bLo = lo.map(rangeBucketOf(d.boundaries, _))
+                  .getOrElse(0)
+                val bHi = hi.map(rangeBucketOf(d.boundaries, _))
+                  .getOrElse(d.boundaries.size)
+                if (!spanOk(bLo, bHi)) None
+                else {
+                  var f = store.readSearchIndex(d,
+                    store.pxRangeKeys(d, lo, hi))
+                    .filter(col("sect") === "r")
+                  lo.foreach(l => f = f.filter(col("val") >= l))
+                  hi.foreach(h => f = f.filter(col("val") <= h))
+                  Some(f.select(col("gid")))
+                }
             }
           }
       }
@@ -1388,8 +1411,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val buckets = probe.map(store.bucketOfString).toSet
         store.nodesByGidBuckets(buckets)
           .filter(col("gid").isin(probe: _*))
-      } else
+      } else if (eqHits.isDefined)
+        // equality/IN hit lists are value-bounded — force broadcast
         nodesInView.join(broadcast(hits.dropDuplicates("gid")),
+          Seq("gid"), "left_semi")
+      else
+        // a range hit list can be arbitrarily large — let AQE pick
+        // the semi-join strategy from the measured size instead of
+        // forcing a driver-sized broadcast
+        nodesInView.join(hits.dropDuplicates("gid"),
           Seq("gid"), "left_semi")
     }
   }
@@ -3766,6 +3796,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case class AFTerm(f: String, t: String) extends Atom
     case class AFPrefix(f: String, p: String) extends Atom
     case class AFPhrase(f: String, ts: Seq[String]) extends Atom
+    // fuzzy leaf (`spark~1`): matches every corpus term within
+    // maxEdits — the term DICTIONARY names the posting buckets to
+    // read; the posting filter itself is the levenshtein predicate,
+    // so no expansion list rides the plan
+    case class AFuzzy(t: String, maxEdits: Int) extends Atom
     sealed trait N
     case class NLeaf(i: Int) extends N
     case class NAnd(l: N, r: N) extends N
@@ -3820,6 +3855,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case other => throw PlanError(
             s"field scope only takes a term, phrase, or prefix: $other")
         }
+      case FQ.Fuzzy(t, k) => SearchIndexes.analyze(t, analyzer) match {
+        case Seq(one) => intern(AFuzzy(one, k), pos)
+        case other => throw PlanError(
+          s"fuzzy term '$t~' must analyze to one token, got $other")
+      }
       case FQ.And(l, r) => NAnd(conv(l, pos), conv(r, pos))
       case FQ.Or(l, r) => NOr(conv(l, pos), conv(r, pos))
       case FQ.Not(x) => NNot(conv(x, !pos))
@@ -3842,15 +3882,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case APhrase(ts) => ts
       case AFTerm(_, t) => Seq(t)
       case AFPhrase(_, ts) => ts
-      case APrefix(_) | AFPrefix(_, _) => Nil
+      case APrefix(_) | AFPrefix(_, _) | AFuzzy(_, _) => Nil
     }.distinct.toSeq
     val prefixes = atoms.collect {
       case APrefix(p) => p
       case AFPrefix(_, p) => p
     }.toSeq
+    val fuzzies = atoms.collect {
+      case AFuzzy(t, k) => (t, k) }.toSeq
+    def fuzzyCond(t: String, k: Int): Column =
+      abs(length(col("term")) - lit(t.length)) <= k &&
+        levenshtein(col("term"), lit(t)) <= k
     val termCond = (
       (if (allTerms.nonEmpty) Seq(col("term").isin(allTerms: _*)) else Nil)
-        ++ prefixes.map(p => col("term").startsWith(p)))
+        ++ prefixes.map(p => col("term").startsWith(p))
+        ++ fuzzies.map { case (t, k) => fuzzyCond(t, k) })
       .reduce(_ || _)
 
     // the index's document view — nodes' property text, or (for a
@@ -3870,10 +3916,12 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // never the postings) — only a pre-dictionary table falls
         // back to the unpruned posting read
         val keep: String => Boolean =
-          if (prefixes.isEmpty) store.ftProbeKeys(allTerms)
+          if (prefixes.isEmpty && fuzzies.isEmpty)
+            store.ftProbeKeys(allTerms)
           else if (store.ftDictReady(d)) {
             val base = store.ftProbeKeys(allTerms)
-            val pb = store.ftPrefixBuckets(d, prefixes)
+            val pb = store.ftPrefixBuckets(d, prefixes) ++
+              store.ftFuzzyBuckets(d, fuzzies)
             (k: String) => base(k) ||
               pb.exists(b => k == s"sect=t/bucket=$b")
           } else _ => true
@@ -3996,6 +4044,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .agg(sum(col("contrib")).as("s"))
       case APrefix(p) =>
         contrib.filter(col("term").startsWith(p)).groupBy(col("gid"))
+          .agg(sum(col("contrib")).as("s"))
+      case AFuzzy(t, k) =>
+        contrib.filter(fuzzyCond(t, k)).groupBy(col("gid"))
           .agg(sum(col("contrib")).as("s"))
       case AFTerm(f, t) =>
         fieldVerified(f,

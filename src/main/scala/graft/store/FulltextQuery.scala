@@ -27,6 +27,10 @@ object FulltextQuery {
     * match inside that indexed property (candidates post-verified
     * against the field's own text) */
   final case class Field(field: String, q: Q) extends Q
+  /** `term~` / `term~1` / `term~2` — matches every corpus term within
+    * `maxEdits` Levenshtein distance (expanded against the index's
+    * term dictionary; Lucene's classic fuzzy default is 2) */
+  final case class Fuzzy(text: String, maxEdits: Int) extends Q
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
   final case class Not(q: Q) extends Q
@@ -42,6 +46,7 @@ object FulltextQuery {
   private case object TRParen extends Tok
   private final case class TWord(w: String) extends Tok
   private final case class TPhrase(p: String) extends Tok
+  private final case class TFuzzy(base: String, maxEdits: Int) extends Tok
 
   private def lex(s: String): List[Tok] = {
     val out = List.newBuilder[Tok]
@@ -69,13 +74,27 @@ object FulltextQuery {
             // Lucene syntax this engine does NOT serve gets a
             // TARGETED error instead of mis-lexing into a term the
             // index would silently never match
-            if (w.contains("~")) throw ParseError(
-              s"fuzzy / slop syntax ('$w') is not supported; " +
-                "use an exact term, a phrase, or a prefix*")
-            if (w.contains("^")) throw ParseError(
+            if (w.contains("~")) {
+              val cut = w.indexOf('~')
+              val (base, rest) = (w.substring(0, cut), w.substring(cut + 1))
+              if (base.isEmpty) throw ParseError(
+                s"phrase slop syntax ('$w' after a phrase) is not " +
+                  "supported; use the exact phrase")
+              if (base.contains(":")) throw ParseError(
+                s"field-scoped fuzzy ('$w') is not supported; " +
+                  "use field:term or an unscoped fuzzy term")
+              val k = rest match {
+                case "" => 2 // Lucene's classic fuzzy default
+                case "1" => 1
+                case "2" => 2
+                case other => throw ParseError(
+                  s"fuzzy distance must be 1 or 2, got '$other' in '$w'")
+              }
+              out += TFuzzy(base, k)
+            } else if (w.contains("^")) throw ParseError(
               s"boost syntax ('$w') is not supported; " +
                 "boosts would change scores, not matches")
-            out += TWord(w)
+            else out += TWord(w)
         }
       }
     }
@@ -114,6 +133,7 @@ object FulltextQuery {
         }
       case TWord(w) => leafOf(w)
       case TPhrase(p) => Phrase(p)
+      case TFuzzy(b, k) => Fuzzy(b, k)
       case t => throw ParseError(s"unexpected $t in: $s")
     }
 

@@ -366,6 +366,22 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .distinct().collect().map(_.getInt(0)).toSet
   }
 
+  /** [[ftPrefixBuckets]] for FUZZY atoms: the buckets of every
+    * dictionary term within Levenshtein distance ≤ maxEdits (length
+    * prefilter first — |len Δ| > maxEdits can't match) */
+  def ftFuzzyBuckets(d: IndexDef, fz: Seq[(String, Int)]): Set[Int] = {
+    if (fz.isEmpty) return Set.empty
+    import org.apache.spark.sql.functions.{abs, length, levenshtein}
+    val cond = fz.map { case (t, k) =>
+      abs(length(col("term")) - lit(t.length)) <= k &&
+        levenshtein(col("term"), lit(t)) <= k
+    }.reduce(_ || _)
+    readSearchIndex(d, _.startsWith("sect=d"))
+      .filter(cond)
+      .select(pmod(hash(col("term")), lit(bucketCount0)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+  }
+
   /** manifest key of a property-index equality probe: the ONE
     * `sect=p` bucket the encoded value hashes into */
   def pxProbeKeys(encodedVal: String): String => Boolean = {

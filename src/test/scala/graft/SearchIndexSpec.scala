@@ -1208,16 +1208,34 @@ class SearchIndexSpec extends AnyFunSuite {
         """CALL db.index.fulltext.queryNodes('fq', 'NOT join')
           |YIELD node, score RETURN 1 AS o""".stripMargin)
     }
-    // fuzzy / boost / slop syntax gets TARGETED errors, not mis-lexed
-    // terms that silently never match
-    Seq("spark~1", "spark^2", "\"sort merge\"~2").foreach { bad =>
-      val e = intercept[Exception] {
-        CypherEngine.query(st,
-          s"""CALL db.index.fulltext.queryNodes('fq', '$bad')
-             |YIELD node, score RETURN 1 AS o""".stripMargin)
+    // fuzzy terms expand against the dictionary: edit distance ≤ k
+    // ("marge" is 1 edit from "merge"; "join" is 2 from "sort" — no)
+    assert(hits("marge~1") == Seq("d:1", "d:2"))
+    assert(hits("mergee~1") == Seq("d:1", "d:2"))
+    assert(hits("marge~1 AND hash") == Nil)
+    // bare ~ defaults to distance 2
+    assert(hits("mxrgx~") == Seq("d:1", "d:2"))
+    // …and the probe stays posting-bucket-pruned through the dict
+    val postAll = st.readSearchIndex(st.indexDef("fq").get,
+      _.startsWith("sect=t")).inputFiles.toSet
+    val fz = CypherEngine.query(st,
+      """CALL db.index.fulltext.queryNodes('fq', 'marge~1')
+        |YIELD node, score RETURN node.gid AS g""".stripMargin)
+    val used = fz.inputFiles.toSet.intersect(postAll)
+    assert(used.nonEmpty && used.size < postAll.size,
+      s"fuzzy query read ${used.size}/${postAll.size} posting files")
+    // boost / slop / bad-distance / field-scoped-fuzzy syntax gets
+    // TARGETED errors, not mis-lexed never-matching terms
+    Seq("spark^2", "\"sort merge\"~2", "spark~9", "body:spark~1")
+      .foreach { bad =>
+        val e = intercept[Exception] {
+          CypherEngine.query(st,
+            s"""CALL db.index.fulltext.queryNodes('fq', '$bad')
+               |YIELD node, score RETURN 1 AS o""".stripMargin)
+        }
+        assert(e.getMessage.contains("not supported") ||
+          e.getMessage.contains("must be 1 or 2"), s"$bad: $e")
       }
-      assert(e.getMessage.contains("not supported"), s"$bad: $e")
-    }
   }
 
   test("fulltext field scoping: field:term / field:\"phrase\"") {
