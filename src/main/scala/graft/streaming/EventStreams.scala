@@ -649,10 +649,30 @@ object EventStreams {
     props.flatMap { e =>
       val v: Option[Any] =
         e.sVal.orElse(e.lVal).orElse(e.dVal).orElse(e.bVal)
-      v.flatMap(graft.store.SearchIndexes.encodeValue)
-        .map(enc => PxRow("p", enc, e.gid)).iterator
+      // BOTH index sections, like the batch extraction: the
+      // hash-bucketed equality key and the order-preserving range key
+      (v.flatMap(graft.store.SearchIndexes.encodeValue)
+        .map(enc => PxRow("p", enc, e.gid)) ++
+        v.flatMap(graft.store.SearchIndexes.encodeSortableValue)
+          .map(enc => PxRow("r", enc, e.gid))).iterator
     }
   }
+
+  /** Streaming term-DICTIONARY maintenance — the live half of the
+    * posting table's `sect=d` section (prefix/fuzzy bucket pruning):
+    * an UPDATE-mode streaming aggregation of per-term document
+    * frequency over the SAME row-local tokenization the posting twin
+    * emits (one posting row per (term, doc), so `count(*)` IS df).
+    * State is per-term (vocabulary-sized — the same bound that makes
+    * the batch dictionary cheap); the batch twin is
+    * [[graft.store.SearchIndexes.dictRows]].
+    */
+  def ftDictStream(docs: Dataset[DocEvent],
+      analyzer: String = graft.store.SearchIndexes.WhitespaceAnalyzer)
+      : DataFrame =
+    ftPostingsStream(docs, analyzer)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
 
   case class ClickEv(click_id: Long, cuser: Long,
       clickTime: java.sql.Timestamp)

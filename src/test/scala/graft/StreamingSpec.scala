@@ -357,12 +357,17 @@ class StreamingSpec extends AnyFunSuite {
     }
     sess.commit()
     val d = graft.store.IndexDef("pxs", "property", "P", "x")
-    val expected = graft.store.SearchIndexes.propRows(st.nodes, d)
-      .collect().map(r =>
-        (r.getString(0), r.getString(1), r.getString(2))).toSet
-    assert(expected.size == fixtures.size)
-    // 42L and 42.0 canonicalize to the SAME key (numeric equality)
+    // BOTH sections: equality (sect=p) AND range (sect=r) rows
+    val expected = (graft.store.SearchIndexes.propRows(st.nodes, d)
+      .collect() ++
+      graft.store.SearchIndexes.propRangeRows(st.nodes, d).collect())
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(expected.size == 2 * fixtures.size)
+    // 42L and 42.0 canonicalize to the SAME key (numeric equality) —
+    // in the equality AND the sortable encoding
     assert(expected.count(_._2 == "n:42.0") == 2)
+    assert(expected.count(t => t._1 == "r" &&
+      t._2 == "n:" + f"${graft.functions.DoubleSortBits.bits(42.0)}%016X") == 2)
 
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime
@@ -981,6 +986,41 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(got == expected)
     assert(got.nonEmpty)
+  }
+
+  test("ftDictStream == SearchIndexes.dictRows across a split batch") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join hash join"),
+      (2L, "  hash partition spark  "),
+      (3L, "solo spark"),
+      (4L, ""),
+      (5L, "a b a b a"))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val input = ms.toDS()
+      .map { case (id, t) => EventStreams.DocEvent(id, t) }
+    // UPDATE mode: per-term df state revises as docs arrive
+    val q = EventStreams.ftDictStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ftdict_out").start()
+    try {
+      docs.grouped(2).foreach { c =>
+        ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // memory sink in update mode appends revisions — keep the LAST
+    // value per term (the final state)
+    val got = spark.table("ftdict_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).max) }.toSet
+    val batchDocs = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => (s"d:$id", t) }.toDF("gid", "text")
+    val expected = graft.store.SearchIndexes.dictRows(
+      graft.store.SearchIndexes.tokenRows(batchDocs))
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got.exists(_ == ("spark", 3L)))
   }
 
   test("vxAssignStream == SearchIndexes.assignCells (cosine and euclidean)") {
