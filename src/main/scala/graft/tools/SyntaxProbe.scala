@@ -1190,6 +1190,122 @@ object SyntaxProbe {
           s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
       println(s"PROBE19 $tag: $res")
     }
+
+    // battery 20 (driver round 12): range/STARTS WITH/composite index
+    // routing, constraints, quantized vector tier, dictionary-bounded
+    // prefix + fuzzy + field-scoped fulltext, skip pagination
+    val qstore = new graft.store.GraphStore(
+      java.nio.file.Files.createTempDirectory("graft-probe20").toString,
+      s, 4)
+    val p20sess = CypherEngine.session(qstore)
+    (1 to 30).foreach { i =>
+      p20sess.run(
+        f"CREATE (:U20 {gid: 'u20:$i', mail: 'm$i%03d@x.io', age: $i, " +
+          s"seg: 's${i % 3}', bio: 'doc$i spark merge hash no$i', " +
+          s"emb: [${i / 7.0}, ${(i % 5).toDouble}, 1.0, 2.0]})").collect()
+    }
+    p20sess.commit()
+    val probes20: Seq[(String, String)] = Seq(
+      "range-index-create" ->
+        "CREATE INDEX u20age FOR (u:U20) ON (u.age)",
+      "range-gt-lookup" ->
+        "MATCH (u:U20) WHERE u.age > 27 RETURN count(*) AS c",
+      "range-between-lookup" ->
+        ("MATCH (u:U20) WHERE u.age >= 10 AND u.age <= 12 " +
+          "RETURN count(*) AS c"),
+      "range-param-bound" ->
+        "MATCH (u:U20) WHERE u.age < $lo RETURN count(*) AS c",
+      "mail-index-create" ->
+        "CREATE INDEX u20mail FOR (u:U20) ON (u.mail)",
+      "starts-with-lookup" ->
+        ("MATCH (u:U20) WHERE u.mail STARTS WITH 'm02' " +
+          "RETURN count(*) AS c"),
+      "broad-range-keeps-scan" ->
+        "MATCH (u:U20) WHERE u.age > 0 RETURN count(*) AS c",
+      "composite-create" ->
+        "CREATE INDEX u20sm FOR (u:U20) ON (u.seg, u.age)",
+      "composite-all-bound-lookup" ->
+        "MATCH (u:U20 {seg: 's1', age: 7}) RETURN u.gid AS g",
+      "composite-partial-scan" ->
+        "MATCH (u:U20 {seg: 's1'}) RETURN count(*) AS c",
+      "composite-model-col-error" ->
+        "CREATE INDEX bad20 FOR (u:U20) ON (u.gid, u.seg)",
+      "constraint-unique-create" ->
+        "CREATE CONSTRAINT u20um FOR (u:U20) REQUIRE u.mail IS UNIQUE",
+      "constraint-notnull-create" ->
+        ("CREATE CONSTRAINT u20nb FOR (u:U20) " +
+          "REQUIRE u.bio IS NOT NULL"),
+      "constraint-dup-veto" ->
+        "CREATE (:U20 {gid: 'u20:99', mail: 'm003@x.io', bio: 'x'})",
+      "constraint-null-veto" ->
+        "CREATE (:U20 {gid: 'u20:98', mail: 'new@x.io'})",
+      "constraint-ok-create" ->
+        "CREATE (:U20 {gid: 'u20:97', mail: 'ok@x.io', bio: 'y'})",
+      "constraint-show" ->
+        ("SHOW CONSTRAINTS YIELD name WHERE name STARTS WITH 'u20' " +
+          "RETURN name ORDER BY name"),
+      "constraint-node-key-error" ->
+        ("CREATE CONSTRAINT nk20 FOR (u:U20) " +
+          "REQUIRE (u.a, u.b) IS NODE KEY"),
+      "constraint-drop" -> "DROP CONSTRAINT u20nb",
+      "constraint-gid-intrinsic" ->
+        ("CREATE CONSTRAINT g20 IF NOT EXISTS FOR (u:U20) " +
+          "REQUIRE u.gid IS UNIQUE"),
+      "quant-sq8-create" ->
+        """CREATE VECTOR INDEX q20 FOR (u:U20) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.quantization`: 'sq8'}}""",
+      "quant-sq8-query" ->
+        """CALL db.index.vector.queryNodes('q20', 3, [2.0, 4.0, 1.0, 2.0])
+           YIELD node, score RETURN count(*) AS c""",
+      "quant-bq-create" ->
+        """CREATE VECTOR INDEX qb20 FOR (u:U20) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.quantization`: 'bq'}}""",
+      "quant-bad-kind-error" ->
+        """CREATE VECTOR INDEX qx20 FOR (u:U20) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.quantization`: 'pq4'}}""",
+      "quant-graph-conflict-error" ->
+        """CREATE VECTOR INDEX qg20 FOR (u:U20) ON (u.emb)
+           OPTIONS {indexConfig: {`graft.quantization`: 'sq8',
+             `graft.graph.degree`: 4}}""",
+      "ft-create" ->
+        "CREATE FULLTEXT INDEX f20 FOR (u:U20) ON EACH [u.bio, u.mail]",
+      "ft-prefix-dict-bounded" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'doc2*')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-fuzzy" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'mergee~1')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-fuzzy-default-distance" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'mxrgx~')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-field-scoped" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'bio:spark')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-field-unknown-error" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'nope:spark')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-boost-error" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'spark^2')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-slop-error" ->
+        """CALL db.index.fulltext.queryNodes('f20', '"a b"~2')
+           YIELD node, score RETURN count(*) AS c""",
+      "ft-skip-limit" ->
+        """CALL db.index.fulltext.queryNodes('f20', 'spark',
+           {skip: 2, limit: 3}) YIELD node, score
+           RETURN count(*) AS c""",
+      "ft-await-refresh" ->
+        "CALL db.index.fulltext.awaitEventuallyConsistentIndexRefresh()")
+    probes20.foreach { case (tag, q) =>
+      val res =
+        try {
+          val rows = CypherEngine.query(qstore, q,
+            Map("lo" -> 4L)).collect()
+          "PASS " + rows.take(3).mkString("; ").take(130)
+        } catch { case e: Throwable =>
+          s"FAIL ${String.valueOf(e.getMessage).take(130)}" }
+      println(s"PROBE20 $tag: $res")
+    }
     s.stop()
   }
 }
