@@ -6822,6 +6822,13 @@ object CypherEngine {
     val DropIdxRe = """(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     trimmed match {
       case DropIdxRe(name, _) if store.indexDef(name).isDefined =>
+        // a constraint's backing index cannot be dropped out from
+        // under its enforcement (Neo4j: "is owned by constraint") —
+        // DROP CONSTRAINT removes both
+        if (store.indexDef(name).exists(_.constraint.nonEmpty))
+          throw new IllegalArgumentException(
+            s"index $name is owned by constraint $name; " +
+              s"use DROP CONSTRAINT $name")
         store.dropSearchIndex(name)
         return ddlAck(s"dropped index $name")
       case _ => ()

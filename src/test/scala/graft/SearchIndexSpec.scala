@@ -782,6 +782,12 @@ class SearchIndexSpec extends AnyFunSuite {
           |REQUIRE u.nope IS NOT NULL""".stripMargin).collect()
     }
     assert(st.indexDef("udup").isEmpty)
+    // a constraint's backing index cannot be dropped via DROP INDEX
+    // (enforcement would silently vanish); DROP CONSTRAINT owns both
+    val eOwn = intercept[IllegalArgumentException] {
+      CypherEngine.query(st, "DROP INDEX uemail")
+    }
+    assert(eOwn.getMessage.contains("owned by constraint"))
     // DROP lifts enforcement
     CypherEngine.query(st, "DROP CONSTRAINT uname").collect()
     CypherEngine.query(st,
