@@ -1354,6 +1354,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           ix.label == label && ix.property == pr.prop &&
           !ix.property.contains(","))
           .filter(store.searchIndexReady)
+          // a legacy table without the range section must NOT route —
+          // reading the absent section would silently miss every row
+          .filter(store.pxRangeReady)
           .flatMap { d =>
             import graft.store.SearchIndexes.rangeBucketOf
             // SELECTIVITY guard: boundaries are equi-depth, so the

@@ -411,6 +411,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       }
   }
 
+  /** does the property table carry its ORDER-PRESERVING range
+    * section? Tables built before it existed don't — range/prefix
+    * lookups then keep the label scan (correct, unindexed) until a
+    * full rebuild (DROP+CREATE, compact) regenerates both sections. */
+  def pxRangeReady(d: IndexDef): Boolean = {
+    val keys = manifestFiles(d.tableName).keySet
+    keys.isEmpty || keys.exists(_.startsWith("sect=r"))
+  }
+
   /** manifest keys of a STARTS WITH probe: the exact bucket span of
     * the prefix under the trained boundaries. No successor-string
     * construction (incrementing a prefix's last char can mint a lone
@@ -1100,8 +1109,19 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       forceIndexRebuild0.contains(d.name)) && prevSrc.nonEmpty
     // composite defs have no range section (a multi-key tuple has no
     // total order worth range-partitioning; only all-keys-equality
-    // routes through them)
-    val hasRange = d.kind == "property" && !d.property.contains(",")
+    // routes through them). A table built BEFORE the range section
+    // existed must not grow a PARTIAL one (the planner's range route
+    // would silently miss every pre-existing row): maintain sect=r
+    // only when the previous manifest carries it, or the table was
+    // empty — legacy tables stay equality-only (pxRangeReady false)
+    // until a full rebuild regenerates both sections.
+    val hasRange = d.kind == "property" && !d.property.contains(",") && {
+      val prevPx = prev.getOrElse(d.tableName, Map.empty)
+      prevPx.isEmpty || !prev.contains(d.tableName) ||
+        forceIndexRebuild0.contains(d.name) ||
+        srcDirty.isEmpty || // full source rewrite regenerates fully
+        prevPx.keys.exists(_.startsWith("sect=r"))
+    }
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty

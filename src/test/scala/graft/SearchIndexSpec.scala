@@ -646,6 +646,58 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(afterGrow == Seq("p:419", "p:420"))
   }
 
+  test("legacy px tables without a range section stay correct") {
+    val st = newStore("pxlegacy")
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 30).foreach { i =>
+      sess.run(s"CREATE (:L {gid: 'l:$i', age: $i})").collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX lage FOR (l:L) ON (l.age)").collect()
+    val d = st.indexDef("lage").get
+    assert(st.pxRangeReady(d))
+    // simulate a table built BEFORE the range section existed: strip
+    // the sect=r entries from the current manifest
+    val v = st.currentVersion
+    val mPath = java.nio.file.Paths.get(st.root, f"m$v%08d.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(mPath))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val pruned = JsonMethods.parse(raw) match {
+      case JObject(tables) => JObject(tables.map {
+        case (t, JObject(parts)) if t == d.tableName =>
+          t -> JObject(parts.filterNot(_._1.startsWith("sect=r")))
+        case other => other
+      })
+      case other => other
+    }
+    java.nio.file.Files.write(mPath,
+      JsonMethods.compact(JsonMethods.render(pruned)).getBytes)
+    assert(!st.pxRangeReady(st.indexDef("lage").get),
+      "legacy simulation failed")
+    // correctness holds through the scan fallback (routing the absent
+    // section would return NOTHING)
+    def over27: Seq[String] = CypherEngine.query(st,
+      "MATCH (l:L) WHERE l.age > 27 RETURN l.gid AS g ORDER BY g")
+      .collect().map(_.getString(0)).toSeq
+    assert(over27 == Seq("l:28", "l:29", "l:30"))
+    // equality lookups keep their sect=p route on the legacy table
+    assert(CypherEngine.query(st,
+      "MATCH (l:L {age: 5}) RETURN l.gid AS g")
+      .collect().map(_.getString(0)).toSeq == Seq("l:5"))
+    // an incremental commit must NOT grow a PARTIAL range section
+    CypherEngine.query(st, "CREATE (:L {gid: 'l:31', age: 31})").collect()
+    assert(!st.pxRangeReady(st.indexDef("lage").get))
+    assert(over27 == Seq("l:28", "l:29", "l:30", "l:31"))
+    // a full rebuild regenerates both sections and routing resumes
+    st.compact()
+    assert(st.pxRangeReady(st.indexDef("lage").get))
+    assert(over27 == Seq("l:28", "l:29", "l:30", "l:31"))
+    assert(st.readSearchIndex(st.indexDef("lage").get,
+      _.startsWith("sect=r")).count() == 31)
+  }
+
   test("composite property index: tuple key, all-bound routing, delta") {
     val st = newStore("pxc")
     st.localizeTinyTables = false
