@@ -128,8 +128,30 @@ object FulltextQuery {
         if (rest.nonEmpty) Field(f, leafOf(rest))
         else peek match {
           case Some(TPhrase(p)) => next(); Field(f, Phrase(p))
+          // `field:(a OR "b c")` — Lucene's grouped field scope:
+          // the field distributes over every leaf of the group
+          case Some(TLParen) =>
+            next()
+            val q = orExpr()
+            if (!peek.contains(TRParen))
+              throw ParseError(s"missing ')' in: $s")
+            next()
+            def distribute(x: Q): Q = x match {
+              case t: Term => Field(f, t)
+              case p: Phrase => Field(f, p)
+              case p: Prefix => Field(f, p)
+              case _: Fuzzy => throw ParseError(
+                "field-scoped fuzzy is not supported")
+              case Field(_, _) => throw ParseError(
+                "nested field scopes are not supported")
+              case And(l, r) => And(distribute(l), distribute(r))
+              case Or(l, r) => Or(distribute(l), distribute(r))
+              case Not(y) => Not(distribute(y))
+            }
+            distribute(q)
           case _ => throw ParseError(
-            s"field scope '$f:' must be followed by a term or phrase")
+            s"field scope '$f:' must be followed by a term, phrase, " +
+              "or (group)")
         }
       case TWord(w) => leafOf(w)
       case TPhrase(p) => Phrase(p)

@@ -1325,6 +1325,10 @@ class SearchIndexSpec extends AnyFunSuite {
     // composes with boolean operators
     assert(hits("title:spark OR body:shuffle") == Seq("d:1", "d:2"))
     assert(hits("spark NOT title:spark") == Seq("d:2", "d:3"))
+    // grouped field scope distributes over the group's leaves
+    assert(hits("title:(spark OR guide)") == Seq("d:1", "d:2"))
+    assert(hits("body:(shuffle OR \"sort merge\")") == Seq("d:2", "d:3"))
+    assert(hits("title:(joins NOT hash)") == Nil)
     // unknown field is a targeted error
     val e = intercept[Exception] { hits("nope:spark") }
     assert(e.getMessage.contains("no field"))
