@@ -28,6 +28,88 @@ class PropertySpec extends AnyFunSuite {
     sep <- Gen.oneOf("/", "#", "")
   } yield scheme + parts.mkString(sep)
 
+  test("sortable-key laws: ordering, bucket conservativeness, ulp " +
+      "widening (seeded brute force)") {
+    import graft.store.SearchIndexes
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    def cmp(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+    // (1) DoubleSortBits: numeric order == unsigned-bits order ==
+    // lexical order of the fixed-width hex rendering — across signs,
+    // magnitudes, subnormals, zeros, infinities
+    val doubles = Seq(0.0, -0.0, 1.0, -1.0, Double.MinPositiveValue,
+      -Double.MinPositiveValue, Double.MaxValue, Double.MinValue,
+      Double.PositiveInfinity, Double.NegativeInfinity) ++
+      (1 to 3000).map(_ => rnd.nextLong().toDouble / (rnd.nextInt(9) + 1)) ++
+      (1 to 1000).map(_ => math.exp(rnd.nextGaussian() * 80) *
+        (if (rnd.nextBoolean()) 1 else -1))
+    for (Seq(a, b) <- doubles.combinations(2).take(200000)) {
+      val (ka, kb) = (SearchIndexes.encodeSortableValue(a).get,
+        SearchIndexes.encodeSortableValue(b).get)
+      if (a < b) assert(cmp(ka, kb) < 0, s"$a < $b but $ka >= $kb")
+      else if (a > b) assert(cmp(ka, kb) > 0, s"$a > $b but $ka <= $kb")
+      else assert(cmp(ka, kb) == 0 || (a == 0.0 && b == 0.0),
+        s"$a == $b but keys differ: $ka $kb")
+    }
+
+    // (2) range-bucket MONOTONICITY (the conservativeness the route
+    // relies on): lo ≤ v ≤ hi ⇒ bucket(lo) ≤ bucket(v) ≤ bucket(hi),
+    // for random boundary sets over random key populations
+    def randKey(): String =
+      SearchIndexes.encodeSortableValue(
+        if (rnd.nextBoolean()) rnd.nextInt(10000).toDouble
+        else rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString).get
+    (1 to 50).foreach { _ =>
+      val bounds = Seq.fill(rnd.nextInt(15) + 1)(randKey())
+        .distinct.sortWith(cmp(_, _) < 0)
+      val vals = Seq.fill(200)(randKey())
+      for (v <- vals; lo <- vals if cmp(lo, v) <= 0;
+           hi <- vals if cmp(v, hi) <= 0) {
+        val (bl, bv, bh) = (SearchIndexes.rangeBucketOf(bounds, lo),
+          SearchIndexes.rangeBucketOf(bounds, v),
+          SearchIndexes.rangeBucketOf(bounds, hi))
+        assert(bl <= bv && bv <= bh,
+          s"bucket not monotone: $lo→$bl, $v→$bv, $hi→$bh")
+      }
+    }
+
+    // (3) prefix-span exactness: every value with prefix p lands in
+    // [count(bd ≤ lo), count(bd ≤ lo ∨ bd startsWith lo)] — the
+    // pxPrefixKeys identity (no successor-string construction)
+    (1 to 50).foreach { _ =>
+      val words = Seq.fill(300)("s:" +
+        rnd.alphanumeric.take(rnd.nextInt(10) + 1).mkString)
+      val bounds = Seq.fill(rnd.nextInt(10) + 1)(
+        words(rnd.nextInt(words.size))).distinct.sortWith(cmp(_, _) < 0)
+      val p = words(rnd.nextInt(words.size))
+        .take(rnd.nextInt(4) + 3) // "s:" + ≥1 char
+      val bLo = SearchIndexes.rangeBucketOf(bounds, p)
+      val bHi = bounds.count(bd => cmp(bd, p) <= 0 || bd.startsWith(p))
+      words.filter(_.startsWith(p)).foreach { v =>
+        val bv = SearchIndexes.rangeBucketOf(bounds, v)
+        assert(bv >= bLo && bv <= bHi,
+          s"prefix span miss: $v→$bv outside [$bLo,$bHi] for '$p'")
+      }
+    }
+
+    // (4) ulp widening: a stored LONG's sortable key is never excluded
+    // by the widened probe bound of a long threshold it exceeds —
+    // even past 2^53 where long→double rounds
+    (1 to 20000).foreach { _ =>
+      val t = rnd.nextLong()
+      val l = rnd.nextLong()
+      if (l > t) {
+        val stored = SearchIndexes.encodeSortableValue(l).get
+        val probeLo =
+          SearchIndexes.encodeSortableValue(math.nextDown(t.toDouble)).get
+        assert(cmp(stored, probeLo) >= 0,
+          s"stored $l excluded by widened bound of $t")
+      }
+    }
+  }
+
   test("stripPrefix: Scala twin matches Go semantics on edge cases") {
     // direct transliteration of /root/reference/neo4j.go:130-138 checks
     assert(UriFunctions.stripPrefixScala("http://a/b#c") == "c")
