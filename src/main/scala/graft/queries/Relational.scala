@@ -48,8 +48,21 @@ object Relational {
       val df = s.read.parquet(src)
       if (df.inputFiles.length >= 8 || df.rdd.getNumPartitions >= 8) src
       else {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-docs-relayout").toString
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-docs-relayout")
+        // the scratch copy lives for the host's lifetime — reclaim it
+        // on JVM exit (it holds a full copy of the documents table)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p)) {
+              val st = java.nio.file.Files.list(p)
+              try st.forEach(rm(_)) finally st.close()
+            }
+            java.nio.file.Files.deleteIfExists(p); ()
+          }
+          try rm(outDir) catch { case _: Throwable => () }
+        }))
+        val out = outDir.toString
         // keyed layout: deterministic file contents across runs
         df.repartition(s.sparkContext.defaultParallelism,
             org.apache.spark.sql.functions.col("doc_id"))

@@ -175,6 +175,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           },
           m.get("boundaryN").collect {
             case JInt(i) => i.toLong }.getOrElse(0L),
+          m.get("boundariesV").collect {
+            case JInt(i) => i.toLong }.getOrElse(0L),
           str("constraint"), str("quant"), dblSeq("sqMn"), dblSeq("sqMx"))
       }
       case _ => Nil
@@ -196,6 +198,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "graphEntries" -> JArray(d.graphEntries.toList.map(JString(_))),
         "boundaries" -> JArray(d.boundaries.toList.map(JString(_))),
         "boundaryN" -> JInt(d.boundaryN),
+        "boundariesV" -> JInt(d.boundariesV),
         "constraint" -> JString(d.constraint),
         "quant" -> JString(d.quant),
         "sqMn" -> JArray(d.sqMn.toList.map(JDouble(_))),
@@ -412,12 +415,21 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   }
 
   /** does the property table carry its ORDER-PRESERVING range
-    * section? Tables built before it existed don't — range/prefix
+    * section, with boundaries the VISIBLE layout was bucketed with?
+    * Tables built before the section existed don't — range/prefix
     * lookups then keep the label scan (correct, unindexed) until a
-    * full rebuild (DROP+CREATE, compact) regenerates both sections. */
+    * full rebuild (DROP+CREATE, compact) regenerates both sections.
+    * `boundaryN > 0` excludes the retrain window where the def's
+    * boundaries were cleared but the old multi-bucket layout is still
+    * on disk (an empty boundary list would prune every probe to
+    * bucket 0); `boundariesV <= currentVersion` excludes the
+    * mirror-image window where RETRAINED boundaries are in the
+    * sidecar but the layout they bucket has not flipped yet. */
   def pxRangeReady(d: IndexDef): Boolean = {
     val keys = manifestFiles(d.tableName).keySet
-    keys.isEmpty || keys.exists(_.startsWith("sect=r"))
+    keys.isEmpty ||
+      (keys.exists(_.startsWith("sect=r")) && d.boundaryN > 0 &&
+        d.boundariesV <= currentVersion)
   }
 
   /** manifest keys of a STARTS WITH probe: the exact bucket span of
@@ -802,7 +814,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             val n = rows.count()
             if (n > 0) {
               val bounds = SearchIndexes.trainBoundaries(rows, bc)
-              val nd = d0.copy(boundaries = bounds, boundaryN = n)
+              // stamped with the version whose layout these boundaries
+              // bucket — probes route only once that manifest is
+              // visible (readers in the pre-flip window keep the scan)
+              val nd = d0.copy(boundaries = bounds, boundaryN = n,
+                boundariesV = next)
               writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
               nd
             } else d0
@@ -1804,7 +1820,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           !d.property.contains(",") =>
         val n = readSearchIndex(d, _.startsWith("sect=r")).count()
         if (n >= 2 * d.boundaryN || (n > 0 && 2 * n <= d.boundaryN)) {
-          buildSearchIndex(d.copy(boundaries = Nil, boundaryN = 0))
+          buildSearchIndex(d.copy(boundaries = Nil, boundaryN = 0,
+            boundariesV = 0))
           Some(d.name)
         } else None
     }.flatten

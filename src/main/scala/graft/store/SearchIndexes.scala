@@ -62,8 +62,15 @@ case class IndexDef(
     // the sidecar so probe mapping and write assignment agree across
     // processes; maintain() retrains on 2× row-count drift.
     // `boundaryN` is the row count at training time (0 = untrained).
+    // `boundariesV` is the manifest version whose sect=r layout was
+    // bucketed with these boundaries: the planner routes only when
+    // the VISIBLE manifest is at least that version, so a reader in
+    // the train/retrain window (sidecar written, pointer not yet
+    // flipped) can never pair new boundaries with an older layout
+    // and prune a probe to the wrong bucket span.
     boundaries: Seq[String] = Nil,
     boundaryN: Long = 0,
+    boundariesV: Long = 0,
     // declared constraint riding this def: "" (none), "unique"
     // (kind="property" — the px table IS the enforcement probe, the
     // constraint-backed-index model Neo4j uses), or "exists"
@@ -431,11 +438,20 @@ object SearchIndexes {
     val m = vs.count()
     if (m <= 1 || buckets <= 1) return Nil
     val step = math.max(1L, math.ceil(m.toDouble / buckets).toLong)
-    vs.orderBy(col("val")).select(col("val")).rdd
+    val sample = vs.orderBy(col("val")).select(col("val")).rdd
       .zipWithIndex()
       .filter { case (_, i) => i > 0 && i % step == 0 }
       .map(_._1.getString(0))
-      .collect().toSeq.sorted.take(buckets - 1)
+      .collect().toSeq
+    // the step-sampled collect of a globally-sorted RDD is already in
+    // order; the defensive re-sort must use the SAME comparison every
+    // other range-machinery site uses (UTF8 byte order — Java's
+    // code-unit order differs for supplementary-plane characters)
+    sample.sortWith((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b)) < 0)
+      .take(buckets - 1)
   }
 
   /** separator of the composite edge identity a relationship index
