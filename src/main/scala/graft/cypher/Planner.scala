@@ -325,6 +325,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def planSingle(q: Query): DataFrame = {
     matPathVars = collectPathFnVars(q)
+    // index-ordered top-k / min-max shape (consumed by nodeDf's
+    // propIndexedBase; one-shot — the statement has a single MATCH)
+    pxOrderWalk = detectOrderWalk(q)
     fuseSetRuns(q.clauses).foreach {
       case m: MatchClause => applyMatch(m)
       case w: WithClause => applyWith(w)
@@ -1341,6 +1344,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         k => buckets.exists(b => k == s"sect=p/bucket=$b"))
         .filter(col("val").isin(encs: _*)).select(col("gid"))
     }
+    // index-ORDERED walk (ORDER BY n.p LIMIT k / min/max — see
+    // [[PxWalk]]): candidate gids from a bounded, early-stopping walk
+    // of the value-sorted sect=r buckets; the point-lookup read below
+    // keeps every predicate + the sort + the limit on top.
+    val walkGids: Option[Seq[String]] =
+      if (eqHits.isDefined) None
+      else pxOrderWalk.filter(wk => n.variable.contains(wk.v)) match {
+        case Some(wk) =>
+          pxOrderWalk = None // one-shot
+          store.indexDefs.find(ix => ix.kind == "property" &&
+            ix.label == label && ix.property == wk.prop)
+            .filter(store.searchIndexReady)
+            .filter(store.pxRangeReady)
+            .flatMap(d => orderWalkCandidates(d, wk))
+        case None => None
+      }
+    walkGids.foreach { gids0 =>
+      val gids = gids0.distinct
+      val buckets = gids.map(store.bucketOfString).toSet
+      return Some(
+        if (gids.isEmpty) store.nodesByGidBuckets(Set.empty)
+        else store.nodesByGidBuckets(buckets)
+          .filter(col("gid").isin(gids: _*)))
+    }
     // range / STARTS WITH hints (the Neo4j RANGE-index predicates):
     // candidate gids resolve from the CONTIGUOUS run of order-
     // preserving `sect=r` buckets the bounds map to, with the bound
@@ -1408,7 +1435,119 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             }
           }
       }
-    eqHits.orElse(rangeHits).map { hits =>
+    // COMPOSITE equality-prefix (+ optional trailing range) — Neo4j's
+    // composite range-index read shape: the escComp-framed sect=r
+    // tuple keys make an equality-bound prefix a CONTIGUOUS span, and
+    // a range hint on the NEXT component narrows it further. Every
+    // predicate stays residual (inline-prop equalities + the WHERE
+    // inequality), so the route is a superset narrowing.
+    val compositePrefixHits: Option[DataFrame] =
+      if (eqHits.isDefined || rangeHits.isDefined) None
+      else {
+        import graft.store.SearchIndexes.{escCompStr, rangeBucketOf}
+        def cmpK(a: String, b: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b))
+        // sortable encodings of the equality-bound props (the sect=r
+        // tuple components; the sect=p route's boundEncs are the
+        // equality encodings and do not apply here)
+        val sortEncs: Map[String, String] = n.props.flatMap { case (k, e) =>
+          val value: Option[Any] = e match {
+            case Lit(x) if x != null => Some(x)
+            case Param(p) => params.get(p)
+            case _ => None
+          }
+          value.flatMap(graft.store.SearchIndexes.encodeSortableValue)
+            .map(k -> _)
+        }.toMap
+        val trailingHint = n.variable.flatMap(pxRangeRoutes.get)
+        val candidates = store.indexDefs
+          .filter(ix => ix.kind == "property" && ix.label == label &&
+            ix.properties.size > 1 && store.searchIndexReady(ix) &&
+            store.pxRangeReady(ix))
+          .flatMap { d =>
+            val ps = d.properties
+            val bound = ps.takeWhile(sortEncs.contains)
+            // full equality is the sect=p tuple route's job
+            if (bound.isEmpty || bound.size == ps.size) None
+            else {
+              val tr = trailingHint.filter(_.prop == ps(bound.size))
+                .filter(_.prefix.isEmpty)
+              val prefixKey =
+                bound.map(p => escCompStr(sortEncs(p))).mkString
+              // component escape WITHOUT its terminator — bound keys
+              // extend the framed prefix mid-component
+              def escBody(s: String) = escCompStr(s).dropRight(1)
+              val loKey = tr.flatMap(_.lo)
+                .map(l => prefixKey + escBody(l)).getOrElse(prefixKey)
+              // every continuation of a v == hi key starts with the
+              // \u0000 terminator, so prefix+escBody(hi)+"\u0001"
+              // upper-bounds the span without successor construction
+              val hiKey = tr.flatMap(_.hi)
+                .map(h => prefixKey + escBody(h) + "\u0001")
+              val bLo = rangeBucketOf(d.boundaries, loKey)
+              val bHi = hiKey.map(rangeBucketOf(d.boundaries, _))
+                .getOrElse(d.boundaries.count(bd =>
+                  cmpK(bd, prefixKey) <= 0 || bd.startsWith(prefixKey)))
+              val nBuckets = d.boundaries.size + 1
+              val spanOk = nBuckets >= 4 &&
+                (bHi - bLo + 1).toDouble / nBuckets <= 0.5
+              if (!spanOk || bLo > bHi) None
+              else {
+                var f = store.readSearchIndex(d, k =>
+                  k.startsWith("sect=r/bucket=") && {
+                    val b = k.drop("sect=r/bucket=".length)
+                    b.nonEmpty && b.forall(_.isDigit) && {
+                      val i = b.toInt; i >= bLo && i <= bHi
+                    }
+                  })
+                  .filter(col("sect") === "r" &&
+                    col("val").startsWith(prefixKey) &&
+                    col("val") >= loKey)
+                hiKey.foreach(h => f = f.filter(col("val") <= h))
+                // longest bound prefix (then a trailing bound) wins
+                Some((bound.size * 2 + tr.size, f.select(col("gid"))))
+              }
+            }
+          }
+        candidates.sortBy(-_._1).headOption.map(_._2)
+      }
+    // CONTAINS / ENDS WITH (the Neo4j TEXT-index class): expand the
+    // needle against the vocabulary-sized sect=w value dictionary,
+    // then read exactly the matched values' sect=p buckets — the
+    // ftPrefixBuckets recipe pointed at property values. Capped at
+    // PxRouteCap matched values (past that the label scan wins); the
+    // predicate itself stayed in WHERE, so the route is a superset
+    // narrowing, never the semantics.
+    val substrHits: Option[DataFrame] =
+      if (eqHits.isDefined || rangeHits.isDefined) None
+      else n.variable.flatMap(pxSubstrRoutes.get).flatMap {
+        case (k, op, needle) =>
+          store.indexDefs.find(ix => ix.kind == "property" &&
+            ix.label == label && ix.property == k &&
+            !ix.property.contains(","))
+            .filter(store.searchIndexReady)
+            .filter(store.pxValueDictReady)
+            .flatMap { d =>
+              store.pxMatchingValues(d, op, needle, PxRouteCap)
+                .map { encs =>
+                  if (encs.isEmpty)
+                    store.readSearchIndex(d, _ => false)
+                      .select(col("gid"))
+                  else {
+                    val buckets = encs.map(store.bucketOfString).toSet
+                    store.readSearchIndex(d,
+                      k2 => buckets.exists(b => k2 == s"sect=p/bucket=$b"))
+                      .filter(col("sect") === "p" &&
+                        col("val").isin(encs: _*))
+                      .select(col("gid"))
+                  }
+                }
+            }
+      }
+    eqHits.orElse(rangeHits).orElse(compositePrefixHits)
+      .orElse(substrHits).map { hits =>
       val probe = hits.take(PxRouteCap + 1).map(_.getString(0)).toSeq
       if (probe.size <= PxRouteCap) {
         val buckets = probe.map(store.bucketOfString).toSet
@@ -1432,6 +1571,378 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * themselves stay in WHERE */
   private case class PxRange(prop: String, lo: Option[String],
       hi: Option[String], prefix: Option[String])
+
+  /** Statement-level index-ORDER hint (detected once per statement by
+    * [[detectOrderWalk]]) for the two Neo4j range-index read shapes
+    * the label-scan-plus-sort plan wastes most at scale:
+    *
+    *   MATCH (n:L) [WHERE <bounds on n.p>] RETURN …
+    *     ORDER BY n.p [DESC][, …] LIMIT k      (keyset pagination)
+    *   MATCH (n:L) [WHERE <bounds on n.p>] RETURN min(n.p) / max(n.p)
+    *
+    * The `sect=r` section already stores rows in key order (bucket =
+    * boundary position, files val-sorted), so [[orderWalkCandidates]]
+    * walks its buckets in that order with geometrically growing
+    * chunks and stops as soon as `need` rows PROVABLY satisfying the
+    * predicates have been seen. Equal keys always share a bucket, so
+    * the walked buckets are a value-prefix and the walked rows a
+    * SUPERSET of the true top-need; every predicate, the sort, and
+    * the limit stay in the plan on top — the walk narrows the files
+    * read, never the semantics.
+    *
+    * Survivors are counted on the slim px rows alone, which is why
+    * detection admits ONLY conjuncts on the sorted property (any
+    * other predicate keeps the normal plan). Counting is two-sided:
+    * candidate collection uses ulp-WIDENED bounds (superset-safe),
+    * the stop decision uses strict bounds that can only UNDERCOUNT
+    * (±0.0 canonicalized toward exclusion, NaN-region clamped) — so
+    * stopping early can never drop a qualifying row.
+    *
+    * Type regions guard order agreement: the engine sorts un-projected
+    * props type-aware (numbers before strings/booleans — pvOrderKey),
+    * so an ASC walk starts in the numeric region and, when bounds pin
+    * the survivor type, walks exactly the pinned region (DESC needs a
+    * pin: nodes MISSING the property sort first under DESC and are
+    * invisible to the index; min/max skip nulls so they only need a
+    * pin for the string side). `strOrder` marks a sort that resolves
+    * against the PROJECTED column — a canonical string, where "9" >
+    * "40" — which only a string-pinned walk can honor.
+    */
+  private case class PxWalk(
+      v: String, prop: String,
+      strOrder: Boolean,
+      dirs: Seq[(Boolean, Int)], // (ascending, rows needed)
+      numLo: Option[(Double, Boolean)], numHi: Option[(Double, Boolean)],
+      strLo: Option[(String, Boolean)], strHi: Option[(String, Boolean)],
+      prefix: Option[String])
+
+  private var pxOrderWalk: Option[PxWalk] = None
+
+  private def detectOrderWalk(q: Query): Option[PxWalk] = {
+    if (q.unions.nonEmpty || q.distinct) return None
+    val m = q.clauses match {
+      case Seq(mc: MatchClause) if !mc.optional => mc
+      case _ => return None
+    }
+    if (m.patterns.size != 1) return None
+    val pat = m.patterns.head
+    if (pat.hops.nonEmpty || pat.pathVar.nonEmpty || pat.shortest ||
+        pat.allShortest) return None
+    val n = pat.head
+    val v = n.variable match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (n.label.isEmpty || n.altLabels.nonEmpty || n.extraLabels.nonEmpty ||
+        n.props.nonEmpty || n.where.nonEmpty || n.dynLabel.nonEmpty)
+      return None
+    val modelCols = Set("gid", "label", "source")
+    def constOf(e: Expr): Option[Any] = e match {
+      case Lit(x) if x != null => Some(x)
+      case Param(p) => params.get(p)
+      case _ => None
+    }
+    // shape: top-k (ORDER BY n.p … LIMIT k) or min/max aggregate
+    val (prop, dirs, strOrder): (String, Seq[(Boolean, Int)], Boolean) =
+      if (q.orderBy.nonEmpty) {
+        if (q.limit.isEmpty) return None
+        if (q.items.exists(i => containsAgg(i.expr))) return None
+        val (p, asc) = q.orderBy.head match {
+          case (PropRef(`v`, p0), a) if !modelCols.contains(p0) => (p0, a)
+          case _ => return None
+        }
+        val need = try {
+          boundVal(q.limit.get, "LIMIT") +
+            q.skip.map(boundVal(_, "SKIP")).getOrElse(0L)
+        } catch { case _: Exception => return None }
+        if (need <= 0 || need > PxRouteCap) return None
+        val e0 = q.orderBy.head._1
+        val projected = q.items.exists(i =>
+          i.expr == e0 || i.alias.contains(Ast.Render.expr(e0)))
+        (p, Seq((asc, need.toInt)), projected)
+      } else {
+        if (q.limit.nonEmpty || q.skip.nonEmpty || q.items.isEmpty)
+          return None
+        // a scalar conversion around the aggregate (toFloat(min(n.p)))
+        // keeps the shape — it maps the aggregated value row-free
+        def unwrap(e: Expr): Expr = e match {
+          case FuncCall("tofloat" | "tointeger" | "tostring", Seq(x), _) => x
+          case x => x
+        }
+        val mm: Seq[(String, Boolean)] = q.items.map(i => unwrap(i.expr)).map {
+          case FuncCall("min", Seq(PropRef(`v`, p0)), _) => (p0, true)
+          case FuncCall("max", Seq(PropRef(`v`, p0)), _) => (p0, false)
+          case _ => return None
+        }
+        val p = mm.head._1
+        if (modelCols.contains(p) || !mm.forall(_._1 == p)) return None
+        (p, mm.map(x => (x._2, 1)).distinct, false)
+      }
+    // every WHERE conjunct must be a bound on n.<prop> the walk can
+    // count on the slim px rows — anything else keeps the normal plan
+    def cmpK(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    var numLo: Option[(Double, Boolean)] = None
+    var numHi: Option[(Double, Boolean)] = None
+    var strLo: Option[(String, Boolean)] = None
+    var strHi: Option[(String, Boolean)] = None
+    var prefix: Option[String] = None
+    // keep the TIGHTEST bound of each side (equal keys: exclusive wins)
+    def addNum(isLo: Boolean, x: Double, incl: Boolean): Unit =
+      if (isLo) numLo match {
+        case Some((y, yi)) if y > x || (y == x && !yi) => ()
+        case _ => numLo = Some((x, incl))
+      } else numHi match {
+        case Some((y, yi)) if y < x || (y == x && !yi) => ()
+        case _ => numHi = Some((x, incl))
+      }
+    def addStr(isLo: Boolean, s: String, incl: Boolean): Unit =
+      if (isLo) strLo match {
+        case Some((y, yi)) if cmpK(y, s) > 0 || (y == s && !yi) => ()
+        case _ => strLo = Some((s, incl))
+      } else strHi match {
+        case Some((y, yi)) if cmpK(y, s) < 0 || (y == s && !yi) => ()
+        case _ => strHi = Some((s, incl))
+      }
+    def addBound(isLo: Boolean, c: Any, incl: Boolean): Boolean = c match {
+      case s: String => addStr(isLo, s, incl); true
+      case x: Int => addNum(isLo, x.toDouble, incl); true
+      case x: Long => addNum(isLo, x.toDouble, incl); true
+      case x: Float => addNum(isLo, x.toDouble, incl); true
+      case x: Double => addNum(isLo, x, incl); true
+      case _ => false
+    }
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => List(x)
+    }
+    val rangeOps = Set(">", ">=", "<", "<=")
+    m.where.toSeq.flatMap(conjuncts).foreach {
+      case Cmp(op, PropRef(`v`, p), rhs) if p == prop && rangeOps(op) =>
+        val c = constOf(rhs) match {
+          case Some(x) => x
+          case None => return None
+        }
+        val isLo = op == ">" || op == ">="
+        if (!addBound(isLo, c, op.endsWith("="))) return None
+      case Cmp(op, lhs, PropRef(`v`, p)) if p == prop && rangeOps(op) =>
+        val c = constOf(lhs) match {
+          case Some(x) => x
+          case None => return None
+        }
+        val isLo = op == "<" || op == "<=" // const < n.p ⇒ n.p > const
+        if (!addBound(isLo, c, op.endsWith("="))) return None
+      case StrPred("startswith", PropRef(`v`, p), rhs) if p == prop =>
+        constOf(rhs) match {
+          case Some(s: String) if s.nonEmpty =>
+            prefix = prefix match {
+              case Some(p0) if s.startsWith(p0) => Some(s)
+              case Some(p0) if p0.startsWith(s) => Some(p0)
+              case Some(_) => return None // disjoint prefixes
+              case None => Some(s)
+            }
+          case _ => return None
+        }
+      case IsNull(PropRef(`v`, p), true) if p == prop =>
+        () // IS NOT NULL: every index row is non-null by construction
+      case _ => return None
+    }
+    // bounds of both families cannot pin one region — keep the scan
+    if ((numLo.nonEmpty || numHi.nonEmpty) &&
+        (strLo.nonEmpty || strHi.nonEmpty || prefix.nonEmpty)) return None
+    if ((numLo.toSeq ++ numHi.toSeq).exists(_._1.isNaN)) return None
+    Some(PxWalk(v, prop, strOrder, dirs, numLo, numHi, strLo, strHi,
+      prefix))
+  }
+
+  /** Execute the walk(s) a [[PxWalk]] hint asks for against index `d`:
+    * candidate gids whose node rows provably contain the statement's
+    * top-`need` (per direction), or None when the walk cannot
+    * guarantee completeness (un-pinned DESC, a region exhausted below
+    * `need` without a pin, more than [[PxWalkCap]] candidates) — the
+    * caller then keeps the ordinary plan.
+    */
+  private def orderWalkCandidates(d: graft.store.IndexDef,
+      w: PxWalk): Option[Seq[String]] = {
+    val pin: Option[String] =
+      if (w.numLo.isDefined || w.numHi.isDefined) Some("n")
+      else if (w.strLo.isDefined || w.strHi.isDefined ||
+        w.prefix.isDefined) Some("s")
+      else None
+    val parts = w.dirs.map { case (asc, need) =>
+      val region = pin match {
+        case Some(r) => r
+        case None if asc => "n" // numbers sort first; bail if too few
+        case None => return None // DESC un-pinned: nulls sort first
+      }
+      if (w.strOrder && region != "s") return None
+      walkRegion(d, region, asc, need, w, complete = pin.isDefined) match {
+        case Some(gids) => gids
+        case None => return None
+      }
+    }
+    Some(parts.flatten.distinct)
+  }
+
+  /** candidate cap of one region walk — past it the walk stops paying
+    * for itself and the single-pass label scan wins */
+  private val PxWalkCap = 4096
+
+  /** walk one type region of `d`'s sect=r section in key order; see
+    * [[PxWalk]] for the superset/undercount argument. `complete`:
+    * bounds pin every survivor into this region, so exhausting it
+    * yields a complete candidate set even below `need`. */
+  private def walkRegion(d: graft.store.IndexDef, region: String,
+      asc: Boolean, need: Int, w: PxWalk,
+      complete: Boolean): Option[Seq[String]] = {
+    import graft.store.SearchIndexes.{encodeSortableValue, rangeBucketOf}
+    def encN(x: Double): String = encodeSortableValue(x).get
+    def cmpK(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def maxK(a: String, b: String) = if (cmpK(a, b) >= 0) a else b
+    def minK(a: String, b: String) = if (cmpK(a, b) <= 0) a else b
+    // region membership is a key-prefix test; loKey/hiKey bound the
+    // bucket span (hiKey via the ceil trick: hex digits stop at 'G',
+    // strings at the ':'-successor ';')
+    val wideC = Seq.newBuilder[Column]
+    val strictC = Seq.newBuilder[Column]
+    wideC += col("val").startsWith(region + ":")
+    var loKey = region + ":"
+    var hiKey = if (region == "n") "n:G" else "s;"
+    if (region == "n") {
+      // strict counting stays inside the finite-number span: total-
+      // order bits place NaN above +Inf and -NaN below -Inf, and a
+      // stored NaN never satisfies a numeric residual
+      strictC += col("val") >= lit(encN(Double.NegativeInfinity))
+      strictC += col("val") <= lit(encN(Double.PositiveInfinity))
+      def neg0(x: Double) = if (x == 0.0) -0.0 else x
+      def pos0(x: Double) = if (x == 0.0) 0.0 else x
+      w.numLo.foreach { case (x, incl) =>
+        val wk = encN(math.nextDown(x))
+        wideC += col("val") >= lit(wk)
+        loKey = maxK(loKey, wk)
+        strictC += (if (incl) col("val") >= lit(encN(neg0(x)))
+                    else col("val") > lit(encN(pos0(x))))
+      }
+      w.numHi.foreach { case (x, incl) =>
+        val wk = encN(math.nextUp(x))
+        wideC += col("val") <= lit(wk)
+        hiKey = minK(hiKey, wk)
+        strictC += (if (incl) col("val") <= lit(encN(pos0(x)))
+                    else col("val") < lit(encN(neg0(x))))
+      }
+    } else {
+      // string bounds are exact in the encoding — wide = strict
+      w.strLo.foreach { case (s, incl) =>
+        val k = "s:" + s
+        val c = if (incl) col("val") >= lit(k) else col("val") > lit(k)
+        wideC += c; strictC += c
+        loKey = maxK(loKey, k)
+      }
+      w.strHi.foreach { case (s, incl) =>
+        val k = "s:" + s
+        val c = if (incl) col("val") <= lit(k) else col("val") < lit(k)
+        wideC += c; strictC += c
+        hiKey = minK(hiKey, k)
+      }
+      w.prefix.foreach { p =>
+        val c = col("val").startsWith("s:" + p)
+        wideC += c; strictC += c
+        loKey = maxK(loKey, "s:" + p)
+      }
+    }
+    if (cmpK(loKey, hiKey) > 0) return Some(Nil) // empty span
+    val bLo = rangeBucketOf(d.boundaries, loKey)
+    var bHi = rangeBucketOf(d.boundaries, hiKey)
+    w.prefix.foreach { p =>
+      // the prefix's own span ceiling (pxPrefixKeys' formula — no
+      // successor-string construction)
+      val lo = "s:" + p
+      val pHi = d.boundaries.count(bd =>
+        cmpK(bd, lo) <= 0 || bd.startsWith(lo))
+      bHi = math.min(bHi, pHi)
+    }
+    if (bLo > bHi) return Some(Nil)
+    val wide = wideC.result().reduce(_ && _)
+    val strict = (strictC.result() :+ wide).reduce(_ && _)
+    val order =
+      if (asc) (bLo to bHi).toVector else (bLo to bHi).toVector.reverse
+    var cnt = 0
+    val cands = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var chunk = 1
+    while (i < order.size && cnt < need) {
+      val bs = order.slice(i, i + chunk)
+        .map(b => s"sect=r/bucket=$b").toSet
+      // ordered + limited chunk read (TakeOrderedAndProject over the
+      // val-sorted files): a bucket holds ~rows/buckets entries — far
+      // more than `need` at scale — so only the needed value-prefix
+      // of the chunk pulls to the driver. Equal keys always share a
+      // bucket, so a tie run never spans chunks; a tie run (or a
+      // sliver of wide-but-not-strict rows) that spills past the
+      // fetch horizon refetches this same chunk with a wider one.
+      var fetch = math.min(math.max(256, (need - cnt) * 4),
+        PxWalkCap + 1 - cands.size)
+      var done = false
+      while (!done) {
+        if (fetch <= 0) return None
+        val base = store.readSearchIndex(d, bs.contains)
+          .filter(col("sect") === "r" && wide)
+          .select(col("gid"), strict.as("ok"), col("val"))
+        val rows = (if (asc) base.orderBy(col("val").asc)
+                    else base.orderBy(col("val").desc)).take(fetch)
+        // position of the need-th strict survivor in this chunk
+        var c = cnt
+        var stopIdx = -1
+        var j = 0
+        while (j < rows.length && stopIdx < 0) {
+          if (!rows(j).isNullAt(1) && rows(j).getBoolean(1)) {
+            c += 1
+            if (c >= need) stopIdx = j
+          }
+          j += 1
+        }
+        val capLeft = PxWalkCap + 1 - cands.size
+        if (stopIdx >= 0) {
+          val stopVal = rows(stopIdx).getString(2)
+          val truncatedTies = rows.length == fetch &&
+            rows.last.getString(2) == stopVal
+          if (truncatedTies && fetch >= capLeft) return None
+          else if (truncatedTies) fetch = math.min(fetch * 4, capLeft)
+          else {
+            // take everything up to the LAST tie of the stop value —
+            // ties at the boundary must all become candidates
+            var k = 0
+            var taking = true
+            while (k < rows.length && taking) {
+              val r = rows(k)
+              val c2 = cmpK(r.getString(2), stopVal)
+              if (if (asc) c2 <= 0 else c2 >= 0) {
+                cands += r.getString(0)
+                if (!r.isNullAt(1) && r.getBoolean(1)) cnt += 1
+              } else taking = false
+              k += 1
+            }
+            done = true
+          }
+        } else if (rows.length < fetch) {
+          // chunk exhausted below the target — take all, move on
+          rows.foreach { r =>
+            cands += r.getString(0)
+            if (!r.isNullAt(1) && r.getBoolean(1)) cnt += 1
+          }
+          done = true
+        } else if (fetch >= capLeft) {
+          return None // wide candidates overflow the walk cap
+        } else fetch = math.min(fetch * 4, capLeft)
+      }
+      i += chunk
+      chunk = math.min(chunk * 2, 64)
+    }
+    if (cnt >= need || complete) Some(cands.toSeq) else None
+  }
 
   /** `v:l` label MEMBERSHIP (primary or secondary). When `l` was
     * never used as a secondary label anywhere in the store (tracked
@@ -1790,8 +2301,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         pxRangeRoutes.get(v).forall(_.prop == k) &&
         nodesByVar.get(v).exists { n =>
           n.label.isDefined && n.altLabels.isEmpty &&
+            // a single-prop index on k, or a composite whose key set
+            // contains k (the hint then serves the equality-prefix +
+            // trailing-range span route)
             store.indexDefs.exists(ix => ix.kind == "property" &&
-              ix.label == n.label.get && ix.property == k &&
+              ix.label == n.label.get && ix.properties.contains(k) &&
               store.searchIndexReady(ix))
         }
     def cmpKeys(a: String, b: String): Int =
@@ -1806,8 +2320,119 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .filter(cmpKeys(_, key) <= 0).getOrElse(key)))
       pxRangeRoutes += v -> nxt
     }
+    // spatial predicates decompose into per-coordinate bounds (the
+    // point-index route): `point.withinBBox(point({x: n.a, y: n.b}),
+    // lo, hi)` pins n.a to [lo.x, hi.x] (and n.b likewise);
+    // `point.distance(p, c) <= r` pins a covering band around c. The
+    // predicate itself STAYS in WHERE — the bounds only feed the
+    // sect=r span route, so the narrowing is a superset and residuals
+    // keep exactness (including the cross-coordinate and exact-circle
+    // parts the band over-approximates).
+    def pointCoords(e: Expr): Option[(String, String, String)] = e match {
+      case FuncCall("point", Seq(MapLit(es)), _) if es.size == 2 =>
+        val m = es.map { case (k, x) => k.toLowerCase -> x }.toMap
+        def pr(k1: String, k2: String) = (m.get(k1), m.get(k2)) match {
+          case (Some(PropRef(v1, a)), Some(PropRef(v2, b)))
+              if v1 == v2 => Some((v1, a, b))
+          case _ => None
+        }
+        pr("x", "y").orElse(pr("longitude", "latitude"))
+      case _ => None
+    }
+    def constNum(e: Expr): Option[Double] = (e match {
+      case Lit(x) => Some(x)
+      case Param(p) => params.get(p)
+      case _ => None
+    }).collect {
+      case x: Int => x.toDouble
+      case x: Long => x.toDouble
+      case x: Float => x.toDouble
+      case x: Double => x
+    }
+    def constPoint(e: Expr): Option[(Double, Double, Boolean)] = e match {
+      case FuncCall("point", Seq(MapLit(es)), _) if es.size == 2 =>
+        val m = es.map { case (k, x) => k.toLowerCase -> x }.toMap
+        def pt(k1: String, k2: String, wgs: Boolean) = for {
+          a <- m.get(k1).flatMap(constNum)
+          b <- m.get(k2).flatMap(constNum)
+        } yield (a, b, wgs)
+        pt("x", "y", wgs = false)
+          .orElse(pt("longitude", "latitude", wgs = true))
+      case _ => None
+    }
+    def addCoordBand(v: String, pairs: Seq[(String, Double, Double)])
+        : Unit =
+      // route on the first coordinate with a usable range index —
+      // the other coordinate stays residual-only
+      pairs.find { case (k, _, _) => rangeRoutable(v, k) }.foreach {
+        case (k, lo, hi) if !lo.isNaN && !hi.isNaN =>
+          graft.store.SearchIndexes
+            .encodeSortableValue(math.nextDown(lo))
+            .foreach(addBound(v, k, isLo = true, _))
+          graft.store.SearchIndexes
+            .encodeSortableValue(math.nextUp(hi))
+            .foreach(addBound(v, k, isLo = false, _))
+        case _ => ()
+      }
     val rangeOps = Set(">", ">=", "<", "<=")
     conjs(wh).foreach {
+      case FuncCall("point.withinbbox", Seq(pe, loE, hiE), _) =>
+        for {
+          (v, ax, ay) <- pointCoords(pe)
+          (lx, ly, _) <- constPoint(loE)
+          (hx, hy, _) <- constPoint(hiE)
+        } addCoordBand(v, Seq((ax, lx, hx), (ay, ly, hy)))
+      case Cmp(op, FuncCall("point.distance" | "distance",
+          Seq(aE, bE), _), rhs) if op == "<" || op == "<=" =>
+        for {
+          r <- constNum(rhs)
+          if r >= 0 && !r.isNaN
+          (pe, ce) <- (pointCoords(aE), constPoint(bE)) match {
+            case (Some(_), Some(_)) => Some((aE, bE))
+            case _ => (pointCoords(bE), constPoint(aE)) match {
+              case (Some(_), Some(_)) => Some((bE, aE))
+              case _ => None
+            }
+          }
+          (v, ax, ay) <- pointCoords(pe)
+          (cx, cy, wgs) <- constPoint(ce)
+        } {
+          if (!wgs)
+            addCoordBand(v, Seq((ax, cx - r, cx + r), (ay, cy - r, cy + r)))
+          else {
+            // meters → a LATITUDE band (longitude scaling varies with
+            // latitude; the lat band alone is still a superset)
+            val dDeg = r / 6371000.0 * 180.0 / math.Pi
+            addCoordBand(v, Seq((ay, cy - dDeg, cy + dDeg)))
+          }
+        }
+      case Cmp(op, lhs, f @ FuncCall("point.distance" | "distance",
+          _, _)) if op == ">" || op == ">=" =>
+        // `r >= point.distance(…)` — same band, flipped comparison
+        for {
+          r <- constNum(lhs)
+          if r >= 0 && !r.isNaN
+          (pe, ce) <- f match {
+            case FuncCall(_, Seq(aE, bE), _) =>
+              (pointCoords(aE), constPoint(bE)) match {
+                case (Some(_), Some(_)) => Some((aE, bE))
+                case _ => (pointCoords(bE), constPoint(aE)) match {
+                  case (Some(_), Some(_)) => Some((bE, aE))
+                  case _ => None
+                }
+              }
+            case _ => None
+          }
+          (v, ax, ay) <- pointCoords(pe)
+          (cx, cy, wgs) <- constPoint(ce)
+        } {
+          if (!wgs)
+            addCoordBand(v, Seq((ax, cx - r, cx + r), (ay, cy - r, cy + r)))
+          else {
+            val dDeg = r / 6371000.0 * 180.0 / math.Pi
+            addCoordBand(v, Seq((ay, cy - dDeg, cy + dDeg)))
+          }
+        }
       case Cmp(op, PropRef(v, k), rhs)
           if rangeOps(op) && rangeRoutable(v, k) =>
         val isLo = op == ">" || op == ">="
@@ -1828,6 +2453,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           val cur = pxRangeRoutes.getOrElse(v, PxRange(k, None, None, None))
           if (cur.prefix.isEmpty)
             pxRangeRoutes += v -> cur.copy(prefix = Some(p))
+        }
+      // CONTAINS / ENDS WITH (the Neo4j TEXT-index predicates): the
+      // hint expands against the value dictionary in propIndexedBase;
+      // the predicate itself stays in WHERE as the correctness filter
+      case StrPred(op @ ("contains" | "endswith"), PropRef(v, k), rhs)
+          if rangeRoutable(v, k) && !pxSubstrRoutes.contains(v) =>
+        (rhs match {
+          case Lit(s: String) => Some(s)
+          case Param(p) => params.get(p).collect { case s: String => s }
+          case _ => None
+        }).filter(_.nonEmpty).foreach { t =>
+          pxSubstrRoutes += v -> ((k, op, t))
         }
       case _ => ()
     }
@@ -1859,11 +2496,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * bounds) feeding [[propIndexedBase]]'s sect=r route */
   private var pxRangeRoutes: Map[String, PxRange] = Map.empty
 
+  /** clause-local CONTAINS / ENDS WITH hints (var → (prop, op,
+    * needle)) feeding [[propIndexedBase]]'s sect=w dictionary
+    * expansion; the predicate itself stays in WHERE */
+  private var pxSubstrRoutes: Map[String, (String, String, String)] =
+    Map.empty
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
     val savedPx = pxInRoutes
     val savedPxR = pxRangeRoutes
+    val savedPxS = pxSubstrRoutes
     pxInRoutes = Map.empty
     pxRangeRoutes = Map.empty
+    pxSubstrRoutes = Map.empty
     val m = foldNodePropEqs(foldRelProps(m0))
     // save/restore the uniqueness scope: subquery bodies (pattern
     // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
@@ -1973,6 +2618,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     m.where.foreach(applyWhere)
     pxInRoutes = savedPx
     pxRangeRoutes = savedPxR
+    pxSubstrRoutes = savedPxS
   }
 
   /** WHERE application shared by MATCH and post-WITH filters: pattern
@@ -3789,7 +4435,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     sealed trait Atom
     case class ATerm(t: String) extends Atom
     case class APrefix(p: String) extends Atom
-    case class APhrase(ts: Seq[String]) extends Atom
+    // slop 0 = exact phrase; >0 = Lucene proximity window over the
+    // POSITIONAL postings (adjusted positions within `slop`)
+    case class APhrase(ts: Seq[String], slop: Int) extends Atom
     // field-scoped leaves (`title:spark`): candidates come from the
     // shared posting contributions (the index stores the fields'
     // CONCATENATED text), then post-verify against the named field's
@@ -3818,16 +4466,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       if (pos) positive += i
       NLeaf(i)
     }
-    def tokensAtom(text: String, what: String, pos: Boolean): N =
+    def tokensAtom(text: String, what: String, pos: Boolean,
+        slop: Int = 0): N =
       SearchIndexes.analyze(text, analyzer) match {
         case Seq() => throw PlanError(
           s"$what '$text' analyzes to no tokens under $analyzer")
         case Seq(one) => intern(ATerm(one), pos)
-        case many => intern(APhrase(many), pos)
+        case many => intern(APhrase(many, slop), pos)
       }
     def conv(qq: FQ.Q, pos: Boolean): N = qq match {
       case FQ.Term(t) => tokensAtom(t, "query term", pos)
       case FQ.Phrase(p) => tokensAtom(p, "phrase", pos)
+      case FQ.Sloppy(p, n) => tokensAtom(p, "phrase", pos, slop = n)
       case FQ.Prefix(p) => SearchIndexes.analyze(p, analyzer) match {
         case Seq(one) => intern(APrefix(one), pos)
         case other => throw PlanError(
@@ -3882,7 +4532,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
     val allTerms = atoms.flatMap {
       case ATerm(t) => Seq(t)
-      case APhrase(ts) => ts
+      case APhrase(ts, _) => ts
       case AFTerm(_, t) => Seq(t)
       case AFPhrase(_, ts) => ts
       case APrefix(_) | AFPrefix(_, _) | AFuzzy(_, _) => Nil
@@ -3954,7 +4604,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         (col("tf").cast("double") +
           lit(1.2) * (lit(0.25) + lit(0.75) *
             (col("dl").cast("double") / col("avgdl")))))
-      .select(col("term"), col("gid"), col("contrib"))
+      .select(col("term"), col("gid"), col("contrib"), col("pos"))
     // multi-atom trees re-read the postings once per leaf otherwise;
     // the checkpoint caps that at one pipeline evaluation. Index-
     // backed reads only — the overlay fallback may be a folded local
@@ -3963,6 +4613,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       if (atoms.size > 1 && store.searchIndexReady(d))
         contrib0.localCheckpoint()
       else contrib0
+
+    // positional postings available? (the sect=q marker — a table
+    // built before positions existed keeps the stored-text fallback,
+    // and slop REQUIRES positions). The unindexed overlay fallback
+    // tokenizes fresh, so positions are always present there.
+    val posReady =
+      if (store.searchIndexReady(d)) store.ftPositionsReady(d)
+      else SearchIndexes.positionsEnabled
 
     def isPureOr(n: N): Boolean = n match {
       case NLeaf(_) => true
@@ -4063,7 +4721,37 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           toks => exists(toks, x => x.startsWith(p)))
       case AFPhrase(f, ts) =>
         fieldVerified(f, phraseCand(ts), phraseOk(ts))
-      case APhrase(ts) =>
+      case APhrase(ts, slop) if posReady =>
+        // pure index read: candidates AND phrase/slop verification
+        // both come from the POSITIONAL postings — the stored text is
+        // never touched (Lucene's positional evaluation)
+        val dts = ts.distinct
+        val cand = contrib.filter(col("term").isin(dts: _*))
+          .groupBy(col("gid"))
+          .agg(count_distinct(col("term")).as("nt"),
+            sum(col("contrib")).as("s"),
+            map_from_entries(
+              collect_list(struct(col("term"), col("pos")))).as("pm"))
+          .filter(col("nt") === dts.size)
+        // adjusted position sets A_i = pos(t_i) − i: slop 0 matches
+        // on a common adjusted position (contiguity); slop n on a
+        // width-n window, anchored at some adjusted position, that
+        // intersects every A_i (Lucene proximity — a reversed bigram
+        // needs slop 2, as in Lucene)
+        val as = ts.zipWithIndex.map { case (t, i) =>
+          transform(element_at(col("pm"), lit(t)), x => x - i) }
+        val okPos =
+          if (slop == 0)
+            size(as.reduce((a, b) => array_intersect(a, b))) > 0
+          else exists(flatten(array(as: _*)), a =>
+            as.map(ai => exists(ai, x => x >= a && x <= a + slop))
+              .reduce(_ && _))
+        cand.filter(okPos).select(col("gid"), col("s"))
+      case APhrase(ts, slop) =>
+        if (slop > 0) throw PlanError(
+          s"phrase slop needs positional postings; index ${d.name} " +
+            "was built before positions existed — rebuild it " +
+            "(DROP + CREATE, or compact())")
         val k = ts.size
         val cand = phraseCand(ts)
         // contiguity post-verify on the stored text, candidates only.
@@ -4511,10 +5199,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         noArgs()
         val declared = store.indexDefs.filter(_.constraint.nonEmpty)
           .sortBy(_.name).map { d =>
-            (d.name,
-              if (d.constraint == "unique") "UNIQUENESS"
-              else "NODE_PROPERTY_EXISTENCE",
-              "NODE", d.label, d.property)
+            val typ = d.constraint match {
+              case "unique" => "UNIQUENESS"
+              case "nodekey" => "NODE_KEY"
+              case _ if d.entity == "RELATIONSHIP" =>
+                "RELATIONSHIP_PROPERTY_EXISTENCE"
+              case _ => "NODE_PROPERTY_EXISTENCE"
+            }
+            (d.name, typ, d.entity, d.label, d.property)
           }
         val rows = Seq(
           ("node_gid_unique", "UNIQUENESS", "NODE", "*", "gid"),
@@ -4675,7 +5367,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
       aggItems.foreach { i =>
         val out = i.name
-        postAggs += aggCol(i.expr).as(s"${out}__value")
+        aggProjection = true
+        try postAggs += aggCol(i.expr).as(s"${out}__value")
+        finally aggProjection = false
         newEnv += out -> ValueVar(s"${out}__value")
       }
       val aggs = postAggs.result()
@@ -4765,7 +5459,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case other => Seq(valueCol(other).as(i.name))
         }
       }
-      val aggCols = aggItems.map(i => aggCol(i.expr).as(i.name)) ++
+      val aggCols = aggItems.map { i =>
+        aggProjection = true
+        try aggCol(i.expr).as(i.name) finally aggProjection = false
+      } ++
         keyItems.flatMap { i =>
           i.expr match {
             case VarRef(n) if env.get(n).contains(NodeVar) =>
@@ -6439,8 +7136,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         }
       }
     case StrPred(op, l, r) =>
+      // a dynamic property tests through its strict `s` slot: Neo4j's
+      // STARTS WITH / CONTAINS / ENDS WITH / =~ are null on
+      // non-strings — a numeric property's "9000.0" rendering must
+      // not match `STARTS WITH '9'` (and the strict slot is what lets
+      // the sect=r prefix route prune to string-region buckets only)
       def strSide(e: Ast.Expr): Column = e match {
-        case p: PropRef => typedProp(p, "s").getOrElse(valueCol(p))
+        case p: PropRef if aggProjection =>
+          typedProp(p, "s").getOrElse(valueCol(e))
+        case p: PropRef => pvOf(p).map(_.getField("s"))
+          .getOrElse(valueCol(e))
         case _ => valueCol(e)
       }
       val (lc, rc) = (strSide(l), strSide(r))
@@ -6539,8 +7244,27 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case Some(v) => Some(v)
   }
 
+  /** the compared column of a dynamic property against a typed
+    * literal/param. The STRING case reads the strict `s` slot (not the
+    * canonical rendering): Cypher compares values of different
+    * families as null (ordering) / false (equality), so a numeric
+    * property must NOT match or order against a string bound via its
+    * "9000.0" rendering — which also makes a string bound a true
+    * s:-region pin for the sect=r index route (a routed and an
+    * unrouted plan agree by construction), and matches the strict-slot
+    * semantics the inline-prop path (propCmp) and the px equality
+    * encoding already had. */
+  /** true while lowering an AGGREGATED projection item: there, a
+    * property reference must structurally contain the group key (the
+    * canonical rendering) for Catalyst's grouping check — and group
+    * keys ARE renderings, so the rendering form is the semantics of
+    * that context anyway */
+  private var aggProjection: Boolean = false
+
   private def typedSide(p: Ast.PropRef, litVal: Any): Column = litVal match {
-    case _: String => typedProp(p, "s").getOrElse(valueCol(p))
+    case _: String if aggProjection =>
+      typedProp(p, "s").getOrElse(valueCol(p))
+    case _: String => pvOf(p).map(_.getField("s")).getOrElse(valueCol(p))
     case _: Long | _: Double =>
       typedProp(p, "d").getOrElse(valueCol(p).cast("double"))
     case _: Boolean => typedProp(p, "b").getOrElse(valueCol(p))
@@ -6857,6 +7581,28 @@ object CypherEngine {
         """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
         """\s+REQUIRE\s+\(?\s*\w+\.(\w+)\s*\)?""" +
         """\s+IS\s+NOT\s+NULL\s*$""").r
+    // NODE KEY = composite UNIQUE + NOT NULL on every component
+    // (Neo4j's definition) — one def enforcing both at commit, whose
+    // px table doubles as a composite lookup/range route
+    val NodeKeyRe =
+      ("""(?is)^CREATE\s+CONSTRAINT""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s+REQUIRE\s+\(?\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\)?""" +
+        """\s+IS\s+NODE\s+KEY\s*$""").r
+    // relationship-property existence — `FOR ()-[r:T]-()`; the edge
+    // model carries exactly `source` (the reference's bare refs), so
+    // other properties get a targeted rejection at creation
+    val RelExistsRe =
+      ("""(?is)^CREATE\s+CONSTRAINT""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\)\s*[<]?-\s*\[\s*\w*\s*:\s*(\w+)\s*\]\s*-[>]?\s*\(\s*\)""" +
+        """\s+REQUIRE\s+\(?\s*\w+\.(\w+)\s*\)?""" +
+        """\s+IS\s+NOT\s+NULL\s*$""").r
+    val RelUniqueRe =
+      ("""(?is)^CREATE\s+CONSTRAINT.*""" +
+        """FOR\s*\(\s*\)\s*[<]?-\s*\[.*\]\s*-[>]?\s*\(\s*\).*""" +
+        """IS\s+(?:UNIQUE|RELATIONSHIP\s+KEY)\s*$""").r
     val DropConstraintRe =
       """(?is)^DROP\s+CONSTRAINT\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     def createConstraint(name: String, ifNotExists: Boolean,
@@ -6868,11 +7614,47 @@ object CypherEngine {
             "(use IF NOT EXISTS)")
       }
       store.buildConstraint(d)
-      val what = if (d.constraint == "unique") "uniqueness" else "existence"
+      val what = d.constraint match {
+        case "unique" => "uniqueness"
+        case "nodekey" => "node key"
+        case _ if d.entity == "RELATIONSHIP" => "relationship existence"
+        case _ => "existence"
+      }
       ddlAck(s"created $what constraint $name on " +
-        s":${d.label}(${d.property})")
+        s"${if (d.entity == "RELATIONSHIP") "()-[:" + d.label + "]-()"
+          else ":" + d.label}(${d.property})")
     }
     trimmed match {
+      case NodeKeyRe(name0, ine, label, propList) =>
+        val props = propList.split(",")
+          .map(_.trim.split("\\.", 2)(1)).toSeq
+        if (props.contains("gid"))
+          return ddlAck("gid is the intrinsic node key of the store model")
+        val name = Option(name0)
+          .getOrElse(s"constraint_${label}_${props.mkString("_")}_key")
+        return createConstraint(name, ine != null, graft.store.IndexDef(
+          name, "property", label, props.mkString(","),
+          constraint = "nodekey"))
+      case RelExistsRe(name0, ine, relType, prop) =>
+        if (prop == "type" || prop == "relType")
+          return ddlAck(
+            "relationship type existence is intrinsic to the edge model")
+        if (prop != "source")
+          throw new IllegalArgumentException(
+            s"relationship constraints cover r.source — the edge model " +
+              s"carries exactly (source, type) per the reference's " +
+              s"templates; got r.$prop")
+        val name = Option(name0)
+          .getOrElse(s"constraint_rel_${relType}_$prop")
+        return createConstraint(name, ine != null, graft.store.IndexDef(
+          name, "constraint", relType, prop, constraint = "exists",
+          entity = "RELATIONSHIP"))
+      case RelUniqueRe() =>
+        throw new IllegalArgumentException(
+          "relationship uniqueness / key constraints are not supported: " +
+            "the store dedups edges on (src, relType, dst) by " +
+            "construction (the reference's MERGE template), and edges " +
+            "carry no other identity-bearing properties")
       case UniqueConstraintRe(name0, ine, label, propList) =>
         val props = propList.split(",")
           .map(_.trim.split("\\.", 2)(1)).toSeq
@@ -6904,8 +7686,8 @@ object CypherEngine {
         "unsupported CREATE CONSTRAINT form; supported: CREATE " +
           "CONSTRAINT <name> [IF NOT EXISTS] FOR (n:Label) REQUIRE " +
           "n.prop IS UNIQUE | (n.a, n.b) IS UNIQUE | n.prop IS NOT " +
-          "NULL (NODE KEY and relationship constraints are not " +
-          "supported)")
+          "NULL | (n.a, n.b) IS NODE KEY, and FOR ()-[r:T]-() " +
+          "REQUIRE r.source IS NOT NULL")
     }
     val upper = trimmed.toUpperCase
     if (upper.startsWith("EXPLAIN") || upper.startsWith("PROFILE")) {

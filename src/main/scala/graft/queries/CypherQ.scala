@@ -780,6 +780,133 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // Point predicates through the range index (the Neo4j POINT-index
+    // class): withinBBox decomposes into per-coordinate bounds and
+    // distance<=r into a covering band, both feeding the sect=r span
+    // route on the indexed coordinate — the label partition is never
+    // scanned, and the spatial predicate stays residual (the exact
+    // circle / the other coordinate apply on the routed candidates).
+    "cypher_point_index" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer)
+           WHERE point.withinBBox(point({x: c.x, y: c.y}),
+             point({x: 10.0, y: 20.0}), point({x: 25.0, y: 40.0}))
+           RETURN c.gid AS gid, toFloat(c.x) AS x, toFloat(c.y) AS y
+           UNION ALL
+           MATCH (c:Customer)
+           WHERE point.distance(point({x: c.x, y: c.y}),
+             point({x: 50.0, y: 50.0})) <= 5.0
+           RETURN c.gid AS gid, toFloat(c.x) AS x, toFloat(c.y) AS y""")
+        .orderBy($"gid", $"x")
+    }),
+
+    // NODE KEY + relationship-existence constraints end-to-end: a
+    // PRIVATE store declares both, violating writes are vetoed at
+    // commit (duplicate tuple, missing component, source-less edge —
+    // each leaves the store untouched), valid writes land, and the
+    // read routes through the node key's backing composite index.
+    // The oracle replays the surviving state from the parquet source.
+    "cypher_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val store = constraintStore(s, dir)
+      CypherEngine.query(store,
+        """MATCH (c:Customer)
+           WHERE c.nation = 5 AND c.name >= 'Customer#000000'
+             AND c.name <= 'Customer#000001'
+           RETURN c.gid AS gid, c.name AS name""")
+        .orderBy($"gid")
+    }),
+
+    // COMPOSITE equality-prefix routing (Neo4j's composite range-index
+    // shape): the escComp-framed sect=r tuple keys make an
+    // equality-bound prefix a contiguous span — first branch adds a
+    // range on the NEXT component (string bounds), second routes on
+    // the equality prefix alone; both keep every predicate residual.
+    "cypher_prop_index_comp_range" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer)
+           WHERE c.nation = 5 AND c.segment >= 'B' AND c.segment <= 'F'
+           RETURN c.gid AS gid, c.name AS name
+           UNION ALL
+           MATCH (c:Customer {nation: 7})
+           RETURN c.gid AS gid, c.name AS name""")
+        .orderBy($"gid")
+    }),
+
+    // CONTAINS through the property index (Neo4j's TEXT-index class):
+    // the needle expands against the vocabulary-sized sect=w value
+    // dictionary, then candidate gids resolve from EXACTLY the
+    // matched values' sect=p equality buckets — never a label scan;
+    // the predicate stays residual.
+    "cypher_prop_index_contains" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.name CONTAINS '0000003'
+           RETURN c.gid AS gid, c.name AS name""")
+        .orderBy($"gid")
+    }),
+
+    // ENDS WITH through the same dictionary (suffix match over the
+    // stored vocabulary — no reversed-key twin section needed)
+    "cypher_prop_index_suffix" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.name ENDS WITH $sfx
+           RETURN c.gid AS gid, c.name AS name""",
+        Map("sfx" -> "042"))
+        .orderBy($"gid")
+    }),
+
+    // Index-ORDERED top-k (the keyset-pagination read Neo4j serves
+    // straight off its range index): ORDER BY c.acctbal LIMIT k walks
+    // the value-sorted sect=r buckets in key order and stops once k
+    // provable survivors are seen — candidate node rows resolve from
+    // their gid buckets, the label partition is never scanned, and
+    // the sort/limit stay in the plan on top (the route narrows the
+    // files read, never the result).
+    "cypher_index_order" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer)
+           RETURN c.gid AS gid, c.name AS name,
+                  toFloat(c.acctbal) AS acctbal
+           ORDER BY c.acctbal, c.gid LIMIT 12""")
+        .orderBy($"gid")
+    }),
+
+    // the DESC twin with a cursor bound (nodes missing the property
+    // sort FIRST under DESC and are invisible to the index, so DESC
+    // only routes when a bound pins non-null — here it also narrows
+    // the walk to the bound's bucket span from the top end)
+    "cypher_index_order_desc" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.acctbal >= $lo
+           RETURN c.gid AS gid, toFloat(c.acctbal) AS acctbal
+           ORDER BY c.acctbal DESC, c.gid DESC LIMIT 12""",
+        Map("lo" -> 0.0))
+        .orderBy($"gid")
+    }),
+
+    // min/max straight off the index: each aggregate is a need-1 walk
+    // from its end of the numeric region — a handful of index rows
+    // and one node row per aggregate instead of a label scan
+    "cypher_index_minmax" -> ((s, dir) => {
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.acctbal >= -1000.0
+           RETURN toFloat(min(c.acctbal)) AS lo,
+                  toFloat(max(c.acctbal)) AS hi""")
+    }),
+
     // CREATE FULLTEXT INDEX + CALL db.index.fulltext.queryNodes — the
     // BM25 procedure over the store-maintained posting table
     // (sect=t/bucket=H(term) directories; the probe prunes to the
@@ -814,9 +941,27 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // Lucene proximity query ("a b"~n): conjunctive candidates from
+    // the posting buckets, then a pure POSITIONAL verification — the
+    // adjusted position sets of the two terms must intersect a
+    // width-2 window (a reversed bigram needs slop 2, as in Lucene);
+    // the stored text is never read. The oracle replays the window
+    // check with nested list lambdas over 1-based token positions.
+    "cypher_fulltext_slop" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', '"merge join"~2')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // Lucene phrase query: conjunctive candidates from the posting
-    // buckets, contiguity post-verified on the stored text — the
-    // oracle replays the sliding-window check with a list lambda.
+    // buckets, contiguity verified on the POSITIONAL postings (a pure
+    // index read — the oracle replays the equivalent sliding-window
+    // check with a list lambda).
     "cypher_fulltext_phrase" -> ((s, dir) => {
       import s.implicits._
       val st = documentStore(s, dir)
@@ -893,7 +1038,13 @@ DETACH DELETE n
               "http://g/prop#name" -> graft.model.PV.of(name),
               "http://g/prop#acctbal" -> graft.model.PV.of(bal),
               "http://g/prop#nation" -> graft.model.PV.of(nk),
-              "http://g/prop#segment" -> graft.model.PV.of(seg)))
+              "http://g/prop#segment" -> graft.model.PV.of(seg),
+              // deterministic synthetic coordinates (the spatial
+              // fixture — DuckDB re-derives them from c_custkey)
+              "http://g/prop#x" ->
+                graft.model.PV.of((k * 37 % 1000) / 10.0),
+              "http://g/prop#y" ->
+                graft.model.PV.of((k * 73 % 1000) / 10.0)))
         }
       graft.ops.GraphMerge.applyBatch(store, "customers", "Customer", ents,
         truncateFirst = true)
@@ -901,11 +1052,69 @@ DETACH DELETE n
         "CREATE INDEX cnameidx FOR (c:Customer) ON (c.name)").collect()
       CypherEngine.query(store,
         "CREATE INDEX cbalidx FOR (c:Customer) ON (c.acctbal)").collect()
+      CypherEngine.query(store,
+        "CREATE INDEX cxidx FOR (c:Customer) ON (c.x)").collect()
       // composite (tenant, key)-shaped index: routed only when BOTH
       // keys have equality bindings
       CypherEngine.query(store,
         "CREATE INDEX cnsidx FOR (c:Customer) ON (c.nation, c.segment)")
         .collect()
+      store
+    })
+
+  /** Customer nodes with a NODE KEY on (nation, name) and a
+    * relationship-existence constraint — built once per (session,
+    * dir); the veto batteries run at build so the registry entry's
+    * read sees exactly the surviving state. */
+  private val cstrStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.store.GraphStore]
+
+  private def constraintStore(s: SparkSession,
+      dir: String): graft.store.GraphStore =
+    cstrStores.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-cstr-q").toString,
+        s, 8)
+      val ents = Relational.t(s, dir, "customer")
+        .select($"c_custkey".cast("long"), $"c_name",
+          $"c_nationkey".cast("long"))
+        .as[(Long, String, Long)]
+        .map { case (k, name, nk) =>
+          graft.model.Entity(s"c:$k",
+            props = Map(
+              "http://g/prop#name" -> graft.model.PV.of(name),
+              "http://g/prop#nation" -> graft.model.PV.of(nk)))
+        }
+      graft.ops.GraphMerge.applyBatch(store, "customers", "Customer", ents,
+        truncateFirst = true)
+      CypherEngine.query(store,
+        """CREATE CONSTRAINT ckey FOR (c:Customer)
+           REQUIRE (c.nation, c.name) IS NODE KEY""").collect()
+      CypherEngine.query(store,
+        """CREATE CONSTRAINT csrc FOR ()-[r:refers]-()
+           REQUIRE r.source IS NOT NULL""").collect()
+      // violating writes must veto and leave the store untouched —
+      // surfaced as a hard error here so the gate sees any drift
+      def mustVeto(q: String): Unit = {
+        val v0 = store.currentVersion
+        val ok = try { CypherEngine.query(store, q).collect(); false }
+        catch { case _: graft.store.ConstraintViolation => true }
+        require(ok && store.currentVersion == v0,
+          s"constraint did not veto: $q")
+      }
+      // a fresh tuple lands; duplicating it under another gid vetoes
+      CypherEngine.query(store,
+        "CREATE (:Customer {gid: 'c:x1', nation: 777, name: 'zz'})")
+        .collect()
+      mustVeto("CREATE (:Customer {gid: 'c:x2', nation: 777, name: 'zz'})")
+      mustVeto("CREATE (:Customer {gid: 'c:half', nation: 5})")
+      mustVeto("""MATCH (a:Customer {gid: 'c:1'}), (b:Customer {gid: 'c:2'})
+        CREATE (a)-[:refers]->(b)""")
+      // valid writes land
+      CypherEngine.query(store,
+        """MATCH (a:Customer {gid: 'c:1'}), (b:Customer {gid: 'c:2'})
+           CREATE (a)-[:refers {source: 'graph'}]->(b)""").collect()
       store
     })
 
@@ -1495,6 +1704,67 @@ DETACH DELETE n
     // BM25 twin of the fulltext procedure (t_bm25's proven kernel,
     // query 'spark hash join', gid-keyed) under the index's default
     // standard analyzer: lowercase, tokens are [a-z0-9]+ runs
+    "cypher_point_index" ->
+      """WITH pts AS (SELECT 'c:'||c_custkey AS gid,
+           (c_custkey * 37 % 1000) / 10.0 AS x,
+           (c_custkey * 73 % 1000) / 10.0 AS y FROM customer)
+         SELECT gid, x, y FROM (
+           SELECT * FROM pts
+           WHERE x >= 10.0 AND x <= 25.0 AND y >= 20.0 AND y <= 40.0
+           UNION ALL
+           SELECT * FROM pts
+           WHERE sqrt((x-50.0)*(x-50.0) + (y-50.0)*(y-50.0)) <= 5.0)
+         ORDER BY gid, x""",
+
+    "cypher_constraints" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name
+         FROM customer
+         WHERE c_nationkey = 5 AND c_name >= 'Customer#000000'
+           AND c_name <= 'Customer#000001'
+         ORDER BY gid""",
+
+    "cypher_prop_index_comp_range" ->
+      """SELECT gid, name FROM (
+           SELECT 'c:'||c_custkey AS gid, c_name AS name
+           FROM customer
+           WHERE c_nationkey = 5 AND c_mktsegment >= 'B'
+             AND c_mktsegment <= 'F'
+           UNION ALL
+           SELECT 'c:'||c_custkey AS gid, c_name AS name
+           FROM customer WHERE c_nationkey = 7)
+         ORDER BY gid""",
+
+    "cypher_prop_index_contains" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name
+         FROM customer WHERE c_name LIKE '%0000003%'
+         ORDER BY gid""",
+
+    "cypher_prop_index_suffix" ->
+      """SELECT 'c:'||c_custkey AS gid, c_name AS name
+         FROM customer WHERE c_name LIKE '%042'
+         ORDER BY gid""",
+
+    "cypher_index_order" ->
+      """SELECT gid, name, acctbal FROM (
+           SELECT 'c:'||c_custkey AS gid, c_name AS name,
+             CAST(c_acctbal AS DOUBLE) AS acctbal
+           FROM customer
+           ORDER BY CAST(c_acctbal AS DOUBLE), gid LIMIT 12)
+         ORDER BY gid""",
+
+    "cypher_index_order_desc" ->
+      """SELECT gid, acctbal FROM (
+           SELECT 'c:'||c_custkey AS gid,
+             CAST(c_acctbal AS DOUBLE) AS acctbal
+           FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 0.0
+           ORDER BY CAST(c_acctbal AS DOUBLE) DESC, gid DESC LIMIT 12)
+         ORDER BY gid""",
+
+    "cypher_index_minmax" ->
+      """SELECT MIN(CAST(c_acctbal AS DOUBLE)) AS lo,
+             MAX(CAST(c_acctbal AS DOUBLE)) AS hi
+         FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= -1000.0""",
+
     "cypher_fulltext" ->
       """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
              list_filter(string_split_regex(lower(trim(text)),
@@ -1554,6 +1824,40 @@ DETACH DELETE n
 
     // phrase twin: both terms' BM25 contributions for docs where the
     // tokens are CONTIGUOUS in order (sliding-window list lambda)
+    "cypher_fulltext_slop" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term IN ('merge', 'join')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s),
+         cand AS (SELECT gid, sum(c) score FROM contrib
+           GROUP BY gid HAVING count(DISTINCT term) = 2),
+         pos AS (SELECT cand.gid, cand.score,
+             list_filter(range(1, len(d.w)+1), i -> d.w[i] = 'merge') a1,
+             [x - 1 FOR x IN list_filter(range(1, len(d.w)+1),
+               i -> d.w[i] = 'join')] a2
+           FROM cand JOIN d ON cand.gid = d.gid)
+         SELECT gid, round(score, 9) AS score FROM pos
+         WHERE len(list_filter(list_concat(a1, a2), a ->
+           len(list_filter(a1, x -> x >= a AND x <= a + 2)) > 0 AND
+           len(list_filter(a2, x -> x >= a AND x <= a + 2)) > 0)) > 0
+         ORDER BY gid""",
+
     "cypher_fulltext_phrase" ->
       """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
              list_filter(string_split_regex(lower(trim(text)),

@@ -23,6 +23,10 @@ object FulltextQuery {
   final case class Term(text: String) extends Q
   final case class Prefix(text: String) extends Q
   final case class Phrase(text: String) extends Q
+  /** `"a b"~n` — sloppy phrase: the terms must sit inside a window of
+    * `slop` adjusted positions (Lucene's proximity query; a reversed
+    * bigram needs slop 2, exactly as in Lucene) */
+  final case class Sloppy(text: String, slop: Int) extends Q
   /** `field:term` / `field:"phrase"` / `field:pre*` — the leaf must
     * match inside that indexed property (candidates post-verified
     * against the field's own text) */
@@ -47,6 +51,7 @@ object FulltextQuery {
   private final case class TWord(w: String) extends Tok
   private final case class TPhrase(p: String) extends Tok
   private final case class TFuzzy(base: String, maxEdits: Int) extends Tok
+  private final case class TSlop(n: Int) extends Tok
 
   private def lex(s: String): List[Tok] = {
     val out = List.newBuilder[Tok]
@@ -77,20 +82,27 @@ object FulltextQuery {
             if (w.contains("~")) {
               val cut = w.indexOf('~')
               val (base, rest) = (w.substring(0, cut), w.substring(cut + 1))
-              if (base.isEmpty) throw ParseError(
-                s"phrase slop syntax ('$w' after a phrase) is not " +
-                  "supported; use the exact phrase")
-              if (base.contains(":")) throw ParseError(
-                s"field-scoped fuzzy ('$w') is not supported; " +
-                  "use field:term or an unscoped fuzzy term")
-              val k = rest match {
-                case "" => 2 // Lucene's classic fuzzy default
-                case "1" => 1
-                case "2" => 2
-                case other => throw ParseError(
-                  s"fuzzy distance must be 1 or 2, got '$other' in '$w'")
+              if (base.isEmpty) {
+                // `"a b"~n` — the quote ended the previous token, so
+                // the slop arrives as its own word
+                if (rest.nonEmpty && rest.forall(_.isDigit) &&
+                    rest.length <= 3)
+                  out += TSlop(rest.toInt)
+                else throw ParseError(
+                  s"phrase slop must be a small integer, got '$w'")
+              } else {
+                if (base.contains(":")) throw ParseError(
+                  s"field-scoped fuzzy ('$w') is not supported; " +
+                    "use field:term or an unscoped fuzzy term")
+                val k = rest match {
+                  case "" => 2 // Lucene's classic fuzzy default
+                  case "1" => 1
+                  case "2" => 2
+                  case other => throw ParseError(
+                    s"fuzzy distance must be 1 or 2, got '$other' in '$w'")
+                }
+                out += TFuzzy(base, k)
               }
-              out += TFuzzy(base, k)
             } else if (w.contains("^")) throw ParseError(
               s"boost syntax ('$w') is not supported; " +
                 "boosts would change scores, not matches")
@@ -127,7 +139,12 @@ object FulltextQuery {
           throw ParseError(s"bad field name in '$w'")
         if (rest.nonEmpty) Field(f, leafOf(rest))
         else peek match {
-          case Some(TPhrase(p)) => next(); Field(f, Phrase(p))
+          case Some(TPhrase(p)) =>
+            next()
+            if (peek.exists(_.isInstanceOf[TSlop])) throw ParseError(
+              s"field-scoped phrase slop is not supported; " +
+                "use an unscoped sloppy phrase")
+            Field(f, Phrase(p))
           // `field:(a OR "b c")` — Lucene's grouped field scope:
           // the field distributes over every leaf of the group
           case Some(TLParen) =>
@@ -142,6 +159,8 @@ object FulltextQuery {
               case p: Prefix => Field(f, p)
               case _: Fuzzy => throw ParseError(
                 "field-scoped fuzzy is not supported")
+              case _: Sloppy => throw ParseError(
+                "field-scoped phrase slop is not supported")
               case Field(_, _) => throw ParseError(
                 "nested field scopes are not supported")
               case And(l, r) => And(distribute(l), distribute(r))
@@ -154,7 +173,11 @@ object FulltextQuery {
               "or (group)")
         }
       case TWord(w) => leafOf(w)
-      case TPhrase(p) => Phrase(p)
+      case TPhrase(p) => peek match {
+        case Some(TSlop(n)) => next(); if (n == 0) Phrase(p)
+          else Sloppy(p, n)
+        case _ => Phrase(p)
+      }
       case TFuzzy(b, k) => Fuzzy(b, k)
       case t => throw ParseError(s"unexpected $t in: $s")
     }

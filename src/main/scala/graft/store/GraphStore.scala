@@ -256,6 +256,19 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def buildConstraint(d0: IndexDef): Unit = synchronized {
     require(session.isEmpty,
       "constraint DDL cannot run inside an open transaction")
+    if (d0.entity == "RELATIONSHIP") {
+      // relationship existence: validate the committed edges of the
+      // type — no table (the commit checks each batch's edge frame)
+      val bad = edges.filter(col("relType") === d0.label &&
+        col(d0.property).isNull)
+        .select(col("src"), col("dst")).take(1)
+      bad.headOption.foreach(r => throw new ConstraintViolation(
+        s"cannot create constraint ${d0.name}: relationship " +
+          s"${r.getString(0)}-[:${d0.label}]->${r.getString(1)} has " +
+          s"no ${d0.property}"))
+      putIndexDef(d0)
+      return
+    }
     val live = nodes
     val labelPred = col("label") === d0.label ||
       (col("xlabels").isNotNull &&
@@ -270,6 +283,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           s"with label ${d0.label} has no property ${d0.property}"))
       putIndexDef(d0)
     } else {
+      // NODE KEY adds per-component existence to the tuple-uniqueness
+      // check (Neo4j's definition: composite UNIQUE + NOT NULL each)
+      if (d0.constraint == "nodekey") {
+        val missing = d0.properties.map(p =>
+          col("props").getItem(p).isNull).reduce(_ || _)
+        val bad = live.filter(labelPred && missing)
+          .select(col("gid")).take(1)
+        bad.headOption.foreach(r => throw new ConstraintViolation(
+          s"cannot create constraint ${d0.name}: node " +
+            s"${r.getString(0)} with label ${d0.label} is missing a " +
+            s"node-key property (${d0.property})"))
+      }
       val dup = SearchIndexes.propRows(live, d0)
         .groupBy(col("val"))
         .agg(org.apache.spark.sql.functions
@@ -354,6 +379,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def ftDictReady(d: IndexDef): Boolean =
     manifestFiles(d.tableName).keys.exists(_.startsWith("sect=d"))
 
+  /** does the fulltext table carry POSITIONAL postings throughout?
+    * (the sect=q marker — written only by full builds of
+    * position-aware code, carried forward by deltas; tables built
+    * before it keep the stored-text phrase fallback, and slop gets a
+    * targeted rebuild error) */
+  def ftPositionsReady(d: IndexDef): Boolean =
+    manifestFiles(d.tableName).keys.exists(_.startsWith("sect=q"))
+
   /** the H(term) posting buckets holding at least one term with any
     * of the prefixes — resolved from the VOCABULARY-sized `sect=d`
     * dictionary (terms hash-share buckets with their postings), so a
@@ -430,6 +463,37 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     keys.isEmpty ||
       (keys.exists(_.startsWith("sect=r")) && d.boundaryN > 0 &&
         d.boundariesV <= currentVersion)
+  }
+
+  /** does the property table carry its VALUE-DICTIONARY section?
+    * Tables built before it existed don't — CONTAINS / ENDS WITH
+    * lookups then keep the label scan (correct, unindexed) until a
+    * full rebuild regenerates every section. */
+  def pxValueDictReady(d: IndexDef): Boolean = {
+    val keys = manifestFiles(d.tableName).keySet
+    keys.isEmpty || keys.exists(_.startsWith("sect=w"))
+  }
+
+  /** The stored string values of `d` matching a CONTAINS / ENDS WITH
+    * predicate, resolved from the vocabulary-sized `sect=w` value
+    * dictionary (the ftPrefixBuckets recipe pointed at property
+    * values). None when more than `cap` values match — the expansion
+    * then stops paying for itself and the caller keeps the label
+    * scan. The match tests the STRIPPED text (after the "s:" tag), so
+    * a needle can never straddle the tag. */
+  def pxMatchingValues(d: IndexDef, op: String, text: String,
+      cap: Int): Option[Seq[String]] = {
+    val stripped = col("val").substr(lit(3),
+      org.apache.spark.sql.functions.length(col("val")))
+    val cond = op match {
+      case "endswith" => stripped.endsWith(text)
+      case _ => stripped.contains(text)
+    }
+    val rows = readSearchIndex(d, _.startsWith("sect=w"))
+      .filter(col("sect") === "w" && col("val").startsWith("s:") && cond)
+      .select(col("val")).take(cap + 1)
+    if (rows.length > cap) None
+    else Some(rows.map(_.getString(0)).toSeq)
   }
 
   /** manifest keys of a STARTS WITH probe: the exact bucket span of
@@ -752,7 +816,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           s"store at $root has a pre-bucketing manifest; run compact() first")
       // declared constraints veto the batch BEFORE any write job runs
       // (violating commits write nothing; the pointer never flips)
-      enforceConstraints(newNodes, dirtyNodes, prev, bc)
+      enforceConstraints(newNodes, newEdges, dirtyNodes, dirtyEdges,
+        prev, bc)
       // the table writes touch disjoint directories and share no
       // lineage — run them as concurrent Spark jobs (the scheduler
       // interleaves stages)
@@ -804,8 +869,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
               nd
             } else d0
-          } else if (d0.kind == "property" && d0.boundaryN == 0L &&
-              !d0.property.contains(",")) {
+          } else if (d0.kind == "property" && d0.boundaryN == 0L) {
             // range-section boundaries train once from the snapshot
             // (the px analog of the IVF quantizer): equi-depth over
             // the distinct sortable keys, persisted to the sidecar
@@ -842,13 +906,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             case "fulltext" => ("sect", "term")
             case _ => ("sect", "val")
           }
-          // a property table buckets its equality section by value
-          // hash and its range section by trained boundary position
-          // (order-preserving — range probes then prune to a
+          // a property table buckets its equality section AND its
+          // value dictionary by value hash (they share buckets, so a
+          // dictionary expansion reads exactly its matches' equality
+          // buckets) and its range section by trained boundary
+          // position (order-preserving — range probes then prune to a
           // contiguous directory run)
           val bexpr =
             if (d.kind == "property")
-              Some(when(col("sect") === "p",
+              Some(when(col("sect").isin("p", "w"),
                 pmod(hash(col("val")), lit(bc)))
                 .otherwise(SearchIndexes.rangeBucketExpr(
                   col("val"), d.boundaries)))
@@ -935,89 +1001,214 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     }
 
   /** Validate every declared constraint against the batch BEFORE any
-    * write job runs. NOT NULL checks the CHANGED rows' frame; UNIQUE
-    * checks the changed rows against themselves (batch-internal
-    * duplicates) and against the committed px rows of exactly the
-    * H(val) buckets the changed values hash into — excluding
-    * committed rows the batch itself rewrites (their current state is
-    * in the changed frame). Work is bounded by the batch's dirty node
-    * partitions plus the probed index buckets, never a table scan.
+    * write job runs — fused into TWO Spark jobs regardless of how
+    * many constraints are declared (the tagged-union ProbeBatch
+    * recipe), so interactive write latency does not grow with the
+    * constraint count:
+    *
+    *  1. ONE pass over the batch's changed frames: NOT NULL examples
+    *     (node props, NODE KEY components, relationship `source`),
+    *     batch-internal duplicate examples (grouped on the EXACT
+    *     canonical key — [[SearchIndexes.encodeScalarExact]] — so
+    *     distinct longs past 2^53 or separator-bearing composite
+    *     tuples can never alias into a spurious veto), and each
+    *     unique def's probe buckets.
+    *  2. ONE conflict join of every unique def's changed rows against
+    *     the committed px rows of exactly the probed H(val) buckets,
+    *     excluding rows the batch itself rewrites. Candidates matched
+    *     on the LOSSY stored key are then verified against the exact
+    *     key of the committed owner's node row (a per-candidate
+    *     bucket-pruned point read — zero on conflict-free commits)
+    *     before anything throws.
+    *
+    * Work stays bounded by the batch's dirty partitions plus the
+    * probed index buckets, never a table scan.
     */
   private def enforceConstraints(
       newNodes: DataFrame,
+      newEdges: DataFrame,
       dirtyNodes: Option[Set[DirtyKey]],
+      dirtyEdges: Option[Set[DirtyKey]],
       prev: Manifest,
       bc: Int): Unit = {
     val cdefs = indexDefs0.filter(_.constraint.nonEmpty)
     if (cdefs.isEmpty) return
-    if (dirtyNodes.exists(_.isEmpty)) return // node-untouched commit
-    import org.apache.spark.sql.functions.{array_contains, count_distinct,
-      max => fmax, min => fmin}
-    val changedNew = dirtyNodes match {
-      case None => newNodes
-      case Some(keys) => dirtyFilter(
-        newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
-        "label", keys).drop("bucket")
+    import org.apache.spark.sql.functions.{array_contains, concat_ws,
+      count_distinct, max => fmax, min => fmin}
+    val (relDefs, nodeDefs) = cdefs.partition(_.entity == "RELATIONSHIP")
+    val doRel = relDefs.nonEmpty && !dirtyEdges.exists(_.isEmpty)
+    val doNode = nodeDefs.nonEmpty && !dirtyNodes.exists(_.isEmpty)
+    if (!doRel && !doNode) return
+    def tag(t: String) = lit(t).as("tag")
+    val probeFrames = Seq.newBuilder[DataFrame]
+    if (doRel) {
+      val changedEdges = dirtyEdges match {
+        case None => newEdges
+        case Some(keys) => dirtyFilter(
+          newEdges.withColumn("bucket", pmod(hash(col("src")), lit(bc))),
+          "relType", keys).drop("bucket")
+      }
+      relDefs.foreach { d =>
+        probeFrames += changedEdges
+          .filter(col("relType") === d.label && col(d.property).isNull)
+          .select(tag("relnull:" + d.name),
+            concat_ws("->", col("src"), col("dst")).as("a"),
+            lit(null).cast("string").as("b"))
+          .limit(1)
+      }
     }
-    cdefs.foreach { d =>
+    val changedNew: DataFrame =
+      if (!doNode) newNodes // unused
+      else dirtyNodes match {
+        case None => newNodes
+        case Some(keys) => dirtyFilter(
+          newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
+          "label", keys).drop("bucket")
+      }
+    // per-unique-def changed rows (lossy + exact keys) — reused by
+    // phase 2's conflict join
+    val newPs = scala.collection.mutable.LinkedHashMap.empty[String,
+      DataFrame]
+    if (doNode) nodeDefs.foreach { d =>
       val labelPred = col("label") === d.label ||
         (col("xlabels").isNotNull &&
           array_contains(col("xlabels"), d.label))
       if (d.constraint == "exists") {
         val pv = col("props").getItem(d.property)
-        val bad = changedNew.filter(labelPred && pv.isNull)
-          .select(col("gid")).take(1)
-        bad.headOption.foreach(r => throw new ConstraintViolation(
-          s"node ${r.getString(0)} with label ${d.label} must have " +
-            s"property ${d.property} (constraint ${d.name})"))
+        probeFrames += changedNew.filter(labelPred && pv.isNull)
+          .select(tag("null:" + d.name), col("gid").as("a"),
+            lit(null).cast("string").as("b"))
+          .limit(1)
       } else {
-        val newP = SearchIndexes.propRows(changedNew, d)
-          .select(col("val"), col("gid"))
-        // batch-internal duplicates
-        val dup = newP.groupBy(col("val"))
+        if (d.constraint == "nodekey") {
+          val missing = d.properties.map(p =>
+            col("props").getItem(p).isNull).reduce(_ || _)
+          probeFrames += changedNew.filter(labelPred && missing)
+            .select(tag("null:" + d.name), col("gid").as("a"),
+              lit(null).cast("string").as("b"))
+            .limit(1)
+        }
+        val newP = SearchIndexes.propRowsExact(changedNew, d)
+        newPs(d.name) = newP
+        probeFrames += newP.groupBy(col("xval"))
           .agg(count_distinct(col("gid")).as("n"),
             fmin(col("gid")).as("g1"), fmax(col("gid")).as("g2"))
-          .filter(col("n") > 1).take(1)
-        dup.headOption.foreach(r => throw new ConstraintViolation(
-          s"nodes ${r.getString(2)} and ${r.getString(3)} both carry " +
-            s"the same ${d.label}.${d.property} " +
-            s"(uniqueness constraint ${d.name})"))
-        // vs committed rows the batch does NOT rewrite. dirty=None
-        // (full rewrite) re-derives every row, so the internal check
-        // above is already complete.
-        val prevIdx = prev.getOrElse(d.tableName, Map.empty)
-        if (dirtyNodes.isDefined && prevIdx.nonEmpty) {
-          val keys = dirtyNodes.get
-          val probeBuckets = newP
-            .select(pmod(hash(col("val")), lit(bc)).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet
-          if (probeBuckets.nonEmpty) {
-            // gids whose committed rows the batch rewrites — read
-            // from the PREVIOUS snapshot's dirty partitions (covers
-            // secondary-label residents and deletions exactly)
-            val rewrittenGids = readFiles("nodes",
-              prev.getOrElse("nodes", Map.empty).view
-                .filterKeys(keyMatches("label", keys)).values
-                .flatten.toSeq, nodeSchema)
-              .select(col("gid"))
-            val oldRows = readFiles(d.tableName,
-              prevIdx.view.filterKeys(k =>
-                probeBuckets.exists(b => k == s"sect=p/bucket=$b"))
-                .values.flatten.toSeq, SearchIndexes.pxSchema)
-              .filter(col("sect") === "p")
-            val conflict = oldRows
-              .join(newP.withColumnRenamed("gid", "ngid"), Seq("val"))
-              .filter(col("gid") =!= col("ngid"))
-              .join(rewrittenGids, Seq("gid"), "left_anti")
-              .select(col("gid"), col("ngid")).take(1)
-            conflict.headOption.foreach(r => throw new ConstraintViolation(
-              s"node ${r.getString(1)} would violate uniqueness " +
-                s"constraint ${d.name}: node ${r.getString(0)} already " +
-                s"exists with the same ${d.label}.${d.property}"))
-          }
-        }
+          .filter(col("n") > 1)
+          .select(tag("dup:" + d.name), col("g1").as("a"),
+            col("g2").as("b"))
+          .limit(1)
+        probeFrames += newP
+          .select(tag("bucket:" + d.name),
+            pmod(hash(col("val")), lit(bc)).cast("string").as("a"),
+            lit(null).cast("string").as("b"))
+          .distinct()
       }
     }
+    val frames = probeFrames.result()
+    if (frames.isEmpty) return
+    // ---- phase 1: one job over the batch frames ----
+    val probe = frames.reduce(_ unionByName _).collect()
+    def defOf(name: String): IndexDef = cdefs.find(_.name == name).get
+    probe.foreach { r =>
+      val t = r.getString(0)
+      if (t.startsWith("relnull:")) {
+        val d = defOf(t.drop(8))
+        throw new ConstraintViolation(
+          s"relationship ${r.getString(1)} of type ${d.label} must " +
+            s"have ${d.property} (constraint ${d.name})")
+      } else if (t.startsWith("null:")) {
+        val d = defOf(t.drop(5))
+        val what = if (d.constraint == "nodekey")
+          s"node-key properties (${d.property})"
+        else s"property ${d.property}"
+        throw new ConstraintViolation(
+          s"node ${r.getString(1)} with label ${d.label} must have " +
+            s"$what (constraint ${d.name})")
+      } else if (t.startsWith("dup:")) {
+        val d = defOf(t.drop(4))
+        throw new ConstraintViolation(
+          s"nodes ${r.getString(1)} and ${r.getString(2)} both carry " +
+            s"the same ${d.label}.${d.property} " +
+            s"(uniqueness constraint ${d.name})")
+      }
+    }
+    val bucketsByDef: Map[String, Set[Int]] = probe.toSeq
+      .filter(_.getString(0).startsWith("bucket:"))
+      .groupBy(_.getString(0).drop(7))
+      .map { case (n, rs) => n -> rs.map(_.getString(1).toInt).toSet }
+    // ---- phase 2: one conflict join vs committed rows the batch
+    // does NOT rewrite. dirty=None (full rewrite) re-derives every
+    // row, so phase 1's internal check is already complete. ----
+    if (dirtyNodes.isEmpty || bucketsByDef.isEmpty) return
+    val keys = dirtyNodes.get
+    lazy val rewrittenGids = readFiles("nodes",
+      prev.getOrElse("nodes", Map.empty).view
+        .filterKeys(keyMatches("label", keys)).values
+        .flatten.toSeq, nodeSchema)
+      .select(col("gid"))
+    val conflictFrames = newPs.toSeq.flatMap { case (name, newP) =>
+      val d = defOf(name)
+      val prevIdx = prev.getOrElse(d.tableName, Map.empty)
+      val probeBuckets = bucketsByDef.getOrElse(name, Set.empty)
+      if (prevIdx.isEmpty || probeBuckets.isEmpty) None
+      else {
+        val oldRows = readFiles(d.tableName,
+          prevIdx.view.filterKeys(k =>
+            probeBuckets.exists(b => k == s"sect=p/bucket=$b"))
+            .values.flatten.toSeq, SearchIndexes.pxSchema)
+          .filter(col("sect") === "p")
+        Some(oldRows
+          .join(newP.withColumnRenamed("gid", "ngid"), Seq("val"))
+          .filter(col("gid") =!= col("ngid"))
+          .join(rewrittenGids, Seq("gid"), "left_anti")
+          .select(tag(name), col("gid").as("a"), col("ngid").as("b"),
+            col("xval")))
+      }
+    }
+    if (conflictFrames.isEmpty) return
+    val CandCap = 64
+    val cands = conflictFrames.reduce(_ unionByName _).take(CandCap + 1)
+    if (cands.length > CandCap) {
+      // more lossy-key candidates than the exact-verify budget — stay
+      // SOUND and veto (a false accept would corrupt uniqueness; a
+      // batch genuinely colliding on 64+ stored keys is a violation
+      // in all but adversarial-encoding cases)
+      val r = cands.head
+      throw new ConstraintViolation(
+        s"node ${r.getString(2)} would violate uniqueness constraint " +
+          s"${r.getString(0)}: node ${r.getString(1)} already exists " +
+          s"with the same value (and ${cands.length - 1} more candidates)")
+    }
+    // exact verification: a candidate throws only when the committed
+    // owner's node row yields the SAME exact key — lossy-encoding
+    // aliases (2^53 longs, separator-bearing composite strings) pass
+    cands.foreach { r =>
+      val (name, oldGid, newGid, xval) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      val d = defOf(name)
+      val oldNode = readFiles("nodes",
+        prev.getOrElse("nodes", Map.empty).view
+          .filterKeys(_.endsWith(s"/bucket=${pmodHash(oldGid, bc)}"))
+          .values.flatten.toSeq, nodeSchema)
+        .filter(col("gid") === oldGid)
+      val oldKey = SearchIndexes.propRowsExact(oldNode, d)
+        .select(col("xval")).take(1).headOption.map(_.getString(0))
+      if (oldKey.contains(xval))
+        throw new ConstraintViolation(
+          s"node $newGid would violate uniqueness constraint " +
+            s"${d.name}: node $oldGid already exists with the same " +
+            s"${d.label}.${d.property}")
+    }
+  }
+
+  /** driver-side twin of the gid→bucket hash used by the node layout */
+  private def pmodHash(s: String, bc: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % bc) + bc) % bc
   }
 
   /** Derive the reverse-index view and its dirty keys from the main
@@ -1131,22 +1322,32 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     // only when the previous manifest carries it, or the table was
     // empty — legacy tables stay equality-only (pxRangeReady false)
     // until a full rebuild regenerates both sections.
-    val hasRange = d.kind == "property" && !d.property.contains(",") && {
-      val prevPx = prev.getOrElse(d.tableName, Map.empty)
-      prevPx.isEmpty || !prev.contains(d.tableName) ||
-        forceIndexRebuild0.contains(d.name) ||
-        srcDirty.isEmpty || // full source rewrite regenerates fully
-        prevPx.keys.exists(_.startsWith("sect=r"))
-    }
+    def hasSection(sect: String): Boolean =
+      d.kind == "property" && {
+        val prevPx = prev.getOrElse(d.tableName, Map.empty)
+        prevPx.isEmpty || !prev.contains(d.tableName) ||
+          forceIndexRebuild0.contains(d.name) ||
+          srcDirty.isEmpty || // full source rewrite regenerates fully
+          prevPx.keys.exists(_.startsWith(s"sect=$sect"))
+      }
+    // the range section now covers composites too (escComp-framed
+    // tuple keys — equality-prefix + trailing-range spans); tables
+    // built before that stay equality-only until a full rebuild
+    val hasRange = hasSection("r")
+    // value dictionary (CONTAINS / ENDS WITH expansion) — single-prop
+    // only, gated like the range section: a table built before it
+    // existed must not grow a PARTIAL one
+    val hasW = !d.property.contains(",") && hasSection("w")
     def fullView: DataFrame = d.kind match {
       case "vector" =>
         if (d.centroids.isEmpty) empty
         else storageRows(
           assignCells(vectors(newNodes, d), d.centroids, d.similarity), d)
       case "property" =>
-        if (hasRange) propRows(newNodes, d)
-          .unionByName(propRangeRows(newNodes, d))
-        else propRows(newNodes, d)
+        val pr = propRows(newNodes, d)
+        val withR =
+          if (hasRange) pr.unionByName(propRangeRows(newNodes, d)) else pr
+        if (hasW) withR.unionByName(valueDictRows(pr)) else withR
       case _ =>
         val docs = docsOf(srcNew)
         val st = docs
@@ -1158,8 +1359,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         val (n, sdl) =
           (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
         val toks = tokenRows(docs, d.analyzer)
-        toks.unionByName(statsRow(spark, n, sdl))
+        val base = toks.unionByName(statsRow(spark, n, sdl))
           .unionByName(dictRows(toks))
+        if (SearchIndexes.positionsEnabled)
+          base.unionByName(SearchIndexes.posMarkerRow(spark))
+        else base
     }
     if (mustRebuild || srcDirty.isEmpty) return (fullView, None)
     val keys = srcDirty.get
@@ -1224,7 +1428,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
                 Some(r.getInt(0)): Option[Int])).toSet
             (remR, addR, dk: Set[DirtyKey])
           }
-        val dk = dkP ++ dkR
+        // value-dictionary deltas ride the SAME H(val) buckets as the
+        // equality section (they hash-share by construction — dkP's
+        // bucket ids relabel, no second discovery job): owner counts
+        // adjust by the removed/added string rows per value, rows
+        // reaching zero leave — the ft `sect=d` df recipe
+        val dkW: Set[DirtyKey] =
+          if (!hasW) Set.empty
+          else dkP.map { case (_, b) => (Some("w"): Option[String], b) }
+        val dk = dkP ++ dkR ++ dkW
         if (dk.isEmpty) return (empty, Some(Set.empty))
         val oldPruned = readFiles(tbl,
           prevIdx.view.filterKeys(keyMatches("sect", dk)).values
@@ -1237,7 +1449,26 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .join(removedR.select(col("gid"), col("val")),
             Seq("gid", "val"), "left_anti")
           .unionByName(addedR.select(pxSchema.fieldNames.map(col).toSeq: _*))
-        val view = viewP.unionByName(viewR)
+        val viewW =
+          if (!hasW) empty
+          else {
+            import org.apache.spark.sql.functions.{count => fcount}
+            val remW = removed.filter(col("val").startsWith("s:"))
+              .groupBy(col("val")).agg(fcount(lit(1)).as("rm"))
+            val addW = added.filter(col("val").startsWith("s:"))
+              .groupBy(col("val")).agg(fcount(lit(1)).as("ad"))
+            oldPruned.filter(col("sect") === "w")
+              .select(col("val"), col("gid").cast("long").as("n"))
+              .join(remW, Seq("val"), "full_outer")
+              .join(addW, Seq("val"), "full_outer")
+              .select(col("val"),
+                (coalesce(col("n"), lit(0L)) - coalesce(col("rm"), lit(0L))
+                  + coalesce(col("ad"), lit(0L))).as("n2"))
+              .filter(col("n2") > 0)
+              .select(lit("w").as("sect"), col("val"),
+                col("n2").cast("string").as("gid"))
+          }
+        val view = viewP.unionByName(viewR).unionByName(viewW)
           .select(pxSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
       case _ =>
@@ -1312,7 +1543,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               + coalesce(col("ad"), lit(0L))).as("df"))
           .filter(col("df") > 0)
           .select(lit("d").as("sect"), col("term"), lit("").as("gid"),
-            col("df").as("tf"), lit(0L).as("dl"))
+            col("df").as("tf"), lit(0L).as("dl"),
+            lit(null).cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)).as("pos"))
         val view0 = keepToks
           .select(ftSchema.fieldNames.map(col).toSeq: _*)
           .unionByName(addT)
@@ -1816,8 +2049,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // drift from the training watermark (boundaryN updates to the
       // current count, so each retrain doubles the next trigger —
       // convergent, never perpetual)
-      case d if d.kind == "property" && d.boundaryN > 0 &&
-          !d.property.contains(",") =>
+      case d if d.kind == "property" && d.boundaryN > 0 =>
         val n = readSearchIndex(d, _.startsWith("sect=r")).count()
         if (n >= 2 * d.boundaryN || (n > 0 && 2 * n <= d.boundaryN)) {
           buildSearchIndex(d.copy(boundaries = Nil, boundaryN = 0,

@@ -238,14 +238,24 @@ object SearchIndexes {
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 
-  /** sect "t" = token rows (term,gid,tf,dl); sect "s" = ONE stats row
-    * (term="",gid="__stats",tf=N_docs,dl=Σdl) */
+  /** sect "t" = token rows (term,gid,tf,dl,pos); sect "s" = ONE stats
+    * row (term="",gid="__stats",tf=N_docs,dl=Σdl). `pos` carries the
+    * term's 0-based token positions within the doc (Lucene's
+    * positional postings) — phrase and slop queries verify on it
+    * instead of re-reading stored text; tables built before the
+    * column existed read it back null and keep the text fallback. */
   val ftSchema: StructType = StructType(Seq(
     StructField("sect", StringType, nullable = false),
     StructField("term", StringType),
     StructField("gid", StringType),
     StructField("tf", LongType),
-    StructField("dl", LongType)))
+    StructField("dl", LongType),
+    StructField("pos", ArrayType(IntegerType))))
+
+  /** test hook: build posting rows WITHOUT positions (simulates a
+    * table written before the positional column existed, exercising
+    * the stored-text fallback); production always stores positions */
+  @volatile private[graft] var positionsEnabled: Boolean = true
 
   /** property-value index row (`CREATE INDEX … FOR (n:L) ON (n.p)`):
     * one row per (node, scalar value), laid out as
@@ -331,6 +341,57 @@ object SearchIndexes {
     * residual equality predicates keep exactness) */
   val CompositeSep = "\u0001"
 
+  /** EXACT canonical key of a scalar property value - the
+    * constraint-enforcement twin of [[encodeScalar]], which
+    * canonicalizes longs through double and so collides distinct
+    * longs past 2^53 (fine for query routes, whose residual filters
+    * keep exactness; NOT fine for a uniqueness veto, which would
+    * reject a valid batch). Longs render digit-exact; doubles render
+    * via their exact long when integral and long-representable (so
+    * 42L and 42.0 still share one key - Neo4j's numeric-equality
+    * uniqueness) and their own notation otherwise (no long can
+    * collide there: integral doubles past the threshold have no equal
+    * long below it). */
+  def encodeScalarExact(pv: Column): Column = {
+    val d = pv.getField("d")
+    when(pv.getField("s").isNotNull, concat(lit("s:"), pv.getField("s")))
+      .when(pv.getField("l").isNotNull,
+        concat(lit("n:"), pv.getField("l").cast("string")))
+      .when(d.isNotNull, concat(lit("n:"),
+        when(d === floor(d) && abs(d) < 9.2e18,
+          d.cast("long").cast("string"))
+          .otherwise(d.cast("string"))))
+      .when(pv.getField("b").isNotNull,
+        concat(lit("b:"), pv.getField("b").cast("string")))
+  }
+
+  /** [[propRows]] plus an EXACT tuple key column: `val` is the lossy
+    * index key (what the committed px rows are joined on), `xval` the
+    * exact key (escComp-framed for composites - injective, so
+    * distinct tuples can never alias). Constraint enforcement
+    * batch-dup checks group on `xval`; committed-probe candidates
+    * join on `val` and are then verified against `xval`. */
+  def propRowsExact(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val ps = d.properties
+    if (ps.size == 1) {
+      val pv = col("props").getItem(d.property)
+      nodes.filter(labelMember(d.label) && pv.isNotNull)
+        .select(encodeScalar(pv).as("val"),
+          encodeScalarExact(pv).as("xval"), col("gid"))
+        .filter(col("val").isNotNull && col("xval").isNotNull)
+    } else {
+      val pvs = ps.map(p => col("props").getItem(p))
+      val lossy = pvs.map(encodeScalar).flatMap(e =>
+        Seq(e, lit(CompositeSep))).dropRight(1)
+      val exact = pvs.map(pv => escComp(encodeScalarExact(pv)))
+      nodes.filter(labelMember(d.label) &&
+          pvs.map(_.isNotNull).reduce(_ && _))
+        .select(concat(lossy: _*).as("val"),
+          concat(exact: _*).as("xval"), col("gid"))
+        .filter(col("val").isNotNull && col("xval").isNotNull)
+    }
+  }
+
   /** `(sect="p", val, gid)` of every live node of the def's label
     * carrying the property as a non-null scalar — the build, the
     * delta, and the planner's probe all key on exactly these rows.
@@ -360,6 +421,24 @@ object SearchIndexes {
         .filter(col("val").isNotNull)
     }
   }
+
+  /** VALUE-DICTIONARY rows `(sect="w", val, gid=<owner count>)` of a
+    * single-property index's STRING values — one row per DISTINCT
+    * stored string, `gid` carrying the owner count so the per-commit
+    * delta can adjust it (a value leaves the dictionary when its last
+    * owner does — the ft `sect=d` recipe pointed at property values).
+    * The dictionary is vocabulary-sized (≪ the rows) and hash-shares
+    * buckets with the equality section, so a CONTAINS / ENDS WITH
+    * predicate expands against it and then reads EXACTLY the matched
+    * values' `sect=p` buckets — never the label partition, and never
+    * a full index scan. Strings only: the engine's string predicates
+    * test the strict `s` slot, so no other type can match them. */
+  def valueDictRows(propRows: DataFrame): DataFrame =
+    propRows.filter(col("sect") === "p" && col("val").startsWith("s:"))
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("w").as("sect"), col("val"),
+        col("n").cast("string").as("gid"))
 
   /** ORDER-PRESERVING twin of [[encodeScalar]] — the `sect=r` section
     * key. Lexical (UTF8-byte) order of the encoding equals the value
@@ -395,17 +474,54 @@ object SearchIndexes {
     }
   }
 
+  /** Order-preserving, injective component framing of a COMPOSITE
+    * range key: content bytes \u0000 and \u0001 escape to
+    * \u0001\u0002 / \u0001\u0003 and every component terminates
+    * with \u0000. The terminator byte is strictly below every escaped
+    * content byte, so (a) lexicographic order of framed tuples equals
+    * component-wise order: an equality-bound prefix makes its span
+    * CONTIGUOUS, and (b) distinct tuples can never collide (the
+    * unescaped-separator ambiguity the equality tuple key tolerates
+    * via residuals would break span pruning here). The \u0001 escape
+    * runs first so the \u0000 escape's introduced \u0001s are not
+    * re-escaped.
+    */
+  def escComp(c: Column): Column =
+    concat(regexp_replace(regexp_replace(c, "\u0001", "\u0001\u0003"),
+      "\u0000", "\u0001\u0002"), lit("\u0000"))
+
+  /** driver-side twin of [[escComp]] (probe-key construction) */
+  def escCompStr(s: String): String =
+    s.replace("\u0001", "\u0001\u0003")
+      .replace("\u0000", "\u0001\u0002") + "\u0000"
+
   /** `(sect="r", val, gid)` rows of the range section — the same
     * (node, scalar) pairs as [[propRows]] under the sortable
-    * encoding. Single-property defs only: a composite tuple has no
-    * meaningful total order to range-partition. */
+    * encoding. A composite def keys the [[escComp]]-framed tuple of
+    * ALL components' sortable encodings (rows exist only when every
+    * indexed property is a keyable scalar): an equality-bound prefix
+    * plus a bound on the NEXT component then maps to one contiguous
+    * key range — Neo4j's composite range-index read shape. */
   def propRangeRows(nodes: DataFrame, d: IndexDef): DataFrame = {
-    val pv = col("props").getItem(d.property)
-    nodes
-      .filter(labelMember(d.label) && pv.isNotNull)
-      .select(lit("r").as("sect"), encodeSortable(pv).as("val"),
-        col("gid"))
-      .filter(col("val").isNotNull)
+    val ps = d.properties
+    if (ps.size == 1) {
+      val pv = col("props").getItem(d.property)
+      nodes
+        .filter(labelMember(d.label) && pv.isNotNull)
+        .select(lit("r").as("sect"), encodeSortable(pv).as("val"),
+          col("gid"))
+        .filter(col("val").isNotNull)
+    } else {
+      val pvs = ps.map(p => col("props").getItem(p))
+      // concat: any null/unkeyable component nulls the whole tuple
+      // key, so the row leaves the section (propRows' rule)
+      val parts = pvs.map(pv => escComp(encodeSortable(pv)))
+      nodes
+        .filter(labelMember(d.label) && pvs.map(_.isNotNull).reduce(_ && _))
+        .select(lit("r").as("sect"), concat(parts: _*).as("val"),
+          col("gid"))
+        .filter(col("val").isNotNull)
+    }
   }
 
   /** range-bucket assignment: count of boundaries ≤ the value
@@ -497,18 +613,23 @@ object SearchIndexes {
       text.toLowerCase.split("[^a-z0-9]+").toSeq
     else text.trim.split("\\s+").toSeq).filter(_.nonEmpty)
 
-  /** token rows `(sect="t", term, gid, tf, dl)` of `(gid, text)` docs */
+  /** token rows `(sect="t", term, gid, tf, dl, pos)` of `(gid, text)`
+    * docs — `pos` holds the term's 0-based positions in analysis
+    * order (sorted; tf == size(pos) by construction) */
   def tokenRows(docs: DataFrame,
       analyzer: String = WhitespaceAnalyzer): DataFrame =
     docs
       .select(col("gid"), termsOf(col("text"), analyzer).as("w"))
       .select(col("gid"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("term"))
+        posexplode(col("w")).as(Seq("p", "term")))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("gid"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("pos0"))
       .select(lit("t").as("sect"), col("term"), col("gid"),
-        col("tf"), col("dl"))
+        col("tf"), col("dl"),
+        (if (positionsEnabled) col("pos0")
+         else lit(null).cast(ArrayType(IntegerType))).as("pos"))
 
   /** term-dictionary rows `(sect="d", term, gid="", tf=df, dl=0)` of
     * a token-row frame — one row per DISTINCT term, `tf` carrying the
@@ -522,12 +643,23 @@ object SearchIndexes {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .select(lit("d").as("sect"), col("term"), lit("").as("gid"),
-        col("df").as("tf"), lit(0L).as("dl"))
+        col("df").as("tf"), lit(0L).as("dl"),
+        lit(null).cast(ArrayType(IntegerType)).as("pos"))
 
   /** one stats row from (nDocs, sumDl) */
   def statsRow(spark: SparkSession, nDocs: Long, sumDl: Long): DataFrame =
     spark.createDataFrame(
-      java.util.Arrays.asList(Row("s", "", "__stats", nDocs, sumDl)),
+      java.util.Arrays.asList(Row("s", "", "__stats", nDocs, sumDl, null)),
+      ftSchema)
+
+  /** single `sect=q` marker row: its presence in a posting table's
+    * manifest asserts EVERY token row carries positions — only full
+    * builds by position-aware code write it (deltas carry it
+    * forward), which is what lets phrase/slop run as pure index reads
+    * with zero stored-text access */
+  def posMarkerRow(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row("q", "", "__pos", 1L, 0L, null)),
       ftSchema)
 
   /** a local DataFrame of the trained centroids `(cid, cv, cn)` */

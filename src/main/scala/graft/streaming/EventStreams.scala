@@ -380,15 +380,18 @@ object EventStreams {
     graft.queries.TextOps.chunkTable(docs.toDF()).as[ChunkRow]
   }
 
-  case class PostingRow(term: String, gid: String, tf: Long, dl: Long)
+  case class PostingRow(term: String, gid: String, tf: Long, dl: Long,
+      pos: Seq[Int])
 
   /** Streaming fulltext-posting ingest — the streaming twin of the
     * store's CREATE FULLTEXT INDEX maintenance: each arriving document
-    * emits its posting rows (term, gid, tf, dl) ROW-LOCALLY with the
-    * exact index tokenizer (whitespace split of trim — a plain Scala
-    * fold of one row, zero shuffle, zero state, append mode). A live
-    * ingest path sinks these into the `sect=t/bucket=H(term)` layout
-    * the batch commit maintains; the query side is unchanged.
+    * emits its posting rows (term, gid, tf, dl, pos) ROW-LOCALLY with
+    * the exact index tokenizer (whitespace split of trim — a plain
+    * Scala fold of one row, zero shuffle, zero state, append mode).
+    * `pos` carries the term's 0-based token positions, matching the
+    * batch table's POSITIONAL postings (phrase/slop evaluation). A
+    * live ingest path sinks these into the `sect=t/bucket=H(term)`
+    * layout the batch commit maintains; the query side is unchanged.
     */
   def ftPostingsStream(docs: Dataset[DocEvent],
       analyzer: String = graft.store.SearchIndexes.WhitespaceAnalyzer)
@@ -403,8 +406,9 @@ object EventStreams {
         // driver/executor-side twin of the batch termsOf column)
         val w = graft.store.SearchIndexes.analyze(t, analyzer)
         val dl = w.length.toLong
-        w.groupBy(identity).iterator.map { case (term, g) =>
-          PostingRow(term, s"d:${d.doc_id}", g.length.toLong, dl)
+        w.zipWithIndex.groupBy(_._1).iterator.map { case (term, g) =>
+          PostingRow(term, s"d:${d.doc_id}", g.length.toLong, dl,
+            g.map(_._2).sorted)
         }
       }
     }

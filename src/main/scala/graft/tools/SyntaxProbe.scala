@@ -1287,7 +1287,7 @@ object SyntaxProbe {
       "ft-boost-error" ->
         """CALL db.index.fulltext.queryNodes('f20', 'spark^2')
            YIELD node, score RETURN count(*) AS c""",
-      "ft-slop-error" ->
+      "ft-slop" -> // positional postings serve proximity queries
         """CALL db.index.fulltext.queryNodes('f20', '"a b"~2')
            YIELD node, score RETURN count(*) AS c""",
       "ft-skip-limit" ->

@@ -646,6 +646,221 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(afterGrow == Seq("p:419", "p:420"))
   }
 
+  test("index-ordered walk: ORDER BY … LIMIT and min/max off sect=r") {
+    // 16 buckets so gid-bucket pruning is visible for ~5 candidates
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sidx-pxw").toString, spark, 16)
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 300).foreach { i =>
+      sess.run(f"CREATE (:Person {gid: 'p:$i%03d', age: $i, " +
+        f"email: 'u$i%03d@x.io'})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX wage FOR (p:Person) ON (p.age)").collect()
+    CypherEngine.query(st,
+      "CREATE INDEX wmail FOR (p:Person) ON (p.email)").collect()
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    def gids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getString(0)).toSeq
+    def assertRouted(df: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      val fs = df.inputFiles.toSet
+      assert(fs.subsetOf(allNodeFiles) && fs.size < allNodeFiles.size,
+        s"$what did not take the index-ordered walk: " +
+          s"${fs.size}/${allNodeFiles.size} node files")
+    }
+
+    // ASC top-k, no predicate: the walk needs no bound (numbers sort
+    // first under the type-aware order) and must stop early
+    val asc5 = CypherEngine.query(st,
+      """MATCH (p:Person) RETURN p.gid AS gid
+        |ORDER BY p.age LIMIT 5""".stripMargin)
+    assert(gids(asc5) == (1 to 5).map(i => f"p:$i%03d"))
+    assertRouted(asc5, "ASC LIMIT")
+
+    // SKIP consumes walked rows too
+    val page2 = CypherEngine.query(st,
+      """MATCH (p:Person) RETURN p.gid AS gid
+        |ORDER BY p.age SKIP 5 LIMIT 5""".stripMargin)
+    assert(gids(page2) == (6 to 10).map(i => f"p:$i%03d"))
+    assertRouted(page2, "SKIP+LIMIT")
+
+    // DESC needs a bound (missing-prop rows sort first under DESC and
+    // are invisible to the index) — with one, it walks from the top
+    val desc3 = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.age > 0 RETURN p.gid AS gid
+        |ORDER BY p.age DESC LIMIT 3""".stripMargin)
+    assert(gids(desc3) == Seq("p:300", "p:299", "p:298"))
+    assertRouted(desc3, "DESC LIMIT with bound")
+
+    // bounds narrow the walk and stay residual (keyset pagination)
+    val keyset = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.age > $cursor RETURN p.gid AS gid
+        |ORDER BY p.age LIMIT 4""".stripMargin, Map("cursor" -> 42))
+    assert(gids(keyset) == (43 to 46).map(i => f"p:$i%03d"))
+    assertRouted(keyset, "cursor pagination")
+
+    // string prefix + ORDER BY on the same prop (s-region walk)
+    val pfx = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.email STARTS WITH 'u2'
+        |RETURN p.gid AS gid ORDER BY p.email LIMIT 3""".stripMargin)
+    assert(gids(pfx) == Seq("p:200", "p:201", "p:202"))
+    assertRouted(pfx, "prefix-ordered walk")
+
+    // min/max: min needs no pin (numbers win the type-aware minimum);
+    // max needs one — both read a handful of node rows, not the label
+    val mn = CypherEngine.query(st,
+      "MATCH (p:Person) RETURN min(p.age) AS lo")
+    assert(mn.collect().head.getString(0) == "1")
+    assertRouted(mn, "min()")
+    val mx = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.age >= 0
+        |RETURN min(p.age) AS lo, max(p.age) AS hi""".stripMargin)
+    val mxr = mx.collect().head
+    assert(mxr.getString(0) == "1" && mxr.getString(1) == "300")
+    assertRouted(mx, "min()+max() with pin")
+
+    // the whole walk (planning + execution) is a bounded handful of
+    // jobs — an early stop, not a region read
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val again = CypherEngine.query(st,
+        """MATCH (p:Person) RETURN p.gid AS gid
+          |ORDER BY p.age LIMIT 5""".stripMargin)
+      assert(gids(again) == (1 to 5).map(i => f"p:$i%03d"))
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() <= 6,
+      s"too many jobs for an index-ordered top-k: ${jobs.get()}")
+
+    // correctness fallbacks: shapes the walk must NOT serve still
+    // answer right through the ordinary plan
+    val unpinnedDesc = CypherEngine.query(st,
+      """MATCH (p:Person) RETURN p.gid AS gid
+        |ORDER BY p.age DESC LIMIT 2""".stripMargin)
+    assert(gids(unpinnedDesc) == Seq("p:300", "p:299"))
+    val otherResid = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.email ENDS WITH '7@x.io'
+        |RETURN p.gid AS gid ORDER BY p.age LIMIT 2""".stripMargin)
+    assert(gids(otherResid) == Seq("p:007", "p:017"))
+
+    // mixed-type prop: numbers fill the ASC top-k ahead of strings;
+    // when they cannot, the walk bails and the scan stays correct
+    val sess2 = CypherEngine.session(st)
+    sess2.run("CREATE (:Person {gid: 'p:s1', age: 'young'})").collect()
+    sess2.run("CREATE (:Person {gid: 'p:s2', age: 'old'})").collect()
+    sess2.commit()
+    val mixedAsc = CypherEngine.query(st,
+      """MATCH (p:Person) RETURN p.gid AS gid
+        |ORDER BY p.age LIMIT 3""".stripMargin)
+    assert(gids(mixedAsc) == Seq("p:001", "p:002", "p:003"))
+    val mixedTail = CypherEngine.query(st,
+      """MATCH (p:Person) RETURN p.gid AS gid
+        |ORDER BY p.age SKIP 299 LIMIT 3""".stripMargin)
+    // after every number: strings ordered by text ('old' < 'young')
+    assert(gids(mixedTail) == Seq("p:300", "p:s2", "p:s1"))
+    // min is still the smallest NUMBER (type-aware order)
+    assert(CypherEngine.query(st,
+      "MATCH (p:Person) RETURN min(p.age) AS lo")
+      .collect().head.getString(0) == "1")
+  }
+
+  test("CONTAINS / ENDS WITH route through the sect=w value dictionary") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sidx-pxs").toString, spark, 16)
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 200).foreach { i =>
+      sess.run(f"CREATE (:Person {gid: 'p:$i%03d', email: 'u$i%03d@" +
+        s"${if (i % 2 == 0) "even" else "odd"}.io', age: $i})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX smail FOR (p:Person) ON (p.email)").collect()
+    val d = st.indexDef("smail").get
+    assert(st.pxValueDictReady(d))
+    // one dictionary row per distinct string value, owner-counted
+    val wRows = st.readSearchIndex(d, _.startsWith("sect=w"))
+    assert(wRows.count() == 200)
+    assert(wRows.filter("gid <> '1'").count() == 0)
+
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    def gids(q: String): (Seq[String], Set[String]) = {
+      val df = CypherEngine.query(st, q)
+      (df.collect().map(_.getString(0)).toSeq, df.inputFiles.toSet)
+    }
+    // CONTAINS: right rows, node read pruned to candidate gid buckets
+    val (c1, f1) = gids(
+      """MATCH (p:Person) WHERE p.email CONTAINS '19@'
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin)
+    assert(c1 == Seq("p:019", "p:119"))
+    assert(f1.subsetOf(allNodeFiles) && f1.size < allNodeFiles.size,
+      s"CONTAINS did not route: ${f1.size}/${allNodeFiles.size}")
+    // ENDS WITH: suffix match through the same dictionary
+    val (c2, f2) = gids(
+      """MATCH (p:Person) WHERE p.email ENDS WITH '7@odd.io'
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin)
+    assert(c2 == Seq("p:007", "p:017", "p:027", "p:037", "p:047",
+      "p:057", "p:067", "p:077", "p:087", "p:097", "p:107", "p:117",
+      "p:127", "p:137", "p:147", "p:157", "p:167", "p:177", "p:187",
+      "p:197"))
+    assert(f2.subsetOf(allNodeFiles) && f2.size < allNodeFiles.size,
+      s"ENDS WITH did not route: ${f2.size}/${allNodeFiles.size}")
+    // residual conjuncts apply on top; zero-match needles return empty
+    val (c3, _) = gids(
+      """MATCH (p:Person) WHERE p.email CONTAINS '19@' AND p.age > 100
+        |RETURN p.gid AS gid""".stripMargin)
+    assert(c3 == Seq("p:119"))
+    assert(gids("""MATCH (p:Person) WHERE p.email CONTAINS 'zzz'
+      |RETURN p.gid AS gid""".stripMargin)._1.isEmpty)
+
+    // strings only: a numeric prop never matches a string predicate
+    // (strict s-slot semantics), routed or not
+    CypherEngine.query(st,
+      "CREATE INDEX sage FOR (p:Person) ON (p.age)").collect()
+    assert(gids("""MATCH (p:Person) WHERE p.age CONTAINS '19'
+      |RETURN p.gid AS gid""".stripMargin)._1.isEmpty)
+
+    // delta: a changed value moves its dictionary row (old value's
+    // count decrements away, new value enters)
+    CypherEngine.query(st,
+      "MATCH (p:Person {gid: 'p:019'}) SET p.email = 'x@new.zz'").collect()
+    val (c4, _) = gids(
+      """MATCH (p:Person) WHERE p.email CONTAINS '19@'
+        |RETURN p.gid AS gid""".stripMargin)
+    assert(c4 == Seq("p:119"))
+    val (c5, _) = gids(
+      """MATCH (p:Person) WHERE p.email ENDS WITH '.zz'
+        |RETURN p.gid AS gid""".stripMargin)
+    assert(c5 == Seq("p:019"))
+    // a deleted node's value leaves the dictionary
+    CypherEngine.query(st,
+      "MATCH (p:Person {gid: 'p:019'}) DELETE p").collect()
+    assert(st.readSearchIndex(d, _.startsWith("sect=w"))
+      .filter("val = 's:x@new.zz'").count() == 0)
+
+    // shared values: owner counts survive partial deletes
+    val sess2 = CypherEngine.session(st)
+    sess2.run("CREATE (:Person {gid: 'p:a1', email: 'dup@x.io'})").collect()
+    sess2.run("CREATE (:Person {gid: 'p:a2', email: 'dup@x.io'})").collect()
+    sess2.commit()
+    CypherEngine.query(st,
+      "MATCH (p:Person {gid: 'p:a1'}) DELETE p").collect()
+    val (c6, _) = gids(
+      """MATCH (p:Person) WHERE p.email CONTAINS 'dup@'
+        |RETURN p.gid AS gid""".stripMargin)
+    assert(c6 == Seq("p:a2"))
+  }
+
   test("legacy px tables without a range section stay correct") {
     val st = newStore("pxlegacy")
     st.localizeTinyTables = false
@@ -667,7 +882,8 @@ class SearchIndexSpec extends AnyFunSuite {
     val pruned = JsonMethods.parse(raw) match {
       case JObject(tables) => JObject(tables.map {
         case (t, JObject(parts)) if t == d.tableName =>
-          t -> JObject(parts.filterNot(_._1.startsWith("sect=r")))
+          t -> JObject(parts.filterNot(p =>
+            p._1.startsWith("sect=r") || p._1.startsWith("sect=w")))
         case other => other
       })
       case other => other
@@ -676,6 +892,7 @@ class SearchIndexSpec extends AnyFunSuite {
       JsonMethods.compact(JsonMethods.render(pruned)).getBytes)
     assert(!st.pxRangeReady(st.indexDef("lage").get),
       "legacy simulation failed")
+    assert(!st.pxValueDictReady(st.indexDef("lage").get))
     // correctness holds through the scan fallback (routing the absent
     // section would return NOTHING)
     def over27: Seq[String] = CypherEngine.query(st,
@@ -686,16 +903,97 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(CypherEngine.query(st,
       "MATCH (l:L {age: 5}) RETURN l.gid AS g")
       .collect().map(_.getString(0)).toSeq == Seq("l:5"))
-    // an incremental commit must NOT grow a PARTIAL range section
+    // an incremental commit must NOT grow a PARTIAL range/dict section
     CypherEngine.query(st, "CREATE (:L {gid: 'l:31', age: 31})").collect()
     assert(!st.pxRangeReady(st.indexDef("lage").get))
+    assert(!st.pxValueDictReady(st.indexDef("lage").get))
     assert(over27 == Seq("l:28", "l:29", "l:30", "l:31"))
-    // a full rebuild regenerates both sections and routing resumes
+    // a full rebuild regenerates every section and routing resumes
+    // (sect=w stays key-less here — an all-numeric prop has no string
+    // vocabulary — so CONTAINS keeps the correct scan fallback)
     st.compact()
     assert(st.pxRangeReady(st.indexDef("lage").get))
     assert(over27 == Seq("l:28", "l:29", "l:30", "l:31"))
     assert(st.readSearchIndex(st.indexDef("lage").get,
       _.startsWith("sect=r")).count() == 31)
+  }
+
+  test("composite index: equality-prefix + trailing-range span route") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sidx-pxcr").toString, spark, 16)
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 400).foreach { i =>
+      sess.run(s"CREATE (:Acct {gid: 'a:$i', tenant: 't${i % 4}', " +
+        s"score: ${i / 4}})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX tsc FOR (a:Acct) ON (a.tenant, a.score)").collect()
+    val d = st.indexDef("tsc").get
+    // the composite now trains boundaries and persists a sect=r
+    // section of escComp-framed tuple keys
+    assert(d.boundaryN == 400 && st.pxRangeReady(d))
+    assert(st.readSearchIndex(d, _.startsWith("sect=r")).count() == 400)
+
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    def run(q: String, ps: Map[String, Any] = Map.empty) = {
+      val df = CypherEngine.query(st, q, ps)
+      (df.collect().map(_.getString(0)).toSeq.sorted, df.inputFiles.toSet)
+    }
+    // equality on the leading component + range on the next: i%4==2
+    // and i/4 > 95 → i in {386, 390, 394, 398}
+    val (r1, f1) = run(
+      """MATCH (a:Acct) WHERE a.tenant = 't2' AND a.score > 95
+        |RETURN a.gid AS gid""".stripMargin)
+    assert(r1 == Seq("a:386", "a:390", "a:394", "a:398"))
+    assert(f1.subsetOf(allNodeFiles) && f1.size < allNodeFiles.size,
+      s"eq+range did not route: ${f1.size}/${allNodeFiles.size}")
+    // BETWEEN on the trailing component (param bounds)
+    val (r2, f2) = run(
+      """MATCH (a:Acct {tenant: 't1'})
+        |WHERE a.score >= $lo AND a.score <= $hi
+        |RETURN a.gid AS gid""".stripMargin,
+      Map("lo" -> 10, "hi" -> 11))
+    assert(r2 == Seq("a:41", "a:45"))
+    assert(f2.subsetOf(allNodeFiles) && f2.size < allNodeFiles.size,
+      "eq+BETWEEN did not route")
+    // the span is exact on the index side: the probe reads a strict
+    // subset of the sect=r files
+    val rAll = st.readSearchIndex(d, _.startsWith("sect=r"))
+      .inputFiles.toSet
+    import graft.store.SearchIndexes.{escCompStr, encodeSortableValue,
+      rangeBucketOf}
+    val pfxKey = escCompStr(encodeSortableValue("t2").get)
+    val loKey = pfxKey +
+      escCompStr(encodeSortableValue(95.0).get).dropRight(1)
+    val bLo = rangeBucketOf(d.boundaries, loKey)
+    val bHi = d.boundaries.count(bd => bd <= pfxKey ||
+      bd.startsWith(pfxKey))
+    val probed = st.readSearchIndex(d, k =>
+      k.startsWith("sect=r/bucket=") && {
+        val b = k.drop("sect=r/bucket=".length).toInt
+        b >= bLo && b <= bHi
+      }).inputFiles.toSet
+    assert(probed.nonEmpty && probed.subsetOf(rAll) &&
+      probed.size < rAll.size,
+      s"composite span read ${probed.size}/${rAll.size} sect=r files")
+    // residuals keep exactness when the span over-approximates
+    val (r3, _) = run(
+      """MATCH (a:Acct) WHERE a.tenant = 't0' AND a.score <= 1
+        |RETURN a.gid AS gid""".stripMargin)
+    assert(r3 == Seq("a:4")) // the only t0 row with score ≤ 1
+    // delta keeps both sections consistent
+    CypherEngine.query(st,
+      "MATCH (a:Acct {gid: 'a:382'}) SET a.score = 1000").collect()
+    val (r4, _) = run(
+      """MATCH (a:Acct) WHERE a.tenant = 't2' AND a.score > 95
+        |RETURN a.gid AS gid""".stripMargin)
+    assert(r4 == Seq("a:382", "a:386", "a:390", "a:394", "a:398"))
+    val (r5, _) = run(
+      """MATCH (a:Acct) WHERE a.tenant = 't2' AND a.score > 500
+        |RETURN a.gid AS gid""".stripMargin)
+    assert(r5 == Seq("a:382"))
   }
 
   test("composite property index: tuple key, all-bound routing, delta") {
@@ -711,10 +1009,11 @@ class SearchIndexSpec extends AnyFunSuite {
       "CREATE INDEX tk FOR (a:Acct) ON (a.tenant, a.key)").collect()
     val d = st.indexDef("tk").get
     assert(d.properties == Seq("tenant", "key"))
-    // one tuple row per node carrying BOTH properties
-    assert(st.readSearchIndex(d, _ => true).count() == 60)
-    // composites have no range section (no total order to partition)
-    assert(st.readSearchIndex(d, _.startsWith("sect=r")).count() == 0)
+    // one tuple row per node carrying BOTH properties, in BOTH
+    // sections: sect=p (hash, all-bound lookups) and sect=r
+    // (escComp-framed, equality-prefix spans)
+    assert(st.readSearchIndex(d, _.startsWith("sect=p")).count() == 60)
+    assert(st.readSearchIndex(d, _.startsWith("sect=r")).count() == 60)
 
     val allNodeFiles = st.nodes.inputFiles.toSet
     // (t2, k7): i ≡ 2 (mod 5) and i ≡ 7 (mod 12) → i ≡ 7 (mod 60)
@@ -730,7 +1029,9 @@ class SearchIndexSpec extends AnyFunSuite {
         |RETURN a.gid AS gid ORDER BY gid""".stripMargin,
       Map("t" -> "t3")).collect().map(_.getString(0)).toSeq
     assert(viaWhere == Seq("a:3")) // i ≡ 3 (mod 5) ∧ i ≡ 3 (mod 12)
-    // a PARTIALLY bound composite must not route — and stays correct
+    // a PARTIALLY bound composite now routes on the equality-prefix
+    // span (or keeps the scan when the span is too broad) — the
+    // un-indexed residual (tag) applies either way
     val partial = CypherEngine.query(st,
       """MATCH (a:Acct) WHERE a.tenant = 't2' AND a.tag > 50
         |RETURN a.gid AS gid ORDER BY gid""".stripMargin)
@@ -847,8 +1148,8 @@ class SearchIndexSpec extends AnyFunSuite {
     // unparsed forms error instead of silently acking
     intercept[IllegalArgumentException] {
       CypherEngine.query(st,
-        """CREATE CONSTRAINT nk FOR (u:User)
-          |REQUIRE (u.a, u.b) IS NODE KEY""".stripMargin)
+        """CREATE CONSTRAINT bad FOR (u:User)
+          |REQUIRE u.email IS TYPED STRING""".stripMargin)
     }
     intercept[IllegalArgumentException] {
       CypherEngine.query(st, "DROP CONSTRAINT never_existed")
@@ -858,6 +1159,265 @@ class SearchIndexSpec extends AnyFunSuite {
       """CREATE CONSTRAINT g IF NOT EXISTS FOR (u:User)
         |REQUIRE u.gid IS UNIQUE""".stripMargin)
       .collect().head.getBoolean(1))
+  }
+
+  test("point predicates route through the range index (bbox, distance)") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sidx-pt").toString, spark, 16)
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 300).foreach { i =>
+      sess.run(s"CREATE (:Shop {gid: 's:$i', x: ${i / 3.0}, " +
+        s"y: ${(i % 50).toDouble}, lat: ${(i % 90).toDouble}, " +
+        s"lon: ${(i % 180).toDouble}})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX sx FOR (s:Shop) ON (s.x)").collect()
+    CypherEngine.query(st,
+      "CREATE INDEX slat FOR (s:Shop) ON (s.lat)").collect()
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    def run(q: String) = {
+      val df = CypherEngine.query(st, q)
+      (df.collect().map(_.getString(0)).toSeq.sorted, df.inputFiles.toSet)
+    }
+    // bbox: x ∈ [10, 12] → i ∈ [30, 36]; y ∈ [30, 36] → i%50 in range
+    val (r1, f1) = run(
+      """MATCH (s:Shop)
+        |WHERE point.withinBBox(point({x: s.x, y: s.y}),
+        |  point({x: 10.0, y: 30.0}), point({x: 12.0, y: 36.0}))
+        |RETURN s.gid AS gid""".stripMargin)
+    assert(r1 == (30 to 36).filter(i => i % 50 >= 30 && i % 50 <= 36)
+      .map(i => s"s:$i").sorted)
+    assert(f1.subsetOf(allNodeFiles) && f1.size < allNodeFiles.size,
+      s"bbox did not route: ${f1.size}/${allNodeFiles.size}")
+    // cartesian distance: circle around (40, 20) radius 1.5 — the x
+    // band routes, the exact circle stays residual
+    val (r2, f2) = run(
+      """MATCH (s:Shop)
+        |WHERE point.distance(point({x: s.x, y: s.y}),
+        |  point({x: 40.0, y: 20.0})) <= 1.5
+        |RETURN s.gid AS gid""".stripMargin)
+    val expect2 = (1 to 300).filter { i =>
+      val (x, y) = (i / 3.0, (i % 50).toDouble)
+      math.sqrt((x - 40) * (x - 40) + (y - 20) * (y - 20)) <= 1.5
+    }.map(i => s"s:$i").sorted
+    assert(r2 == expect2 && r2.nonEmpty)
+    assert(f2.subsetOf(allNodeFiles) && f2.size < allNodeFiles.size,
+      "distance band did not route")
+    // reversed comparison routes too
+    val (r2b, f2b) = run(
+      """MATCH (s:Shop)
+        |WHERE 1.5 >= point.distance(point({x: s.x, y: s.y}),
+        |  point({x: 40.0, y: 20.0}))
+        |RETURN s.gid AS gid""".stripMargin)
+    assert(r2b == expect2)
+    assert(f2b.size < allNodeFiles.size)
+    // wgs-84: meters → latitude band on the lat index; haversine
+    // residual keeps the exact circle
+    val (r3, _) = run(
+      """MATCH (s:Shop)
+        |WHERE point.distance(point({longitude: s.lon, latitude: s.lat}),
+        |  point({longitude: 44.0, latitude: 44.0})) <= 200000.0
+        |RETURN s.gid AS gid""".stripMargin)
+    val expect3 = (1 to 300).filter { i =>
+      val (lon, lat) = ((i % 180).toDouble, (i % 90).toDouble)
+      val toRad = math.Pi / 180.0
+      val h = math.pow(math.sin((44.0 - lat) * toRad / 2), 2) +
+        math.cos(lat * toRad) * math.cos(44.0 * toRad) *
+          math.pow(math.sin((44.0 - lon) * toRad / 2), 2)
+      2.0 * 6371000.0 * math.asin(math.sqrt(h)) <= 200000.0
+    }.map(i => s"s:$i").sorted
+    assert(r3 == expect3 && r3.nonEmpty)
+  }
+
+  test("positional postings: phrase and slop are pure index reads") {
+    val st = newStore("ftpos")
+    val sess = CypherEngine.session(st)
+    sess.run(
+      "CREATE (:Doc {gid: 'd:1', body: 'merge join beats hash join'})")
+      .collect()
+    sess.run("CREATE (:Doc {gid: 'd:2', body: 'join merge order'})")
+      .collect()
+    sess.run(
+      "CREATE (:Doc {gid: 'd:3', body: 'merge the outer join later'})")
+      .collect()
+    sess.run("CREATE (:Doc {gid: 'd:4', body: 'nothing relevant'})")
+      .collect()
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE FULLTEXT INDEX pidx FOR (x:Doc) ON EACH [x.body]").collect()
+    val d = st.indexDef("pidx").get
+    assert(st.ftPositionsReady(d))
+    // every token row carries sorted positions, tf == |pos|
+    val toks = st.readSearchIndex(d, _.startsWith("sect=t"))
+      .filter("sect = 't'")
+    assert(toks.filter("pos is null").count() == 0)
+    assert(toks.filter("tf <> size(pos)").count() == 0)
+    def hits(ix: String, q: String): Seq[String] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('$ix', '$q')
+         |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // exact phrase: contiguity via positions (d:2 is reversed, d:3 has
+    // a 2-token gap — both excluded)
+    assert(hits("pidx", "\"merge join\"") == Seq("d:1"))
+    // Lucene proximity: slop 1 admits neither; slop 2 admits the
+    // reversal AND the 2-gap (exactly Lucene's move-count semantics)
+    assert(hits("pidx", "\"merge join\"~1") == Seq("d:1"))
+    assert(hits("pidx", "\"merge join\"~2") == Seq("d:1", "d:2", "d:3"))
+    // delta: a new doc's rows carry positions; the marker survives
+    CypherEngine.query(st,
+      "CREATE (:Doc {gid: 'd:5', body: 'outer merge join'})").collect()
+    assert(hits("pidx", "\"merge join\"") == Seq("d:1", "d:5"))
+    assert(st.ftPositionsReady(st.indexDef("pidx").get))
+
+    // legacy simulation: a table built WITHOUT positions keeps the
+    // stored-text phrase fallback; slop demands a rebuild
+    graft.store.SearchIndexes.positionsEnabled = false
+    try {
+      CypherEngine.query(st,
+        "CREATE FULLTEXT INDEX lidx FOR (x:Doc) ON EACH [x.body]")
+        .collect()
+      assert(!st.ftPositionsReady(st.indexDef("lidx").get))
+      assert(hits("lidx", "\"merge join\"") == Seq("d:1", "d:5"))
+      val e = intercept[Exception] {
+        hits("lidx", "\"merge join\"~2")
+      }
+      assert(e.getMessage.contains("positional"))
+    } finally graft.store.SearchIndexes.positionsEnabled = true
+    // a full rebuild under position-aware code upgrades the table
+    st.compact()
+    assert(st.ftPositionsReady(st.indexDef("lidx").get))
+    assert(hits("lidx", "\"merge join\"~2") ==
+      Seq("d:1", "d:2", "d:3", "d:5"))
+  }
+
+  test("NODE KEY and relationship-existence constraints enforce at commit") {
+    val st = newStore("nkey")
+    val sess0 = CypherEngine.session(st)
+    (1 to 8).foreach { i =>
+      sess0.run(s"CREATE (:Acct {gid: 'a:$i', tenant: 't${i % 2}', " +
+        s"num: $i})").collect() }
+    sess0.run(
+      """MATCH (a:Acct {gid: 'a:1'}), (b:Acct {gid: 'a:2'})
+        |CREATE (a)-[:follows {source: 'seed'}]->(b)""".stripMargin)
+      .collect()
+    sess0.commit()
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT ak FOR (a:Acct)
+        |REQUIRE (a.tenant, a.num) IS NODE KEY""".stripMargin).collect()
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT fsrc FOR ()-[r:follows]-()
+        |REQUIRE r.source IS NOT NULL""".stripMargin).collect()
+    val shown = CypherEngine.query(st, "SHOW CONSTRAINTS")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(shown.contains(("ak", "NODE_KEY", "NODE")))
+    assert(shown.contains(
+      ("fsrc", "RELATIONSHIP_PROPERTY_EXISTENCE", "RELATIONSHIP")))
+
+    // duplicate tuple is vetoed; the failed batch commits nothing
+    val v0 = st.currentVersion
+    val e1 = intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:Acct {gid: 'a:99', tenant: 't1', num: 1})").collect()
+    }
+    assert(e1.getMessage.contains("ak"))
+    assert(st.currentVersion == v0)
+    // a missing component is vetoed (the NOT NULL half of NODE KEY)
+    val e2 = intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:Acct {gid: 'a:98', tenant: 't1'})").collect()
+    }
+    assert(e2.getMessage.contains("node-key"))
+    // distinct tuple passes; its backing index routes all-bound lookups
+    CypherEngine.query(st,
+      "CREATE (:Acct {gid: 'a:50', tenant: 't1', num: 50})").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (a:Acct {tenant: 't1', num: 50}) RETURN a.gid AS g")
+      .collect().map(_.getString(0)).toSeq == Seq("a:50"))
+    // 2^53-magnitude longs: distinct values whose LOSSY keys collide
+    // must NOT spuriously veto (exact-key verification)
+    CypherEngine.query(st,
+      "CREATE (:Acct {gid: 'a:b1', tenant: 'big', num: 9007199254740992})")
+      .collect()
+    CypherEngine.query(st,
+      "CREATE (:Acct {gid: 'a:b2', tenant: 'big', num: 9007199254740993})")
+      .collect()
+    // …while a GENUINE duplicate at that magnitude still throws
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:Acct {gid: 'a:b3', tenant: 'big', num: 9007199254740993})")
+        .collect()
+    }
+    // separator-bearing composite strings survive: the exact tuple
+    // key frames components injectively, so no alias, no spurious veto
+    CypherEngine.query(st,
+      "CREATE (:Acct {gid: 'a:s1', tenant: $t, num: 7})",
+      Map("t" -> ("x" + "\u0001" + "s:y"))).collect()
+
+    // relationship existence: a source-less edge is vetoed before the
+    // write; a sourced one passes
+    val e3 = intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        """MATCH (a:Acct {gid: 'a:3'}), (b:Acct {gid: 'a:4'})
+          |CREATE (a)-[:follows]->(b)""".stripMargin).collect()
+    }
+    assert(e3.getMessage.contains("fsrc"))
+    CypherEngine.query(st,
+      """MATCH (a:Acct {gid: 'a:3'}), (b:Acct {gid: 'a:4'})
+        |CREATE (a)-[:follows {source: 'ok'}]->(b)""".stripMargin)
+      .collect()
+    // creation over violating data fails and registers nothing
+    CypherEngine.query(st,
+      """MATCH (a:Acct {gid: 'a:5'}), (b:Acct {gid: 'a:6'})
+        |CREATE (a)-[:untracked]->(b)""".stripMargin).collect()
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        """CREATE CONSTRAINT usrc FOR ()-[r:untracked]-()
+          |REQUIRE r.source IS NOT NULL""".stripMargin).collect()
+    }
+    assert(st.indexDef("usrc").isEmpty)
+    // non-source relationship properties get a targeted rejection;
+    // relationship uniqueness too
+    val e4 = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        """CREATE CONSTRAINT w FOR ()-[r:follows]-()
+          |REQUIRE r.weight IS NOT NULL""".stripMargin)
+    }
+    assert(e4.getMessage.contains("r.source"))
+    val e5 = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        """CREATE CONSTRAINT ru FOR ()-[r:follows]-()
+          |REQUIRE r.source IS UNIQUE""".stripMargin)
+    }
+    assert(e5.getMessage.contains("not supported"))
+
+    // the fused probe: one commit with THREE declared constraints
+    // stays a bounded handful of jobs (one batch pass + one conflict
+    // join — not 3 sequential actions per constraint)
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT anum FOR (a:Acct)
+        |REQUIRE a.num IS NOT NULL""".stripMargin).collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val before = try {
+      CypherEngine.query(st,
+        "CREATE (:Acct {gid: 'a:60', tenant: 't9', num: 60})").collect()
+      Thread.sleep(1000)
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+    // the write path itself runs ~30 jobs (probes + node/edge/index/
+    // redges writes + px delta); the fused check must stay O(1) on
+    // top — one batch pass + one conflict join — NOT 3 per constraint
+    assert(before <= 40,
+      s"constraint-checked commit ran $before jobs")
   }
 
   test("property index DDL forms: auto-name, intrinsic gid, composite") {
@@ -1282,9 +1842,13 @@ class SearchIndexSpec extends AnyFunSuite {
     val used = fz.inputFiles.toSet.intersect(postAll)
     assert(used.nonEmpty && used.size < postAll.size,
       s"fuzzy query read ${used.size}/${postAll.size} posting files")
-    // boost / slop / bad-distance / field-scoped-fuzzy syntax gets
-    // TARGETED errors, not mis-lexed never-matching terms
-    Seq("spark^2", "\"sort merge\"~2", "spark~9", "body:spark~1")
+    // phrase slop is SERVED (positional postings): the reversed
+    // bigram in d:2 needs slop 2, exactly as in Lucene
+    assert(hits("\"sort merge\"") == Seq("d:1"))
+    assert(hits("\"sort merge\"~2").take(2) == Seq("d:1", "d:2"))
+    // boost / bad-distance / bad-slop / field-scoped-fuzzy syntax
+    // gets TARGETED errors, not mis-lexed never-matching terms
+    Seq("spark^2", "spark~9", "body:spark~1", "\"sort merge\"~x")
       .foreach { bad =>
         val e = intercept[Exception] {
           CypherEngine.query(st,
@@ -1292,7 +1856,8 @@ class SearchIndexSpec extends AnyFunSuite {
                |YIELD node, score RETURN 1 AS o""".stripMargin)
         }
         assert(e.getMessage.contains("not supported") ||
-          e.getMessage.contains("must be 1 or 2"), s"$bad: $e")
+          e.getMessage.contains("must be 1 or 2") ||
+          e.getMessage.contains("slop must be"), s"$bad: $e")
       }
   }
 

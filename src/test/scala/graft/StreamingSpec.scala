@@ -975,14 +975,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val got = spark.table("ftpost_out")
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Int](4).toList))
       .toSet
     // batch twin: the exact store-index tokenizer over the same docs
+    // — positions included (the POSITIONAL postings parity)
     val batchDocs = docs.filter(_._2.trim.nonEmpty)
       .map { case (id, t) => (s"d:$id", t) }.toDF("gid", "text")
     val expected = graft.store.SearchIndexes.tokenRows(batchDocs)
       .collect()
-      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getSeq[Int](5).toList))
       .toSet
     assert(got == expected)
     assert(got.nonEmpty)
