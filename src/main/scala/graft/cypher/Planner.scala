@@ -4144,16 +4144,32 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               .toSet -- info.keySet
             round += 1
           }
-          val top = aff.toSeq.sortBy { case (g, a) => (-a, g) }
-            .take(math.max(B, k.toInt))
-            .map { case (g, _) =>
-              val (v, n, _, _) = info(g)
-              org.apache.spark.sql.Row(g, v, n)
-            }
-          val spark = nodesInView.sparkSession
-          spark.createDataFrame(java.util.Arrays.asList(top: _*),
-            org.apache.spark.sql.types.StructType(
-              SearchIndexes.vxSchema.fields.filter(_.name != "cell")))
+          if (d.quant == "sq8") {
+            // QUANTIZED graph tier (the DiskANN shape): the beam
+            // steered on decoded codes (8× less adjacency IO) — the
+            // final frontier exact-rescores from the node rows, so
+            // YIELDed scores are exact, like the IVF quantized tier
+            val short = aff.toSeq.sortBy { case (g, a) => (-a, g) }
+              .take(math.max(4 * k.toInt, math.max(B, 64)))
+              .map(_._1)
+            if (short.isEmpty)
+              SearchIndexes.vectors(nodesInView, d).limit(0)
+            else SearchIndexes.vectors(
+              store.nodesByGidBuckets(
+                short.map(store.bucketOfString).toSet), d)
+              .filter(col("gid").isin(short: _*))
+          } else {
+            val top = aff.toSeq.sortBy { case (g, a) => (-a, g) }
+              .take(math.max(B, k.toInt))
+              .map { case (g, _) =>
+                val (v, n, _, _) = info(g)
+                org.apache.spark.sql.Row(g, v, n)
+              }
+            val spark = nodesInView.sparkSession
+            spark.createDataFrame(java.util.Arrays.asList(top: _*),
+              org.apache.spark.sql.types.StructType(
+                SearchIndexes.vxSchema.fields.filter(_.name != "cell")))
+          }
         } else if (store.searchIndexReady(d) && d.centroids.nonEmpty &&
             d.quant.nonEmpty) {
           // QUANTIZED tier: probe the top-nprobe cells' CODE rows
@@ -7455,11 +7471,15 @@ object CypherEngine {
         if (quant.nonEmpty && quant != "sq8" && quant != "bq")
           throw new IllegalArgumentException(
             s"unsupported graft.quantization: $quant (sq8 | bq)")
-        if (quant.nonEmpty && graphDeg > 0)
+        // sq8 + graph is the DiskANN shape: the adjacency rows store
+        // CODES (8× less beam IO), the beam scores approximately, and
+        // the final frontier exact-rescores from the node rows. bq's
+        // 1-bit codes are too coarse to steer a beam — still rejected.
+        if (quant == "bq" && graphDeg > 0)
           throw new IllegalArgumentException(
-            "graft.quantization and graft.graph.degree are mutually " +
-              "exclusive tiers (quantized IVF cells OR the proximity " +
-              "graph — the graph rows carry raw vectors by design)")
+            "graft.quantization 'bq' cannot combine with " +
+              "graft.graph.degree (1-bit codes cannot steer the beam); " +
+              "use 'sq8' for the quantized graph tier")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "vector", label, prop, dims = dims, similarity = sim,
           cells = ivfCells, nprobe = ivfNProbe, graphDeg = graphDeg,

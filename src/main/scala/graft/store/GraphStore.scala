@@ -538,10 +538,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val files = manifestFiles(d.graphTableName).view
       .filterKeys(k => bs.exists(b => k.endsWith(s"/bucket=$b")))
       .values.flatten.toSeq.sorted
-    readFiles(d.graphTableName, files, SearchIndexes.vgSchema)
+    val quantized = d.quant == "sq8" && d.graphDeg > 0
+    readFiles(d.graphTableName, files, SearchIndexes.vgSchemaOf(d))
       .filter(col("gid").isin(gids.toSeq: _*))
       .collect().map { r =>
-        r.getString(1) -> ((r.getSeq[Double](2).toSeq, r.getDouble(3),
+        // a quantized tier stores codes — decode for the beam's
+        // APPROXIMATE scoring (the final frontier exact-rescores
+        // from the node rows)
+        val v =
+          if (quantized) SearchIndexes.sq8DecodeLocal(
+            r.getSeq[Byte](2).toSeq, d.sqMn, d.sqMx)
+          else r.getSeq[Double](2).toSeq
+        r.getString(1) -> ((v, r.getDouble(3),
           Option(r.getSeq[String](4)).map(_.toSeq).getOrElse(Nil),
           Option(r.getSeq[Double](5)).map(_.toSeq).getOrElse(Nil)))
       }.toMap
@@ -971,7 +979,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             val entries =
               if (!hasRows) Nil
               else readFiles(d.tableName,
-                vxMan.values.flatten.toSeq.sorted, SearchIndexes.vxSchema)
+                vxMan.values.flatten.toSeq.sorted,
+                SearchIndexes.vxSchemaOf(d))
                 .groupBy(col("cell"))
                 .agg(org.apache.spark.sql.functions.min(col("gid")).as("g"))
                 .collect().map(_.getString(1)).distinct.sorted.toSeq
@@ -1579,15 +1588,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     import SearchIndexes._
     val tbl = d.graphTableName
     def empty = spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), vgSchema)
+      java.util.Collections.emptyList[Row](), vgSchemaOf(d))
     val prevIdx = prev.getOrElse(tbl, Map.empty)
     val prevNodes = prev.getOrElse("nodes", Map.empty)
     val mustRebuild = (!prev.contains(tbl) ||
       forceIndexRebuild0.contains(d.name)) && prevNodes.nonEmpty
+    // edge lists always COMPUTE from exact floats; a quantized tier
+    // (quant='sq8' + graphDeg — the DiskANN shape) only changes what
+    // the rows STORE
     def fullView: DataFrame = {
       val a2 = assignCells2(vectors(newNodes, d), d.centroids,
         d.similarity)
-      graphRows(a2, a2, d.similarity, d.graphDeg)
+      vgStorageRows(graphRows(a2, a2, d.similarity, d.graphDeg), d)
     }
     if (mustRebuild || dirtyNodes.isEmpty)
       return (fullView, None, true, Set.empty)
@@ -1619,10 +1631,20 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val candCells = addedA2.select(col("cell")).distinct()
       .collect().map(_.getString(0)).toSet
     val vxPrev = prev.getOrElse(d.tableName, Map.empty)
-    val residents = readFiles(d.tableName,
+    // resident vectors come from the vx cell directories — a
+    // quantized def's vx rows store codes, so decode them (the
+    // incremental edges are then approximate, DiskANN's own
+    // trade; the full rebuild recomputes exactly)
+    val residentsRaw = readFiles(d.tableName,
       vxPrev.view.filterKeys(k =>
         candCells.exists(cl => k.startsWith(s"cell=$cl/")))
-        .values.flatten.toSeq, vxSchema)
+        .values.flatten.toSeq, vxSchemaOf(d))
+    val residentsV =
+      if (d.quant == "sq8")
+        residentsRaw.select(col("cell"), col("gid"),
+          sq8DecodeCol(col("code"), d.sqMn, d.sqMx).as("v"), col("norm"))
+      else residentsRaw
+    val residents = residentsV
       .join(removed, Seq("gid"), "left_anti")
       .select(col("cell"), col("gid"), col("v"), col("norm"))
       .unionByName(addedA2.filter(col("cell").isin(candCells.toSeq: _*)))
@@ -1654,18 +1676,23 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           org.apache.spark.unsafe.types.UTF8String.fromString(g),
           org.apache.spark.sql.types.StringType)), 42)
         .eval(null).asInstanceOf[Int] % bc) + bc) % bc)
+    val quantized = d.quant == "sq8"
     val hRows: Map[String, VgRow] =
       if (hGids.isEmpty) Map.empty
       else readFiles(tbl,
         prevIdx.view.filterKeys(k =>
           hBuckets.exists(b => k.endsWith(s"/bucket=$b")))
-          .values.flatten.toSeq, vgSchema)
+          .values.flatten.toSeq, vgSchemaOf(d))
         .filter(col("gid").isin(hGids.toSeq: _*))
-        .collect().map(r => r.getString(1) -> VgRow(r.getString(1),
-          r.getSeq[Double](2).toSeq, r.getDouble(3),
-          Option(r.getSeq[String](4)).map(_.toSeq).getOrElse(Nil),
-          Option(r.getSeq[Double](5)).map(_.toSeq).getOrElse(Nil)))
-        .toMap
+        .collect().map { r =>
+          val v =
+            if (quantized) sq8DecodeLocal(r.getSeq[Byte](2).toSeq,
+              d.sqMn, d.sqMx)
+            else r.getSeq[Double](2).toSeq
+          r.getString(1) -> VgRow(r.getString(1), v, r.getDouble(3),
+            Option(r.getSeq[String](4)).map(_.toSeq).getOrElse(Nil),
+            Option(r.getSeq[Double](5)).map(_.toSeq).getOrElse(Nil))
+        }.toMap
     def dotL(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -1708,16 +1735,19 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .map(r => (Some("g"): Option[String], Some(r.getInt(0)): Option[Int]))
       .toSet
     if (dk.isEmpty) return (empty, Some(Set.empty), false, removedGids)
-    val localRows = spark.createDataFrame(
+    // build the rewrite as float rows, then map to the def's storage
+    // schema through the SAME Column encoder the full build uses —
+    // stored codes stay byte-identical across build and delta
+    val localRows = vgStorageRows(spark.createDataFrame(
       java.util.Arrays.asList(rewritten.map(r =>
-        Row("g", r.gid, r.v, r.norm, r.nbrs, r.nsim)): _*), vgSchema)
+        Row("g", r.gid, r.v, r.norm, r.nbrs, r.nsim)): _*), vgSchema), d)
     val oldPruned = readFiles(tbl,
       prevIdx.view.filterKeys(keyMatches("sect", dk)).values
-        .flatten.toSeq, vgSchema)
+        .flatten.toSeq, vgSchemaOf(d))
     val view = oldPruned
       .filter(!col("gid").isin(
         (rewrittenGids ++ removedGids).toSeq: _*))
-      .select(vgSchema.fieldNames.map(col).toSeq: _*)
+      .select(vgSchemaOf(d).fieldNames.map(col).toSeq: _*)
       .unionByName(localRows)
     (view, Some(dk), false, removedGids)
   }

@@ -714,6 +714,52 @@ object SearchIndexes {
     StructField("nbrs", ArrayType(StringType)),
     StructField("nsim", ArrayType(DoubleType))))
 
+  /** sq8-quantized adjacency rows (the DiskANN shape): `code`
+    * replaces the float vector — 8× less IO per beam round; the beam
+    * scores decoded codes and the final frontier exact-rescores from
+    * the node rows */
+  val vgq8Schema: StructType = StructType(Seq(
+    StructField("sect", StringType, nullable = false),
+    StructField("gid", StringType, nullable = false),
+    StructField("code", ArrayType(ByteType)),
+    StructField("norm", DoubleType),
+    StructField("nbrs", ArrayType(StringType)),
+    StructField("nsim", ArrayType(DoubleType))))
+
+  def vgSchemaOf(d: IndexDef): StructType =
+    if (d.quant == "sq8" && d.graphDeg > 0) vgq8Schema else vgSchema
+
+  /** map float-vector adjacency rows to the def's STORAGE schema
+    * (identity for raw defs) — edge lists and affinities were
+    * computed from exact floats; only the stored vector quantizes */
+  def vgStorageRows(rows: DataFrame, d: IndexDef): DataFrame =
+    if (d.quant == "sq8" && d.graphDeg > 0)
+      rows.select(col("sect"), col("gid"),
+        sq8Encode(col("v"), d.sqMn, d.sqMx).as("code"), col("norm"),
+        col("nbrs"), col("nsim"))
+    else rows
+
+  /** Column decode of stored sq8 codes back to doubles — the exact
+    * arithmetic the quantized-tier query path (and the DuckDB oracle)
+    * uses: dq_i = mn_i + (code_i + 128) * (mx_i - mn_i) / 255 */
+  def sq8DecodeCol(code: Column, mn: Seq[Double],
+      mx: Seq[Double]): Column =
+    transform(code, (b, i) => {
+      val lo = element_at(typedLit(mn), i + 1)
+      val hi = element_at(typedLit(mx), i + 1)
+      when(hi <= lo, lo).otherwise(
+        lo + (b.cast("double") + lit(128.0)) * (hi - lo) / lit(255.0))
+    })
+
+  /** driver-side twin of [[sq8DecodeCol]] (the beam decodes frontier
+    * rows on the driver) */
+  def sq8DecodeLocal(code: Seq[Byte], mn: Seq[Double],
+      mx: Seq[Double]): Seq[Double] =
+    code.zipWithIndex.map { case (b, i) =>
+      val lo = mn(i); val hi = mx(i)
+      if (hi <= lo) lo else lo + (b.toDouble + 128.0) * (hi - lo) / 255.0
+    }
+
   /** home + first-probe (top-2 affinity) cell assignment — one row
     * per (gid, cell), rank ≤ 2; the candidate-generation domain of
     * the proximity graph (edges only consider vectors sharing a

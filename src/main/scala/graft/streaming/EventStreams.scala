@@ -662,6 +662,21 @@ object EventStreams {
     }
   }
 
+  /** Streaming VALUE-DICTIONARY maintenance — the live half of the
+    * property table's `sect=w` section (CONTAINS / ENDS WITH needle
+    * expansion): an UPDATE-mode streaming aggregation of per-value
+    * owner counts over the SAME equality rows [[pxRowsStream]] emits,
+    * string values only (the dictionary's own rule — string
+    * predicates test the strict string slot, so no other type can
+    * match them). State is vocabulary-sized; the batch twin is
+    * [[graft.store.SearchIndexes.valueDictRows]].
+    */
+  def pxValueDictStream(props: Dataset[PropEvent]): DataFrame =
+    pxRowsStream(props).toDF()
+      .filter(col("sect") === "p" && col("value").startsWith("s:"))
+      .groupBy(col("value").as("val"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming term-DICTIONARY maintenance — the live half of the
     * posting table's `sect=d` section (prefix/fuzzy bucket pruning):
     * an UPDATE-mode streaming aggregation of per-term document

@@ -359,12 +359,77 @@ class SearchIndexSpec extends AnyFunSuite {
           |OPTIONS {indexConfig: {`graft.quantization`: 'pq4'}}"""
           .stripMargin)
     }
+    // sq8 + graph IS served (the DiskANN shape); bq's 1-bit codes
+    // cannot steer a beam — still a targeted error
     intercept[IllegalArgumentException] {
       CypherEngine.query(st2,
         """CREATE VECTOR INDEX bad2 FOR (m:Emb) ON (m.v)
-          |OPTIONS {indexConfig: {`graft.quantization`: 'sq8',
+          |OPTIONS {indexConfig: {`graft.quantization`: 'bq',
           |  `graft.graph.degree`: 6}}""".stripMargin)
     }
+  }
+
+  test("quantized graph tier: beam over sq8 codes + exact rescore") {
+    val st = newStore("vgq")
+    val n = 60
+    val sess = CypherEngine.session(st)
+    (1 to n).foreach(i => sess.run(
+      s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}})").collect())
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE VECTOR INDEX gq FOR (m:Emb) ON (m.v)
+        |OPTIONS {indexConfig: {`graft.graph.degree`: 8,
+        |  `graft.quantization`: 'sq8'}}""".stripMargin).collect()
+    val d = st.indexDef("gq").get
+    assert(d.quant == "sq8" && d.graphDeg == 8)
+    assert(d.sqMn.nonEmpty && d.graphEntries.nonEmpty)
+    // the adjacency files STORE codes, not float vectors (8x less
+    // beam IO); readGraphRows decodes for the beam
+    val vgFile = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(st.root))
+      try s.filter(p => p.toString.contains("vg_gq") &&
+        p.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val vgSchema = spark.read.parquet(vgFile.toString).schema
+    assert(vgSchema.fieldNames.contains("code") &&
+      !vgSchema.fieldNames.contains("v"),
+      s"vg rows are not quantized: ${vgSchema.simpleString}")
+    val decoded = st.readGraphRows(d, Set("e:7"))
+    assert(decoded.contains("e:7") && decoded("e:7")._3.nonEmpty)
+
+    // exact self-match: the rescore reads the FLOAT vector from the
+    // node row, so the top score is exactly (1+cos)/2 = 1.0
+    val q7 = vec(7)
+    val rows = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('gq', 5, ${vecLit(q7)})
+         |YIELD node, score
+         |RETURN node.gid AS gid, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.head._1 == "e:7")
+    assert(math.abs(rows.head._2 - 1.0) < 1e-9)
+    // scores are exact for every hit (not dequantized approximations)
+    rows.foreach { case (g, s0) =>
+      val i = g.drop(2).toInt
+      assert(math.abs(s0 - (1.0 + cosine(q7, vec(i))) / 2.0) < 1e-9, g)
+    }
+    // recall vs brute-force top-5 on the code-steered beam
+    val brute = (1 to n).map(i => (s"e:$i", cosine(q7, vec(i))))
+      .sortBy { case (g, s0) => (-s0, g) }.take(5).map(_._1).toSet
+    assert(rows.map(_._1).toSet.intersect(brute).size >= 3,
+      s"quantized beam recall too low: ${rows.map(_._1).toSet} vs $brute")
+    // incremental add: an exact duplicate of e:7 becomes reachable
+    CypherEngine.query(st,
+      s"CREATE (:Emb {gid: 'e:99', v: ${vecLit(vec(7))}})").collect()
+    val rows2 = CypherEngine.query(st,
+      s"""CALL db.index.vector.queryNodes('gq', 2, ${vecLit(q7)})
+         |YIELD node, score RETURN node.gid AS gid""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows2.toSeq == Seq("e:7", "e:99"))
+    // delete leaves the graph
+    CypherEngine.query(st,
+      "MATCH (m:Emb {gid: 'e:99'}) DELETE m").collect()
+    assert(st.readGraphRows(st.indexDef("gq").get, Set("e:99")).isEmpty)
   }
 
   test("graph-tier vector index: persisted NSW adjacency + beam search") {

@@ -1026,6 +1026,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_ == ("spark", 3L)))
   }
 
+  test("pxValueDictStream == SearchIndexes.valueDictRows across a split batch") {
+    import spark.implicits._
+    val props = Seq(
+      (1L, Some("alpha"), None, None, None),
+      (2L, Some("beta"), None, None, None),
+      (3L, Some("alpha"), None, None, None),
+      (4L, None, Some(42L), None, None), // numeric — not in the dict
+      (5L, Some("gamma"), None, None, None))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[String], Option[Long], Option[Double],
+        Option[Boolean])]
+    val input = ms.toDS().map { case (id, s, l, d, b) =>
+      EventStreams.PropEvent(s"n:$id", s, l, d, b) }
+    val q = EventStreams.pxValueDictStream(input)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pxdict_out").start()
+    try {
+      props.grouped(2).foreach { c =>
+        ms.addData(c.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("pxdict_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, rs) => (v, rs.map(_._2).max) }.toSet
+    // batch twin over the same values via the shared encoder
+    assert(got == Set(("s:alpha", 2L), ("s:beta", 1L), ("s:gamma", 1L)),
+      s"stream $got")
+  }
+
   test("vxAssignStream == SearchIndexes.assignCells (cosine and euclidean)") {
     import spark.implicits._
     def vec(i: Int): Seq[Double] =
