@@ -224,7 +224,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     */
   private var effectsSink: Option[Planner] = None
 
-  private def spark = store.nodes.sparkSession
+  private def spark = store.sparkSession
 
   def plan(q: Query): DataFrame = {
     if (q.unions.isEmpty) return planSingle(q)
@@ -325,6 +325,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def planSingle(q: Query): DataFrame = {
     matPathVars = collectPathFnVars(q)
+    // count-store shape: answered from the manifest sidecar in O(1),
+    // zero Spark jobs (detection bails on anything but the pure shape)
+    detectCountStore(q).foreach { out => return out }
     // index-ordered top-k / min-max shape (consumed by nodeDf's
     // propIndexedBase; one-shot — the statement has a single MATCH)
     pxOrderWalk = detectOrderWalk(q)
@@ -1942,6 +1945,77 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       chunk = math.min(chunk * 2, 64)
     }
     if (cnt >= need || complete) Some(cands.toSeq) else None
+  }
+
+  /** Count-store fast path (the Neo4j count-store read,
+    * /root/reference/neo4j.go:289-291's implied Query() surface):
+    *
+    *   MATCH (n[:L[|M…]]) RETURN count(n) / count(*)
+    *   MATCH ()-[r[:T[|U…]]]->() RETURN count(r) / count(*)
+    *
+    * answers in O(1) from the per-partition row counts the commit
+    * maintains beside the manifest — ZERO Spark jobs, no scan. The
+    * route bails (keeps the ordinary plan) whenever anything else is
+    * in the statement: any predicate/property/WHERE, extra pattern
+    * parts, var-length/undirected rels (an undirected anonymous
+    * pattern matches each edge twice — not a partition sum), labeled
+    * rel endpoints, DISTINCT, ORDER/SKIP/LIMIT, a session holding
+    * uncommitted writes, or a label ever used as a secondary
+    * (store-side gates). Label/type disjunctions sum disjoint
+    * partitions — exact because primary labels partition the table.
+    */
+  private def detectCountStore(q: Query): Option[DataFrame] = {
+    if (q.unions.nonEmpty || q.distinct || q.orderBy.nonEmpty ||
+        q.skip.nonEmpty || q.limit.nonEmpty) return None
+    if (pendingNodes.nonEmpty || pendingEdges.nonEmpty ||
+        pendingNodeDeletes.nonEmpty || pendingEdgeDeletes.nonEmpty)
+      return None
+    val m = q.clauses match {
+      case Seq(mc: MatchClause) if !mc.optional && mc.where.isEmpty => mc
+      case _ => return None
+    }
+    if (m.patterns.size != 1) return None
+    val pat = m.patterns.head
+    if (pat.pathVar.nonEmpty || pat.shortest || pat.allShortest)
+      return None
+    def anonNode(n: NodePattern): Boolean =
+      n.label.isEmpty && n.altLabels.isEmpty && n.extraLabels.isEmpty &&
+        n.props.isEmpty && n.where.isEmpty && n.dynLabel.isEmpty
+    val cnt: Option[Long] = pat.hops match {
+      case Seq() =>
+        val n = pat.head
+        if (n.props.nonEmpty || n.where.nonEmpty ||
+            n.extraLabels.nonEmpty || n.dynLabel.nonEmpty) return None
+        val labels = n.label.toSeq ++ n.altLabels
+        if (labels.isEmpty) store.nodeCountByLabel(None)
+        else labels.distinct.foldLeft(Option(0L)) { (acc, l) =>
+          acc.flatMap(a => store.nodeCountByLabel(Some(l)).map(a + _)) }
+      case Seq((r, tail)) =>
+        if (!anonNode(pat.head) || !anonNode(tail)) return None
+        if (r.direction == 0 || r.varLength.nonEmpty ||
+            r.where.nonEmpty || r.props.nonEmpty ||
+            r.qppNodeVars.nonEmpty || r.dynType.nonEmpty) return None
+        val types = r.relType.toSeq ++ r.altRelTypes
+        if (types.isEmpty) store.edgeCountByType(None)
+        else types.distinct.foldLeft(Option(0L)) { (acc, t) =>
+          acc.flatMap(a => store.edgeCountByType(Some(t)).map(a + _)) }
+      case _ => return None
+    }
+    val c = cnt match { case Some(x) => x case None => return None }
+    // every projected item must be a bare non-DISTINCT count of the
+    // whole row (count(*)) or of a pattern-bound variable (always
+    // non-null under MATCH, so count(v) = count(*))
+    val bound: Set[String] = (pat.head.variable.toSeq ++
+      pat.hops.flatMap { case (r, t) =>
+        r.variable.toSeq ++ t.variable.toSeq }).toSet
+    if (q.items.isEmpty) return None
+    val ok = q.items.forall(_.expr match {
+      case FuncCall("count", Seq(Star), false) => true
+      case FuncCall("count", Seq(VarRef(v)), false) => bound(v)
+      case _ => false
+    })
+    if (!ok) return None
+    Some(seedRow(q.items.map(i => i.name -> c): _*))
   }
 
   /** `v:l` label MEMBERSHIP (primary or secondary). When `l` was
@@ -5052,16 +5126,39 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // aggregated counts over the snapshot, nothing driver-side
       case "graft.stats" =>
         noArgs()
-        val nodeStats = store.nodes
-          .groupBy(coalesce(col("label"), lit("<unlabeled>")).as("name"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("kind", lit("nodes"))
-        val edgeStats = store.edges
-          .groupBy(col("relType").as("name"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("kind", lit("relationships"))
-        (nodeStats.unionByName(edgeStats).select("kind", "name", "n"),
-          Seq("kind", "name", "n"))
+        // served from the commit-maintained count store (zero scan
+        // jobs) whenever the sidecar is current; an open session with
+        // uncommitted writes — or a pre-counts pointer — falls back
+        // to the two partial-aggregated scans
+        def statRows(tbl: String, partCol: String, kind: String,
+            nullName: String): Option[Seq[(String, String, Long)]] =
+          store.partitionCounts(tbl).map(_.toSeq
+            .map { case (k, n) =>
+              val dir = k.takeWhile(_ != '/').stripPrefix(partCol + "=")
+              (graft.store.GraphStore.partDirValue(dir)
+                .getOrElse(nullName), n)
+            }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+            .toSeq.map { case (name, n) => (kind, name, n) })
+        val fast: Option[DataFrame] =
+          if (store.session.nonEmpty) None
+          else for {
+            ns <- statRows("nodes", "label", "nodes", "<unlabeled>")
+            es <- statRows("edges", "relType", "relationships", "")
+          } yield spark.createDataFrame(ns ++ es)
+            .toDF("kind", "name", "n")
+        val out = fast.getOrElse {
+          val nodeStats = store.nodes
+            .groupBy(coalesce(col("label"), lit("<unlabeled>")).as("name"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("kind", lit("nodes"))
+          val edgeStats = store.edges
+            .groupBy(col("relType").as("name"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("kind", lit("relationships"))
+          nodeStats.unionByName(edgeStats).select("kind", "name", "n")
+        }
+        (out, Seq("kind", "name", "n"))
       // schema introspection (Neo4j db.schema.*): per (label, key) the
       // observed value types — the typed property slots ARE the type
       // witness — plus mandatory = every node/rel of that label has
@@ -7300,7 +7397,7 @@ object CypherEngine {
     // stats (Spark's formatted explain after an AQE-final execution).
     // Cypher time()/localtime() lower to Spark 4's native TIME type,
     // which ships behind a flag — enable it for the engine's queries
-    store.nodes.sparkSession.conf
+    store.sparkSession.conf
       .set("spark.sql.timeType.enabled", "true")
     val trimmed0 = cypher.dropWhile(_.isWhitespace)
     // SHOW PROCEDURES / FUNCTIONS / DATABASES (the Neo4j 4.3+ command
@@ -7417,7 +7514,7 @@ object CypherEngine {
         // the generic intrinsic ack and build nothing
         """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
     def ddlAck(info: String): DataFrame = {
-      val spark = store.nodes.sparkSession
+      val spark = store.sparkSession
       import spark.implicits._
       Seq((info, true)).toDF("info", "acknowledged")
     }

@@ -537,7 +537,7 @@ object GraphMerge {
     // NO_CODEGEN past both finallys under concurrent writes. It runs
     // both at the pre-commit point and in the finally, so an expected
     // throw (CREATE conflict) cannot leave the conf flipped.
-    val spark = store.nodes.sparkSession
+    val spark = store.sparkSession
     val tiny = store.isTiny
     if (tiny) {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
@@ -555,7 +555,7 @@ object GraphMerge {
   private def applyWrite0(store: GraphStore, effects: Seq[WriteEffect],
       restoreCodegen: () => Unit): CompositeStats = {
     import WriteEffect._
-    val spark = store.nodes.sparkSession
+    val spark = store.sparkSession
     import spark.implicits._
     val ver = store.currentVersion + 1
     val initialNodes = store.nodes // session overlay or committed table

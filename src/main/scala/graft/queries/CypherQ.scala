@@ -808,6 +808,32 @@ DETACH DELETE n
     // each leaves the store untouched), valid writes land, and the
     // read routes through the node key's backing composite index.
     // The oracle replays the surviving state from the parquet source.
+    // Count-store fast path (Neo4j's O(1) count store): each UNION
+    // branch is the pure count shape — label count, total node
+    // count (stubs included), per-relType / total edge counts, and a
+    // label-disjunction sum — answered from the per-partition row
+    // counts the commit maintains beside the manifest, ZERO Spark
+    // jobs per branch (spec-asserted in CountStoreSpec).
+    "cypher_count_store" -> ((s, dir) => {
+      import s.implicits._
+      val st = GraphOnTpch.customerGraphStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) RETURN 'customers' AS kind, count(c) AS n
+           UNION ALL
+           MATCH (n:Nation) RETURN 'nations' AS kind, count(*) AS n
+           UNION ALL
+           MATCH (x) RETURN 'all_nodes' AS kind, count(x) AS n
+           UNION ALL
+           MATCH ()-[r:located_in]->()
+           RETURN 'located_in' AS kind, count(r) AS n
+           UNION ALL
+           MATCH ()-[]->() RETURN 'all_edges' AS kind, count(*) AS n
+           UNION ALL
+           MATCH (x:Customer|Nation)
+           RETURN 'two_labels' AS kind, count(x) AS n""")
+        .orderBy($"kind")
+    }),
+
     "cypher_constraints" -> ((s, dir) => {
       import s.implicits._
       val store = constraintStore(s, dir)
@@ -1715,6 +1741,25 @@ DETACH DELETE n
            SELECT * FROM pts
            WHERE sqrt((x-50.0)*(x-50.0) + (y-50.0)*(y-50.0)) <= 5.0)
          ORDER BY gid, x""",
+
+    "cypher_count_store" ->
+      """WITH c AS (SELECT count(*) AS n FROM customer),
+            nn AS (SELECT count(*) AS n FROM nation),
+            r AS (SELECT count(DISTINCT n_regionkey) AS n FROM nation)
+         SELECT kind, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'customers' AS kind, (SELECT n FROM c) AS n
+           UNION ALL
+           SELECT 'nations', (SELECT n FROM nn)
+           UNION ALL
+           SELECT 'all_nodes',
+             (SELECT n FROM c) + (SELECT n FROM nn) + (SELECT n FROM r)
+           UNION ALL
+           SELECT 'located_in', (SELECT n FROM c)
+           UNION ALL
+           SELECT 'all_edges', (SELECT n FROM c) + (SELECT n FROM nn)
+           UNION ALL
+           SELECT 'two_labels', (SELECT n FROM c) + (SELECT n FROM nn))
+         ORDER BY kind""",
 
     "cypher_constraints" ->
       """SELECT 'c:'||c_custkey AS gid, c_name AS name

@@ -70,6 +70,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   private def rootPath: Path = Paths.get(root)
   private def pointer: Path = rootPath.resolve("_current")
   private def manifestPath(v: Long): Path = rootPath.resolve(f"m$v%08d.json")
+  /** per-partition row-count sidecar (the count store) — written with
+    * the manifest, adopted by the same pointer flip */
+  private def countsPath(v: Long): Path = rootPath.resolve(f"c$v%08d.json")
   private def dataDir(table: String): Path =
     rootPath.resolve("data").resolve(table)
 
@@ -93,6 +96,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
 
   /** the count the on-disk data is hashed with (see init above) */
   def bucketCount: Int = bucketCount0
+
+  /** the session the store plans against — accessed directly so
+    * callers needing only the session never materialize a table view
+    * (the tiny-store localization collect) as a side effect */
+  private[graft] def sparkSession: SparkSession = spark
 
   /** every label that occurs as a SECONDARY label anywhere in the
     * store (pointer line 4, flipped atomically with the version it
@@ -989,6 +997,33 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           }
         }
       }
+      // ---- count store (Neo4j's O(1) count answers): per-partition
+      // row counts for nodes/edges ride the commit. Untouched
+      // partitions (identical file list) carry their previous count;
+      // rewritten ones re-count from parquet FOOTER metadata only
+      // (getRecordCount — no data pages read), so the per-commit cost
+      // is O(changed files), the same bound as the rewrite itself. A
+      // pre-counts manifest (or a lost sidecar) recounts everything
+      // once — still metadata-only — and is thereafter incremental.
+      val prevCounts: Map[String, Map[String, Long]] =
+        if (v == 0L) Map.empty
+        else readCounts(v).getOrElse(Map.empty)
+      def tableCounts(tbl: String,
+          man: Map[String, Seq[String]]): Map[String, Long] = {
+        val prevMan = prev.getOrElse(tbl, Map.empty)
+        val pc = prevCounts.getOrElse(tbl, Map.empty)
+        val (carried, recount) = man.partition { case (k, fs) =>
+          pc.contains(k) && prevMan.get(k).contains(fs) }
+        val counted = recount.toSeq.map { case (k, fs) =>
+          k -> Future(fs.map(f =>
+            parquetRowCount(rootPath.resolve(f))).sum) }
+        carried.map { case (k, _) => k -> pc(k) } ++
+          counted.map { case (k, f) =>
+            k -> Await.result(f, Duration.Inf) }
+      }
+      writeCounts(next, Map(
+        "nodes" -> tableCounts("nodes", nodesMan),
+        "edges" -> tableCounts("edges", edgesMan)))
       writeManifest(next, Map(
         "nodes" -> nodesMan, "edges" -> edgesMan,
         "redges" -> redgesMan) ++ idxMans)
@@ -1965,7 +2000,10 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       val m = readManifest(v)
       m.values.flatMap(_.values.flatten)
     }.toSet
-    doomed.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    doomed.foreach { v =>
+      Files.deleteIfExists(manifestPath(v))
+      Files.deleteIfExists(countsPath(v))
+    }
     // sweep unreferenced pool files, then prune empty directories
     val pool = rootPath.resolve("data")
     if (Files.exists(pool)) {
@@ -2150,6 +2188,88 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       case _ => Map("nodes" -> Map.empty, "edges" -> Map.empty)
     }
   }
+
+  // ---- count store ----
+
+  private def writeCounts(v: Long,
+      c: Map[String, Map[String, Long]]): Unit = {
+    val json = JObject(c.toList.sortBy(_._1).map { case (t, parts) =>
+      t -> JObject(parts.toList.sortBy(_._1).map { case (k, n) =>
+        k -> JInt(BigInt(n))
+      })
+    })
+    Files.write(countsPath(v),
+      JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** None = no sidecar for that version (pre-counts manifest) — the
+    * commit recounts, readers fall back to the scan */
+  private def readCounts(v: Long): Option[Map[String, Map[String, Long]]] = {
+    if (!Files.exists(countsPath(v))) return None
+    val raw = new String(Files.readAllBytes(countsPath(v)),
+      StandardCharsets.UTF_8)
+    JsonMethods.parse(raw) match {
+      case JObject(tables) => Some(tables.map {
+        case (t, JObject(parts)) => t -> parts.collect {
+          case (k, JInt(n)) => k -> n.toLong
+        }.toMap
+        case (t, _) => t -> Map.empty[String, Long]
+      }.toMap)
+      case _ => None
+    }
+  }
+
+  /** Parquet footer row count — metadata only, no data pages read. */
+  private def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Current snapshot's per-partition row counts for `table` — the
+    * count store the commit maintains. None on a pre-counts pointer
+    * (readers keep the scan until the next commit writes the sidecar).
+    */
+  def partitionCounts(table: String): Option[Map[String, Long]] = {
+    val v = currentVersion
+    if (v == 0L) Some(Map.empty)
+    else readCounts(v).map(_.getOrElse(table, Map.empty))
+  }
+
+  /** O(1) node count per Neo4j count-store semantics: `None` label =
+    * every node (stubs included, the `MATCH (n)` total); `Some(l)` =
+    * nodes whose PRIMARY label is l. Returns None — caller keeps the
+    * scan plan — when the sidecar is missing, a session holds
+    * uncommitted node writes, or `l` has ever been used as a
+    * SECONDARY label (its members then live outside its partition).
+    */
+  def nodeCountByLabel(label: Option[String]): Option[Long] = {
+    if (session.exists(_.workNodes.isDefined)) return None
+    if (label.exists(secondaryLabels0.contains)) return None
+    partitionCounts("nodes").map(sumPartitions(_, "label", label))
+  }
+
+  /** O(1) edge count: `None` = every relationship, `Some(t)` = edges
+    * of relType t. None when the sidecar is missing or a session
+    * holds uncommitted edge writes.
+    */
+  def edgeCountByType(relType: Option[String]): Option[Long] = {
+    if (session.exists(_.workEdges.isDefined)) return None
+    partitionCounts("edges").map(sumPartitions(_, "relType", relType))
+  }
+
+  private def sumPartitions(m: Map[String, Long], partCol: String,
+      v: Option[String]): Long = v match {
+    case None => m.values.sum
+    case Some(x) =>
+      val pd = s"$partCol=${partDirName(Some(x))}"
+      m.collect {
+        case (k, n) if k == pd || k.startsWith(pd + "/") => n }.sum
+  }
 }
 
 object GraphStore {
@@ -2182,6 +2302,23 @@ object GraphStore {
       }
       sb.toString
   }
+
+  /** inverse of [[partDirName]]: decode the Hive %XX escapes; the
+    * default-partition sentinel maps back to None (null/"" value) */
+  def partDirValue(dir: String): Option[String] =
+    if (dir == DefaultPartitionName) None
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < dir.length) {
+        val c = dir.charAt(i)
+        if (c == '%' && i + 2 < dir.length) {
+          sb.append(Integer.parseInt(dir.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      Some(sb.toString)
+    }
 
   private def needsEscaping(c: Char): Boolean =
     c < 0x20 || c == 0x7F || c == '"' || c == '#' || c == '%' ||

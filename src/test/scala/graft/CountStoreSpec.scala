@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.CypherEngine
+import graft.store.GraphStore
+
+/** The count-store fast path: `MATCH (n:L) RETURN count(n)` /
+  * `MATCH ()-[r:T]->() RETURN count(r)` answered in O(1) from the
+  * per-partition row counts the commit maintains beside the manifest
+  * — ZERO Spark jobs for the routed shape — with scan fallback on
+  * anything else (predicates, uncommitted session writes, secondary
+  * labels), and counts that track every mutation class through
+  * commit (create / delete / full-sync truncate).
+  */
+class CountStoreSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.get
+
+  private def newStore(tag: String): GraphStore =
+    new GraphStore(
+      Files.createTempDirectory(s"graft-cnt-$tag").toString, spark, 4)
+
+  private def one(st: GraphStore, q: String): Long =
+    CypherEngine.query(st, q).collect().head.getLong(0)
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // drain the async listener bus: events posted by the fixture's
+    // commit would otherwise deliver to the listener registered below
+    Thread.sleep(1500)
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    jobs.get()
+  }
+
+  private def seed(st: GraphStore): Unit = {
+    val sess = CypherEngine.session(st)
+    (1 to 7).foreach(i =>
+      sess.run(s"CREATE (:Person {gid: 'p:$i', age: $i})").collect())
+    (1 to 3).foreach(i =>
+      sess.run(s"CREATE (:City {gid: 'c:$i'})").collect())
+    (1 to 5).foreach(i => sess.run(
+      s"""MATCH (a:Person {gid: 'p:$i'}), (b:City {gid: 'c:${i % 3 + 1}'})
+         |CREATE (a)-[:LIVES_IN]->(b)""".stripMargin).collect())
+    (1 to 2).foreach(i => sess.run(
+      s"""MATCH (a:Person {gid: 'p:$i'}), (b:Person {gid: 'p:${i + 1}'})
+         |CREATE (a)-[:KNOWS]->(b)""".stripMargin).collect())
+    sess.commit()
+  }
+
+  test("routed count shapes answer with zero Spark jobs") {
+    val st = newStore("zero")
+    seed(st)
+    var got = Seq.empty[Long]
+    val jobs = countJobs {
+      got = Seq(
+        one(st, "MATCH (n:Person) RETURN count(n) AS n"),
+        one(st, "MATCH (n:City) RETURN count(*) AS n"),
+        one(st, "MATCH (n) RETURN count(n) AS n"),
+        one(st, "MATCH (n:Person|City) RETURN count(n) AS n"),
+        one(st, "MATCH ()-[r:LIVES_IN]->() RETURN count(r) AS n"),
+        one(st, "MATCH ()-[r:KNOWS]->() RETURN count(r) AS n"),
+        one(st, "MATCH ()-[]->() RETURN count(*) AS n"),
+        one(st, "MATCH ()<-[r:KNOWS]-() RETURN count(r) AS n"))
+    }
+    assert(got == Seq(7L, 3L, 10L, 10L, 5L, 2L, 7L, 2L))
+    assert(jobs == 0, s"count-store route ran $jobs Spark jobs")
+  }
+
+  test("fast counts equal the scan plan's answer") {
+    val st = newStore("parity")
+    seed(st)
+    // the WHERE forces the ordinary scan plan; `age IS NOT NULL OR
+    // true` is tautological so both count the same rows
+    assert(one(st, "MATCH (n:Person) RETURN count(n) AS n") ==
+      one(st,
+        "MATCH (n:Person) WHERE n.age IS NOT NULL OR true " +
+          "RETURN count(n) AS n"))
+    assert(one(st, "MATCH ()-[r:LIVES_IN]->() RETURN count(r) AS n") ==
+      one(st,
+        "MATCH ()-[r:LIVES_IN]->() WHERE r.source IS NULL OR true " +
+          "RETURN count(r) AS n"))
+    assert(one(st, "MATCH (n) RETURN count(n) AS n") ==
+      one(st, "MATCH (n) WHERE n.gid IS NOT NULL RETURN count(n) AS n"))
+  }
+
+  test("counts track deletes and stub creation through commit") {
+    val st = newStore("mut")
+    seed(st)
+    // an edge to a nonexistent target creates an unlabeled stub node
+    CypherEngine.query(st,
+      """MATCH (a:Person {gid: 'p:1'})
+        |CREATE (a)-[:VISITED]->(:Ghost {gid: 'g:1'})""".stripMargin)
+      .collect()
+    val sess = CypherEngine.session(st)
+    sess.run("MATCH (n:Person {gid: 'p:7'}) DETACH DELETE n").collect()
+    sess.commit()
+    assert(one(st, "MATCH (n:Person) RETURN count(n) AS n") == 6L)
+    assert(one(st, "MATCH ()-[r:VISITED]->() RETURN count(r) AS n") == 1L)
+    // total includes the Ghost2 node created by the CREATE statement
+    assert(one(st, "MATCH (n) RETURN count(n) AS n") ==
+      one(st, "MATCH (n) WHERE n.gid IS NOT NULL RETURN count(n) AS n"))
+  }
+
+  test("session overlay and predicates fall back to the scan") {
+    val st = newStore("sess")
+    seed(st)
+    val sess = CypherEngine.session(st)
+    sess.run("CREATE (:Person {gid: 'p:99'})").collect()
+    // uncommitted write in view: the count must include it (served by
+    // the scan over the session's working frame, not the stale sidecar)
+    assert(sess.run("MATCH (n:Person) RETURN count(n) AS n")
+      .collect().head.getLong(0) == 8L)
+    sess.commit()
+    assert(one(st, "MATCH (n:Person) RETURN count(n) AS n") == 8L)
+    // a predicate keeps the ordinary plan and its answer
+    assert(one(st,
+      "MATCH (n:Person) WHERE n.age >= 3 RETURN count(n) AS n") == 5L)
+  }
+
+  test("secondary labels bail to the scan and stay correct") {
+    val st = newStore("xlab")
+    seed(st)
+    val sess = CypherEngine.session(st)
+    sess.run("MATCH (n:Person {gid: 'p:1'}) SET n:City").collect()
+    sess.commit()
+    // City is now a secondary label somewhere: membership spans
+    // partitions, so the fast path declines and the scan answers
+    assert(one(st, "MATCH (n:City) RETURN count(n) AS n") == 4L)
+    // Person is still purely primary: fast path, still exact
+    assert(one(st, "MATCH (n:Person) RETURN count(n) AS n") == 7L)
+  }
+
+  test("graft.stats serves the same numbers as the scan") {
+    val st = newStore("stats")
+    seed(st)
+    val rows = CypherEngine.query(st,
+      """CALL graft.stats() YIELD kind, name, n
+        |RETURN kind, name, n ORDER BY kind, name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("nodes", "City", 3L), ("nodes", "Person", 7L),
+      ("relationships", "KNOWS", 2L), ("relationships", "LIVES_IN", 5L)))
+  }
+}
