@@ -1575,6 +1575,53 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private case class PxRange(prop: String, lo: Option[String],
       hi: Option[String], prefix: Option[String])
 
+  /** RELATIONSHIP property-index fast path for
+    * `MATCH ()-[r:T {source: $s}]->()` (and the WHERE-equality/IN
+    * forms): when a ready relationship property index covers (T, p)
+    * and the value binds at plan time, matched SRC gids resolve from
+    * the slim rel-px `sect=p/bucket=H(val)` directories, and the main
+    * edge read prunes to relType=T ∩ those srcs' hash buckets — the
+    * node px route's point-lookup shape on the edge table. The
+    * equality predicate stays in WHERE (a src can carry several
+    * T-edges with different sources), so the route narrows the scan,
+    * never the semantics. Skipped with pending edge writes/deletes in
+    * view and inside sessions with uncommitted edges
+    * (searchIndexReady).
+    */
+  private def relIndexedBase(rel: RelPattern): Option[DataFrame] = {
+    if (pendingEdges.nonEmpty || pendingEdgeDeletes.nonEmpty) return None
+    val rt = rel.relType match {
+      case Some(t) if rel.altRelTypes.isEmpty => t
+      case _ => return None
+    }
+    for {
+      rv <- rel.variable
+      (k, encs) <- relPxEqRoutes.get(rv)
+      d <- store.indexDefs.find(ix => ix.kind == "property" &&
+        ix.entity == "RELATIONSHIP" && ix.label == rt &&
+        ix.property == k)
+      if store.searchIndexReady(d)
+    } yield {
+      val buckets = encs.map(store.bucketOfString).toSet
+      val hits = store.readSearchIndex(d,
+        key => buckets.exists(b => key == s"sect=p/bucket=$b"))
+        .filter(col("sect") === "p" && col("val").isin(encs: _*))
+        .select(col("gid"))
+      val probe = hits.take(PxRouteCap + 1).map(_.getString(0)).toSeq
+      if (probe.size <= PxRouteCap) {
+        if (probe.isEmpty) store.edgesByTypeBuckets(rt, Some(Set.empty))
+        else store.edgesByTypeBuckets(rt,
+          Some(probe.map(store.bucketOfString).toSet))
+          .filter(col("src").isin(probe: _*))
+      } else
+        // value-bounded hit list past the point-lookup cap: keep the
+        // relType-pruned scan, narrowed by a broadcast semi-join
+        store.edgesByTypeBuckets(rt, None)
+          .join(broadcast(hits.dropDuplicates("gid")
+            .withColumnRenamed("gid", "src")), Seq("src"), "left_semi")
+    }
+  }
+
   /** Statement-level index-ORDER hint (detected once per statement by
     * [[detectOrderWalk]]) for the two Neo4j range-index read shapes
     * the label-scan-plus-sort plan wastes most at scale:
@@ -2336,11 +2383,41 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         else None
       }
     }
+    // RELATIONSHIP property equality/IN hints: `r.source = $v` (incl.
+    // the folded inline `{source: $v}` map) over a single-typed,
+    // non-var-length rel var backed by a ready relationship property
+    // index — recorded for [[relIndexedBase]]; the conjunct itself
+    // STAYS in WHERE as the correctness filter
+    val relsByVar: Map[String, RelPattern] =
+      m.patterns.flatMap(_.hops.map(_._1))
+        .filter(_.varLength.isEmpty)
+        .flatMap(r => r.variable.map(_ -> r)).toMap
+    def relRoutable(v: String, k: String): Boolean =
+      !env.contains(v) && !relPxEqRoutes.contains(v) &&
+        relsByVar.get(v).exists { r =>
+          r.relType.isDefined && r.altRelTypes.isEmpty &&
+            store.indexDefs.exists(ix => ix.kind == "property" &&
+              ix.entity == "RELATIONSHIP" &&
+              ix.label == r.relType.get && ix.property == k &&
+              store.searchIndexReady(ix))
+        }
+    def relEnc(e: Expr): Option[String] = (e match {
+      case Lit(x) if x != null => Some(x)
+      case Param(p) => params.get(p)
+      case _ => None
+    }).flatMap(graft.store.SearchIndexes.encodeValue)
     conjs(wh).foreach {
       case InList(PropRef(v, k), listE)
           if routable(v, k) && !pxInRoutes.contains(v) =>
         inListEncs(listE).foreach(encs =>
           pxInRoutes += v -> ((k, encs)))
+      case Cmp("=", PropRef(v, k), rhs) if relRoutable(v, k) =>
+        relEnc(rhs).foreach(enc => relPxEqRoutes += v -> ((k, Seq(enc))))
+      case Cmp("=", lhs, PropRef(v, k)) if relRoutable(v, k) =>
+        relEnc(lhs).foreach(enc => relPxEqRoutes += v -> ((k, Seq(enc))))
+      case InList(PropRef(v, k), listE) if relRoutable(v, k) =>
+        inListEncs(listE).foreach(encs =>
+          relPxEqRoutes += v -> ((k, encs)))
       case _ => ()
     }
     // range / STARTS WITH hints: inequality conjuncts on a (single-
@@ -2576,13 +2653,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var pxSubstrRoutes: Map[String, (String, String, String)] =
     Map.empty
 
+  /** clause-local RELATIONSHIP property equality hints (rel var →
+    * (prop, encoded values)) feeding [[relIndexedBase]] — collected
+    * from WHERE conjuncts (inline `{source: $s}` maps fold there
+    * first); the predicate itself stays in WHERE */
+  private var relPxEqRoutes: Map[String, (String, Seq[String])] =
+    Map.empty
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
     val savedPx = pxInRoutes
     val savedPxR = pxRangeRoutes
     val savedPxS = pxSubstrRoutes
+    val savedRelPx = relPxEqRoutes
     pxInRoutes = Map.empty
     pxRangeRoutes = Map.empty
     pxSubstrRoutes = Map.empty
+    relPxEqRoutes = Map.empty
     val m = foldNodePropEqs(foldRelProps(m0))
     // save/restore the uniqueness scope: subquery bodies (pattern
     // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
@@ -2693,6 +2779,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     pxInRoutes = savedPx
     pxRangeRoutes = savedPxR
     pxSubstrRoutes = savedPxS
+    relPxEqRoutes = savedRelPx
   }
 
   /** WHERE application shared by MATCH and post-WITH filters: pattern
@@ -3768,7 +3855,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val rv = rel.variable.getOrElse(fresh("r"))
     if (env.contains(rv)) throw PlanError(s"rel var $rv already bound")
     env += rv -> RelVar
-    var base = edgesInView.select(
+    var base = relIndexedBase(rel).getOrElse(edgesInView).select(
       col("src").as(s"${rv}__src"), col("dst").as(s"${rv}__dst"),
       col("relType").as(s"${rv}__relType"),
       col("source").as(s"${rv}__source"))
@@ -7513,6 +7600,14 @@ object CypherEngine {
         // here); without this the statement would SILENTLY fall to
         // the generic intrinsic ack and build nothing
         """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
+    // Neo4j 5 relationship property index:
+    // CREATE INDEX n FOR ()-[r:T]-() ON (r.source)
+    val RelPropIdxRe =
+      ("""(?is)^CREATE\s+(?:RANGE\s+)?INDEX""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\)\s*[<]?-\s*\[\s*\w*\s*:\s*(\w+)\s*\]\s*-[>]?\s*\(\s*\)""" +
+        """\s*ON\s*\(\s*\w+\.(\w+)\s*\)""" +
+        """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
     def ddlAck(info: String): DataFrame = {
       val spark = store.sparkSession
       import spark.implicits._
@@ -7642,6 +7737,21 @@ object CypherEngine {
           .getOrElse(s"index_${label}_${props.mkString("_")}")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "property", label, props.mkString(",")))
+      case RelPropIdxRe(name0, ine, relType, prop) =>
+        // the edge model's property surface is source + type
+        // (/root/reference/neo4j.go:120-123); `type` redirects to the
+        // relType-major directory layout, which already IS that index
+        if (prop == "type" || prop == "relType")
+          return ddlAck(
+            "relationship type lookups are intrinsic to the store " +
+              "layout (relType-major directories)")
+        if (prop != "source")
+          throw new IllegalArgumentException(
+            "relationship property indexes can only index r.source " +
+              s"(edges carry no other properties in this model), got r.$prop")
+        val name = Option(name0).getOrElse(s"index_rel_${relType}_$prop")
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "property", relType, prop, entity = "RELATIONSHIP"))
       case _ =>
         // a vector/fulltext DDL that did NOT match the supported form
         // (multi-property list, relationship target, unnamed index)

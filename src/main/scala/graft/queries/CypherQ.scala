@@ -834,6 +834,24 @@ DETACH DELETE n
         .orderBy($"kind")
     }),
 
+    // RELATIONSHIP property index (Neo4j 5's
+    // CREATE INDEX FOR ()-[r:T]-() ON (r.source)): matched src gids
+    // resolve from the slim rel-px sect=p/bucket=H(val) directories
+    // and the main edge read prunes to relType ∩ their hash buckets —
+    // never an all-T edge scan; the equality predicate stays residual.
+    // Both the inline-map and WHERE-equality forms route.
+    "cypher_rel_prop_index" -> ((s, dir) => {
+      import s.implicits._
+      val st = relPropIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer)-[r:located_in {source: 'ds1'}]->(n)
+           RETURN c.gid AS gid, n.gid AS nation
+           UNION ALL
+           MATCH (c:Customer)-[r:located_in]->(n) WHERE r.source = 'ds2'
+           RETURN c.gid AS gid, n.gid AS nation""")
+        .orderBy($"gid")
+    }),
+
     "cypher_constraints" -> ((s, dir) => {
       import s.implicits._
       val store = constraintStore(s, dir)
@@ -1084,6 +1102,39 @@ DETACH DELETE n
       // keys have equality bindings
       CypherEngine.query(store,
         "CREATE INDEX cnsidx FOR (c:Customer) ON (c.nation, c.segment)")
+        .collect()
+      store
+    })
+
+  /** Customers synced in THREE incremental batches from different
+    * datasets (ds0/ds1/ds2 by custkey mod 3) so the located_in edges
+    * carry three distinct `source` values, plus a declared
+    * RELATIONSHIP property index on r.source — the Neo4j 5
+    * `CREATE INDEX FOR ()-[r:T]-() ON (r.source)` surface. */
+  private val relPxStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.store.GraphStore]
+
+  private def relPropIndexStore(s: SparkSession,
+      dir: String): graft.store.GraphStore =
+    relPxStores.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-relpx-q").toString,
+        s, 8)
+      (0 until 3).foreach { mod =>
+        val ents = Relational.t(s, dir, "customer")
+          .filter(pmod($"c_custkey", lit(3)) === mod)
+          .select($"c_custkey".cast("long"), $"c_nationkey".cast("long"))
+          .as[(Long, Long)]
+          .map { case (k, nk) =>
+            graft.model.Entity(s"c:$k",
+              props = Map("http://g/prop#ck" -> graft.model.PV.of(k)),
+              refs = Map("http://g/rel#located_in" -> Seq(s"n:$nk")))
+          }
+        graft.ops.GraphMerge.applyBatch(store, s"ds$mod", "Customer", ents)
+      }
+      CypherEngine.query(store,
+        "CREATE INDEX rsrc FOR ()-[r:located_in]-() ON (r.source)")
         .collect()
       store
     })
@@ -1741,6 +1792,15 @@ DETACH DELETE n
            SELECT * FROM pts
            WHERE sqrt((x-50.0)*(x-50.0) + (y-50.0)*(y-50.0)) <= 5.0)
          ORDER BY gid, x""",
+
+    "cypher_rel_prop_index" ->
+      """SELECT gid, nation FROM (
+           SELECT 'c:'||c_custkey AS gid, 'n:'||c_nationkey AS nation
+           FROM customer WHERE c_custkey % 3 = 1
+           UNION ALL
+           SELECT 'c:'||c_custkey, 'n:'||c_nationkey
+           FROM customer WHERE c_custkey % 3 = 2)
+         ORDER BY gid""",
 
     "cypher_count_store" ->
       """WITH c AS (SELECT count(*) AS n FROM customer),

@@ -575,6 +575,21 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         .filterKeys(k => buckets.exists(b => k.endsWith(s"/bucket=$b")))
         .values.flatten.toSeq.sorted, nodeSchema)
 
+  /** edge-table point-lookup companion: one relType's directory,
+    * optionally narrowed to a set of src-hash buckets — the read
+    * shape of the relationship property-index route (matched src
+    * gids name their buckets exactly like the node px route's).
+    */
+  def edgesByTypeBuckets(relType: String,
+      buckets: Option[Set[Int]]): DataFrame = {
+    val pd = s"relType=${partDirName(Some(relType))}"
+    readFiles("edges",
+      manifestFiles("edges").view
+        .filterKeys(k => (k == pd || k.startsWith(pd + "/")) &&
+          buckets.forall(bs => bs.exists(b => k.endsWith(s"/bucket=$b"))))
+        .values.flatten.toSeq.sorted, edgeSchema)
+  }
+
   /** (version, syncId) named by the pointer file; version 0 = empty store. */
   def current: (Long, String) = pointerLines match {
     case None => (0L, "")
@@ -885,7 +900,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               writeIndexDefs(indexDefs0.filterNot(_.name == d0.name) :+ nd)
               nd
             } else d0
-          } else if (d0.kind == "property" && d0.boundaryN == 0L) {
+          } else if (d0.kind == "property" && d0.entity == "NODE" &&
+              d0.boundaryN == 0L) {
             // range-section boundaries train once from the snapshot
             // (the px analog of the IVF quantizer): equi-depth over
             // the distinct sortable keys, persisted to the sidecar
@@ -1366,8 +1382,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     // only when the previous manifest carries it, or the table was
     // empty — legacy tables stay equality-only (pxRangeReady false)
     // until a full rebuild regenerates both sections.
+    // a RELATIONSHIP property index is equality-only (sect=p): the
+    // indexable edge surface is low-cardinality strings (`source`),
+    // so range/dictionary sections buy nothing over the probe
     def hasSection(sect: String): Boolean =
-      d.kind == "property" && {
+      d.kind == "property" && !isRel && {
         val prevPx = prev.getOrElse(d.tableName, Map.empty)
         prevPx.isEmpty || !prev.contains(d.tableName) ||
           forceIndexRebuild0.contains(d.name) ||
@@ -1388,9 +1407,9 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         else storageRows(
           assignCells(vectors(newNodes, d), d.centroids, d.similarity), d)
       case "property" =>
-        val pr = propRows(newNodes, d)
+        val pr = if (isRel) relPropRows(srcNew, d) else propRows(srcNew, d)
         val withR =
-          if (hasRange) pr.unionByName(propRangeRows(newNodes, d)) else pr
+          if (hasRange) pr.unionByName(propRangeRows(srcNew, d)) else pr
         if (hasW) withR.unionByName(valueDictRows(pr)) else withR
       case _ =>
         val docs = docsOf(srcNew)
@@ -1445,12 +1464,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         (view, Some(dk))
       case "property" =>
         // the redgesDelta recipe keyed on the encoded value: old vs
-        // new (gid, val) rows of the dirty node partitions name the
+        // new (gid, val) rows of the dirty source partitions name the
         // H(val) buckets (equality section) and boundary buckets
         // (range section) to rewrite — bounded by the commit's own
-        // rewrite set, never a node-table scan
-        val oldP = propRows(changedOldNodes, d)
-        val newP = propRows(changedNewNodes, d)
+        // rewrite set, never a source-table scan
+        def pRows(f: DataFrame) =
+          if (isRel) relPropRows(f, d) else propRows(f, d)
+        val oldP = pRows(changedOldNodes)
+        val newP = pRows(changedNewNodes)
         val removed = oldP.join(newP, Seq("gid", "val"), "left_anti")
         val added = newP.join(oldP, Seq("gid", "val"), "left_anti")
         val dkP: Set[DirtyKey] = removed.unionByName(added)

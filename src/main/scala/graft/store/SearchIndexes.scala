@@ -422,6 +422,31 @@ object SearchIndexes {
     }
   }
 
+  /** RELATIONSHIP property-index rows `(sect="p", val, gid=src)` —
+    * a Neo4j 5 `CREATE INDEX FOR ()-[r:T]-() ON (r.p)` analog. The
+    * edge model carries exactly `source` and `type`
+    * (/root/reference/neo4j.go:120-123), so those are the indexable
+    * keys; `type` encodes the relType (probing it is partition
+    * pruning by other means, but stays correct). Rows are DISTINCT
+    * (val, src) pairs: the planner resolves matched src gids and
+    * prunes the main edge read to their hash buckets, so per-edge
+    * identity is unnecessary — and distinctness makes the delta's
+    * old-vs-new anti-join an exact set difference (every edge of one
+    * (relType, H(src)) partition lives in one place, so a dirty
+    * partition's old/new content determines its rows completely).
+    */
+  def relPropRows(edges: DataFrame, d: IndexDef): DataFrame = {
+    val pv = d.property match {
+      case "source" => col("source")
+      case "type" => col("relType")
+      case _ => lit(null).cast("string")
+    }
+    edges.filter(col("relType") === d.label && pv.isNotNull)
+      .select(lit("p").as("sect"), concat(lit("s:"), pv).as("val"),
+        col("src").as("gid"))
+      .distinct()
+  }
+
   /** VALUE-DICTIONARY rows `(sect="w", val, gid=<owner count>)` of a
     * single-property index's STRING values — one row per DISTINCT
     * stored string, `gid` carrying the owner count so the per-commit

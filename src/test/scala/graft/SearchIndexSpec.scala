@@ -2059,4 +2059,125 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(vShown == Seq("vo"))
   }
+
+  test("relationship property index: DDL, routed lookup, pruning, delta") {
+    val st = newStore("relpx")
+    st.localizeTinyTables = false // assert the at-scale parquet shape
+    val sess = CypherEngine.session(st)
+    (1 to 30).foreach(i =>
+      sess.run(s"CREATE (:P {gid: 'p:$i'})").collect())
+    (1 to 29).foreach(i => sess.run(
+      s"""MATCH (a:P {gid: 'p:$i'}), (b:P {gid: 'p:${i + 1}'})
+         |CREATE (a)-[:SHIPPED {source: 's${i % 5}'}]->(b)""".stripMargin)
+      .collect())
+    // a second SHIPPED edge from p:1 with a DIFFERENT source: its src
+    // becomes a candidate for source='s1' probes, and the residual
+    // predicate must filter it back out
+    sess.run(
+      """MATCH (a:P {gid: 'p:1'}), (b:P {gid: 'p:3'})
+        |CREATE (a)-[:SHIPPED {source: 'zz'}]->(b)""".stripMargin)
+      .collect()
+    sess.commit()
+
+    CypherEngine.query(st,
+      "CREATE INDEX ridx FOR ()-[r:SHIPPED]-() ON (r.source)").collect()
+    val d = st.indexDef("ridx").get
+    assert(d.kind == "property" && d.entity == "RELATIONSHIP" &&
+      d.label == "SHIPPED" && st.searchIndexReady(d))
+    // distinct (source, src) pairs: 29 chain edges + the zz edge
+    assert(st.readSearchIndex(d, _ => true).count() == 30)
+    // SHOW INDEXES lists it with entityType RELATIONSHIP
+    val listed = CypherEngine.query(st, "SHOW INDEXES")
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(listed.contains(("ridx", "RELATIONSHIP")))
+
+    // inline-map routed lookup: right edges, and the plan reads a
+    // strict subset of the edge table's files (src-bucket pruning)
+    val expect1 = (1 to 29).filter(_ % 5 == 1)
+      .map(i => (s"p:$i", s"p:${i + 1}"))
+    val df = CypherEngine.query(st,
+      """MATCH (a)-[r:SHIPPED {source: 's1'}]->(b)
+        |RETURN a.gid AS a, b.gid AS b ORDER BY a""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sorted == expect1.sorted)
+    val allEdgeFiles = st.edges.inputFiles.filter(_.contains("/edges/")).toSet
+    // a single-src value prunes to ONE src-hash bucket directory (the
+    // multi-src 's1' probe may legitimately cover all 4 test buckets)
+    val dfZz = CypherEngine.query(st,
+      """MATCH (a)-[r:SHIPPED {source: 'zz'}]->(b)
+        |RETURN a.gid AS a, b.gid AS b""".stripMargin)
+    assert(dfZz.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("p:1", "p:3")))
+    val routedEdge = dfZz.inputFiles.filter(_.contains("/edges/")).toSet
+    assert(routedEdge.nonEmpty && routedEdge.subsetOf(allEdgeFiles))
+    assert(routedEdge.size < allEdgeFiles.size,
+      s"rel lookup read every edge file: ${routedEdge.size}/${allEdgeFiles.size}")
+    // the rel-px probe itself reads one bucket directory, not the table
+    val pxAll = st.readSearchIndex(d, _ => true).inputFiles.toSet
+    val pxProbe = st.readSearchIndex(d,
+      st.pxProbeKeys("s:s1")).inputFiles.toSet
+    assert(pxProbe.nonEmpty && pxProbe.size < pxAll.size)
+
+    // WHERE-equality and IN forms route the same way
+    val viaWhere = CypherEngine.query(st,
+      """MATCH ()-[r:SHIPPED]->() WHERE r.source = 's2'
+        |RETURN r.source AS s""".stripMargin)
+    assert(viaWhere.collect().map(_.getString(0)).toSeq ==
+      Seq.fill((1 to 29).count(_ % 5 == 2))("s2"))
+    val routedW = CypherEngine.query(st,
+      """MATCH (a)-[r:SHIPPED]->() WHERE r.source = 'zz'
+        |RETURN a.gid AS a""".stripMargin)
+      .inputFiles.filter(_.contains("/edges/")).toSet
+    assert(routedW.nonEmpty && routedW.size < allEdgeFiles.size,
+      "WHERE r.source = … did not take the rel index route")
+    val viaIn = CypherEngine.query(st,
+      """MATCH (a)-[r:SHIPPED]->() WHERE r.source IN ['zz', 'nope']
+        |RETURN a.gid AS a""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaIn == Seq("p:1"))
+
+    // undirected form stays correct through the route (stored-src
+    // pruning is orientation-independent)
+    val undirected = CypherEngine.query(st,
+      """MATCH (x)-[r:SHIPPED {source: 'zz'}]-(y)
+        |RETURN x.gid AS x ORDER BY x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(undirected == Seq("p:1", "p:3"))
+
+    // delta: SET r.source moves the index row; edge deletion drops it
+    CypherEngine.query(st,
+      """MATCH (a {gid: 'p:1'})-[r:SHIPPED]->(b {gid: 'p:3'})
+        |SET r.source = 'moved'""".stripMargin).collect()
+    assert(CypherEngine.query(st,
+      "MATCH (a)-[r:SHIPPED {source: 'zz'}]->(b) RETURN a.gid AS a")
+      .collect().isEmpty)
+    assert(CypherEngine.query(st,
+      "MATCH (a)-[r:SHIPPED {source: 'moved'}]->(b) RETURN a.gid AS a")
+      .collect().map(_.getString(0)).toSeq == Seq("p:1"))
+    CypherEngine.query(st,
+      """MATCH (a {gid: 'p:6'})-[r:SHIPPED]->(b {gid: 'p:7'})
+        |DELETE r""".stripMargin).collect()
+    assert(st.readSearchIndex(d, _ => true)
+      .filter("val = 's:s1' AND gid = 'p:6'").count() == 0)
+    assert(CypherEngine.query(st,
+      """MATCH (a)-[r:SHIPPED {source: 's1'}]->(b)
+        |RETURN a.gid AS a ORDER BY a""".stripMargin)
+      .collect().map(_.getString(0)).toSeq ==
+      expect1.map(_._1).filterNot(_ == "p:6").sorted)
+
+    // uncommitted session edges: the route declines, the overlay scans
+    val s2 = CypherEngine.session(st)
+    s2.run(
+      """MATCH (a:P {gid: 'p:10'}), (b:P {gid: 'p:12'})
+        |CREATE (a)-[:SHIPPED {source: 's1'}]->(b)""".stripMargin)
+      .collect()
+    assert(!st.searchIndexReady(d))
+    val inSess = s2.run(
+      """MATCH (a)-[r:SHIPPED {source: 's1'}]->(b)
+        |RETURN a.gid AS a ORDER BY a""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(inSess.contains("p:10"))
+    s2.commit()
+    assert(st.searchIndexReady(d))
+  }
 }
