@@ -4636,27 +4636,33 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case class NNot(x: N) extends N
 
     val atoms = mutable.ArrayBuffer.empty[Atom]
-    val atomIdx = mutable.HashMap.empty[Atom, Int]
+    // per-leaf `^boost` multiplier (Lucene: scales score, never the
+    // hit set) — part of leaf identity, so `spark^2 OR spark` keeps
+    // two leaves
+    val boosts = mutable.ArrayBuffer.empty[Double]
+    val atomIdx = mutable.HashMap.empty[(Atom, Double), Int]
     val positive = mutable.HashSet.empty[Int]
-    def intern(a: Atom, pos: Boolean): N = {
-      val i = atomIdx.getOrElseUpdate(a, { atoms += a; atoms.size - 1 })
+    def intern(a: Atom, pos: Boolean, boost: Double): N = {
+      val i = atomIdx.getOrElseUpdate((a, boost), {
+        atoms += a; boosts += boost; atoms.size - 1 })
       if (pos) positive += i
       NLeaf(i)
     }
     def tokensAtom(text: String, what: String, pos: Boolean,
-        slop: Int = 0): N =
+        boost: Double, slop: Int = 0): N =
       SearchIndexes.analyze(text, analyzer) match {
         case Seq() => throw PlanError(
           s"$what '$text' analyzes to no tokens under $analyzer")
-        case Seq(one) => intern(ATerm(one), pos)
-        case many => intern(APhrase(many, slop), pos)
+        case Seq(one) => intern(ATerm(one), pos, boost)
+        case many => intern(APhrase(many, slop), pos, boost)
       }
-    def conv(qq: FQ.Q, pos: Boolean): N = qq match {
-      case FQ.Term(t) => tokensAtom(t, "query term", pos)
-      case FQ.Phrase(p) => tokensAtom(p, "phrase", pos)
-      case FQ.Sloppy(p, n) => tokensAtom(p, "phrase", pos, slop = n)
+    def conv(qq: FQ.Q, pos: Boolean, boost: Double = 1.0): N = qq match {
+      case FQ.Boost(inner, f) => conv(inner, pos, boost * f)
+      case FQ.Term(t) => tokensAtom(t, "query term", pos, boost)
+      case FQ.Phrase(p) => tokensAtom(p, "phrase", pos, boost)
+      case FQ.Sloppy(p, n) => tokensAtom(p, "phrase", pos, boost, slop = n)
       case FQ.Prefix(p) => SearchIndexes.analyze(p, analyzer) match {
-        case Seq(one) => intern(APrefix(one), pos)
+        case Seq(one) => intern(APrefix(one), pos, boost)
         case other => throw PlanError(
           s"prefix '$p*' must analyze to one token, got $other")
       }
@@ -4668,17 +4674,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case FQ.Term(t) => SearchIndexes.analyze(t, analyzer) match {
             case Seq() => throw PlanError(
               s"field term '$t' analyzes to no tokens under $analyzer")
-            case Seq(one) => intern(AFTerm(f, one), pos)
-            case many => intern(AFPhrase(f, many), pos)
+            case Seq(one) => intern(AFTerm(f, one), pos, boost)
+            case many => intern(AFPhrase(f, many), pos, boost)
           }
           case FQ.Phrase(p) => SearchIndexes.analyze(p, analyzer) match {
             case Seq() => throw PlanError(
               s"field phrase '$p' analyzes to no tokens under $analyzer")
-            case Seq(one) => intern(AFTerm(f, one), pos)
-            case many => intern(AFPhrase(f, many), pos)
+            case Seq(one) => intern(AFTerm(f, one), pos, boost)
+            case many => intern(AFPhrase(f, many), pos, boost)
           }
           case FQ.Prefix(p) => SearchIndexes.analyze(p, analyzer) match {
-            case Seq(one) => intern(AFPrefix(f, one), pos)
+            case Seq(one) => intern(AFPrefix(f, one), pos, boost)
             case other => throw PlanError(
               s"prefix '$p*' must analyze to one token, got $other")
           }
@@ -4686,13 +4692,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             s"field scope only takes a term, phrase, or prefix: $other")
         }
       case FQ.Fuzzy(t, k) => SearchIndexes.analyze(t, analyzer) match {
-        case Seq(one) => intern(AFuzzy(one, k), pos)
+        case Seq(one) => intern(AFuzzy(one, k), pos, boost)
         case other => throw PlanError(
           s"fuzzy term '$t~' must analyze to one token, got $other")
       }
-      case FQ.And(l, r) => NAnd(conv(l, pos), conv(r, pos))
-      case FQ.Or(l, r) => NOr(conv(l, pos), conv(r, pos))
-      case FQ.Not(x) => NNot(conv(x, !pos))
+      case FQ.And(l, r) => NAnd(conv(l, pos, boost), conv(r, pos, boost))
+      case FQ.Or(l, r) => NOr(conv(l, pos, boost), conv(r, pos, boost))
+      case FQ.Not(x) => NNot(conv(x, !pos, boost))
     }
     val tree = conv(raw, pos = true)
     if (atoms.size > 63)
@@ -4804,9 +4810,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case NOr(l, r) => isPureOr(l) && isPureOr(r)
       case _ => false
     }
-    // the common query shape — OR of plain terms — stays the original
-    // one-aggregation plan (and the cypher_fulltext oracle's shape)
-    if (atoms.forall(_.isInstanceOf[ATerm]) && isPureOr(tree))
+    // the common query shape — OR of plain unboosted terms — stays
+    // the original one-aggregation plan (the cypher_fulltext shape)
+    if (atoms.forall(_.isInstanceOf[ATerm]) && isPureOr(tree) &&
+        boosts.forall(_ == 1.0))
       return contrib.groupBy(col("gid"))
         .agg(sum(col("contrib")).as("score"))
 
@@ -4884,8 +4891,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         contrib.filter(col("term").startsWith(p)).groupBy(col("gid"))
           .agg(sum(col("contrib")).as("s"))
       case AFuzzy(t, k) =>
+        // Lucene's fuzzy similarity: a matched term's contribution
+        // weights by 1 − edits/|queryTerm| (the exact term keeps
+        // weight 1) — pure arithmetic over postings already read
         contrib.filter(fuzzyCond(t, k)).groupBy(col("gid"))
-          .agg(sum(col("contrib")).as("s"))
+          .agg(sum(col("contrib") * greatest(lit(0.0),
+            lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
+              lit(t.length.toDouble))).as("s"))
       case AFTerm(f, t) =>
         fieldVerified(f,
           contrib.filter(col("term") === t).groupBy(col("gid"))
@@ -4917,13 +4929,24 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // needs slop 2, as in Lucene)
         val as = ts.zipWithIndex.map { case (t, i) =>
           transform(element_at(col("pm"), lit(t)), x => x - i) }
-        val okPos =
-          if (slop == 0)
-            size(as.reduce((a, b) => array_intersect(a, b))) > 0
+        def okW(w: Int): Column =
+          if (w == 0) size(as.reduce((a, b) => array_intersect(a, b))) > 0
           else exists(flatten(array(as: _*)), a =>
-            as.map(ai => exists(ai, x => x >= a && x <= a + slop))
+            as.map(ai => exists(ai, x => x >= a && x <= a + w))
               .reduce(_ && _))
-        cand.filter(okPos).select(col("gid"), col("s"))
+        if (slop == 0) cand.filter(okW(0)).select(col("gid"), col("s"))
+        else {
+          // Lucene-style proximity weighting over the SAME position
+          // arrays: wmin = the narrowest window width in [0, slop]
+          // that still intersects every adjusted set (0 = contiguous
+          // in order), score × 1/(1 + wmin) — an exact phrase keeps
+          // full weight, a stretched/reversed match decays
+          val wmin = coalesce(
+            ((0 until slop).map(w => when(okW(w), lit(w.toDouble))) :+
+              lit(slop.toDouble)): _*)
+          cand.filter(okW(slop)).select(col("gid"),
+            (col("s") / (lit(1.0) + wmin)).as("s"))
+        }
       case APhrase(ts, slop) =>
         if (slop > 0) throw PlanError(
           s"phrase slop needs positional postings; index ${d.name} " +
@@ -4987,7 +5010,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // boolean tree then evaluates as a codegen'd mask predicate
     val perLeaf = atoms.toSeq.zipWithIndex.map { case (a, i) =>
       leafHits(a).select(col("gid"), lit(1L << i).as("m"),
-        (if (positive(i)) col("s") else lit(0.0)).as("s"))
+        (if (positive(i)) col("s") * lit(boosts(i)) else lit(0.0)).as("s"))
     }
     val agg = perLeaf.reduce(_ unionByName _)
       .groupBy(col("gid"))

@@ -1002,6 +1002,35 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // Lucene `^boost`: a positive multiplier on the wrapped clause's
+    // score — the hit set is unchanged; the oracle replays the
+    // per-term BM25 contributions with the multiplier applied
+    "cypher_fulltext_boost" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', 'spark^2 OR hash')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
+    // fuzzy edit-distance weighting: a matched term's contribution
+    // scales by 1 − edits/|queryTerm| (exact term keeps weight 1) —
+    // candidates expand against the sect=d term dictionary, the
+    // weighting is arithmetic over postings already read
+    "cypher_fulltext_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', 'hashh~1')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // Lucene phrase query: conjunctive candidates from the posting
     // buckets, contiguity verified on the POSITIONAL postings (a pure
     // index read — the oracle replays the equivalent sliding-window
@@ -1957,11 +1986,70 @@ DETACH DELETE n
              [x - 1 FOR x IN list_filter(range(1, len(d.w)+1),
                i -> d.w[i] = 'join')] a2
            FROM cand JOIN d ON cand.gid = d.gid)
-         SELECT gid, round(score, 9) AS score FROM pos
+         SELECT gid, round(score * (1.0 / (1.0 + CASE
+             WHEN len(list_filter(list_concat(a1, a2), a ->
+               len(list_filter(a1, x -> x = a)) > 0 AND
+               len(list_filter(a2, x -> x = a)) > 0)) > 0 THEN 0.0
+             WHEN len(list_filter(list_concat(a1, a2), a ->
+               len(list_filter(a1, x -> x >= a AND x <= a + 1)) > 0 AND
+               len(list_filter(a2, x -> x >= a AND x <= a + 1)) > 0)) > 0
+               THEN 1.0
+             ELSE 2.0 END)), 9) AS score FROM pos
          WHERE len(list_filter(list_concat(a1, a2), a ->
            len(list_filter(a1, x -> x >= a AND x <= a + 2)) > 0 AND
            len(list_filter(a2, x -> x >= a AND x <= a + 2)) > 0)) > 0
          ORDER BY gid""",
+
+    "cypher_fulltext_boost" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term IN ('spark', 'hash')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
+         SELECT gid, round(sum(CASE WHEN term = 'spark'
+             THEN 2.0 * c ELSE c END), 9) AS score
+         FROM contrib GROUP BY gid ORDER BY gid""",
+
+    "cypher_fulltext_fuzzy" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE abs(CAST(len(term) AS BIGINT) - 5) <= 1
+             AND levenshtein(term, 'hashh') <= 1
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
+         SELECT gid, round(sum(c * greatest(0.0,
+             1.0 - levenshtein(term, 'hashh') / 5.0)), 9) AS score
+         FROM contrib GROUP BY gid ORDER BY gid""",
 
     "cypher_fulltext_phrase" ->
       """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,

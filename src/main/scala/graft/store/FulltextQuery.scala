@@ -35,6 +35,10 @@ object FulltextQuery {
     * `maxEdits` Levenshtein distance (expanded against the index's
     * term dictionary; Lucene's classic fuzzy default is 2) */
   final case class Fuzzy(text: String, maxEdits: Int) extends Q
+  /** `term^f` / `"phrase"^f` / `(group)^f` — Lucene boost: a positive
+    * multiplier on the wrapped clause's score contribution (hit sets
+    * are unchanged) */
+  final case class Boost(q: Q, factor: Double) extends Q
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
   final case class Not(q: Q) extends Q
@@ -52,6 +56,19 @@ object FulltextQuery {
   private final case class TPhrase(p: String) extends Tok
   private final case class TFuzzy(base: String, maxEdits: Int) extends Tok
   private final case class TSlop(n: Int) extends Tok
+  private final case class TBoost(f: Double) extends Tok
+
+  /** `^factor` suffix parsing shared by the word/fuzzy/slop branches:
+    * positive finite float, Lucene's boost grammar */
+  private def boostOf(s: String, whole: String): Double = {
+    val f = try s.toDouble catch {
+      case _: NumberFormatException => throw ParseError(
+        s"boost must be a positive number, got '^$s' in '$whole'")
+    }
+    if (!(f > 0) || f.isInfinite) throw ParseError(
+      s"boost must be a positive number, got '^$s' in '$whole'")
+    f
+  }
 
   private def lex(s: String): List[Tok] = {
     val out = List.newBuilder[Tok]
@@ -81,7 +98,13 @@ object FulltextQuery {
             // index would silently never match
             if (w.contains("~")) {
               val cut = w.indexOf('~')
-              val (base, rest) = (w.substring(0, cut), w.substring(cut + 1))
+              val (base, rest0) = (w.substring(0, cut), w.substring(cut + 1))
+              // a `^boost` may trail the distance/slop digits
+              val bcut = rest0.indexOf('^')
+              val (rest, boost) =
+                if (bcut < 0) (rest0, None)
+                else (rest0.substring(0, bcut),
+                  Some(boostOf(rest0.substring(bcut + 1), w)))
               if (base.isEmpty) {
                 // `"a b"~n` — the quote ended the previous token, so
                 // the slop arrives as its own word
@@ -103,10 +126,17 @@ object FulltextQuery {
                 }
                 out += TFuzzy(base, k)
               }
-            } else if (w.contains("^")) throw ParseError(
-              s"boost syntax ('$w') is not supported; " +
-                "boosts would change scores, not matches")
-            else out += TWord(w)
+              boost.foreach(f => out += TBoost(f))
+            } else if (w.contains("^")) {
+              // Lucene boost: `term^2`, `pre*^1.5`, `field:t^2`,
+              // `"phrase"^3` / `(group)^3` (the quote/paren ended the
+              // previous token, so the boost arrives as its own word)
+              val cut = w.indexOf('^')
+              val (base, f) = (w.substring(0, cut),
+                boostOf(w.substring(cut + 1), w))
+              if (base.nonEmpty) out += TWord(base)
+              out += TBoost(f)
+            } else out += TWord(w)
         }
       }
     }
@@ -124,7 +154,19 @@ object FulltextQuery {
       if (w.length > 1 && w.endsWith("*")) Prefix(w.dropRight(1))
       else Term(w)
 
-    def atom(): Q = next() match {
+    // an atom followed by `^f` tokens wraps in Boost (stacked boosts
+    // multiply, matching Lucene's rewrite)
+    def atom(): Q = {
+      var a = atom0()
+      var go = true
+      while (go) peek match {
+        case Some(TBoost(f)) => next(); a = Boost(a, f)
+        case _ => go = false
+      }
+      a
+    }
+
+    def atom0(): Q = next() match {
       case TLParen =>
         val q = orExpr()
         if (peek.contains(TRParen)) { next(); q }
@@ -166,6 +208,7 @@ object FulltextQuery {
               case And(l, r) => And(distribute(l), distribute(r))
               case Or(l, r) => Or(distribute(l), distribute(r))
               case Not(y) => Not(distribute(y))
+              case Boost(y, f) => Boost(distribute(y), f)
             }
             distribute(q)
           case _ => throw ParseError(

@@ -1284,7 +1284,7 @@ object SyntaxProbe {
       "ft-field-unknown-error" ->
         """CALL db.index.fulltext.queryNodes('f20', 'nope:spark')
            YIELD node, score RETURN count(*) AS c""",
-      "ft-boost-error" ->
+      "ft-boost" ->
         """CALL db.index.fulltext.queryNodes('f20', 'spark^2')
            YIELD node, score RETURN count(*) AS c""",
       "ft-slop" -> // positional postings serve proximity queries

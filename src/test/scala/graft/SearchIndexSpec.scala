@@ -1911,9 +1911,10 @@ class SearchIndexSpec extends AnyFunSuite {
     // bigram in d:2 needs slop 2, exactly as in Lucene
     assert(hits("\"sort merge\"") == Seq("d:1"))
     assert(hits("\"sort merge\"~2").take(2) == Seq("d:1", "d:2"))
-    // boost / bad-distance / bad-slop / field-scoped-fuzzy syntax
-    // gets TARGETED errors, not mis-lexed never-matching terms
-    Seq("spark^2", "spark~9", "body:spark~1", "\"sort merge\"~x")
+    // bad-distance / bad-slop / field-scoped-fuzzy syntax gets
+    // TARGETED errors, not mis-lexed never-matching terms
+    Seq("spark~9", "body:spark~1", "\"sort merge\"~x", "spark^x",
+      "spark^-1")
       .foreach { bad =>
         val e = intercept[Exception] {
           CypherEngine.query(st,
@@ -1922,8 +1923,25 @@ class SearchIndexSpec extends AnyFunSuite {
         }
         assert(e.getMessage.contains("not supported") ||
           e.getMessage.contains("must be 1 or 2") ||
-          e.getMessage.contains("slop must be"), s"$bad: $e")
+          e.getMessage.contains("slop must be") ||
+          e.getMessage.contains("boost must be"), s"$bad: $e")
       }
+    // ^boost scales the score, never the hit set (Lucene semantics)
+    def scoredQ(q: String): Seq[(String, Double)] =
+      CypherEngine.query(st,
+        s"""CALL db.index.fulltext.queryNodes('fq', '$q')
+           |YIELD node, score
+           |RETURN node.gid AS g, score ORDER BY g""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val plain = scoredQ("merge")
+    val boosted = scoredQ("merge^3")
+    assert(plain.nonEmpty && boosted.map(_._1) == plain.map(_._1))
+    plain.zip(boosted).foreach { case ((_, s0), (_, s3)) =>
+      assert(math.abs(s3 - 3.0 * s0) < 1e-9, s"$s3 != 3*$s0") }
+    // fuzzy matches weight by edit distance: the exact term keeps
+    // weight 1, a 1-edit term decays by 1 − 1/len
+    val fz1 = scoredQ("merge~1")
+    assert(fz1.nonEmpty)
   }
 
   test("fulltext field scoping: field:term / field:\"phrase\"") {
