@@ -5777,7 +5777,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case _ => false
   }
 
+  /** true while lowering the ARGUMENT of an aggregate function: there
+    * references are inputs to the aggregate (Catalyst's grouping
+    * check does not apply), so string predicates keep the strict
+    * s-slot — one predicate, one semantics, whether it sits in WHERE
+    * or inside `count(CASE WHEN n.p STARTS WITH '9' …)`. The
+    * rendering form stays ONLY for the outside-the-aggregate parts of
+    * an aggregated projection, where an expression must structurally
+    * contain a group key (and group keys ARE renderings). */
+  private var inAggArg: Boolean = false
+
   private def aggCol(e: Ast.Expr): Column = e match {
+    case FuncCall(n, _, _) if aggNames.contains(n) =>
+      val saved = inAggArg
+      inAggArg = true
+      try aggCol0(e) finally inAggArg = saved
+    case other => aggCol0(other)
+  }
+
+  private def aggCol0(e: Ast.Expr): Column = e match {
     case FuncCall("count", Seq(Star), _) => count(lit(1))
     // a node/rel var counts by IDENTITY: an OPTIONAL MATCH miss binds
     // a struct whose fields are all null — the struct itself is NOT
@@ -7365,7 +7383,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // not match `STARTS WITH '9'` (and the strict slot is what lets
       // the sect=r prefix route prune to string-region buckets only)
       def strSide(e: Ast.Expr): Column = e match {
-        case p: PropRef if aggProjection =>
+        case p: PropRef if aggProjection && !inAggArg =>
           typedProp(p, "s").getOrElse(valueCol(e))
         case p: PropRef => pvOf(p).map(_.getField("s"))
           .getOrElse(valueCol(e))
@@ -7485,7 +7503,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var aggProjection: Boolean = false
 
   private def typedSide(p: Ast.PropRef, litVal: Any): Column = litVal match {
-    case _: String if aggProjection =>
+    case _: String if aggProjection && !inAggArg =>
       typedProp(p, "s").getOrElse(valueCol(p))
     case _: String => pvOf(p).map(_.getField("s")).getOrElse(valueCol(p))
     case _: Long | _: Double =>

@@ -303,8 +303,12 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             s"${r.getString(0)} with label ${d0.label} is missing a " +
             s"node-key property (${d0.property})"))
       }
-      val dup = SearchIndexes.propRows(live, d0)
-        .groupBy(col("val"))
+      // duplicate validation groups on the EXACT canonical key
+      // (propRowsExact.xval), mirroring commit-time enforcement —
+      // distinct longs past 2^53 or separator-aliasing composite
+      // tuples must not falsely block creation
+      val dup = SearchIndexes.propRowsExact(live, d0)
+        .groupBy(col("xval"))
         .agg(org.apache.spark.sql.functions
           .count_distinct(col("gid")).as("n"),
           org.apache.spark.sql.functions.min(col("gid")).as("g1"),
@@ -1226,38 +1230,53 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       }
     }
     if (conflictFrames.isEmpty) return
-    val CandCap = 64
+    val CandCap = 4096
     val cands = conflictFrames.reduce(_ unionByName _).take(CandCap + 1)
+    if (cands.isEmpty) return
     if (cands.length > CandCap) {
-      // more lossy-key candidates than the exact-verify budget — stay
-      // SOUND and veto (a false accept would corrupt uniqueness; a
-      // batch genuinely colliding on 64+ stored keys is a violation
-      // in all but adversarial-encoding cases)
-      val r = cands.head
+      // more lossy-key candidates than the exact-verify budget — a
+      // CAPACITY refusal (sound: never a false accept), worded as
+      // such because none of these candidates were exactly verified
       throw new ConstraintViolation(
-        s"node ${r.getString(2)} would violate uniqueness constraint " +
-          s"${r.getString(0)}: node ${r.getString(1)} already exists " +
-          s"with the same value (and ${cands.length - 1} more candidates)")
+        s"uniqueness check capacity exceeded for constraint " +
+          s"${cands.head.getString(0)}: over $CandCap lossy-key " +
+          "conflict candidates in one batch — split the batch " +
+          "(candidates were not individually verified)")
     }
-    // exact verification: a candidate throws only when the committed
-    // owner's node row yields the SAME exact key — lossy-encoding
-    // aliases (2^53 longs, separator-bearing composite strings) pass
+    // exact verification in ONE batched job: read ONLY the committed
+    // owners' gid-bucket directories (per def), re-derive each
+    // owner's EXACT key, and throw only on a candidate whose owner
+    // yields the SAME exact key — lossy-encoding aliases (2^53
+    // longs, separator-bearing composite strings) pass. Zero jobs on
+    // conflict-free commits; one job otherwise, work ∝ candidate
+    // gids' buckets.
+    val verifyFrames = cands.toSeq.groupBy(_.getString(0)).toSeq
+      .map { case (name, rs) =>
+        val d = defOf(name)
+        val gids = rs.map(_.getString(1)).distinct
+        val bks = gids.map(g => pmodHash(g, bc)).toSet
+        val src = readFiles("nodes",
+          prev.getOrElse("nodes", Map.empty).view
+            .filterKeys(k => bks.exists(b => k.endsWith(s"/bucket=$b")))
+            .values.flatten.toSeq, nodeSchema)
+          .filter(col("gid").isin(gids: _*))
+        SearchIndexes.propRowsExact(src, d)
+          .select(lit(name).as("name"), col("gid"), col("xval"))
+      }
+    val ownerKeys: Set[(String, String, String)] =
+      verifyFrames.reduce(_ unionByName _).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
     cands.foreach { r =>
       val (name, oldGid, newGid, xval) =
         (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
-      val d = defOf(name)
-      val oldNode = readFiles("nodes",
-        prev.getOrElse("nodes", Map.empty).view
-          .filterKeys(_.endsWith(s"/bucket=${pmodHash(oldGid, bc)}"))
-          .values.flatten.toSeq, nodeSchema)
-        .filter(col("gid") === oldGid)
-      val oldKey = SearchIndexes.propRowsExact(oldNode, d)
-        .select(col("xval")).take(1).headOption.map(_.getString(0))
-      if (oldKey.contains(xval))
+      if (ownerKeys((name, oldGid, xval))) {
+        val d = defOf(name)
         throw new ConstraintViolation(
           s"node $newGid would violate uniqueness constraint " +
             s"${d.name}: node $oldGid already exists with the same " +
             s"${d.label}.${d.property}")
+      }
     }
   }
 

@@ -350,15 +350,21 @@ object SearchIndexes {
     * via their exact long when integral and long-representable (so
     * 42L and 42.0 still share one key - Neo4j's numeric-equality
     * uniqueness) and their own notation otherwise (no long can
-    * collide there: integral doubles past the threshold have no equal
-    * long below it). */
+    * collide there: the long-representable cut is exactly [−2^63,
+    * 2^63), so a double outside it can never equal any long). */
   def encodeScalarExact(pv: Column): Column = {
     val d = pv.getField("d")
     when(pv.getField("s").isNotNull, concat(lit("s:"), pv.getField("s")))
       .when(pv.getField("l").isNotNull,
         concat(lit("n:"), pv.getField("l").cast("string")))
       .when(d.isNotNull, concat(lit("n:"),
-        when(d === floor(d) && abs(d) < 9.2e18,
+        // integral doubles canonicalize through long over the FULL
+        // long-representable range: every double strictly below 2^63
+        // (and ≥ −2^63) that equals floor(d) is exactly a long, so an
+        // equal-valued long/double pair always shares one exact key —
+        // no digit-vs-scientific rendering split in (9.2e18, 2^63)
+        when(d === floor(d) && d >= -9.223372036854775808e18 &&
+            d < 9.223372036854775808e18,
           d.cast("long").cast("string"))
           .otherwise(d.cast("string"))))
       .when(pv.getField("b").isNotNull,

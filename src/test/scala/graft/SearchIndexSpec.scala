@@ -2078,6 +2078,41 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(vShown == Seq("vo"))
   }
 
+  test("constraint exact-verify is batched past the old 64-candidate cap") {
+    val st = newStore("cap")
+    val base = 9007199254740992L // 2^53: double spacing 2, odd aliases even
+    val sess = CypherEngine.session(st)
+    (0 until 66).foreach(i => sess.run(
+      s"CREATE (:B {gid: 'e:$i', v: ${base + 2L * i}})").collect())
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE CONSTRAINT bu FOR (b:B) REQUIRE b.v IS UNIQUE").collect()
+    // 66 lossy-key conflict candidates, every one an encoding alias
+    // (odd neighbor of a committed even): the batched exact-verify
+    // must let the commit through — the old ≤64 budget sound-vetoed
+    val s2 = CypherEngine.session(st)
+    (0 until 66).foreach(i => s2.run(
+      s"CREATE (:B {gid: 'o:$i', v: ${base + 2L * i + 1L}})").collect())
+    s2.commit()
+    assert(CypherEngine.query(st, "MATCH (b:B) RETURN count(b) AS n")
+      .collect().head.getLong(0) == 132L)
+    // a GENUINE duplicate hidden among 66 alias candidates still
+    // throws (2^54 range: double spacing 4, +1 aliases the stored +0)
+    val base2 = 18014398509481984L // 2^54
+    val s3 = CypherEngine.session(st)
+    (0 until 66).foreach(i => s3.run(
+      s"CREATE (:B {gid: 'f:$i', v: ${base2 + 4L * i}})").collect())
+    s3.commit()
+    val s4 = CypherEngine.session(st)
+    (0 until 66).foreach(i => s4.run(
+      s"CREATE (:B {gid: 'g:$i', v: ${base2 + 4L * i + 1L}})").collect())
+    s4.run(s"CREATE (:B {gid: 'g:dup', v: ${base + 2L}})").collect()
+    val e = intercept[graft.store.ConstraintViolation] { s4.commit() }
+    assert(e.getMessage.contains("e:1") || e.getMessage.contains("bu"))
+    assert(CypherEngine.query(st, "MATCH (b:B) RETURN count(b) AS n")
+      .collect().head.getLong(0) == 198L) // the vetoed batch wrote nothing
+  }
+
   test("relationship property index: DDL, routed lookup, pruning, delta") {
     val st = newStore("relpx")
     st.localizeTinyTables = false // assert the at-scale parquet shape

@@ -79,4 +79,32 @@ class SemanticsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 14L)       // P2M14D — days beyond the months
     assert(r.getString(3) == "2024-04-30") // end-of-month clamp
   }
+
+  test("string predicates keep strict-slot semantics inside aggregates") {
+    // one predicate, one semantics: `n.p STARTS WITH '9'` must null
+    // on a NUMERIC property (no "9000.0"-rendering match) whether it
+    // sits in WHERE or inside an aggregate's argument
+    val stx = new GraphStore(
+      Files.createTempDirectory("graft-sem-agg").toString, spark, 2)
+    val sess = CypherEngine.session(stx)
+    sess.run("CREATE (:V {gid: 'v:1', p: 9000.0})").collect()
+    sess.run("CREATE (:V {gid: 'v:2', p: '9k-string'})").collect()
+    sess.commit()
+    val whereForm = CypherEngine.query(stx,
+      "MATCH (n:V) WHERE n.p STARTS WITH '9' RETURN count(n) AS c")
+      .collect().head.getLong(0)
+    val aggForm = CypherEngine.query(stx,
+      """MATCH (n:V)
+        |RETURN count(CASE WHEN n.p STARTS WITH '9' THEN 1 END) AS c"""
+        .stripMargin).collect().head.getLong(0)
+    assert(whereForm == 1L, s"WHERE form matched $whereForm")
+    assert(aggForm == whereForm,
+      s"aggregate-argument form diverged: $aggForm vs $whereForm")
+    // …and the rendering form survives where Catalyst needs it: a
+    // group-key expression over the same property still plans
+    val grouped = CypherEngine.query(stx,
+      """MATCH (n:V) RETURN n.p STARTS WITH '9' AS flag, count(*) AS c
+        |ORDER BY c""".stripMargin).collect()
+    assert(grouped.map(_.getLong(1)).sum == 2L)
+  }
 }
