@@ -3558,7 +3558,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       Some(ReturnItem(item.expr, Some(proj))), "COLLECT")
     val lst = s"${fresh("fcol")}__l"
     val grouped = rows.groupBy(keyCols.map(k => col(k._2)): _*)
-      .agg(sort_array(collect_list(col(quote(proj)))).as(lst))
+      .agg(cappedList(sort_array(collect_list(col(quote(proj)))))
+        .as(lst))
     val cond = keyCols.map { case (v, k) =>
       col(quote(fullSubKeyCol(v))) === col(quote(k))
     }.reduce(_ && _)
@@ -3610,7 +3611,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val tag = fresh("pcomp")
     val grouped = subDf.groupBy(keys.zipWithIndex.map { case (k, i) =>
       col(quote(k)).as(s"__${tag}_$i") }: _*)
-      .agg(sort_array(collect_list(projCol)).as(s"__${tag}__list"))
+      .agg(cappedList(sort_array(collect_list(projCol)))
+        .as(s"__${tag}__list"))
     val cond = keys.zipWithIndex.map { case (k, i) =>
       col(quote(k)) === col(s"__${tag}_$i") }.reduce(_ && _)
     df = df.join(grouped, cond, "left_outer")
@@ -3704,9 +3706,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val projCol = projE.map(p => valueCol(ren(p)))
       .getOrElse(col(s"__${tag}_gid"))
     val grouped = df.groupBy(col(keyName).as(s"__${tag}_k"))
-      .agg(transform(sort_array(collect_list(struct(
+      .agg(cappedList(transform(sort_array(collect_list(struct(
           col(s"__${tag}_pos").as("p"), projCol.as("v")))),
-        s => s("v")).as(s"__${tag}_list"))
+        s => s("v"))).as(s"__${tag}_list"))
     df = outerDf
     env = outerEnv
     df = df.join(grouped, col(keyName) === col(s"__${tag}_k"),
@@ -5795,6 +5797,26 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     case other => aggCol0(other)
   }
 
+  /** Supernode contract for collect-class aggregates (SURVEY §7.4):
+    * Spark's partial aggregation already two-phases the collect
+    * (per-partition partial lists merge at the reducer, so no single
+    * task funnels a supernode's raw rows) — but the RESULT array is
+    * irreducibly O(group size) and materializes in one task. Past
+    * `graft.collect.maxSize` elements (default 4M, session-conf
+    * overridable) that array dominates executor memory, so the engine
+    * raises a TARGETED error instead of letting the merge task OOM
+    * mid-query. Applied to COLLECT / collect() and the pattern-
+    * comprehension / COLLECT{} subquery lowerings.
+    */
+  private def cappedList(arr: Column): Column = {
+    val cap = spark.conf.get("graft.collect.maxSize", "4000000").toInt
+    when(size(arr) > cap, raise_error(lit(
+      s"COLLECT group exceeds graft.collect.maxSize ($cap elements) " +
+        "— aggregate with a bounded alternative (count, top-k via " +
+        "ORDER BY/LIMIT) or raise graft.collect.maxSize")))
+      .otherwise(arr)
+  }
+
   private def aggCol0(e: Ast.Expr): Column = e match {
     case FuncCall("count", Seq(Star), _) => count(lit(1))
     // a node/rel var counts by IDENTITY: an OPTIONAL MATCH miss binds
@@ -5821,7 +5843,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val sorted = array_sort(collect_list(struct(fields: _*)),
           (l, r) => orderCmp(l, r, dirs))
         val xs = transform(sorted, s => s.getField("v"))
-        if (distinct) array_distinct(xs) else xs
+        cappedList(if (distinct) array_distinct(xs) else xs)
       } else {
         // no explicit order: Neo4j's order is arbitrary, so a
         // deterministic value-sort is a legitimate choice (and what
@@ -5831,7 +5853,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // not the AST shape; unorderable collects keep arrival order
         val dt = df.select(c).schema.head.dataType
         val orderable = !containsMap(dt)
-        (distinct, orderable) match {
+        cappedList((distinct, orderable) match {
           case (true, true) => sort_array(collect_set(c))
           case (true, false) =>
             // collect_set can't hash map-bearing values (a node
@@ -5850,7 +5872,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 === (i + 1).cast("long"))
           case (false, true) => sort_array(collect_list(c))
           case (false, false) => collect_list(c)
-        }
+        })
       }
     case FuncCall("sum", Seq(a), _) =>
       val c = valueCol(a)
