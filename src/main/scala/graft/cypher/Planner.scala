@@ -1356,11 +1356,34 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       else pxOrderWalk.filter(wk => n.variable.contains(wk.v)) match {
         case Some(wk) =>
           pxOrderWalk = None // one-shot
-          store.indexDefs.find(ix => ix.kind == "property" &&
-            ix.label == label && ix.property == wk.prop)
-            .filter(store.searchIndexReady)
-            .filter(store.pxRangeReady)
-            .flatMap(d => orderWalkCandidates(d, wk))
+          if (wk.eqPrefix.isEmpty)
+            store.indexDefs.find(ix => ix.kind == "property" &&
+              ix.label == label && ix.property == wk.prop)
+              .filter(store.searchIndexReady)
+              .filter(store.pxRangeReady)
+              .flatMap(d => orderWalkCandidates(d, wk))
+          else
+            // COMPOSITE ordered walk: an index on exactly
+            // (eq props…, walk prop) — the equality prefix frames a
+            // contiguous span whose keys are ordered by the walked
+            // trailing component (keyset pagination over compound
+            // sort keys). Every prefix component must be bound; the
+            // trailing component must be LAST (ties then share a
+            // framed key, keeping the tie-bucket argument).
+            store.indexDefs.find { ix =>
+              ix.kind == "property" && ix.label == label &&
+                ix.properties.size == wk.eqPrefix.size + 1 &&
+                ix.properties.last == wk.prop &&
+                ix.properties.init.forall(wk.eqPrefix.contains)
+            }
+              .filter(store.searchIndexReady)
+              .filter(store.pxRangeReady)
+              .flatMap { d =>
+                val pfx = d.properties.init
+                  .map(p => graft.store.SearchIndexes
+                    .escCompStr(wk.eqPrefix(p))).mkString
+                orderWalkCandidates(d, wk, pfx)
+              }
         case None => None
       }
     walkGids.foreach { gids0 =>
@@ -1477,6 +1500,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             else {
               val tr = trailingHint.filter(_.prop == ps(bound.size))
                 .filter(_.prefix.isEmpty)
+              // COMPLETENESS gate (Neo4j's rule): the composite index
+              // holds only nodes with ALL components non-null, so the
+              // route is a true superset ONLY when every unbound
+              // component is null-pinned by a predicate — i.e. the
+              // single trailing component carries a range bound
+              // (n.p > x is null on a missing p). An equality prefix
+              // alone would silently drop prefix-matching nodes that
+              // MISS the trailing property — those match the query
+              // but have no index row.
+              if (bound.size + 1 != ps.size || tr.isEmpty) None
+              else {
               val prefixKey =
                 bound.map(p => escCompStr(sortEncs(p))).mkString
               // component escape WITHOUT its terminator — bound keys
@@ -1511,6 +1545,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 hiKey.foreach(h => f = f.filter(col("val") <= h))
                 // longest bound prefix (then a trailing bound) wins
                 Some((bound.size * 2 + tr.size, f.select(col("gid"))))
+              }
               }
             }
           }
@@ -1664,7 +1699,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       dirs: Seq[(Boolean, Int)], // (ascending, rows needed)
       numLo: Option[(Double, Boolean)], numHi: Option[(Double, Boolean)],
       strLo: Option[(String, Boolean)], strHi: Option[(String, Boolean)],
-      prefix: Option[String])
+      prefix: Option[String],
+      // plan-time EQUALITY bindings on OTHER properties (inline props
+      // or WHERE conjuncts), sortable-encoded: the walk then routes
+      // ONLY through a composite index (eq props..., prop) whose
+      // escape-framed tuple keys make the equality a contiguous
+      // prefix span with the walked property in order inside it
+      eqPrefix: Map[String, String] = Map.empty)
 
   private var pxOrderWalk: Option[PxWalk] = None
 
@@ -1684,7 +1725,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case None => return None
     }
     if (n.label.isEmpty || n.altLabels.nonEmpty || n.extraLabels.nonEmpty ||
-        n.props.nonEmpty || n.where.nonEmpty || n.dynLabel.nonEmpty)
+        n.where.nonEmpty || n.dynLabel.nonEmpty)
       return None
     val modelCols = Set("gid", "label", "source")
     def constOf(e: Expr): Option[Any] = e match {
@@ -1692,13 +1733,55 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case Param(p) => params.get(p)
       case _ => None
     }
+    // plan-time equality bindings (inline props + WHERE `=`
+    // conjuncts): candidate composite-walk prefix components — they
+    // stay residual filters in the plan regardless. Collected BEFORE
+    // the ORDER BY analysis so `WHERE n.a = 5 ORDER BY n.a, n.b`
+    // skips the constant leading key.
+    var eqEncs = Map.empty[String, String]
+    n.props.foreach { case (k, e) =>
+      if (modelCols.contains(k)) return None
+      constOf(e).flatMap(
+        graft.store.SearchIndexes.encodeSortableValue) match {
+        case Some(enc) => eqEncs += k -> enc
+        case None => return None
+      }
+    }
+    def conjunctsOf(e: Expr): List[Expr] = e match {
+      case And(a, b) => conjunctsOf(a) ++ conjunctsOf(b)
+      case x => List(x)
+    }
+    m.where.toSeq.flatMap(conjunctsOf).foreach {
+      case Cmp("=", PropRef(`v`, p), rhs)
+          if !modelCols.contains(p) && !eqEncs.contains(p) =>
+        constOf(rhs).flatMap(
+          graft.store.SearchIndexes.encodeSortableValue)
+          .foreach(enc => eqEncs += p -> enc)
+      case Cmp("=", lhs, PropRef(`v`, p))
+          if !modelCols.contains(p) && !eqEncs.contains(p) =>
+        constOf(lhs).flatMap(
+          graft.store.SearchIndexes.encodeSortableValue)
+          .foreach(enc => eqEncs += p -> enc)
+      case _ => ()
+    }
     // shape: top-k (ORDER BY n.p … LIMIT k) or min/max aggregate
     val (prop, dirs, strOrder): (String, Seq[(Boolean, Int)], Boolean) =
       if (q.orderBy.nonEmpty) {
         if (q.limit.isEmpty) return None
         if (q.items.exists(i => containsAgg(i.expr))) return None
-        val (p, asc) = q.orderBy.head match {
-          case (PropRef(`v`, p0), a) if !modelCols.contains(p0) => (p0, a)
+        // leading ORDER BY keys that are EQUALITY-bound are constant
+        // within the result — skip them; the first unbound key is the
+        // walked property (later keys are tiebreaks: the walk
+        // collects every boundary tie, so they stay plan-side)
+        val obTail = q.orderBy.dropWhile {
+          case (PropRef(`v`, p0), _) => eqEncs.contains(p0)
+          case _ => false
+        }
+        if (obTail.isEmpty) return None
+        val (p, asc) = obTail.head match {
+          case (PropRef(`v`, p0), a)
+              if !modelCols.contains(p0) && !eqEncs.contains(p0) =>
+            (p0, a)
           case _ => return None
         }
         val need = try {
@@ -1706,7 +1789,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             q.skip.map(boundVal(_, "SKIP")).getOrElse(0L)
         } catch { case _: Exception => return None }
         if (need <= 0 || need > PxRouteCap) return None
-        val e0 = q.orderBy.head._1
+        val e0 = obTail.head._1
         val projected = q.items.exists(i =>
           i.expr == e0 || i.alias.contains(Ast.Render.expr(e0)))
         (p, Seq((asc, need.toInt)), projected)
@@ -1725,7 +1808,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case _ => return None
         }
         val p = mm.head._1
-        if (modelCols.contains(p) || !mm.forall(_._1 == p)) return None
+        if (modelCols.contains(p) || eqEncs.contains(p) ||
+            !mm.forall(_._1 == p)) return None
         (p, mm.map(x => (x._2, 1)).distinct, false)
       }
     // every WHERE conjunct must be a bound on n.<prop> the walk can
@@ -1794,7 +1878,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             }
           case _ => return None
         }
-      case IsNull(PropRef(`v`, p), true) if p == prop =>
+      // equality conjuncts consumed by the pre-pass (composite-walk
+      // prefix components): accepted — enforced BOTH by the framed
+      // prefix span and the residual predicate
+      case Cmp("=", PropRef(`v`, p), _) if eqEncs.contains(p) => ()
+      case Cmp("=", _, PropRef(`v`, p)) if eqEncs.contains(p) => ()
+      case IsNull(PropRef(`v`, p), true)
+          if p == prop || eqEncs.contains(p) =>
         () // IS NOT NULL: every index row is non-null by construction
       case _ => return None
     }
@@ -1802,8 +1892,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     if ((numLo.nonEmpty || numHi.nonEmpty) &&
         (strLo.nonEmpty || strHi.nonEmpty || prefix.nonEmpty)) return None
     if ((numLo.toSeq ++ numHi.toSeq).exists(_._1.isNaN)) return None
+    // composite walks keep the simple bound classes only: a STARTS
+    // WITH bound inside a framed prefix span is out of scope
+    if (eqEncs.nonEmpty && prefix.nonEmpty) return None
     Some(PxWalk(v, prop, strOrder, dirs, numLo, numHi, strLo, strHi,
-      prefix))
+      prefix, eqEncs))
   }
 
   /** Execute the walk(s) a [[PxWalk]] hint asks for against index `d`:
@@ -1814,7 +1907,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * caller then keeps the ordinary plan.
     */
   private def orderWalkCandidates(d: graft.store.IndexDef,
-      w: PxWalk): Option[Seq[String]] = {
+      w: PxWalk, pfx: String = ""): Option[Seq[String]] = {
     val pin: Option[String] =
       if (w.numLo.isDefined || w.numHi.isDefined) Some("n")
       else if (w.strLo.isDefined || w.strHi.isDefined ||
@@ -1827,7 +1920,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case None => return None // DESC un-pinned: nulls sort first
       }
       if (w.strOrder && region != "s") return None
-      walkRegion(d, region, asc, need, w, complete = pin.isDefined) match {
+      walkRegion(d, region, asc, need, w, complete = pin.isDefined,
+        pfx) match {
         case Some(gids) => gids
         case None => return None
       }
@@ -1845,7 +1939,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * yields a complete candidate set even below `need`. */
   private def walkRegion(d: graft.store.IndexDef, region: String,
       asc: Boolean, need: Int, w: PxWalk,
-      complete: Boolean): Option[Seq[String]] = {
+      complete: Boolean, pfx: String = ""): Option[Seq[String]] = {
     import graft.store.SearchIndexes.{encodeSortableValue, rangeBucketOf}
     def encN(x: Double): String = encodeSortableValue(x).get
     def cmpK(a: String, b: String): Int =
@@ -1853,59 +1947,83 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     def maxK(a: String, b: String) = if (cmpK(a, b) >= 0) a else b
     def minK(a: String, b: String) = if (cmpK(a, b) <= 0) a else b
+    // COMPOSITE walk (pfx = the framed equality-prefix): bound tests
+    // run on the DECODED trailing component (strip the prefix, take
+    // the first escape-framed field, undo the escComp escapes), while
+    // bucket mapping, ordering, and tie detection stay on the framed
+    // full key — equal trailing values under one prefix have equal
+    // framed keys, so the equal-keys-share-a-bucket tie argument
+    // carries over verbatim; escComp is order-preserving, so framed
+    // order = component order inside the span
+    val keyCol: Column =
+      if (pfx.isEmpty) col("val")
+      else regexp_replace(regexp_replace(
+        element_at(split(
+          col("val").substr(lit(pfx.length + 1), lit(1 << 30)),
+          "\u0000"), 1),
+        "\u0001\u0002", "\u0000"), "\u0001\u0003", "\u0001")
     // region membership is a key-prefix test; loKey/hiKey bound the
     // bucket span (hiKey via the ceil trick: hex digits stop at 'G',
     // strings at the ':'-successor ';')
     val wideC = Seq.newBuilder[Column]
     val strictC = Seq.newBuilder[Column]
-    wideC += col("val").startsWith(region + ":")
+    if (pfx.nonEmpty) wideC += col("val").startsWith(pfx)
+    wideC += keyCol.startsWith(region + ":")
     var loKey = region + ":"
     var hiKey = if (region == "n") "n:G" else "s;"
     if (region == "n") {
       // strict counting stays inside the finite-number span: total-
       // order bits place NaN above +Inf and -NaN below -Inf, and a
       // stored NaN never satisfies a numeric residual
-      strictC += col("val") >= lit(encN(Double.NegativeInfinity))
-      strictC += col("val") <= lit(encN(Double.PositiveInfinity))
+      strictC += keyCol >= lit(encN(Double.NegativeInfinity))
+      strictC += keyCol <= lit(encN(Double.PositiveInfinity))
       def neg0(x: Double) = if (x == 0.0) -0.0 else x
       def pos0(x: Double) = if (x == 0.0) 0.0 else x
       w.numLo.foreach { case (x, incl) =>
         val wk = encN(math.nextDown(x))
-        wideC += col("val") >= lit(wk)
+        wideC += keyCol >= lit(wk)
         loKey = maxK(loKey, wk)
-        strictC += (if (incl) col("val") >= lit(encN(neg0(x)))
-                    else col("val") > lit(encN(pos0(x))))
+        strictC += (if (incl) keyCol >= lit(encN(neg0(x)))
+                    else keyCol > lit(encN(pos0(x))))
       }
       w.numHi.foreach { case (x, incl) =>
         val wk = encN(math.nextUp(x))
-        wideC += col("val") <= lit(wk)
+        wideC += keyCol <= lit(wk)
         hiKey = minK(hiKey, wk)
-        strictC += (if (incl) col("val") <= lit(encN(pos0(x)))
-                    else col("val") < lit(encN(neg0(x))))
+        strictC += (if (incl) keyCol <= lit(encN(pos0(x)))
+                    else keyCol < lit(encN(neg0(x))))
       }
     } else {
       // string bounds are exact in the encoding — wide = strict
       w.strLo.foreach { case (s, incl) =>
         val k = "s:" + s
-        val c = if (incl) col("val") >= lit(k) else col("val") > lit(k)
+        val c = if (incl) keyCol >= lit(k) else keyCol > lit(k)
         wideC += c; strictC += c
         loKey = maxK(loKey, k)
       }
       w.strHi.foreach { case (s, incl) =>
         val k = "s:" + s
-        val c = if (incl) col("val") <= lit(k) else col("val") < lit(k)
+        val c = if (incl) keyCol <= lit(k) else keyCol < lit(k)
         wideC += c; strictC += c
         hiKey = minK(hiKey, k)
       }
       w.prefix.foreach { p =>
-        val c = col("val").startsWith("s:" + p)
+        val c = keyCol.startsWith("s:" + p)
         wideC += c; strictC += c
         loKey = maxK(loKey, "s:" + p)
       }
     }
     if (cmpK(loKey, hiKey) > 0) return Some(Nil) // empty span
-    val bLo = rangeBucketOf(d.boundaries, loKey)
-    var bHi = rangeBucketOf(d.boundaries, hiKey)
+    // frame the span bounds into the composite key space (escComp is
+    // order-preserving; hi + "\u0001" upper-bounds every continuation
+    // of a framed key equal to the hi bound — compositePrefixHits'
+    // recipe, since continuations start with the "\u0000" terminator)
+    def escBody(k: String): String =
+      graft.store.SearchIndexes.escCompStr(k).dropRight(1)
+    val bLo = rangeBucketOf(d.boundaries,
+      if (pfx.isEmpty) loKey else pfx + escBody(loKey))
+    var bHi = rangeBucketOf(d.boundaries,
+      if (pfx.isEmpty) hiKey else pfx + escBody(hiKey) + "\u0001")
     w.prefix.foreach { p =>
       // the prefix's own span ceiling (pxPrefixKeys' formula — no
       // successor-string construction)

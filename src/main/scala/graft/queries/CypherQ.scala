@@ -866,8 +866,11 @@ DETACH DELETE n
     // COMPOSITE equality-prefix routing (Neo4j's composite range-index
     // shape): the escComp-framed sect=r tuple keys make an
     // equality-bound prefix a contiguous span — first branch adds a
-    // range on the NEXT component (string bounds), second routes on
-    // the equality prefix alone; both keep every predicate residual.
+    // range on the NEXT component (string bounds) and routes; the
+    // second (equality prefix alone) deliberately KEEPS the scan:
+    // the index holds only all-components-non-null nodes, so routing
+    // it would drop prefix matches missing the trailing property
+    // (Neo4j's completeness rule). Every predicate stays residual.
     "cypher_prop_index_comp_range" -> ((s, dir) => {
       import s.implicits._
       val st = propIndexStore(s, dir)
@@ -904,6 +907,22 @@ DETACH DELETE n
         """MATCH (c:Customer) WHERE c.name ENDS WITH $sfx
            RETURN c.gid AS gid, c.name AS name""",
         Map("sfx" -> "042"))
+        .orderBy($"gid")
+    }),
+
+    // COMPOSITE-key ordered walk: equality on the leading component
+    // + ORDER BY the trailing one + LIMIT — the escape-framed
+    // composite sect=r span serves the top-k in key order with an
+    // early-stopping walk (keyset pagination over compound sort
+    // keys); the gid tiebreak keeps LIMIT-boundary ties
+    // deterministic for the oracle.
+    "cypher_index_comp_order" -> ((s, dir) => {
+      import s.implicits._
+      val st = propIndexStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (c:Customer) WHERE c.nation = 5 AND c.acctbal > -500.0
+           RETURN c.gid AS gid, toFloat(c.acctbal) AS acctbal
+           ORDER BY c.nation, c.acctbal, c.gid LIMIT 10""")
         .orderBy($"gid")
     }),
 
@@ -1131,6 +1150,11 @@ DETACH DELETE n
       // keys have equality bindings
       CypherEngine.query(store,
         "CREATE INDEX cnsidx FOR (c:Customer) ON (c.nation, c.segment)")
+        .collect()
+      // composite with a NUMERIC trailing key — the composite
+      // ordered-walk entry routes through it
+      CypherEngine.query(store,
+        "CREATE INDEX cnbidx FOR (c:Customer) ON (c.nation, c.acctbal)")
         .collect()
       store
     })
@@ -1876,6 +1900,15 @@ DETACH DELETE n
     "cypher_prop_index_suffix" ->
       """SELECT 'c:'||c_custkey AS gid, c_name AS name
          FROM customer WHERE c_name LIKE '%042'
+         ORDER BY gid""",
+
+    "cypher_index_comp_order" ->
+      """SELECT gid, acctbal FROM (
+           SELECT 'c:'||c_custkey AS gid,
+             CAST(c_acctbal AS DOUBLE) AS acctbal
+           FROM customer
+           WHERE c_nationkey = 5 AND CAST(c_acctbal AS DOUBLE) > -500.0
+           ORDER BY acctbal, gid LIMIT 10)
          ORDER BY gid""",
 
     "cypher_index_order" ->

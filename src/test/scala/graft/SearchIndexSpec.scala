@@ -839,6 +839,105 @@ class SearchIndexSpec extends AnyFunSuite {
       .collect().head.getString(0) == "1")
   }
 
+  test("composite-key ordered walk: equality prefix + ORDER BY trailing") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sidx-cpxw").toString, spark, 16)
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    (1 to 300).foreach { i =>
+      sess.run(f"CREATE (:Person {gid: 'p:$i%03d', tenant: 't${i % 3}', " +
+        f"age: $i})").collect()
+    }
+    // a tenant-t1 node MISSING age: sorts after every aged node under
+    // ASC — invisible to the composite index, must not break top-k
+    sess.run("CREATE (:Person {gid: 'p:noage', tenant: 't1'})").collect()
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX cta FOR (p:Person) ON (p.tenant, p.age)").collect()
+    val allNodeFiles = st.nodes.inputFiles.toSet
+    def gids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getString(0)).toSeq
+    def assertRouted(df: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      val fs = df.inputFiles.toSet
+      assert(fs.subsetOf(allNodeFiles) && fs.size < allNodeFiles.size,
+        s"$what did not take the composite ordered walk: " +
+          s"${fs.size}/${allNodeFiles.size} node files")
+    }
+
+    // the classic compound-keyset shape: equality on the leading
+    // component, ORDER BY lists both, LIMIT k — walks the framed
+    // prefix span in trailing-key order
+    val asc5 = CypherEngine.query(st,
+      """MATCH (p:Person) WHERE p.tenant = 't1'
+        |RETURN p.gid AS gid ORDER BY p.tenant, p.age LIMIT 5"""
+        .stripMargin)
+    assert(gids(asc5) == Seq(1, 4, 7, 10, 13).map(i => f"p:$i%03d"))
+    assertRouted(asc5, "eq-prefix ASC LIMIT")
+
+    // inline-prop equality + cursor bound on the trailing key
+    val keyset = CypherEngine.query(st,
+      """MATCH (p:Person {tenant: 't1'}) WHERE p.age > $cursor
+        |RETURN p.gid AS gid ORDER BY p.age LIMIT 4""".stripMargin,
+      Map("cursor" -> 42))
+    assert(gids(keyset) == Seq(43, 46, 49, 52).map(i => f"p:$i%03d"))
+    assertRouted(keyset, "eq-prefix cursor pagination")
+
+    // DESC with a pin walks the span from the top
+    val desc3 = CypherEngine.query(st,
+      """MATCH (p:Person {tenant: 't2'}) WHERE p.age >= 0
+        |RETURN p.gid AS gid ORDER BY p.age DESC LIMIT 3""".stripMargin)
+    assert(gids(desc3) == Seq(299, 296, 293).map(i => f"p:$i%03d"))
+    assertRouted(desc3, "eq-prefix DESC LIMIT")
+
+    // min/max inside the equality span (need-1 walks per aggregate)
+    val mn = CypherEngine.query(st,
+      "MATCH (p:Person {tenant: 't0'}) RETURN min(p.age) AS lo")
+    assert(mn.collect().head.getString(0) == "3")
+    assertRouted(mn, "eq-prefix min()")
+
+    // bounded span exhausting below k completes exactly (the bound
+    // pins non-null, so missing-age nodes are excluded by WHERE)
+    val tail = CypherEngine.query(st,
+      """MATCH (p:Person {tenant: 't1'}) WHERE p.age > 295
+        |RETURN p.gid AS gid ORDER BY p.age LIMIT 5""".stripMargin)
+    assert(gids(tail) == Seq("p:298"))
+    assertRouted(tail, "exhausted bounded span")
+
+    // early stop: the whole routed query is a bounded handful of jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    Thread.sleep(800)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val again = CypherEngine.query(st,
+        """MATCH (p:Person {tenant: 't1'})
+          |RETURN p.gid AS gid ORDER BY p.age LIMIT 5""".stripMargin)
+      assert(gids(again) == Seq(1, 4, 7, 10, 13).map(i => f"p:$i%03d"))
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() <= 6,
+      s"too many jobs for a composite ordered top-k: ${jobs.get()}")
+
+    // correctness at the span tail: the missing-age node sorts LAST
+    // in its tenant (ASC nulls-last) through the fallback plan
+    val withNull = CypherEngine.query(st,
+      """MATCH (p:Person {tenant: 't1'})
+        |RETURN p.gid AS gid ORDER BY p.age SKIP 100 LIMIT 2"""
+        .stripMargin)
+    assert(gids(withNull) == Seq("p:noage"))
+    // an unknown tenant's span is empty
+    assert(gids(CypherEngine.query(st,
+      """MATCH (p:Person {tenant: 't9'})
+        |RETURN p.gid AS gid ORDER BY p.age LIMIT 3""".stripMargin))
+      .isEmpty)
+  }
+
   test("CONTAINS / ENDS WITH route through the sect=w value dictionary") {
     val st = new GraphStore(
       Files.createTempDirectory("graft-sidx-pxs").toString, spark, 16)
