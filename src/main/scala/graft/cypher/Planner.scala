@@ -4376,11 +4376,37 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       c.name.toLowerCase == "db.index.fulltext.queryrelationships"
     // (gid, score) — each branch keeps candidate generation bounded
     val (hits: DataFrame, idxLabel: String) = if (isVector) {
-      val (idxName, k, qv) = c.args match {
+      val (idxName, k, qv, filtPreds) = c.args match {
         case Seq(a, b, v) => (strArg(a, "indexName"),
-          longArg(b, "numberOfNearestNeighbours"), vecArg(v, "query"))
+          longArg(b, "numberOfNearestNeighbours"), vecArg(v, "query"),
+          Nil: Seq[(String, Any)])
+        case Seq(a, b, v, MapLit(entries)) =>
+          // graft extension: {filter: {prop: value, ...}} — conjunctive
+          // property-equality predicates evaluated BEFORE the top-k
+          // truncation, so selective filters don't collapse recall
+          val fp = entries match {
+            case Seq(("filter", MapLit(fes))) if fes.nonEmpty =>
+              fes.map { case (fk, fe) =>
+                val value = fe match {
+                  case Lit(x) if x != null => x
+                  case Param(n) => params.getOrElse(n,
+                    throw PlanError(s"missing parameter $$$n"))
+                  case other => throw PlanError(
+                    s"vector filter values must be plan-time scalars, " +
+                      s"got $other")
+                }
+                fk -> value
+              }
+            case _ => throw PlanError(
+              "db.index.vector.queryNodes options take exactly " +
+                "{filter: {prop: value, ...}}")
+          }
+          (strArg(a, "indexName"),
+            longArg(b, "numberOfNearestNeighbours"), vecArg(v, "query"),
+            fp)
         case other => throw PlanError(
-          s"db.index.vector.queryNodes takes (indexName, k, query), got $other")
+          "db.index.vector.queryNodes takes (indexName, k, query" +
+            s"[, {filter: {...}}]), got $other")
       }
       if (k < 1) throw PlanError(s"k must be >= 1: $k")
       val d = store.indexDef(idxName).filter(_.kind == "vector")
@@ -4388,8 +4414,91 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       if (d.dims > 0 && qv.size != d.dims)
         throw PlanError(
           s"query vector has ${qv.size} dims; index $idxName has ${d.dims}")
+      // ---- filtered search wiring ----
+      // strict typed-slot equality on a PV property (numeric family
+      // unified; a filter on a missing/other-typed prop matches none)
+      def pvEqCol(pv: Column, value: Any): Column = value match {
+        case x: String => pv.getField("s") === x
+        case x: Boolean => pv.getField("b") === x
+        case x: Int => pv.getField("l") === x.toLong ||
+          pv.getField("d") === x.toDouble
+        case x: Long => pv.getField("l") === x ||
+          pv.getField("d") === x.toDouble
+        case x: Double => pv.getField("d") === x ||
+          pv.getField("l").cast("double") === x
+        case other => throw PlanError(
+          s"unsupported vector filter value: $other")
+      }
+      // every filter-matching gid (label-pruned scan) — the
+      // filter-during-shortlist input when the px fast path is out
+      lazy val filterGidsDf: DataFrame = {
+        var f = nodesInView.filter(col("label") === d.label ||
+          (col("xlabels").isNotNull &&
+            array_contains(col("xlabels"), d.label)))
+        filtPreds.foreach { case (fp, fv) =>
+          f = f.filter(pvEqCol(col("props").getItem(fp), fv)) }
+        f.select(col("gid"))
+      }
+      // SELECTIVE pre-filter: when every predicate routes through a
+      // ready px index and the intersected candidate list is small,
+      // answer EXACTLY (brute-force over the matched nodes' vectors,
+      // read from their gid buckets) — recall 1.0 under selective
+      // filters, the recall-correct shape v_knn_filtered pins
+      val FilteredAnnCap = 4096
+      val selectiveGids: Option[Seq[String]] =
+        if (filtPreds.isEmpty) None
+        else {
+          // ANY px-resolvable predicate with a bounded candidate list
+          // makes the whole filter selective: its matches are a
+          // SUPERSET of the conjunction, and the remaining predicates
+          // apply as residuals on the candidates' node rows
+          val sets: Seq[Set[String]] = filtPreds.flatMap {
+            case (fp, fv) =>
+              for {
+                enc <- graft.store.SearchIndexes.encodeValue(fv)
+                ix <- store.indexDefs.find(x => x.kind == "property" &&
+                  x.entity == "NODE" && x.label == d.label &&
+                  x.property == fp)
+                if store.searchIndexReady(ix)
+                got = store.readSearchIndex(ix, {
+                  val b = store.bucketOfString(enc)
+                  (key: String) => key == s"sect=p/bucket=$b"
+                })
+                  .filter(col("sect") === "p" && col("val") === enc)
+                  .select(col("gid")).take(FilteredAnnCap + 1)
+                  .map(_.getString(0))
+                if got.length <= FilteredAnnCap
+              } yield got.toSet
+          }
+          if (sets.isEmpty) None
+          else Some(sets.reduce(_ intersect _).toSeq.sorted)
+        }
+      // filtered searches on the graph tier re-route through the cell
+      // tiers (a filter-blind beam collapses recall); cell probes
+      // WIDEN under a non-selective filter so the filtered shortlist
+      // keeps enough candidates
+      val filteredNProbe =
+        if (filtPreds.isEmpty || selectiveGids.isDefined)
+          d.effectiveNProbe
+        else math.min(math.max(1, d.centroids.size),
+          4 * d.effectiveNProbe)
       val base: DataFrame = // (gid, v, norm)
-        if (d.graphDeg > 0 && d.centroids.nonEmpty &&
+        if (selectiveGids.isDefined) {
+          val gids = selectiveGids.get
+          if (gids.isEmpty)
+            SearchIndexes.vectors(nodesInView, d).limit(0)
+          else {
+            var src = store.nodesByGidBuckets(
+              gids.map(store.bucketOfString).toSet)
+              .filter(col("gid").isin(gids: _*))
+            // EVERY predicate re-applies as a residual (exactness for
+            // the px-resolved ones, enforcement for the rest)
+            filtPreds.foreach { case (fp, fv) =>
+              src = src.filter(pvEqCol(col("props").getItem(fp), fv)) }
+            SearchIndexes.vectors(src, d)
+          }
+        } else if (filtPreds.isEmpty && d.graphDeg > 0 &&
+            d.centroids.nonEmpty &&
             d.graphEntries.nonEmpty && store.graphIndexReady(d)) {
           // PROXIMITY-GRAPH tier: driver-side beam search over the
           // persisted adjacency — T rounds of (read frontier rows
@@ -4459,9 +4568,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           // — its float vectors read from the candidates' gid-bucket
           // node directories (the quantize-then-rescore recipe).
           val cells = SearchIndexes.probeCells(
-            d.centroids, qv, d.similarity, d.effectiveNProbe).toSet
-          val codes = store.readSearchIndex(d,
+            d.centroids, qv, d.similarity, filteredNProbe).toSet
+          val codes0 = store.readSearchIndex(d,
             key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
+          // a (non-selective) filter applies BEFORE the shortlist
+          // truncation — the shortlist then ranks only filter
+          // survivors instead of losing them to unfiltered top-M
+          val codes =
+            if (filtPreds.isEmpty) codes0
+            else codes0.join(filterGidsDf, Seq("gid"), "left_semi")
           val shortlistN = math.max(4 * k.toInt, 64)
           val withApprox: DataFrame = d.quant match {
             case "sq8" =>
@@ -4510,11 +4625,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           // read ONLY the top-nprobe cells' directories (configured
           // override, else ~√K/2 of the trained cell count)
           val cells = SearchIndexes.probeCells(
-            d.centroids, qv, d.similarity, d.effectiveNProbe).toSet
-          store.readSearchIndex(d,
+            d.centroids, qv, d.similarity, filteredNProbe).toSet
+          val rows = store.readSearchIndex(d,
             key => cells.exists(cl => key.startsWith(s"cell=$cl/")))
             .select(col("gid"), col("v"), col("norm"))
-        } else SearchIndexes.vectors(nodesInView, d)
+          if (filtPreds.isEmpty) rows
+          else rows.join(filterGidsDf, Seq("gid"), "left_semi")
+        } else {
+          val rows = SearchIndexes.vectors(nodesInView, d)
+          if (filtPreds.isEmpty) rows
+          else rows.join(filterGidsDf, Seq("gid"), "left_semi")
+        }
       val qn = math.sqrt(qv.map(x => x * x).sum)
       val qdot = SearchIndexes.dot(col("v"), typedLit(qv))
       // Neo4j's similarity scores: cosine normalized to (1+cos)/2 in
@@ -5457,7 +5578,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           ("graft.stats", "graft.stats() :: (kind, name, n)"),
           ("db.index.vector.queryNodes",
             "db.index.vector.queryNodes(indexName :: STRING, " +
-              "numberOfNearestNeighbours :: INTEGER, query :: LIST<FLOAT>) " +
+              "numberOfNearestNeighbours :: INTEGER, query :: LIST<FLOAT>" +
+              "[, options :: {filter: MAP}]) " +
               ":: (node, score)"),
           ("db.index.fulltext.queryNodes",
             "db.index.fulltext.queryNodes(indexName :: STRING, " +

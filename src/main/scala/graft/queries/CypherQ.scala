@@ -675,6 +675,28 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // FILTERED persisted-ANN (graft extension): a ~1%-selectivity
+    // property-equality filter resolves its candidates through the
+    // px index, and the query answers EXACTLY over the filtered
+    // nodes' vectors (recall 1.0 — the pre-filter shape) instead of
+    // post-filtering an unfiltered top-k
+    "cypher_vector_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val st = embeddingStore(s, dir)
+      val q = Relational.t(s, dir, "embeddings")
+        .filter($"vec_id" === 0)
+        .select(transform($"embedding", x => x.cast("double")))
+        .head().getSeq[Double](0).toSeq
+      CypherEngine.query(st,
+        """CALL db.index.vector.queryNodes('vidx', 10, $q,
+             {filter: {flag: 0}})
+           YIELD node, score
+           RETURN node.gid AS gid, score""",
+        Map("q" -> q))
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // the euclidean twin: same store, second index (vidx_l2), Neo4j's
     // 1/(1+d²) score; assignment/probe rank by 2·v·c − |c|²
     "cypher_vector_index_l2" -> ((s, dir) => {
@@ -1084,10 +1106,16 @@ DETACH DELETE n
         .as[(Long, Seq[Double])]
         .map { case (id, v) =>
           graft.model.Entity(s"v:$id",
-            props = Map("http://g/prop#emb" -> graft.model.PV.of(v)))
+            props = Map(
+              "http://g/prop#emb" -> graft.model.PV.of(v),
+              // ~1%-selectivity partition flag for the FILTERED
+              // search entry (px-indexed below)
+              "http://g/prop#flag" -> graft.model.PV.of(id % 97)))
         }
       graft.ops.GraphMerge.applyBatch(store, "embs", "Emb", ents,
         truncateFirst = true)
+      CypherEngine.query(store,
+        "CREATE INDEX vflag FOR (m:Emb) ON (m.flag)").collect()
       CypherEngine.query(store,
         "CREATE VECTOR INDEX vidx FOR (m:Emb) ON (m.emb)").collect()
       // a SECOND index on the same property, euclidean — the two
@@ -1601,6 +1629,22 @@ DETACH DELETE n
     // 2 integer-micro Lloyd steps, cosine assignment with lowest-cid
     // tie-break (= SearchIndexes.trainCentroids/assignCells), 2-cell
     // probe for vec_id 0's own embedding, exact cosine top-10
+    "cypher_vector_filtered" ->
+      """WITH e AS (SELECT 'v:' || CAST(vec_id AS VARCHAR) gid,
+             CAST(embedding AS DOUBLE[]) v, vec_id FROM embeddings),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+           WHERE vec_id = 0),
+         n AS (SELECT gid, v, vec_id,
+           sqrt(list_dot_product(v, v)) norm FROM e)
+         SELECT gid, round(score, 9) AS score FROM (
+           SELECT gid,
+             (1.0 + list_dot_product(v, (SELECT qv FROM q)) /
+               (norm * sqrt(list_dot_product((SELECT qv FROM q),
+                 (SELECT qv FROM q))))) / 2.0 AS score
+           FROM n WHERE vec_id % 97 = 0
+           ORDER BY score DESC, gid LIMIT 10)
+         ORDER BY gid""",
+
     "cypher_vector_index" ->
       """WITH e AS (SELECT 'v:' || CAST(vec_id AS VARCHAR) gid,
              CAST(embedding AS DOUBLE[]) v FROM embeddings),

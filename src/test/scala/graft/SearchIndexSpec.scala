@@ -2177,6 +2177,58 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(vShown == Seq("vo"))
   }
 
+  test("filtered vector search: selective px pre-filter + shortlist filter") {
+    val st = newStore("vfilt")
+    val n = 400
+    val sess = CypherEngine.session(st)
+    (1 to n).foreach { i =>
+      val seg = if (i % 100 == 0) "rare" else "common" // 1% selectivity
+      val grp = s"g${i % 4}" // NO px index on this one
+      sess.run(s"CREATE (:Emb {gid: 'e:$i', v: ${vecLit(vec(i))}, " +
+        s"seg: '$seg', grp: '$grp'})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE VECTOR INDEX vf FOR (m:Emb) ON (m.v)").collect()
+    CypherEngine.query(st,
+      "CREATE INDEX segx FOR (m:Emb) ON (m.seg)").collect()
+    val q = vec(17)
+    def truth(pred: Int => Boolean, k: Int): Seq[String] =
+      (1 to n).filter(pred)
+        .map(i => (s"e:$i", cosine(vec(i), q)))
+        .sortBy { case (g, c) => (-c, g) }.take(k).map(_._1)
+    def ask(filter: String, k: Int): Seq[String] =
+      CypherEngine.query(st,
+        s"""CALL db.index.vector.queryNodes('vf', $k, ${vecLit(q)},
+           |  {filter: $filter}) YIELD node, score
+           |RETURN node.gid AS g""".stripMargin)
+        .collect().map(_.getString(0)).toSeq
+
+    // SELECTIVE path (px-resolved 1% candidates): EXACT — recall 1.0
+    // vs the brute-force-filtered ground truth
+    assert(ask("{seg: 'rare'}", 3) == truth(_ % 100 == 0, 3))
+    // non-selective path (no px index on grp): the filter applies
+    // BEFORE shortlist truncation with widened probes — recall vs
+    // filtered ground truth stays high (≥2 of top-3)
+    val gotG = ask("{grp: 'g1'}", 3)
+    val truthG = truth(i => i % 4 == 1, 3)
+    assert(gotG.toSet.intersect(truthG.toSet).size >= 2,
+      s"filtered recall collapsed: $gotG vs $truthG")
+    // conjunctive filters intersect
+    assert(ask("{seg: 'rare', grp: 'g0'}", 2) ==
+      truth(i => i % 100 == 0 && i % 4 == 0, 2))
+    // a zero-match filter yields zero rows (not an error)
+    assert(ask("{seg: 'nope'}", 3).isEmpty)
+    // malformed options get targeted errors
+    val e = intercept[Exception] {
+      CypherEngine.query(st,
+        s"""CALL db.index.vector.queryNodes('vf', 3, ${vecLit(q)},
+           |  {unknown: 1}) YIELD node, score RETURN 1 AS o"""
+          .stripMargin).collect()
+    }
+    assert(e.getMessage.contains("filter"), e.getMessage)
+  }
+
   test("constraint exact-verify is batched past the old 64-candidate cap") {
     val st = newStore("cap")
     val base = 9007199254740992L // 2^53: double spacing 2, odd aliases even
