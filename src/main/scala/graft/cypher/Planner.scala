@@ -1316,8 +1316,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // composite defs route only when ALL their keys are bound; the
     // widest applicable one wins (most selective tuple)
     val compositeRoute = store.indexDefs
-      .filter(ix => ix.kind == "property" && ix.label == label &&
-        ix.properties.size > 1 &&
+      .filter(ix => ix.kind == "property" && !ix.zorder &&
+        ix.label == label && ix.properties.size > 1 &&
         ix.properties.forall(boundEncs.contains) &&
         store.searchIndexReady(ix))
       .sortBy(-_.properties.size).headOption
@@ -1394,6 +1394,57 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         else store.nodesByGidBuckets(buckets)
           .filter(col("gid").isin(gids: _*)))
     }
+    // Z-ORDER point route: a bbox / cartesian-distance rectangle
+    // decomposes into O(few) contiguous Morton-key ranges (quadtree
+    // cover) over the point index's sect=z section — true 2-D
+    // pruning where the coordinate band reads a whole stripe. The
+    // exact spatial predicate stays residual in WHERE.
+    val zHits: Option[DataFrame] =
+      if (eqHits.isDefined) None
+      else n.variable.flatMap(pxZRoutes.get).flatMap {
+        case (xp, yp, xlo, xhi, ylo, yhi) =>
+          store.indexDefs.find(ix => ix.kind == "property" &&
+            ix.zorder && ix.label == label &&
+            ix.properties == Seq(xp, yp))
+            .filter(store.searchIndexReady)
+            .filter(store.zPointReady)
+            .flatMap { d =>
+              import graft.store.SearchIndexes.{rangeBucketOf, zCoord,
+                zCover, zHex}
+              val ranges = zCover(
+                zCoord(math.nextDown(xlo)), zCoord(math.nextUp(xhi)),
+                zCoord(math.nextDown(ylo)), zCoord(math.nextUp(yhi)))
+              if (ranges.isEmpty)
+                Some(store.readSearchIndex(d, _ => false)
+                  .select(col("gid")))
+              else {
+                // selectivity guard, as for the 1-D range route: the
+                // covered bucket fraction approximates the row
+                // fraction (equi-depth boundaries) — a broad
+                // rectangle keeps the single-pass label scan
+                val nBuckets = d.boundaries.size + 1
+                val buckets = ranges.flatMap { case (lo, hi) =>
+                  rangeBucketOf(d.boundaries, zHex(lo)) to
+                    rangeBucketOf(d.boundaries, zHex(hi))
+                }.toSet
+                if (nBuckets < 4 ||
+                    buckets.size.toDouble / nBuckets > 0.5) None
+                else {
+                  val conds = ranges.map { case (lo, hi) =>
+                    col("val") >= lit(zHex(lo)) &&
+                      col("val") <= lit(zHex(hi)) }.reduce(_ || _)
+                  Some(store.readSearchIndex(d, k =>
+                    k.startsWith("sect=z/bucket=") && {
+                      val b = k.drop("sect=z/bucket=".length)
+                      b.nonEmpty && b.forall(_.isDigit) &&
+                        buckets.contains(b.toInt)
+                    })
+                    .filter(col("sect") === "z" && conds)
+                    .select(col("gid")))
+                }
+              }
+            }
+      }
     // range / STARTS WITH hints (the Neo4j RANGE-index predicates):
     // candidate gids resolve from the CONTIGUOUS run of order-
     // preserving `sect=r` buckets the bounds map to, with the bound
@@ -1401,7 +1452,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // prune inside the run too). The inequality itself stayed in
     // WHERE — the route is a superset narrowing, never the semantics.
     val rangeHits: Option[DataFrame] =
-      if (eqHits.isDefined) None
+      if (eqHits.isDefined || zHits.isDefined) None
       else n.variable.flatMap(pxRangeRoutes.get).flatMap { pr =>
         store.indexDefs.find(ix => ix.kind == "property" &&
           ix.label == label && ix.property == pr.prop &&
@@ -1468,7 +1519,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // predicate stays residual (inline-prop equalities + the WHERE
     // inequality), so the route is a superset narrowing.
     val compositePrefixHits: Option[DataFrame] =
-      if (eqHits.isDefined || rangeHits.isDefined) None
+      if (eqHits.isDefined || zHits.isDefined || rangeHits.isDefined) None
       else {
         import graft.store.SearchIndexes.{escCompStr, rangeBucketOf}
         def cmpK(a: String, b: String): Int =
@@ -1559,7 +1610,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // predicate itself stayed in WHERE, so the route is a superset
     // narrowing, never the semantics.
     val substrHits: Option[DataFrame] =
-      if (eqHits.isDefined || rangeHits.isDefined) None
+      if (eqHits.isDefined || zHits.isDefined || rangeHits.isDefined) None
       else n.variable.flatMap(pxSubstrRoutes.get).flatMap {
         case (k, op, needle) =>
           store.indexDefs.find(ix => ix.kind == "property" &&
@@ -1584,7 +1635,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
                 }
             }
       }
-    eqHits.orElse(rangeHits).orElse(compositePrefixHits)
+    eqHits.orElse(zHits).orElse(rangeHits).orElse(compositePrefixHits)
       .orElse(substrHits).map { hits =>
       val probe = hits.take(PxRouteCap + 1).map(_.getString(0)).toSeq
       if (probe.size <= PxRouteCap) {
@@ -2472,6 +2523,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           // conjunct into inline props is semantics-preserving
           // whether or not the route fires)
           store.indexDefs.exists(ix => ix.kind == "property" &&
+            !ix.zorder &&
             ix.label == n.label.get && ix.properties.contains(k) &&
             store.searchIndexReady(ix))
       }
@@ -2630,7 +2682,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case _ => None
     }
     def addCoordBand(v: String, pairs: Seq[(String, Double, Double)])
-        : Unit =
+        : Unit = {
+      // BOTH coordinates bounded: record the rectangle for the
+      // Z-order route (true 2-D pruning; the band below stays the
+      // fallback when no point index exists)
+      pairs match {
+        case Seq((xk, xl, xh), (yk, yl, yh))
+            if !pxZRoutes.contains(v) &&
+              !Seq(xl, xh, yl, yh).exists(_.isNaN) =>
+          pxZRoutes += v -> ((xk, yk, xl, xh, yl, yh))
+        case _ => ()
+      }
       // route on the first coordinate with a usable range index —
       // the other coordinate stays residual-only
       pairs.find { case (k, _, _) => rangeRoutable(v, k) }.foreach {
@@ -2643,6 +2705,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             .foreach(addBound(v, k, isLo = false, _))
         case _ => ()
       }
+    }
     val rangeOps = Set(">", ">=", "<", "<=")
     conjs(wh).foreach {
       case FuncCall("point.withinbbox", Seq(pe, loE, hiE), _) =>
@@ -2778,15 +2841,25 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
   private var relPxEqRoutes: Map[String, (String, Seq[String])] =
     Map.empty
 
+  /** clause-local Z-ORDER rectangle hints (var → (xProp, yProp,
+    * xlo, xhi, ylo, yhi)) from bbox / cartesian-distance predicates —
+    * feeding [[propIndexedBase]]'s sect=z quadtree-cover route; the
+    * exact spatial predicate stays in WHERE */
+  private var pxZRoutes
+      : Map[String, (String, String, Double, Double, Double, Double)] =
+    Map.empty
+
   private def applyInnerMatch(m0: MatchClause): Unit = {
     val savedPx = pxInRoutes
     val savedPxR = pxRangeRoutes
     val savedPxS = pxSubstrRoutes
     val savedRelPx = relPxEqRoutes
+    val savedZ = pxZRoutes
     pxInRoutes = Map.empty
     pxRangeRoutes = Map.empty
     pxSubstrRoutes = Map.empty
     relPxEqRoutes = Map.empty
+    pxZRoutes = Map.empty
     val m = foldNodePropEqs(foldRelProps(m0))
     // save/restore the uniqueness scope: subquery bodies (pattern
     // predicates, EXISTS{}/COUNT{}) re-enter applyInnerMatch with
@@ -2898,6 +2971,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     pxRangeRoutes = savedPxR
     pxSubstrRoutes = savedPxS
     relPxEqRoutes = savedRelPx
+    pxZRoutes = savedZ
   }
 
   /** WHERE application shared by MATCH and post-WITH filters: pattern
@@ -5631,12 +5705,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         val declared = store.indexDefs
           .filterNot(_.kind == "constraint").sortBy(_.name).map { d =>
           val typ = d.kind match {
+            case "property" if d.zorder => "POINT"
             case "property" => "RANGE" // Neo4j's default index type
             case k => k.toUpperCase
           }
           val provider = d.kind match {
             case "vector" => "vector-2.0"
             case "fulltext" => "fulltext-1.0"
+            case "property" if d.zorder => "point-1.0"
             case _ => "range-1.0"
           }
           (d.name, typ, d.entity,
@@ -7903,6 +7979,16 @@ object CypherEngine {
         // here); without this the statement would SILENTLY fall to
         // the generic intrinsic ack and build nothing
         """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
+    // graft POINT index (Z-order): two coordinate properties —
+    // Neo4j's CREATE POINT INDEX takes one point-typed property; this
+    // model splits coordinates into two numeric props, so the DDL
+    // names both (x first, y second)
+    val PointIdxRe =
+      ("""(?is)^CREATE\s+POINT\s+INDEX""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s*ON\s*\(\s*\w+\.(\w+)\s*,\s*\w+\.(\w+)\s*\)""" +
+        """\s*(?:OPTIONS\s*\{.*\})?\s*$""").r
     // Neo4j 5 relationship property index:
     // CREATE INDEX n FOR ()-[r:T]-() ON (r.source)
     val RelPropIdxRe =
@@ -8040,6 +8126,12 @@ object CypherEngine {
           .getOrElse(s"index_${label}_${props.mkString("_")}")
         return createSearchIndex(name, ine != null, graft.store.IndexDef(
           name, "property", label, props.mkString(",")))
+      case PointIdxRe(name0, ine, label, xp, yp) =>
+        if (xp == yp) throw new IllegalArgumentException(
+          "a point index needs two DISTINCT coordinate properties")
+        val name = Option(name0).getOrElse(s"pointidx_${label}_${xp}_$yp")
+        return createSearchIndex(name, ine != null, graft.store.IndexDef(
+          name, "property", label, s"$xp,$yp", zorder = true))
       case RelPropIdxRe(name0, ine, relType, prop) =>
         // the edge model's property surface is source + type
         // (/root/reference/neo4j.go:120-123); `type` redirects to the

@@ -802,12 +802,13 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
-    // Point predicates through the range index (the Neo4j POINT-index
-    // class): withinBBox decomposes into per-coordinate bounds and
-    // distance<=r into a covering band, both feeding the sect=r span
-    // route on the indexed coordinate — the label partition is never
-    // scanned, and the spatial predicate stays residual (the exact
-    // circle / the other coordinate apply on the routed candidates).
+    // Point predicates through the Z-ORDER point index (the Neo4j
+    // POINT-index class): withinBBox / distance<=r decompose into
+    // O(few) contiguous Morton-key ranges (quadtree cover) over the
+    // sect=z section — true TWO-dimensional pruning (the
+    // one-coordinate band stays the fallback without a point index);
+    // the label partition is never scanned, and the exact spatial
+    // predicate stays residual on the routed candidates.
     "cypher_point_index" -> ((s, dir) => {
       import s.implicits._
       val st = propIndexStore(s, dir)
@@ -1183,6 +1184,12 @@ DETACH DELETE n
       // ordered-walk entry routes through it
       CypherEngine.query(store,
         "CREATE INDEX cnbidx FOR (c:Customer) ON (c.nation, c.acctbal)")
+        .collect()
+      // Z-order POINT index over the synthetic coordinates — the
+      // cypher_point_index probes route through its sect=z quadtree
+      // cover (true 2-D pruning) instead of the one-coordinate band
+      CypherEngine.query(store,
+        "CREATE POINT INDEX cxy FOR (c:Customer) ON (c.x, c.y)")
         .collect()
       store
     })

@@ -185,7 +185,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             case JInt(i) => i.toLong }.getOrElse(0L),
           m.get("boundariesV").collect {
             case JInt(i) => i.toLong }.getOrElse(0L),
-          str("constraint"), str("quant"), dblSeq("sqMn"), dblSeq("sqMx"))
+          str("constraint"), str("quant"), dblSeq("sqMn"), dblSeq("sqMx"),
+          m.get("zorder").collect { case JBool(b) => b }.getOrElse(false))
       }
       case _ => Nil
     }
@@ -211,6 +212,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         "quant" -> JString(d.quant),
         "sqMn" -> JArray(d.sqMn.toList.map(JDouble(_))),
         "sqMx" -> JArray(d.sqMx.toList.map(JDouble(_))),
+        "zorder" -> JBool(d.zorder),
         "centroids" -> JArray(d.centroids.toList.map(c =>
           JArray(c.toList.map(JDouble(_)))))))
     })
@@ -474,6 +476,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val keys = manifestFiles(d.tableName).keySet
     keys.isEmpty ||
       (keys.exists(_.startsWith("sect=r")) && d.boundaryN > 0 &&
+        d.boundariesV <= currentVersion)
+  }
+
+  /** is a Z-ORDER point index routable? boundaries trained, the
+    * visible manifest at least the boundaries' layout version, and
+    * the sect=z section present (empty table = trivially ready);
+    * uncommitted session node writes fall back to the scan. */
+  def zPointReady(d: IndexDef): Boolean = {
+    if (session.exists(_.workNodes.isDefined)) return false
+    val keys = manifestFiles(d.tableName).keySet
+    keys.isEmpty ||
+      (keys.exists(_.startsWith("sect=z")) && d.boundaryN > 0 &&
         d.boundariesV <= currentVersion)
   }
 
@@ -909,8 +923,12 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             // range-section boundaries train once from the snapshot
             // (the px analog of the IVF quantizer): equi-depth over
             // the distinct sortable keys, persisted to the sidecar
-            // BEFORE the delta futures assign buckets with them
-            val rows = SearchIndexes.propRangeRows(newNodes, d0)
+            // BEFORE the delta futures assign buckets with them.
+            // Z-order defs train over their Morton keys — the same
+            // equi-depth machinery on a different sortable encoding.
+            val rows =
+              if (d0.zorder) SearchIndexes.zPointRows(newNodes, d0)
+              else SearchIndexes.propRangeRows(newNodes, d0)
             val n = rows.count()
             if (n > 0) {
               val bounds = SearchIndexes.trainBoundaries(rows, bc)
@@ -1425,6 +1443,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         if (d.centroids.isEmpty) empty
         else storageRows(
           assignCells(vectors(newNodes, d), d.centroids, d.similarity), d)
+      case "property" if d.zorder =>
+        zPointRows(srcNew, d)
       case "property" =>
         val pr = if (isRel) relPropRows(srcNew, d) else propRows(srcNew, d)
         val withR =
@@ -1481,6 +1501,29 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             .select(storageSchema.fieldNames.map(col).toSeq: _*))
           .select(storageSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
+      case "property" if d.zorder =>
+        // the sect=r delta recipe on Morton keys: old vs new (gid,
+        // val) rows of the dirty node partitions name the boundary
+        // buckets to rewrite — bounded by the commit's rewrite set
+        val oldZ = zPointRows(changedOldNodes, d)
+        val newZ = zPointRows(changedNewNodes, d)
+        val removedZ = oldZ.join(newZ, Seq("gid", "val"), "left_anti")
+        val addedZ = newZ.join(oldZ, Seq("gid", "val"), "left_anti")
+        val dkZ: Set[DirtyKey] = removedZ.unionByName(addedZ)
+          .select(rangeBucketExpr(col("val"), d.boundaries).as("b"))
+          .distinct().collect()
+          .map(r => (Some("z"): Option[String],
+            Some(r.getInt(0)): Option[Int])).toSet
+        if (dkZ.isEmpty) return (empty, Some(Set.empty))
+        val oldPrunedZ = readFiles(tbl,
+          prevIdx.view.filterKeys(keyMatches("sect", dkZ)).values
+            .flatten.toSeq, pxSchema)
+        val viewZ = oldPrunedZ
+          .join(removedZ.select(col("gid"), col("val")),
+            Seq("gid", "val"), "left_anti")
+          .unionByName(addedZ.select(pxSchema.fieldNames.map(col).toSeq: _*))
+          .select(pxSchema.fieldNames.map(col).toSeq: _*)
+        (viewZ, Some(dkZ))
       case "property" =>
         // the redgesDelta recipe keyed on the encoded value: old vs
         // new (gid, val) rows of the dirty source partitions name the
@@ -2158,7 +2201,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // current count, so each retrain doubles the next trigger —
       // convergent, never perpetual)
       case d if d.kind == "property" && d.boundaryN > 0 =>
-        val n = readSearchIndex(d, _.startsWith("sect=r")).count()
+        val sect = if (d.zorder) "sect=z" else "sect=r"
+        val n = readSearchIndex(d, _.startsWith(sect)).count()
         if (n >= 2 * d.boundaryN || (n > 0 && 2 * n <= d.boundaryN)) {
           buildSearchIndex(d.copy(boundaries = Nil, boundaryN = 0,
             boundariesV = 0))

@@ -90,7 +90,15 @@ case class IndexDef(
     // BEHIND the index DDL instead of only in the registry kernels.
     quant: String = "",
     sqMn: Seq[Double] = Nil,
-    sqMx: Seq[Double] = Nil) {
+    sqMx: Seq[Double] = Nil,
+    // Z-ORDER point index (`CREATE POINT INDEX … ON (n.x, n.y)`):
+    // the table's single section (sect=z) stores 64-bit Morton keys
+    // of the two coordinates' sortable bits, range-partitioned by the
+    // SAME trained-boundary machinery as sect=r — a bbox/distance
+    // probe decomposes into O(few) contiguous z-ranges (quadtree
+    // cover), giving true two-dimensional pruning where a coordinate
+    // band reads a whole stripe
+    zorder: Boolean = false) {
   def tableName: String = kind match {
     case "vector" => "vx_" + name
     case "fulltext" => "ft_" + name
@@ -451,6 +459,108 @@ object SearchIndexes {
       .select(lit("p").as("sect"), concat(lit("s:"), pv).as("val"),
         col("src").as("gid"))
       .distinct()
+  }
+
+  // ---- Z-order point index (sect=z) ----
+
+  /** spread the low 32 bits of `c` to the even bit positions of a
+    * 64-bit word (the classic 5-step Morton spread) */
+  def zSpread(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16))
+      .bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 64-bit Morton key of two doubles as fixed-width hex: interleave
+    * the TOP 32 bits of each coordinate's sortable-double bits (x on
+    * even positions, y on odd). Truncating to 32 bits/coord only
+    * coarsens the pruning granularity (~2⁻³² relative) — the exact
+    * spatial predicate stays residual. Fixed-width uppercase hex
+    * makes lexical order = unsigned numeric order, so the trained
+    * range boundaries partition z-space order-preservingly.
+    */
+  def zKeyCol(xd: Column, yd: Column): Column = {
+    val sx = shiftrightunsigned(graft.functions.DoubleSortBits(xd), 32)
+    val sy = shiftrightunsigned(graft.functions.DoubleSortBits(yd), 32)
+    lpad(hex(zSpread(sx).bitwiseOR(shiftleft(zSpread(sy), 1))), 16, "0")
+  }
+
+  /** driver twins — bit-identical to the column kernels above */
+  def zSpreadL(v0: Long): Long = {
+    var x = v0 & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    (x | (x << 1)) & 0x5555555555555555L
+  }
+  def zKeyOf(x32: Long, y32: Long): Long =
+    zSpreadL(x32) | (zSpreadL(y32) << 1)
+  def zHex(z: Long): String = f"$z%016X"
+  /** top 32 sortable bits of a coordinate (order-preserving) */
+  def zCoord(d: Double): Long =
+    graft.functions.DoubleSortBits.bits(d) >>> 32
+
+  /** `(sect="z", val = Morton hex, gid)` of every live node of the
+    * def's label carrying BOTH coordinate properties as numbers */
+  def zPointRows(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val Seq(xp, yp) = d.properties
+    def numOf(p: String): Column = {
+      val pv = col("props").getItem(p)
+      coalesce(pv.getField("d"), pv.getField("l").cast("double"))
+    }
+    val (xn, yn) = (numOf(xp), numOf(yp))
+    nodes.filter(labelMember(d.label) && xn.isNotNull && yn.isNotNull)
+      .select(lit("z").as("sect"), zKeyCol(xn, yn).as("val"), col("gid"))
+  }
+
+  /** quadtree cover of the query rectangle (32-bit sortable coords)
+    * as ≤ `maxRanges` contiguous UNSIGNED z-ranges — maximal cells
+    * fully inside emit exactly; boundary cells past the budget emit
+    * their whole cell range (a superset; residuals keep exactness).
+    * A quadtree-aligned cell's Morton keys are contiguous, so each
+    * emitted cell is one [zmin, zmax] span.
+    */
+  def zCover(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      maxRanges: Int = 64): Seq[(Long, Long)] = {
+    if (xlo > xhi || ylo > yhi) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val queue = scala.collection.mutable.Queue((0L, 0L, 32))
+    while (queue.nonEmpty) {
+      val (cx, cy, b) = queue.dequeue()
+      val xl = cx << b; val xh = xl | ((1L << b) - 1)
+      val yl = cy << b; val yh = yl | ((1L << b) - 1)
+      if (!(xh < xlo || xl > xhi || yh < ylo || yl > yhi)) {
+        val contained = xl >= xlo && xh <= xhi && yl >= ylo && yh <= yhi
+        if (contained || b == 0 || out.size + queue.size >= maxRanges)
+          out += ((zKeyOf(xl & 0xFFFFFFFFL, yl & 0xFFFFFFFFL),
+            zKeyOf(xh & 0xFFFFFFFFL, yh & 0xFFFFFFFFL)))
+        else {
+          queue.enqueue((cx << 1, cy << 1, b - 1))
+          queue.enqueue(((cx << 1) | 1, cy << 1, b - 1))
+          queue.enqueue((cx << 1, (cy << 1) | 1, b - 1))
+          queue.enqueue(((cx << 1) | 1, (cy << 1) | 1, b - 1))
+        }
+      }
+    }
+    // merge overlapping/adjacent spans in unsigned order
+    val sorted = out.sortBy(r => r._1 ^ Long.MinValue)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      merged.lastOption match {
+        case Some((plo, phi))
+            if java.lang.Long.compareUnsigned(lo, phi) <= 0 ||
+              (phi + 1 == lo && phi != -1L) =>
+          if (java.lang.Long.compareUnsigned(hi, phi) > 0)
+            merged(merged.size - 1) = (plo, hi)
+        case _ => merged += ((lo, hi))
+      }
+    }
+    merged.toSeq
   }
 
   /** VALUE-DICTIONARY rows `(sect="w", val, gid=<owner count>)` of a

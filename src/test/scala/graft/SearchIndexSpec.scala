@@ -2177,6 +2177,83 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(vShown == Seq("vo"))
   }
 
+  test("Z-order point index: true 2-D pruning for bbox and distance") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-sidx-zpt").toString, spark, 16)
+    st.localizeTinyTables = false
+    val sess = CypherEngine.session(st)
+    // a 20×20 grid: x = i mod 20, y = i div 20
+    (0 until 400).foreach { i =>
+      sess.run(s"CREATE (:Pt {gid: 'p:$i', x: ${(i % 20).toDouble}, " +
+        s"y: ${(i / 20).toDouble}})").collect()
+    }
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE INDEX ptx FOR (p:Pt) ON (p.x)").collect()
+    CypherEngine.query(st,
+      "CREATE POINT INDEX pz FOR (p:Pt) ON (p.x, p.y)").collect()
+    val dz = st.indexDef("pz").get
+    assert(dz.zorder && dz.properties == Seq("x", "y") &&
+      st.zPointReady(dz))
+    assert(st.readSearchIndex(dz, _.startsWith("sect=z")).count() == 400)
+    val listed = CypherEngine.query(st, "SHOW INDEXES")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(listed.contains(("pz", "POINT")))
+
+    val bboxQ =
+      """MATCH (p:Pt) WHERE point.withinBBox(
+        |    point({x: p.x, y: p.y}),
+        |    point({x: 3.0, y: 4.0}), point({x: 5.0, y: 6.0}))
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin
+    val expected = (for { yy <- 4 to 6; xx <- 3 to 5 }
+      yield s"p:${yy * 20 + xx}").sorted
+    val zq = CypherEngine.query(st, bboxQ)
+    assert(zq.collect().map(_.getString(0)).toSeq == expected)
+    val zFiles = zq.inputFiles.filter(_.contains("/nodes/")).toSet
+
+    // the band route (point index dropped) reads a whole x-stripe's
+    // candidates — the Z route must read a STRICT SUBSET of it
+    CypherEngine.query(st, "DROP INDEX pz").collect()
+    val bq = CypherEngine.query(st, bboxQ)
+    assert(bq.collect().map(_.getString(0)).toSeq == expected)
+    val bandFiles = bq.inputFiles.filter(_.contains("/nodes/")).toSet
+    assert(zFiles.nonEmpty && zFiles.subsetOf(bandFiles) &&
+      zFiles.size < bandFiles.size,
+      s"z route read ${zFiles.size} vs band ${bandFiles.size} node files")
+
+    // recreate; a cartesian distance probe routes the same way
+    CypherEngine.query(st,
+      "CREATE POINT INDEX pz FOR (p:Pt) ON (p.x, p.y)").collect()
+    val distQ =
+      """MATCH (p:Pt) WHERE point.distance(
+        |    point({x: p.x, y: p.y}), point({x: 10.0, y: 10.0})) <= 1.5
+        |RETURN p.gid AS gid ORDER BY gid""".stripMargin
+    val expDist = (for {
+      yy <- 0 until 20; xx <- 0 until 20
+      if math.hypot(xx - 10.0, yy - 10.0) <= 1.5
+    } yield s"p:${yy * 20 + xx}").sorted
+    val dq = CypherEngine.query(st, distQ)
+    assert(dq.collect().map(_.getString(0)).toSeq == expDist)
+    val dFiles = dq.inputFiles.filter(_.contains("/nodes/")).toSet
+    assert(dFiles.nonEmpty && dFiles.size < bandFiles.size,
+      s"distance z route read ${dFiles.size} node files")
+
+    // delta: a moved point changes its Morton cell through the commit
+    CypherEngine.query(st,
+      "MATCH (p:Pt {gid: 'p:84'}) SET p.x = 19.0").collect()
+    val after = CypherEngine.query(st, bboxQ)
+      .collect().map(_.getString(0)).toSeq
+    assert(after == expected.filterNot(_ == "p:84"))
+    // …and a point moved INTO the box appears
+    CypherEngine.query(st,
+      "MATCH (p:Pt {gid: 'p:0'}) SET p.x = 4.0").collect()
+    CypherEngine.query(st,
+      "MATCH (p:Pt {gid: 'p:0'}) SET p.y = 5.0").collect()
+    val after2 = CypherEngine.query(st, bboxQ)
+      .collect().map(_.getString(0)).toSeq
+    assert(after2 == ("p:0" +: after.toList).sorted)
+  }
+
   test("filtered vector search: selective px pre-filter + shortlist filter") {
     val st = newStore("vfilt")
     val n = 400
