@@ -4923,6 +4923,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val raw =
       try FQ.parse(q)
       catch { case e: FQ.ParseError => throw PlanError(e.getMessage) }
+    val indexReady = store.searchIndexReady(d)
+    // PER-FIELD postings available? (the sect=f marker) — field-scoped
+    // leaves then score per-field BM25F straight off the index; the
+    // unindexed overlay fallback tokenizes fresh, so it is always
+    // per-field-capable (modulo the pre-positional test hook)
+    val fieldsReady =
+      if (indexReady) store.ftFieldsReady(d)
+      else SearchIndexes.positionsEnabled
 
     sealed trait Atom
     case class ATerm(t: String) extends Atom
@@ -4930,15 +4938,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // slop 0 = exact phrase; >0 = Lucene proximity window over the
     // POSITIONAL postings (adjusted positions within `slop`)
     case class APhrase(ts: Seq[String], slop: Int) extends Atom
-    // field-scoped leaves (`title:spark`): candidates come from the
-    // shared posting contributions (the index stores the fields'
-    // CONCATENATED text), then post-verify against the named field's
-    // own text — candidate-bounded, like phrase contiguity. Scores
-    // keep the unscoped BM25 contribution (the
-    // BM25F-without-field-weights model the index stores).
+    // field-scoped leaves (`title:spark`): on a PER-FIELD posting
+    // table (the sect=f marker) they are pure index reads scoring
+    // true per-field BM25F — the field's own tf/dl, its own
+    // collection statistics (docCount, avgdl), its own df — with
+    // field-LOCAL positional verification for phrases; no stored-text
+    // access. On a legacy (concatenated) table candidates come from
+    // the shared concatenated contributions and post-verify against
+    // the named field's own text, scoring with the unscoped BM25
+    // contribution (the pre-field model, kept for back-compat).
     case class AFTerm(f: String, t: String) extends Atom
     case class AFPrefix(f: String, p: String) extends Atom
-    case class AFPhrase(f: String, ts: Seq[String]) extends Atom
+    case class AFPhrase(f: String, ts: Seq[String], slop: Int) extends Atom
+    case class AFFuzzy(f: String, t: String, maxEdits: Int) extends Atom
     // fuzzy leaf (`spark~1`): matches every corpus term within
     // maxEdits — the term DICTIONARY names the posting buckets to
     // read; the posting filter itself is the levenshtein predicate,
@@ -4985,24 +4997,45 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if (!d.properties.contains(f)) throw PlanError(
           s"index ${d.name} has no field $f " +
             s"(fields: ${d.properties.mkString(", ")})")
+        def rebuildErr(what: String): Nothing = throw PlanError(
+          s"field-scoped $what needs per-field postings; index " +
+            s"${d.name} was built before per-field postings existed " +
+            "— rebuild it (DROP + CREATE, or compact())")
         inner match {
           case FQ.Term(t) => SearchIndexes.analyze(t, analyzer) match {
             case Seq() => throw PlanError(
               s"field term '$t' analyzes to no tokens under $analyzer")
             case Seq(one) => intern(AFTerm(f, one), pos, boost)
-            case many => intern(AFPhrase(f, many), pos, boost)
+            case many => intern(AFPhrase(f, many, 0), pos, boost)
           }
           case FQ.Phrase(p) => SearchIndexes.analyze(p, analyzer) match {
             case Seq() => throw PlanError(
               s"field phrase '$p' analyzes to no tokens under $analyzer")
             case Seq(one) => intern(AFTerm(f, one), pos, boost)
-            case many => intern(AFPhrase(f, many), pos, boost)
+            case many => intern(AFPhrase(f, many, 0), pos, boost)
           }
+          case FQ.Sloppy(p, n) =>
+            // proximity needs field-local positions — per-field only
+            if (!fieldsReady) rebuildErr("phrase slop")
+            SearchIndexes.analyze(p, analyzer) match {
+              case Seq() => throw PlanError(
+                s"field phrase '$p' analyzes to no tokens under $analyzer")
+              case Seq(one) => intern(AFTerm(f, one), pos, boost)
+              case many => intern(AFPhrase(f, many, n), pos, boost)
+            }
           case FQ.Prefix(p) => SearchIndexes.analyze(p, analyzer) match {
             case Seq(one) => intern(AFPrefix(f, one), pos, boost)
             case other => throw PlanError(
               s"prefix '$p*' must analyze to one token, got $other")
           }
+          case FQ.Fuzzy(t, k) =>
+            // edit-distance weighting needs the field's own stats
+            if (!fieldsReady) rebuildErr("fuzzy")
+            SearchIndexes.analyze(t, analyzer) match {
+              case Seq(one) => intern(AFFuzzy(f, one, k), pos, boost)
+              case other => throw PlanError(
+                s"fuzzy term '$t~' must analyze to one token, got $other")
+            }
           case other => throw PlanError(
             s"field scope only takes a term, phrase, or prefix: $other")
         }
@@ -5032,15 +5065,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case ATerm(t) => Seq(t)
       case APhrase(ts, _) => ts
       case AFTerm(_, t) => Seq(t)
-      case AFPhrase(_, ts) => ts
-      case APrefix(_) | AFPrefix(_, _) | AFuzzy(_, _) => Nil
+      case AFPhrase(_, ts, _) => ts
+      case APrefix(_) | AFPrefix(_, _) | AFuzzy(_, _)
+         | AFFuzzy(_, _, _) => Nil
     }.distinct.toSeq
     val prefixes = atoms.collect {
       case APrefix(p) => p
       case AFPrefix(_, p) => p
     }.toSeq
     val fuzzies = atoms.collect {
-      case AFuzzy(t, k) => (t, k) }.toSeq
+      case AFuzzy(t, k) => (t, k)
+      case AFFuzzy(_, t, k) => (t, k) }.toSeq
     def fuzzyCond(t: String, k: Int): Column =
       abs(length(col("term")) - lit(t.length)) <= k &&
         levenshtein(col("term"), lit(t)) <= k
@@ -5057,8 +5092,13 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       if (d.entity == "RELATIONSHIP")
         SearchIndexes.edgeTexts(edgesInView, d)
       else SearchIndexes.texts(nodesInView, d)
-    val (toks, statsDf) =
-      if (store.searchIndexReady(d)) {
+    // field-resolved twin of docsView (per-field fallback tokenization)
+    def fieldDocsView: DataFrame =
+      if (d.entity == "RELATIONSHIP")
+        SearchIndexes.edgeFieldDocs(edgesInView, d)
+      else SearchIndexes.fieldDocs(nodesInView, d)
+    val (toksRaw, statsDf, statsFDf) =
+      if (indexReady) {
         // query-term-first: manifest keys prune to the terms' buckets
         // + the one stats row; no corpus scan, no corpus shuffle —
         // the per-term groupBy below runs on posting rows. A prefix
@@ -5077,16 +5117,70 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               pb.exists(b => k == s"sect=t/bucket=$b")
           } else _ => true
         val idx = store.readSearchIndex(d, keep)
+        val st = idx.filter(col("sect") === "s")
         (idx.filter(col("sect") === "t" && termCond),
-          idx.filter(col("sect") === "s")
-            .select(col("tf").as("n_docs"), col("dl").as("sum_dl")))
+          st.filter(col("gid") === "__stats")
+            .select(col("tf").as("n_docs"), col("dl").as("sum_dl")),
+          st.filter(col("gid").startsWith("__stats:"))
+            .select(col("fld"), col("tf").as("fn_docs"),
+              col("dl").as("fsum_dl")))
+      } else if (fieldsReady) {
+        // per-field overlay fallback: field-resolved fresh
+        // tokenization; the global stats tally the same clean token
+        // counts tokenRowsF stores (Σ dlt == the concatenated Σ dl)
+        val fdocs = fieldDocsView
+        val allT = SearchIndexes.tokenRowsF(
+          fdocs, d.properties, corpusAnalyzer)
+        val tot = aggregate(
+          transform(col("fs"), f =>
+            size(filter(SearchIndexes.termsOf(f, corpusAnalyzer),
+              t => t =!= "")).cast("long")),
+          lit(0L), (a, x) => a + x)
+        (allT.filter(termCond),
+          fdocs.agg(count(lit(1)).as("n_docs"),
+            sum(tot).cast("long").as("sum_dl")),
+          SearchIndexes.fieldStatsRows(allT)
+            .select(col("fld"), col("tf").as("fn_docs"),
+              col("dl").as("fsum_dl")))
       } else {
         val docs = docsView
         (SearchIndexes.tokenRows(docs, corpusAnalyzer).filter(termCond),
           docs.agg(count(lit(1)).as("n_docs"),
             sum(size(SearchIndexes.termsOf(col("text"), corpusAnalyzer)))
-              .cast("long").as("sum_dl")))
+              .cast("long").as("sum_dl")),
+          // unused when !fieldsReady — shape-compatible empty frame
+          nodesInView.sparkSession.emptyDataFrame
+            .select(lit("").as("fld"), lit(0L).as("fn_docs"),
+              lit(0L).as("fsum_dl")))
       }
+    val needF = atoms.exists {
+      case AFTerm(_, _) | AFPrefix(_, _) | AFPhrase(_, _, _)
+         | AFFuzzy(_, _, _) => true
+      case _ => false
+    }
+    // multi-atom trees (and mixed scoped/unscoped queries, which
+    // derive BOTH the concatenated and the per-field view) re-read
+    // the pruned posting rows once per consumer otherwise; the
+    // checkpoint caps that at one pipeline evaluation. Index-backed
+    // reads only — the overlay fallback may be a folded local plan,
+    // and an RDD leaf would un-fold every later statement
+    val toksK =
+      if (fieldsReady && indexReady && (atoms.size > 1 || needF))
+        toksRaw.localCheckpoint()
+      else toksRaw
+    // the concatenated-document view every unscoped atom scores
+    // against: per-field rows aggregate back BIT-EXACTLY to the
+    // pre-field shape (tf = Σ field tf, dl = the total document
+    // length dlt, pos = field-local positions + the field's offset) —
+    // unscoped scoring, phrases spanning field boundaries included,
+    // is unchanged by the per-field layout
+    val toks =
+      if (!fieldsReady) toksK
+      else toksK.groupBy(col("term"), col("gid"))
+        .agg(sum(col("tf")).as("tf"), max(col("dlt")).as("dl"),
+          sort_array(flatten(collect_list(
+            transform(col("pos"), x => x + col("off").cast("int")))))
+            .as("pos"))
     // BM25 (k1=1.2, b=0.75) — the t_bm25 kernel over the postings,
     // kept per (term, gid) so every atom shares it
     val dfreq = toks.groupBy(col("term"))
@@ -5103,14 +5197,34 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           lit(1.2) * (lit(0.25) + lit(0.75) *
             (col("dl").cast("double") / col("avgdl")))))
       .select(col("term"), col("gid"), col("contrib"), col("pos"))
-    // multi-atom trees re-read the postings once per leaf otherwise;
-    // the checkpoint caps that at one pipeline evaluation. Index-
-    // backed reads only — the overlay fallback may be a folded local
-    // plan, and an RDD leaf would un-fold every later statement
     val contrib =
-      if (atoms.size > 1 && store.searchIndexReady(d))
+      if (!fieldsReady && atoms.size > 1 && indexReady)
         contrib0.localCheckpoint()
       else contrib0
+    // PER-FIELD BM25 contributions (Lucene's BM25F): the field's own
+    // tf and dl against the field's own collection statistics
+    // (docCount, Σdl) and per-field df — field-scoped leaves score
+    // and positionally verify on these rows alone
+    val contribF: Option[DataFrame] =
+      if (!fieldsReady || !needF) None
+      else Some {
+        val dfreqF = toksK.groupBy(col("term"), col("fld"))
+          .agg(count_distinct(col("gid")).as("dfreq"))
+        toksK.join(broadcast(dfreqF), Seq("term", "fld"))
+          .join(broadcast(statsFDf), Seq("fld"))
+          .withColumn("avgdl",
+            col("fsum_dl").cast("double") / col("fn_docs"))
+          .withColumn("idf", log(lit(1.0) +
+            ((col("fn_docs") - col("dfreq")).cast("double") + 0.5) /
+              (col("dfreq").cast("double") + 0.5)))
+          .withColumn("contrib", col("idf") *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") / col("avgdl")))))
+          .select(col("fld"), col("term"), col("gid"), col("contrib"),
+            col("pos"))
+      }
 
     // positional postings available? (the sect=q marker — a table
     // built before positions existed keeps the stored-text fallback,
@@ -5198,6 +5312,46 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           i => slice(toks, i, lit(k)) === pharr))
         .otherwise(lit(false))
     }
+    // pure-index positional phrase/slop evaluation over a
+    // (term, gid, contrib, pos) frame with ONE row per (term, gid) —
+    // the concatenated contributions, or one field's slice of the
+    // per-field contributions (positions field-local there, so a
+    // field-scoped phrase can never match across a field boundary,
+    // as in Lucene). Candidates are conjunctive (bounded by the
+    // rarest term's postings); adjusted position sets A_i =
+    // pos(t_i) − i: slop 0 matches on a common adjusted position
+    // (contiguity), slop n on a width-n window, anchored at some
+    // adjusted position, that intersects every A_i (Lucene proximity
+    // — a reversed bigram needs slop 2, as in Lucene). Slop matches
+    // weight by 1/(1 + wmin) where wmin is the narrowest window
+    // width in [0, slop] that still works — an exact phrase keeps
+    // full weight, a stretched/reversed match decays.
+    def posPhraseHits(src: DataFrame, ts: Seq[String],
+        slop: Int): DataFrame = {
+      val dts = ts.distinct
+      val cand = src.filter(col("term").isin(dts: _*))
+        .groupBy(col("gid"))
+        .agg(count_distinct(col("term")).as("nt"),
+          sum(col("contrib")).as("s"),
+          map_from_entries(
+            collect_list(struct(col("term"), col("pos")))).as("pm"))
+        .filter(col("nt") === dts.size)
+      val as = ts.zipWithIndex.map { case (t, i) =>
+        transform(element_at(col("pm"), lit(t)), x => x - i) }
+      def okW(w: Int): Column =
+        if (w == 0) size(as.reduce((a, b) => array_intersect(a, b))) > 0
+        else exists(flatten(array(as: _*)), a =>
+          as.map(ai => exists(ai, x => x >= a && x <= a + w))
+            .reduce(_ && _))
+      if (slop == 0) cand.filter(okW(0)).select(col("gid"), col("s"))
+      else {
+        val wmin = coalesce(
+          ((0 until slop).map(w => when(okW(w), lit(w.toDouble))) :+
+            lit(slop.toDouble)): _*)
+        cand.filter(okW(slop)).select(col("gid"),
+          (col("s") / (lit(1.0) + wmin)).as("s"))
+      }
+    }
     def leafHits(a: Atom): DataFrame = a match {
       case ATerm(t) =>
         contrib.filter(col("term") === t).groupBy(col("gid"))
@@ -5213,6 +5367,26 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .agg(sum(col("contrib") * greatest(lit(0.0),
             lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
               lit(t.length.toDouble))).as("s"))
+      // field-scoped leaves on a PER-FIELD table: pure index reads
+      // scoring the field's own BM25 — no stored-text verification
+      case AFTerm(f, t) if contribF.isDefined =>
+        contribF.get.filter(col("fld") === f && col("term") === t)
+          .groupBy(col("gid")).agg(sum(col("contrib")).as("s"))
+      case AFPrefix(f, p) if contribF.isDefined =>
+        contribF.get
+          .filter(col("fld") === f && col("term").startsWith(p))
+          .groupBy(col("gid")).agg(sum(col("contrib")).as("s"))
+      case AFFuzzy(f, t, k) =>
+        // reachable only per-field (conv gates on fieldsReady)
+        contribF.get.filter(col("fld") === f && fuzzyCond(t, k))
+          .groupBy(col("gid"))
+          .agg(sum(col("contrib") * greatest(lit(0.0),
+            lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
+              lit(t.length.toDouble))).as("s"))
+      case AFPhrase(f, ts, slop) if contribF.isDefined =>
+        posPhraseHits(contribF.get.filter(col("fld") === f), ts, slop)
+      // legacy (pre-field) table: candidates from the concatenated
+      // contributions, membership post-verified on the field's text
       case AFTerm(f, t) =>
         fieldVerified(f,
           contrib.filter(col("term") === t).groupBy(col("gid"))
@@ -5223,45 +5397,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           contrib.filter(col("term").startsWith(p)).groupBy(col("gid"))
             .agg(sum(col("contrib")).as("s")),
           toks => exists(toks, x => x.startsWith(p)))
-      case AFPhrase(f, ts) =>
+      case AFPhrase(f, ts, _) =>
+        // slop is conv-gated to per-field tables, so only exact
+        // phrases reach the legacy stored-text verification
         fieldVerified(f, phraseCand(ts), phraseOk(ts))
       case APhrase(ts, slop) if posReady =>
         // pure index read: candidates AND phrase/slop verification
         // both come from the POSITIONAL postings — the stored text is
         // never touched (Lucene's positional evaluation)
-        val dts = ts.distinct
-        val cand = contrib.filter(col("term").isin(dts: _*))
-          .groupBy(col("gid"))
-          .agg(count_distinct(col("term")).as("nt"),
-            sum(col("contrib")).as("s"),
-            map_from_entries(
-              collect_list(struct(col("term"), col("pos")))).as("pm"))
-          .filter(col("nt") === dts.size)
-        // adjusted position sets A_i = pos(t_i) − i: slop 0 matches
-        // on a common adjusted position (contiguity); slop n on a
-        // width-n window, anchored at some adjusted position, that
-        // intersects every A_i (Lucene proximity — a reversed bigram
-        // needs slop 2, as in Lucene)
-        val as = ts.zipWithIndex.map { case (t, i) =>
-          transform(element_at(col("pm"), lit(t)), x => x - i) }
-        def okW(w: Int): Column =
-          if (w == 0) size(as.reduce((a, b) => array_intersect(a, b))) > 0
-          else exists(flatten(array(as: _*)), a =>
-            as.map(ai => exists(ai, x => x >= a && x <= a + w))
-              .reduce(_ && _))
-        if (slop == 0) cand.filter(okW(0)).select(col("gid"), col("s"))
-        else {
-          // Lucene-style proximity weighting over the SAME position
-          // arrays: wmin = the narrowest window width in [0, slop]
-          // that still intersects every adjusted set (0 = contiguous
-          // in order), score × 1/(1 + wmin) — an exact phrase keeps
-          // full weight, a stretched/reversed match decays
-          val wmin = coalesce(
-            ((0 until slop).map(w => when(okW(w), lit(w.toDouble))) :+
-              lit(slop.toDouble)): _*)
-          cand.filter(okW(slop)).select(col("gid"),
-            (col("s") / (lit(1.0) + wmin)).as("s"))
-        }
+        posPhraseHits(contrib, ts, slop)
       case APhrase(ts, slop) =>
         if (slop > 0) throw PlanError(
           s"phrase slop needs positional postings; index ${d.name} " +

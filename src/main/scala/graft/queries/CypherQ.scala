@@ -1073,6 +1073,44 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // per-field BM25F over a MULTI-FIELD index: `source:src3` scores
+    // with the SOURCE field's own tf/dl/df and collection statistics
+    // (docCount, avgdl — Lucene's per-field model), `body:spark` with
+    // the body field's; both leaves are pure index reads off the
+    // per-field postings (fld/off/dlt columns + per-field stats rows)
+    // — no stored-text verification. The oracle replays both fields'
+    // BM25 independently and sums matched leaves (OR semantics).
+    "cypher_fulltext_bm25f" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore2(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx2',
+             'source:src3 OR body:spark')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
+    // field-scoped proximity (`body:"merge join"~2`): candidates and
+    // window verification both come from the FIELD-LOCAL positional
+    // postings — a cross-field "phrase" can never match, and the
+    // score is the field's own BM25 × the 1/(1+wmin) proximity
+    // weight. On this fixture the body field is the whole document,
+    // so the oracle equals the unscoped slop oracle — pinning that
+    // field scoping over the full field is scoring-neutral.
+    "cypher_fulltext_field_slop" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore2(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx2',
+             'body:"merge join"~2')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // Lucene phrase query: conjunctive candidates from the posting
     // buckets, contiguity verified on the POSITIONAL postings (a pure
     // index read — the oracle replays the equivalent sliding-window
@@ -1306,6 +1344,37 @@ DETACH DELETE n
         truncateFirst = true)
       CypherEngine.query(store,
         "CREATE FULLTEXT INDEX fidx FOR (x:Doc) ON EACH [x.body]").collect()
+      store
+    })
+
+  /** documents table as :Doc nodes with TWO text props (source,
+    * body) and a MULTI-FIELD fulltext index — the per-field BM25F
+    * fixture (field-scoped leaves score the named field's own
+    * statistics, Lucene's model). */
+  private val docStores2 = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.store.GraphStore]
+
+  private def documentStore2(s: SparkSession,
+      dir: String): graft.store.GraphStore =
+    docStores2.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val store = new graft.store.GraphStore(
+        java.nio.file.Files.createTempDirectory("graft-fidx2-q").toString,
+        s, 8)
+      val ents = Relational.t(s, dir, "documents")
+        .select($"doc_id".cast("string"), $"source", $"text")
+        .as[(String, String, String)]
+        .map { case (id, src, text) =>
+          graft.model.Entity(s"d:$id",
+            props = Map(
+              "http://g/prop#source" -> graft.model.PV.of(src),
+              "http://g/prop#body" -> graft.model.PV.of(text)))
+        }
+      graft.ops.GraphMerge.applyBatch(store, "docs", "Doc", ents,
+        truncateFirst = true)
+      CypherEngine.query(store,
+        "CREATE FULLTEXT INDEX fidx2 FOR (x:Doc) " +
+          "ON EACH [x.source, x.body]").collect()
       store
     })
 
@@ -2134,6 +2203,95 @@ DETACH DELETE n
          SELECT gid, round(sum(c * greatest(0.0,
              1.0 - levenshtein(term, 'hashh') / 5.0)), 9) AS score
          FROM contrib GROUP BY gid ORDER BY gid""",
+
+    // per-field BM25F twin: each field's leaf scores against ITS OWN
+    // tokenization, document frequency, and collection statistics
+    // (docCount + avgdl of that field alone); matched leaves sum
+    "cypher_fulltext_bm25f" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(source)),
+               '[^a-z0-9]+'), x -> x <> '') ws,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') wb
+           FROM documents
+           WHERE len(trim(concat(trim(source), ' ', trim(text)))) > 0),
+         ss AS (SELECT count(*) fn, sum(len(ws)) sdl FROM d0
+           WHERE len(ws) > 0),
+         bs AS (SELECT count(*) fn, sum(len(wb)) sdl FROM d0
+           WHERE len(wb) > 0),
+         stf AS (SELECT gid, CAST(len(ws) AS BIGINT) dl, count(*) tf
+           FROM (SELECT gid, ws, unnest(ws) term FROM d0)
+           WHERE term = 'src3' GROUP BY gid, len(ws)),
+         sdfq AS (SELECT count(*) c FROM stf),
+         sc AS (SELECT t.gid,
+             ln(1.0 + (CAST(s.fn - f.c AS DOUBLE) + 0.5)
+                 / (CAST(f.c AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sdl AS DOUBLE) / s.fn)))) AS c
+           FROM stf t CROSS JOIN ss s CROSS JOIN sdfq f),
+         btf AS (SELECT gid, CAST(len(wb) AS BIGINT) dl, count(*) tf
+           FROM (SELECT gid, wb, unnest(wb) term FROM d0)
+           WHERE term = 'spark' GROUP BY gid, len(wb)),
+         bdfq AS (SELECT count(*) c FROM btf),
+         bc AS (SELECT t.gid,
+             ln(1.0 + (CAST(s.fn - f.c AS DOUBLE) + 0.5)
+                 / (CAST(f.c AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sdl AS DOUBLE) / s.fn)))) AS c
+           FROM btf t CROSS JOIN bs s CROSS JOIN bdfq f)
+         SELECT gid, round(sum(c), 9) AS score
+         FROM (SELECT * FROM sc UNION ALL SELECT * FROM bc)
+         GROUP BY gid ORDER BY gid""",
+
+    // field-scoped proximity twin: the body field IS the whole
+    // document on this fixture, so the per-field formula reduces to
+    // the unscoped slop oracle — pinning that a full-field scope is
+    // scoring-neutral (the per-field stats equal the global ones)
+    "cypher_fulltext_field_slop" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term IN ('merge', 'join')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s),
+         cand AS (SELECT gid, sum(c) score FROM contrib
+           GROUP BY gid HAVING count(DISTINCT term) = 2),
+         pos AS (SELECT cand.gid, cand.score,
+             list_filter(range(1, len(d.w)+1), i -> d.w[i] = 'merge') a1,
+             [x - 1 FOR x IN list_filter(range(1, len(d.w)+1),
+               i -> d.w[i] = 'join')] a2
+           FROM cand JOIN d ON cand.gid = d.gid)
+         SELECT gid, round(score * (1.0 / (1.0 + CASE
+             WHEN len(list_filter(list_concat(a1, a2), a ->
+               len(list_filter(a1, x -> x = a)) > 0 AND
+               len(list_filter(a2, x -> x = a)) > 0)) > 0 THEN 0.0
+             WHEN len(list_filter(list_concat(a1, a2), a ->
+               len(list_filter(a1, x -> x >= a AND x <= a + 1)) > 0 AND
+               len(list_filter(a2, x -> x >= a AND x <= a + 1)) > 0)) > 0
+               THEN 1.0
+             ELSE 2.0 END)), 9) AS score FROM pos
+         WHERE len(list_filter(list_concat(a1, a2), a ->
+           len(list_filter(a1, x -> x >= a AND x <= a + 2)) > 0 AND
+           len(list_filter(a2, x -> x >= a AND x <= a + 2)) > 0)) > 0
+         ORDER BY gid""",
 
     "cypher_fulltext_phrase" ->
       """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,

@@ -114,9 +114,8 @@ object FulltextQuery {
                 else throw ParseError(
                   s"phrase slop must be a small integer, got '$w'")
               } else {
-                if (base.contains(":")) throw ParseError(
-                  s"field-scoped fuzzy ('$w') is not supported; " +
-                    "use field:term or an unscoped fuzzy term")
+                // `field:term~1` lexes as a fuzzy whose base keeps the
+                // field scope; the parser resolves it to Field(Fuzzy)
                 val k = rest match {
                   case "" => 2 // Lucene's classic fuzzy default
                   case "1" => 1
@@ -183,10 +182,12 @@ object FulltextQuery {
         else peek match {
           case Some(TPhrase(p)) =>
             next()
-            if (peek.exists(_.isInstanceOf[TSlop])) throw ParseError(
-              s"field-scoped phrase slop is not supported; " +
-                "use an unscoped sloppy phrase")
-            Field(f, Phrase(p))
+            peek match {
+              // `field:"a b"~n` — Lucene's field-scoped proximity
+              case Some(TSlop(n)) =>
+                next(); Field(f, if (n == 0) Phrase(p) else Sloppy(p, n))
+              case _ => Field(f, Phrase(p))
+            }
           // `field:(a OR "b c")` — Lucene's grouped field scope:
           // the field distributes over every leaf of the group
           case Some(TLParen) =>
@@ -199,10 +200,8 @@ object FulltextQuery {
               case t: Term => Field(f, t)
               case p: Phrase => Field(f, p)
               case p: Prefix => Field(f, p)
-              case _: Fuzzy => throw ParseError(
-                "field-scoped fuzzy is not supported")
-              case _: Sloppy => throw ParseError(
-                "field-scoped phrase slop is not supported")
+              case z: Fuzzy => Field(f, z)
+              case z: Sloppy => Field(f, z)
               case Field(_, _) => throw ParseError(
                 "nested field scopes are not supported")
               case And(l, r) => And(distribute(l), distribute(r))
@@ -221,6 +220,15 @@ object FulltextQuery {
           else Sloppy(p, n)
         case _ => Phrase(p)
       }
+      case TFuzzy(b, k) if b.contains(":") =>
+        // `field:term~1` — field-scoped fuzzy
+        val cut = b.indexOf(':')
+        val (f, rest) = (b.substring(0, cut), b.substring(cut + 1))
+        if (f.isEmpty || !f.forall(c => c.isLetterOrDigit || c == '_'))
+          throw ParseError(s"bad field name in '$b'")
+        if (rest.isEmpty) throw ParseError(
+          s"field scope '$f:' must be followed by a term in '$b~$k'")
+        Field(f, Fuzzy(rest, k))
       case TFuzzy(b, k) => Fuzzy(b, k)
       case t => throw ParseError(s"unexpected $t in: $s")
     }

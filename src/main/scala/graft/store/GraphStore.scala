@@ -401,6 +401,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def ftPositionsReady(d: IndexDef): Boolean =
     manifestFiles(d.tableName).keys.exists(_.startsWith("sect=q"))
 
+  /** does the fulltext table carry PER-FIELD postings (the sect=f
+    * marker — fld/off/dlt populated, field-local positions, per-field
+    * stats rows)? Field-scoped leaves then score true per-field BM25F
+    * and verify membership straight off the index; tables built
+    * before the marker keep the concatenated shape and the
+    * stored-text field verification until a full rebuild. */
+  def ftFieldsReady(d: IndexDef): Boolean =
+    manifestFiles(d.tableName).keys.exists(_.startsWith("sect=f"))
+
   /** the H(term) posting buckets holding at least one term with any
     * of the prefixes — resolved from the VOCABULARY-sized `sect=d`
     * dictionary (terms hash-share buckets with their postings), so a
@@ -1404,6 +1413,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           "nodes", nodeSchema, "label", "gid")
     def docsOf(frame: DataFrame): DataFrame =
       if (isRel) edgeTexts(frame, d) else texts(frame, d)
+    // per-field document view (same docs, fields resolved) — the
+    // build/delta source of per-field posting tables
+    def fieldDocsOf(frame: DataFrame): DataFrame =
+      if (isRel) SearchIndexes.edgeFieldDocs(frame, d)
+      else SearchIndexes.fieldDocs(frame, d)
     // a def whose table is not in the previous manifest (fresh DDL)
     // builds fully; so does a full source rewrite (compact / rebucket)
     // and a just-(re)registered def whose NAME matches a dropped
@@ -1450,7 +1464,33 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         val withR =
           if (hasRange) pr.unionByName(propRangeRows(srcNew, d)) else pr
         if (hasW) withR.unionByName(valueDictRows(pr)) else withR
+      case _ if SearchIndexes.positionsEnabled =>
+        // per-field build: fld/off/dlt-bearing token rows, per-field
+        // stats alongside the global row, and both markers. Global
+        // stats tally the same clean token counts tokenRowsF stores
+        // (Σ dlt == the legacy concatenated Σ dl, so unscoped BM25 is
+        // bit-identical to the pre-field table's).
+        val fdocs = fieldDocsOf(srcNew)
+        val tot = org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.transform(col("fs"), f =>
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.filter(
+                termsOf(f, d.analyzer), t => t =!= "")).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val st = fdocs
+          .agg(org.apache.spark.sql.functions.count(lit(1)),
+            org.apache.spark.sql.functions.sum(tot).cast("long")).head()
+        val (n, sdl) =
+          (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+        val toks = SearchIndexes.tokenRowsF(fdocs, d.properties, d.analyzer)
+        toks.unionByName(statsRow(spark, n, sdl))
+          .unionByName(SearchIndexes.fieldStatsRows(toks))
+          .unionByName(dictRows(toks))
+          .unionByName(SearchIndexes.posMarkerRow(spark))
+          .unionByName(SearchIndexes.fieldsMarkerRow(spark))
       case _ =>
+        // positions disabled (the pre-positional test hook): the
+        // legacy concatenated build — no positions, no per-field rows
         val docs = docsOf(srcNew)
         val st = docs
           .agg(org.apache.spark.sql.functions.count(
@@ -1461,11 +1501,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         val (n, sdl) =
           (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
         val toks = tokenRows(docs, d.analyzer)
-        val base = toks.unionByName(statsRow(spark, n, sdl))
+        toks.unionByName(statsRow(spark, n, sdl))
           .unionByName(dictRows(toks))
-        if (SearchIndexes.positionsEnabled)
-          base.unionByName(SearchIndexes.posMarkerRow(spark))
-        else base
     }
     if (mustRebuild || srcDirty.isEmpty) return (fullView, None)
     val keys = srcDirty.get
@@ -1599,38 +1636,67 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .select(pxSchema.fieldNames.map(col).toSeq: _*)
         (view, Some(dk))
       case _ =>
-        val oldD = docsOf(changedOldNodes)
-        val newD = docsOf(changedNewNodes)
+        import org.apache.spark.sql.functions.{aggregate => fagg,
+          count => fcount, count_distinct => fcountd, filter => ffilter,
+          max => fmax, size => fsize, sum => fsum, transform => ftransform}
+        // a table built BEFORE per-field postings existed must not
+        // grow mixed-shape rows (the delta's removed rows must be
+        // byte-equal to the STORED shape): per-field delta only when
+        // the previous manifest carries the sect=f marker. Legacy
+        // tables stay concatenated — and field-scoped leaves keep the
+        // stored-text verification — until a full rebuild.
+        val hadFields = prevIdx.keys.exists(_.startsWith("sect=f")) &&
+          SearchIndexes.positionsEnabled
         // changed docs appear on both sides; deterministic
         // tokenization makes the removed rows byte-equal to the old
-        // stored rows, so every stale row lives in a dirty bucket
-        val removedDocs = oldD.join(newD, Seq("gid", "text"), "left_anti")
-          .localCheckpoint()
-        val addedDocs = newD.join(oldD, Seq("gid", "text"), "left_anti")
-          .localCheckpoint()
-        val remT = tokenRows(removedDocs, d.analyzer)
-        val addT = tokenRows(addedDocs, d.analyzer)
+        // stored rows, so every stale row lives in a dirty bucket.
+        // Per-field tables detect change on the field ARRAY (two
+        // field splits can concatenate identically).
+        val (removedDocs, addedDocs, remT, addT) =
+          if (hadFields) {
+            val oldD = fieldDocsOf(changedOldNodes)
+            val newD = fieldDocsOf(changedNewNodes)
+            val rem = oldD.join(newD, Seq("gid", "fs"), "left_anti")
+              .localCheckpoint()
+            val add = newD.join(oldD, Seq("gid", "fs"), "left_anti")
+              .localCheckpoint()
+            (rem, add,
+              SearchIndexes.tokenRowsF(rem, d.properties, d.analyzer),
+              SearchIndexes.tokenRowsF(add, d.properties, d.analyzer))
+          } else {
+            val oldD = docsOf(changedOldNodes)
+            val newD = docsOf(changedNewNodes)
+            val rem = oldD.join(newD, Seq("gid", "text"), "left_anti")
+              .localCheckpoint()
+            val add = newD.join(oldD, Seq("gid", "text"), "left_anti")
+              .localCheckpoint()
+            (rem, add, tokenRows(rem, d.analyzer),
+              tokenRows(add, d.analyzer))
+          }
         val termBuckets = remT.unionByName(addT)
           .select(pmod(hash(col("term")), lit(bc)).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         if (termBuckets.isEmpty) return (empty, Some(Set.empty))
         def docStats(docs: DataFrame): (Long, Long) = {
-          val r = docs.agg(
-            org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.size(
-                termsOf(col("text"), d.analyzer))).cast("long")).head()
+          val tokens =
+            if (hadFields)
+              fagg(ftransform(col("fs"), f =>
+                fsize(ffilter(termsOf(f, d.analyzer),
+                  t => t =!= "")).cast("long")),
+                lit(0L), (a, x) => a + x)
+            else fsize(termsOf(col("text"), d.analyzer)).cast("long")
+          val r = docs.agg(fcount(lit(1)), fsum(tokens).cast("long")).head()
           (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
         }
         val (remN, remDl) = docStats(removedDocs)
         val (addN, addDl) = docStats(addedDocs)
         val statsKey: Set[DirtyKey] = Set((Some("s"), None))
-        val oldStatsRow = readFiles(tbl,
+        val oldStats = readFiles(tbl,
           prevIdx.view.filterKeys(keyMatches("sect", statsKey)).values
             .flatten.toSeq, ftSchema)
-          .collect().headOption
-        val (n0, dl0) = oldStatsRow
+          .localCheckpoint()
+        val (n0, dl0) = oldStats
+          .filter(col("gid") === "__stats").collect().headOption
           .map(r => (r.getLong(3), r.getLong(4))).getOrElse((0L, 0L))
         // a table built BEFORE the dictionary section existed must
         // not grow a partial one (prefix queries would silently miss
@@ -1655,13 +1721,16 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         // dirty bucket (remT covers all terms of removed docs, addT
         // of added), so adjusting exactly those rows is complete —
         // df' = df - removedDocsWithTerm + addedDocsWithTerm, rows
-        // reaching zero leave the dictionary
+        // reaching zero leave the dictionary. df counts DOCS: in a
+        // per-field frame a doc may carry the term in several rows,
+        // so the adjustment counts distinct gids (== rows for the
+        // legacy one-row-per-doc shape).
         val oldDict = oldPruned.filter(col("sect") === "d")
           .select(col("term"), col("tf"))
         val remDf = remT.groupBy(col("term"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("rm"))
+          .agg(fcountd(col("gid")).as("rm"))
         val addDf = addT.groupBy(col("term"))
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("ad"))
+          .agg(fcountd(col("gid")).as("ad"))
         val dictView = oldDict
           .join(remDf, Seq("term"), "full_outer")
           .join(addDf, Seq("term"), "full_outer")
@@ -1672,13 +1741,49 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .select(lit("d").as("sect"), col("term"), lit("").as("gid"),
             col("df").as("tf"), lit(0L).as("dl"),
             lit(null).cast(org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.IntegerType)).as("pos"))
+              org.apache.spark.sql.types.IntegerType)).as("pos"),
+            lit(null).cast(StringType).as("fld"),
+            lit(null).cast(LongType).as("off"),
+            lit(null).cast(LongType).as("dlt"))
         val view0 = keepToks
           .select(ftSchema.fieldNames.map(col).toSeq: _*)
           .unionByName(addT)
           .unionByName(
             statsRow(spark, n0 - remN + addN, dl0 - remDl + addDl))
-        val view = if (hadDict) view0.unionByName(dictView) else view0
+        // per-field collection statistics ride the same rewritten
+        // sect=s directory: docCount'/Σdl' = old − removed + added,
+        // fields reaching zero docs leave the section
+        val viewF =
+          if (!hadFields) view0
+          else {
+            def fstats(toks: DataFrame, nc: String, sc: String) = toks
+              .groupBy(col("fld"), col("gid"))
+              .agg(fmax(col("dl")).as("fdl"))
+              .groupBy(col("fld"))
+              .agg(fcount(lit(1)).as(nc), fsum(col("fdl")).as(sc))
+            val oldF = oldStats
+              .filter(col("gid").startsWith("__stats:"))
+              .select(col("fld"), col("tf").as("n1"), col("dl").as("s1"))
+            val fView = oldF
+              .join(fstats(remT, "rn", "rs"), Seq("fld"), "full_outer")
+              .join(fstats(addT, "an", "as"), Seq("fld"), "full_outer")
+              .select(col("fld"),
+                (coalesce(col("n1"), lit(0L)) - coalesce(col("rn"), lit(0L))
+                  + coalesce(col("an"), lit(0L))).as("nd"),
+                (coalesce(col("s1"), lit(0L)) - coalesce(col("rs"), lit(0L))
+                  + coalesce(col("as"), lit(0L))).as("sdl"))
+              .filter(col("nd") > 0)
+              .select(lit("s").as("sect"), lit("").as("term"),
+                org.apache.spark.sql.functions.concat(
+                  lit("__stats:"), col("fld")).as("gid"),
+                col("nd").as("tf"), col("sdl").as("dl"),
+                lit(null).cast(org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType)).as("pos"),
+                col("fld"), lit(null).cast(LongType).as("off"),
+                lit(null).cast(LongType).as("dlt"))
+            view0.unionByName(fView)
+          }
+        val view = if (hadDict) viewF.unionByName(dictView) else viewF
         (view, Some(dk))
     }
   }

@@ -246,19 +246,36 @@ object SearchIndexes {
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 
-  /** sect "t" = token rows (term,gid,tf,dl,pos); sect "s" = ONE stats
-    * row (term="",gid="__stats",tf=N_docs,dl=Σdl). `pos` carries the
-    * term's 0-based token positions within the doc (Lucene's
-    * positional postings) — phrase and slop queries verify on it
-    * instead of re-reading stored text; tables built before the
-    * column existed read it back null and keep the text fallback. */
+  /** sect "t" = token rows (term,gid,tf,dl,pos[,fld,off,dlt]);
+    * sect "s" = stats rows — ONE global row
+    * (term="",gid="__stats",tf=N_docs,dl=Σdl) plus, in PER-FIELD
+    * tables, one row per indexed field (gid="__stats:<fld>",
+    * tf=docCount_fld, dl=Σdl_fld — Lucene's per-field collection
+    * statistics, what BM25F scoring needs). `pos` carries the term's
+    * 0-based token positions within the doc (Lucene's positional
+    * postings) — phrase and slop queries verify on it instead of
+    * re-reading stored text; tables built before the column existed
+    * read it back null and keep the text fallback.
+    *
+    * Per-field token rows (the `sect=f` marker asserts them): one row
+    * per (fld, term, gid) with the FIELD's own tf/dl and field-LOCAL
+    * positions; `off` is the field's token offset within the
+    * concatenated document and `dlt` the total document length, so
+    * the legacy concatenated view (unscoped scoring, cross-field
+    * phrases) reconstructs bit-exactly by aggregation —
+    * tf_cat = Σ tf_fld, dl_cat = dlt, pos_cat = ∪ (pos_fld + off) —
+    * while field-scoped leaves (`title:spark`) score per-field BM25
+    * straight off the rows, no stored-text verification. */
   val ftSchema: StructType = StructType(Seq(
     StructField("sect", StringType, nullable = false),
     StructField("term", StringType),
     StructField("gid", StringType),
     StructField("tf", LongType),
     StructField("dl", LongType),
-    StructField("pos", ArrayType(IntegerType))))
+    StructField("pos", ArrayType(IntegerType)),
+    StructField("fld", StringType),
+    StructField("off", LongType),
+    StructField("dlt", LongType)))
 
   /** test hook: build posting rows WITHOUT positions (simulates a
     * table written before the positional column existed, exercising
@@ -310,6 +327,26 @@ object SearchIndexes {
       .filter(labelMember(d.label) &&
         parts.map(_.isNotNull).reduce(_ || _) && length(trim(txt)) > 0)
       .select(col("gid"), txt.as("text"))
+  }
+
+  /** PER-FIELD twin of [[texts]]: `(gid, fs)` where `fs` holds each
+    * indexed property's string (in [[IndexDef.properties]] order,
+    * absent → ""), keeping EXACTLY texts()'s document-membership
+    * filter — the same docs, field-resolved. Change detection joins
+    * on the field ARRAY, not the concatenation: two different field
+    * splits can concatenate identically ("a b"+"c" vs "a"+"b c"),
+    * and a per-field index must see that edit. */
+  def fieldDocs(nodes: DataFrame, d: IndexDef): DataFrame = {
+    val parts = d.properties.map(p =>
+      col("props").getItem(p).getField("s"))
+    val txt =
+      if (parts.size == 1) parts.head
+      else concat_ws(" ", parts.map(p => trim(coalesce(p, lit("")))): _*)
+    nodes
+      .filter(labelMember(d.label) &&
+        parts.map(_.isNotNull).reduce(_ || _) && length(trim(txt)) > 0)
+      .select(col("gid"),
+        array(parts.map(p => coalesce(p, lit(""))): _*).as("fs"))
   }
 
   /** Canonical string encoding of a scalar property value — the ONE
@@ -727,6 +764,12 @@ object SearchIndexes {
       .select(concat_ws(EdgeGidSep, col("src"), col("relType"),
         col("dst")).as("gid"), col("source").as("text"))
 
+  /** PER-FIELD twin of [[edgeTexts]] — the edge document's single
+    * indexable field is `source`, resolved as a one-slot array so the
+    * per-field build/delta machinery is shared with node indexes */
+  def edgeFieldDocs(edges: DataFrame, d: IndexDef): DataFrame =
+    edgeTexts(edges, d).select(col("gid"), array(col("text")).as("fs"))
+
   /** analyzer names — Neo4j's default and the legacy/explicit
     * whitespace analyzer */
   val StandardAnalyzer = "standard-no-stop-words"
@@ -754,9 +797,18 @@ object SearchIndexes {
       text.toLowerCase.split("[^a-z0-9]+").toSeq
     else text.trim.split("\\s+").toSeq).filter(_.nonEmpty)
 
+  /** the legacy-shape ft columns a per-field-unaware frame lacks */
+  private def ftLegacyPad: Seq[Column] = Seq(
+    lit(null).cast(StringType).as("fld"),
+    lit(null).cast(LongType).as("off"),
+    lit(null).cast(LongType).as("dlt"))
+
   /** token rows `(sect="t", term, gid, tf, dl, pos)` of `(gid, text)`
     * docs — `pos` holds the term's 0-based positions in analysis
-    * order (sorted; tf == size(pos) by construction) */
+    * order (sorted; tf == size(pos) by construction). The LEGACY
+    * (concatenated-document) shape: fld/off/dlt ride null; index
+    * builds use [[tokenRowsF]], this stays the pinned kernel of the
+    * streaming twin and pre-field tables' delta maintenance. */
   def tokenRows(docs: DataFrame,
       analyzer: String = WhitespaceAnalyzer): DataFrame =
     docs
@@ -767,31 +819,95 @@ object SearchIndexes {
       .groupBy(col("term"), col("gid"), col("dl"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("p"))).as("pos0"))
-      .select(lit("t").as("sect"), col("term"), col("gid"),
+      .select((Seq(lit("t").as("sect"), col("term"), col("gid"),
         col("tf"), col("dl"),
         (if (positionsEnabled) col("pos0")
          else lit(null).cast(ArrayType(IntegerType))).as("pos"))
+        ++ ftLegacyPad): _*)
+
+  /** PER-FIELD token rows of `(gid, fs)` docs (`fs` = one slot per
+    * indexed field, in [[IndexDef.properties]] order): one row per
+    * (fld, term, gid) carrying the field's own tf / dl / field-LOCAL
+    * positions, plus the field's token offset `off` within the
+    * concatenated document and the total document length `dlt`.
+    * Deterministic per (gid, fs) — the delta's removed rows must be
+    * byte-equal to the stored rows — and exactly aggregable back to
+    * the [[tokenRows]] concatenated view (fields join with single
+    * spaces, every analyzer treats the space as a separator, so
+    * concatenated tokens = per-field tokens end-to-end). */
+  def tokenRowsF(fdocs: DataFrame, fields: Seq[String],
+      analyzer: String = WhitespaceAnalyzer): DataFrame = {
+    val fldNames = array(fields.map(lit): _*)
+    fdocs
+      .select(col("gid"),
+        transform(col("fs"),
+          f => filter(termsOf(f, analyzer), t => t =!= "")).as("tw"))
+      .withColumn("dlt",
+        aggregate(col("tw"), lit(0L), (a, x) => a + size(x).cast("long")))
+      .withColumn("offs",
+        transform(sequence(lit(0), size(col("tw")) - 1), i =>
+          aggregate(slice(col("tw"), lit(1), i), lit(0L),
+            (a, x) => a + size(x).cast("long"))))
+      .select(col("gid"), col("dlt"), col("offs"),
+        posexplode(col("tw")).as(Seq("fi", "w")))
+      .filter(size(col("w")) > 0)
+      .select(col("gid"), col("dlt"),
+        element_at(col("offs"), col("fi") + 1).as("off"),
+        element_at(fldNames, col("fi") + 1).as("fld"),
+        size(col("w")).cast("long").as("dl"),
+        posexplode(col("w")).as(Seq("p", "term")))
+      .groupBy(col("term"), col("gid"), col("fld"), col("dl"),
+        col("off"), col("dlt"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("pos0"))
+      .select(lit("t").as("sect"), col("term"), col("gid"),
+        col("tf"), col("dl"),
+        (if (positionsEnabled) col("pos0")
+         else lit(null).cast(ArrayType(IntegerType))).as("pos"),
+        col("fld"), col("off"), col("dlt"))
+  }
 
   /** term-dictionary rows `(sect="d", term, gid="", tf=df, dl=0)` of
     * a token-row frame — one row per DISTINCT term, `tf` carrying the
-    * document frequency. The dictionary is vocabulary-sized (≪ the
-    * postings) and hash-shares buckets with them, so a prefix query
-    * expands against it instead of scanning every posting file, and
-    * the per-commit delta rewrites exactly the dirty term buckets of
-    * both sections together. */
+    * document frequency (distinct DOCS containing the term — in a
+    * per-field frame a doc may carry the term in several fields, so
+    * the count is over gids, not rows). The dictionary is
+    * vocabulary-sized (≪ the postings) and hash-shares buckets with
+    * them, so a prefix query expands against it instead of scanning
+    * every posting file, and the per-commit delta rewrites exactly
+    * the dirty term buckets of both sections together. */
   def dictRows(toks: DataFrame): DataFrame =
     toks.filter(col("sect") === "t")
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .select(lit("d").as("sect"), col("term"), lit("").as("gid"),
+      .agg(count_distinct(col("gid")).as("df"))
+      .select((Seq(lit("d").as("sect"), col("term"), lit("").as("gid"),
         col("df").as("tf"), lit(0L).as("dl"),
         lit(null).cast(ArrayType(IntegerType)).as("pos"))
+        ++ ftLegacyPad): _*)
 
   /** one stats row from (nDocs, sumDl) */
   def statsRow(spark: SparkSession, nDocs: Long, sumDl: Long): DataFrame =
     spark.createDataFrame(
-      java.util.Arrays.asList(Row("s", "", "__stats", nDocs, sumDl, null)),
+      java.util.Arrays.asList(
+        Row("s", "", "__stats", nDocs, sumDl, null, null, null, null)),
       ftSchema)
+
+  /** PER-FIELD stats rows of a [[tokenRowsF]] frame: one `sect=s` row
+    * per field with ≥1 posting — gid `__stats:<fld>`, tf =
+    * docCount_fld (docs carrying the field), dl = Σ dl_fld (Lucene's
+    * per-field collection statistics, the BM25F denominator). */
+  def fieldStatsRows(toksF: DataFrame): DataFrame =
+    toksF.filter(col("sect") === "t" && col("fld").isNotNull)
+      .groupBy(col("fld"), col("gid"))
+      .agg(max(col("dl")).as("fdl"))
+      .groupBy(col("fld"))
+      .agg(count(lit(1)).as("nd"), sum(col("fdl")).as("sdl"))
+      .select(lit("s").as("sect"), lit("").as("term"),
+        concat(lit("__stats:"), col("fld")).as("gid"),
+        col("nd").as("tf"), col("sdl").as("dl"),
+        lit(null).cast(ArrayType(IntegerType)).as("pos"),
+        col("fld"), lit(null).cast(LongType).as("off"),
+        lit(null).cast(LongType).as("dlt"))
 
   /** single `sect=q` marker row: its presence in a posting table's
     * manifest asserts EVERY token row carries positions — only full
@@ -800,7 +916,21 @@ object SearchIndexes {
     * with zero stored-text access */
   def posMarkerRow(spark: SparkSession): DataFrame =
     spark.createDataFrame(
-      java.util.Arrays.asList(Row("q", "", "__pos", 1L, 0L, null)),
+      java.util.Arrays.asList(
+        Row("q", "", "__pos", 1L, 0L, null, null, null, null)),
+      ftSchema)
+
+  /** single `sect=f` marker row: asserts every token row is
+    * PER-FIELD (fld/off/dlt populated, positions field-local) and the
+    * stats section carries per-field rows — what lets field-scoped
+    * leaves score true per-field BM25F and verify membership straight
+    * off the index. Written by full builds only (deltas carry it
+    * forward); tables built before it keep the concatenated shape
+    * and the stored-text field verification. */
+  def fieldsMarkerRow(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("f", "", "__fields", 1L, 0L, null, null, null, null)),
       ftSchema)
 
   /** a local DataFrame of the trained centroids `(cid, cv, cn)` */

@@ -2911,11 +2911,20 @@ MATCH (n:$label {source: "$source"}) DETACH DELETE n
     assert(CypherEngine.query(store,
       "MATCH (n {gid: 'urn:nope'}) RETURN count(n) AS c")
       .collect().head.getLong(0) == 0L)
-    // PROFILE executes and returns the finalized physical plan
+    // PROFILE executes and returns the finalized physical plan (a
+    // predicate keeps the query off the count-store fast path, so a
+    // real aggregation plan materializes)
     val prof = CypherEngine.query(store,
-      "PROFILE MATCH (n:Person) RETURN count(n) AS c")
+      "PROFILE MATCH (n:Person) WHERE n.age > 0 RETURN count(n) AS c")
       .collect().head.getString(0)
     assert(prof.contains("Aggregate") || prof.contains("AdaptiveSparkPlan"))
+    // the BARE label count routes through the manifest count store —
+    // its finalized plan is a local one-row relation (zero scan jobs)
+    val prof2 = CypherEngine.query(store,
+      "PROFILE MATCH (n:Person) RETURN count(n) AS c")
+      .collect().head.getString(0)
+    assert(prof2.contains("LocalTableScan") || prof2.contains("Aggregate"),
+      prof2)
   }
 
   test("LOAD CSV: headers map, headerless array, FIELDTERMINATOR, writes") {

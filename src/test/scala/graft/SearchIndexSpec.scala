@@ -147,7 +147,7 @@ class SearchIndexSpec extends AnyFunSuite {
 
     // stats row: N docs and total token count
     val stats = st.readSearchIndex(d, _.startsWith("sect=s"))
-      .collect().head
+      .filter("gid = '__stats'").collect().head
     assert(stats.getLong(3) == docs.size)
     assert(stats.getLong(4) ==
       docs.values.map(_.split("\\s+").length.toLong).sum)
@@ -198,7 +198,7 @@ class SearchIndexSpec extends AnyFunSuite {
       "MATCH (x:Doc {gid: 'd:4'}) SET x.body = 'spark pushdown'")
       .collect()
     val stats2 = st.readSearchIndex(d, _.startsWith("sect=s"))
-      .collect().head
+      .filter("gid = '__stats'").collect().head
     assert(stats2.getLong(3) == docs.size)
     assert(stats2.getLong(4) ==
       docs.values.map(_.split("\\s+").length.toLong).sum - 1)
@@ -2010,9 +2010,11 @@ class SearchIndexSpec extends AnyFunSuite {
     // bigram in d:2 needs slop 2, exactly as in Lucene
     assert(hits("\"sort merge\"") == Seq("d:1"))
     assert(hits("\"sort merge\"~2").take(2) == Seq("d:1", "d:2"))
-    // bad-distance / bad-slop / field-scoped-fuzzy syntax gets
-    // TARGETED errors, not mis-lexed never-matching terms
-    Seq("spark~9", "body:spark~1", "\"sort merge\"~x", "spark^x",
+    // bad-distance / bad-slop / bad-boost syntax gets TARGETED
+    // errors, not mis-lexed never-matching terms (field-scoped fuzzy
+    // itself is SERVED now — see the field-scoping test — but a bad
+    // distance inside one still errors)
+    Seq("spark~9", "body:spark~9", "\"sort merge\"~x", "spark^x",
       "spark^-1")
       .foreach { bad =>
         val e = intercept[Exception] {
@@ -2076,9 +2078,125 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(hits("title:(spark OR guide)") == Seq("d:1", "d:2"))
     assert(hits("body:(shuffle OR \"sort merge\")") == Seq("d:2", "d:3"))
     assert(hits("title:(joins NOT hash)") == Nil)
+    // field-scoped FUZZY: matches within the named field only
+    // (unscoped sparc~1 would hit all three docs through their bodies)
+    assert(hits("title:sparc~1") == Seq("d:1"))
+    // field-scoped PROXIMITY over field-LOCAL positions: the
+    // reversed bigram in d:3's body needs slop 2, as in Lucene
+    assert(hits("body:\"merge sort\"") == Nil)
+    assert(hits("body:\"merge sort\"~2") == Seq("d:3"))
     // unknown field is a targeted error
     val e = intercept[Exception] { hits("nope:spark") }
     assert(e.getMessage.contains("no field"))
+  }
+
+  test("per-field BM25F: field-scoped leaves score the field's own stats") {
+    val st = newStore("bm25f")
+    val sess = CypherEngine.session(st)
+    val rows = Seq(
+      ("d:1", "spark internals", "tuning joins"),
+      ("d:2", "tuning guide", "spark shuffle internals"),
+      ("d:3", "hash joins", "sort merge spark"))
+    rows.foreach { case (g, ti, bo) =>
+      sess.run(s"CREATE (:Doc {gid: '$g', title: '$ti', body: '$bo'})")
+        .collect() }
+    sess.commit()
+    CypherEngine.query(st,
+      """CREATE FULLTEXT INDEX fbf FOR (x:Doc)
+        |ON EACH [x.title, x.body]""".stripMargin).collect()
+    val d = st.indexDef("fbf").get
+    assert(st.ftFieldsReady(d), "sect=f marker missing after build")
+
+    // per-field collection statistics rows (fld is column index 6)
+    val byFld = st.readSearchIndex(d, _.startsWith("sect=s"))
+      .filter("gid like '__stats:%'")
+      .collect().map(r => r.getString(6) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byFld("title") == (3L, 6L), byFld)
+    assert(byFld("body") == (3L, 8L), byFld)
+
+    // the scala-side per-field BM25 the engine must match
+    def fieldBm25(fieldOf: ((String, String, String)) => String,
+        t: String): Map[String, Double] = {
+      val docs = rows.map(r => r._1 -> fieldOf(r).split("\\s+").toSeq)
+      val withF = docs.filter(_._2.nonEmpty)
+      val fn = withF.size
+      val avgdl = withF.map(_._2.size).sum.toDouble / fn
+      val dfq = withF.count(_._2.contains(t))
+      val idf = math.log(1.0 + (fn - dfq + 0.5) / (dfq + 0.5))
+      docs.collect { case (g, w) if w.contains(t) =>
+        val tf = w.count(_ == t).toDouble
+        g -> idf * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+      }.toMap
+    }
+    def scored(q: String): Map[String, Double] = CypherEngine.query(st,
+      s"""CALL db.index.fulltext.queryNodes('fbf', '$q')
+         |YIELD node, score
+         |RETURN node.gid AS g, score""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val gotT = scored("title:spark")
+    val wantT = fieldBm25(_._2, "spark")
+    assert(gotT.keySet == wantT.keySet, gotT)
+    gotT.foreach { case (g, s) =>
+      assert(math.abs(s - wantT(g)) < 1e-9, s"$g: $s vs ${wantT(g)}") }
+    val gotB = scored("body:internals")
+    val wantB = fieldBm25(_._3, "internals")
+    assert(gotB.keySet == wantB.keySet, gotB)
+    gotB.foreach { case (g, s) =>
+      assert(math.abs(s - wantB(g)) < 1e-9, s"$g: $s vs ${wantB(g)}") }
+
+    // UNSCOPED scoring is unchanged by the per-field layout: it
+    // aggregates the concatenated view (tf = Σ field tf, dl = dlt)
+    def catBm25(t: String): Map[String, Double] = {
+      val docs = rows.map(r =>
+        r._1 -> s"${r._2} ${r._3}".split("\\s+").toSeq)
+      val n = docs.size
+      val avgdl = docs.map(_._2.size).sum.toDouble / n
+      val dfq = docs.count(_._2.contains(t))
+      val idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+      docs.collect { case (g, w) if w.contains(t) =>
+        val tf = w.count(_ == t).toDouble
+        g -> idf * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+      }.toMap
+    }
+    val gotU = scored("internals")
+    val wantU = catBm25("internals")
+    assert(gotU.keySet == wantU.keySet, gotU)
+    gotU.foreach { case (g, s) =>
+      assert(math.abs(s - wantU(g)) < 1e-9, s"$g: $s vs ${wantU(g)}") }
+
+    // DELTA maintenance keeps the per-field shape: retitle d:3 so
+    // 'spark' enters the title field; stats, df, and scores follow
+    CypherEngine.query(st,
+      "MATCH (x:Doc {gid: 'd:3'}) SET x.title = 'spark sort'").collect()
+    val rows2 = rows.map {
+      case ("d:3", _, bo) => ("d:3", "spark sort", bo)
+      case r => r }
+    val byFld2 = st.readSearchIndex(d, _.startsWith("sect=s"))
+      .filter("gid like '__stats:%'")
+      .collect().map(r => r.getString(6) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byFld2("title") == (3L, 6L), byFld2)
+    def fieldBm25After(t: String): Map[String, Double] = {
+      val docs = rows2.map(r => r._1 -> r._2.split("\\s+").toSeq)
+      val withF = docs.filter(_._2.nonEmpty)
+      val fn = withF.size
+      val avgdl = withF.map(_._2.size).sum.toDouble / fn
+      val dfq = withF.count(_._2.contains(t))
+      val idf = math.log(1.0 + (fn - dfq + 0.5) / (dfq + 0.5))
+      docs.collect { case (g, w) if w.contains(t) =>
+        val tf = w.count(_ == t).toDouble
+        g -> idf * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+      }.toMap
+    }
+    val gotT2 = scored("title:spark")
+    val wantT2 = fieldBm25After("spark")
+    assert(gotT2.keySet == wantT2.keySet, gotT2)
+    gotT2.foreach { case (g, s) =>
+      assert(math.abs(s - wantT2(g)) < 1e-9, s"$g: $s vs ${wantT2(g)}") }
   }
 
   test("fulltext prefix reads are dictionary-bounded") {
