@@ -2207,20 +2207,48 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         else labels.distinct.foldLeft(Option(0L)) { (acc, l) =>
           acc.flatMap(a => store.nodeCountByLabel(Some(l)).map(a + _)) }
       case Seq((r, tail)) =>
-        if (!anonNode(pat.head) || !anonNode(tail)) return None
         if (r.direction == 0 || r.varLength.nonEmpty ||
             r.where.nonEmpty || r.props.nonEmpty ||
             r.qppNodeVars.nonEmpty || r.dynType.nonEmpty) return None
         val types = r.relType.toSeq ++ r.altRelTypes
-        if (types.isEmpty) store.edgeCountByType(None)
-        else types.distinct.foldLeft(Option(0L)) { (acc, t) =>
-          acc.flatMap(a => store.edgeCountByType(Some(t)).map(a + _)) }
+        // a node that is label-only (no props/where/extra/dynamic) —
+        // servable from the ONE-SIDED count-store entries
+        def labelOnly(n: NodePattern): Boolean =
+          n.props.isEmpty && n.where.isEmpty &&
+            n.extraLabels.isEmpty && n.dynLabel.isEmpty &&
+            (n.label.nonEmpty || n.altLabels.nonEmpty)
+        val (srcN, dstN) =
+          if (r.direction > 0) (pat.head, tail) else (tail, pat.head)
+        def typedSum(f: Option[String] => Option[Long]): Option[Long] =
+          if (types.isEmpty) f(None)
+          else types.distinct.foldLeft(Option(0L)) { (acc, t) =>
+            acc.flatMap(a => f(Some(t)).map(a + _)) }
+        if (anonNode(srcN) && anonNode(dstN))
+          typedSum(store.edgeCountByType)
+        else if (labelOnly(srcN) && anonNode(dstN))
+          // (:L|L2)-[:T|T2]->() — Σ over the label × type grid of the
+          // ltOut entries (Neo4j's one-sided count-store shape)
+          (srcN.label.toSeq ++ srcN.altLabels).distinct
+            .foldLeft(Option(0L)) { (acc, l) =>
+              acc.flatMap(a => typedSum(
+                store.relCountByLabel(l, _, outgoing = true)).map(a + _)) }
+        else if (anonNode(srcN) && labelOnly(dstN))
+          (dstN.label.toSeq ++ dstN.altLabels).distinct
+            .foldLeft(Option(0L)) { (acc, l) =>
+              acc.flatMap(a => typedSum(
+                store.relCountByLabel(l, _, outgoing = false)).map(a + _)) }
+        else None
       case _ => return None
     }
     val c = cnt match { case Some(x) => x case None => return None }
     // every projected item must be a bare non-DISTINCT count of the
     // whole row (count(*)) or of a pattern-bound variable (always
-    // non-null under MATCH, so count(v) = count(*))
+    // non-null under MATCH, so count(v) = count(*)) — or a LITERAL
+    // tag column (`RETURN 'users' AS kind, count(n)`, the common
+    // dashboard shape). A literal is a GROUPING key: with zero
+    // matches Cypher returns zero groups, so the literal-tagged
+    // shape only routes when the count is positive (the scan answers
+    // the empty-group case).
     val bound: Set[String] = (pat.head.variable.toSeq ++
       pat.hops.flatMap { case (r, t) =>
         r.variable.toSeq ++ t.variable.toSeq }).toSet
@@ -2228,10 +2256,16 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val ok = q.items.forall(_.expr match {
       case FuncCall("count", Seq(Star), false) => true
       case FuncCall("count", Seq(VarRef(v)), false) => bound(v)
+      case Lit(_: String) | Lit(_: Long) | Lit(_: Boolean) => true
       case _ => false
-    })
+    }) && q.items.exists(!_.expr.isInstanceOf[Lit])
     if (!ok) return None
-    Some(seedRow(q.items.map(i => i.name -> c): _*))
+    val hasLit = q.items.exists(_.expr.isInstanceOf[Lit])
+    if (hasLit && c == 0L) return None
+    Some(seedRow(q.items.map(i => i.expr match {
+      case Lit(v) => i.name -> v
+      case _ => i.name -> c
+    }): _*))
   }
 
   /** `v:l` label MEMBERSHIP (primary or secondary). When `l` was

@@ -857,6 +857,36 @@ DETACH DELETE n
         .orderBy($"kind")
     }),
 
+    // ONE-SIDED labeled relationship counts (Neo4j's count-store
+    // entries (:L)-[:T]->() and ()-[:T]->(:L), plus the any-type
+    // wildcard): answered from the (label, relType) maps the commit
+    // maintains by exact delta arithmetic — edge churn valued at new
+    // labels + label churn over old edges — ZERO Spark jobs per
+    // branch. The in_region→Region branch pins the null-label
+    // semantics: r:* targets exist only as unlabeled stubs, so the
+    // labeled in-count is 0, exactly what the scan answers.
+    "cypher_count_store_rel" -> ((s, dir) => {
+      import s.implicits._
+      val st = GraphOnTpch.customerGraphStore(s, dir)
+      CypherEngine.query(st,
+        """MATCH (:Customer)-[r:located_in]->()
+           RETURN 'cust_out' AS kind, count(r) AS n
+           UNION ALL
+           MATCH ()-[:located_in]->(n:Nation)
+           RETURN 'to_nation' AS kind, count(*) AS n
+           UNION ALL
+           MATCH (:Nation)-[r]->()
+           RETURN 'nation_any' AS kind, count(r) AS n
+           UNION ALL
+           MATCH ()<-[r:in_region]-(:Nation)
+           RETURN 'rev_dir' AS kind, count(r) AS n
+           UNION ALL
+           MATCH ()-[r:in_region]->(:Region)
+           WITH count(r) AS n
+           RETURN 'to_region_label' AS kind, n""")
+        .orderBy($"kind")
+    }),
+
     // RELATIONSHIP property index (Neo4j 5's
     // CREATE INDEX FOR ()-[r:T]-() ON (r.source)): matched src gids
     // resolve from the slim rel-px sect=p/bucket=H(val) directories
@@ -1992,6 +2022,24 @@ DETACH DELETE n
            SELECT 'all_edges', (SELECT n FROM c) + (SELECT n FROM nn)
            UNION ALL
            SELECT 'two_labels', (SELECT n FROM c) + (SELECT n FROM nn))
+         ORDER BY kind""",
+
+    // one-sided twin: every customer carries one located_in (to a
+    // Nation, promoted from stub), every nation one in_region (to an
+    // unlabeled r:* stub — so the Region-labeled in-count is 0)
+    "cypher_count_store_rel" ->
+      """WITH c AS (SELECT count(*) AS n FROM customer),
+            nn AS (SELECT count(*) AS n FROM nation)
+         SELECT kind, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'cust_out' AS kind, (SELECT n FROM c) AS n
+           UNION ALL
+           SELECT 'to_nation', (SELECT n FROM c)
+           UNION ALL
+           SELECT 'nation_any', (SELECT n FROM nn)
+           UNION ALL
+           SELECT 'rev_dir', (SELECT n FROM nn)
+           UNION ALL
+           SELECT 'to_region_label', 0)
          ORDER BY kind""",
 
     "cypher_constraints" ->

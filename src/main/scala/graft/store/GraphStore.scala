@@ -1068,9 +1068,12 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           counted.map { case (k, f) =>
             k -> Await.result(f, Duration.Inf) }
       }
+      val (ltOut, ltIn) = ltCounts(newNodes, newEdges, dirtyNodes,
+        dirtyEdges, prev, prevCounts, nodesMan, bc)
       writeCounts(next, Map(
         "nodes" -> tableCounts("nodes", nodesMan),
-        "edges" -> tableCounts("edges", edgesMan)))
+        "edges" -> tableCounts("edges", edgesMan),
+        "ltOut" -> ltOut, "ltIn" -> ltIn))
       writeManifest(next, Map(
         "nodes" -> nodesMan, "edges" -> edgesMan,
         "redges" -> redgesMan) ++ idxMans)
@@ -2429,6 +2432,175 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     else readCounts(v).map(_.getOrElse(table, Map.empty))
   }
 
+  /** One-sided labeled relationship counts — Neo4j's count-store
+    * entries `(:L)-[:T]->()` (ltOut, keyed `LT`) and
+    * `()-[:T]->(:L)` (ltIn, keyed `TL`), by the endpoint's
+    * PRIMARY label. Maintained per commit by an exact delta
+    * decomposition (N_new − N_old over edges e valued at their
+    * endpoint's snapshot label):
+    *
+    *   term A (edge churn):  +Σ_added l_new(endpoint) ⊗ type
+    *                         −Σ_removed l_new(endpoint) ⊗ type
+    *   term B (label churn): +Σ_{e ∈ E_old} (l_new − l_old)(endpoint) ⊗ type
+    *
+    * A removed edge whose endpoint was deleted this commit values to
+    * nothing in term A (l_new = ∅) and term B subtracts its old
+    * label — the sum is exact for every combination of edge churn,
+    * label rewrites, stub promotion, cascade delete, and node
+    * deletion, with no case analysis. Both terms are bounded by the
+    * commit's own dirty partitions: term A reads the dirty edge
+    * partitions' old/new content plus the touched endpoints'
+    * NEW-manifest node buckets; term B probes the label-churned
+    * nodes' src-hash edge buckets and dst-hash redges buckets (the
+    * cascade-delete read shape). Full rewrites (bootstrap, truncate,
+    * compact, rebucket), a pre-lt sidecar, or a pre-redges store
+    * recount once with one edges⋈nodes aggregation — proportional to
+    * the rewrite itself — and are thereafter incremental.
+    */
+  private def ltCounts(
+      newNodes: DataFrame, newEdges: DataFrame,
+      dirtyNodes: Option[Set[DirtyKey]], dirtyEdges: Option[Set[DirtyKey]],
+      prev: Manifest, prevCounts: Map[String, Map[String, Long]],
+      nodesMan: Map[String, Seq[String]],
+      bc: Int): (Map[String, Long], Map[String, Long]) = {
+    import GraphStore.LtSep
+    import org.apache.spark.sql.functions.{concat, count => fcount,
+      sum => fsum}
+    val prevEdges = prev.getOrElse("edges", Map.empty)
+    val prevNodes = prev.getOrElse("nodes", Map.empty)
+    val prevRedges = prev.getOrElse("redges", Map.empty)
+    def fullLt(): (Map[String, Long], Map[String, Long]) = {
+      val e = newEdges.select(col("src"), col("dst"), col("relType"))
+        .filter(col("relType").isNotNull).localCheckpoint()
+      if (e.isEmpty) return (Map.empty, Map.empty)
+      val n = newNodes.select(col("gid"), col("label"))
+        .filter(col("label").isNotNull)
+      def clean(df: DataFrame): DataFrame = df.filter(
+        !col("label").contains(lit(LtSep)) &&
+          !col("relType").contains(lit(LtSep)))
+      val out = clean(e.join(n.withColumnRenamed("gid", "src"), Seq("src")))
+        .groupBy(col("label"), col("relType")).agg(fcount(lit(1)).as("n"))
+        .collect()
+        .map(r => s"${r.getString(0)}$LtSep${r.getString(1)}" ->
+          r.getLong(2)).toMap
+      val in = clean(e.join(n.withColumnRenamed("gid", "dst"), Seq("dst")))
+        .groupBy(col("relType"), col("label")).agg(fcount(lit(1)).as("n"))
+        .collect()
+        .map(r => s"${r.getString(0)}$LtSep${r.getString(1)}" ->
+          r.getLong(2)).toMap
+      (out, in)
+    }
+    val hadLt = prevCounts.contains("ltOut") && prevCounts.contains("ltIn")
+    if (dirtyNodes.isEmpty || dirtyEdges.isEmpty || !hadLt ||
+        (prevEdges.nonEmpty && prevRedges.isEmpty))
+      return fullLt()
+    val keysN = dirtyNodes.get
+    val keysE = dirtyEdges.get
+    val prevOut = prevCounts.getOrElse("ltOut", Map.empty)
+    val prevIn = prevCounts.getOrElse("ltIn", Map.empty)
+    if (keysN.isEmpty && keysE.isEmpty) return (prevOut, prevIn)
+    // +1/−1 rows keyed like the sidecar; `side` o|i tags the map
+    def keyed(side: String, a: Column, b: Column, d: Long): DataFrame => DataFrame =
+      df => df.filter(a.isNotNull && b.isNotNull &&
+          !a.contains(lit(LtSep)) && !b.contains(lit(LtSep)))
+        .select(lit(side).as("side"),
+          concat(a, lit(LtSep), b).as("k"), lit(d).as("d"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // ---- term B: label churn over the OLD edge/redge tables
+    if (keysN.nonEmpty) {
+      val oldLab = readFiles("nodes",
+        prevNodes.view.filterKeys(keyMatches("label", keysN)).values
+          .flatten.toSeq, nodeSchema)
+        .select(col("gid"), col("label").as("l0"))
+      val newLab = dirtyFilter(
+        newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
+        "label", keysN)
+        .select(col("gid"), col("label").as("l1"))
+      val churn = oldLab.join(newLab, Seq("gid"), "full_outer")
+        .filter(!(col("l0") <=> col("l1")))
+        .localCheckpoint()
+      if (!churn.isEmpty) {
+        val cb = churn
+          .select(pmod(hash(col("gid")), lit(bc)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        def atBuckets(man: Map[String, Seq[String]]): Seq[String] =
+          man.view.filterKeys(k =>
+            cb.exists(b => k.endsWith(s"/bucket=$b")))
+            .values.flatten.toSeq.sorted
+        val outOld = readFiles("edges", atBuckets(prevEdges), edgeSchema)
+          .select(col("src"), col("relType"))
+          .join(churn.withColumnRenamed("gid", "src"), Seq("src"))
+        deltas += keyed("o", col("l1"), col("relType"), 1L)(outOld)
+        deltas += keyed("o", col("l0"), col("relType"), -1L)(outOld)
+        val inOld = readFiles("redges", atBuckets(prevRedges), redgeSchema)
+          .select(col("dst"), col("relType"))
+          .join(churn.withColumnRenamed("gid", "dst"), Seq("dst"))
+        deltas += keyed("i", col("relType"), col("l1"), 1L)(inOld)
+        deltas += keyed("i", col("relType"), col("l0"), -1L)(inOld)
+      }
+    }
+    // ---- term A: edge churn valued at NEW labels
+    if (keysE.nonEmpty) {
+      val changedOld = readFiles("edges",
+        prevEdges.view.filterKeys(keyMatches("relType", keysE)).values
+          .flatten.toSeq, edgeSchema)
+        .select(col("src"), col("dst"), col("relType"))
+      val changedNew = dirtyFilter(
+        newEdges.withColumn("bucket", pmod(hash(col("src")), lit(bc))),
+        "relType", keysE)
+        .select(col("src"), col("dst"), col("relType"))
+      val added = changedNew
+        .join(changedOld, Seq("src", "dst", "relType"), "left_anti")
+      val removed = changedOld
+        .join(changedNew, Seq("src", "dst", "relType"), "left_anti")
+      val churnE = added.withColumn("d", lit(1L))
+        .unionByName(removed.withColumn("d", lit(-1L)))
+        .localCheckpoint()
+      if (!churnE.isEmpty) {
+        // endpoint labels from the NEW manifest's files, bucket-pruned
+        val eb = churnE.select(
+          pmod(hash(col("src")), lit(bc)).as("b"))
+          .unionByName(churnE.select(
+            pmod(hash(col("dst")), lit(bc)).as("b")))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val nlab = readFiles("nodes",
+          nodesMan.view.filterKeys(k =>
+            eb.exists(b => k.endsWith(s"/bucket=$b")))
+            .values.flatten.toSeq.sorted, nodeSchema)
+          .select(col("gid"), col("label"))
+        def sepOk(a: Column, b: Column): Column =
+          a.isNotNull && b.isNotNull &&
+            !a.contains(lit(LtSep)) && !b.contains(lit(LtSep))
+        deltas += churnE
+          .join(nlab.withColumnRenamed("gid", "src"), Seq("src"))
+          .filter(sepOk(col("label"), col("relType")))
+          .select(lit("o").as("side"),
+            concat(col("label"), lit(LtSep), col("relType")).as("k"),
+            col("d"))
+        deltas += churnE
+          .join(nlab.withColumnRenamed("gid", "dst"), Seq("dst"))
+          .filter(sepOk(col("label"), col("relType")))
+          .select(lit("i").as("side"),
+            concat(col("relType"), lit(LtSep), col("label")).as("k"),
+            col("d"))
+      }
+    }
+    if (deltas.isEmpty) return (prevOut, prevIn)
+    // ONE aggregation job over every delta frame
+    val agg = deltas.reduce(_ unionByName _)
+      .groupBy(col("side"), col("k")).agg(fsum(col("d")).as("d"))
+      .collect()
+    def applyTo(m: Map[String, Long], side: String): Map[String, Long] = {
+      val upd = agg.collect {
+        case r if r.getString(0) == side => r.getString(1) -> r.getLong(2) }
+      upd.foldLeft(m) { case (acc, (k, d)) =>
+        val n = acc.getOrElse(k, 0L) + d
+        if (n == 0L) acc - k else acc + (k -> n)
+      }
+    }
+    (applyTo(prevOut, "o"), applyTo(prevIn, "i"))
+  }
+
   /** O(1) node count per Neo4j count-store semantics: `None` label =
     * every node (stubs included, the `MATCH (n)` total); `Some(l)` =
     * nodes whose PRIMARY label is l. Returns None — caller keeps the
@@ -2449,6 +2621,43 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   def edgeCountByType(relType: Option[String]): Option[Long] = {
     if (session.exists(_.workEdges.isDefined)) return None
     partitionCounts("edges").map(sumPartitions(_, "relType", relType))
+  }
+
+  /** O(1) ONE-SIDED labeled relationship count — Neo4j's count-store
+    * entries `(:L)-[:T]->()` (outgoing=true) and `()-[:T]->(:L)`
+    * (outgoing=false); `relType` None = any type (the `(:L)-[]->()`
+    * wildcard entry). None — caller keeps the scan — when the
+    * sidecar predates the lt sections, a session holds uncommitted
+    * writes (node writes can change labels, edge writes the edges),
+    * or the label was ever used as a SECONDARY label (lt counts key
+    * the PRIMARY label).
+    */
+  def relCountByLabel(label: String, relType: Option[String],
+      outgoing: Boolean): Option[Long] = {
+    import GraphStore.LtSep
+    if (session.exists(s => s.workNodes.isDefined || s.workEdges.isDefined))
+      return None
+    if (secondaryLabels0.contains(label)) return None
+    if (label.contains(LtSep) || relType.exists(_.contains(LtSep)))
+      return None
+    val v = currentVersion
+    val m: Map[String, Long] =
+      if (v == 0L) Map.empty
+      else readCounts(v)
+        .flatMap(_.get(if (outgoing) "ltOut" else "ltIn")) match {
+        case Some(x) => x
+        case None => return None // pre-lt sidecar: keep the scan
+      }
+    Some(relType match {
+      case Some(t) =>
+        m.getOrElse(
+          if (outgoing) s"$label$LtSep$t" else s"$t$LtSep$label", 0L)
+      case None =>
+        m.collect {
+          case (k, n) if (outgoing && k.startsWith(label + LtSep)) ||
+            (!outgoing && k.endsWith(LtSep + label)) => n
+        }.sum
+    })
   }
 
   private def sumPartitions(m: Map[String, Long], partCol: String,
@@ -2472,6 +2681,12 @@ object GraphStore {
 
   /** Hive's null-partition sentinel, as written by Spark's partitionBy. */
   val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** separator of the (label, relType) keys in the lt count-store
+    * sidecar sections — a control character no URI-shaped label/type
+    * contains; pairs whose label or type DOES contain it are excluded
+    * from the sidecar and their queries keep the scan */
+  val LtSep = "\u0001"
 
   /** Directory-name form of a partition value — mirrors Hive/Spark path
     * escaping (ExternalCatalogUtils.escapePathName) so manifest keys

@@ -70,10 +70,20 @@ class CountStoreSpec extends AnyFunSuite {
         one(st, "MATCH ()-[r:LIVES_IN]->() RETURN count(r) AS n"),
         one(st, "MATCH ()-[r:KNOWS]->() RETURN count(r) AS n"),
         one(st, "MATCH ()-[]->() RETURN count(*) AS n"),
-        one(st, "MATCH ()<-[r:KNOWS]-() RETURN count(r) AS n"))
+        one(st, "MATCH ()<-[r:KNOWS]-() RETURN count(r) AS n"),
+        // literal tag column (the dashboard shape): a grouping key,
+        // routed only because the count is positive
+        CypherEngine.query(st,
+          "MATCH (n:Person) RETURN 'people' AS kind, count(n) AS n")
+          .collect().head.getLong(1))
     }
-    assert(got == Seq(7L, 3L, 10L, 10L, 5L, 2L, 7L, 2L))
+    assert(got == Seq(7L, 3L, 10L, 10L, 5L, 2L, 7L, 2L, 7L))
     assert(jobs == 0, s"count-store route ran $jobs Spark jobs")
+    // zero matches under a literal grouping key = zero GROUPS: the
+    // shape declines the fast path and the scan answers empty
+    assert(CypherEngine.query(st,
+      "MATCH (n:Nobody) RETURN 'none' AS kind, count(n) AS n")
+      .collect().isEmpty)
   }
 
   test("fast counts equal the scan plan's answer") {
@@ -138,6 +148,60 @@ class CountStoreSpec extends AnyFunSuite {
     assert(one(st, "MATCH (n:City) RETURN count(n) AS n") == 4L)
     // Person is still purely primary: fast path, still exact
     assert(one(st, "MATCH (n:Person) RETURN count(n) AS n") == 7L)
+  }
+
+  test("one-sided labeled relationship counts: zero jobs, scan parity") {
+    val st = newStore("lt")
+    seed(st)
+    var got = Seq.empty[Long]
+    val jobs = countJobs {
+      got = Seq(
+        one(st, "MATCH (:Person)-[r:LIVES_IN]->() RETURN count(r) AS n"),
+        one(st, "MATCH ()-[r:LIVES_IN]->(:City) RETURN count(r) AS n"),
+        one(st, "MATCH (:Person)-[r]->() RETURN count(r) AS n"),
+        one(st, "MATCH ()<-[r:KNOWS]-(:Person) RETURN count(r) AS n"),
+        one(st, "MATCH (:City)-[r]->() RETURN count(*) AS n"),
+        one(st,
+          "MATCH (:Person|City)-[r:LIVES_IN]->() RETURN count(r) AS n"))
+    }
+    assert(got == Seq(5L, 5L, 7L, 2L, 0L, 5L))
+    assert(jobs == 0, s"one-sided count route ran $jobs Spark jobs")
+    // scan parity (the tautological WHERE forces the ordinary plan)
+    assert(one(st,
+      "MATCH (:Person)-[r:LIVES_IN]->() WHERE r.source IS NULL OR true " +
+        "RETURN count(r) AS n") == 5L)
+    assert(one(st,
+      "MATCH ()-[r:LIVES_IN]->(:City) WHERE r.source IS NULL OR true " +
+        "RETURN count(r) AS n") == 5L)
+    // BOTH-sided labels are not a count-store entry (as in Neo4j):
+    // the scan answers, and agrees
+    assert(one(st,
+      "MATCH (:Person)-[r:LIVES_IN]->(:City) RETURN count(r) AS n") == 5L)
+  }
+
+  test("lt counts follow stub promotion (label churn over old edges)") {
+    val st = newStore("ltpromo")
+    val s2 = spark
+    import s2.implicits._
+    val batch1 = (1 to 3).map(i => graft.model.Entity(s"a:$i",
+      refs = Map("http://g/rel#r" -> Seq(s"b:$i")))).toDS()
+    graft.ops.GraphMerge.applyBatch(st, "ds", "A", batch1)
+    assert(one(st, "MATCH (:A)-[r:r]->() RETURN count(r) AS n") == 3L)
+    // targets exist only as UNLABELED stubs: the labeled in-count is 0
+    assert(one(st, "MATCH ()-[r:r]->(:B) RETURN count(r) AS n") == 0L)
+    // promotion: the second dataset labels the stubs — the in-counts
+    // must follow the label churn over edges the commit never touched
+    val batch2 = (1 to 3).map(i => graft.model.Entity(s"b:$i")).toDS()
+    graft.ops.GraphMerge.applyBatch(st, "ds2", "B", batch2)
+    assert(one(st, "MATCH ()-[r:r]->(:B) RETURN count(r) AS n") == 3L)
+    assert(one(st, "MATCH (:A)-[r:r]->() RETURN count(r) AS n") == 3L)
+    // deletion cascades out of both sides' counts
+    val sess = CypherEngine.session(st)
+    sess.run("MATCH (n:B {gid: 'b:1'}) DETACH DELETE n").collect()
+    sess.commit()
+    assert(one(st, "MATCH ()-[r:r]->(:B) RETURN count(r) AS n") == 2L)
+    assert(one(st, "MATCH (:A)-[r:r]->() RETURN count(r) AS n") == 2L)
+    assert(one(st, "MATCH ()-[r:r]->() RETURN count(r) AS n") == 2L)
   }
 
   test("graft.stats serves the same numbers as the scan") {
