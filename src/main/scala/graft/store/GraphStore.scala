@@ -1068,11 +1068,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           counted.map { case (k, f) =>
             k -> Await.result(f, Duration.Inf) }
       }
+      val nodeCounts = tableCounts("nodes", nodesMan)
+      val edgeCounts = tableCounts("edges", edgesMan)
       val (ltOut, ltIn) = ltCounts(newNodes, newEdges, dirtyNodes,
-        dirtyEdges, prev, prevCounts, nodesMan, bc)
+        dirtyEdges, prev, prevCounts, nodesMan, bc,
+        nodeCounts.values.sum + edgeCounts.values.sum)
       writeCounts(next, Map(
-        "nodes" -> tableCounts("nodes", nodesMan),
-        "edges" -> tableCounts("edges", edgesMan),
+        "nodes" -> nodeCounts, "edges" -> edgeCounts,
         "ltOut" -> ltOut, "ltIn" -> ltIn))
       writeManifest(next, Map(
         "nodes" -> nodesMan, "edges" -> edgesMan,
@@ -2462,7 +2464,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       dirtyNodes: Option[Set[DirtyKey]], dirtyEdges: Option[Set[DirtyKey]],
       prev: Manifest, prevCounts: Map[String, Map[String, Long]],
       nodesMan: Map[String, Seq[String]],
-      bc: Int): (Map[String, Long], Map[String, Long]) = {
+      bc: Int, totalRows: Long): (Map[String, Long], Map[String, Long]) = {
     import GraphStore.LtSep
     import org.apache.spark.sql.functions.{concat, count => fcount,
       sum => fsum}
@@ -2471,134 +2473,258 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val prevRedges = prev.getOrElse("redges", Map.empty)
     def fullLt(): (Map[String, Long], Map[String, Long]) = {
       val e = newEdges.select(col("src"), col("dst"), col("relType"))
-        .filter(col("relType").isNotNull).localCheckpoint()
-      if (e.isEmpty) return (Map.empty, Map.empty)
-      val n = newNodes.select(col("gid"), col("label"))
-        .filter(col("label").isNotNull)
-      def clean(df: DataFrame): DataFrame = df.filter(
-        !col("label").contains(lit(LtSep)) &&
+        .filter(col("relType").isNotNull &&
           !col("relType").contains(lit(LtSep)))
-      val out = clean(e.join(n.withColumnRenamed("gid", "src"), Seq("src")))
-        .groupBy(col("label"), col("relType")).agg(fcount(lit(1)).as("n"))
+      val n = newNodes.select(col("gid"), col("label"))
+        .filter(col("label").isNotNull &&
+          !col("label").contains(lit(LtSep)))
+      // both sides tagged into ONE aggregation job
+      val out = e.join(n.withColumnRenamed("gid", "src"), Seq("src"))
+        .select(lit("o").as("side"),
+          concat(col("label"), lit(LtSep), col("relType")).as("k"))
+      val in = e.join(n.withColumnRenamed("gid", "dst"), Seq("dst"))
+        .select(lit("i").as("side"),
+          concat(col("relType"), lit(LtSep), col("label")).as("k"))
+      val agg = out.unionByName(in)
+        .groupBy(col("side"), col("k")).agg(fcount(lit(1)).as("d"))
         .collect()
-        .map(r => s"${r.getString(0)}$LtSep${r.getString(1)}" ->
-          r.getLong(2)).toMap
-      val in = clean(e.join(n.withColumnRenamed("gid", "dst"), Seq("dst")))
-        .groupBy(col("relType"), col("label")).agg(fcount(lit(1)).as("n"))
-        .collect()
-        .map(r => s"${r.getString(0)}$LtSep${r.getString(1)}" ->
-          r.getLong(2)).toMap
-      (out, in)
+      (GraphStore.ltApply(Map.empty, agg, "o"),
+        GraphStore.ltApply(Map.empty, agg, "i"))
     }
     val hadLt = prevCounts.contains("ltOut") && prevCounts.contains("ltIn")
     if (dirtyNodes.isEmpty || dirtyEdges.isEmpty || !hadLt ||
         (prevEdges.nonEmpty && prevRedges.isEmpty))
       return fullLt()
+    // a TINY store recounts outright: one small job over frames the
+    // tiny-table machinery folds locally beats the delta's churn
+    // detection (the interactive write path's latency budget)
+    if (totalRows <= GraphStore.LtTinyRows) return fullLt()
     val keysN = dirtyNodes.get
     val keysE = dirtyEdges.get
     val prevOut = prevCounts.getOrElse("ltOut", Map.empty)
     val prevIn = prevCounts.getOrElse("ltIn", Map.empty)
     if (keysN.isEmpty && keysE.isEmpty) return (prevOut, prevIn)
-    // +1/−1 rows keyed like the sidecar; `side` o|i tags the map
-    def keyed(side: String, a: Column, b: Column, d: Long): DataFrame => DataFrame =
-      df => df.filter(a.isNotNull && b.isNotNull &&
-          !a.contains(lit(LtSep)) && !b.contains(lit(LtSep)))
-        .select(lit(side).as("side"),
-          concat(a, lit(LtSep), b).as("k"), lit(d).as("d"))
+    // an edge-free store with no edge writes has nothing to count —
+    // node-only workloads never pay an lt job
+    if (keysE.isEmpty && prevEdges.isEmpty) return (prevOut, prevIn)
+    // ---- job 1 of 2: ONE union'd cap-collect of the commit's churn
+    // surfaces — interactive write latency must not grow with the
+    // count store (the fused-constraint-probe budget: TWO jobs).
+    //   t=n rows: (gid, l0, l1) label churn of the dirty node keys
+    //   t=e rows: (src, dst, relType) ±1 edge churn of the dirty
+    //             edge keys
+    // Batches past LtCap keep a fully distributed two-phase path.
+    val labelChurn: Option[DataFrame] =
+      if (keysN.isEmpty) None
+      else Some {
+        val oldLab = readFiles("nodes",
+          prevNodes.view.filterKeys(keyMatches("label", keysN)).values
+            .flatten.toSeq, nodeSchema)
+          .select(col("gid"), col("label").as("l0"))
+        val newLab = dirtyFilter(
+          newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
+          "label", keysN)
+          .select(col("gid"), col("label").as("l1"))
+        oldLab.join(newLab, Seq("gid"), "full_outer")
+          .filter(!(col("l0") <=> col("l1")))
+          .select(lit("n").as("t"), col("gid").as("c1"),
+            col("l0").as("c2"), col("l1").as("c3"), lit(0L).as("d"))
+      }
+    val edgeChurn: Option[DataFrame] =
+      if (keysE.isEmpty) None
+      else Some {
+        val changedOld = readFiles("edges",
+          prevEdges.view.filterKeys(keyMatches("relType", keysE)).values
+            .flatten.toSeq, edgeSchema)
+          .select(col("src"), col("dst"), col("relType"))
+        val changedNew = dirtyFilter(
+          newEdges.withColumn("bucket", pmod(hash(col("src")), lit(bc))),
+          "relType", keysE)
+          .select(col("src"), col("dst"), col("relType"))
+        val added = changedNew
+          .join(changedOld, Seq("src", "dst", "relType"), "left_anti")
+        val removed = changedOld
+          .join(changedNew, Seq("src", "dst", "relType"), "left_anti")
+        added.withColumn("d", lit(1L))
+          .unionByName(removed.withColumn("d", lit(-1L)))
+          .select(lit("e").as("t"), col("src").as("c1"),
+            col("dst").as("c2"), col("relType").as("c3"), col("d"))
+      }
+    val surf = (labelChurn.toSeq ++ edgeChurn.toSeq)
+      .reduce(_ unionByName _)
+    val local = surf.take(GraphStore.LtCap + 1)
+    if (local.isEmpty) return (prevOut, prevIn)
+    if (local.length > GraphStore.LtCap)
+      return ltDeltaDistributed(surf, prevOut, prevIn, prevEdges,
+        prevRedges, nodesMan, bc)
+    // driver-side: the churn is interactive-sized — resolve buckets
+    // here and probe with broadcast local relations (job 2 of 2)
+    val churnL = local.filter(_.getString(0) == "n")
+    val echurnL = local.filter(_.getString(0) == "e")
     val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // ---- term B: label churn over the OLD edge/redge tables
-    if (keysN.nonEmpty) {
-      val oldLab = readFiles("nodes",
-        prevNodes.view.filterKeys(keyMatches("label", keysN)).values
-          .flatten.toSeq, nodeSchema)
-        .select(col("gid"), col("label").as("l0"))
-      val newLab = dirtyFilter(
-        newNodes.withColumn("bucket", pmod(hash(col("gid")), lit(bc))),
-        "label", keysN)
-        .select(col("gid"), col("label").as("l1"))
-      val churn = oldLab.join(newLab, Seq("gid"), "full_outer")
-        .filter(!(col("l0") <=> col("l1")))
-        .localCheckpoint()
-      if (!churn.isEmpty) {
-        val cb = churn
-          .select(pmod(hash(col("gid")), lit(bc)).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        def atBuckets(man: Map[String, Seq[String]]): Seq[String] =
-          man.view.filterKeys(k =>
-            cb.exists(b => k.endsWith(s"/bucket=$b")))
-            .values.flatten.toSeq.sorted
-        val outOld = readFiles("edges", atBuckets(prevEdges), edgeSchema)
-          .select(col("src"), col("relType"))
-          .join(churn.withColumnRenamed("gid", "src"), Seq("src"))
-        deltas += keyed("o", col("l1"), col("relType"), 1L)(outOld)
-        deltas += keyed("o", col("l0"), col("relType"), -1L)(outOld)
-        val inOld = readFiles("redges", atBuckets(prevRedges), redgeSchema)
-          .select(col("dst"), col("relType"))
-          .join(churn.withColumnRenamed("gid", "dst"), Seq("dst"))
-        deltas += keyed("i", col("relType"), col("l1"), 1L)(inOld)
-        deltas += keyed("i", col("relType"), col("l0"), -1L)(inOld)
-      }
+    def sepOk(a: Column, b: Column): Column =
+      a.isNotNull && b.isNotNull &&
+        !a.contains(lit(LtSep)) && !b.contains(lit(LtSep))
+    if (churnL.nonEmpty) {
+      // term B: (l1 − l0) replayed over the churned nodes' OLD edges
+      // (src-hash buckets) and redges (dst-hash buckets)
+      val cb = churnL.map(r => bucketOfString(r.getString(1))).toSet
+      def atBuckets(man: Map[String, Seq[String]]): Seq[String] =
+        man.view.filterKeys(k =>
+          cb.exists(b => k.endsWith(s"/bucket=$b")))
+          .values.flatten.toSeq.sorted
+      val churnDf = spark.createDataFrame(
+        java.util.Arrays.asList(churnL.map(r =>
+          Row(r.getString(1), r.getString(2), r.getString(3))): _*),
+        StructType(Seq(
+          StructField("cgid", StringType, nullable = false),
+          StructField("l0", StringType),
+          StructField("l1", StringType))))
+      val outOld = readFiles("edges", atBuckets(prevEdges), edgeSchema)
+        .select(col("src"), col("relType"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          churnDf.withColumnRenamed("cgid", "src")), Seq("src"))
+      deltas += outOld.filter(sepOk(col("l1"), col("relType")))
+        .select(lit("o").as("side"),
+          concat(col("l1"), lit(LtSep), col("relType")).as("k"),
+          lit(1L).as("d"))
+      deltas += outOld.filter(sepOk(col("l0"), col("relType")))
+        .select(lit("o").as("side"),
+          concat(col("l0"), lit(LtSep), col("relType")).as("k"),
+          lit(-1L).as("d"))
+      val inOld = readFiles("redges", atBuckets(prevRedges), redgeSchema)
+        .select(col("dst"), col("relType"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          churnDf.withColumnRenamed("cgid", "dst")), Seq("dst"))
+      deltas += inOld.filter(sepOk(col("l1"), col("relType")))
+        .select(lit("i").as("side"),
+          concat(col("relType"), lit(LtSep), col("l1")).as("k"),
+          lit(1L).as("d"))
+      deltas += inOld.filter(sepOk(col("l0"), col("relType")))
+        .select(lit("i").as("side"),
+          concat(col("relType"), lit(LtSep), col("l0")).as("k"),
+          lit(-1L).as("d"))
     }
-    // ---- term A: edge churn valued at NEW labels
-    if (keysE.nonEmpty) {
-      val changedOld = readFiles("edges",
-        prevEdges.view.filterKeys(keyMatches("relType", keysE)).values
-          .flatten.toSeq, edgeSchema)
-        .select(col("src"), col("dst"), col("relType"))
-      val changedNew = dirtyFilter(
-        newEdges.withColumn("bucket", pmod(hash(col("src")), lit(bc))),
-        "relType", keysE)
-        .select(col("src"), col("dst"), col("relType"))
-      val added = changedNew
-        .join(changedOld, Seq("src", "dst", "relType"), "left_anti")
-      val removed = changedOld
-        .join(changedNew, Seq("src", "dst", "relType"), "left_anti")
-      val churnE = added.withColumn("d", lit(1L))
-        .unionByName(removed.withColumn("d", lit(-1L)))
-        .localCheckpoint()
-      if (!churnE.isEmpty) {
-        // endpoint labels from the NEW manifest's files, bucket-pruned
-        val eb = churnE.select(
-          pmod(hash(col("src")), lit(bc)).as("b"))
-          .unionByName(churnE.select(
-            pmod(hash(col("dst")), lit(bc)).as("b")))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val nlab = readFiles("nodes",
-          nodesMan.view.filterKeys(k =>
-            eb.exists(b => k.endsWith(s"/bucket=$b")))
-            .values.flatten.toSeq.sorted, nodeSchema)
-          .select(col("gid"), col("label"))
-        def sepOk(a: Column, b: Column): Column =
-          a.isNotNull && b.isNotNull &&
-            !a.contains(lit(LtSep)) && !b.contains(lit(LtSep))
-        deltas += churnE
-          .join(nlab.withColumnRenamed("gid", "src"), Seq("src"))
-          .filter(sepOk(col("label"), col("relType")))
-          .select(lit("o").as("side"),
-            concat(col("label"), lit(LtSep), col("relType")).as("k"),
-            col("d"))
-        deltas += churnE
-          .join(nlab.withColumnRenamed("gid", "dst"), Seq("dst"))
-          .filter(sepOk(col("label"), col("relType")))
-          .select(lit("i").as("side"),
-            concat(col("relType"), lit(LtSep), col("label")).as("k"),
-            col("d"))
-      }
+    if (echurnL.nonEmpty) {
+      // term A: ±1 per churned edge, valued at the NEW snapshot's
+      // endpoint labels (read from the just-written manifest files,
+      // endpoint-bucket-pruned)
+      val eb = echurnL.flatMap(r => Seq(bucketOfString(r.getString(1)),
+        bucketOfString(r.getString(2)))).toSet
+      val nlab = readFiles("nodes",
+        nodesMan.view.filterKeys(k =>
+          eb.exists(b => k.endsWith(s"/bucket=$b")))
+          .values.flatten.toSeq.sorted, nodeSchema)
+        .select(col("gid"), col("label"))
+      val churnEDf = spark.createDataFrame(
+        java.util.Arrays.asList(echurnL.map(r =>
+          Row(r.getString(1), r.getString(2), r.getString(3),
+            r.getLong(4))): _*),
+        StructType(Seq(
+          StructField("src", StringType, nullable = false),
+          StructField("dst", StringType, nullable = false),
+          StructField("relType", StringType, nullable = false),
+          StructField("d", LongType, nullable = false))))
+      deltas += nlab.withColumnRenamed("gid", "src")
+        .join(org.apache.spark.sql.functions.broadcast(churnEDf),
+          Seq("src"))
+        .filter(sepOk(col("label"), col("relType")))
+        .select(lit("o").as("side"),
+          concat(col("label"), lit(LtSep), col("relType")).as("k"),
+          col("d"))
+      deltas += nlab.withColumnRenamed("gid", "dst")
+        .join(org.apache.spark.sql.functions.broadcast(churnEDf),
+          Seq("dst"))
+        .filter(sepOk(col("label"), col("relType")))
+        .select(lit("i").as("side"),
+          concat(col("relType"), lit(LtSep), col("label")).as("k"),
+          col("d"))
     }
-    if (deltas.isEmpty) return (prevOut, prevIn)
-    // ONE aggregation job over every delta frame
     val agg = deltas.reduce(_ unionByName _)
       .groupBy(col("side"), col("k")).agg(fsum(col("d")).as("d"))
       .collect()
-    def applyTo(m: Map[String, Long], side: String): Map[String, Long] = {
-      val upd = agg.collect {
-        case r if r.getString(0) == side => r.getString(1) -> r.getLong(2) }
-      upd.foldLeft(m) { case (acc, (k, d)) =>
-        val n = acc.getOrElse(k, 0L) + d
-        if (n == 0L) acc - k else acc + (k -> n)
-      }
-    }
-    (applyTo(prevOut, "o"), applyTo(prevIn, "i"))
+    (GraphStore.ltApply(prevOut, agg, "o"),
+      GraphStore.ltApply(prevIn, agg, "i"))
+  }
+
+  /** the past-LtCap twin of the incremental lt path: the same churn
+    * surface kept distributed — bucket sets still collect (bounded at
+    * the store's bucket count), probes join the churn frame instead
+    * of a broadcast local relation. Bulk-sized commits only. */
+  private def ltDeltaDistributed(
+      surf: DataFrame,
+      prevOut: Map[String, Long], prevIn: Map[String, Long],
+      prevEdges: Map[String, Seq[String]],
+      prevRedges: Map[String, Seq[String]],
+      nodesMan: Map[String, Seq[String]],
+      bc: Int): (Map[String, Long], Map[String, Long]) = {
+    import GraphStore.LtSep
+    import org.apache.spark.sql.functions.{broadcast, concat, sum => fsum}
+    val s = surf.localCheckpoint()
+    val churn = s.filter(col("t") === "n")
+      .select(col("c1").as("cgid"), col("c2").as("l0"),
+        col("c3").as("l1"))
+    val churnE = s.filter(col("t") === "e")
+      .select(col("c1").as("src"), col("c2").as("dst"),
+        col("c3").as("relType"), col("d"))
+    def sepOk(a: Column, b: Column): Column =
+      a.isNotNull && b.isNotNull &&
+        !a.contains(lit(LtSep)) && !b.contains(lit(LtSep))
+    val buckets = churn
+      .select(pmod(hash(col("cgid")), lit(bc)).as("b"))
+      .unionByName(churnE.select(pmod(hash(col("src")), lit(bc)).as("b")))
+      .unionByName(churnE.select(pmod(hash(col("dst")), lit(bc)).as("b")))
+      .withColumn("t", lit("x"))
+      .groupBy(col("t"))
+      .agg(org.apache.spark.sql.functions.collect_set(col("b")).as("bs"))
+      .collect()
+    val allB: Set[Int] = buckets.headOption
+      .map(_.getSeq[Int](1).toSet).getOrElse(Set.empty)
+    def atBuckets(man: Map[String, Seq[String]]): Seq[String] =
+      man.view.filterKeys(k => allB.exists(b => k.endsWith(s"/bucket=$b")))
+        .values.flatten.toSeq.sorted
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val outOld = readFiles("edges", atBuckets(prevEdges), edgeSchema)
+      .select(col("src"), col("relType"))
+      .join(churn.withColumnRenamed("cgid", "src"), Seq("src"))
+    deltas += outOld.filter(sepOk(col("l1"), col("relType")))
+      .select(lit("o").as("side"),
+        concat(col("l1"), lit(LtSep), col("relType")).as("k"),
+        lit(1L).as("d"))
+    deltas += outOld.filter(sepOk(col("l0"), col("relType")))
+      .select(lit("o").as("side"),
+        concat(col("l0"), lit(LtSep), col("relType")).as("k"),
+        lit(-1L).as("d"))
+    val inOld = readFiles("redges", atBuckets(prevRedges), redgeSchema)
+      .select(col("dst"), col("relType"))
+      .join(churn.withColumnRenamed("cgid", "dst"), Seq("dst"))
+    deltas += inOld.filter(sepOk(col("l1"), col("relType")))
+      .select(lit("i").as("side"),
+        concat(col("relType"), lit(LtSep), col("l1")).as("k"),
+        lit(1L).as("d"))
+    deltas += inOld.filter(sepOk(col("l0"), col("relType")))
+      .select(lit("i").as("side"),
+        concat(col("relType"), lit(LtSep), col("l0")).as("k"),
+        lit(-1L).as("d"))
+    val nlab = readFiles("nodes", atBuckets(nodesMan), nodeSchema)
+      .select(col("gid"), col("label"))
+    deltas += nlab.withColumnRenamed("gid", "src")
+      .join(churnE, Seq("src"))
+      .filter(sepOk(col("label"), col("relType")))
+      .select(lit("o").as("side"),
+        concat(col("label"), lit(LtSep), col("relType")).as("k"),
+        col("d"))
+    deltas += nlab.withColumnRenamed("gid", "dst")
+      .join(churnE, Seq("dst"))
+      .filter(sepOk(col("label"), col("relType")))
+      .select(lit("i").as("side"),
+        concat(col("relType"), lit(LtSep), col("label")).as("k"),
+        col("d"))
+    val agg = deltas.reduce(_ unionByName _)
+      .groupBy(col("side"), col("k")).agg(fsum(col("d")).as("d"))
+      .collect()
+    (GraphStore.ltApply(prevOut, agg, "o"),
+      GraphStore.ltApply(prevIn, agg, "i"))
   }
 
   /** O(1) node count per Neo4j count-store semantics: `None` label =
@@ -2687,6 +2813,25 @@ object GraphStore {
     * contains; pairs whose label or type DOES contain it are excluded
     * from the sidecar and their queries keep the scan */
   val LtSep = "\u0001"
+
+  /** churn rows an interactive commit may resolve driver-side for the
+    * lt count maintenance; bigger commits keep the distributed path */
+  val LtCap = 100000
+
+  /** stores at or below this many total rows skip the lt delta and
+    * recount in one small job (tiny frames fold locally) */
+  val LtTinyRows = 50000L
+
+  /** fold a (side, key, Sigma-d) delta collect into a count map,
+    * dropping keys that reach zero */
+  def ltApply(m: Map[String, Long], agg: Array[Row],
+      side: String): Map[String, Long] =
+    agg.collect {
+      case r if r.getString(0) == side => r.getString(1) -> r.getLong(2)
+    }.foldLeft(m) { case (acc, (k, d)) =>
+      val n = acc.getOrElse(k, 0L) + d
+      if (n == 0L) acc - k else acc + (k -> n)
+    }
 
   /** Directory-name form of a partition value — mirrors Hive/Spark path
     * escaping (ExternalCatalogUtils.escapePathName) so manifest keys
