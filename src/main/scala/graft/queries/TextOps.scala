@@ -908,6 +908,43 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Content-defined chunking (CDC) dedup — the storage-dedup /
+    // incremental-corpus technique: chunk boundaries fall where a
+    // cheap per-word hash hits a modulus (content-defined, so an
+    // insertion near the head of a document does NOT shift every
+    // later chunk identity the way fixed-width spans shift), chunks
+    // fingerprint by md5 of their text, and chunks shared by ≥2 docs
+    // surface. Boundary detection and chunking are per-row HOFs (zero
+    // shuffle); the dedup keys on the chunk fingerprint — never a
+    // doc×doc join — so the shape survives any corpus size.
+    "t_cdc_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def bcond(x: Column): Column =
+        (length(x) * 31 + ascii(x)) % 16 === 0
+      val withB = t(s, dir, "documents")
+        .select($"doc_id", wordsCol.as("w"))
+        .withColumn("b", concat(
+          array(lit(0)),
+          filter(sequence(lit(1), size($"w") - 1),
+            i => bcond(element_at($"w", i))),
+          array(size($"w"))))
+      withB
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), size($"b") - 1), j =>
+            slice($"w", element_at($"b", j) + 1,
+              element_at($"b", j + 1) - element_at($"b", j)))).as("c"))
+        .filter(size($"c") >= 4)
+        .select($"doc_id", md5(concat_ws(" ", $"c")).as("fp"),
+          size($"c").cast("long").as("n_words"))
+        .distinct()
+        .groupBy($"fp")
+        .agg(count_distinct($"doc_id").as("n_docs"),
+          max($"n_words").as("n_words"))
+        .filter($"n_docs" >= 2)
+        .select($"fp", $"n_docs", $"n_words")
+        .orderBy($"fp")
+    }),
+
     // BM25 keyword retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75):
     // per-doc relevance against a fixed query term set — the lexical
     // retrieval half of a data-curation stack (the other half is the
@@ -1315,6 +1352,27 @@ object TextOps {
              ELSE CAST(p.n_dup AS DOUBLE) / p.n_spans END AS dup_frac
          FROM documents d LEFT JOIN per p USING (doc_id)
          ORDER BY d.doc_id""",
+    "t_cdc_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') w FROM documents),
+         b AS (SELECT doc_id, w,
+             list_concat(list_concat([0],
+               list_filter(range(1, len(w)), i ->
+                 (31 * len(w[i]) + ascii(w[i])) % 16 = 0)),
+               [len(w)]) AS bs
+           FROM toks),
+         ch AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(c, ' ')) AS fp,
+             len(c) AS n_words
+           FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(bs)),
+                 j -> w[bs[j]+1 : bs[j+1]])) AS c
+             FROM b)
+           WHERE len(c) >= 4)
+         SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(n_words) AS BIGINT) AS n_words
+         FROM ch GROUP BY fp
+         HAVING count(DISTINCT doc_id) >= 2 ORDER BY fp""",
     "t_bm25" ->
       """WITH d AS (SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) dl,
