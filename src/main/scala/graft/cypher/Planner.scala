@@ -343,9 +343,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case f: ForeachClause => applyForeach(f)
       case l: LoadCsvClause => applyLoadCsv(l)
     }
+    // `RETURN 1` — a clause-less query evaluates its items once
+    // against one imaginary row (Neo4j: RETURN without a reading
+    // clause is a single-row projection); seeding BEFORE the item
+    // rewrite lets clause-less `RETURN COUNT { … }` / EXISTS { … }
+    // land their subquery machinery on the imaginary row
+    if (df == null) df = seedRow()
     val items =
-      if (df == null) expandStar(q.items)
-      else rewriteSubqueryItems(expandStar(q.items))
+      rewriteSubqueryItems(expandStar(q.items))
         // endpoint property reads join their node NOW (df mutation),
         // keeping the item's ORIGINAL name via a pinned alias
         .map(i => i.copy(expr = resolveEndpointProps(i.expr),
@@ -369,10 +374,6 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // the projection after the commit stays consistent
       graft.ops.GraphMerge.applyWrite(store, effs)
     }
-    // `RETURN 1` — a clause-less query evaluates its items once
-    // against one imaginary row (Neo4j: RETURN without a reading
-    // clause is a single-row projection)
-    if (df == null) df = seedRow()
     // ORDER BY on an aggregate that is NOT projected (`RETURN m.gid
     // ORDER BY count(*)`): compute it as a hidden aggregation column,
     // sort, drop — Neo4j allows this on non-DISTINCT projections
@@ -2180,24 +2181,22 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * (store-side gates). Label/type disjunctions sum disjoint
     * partitions — exact because primary labels partition the table.
     */
-  private def detectCountStore(q: Query): Option[DataFrame] = {
-    if (q.unions.nonEmpty || q.distinct || q.orderBy.nonEmpty ||
-        q.skip.nonEmpty || q.limit.nonEmpty) return None
+  /** the manifest count for ONE pure pattern (no props/WHERE/QPP/
+    * var-length/path binding), if the sidecar can serve it — the
+    * shared core of the count-store fast path, used by the top-level
+    * shape, uncorrelated COUNT { } subqueries, and their full-query
+    * bodies. None with pending session writes (the sidecar is stale
+    * against the overlay). */
+  private def patternStoreCount(pat: PathPattern): Option[Long] = {
     if (pendingNodes.nonEmpty || pendingEdges.nonEmpty ||
         pendingNodeDeletes.nonEmpty || pendingEdgeDeletes.nonEmpty)
       return None
-    val m = q.clauses match {
-      case Seq(mc: MatchClause) if !mc.optional && mc.where.isEmpty => mc
-      case _ => return None
-    }
-    if (m.patterns.size != 1) return None
-    val pat = m.patterns.head
     if (pat.pathVar.nonEmpty || pat.shortest || pat.allShortest)
       return None
     def anonNode(n: NodePattern): Boolean =
       n.label.isEmpty && n.altLabels.isEmpty && n.extraLabels.isEmpty &&
         n.props.isEmpty && n.where.isEmpty && n.dynLabel.isEmpty
-    val cnt: Option[Long] = pat.hops match {
+    pat.hops match {
       case Seq() =>
         val n = pat.head
         if (n.props.nonEmpty || n.where.nonEmpty ||
@@ -2238,9 +2237,36 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               acc.flatMap(a => typedSum(
                 store.relCountByLabel(l, _, outgoing = false)).map(a + _)) }
         else None
+      case _ => None
+    }
+  }
+
+  /** a COUNT { } body's pattern is servable from the count store when
+    * it is the pure shape AND shares no variable with the outer scope
+    * (an uncorrelated count is the same for every outer row) */
+  private def subCountStoreCount(pat: PathPattern,
+      where: Option[Expr]): Option[Long] = {
+    if (where.nonEmpty) return None
+    val vars = pat.head.variable.toSeq ++
+      pat.hops.flatMap { case (r, t) =>
+        r.variable.toSeq ++ t.variable.toSeq }
+    if (vars.exists(v => env.get(v).nonEmpty)) return None
+    patternStoreCount(pat)
+  }
+
+  private def detectCountStore(q: Query): Option[DataFrame] = {
+    if (q.unions.nonEmpty || q.distinct || q.orderBy.nonEmpty ||
+        q.skip.nonEmpty || q.limit.nonEmpty) return None
+    val m = q.clauses match {
+      case Seq(mc: MatchClause) if !mc.optional && mc.where.isEmpty => mc
       case _ => return None
     }
-    val c = cnt match { case Some(x) => x case None => return None }
+    if (m.patterns.size != 1) return None
+    val pat = m.patterns.head
+    val c = patternStoreCount(pat) match {
+      case Some(x) => x
+      case None => return None
+    }
     // every projected item must be a bare non-DISTINCT count of the
     // whole row (count(*)) or of a pattern-bound variable (always
     // non-null under MATCH, so count(v) = count(*)) — or a LITERAL
@@ -3752,6 +3778,18 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     if (q.items.exists(i => containsAgg(i.expr)))
       throw PlanError("an aggregate RETURN inside EXISTS/COUNT fixes " +
         "the row count at one — aggregate in the OUTER query instead")
+    // full body that is still the pure uncorrelated count shape
+    // (`COUNT { MATCH (n:L) }`) answers from the count store
+    if (q.unions.isEmpty && !q.distinct && q.skip.isEmpty &&
+        q.limit.isEmpty)
+      q.clauses match {
+        case Seq(mc: MatchClause)
+            if !mc.optional && mc.where.isEmpty &&
+              mc.patterns.size == 1 =>
+          subCountStoreCount(mc.patterns.head, None)
+            .foreach(c => return lit(c))
+        case _ => ()
+      }
     val (rows, keyCols) =
       planFullSubRows(q.copy(items = Nil), None, "EXISTS/COUNT")
     val cnt = s"${fresh("fcnt")}__c"
@@ -3797,6 +3835,10 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
 
   private def planSubCount(cs: CountSub): Column = {
     cs.full.foreach(q => return planFullSubCount(q))
+    // uncorrelated pure-pattern COUNT { (n:L) } / COUNT { ()-[:T]->() }:
+    // the count-store constant — zero scan jobs, no join added
+    subCountStoreCount(cs.pattern, cs.where)
+      .foreach(c => return lit(c))
     val (subDf, nodeKeys, seedKeys, _) =
       planSubPattern(cs.pattern, cs.where, "COUNT { }")
     val keys = nodeKeys ++ seedKeys

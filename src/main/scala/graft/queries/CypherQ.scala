@@ -883,7 +883,10 @@ DETACH DELETE n
            UNION ALL
            MATCH ()-[r:in_region]->(:Region)
            WITH count(r) AS n
-           RETURN 'to_region_label' AS kind, n""")
+           RETURN 'to_region_label' AS kind, n
+           UNION ALL
+           RETURN 'count_sub' AS kind,
+                  COUNT { (:Customer)-[:located_in]->() } AS n""")
         .orderBy($"kind")
     }),
 
@@ -2039,7 +2042,9 @@ DETACH DELETE n
            UNION ALL
            SELECT 'rev_dir', (SELECT n FROM nn)
            UNION ALL
-           SELECT 'to_region_label', 0)
+           SELECT 'to_region_label', 0
+           UNION ALL
+           SELECT 'count_sub', (SELECT n FROM c))
          ORDER BY kind""",
 
     "cypher_constraints" ->

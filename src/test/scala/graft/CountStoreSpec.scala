@@ -75,9 +75,16 @@ class CountStoreSpec extends AnyFunSuite {
         // routed only because the count is positive
         CypherEngine.query(st,
           "MATCH (n:Person) RETURN 'people' AS kind, count(n) AS n")
-          .collect().head.getLong(1))
+          .collect().head.getLong(1),
+        // uncorrelated COUNT { } subqueries — pattern and full-body
+        // forms — resolve to the count-store constant
+        one(st, "RETURN COUNT { (n:Person) } AS n"),
+        one(st, "RETURN COUNT { MATCH (n:Person) } AS n"),
+        one(st, "RETURN COUNT { ()-[r:LIVES_IN]->() } AS n"),
+        one(st, "RETURN COUNT { (:Person)-[:LIVES_IN]->() } AS n"))
     }
-    assert(got == Seq(7L, 3L, 10L, 10L, 5L, 2L, 7L, 2L, 7L))
+    assert(got == Seq(7L, 3L, 10L, 10L, 5L, 2L, 7L, 2L, 7L,
+      7L, 7L, 5L, 5L))
     assert(jobs == 0, s"count-store route ran $jobs Spark jobs")
     // zero matches under a literal grouping key = zero GROUPS: the
     // shape declines the fast path and the scan answers empty
