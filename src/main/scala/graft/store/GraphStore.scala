@@ -2815,12 +2815,16 @@ object GraphStore {
   val LtSep = "\u0001"
 
   /** churn rows an interactive commit may resolve driver-side for the
-    * lt count maintenance; bigger commits keep the distributed path */
-  val LtCap = 100000
+    * lt count maintenance; bigger commits keep the distributed path.
+    * The override is a test hook forcing the distributed twin. */
+  @volatile private[graft] var ltCapOverride: Option[Int] = None
+  def LtCap: Int = ltCapOverride.getOrElse(100000)
 
   /** stores at or below this many total rows skip the lt delta and
-    * recount in one small job (tiny frames fold locally) */
-  val LtTinyRows = 50000L
+    * recount in one small job (tiny frames fold locally); the
+    * override is a test hook forcing the delta paths */
+  @volatile private[graft] var ltTinyOverride: Option[Long] = None
+  def LtTinyRows: Long = ltTinyOverride.getOrElse(50000L)
 
   /** fold a (side, key, Sigma-d) delta collect into a count map,
     * dropping keys that reach zero */

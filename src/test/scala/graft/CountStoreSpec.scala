@@ -211,6 +211,48 @@ class CountStoreSpec extends AnyFunSuite {
     assert(one(st, "MATCH ()-[r:r]->() RETURN count(r) AS n") == 2L)
   }
 
+  test("lt delta paths agree: driver-side, distributed, and recount") {
+    // the same promotion/deletion sequence through each maintenance
+    // path — the driver-side cap-collect (default), the distributed
+    // twin (cap forced to 0), and the tiny-store recount — must land
+    // identical sidecar counts
+    def run(tag: String,
+        hook: () => Unit, unhook: () => Unit): Seq[Long] = {
+      hook()
+      try {
+        val st = newStore(s"ltpath-$tag")
+        val s2 = spark
+        import s2.implicits._
+        graft.ops.GraphMerge.applyBatch(st, "ds", "A",
+          (1 to 4).map(i => graft.model.Entity(s"a:$i",
+            refs = Map("http://g/rel#r" -> Seq(s"b:${i % 2 + 1}")))).toDS())
+        graft.ops.GraphMerge.applyBatch(st, "ds2", "B",
+          (1 to 2).map(i => graft.model.Entity(s"b:$i")).toDS())
+        val sess = CypherEngine.session(st)
+        sess.run("MATCH (n:B {gid: 'b:1'}) DETACH DELETE n").collect()
+        sess.commit()
+        Seq(
+          one(st, "MATCH (:A)-[r:r]->() RETURN count(r) AS n"),
+          one(st, "MATCH ()-[r:r]->(:B) RETURN count(r) AS n"),
+          one(st, "MATCH ()-[r:r]->() RETURN count(r) AS n"))
+      } finally unhook()
+    }
+    val g = GraphStore
+    // defaults: the store is tiny, so this IS the recount path
+    val tiny = run("tiny", () => (), () => ())
+    // tiny disabled: the driver-side cap-collect delta
+    val drv = run("drv",
+      () => g.ltTinyOverride = Some(0L),
+      () => g.ltTinyOverride = None)
+    // tiny disabled + cap 0: the distributed twin
+    val dist = run("dist",
+      () => { g.ltTinyOverride = Some(0L); g.ltCapOverride = Some(0) },
+      () => { g.ltTinyOverride = None; g.ltCapOverride = None })
+    assert(tiny == Seq(2L, 2L, 2L), tiny)
+    assert(drv == tiny, s"driver-side delta diverged: $drv vs $tiny")
+    assert(dist == tiny, s"distributed path diverged: $dist vs $tiny")
+  }
+
   test("graft.stats serves the same numbers as the scan") {
     val st = newStore("stats")
     seed(st)
