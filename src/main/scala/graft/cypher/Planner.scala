@@ -2209,6 +2209,11 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         if (r.direction == 0 || r.varLength.nonEmpty ||
             r.where.nonEmpty || r.props.nonEmpty ||
             r.qppNodeVars.nonEmpty || r.dynType.nonEmpty) return None
+        // a repeated node variable — MATCH (n)-[:T]->(n) — is a
+        // self-loop equality constraint the one-sided entries can't
+        // see; keep the scan plan
+        if (pat.head.variable.isDefined &&
+            pat.head.variable == tail.variable) return None
         val types = r.relType.toSeq ++ r.altRelTypes
         // a node that is label-only (no props/where/extra/dynamic) —
         // servable from the ONE-SIDED count-store entries
@@ -3839,6 +3844,30 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // the count-store constant — zero scan jobs, no join added
     subCountStoreCount(cs.pattern, cs.where)
       .foreach(c => return lit(c))
+    // uncorrelated but NOT store-servable (props / WHERE / a repeated
+    // variable like COUNT { (n)-[:T]->(n) }): the count is the same
+    // for every outer row — plan the pattern in an EMPTY scope and
+    // fold the constant
+    if (cs.pattern.pathVar.isEmpty && !cs.pattern.shortest &&
+        !cs.pattern.allShortest) {
+      val patVars = (cs.pattern.head.variable.toSeq ++
+        cs.pattern.hops.flatMap { case (r, t) =>
+          r.variable.toSeq ++ t.variable.toSeq }).toSet
+      val free = freeVarNames(
+        (cs.pattern.head +: cs.pattern.hops.map(_._2))
+          .flatMap(_.props.map(_._2)) ++
+          cs.pattern.hops.flatMap(_._1.props.map(_._2)) ++ cs.where.toSeq)
+      if (!patVars.exists(env.contains) &&
+          !free.exists(v => !patVars.contains(v) && env.contains(v))) {
+        val outerDf = df; val outerEnv = env
+        df = null; env = Map.empty
+        applyInnerMatch(MatchClause(Seq(cs.pattern), optional = false,
+          where = cs.where))
+        val n = if (df == null) 0L else df.count()
+        df = outerDf; env = outerEnv
+        return lit(n)
+      }
+    }
     val (subDf, nodeKeys, seedKeys, _) =
       planSubPattern(cs.pattern, cs.where, "COUNT { }")
     val keys = nodeKeys ++ seedKeys

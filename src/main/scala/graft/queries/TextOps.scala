@@ -925,8 +925,13 @@ object TextOps {
         .select($"doc_id", wordsCol.as("w"))
         .withColumn("b", concat(
           array(lit(0)),
-          filter(sequence(lit(1), size($"w") - 1),
-            i => bcond(element_at($"w", i))),
+          // sequence(1, 0) steps DOWNWARD to [1, 0] — a one-word doc
+          // would evaluate element_at(w, 0) and throw; such a doc has
+          // no interior boundary candidates at all
+          when(size($"w") > 1,
+            filter(sequence(lit(1), size($"w") - 1),
+              i => bcond(element_at($"w", i))))
+            .otherwise(lit(Array.empty[Int])),
           array(size($"w"))))
       withB
         .select($"doc_id", explode(

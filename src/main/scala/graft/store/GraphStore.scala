@@ -1650,8 +1650,18 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         // the previous manifest carries the sect=f marker. Legacy
         // tables stay concatenated — and field-scoped leaves keep the
         // stored-text verification — until a full rebuild.
-        val hadFields = prevIdx.keys.exists(_.startsWith("sect=f")) &&
-          SearchIndexes.positionsEnabled
+        // the STORED shape decides the delta shape: a sect=f-marked
+        // table must get per-field delta rows (the removed rows must
+        // be byte-equal to what was stored) regardless of the
+        // positionsEnabled test hook -- flipping the hook off against
+        // a field-built table would write legacy-shape rows under the
+        // persisting marker and field-scoped leaves would silently
+        // miss the updated docs, so that combination fails fast
+        val hadFields = prevIdx.keys.exists(_.startsWith("sect=f"))
+        require(!hadFields || SearchIndexes.positionsEnabled,
+          s"fulltext index ${d.name}: table $tbl was built with " +
+            "per-field postings (sect=f) but positionsEnabled is " +
+            "false; rebuild the index before disabling positions")
         // changed docs appear on both sides; deterministic
         // tokenization makes the removed rows byte-equal to the old
         // stored rows, so every stale row lives in a dirty bucket.
@@ -2459,6 +2469,15 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * recount once with one edges⋈nodes aggregation — proportional to
     * the rewrite itself — and are thereafter incremental.
     */
+  /** the lt sidecar key, or [[GraphStore.LtExcluded]] when either
+    * (non-null) name contains the separator -- excluded pairs stay
+    * EXACTLY accounted in the sentinel so the wildcard query knows
+    * whether the clean keys cover every edge */
+  private def ltKeyOr(k: Column, a: Column, b: Column): Column =
+    when(!a.contains(lit(GraphStore.LtSep)) &&
+        !b.contains(lit(GraphStore.LtSep)), k)
+      .otherwise(lit(GraphStore.LtExcluded))
+
   private def ltCounts(
       newNodes: DataFrame, newEdges: DataFrame,
       dirtyNodes: Option[Set[DirtyKey]], dirtyEdges: Option[Set[DirtyKey]],
@@ -2473,18 +2492,16 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val prevRedges = prev.getOrElse("redges", Map.empty)
     def fullLt(): (Map[String, Long], Map[String, Long]) = {
       val e = newEdges.select(col("src"), col("dst"), col("relType"))
-        .filter(col("relType").isNotNull &&
-          !col("relType").contains(lit(LtSep)))
+        .filter(col("relType").isNotNull)
       val n = newNodes.select(col("gid"), col("label"))
-        .filter(col("label").isNotNull &&
-          !col("label").contains(lit(LtSep)))
+        .filter(col("label").isNotNull)
       // both sides tagged into ONE aggregation job
       val out = e.join(n.withColumnRenamed("gid", "src"), Seq("src"))
         .select(lit("o").as("side"),
-          concat(col("label"), lit(LtSep), col("relType")).as("k"))
+          ltKeyOr(concat(col("label"), lit(LtSep), col("relType")), col("label"), col("relType")).as("k"))
       val in = e.join(n.withColumnRenamed("gid", "dst"), Seq("dst"))
         .select(lit("i").as("side"),
-          concat(col("relType"), lit(LtSep), col("label")).as("k"))
+          ltKeyOr(concat(col("relType"), lit(LtSep), col("label")), col("relType"), col("label")).as("k"))
       val agg = out.unionByName(in)
         .groupBy(col("side"), col("k")).agg(fcount(lit(1)).as("d"))
         .collect()
@@ -2563,8 +2580,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     val echurnL = local.filter(_.getString(0) == "e")
     val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def sepOk(a: Column, b: Column): Column =
-      a.isNotNull && b.isNotNull &&
-        !a.contains(lit(LtSep)) && !b.contains(lit(LtSep))
+      a.isNotNull && b.isNotNull
     if (churnL.nonEmpty) {
       // term B: (l1 − l0) replayed over the churned nodes' OLD edges
       // (src-hash buckets) and redges (dst-hash buckets)
@@ -2586,11 +2602,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           churnDf.withColumnRenamed("cgid", "src")), Seq("src"))
       deltas += outOld.filter(sepOk(col("l1"), col("relType")))
         .select(lit("o").as("side"),
-          concat(col("l1"), lit(LtSep), col("relType")).as("k"),
+          ltKeyOr(concat(col("l1"), lit(LtSep), col("relType")), col("l1"), col("relType")).as("k"),
           lit(1L).as("d"))
       deltas += outOld.filter(sepOk(col("l0"), col("relType")))
         .select(lit("o").as("side"),
-          concat(col("l0"), lit(LtSep), col("relType")).as("k"),
+          ltKeyOr(concat(col("l0"), lit(LtSep), col("relType")), col("l0"), col("relType")).as("k"),
           lit(-1L).as("d"))
       val inOld = readFiles("redges", atBuckets(prevRedges), redgeSchema)
         .select(col("dst"), col("relType"))
@@ -2598,11 +2614,11 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           churnDf.withColumnRenamed("cgid", "dst")), Seq("dst"))
       deltas += inOld.filter(sepOk(col("l1"), col("relType")))
         .select(lit("i").as("side"),
-          concat(col("relType"), lit(LtSep), col("l1")).as("k"),
+          ltKeyOr(concat(col("relType"), lit(LtSep), col("l1")), col("relType"), col("l1")).as("k"),
           lit(1L).as("d"))
       deltas += inOld.filter(sepOk(col("l0"), col("relType")))
         .select(lit("i").as("side"),
-          concat(col("relType"), lit(LtSep), col("l0")).as("k"),
+          ltKeyOr(concat(col("relType"), lit(LtSep), col("l0")), col("relType"), col("l0")).as("k"),
           lit(-1L).as("d"))
     }
     if (echurnL.nonEmpty) {
@@ -2630,14 +2646,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           Seq("src"))
         .filter(sepOk(col("label"), col("relType")))
         .select(lit("o").as("side"),
-          concat(col("label"), lit(LtSep), col("relType")).as("k"),
+          ltKeyOr(concat(col("label"), lit(LtSep), col("relType")), col("label"), col("relType")).as("k"),
           col("d"))
       deltas += nlab.withColumnRenamed("gid", "dst")
         .join(org.apache.spark.sql.functions.broadcast(churnEDf),
           Seq("dst"))
         .filter(sepOk(col("label"), col("relType")))
         .select(lit("i").as("side"),
-          concat(col("relType"), lit(LtSep), col("label")).as("k"),
+          ltKeyOr(concat(col("relType"), lit(LtSep), col("label")), col("relType"), col("label")).as("k"),
           col("d"))
     }
     val agg = deltas.reduce(_ unionByName _)
@@ -2668,8 +2684,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .select(col("c1").as("src"), col("c2").as("dst"),
         col("c3").as("relType"), col("d"))
     def sepOk(a: Column, b: Column): Column =
-      a.isNotNull && b.isNotNull &&
-        !a.contains(lit(LtSep)) && !b.contains(lit(LtSep))
+      a.isNotNull && b.isNotNull
     val buckets = churn
       .select(pmod(hash(col("cgid")), lit(bc)).as("b"))
       .unionByName(churnE.select(pmod(hash(col("src")), lit(bc)).as("b")))
@@ -2689,22 +2704,22 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .join(churn.withColumnRenamed("cgid", "src"), Seq("src"))
     deltas += outOld.filter(sepOk(col("l1"), col("relType")))
       .select(lit("o").as("side"),
-        concat(col("l1"), lit(LtSep), col("relType")).as("k"),
+        ltKeyOr(concat(col("l1"), lit(LtSep), col("relType")), col("l1"), col("relType")).as("k"),
         lit(1L).as("d"))
     deltas += outOld.filter(sepOk(col("l0"), col("relType")))
       .select(lit("o").as("side"),
-        concat(col("l0"), lit(LtSep), col("relType")).as("k"),
+        ltKeyOr(concat(col("l0"), lit(LtSep), col("relType")), col("l0"), col("relType")).as("k"),
         lit(-1L).as("d"))
     val inOld = readFiles("redges", atBuckets(prevRedges), redgeSchema)
       .select(col("dst"), col("relType"))
       .join(churn.withColumnRenamed("cgid", "dst"), Seq("dst"))
     deltas += inOld.filter(sepOk(col("l1"), col("relType")))
       .select(lit("i").as("side"),
-        concat(col("relType"), lit(LtSep), col("l1")).as("k"),
+        ltKeyOr(concat(col("relType"), lit(LtSep), col("l1")), col("relType"), col("l1")).as("k"),
         lit(1L).as("d"))
     deltas += inOld.filter(sepOk(col("l0"), col("relType")))
       .select(lit("i").as("side"),
-        concat(col("relType"), lit(LtSep), col("l0")).as("k"),
+        ltKeyOr(concat(col("relType"), lit(LtSep), col("l0")), col("relType"), col("l0")).as("k"),
         lit(-1L).as("d"))
     val nlab = readFiles("nodes", atBuckets(nodesMan), nodeSchema)
       .select(col("gid"), col("label"))
@@ -2712,13 +2727,13 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .join(churnE, Seq("src"))
       .filter(sepOk(col("label"), col("relType")))
       .select(lit("o").as("side"),
-        concat(col("label"), lit(LtSep), col("relType")).as("k"),
+        ltKeyOr(concat(col("label"), lit(LtSep), col("relType")), col("label"), col("relType")).as("k"),
         col("d"))
     deltas += nlab.withColumnRenamed("gid", "dst")
       .join(churnE, Seq("dst"))
       .filter(sepOk(col("label"), col("relType")))
       .select(lit("i").as("side"),
-        concat(col("relType"), lit(LtSep), col("label")).as("k"),
+        ltKeyOr(concat(col("relType"), lit(LtSep), col("label")), col("relType"), col("label")).as("k"),
         col("d"))
     val agg = deltas.reduce(_ unionByName _)
       .groupBy(col("side"), col("k")).agg(fsum(col("d")).as("d"))
@@ -2774,16 +2789,20 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         case Some(x) => x
         case None => return None // pre-lt sidecar: keep the scan
       }
-    Some(relType match {
+    relType match {
       case Some(t) =>
-        m.getOrElse(
-          if (outgoing) s"$label$LtSep$t" else s"$t$LtSep$label", 0L)
+        Some(m.getOrElse(
+          if (outgoing) s"$label$LtSep$t" else s"$t$LtSep$label", 0L))
       case None =>
-        m.collect {
+        // the wildcard sums EVERY key for the label; if any (label,
+        // type) pair was excluded for containing LtSep the sum would
+        // silently undercount -- the sentinel records exactly that
+        if (m.contains(GraphStore.LtExcluded)) None
+        else Some(m.collect {
           case (k, n) if (outgoing && k.startsWith(label + LtSep)) ||
             (!outgoing && k.endsWith(LtSep + label)) => n
-        }.sum
-    })
+        }.sum)
+    }
   }
 
   private def sumPartitions(m: Map[String, Long], partCol: String,
@@ -2813,6 +2832,14 @@ object GraphStore {
     * contains; pairs whose label or type DOES contain it are excluded
     * from the sidecar and their queries keep the scan */
   val LtSep = "\u0001"
+
+  /** sidecar key under which LtSep-excluded (label, type) pair
+    * contributions accumulate -- never a real key (real keys are
+    * `L\u0001T` with nonempty clean halves). A nonzero value means
+    * some pair is missing from the section, so the `(:L)-[]->()`
+    * wildcard (which has no per-query name gate) returns None and
+    * keeps the scan; typed queries on clean names stay servable. */
+  val LtExcluded = "\u0001"
 
   /** churn rows an interactive commit may resolve driver-side for the
     * lt count maintenance; bigger commits keep the distributed path.

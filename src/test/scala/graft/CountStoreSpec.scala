@@ -253,6 +253,54 @@ class CountStoreSpec extends AnyFunSuite {
     assert(dist == tiny, s"distributed path diverged: $dist vs $tiny")
   }
 
+  test("self-loop patterns (repeated variable) bail to the scan") {
+    val st = newStore("selfloop")
+    seed(st)
+    CypherEngine.query(st,
+      "MATCH (a:Person {gid: 'p:1'}) CREATE (a)-[:KNOWS]->(a)").collect()
+    // the repeated variable is an equality constraint the one-sided
+    // entries cannot express: the scan answers only the self-loops
+    assert(one(st,
+      "MATCH (n:Person)-[r:KNOWS]->(n) RETURN count(r) AS n") == 1L)
+    assert(one(st, "MATCH (n)-[r:KNOWS]->(n) RETURN count(r) AS n") == 1L)
+    assert(one(st, "RETURN COUNT { (n:Person)-[:KNOWS]->(n) } AS n") == 1L)
+    // distinct variables keep the O(1) route and count every edge
+    assert(one(st,
+      "MATCH (:Person)-[r:KNOWS]->() RETURN count(r) AS n") == 3L)
+    assert(one(st,
+      "MATCH (n:Person)-[r:KNOWS]->(m) RETURN count(r) AS n") == 3L)
+  }
+
+  test("LtSep-named relTypes: sentinel keeps the wildcard exact") {
+    val st = newStore("ltsep")
+    val s2 = spark
+    import s2.implicits._
+    // three clean-typed edges and three whose relType contains the
+    // sidecar separator (excluded from the lt sections by key shape)
+    graft.ops.GraphMerge.applyBatch(st, "ds", "A",
+      (1 to 3).map(i => graft.model.Entity(s"a:$i",
+        refs = Map(
+          "http://g/rel#r" -> Seq(s"a:${i % 3 + 1}"),
+          "http://g/rel#r\u0001x" -> Seq(s"a:${(i + 1) % 3 + 1}")))).toDS())
+    // the typed clean count is servable...
+    assert(st.relCountByLabel("A", Some("r"), outgoing = true)
+      .contains(3L))
+    // ...the wildcard is NOT (a pair is excluded): None keeps the scan
+    assert(st.relCountByLabel("A", None, outgoing = true).isEmpty)
+    // and the scan answer includes the excluded type
+    assert(one(st, "MATCH (:A)-[r]->() RETURN count(r) AS n") == 6L)
+    // delta path: removing every excluded-type edge nets the sentinel
+    // to zero and the wildcard becomes servable again
+    GraphStore.ltTinyOverride = Some(0L)
+    try {
+      val sess = CypherEngine.session(st)
+      sess.run("MATCH ()-[r:`r\u0001x`]->() DELETE r").collect()
+      sess.commit()
+    } finally GraphStore.ltTinyOverride = None
+    assert(st.relCountByLabel("A", None, outgoing = true).contains(3L))
+    assert(one(st, "MATCH (:A)-[r]->() RETURN count(r) AS n") == 3L)
+  }
+
   test("graft.stats serves the same numbers as the scan") {
     val st = newStore("stats")
     seed(st)

@@ -109,6 +109,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_cdc_dedup survives one-word documents") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    // doc 1 has ONE word: sequence(1, 0) steps downward and an
+    // unguarded boundary HOF would evaluate element_at(w, 0) and throw
+    Seq((1L, "solo", "en", "t", 4L),
+        (2L, body, "en", "t", body.length.toLong),
+        (3L, body, "en", "t", body.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val rows = queries.TextOps.defs("t_cdc_dedup")(spark, tmp).collect()
+    // w1..w40 hit no content boundary, so docs 2 and 3 share exactly
+    // one 40-word chunk; the one-word doc contributes nothing
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 2L && rows.head.getLong(2) == 40L)
+  }
+
   test("t_bpe_train: closed-form merge rule == sequential greedy " +
       "fold, including identical-symbol runs") {
     import spark.implicits._
