@@ -17,9 +17,17 @@ object Prof {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
-        if (sys.env.contains("PROF_JOBS"))
-          println(s"JOB stages=${j.stageInfos.length} " +
-            j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+        if (sys.env.contains("PROF_JOBS")) {
+          // the future-wrapped commit jobs all report the same
+          // CompletableFuture call site — the first graft.* frame of
+          // the final stage's stack names the real origin
+          val origin = j.stageInfos.lastOption.map { si =>
+            si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Prof"))
+              .getOrElse(si.name).trim
+          }.getOrElse("?")
+          println(s"JOB stages=${j.stageInfos.length} $origin")
+        }
       }
     })
     def time[T](label: String)(f: => T): T = {

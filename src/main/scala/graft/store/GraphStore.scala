@@ -833,6 +833,23 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     * @return the committed version, or the current one if `syncId`
     *   replays the last commit.
     */
+  /** env-gated commit-phase profiler (GRAFT_PROF_COMMIT=1): one
+    * CPHASE line per commit phase -- the write-latency budget's
+    * measurement hook (queries.Prof reads these) */
+  private def cphase[T](label: String)(f: => T): T =
+    if (!GraphStore.profCommit) f
+    else {
+      GraphStore.ensureProfListener(spark)
+      val j0 = GraphStore.profJobs.get()
+      val t0 = System.nanoTime(); val r = f
+      // drain the async listener bus so job counts attribute to the
+      // phase that scheduled them (profiler-only path)
+      Thread.sleep(120)
+      println(f"CPHASE $label ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        s"${GraphStore.profJobs.get() - j0} jobs")
+      r
+    }
+
   def commit(
       newNodes: DataFrame,
       newEdges: DataFrame,
@@ -874,8 +891,8 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           s"store at $root has a pre-bucketing manifest; run compact() first")
       // declared constraints veto the batch BEFORE any write job runs
       // (violating commits write nothing; the pointer never flips)
-      enforceConstraints(newNodes, newEdges, dirtyNodes, dirtyEdges,
-        prev, bc)
+      cphase("constraints")(enforceConstraints(
+        newNodes, newEdges, dirtyNodes, dirtyEdges, prev, bc))
       // the table writes touch disjoint directories and share no
       // lineage — run them as concurrent Spark jobs (the scheduler
       // interleaves stages)
@@ -902,7 +919,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // to the sidecar BEFORE the pointer flip so a failed commit
       // retries with the same centroids), then maintain each index
       // table with the same bounded delta shape as the reverse index
-      val sdefs = indexDefs0.map { d0 =>
+      val sdefs = cphase("index-train")(indexDefs0.map { d0 =>
         val d =
           if (d0.kind == "vector" && d0.centroids.isEmpty) {
             val vecs = SearchIndexes.vectors(newNodes, d0)
@@ -951,7 +968,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
             } else d0
           } else d0
         d
-      }
+      })
       // per-commit channel from the graph-tier delta futures back to
       // the entry-point maintenance below: (tookFullRebuild,
       // removedGids) — entries must refresh on BOTH (a full rebuild
@@ -1002,11 +1019,14 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // await ALL before propagating a failure: an orphaned sibling
       // job still writing into seg=<next> would race a retried
       // commit's cleanup of that directory
-      val nodesManT = scala.util.Try(Await.result(nodesManF, Duration.Inf))
-      val edgesManT = scala.util.Try(Await.result(edgesManF, Duration.Inf))
-      val redgesManT = scala.util.Try(Await.result(redgesManF, Duration.Inf))
-      val idxManTs = idxManFs.map { case (t, f) =>
-        t -> scala.util.Try(Await.result(f, Duration.Inf)) }
+      val (nodesManT, edgesManT, redgesManT, idxManTs) =
+        cphase("write-await") {
+          (scala.util.Try(Await.result(nodesManF, Duration.Inf)),
+            scala.util.Try(Await.result(edgesManF, Duration.Inf)),
+            scala.util.Try(Await.result(redgesManF, Duration.Inf)),
+            idxManFs.map { case (t, f) =>
+              t -> scala.util.Try(Await.result(f, Duration.Inf)) })
+        }
       val nodesMan = nodesManT.get
       val edgesMan = edgesManT.get
       val redgesMan = redgesManT.get
@@ -1020,7 +1040,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       // deleted gid reads nothing — enough deletions and queryNodes
       // returns zero rows on a populated index), or entries are
       // missing for a populated table (fresh build).
-      sdefs.foreach { d =>
+      cphase("graph-entries")(sdefs.foreach { d =>
         if (d.kind == "vector" && d.graphDeg > 0 && d.centroids.nonEmpty) {
           val (fullRebuild, removedGids) =
             graphDeltaInfo.getOrElse(d.name, (false, Set.empty[String]))
@@ -1043,7 +1063,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
               d.copy(graphEntries = entries))
           }
         }
-      }
+      })
       // ---- count store (Neo4j's O(1) count answers): per-partition
       // row counts for nodes/edges ride the commit. Untouched
       // partitions (identical file list) carry their previous count;
@@ -1068,11 +1088,12 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           counted.map { case (k, f) =>
             k -> Await.result(f, Duration.Inf) }
       }
-      val nodeCounts = tableCounts("nodes", nodesMan)
-      val edgeCounts = tableCounts("edges", edgesMan)
-      val (ltOut, ltIn) = ltCounts(newNodes, newEdges, dirtyNodes,
-        dirtyEdges, prev, prevCounts, nodesMan, bc,
-        nodeCounts.values.sum + edgeCounts.values.sum)
+      val (nodeCounts, edgeCounts) = cphase("footer-counts")(
+        (tableCounts("nodes", nodesMan), tableCounts("edges", edgesMan)))
+      val (ltOut, ltIn) = cphase("lt-counts")(ltCounts(
+        newNodes, newEdges, dirtyNodes,
+        dirtyEdges, prev, prevCounts, nodesMan, edgesMan, bc,
+        nodeCounts.values.sum + edgeCounts.values.sum))
       writeCounts(next, Map(
         "nodes" -> nodeCounts, "edges" -> edgeCounts,
         "ltOut" -> ltOut, "ltIn" -> ltIn))
@@ -2483,6 +2504,7 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       dirtyNodes: Option[Set[DirtyKey]], dirtyEdges: Option[Set[DirtyKey]],
       prev: Manifest, prevCounts: Map[String, Map[String, Long]],
       nodesMan: Map[String, Seq[String]],
+      edgesMan: Map[String, Seq[String]],
       bc: Int, totalRows: Long): (Map[String, Long], Map[String, Long]) = {
     import GraphStore.LtSep
     import org.apache.spark.sql.functions.{concat, count => fcount,
@@ -2508,22 +2530,77 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       (GraphStore.ltApply(Map.empty, agg, "o"),
         GraphStore.ltApply(Map.empty, agg, "i"))
     }
+    def fullLtLocal(): (Map[String, Long], Map[String, Long]) = {
+      import GraphStore.LtExcluded
+      // read the snapshot just WRITTEN, not the commit's input
+      // frames: the written files are plain bounded parquet with no
+      // upstream lineage, so this is one shuffle-free scan+collect
+      // where the input view could drag the whole merge plan behind
+      // its collect
+      val rows = readFiles("nodes",
+        nodesMan.values.flatten.toSeq.sorted, nodeSchema)
+        .select(lit("n").as("t"), col("gid").as("a"),
+          col("label").as("b"), lit(null).cast(StringType).as("c"))
+        .filter(col("b").isNotNull)
+        .unionByName(readFiles("edges",
+          edgesMan.values.flatten.toSeq.sorted, edgeSchema)
+          .select(lit("e").as("t"), col("src").as("a"),
+            col("dst").as("b"), col("relType").as("c"))
+          .filter(col("c").isNotNull))
+        .collect()
+      val lab = new java.util.HashMap[String, String]()
+      rows.foreach { r =>
+        if (r.getString(0) == "n") lab.put(r.getString(1), r.getString(2))
+      }
+      def key(l: String, t: String, outSide: Boolean): String =
+        if (l.contains(LtSep) || t.contains(LtSep)) LtExcluded
+        else if (outSide) l + LtSep + t else t + LtSep + l
+      val out = scala.collection.mutable.HashMap.empty[String, Long]
+      val in = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { r =>
+        if (r.getString(0) == "e") {
+          val rt = r.getString(3)
+          val sl = lab.get(r.getString(1))
+          if (sl != null) {
+            val k = key(sl, rt, outSide = true)
+            out(k) = out.getOrElse(k, 0L) + 1L
+          }
+          val dl = lab.get(r.getString(2))
+          if (dl != null) {
+            val k = key(dl, rt, outSide = false)
+            in(k) = in.getOrElse(k, 0L) + 1L
+          }
+        }
+      }
+      (out.toMap, in.toMap)
+    }
     val hadLt = prevCounts.contains("ltOut") && prevCounts.contains("ltIn")
+    val prevOut = prevCounts.getOrElse("ltOut", Map.empty)
+    val prevIn = prevCounts.getOrElse("ltIn", Map.empty)
+    // ZERO-job early-outs first: a commit that touched nothing
+    // relevant carries the previous sections forward unread
+    if (hadLt && dirtyNodes.isDefined && dirtyEdges.isDefined) {
+      if (dirtyNodes.get.isEmpty && dirtyEdges.get.isEmpty)
+        return (prevOut, prevIn)
+      // an edge-free store with no edge writes has nothing to count —
+      // node-only workloads never pay an lt job
+      if (dirtyEdges.get.isEmpty && prevEdges.isEmpty)
+        return (prevOut, prevIn)
+    }
+    // a TINY store recounts outright -- DRIVER-SIDE: one collect of
+    // the (bounded) written snapshot, the label lookup and pair
+    // counting folded in Scala. This beats the delta's churn
+    // detection AND the distributed recount's join+agg stages
+    // (measured: the recount was 30-45% of an interactive commit,
+    // 8 jobs on a bootstrap) — and unlike the delta it needs no
+    // prior sidecar, so it gates BEFORE the hadLt check. The bound
+    // is the same LtTinyRows row cap the localized-table path uses.
+    if (totalRows <= GraphStore.LtTinyRows) return fullLtLocal()
     if (dirtyNodes.isEmpty || dirtyEdges.isEmpty || !hadLt ||
         (prevEdges.nonEmpty && prevRedges.isEmpty))
       return fullLt()
-    // a TINY store recounts outright: one small job over frames the
-    // tiny-table machinery folds locally beats the delta's churn
-    // detection (the interactive write path's latency budget)
-    if (totalRows <= GraphStore.LtTinyRows) return fullLt()
     val keysN = dirtyNodes.get
     val keysE = dirtyEdges.get
-    val prevOut = prevCounts.getOrElse("ltOut", Map.empty)
-    val prevIn = prevCounts.getOrElse("ltIn", Map.empty)
-    if (keysN.isEmpty && keysE.isEmpty) return (prevOut, prevIn)
-    // an edge-free store with no edge writes has nothing to count —
-    // node-only workloads never pay an lt job
-    if (keysE.isEmpty && prevEdges.isEmpty) return (prevOut, prevIn)
     // ---- job 1 of 2: ONE union'd cap-collect of the commit's churn
     // surfaces — interactive write latency must not grow with the
     // count store (the fused-constraint-probe budget: TWO jobs).
@@ -2831,6 +2908,25 @@ object GraphStore {
     * sidecar sections — a control character no URI-shaped label/type
     * contains; pairs whose label or type DOES contain it are excluded
     * from the sidecar and their queries keep the scan */
+  private[graft] val profCommit: Boolean =
+    sys.env.contains("GRAFT_PROF_COMMIT")
+
+  private[graft] val profJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var profListenerOn = false
+  private[graft] def ensureProfListener(spark: SparkSession): Unit =
+    synchronized {
+      if (!profListenerOn) {
+        profListenerOn = true
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              profJobs.incrementAndGet(); ()
+            }
+          })
+      }
+    }
+
   val LtSep = "\u0001"
 
   /** sidecar key under which LtSep-excluded (label, type) pair
