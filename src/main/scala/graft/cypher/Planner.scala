@@ -5992,6 +5992,7 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
             val typ = d.constraint match {
               case "unique" => "UNIQUENESS"
               case "nodekey" => "NODE_KEY"
+              case t if t.startsWith("type:") => "NODE_PROPERTY_TYPE"
               case _ if d.entity == "RELATIONSHIP" =>
                 "RELATIONSHIP_PROPERTY_EXISTENCE"
               case _ => "NODE_PROPERTY_EXISTENCE"
@@ -8474,6 +8475,14 @@ object CypherEngine {
       ("""(?is)^CREATE\s+CONSTRAINT.*""" +
         """FOR\s*\(\s*\)\s*[<]?-\s*\[.*\]\s*-[>]?\s*\(\s*\).*""" +
         """IS\s+(?:UNIQUE|RELATIONSHIP\s+KEY)\s*$""").r
+    // property TYPE constraints (Neo4j 5.9, `REQUIRE n.p IS ::
+    // STRING` / `IS TYPED STRING`): enforced via the PV slot witness
+    val TypeConstraintRe =
+      ("""(?is)^CREATE\s+CONSTRAINT""" +
+        """(?:\s+(?!FOR\s)(?!IF\s)(\w+))?(\s+IF\s+NOT\s+EXISTS)?""" +
+        """\s+FOR\s*\(\s*\w+\s*:\s*(\w+)\s*\)""" +
+        """\s+REQUIRE\s+\(?\s*\w+\.(\w+)\s*\)?""" +
+        """\s+IS\s+(?:::\s*|TYPED\s+)(.+?)\s*$""").r
     val DropConstraintRe =
       """(?is)^DROP\s+CONSTRAINT\s+(\w+)(\s+IF\s+EXISTS)?\s*$""".r
     def createConstraint(name: String, ifNotExists: Boolean,
@@ -8488,6 +8497,7 @@ object CypherEngine {
       val what = d.constraint match {
         case "unique" => "uniqueness"
         case "nodekey" => "node key"
+        case t if t.startsWith("type:") => s"property type ${t.drop(5)}"
         case _ if d.entity == "RELATIONSHIP" => "relationship existence"
         case _ => "existence"
       }
@@ -8536,6 +8546,26 @@ object CypherEngine {
         return createConstraint(name, ine != null, graft.store.IndexDef(
           name, "property", label, props.mkString(","),
           constraint = "unique"))
+      case TypeConstraintRe(name0, ine, label, prop, typeText) =>
+        val t = typeText.trim.toUpperCase.replaceAll("\\s+", " ")
+        val norm = t match {
+          case "STRING" => "STRING"
+          case "INTEGER" | "INT" => "INTEGER"
+          case "FLOAT" => "FLOAT"
+          case "BOOLEAN" | "BOOL" => "BOOLEAN"
+          case l if l.startsWith("LIST<") && l.endsWith(">") => "LIST"
+          case other => throw new IllegalArgumentException(
+            s"unsupported property type '$other' for a type " +
+              "constraint; the property model carries STRING | " +
+              "INTEGER | FLOAT | BOOLEAN | LIST<...> (no " +
+              "temporal/spatial scalar slots — see README divergences)")
+        }
+        if (prop == "gid")
+          return ddlAck("gid is intrinsically a STRING in the store model")
+        val name = Option(name0)
+          .getOrElse(s"constraint_${label}_${prop}_type")
+        return createConstraint(name, ine != null, graft.store.IndexDef(
+          name, "constraint", label, prop, constraint = "type:" + norm))
       case ExistsConstraintRe(name0, ine, label, prop) =>
         if (prop == "gid")
           return ddlAck("gid existence is intrinsic to the store model")
@@ -8556,7 +8586,8 @@ object CypherEngine {
       throw new IllegalArgumentException(
         "unsupported CREATE CONSTRAINT form; supported: CREATE " +
           "CONSTRAINT <name> [IF NOT EXISTS] FOR (n:Label) REQUIRE " +
-          "n.prop IS UNIQUE | (n.a, n.b) IS UNIQUE | n.prop IS NOT " +
+          "n.prop IS UNIQUE | (n.a, n.b) IS UNIQUE | n.prop IS :: " +
+          "STRING|INTEGER|FLOAT|BOOLEAN|LIST<...> | n.prop IS NOT " +
           "NULL | (n.a, n.b) IS NODE KEY, and FOR ()-[r:T]-() " +
           "REQUIRE r.source IS NOT NULL")
     }

@@ -919,6 +919,19 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // Property TYPE constraints (Neo4j 5.9): the fixture declared
+    // `c.name IS :: STRING`, vetoed a wrong-typed write (c:tbad,
+    // name: 42) and landed a right-typed one (c:tok) — this read
+    // proves exactly the surviving state, oracled literally.
+    "cypher_constraints_type" -> ((s, dir) => {
+      import s.implicits._
+      val store = constraintStore(s, dir)
+      CypherEngine.query(store,
+        """MATCH (c:Customer) WHERE c.nation >= 700
+           RETURN c.gid AS gid, c.name AS name""")
+        .orderBy($"gid")
+    }),
+
     // COMPOSITE equality-prefix routing (Neo4j's composite range-index
     // shape): the escComp-framed sect=r tuple keys make an
     // equality-bound prefix a contiguous span — first branch adds a
@@ -1351,6 +1364,16 @@ DETACH DELETE n
       CypherEngine.query(store,
         """MATCH (a:Customer {gid: 'c:1'}), (b:Customer {gid: 'c:2'})
            CREATE (a)-[:refers {source: 'graph'}]->(b)""").collect()
+      // property TYPE constraint (Neo4j 5.9 `IS :: STRING`): a
+      // wrong-typed write vetoes store-untouched; a right-typed one
+      // lands; an ABSENT value passes (no implied existence)
+      CypherEngine.query(store,
+        """CREATE CONSTRAINT ctype FOR (c:Customer)
+           REQUIRE c.name IS :: STRING""").collect()
+      mustVeto("CREATE (:Customer {gid: 'c:tbad', nation: 999, name: 42})")
+      CypherEngine.query(store,
+        "CREATE (:Customer {gid: 'c:tok', nation: 888, name: 'tt'})")
+        .collect()
       store
     })
 
@@ -2052,6 +2075,14 @@ DETACH DELETE n
          FROM customer
          WHERE c_nationkey = 5 AND c_name >= 'Customer#000000'
            AND c_name <= 'Customer#000001'
+         ORDER BY gid""",
+
+    "cypher_constraints_type" ->
+      """SELECT gid, name FROM (
+           SELECT 'c:'||c_custkey AS gid, c_name AS name
+           FROM customer WHERE c_nationkey >= 700
+           UNION ALL SELECT 'c:tok', 'tt'
+           UNION ALL SELECT 'c:x1', 'zz')
          ORDER BY gid""",
 
     "cypher_prop_index_comp_range" ->

@@ -284,6 +284,22 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       (col("xlabels").isNotNull &&
         org.apache.spark.sql.functions.array_contains(
           col("xlabels"), d0.label))
+    if (d0.constraint.startsWith("type:")) {
+      // property type (Neo4j 5.9 `IS :: T`): existing members of the
+      // label must already satisfy the slot witness -- absent values
+      // are fine (type constraints do not imply existence)
+      val pv = col("props").getItem(d0.property)
+      val slot = GraphStore.typeSlot(d0.constraint.drop(5))
+      val bad = live.filter(labelPred && pv.isNotNull &&
+        pv.getField(slot).isNull)
+        .select(col("gid")).take(1)
+      bad.headOption.foreach(r => throw new ConstraintViolation(
+        s"cannot create constraint ${d0.name}: node ${r.getString(0)} " +
+          s"with label ${d0.label} carries ${d0.property} of the wrong " +
+          s"type (required ${d0.constraint.drop(5)})"))
+      putIndexDef(d0)
+      return
+    }
     if (d0.constraint == "exists") {
       val pv = col("props").getItem(d0.property)
       val bad = live.filter(labelPred && pv.isNull)
@@ -1196,6 +1212,21 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
           .select(tag("null:" + d.name), col("gid").as("a"),
             lit(null).cast("string").as("b"))
           .limit(1)
+      } else if (d.constraint.startsWith("type:")) {
+        // one more violation frame in the SAME fused job 1: the slot
+        // witness needs only the batch's changed rows, no phase 2
+        val pv = col("props").getItem(d.property)
+        val slot = GraphStore.typeSlot(d.constraint.drop(5))
+        val actual = when(pv.getField("s").isNotNull, "STRING")
+          .when(pv.getField("l").isNotNull, "INTEGER")
+          .when(pv.getField("d").isNotNull, "FLOAT")
+          .when(pv.getField("b").isNotNull, "BOOLEAN")
+          .otherwise("LIST")
+        probeFrames += changedNew.filter(labelPred && pv.isNotNull &&
+          pv.getField(slot).isNull)
+          .select(tag("wtype:" + d.name), col("gid").as("a"),
+            actual.as("b"))
+          .limit(1)
       } else {
         if (d.constraint == "nodekey") {
           val missing = d.properties.map(p =>
@@ -1241,6 +1272,12 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
         throw new ConstraintViolation(
           s"node ${r.getString(1)} with label ${d.label} must have " +
             s"$what (constraint ${d.name})")
+      } else if (t.startsWith("wtype:")) {
+        val d = defOf(t.drop(6))
+        throw new ConstraintViolation(
+          s"node ${r.getString(1)} carries ${d.label}.${d.property} " +
+            s"of type ${r.getString(2)} — required " +
+            s"${d.constraint.drop(5)} (type constraint ${d.name})")
       } else if (t.startsWith("dup:")) {
         val d = defOf(t.drop(4))
         throw new ConstraintViolation(
@@ -2908,6 +2945,17 @@ object GraphStore {
     * sidecar sections — a control character no URI-shaped label/type
     * contains; pairs whose label or type DOES contain it are excluded
     * from the sidecar and their queries keep the scan */
+  /** the PV slot a required property type witnesses (see model.PV:
+    * exactly one typed slot is set per value, so "value present but
+    * required slot null" is precisely "wrong type") */
+  private[graft] def typeSlot(t: String): String = t match {
+    case "STRING" => "s"
+    case "INTEGER" => "l"
+    case "FLOAT" => "d"
+    case "BOOLEAN" => "b"
+    case _ => "a" // LIST<...>
+  }
+
   private[graft] val profCommit: Boolean =
     sys.env.contains("GRAFT_PROF_COMMIT")
 

@@ -1456,6 +1456,69 @@ class SearchIndexSpec extends AnyFunSuite {
       Seq("d:1", "d:2", "d:3", "d:5"))
   }
 
+  test("property type constraints enforce the PV slot witness") {
+    val st = newStore("ptype")
+    val sess0 = CypherEngine.session(st)
+    sess0.run("CREATE (:Item {gid: 'i:1', sku: 'A-1', qty: 3})").collect()
+    sess0.run("CREATE (:Item {gid: 'i:2', sku: 'A-2'})").collect()
+    sess0.commit()
+    // declaration validates existing members: qty is INTEGER, so
+    // requiring STRING on it vetoes; the right type declares fine
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE CONSTRAINT qb FOR (i:Item) REQUIRE i.qty IS :: STRING")
+        .collect()
+    }
+    CypherEngine.query(st,
+      "CREATE CONSTRAINT qt FOR (i:Item) REQUIRE i.qty IS :: INTEGER")
+      .collect()
+    CypherEngine.query(st,
+      "CREATE CONSTRAINT st FOR (i:Item) REQUIRE i.sku IS TYPED STRING")
+      .collect()
+    val shown = CypherEngine.query(st, "SHOW CONSTRAINTS")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shown.contains(("qt", "NODE_PROPERTY_TYPE")))
+    assert(shown.contains(("st", "NODE_PROPERTY_TYPE")))
+    // a wrong-typed write vetoes, names both types, commits nothing
+    val v0 = st.currentVersion
+    val e = intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:Item {gid: 'i:9', qty: 'three'})").collect()
+    }
+    assert(e.getMessage.contains("STRING") &&
+      e.getMessage.contains("INTEGER") && e.getMessage.contains("qt"))
+    assert(st.currentVersion == v0)
+    // absent values pass (type does not imply existence); right types
+    // land; LIST<...> maps to the list slot
+    CypherEngine.query(st, "CREATE (:Item {gid: 'i:3'})").collect()
+    CypherEngine.query(st,
+      "CREATE (:Item {gid: 'i:4', sku: 'B-1', qty: 7})").collect()
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT tg FOR (i:Item)
+        |REQUIRE i.tags IS :: LIST<STRING NOT NULL>""".stripMargin)
+      .collect()
+    CypherEngine.query(st,
+      "CREATE (:Item {gid: 'i:5', tags: ['a', 'b']})").collect()
+    intercept[graft.store.ConstraintViolation] {
+      CypherEngine.query(st,
+        "CREATE (:Item {gid: 'i:6', tags: 'nope'})").collect()
+    }
+    // unsupported scalar types get the targeted rejection
+    val e2 = intercept[IllegalArgumentException] {
+      CypherEngine.query(st,
+        "CREATE CONSTRAINT bad FOR (i:Item) REQUIRE i.when IS :: DATE")
+        .collect()
+    }
+    assert(e2.getMessage.contains("unsupported property type"))
+    // DROP removes enforcement
+    CypherEngine.query(st, "DROP CONSTRAINT qt").collect()
+    CypherEngine.query(st,
+      "CREATE (:Item {gid: 'i:7', qty: 'free-form'})").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (i:Item) RETURN count(i) AS n").collect().head.getLong(0)
+      == 6L)
+  }
+
   test("NODE KEY and relationship-existence constraints enforce at commit") {
     val st = newStore("nkey")
     val sess0 = CypherEngine.session(st)
