@@ -5061,6 +5061,17 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // read; the posting filter itself is the levenshtein predicate,
     // so no expansion list rides the plan
     case class AFuzzy(t: String, maxEdits: Int) extends Atom
+    // wildcard (`te?t` / `*est`) and term-range (`[a TO b]`) leaves:
+    // dictionary-expanded exactly like fuzzy — the predicate rides
+    // the posting filter, the dictionary names the buckets. A
+    // leading-star wildcard scans the whole dictionary (vocabulary-
+    // sized by construction), never the postings.
+    case class AWild(p: String) extends Atom
+    case class AFWild(f: String, p: String) extends Atom
+    case class ARange(lo: Option[String], hi: Option[String],
+        il: Boolean, ih: Boolean) extends Atom
+    case class AFRange(f: String, lo: Option[String],
+        hi: Option[String], il: Boolean, ih: Boolean) extends Atom
     sealed trait N
     case class NLeaf(i: Int) extends N
     case class NAnd(l: N, r: N) extends N
@@ -5141,6 +5152,14 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
               case other => throw PlanError(
                 s"fuzzy term '$t~' must analyze to one token, got $other")
             }
+          case FQ.Wildcard(w) =>
+            intern(AFWild(f, SearchIndexes.normalizeTerm(w, analyzer)),
+              pos, boost)
+          case FQ.TermRange(lo, hi, il, ih) =>
+            intern(AFRange(f,
+              lo.map(SearchIndexes.normalizeTerm(_, analyzer)),
+              hi.map(SearchIndexes.normalizeTerm(_, analyzer)), il, ih),
+              pos, boost)
           case other => throw PlanError(
             s"field scope only takes a term, phrase, or prefix: $other")
         }
@@ -5149,6 +5168,15 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         case other => throw PlanError(
           s"fuzzy term '$t~' must analyze to one token, got $other")
       }
+      // wildcard/range terms never pass through the tokenizer
+      // (Lucene's rule) — they take analyzer NORMALIZATION only
+      case FQ.Wildcard(w) =>
+        intern(AWild(SearchIndexes.normalizeTerm(w, analyzer)),
+          pos, boost)
+      case FQ.TermRange(lo, hi, il, ih) =>
+        intern(ARange(lo.map(SearchIndexes.normalizeTerm(_, analyzer)),
+          hi.map(SearchIndexes.normalizeTerm(_, analyzer)), il, ih),
+          pos, boost)
       case FQ.And(l, r) => NAnd(conv(l, pos, boost), conv(r, pos, boost))
       case FQ.Or(l, r) => NOr(conv(l, pos, boost), conv(r, pos, boost))
       case FQ.Not(x) => NNot(conv(x, !pos, boost))
@@ -5172,7 +5200,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case AFTerm(_, t) => Seq(t)
       case AFPhrase(_, ts, _) => ts
       case APrefix(_) | AFPrefix(_, _) | AFuzzy(_, _)
-         | AFFuzzy(_, _, _) => Nil
+         | AFFuzzy(_, _, _) | AWild(_) | AFWild(_, _)
+         | ARange(_, _, _, _) | AFRange(_, _, _, _, _) => Nil
     }.distinct.toSeq
     val prefixes = atoms.collect {
       case APrefix(p) => p
@@ -5181,13 +5210,37 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     val fuzzies = atoms.collect {
       case AFuzzy(t, k) => (t, k)
       case AFFuzzy(_, t, k) => (t, k) }.toSeq
+    val wilds = atoms.collect {
+      case AWild(w) => w
+      case AFWild(_, w) => w }.toSeq
+    val ranges = atoms.collect {
+      case ARange(lo, hi, il, ih) => (lo, hi, il, ih)
+      case AFRange(_, lo, hi, il, ih) => (lo, hi, il, ih) }.toSeq
     def fuzzyCond(t: String, k: Int): Column =
       abs(length(col("term")) - lit(t.length)) <= k &&
         levenshtein(col("term"), lit(t)) <= k
+    // wildcard pattern → anchored regex (`*` any run, `?` one char,
+    // everything else literal)
+    def wildRegex(p: String): String =
+      "^" + p.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()<>+-=!^$|".indexOf(c) >= 0 => "\\" + c
+        case c => c.toString
+      } + "$"
+    def rangeCondOn(x: Column, lo: Option[String], hi: Option[String],
+        il: Boolean, ih: Boolean): Column =
+      (lo.map(l => if (il) x >= l else x > l).toSeq ++
+        hi.map(h => if (ih) x <= h else x < h))
+        .reduceOption(_ && _).getOrElse(x.isNotNull)
+    def rangeCond(r: (Option[String], Option[String], Boolean, Boolean))
+        : Column = rangeCondOn(col("term"), r._1, r._2, r._3, r._4)
     val termCond = (
       (if (allTerms.nonEmpty) Seq(col("term").isin(allTerms: _*)) else Nil)
         ++ prefixes.map(p => col("term").startsWith(p))
-        ++ fuzzies.map { case (t, k) => fuzzyCond(t, k) })
+        ++ fuzzies.map { case (t, k) => fuzzyCond(t, k) }
+        ++ wilds.map(w => col("term").rlike(wildRegex(w)))
+        ++ ranges.map(rangeCond))
       .reduce(_ || _)
 
     // the index's document view — nodes' property text, or (for a
@@ -5211,13 +5264,19 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         // to its matching terms' buckets (reading the dictionary,
         // never the postings) — only a pre-dictionary table falls
         // back to the unpruned posting read
+        val expanding = prefixes.nonEmpty || fuzzies.nonEmpty ||
+          wilds.nonEmpty || ranges.nonEmpty
         val keep: String => Boolean =
-          if (prefixes.isEmpty && fuzzies.isEmpty)
-            store.ftProbeKeys(allTerms)
+          if (!expanding) store.ftProbeKeys(allTerms)
           else if (store.ftDictReady(d)) {
             val base = store.ftProbeKeys(allTerms)
+            val dictCond = (wilds.map(w =>
+              col("term").rlike(wildRegex(w))) ++ ranges.map(rangeCond))
+              .reduceOption(_ || _)
             val pb = store.ftPrefixBuckets(d, prefixes) ++
-              store.ftFuzzyBuckets(d, fuzzies)
+              store.ftFuzzyBuckets(d, fuzzies) ++
+              dictCond.map(store.ftDictBuckets(d, _))
+                .getOrElse(Set.empty[Int])
             (k: String) => base(k) ||
               pb.exists(b => k == s"sect=t/bucket=$b")
           } else _ => true
@@ -5260,7 +5319,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       }
     val needF = atoms.exists {
       case AFTerm(_, _) | AFPrefix(_, _) | AFPhrase(_, _, _)
-         | AFFuzzy(_, _, _) => true
+         | AFFuzzy(_, _, _) | AFWild(_, _)
+         | AFRange(_, _, _, _, _) => true
       case _ => false
     }
     // multi-atom trees (and mixed scoped/unscoped queries, which
@@ -5472,6 +5532,32 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           .agg(sum(col("contrib") * greatest(lit(0.0),
             lit(1.0) - levenshtein(col("term"), lit(t)).cast("double") /
               lit(t.length.toDouble))).as("s"))
+      // wildcard/range: every matched term contributes its full BM25
+      // weight (the prefix model — Lucene's multi-term rewrite)
+      case AWild(w) =>
+        contrib.filter(col("term").rlike(wildRegex(w)))
+          .groupBy(col("gid")).agg(sum(col("contrib")).as("s"))
+      case ARange(lo, hi, il, ih) =>
+        contrib.filter(rangeCondOn(col("term"), lo, hi, il, ih))
+          .groupBy(col("gid")).agg(sum(col("contrib")).as("s"))
+      case AFWild(f, w) if contribF.isDefined =>
+        contribF.get.filter(col("fld") === f &&
+          col("term").rlike(wildRegex(w)))
+          .groupBy(col("gid")).agg(sum(col("contrib")).as("s"))
+      case AFWild(f, w) =>
+        fieldVerified(f,
+          contrib.filter(col("term").rlike(wildRegex(w)))
+            .groupBy(col("gid")).agg(sum(col("contrib")).as("s")),
+          toks => exists(toks, x => x.rlike(wildRegex(w))))
+      case AFRange(f, lo, hi, il, ih) if contribF.isDefined =>
+        contribF.get.filter(col("fld") === f &&
+          rangeCondOn(col("term"), lo, hi, il, ih))
+          .groupBy(col("gid")).agg(sum(col("contrib")).as("s"))
+      case AFRange(f, lo, hi, il, ih) =>
+        fieldVerified(f,
+          contrib.filter(rangeCondOn(col("term"), lo, hi, il, ih))
+            .groupBy(col("gid")).agg(sum(col("contrib")).as("s")),
+          toks => exists(toks, x => rangeCondOn(x, lo, hi, il, ih)))
       // field-scoped leaves on a PER-FIELD table: pure index reads
       // scoring the field's own BM25 — no stored-text verification
       case AFTerm(f, t) if contribF.isDefined =>

@@ -1119,6 +1119,36 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // Lucene wildcard leaves (`ha?h`): `?` / interior `*` expand
+    // against the sect=d term dictionary exactly like fuzzy — the
+    // dictionary names the posting buckets, the anchored-regex
+    // predicate rides the posting filter; every matched term
+    // contributes its full BM25 weight (the prefix/multi-term model)
+    "cypher_fulltext_wildcard" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', 'ha?h')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
+    // Lucene term-range leaves (`[hash TO hat]`): a dictionary-order
+    // interval (inclusive brackets, `{ }` exclusive, `*` open end) —
+    // the same dictionary expansion, contiguous in term order
+    "cypher_fulltext_term_range" -> ((s, dir) => {
+      import s.implicits._
+      val st = documentStore(s, dir)
+      CypherEngine.query(st,
+        """CALL db.index.fulltext.queryNodes('fidx', '[hash TO hat]')
+           YIELD node, score
+           RETURN node.gid AS gid, score""")
+        .select($"gid", round($"score", 9).as("score"))
+        .orderBy($"gid")
+    }),
+
     // per-field BM25F over a MULTI-FIELD index: `source:src3` scores
     // with the SOURCE field's own tf/dl/df and collection statistics
     // (docCount, avgdl — Lucene's per-field model), `body:spark` with
@@ -2260,6 +2290,54 @@ DETACH DELETE n
            FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
          SELECT gid, round(sum(CASE WHEN term = 'spark'
              THEN 2.0 * c ELSE c END), 9) AS score
+         FROM contrib GROUP BY gid ORDER BY gid""",
+
+    "cypher_fulltext_wildcard" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE regexp_full_match(term, 'ha.h')
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
+         SELECT gid, round(sum(c), 9) AS score
+         FROM contrib GROUP BY gid ORDER BY gid""",
+
+    "cypher_fulltext_term_range" ->
+      """WITH d0 AS (SELECT 'd:' || CAST(doc_id AS VARCHAR) gid,
+             list_filter(string_split_regex(lower(trim(text)),
+               '[^a-z0-9]+'), x -> x <> '') w
+           FROM documents WHERE len(trim(text)) > 0),
+         d AS (SELECT gid, CAST(len(w) AS BIGINT) dl, w FROM d0),
+         stats AS (SELECT count(*) n_docs, sum(dl) sum_dl FROM d),
+         tf AS (SELECT gid, dl, term, count(*) tf
+           FROM (SELECT gid, dl, unnest(w) term FROM d)
+           WHERE term >= 'hash' AND term <= 'hat'
+           GROUP BY gid, dl, term),
+         dfreq AS (SELECT term, count(DISTINCT gid) dfreq
+           FROM tf GROUP BY term),
+         contrib AS (SELECT t.gid, t.term,
+             ln(1.0 + (CAST(s.n_docs - f.dfreq AS DOUBLE) + 0.5)
+                 / (CAST(f.dfreq AS DOUBLE) + 0.5))
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                   (CAST(t.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s)
+         SELECT gid, round(sum(c), 9) AS score
          FROM contrib GROUP BY gid ORDER BY gid""",
 
     "cypher_fulltext_fuzzy" ->

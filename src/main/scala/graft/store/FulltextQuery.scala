@@ -35,6 +35,15 @@ object FulltextQuery {
     * `maxEdits` Levenshtein distance (expanded against the index's
     * term dictionary; Lucene's classic fuzzy default is 2) */
   final case class Fuzzy(text: String, maxEdits: Int) extends Q
+  /** `te?t` / `te*t` / `*est` — Lucene wildcard: `?` = one char,
+    * `*` = any run; expanded against the term dictionary (a LEADING
+    * star scans the whole dictionary — vocabulary-sized, never the
+    * postings). A TRAILING-star-only pattern lexes as [[Prefix]]. */
+  final case class Wildcard(pattern: String) extends Q
+  /** `[a TO b]` / `{a TO b}` — Lucene term range over the dictionary
+    * order; `[`/`]` inclusive, `{`/`}` exclusive, `*` = open end */
+  final case class TermRange(lo: Option[String], hi: Option[String],
+      incLo: Boolean, incHi: Boolean) extends Q
   /** `term^f` / `"phrase"^f` / `(group)^f` — Lucene boost: a positive
     * multiplier on the wrapped clause's score contribution (hit sets
     * are unchanged) */
@@ -88,7 +97,18 @@ object FulltextQuery {
         while (i < s.length && !s.charAt(i).isWhitespace &&
           s.charAt(i) != '(' && s.charAt(i) != ')' &&
           s.charAt(i) != '"') i += 1
-        s.substring(start, i) match {
+        var w0 = s.substring(start, i)
+        // a term-range bracket contains spaces (`[a TO b]`): an
+        // opener without its closer extends the token through it
+        if ((w0.contains('[') || w0.contains('{')) &&
+            !w0.exists(c => c == ']' || c == '}')) {
+          val close = s.indexWhere(c => c == ']' || c == '}', i)
+          if (close < 0)
+            throw ParseError(s"unterminated range bracket in: $s")
+          w0 = s.substring(start, close + 1)
+          i = close + 1
+        }
+        w0 match {
           case "AND" => out += TAnd
           case "OR" => out += TOr
           case "NOT" => out += TNot
@@ -142,6 +162,9 @@ object FulltextQuery {
     out.result()
   }
 
+  private val RangeRe =
+    """(?is)^(?:([A-Za-z0-9_]+):)?([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$""".r
+
   /** orExpr := andExpr ((OR | adjacency) andExpr)* — Lucene's default
     * operator is OR, so two adjacent clauses disjoin */
   def parse(s: String): Q = {
@@ -150,7 +173,12 @@ object FulltextQuery {
     def next(): Tok = { val t = toks.head; toks = toks.tail; t }
 
     def leafOf(w: String): Q =
-      if (w.length > 1 && w.endsWith("*")) Prefix(w.dropRight(1))
+      if (w == "*" || w == "?") throw ParseError(
+        "a bare wildcard matches every document — not supported")
+      else if (w.contains("?") ||
+          (w.contains("*") && w.indexOf('*') != w.length - 1))
+        Wildcard(w)
+      else if (w.length > 1 && w.endsWith("*")) Prefix(w.dropRight(1))
       else Term(w)
 
     // an atom followed by `^f` tokens wraps in Boost (stacked boosts
@@ -173,6 +201,17 @@ object FulltextQuery {
       case TNot => Not(atom())
       // `field:term` / `field:pre*` / `field:"phrase"` (the quote
       // ends the word token, so the phrase arrives as the next token)
+      case TWord(w) if w.contains("[") || w.contains("{") =>
+        w match {
+          case RangeRe(f0, ob, lo0, hi0, cb) =>
+            val r = TermRange(
+              if (lo0 == "*") None else Some(lo0),
+              if (hi0 == "*") None else Some(hi0),
+              ob == "[", cb == "]")
+            if (f0 == null) r else Field(f0, r)
+          case _ => throw ParseError(
+            s"bad range syntax in '$w' — expected [a TO b] or {a TO b}")
+        }
       case TWord(w) if w.contains(":") =>
         val cut = w.indexOf(':')
         val (f, rest) = (w.substring(0, cut), w.substring(cut + 1))
@@ -202,6 +241,8 @@ object FulltextQuery {
               case p: Prefix => Field(f, p)
               case z: Fuzzy => Field(f, z)
               case z: Sloppy => Field(f, z)
+              case z: Wildcard => Field(f, z)
+              case z: TermRange => Field(f, z)
               case Field(_, _) => throw ParseError(
                 "nested field scopes are not supported")
               case And(l, r) => And(distribute(l), distribute(r))

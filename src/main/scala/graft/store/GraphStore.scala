@@ -457,6 +457,17 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
       .distinct().collect().map(_.getInt(0)).toSet
   }
 
+  /** [[ftPrefixBuckets]] for arbitrary dictionary-expanded leaves
+    * (wildcard `te?t` / `*est`, term ranges `[a TO b]`): the posting
+    * buckets of every dictionary term satisfying `cond`. A
+    * leading-star pattern reads the WHOLE dictionary — vocabulary-
+    * sized by construction, never the postings. */
+  def ftDictBuckets(d: IndexDef, cond: Column): Set[Int] =
+    readSearchIndex(d, _.startsWith("sect=d"))
+      .filter(cond)
+      .select(pmod(hash(col("term")), lit(bucketCount0)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
   /** manifest key of a property-index equality probe: the ONE
     * `sect=p` bucket the encoded value hashes into */
   def pxProbeKeys(encodedVal: String): String => Boolean = {

@@ -797,6 +797,13 @@ object SearchIndexes {
       text.toLowerCase.split("[^a-z0-9]+").toSeq
     else text.trim.split("\\s+").toSeq).filter(_.nonEmpty)
 
+  /** analyzer NORMALIZATION without tokenization — Lucene's rule
+    * for wildcard and range terms (they never pass through the
+    * tokenizer): the standard analyzer lowercases, whitespace keeps
+    * the raw text */
+  def normalizeTerm(t: String, analyzer: String): String =
+    if (analyzer == StandardAnalyzer) t.toLowerCase else t
+
   /** the legacy-shape ft columns a per-field-unaware frame lacks */
   private def ftLegacyPad: Seq[Column] = Seq(
     lit(null).cast(StringType).as("fld"),

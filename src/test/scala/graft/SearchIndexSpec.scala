@@ -2106,6 +2106,41 @@ class SearchIndexSpec extends AnyFunSuite {
     // weight 1, a 1-edit term decays by 1 − 1/len
     val fz1 = scoredQ("merge~1")
     assert(fz1.nonEmpty)
+    // wildcard leaves expand against the dictionary: ? = one char,
+    // interior/leading * = any run (leading star = full-dictionary
+    // scan, vocabulary-sized); trailing-star-only stays a prefix
+    assert(hits("m?rge") == Seq("d:1", "d:2"))
+    assert(hits("*erge") == Seq("d:1", "d:2"))
+    assert(hits("s*t") == Seq("d:1", "d:2", "d:3"))
+    assert(hits("al*thm") == Seq("d:1"))
+    assert(hits("jo?n AND hash") == Seq("d:3"))
+    assert(hits("body:m?rge") == Seq("d:1", "d:2"))
+    // term ranges over dictionary order: [ ] inclusive, { } exclusive,
+    // * = open end
+    assert(hits("[hash TO java]") == Seq("d:2", "d:3"))
+    assert(hits("{hash TO is]") == Seq("d:2"))
+    assert(hits("[merge TO merge]") == Seq("d:1", "d:2"))
+    assert(hits("[n TO *] AND loop") == Seq("d:4"))
+    assert(hits("body:[hash TO hat]") == Seq("d:3"))
+    // the probes stay posting-bucket-pruned through the dictionary
+    for (q <- Seq("m?rge", "[hash TO java]")) {
+      val wf = CypherEngine.query(st,
+        s"""CALL db.index.fulltext.queryNodes('fq', '$q')
+           |YIELD node, score RETURN node.gid AS g""".stripMargin)
+      val usedW = wf.inputFiles.toSet.intersect(postAll)
+      assert(usedW.nonEmpty && usedW.size < postAll.size,
+        s"'$q' read ${usedW.size}/${postAll.size} posting files")
+    }
+    // a bare wildcard and malformed ranges get targeted errors
+    for (bad <- Seq("*", "[a TO]", "[a b c]")) {
+      val e = intercept[Exception] {
+        CypherEngine.query(st,
+          s"""CALL db.index.fulltext.queryNodes('fq', '$bad')
+             |YIELD node, score RETURN 1 AS o""".stripMargin)
+      }
+      assert(e.getMessage.contains("wildcard") ||
+        e.getMessage.contains("range"), s"$bad: $e")
+    }
   }
 
   test("fulltext field scoping: field:term / field:\"phrase\"") {
