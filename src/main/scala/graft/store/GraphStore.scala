@@ -757,6 +757,36 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
   private[graft] def redgesWithBucket: DataFrame =
     table("redges", redgeSchema, keepBucket = true)
 
+  /** The CHANGE FEED between two committed versions: every node row
+    * COMMITTED in versions (since, until], each version's delta read
+    * from exactly the files that version's commit WROTE (the manifest
+    * diff vs its predecessor — carried-forward files are untouched by
+    * definition of the COW commit) filtered to `recorded = v`, which
+    * isolates the delta from the carried rows sharing a rewritten
+    * bucket. Replay-stable: per-version files are immutable, so a
+    * recovered micro-batch re-reads byte-identical rows until
+    * vacuum() reclaims that version — the feed's retention horizon.
+    * Powers the `graft-changes` Structured Streaming source
+    * (streaming/ChangeFeed.scala); cost ∝ the commits' own rewrite
+    * sets, never a table scan.
+    */
+  def changesBetween(since: Long, until: Long): DataFrame = {
+    val frames = ((since + 1) to until).map { v =>
+      val cur = readManifest(v).getOrElse("nodes", Map.empty)
+      val prevFiles: Set[String] =
+        if (v <= 1) Set.empty
+        else readManifest(v - 1).getOrElse("nodes", Map.empty)
+          .values.flatten.toSet
+      val newFiles = cur.values.flatten.filterNot(prevFiles).toSeq.sorted
+      readFiles("nodes", newFiles, nodeSchema)
+        .filter(col("recorded") === v)
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), nodeSchema)
+    else frames.reduce(_ unionByName _)
+  }
+
   /** Current manifest's partition→files map for `table` ("nodes" or
     * "edges"); file paths are relative to the store root. Exposed for
     * compaction tooling and the incremental-commit spec.

@@ -83,6 +83,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.currentVersion == 2)
   }
 
+  test("graft-changes source: micro-batches equal the batch change " +
+      "feed across commits incl. truncate and delete") {
+    import graft.model.Entity
+    val store = new GraphStore(
+      Files.createTempDirectory("graft-cf-src").toString, spark, 2)
+    def put(ents: Seq[Entity], truncate: Boolean = false): Unit =
+      graft.ops.GraphMerge.applyBatch(store, "ds", "Thing", ents.toDS(),
+        truncateFirst = truncate)
+    // batch-side expectation captured right after each commit:
+    // changes(since = v-1) on the fresh snapshot IS that commit's delta
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def snap(): Unit = {
+      val v = store.currentVersion
+      expected ++= graft.ops.GraphRead
+        .changes(store, since = v - 1, limit = 100000)
+        .select($"gid", $"recorded").as[(String, Long)].collect()
+    }
+    val q = spark.readStream.format("graft-changes")
+      .option("store", store.root).load()
+      .writeStream.format("memory").queryName("cf_feed")
+      .outputMode("append").start()
+    try {
+      put(Seq(Entity("urn:a").withProp("urn:p#name", "a1"),
+        Entity("urn:b").withProp("urn:p#name", "b1")))
+      snap(); q.processAllAvailable()
+      // v2: upsert b, create c — the feed carries the new versions
+      put(Seq(Entity("urn:b").withProp("urn:p#name", "b2"),
+        Entity("urn:c").withProp("urn:p#name", "c1")))
+      snap(); q.processAllAvailable()
+      // v3: full-sync truncate reload — everything re-records at v3
+      put(Seq(Entity("urn:d").withProp("urn:p#name", "d1")),
+        truncate = true)
+      snap(); q.processAllAvailable()
+      // v4: delete — no new node rows record, both sides see nothing
+      val sess = graft.cypher.CypherEngine.session(store)
+      sess.run("MATCH (n:Thing {gid: 'urn:d'}) DETACH DELETE n").collect()
+      sess.commit()
+      snap(); q.processAllAvailable()
+      assert(store.currentVersion == 4L)
+      val streamed = spark.table("cf_feed")
+        .select($"gid", $"recorded").as[(String, Long)]
+        .collect().sorted.toSeq
+      assert(streamed == expected.sorted.toSeq,
+        s"stream $streamed != batch ${expected.sorted.toSeq}")
+      // the per-version deltas landed under their OWN version stamp
+      assert(streamed.filter(_._2 == 3L).map(_._1) == Seq("urn:d"))
+      assert(streamed.count(_._2 == 4L) == 0)
+    } finally q.stop()
+  }
+
+  test("entitySync round-trip: change stream replicates a store") {
+    import graft.model.{Entity, PV}
+    val src = new GraphStore(
+      Files.createTempDirectory("graft-cf-rt-src").toString, spark, 2)
+    val dst = new GraphStore(
+      Files.createTempDirectory("graft-cf-rt-dst").toString, spark, 2)
+    val q = spark.readStream.format("graft-changes")
+      .option("store", src.root).load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sp = b.sparkSession
+        import sp.implicits._
+        val ents = b.filter($"label" === "Thing")
+          .select($"gid", $"props")
+          .as[(String, Map[String, PV])]
+          .map { case (g, ps) => Entity(g, props = ps) }
+        if (!ents.isEmpty)
+          graft.ops.GraphMerge.applyBatch(dst, "repl", "Thing", ents)
+        ()
+      }.start()
+    try {
+      def put(ents: Seq[Entity]): Unit =
+        graft.ops.GraphMerge.applyBatch(src, "ds", "Thing", ents.toDS())
+      put(Seq(Entity("urn:x").withProp("urn:p#name", "x1"),
+        Entity("urn:y").withProp("urn:p#name", "y1")))
+      q.processAllAvailable()
+      put(Seq(Entity("urn:y").withProp("urn:p#name", "y2"),
+        Entity("urn:z").withProp("urn:p#name", "z1")))
+      q.processAllAvailable()
+      def state(st: GraphStore): Seq[(String, String)] =
+        st.nodes.filter($"label" === "Thing")
+          .select($"gid", $"props".getItem("name").getField("s"))
+          .as[(String, String)].collect().sorted.toSeq
+      assert(state(dst) == state(src))
+      assert(state(dst) == Seq("urn:x" -> "x1", "urn:y" -> "y2",
+        "urn:z" -> "z1"))
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup keeps first arrival per fingerprint " +
       "across micro-batches") {
     val dir = "/root/testdata/sf0.001"
