@@ -293,6 +293,26 @@ object Parser {
           var txRows: Option[Option[Ast.Expr]] = None
           if (p.peek.contains(Kw("IN")("IN"))) {
             p.next()
+            // `IN [n] CONCURRENT TRANSACTIONS` (Neo4j 5.21): accepted
+            // — batches run through the SAME per-batch commit loop,
+            // serialized, which is a legal schedule of the concurrent
+            // form over a single-writer store (README divergences).
+            // The concurrency hint parses and is deliberately unused.
+            p.peek match {
+              case Some(Ident(t)) if t.equalsIgnoreCase("TRANSACTIONS") =>
+                ()
+              case Some(Ident(t)) if t.equalsIgnoreCase("CONCURRENT") =>
+                p.next()
+              case _ =>
+                parseExpr(p)
+                p.peek match {
+                  case Some(Ident(t))
+                      if t.equalsIgnoreCase("CONCURRENT") => p.next()
+                  case other => throw ParseException(
+                    "expected CONCURRENT after the concurrency hint, " +
+                      s"got $other")
+                }
+            }
             p.peek match {
               case Some(Ident(t)) if t.equalsIgnoreCase("TRANSACTIONS") =>
                 p.next()

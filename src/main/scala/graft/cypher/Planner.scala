@@ -328,6 +328,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     // count-store shape: answered from the manifest sidecar in O(1),
     // zero Spark jobs (detection bails on anything but the pure shape)
     detectCountStore(q).foreach { out => return out }
+    // dictionary-served DISTINCT values: answered from the px value
+    // dictionary alone, zero node-table reads
+    detectDictDistinct(q).foreach { out => return out }
     // index-ordered top-k / min-max shape (consumed by nodeDf's
     // propIndexedBase; one-shot — the statement has a single MATCH)
     pxOrderWalk = detectOrderWalk(q)
@@ -2257,6 +2260,83 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
         r.variable.toSeq ++ t.variable.toSeq }
     if (vars.exists(v => env.get(v).nonEmpty)) return None
     patternStoreCount(pat)
+  }
+
+  /** `MATCH (n:L) WHERE n.p IS NOT NULL RETURN DISTINCT n.p [AS x]
+    * [ORDER BY x [DESC]] [LIMIT k]` served from the `sect=w` VALUE
+    * DICTIONARY alone — vocabulary-sized rows whose owner counts are
+    * maintained per commit (count > 0 ⇔ the value exists on some
+    * member), so the distinct set reads ZERO node files. Sound only
+    * when every stored value is provably a STRING (the dictionary
+    * indexes the strict `s` slot): gated on a declared
+    * `IS :: STRING` type constraint for (L, p) — the constraint IS
+    * the proof (declaration validated existing members; commits veto
+    * divergence). Bails on session/statement pending writes; the
+    * index covers secondary-label members, so xlabels need no gate.
+    */
+  private def detectDictDistinct(q: Query): Option[DataFrame] = {
+    if (q.unions.nonEmpty || !q.distinct || q.skip.nonEmpty) return None
+    if (pendingNodes.nonEmpty || pendingEdges.nonEmpty ||
+        pendingNodeDeletes.nonEmpty || pendingEdgeDeletes.nonEmpty)
+      return None
+    if (store.session.exists(st =>
+        st.workNodes.isDefined || st.workEdges.isDefined)) return None
+    val m = q.clauses match {
+      case Seq(mc: MatchClause) if !mc.optional => mc
+      case _ => return None
+    }
+    if (m.patterns.size != 1) return None
+    val pat = m.patterns.head
+    if (pat.hops.nonEmpty || pat.pathVar.nonEmpty || pat.shortest ||
+        pat.allShortest) return None
+    val n = pat.head
+    val v = n.variable.getOrElse(return None)
+    if (n.props.nonEmpty || n.where.nonEmpty || n.extraLabels.nonEmpty ||
+        n.dynLabel.nonEmpty || n.altLabels.nonEmpty) return None
+    val label = n.label.getOrElse(return None)
+    val prop = m.where match {
+      case Some(IsNull(PropRef(`v`, p), true)) => p
+      case _ => return None
+    }
+    val item = q.items match {
+      case Seq(it @ ReturnItem(PropRef(`v`, p2), _)) if p2 == prop => it
+      case _ => return None
+    }
+    val asc: Option[Boolean] = q.orderBy match {
+      case Seq() => None
+      case Seq((VarRef(x), a)) if x == item.name => Some(a)
+      case Seq((PropRef(`v`, p3), a)) if p3 == prop => Some(a)
+      case _ => return None
+    }
+    val lim: Option[Long] = q.limit.map { e =>
+      try boundVal(e, "LIMIT") catch { case _: Exception => return None }
+    }
+    val d = store.indexDefs.find(dd => dd.kind == "property" &&
+      dd.entity == "NODE" && dd.constraint != "exists" &&
+      dd.label == label && dd.property == prop && !dd.zorder)
+      .getOrElse(return None)
+    if (!store.searchIndexReady(d) || !store.pxValueDictReady(d))
+      return None
+    if (store.manifestFiles(d.tableName).isEmpty) {
+      // empty table + the gates above ⇒ no member carries the prop
+      val out = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(item.name,
+            org.apache.spark.sql.types.StringType))))
+      return Some(out)
+    }
+    if (!store.indexDefs.exists(c => c.constraint == "type:STRING" &&
+        c.label == label && c.property == prop)) return None
+    var out = store.readSearchIndex(d, _.startsWith("sect=w"))
+      .filter(col("sect") === "w" && col("val").startsWith("s:"))
+      .select(col("val").substr(lit(3),
+        org.apache.spark.sql.functions.length(col("val")))
+        .as(item.name))
+    asc.foreach(a => out = out.orderBy(
+      if (a) col(quote(item.name)).asc else col(quote(item.name)).desc))
+    lim.foreach(k => out = out.limit(k.toInt))
+    Some(out)
   }
 
   private def detectCountStore(q: Query): Option[DataFrame] = {

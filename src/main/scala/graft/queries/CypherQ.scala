@@ -932,6 +932,18 @@ DETACH DELETE n
         .orderBy($"gid")
     }),
 
+    // Dictionary-served DISTINCT: `RETURN DISTINCT c.name` answered
+    // from the px value dictionary ALONE (vocabulary-sized, owner
+    // counts > 0 ⇔ the value exists) — zero node-table reads, sound
+    // because the `IS :: STRING` constraint proves every stored value
+    // lives in the dictionary's string slot.
+    "cypher_distinct_dict" -> ((s, dir) => {
+      val store = constraintStore(s, dir)
+      CypherEngine.query(store,
+        """MATCH (c:Customer) WHERE c.name IS NOT NULL
+           RETURN DISTINCT c.name AS name ORDER BY name LIMIT 40""")
+    }),
+
     // COMPOSITE equality-prefix routing (Neo4j's composite range-index
     // shape): the escComp-framed sect=r tuple keys make an
     // equality-bound prefix a contiguous span — first branch adds a
@@ -1404,6 +1416,10 @@ DETACH DELETE n
       CypherEngine.query(store,
         "CREATE (:Customer {gid: 'c:tok', nation: 888, name: 'tt'})")
         .collect()
+      // single-prop index on name: its sect=w value dictionary +
+      // the STRING-type proof above serve dictionary-only DISTINCT
+      CypherEngine.query(store,
+        "CREATE INDEX cname FOR (c:Customer) ON (c.name)").collect()
       store
     })
 
@@ -2106,6 +2122,12 @@ DETACH DELETE n
          WHERE c_nationkey = 5 AND c_name >= 'Customer#000000'
            AND c_name <= 'Customer#000001'
          ORDER BY gid""",
+
+    "cypher_distinct_dict" ->
+      """SELECT DISTINCT name FROM (
+           SELECT c_name AS name FROM customer
+           UNION ALL SELECT 'tt' UNION ALL SELECT 'zz')
+         ORDER BY name LIMIT 40""",
 
     "cypher_constraints_type" ->
       """SELECT gid, name FROM (

@@ -515,8 +515,10 @@ object Relational {
     "q_salted_skew_agg" -> ((s, dir) => {
       import s.implicits._
       val salted = t(s, dir, "lineitem")
-        .withColumn("__salt",
-          (crc32($"l_orderkey".cast("string")) % 16).cast("int"))
+        // integer-arithmetic salt: pmod on the key column itself —
+        // uniform enough for salting (orderkeys are dense), without
+        // the per-row string alloc + crc32 the r12 shape paid
+        .withColumn("__salt", pmod($"l_orderkey", lit(16)).cast("int"))
         .groupBy($"l_returnflag", $"__salt")
         .agg(count(lit(1)).as("pn"),
           sum(cents($"l_extendedprice")).as("pc"),

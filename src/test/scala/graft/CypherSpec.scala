@@ -715,6 +715,43 @@ class CypherSpec extends AnyFunSuite {
     assert(seedErr.getMessage.contains("incoming rows"))
   }
 
+  test("IN CONCURRENT TRANSACTIONS: accepted, serialized semantics") {
+    val st = new GraphStore(
+      Files.createTempDirectory("graft-conctx").toString, spark, 2)
+    // all three concurrent spellings run the serial per-batch loop
+    CypherEngine.query(st,
+      """UNWIND range(1, 4) AS k
+         CALL { WITH k CREATE (:B {gid: 'c:' + toString(k), v: k}) }
+         IN CONCURRENT TRANSACTIONS OF 2 ROWS""").collect()
+    CypherEngine.query(st,
+      """UNWIND range(5, 6) AS k
+         CALL { WITH k CREATE (:B {gid: 'c:' + toString(k), v: k}) }
+         IN 3 CONCURRENT TRANSACTIONS""").collect()
+    val n = CypherEngine.query(st,
+      "MATCH (n:B) RETURN count(*) AS c").collect().head.getLong(0)
+    assert(n == 6L)
+    // serialized schedule: read-your-writes accumulates exactly like
+    // the serial form (documented divergence vs Neo4j's parallel
+    // executor, where batches must NOT rely on each other's writes)
+    CypherEngine.query(st,
+      "CREATE (c:Acc {gid: 'acc2', total: 0})").collect()
+    CypherEngine.query(st,
+      """UNWIND range(1, 4) AS k
+         CALL { WITH k MATCH (c:Acc) SET c.total = c.total + k }
+         IN 2 CONCURRENT TRANSACTIONS OF 1 ROWS""").collect()
+    assert(CypherEngine.query(st,
+      "MATCH (c:Acc) RETURN c.total AS t").collect()
+      .head.getString(0) == "10.0")
+    // malformed concurrency still errors with a pointer
+    val e = intercept[Exception] {
+      CypherEngine.query(st,
+        """UNWIND [1] AS k
+           CALL { WITH k CREATE (:B {gid: 'q'}) } IN 2 TRANSACTIONS""")
+        .collect()
+    }
+    assert(e.getMessage.contains("CONCURRENT"))
+  }
+
   test("dynamic property subscript, chained comparisons, size(string)") {
     // n['name'] == n.name; expression and parameter keys resolve at
     // runtime (model columns by name, props map otherwise)

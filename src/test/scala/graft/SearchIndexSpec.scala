@@ -1456,6 +1456,54 @@ class SearchIndexSpec extends AnyFunSuite {
       Seq("d:1", "d:2", "d:3", "d:5"))
   }
 
+  test("DISTINCT values served from the px value dictionary") {
+    val st = newStore("wdict")
+    st.localizeTinyTables = false // assert the at-scale parquet shape
+    val sess = CypherEngine.session(st)
+    Seq("ga" -> "alpha", "gb" -> "beta", "gc" -> "alpha",
+      "gd" -> "gamma").foreach { case (g, nm) =>
+      sess.run(s"CREATE (:P {gid: '$g', nm: '$nm'})").collect() }
+    sess.run("CREATE (:P {gid: 'ge'})").collect() // no nm
+    sess.commit()
+    CypherEngine.query(st,
+      "CREATE CONSTRAINT nmt FOR (p:P) REQUIRE p.nm IS :: STRING")
+      .collect()
+    CypherEngine.query(st,
+      "CREATE INDEX nmx FOR (p:P) ON (p.nm)").collect()
+    val q = """MATCH (p:P) WHERE p.nm IS NOT NULL
+               RETURN DISTINCT p.nm AS nm ORDER BY nm"""
+    val routed = CypherEngine.query(st, q)
+    assert(routed.collect().map(_.getString(0)).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    // ZERO node-table reads: the plan's inputs are the px table alone
+    assert(!routed.inputFiles.exists(_.contains("/nodes/")),
+      routed.inputFiles.mkString(","))
+    assert(routed.inputFiles.nonEmpty &&
+      routed.inputFiles.forall(_.contains("/px_")))
+    // LIMIT + DESC ride the dictionary too
+    assert(CypherEngine.query(st,
+      """MATCH (p:P) WHERE p.nm IS NOT NULL
+         RETURN DISTINCT p.nm AS nm ORDER BY nm DESC LIMIT 2""")
+      .collect().map(_.getString(0)).toSeq == Seq("gamma", "beta"))
+    // updates flow through the per-commit dictionary maintenance
+    CypherEngine.query(st,
+      "MATCH (p:P {gid: 'gd'}) SET p.nm = 'delta'").collect()
+    assert(CypherEngine.query(st, q).collect().map(_.getString(0)).toSeq
+      == Seq("alpha", "beta", "delta"))
+    // without the STRING-type proof the route declines (mixed types
+    // would silently vanish from a dictionary-only answer)
+    val st2 = newStore("wdict2")
+    st2.localizeTinyTables = false
+    val s2 = CypherEngine.session(st2)
+    s2.run("CREATE (:P {gid: 'g1', nm: 'x'})").collect()
+    s2.commit()
+    CypherEngine.query(st2,
+      "CREATE INDEX nmx2 FOR (p:P) ON (p.nm)").collect()
+    val scan = CypherEngine.query(st2, q)
+    assert(scan.collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(scan.inputFiles.exists(_.contains("/nodes/")))
+  }
+
   test("property type constraints enforce the PV slot witness") {
     val st = newStore("ptype")
     val sess0 = CypherEngine.session(st)
