@@ -1309,11 +1309,15 @@ class SearchIndexSpec extends AnyFunSuite {
     CypherEngine.query(st, "DROP CONSTRAINT uname").collect()
     CypherEngine.query(st,
       "CREATE (:User {gid: 'u:61', email: 'u61@x.io'})").collect()
-    // unparsed forms error instead of silently acking
+    // IS TYPED now PARSES (property type constraints, round 15);
+    // a still-unparsed form keeps the targeted error
+    CypherEngine.query(st,
+      """CREATE CONSTRAINT estr FOR (u:User)
+        |REQUIRE u.email IS TYPED STRING""".stripMargin).collect()
+    assert(st.indexDef("estr").exists(_.constraint == "type:STRING"))
     intercept[IllegalArgumentException] {
       CypherEngine.query(st,
-        """CREATE CONSTRAINT bad FOR (u:User)
-          |REQUIRE u.email IS TYPED STRING""".stripMargin)
+        "CREATE CONSTRAINT bad FOR (u:User) REQUIRE u.email IS WEIRD")
     }
     intercept[IllegalArgumentException] {
       CypherEngine.query(st, "DROP CONSTRAINT never_existed")
