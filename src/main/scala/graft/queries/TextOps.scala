@@ -309,6 +309,12 @@ object TextOps {
     "t_bpe_train" -> ((s, dir) =>
       bpeTrain(t(s, dir, "documents"), rounds = 4)),
 
+    // the apply side of BPE: encode every document with the trained
+    // merges. Replay rewrites each DISTINCT word once (vocabulary-
+    // bounded), then one corpus-sized join + per-doc sum.
+    "t_bpe_encode" -> ((s, dir) =>
+      bpeEncode(t(s, dir, "documents"), rounds = 4)),
+
     // URL canonicalization + duplicate detection — the #1 web-corpus
     // dedup key (Common Crawl dedups on canonical URL before any
     // content hash). The fixture has no URLs, so each doc synthesizes
@@ -1157,28 +1163,72 @@ object TextOps {
       val (pa, pb, c) =
         (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r.toLong, pa, pb, c))
-      // merge flags per 1-based position — the closed-form rule
-      val flags = transform(sequence(lit(1), size($"s")), i =>
-        when(i === 1, lit(false)).otherwise(
-          element_at($"s", i) === pb &&
-            element_at($"s", i - 1) === pa &&
-            (lit(pa != pb) ||
-              ((i - 1 - coalesce(
-                array_max(filter(sequence(lit(1), i - 1),
-                  j => element_at($"s", j) =!= pa)), lit(0)))
-                % 2 === 1))))
-      words = words
-        .withColumn("m", flags)
-        .withColumn("s", filter(
-          transform(sequence(lit(1), size($"s")), i =>
-            when(element_at($"m", i), lit(null).cast("string"))
-              .when(i === size($"s"), element_at($"s", i))
-              .when(element_at($"m", i + 1), lit(pa + pb))
-              .otherwise(element_at($"s", i))),
-          x => x.isNotNull))
-        .drop("m")
+      words = bpeApplyMerge(words, pa, pb)
     }
     merges.result().toDF("round", "pa", "pb", "cnt").orderBy($"round")
+  }
+
+  /** apply one trained merge (pa, pb) to a frame's `s` symbol-array
+    * column — the closed-form leftmost-greedy rule shared by the
+    * trainer's per-round rewrite and the encoder's replay (flags per
+    * 1-based position: s[i]=pb ∧ s[i-1]=pa ∧ (pa≠pb ∨ the pa-run
+    * ending at i-1 has odd length); see the t_bpe_train entry comment
+    * for why that formula IS the sequential fold)
+    */
+  private def bpeApplyMerge(df: DataFrame, pa: String, pb: String)
+      : DataFrame = {
+    val s = col("s")
+    val flags = transform(sequence(lit(1), size(s)), i =>
+      when(i === 1, lit(false)).otherwise(
+        element_at(s, i) === pb &&
+          element_at(s, i - 1) === pa &&
+          (lit(pa != pb) ||
+            ((i - 1 - coalesce(
+              array_max(filter(sequence(lit(1), i - 1),
+                j => element_at(s, j) =!= pa)), lit(0)))
+              % 2 === 1))))
+    df.withColumn("m", flags)
+      .withColumn("s", filter(
+        transform(sequence(lit(1), size(s)), i =>
+          when(element_at(col("m"), i), lit(null).cast("string"))
+            .when(i === size(s), element_at(s, i))
+            .when(element_at(col("m"), i + 1), lit(pa + pb))
+            .otherwise(element_at(s, i))),
+        x => x.isNotNull))
+      .drop("m")
+  }
+
+  /** t_bpe_encode: tokenize every document with the merges t_bpe_train
+    * learns — the apply side of the BPE pair. Work is vocabulary-
+    * bounded end to end: the trainer's rounds shuffle distinct words,
+    * the replay rewrites each DISTINCT word once (never per
+    * occurrence), and the only corpus-sized job is the final
+    * word→token-count join + per-doc sum. At 100 TB the word→tokens
+    * table is a vocabulary, not a corpus — it joins hash-partitioned
+    * on the word key with map-side partial sums.
+    */
+  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val merges = bpeTrain(docs, rounds).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    var words = docs.select(explode(wordsCol).as("word"))
+      .filter($"word" =!= "").distinct()
+      .select($"word",
+        regexp_extract_all($"word", lit("."), lit(0)).as("s"))
+    for ((pa, pb) <- merges) words = bpeApplyMerge(words, pa, pb)
+    val encoded = words.select($"word",
+      size($"s").as("toks"),
+      size(regexp_extract_all($"word", lit("."), lit(0))).as("syms"))
+    docs.select($"doc_id", explode(wordsCol).as("word"))
+      .filter($"word" =!= "")
+      .join(encoded, "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_ws"),
+        sum($"toks").cast("long").as("n_tok"),
+        (sum($"syms") - sum($"toks")).cast("long").as("n_merged"))
+      .orderBy($"doc_id")
   }
 
   /** one unrolled BPE merge round for the t_bpe_train oracle: pair
@@ -1202,6 +1252,28 @@ object TextOps {
                    ELSE s[i] END),
             x -> x IS NOT NULL) AS s, cnt
           FROM (SELECT s, cnt, pa, pb,
+                  list_transform(range(1, len(s) + 1), i ->
+                    i > 1 AND s[i] = pb AND s[i-1] = pa AND
+                    (pa <> pb OR
+                     ((i - 1 - coalesce(list_max(list_filter(
+                         range(1, i), j -> s[j] <> pa)), 0)) % 2 = 1)))
+                    AS m
+                FROM $prev CROSS JOIN b$r))"""
+
+  /** one unrolled merge REPLAY round for the t_bpe_encode oracle —
+    * identical leftmost-greedy flags as bpeRound's w$r, but over the
+    * keyed (word, s) encode chain so the final symbols join back to
+    * document words; the merge pick comes from the train chain's b$r
+    */
+  private def bpeApplySql(prev: String, r: Int): String =
+    s"""e$r AS (SELECT word, list_filter(
+            list_transform(range(1, len(s) + 1), i ->
+              CASE WHEN m[i] THEN NULL
+                   WHEN i = len(s) THEN s[i]
+                   WHEN m[i + 1] THEN pa || pb
+                   ELSE s[i] END),
+            x -> x IS NOT NULL) AS s
+          FROM (SELECT word, s, pa, pb,
                   list_transform(range(1, len(s) + 1), i ->
                     i > 1 AND s[i] = pb AND s[i-1] = pa AND
                     (pa <> pb OR
@@ -1264,6 +1336,32 @@ object TextOps {
             UNION ALL SELECT 3, pa, pb, c FROM b3
             UNION ALL SELECT 4, pa, pb, c FROM b4)
           ORDER BY round""",
+    "t_bpe_encode" ->
+      s"""WITH w0 AS (
+            SELECT regexp_extract_all(word, '.') AS s,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                    AS word FROM documents)
+            WHERE word <> '' GROUP BY word),
+          ${bpeRound("w0", 1)}, ${bpeRound("w1", 2)},
+          ${bpeRound("w2", 3)}, ${bpeRound("w3", 4)},
+          e0 AS (SELECT word, regexp_extract_all(word, '.') AS s
+            FROM (SELECT DISTINCT unnest(
+                string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+            WHERE word <> ''),
+          ${bpeApplySql("e0", 1)}, ${bpeApplySql("e1", 2)},
+          ${bpeApplySql("e2", 3)}, ${bpeApplySql("e3", 4)},
+          dw AS (SELECT doc_id, unnest(
+              string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents)
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+            CAST(sum(len(e.s)) AS BIGINT) AS n_tok,
+            CAST(sum(len(regexp_extract_all(d.word, '.')))
+              - sum(len(e.s)) AS BIGINT) AS n_merged
+          FROM dw d JOIN e4 e USING (word)
+          WHERE d.word <> ''
+          GROUP BY d.doc_id ORDER BY d.doc_id""",
     "t_token_count" ->
       """SELECT doc_id, len(w) AS n_tokens,
          len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,

@@ -149,4 +149,35 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(gotCorpus == bpeReference(corpus, 4))
   }
+
+  test("t_bpe_encode: vocabulary replay == per-word sequential " +
+      "greedy encode, including identical-symbol runs") {
+    import spark.implicits._
+    val texts = Seq(
+      "aaaaaa aab abab banana",
+      "aaaa abba aab aab",
+      "banana bandana aaaaaa",
+      "abab abab cab")
+    val merges = bpeReference(texts, 4)
+      .map { case (_, pa, pb, _) => (pa, pb) }
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (s, (pa, pb)) =>
+        s.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == pa && x == pb)
+            acc.init :+ (pa + pb)
+          else acc :+ x
+        }
+      }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val toks = ws.map(encode(_).size.toLong).sum
+      val syms = ws.map(_.length.toLong).sum
+      (i.toLong, ws.size.toLong, toks, syms - toks)
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = queries.TextOps.bpeEncode(docs, rounds = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"distributed $got != reference $expected")
+  }
 }
