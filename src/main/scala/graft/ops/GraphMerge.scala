@@ -44,6 +44,31 @@ object GraphMerge {
     // write action before the finally restores the session's policy.
     val prevPolicy = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // SMALL-BATCH localization: when the committed store stats tiny
+    // but the batch arrives as a scan (a fixture read, a small
+    // incremental-sync file — the reference's scheduled-sync shape),
+    // a bounded limit-probe (ONE early-stopping job, ≤ LtTinyRows+1
+    // rows) decides whether it fits driver-side; if it does, a
+    // LocalRelation twin replaces it so the whole sync — probes,
+    // merge, the tiny-action gate below, and the store's tiny-write
+    // path — plans driver-local. CollectLimit drains partitions in
+    // index order and the twin is single-partition, so the `seq`
+    // last-wins stamp is preserved. A bulk load past the cap keeps
+    // the distributed plan (probe cost: one scan task); a store at
+    // scale never probes.
+    val batchL = {
+      def isLocal(ds: Dataset[Entity]) =
+        ds.queryExecution.analyzed.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      if (!store.isTiny || isLocal(batch)) batch
+      else {
+        val cap = GraphStore.LtTinyRows.toInt
+        val head = batch.toDF.limit(cap + 1).collect()
+        if (head.length > cap) batch
+        else batch.sparkSession.createDataFrame(
+          java.util.Arrays.asList(head: _*), batch.toDF.schema).as[Entity]
+      }
+    }
     // Tiny-action mode (see applyWrite): when the batch is a
     // driver-local relation AND the committed store stats tiny, every
     // plan this sync runs is a handful of rows — run the whole sync
@@ -52,20 +77,12 @@ object GraphMerge {
     // real store fails the manifest-size probe), so the codegen'd
     // path is untouched exactly where codegen pays.
     val tiny = store.isTiny &&
-      batch.queryExecution.analyzed.collectLeaves().forall(
+      batchL.queryExecution.analyzed.collectLeaves().forall(
         _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-    if (tiny) {
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    }
-    try applyBatchInner(store, source, label, batch, truncateFirst, syncId)
+    if (tiny) TinyMode.enter(spark)
+    try applyBatchInner(store, source, label, batchL, truncateFirst, syncId)
     finally {
-      if (tiny) {
-        // engine defaults, not a captured snapshot — a concurrent
-        // writer's in-flight value must not survive the restore
-        spark.conf.set("spark.sql.codegen.wholeStage", "true")
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      }
+      if (tiny) TinyMode.exit(spark)
       prevPolicy match {
         case Some(p) => spark.conf.set("spark.sql.mapKeyDedupPolicy", p)
         case None    => spark.conf.unset("spark.sql.mapKeyDedupPolicy")
@@ -539,17 +556,43 @@ object GraphMerge {
     // throw (CREATE conflict) cannot leave the conf flipped.
     val spark = store.sparkSession
     val tiny = store.isTiny
-    if (tiny) {
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    }
-    val restore = () =>
-      if (tiny) {
-        spark.conf.set("spark.sql.codegen.wholeStage", "true")
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      }
+    if (tiny) TinyMode.enter(spark)
+    val restore = () => if (tiny) TinyMode.exit(spark)
     try applyWrite0(store, effects, restore)
     finally restore()
+  }
+
+  /** Tiny-action session mode, shared by applyBatch and applyWrite:
+    * beyond interpreted evaluation (Janino compilation dominates a
+    * handful-of-rows plan), AQE is OFF (each materialized query stage
+    * is its own Spark job — pure scheduler latency at this size) and
+    * exchanges run SINGLE-PARTITION (a 32-task shuffle stage over ten
+    * rows is 32 task launches for nothing). Restore is to engine
+    * defaults for the codegen/AQE flags; the shuffle-partition
+    * original is memoized ONCE per session on first entry — both ends
+    * of concurrent tiny writers then restore the same pre-tiny value,
+    * so an in-flight "1" can never leak past the last finally. The
+    * gate (manifest-tiny store ∧ driver-local lineage) can never hold
+    * at scale, where AQE and wide exchanges are exactly right.
+    */
+  private object TinyMode {
+    private val origShuffle =
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    def enter(spark: SparkSession): Unit = {
+      origShuffle.computeIfAbsent(spark,
+        s => s.conf.get("spark.sql.shuffle.partitions", "200"))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+    }
+    def exit(spark: SparkSession): Unit = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Option(origShuffle.get(spark)).foreach(v =>
+        spark.conf.set("spark.sql.shuffle.partitions", v))
+    }
   }
 
   private def applyWrite0(store: GraphStore, effects: Seq[WriteEffect],

@@ -2261,8 +2261,30 @@ class GraphStore(val root: String, spark: SparkSession, numBuckets: Int = 8) {
     // and must not be folded into the retried commit's listing.
     val segDir = dataDir(table).resolve(s"seg=$next")
     if (Files.exists(segDir)) deleteRecursively(segDir)
-    toWrite
-      .repartition(bc, col(clusterCol))
+    // TINY-WRITE fast path (interactive commits): when the store is
+    // manifest-tiny and the frame's lineage is fully driver-local
+    // (LocalRelation leaves — statement overlays, localized tables,
+    // planner seeds), ONE narrow task writes every partition
+    // directory: no exchange, no AQE stage jobs riding the write.
+    // The per-directory file layout is unchanged — the bc-task path
+    // also lands one file per bucket directory because repartition's
+    // hash IS the bucket function — and the dynamic-partition
+    // writer's stable sort preserves the clusterCol order within
+    // each directory either way. A large batch into a tiny store
+    // always carries source-scan leaves, so it keeps the
+    // distributed write.
+    val allLocal = toWrite.queryExecution.analyzed.collectLeaves()
+      .forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical
+            .OneRowRelation => true
+        case _ => false
+      }
+    val routed =
+      if (allLocal && isTiny) toWrite.coalesce(1)
+      else toWrite.repartition(bc, col(clusterCol))
+    routed
       .sortWithinPartitions(clusterCol)
       .withColumn("seg", lit(next))
       .write.mode("append").partitionBy("seg", partCol, "bucket")
