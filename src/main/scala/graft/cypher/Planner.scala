@@ -5906,22 +5906,34 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       // bridge runs over the store snapshot and the result joins back
       // by gid — deterministic integer arithmetic throughout
       // (pageRankMicro), so every yield is oracle-able
+      // tiny stores take the driver-local twins (bit-equal integer
+      // arithmetic, AnalyticsSpec-pinned): a 25-node interactive graph
+      // pays zero Spark jobs instead of GraphX's per-iteration RDD
+      // materializations; past isTiny the distributed path is untouched
       case "graft.pagerank" =>
         val iters = intArg("graft.pageRank", 10L)
         if (iters < 1 || iters > 100)
           throw PlanError(s"graft.pageRank iterations out of [1,100]: $iters")
-        (graft.ops.GraphAnalytics
+        val pr = if (store.isTiny)
+          graft.ops.GraphAnalytics
+            .pageRankMicroLocal(spark, store.nodes, store.edges, iters.toInt)
+        else graft.ops.GraphAnalytics
           .pageRankMicro(spark, store.nodes, store.edges, iters.toInt)
-          .withColumnRenamed("rank_micro", "rankMicro"),
+        (pr.withColumnRenamed("rank_micro", "rankMicro"),
           Seq("gid", "rankMicro"))
       case "graft.connectedcomponents" =>
         noArgs()
-        (graft.ops.GraphAnalytics
+        (if (store.isTiny)
+          graft.ops.GraphAnalytics
+            .connectedComponentsLocal(spark, store.nodes, store.edges)
+        else graft.ops.GraphAnalytics
           .connectedComponents(spark, store.nodes, store.edges),
           Seq("gid", "component"))
       case "graft.degrees" =>
         noArgs()
-        (graft.ops.GraphAnalytics.degrees(spark, store.nodes, store.edges)
+        ((if (store.isTiny)
+          graft.ops.GraphAnalytics.degreesLocal(spark, store.nodes, store.edges)
+        else graft.ops.GraphAnalytics.degrees(spark, store.nodes, store.edges))
           .withColumnRenamed("out_degree", "outDegree")
           .withColumnRenamed("in_degree", "inDegree"),
           Seq("gid", "outDegree", "inDegree"))

@@ -106,6 +106,80 @@ object GraphAnalytics {
       .select($"gid", $"rank_micro")
   }
 
+  /** Driver-local twins of the three procedure analytics, for
+    * manifest-tiny stores (the interactive gds.*-on-a-small-graph
+    * shape): identical integer arithmetic over collected arrays, so
+    * the result is bit-equal to the distributed path (AnalyticsSpec
+    * pins parity) at ZERO Spark jobs — a tiny store's tables are
+    * LocalRelations, whose collect() never schedules a task. Callers
+    * gate on `store.isTiny`, the same budget the tiny-table
+    * localization already spends; at scale the GraphX path is
+    * untouched. Edges whose endpoints are not in the node set drop,
+    * exactly like `build`'s inner dictionary joins.
+    */
+  private def collectGraph(nodes: DataFrame, edges: DataFrame)
+      : (Array[String], Array[(Int, Int)]) = {
+    val gids = nodes.select("gid").collect().map(_.getString(0))
+    val idx = gids.zipWithIndex.toMap
+    val es = edges.select("src", "dst").collect().flatMap { r =>
+      for (s <- idx.get(r.getString(0)); d <- idx.get(r.getString(1)))
+        yield (s, d)
+    }
+    (gids, es)
+  }
+
+  def pageRankMicroLocal(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    val (gids, es) = collectGraph(nodes, edges)
+    val n = gids.length
+    val outd = new Array[Int](n)
+    es.foreach { case (s, _) => outd(s) += 1 }
+    var rank = Array.fill(n)(1000000L)
+    for (_ <- 1 to iters) {
+      val next = Array.fill(n)(150000L)
+      es.foreach { case (s, d) =>
+        next(d) += rank(s) * 85L / (100L * outd(s))
+      }
+      rank = next
+    }
+    gids.indices.map(i => (gids(i), rank(i))).toDF("gid", "rank_micro")
+  }
+
+  def degreesLocal(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (gids, es) = collectGraph(nodes, edges)
+    val out = new Array[Int](gids.length)
+    val in = new Array[Int](gids.length)
+    es.foreach { case (s, d) => out(s) += 1; in(d) += 1 }
+    gids.indices.map(i => (gids(i), out(i), in(i)))
+      .toDF("gid", "out_degree", "in_degree")
+  }
+
+  def connectedComponentsLocal(spark: SparkSession, nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (gids, es) = collectGraph(nodes, edges)
+    val parent = Array.tabulate(gids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (s, d) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) parent(rs) = rd
+    }
+    val label = scala.collection.mutable.Map.empty[Int, String]
+    gids.indices.foreach { i =>
+      val r = find(i)
+      if (!label.contains(r) || gids(i) < label(r)) label(r) = gids(i)
+    }
+    gids.indices.map(i => (gids(i), label(find(i))))
+      .toDF("gid", "component")
+  }
+
   /** out/in degree via GraphX degree operators. */
   def degrees(spark: SparkSession, nodes: DataFrame,
       edges: DataFrame): DataFrame = {

@@ -100,9 +100,16 @@ object GraphXQ {
     "gx_kcore" -> ((s, dir) => {
       import s.implicits._
       val K = 6; val R = 6
+      // the peel loop moves vertex KEYS round over round — run it on
+      // longs (order → 2k, part → 2k+1; bijective, re-stringified only
+      // at the final projection) instead of "o:"/"p:" strings: every
+      // shuffle/compare in the 6 rounds carries 8 bytes per key in
+      // place of a ~10-char string (guide §2.3 "narrower types"). The
+      // peeled relation is key-representation-independent, so the
+      // DuckDB oracle's string-keyed replay hash-matches unchanged.
       val e = t(s, dir, "lineitem")
-        .select(concat(lit("o:"), $"l_orderkey").as("src"),
-          concat(lit("p:"), $"l_partkey").as("dst"))
+        .select(($"l_orderkey".cast("long") * 2).as("src"),
+          ($"l_partkey".cast("long") * 2 + 1).as("dst"))
         .distinct()
       // pre-partition the undirected edge list on the PROBE key (dst):
       // the cached InMemoryRelation keeps HashPartitioning(dst), so
@@ -137,9 +144,13 @@ object GraphXQ {
       }
       // survivors with their degree inside the final induced subgraph
       // (vertices at degree 0 have no induced edges — same relation a
-      // recount produces)
+      // recount produces); long keys re-stringify here, once
       alive.filter($"d" > 0)
-        .select($"g".as("gid"), $"d".cast("long").as("core_deg"))
+        .select(
+          when($"g" % 2 === 0, concat(lit("o:"), ($"g" / 2).cast("long")))
+            .otherwise(concat(lit("p:"), (($"g" - 1) / 2).cast("long")))
+            .as("gid"),
+          $"d".cast("long").as("core_deg"))
         .orderBy($"gid")
     }),
 
@@ -155,13 +166,22 @@ object GraphXQ {
     // size bounds the quadratic term.
     "gx_copurchase" -> ((s, dir) => {
       import s.implicits._
-      val op = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-        .distinct()
-      val pairs = op.select($"ok", $"pk".as("pa"))
-        .join(op.select($"ok", $"pk".as("pb")), Seq("ok"))
-        .filter($"pa" < $"pb")
-        .groupBy($"pa", $"pb").agg(count(lit(1)).as("n"))
+      // per-basket part sets via ONE groupBy(ok) + collect_set (the
+      // dedup the old global distinct + self-join pair did in two
+      // exchanges and an SMJ); pairs explode basket-locally with an
+      // index HOF — C(n,2) bounded by basket size exactly as before,
+      // but the plan drops from [distinct → self-join → groupBy] to
+      // [groupBy(ok) → explode → groupBy(pa,pb)]: 3 exchanges → 2
+      // and no join at all (guide §2.4 "remove shuffles outright").
+      val baskets = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey".as("ok"))
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      val pairs = baskets
+        .select(explode(flatten(transform($"ps", (pa, i) =>
+          transform(slice($"ps", i + 2, size($"ps")), pb =>
+            struct(pa.as("pa"), pb.as("pb")))))).as("p"))
+        .groupBy($"p.pa".as("pa"), $"p.pb".as("pb"))
+        .agg(count(lit(1)).as("n"))
       val und = pairs.unionByName(
         pairs.select($"pb".as("pa"), $"pa".as("pb"), $"n"))
       val w = Window.partitionBy($"pa").orderBy($"n".desc, $"pb")

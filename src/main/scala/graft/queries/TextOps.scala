@@ -175,6 +175,7 @@ object TextOps {
     pairCache.clear()
     interCache.clear()
     simsCache.clear()
+    bpeCache.clear()
   }
 
   /** shared-shingle intersection counts `(da, db, i)` plus per-doc
@@ -306,14 +307,19 @@ object TextOps {
     // outcome is run-position parity) — with no sequential
     // dependence, so it vectorizes per row. Integer counts and
     // byte-order tie-breaks make every round DuckDB-replayable.
-    "t_bpe_train" -> ((s, dir) =>
-      bpeTrain(t(s, dir, "documents"), rounds = 4)),
+    "t_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeMerges(s, dir, rounds = 4)
+        .toDF("round", "pa", "pb", "cnt").orderBy($"round")
+    }),
 
     // the apply side of BPE: encode every document with the trained
-    // merges. Replay rewrites each DISTINCT word once (vocabulary-
-    // bounded), then one corpus-sized join + per-doc sum.
+    // merges (shared with t_bpe_train through the bpeMerges memo — one
+    // tokenizer per corpus). Replay rewrites each DISTINCT word once
+    // (vocabulary-bounded), then one corpus-sized join + per-doc sum.
     "t_bpe_encode" -> ((s, dir) =>
-      bpeEncode(t(s, dir, "documents"), rounds = 4)),
+      bpeEncodeWith(t(s, dir, "documents"),
+        bpeMerges(s, dir, rounds = 4).map(m => (m._2, m._3)))),
 
     // URL canonicalization + duplicate detection — the #1 web-corpus
     // dedup key (Common Crawl dedups on canonical URL before any
@@ -896,8 +902,11 @@ object TextOps {
           .select($"doc_id", wordsCol.as("w"))
           .select($"doc_id", explode(kShinglesCol($"w", 8)).as("s"))
           .distinct().cache())
+      // sh is (doc_id, s)-distinct, so plain count(*) IS the distinct
+      // doc count — count_distinct would plan the two-exchange
+      // distinct-aggregate for a dedup the frame already guarantees
       val shared = sh.groupBy($"s")
-        .agg(count_distinct($"doc_id").as("nd"))
+        .agg(count(lit(1)).as("nd"))
         .filter($"nd" >= 2)
         .select($"s", lit(1).as("dup"))
       val per = sh.join(shared, Seq("s"), "left_outer")
@@ -948,8 +957,11 @@ object TextOps {
         .select($"doc_id", md5(concat_ws(" ", $"c")).as("fp"),
           size($"c").cast("long").as("n_words"))
         .distinct()
+        // rows are (doc_id, fp)-distinct (fp determines n_words), so
+        // count(*) IS the distinct doc count — skips the two-exchange
+        // distinct-aggregate plan
         .groupBy($"fp")
-        .agg(count_distinct($"doc_id").as("n_docs"),
+        .agg(count(lit(1)).as("n_docs"),
           max($"n_words").as("n_words"))
         .filter($"n_docs" >= 2)
         .select($"fp", $"n_docs", $"n_words")
@@ -979,8 +991,10 @@ object TextOps {
         .filter($"term".isin(terms: _*))
         .groupBy($"doc_id", $"dl", $"term")
         .agg(count(lit(1)).as("tf"))
+      // tf is (doc_id, term)-grouped, so count(*) IS the distinct doc
+      // frequency — no distinct-aggregate double exchange
       val dfreq = tf.groupBy($"term")
-        .agg(count_distinct($"doc_id").as("dfreq"))
+        .agg(count(lit(1)).as("dfreq"))
       tf.join(broadcast(dfreq), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
@@ -1134,12 +1148,35 @@ object TextOps {
         md5(array_join($"ck", " ")).as("chunk_fp"))
   }
 
+  /** trained BPE merge table, memoized per (session, dir, rounds):
+    * t_bpe_train and t_bpe_encode consume the SAME artifact — one
+    * trained tokenizer per corpus — so the training rounds run once
+    * per session, exactly like the MinHash pair graph both dedup
+    * entries share. The value is `rounds` driver rows (the merge
+    * list), so clearMemos just drops the map — no blocks to free.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Seq[(Long, String, String, Long)]]
+
+  private[graft] def bpeMerges(s: SparkSession, dir: String, rounds: Int)
+      : Seq[(Long, String, String, Long)] =
+    bpeCache.getOrElseUpdate((s, dir, rounds),
+      bpeTrainRows(t(s, dir, "documents"), rounds))
+
   /** the t_bpe_train trainer over an arbitrary (… text …) frame —
     * factored out so specs can feed engineered corpora (identical-
     * symbol runs) and hold the closed-form merge rule to a sequential
     * reference fold
     */
   private[graft] def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrainRows(docs, rounds).toDF("round", "pa", "pb", "cnt")
+      .orderBy($"round")
+  }
+
+  private def bpeTrainRows(docs: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     val words0 = docs
@@ -1165,7 +1202,7 @@ object TextOps {
       merges += ((r.toLong, pa, pb, c))
       words = bpeApplyMerge(words, pa, pb)
     }
-    merges.result().toDF("round", "pa", "pb", "cnt").orderBy($"round")
+    merges.result()
   }
 
   /** apply one trained merge (pa, pb) to a frame's `s` symbol-array
@@ -1207,12 +1244,13 @@ object TextOps {
     * table is a vocabulary, not a corpus — it joins hash-partitioned
     * on the word key with map-side partial sums.
     */
-  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame =
+    bpeEncodeWith(docs, bpeTrainRows(docs, rounds).map(m => (m._2, m._3)))
+
+  private def bpeEncodeWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val merges = bpeTrain(docs, rounds).collect()
-      .sortBy(_.getLong(0))
-      .map(r => (r.getString(1), r.getString(2)))
     var words = docs.select(explode(wordsCol).as("word"))
       .filter($"word" =!= "").distinct()
       .select($"word",

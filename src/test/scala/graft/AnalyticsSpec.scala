@@ -73,6 +73,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(v.size < eu.map(_._1).distinct.size)
   }
 
+  test("driver-local analytics twins are bit-equal to the distributed " +
+      "path (pageRankMicro, degrees, connectedComponents)") {
+    import spark.implicits._
+    // two components, a parallel edge, a dangling edge (endpoint not
+    // in the node set — build()'s inner dict joins drop it), an
+    // isolated node, and a sink with no out-edges
+    val nodes = Seq("a", "b", "c", "d", "e", "f", "iso").toDF("gid")
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+      ("e", "f"), ("f", "e"), ("a", "ghost"), ("ghost", "b"))
+      .toDF("src", "dst").withColumn("relType", lit("t"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(
+      m(GraphAnalytics.pageRankMicroLocal(spark, nodes, edges, 5)) ==
+        m(GraphAnalytics.pageRankMicro(spark, nodes, edges, 5)))
+    assert(
+      m(GraphAnalytics.degreesLocal(spark, nodes, edges)) ==
+        m(GraphAnalytics.degrees(spark, nodes, edges)))
+    assert(
+      m(GraphAnalytics.connectedComponentsLocal(spark, nodes, edges)) ==
+        m(GraphAnalytics.connectedComponents(spark, nodes, edges)))
+  }
+
   test("gx_triangles undirectedUnique contract: edge union has no " +
       "mutual or parallel pairs") {
     import spark.implicits._
