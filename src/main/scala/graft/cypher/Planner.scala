@@ -3340,8 +3340,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case ValueVar(cn) => Seq(cn)
       case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
     })
-    val seed = df.select(importCols.map(cn => col(quote(cn))): _*)
-      .dropDuplicates(c.imports.map(keyColName))
+    val seed = spreadSeed(
+      df.select(importCols.map(cn => col(quote(cn))): _*)
+        .dropDuplicates(c.imports.map(keyColName)))
     val seedKeys = seed.select(keyCols.map { case (v, k) =>
       col(quote(keyColName(v))).as(k) }: _*)
     def planSeeded(part: Query): DataFrame = {
@@ -3696,6 +3697,21 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
     * makes the inner WHERE null → zero matches → exists() FALSE (row
     * kept) — callers null-filter only the node keys.
     */
+  /** Spread a correlation seed across the session's cores before the
+    * subquery body multiplies it. A distinct-key seed is often a few
+    * KB, and AQE's byte-based coalescing packs it into ONE partition —
+    * which then evaluates the whole per-invocation body product
+    * (seed × matches, e.g. a non-equi COUNT{} comparison) in a single
+    * task: parallelism is lost exactly where the bytes are smallest
+    * but the downstream CPU is biggest. The round-robin repartition
+    * costs one narrow pass of the SEED itself, which the body's
+    * re-execution dwarfs at any scale; the explicit partition count
+    * (REPARTITION_BY_NUM) is the signal AQE respects, so the body
+    * stage keeps full parallelism.
+    */
+  private def spreadSeed(seed: DataFrame): DataFrame =
+    seed.repartition(seed.sparkSession.sparkContext.defaultParallelism)
+
   private def planSubPattern(pat: PathPattern, where: Option[Expr],
       what: String, extraScan: Seq[Expr] = Nil)
       : (DataFrame, Seq[String], Seq[String], Map[String, VarKind]) = {
@@ -3732,8 +3748,8 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
           case _ => Nil
         }
       }
-      df = outerDf.select(cols.map(cn => col(quote(cn))): _*)
-        .dropDuplicates(seedKeyCols)
+      df = spreadSeed(outerDf.select(cols.map(cn => col(quote(cn))): _*)
+        .dropDuplicates(seedKeyCols))
       env = seeded.map(v => v -> outerEnv(v)).toMap
     }
     applyInnerMatch(MatchClause(Seq(pat), optional = false, where = where))
@@ -3827,8 +3843,9 @@ class Planner(store: GraphStore, params: Map[String, Any] = Map.empty) {
       case ValueVar(cn) => Seq(cn)
       case _ => df.columns.filter(_.startsWith(s"${v}__")).toSeq
     })
-    val seed = df.select(importCols.map(cn => col(quote(cn))): _*)
-      .dropDuplicates(imports.map(fullSubKeyCol))
+    val seed = spreadSeed(
+      df.select(importCols.map(cn => col(quote(cn))): _*)
+        .dropDuplicates(imports.map(fullSubKeyCol)))
     // thread the keys through every WITH stage: the first carries the
     // key expression, later stages (where the source vars may be
     // projected away) re-carry the key alias — and an aggregating or
